@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DataFrame-returning metric computations — the query surface of the engine.
+  *
+  * Each function compiles to a declarative Spark plan (single-scan aggregation unless the
+  * metric's shape forces a shuffle), so Catalyst handles pushdown/pruning and all
+  * aggregations are partial-aggregated map-side. These back `SparkEntry.queries` and are
+  * shared with the constraint layer's semantics.
+  */
+object Metrics {
+
+  /** Row count. */
+  def size(df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).as("row_count"))
+
+  /** Non-null ratio (reference: constraints/completeness.rs:158-163). */
+  def completeness(df: DataFrame, c: String): DataFrame =
+    df.agg(count(lit(1)).as("total"), count(col(c)).as("non_null"))
+      .select(col("total"), col("non_null"),
+        (col("non_null").cast("double") / col("total").cast("double")).as("ratio"))
+
+  /** Distinct/total ratio (reference: constraints/uniqueness.rs:549-622). */
+  def uniqueness(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.agg(count(lit(1)).as("total"),
+        countDistinct(col(cols.head), cols.drop(1).map(col): _*).as("distinct_count"))
+      .select(col("total"), col("distinct_count"),
+        (col("distinct_count").cast("double") / col("total").cast("double")).as("uniqueness"))
+
+  /** Distinct/non-null ratio (reference: analyzers/basic/distinctness.rs:113-114). */
+  def distinctness(df: DataFrame, c: String): DataFrame =
+    df.agg(count(col(c)).as("non_null"), countDistinct(col(c)).as("distinct_count"))
+      .select(col("non_null"), col("distinct_count"),
+        (col("distinct_count").cast("double") / col("non_null").cast("double")).as("distinctness"))
+
+  /** Values appearing exactly once / distinct values (reference: uniqueness.rs:661-684). */
+  def uniqueValueRatio(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.na.drop(cols).groupBy(cols.map(col): _*).count()
+      .agg(sum(when(col("count") === 1L, 1L).otherwise(0L)).as("unique_values"),
+        count(lit(1)).as("distinct_values"))
+      .select(col("unique_values"), col("distinct_values"),
+        (col("unique_values").cast("double") / col("distinct_values").cast("double")).as("unique_value_ratio"))
+
+  /** Primary-key health: total vs distinct vs null keys (reference: uniqueness.rs:687-718). */
+  def primaryKey(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.agg(
+      count(lit(1)).as("total"),
+      countDistinct(col(cols.head), cols.drop(1).map(col): _*).as("distinct_count"),
+      sum(when(cols.map(c => col(c).isNull).reduce(_ || _), 1L).otherwise(0L)).as("null_keys"))
+
+  /** Value histogram with ratios (reference: constraints/histogram.rs:214-240).
+    * One groupBy shuffle bounded by cardinality; total via a window-free scalar join.
+    */
+  def histogram(df: DataFrame, c: String, maxBuckets: Int = 1000): DataFrame = {
+    val counts = df.filter(col(c).isNotNull)
+      .groupBy(col(c).cast("string").as("value")).agg(count(lit(1)).as("cnt"))
+    val total = df.agg(count(col(c)).as("_t"))
+    counts.crossJoin(broadcast(total))
+      .select(col("value"), col("cnt"),
+        (col("cnt").cast("double") / col("_t").cast("double")).as("ratio"))
+      .orderBy(col("cnt").desc, col("value"))
+      .limit(maxBuckets)
+  }
+
+  /** Shannon entropy: ln(n) − Σc·ln(c)/n over non-null values — exact, fully
+    * distributed, no per-bucket collect (reference: analyzers/advanced/entropy.rs:204-330).
+    */
+  def entropy(df: DataFrame, c: String): DataFrame =
+    df.filter(col(c).isNotNull).groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("n"), sum(col("cnt") * log(col("cnt"))).as("s"))
+      .select(round(log(col("n")) - col("s") / col("n"), 6).as("entropy"))
+
+  /** Mutual information of two (discrete) columns
+    * (reference: analyzers/advanced/mutual_information.rs:143-290).
+    * Joint groupBy + two broadcast marginals; MI folded in one aggregation.
+    */
+  def mutualInformation(df: DataFrame, c1: String, c2: String): DataFrame = {
+    val d = df.filter(col(c1).isNotNull && col(c2).isNotNull)
+      .select(col(c1).cast("string").as("x"), col(c2).cast("string").as("y"))
+    val joint = d.groupBy("x", "y").agg(count(lit(1)).as("nxy"))
+    val mx = d.groupBy("x").agg(count(lit(1)).as("nx"))
+    val my = d.groupBy("y").agg(count(lit(1)).as("ny"))
+    joint.join(broadcast(mx), "x").join(broadcast(my), "y")
+      .agg(sum(col("nxy")).as("n"),
+        sum(col("nxy") * (log(col("nxy")) - log(col("nx")) - log(col("ny")))).as("s"))
+      .select(round(col("s") / col("n") + log(col("n")), 6).as("mutual_information"))
+  }
+
+  /** Per-value inferred-type distribution (reference: analyzers/advanced/data_type.rs:129-150). */
+  def dataTypeDistribution(df: DataFrame, c: String): DataFrame =
+    df.select(graft.constraints.InferredType.classifier(c).as("inferred_type"))
+      .groupBy("inferred_type").agg(count(lit(1)).as("cnt"))
+      .orderBy("inferred_type")
+
+  /** Orphan count for a child→parent key (reference: constraints/foreign_key.rs:151-201). */
+  def foreignKeyOrphans(child: DataFrame, parent: DataFrame, keys: Seq[(String, String)]): DataFrame = {
+    val base = child.na.drop(keys.map(_._1))
+    val p = parent.select(keys.map { case (_, pc) => col(pc) }: _*).distinct()
+    val cond = keys.map { case (cc, pc) => base(cc) <=> p(pc) }.reduce(_ && _)
+    base.join(p, cond, "left_anti").agg(count(lit(1)).as("orphans"))
+  }
+
+  /** Left-coverage ratio (reference: constraints/join_coverage.rs:195-316). */
+  def joinCoverage(left: DataFrame, right: DataFrame, keys: Seq[(String, String)]): DataFrame = {
+    val r = right.select(keys.map { case (_, rc) => col(rc) }: _*).distinct()
+    val cond = keys.map { case (lc, rc) => left(lc) <=> r(rc) }.reduce(_ && _)
+    val covered = left.join(r, cond, "left_semi").agg(count(lit(1)).as("covered"))
+    val total = left.agg(count(lit(1)).as("total"))
+    covered.crossJoin(total)
+      .select(col("covered"), col("total"),
+        (col("covered").cast("double") / col("total").cast("double")).as("coverage"))
+  }
+
+  /** Grouped completeness (reference: analyzers/basic/grouped_completeness.rs:110-140). */
+  def groupedCompleteness(df: DataFrame, c: String, groups: Seq[String]): DataFrame =
+    df.groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("total"), count(col(c)).as("non_null"))
+      .select(groups.map(col) :+
+        col("total") :+ col("non_null") :+
+        (col("non_null").cast("double") / col("total").cast("double")).as("completeness"): _*)
+      .orderBy(groups.map(col): _*)
+}

@@ -1,0 +1,291 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Named query catalog backing `SparkEntry.queries` / `SparkEntry.oracleSql`.
+  *
+  * Each entry pairs a Spark DataFrame computation (built on [[Metrics]] /
+  * [[graft.operators]] machinery) with semantically equivalent DuckDB SQL run by the
+  * driver as the correctness oracle. Column names/aliases MUST match the SQL exactly.
+  *
+  * Determinism notes: ratios are divisions of exactly-computed counts (bit-identical
+  * across engines); floating aggregates over data-dependent orderings (sums of doubles,
+  * stddev, corr, entropy) are rounded to a tolerance far above both engines'
+  * accumulated error.
+  */
+object Queries {
+
+  final case class QueryDef(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The events table stores TIMESTAMP(NANOS) which Spark's parquet reader rejects by
+    // default; read nanos as long and rebuild a microsecond timestamp (UTC session).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- size / completeness / uniqueness family ----
+    QueryDef("size_lineitem",
+      (s, d) => Metrics.size(t(s, d, "lineitem")),
+      Some("SELECT count(*) AS row_count FROM lineitem")),
+
+    QueryDef("completeness_customer",
+      (s, d) => Metrics.completeness(t(s, d, "customer"), "c_acctbal"),
+      Some("""SELECT count(*) AS total, count(c_acctbal) AS non_null,
+             | CAST(count(c_acctbal) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS ratio
+             | FROM customer""".stripMargin.replaceAll("\n", " "))),
+
+    QueryDef("uniqueness_orders",
+      (s, d) => Metrics.uniqueness(t(s, d, "orders"), Seq("o_orderkey")),
+      Some("""SELECT count(*) AS total, count(DISTINCT o_orderkey) AS distinct_count,
+             | CAST(count(DISTINCT o_orderkey) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS uniqueness
+             | FROM orders""".stripMargin.replaceAll("\n", " "))),
+
+    QueryDef("distinctness_returnflag",
+      (s, d) => Metrics.distinctness(t(s, d, "lineitem"), "l_returnflag"),
+      Some("""SELECT count(l_returnflag) AS non_null, count(DISTINCT l_returnflag) AS distinct_count,
+             | CAST(count(DISTINCT l_returnflag) AS DOUBLE) / CAST(count(l_returnflag) AS DOUBLE) AS distinctness
+             | FROM lineitem""".stripMargin.replaceAll("\n", " "))),
+
+    QueryDef("unique_value_ratio_partkey",
+      (s, d) => Metrics.uniqueValueRatio(t(s, d, "lineitem"), Seq("l_partkey")),
+      Some("""WITH vc AS (SELECT l_partkey, count(*) AS cnt FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1)
+             | SELECT CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS unique_values,
+             | count(*) AS distinct_values,
+             | CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS unique_value_ratio
+             | FROM vc""".stripMargin.replaceAll("\n", " "))),
+
+    QueryDef("primary_key_orders",
+      (s, d) => Metrics.primaryKey(t(s, d, "orders"), Seq("o_orderkey")),
+      Some("""SELECT count(*) AS total, count(DISTINCT o_orderkey) AS distinct_count,
+             | CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_keys
+             | FROM orders""".stripMargin.replaceAll("\n", " "))),
+
+    // ---- statistics family ----
+    QueryDef("stats_quantity",
+      (s, d) => t(s, d, "lineitem").agg(
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(col("l_quantity")).as("cnt_qty")),
+      Some("""SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+             | round(sum(l_quantity), 2) AS sum_qty, count(l_quantity) AS cnt_qty
+             | FROM lineitem""".stripMargin.replaceAll("\n", " "))),
+
+    QueryDef("stats_extendedprice",
+      (s, d) => t(s, d, "lineitem").agg(
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(sum(col("l_extendedprice")) / count(col("l_extendedprice")), 4).as("mean_price"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("stddev_price")),
+      Some("""SELECT round(sum(l_extendedprice), 2) AS sum_price,
+             | round(sum(l_extendedprice) / count(l_extendedprice), 4) AS mean_price,
+             | round(stddev_samp(l_extendedprice), 4) AS stddev_price
+             | FROM lineitem""".stripMargin.replaceAll("\n", " "))),
+
+    QueryDef("median_quantity",
+      (s, d) => t(s, d, "lineitem").agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty")),
+      Some("SELECT round(quantile_cont(l_quantity, 0.5), 6) AS median_qty FROM lineitem")),
+
+    QueryDef("quantiles_price",
+      (s, d) => t(s, d, "lineitem").agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75")),
+      Some("""SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+             | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+             | FROM lineitem""".stripMargin.replaceAll("\n", " "))),
+
+    // Library path uses approx_count_distinct (mergeable HLL++); the oracle-facing
+    // value is the exact distinct count (FIXTURES.md oracle protocol).
+    QueryDef("count_distinct_partkey",
+      (s, d) => t(s, d, "lineitem").agg(countDistinct(col("l_partkey")).as("distinct_parts")),
+      Some("SELECT count(DISTINCT l_partkey) AS distinct_parts FROM lineitem")),
+
+    QueryDef("correlation_qty_price",
+      (s, d) => t(s, d, "lineitem").agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("correlation")),
+      Some("SELECT round(corr(l_quantity, l_extendedprice), 6) AS correlation FROM lineitem")),
+
+    QueryDef("covariance_qty_price",
+      (s, d) => t(s, d, "lineitem").agg(
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covariance")),
+      Some("SELECT round(covar_samp(l_quantity, l_extendedprice), 2) AS covariance FROM lineitem")),
+
+    // ---- content family ----
+    QueryDef("containment_orderstatus",
+      (s, d) => t(s, d, "orders").agg(
+        count(col("o_orderstatus")).as("non_null"),
+        sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("contained"))
+        .select(col("non_null"), col("contained"),
+          (col("contained").cast("double") / col("non_null").cast("double")).as("ratio")),
+      Some("""SELECT count(o_orderstatus) AS non_null,
+             | CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS contained,
+             | CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(o_orderstatus) AS DOUBLE) AS ratio
+             | FROM orders""".stripMargin.replaceAll("\n", " "))),
+
+    QueryDef("compliance_discount",
+      (s, d) => t(s, d, "lineitem").agg(
+        count(lit(1)).as("total"),
+        sum(when(col("l_discount").between(0.0, 0.1), 1L).otherwise(0L)).as("compliant"))
+        .select(col("total"), col("compliant"),
+          (col("compliant").cast("double") / col("total").cast("double")).as("compliance")),
+      Some("""SELECT count(*) AS total,
+             | CAST(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS compliant,
+             | CAST(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS compliance
+             | FROM lineitem""".stripMargin.replaceAll("\n", " "))),
+
+    QueryDef("pattern_orderpriority",
+      (s, d) => t(s, d, "orders").agg(
+        count(col("o_orderpriority")).as("non_null"),
+        sum(when(col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$"), 1L).otherwise(0L)).as("matching"))
+        .select(col("non_null"), col("matching"),
+          (col("matching").cast("double") / col("non_null").cast("double")).as("match_ratio")),
+      Some("""SELECT count(o_orderpriority) AS non_null,
+             | CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 1 ELSE 0 END) AS BIGINT) AS matching,
+             | CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(o_orderpriority) AS DOUBLE) AS match_ratio
+             | FROM orders""".stripMargin.replaceAll("\n", " "))),
+
+    QueryDef("length_customer_name",
+      (s, d) => t(s, d, "customer").agg(
+        min(length(col("c_name"))).as("min_len"),
+        max(length(col("c_name"))).as("max_len"),
+        (sum(length(col("c_name"))).cast("double") / count(col("c_name")).cast("double")).as("avg_len")),
+      Some("""SELECT CAST(min(length(c_name)) AS INT) AS min_len, CAST(max(length(c_name)) AS INT) AS max_len,
+             | CAST(sum(length(c_name)) AS DOUBLE) / CAST(count(c_name) AS DOUBLE) AS avg_len
+             | FROM customer""".stripMargin.replaceAll("\n", " "))),
+
+    QueryDef("datatype_inference_psize",
+      (s, d) => Metrics.dataTypeDistribution(
+        t(s, d, "part").select(col("p_size").cast("string").as("v")), "v"),
+      Some("""SELECT CASE WHEN v IS NULL THEN 'null'
+             | WHEN regexp_matches(v, '(?i)^\s*(true|false)\s*$') THEN 'boolean'
+             | WHEN TRY_CAST(v AS BIGINT) IS NOT NULL THEN 'integer'
+             | WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL THEN 'fractional'
+             | WHEN TRY_CAST(v AS DATE) IS NOT NULL THEN 'date'
+             | WHEN TRY_CAST(v AS TIMESTAMP) IS NOT NULL THEN 'timestamp'
+             | ELSE 'text' END AS inferred_type, count(*) AS cnt
+             | FROM (SELECT CAST(p_size AS VARCHAR) AS v FROM part) GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "))),
+
+    // ---- distribution family ----
+    QueryDef("histogram_returnflag",
+      (s, d) => Metrics.histogram(t(s, d, "lineitem"), "l_returnflag"),
+      Some("""SELECT l_returnflag AS value, count(*) AS cnt,
+             | CAST(count(*) AS DOUBLE) / CAST((SELECT count(l_returnflag) FROM lineitem) AS DOUBLE) AS ratio
+             | FROM lineitem WHERE l_returnflag IS NOT NULL
+             | GROUP BY 1 ORDER BY cnt DESC, value""".stripMargin.replaceAll("\n", " "))),
+
+    QueryDef("entropy_returnflag",
+      (s, d) => Metrics.entropy(t(s, d, "lineitem"), "l_returnflag"),
+      Some("""WITH c AS (SELECT count(*) AS cnt FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag)
+             | SELECT round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 6) AS entropy FROM c""".stripMargin.replaceAll("\n", " "))),
+
+    QueryDef("mutual_information_flags",
+      (s, d) => Metrics.mutualInformation(t(s, d, "lineitem"), "l_returnflag", "l_linestatus"),
+      Some("""WITH j AS (SELECT l_returnflag AS x, l_linestatus AS y, count(*) AS nxy FROM lineitem
+             |   WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL GROUP BY 1, 2),
+             | mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM j GROUP BY 1),
+             | my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM j GROUP BY 1)
+             | SELECT round(sum(nxy * (ln(nxy) - ln(nx) - ln(ny))) / sum(nxy) + ln(sum(nxy)), 6) AS mutual_information
+             | FROM j JOIN mx USING (x) JOIN my USING (y)""".stripMargin.replaceAll("\n", " "))),
+
+    // ---- relational family ----
+    QueryDef("foreign_key_orders_customer",
+      (s, d) => Metrics.foreignKeyOrphans(t(s, d, "orders"), t(s, d, "customer"),
+        Seq(("o_custkey", "c_custkey"))),
+      Some("""SELECT count(*) AS orphans FROM orders o
+             | LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey
+             | WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL""".stripMargin.replaceAll("\n", " "))),
+
+    QueryDef("join_coverage_lineitem_orders",
+      (s, d) => Metrics.joinCoverage(t(s, d, "lineitem"), t(s, d, "orders"),
+        Seq(("l_orderkey", "o_orderkey"))),
+      Some("""SELECT CAST(sum(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+             | count(*) AS total,
+             | CAST(sum(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage
+             | FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             | ON l.l_orderkey = o.o_orderkey""".stripMargin.replaceAll("\n", " "))),
+
+    QueryDef("cross_table_sum_orders",
+      (s, d) => {
+        val li = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+          .agg(sum(col("l_extendedprice")).as("l_sum"))
+        val o = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        li.join(o, li("l_orderkey") === o("o_orderkey"), "full_outer")
+          .agg(sum(when(abs(coalesce(col("l_sum"), lit(0.0)) - coalesce(col("o_totalprice"), lit(0.0))) > 1.0, 1L)
+            .otherwise(0L)).as("violations"))
+      },
+      Some("""WITH ls AS (SELECT l_orderkey, sum(l_extendedprice) AS l_sum FROM lineitem GROUP BY 1)
+             | SELECT CAST(sum(CASE WHEN abs(coalesce(l_sum, 0.0) - coalesce(o_totalprice, 0.0)) > 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS violations
+             | FROM ls FULL OUTER JOIN orders ON l_orderkey = o_orderkey""".stripMargin.replaceAll("\n", " "))),
+
+    // ---- grouped / temporal family ----
+    QueryDef("grouped_completeness_events",
+      (s, d) => Metrics.groupedCompleteness(t(s, d, "events"), "value", Seq("event_type")),
+      Some("""SELECT event_type, count(*) AS total, count(value) AS non_null,
+             | CAST(count(value) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS completeness
+             | FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "))),
+
+    QueryDef("time_gaps_events",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        t(s, d, "events")
+          .withColumn("_gap", unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(lag(col("ts"), 1).over(w).cast("timestamp")))
+          .agg(max(col("_gap")).as("max_gap_us"),
+            sum(when(col("_gap") > 3600L * 1000000L, 1L).otherwise(0L)).as("gaps_over_1h"))
+      },
+      Some("""WITH g AS (SELECT epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap FROM events)
+             | SELECT max(gap) AS max_gap_us,
+             | CAST(sum(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS gaps_over_1h
+             | FROM g""".stripMargin.replaceAll("\n", " "))),
+
+    QueryDef("business_hours_events",
+      (s, d) => t(s, d, "events").agg(
+        count(col("ts")).as("non_null"),
+        sum(when(hour(col("ts")) >= 9 && hour(col("ts")) < 17 &&
+          dayofweek(col("ts")).between(2, 6), 1L).otherwise(0L)).as("in_business_hours"))
+        .select(col("non_null"), col("in_business_hours"),
+          (col("in_business_hours").cast("double") / col("non_null").cast("double")).as("ratio")),
+      Some("""SELECT count(ts) AS non_null,
+             | CAST(sum(CASE WHEN hour(ts) >= 9 AND hour(ts) < 17 AND dayofweek(ts) BETWEEN 1 AND 5 THEN 1 ELSE 0 END) AS BIGINT) AS in_business_hours,
+             | CAST(sum(CASE WHEN hour(ts) >= 9 AND hour(ts) < 17 AND dayofweek(ts) BETWEEN 1 AND 5 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(ts) AS DOUBLE) AS ratio
+             | FROM events""".stripMargin.replaceAll("\n", " "))),
+
+    QueryDef("date_range_events",
+      (s, d) => t(s, d, "events").agg(
+        count(col("ts")).as("non_null"),
+        sum(when(col("ts") >= to_timestamp(lit("2024-01-01 00:00:00")) &&
+          col("ts") < to_timestamp(lit("2025-01-01 00:00:00")), 1L).otherwise(0L)).as("in_range")),
+      Some("""SELECT count(ts) AS non_null,
+             | CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2025-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS in_range
+             | FROM events""".stripMargin.replaceAll("\n", " "))),
+
+    QueryDef("json_validity_props",
+      (s, d) => t(s, d, "events").agg(
+        count(col("props")).as("non_null"),
+        sum(when(expr("try_parse_json(props)").isNotNull, 1L).otherwise(0L)).as("valid_json"))
+        .select(col("non_null"), col("valid_json"),
+          (col("valid_json").cast("double") / col("non_null").cast("double")).as("valid_ratio")),
+      Some("""SELECT count(props) AS non_null,
+             | CAST(sum(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS BIGINT) AS valid_json,
+             | CAST(sum(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(props) AS DOUBLE) AS valid_ratio
+             | FROM events""".stripMargin.replaceAll("\n", " ")))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    defs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

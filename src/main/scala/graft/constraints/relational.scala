@@ -1,0 +1,109 @@
+package graft.constraints
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Referential integrity: child keys must exist in the parent
+  * (reference: constraints/foreign_key.rs:151-201). Implemented as a LEFT ANTI join —
+  * Spark plans it as a broadcast-hash anti join when the parent's key set is small, else
+  * shuffled hash; no row-widening like the reference's LEFT JOIN + IS NULL count.
+  */
+final case class ForeignKeyConstraint(
+    parent: DataFrame,
+    keys: Seq[(String, String)], // (childCol, parentCol)
+    ignoreNulls: Boolean = true,
+    maxExamples: Int = 5) extends MultiJobConstraint {
+  val name = s"ForeignKey(${keys.map { case (c, p) => s"$c->$p" }.mkString(",")})"
+  override def evaluate(child: DataFrame): ConstraintResult = {
+    val childKeys = keys.map(_._1)
+    val base = if (ignoreNulls) child.na.drop(childKeys) else child
+    val parentKeys = parent.select(keys.map { case (_, p) => col(p) }: _*).distinct()
+    val cond = keys.map { case (c, p) => base(c) <=> parentKeys(p) }.reduce(_ && _)
+    val orphanRows = base.join(parentKeys, cond, "left_anti")
+    val orphans = orphanRows.count()
+    if (orphans == 0L) success(MetricValue.LongMetric(0L))
+    else {
+      val examples = orphanRows.select(childKeys.map(col): _*).distinct()
+        .limit(maxExamples).collect()
+        .map(_.toSeq.mkString("(", ",", ")")).mkString(", ")
+      failure(Some(MetricValue.LongMetric(orphans)),
+        s"$orphans orphan row(s); examples: $examples")
+    }
+  }
+}
+
+/** Join coverage: fraction of rows on one (or both) side(s) with a match
+  * (reference: constraints/join_coverage.rs:80-87,195-316). Uses LEFT SEMI counts —
+  * no row multiplication on duplicate keys.
+  */
+sealed trait CoverageMode
+object CoverageMode {
+  case object LeftCoverage  extends CoverageMode
+  case object RightCoverage extends CoverageMode
+  case object Bidirectional extends CoverageMode
+}
+final case class JoinCoverageConstraint(
+    right: DataFrame,
+    keys: Seq[(String, String)], // (leftCol, rightCol)
+    mode: CoverageMode,
+    assertion: Assertion) extends MultiJobConstraint {
+  val name = s"JoinCoverage($mode) ${assertion.describe}"
+  private def coverage(a: DataFrame, b: DataFrame, ks: Seq[(String, String)]): Option[Double] = {
+    val total = a.count()
+    if (total == 0L) None
+    else {
+      val cond = ks.map { case (l, r) => a(l) <=> b(r) }.reduce(_ && _)
+      Some(a.join(b, cond, "left_semi").count().toDouble / total)
+    }
+  }
+  override def evaluate(left: DataFrame): ConstraintResult = {
+    val fwd = keys
+    val rev = keys.map(_.swap)
+    val value = mode match {
+      case CoverageMode.LeftCoverage  => coverage(left, right, fwd)
+      case CoverageMode.RightCoverage => coverage(right, left, rev)
+      case CoverageMode.Bidirectional =>
+        for (l <- coverage(left, right, fwd); r <- coverage(right, left, rev)) yield math.min(l, r)
+    }
+    value match {
+      case None    => skipped("empty input")
+      case Some(v) => assertOn(v, assertion)
+    }
+  }
+}
+
+/** Cross-table sum reconciliation (reference: constraints/cross_table_sum.rs:187-280).
+  * Ungrouped: two scalar aggs compared with tolerance. Grouped: per-key sums on both
+  * sides FULL OUTER joined on the group key, counting groups whose difference exceeds
+  * the tolerance — one shuffle per side on the group key, then a key-partitioned join.
+  */
+final case class CrossTableSumConstraint(
+    other: DataFrame,
+    leftExpr: Column,
+    rightExpr: Column,
+    tolerance: Double = 1e-9,
+    groupKeys: Seq[(String, String)] = Nil) extends MultiJobConstraint {
+  val name = if (groupKeys.isEmpty) "CrossTableSum" else s"CrossTableSum by ${groupKeys.map(_._1).mkString(",")}"
+  override def evaluate(df: DataFrame): ConstraintResult = {
+    if (groupKeys.isEmpty) {
+      val l = Num.toDouble(df.agg(sum(leftExpr)).head().get(0)).getOrElse(0.0)
+      val r = Num.toDouble(other.agg(sum(rightExpr)).head().get(0)).getOrElse(0.0)
+      val diff = math.abs(l - r)
+      if (diff <= tolerance) success(MetricValue.DoubleMetric(diff))
+      else failure(Some(MetricValue.DoubleMetric(diff)), f"sums differ: $l vs $r (|Δ|=$diff%.6g > $tolerance)")
+    } else {
+      val lKeys = groupKeys.map(_._1)
+      val rKeys = groupKeys.map(_._2)
+      val ls = df.groupBy(lKeys.map(col): _*).agg(sum(leftExpr).as("l_sum"))
+      val rs = other.groupBy(rKeys.map(col): _*).agg(sum(rightExpr).as("r_sum"))
+      val cond = groupKeys.map { case (l, r) => ls(l) <=> rs(r) }.reduce(_ && _)
+      val joined = ls.join(rs, cond, "full_outer")
+      val violations = joined.filter(
+        abs(coalesce(col("l_sum"), lit(0.0)).cast("double")
+          .minus(coalesce(col("r_sum"), lit(0.0)).cast("double"))) > tolerance).count()
+      if (violations == 0L) success(MetricValue.LongMetric(0L))
+      else failure(Some(MetricValue.LongMetric(violations)), s"$violations group(s) exceed tolerance $tolerance")
+    }
+  }
+}

@@ -1,0 +1,148 @@
+package graft.constraints
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistic selector (reference: constraints/statistics.rs:44-75). All are native Spark
+  * aggregate functions — codegen'd, partial-aggregated map-side, one scan when batched.
+  */
+sealed trait Stat { def column(c: String): Column; def describe: String }
+object Stat {
+  case object Min      extends Stat { def column(c: String) = min(col(c));          val describe = "min" }
+  case object Max      extends Stat { def column(c: String) = max(col(c));          val describe = "max" }
+  case object Mean     extends Stat { def column(c: String) = avg(col(c));          val describe = "mean" }
+  case object Sum      extends Stat { def column(c: String) = sum(col(c));          val describe = "sum" }
+  case object StdDev   extends Stat { def column(c: String) = stddev_samp(col(c));  val describe = "stddev" }
+  case object Variance extends Stat { def column(c: String) = var_samp(col(c));     val describe = "variance" }
+  case object Median   extends Stat { def column(c: String) = percentile_approx(col(c), lit(0.5), lit(10000)); val describe = "median" }
+  final case class Percentile(p: Double) extends Stat {
+    def column(c: String) = percentile_approx(col(c), lit(p), lit(10000))
+    val describe = s"p$p"
+  }
+  /** Exact percentile — O(n log n) sort-based; prefer [[Percentile]] at scale. */
+  final case class ExactPercentile(p: Double) extends Stat {
+    def column(c: String) = expr(s"percentile(`$c`, $p)")
+    val describe = s"exact_p$p"
+  }
+}
+
+/** Single-statistic constraint (reference: constraints/statistics.rs:263). */
+final case class StatisticConstraint(column: String, stat: Stat, assertion: Assertion)
+    extends Constraint {
+  val name = s"${stat.describe}($column) ${assertion.describe}"
+  val aggregates: Seq[Column] = Seq(stat.column(column))
+  def fromAggregates(values: Seq[Any]): ConstraintResult =
+    Num.toDouble(values.head) match {
+      case None    => skipped("statistic undefined on empty/all-null input")
+      case Some(v) => assertOn(v, assertion)
+    }
+}
+
+/** Several statistics of one column verified from ONE shared scan
+  * (reference: constraints/statistics.rs:433-460).
+  */
+final case class MultiStatisticConstraint(column: String, stats: Seq[(Stat, Assertion)])
+    extends Constraint {
+  val name = s"MultiStatistic($column)[${stats.map(_._1.describe).mkString(",")}]"
+  val aggregates: Seq[Column] = stats.map(_._1.column(column))
+  def fromAggregates(values: Seq[Any]): ConstraintResult = {
+    val outcomes = stats.zip(values).map { case ((st, a), v) =>
+      Num.toDouble(v) match {
+        case None    => (st.describe, None, true)
+        case Some(d) => (st.describe, Some(d), a(d))
+      }
+    }
+    val failed = outcomes.filter(!_._3)
+    val metric = MetricValue.MapMetric(outcomes.collect {
+      case (n, Some(d), _) => n -> MetricValue.DoubleMetric(d)
+    }.toMap)
+    if (failed.isEmpty) success(metric)
+    else failure(Some(metric), failed.map(f => s"${f._1}=${f._2.orNull}").mkString("failed: ", ", ", ""))
+  }
+}
+
+/** Pearson correlation between two numeric columns via native `corr`
+  * (reference: constraints/correlation.rs:264-286).
+  */
+final case class CorrelationConstraint(c1: String, c2: String, assertion: Assertion)
+    extends Constraint {
+  val name = s"Correlation($c1,$c2) ${assertion.describe}"
+  val aggregates: Seq[Column] = Seq(corr(col(c1), col(c2)))
+  def fromAggregates(values: Seq[Any]): ConstraintResult =
+    Num.toDouble(values.head) match {
+      case None    => skipped("correlation undefined")
+      case Some(v) => assertOn(v, assertion)
+    }
+}
+
+/** Sample covariance via native `covar_samp` (reference: constraints/correlation.rs:264-286). */
+final case class CovarianceConstraint(c1: String, c2: String, assertion: Assertion)
+    extends Constraint {
+  val name = s"Covariance($c1,$c2) ${assertion.describe}"
+  val aggregates: Seq[Column] = Seq(covar_samp(col(c1), col(c2)))
+  def fromAggregates(values: Seq[Any]): ConstraintResult =
+    Num.toDouble(values.head) match {
+      case None    => skipped("covariance undefined")
+      case Some(v) => assertOn(v, assertion)
+    }
+}
+
+/** Approximate distinct count via HLL++ (reference: constraints/approx_count_distinct.rs:63-64).
+  * Unlike the reference's non-mergeable state (advanced/approx_count_distinct.rs:78-79),
+  * Spark's `approx_count_distinct` is a true mergeable sketch — partial-aggregated.
+  */
+final case class ApproxCountDistinctConstraint(column: String, assertion: Assertion, rsd: Double = 0.05)
+    extends Constraint {
+  val name = s"ApproxCountDistinct($column) ${assertion.describe}"
+  val aggregates: Seq[Column] = Seq(approx_count_distinct(col(column), rsd))
+  def fromAggregates(values: Seq[Any]): ConstraintResult =
+    Num.toDouble(values.head) match {
+      case None    => skipped("empty input")
+      case Some(v) => assertOn(v, assertion)
+    }
+}
+
+/** Quantile constraint (reference: constraints/quantile.rs:228-241,344-346).
+  * `Approximate` uses the mergeable `percentile_approx` sketch (scale path);
+  * `Exact` uses sort-based `percentile` (oracle-matchable, small data only).
+  */
+sealed trait QuantileMethod
+object QuantileMethod {
+  case object Exact       extends QuantileMethod
+  case object Approximate extends QuantileMethod
+}
+final case class QuantileConstraint(
+    column: String, q: Double, assertion: Assertion,
+    method: QuantileMethod = QuantileMethod.Approximate,
+    accuracy: Int = 10000) extends Constraint {
+  require(q >= 0 && q <= 1, "quantile must be in [0,1]")
+  val name = s"Quantile($column, $q) ${assertion.describe}"
+  val aggregates: Seq[Column] = Seq(method match {
+    case QuantileMethod.Exact       => expr(s"percentile(`$column`, $q)")
+    case QuantileMethod.Approximate => percentile_approx(col(column), lit(q), lit(accuracy))
+  })
+  def fromAggregates(values: Seq[Any]): ConstraintResult =
+    Num.toDouble(values.head) match {
+      case None    => skipped("quantile undefined on empty input")
+      case Some(v) => assertOn(v, assertion)
+    }
+}
+
+/** Multiple quantiles of one column in one scan. */
+final case class MultiQuantileConstraint(column: String, qs: Seq[(Double, Assertion)],
+    method: QuantileMethod = QuantileMethod.Approximate) extends Constraint {
+  val name = s"MultiQuantile($column)[${qs.map(_._1).mkString(",")}]"
+  val aggregates: Seq[Column] = qs.map { case (q, _) => method match {
+    case QuantileMethod.Exact       => expr(s"percentile(`$column`, $q)")
+    case QuantileMethod.Approximate => percentile_approx(col(column), lit(q), lit(10000))
+  }}
+  def fromAggregates(values: Seq[Any]): ConstraintResult = {
+    val outcomes = qs.zip(values).map { case ((q, a), v) =>
+      (q, Num.toDouble(v), Num.toDouble(v).forall(a(_)))
+    }
+    val metric = MetricValue.VectorMetric(outcomes.flatMap(_._2))
+    if (outcomes.forall(_._3)) success(metric)
+    else failure(Some(metric), s"quantiles failing: ${outcomes.filter(!_._3).map(_._1).mkString(",")}")
+  }
+}

@@ -1,0 +1,124 @@
+package graft.constraints
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal constraints (reference: constraints/temporal_ordering.rs).
+  * Range / business-hours / ordering checks are conditional counts — batchable into the
+  * shared scan. Gap analysis needs LAG over a partitioned window ⇒ own job.
+  */
+
+/** All values of `tsColumn` inside [from, to] (ISO-8601 literals). */
+final case class DateRangeConstraint(tsColumn: String, from: String, to: String)
+    extends Constraint {
+  val name = s"DateRange($tsColumn in [$from, $to])"
+  val aggregates: Seq[Column] = Seq(
+    count(col(tsColumn)),
+    sum(when(col(tsColumn) >= to_timestamp(lit(from)) &&
+             col(tsColumn) <= to_timestamp(lit(to)), 1L).otherwise(0L)))
+  def fromAggregates(values: Seq[Any]): ConstraintResult = {
+    val nonNull = Num.toLong(values(0)).getOrElse(0L)
+    if (nonNull == 0L) return skipped("no non-null timestamps")
+    val in = Num.toLong(values(1)).getOrElse(0L)
+    if (in == nonNull) success(MetricValue.DoubleMetric(1.0))
+    else failure(Some(MetricValue.DoubleMetric(in.toDouble / nonNull)),
+      s"${nonNull - in} value(s) outside [$from, $to]")
+  }
+}
+
+/** Fraction of timestamps inside business hours / business days
+  * (reference: temporal_ordering.rs:376-401 — HH:MM compare + EXTRACT(DOW)).
+  */
+final case class BusinessHoursConstraint(
+    tsColumn: String,
+    startHour: Int = 9, endHour: Int = 17,
+    businessDaysOnly: Boolean = true,
+    assertion: Assertion = Assertion.GreaterThanOrEqual(1.0)) extends Constraint {
+  val name = s"BusinessHours($tsColumn ${startHour}h-${endHour}h) ${assertion.describe}"
+  private val inHours = hour(col(tsColumn)) >= startHour && hour(col(tsColumn)) < endHour
+  // Spark dayofweek: 1=Sunday..7=Saturday; business days are 2..6.
+  private val inDays = dayofweek(col(tsColumn)).between(2, 6)
+  private val pred = if (businessDaysOnly) inHours && inDays else inHours
+  val aggregates: Seq[Column] = Seq(
+    count(col(tsColumn)),
+    sum(when(pred, 1L).otherwise(0L)))
+  def fromAggregates(values: Seq[Any]): ConstraintResult = {
+    val nonNull = Num.toLong(values(0)).getOrElse(0L)
+    if (nonNull == 0L) return skipped("no non-null timestamps")
+    assertOn(Num.toLong(values(1)).getOrElse(0L).toDouble / nonNull.toDouble, assertion)
+  }
+}
+
+/** Column-pair ordering: `before` <= `after` on every row where both present
+  * (reference: temporal_ordering.rs BeforeAfter).
+  */
+final case class BeforeAfterConstraint(before: String, after: String, strict: Boolean = false)
+    extends Constraint {
+  val name = s"BeforeAfter($before ${if (strict) "<" else "<="} $after)"
+  private val both = col(before).isNotNull && col(after).isNotNull
+  private val ok = if (strict) col(before) < col(after) else col(before) <= col(after)
+  val aggregates: Seq[Column] = Seq(
+    sum(when(both, 1L).otherwise(0L)),
+    sum(when(both && ok, 1L).otherwise(0L)))
+  def fromAggregates(values: Seq[Any]): ConstraintResult = {
+    val total = Num.toLong(values(0)).getOrElse(0L)
+    if (total == 0L) return skipped("no comparable rows")
+    val good = Num.toLong(values(1)).getOrElse(0L)
+    if (good == total) success(MetricValue.DoubleMetric(1.0))
+    else failure(Some(MetricValue.DoubleMetric(good.toDouble / total)),
+      s"${total - good} row(s) violate $before <= $after")
+  }
+}
+
+/** Max inter-event gap per partition key via LAG window
+  * (reference: temporal_ordering.rs:465-478 — EXTRACT(EPOCH FROM ts - LAG(ts))).
+  * The window shuffles once on the partition key; gap counting is then map-local.
+  */
+final case class MaxTimeGapConstraint(
+    tsColumn: String,
+    partitionBy: Seq[String],
+    maxGapSeconds: Long) extends MultiJobConstraint {
+  val name = s"MaxTimeGap($tsColumn by ${partitionBy.mkString(",")}) <= ${maxGapSeconds}s"
+  override def evaluate(df: DataFrame): ConstraintResult = {
+    val w =
+      if (partitionBy.isEmpty) Window.orderBy(col(tsColumn))
+      else Window.partitionBy(partitionBy.map(col): _*).orderBy(col(tsColumn))
+    val gaps = df.filter(col(tsColumn).isNotNull)
+      .withColumn("_prev", lag(col(tsColumn), 1).over(w))
+      .withColumn("_gap", unix_timestamp(col(tsColumn)) - unix_timestamp(col("_prev")))
+    val row = gaps.agg(
+      max(col("_gap")),
+      sum(when(col("_gap") > maxGapSeconds, 1L).otherwise(0L))).head()
+    if (row.isNullAt(0)) return skipped("fewer than 2 timestamps")
+    val maxGap = Num.toLong(row.get(0)).getOrElse(0L)
+    val violations = Num.toLong(row.get(1)).getOrElse(0L)
+    if (violations == 0L) success(MetricValue.LongMetric(maxGap))
+    else failure(Some(MetricValue.LongMetric(maxGap)),
+      s"$violations gap(s) exceed ${maxGapSeconds}s (max observed ${maxGap}s)")
+  }
+}
+
+/** Monotonically non-decreasing timestamps within each partition (ordering by an
+  * explicit sequence column), via LAG.
+  */
+final case class MonotonicConstraint(
+    valueColumn: String,
+    orderColumn: String,
+    partitionBy: Seq[String] = Nil,
+    strict: Boolean = false) extends MultiJobConstraint {
+  val name = s"Monotonic($valueColumn by $orderColumn)"
+  override def evaluate(df: DataFrame): ConstraintResult = {
+    val w =
+      if (partitionBy.isEmpty) Window.orderBy(col(orderColumn))
+      else Window.partitionBy(partitionBy.map(col): _*).orderBy(col(orderColumn))
+    val prev = lag(col(valueColumn), 1).over(w)
+    val bad = if (strict) col(valueColumn) <= prev else col(valueColumn) < prev
+    val violations = df.filter(col(valueColumn).isNotNull)
+      .withColumn("_viol", when(prev.isNotNull && bad, 1L).otherwise(0L))
+      .agg(sum(col("_viol"))).head().getLong(0)
+    if (violations == 0L) success(MetricValue.LongMetric(0L))
+    else failure(Some(MetricValue.LongMetric(violations)), s"$violations non-monotonic step(s)")
+  }
+}

@@ -1,0 +1,134 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** A named group of constraints evaluated at a severity [[Level]]
+  * (reference: term-guard/src/core/check.rs).
+  */
+final case class Check(description: String, level: Level, constraints: Seq[Constraint])
+
+final case class CheckResult(
+    check: Check,
+    constraintResults: Seq[ConstraintResult]) {
+  def passed: Boolean = constraintResults.forall(!_.isFailure)
+}
+
+final case class ValidationIssue(
+    check: String,
+    level: Level,
+    constraint: String,
+    message: String)
+
+final case class ValidationMetrics(
+    totalConstraints: Int,
+    passed: Int,
+    failed: Int,
+    skipped: Int,
+    durationMillis: Long)
+
+final case class ValidationReport(
+    suiteName: String,
+    checkResults: Seq[CheckResult],
+    metrics: ValidationMetrics,
+    issues: Seq[ValidationIssue]) {
+  /** Failure iff any Error-level check has a failing constraint
+    * (reference: core/suite.rs:102-257).
+    */
+  def isSuccess: Boolean =
+    !checkResults.exists(cr => cr.check.level == Level.Error && !cr.passed)
+  def allResults: Seq[ConstraintResult] = checkResults.flatMap(_.constraintResults)
+}
+
+/** Suite runner. The centerpiece optimization (live here, dead code in the reference —
+  * term-guard/src/core/suite.rs:457-469): all aggregate-batchable constraints across all
+  * checks are deduplicated by expression and executed as ONE `df.agg(...)` job — a single
+  * scan regardless of constraint count. Multi-job constraints (groupBy/join/window) run
+  * their own jobs afterwards.
+  *
+  * At 100 TB this matters: N constraints cost one pass over the data, with all aggregates
+  * computed map-side (partial aggregation) and a single-row shuffle to the driver.
+  */
+final case class ValidationSuite(name: String, checks: Seq[Check]) {
+
+  def run(df: DataFrame): ValidationReport = {
+    val t0 = System.nanoTime()
+    val constraints = checks.flatMap(_.constraints)
+    val results = ValidationSuite.evaluateBatched(df, constraints)
+    val byConstraint = constraints.zip(results).toMap
+    val checkResults = checks.map(c => CheckResult(c, c.constraints.map(byConstraint)))
+    val all = checkResults.flatMap(_.constraintResults)
+    val issues = checkResults.flatMap { cr =>
+      cr.constraintResults.filter(_.isFailure).map(r =>
+        ValidationIssue(cr.check.description, cr.check.level, r.constraint, r.message))
+    }
+    val metrics = ValidationMetrics(
+      totalConstraints = all.size,
+      passed = all.count(_.isSuccess),
+      failed = all.count(_.isFailure),
+      skipped = all.count(_.status == ConstraintStatus.Skipped),
+      durationMillis = (System.nanoTime() - t0) / 1000000)
+    ValidationReport(name, checkResults, metrics, issues)
+  }
+}
+
+object ValidationSuite {
+
+  def builder(name: String): SuiteBuilder = new SuiteBuilder(name)
+
+  final class SuiteBuilder(name: String) {
+    private var checks = Vector.empty[Check]
+    def check(c: Check): SuiteBuilder = { checks :+= c; this }
+    def build(): ValidationSuite = ValidationSuite(name, checks)
+  }
+
+  /** Evaluate constraints against `df`, batching all aggregate-batchable ones into a
+    * minimal number of `df.agg` jobs (one per [[MaxAggsPerJob]] expressions). Duplicate
+    * aggregate expressions across constraints (e.g. every constraint's `count(*)`) are
+    * computed once (reference intent: optimizer/combiner.rs:176-186).
+    * Results are returned positionally matching `constraints`.
+    */
+  def evaluateBatched(df: DataFrame, constraints: Seq[Constraint]): Seq[ConstraintResult] = {
+    val (batchable, custom) = constraints.partition(_.aggregates.nonEmpty)
+
+    val batchResults: Map[Constraint, ConstraintResult] =
+      if (batchable.isEmpty) Map.empty
+      else {
+        // Dedupe aggregate columns by their string form (cosmetic misses only cost a
+        // redundant aggregate in the same scan — still one job).
+        val slots = scala.collection.mutable.LinkedHashMap.empty[String, (Int, org.apache.spark.sql.Column)]
+        val slotIdx: Seq[Seq[Int]] = batchable.map { c =>
+          c.aggregates.map { col =>
+            val key = col.toString
+            slots.getOrElseUpdate(key, (slots.size, col))._1
+          }
+        }
+        val distinctCols = slots.values.toSeq.sortBy(_._1).map(_._2)
+        // Chunk very wide suites to keep codegen happy; each chunk is still one scan.
+        val values = new Array[Any](distinctCols.size)
+        distinctCols.zipWithIndex.grouped(MaxAggsPerJob).foreach { chunk =>
+          val cols = chunk.map { case (c, i) => c.as(s"g$i") }
+          val row = df.agg(cols.head, cols.drop(1): _*).head()
+          chunk.zipWithIndex.foreach { case ((_, slot), local) => values(slot) = row.get(local) }
+        }
+        batchable.zip(slotIdx).map { case (c, idxs) =>
+          c -> safeResult(c, () => c.fromAggregates(idxs.map(values)))
+        }.toMap
+      }
+
+    val customResults: Map[Constraint, ConstraintResult] =
+      custom.map(c => c -> safeResult(c, () => c.evaluate(df))).toMap
+
+    constraints.map(c => batchResults.getOrElse(c, customResults(c)))
+  }
+
+  private def safeResult(c: Constraint, f: () => ConstraintResult): ConstraintResult =
+    try f()
+    catch {
+      case e: Exception =>
+        ConstraintResult(c.name, ConstraintStatus.Failure, None,
+          s"evaluation error: ${e.getMessage}")
+    }
+
+  /** Aggregates per physical job; chunking guards codegen limits on very wide suites. */
+  val MaxAggsPerJob = 200
+}

@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate: run Verify at a given SF,
+then execute each oracle SQL in DuckDB over the same parquet tables and compare
+(column-name-sorted, row-sorted, exact values).
+
+Usage: python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out [--skip-spark]
+"""
+import sys, os, json, subprocess, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def run_verify(sf_dir, out_dir):
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_CPUS", "8")
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}'],
+        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=1200)
+    for line in r.stdout.splitlines():
+        if "[verify]" in line or "error" in line.lower():
+            print("  sbt:", line)
+    for line in r.stderr.splitlines():
+        if "[verify]" in line:
+            print("  sbt-err:", line)
+    if r.returncode != 0:
+        print("VERIFY FAILED rc=", r.returncode)
+        print(r.stdout[-3000:])
+        sys.exit(1)
+
+
+def compare(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    n_pass = n_fail = 0
+    declared = sorted(os.listdir(out_dir))
+    for name in declared:
+        path = os.path.join(out_dir, name)
+        if not os.path.isdir(path):
+            continue
+        spark_df = pd.concat([pd.read_parquet(p) for p in glob.glob(f"{path}/*.parquet")])
+        if name not in oracles:
+            print(f"  {name}: NO-ORACLE rows={len(spark_df)}")
+            continue
+        try:
+            duck_df = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"  {name}: ORACLE-SQL-ERROR {e}")
+            n_fail += 1
+            continue
+        ok, msg = frames_equal(spark_df, duck_df)
+        if ok:
+            n_pass += 1
+            print(f"  {name}: PASS ({len(spark_df)} rows)")
+        else:
+            n_fail += 1
+            print(f"  {name}: FAIL {msg}")
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return n_fail
+
+
+def frames_equal(a, b):
+    a = a.reindex(sorted(a.columns), axis=1)
+    b = b.reindex(sorted(b.columns), axis=1)
+    if list(a.columns) != list(b.columns):
+        return False, f"columns differ: {list(a.columns)} vs {list(b.columns)}"
+    if len(a) != len(b):
+        return False, f"row count differs: {len(a)} vs {len(b)}"
+    a = a.sort_values(by=list(a.columns)).reset_index(drop=True)
+    b = b.sort_values(by=list(b.columns)).reset_index(drop=True)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        try:
+            if str(av.dtype).startswith("float") or str(bv.dtype).startswith("float"):
+                import numpy as np
+                if not np.allclose(av.astype(float), bv.astype(float), rtol=0, atol=0, equal_nan=True):
+                    return False, f"col {c}: {av.tolist()[:5]} vs {bv.tolist()[:5]}"
+            else:
+                if not (av.astype(str) == bv.astype(str)).all():
+                    return False, f"col {c}: {av.tolist()[:5]} vs {bv.tolist()[:5]}"
+        except Exception as e:
+            return False, f"col {c} compare error: {e}"
+    return True, ""
+
+
+if __name__ == "__main__":
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    if "--skip-spark" not in sys.argv:
+        run_verify(sf_dir, out_dir)
+    sys.exit(1 if compare(sf_dir, out_dir) else 0)
