@@ -271,6 +271,33 @@ object Queries {
              | CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2025-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS in_range
              | FROM events""".stripMargin.replaceAll("\n", " "))),
 
+    // ---- analyzer framework (mergeable sufficient-statistics states) ----
+    // Metrics are produced by AnalysisRunner's single batched scan and re-derived from
+    // the SAME closed forms in DuckDB (moments: n, Σx, Σx² / co-moments for corr).
+    QueryDef("analyzers_lineitem",
+      (s, d) => {
+        import graft.analyzers._
+        val ctx = new AnalysisRunner(Seq(
+          SizeAnalyzer(),
+          CompletenessAnalyzer("l_tax"),
+          MeanAnalyzer("l_quantity"),
+          StdDevAnalyzer("l_extendedprice"),
+          CorrelationAnalyzer("l_quantity", "l_extendedprice"))).run(t(s, d, "lineitem"))
+        def m(k: String) = ctx.metrics(k).asDouble.get
+        import s.implicits._
+        Seq((m("size.*").toLong, m("completeness.l_tax"),
+          BigDecimal(m("mean.l_quantity")).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(m("stddev.l_extendedprice")).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(m("correlation.l_quantity.l_extendedprice")).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          .toDF("n_rows", "completeness_tax", "mean_qty", "stddev_price", "corr_qty_price")
+      },
+      Some("""SELECT count(*) AS n_rows,
+             | CAST(count(l_tax) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS completeness_tax,
+             | round(sum(l_quantity) / count(l_quantity), 6) AS mean_qty,
+             | round(sqrt((sum(l_extendedprice * l_extendedprice) - sum(l_extendedprice) * sum(l_extendedprice) / count(l_extendedprice)) / (count(l_extendedprice) - 1)), 3) AS stddev_price,
+             | round((sum(l_quantity * l_extendedprice) - sum(l_quantity) * sum(l_extendedprice) / count(*)) / sqrt((sum(l_quantity * l_quantity) - sum(l_quantity) * sum(l_quantity) / count(*)) * (sum(l_extendedprice * l_extendedprice) - sum(l_extendedprice) * sum(l_extendedprice) / count(*))), 6) AS corr_qty_price
+             | FROM lineitem""".stripMargin.replaceAll("\n", " "))),
+
     QueryDef("json_validity_props",
       (s, d) => t(s, d, "events").agg(
         count(col("props")).as("non_null"),

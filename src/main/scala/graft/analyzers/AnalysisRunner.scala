@@ -1,0 +1,60 @@
+package graft.analyzers
+
+import graft.core.MetricValue
+import org.apache.spark.sql.DataFrame
+
+/** Metric results keyed by analyzer key (reference: analyzers/runner.rs:47-205). */
+final case class AnalyzerContext(
+    metrics: Map[String, MetricValue],
+    states: Map[String, Any],
+    errors: Map[String, String]) {
+  def metric(key: String): Option[MetricValue] = metrics.get(key)
+}
+
+/** Runs a set of analyzers over one DataFrame, batching ALL their state aggregates into
+  * a single scan — the shared-scan grouping the reference left as a TODO
+  * (analyzers/runner.rs:159).
+  */
+final class AnalysisRunner(analyzers: Seq[Analyzer[_]], continueOnError: Boolean = true) {
+
+  def run(df: DataFrame): AnalyzerContext = {
+    val allAggs = analyzers.flatMap(_.stateAggregates)
+    val batched: Option[Seq[Any]] =
+      try {
+        if (allAggs.isEmpty) Some(Nil)
+        else {
+          val aliased = allAggs.zipWithIndex.map { case (c, i) => c.as(s"a$i") }
+          Some(df.agg(aliased.head, aliased.drop(1): _*).head().toSeq)
+        }
+      } catch {
+        case e: Throwable if continueOnError => None
+        case e: Throwable                    => throw e
+      }
+
+    val results: Seq[Either[(String, String), (String, MetricValue, Any)]] = batched match {
+      case Some(values) =>
+        var offset = 0
+        analyzers.map { a =>
+          val vs = values.slice(offset, offset + a.stateAggregates.size)
+          offset += a.stateAggregates.size
+          try {
+            val s = a.stateFromValues(vs)
+            Right((a.key, a.metricFromAnyState(s), s))
+          } catch { case e: Exception => Left(a.key -> e.getMessage) }
+        }
+      case None =>
+        // Shared job failed (e.g. one analyzer referenced a bad column): isolate.
+        analyzers.map { a =>
+          try {
+            val s = a.computeState(df)
+            Right((a.key, a.metricFromAnyState(s), s))
+          } catch { case e: Exception => Left(a.key -> e.getMessage) }
+        }
+    }
+
+    AnalyzerContext(
+      metrics = results.collect { case Right((k, m, _)) => k -> m }.toMap,
+      states = results.collect { case Right((k, _, s)) => k -> s }.toMap,
+      errors = results.collect { case Left((k, m)) => k -> m }.toMap)
+  }
+}

@@ -1,0 +1,243 @@
+package graft.analyzers
+
+import graft.core.{MetricValue, Num}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deequ-style metric analyzer with a mergeable State — the partial+final aggregation
+  * pattern (reference: term-guard/src/analyzers/traits.rs:64-179).
+  *
+  * The state is a small set of sufficient statistics computed distributively by ONE
+  * `df.agg(...)`; `merge` is the monoid combine used by the incremental runner
+  * (reference: analyzers/incremental/runner.rs) to fold new-partition states into
+  * history without rescanning it. At 100 TB this is the only sane shape: per-partition
+  * scans are embarrassingly parallel and history is never re-read.
+  */
+trait AnalyzerState[S <: AnalyzerState[S]] extends Serializable {
+  def merge(other: S): S
+  /** Flat serializable form for the StateStore (strings keep binary sketches base64). */
+  def toFields: Map[String, String]
+}
+
+trait Analyzer[S <: AnalyzerState[S]] extends Serializable {
+  def name: String
+  /** Metric key, e.g. "completeness.email" (reference: basic/mean.rs:163). */
+  def key: String
+
+  /** Aggregate expressions whose collected values define the state — batched with other
+    * analyzers into one scan by [[AnalysisRunner]].
+    */
+  def stateAggregates: Seq[Column]
+  def stateFromValues(values: Seq[Any]): S
+  def stateFromFields(fields: Map[String, String]): S
+  def metricFromState(state: S): MetricValue
+
+  def computeState(df: DataFrame): S = {
+    val row = df.agg(stateAggregates.head, stateAggregates.drop(1): _*).head()
+    stateFromValues(row.toSeq)
+  }
+  def compute(df: DataFrame): MetricValue = metricFromState(computeState(df))
+
+  // Untyped bridges for heterogeneous analyzer collections (type param is erased;
+  // each analyzer only ever sees states it produced).
+  final def metricFromAnyState(s: Any): MetricValue = metricFromState(s.asInstanceOf[S])
+  final def mergeAnyStates(a: Any, b: Any): S = a.asInstanceOf[S].merge(b.asInstanceOf[S])
+  final def fieldsOfAnyState(s: Any): Map[String, String] = s.asInstanceOf[S].toFields
+}
+
+// ---------- concrete states ----------
+
+final case class LongState(n: Long) extends AnalyzerState[LongState] {
+  def merge(o: LongState) = LongState(n + o.n)
+  def toFields = Map("n" -> n.toString)
+}
+
+final case class RatioState(total: Long, matching: Long) extends AnalyzerState[RatioState] {
+  def merge(o: RatioState) = RatioState(total + o.total, matching + o.matching)
+  def toFields = Map("total" -> total.toString, "matching" -> matching.toString)
+  def ratio: Option[Double] = if (total == 0) None else Some(matching.toDouble / total)
+}
+
+final case class SumState(sum: Double, count: Long) extends AnalyzerState[SumState] {
+  def merge(o: SumState) = SumState(sum + o.sum, count + o.count)
+  def toFields = Map("sum" -> sum.toString, "count" -> count.toString)
+}
+
+final case class MinMaxState(min: Option[Double], max: Option[Double]) extends AnalyzerState[MinMaxState] {
+  def merge(o: MinMaxState) = MinMaxState(
+    (min.toSeq ++ o.min.toSeq).reduceOption((a: Double, b: Double) => math.min(a, b)),
+    (max.toSeq ++ o.max.toSeq).reduceOption((a: Double, b: Double) => math.max(a, b)))
+  def toFields = Map("min" -> min.map(_.toString).getOrElse(""), "max" -> max.map(_.toString).getOrElse(""))
+}
+
+/** Moments for mean/variance/stddev: n, Σx, Σx²
+  * (reference: analyzers/advanced/standard_deviation.rs:63-180).
+  */
+final case class MomentsState(n: Long, sum: Double, sumSq: Double) extends AnalyzerState[MomentsState] {
+  def merge(o: MomentsState) = MomentsState(n + o.n, sum + o.sum, sumSq + o.sumSq)
+  def toFields = Map("n" -> n.toString, "sum" -> sum.toString, "sumSq" -> sumSq.toString)
+  def mean: Option[Double] = if (n == 0) None else Some(sum / n)
+  def varianceSamp: Option[Double] =
+    if (n < 2) None else Some((sumSq - sum * sum / n) / (n - 1))
+  def stddevSamp: Option[Double] = varianceSamp.map(math.sqrt)
+}
+
+/** Bivariate sufficient stats: n, Σx, Σy, Σx², Σy², Σxy
+  * (reference: analyzers/advanced/correlation.rs:43-252).
+  */
+final case class CoMomentsState(n: Long, sx: Double, sy: Double, sxx: Double, syy: Double, sxy: Double)
+    extends AnalyzerState[CoMomentsState] {
+  def merge(o: CoMomentsState) =
+    CoMomentsState(n + o.n, sx + o.sx, sy + o.sy, sxx + o.sxx, syy + o.syy, sxy + o.sxy)
+  def toFields = Map("n" -> n.toString, "sx" -> sx.toString, "sy" -> sy.toString,
+    "sxx" -> sxx.toString, "syy" -> syy.toString, "sxy" -> sxy.toString)
+  def correlation: Option[Double] = {
+    if (n < 2) None
+    else {
+      val cov = sxy - sx * sy / n
+      val vx = sxx - sx * sx / n
+      val vy = syy - sy * sy / n
+      if (vx <= 0 || vy <= 0) None else Some(cov / math.sqrt(vx * vy))
+    }
+  }
+  def covarianceSamp: Option[Double] = if (n < 2) None else Some((sxy - sx * sy / n) / (n - 1))
+}
+
+/** Mergeable HLL++ sketch state (binary, base64 in fields). A genuine improvement over
+  * the reference, whose approx-distinct state is NOT mergeable
+  * (advanced/approx_count_distinct.rs:78-79).
+  */
+final case class HllState(sketch: Array[Byte]) extends AnalyzerState[HllState] {
+  def merge(o: HllState) = HllSketch.union(this, o)
+  def toFields = Map("sketch" -> java.util.Base64.getEncoder.encodeToString(sketch))
+}
+object HllSketch {
+  /** Union via a one-row Spark job on hll_union (the sketch format is Spark's own). */
+  @transient private var unionSession: org.apache.spark.sql.SparkSession = _
+  def union(a: HllState, b: HllState): HllState = {
+    val spark = Option(unionSession).getOrElse {
+      unionSession = org.apache.spark.sql.SparkSession.active; unionSession
+    }
+    import spark.implicits._
+    val row = Seq((a.sketch, b.sketch)).toDF("a", "b")
+      .select(expr("hll_union(a, b)")).head()
+    HllState(row.getAs[Array[Byte]](0))
+  }
+  def estimate(s: HllState): Long = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    Seq(s.sketch).toDF("s").select(expr("hll_sketch_estimate(s)")).head().getLong(0)
+  }
+}
+
+/** Value→count map state for histogram/entropy/datatype distribution; mergeable by
+  * count-sum. Bounded by `maxBuckets` at computation time (truncation marked).
+  */
+final case class CountsState(counts: Map[String, Long], truncated: Boolean)
+    extends AnalyzerState[CountsState] {
+  def merge(o: CountsState) = CountsState(
+    (counts.keySet ++ o.counts.keySet).map(k =>
+      k -> (counts.getOrElse(k, 0L) + o.counts.getOrElse(k, 0L))).toMap,
+    truncated || o.truncated)
+  def toFields = Map("truncated" -> truncated.toString) ++
+    counts.map { case (k, v) => s"c:$k" -> v.toString }
+}
+
+// ---------- concrete analyzers ----------
+
+final case class SizeAnalyzer() extends Analyzer[LongState] {
+  val name = "size"; val key = "size.*"
+  val stateAggregates = Seq(count(lit(1)))
+  def stateFromValues(v: Seq[Any]) = LongState(Num.toLong(v.head).getOrElse(0L))
+  def stateFromFields(f: Map[String, String]) = LongState(f("n").toLong)
+  def metricFromState(s: LongState) = MetricValue.LongMetric(s.n)
+}
+
+final case class CompletenessAnalyzer(column: String) extends Analyzer[RatioState] {
+  val name = "completeness"; val key = s"completeness.$column"
+  val stateAggregates = Seq(count(lit(1)), count(col(column)))
+  def stateFromValues(v: Seq[Any]) =
+    RatioState(Num.toLong(v(0)).getOrElse(0L), Num.toLong(v(1)).getOrElse(0L))
+  def stateFromFields(f: Map[String, String]) = RatioState(f("total").toLong, f("matching").toLong)
+  def metricFromState(s: RatioState) =
+    s.ratio.map(MetricValue.DoubleMetric).getOrElse(MetricValue.DoubleMetric(Double.NaN))
+}
+
+final case class ComplianceAnalyzer(label: String, predicate: Column) extends Analyzer[RatioState] {
+  val name = "compliance"; val key = s"compliance.$label"
+  val stateAggregates = Seq(count(lit(1)), sum(when(predicate, 1L).otherwise(0L)))
+  def stateFromValues(v: Seq[Any]) =
+    RatioState(Num.toLong(v(0)).getOrElse(0L), Num.toLong(v(1)).getOrElse(0L))
+  def stateFromFields(f: Map[String, String]) = RatioState(f("total").toLong, f("matching").toLong)
+  def metricFromState(s: RatioState) =
+    s.ratio.map(MetricValue.DoubleMetric).getOrElse(MetricValue.DoubleMetric(Double.NaN))
+}
+
+final case class SumAnalyzer(column: String) extends Analyzer[SumState] {
+  val name = "sum"; val key = s"sum.$column"
+  val stateAggregates = Seq(sum(col(column)), count(col(column)))
+  def stateFromValues(v: Seq[Any]) =
+    SumState(Num.toDouble(v(0)).getOrElse(0.0), Num.toLong(v(1)).getOrElse(0L))
+  def stateFromFields(f: Map[String, String]) = SumState(f("sum").toDouble, f("count").toLong)
+  def metricFromState(s: SumState) = MetricValue.DoubleMetric(s.sum)
+}
+
+final case class MeanAnalyzer(column: String) extends Analyzer[SumState] {
+  val name = "mean"; val key = s"mean.$column"
+  val stateAggregates = Seq(sum(col(column)), count(col(column)))
+  def stateFromValues(v: Seq[Any]) =
+    SumState(Num.toDouble(v(0)).getOrElse(0.0), Num.toLong(v(1)).getOrElse(0L))
+  def stateFromFields(f: Map[String, String]) = SumState(f("sum").toDouble, f("count").toLong)
+  def metricFromState(s: SumState) =
+    if (s.count == 0) MetricValue.DoubleMetric(Double.NaN) else MetricValue.DoubleMetric(s.sum / s.count)
+}
+
+final case class MinMaxAnalyzer(column: String) extends Analyzer[MinMaxState] {
+  val name = "min_max"; val key = s"min_max.$column"
+  val stateAggregates = Seq(min(col(column)).cast("double"), max(col(column)).cast("double"))
+  def stateFromValues(v: Seq[Any]) = MinMaxState(Num.toDouble(v(0)), Num.toDouble(v(1)))
+  def stateFromFields(f: Map[String, String]) = MinMaxState(
+    Some(f("min")).filter(_.nonEmpty).map(_.toDouble), Some(f("max")).filter(_.nonEmpty).map(_.toDouble))
+  def metricFromState(s: MinMaxState) = MetricValue.MapMetric(Map(
+    "min" -> MetricValue.DoubleMetric(s.min.getOrElse(Double.NaN)),
+    "max" -> MetricValue.DoubleMetric(s.max.getOrElse(Double.NaN))))
+}
+
+final case class StdDevAnalyzer(column: String) extends Analyzer[MomentsState] {
+  val name = "stddev"; val key = s"stddev.$column"
+  val stateAggregates = Seq(
+    count(col(column)), sum(col(column)), sum(col(column) * col(column)))
+  def stateFromValues(v: Seq[Any]) = MomentsState(
+    Num.toLong(v(0)).getOrElse(0L), Num.toDouble(v(1)).getOrElse(0.0), Num.toDouble(v(2)).getOrElse(0.0))
+  def stateFromFields(f: Map[String, String]) =
+    MomentsState(f("n").toLong, f("sum").toDouble, f("sumSq").toDouble)
+  def metricFromState(s: MomentsState) =
+    MetricValue.DoubleMetric(s.stddevSamp.getOrElse(Double.NaN))
+}
+
+final case class CorrelationAnalyzer(c1: String, c2: String) extends Analyzer[CoMomentsState] {
+  val name = "correlation"; val key = s"correlation.$c1.$c2"
+  private def both = col(c1).isNotNull && col(c2).isNotNull
+  private def x = when(both, col(c1)).cast("double")
+  private def y = when(both, col(c2)).cast("double")
+  val stateAggregates = Seq(
+    sum(when(both, 1L).otherwise(0L)), sum(x), sum(y), sum(x * x), sum(y * y), sum(x * y))
+  def stateFromValues(v: Seq[Any]) = CoMomentsState(
+    Num.toLong(v(0)).getOrElse(0L),
+    Num.toDouble(v(1)).getOrElse(0.0), Num.toDouble(v(2)).getOrElse(0.0),
+    Num.toDouble(v(3)).getOrElse(0.0), Num.toDouble(v(4)).getOrElse(0.0),
+    Num.toDouble(v(5)).getOrElse(0.0))
+  def stateFromFields(f: Map[String, String]) = CoMomentsState(
+    f("n").toLong, f("sx").toDouble, f("sy").toDouble, f("sxx").toDouble, f("syy").toDouble, f("sxy").toDouble)
+  def metricFromState(s: CoMomentsState) =
+    MetricValue.DoubleMetric(s.correlation.getOrElse(Double.NaN))
+}
+
+final case class ApproxCountDistinctAnalyzer(column: String) extends Analyzer[HllState] {
+  val name = "approx_count_distinct"; val key = s"approx_count_distinct.$column"
+  val stateAggregates = Seq(expr(s"hll_sketch_agg(`$column`)"))
+  def stateFromValues(v: Seq[Any]) = HllState(v.head.asInstanceOf[Array[Byte]])
+  def stateFromFields(f: Map[String, String]) =
+    HllState(java.util.Base64.getDecoder.decode(f("sketch")))
+  def metricFromState(s: HllState) = MetricValue.LongMetric(HllSketch.estimate(s))
+}

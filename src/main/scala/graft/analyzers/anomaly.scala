@@ -1,0 +1,85 @@
+package graft.analyzers
+
+/** Anomaly detection over metric history
+  * (reference: term-guard/src/analyzers/anomaly/detector.rs:478-966, strategy.rs:131-220).
+  * Pure Scala over the (small) metric time series — no Spark involvement needed.
+  */
+final case class Anomaly(timestamp: Long, value: Double, detail: String)
+
+trait AnomalyDetectionStrategy {
+  def name: String
+  /** Given history (oldest first), return detected anomalies. */
+  def detect(series: Seq[(Long, Double)]): Seq[Anomaly]
+}
+
+/** Flags |v_t / v_{t-1} - 1| outside [maxDecrease, maxIncrease]
+  * (reference: detector.rs RelativeRateOfChange).
+  */
+final case class RelativeRateOfChangeStrategy(
+    maxRateIncrease: Option[Double] = None,
+    maxRateDecrease: Option[Double] = None) extends AnomalyDetectionStrategy {
+  val name = "relative_rate_of_change"
+  def detect(series: Seq[(Long, Double)]): Seq[Anomaly] =
+    series.sliding(2).collect {
+      case Seq((_, prev), (ts, cur)) if prev != 0.0 &&
+          (maxRateIncrease.exists(m => cur / prev - 1.0 > m) ||
+           maxRateDecrease.exists(m => 1.0 - cur / prev > m)) =>
+        Anomaly(ts, cur, f"rate of change ${cur / prev - 1.0}%.4f from $prev")
+    }.toSeq
+}
+
+/** Flags |v_t - v_{t-1}| outside asymmetric bounds (reference: detector.rs AbsoluteChange). */
+final case class AbsoluteChangeStrategy(
+    maxIncrease: Option[Double] = None,
+    maxDecrease: Option[Double] = None) extends AnomalyDetectionStrategy {
+  val name = "absolute_change"
+  def detect(series: Seq[(Long, Double)]): Seq[Anomaly] =
+    series.sliding(2).collect {
+      case Seq((_, prev), (ts, cur)) if
+          maxIncrease.exists(m => cur - prev > m) ||
+          maxDecrease.exists(m => prev - cur > m) =>
+        Anomaly(ts, cur, f"absolute change ${cur - prev}%.4f from $prev")
+    }.toSeq
+}
+
+/** Flags points whose z-score against the PRECEDING window exceeds the threshold
+  * (reference: detector.rs ZScore).
+  */
+final case class ZScoreStrategy(threshold: Double = 3.0, minHistory: Int = 3)
+    extends AnomalyDetectionStrategy {
+  val name = "z_score"
+  def detect(series: Seq[(Long, Double)]): Seq[Anomaly] = {
+    val values = series.map(_._2)
+    series.zipWithIndex.drop(minHistory).flatMap { case ((ts, v), i) =>
+      val prior = values.take(i)
+      val mean = prior.sum / prior.size
+      val variance = prior.map(x => (x - mean) * (x - mean)).sum / prior.size
+      val sd = math.sqrt(variance)
+      if (sd > 0 && math.abs(v - mean) / sd > threshold)
+        Some(Anomaly(ts, v, f"z-score ${math.abs(v - mean) / sd}%.2f vs mean $mean%.4f"))
+      else None
+    }
+  }
+}
+
+/** Runs a strategy over a repository-backed metric history and checks the newest point
+  * (reference: anomaly/detector.rs AnomalyDetectionRunner + pattern routing).
+  */
+final class AnomalyDetectionRunner(
+    repository: graft.repository.MetricsRepository,
+    strategies: Map[String, AnomalyDetectionStrategy]) {
+
+  /** Strategy for a metric key: exact match, else prefix (e.g. "completeness."), else none. */
+  def strategyFor(metricKey: String): Option[AnomalyDetectionStrategy] =
+    strategies.get(metricKey).orElse(
+      strategies.collectFirst { case (p, s) if p.endsWith(".") && metricKey.startsWith(p) => s })
+
+  def detect(metricKey: String): Seq[Anomaly] =
+    strategyFor(metricKey).map(_.detect(repository.history(metricKey))).getOrElse(Nil)
+
+  /** True iff the most recent observation of the metric is anomalous. */
+  def isLatestAnomalous(metricKey: String): Boolean = {
+    val h = repository.history(metricKey)
+    h.lastOption.exists { case (ts, _) => detect(metricKey).exists(_.timestamp == ts) }
+  }
+}

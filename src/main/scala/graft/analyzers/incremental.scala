@@ -1,0 +1,124 @@
+package graft.analyzers
+
+import graft.core.MetricValue
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import java.nio.charset.StandardCharsets
+
+/** Persistence of analyzer states keyed by (analyzerKey, partitionKey)
+  * (reference: analyzers/incremental/state_store.rs:20-90).
+  */
+trait StateStore {
+  def save(analyzerKey: String, partitionKey: String, fields: Map[String, String]): Unit
+  def load(analyzerKey: String, partitionKey: String): Option[Map[String, String]]
+  def listPartitions(analyzerKey: String): Seq[String]
+  def delete(analyzerKey: String, partitionKey: String): Unit
+}
+
+final class InMemoryStateStore extends StateStore {
+  private val m = scala.collection.concurrent.TrieMap.empty[(String, String), Map[String, String]]
+  def save(a: String, p: String, f: Map[String, String]): Unit = m((a, p)) = f
+  def load(a: String, p: String): Option[Map[String, String]] = m.get((a, p))
+  def listPartitions(a: String): Seq[String] = m.keys.collect { case (`a`, p) => p }.toSeq.sorted
+  def delete(a: String, p: String): Unit = m.remove((a, p))
+}
+
+/** Hadoop-FS-backed store (works on local paths, HDFS, s3a://, gs://) — one properties
+  * file per (analyzer, partition). States are tiny (sufficient statistics), so driver-side
+  * point reads/writes are the right scale trade-off.
+  * (reference: FileSystemStateStore, analyzers/incremental/state_store.rs.)
+  */
+final class FileSystemStateStore(rootDir: String, spark: SparkSession) extends StateStore {
+  private val conf = spark.sparkContext.hadoopConfiguration
+  private def pathOf(a: String, p: String) =
+    new Path(rootDir, s"${sanitize(a)}/${sanitize(p)}.state")
+  private def sanitize(s: String) = s.replaceAll("[^A-Za-z0-9._=-]", "_")
+
+  def save(a: String, p: String, fields: Map[String, String]): Unit = {
+    val path = pathOf(a, p)
+    val fs = path.getFileSystem(conf)
+    val out = fs.create(path, true)
+    try out.write(Codec.encode(fields).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+  def load(a: String, p: String): Option[Map[String, String]] = {
+    val path = pathOf(a, p)
+    val fs = path.getFileSystem(conf)
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(Codec.decode(new String(bytes.toByteArray, StandardCharsets.UTF_8)))
+      } finally in.close()
+    }
+  }
+  def listPartitions(a: String): Seq[String] = {
+    val dir = new Path(rootDir, sanitize(a))
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName).filter(_.endsWith(".state"))
+      .map(_.stripSuffix(".state")).sorted
+  }
+  def delete(a: String, p: String): Unit = {
+    val path = pathOf(a, p)
+    val fs = path.getFileSystem(conf)
+    fs.delete(path, false); ()
+  }
+
+  private object Codec {
+    // line-oriented k<TAB>v with URL-encoding — no external JSON dependency needed.
+    def encode(m: Map[String, String]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) =>
+        java.net.URLEncoder.encode(k, "UTF-8") + "\t" + java.net.URLEncoder.encode(v, "UTF-8")
+      }.mkString("\n")
+    def decode(s: String): Map[String, String] =
+      s.split("\n").filter(_.nonEmpty).map { line =>
+        val Array(k, v) = line.split("\t", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+  }
+}
+
+/** Incremental analysis: compute the new partition's state, merge with the stored
+  * cumulative state, persist, and emit the metric over all data seen so far — without
+  * rescanning history (reference: analyzers/incremental/runner.rs:117-470).
+  */
+final class IncrementalAnalysisRunner(store: StateStore, analyzers: Seq[Analyzer[_]]) {
+
+  private val CumulativeKey = "__cumulative__"
+
+  /** Analyze one new partition; returns metrics over (history ∪ partition). */
+  def analyzePartition(df: DataFrame, partitionKey: String): Map[String, MetricValue] = {
+    analyzers.map { a =>
+      val newState = a.computeState(df)
+      store.save(a.key, partitionKey, a.fieldsOfAnyState(newState))
+      val merged = store.load(a.key, CumulativeKey) match {
+        case Some(fields) => a.mergeAnyStates(a.stateFromFields(fields), newState)
+        case None         => newState
+      }
+      store.save(a.key, CumulativeKey, a.fieldsOfAnyState(merged))
+      a.key -> a.metricFromAnyState(merged)
+    }.toMap
+  }
+
+  /** Metrics over a chosen subset of stored partitions (fan-out merge,
+    * reference: runner.rs:250-458).
+    */
+  def analyzePartitions(partitionKeys: Seq[String]): Map[String, MetricValue] = {
+    analyzers.flatMap { a =>
+      val states = partitionKeys.flatMap(p => store.load(a.key, p)).map(a.stateFromFields)
+      states.reduceOption((x, y) => a.mergeAnyStates(x, y))
+        .map(s => a.key -> a.metricFromAnyState(s))
+    }.toMap
+  }
+
+  /** Current cumulative metrics without touching any data. */
+  def currentMetrics(): Map[String, MetricValue] =
+    analyzers.flatMap { a =>
+      store.load(a.key, CumulativeKey).map(f => a.key -> a.metricFromAnyState(a.stateFromFields(f)))
+    }.toMap
+}

@@ -105,14 +105,22 @@ object ValidationSuite {
         val distinctCols = slots.values.toSeq.sortBy(_._1).map(_._2)
         // Chunk very wide suites to keep codegen happy; each chunk is still one scan.
         val values = new Array[Any](distinctCols.size)
-        distinctCols.zipWithIndex.grouped(MaxAggsPerJob).foreach { chunk =>
-          val cols = chunk.map { case (c, i) => c.as(s"g$i") }
-          val row = df.agg(cols.head, cols.drop(1): _*).head()
-          chunk.zipWithIndex.foreach { case ((_, slot), local) => values(slot) = row.get(local) }
+        try {
+          distinctCols.zipWithIndex.grouped(MaxAggsPerJob).foreach { chunk =>
+            val cols = chunk.map { case (c, i) => c.as(s"g$i") }
+            val row = df.agg(cols.head, cols.drop(1): _*).head()
+            chunk.zipWithIndex.foreach { case ((_, slot), local) => values(slot) = row.get(local) }
+          }
+          batchable.zip(slotIdx).map { case (c, idxs) =>
+            c -> safeResult(c, () => c.fromAggregates(idxs.map(values)))
+          }.toMap
+        } catch {
+          // A single bad constraint (e.g. missing column) fails the shared job at
+          // analysis time; fall back to per-constraint evaluation so one mistake
+          // doesn't sink the whole suite.
+          case _: Exception =>
+            batchable.map(c => c -> safeResult(c, () => c.evaluate(df))).toMap
         }
-        batchable.zip(slotIdx).map { case (c, idxs) =>
-          c -> safeResult(c, () => c.fromAggregates(idxs.map(values)))
-        }.toMap
       }
 
     val customResults: Map[Constraint, ConstraintResult] =

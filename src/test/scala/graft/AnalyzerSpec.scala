@@ -1,0 +1,147 @@
+package graft
+
+import graft.analyzers._
+import graft.core.MetricValue
+import graft.repository._
+import org.apache.spark.sql.functions._
+
+/** Analyzer states: merge(partition states) must equal state(full data) — the
+  * property the incremental runner rests on.
+  */
+class AnalyzerSpec extends SparkSpec {
+
+  private lazy val full = {
+    import spark.implicits._
+    (1 to 1000).map(i => (i.toLong, i * 0.5, if (i % 4 == 0) None else Some(i * 2.0)))
+      .toDF("id", "x", "y")
+  }
+  private lazy val part1 = full.filter(col("id") <= 400)
+  private lazy val part2 = full.filter(col("id") > 400)
+
+  private def d(m: MetricValue): Double = m.asDouble.get
+
+  test("merged partition states equal full-scan state") {
+    val analyzers: Seq[Analyzer[_]] = Seq(
+      SizeAnalyzer(), CompletenessAnalyzer("y"), MeanAnalyzer("x"), SumAnalyzer("x"),
+      MinMaxAnalyzer("x"), StdDevAnalyzer("x"), CorrelationAnalyzer("x", "y"))
+    analyzers.foreach { a =>
+      val merged = a.mergeAnyStates(a.computeState(part1), a.computeState(part2))
+      val fullState = a.computeState(full)
+      val mm = a.metricFromAnyState(merged)
+      val fm = a.metricFromAnyState(fullState)
+      (mm, fm) match {
+        case (MetricValue.MapMetric(m1), MetricValue.MapMetric(m2)) =>
+          m1.keys.foreach(k => assert(math.abs(d(m1(k)) - d(m2(k))) < 1e-9, s"${a.key}.$k"))
+        case _ =>
+          assert(math.abs(d(mm) - d(fm)) < 1e-9, s"${a.key}: $mm vs $fm")
+      }
+    }
+  }
+
+  test("stddev/correlation closed forms match Spark builtins") {
+    val sd = StdDevAnalyzer("x").compute(full).asDouble.get
+    val sparkSd = full.agg(stddev_samp(col("x"))).head().getDouble(0)
+    assert(math.abs(sd - sparkSd) < 1e-6)
+
+    val corr1 = CorrelationAnalyzer("x", "y").compute(full).asDouble.get
+    val sparkCorr = full.agg(corr(col("x"), col("y"))).head().getDouble(0)
+    assert(math.abs(corr1 - sparkCorr) < 1e-6)
+  }
+
+  test("hll state merges and estimates within rsd") {
+    val a = ApproxCountDistinctAnalyzer("id")
+    val merged = a.mergeAnyStates(a.computeState(part1), a.computeState(part2))
+    val est = a.metricFromAnyState(merged).asDouble.get
+    assert(math.abs(est - 1000.0) / 1000.0 < 0.05, s"estimate $est")
+  }
+
+  test("state fields round-trip through serialization") {
+    val analyzers: Seq[Analyzer[_]] = Seq(
+      SizeAnalyzer(), CompletenessAnalyzer("y"), MeanAnalyzer("x"),
+      StdDevAnalyzer("x"), CorrelationAnalyzer("x", "y"), ApproxCountDistinctAnalyzer("id"))
+    analyzers.foreach { a =>
+      val s = a.computeState(part1)
+      val rt = a.stateFromFields(a.fieldsOfAnyState(s))
+      assert(d(a.metricFromAnyState(rt)) == d(a.metricFromAnyState(s)) ||
+        (d(a.metricFromAnyState(rt)).isNaN && d(a.metricFromAnyState(s)).isNaN), a.key)
+    }
+  }
+
+  test("analysis runner batches all analyzers in one pass") {
+    val ctx = new AnalysisRunner(Seq(
+      SizeAnalyzer(), CompletenessAnalyzer("y"), MeanAnalyzer("x"))).run(full)
+    assert(ctx.errors.isEmpty)
+    assert(d(ctx.metrics("size.*")) == 1000.0)
+    assert(math.abs(d(ctx.metrics("completeness.y")) - 0.75) < 1e-12)
+    assert(math.abs(d(ctx.metrics("mean.x")) - 250.25) < 1e-9)
+  }
+
+  test("analysis runner isolates a bad analyzer") {
+    val ctx = new AnalysisRunner(Seq(SizeAnalyzer(), MeanAnalyzer("nope"))).run(full)
+    assert(d(ctx.metrics("size.*")) == 1000.0)
+    assert(ctx.errors.contains("mean.nope"))
+  }
+
+  test("incremental runner: per-partition ingest accumulates correctly") {
+    val store = new InMemoryStateStore
+    val runner = new IncrementalAnalysisRunner(store, Seq(SizeAnalyzer(), MeanAnalyzer("x")))
+    val m1 = runner.analyzePartition(part1, "p1")
+    assert(d(m1("size.*")) == 400.0)
+    val m2 = runner.analyzePartition(part2, "p2")
+    assert(d(m2("size.*")) == 1000.0)
+    assert(math.abs(d(m2("mean.x")) - 250.25) < 1e-9)
+    // metrics over a partition subset
+    val sub = runner.analyzePartitions(Seq("p1"))
+    assert(d(sub("size.*")) == 400.0)
+    // cumulative metrics read without data access
+    assert(d(runner.currentMetrics()("size.*")) == 1000.0)
+  }
+
+  test("filesystem state store round-trips, lists, deletes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-states").toString
+    val store = new FileSystemStateStore(dir, spark)
+    store.save("mean.x", "2024-01-01", Map("sum" -> "12.5", "count" -> "10"))
+    store.save("mean.x", "2024-01-02", Map("sum" -> "7.5", "count" -> "5"))
+    assert(store.load("mean.x", "2024-01-01").get("sum") == "12.5")
+    assert(store.listPartitions("mean.x") == Seq("2024-01-01", "2024-01-02"))
+    store.delete("mean.x", "2024-01-01")
+    assert(store.listPartitions("mean.x") == Seq("2024-01-02"))
+    assert(store.load("mean.x", "2024-01-01").isEmpty)
+  }
+
+  test("anomaly strategies") {
+    val series = Seq(1L -> 100.0, 2L -> 102.0, 3L -> 101.0, 4L -> 150.0, 5L -> 99.0)
+    val roc = RelativeRateOfChangeStrategy(maxRateIncrease = Some(0.2)).detect(series)
+    assert(roc.map(_.timestamp) == Seq(4L))
+    val abs = AbsoluteChangeStrategy(maxDecrease = Some(30.0)).detect(series)
+    assert(abs.map(_.timestamp) == Seq(5L))
+    val z = ZScoreStrategy(threshold = 3.0).detect(series)
+    assert(z.map(_.timestamp) == Seq(4L))
+  }
+
+  test("metrics repository + anomaly runner end-to-end") {
+    val repo = new InMemoryMetricsRepository
+    Seq(1000L -> 0.99, 2000L -> 0.985, 3000L -> 0.5).foreach { case (ts, v) =>
+      repo.save(ResultKey(ts, Map("dataset" -> "orders")), Map("completeness.email" -> v))
+    }
+    val hist = repo.history("completeness.email")
+    assert(hist.map(_._2) == Seq(0.99, 0.985, 0.5))
+    val runner = new AnomalyDetectionRunner(repo,
+      Map("completeness." -> AbsoluteChangeStrategy(maxDecrease = Some(0.1))))
+    assert(runner.detect("completeness.email").map(_.timestamp) == Seq(3000L))
+    assert(runner.isLatestAnomalous("completeness.email"))
+  }
+
+  test("parquet metrics repository round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-metrics").toString + "/m"
+    val repo = new ParquetMetricsRepository(dir, spark)
+    repo.save(ResultKey(1000L, Map("env" -> "test")), Map("size.*" -> 42.0, "mean.x" -> 1.5))
+    repo.save(ResultKey(2000L), Map("size.*" -> 43.0))
+    val all = repo.loadAll()
+    assert(all.size == 2)
+    assert(all.head.key == ResultKey(1000L, Map("env" -> "test")))
+    assert(all.head.metrics("size.*") == 42.0)
+    val q = repo.query(MetricsQuery(after = Some(1500L)))
+    assert(q.size == 1 && q.head.metrics("size.*") == 43.0)
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import graft.core._
+import graft.constraints._
+import org.apache.spark.sql.functions._
+
+/** Constraint semantics against small in-memory frames with controlled nulls/dupes,
+  * mirroring the reference's integration-test layer.
+  */
+class ConstraintSpec extends SparkSpec {
+  import ConstraintStatus._
+
+  private lazy val df = {
+    import spark.implicits._
+    Seq(
+      (1, Some("a"), Some(10.0), "x"),
+      (2, Some("b"), Some(20.0), "y"),
+      (3, Some("a"), None, "x"),
+      (4, None, Some(40.0), "y"),
+      (5, Some("c"), Some(30.0), "x")
+    ).toDF("id", "s", "v", "g")
+  }
+
+  private def run(c: Constraint) = c.evaluate(df)
+
+  test("size") {
+    assert(run(SizeConstraint(Assertion.Equals(5))).status == Success)
+    assert(run(SizeConstraint(Assertion.GreaterThan(10))).status == Failure)
+  }
+
+  test("completeness counts nulls") {
+    val r = run(CompletenessConstraint("s", Assertion.Equals(0.8)))
+    assert(r.status == Success)
+    assert(run(CompletenessConstraint.complete("id")).status == Success)
+    assert(run(CompletenessConstraint.complete("v")).status == Failure)
+  }
+
+  test("completeness on empty input is Skipped") {
+    val empty = df.filter(col("id") > 100)
+    assert(CompletenessConstraint.complete("s").evaluate(empty).status == Skipped)
+    assert(SizeConstraint(Assertion.Equals(0)).evaluate(empty).status == Success)
+  }
+
+  test("uniqueness / distinctness / primary key") {
+    assert(run(UniquenessConstraint(Seq("id"))).status == Success)
+    // s has 4 non-null with 3 distinct over 5 rows => uniqueness 3/5
+    assert(run(UniquenessConstraint(Seq("s"), Assertion.Equals(0.6))).status == Success)
+    // distinctness over non-null: 3/4
+    assert(run(DistinctnessConstraint(Seq("s"), Assertion.Equals(0.75))).status == Success)
+    assert(run(PrimaryKeyConstraint(Seq("id"))).status == Success)
+    assert(run(PrimaryKeyConstraint(Seq("s"))).status == Failure) // nulls + dupes
+    assert(run(PrimaryKeyConstraint(Seq("g"))).status == Failure) // dupes
+  }
+
+  test("uniqueness null modes") {
+    import spark.implicits._
+    val d = Seq(Some("a"), Some("a"), None, None, Some("b")).toDF("k")
+    // Exclude: distinct {a,b}=2 over total 5
+    assert(UniquenessConstraint(Seq("k"), Assertion.Equals(0.4)).evaluate(d).status == Success)
+    // IncludeAsOne: {a,b,NULL} = 3
+    assert(UniquenessConstraint(Seq("k"), Assertion.Equals(0.6), NullMode.IncludeAsOne).evaluate(d).status == Success)
+    // EachDistinct: {a,b} + 2 nulls = 4
+    assert(UniquenessConstraint(Seq("k"), Assertion.Equals(0.8), NullMode.EachDistinct).evaluate(d).status == Success)
+  }
+
+  test("unique value ratio") {
+    // s groups: a->2, b->1, c->1 => 2 uniques / 3 distinct
+    val r = run(UniqueValueRatioConstraint(Seq("s"), Assertion.Equals(2.0 / 3)))
+    assert(r.status == Success, r.message)
+  }
+
+  test("statistics") {
+    assert(run(StatisticConstraint("v", Stat.Min, Assertion.Equals(10.0))).status == Success)
+    assert(run(StatisticConstraint("v", Stat.Max, Assertion.Equals(40.0))).status == Success)
+    assert(run(StatisticConstraint("v", Stat.Mean, Assertion.Equals(25.0))).status == Success)
+    assert(run(StatisticConstraint("v", Stat.Sum, Assertion.Equals(100.0))).status == Success)
+    val r = run(MultiStatisticConstraint("v", Seq(
+      Stat.Min -> Assertion.GreaterThanOrEqual(0),
+      Stat.Max -> Assertion.LessThan(100),
+      Stat.StdDev -> Assertion.Between(10, 15))))
+    assert(r.status == Success, r.message)
+  }
+
+  test("statistics on all-null column are Skipped") {
+    import spark.implicits._
+    val d = Seq.fill(3)((1, Option.empty[Double])).toDF("id", "x")
+    assert(StatisticConstraint("x", Stat.Mean, Assertion.Equals(0)).evaluate(d).status == Skipped)
+  }
+
+  test("containment and compliance") {
+    assert(run(ComplianceConstraint.containedIn("g", Seq("x", "y"))).status == Success)
+    assert(run(ComplianceConstraint.containedIn("g", Seq("x"))).status == Failure)
+    assert(run(ComplianceConstraint.satisfies("id <= 5", "ids small", Assertion.Equals(1.0))).status == Success)
+    assert(run(ComplianceConstraint.satisfies("v > 15", "v big", Assertion.Equals(0.6))).status == Success) // nulls fail predicate
+  }
+
+  test("format constraints") {
+    import spark.implicits._
+    val d = Seq("a@b.com", "bad", "x@y.org", "z@w.io").toDF("email")
+    val r = FormatConstraint("email", FormatType.Email, Assertion.Equals(0.75)).evaluate(d)
+    assert(r.status == Success, r.message)
+    val uuids = Seq("550e8400-e29b-41d4-a716-446655440000", "nope").toDF("u")
+    assert(FormatConstraint("u", FormatType.Uuid, Assertion.Equals(0.5)).evaluate(uuids).status == Success)
+    val ips = Seq("192.168.0.1", "999.1.1.1", "8.8.8.8").toDF("ip")
+    assert(FormatConstraint("ip", FormatType.Ipv4, Assertion.Equals(2.0 / 3)).evaluate(ips).status == Success)
+  }
+
+  test("type consistency") {
+    import spark.implicits._
+    val d = Seq("1", "2", "3.5", "x", "5").toDF("c")
+    // dominant integer 3/5
+    assert(TypeConsistencyConstraint("c", 0.6).evaluate(d).status == Success)
+    assert(TypeConsistencyConstraint("c", 0.9).evaluate(d).status == Failure)
+    assert(TypeConsistencyConstraint("c", 0.6, Some("integer")).evaluate(d).status == Success)
+    assert(TypeConsistencyConstraint("c", 0.5, Some("fractional")).evaluate(d).status == Failure)
+  }
+
+  test("entropy matches closed form") {
+    import spark.implicits._
+    val d = (Seq.fill(6)("a") ++ Seq.fill(4)("b")).toDF("c")
+    val expected = -(0.6 * math.log(0.6) + 0.4 * math.log(0.4))
+    assert(EntropyConstraint("c", Assertion.Equals(expected)).evaluate(d).status == Success)
+  }
+
+  test("histogram assertion") {
+    val r = HistogramConstraint("g", h => h.ratio("x") == 0.6 && h.distinctCount == 2).evaluate(df)
+    assert(r.status == Success, r.message)
+  }
+
+  test("grouped completeness") {
+    // g=x: v has 2/3 non-null; g=y: 2/2
+    assert(GroupedCompletenessConstraint("v", Seq("g"), 0.5).evaluate(df).status == Success)
+    val r = GroupedCompletenessConstraint("v", Seq("g"), 0.9).evaluate(df)
+    assert(r.status == Failure && r.message.contains("g=x"))
+  }
+
+  test("column count and presence") {
+    assert(run(ColumnCountConstraint(Assertion.Equals(4))).status == Success)
+    assert(run(ContainsColumnConstraint("id")).status == Success)
+    assert(run(ContainsColumnConstraint("nope")).status == Failure)
+  }
+}

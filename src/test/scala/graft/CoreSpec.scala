@@ -1,0 +1,49 @@
+package graft
+
+import graft.core._
+import graft.constraints._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-logic tests: assertion semantics (reference: constraints/assertion.rs:84-129)
+  * and logical-operator truth tables (reference: core/logical.rs tests).
+  */
+class CoreSpec extends AnyFunSuite {
+  import Assertion._
+
+  test("assertion equality uses epsilon") {
+    assert(Equals(1.0)(1.0 + 1e-12))
+    assert(!Equals(1.0)(1.0 + 1e-9))
+    assert(NotEquals(1.0)(1.1))
+    assert(!NotEquals(1.0)(1.0))
+  }
+
+  test("assertion comparisons") {
+    assert(GreaterThan(5)(5.1) && !GreaterThan(5)(5.0))
+    assert(GreaterThanOrEqual(5)(5.0) && !GreaterThanOrEqual(5)(4.9))
+    assert(LessThan(5)(4.9) && !LessThan(5)(5.0))
+    assert(LessThanOrEqual(5)(5.0) && !LessThanOrEqual(5)(5.1))
+    assert(Between(1, 2)(1.5) && Between(1, 2)(1.0) && Between(1, 2)(2.0) && !Between(1, 2)(2.1))
+    assert(NotBetween(1, 2)(0.5) && NotBetween(1, 2)(2.5) && !NotBetween(1, 2)(1.5))
+  }
+
+  test("logical operator truth table") {
+    import LogicalOp._
+    assert(All.holds(3, 3) && !All.holds(2, 3))
+    assert(Any.holds(1, 3) && !Any.holds(0, 3))
+    assert(AtLeast(2).holds(2, 3) && AtLeast(2).holds(3, 3) && !AtLeast(2).holds(1, 3))
+    assert(AtMost(2).holds(2, 3) && AtMost(2).holds(0, 3) && !AtMost(2).holds(3, 3))
+    assert(Exactly(2).holds(2, 3) && !Exactly(2).holds(1, 3) && !Exactly(2).holds(3, 3))
+  }
+
+  test("sandbox rejects statement-level SQL") {
+    intercept[IllegalArgumentException](Sandbox.validatePredicate("1=1; DROP TABLE t"))
+    intercept[IllegalArgumentException](Sandbox.validatePredicate("x > 0 -- comment"))
+    intercept[IllegalArgumentException](Sandbox.validatePredicate("delete from t"))
+    Sandbox.validatePredicate("l_discount >= 0 AND l_discount <= 0.5") // fine
+  }
+
+  test("histogram accessors") {
+    val h = Histogram(Map("a" -> HistogramBucket(6, 0.6), "b" -> HistogramBucket(4, 0.4)), 10, 2, 0)
+    assert(h.ratio("a") == 0.6 && h.count("b") == 4L && h.ratio("zzz") == 0.0)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.core._
+import graft.constraints._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+
+/** Suite runner semantics + the single-scan batching guarantee. */
+class SuiteSpec extends SparkSpec {
+
+  private lazy val df = {
+    import spark.implicits._
+    (1 to 100).map(i => (i.toLong, s"u$i", i * 1.5, if (i % 10 == 0) null else "ok"))
+      .toDF("id", "name", "amount", "status")
+  }
+
+  test("batched evaluation equals standalone evaluation") {
+    val constraints: Seq[Constraint] = Seq(
+      SizeConstraint(Assertion.Equals(100)),
+      CompletenessConstraint("status", Assertion.Equals(0.9)),
+      UniquenessConstraint(Seq("id")),
+      StatisticConstraint("amount", Stat.Mean, Assertion.Equals(75.75)),
+      StatisticConstraint("amount", Stat.Max, Assertion.Equals(150.0)),
+      PrimaryKeyConstraint(Seq("id")),
+      ComplianceConstraint.containedIn("status", Seq("ok")))
+    val batched = ValidationSuite.evaluateBatched(df, constraints)
+    val standalone = constraints.map(_.evaluate(df))
+    batched.zip(standalone).foreach { case (b, s) =>
+      assert(b.status == s.status && b.metric == s.metric, s"${b.constraint}: $b vs $s")
+    }
+  }
+
+  test("all batchable constraints run as ONE Spark job") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    val constraints: Seq[Constraint] = Seq(
+      SizeConstraint(Assertion.GreaterThan(0)),
+      CompletenessConstraint("status", Assertion.GreaterThan(0.5)),
+      StatisticConstraint("amount", Stat.Min, Assertion.GreaterThan(0)),
+      StatisticConstraint("amount", Stat.Sum, Assertion.GreaterThan(0)),
+      CompletenessConstraint("name", Assertion.GreaterThan(0.5)),
+      ComplianceConstraint.containedIn("status", Seq("ok"), Assertion.GreaterThan(0.1)))
+    df.cache().count() // isolate the measurement from IO
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      ValidationSuite.evaluateBatched(df, constraints)
+      Thread.sleep(500) // let the listener bus drain
+      // AQE may materialize the agg in 2 jobs (partial + final), but 6 constraints must
+      // NOT cost 6 scans — that's the reference's unoptimized 20-scans-for-20-constraints
+      // behavior (README.md:274-277) this architecture eliminates.
+      assert(jobs.get() <= 2, s"expected <=2 jobs for 6 batchable constraints, got ${jobs.get()}")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      df.unpersist()
+    }
+  }
+
+  test("duplicate aggregates are computed once") {
+    val constraints: Seq[Constraint] = Seq(
+      SizeConstraint(Assertion.GreaterThan(0)),
+      SizeConstraint(Assertion.LessThan(1000)),
+      CompletenessConstraint("status", Assertion.GreaterThan(0.5)), // shares count(*)
+      CompletenessConstraint("name", Assertion.GreaterThan(0.5)))   // shares count(*)
+    val results = ValidationSuite.evaluateBatched(df, constraints)
+    assert(results.forall(_.status == ConstraintStatus.Success))
+  }
+
+  test("suite report: error-level failure fails the suite, warning does not") {
+    val failingError = ValidationSuite.builder("s")
+      .check(CheckBuilder("c1", Level.Error).hasSize(Assertion.GreaterThan(1000)).build())
+      .build().run(df)
+    assert(!failingError.isSuccess)
+    assert(failingError.issues.nonEmpty)
+
+    val failingWarning = ValidationSuite.builder("s")
+      .check(CheckBuilder("c1", Level.Warning).hasSize(Assertion.GreaterThan(1000)).build())
+      .check(CheckBuilder("c2", Level.Error).hasSize(Assertion.GreaterThan(0)).build())
+      .build().run(df)
+    assert(failingWarning.isSuccess)
+    assert(failingWarning.metrics.failed == 1 && failingWarning.metrics.passed == 1)
+  }
+
+  test("constraint evaluation errors are captured, not thrown") {
+    val bad = CompletenessConstraint("no_such_column", Assertion.Equals(1.0))
+    val results = ValidationSuite.evaluateBatched(df, Seq(bad, SizeConstraint(Assertion.Equals(100))))
+    assert(results.head.status == ConstraintStatus.Failure)
+    assert(results.head.message.contains("evaluation error"))
+    assert(results(1).status == ConstraintStatus.Success)
+  }
+}
