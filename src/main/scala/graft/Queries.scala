@@ -310,9 +310,129 @@ object Queries {
              | FROM events""".stripMargin.replaceAll("\n", " ")))
   )
 
+  // ---- LLM-pipeline operators (SURVEY §7 step 8 / north-star extensions) ----
+  import graft.functions.TextFunctions
+  import graft.operators.{Dedup, Similarity}
+
+  val llmDefs: Seq[QueryDef] = Seq(
+
+    QueryDef("text_stats_documents",
+      (s, d) => t(s, d, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.charCount(col("text"))).cast("long").as("total_chars"),
+        sum(TextFunctions.tokenCount(col("text"))).cast("long").as("total_tokens"),
+        (sum(TextFunctions.tokenCount(col("text"))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_tokens")),
+      Some("""SELECT count(*) AS n_docs,
+             | CAST(sum(length(text)) AS BIGINT) AS total_chars,
+             | CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))) AS BIGINT) AS total_tokens,
+             | CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens
+             | FROM documents""".stripMargin.replaceAll("\n", " "))),
+
+    QueryDef("lang_distribution_documents",
+      (s, d) => t(s, d, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt")).orderBy("lang"),
+      Some("SELECT lang, count(*) AS cnt FROM documents GROUP BY 1 ORDER BY 1")),
+
+    // Heuristic language-ID agreement with the labeled lang column (rows-only check:
+    // the n-gram/marker heuristic is not expressible in portable SQL).
+    QueryDef("langid_agreement_documents",
+      (s, d) => t(s, d, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(TextFunctions.langId(col("text")) === col("lang"), 1L).otherwise(0L)).as("agree")),
+      None),
+
+    QueryDef("dedup_exact_documents",
+      (s, d) => Dedup.exactDupStats(t(s, d, "documents"), Seq("text")),
+      Some("""SELECT count(*) AS total, count(DISTINCT text) AS distinct_count,
+             | count(*) - count(DISTINCT text) AS duplicate_rows FROM documents""".stripMargin.replaceAll("\n", " "))),
+
+    // Normalized-content fingerprints: hash distinctness must equal normalized-text
+    // distinctness (hash collisions vanishingly unlikely at this scale).
+    QueryDef("fingerprint_documents",
+      (s, d) => t(s, d, "documents").agg(
+        countDistinct(TextFunctions.fingerprint(col("text"))).as("distinct_fingerprints")),
+      Some("""SELECT count(DISTINCT regexp_replace(trim(text), '\s+', ' ', 'g')) AS distinct_fingerprints
+             | FROM documents""".stripMargin.replaceAll("\n", " "))),
+
+    // Exact all-pairs char-5-gram Jaccard (verification baseline for near-dup dedup).
+    QueryDef("dedup_ngram_jaccard_documents",
+      (s, d) => Dedup.allPairsJaccard(t(s, d, "documents"), "doc_id", "text", shingleSize = 5)
+        .filter(col("jaccard") >= 0.9)
+        .agg(count(lit(1)).as("near_dup_pairs")),
+      Some("""WITH idx AS (SELECT unnest(range(1, 2000)) AS i),
+             | sh AS (SELECT doc_id, list(DISTINCT substr(text, CAST(i AS INT), 5)) AS g
+             |   FROM documents JOIN idx ON i <= length(text) - 4 GROUP BY doc_id)
+             | SELECT count(*) AS near_dup_pairs
+             | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             | WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(list_distinct(a.g || b.g)) >= 0.9""".stripMargin.replaceAll("\n", " "))),
+
+    // MinHash-LSH near-dup pairs, exact-Jaccard-verified: must equal the exact all-pairs
+    // result (LSH banding at 128 hashes / 32 bands has ~full recall at j>=0.9; verified
+    // in OperatorSpec against the brute-force baseline).
+    QueryDef("dedup_minhash_documents",
+      (s, d) => Dedup.nearDupPairsMinhash(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.9, shingleSize = 5)
+        .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b"),
+      Some("""WITH idx AS (SELECT unnest(range(1, 2000)) AS i),
+             | sh AS (SELECT doc_id, list(DISTINCT substr(text, CAST(i AS INT), 5)) AS g
+             |   FROM documents JOIN idx ON i <= length(text) - 4 GROUP BY doc_id)
+             | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             | WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(list_distinct(a.g || b.g)) >= 0.9
+             | ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "))),
+
+    // SimHash near-dup pairs (rows-only: hash-function-specific).
+    QueryDef("dedup_simhash_documents",
+      (s, d) => Dedup.nearDupPairsSimhash(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+        .agg(count(lit(1)).as("simhash_pairs")),
+      None),
+
+    QueryDef("embedding_norms",
+      (s, d) => {
+        val norm = sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, v) => acc + v))
+        t(s, d, "embeddings").agg(
+          count(lit(1)).as("n_vecs"),
+          round(min(norm), 4).as("min_norm"),
+          round(max(norm), 4).as("max_norm"),
+          round(avg(norm), 4).as("avg_norm"))
+      },
+      Some("""SELECT count(*) AS n_vecs,
+             | round(min(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS min_norm,
+             | round(max(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS max_norm,
+             | round(avg(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
+             | FROM embeddings""".stripMargin.replaceAll("\n", " "))),
+
+    // Brute-force cosine top-10 for probe vec_id=0 (the ANN correctness baseline).
+    QueryDef("similarity_topk_embeddings",
+      (s, d) => {
+        val probe = t(s, d, "embeddings").filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toSeq
+        Similarity.bruteForceTopK(
+          t(s, d, "embeddings").filter(col("vec_id") =!= 0), "vec_id", "embedding", probe, 10)
+          .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+      },
+      Some("""WITH p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0)
+             | SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], pe) /
+             |   (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(pe, pe))), 4) AS cosine
+             | FROM embeddings, p WHERE vec_id != 0
+             | ORDER BY list_dot_product(embedding::DOUBLE[], pe) /
+             |   (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(pe, pe))) DESC, vec_id
+             | LIMIT 10""".stripMargin.replaceAll("\n", " "))),
+
+    // Composite quality score distribution (rows-only: heuristic composite).
+    QueryDef("quality_scores_documents",
+      (s, d) => t(s, d, "documents").agg(
+        round(avg(TextFunctions.qualityScore(col("text"))), 4).as("avg_quality"),
+        round(avg(TextFunctions.punctRatio(col("text"))), 6).as("avg_punct_ratio"),
+        round(avg(TextFunctions.meanWordLength(col("text"))), 4).as("avg_word_len")),
+      None)
+  )
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    defs.map(q => q.name -> q.run).toMap
+    (defs ++ llmDefs).map(q => q.name -> q.run).toMap
 
   def oracleSql: Map[String, String] =
-    defs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    (defs ++ llmDefs).flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines.
+  *
+  * Everything here is a pure `Column` expression (codegen'd, no UDFs, no shuffles):
+  * language ID, quality scoring, token counting, shingling, fingerprinting. Designed to
+  * run inside one projection over a 100 TB corpus.
+  *
+  * NOTE: deliberately avoids lower()/upper() (multi-second first-use collation init in
+  * Spark 4) — case-insensitivity is done with (?i) Java regex.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (empty tokens removed). */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => length(t) > 0)
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: letter runs, digit runs, punctuation runs, contractions —
+    * a GPT-2-style pre-tokenizer regex as a cheap proxy for real BPE token counts.
+    */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c,
+      lit("'(?:s|t|re|ve|m|ll|d)|\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+"), lit(0)))
+
+  def charCount(c: Column): Column = length(c)
+
+  /** Ratio helpers; all exact integer-count divisions. */
+  private def ratioOf(part: Column, whole: Column): Column =
+    when(whole > 0, part.cast("double") / whole.cast("double")).otherwise(lit(0.0))
+
+  def punctRatio(c: Column): Column =
+    ratioOf(length(regexp_replace(c, "[^\\p{Punct}]", "")), length(c))
+  def digitRatio(c: Column): Column =
+    ratioOf(length(regexp_replace(c, "[^0-9]", "")), length(c))
+  def upperRatio(c: Column): Column =
+    ratioOf(length(regexp_replace(c, "[^A-Z]", "")), length(c))
+  def whitespaceRatio(c: Column): Column =
+    ratioOf(length(c) - length(regexp_replace(c, "\\s", "")), length(c))
+
+  def meanWordLength(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) > 0,
+      aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of tokens found in the given (small) word set — e.g. stopwords. */
+  def wordSetRatio(c: Column, words: Seq[String]): Column = {
+    val t = tokens(c)
+    val set = array(words.map(lit): _*)
+    when(size(t) > 0,
+      size(filter(t, x => array_contains(set, x))).cast("double") / size(t).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "be", "this", "are", "from", "but")
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, clean punctuation
+    * density, whitespace sanity, and (for Latin-script text) stopword presence.
+    * Heuristic shape follows common pretraining-corpus filters (C4/Gopher-style rules).
+    */
+  def qualityScore(c: Column): Column = {
+    val len = length(c).cast("double")
+    val lengthScore = least(len / lit(200.0), lit(1.0)) * when(len > 20000, 0.5).otherwise(1.0)
+    val punctScore = when(punctRatio(c) < 0.2, 1.0).otherwise(0.5)
+    val wsScore = when(whitespaceRatio(c).between(0.05, 0.35), 1.0).otherwise(0.7)
+    val wordLenScore = when(meanWordLength(c).between(2.0, 12.0), 1.0).otherwise(0.6)
+    round(lengthScore * lit(0.4) + punctScore * lit(0.2) + wsScore * lit(0.2) + wordLenScore * lit(0.2), 6)
+  }
+
+  // ---- language identification (n-gram/marker heuristic) ----
+
+  /** Marker words per language; scoring = fraction of tokens that are markers.
+    * CJK detected by codepoint class ratio instead.
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "von", "mit", "ein", "eine"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "en", "por", "para", "una"))
+
+  /** Best-scoring language tag, "zh" for CJK-dominant text, "und" when nothing scores. */
+  def langId(c: Column): Column = {
+    val cjkRatio = ratioOf(length(regexp_replace(c, "[^\\p{IsHan}]", "")), length(c))
+    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(wordSetRatio(c, markers).as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(cjkRatio > 0.2, "zh")
+      .when(best.getField("score") > 0.05, best.getField("lang"))
+      .otherwise("und")
+  }
+
+  // ---- fingerprinting / shingling ----
+
+  /** Normalized 64-bit content fingerprint (whitespace-collapsed). */
+  def fingerprint(c: Column): Column =
+    xxhash64(regexp_replace(trim(c), "\\s+", " "))
+
+  /** Character n-gram shingles (distinct). */
+  def charShingles(c: Column, n: Int): Column =
+    when(length(c) >= n,
+      array_distinct(transform(
+        sequence(lit(0), length(c) - lit(n)),
+        i => c.substr(i + lit(1), lit(n)))))
+      .otherwise(array(c))
+
+  /** Word k-gram shingles (distinct), joined with single spaces. */
+  def wordShingles(c: Column, k: Int): Column = {
+    val t = tokens(c)
+    when(size(t) >= k,
+      array_distinct(transform(
+        sequence(lit(0), size(t) - lit(k)),
+        i => concat_ws(" ", slice(t, i + 1, lit(k))))))
+      .otherwise(array(concat_ws(" ", t)))
+  }
+
+  /** Rolling 64-bit hashes of the character n-grams — the document-fingerprint set. */
+  def shingleHashes(c: Column, n: Int): Column =
+    transform(charShingles(c, n), s => xxhash64(s))
+}

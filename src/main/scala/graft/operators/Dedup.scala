@@ -1,0 +1,218 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed around its
+  * 100 TB shuffle shape:
+  *
+  *  - exact: hash-groupBy on the key — one shuffle, map-side combined.
+  *  - MinHash-LSH: per-row signature (row-local, codegen'd) → band-bucket shuffle →
+  *    candidate pairs only; never all-pairs.
+  *  - SimHash: per-row 64-bit sketch → band buckets → Hamming verify.
+  *  - n-gram Jaccard: exact verification on candidate pairs (or small corpora).
+  *  - embedding cosine: random-hyperplane LSH buckets → cosine verify.
+  */
+object Dedup {
+
+  // ---------- exact ----------
+
+  /** total/distinct/duplicate-row counts over the key columns. */
+  def exactDupStats(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.agg(
+      count(lit(1)).as("total"),
+      countDistinct(col(cols.head), cols.drop(1).map(col): _*).as("distinct_count"))
+      .select(col("total"), col("distinct_count"),
+        (col("total") - col("distinct_count")).as("duplicate_rows"))
+
+  /** Keep one row per key (first by tiebreaker if given) — the scalable
+    * `row_number() = 1` formulation, one shuffle on the key.
+    */
+  def exactDedup(df: DataFrame, keys: Seq[String], tiebreaker: Option[String] = None): DataFrame =
+    tiebreaker match {
+      case None => df.dropDuplicates(keys)
+      case Some(tb) =>
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tb))
+        df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    }
+
+  // ---------- MinHash + LSH ----------
+
+  /** MinHash signature of the text's char-n-gram shingle set: numHashes independent
+    * min-hashes, each `min over shingles of xxhash64(seed_i ++ shingle)`. Entirely
+    * row-local (no explode, no shuffle).
+    */
+  def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column = {
+    val shingles = charShingles(text, shingleSize)
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingles, s => xxhash64(lit(i), s)))
+    }: _*)
+  }
+
+  /** (band, bucket) pairs for LSH banding: the signature is split into `bands` slices of
+    * `rowsPerBand`, each hashed to one bucket. Docs sharing any (band, bucket) become
+    * candidates. Tune bands/rows for the target Jaccard threshold:
+    * P(candidate) = 1 - (1 - j^rows)^bands.
+    */
+  def lshBuckets(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",", slice(signature, b * rowsPerBand + 1, rowsPerBand))).as("bucket"))
+    }: _*)
+
+  /** Candidate near-duplicate pairs (idA < idB) from MinHash-LSH, with the banding
+    * estimate of Jaccard from signature agreement. One shuffle on (band, bucket); the
+    * self-join never materializes non-colliding pairs. Buckets larger than
+    * `maxBucketSize` (degenerate/skewed content) are dropped — the standard guard
+    * against quadratic blowup on pathological buckets.
+    */
+  def minhashCandidatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 32,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+    val buckets = sigs
+      .select(col("id"), col("sig"), explode(lshBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val bounded = buckets.withColumn("_n", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("_n") <= maxBucketSize).drop("_n")
+    val a = bounded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = bounded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+      .groupBy("id_a", "id_b").agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  /** Exact Jaccard over char-n-gram shingle sets for given id pairs. */
+  def exactJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5): DataFrame = {
+    val sh = docs.select(col(idCol).as("_jid"), charShingles(col(textCol), shingleSize).as("_sh"))
+    pairs
+      .join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
+      .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("double") /
+          size(array_union(col("_sh_a"), col("_sh_b"))).cast("double"))
+      .drop("_sh_a", "_sh_b")
+  }
+
+  /** End-to-end MinHash-LSH near-dup pairs verified by exact Jaccard >= threshold. */
+  def nearDupPairsMinhash(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val cands = minhashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bands)
+      .select("id_a", "id_b").distinct()
+    exactJaccard(cands, df, idCol, textCol, shingleSize)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact all-pairs n-gram Jaccard (the verification baseline — quadratic; only for
+    * modest corpora or as ground truth in tests).
+    */
+  def allPairsJaccard(df: DataFrame, idCol: String, textCol: String, shingleSize: Int = 5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), charShingles(col(textCol), shingleSize).as("sh"))
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+  }
+
+  // ---------- SimHash ----------
+
+  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token hashes.
+    * Row-local; bit arithmetic via a tight Scala UDF (the per-row loop over 64 bits has
+    * no vectorizable Column form; the UDF is still one projection, no shuffle).
+    */
+  val simhash64: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (tokens: Seq[String]) =>
+      if (tokens == null || tokens.isEmpty) 0L
+      else {
+        val counts = new Array[Int](64)
+        tokens.foreach { t =>
+          var h = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c).toLong << 32
+          h |= (scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b).toLong & 0xffffffffL)
+          var i = 0
+          while (i < 64) { if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1; i += 1 }
+        }
+        var out = 0L
+        var i = 0
+        while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
+        out
+      }
+    }
+
+  def withSimhash(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame =
+    df.withColumn(out, simhash64(tokens(col(textCol))))
+
+  /** Near-dup pairs by SimHash: 4×16-bit band blocking (any identical band ⇒ candidate,
+    * guaranteeing recall for Hamming distance <= 3), then exact Hamming verify via
+    * bit_count(xor).
+    */
+  def nearDupPairsSimhash(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val hashed = withSimhash(df.select(col(idCol).as("id"), col(textCol)), textCol)
+    val banded = hashed.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"), shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bits"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val a = banded.select(col("band"), col("bits"), col("id").as("id_a"), col("simhash").as("h_a"))
+    val b = banded.select(col("band"), col("bits"), col("id").as("id_b"), col("simhash").as("h_b"))
+    a.join(b, Seq("band", "bits")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---------- embedding near-dup ----------
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Random-hyperplane LSH bucket id: sign bits of dot products with `planes`
+    * deterministic pseudo-random hyperplanes, packed into a long. Row-local.
+    */
+  def hyperplaneBucket(vec: Column, dim: Int, planes: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planeCols: Seq[Column] = (0 until planes).map { p =>
+      val plane = Array.fill(dim)(rnd.nextGaussian())
+      val dot = aggregate(
+        zip_with(vec, array(plane.map(lit): _*), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    planeCols.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** Embedding near-dup pairs: bucket by hyperplane signature, verify cosine within
+    * buckets. `planes` trades recall for bucket size (expected bucket fraction 2^-planes).
+    */
+  def nearDupPairsEmbedding(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double, planes: Int = 8): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      hyperplaneBucket(col(vecCol), dim, planes).as("bucket"))
+    val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, "bucket").filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+}

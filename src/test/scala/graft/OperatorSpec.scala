@@ -1,0 +1,151 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline operators: text functions, dedup family, similarity search, multimodal
+  * plumbing. Uses the real documents/embeddings corpus (has planted near-dups).
+  */
+class OperatorSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+  private lazy val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("text functions basics") {
+    import spark.implicits._
+    val df = Seq("The quick brown fox. It jumps!", "  a  b  ", "").toDF("t")
+    val r = df.select(
+      TextFunctions.tokenCount(col("t")).as("tc"),
+      TextFunctions.charShingles(col("t"), 3).as("sh"),
+      TextFunctions.punctRatio(col("t")).as("pr"),
+      TextFunctions.fingerprint(col("t")).as("fp")).collect()
+    assert(r(0).getAs[Int]("tc") == 6)
+    assert(r(1).getAs[Int]("tc") == 2)
+    assert(r(2).getAs[Int]("tc") == 0)
+    assert(r(0).getSeq[String](1).contains("qui"))
+    assert(r(0).getAs[Double]("pr") > 0.0)
+    // fingerprint invariant to whitespace runs
+    val fps = Seq("a  b", "a b", " a b ").toDF("t")
+      .select(TextFunctions.fingerprint(col("t"))).collect().map(_.getLong(0))
+    assert(fps.distinct.size == 1)
+  }
+
+  test("langId identifies marker-heavy text and CJK") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat and the dog is in the house that was big",
+      "der hund und die katze ist nicht von dem haus",
+      "le chat est dans la maison pour les enfants",
+      "el perro y el gato es en la casa por una razon",
+      "中文文本处理测试样例",
+      "zzz qqq xxx").toDF("t")
+    val langs = df.select(TextFunctions.langId(col("t"))).collect().map(_.getString(0))
+    assert(langs.toSeq == Seq("en", "de", "fr", "es", "zh", "und"))
+  }
+
+  test("exact dedup stats and row_number dedup") {
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "a"), (3, "b")).toDF("id", "k")
+    val stats = Dedup.exactDupStats(df, Seq("k")).head()
+    assert(stats.getLong(0) == 3 && stats.getLong(1) == 2 && stats.getLong(2) == 1)
+    val kept = Dedup.exactDedup(df, Seq("k"), tiebreaker = Some("id"))
+      .orderBy("id").collect().map(_.getInt(0)).toSeq
+    assert(kept == Seq(1, 3))
+  }
+
+  test("minhash LSH finds the same high-jaccard pairs as exact all-pairs") {
+    val threshold = 0.9
+    val exact = Dedup.allPairsJaccard(docs, "doc_id", "text", shingleSize = 5)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    val lsh = Dedup.nearDupPairsMinhash(docs, "doc_id", "text", threshold)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH must be a subset of exact (verification step) with full recall at j>=0.9
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
+  }
+
+  test("simhash flags near-identical token multisets") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val df = Seq(
+      (1L, base),
+      (2L, base.replace("token7", "tokenX")), // 1 of 40 tokens differs
+      (3L, (1 to 40).map(i => s"other$i").mkString(" "))).toDF("id", "text")
+    val pairs = Dedup.nearDupPairsSimhash(df, "id", "text", maxHamming = 12)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("embedding cosine + hyperplane buckets agree with brute force on planted pair") {
+    import spark.implicits._
+    val base = Array.fill(16)(1.0f)
+    val near = base.clone(); near(0) = 0.9f
+    val far = Array.fill(16)(-1.0f)
+    val df = Seq((1L, base.toSeq), (2L, near.toSeq), (3L, far.toSeq)).toDF("id", "v")
+    val pairs = Dedup.nearDupPairsEmbedding(df, "id", "v", dim = 16, threshold = 0.99, planes = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("brute-force topK matches within-bucket ANN on its candidates") {
+    val probe = embs.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toSeq
+    val top = Similarity.bruteForceTopK(embs.filter(col("vec_id") =!= 0), "vec_id", "embedding", probe, 5)
+      .collect()
+    assert(top.length == 5)
+    // descending cosine, and self-similarity of the probe is 1
+    val cos = top.map(_.getDouble(1)).toSeq
+    assert(cos == cos.sorted.reverse)
+    assert(cos.head < 1.0 && cos.head > 0.2)
+    val ann = Similarity.annTopK(embs, "vec_id", "embedding", probe, 5, planes = 4, multiProbeBits = 2)
+    val annIds = ann.collect().map(_.getLong(0)).toSet
+    assert(annIds.contains(0L)) // probe itself lives in its own bucket
+  }
+
+  test("ivf assignment puts every row in a valid cell") {
+    val centroids = Similarity.seedCentroids(embs, "vec_id", "embedding", 4)
+    assert(centroids.size == 4)
+    val assigned = Similarity.ivfAssign(embs, "embedding", centroids)
+    val cells = assigned.select("ivf_cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(cells.subsetOf((0 until 4).toSet) && cells.size > 1)
+  }
+
+  test("multimodal meta/features/frames plumbing") {
+    import spark.implicits._
+    val png = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte) ++ Array.fill(8192)(7.toByte)
+    val jpg = Array(0xFF.toByte, 0xD8.toByte) ++ Array.fill(100)(1.toByte)
+    val df = Seq((1L, png), (2L, jpg)).toDF("id", "bytes")
+    val meta = Multimodal.withMediaMeta(df, "bytes")
+    val formats = meta.select("media_meta.format").collect().map(_.getString(0)).toSeq
+    assert(formats == Seq("png", "jpeg"))
+    assert(meta.select("media_meta.size_bytes").collect().map(_.getLong(0)).toSeq == Seq(8196L, 102L))
+
+    val feats = Multimodal.withFeatures(df, "bytes", dim = 8)
+    val v = feats.select("features").head().getSeq[Float](0)
+    assert(v.size == 8 && v.exists(_ != 0.0f))
+    // determinism: same bytes → same features
+    val v2 = Multimodal.withFeatures(df, "bytes", dim = 8).select("features").head().getSeq[Float](0)
+    assert(v == v2)
+
+    val frames = Multimodal.explodeFrames(df, "bytes", everyNth = 1, maxFrames = 4)
+    assert(frames.filter(col("id") === 1).count() == 2) // 8196 bytes -> 2 4KiB frames
+    assert(frames.columns.contains("frame_idx") && frames.columns.contains("frame_bytes"))
+
+    val stats = Multimodal.mediaStats(df, "bytes").collect()
+    assert(stats.map(_.getString(0)).toSeq == Seq("jpeg", "png"))
+  }
+
+  test("quality score ranges and ordering") {
+    import spark.implicits._
+    val good = "This is a well formed paragraph of reasonable length with normal words and punctuation. " * 3
+    val bad = "!!!! ???? ;;;; @@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( ))))"
+    val df = Seq(good, bad).toDF("t")
+    val scores = df.select(TextFunctions.qualityScore(col("t"))).collect().map(_.getDouble(0))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(1))
+  }
+}
