@@ -421,6 +421,26 @@ object Queries {
              |   (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(pe, pe))) DESC, vec_id
              | LIMIT 10""".stripMargin.replaceAll("\n", " "))),
 
+    // Three-pass column profiler output for customer.c_acctbal (oracle-checkable
+    // subset: exact counts + moments; the approx-distinct sketch value is excluded).
+    QueryDef("profile_customer_acctbal",
+      (s, d) => {
+        val p = new graft.analyzers.ColumnProfiler().profile(t(s, d, "customer"), Seq("c_acctbal"))("c_acctbal")
+        val n = p.numeric.get
+        import s.implicits._
+        Seq((p.totalCount, p.nullCount,
+          BigDecimal(p.completeness).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(n.min).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(n.max).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(n.mean).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          .toDF("total", "nulls", "completeness", "min_v", "max_v", "mean_v")
+      },
+      Some("""SELECT count(*) AS total, count(*) - count(c_acctbal) AS nulls,
+             | round(CAST(count(c_acctbal) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS completeness,
+             | round(min(c_acctbal), 2) AS min_v, round(max(c_acctbal), 2) AS max_v,
+             | round(avg(c_acctbal), 4) AS mean_v
+             | FROM customer""".stripMargin.replaceAll("\n", " "))),
+
     // Composite quality score distribution (rows-only: heuristic composite).
     QueryDef("quality_scores_documents",
       (s, d) => t(s, d, "documents").agg(

@@ -1,0 +1,157 @@
+package graft.analyzers
+
+import graft.core.{Histogram, HistogramBucket}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column profile (reference: term-guard/src/analyzers/profiler.rs:1-250). */
+final case class ColumnProfile(
+    column: String,
+    sparkType: String,
+    completeness: Double,
+    approxDistinct: Long,
+    distinctness: Double,
+    nullCount: Long,
+    totalCount: Long,
+    numeric: Option[NumericProfile],
+    string: Option[StringProfile],
+    histogram: Option[Histogram],
+    inferredType: Option[TypeInference.Inferred])
+
+final case class NumericProfile(
+    min: Double, max: Double, mean: Double, stddev: Double,
+    quantiles: Map[Double, Double])
+
+final case class StringProfile(minLength: Int, maxLength: Int, avgLength: Double)
+
+final case class ProfilerConfig(
+    histogramMaxDistinct: Long = 100,
+    quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99),
+    typeInferenceSampleRows: Int = 1000)
+
+/** Three-pass profiler mirroring the reference's structure (profiler.rs:230-250), with
+  * pass 1 batched across ALL columns in one scan:
+  *  1. basic stats for every column in a single aggregation;
+  *  2. categorical histograms only for columns whose approx cardinality permits;
+  *  3. quantiles for all numeric columns in one aggregation.
+  */
+final class ColumnProfiler(config: ProfilerConfig = ProfilerConfig()) {
+
+  def profile(df: DataFrame, columns: Seq[String] = Nil): Map[String, ColumnProfile] = {
+    val targets = if (columns.nonEmpty) columns else df.columns.toSeq
+    val schema = df.schema.fields.map(f => f.name -> f.dataType).toMap
+
+    def isNumeric(t: DataType) = t.isInstanceOf[NumericType]
+    def isString(t: DataType) = t == StringType
+
+    // ---- pass 1: one agg for all basic stats ----
+    val aggs = scala.collection.mutable.ArrayBuffer.empty[Column]
+    val index = scala.collection.mutable.Map.empty[(String, String), Int]
+    def slot(c: String, what: String, expr: Column): Unit = {
+      index((c, what)) = aggs.size; aggs += expr
+    }
+    targets.foreach { c =>
+      slot(c, "total", count(lit(1)))
+      slot(c, "nonNull", count(col(c)))
+      slot(c, "approxDistinct", approx_count_distinct(col(c), 0.01))
+      val t = schema(c)
+      if (isNumeric(t)) {
+        slot(c, "min", min(col(c)).cast("double"))
+        slot(c, "max", max(col(c)).cast("double"))
+        slot(c, "mean", avg(col(c)))
+        slot(c, "stddev", stddev_samp(col(c)))
+      }
+      if (isString(t)) {
+        slot(c, "minLen", min(length(col(c))))
+        slot(c, "maxLen", max(length(col(c))))
+        slot(c, "avgLen", avg(length(col(c))))
+      }
+    }
+    val aliased = aggs.zipWithIndex.map { case (c, i) => c.as(s"p$i") }
+    val row = df.agg(aliased.head, aliased.drop(1).toSeq: _*).head()
+    def get(c: String, what: String): Option[Any] =
+      index.get((c, what)).map(row.get).filter(_ != null)
+    def getD(c: String, what: String): Option[Double] =
+      get(c, what).flatMap(graft.core.Num.toDouble)
+    def getL(c: String, what: String): Option[Long] =
+      get(c, what).flatMap(graft.core.Num.toLong)
+
+    // ---- pass 3 (batched): quantiles for all numeric columns in one agg ----
+    val numericCols = targets.filter(c => isNumeric(schema(c)))
+    val quantileMap: Map[String, Map[Double, Double]] =
+      if (numericCols.isEmpty) Map.empty
+      else {
+        val qCols = numericCols.map(c =>
+          percentile_approx(col(c), array(config.quantiles.map(lit): _*), lit(10000)).as(s"q_$c"))
+        val qRow = df.agg(qCols.head, qCols.drop(1): _*).head()
+        numericCols.zipWithIndex.map { case (c, i) =>
+          val arr = Option(qRow.get(i)).map(_.asInstanceOf[scala.collection.Seq[Any]]).getOrElse(Nil)
+          c -> config.quantiles.zip(arr.flatMap(graft.core.Num.toDouble)).toMap
+        }.toMap
+      }
+
+    targets.map { c =>
+      val total = getL(c, "total").getOrElse(0L)
+      val nonNull = getL(c, "nonNull").getOrElse(0L)
+      val approxDistinct = getL(c, "approxDistinct").getOrElse(0L)
+      // ---- pass 2: histogram only when cardinality is bounded ----
+      val histogram =
+        if (approxDistinct > 0 && approxDistinct <= config.histogramMaxDistinct && nonNull > 0) {
+          val buckets = df.filter(col(c).isNotNull)
+            .groupBy(col(c).cast("string").as("v")).count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          Some(Histogram(
+            buckets.map { case (v, n) => v -> HistogramBucket(n, n.toDouble / total) },
+            total, buckets.size.toLong, total - nonNull))
+        } else None
+      val inferred =
+        if (schema(c) == StringType)
+          Some(TypeInference.infer(df, c, config.typeInferenceSampleRows))
+        else None
+      c -> ColumnProfile(
+        column = c,
+        sparkType = schema(c).simpleString,
+        completeness = if (total == 0) 0.0 else nonNull.toDouble / total,
+        approxDistinct = approxDistinct,
+        distinctness = if (nonNull == 0) 0.0 else approxDistinct.toDouble / nonNull,
+        nullCount = total - nonNull,
+        totalCount = total,
+        numeric = if (isNumeric(schema(c)))
+          Some(NumericProfile(
+            getD(c, "min").getOrElse(Double.NaN), getD(c, "max").getOrElse(Double.NaN),
+            getD(c, "mean").getOrElse(Double.NaN), getD(c, "stddev").getOrElse(Double.NaN),
+            quantileMap.getOrElse(c, Map.empty)))
+        else None,
+        string = if (isString(schema(c)))
+          Some(StringProfile(
+            getL(c, "minLen").map(_.toInt).getOrElse(0),
+            getL(c, "maxLen").map(_.toInt).getOrElse(0),
+            getD(c, "avgLen").getOrElse(0.0)))
+        else None,
+        histogram = histogram,
+        inferredType = inferred)
+    }.toMap
+  }
+}
+
+/** Sample-based value-level type inference with confidence
+  * (reference: analyzers/inference.rs:48-225).
+  */
+object TypeInference {
+  final case class Inferred(dataType: String, confidence: Double,
+      distribution: Map[String, Long])
+
+  def infer(df: DataFrame, column: String, sampleRows: Int = 1000): Inferred = {
+    val sample = df.select(col(column)).filter(col(column).isNotNull).limit(sampleRows)
+    val cls = graft.constraints.InferredType.classifier(column)
+    val counts = sample.groupBy(cls.as("t")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nonNull = counts.filter(_._1 != "null").values.sum
+    if (nonNull == 0) Inferred("unknown", 0.0, counts)
+    else {
+      val (t, n) = counts.filter(_._1 != "null").maxBy(_._2)
+      Inferred(t, n.toDouble / nonNull, counts)
+    }
+  }
+}

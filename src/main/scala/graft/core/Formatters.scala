@@ -1,0 +1,68 @@
+package graft.core
+
+/** Report rendering (reference: term-guard/src/formatters.rs): human text and JSON. */
+object Formatters {
+
+  def text(report: ValidationReport): String = {
+    val sb = new StringBuilder
+    sb.append(s"Validation suite: ${report.suiteName} — ")
+      .append(if (report.isSuccess) "PASSED" else "FAILED").append('\n')
+    sb.append(s"  constraints: ${report.metrics.totalConstraints}  " +
+      s"passed: ${report.metrics.passed}  failed: ${report.metrics.failed}  " +
+      s"skipped: ${report.metrics.skipped}  (${report.metrics.durationMillis} ms)\n")
+    report.checkResults.foreach { cr =>
+      sb.append(s"  [${cr.check.level}] ${cr.check.description}: ")
+        .append(if (cr.passed) "ok" else "FAILED").append('\n')
+      cr.constraintResults.foreach { r =>
+        val mark = r.status match {
+          case ConstraintStatus.Success => "+"
+          case ConstraintStatus.Failure => "x"
+          case ConstraintStatus.Skipped => "-"
+        }
+        sb.append(s"    $mark ${r.constraint}")
+        r.metric.flatMap(_.asDouble).foreach(v => sb.append(f" = $v%.6g"))
+        if (r.message.nonEmpty) sb.append(s"  (${r.message})")
+        sb.append('\n')
+      }
+    }
+    sb.toString
+  }
+
+  def json(report: ValidationReport): String = {
+    def q(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def metricJson(m: MetricValue): String = m match {
+      case MetricValue.DoubleMetric(v) => if (v.isNaN || v.isInfinite) "null" else v.toString
+      case MetricValue.LongMetric(v) => v.toString
+      case MetricValue.StringMetric(v) => q(v)
+      case MetricValue.BooleanMetric(v) => v.toString
+      case MetricValue.VectorMetric(v) => v.mkString("[", ",", "]")
+      case MetricValue.HistogramMetric(h) =>
+        h.buckets.toSeq.sortBy(-_._2.count).map { case (k, b) =>
+          s"${q(k)}:{" + s""""count":${b.count},"ratio":${b.ratio}}""" }
+          .mkString("{", ",", "}")
+      case MetricValue.MapMetric(m2) =>
+        m2.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}:${metricJson(v)}" }
+          .mkString("{", ",", "}")
+    }
+    val checks = report.checkResults.map { cr =>
+      val rs = cr.constraintResults.map { r =>
+        s"""{"constraint":${q(r.constraint)},"status":${q(r.status.toString)},""" +
+          s""""metric":${r.metric.map(metricJson).getOrElse("null")},"message":${q(r.message)}}"""
+      }.mkString("[", ",", "]")
+      s"""{"check":${q(cr.check.description)},"level":${q(cr.check.level.toString)},""" +
+        s""""passed":${cr.passed},"results":$rs}"""
+    }.mkString("[", ",", "]")
+    s"""{"suite":${q(report.suiteName)},"success":${report.isSuccess},""" +
+      s""""metrics":{"total":${report.metrics.totalConstraints},"passed":${report.metrics.passed},""" +
+      s""""failed":${report.metrics.failed},"skipped":${report.metrics.skipped},""" +
+      s""""duration_ms":${report.metrics.durationMillis}},"checks":$checks}"""
+  }
+}

@@ -1,0 +1,95 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Source registration helpers (reference: the term-guard/src/sources directory).
+  *
+  * Thin by design: Spark's readers already cover every reference source —
+  * CSV/Parquet/JSON natively, databases via JDBC, object stores via s3a://, gs://,
+  * abfss:// path schemes plus Hadoop configuration. These helpers keep the reference's
+  * ergonomics (option bundles, multi-path, table registration) without hiding the
+  * underlying reader.
+  */
+object Sources {
+
+  final case class CsvOptions(
+      header: Boolean = true,
+      delimiter: String = ",",
+      inferSchema: Boolean = true,
+      nullValue: String = "",
+      extra: Map[String, String] = Map.empty)
+
+  /** reference: sources/csv.rs:76-272 (single path, path list, glob all work). */
+  def csv(spark: SparkSession, paths: Seq[String], options: CsvOptions = CsvOptions()): DataFrame =
+    spark.read
+      .option("header", options.header.toString)
+      .option("sep", options.delimiter)
+      .option("inferSchema", options.inferSchema.toString)
+      .option("nullValue", options.nullValue)
+      .options(options.extra)
+      .csv(paths: _*)
+
+  /** reference: sources/parquet.rs:65-172. */
+  def parquet(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.parquet(paths: _*)
+
+  /** NDJSON or JSON-array, sniffed like the reference (sources/json.rs:17-237):
+    * multiLine handles whole-file JSON arrays.
+    */
+  def json(spark: SparkSession, paths: Seq[String], jsonArray: Boolean = false): DataFrame =
+    spark.read.option("multiLine", jsonArray.toString).json(paths: _*)
+
+  /** reference: sources/database.rs (Postgres/MySQL/SQLite via DatabaseConfig). */
+  final case class JdbcConfig(
+      url: String, table: String,
+      user: Option[String] = None, password: Option[String] = None,
+      driver: Option[String] = None,
+      partitionColumn: Option[String] = None,
+      numPartitions: Option[Int] = None,
+      lowerBound: Option[Long] = None, upperBound: Option[Long] = None)
+
+  def jdbc(spark: SparkSession, cfg: JdbcConfig): DataFrame = {
+    var r = spark.read.format("jdbc")
+      .option("url", cfg.url)
+      .option("dbtable", cfg.table)
+    cfg.user.foreach(u => r = r.option("user", u))
+    cfg.password.foreach(p => r = r.option("password", p))
+    cfg.driver.foreach(d => r = r.option("driver", d))
+    // Partitioned reads are what make JDBC ingestion scale: without bounds the whole
+    // table arrives through one connection.
+    (cfg.partitionColumn, cfg.numPartitions, cfg.lowerBound, cfg.upperBound) match {
+      case (Some(c), Some(n), Some(lo), Some(hi)) =>
+        r = r.option("partitionColumn", c).option("numPartitions", n.toString)
+          .option("lowerBound", lo.toString).option("upperBound", hi.toString)
+      case _ => ()
+    }
+    r.load()
+  }
+
+  /** Object stores (reference: sources/cloud.rs:30-250): same parquet/csv/json readers
+    * over s3a://, gs://, abfss:// paths; credentials land in hadoopConfiguration.
+    */
+  def withS3Credentials(spark: SparkSession, accessKey: String, secretKey: String,
+      endpoint: Option[String] = None): SparkSession = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.access.key", accessKey)
+    hc.set("fs.s3a.secret.key", secretKey)
+    endpoint.foreach(hc.set("fs.s3a.endpoint", _))
+    spark
+  }
+
+  /** Joined view used as the table under validation
+    * (reference: sources/joined.rs:37-210 — Inner/Left/Right/Full).
+    */
+  def joined(left: DataFrame, right: DataFrame,
+      joinExprs: org.apache.spark.sql.Column, joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left", "right", "full", "left_outer", "right_outer", "full_outer")
+      .contains(joinType), s"unsupported join type $joinType")
+    left.join(right, joinExprs, joinType)
+  }
+
+  /** Register for SQL access under a name (the reference's table-registration model). */
+  def register(df: DataFrame, name: String): DataFrame = {
+    df.createOrReplaceTempView(name); df
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.analyzers._
+import graft.core._
+import org.apache.spark.sql.functions._
+
+class ProfilerSpec extends SparkSpec {
+
+  private lazy val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").cache()
+
+  test("profiler: basic stats, numeric, string, histogram") {
+    val profiles = new ColumnProfiler().profile(orders)
+    val pk = profiles("o_orderkey")
+    assert(pk.completeness == 1.0)
+    assert(pk.totalCount == 1500)
+    assert(pk.distinctness > 0.9)
+    assert(pk.numeric.isDefined)
+
+    val status = profiles("o_orderstatus")
+    assert(status.histogram.isDefined, "low-cardinality column should get a histogram")
+    assert(status.histogram.get.buckets.keySet == Set("O", "F", "P"))
+    assert(status.string.exists(_.maxLength == 1))
+
+    val price = profiles("o_totalprice")
+    val n = price.numeric.get
+    assert(n.min > 0 && n.max > n.min && n.quantiles.contains(0.5))
+    assert(n.quantiles(0.5) > n.min && n.quantiles(0.5) < n.max)
+  }
+
+  test("type inference on stringified numerics") {
+    import spark.implicits._
+    val df = Seq("1", "2", "3", "4.5", "x").toDF("c")
+    val inf = TypeInference.infer(df, "c")
+    assert(inf.dataType == "integer")
+    assert(math.abs(inf.confidence - 0.6) < 1e-9)
+  }
+
+  test("suggestion engine produces runnable constraints that pass on the profiled data") {
+    val suggestions = new SuggestionEngine().suggest(orders)
+    assert(suggestions.nonEmpty)
+    val rules = suggestions.map(_.rule).toSet
+    assert(rules.contains("completeness") && rules.contains("containment"))
+    // key suggestion present for o_orderkey
+    assert(suggestions.exists(s => s.column == "o_orderkey" && s.rule == "uniqueness"))
+    // every suggested constraint must pass on the data it was derived from
+    val check = new SuggestionEngine().suggestionsToCheck(suggestions)
+    val report = ValidationSuite("suggested", Seq(check)).run(orders)
+    val failures = report.allResults.filter(_.isFailure)
+    assert(failures.isEmpty, failures.map(_.constraint).mkString(", "))
+  }
+
+  test("schema analyzer finds the o_custkey -> c_custkey foreign key") {
+    val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val cands = new SchemaAnalyzer().suggestForeignKeys(Map(
+      "orders" -> orders, "customer" -> customer))
+    assert(cands.exists(c =>
+      c.childTable == "orders" && c.childColumn == "o_custkey" &&
+        c.parentTable == "customer" && c.parentColumn == "c_custkey" && c.overlap == 1.0),
+      cands.mkString("; "))
+  }
+
+  test("formatters render text and valid-ish json") {
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, null)).toDF("id", "s")
+    val report = ValidationSuite.builder("fmt")
+      .check(CheckBuilder("c", Level.Error)
+        .hasSize(Assertion.Equals(2))
+        .isComplete("s")
+        .build())
+      .build().run(df)
+    val txt = Formatters.text(report)
+    assert(txt.contains("FAILED") && txt.contains("Completeness(s)"))
+    val js = Formatters.json(report)
+    assert(js.contains("\"success\":false"))
+    // driver-side sanity: parses as JSON via Spark's own parser
+    val parsed = spark.read.json(Seq(js).toDS())
+    assert(parsed.columns.contains("checks"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.analyzers._
+import graft.core._
+import graft.streaming.StreamingAnalysis
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  test("incremental sink folds micro-batches into cumulative metrics") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Double)]
+    val store = new InMemoryStateStore
+    val runner = new IncrementalAnalysisRunner(store,
+      Seq(SizeAnalyzer(), MeanAnalyzer("x")))
+    val seen = scala.collection.mutable.Map.empty[Long, Map[String, MetricValue]]
+
+    val q = StreamingAnalysis.incrementalSink(
+      input.toDF().toDF("id", "x"), runner,
+      (bid, m) => seen.synchronized { seen(bid) = m })
+      .start()
+    try {
+      input.addData((1L, 10.0), (2L, 20.0))
+      q.processAllAvailable()
+      input.addData((3L, 60.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val last = seen(seen.keys.max)
+    assert(last("size.*").asDouble.get == 3.0)
+    assert(math.abs(last("mean.x").asDouble.get - 30.0) < 1e-9)
+    // states persisted per batch + cumulative
+    assert(store.listPartitions("size.*").size == 3) // 2 batches + __cumulative__
+  }
+
+  test("windowed quality emits per-window completeness") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Option[Double])]
+    val stream = StreamingAnalysis.windowedQuality(
+      input.toDF().toDF("ts", "v"), "ts", "10 minutes", "1 minute", Seq("v"))
+    val q = stream.writeStream.format("memory").queryName("wq").outputMode("append").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData((ts(1), Some(1.0)), (ts(2), None), (ts(3), Some(3.0)), (ts(4), Some(4.0)))
+      q.processAllAvailable()
+      // advance the watermark far enough to close the 10:00 window
+      input.addData((ts(25), Some(9.0)))
+      q.processAllAvailable()
+      input.addData((ts(40), Some(9.0)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT row_count, non_null_v, completeness_v FROM wq").collect()
+      assert(rows.nonEmpty, "closed window should have been emitted")
+      val r = rows.head
+      assert(r.getLong(0) == 4 && r.getLong(1) == 3 && math.abs(r.getDouble(2) - 0.75) < 1e-12)
+    } finally q.stop()
+  }
+
+  test("constraint sink evaluates batchable constraints per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[ConstraintResult])]
+    val q = StreamingAnalysis.constraintSink(
+      input.toDF().toDF("id", "status"),
+      Seq(graft.constraints.SizeConstraint(Assertion.GreaterThan(0)),
+        graft.constraints.ComplianceConstraint.containedIn("status", Seq("ok", "warn"))),
+      (bid, rs) => results.synchronized { results += bid -> rs })
+      .start()
+    try {
+      input.addData((1L, "ok"), (2L, "bad"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rs = results.head._2
+    assert(rs.head.isSuccess)
+    assert(rs(1).isFailure) // "bad" not contained
+  }
+}
