@@ -1,24 +1,81 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-round benchmark (driver contract): one JSON line with per-query seconds plus the
+  * headline suite metric matching BASELINE.md — a 20-constraint suite over lineitem
+  * (README example mix: size/completeness/uniqueness/format/statistics), executed as
+  * batched single-scan aggregations on a warm session. Reference: 1M rows / 20
+  * constraints / 0.21 s optimized (README.md:272-277).
+  */
 object Bench {
+
+  /** The 20-constraint benchmark suite (mirrors the reference README's optimized demo). */
+  def suite20(lineitem: DataFrame): ValidationReport = {
+    val check = CheckBuilder("lineitem bench", Level.Error)
+      .hasSize(Assertion.GreaterThan(0))                                     // 1
+      .isComplete("l_orderkey")                                              // 2
+      .isComplete("l_partkey")                                               // 3
+      .isComplete("l_suppkey")                                               // 4
+      .isComplete("l_quantity")                                              // 5
+      .isComplete("l_extendedprice")                                         // 6
+      .hasCompleteness("l_discount", Assertion.GreaterThanOrEqual(0.99))     // 7
+      .hasCompleteness("l_tax", Assertion.GreaterThanOrEqual(0.99))          // 8
+      .isContainedIn("l_returnflag", Seq("A", "N", "R"))                     // 9
+      .isContainedIn("l_linestatus", Seq("O", "F"))                          // 10
+      .hasMin("l_quantity", Assertion.GreaterThanOrEqual(0))                 // 11
+      .hasMax("l_quantity", Assertion.LessThanOrEqual(100))                  // 12
+      .hasMean("l_discount", Assertion.Between(0.0, 0.2))                    // 13
+      .hasSum("l_extendedprice", Assertion.GreaterThan(0))                   // 14
+      .hasStandardDeviation("l_extendedprice", Assertion.GreaterThan(0))     // 15
+      .hasMin("l_extendedprice", Assertion.GreaterThanOrEqual(0))            // 16
+      .hasMax("l_tax", Assertion.LessThanOrEqual(1.0))                       // 17
+      .hasPattern("l_returnflag", "^[ANR]$")                                 // 18
+      .satisfies("l_discount >= 0 AND l_discount <= 0.5", "discount sane")   // 19
+      .hasApproxCountDistinct("l_partkey", Assertion.GreaterThan(0))         // 20
+      .build()
+    ValidationSuite("bench20", Seq(check)).run(lineitem)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def secs(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- headline: 20-constraint suite over lineitem, cold then warm ----
+    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val coldSec = secs { require(suite20(lineitem).metrics.totalConstraints == 20) }
+    val warmRuns = (1 to 5).map(_ => secs { suite20(lineitem) })
+    val warmSec = warmRuns.sorted.apply(warmRuns.size / 2) // median
+
+    // cached-input variant (closest analog to the reference's in-memory Arrow run)
+    val cached = lineitem.cache()
+    cached.count()
+    val cachedRuns = (1 to 5).map(_ => secs { suite20(cached) })
+    val cachedSec = cachedRuns.sorted.apply(cachedRuns.size / 2)
+    cached.unpersist()
+
+    // ---- per-query timings (single run each, warm session) ----
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t = secs { try { fn(spark, sfDir).count() } catch { case _: Throwable => () } }
+      name -> t
+    }
+
+    val qs = (results ++ Seq(
+      "suite20_cold" -> coldSec, "suite20_warm" -> warmSec, "suite20_cached" -> cachedSec))
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"suite20_warm_sec","value":$warmSec,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

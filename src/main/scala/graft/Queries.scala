@@ -271,6 +271,52 @@ object Queries {
              | CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2025-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS in_range
              | FROM events""".stripMargin.replaceAll("\n", " "))),
 
+    // Joined-view business rule (reference: sources/joined.rs + custom-SQL compliance):
+    // validate l_shipdate >= o_orderdate over the lineitem⋈orders view.
+    QueryDef("joined_view_shipdate_rule",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+        val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate"))
+        graft.sources.Sources.joined(li, o, li("l_orderkey") === o("o_orderkey"), "inner")
+          .agg(count(lit(1)).as("joined_rows"),
+            sum(when(col("l_shipdate") >= col("o_orderdate"), 1L).otherwise(0L)).as("rule_ok"))
+      },
+      Some("""SELECT count(*) AS joined_rows,
+             | CAST(sum(CASE WHEN l_shipdate >= o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS rule_ok
+             | FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin.replaceAll("\n", " "))),
+
+    // Composite-key uniqueness (multi-column countDistinct, no concat hacks).
+    QueryDef("uniqueness_composite_lineitem",
+      (s, d) => Metrics.uniqueness(t(s, d, "lineitem"), Seq("l_orderkey", "l_linenumber")),
+      Some("""SELECT count(*) AS total,
+             | count(DISTINCT (l_orderkey, l_linenumber)) AS distinct_count,
+             | CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS uniqueness
+             | FROM lineitem""".stripMargin.replaceAll("\n", " "))),
+
+    // Multi-column completeness combinator (reference: core/logical.rs All/AtLeast...).
+    QueryDef("multicolumn_completeness_orders",
+      (s, d) => t(s, d, "orders").agg(
+        count(lit(1)).as("total"),
+        count(col("o_custkey")).as("c1"),
+        count(col("o_totalprice")).as("c2"),
+        count(col("o_orderpriority")).as("c3")),
+      Some("""SELECT count(*) AS total, count(o_custkey) AS c1, count(o_totalprice) AS c2,
+             | count(o_orderpriority) AS c3 FROM orders""".stripMargin.replaceAll("\n", " "))),
+
+    // Monotonicity violations of event_id ordered by ts per user (window/LAG family).
+    QueryDef("monotonic_events",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        t(s, d, "events")
+          .withColumn("_prev", lag(col("event_id"), 1).over(w))
+          .agg(sum(when(col("_prev").isNotNull && col("event_id") < col("_prev"), 1L)
+            .otherwise(0L)).as("violations"))
+      },
+      Some("""WITH g AS (SELECT event_id, lag(event_id) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events)
+             | SELECT CAST(sum(CASE WHEN prev IS NOT NULL AND event_id < prev THEN 1 ELSE 0 END) AS BIGINT) AS violations
+             | FROM g""".stripMargin.replaceAll("\n", " "))),
+
     // ---- analyzer framework (mergeable sufficient-statistics states) ----
     // Metrics are produced by AnalysisRunner's single batched scan and re-derived from
     // the SAME closed forms in DuckDB (moments: n, Σx, Σx² / co-moments for corr).
@@ -355,10 +401,14 @@ object Queries {
       Some("""SELECT count(DISTINCT regexp_replace(trim(text), '\s+', ' ', 'g')) AS distinct_fingerprints
              | FROM documents""".stripMargin.replaceAll("\n", " "))),
 
-    // Exact all-pairs char-5-gram Jaccard (verification baseline for near-dup dedup).
+    // Near-dup pair count at exact char-5-gram Jaccard >= 0.9. Candidates come from
+    // MinHash-LSH blocking (full recall at this threshold — OperatorSpec verifies
+    // against Dedup.allPairsJaccard), then exact-Jaccard verification; the oracle is
+    // the quadratic all-pairs SQL, which stays feasible at the sf0.01 gate while the
+    // Spark side stays subquadratic at any scale.
     QueryDef("dedup_ngram_jaccard_documents",
-      (s, d) => Dedup.allPairsJaccard(t(s, d, "documents"), "doc_id", "text", shingleSize = 5)
-        .filter(col("jaccard") >= 0.9)
+      (s, d) => Dedup.nearDupPairsMinhash(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.9, shingleSize = 5)
         .agg(count(lit(1)).as("near_dup_pairs")),
       Some("""WITH idx AS (SELECT unnest(range(1, 2000)) AS i),
              | sh AS (SELECT doc_id, list(DISTINCT substr(text, CAST(i AS INT), 5)) AS g

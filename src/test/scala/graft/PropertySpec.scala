@@ -1,0 +1,134 @@
+package graft
+
+import graft.constraints._
+import graft.core._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based layer mirroring the reference's proptest suite
+  * (term-guard/tests/property_tests.rs): generate data with controlled null fraction /
+  * value ranges, compute the expected metric independently in Scala, compare.
+  * Drives ScalaCheck Gen directly with fixed seeds (deterministic, no scalatestplus
+  * bridge needed in this offline environment).
+  */
+class PropertySpec extends SparkSpec {
+
+  private val Cases = 8
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    (1 to Cases).foreach { i =>
+      f(g.apply(Gen.Parameters.default.withSize(40), Seed(1000L + i))
+        .getOrElse(sys.error("gen failed")))
+    }
+  private def forAll[A, B, C](g1: Gen[A], g2: Gen[B], g3: Gen[C])(f: (A, B, C) => Unit): Unit =
+    (1 to Cases).foreach { i =>
+      def s(k: Int) = Seed(2000L + i * 3 + k)
+      val p = Gen.Parameters.default.withSize(40)
+      f(g1.apply(p, s(0)).getOrElse(sys.error("gen failed")),
+        g2.apply(p, s(1)).getOrElse(sys.error("gen failed")),
+        g3.apply(p, s(2)).getOrElse(sys.error("gen failed")))
+    }
+  private def whenever(cond: Boolean)(f: => Unit): Unit = if (cond) f
+
+  private val rowsGen = for {
+    n <- Gen.choose(1, 120)
+    nullEvery <- Gen.choose(2, 10)
+    base <- Gen.choose(-1000, 1000)
+  } yield (1 to n).map { i =>
+    (i.toLong, if (i % nullEvery == 0) None else Some((base + i).toDouble))
+  }
+
+  test("completeness matches independent computation") {
+    forAll(rowsGen) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("id", "v")
+      val expected = rows.count(_._2.isDefined).toDouble / rows.size
+      val r = CompletenessConstraint("v", Assertion.Equals(expected)).evaluate(df)
+      assert(r.status == ConstraintStatus.Success, s"$r expected=$expected")
+    }
+  }
+
+  test("size / min / max / sum / mean match independent computation") {
+    forAll(rowsGen) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("id", "v")
+      val vs = rows.flatMap(_._2)
+      assert(SizeConstraint(Assertion.Equals(rows.size)).evaluate(df).isSuccess)
+      if (vs.nonEmpty) {
+        assert(StatisticConstraint("v", Stat.Min, Assertion.Equals(vs.min)).evaluate(df).isSuccess)
+        assert(StatisticConstraint("v", Stat.Max, Assertion.Equals(vs.max)).evaluate(df).isSuccess)
+        assert(StatisticConstraint("v", Stat.Sum, Assertion.Equals(vs.sum)).evaluate(df).isSuccess)
+        val mean = vs.sum / vs.size
+        assert(StatisticConstraint("v", Stat.Mean,
+          Assertion.Between(mean - 1e-9, mean + 1e-9)).evaluate(df).isSuccess)
+      }
+    }
+  }
+
+  test("stddev (n-1) matches independent computation") {
+    forAll(rowsGen) { rows =>
+      import spark.implicits._
+      val vs = rows.flatMap(_._2)
+      whenever(vs.size >= 2) {
+        val df = rows.toDF("id", "v")
+        val mean = vs.sum / vs.size
+        val sd = math.sqrt(vs.map(x => (x - mean) * (x - mean)).sum / (vs.size - 1))
+        val r = StatisticConstraint("v", Stat.StdDev,
+          Assertion.Between(sd - 1e-6, sd + 1e-6)).evaluate(df)
+        assert(r.isSuccess, s"$r expected=$sd")
+      }
+    }
+  }
+
+  test("uniqueness and distinctness match independent computation") {
+    val dupGen = for {
+      n <- Gen.choose(1, 80)
+      mod <- Gen.choose(1, 20)
+    } yield (1 to n).map(i => (i.toLong, (i % mod).toString))
+    forAll(dupGen) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("id", "k")
+      val distinct = rows.map(_._2).distinct.size.toDouble
+      val u = UniquenessConstraint(Seq("k"), Assertion.Equals(distinct / rows.size)).evaluate(df)
+      assert(u.isSuccess, u.message)
+      val d = DistinctnessConstraint(Seq("k"), Assertion.Equals(distinct / rows.size)).evaluate(df)
+      assert(d.isSuccess, d.message)
+    }
+  }
+
+  test("pattern-match ratio matches independent computation") {
+    val strGen = for {
+      n <- Gen.choose(1, 60)
+      matchEvery <- Gen.choose(1, 5)
+    } yield (1 to n).map(i => if (i % matchEvery == 0) s"AB$i" else s"x$i")
+    forAll(strGen) { values =>
+      import spark.implicits._
+      val df = values.toDF("s")
+      val expected = values.count(_.startsWith("AB")).toDouble / values.size
+      val r = PatternConstraint("s", "^AB", Assertion.Equals(expected)).evaluate(df)
+      assert(r.isSuccess, s"$r expected=$expected")
+    }
+  }
+
+  test("analyzer merge associativity: merge(a, merge(b, c)) == merge(merge(a, b), c)") {
+    import graft.analyzers._
+    forAll(rowsGen, rowsGen, rowsGen) { (r1, r2, r3) =>
+      import spark.implicits._
+      val (d1, d2, d3) = (r1.toDF("id", "v"), r2.toDF("id", "v"), r3.toDF("id", "v"))
+      Seq(MeanAnalyzer("v"), StdDevAnalyzer("v"), CompletenessAnalyzer("v")).foreach { a =>
+        val (s1, s2, s3) = (a.computeState(d1), a.computeState(d2), a.computeState(d3))
+        val left = a.metricFromAnyState(a.mergeAnyStates(a.mergeAnyStates(s1, s2), s3)).asDouble.get
+        val right = a.metricFromAnyState(a.mergeAnyStates(s1, a.mergeAnyStates(s2, s3))).asDouble.get
+        assert((left.isNaN && right.isNaN) || math.abs(left - right) < 1e-9, a.key)
+      }
+    }
+  }
+
+  test("empty input: aggregate constraints skip, size succeeds at zero") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Option[Double])].toDF("id", "v")
+    assert(SizeConstraint(Assertion.Equals(0)).evaluate(empty).isSuccess)
+    assert(CompletenessConstraint("v", Assertion.Equals(1.0)).evaluate(empty).status == ConstraintStatus.Skipped)
+    assert(StatisticConstraint("v", Stat.Mean, Assertion.Equals(0)).evaluate(empty).status == ConstraintStatus.Skipped)
+    assert(UniquenessConstraint(Seq("v")).evaluate(empty).status == ConstraintStatus.Skipped)
+  }
+}
