@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** DataFrame-returning metric computations — the query surface of the engine.
@@ -111,6 +111,31 @@ object Metrics {
     covered.crossJoin(total)
       .select(col("covered"), col("total"),
         (col("covered").cast("double") / col("total").cast("double")).as("coverage"))
+  }
+
+  /** Equal-width numeric histogram (reference: analyzers/advanced/histogram.rs:184-300,
+    * which CASE-buckets numeric values). Two scans: a min/max pass, then a bucketed
+    * groupBy whose cardinality is exactly `numBuckets` — no unbounded shuffle regardless
+    * of the column's value cardinality, which is what makes this the 100 TB-safe shape
+    * for continuous columns (the categorical [[histogram]] would shuffle every distinct
+    * value). Max value lands in the top bucket (reference behavior).
+    */
+  def numericHistogram(df: DataFrame, c: String, numBuckets: Int = 10): DataFrame = {
+    val Row(minV: Double, maxV: Double) = df
+      .agg(min(col(c).cast("double")).as("mn"), max(col(c).cast("double")).as("mx"))
+      .head()
+    val width = if (maxV > minV) (maxV - minV) / numBuckets else 1.0
+    val bucket = least(
+      floor((col(c).cast("double") - lit(minV)) / lit(width)),
+      lit(numBuckets - 1L)).cast("long")
+    df.filter(col(c).isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("bucket"),
+        round(lit(minV) + col("bucket") * lit(width), 6).as("lo"),
+        round(lit(minV) + (col("bucket") + 1) * lit(width), 6).as("hi"),
+        col("cnt"))
+      .orderBy("bucket")
   }
 
   /** Grouped completeness (reference: analyzers/basic/grouped_completeness.rs:110-140). */

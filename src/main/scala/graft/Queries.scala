@@ -184,6 +184,18 @@ object Queries {
              | FROM lineitem WHERE l_returnflag IS NOT NULL
              | GROUP BY 1 ORDER BY cnt DESC, value""".stripMargin.replaceAll("\n", " "))),
 
+    // Equal-width numeric histogram (reference: analyzers/advanced/histogram.rs numeric
+    // CASE-bucketing). Bucket + count only in the compared result — lo/hi bounds are
+    // derived doubles whose 6-digit rounding is engine-sensitive.
+    QueryDef("numeric_histogram_extendedprice",
+      (s, d) => Metrics.numericHistogram(t(s, d, "lineitem"), "l_extendedprice", 10)
+        .select(col("bucket"), col("cnt")),
+      Some("""WITH s AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mn,
+             | max(CAST(l_extendedprice AS DOUBLE)) AS mx FROM lineitem)
+             | SELECT CAST(least(floor((CAST(l_extendedprice AS DOUBLE) - mn) / ((mx - mn) / 10)), 9) AS BIGINT) AS bucket,
+             | count(*) AS cnt FROM lineitem, s WHERE l_extendedprice IS NOT NULL
+             | GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "))),
+
     QueryDef("entropy_returnflag",
       (s, d) => Metrics.entropy(t(s, d, "lineitem"), "l_returnflag"),
       Some("""WITH c AS (SELECT count(*) AS cnt FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag)

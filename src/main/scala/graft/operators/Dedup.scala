@@ -40,60 +40,111 @@ object Dedup {
 
   // ---------- MinHash + LSH ----------
 
-  /** MinHash signature of the text's char-n-gram shingle set: numHashes independent
-    * min-hashes, each `min over shingles of xxhash64(seed_i ++ shingle)`. Entirely
-    * row-local (no explode, no shuffle).
+  /** FNV-1a over a char range + fmix64 avalanche — the 64-bit shingle hash used by the
+    * MinHash UDF. Allocation-free (no substring).
+    */
+  private def hashNgram(text: String, start: Int, n: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = start
+    while (i < start + n) { h ^= text.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    h
+  }
+
+  /** The i-th minhash function applied to a shingle hash (fmix64 of h xor a per-seed
+    * odd constant — independent-enough permutations of the 64-bit hash space).
+    */
+  private def seedMix(h: Long, seed: Int): Long = {
+    var x = h ^ (0x9e3779b97f4a7c15L * (seed + 1))
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  /** MinHash signature of the text's char-n-gram shingle multiset (min is
+    * duplicate-insensitive, so no dedupe pass is needed): one tight loop hashing each
+    * shingle once and folding all `numHashes` minima in a single traversal. Row-local —
+    * no explode, no shuffle. A UDF rather than nested higher-order-function Columns:
+    * `transform`/`array_min` are CodegenFallback with no subexpression elimination, so
+    * the Column formulation re-evaluates the shingling per hash function (and per
+    * banding reference downstream) — orders of magnitude slower.
     */
   def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column = {
-    val shingles = charShingles(text, shingleSize)
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s)))
-    }: _*)
+    val f = udf { (t: String) =>
+      if (t == null) null
+      else {
+        val sig = Array.fill(numHashes)(Long.MaxValue)
+        val len = t.length
+        val (count, width) =
+          if (len < shingleSize) (1, len) else (len - shingleSize + 1, shingleSize)
+        var i = 0
+        while (i < count) {
+          val h = hashNgram(t, i, width)
+          var j = 0
+          while (j < numHashes) {
+            val v = seedMix(h, j)
+            if (v < sig(j)) sig(j) = v
+            j += 1
+          }
+          i += 1
+        }
+        sig
+      }
+    }
+    f(text)
   }
 
   /** (band, bucket) pairs for LSH banding: the signature is split into `bands` slices of
-    * `rowsPerBand`, each hashed to one bucket. Docs sharing any (band, bucket) become
-    * candidates. Tune bands/rows for the target Jaccard threshold:
-    * P(candidate) = 1 - (1 - j^rows)^bands.
+    * `rowsPerBand`, each hashed to one bucket (xxhash64 hashes the long-array slice
+    * directly). Docs sharing any (band, bucket) become candidates. Tune bands/rows for
+    * the target Jaccard threshold: P(candidate) = 1 - (1 - j^rows)^bands.
     */
   def lshBuckets(signature: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(concat_ws(",", slice(signature, b * rowsPerBand + 1, rowsPerBand))).as("bucket"))
+        xxhash64(slice(signature, b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
     }: _*)
 
-  /** Candidate near-duplicate pairs (idA < idB) from MinHash-LSH, with the banding
-    * estimate of Jaccard from signature agreement. One shuffle on (band, bucket); the
-    * self-join never materializes non-colliding pairs. Buckets larger than
-    * `maxBucketSize` (degenerate/skewed content) are dropped — the standard guard
-    * against quadratic blowup on pathological buckets.
+  /** Candidate near-duplicate pairs (idA < idB) from MinHash-LSH. One shuffle on
+    * (band, bucket); the self-join carries ONLY (band, bucket, id) — signatures never
+    * cross the shuffle, so a candidate row is ~24 bytes regardless of numHashes.
+    * Buckets larger than `maxBucketSize` (degenerate/skewed content) are dropped — the
+    * standard guard against quadratic blowup on pathological buckets.
+    *
+    * Default banding is 16 bands × 8 rows: the S-curve midpoint (1/b)^(1/r) ≈ 0.71, so
+    * recall at j ≥ 0.9 is 1-(1-0.9^8)^16 ≈ 0.9999 while pairs at the corpus-background
+    * similarity (j ≤ 0.3) collide with probability < 1e-3 — wide bands (e.g. 32×4) let
+    * background pairs flood the candidate set on boilerplate-heavy corpora.
     */
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 32,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,
       maxBucketSize: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
-    val buckets = sigs
-      .select(col("id"), col("sig"), explode(lshBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val buckets = df
+      .select(col(idCol).as("id"),
+        explode(lshBuckets(minhashSignature(col(textCol), shingleSize, numHashes),
+          bands, rowsPerBand)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val bounded = buckets.withColumn("_n", count(lit(1)).over(
         Window.partitionBy(col("band"), col("bucket"))))
       .filter(col("_n") <= maxBucketSize).drop("_n")
-    val a = bounded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = bounded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val a = bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = bounded.select(col("band"), col("bucket"), col("id").as("id_b"))
     a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
-          lit(0L), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
-      .groupBy("id_a", "id_b").agg(max(col("est_jaccard")).as("est_jaccard"))
+      .select("id_a", "id_b").distinct()
   }
 
-  /** Exact Jaccard over char-n-gram shingle sets for given id pairs. */
+  /** Jaccard over hashed char-n-gram shingle sets for given id pairs. Shingles are
+    * compared as 64-bit xxhash64 values, not strings: set semantics are identical up to
+    * hash collisions (P < 1e-12 per document at typical shingle counts) and the
+    * intersect/union work is fixed-width long hashing instead of variable-length string
+    * hashing — the dominant cost of the verify stage.
+    */
   def exactJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5): DataFrame = {
-    val sh = docs.select(col(idCol).as("_jid"), charShingles(col(textCol), shingleSize).as("_sh"))
+    val sh = docs.select(col(idCol).as("_jid"), shingleHashes(col(textCol), shingleSize).as("_sh"))
     pairs
       .join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
       .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
@@ -106,19 +157,19 @@ object Dedup {
   /** End-to-end MinHash-LSH near-dup pairs verified by exact Jaccard >= threshold. */
   def nearDupPairsMinhash(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
-      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16): DataFrame = {
     val cands = minhashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bands)
-      .select("id_a", "id_b").distinct()
     exactJaccard(cands, df, idCol, textCol, shingleSize)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** Exact all-pairs n-gram Jaccard (the verification baseline — quadratic; only for
-    * modest corpora or as ground truth in tests).
+    * modest corpora or as ground truth in tests). Shingles compared as 64-bit hashes,
+    * same as [[exactJaccard]].
     */
   def allPairsJaccard(df: DataFrame, idCol: String, textCol: String, shingleSize: Int = 5): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), charShingles(col(textCol), shingleSize).as("sh"))
+    val sh = df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleSize).as("sh"))
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
