@@ -79,9 +79,11 @@ object Metrics {
   def mutualInformation(df: DataFrame, c1: String, c2: String): DataFrame = {
     val d = df.filter(col(c1).isNotNull && col(c2).isNotNull)
       .select(col(c1).cast("string").as("x"), col(c2).cast("string").as("y"))
+    // ONE scan of the data: the joint distribution. Marginals are re-aggregations of
+    // the (cardinality-bounded) joint counts, not extra passes over the input.
     val joint = d.groupBy("x", "y").agg(count(lit(1)).as("nxy"))
-    val mx = d.groupBy("x").agg(count(lit(1)).as("nx"))
-    val my = d.groupBy("y").agg(count(lit(1)).as("ny"))
+    val mx = joint.groupBy("x").agg(sum(col("nxy")).as("nx"))
+    val my = joint.groupBy("y").agg(sum(col("nxy")).as("ny"))
     joint.join(broadcast(mx), "x").join(broadcast(my), "y")
       .agg(sum(col("nxy")).as("n"),
         sum(col("nxy") * (log(col("nxy")) - log(col("nx")) - log(col("ny")))).as("s"))
@@ -102,13 +104,17 @@ object Metrics {
     base.join(p, cond, "left_anti").agg(count(lit(1)).as("orphans"))
   }
 
-  /** Left-coverage ratio (reference: constraints/join_coverage.rs:195-316). */
+  /** Left-coverage ratio (reference: constraints/join_coverage.rs:195-316). ONE scan of
+    * the (large) left side: a left join against the distinct-key set with a match
+    * marker, counting total and covered in the same aggregation. The distinct'd right
+    * keys can't multiply left rows, so `count(marker)` is exactly the covered count.
+    */
   def joinCoverage(left: DataFrame, right: DataFrame, keys: Seq[(String, String)]): DataFrame = {
     val r = right.select(keys.map { case (_, rc) => col(rc) }: _*).distinct()
+      .withColumn("_matched", lit(1))
     val cond = keys.map { case (lc, rc) => left(lc) <=> r(rc) }.reduce(_ && _)
-    val covered = left.join(r, cond, "left_semi").agg(count(lit(1)).as("covered"))
-    val total = left.agg(count(lit(1)).as("total"))
-    covered.crossJoin(total)
+    left.join(r, cond, "left")
+      .agg(count(lit(1)).as("total"), count(col("_matched")).as("covered"))
       .select(col("covered"), col("total"),
         (col("covered").cast("double") / col("total").cast("double")).as("coverage"))
   }

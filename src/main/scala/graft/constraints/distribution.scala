@@ -82,9 +82,11 @@ final case class MutualInformationConstraint(
   override def evaluate(df: DataFrame): ConstraintResult = {
     val d = df.filter(col(c1).isNotNull && col(c2).isNotNull)
       .select(col(c1).cast("string").as("x"), col(c2).cast("string").as("y"))
+    // ONE scan of the data: the joint distribution; marginals are re-aggregations of
+    // the (cardinality-bounded) joint counts, not extra passes over the input.
     val joint = d.groupBy("x", "y").count().withColumnRenamed("count", "nxy")
-    val mx = d.groupBy("x").count().withColumnRenamed("count", "nx")
-    val my = d.groupBy("y").count().withColumnRenamed("count", "ny")
+    val mx = joint.groupBy("x").agg(sum(col("nxy")).as("nx"))
+    val my = joint.groupBy("y").agg(sum(col("nxy")).as("ny"))
     // MI = Σ (nxy/n)·ln(n·nxy/(nx·ny)); n folded in at the end.
     val row = joint.join(broadcastIfSmall(mx), "x").join(broadcastIfSmall(my), "y")
       .agg(

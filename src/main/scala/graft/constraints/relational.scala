@@ -34,8 +34,8 @@ final case class ForeignKeyConstraint(
 }
 
 /** Join coverage: fraction of rows on one (or both) side(s) with a match
-  * (reference: constraints/join_coverage.rs:80-87,195-316). Uses LEFT SEMI counts —
-  * no row multiplication on duplicate keys.
+  * (reference: constraints/join_coverage.rs:80-87,195-316). One scan of the probe side
+  * per direction; joining against distinct keys avoids row multiplication.
   */
 sealed trait CoverageMode
 object CoverageMode {
@@ -49,13 +49,18 @@ final case class JoinCoverageConstraint(
     mode: CoverageMode,
     assertion: Assertion) extends MultiJobConstraint {
   val name = s"JoinCoverage($mode) ${assertion.describe}"
+  /** One scan of the (large) probe side `a`: left join against `b`'s distinct keys with
+    * a match marker, then total and covered from the same aggregation (distinct keys
+    * can't multiply probe rows).
+    */
   private def coverage(a: DataFrame, b: DataFrame, ks: Seq[(String, String)]): Option[Double] = {
-    val total = a.count()
-    if (total == 0L) None
-    else {
-      val cond = ks.map { case (l, r) => a(l) <=> b(r) }.reduce(_ && _)
-      Some(a.join(b, cond, "left_semi").count().toDouble / total)
-    }
+    val bKeys = b.select(ks.map { case (_, r) => col(r) }: _*).distinct()
+      .withColumn("_matched", lit(1))
+    val cond = ks.map { case (l, r) => a(l) <=> bKeys(r) }.reduce(_ && _)
+    val row = a.join(bKeys, cond, "left")
+      .agg(count(lit(1)).as("total"), count(col("_matched")).as("covered")).head()
+    if (row.getLong(0) == 0L) None
+    else Some(row.getLong(1).toDouble / row.getLong(0))
   }
   override def evaluate(left: DataFrame): ConstraintResult = {
     val fwd = keys
