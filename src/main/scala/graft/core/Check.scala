@@ -62,6 +62,10 @@ final case class CheckBuilder(description: String, level: Level = Level.Error) {
   def hasQuantile(c: String, q: Double, a: Assertion,
       method: QuantileMethod = QuantileMethod.Approximate): CheckBuilder =
     add(QuantileConstraint(c, q, a, method))
+  /** Multi-quantile in one scan (reference: constraints/quantile.rs:344-346). */
+  def hasQuantiles(c: String, qs: Seq[(Double, Assertion)],
+      method: QuantileMethod = QuantileMethod.Approximate): CheckBuilder =
+    add(MultiQuantileConstraint(c, qs, method))
   def hasStatistics(c: String, stats: (Stat, Assertion)*): CheckBuilder =
     add(MultiStatisticConstraint(c, stats))
   def hasCorrelation(c1: String, c2: String, a: Assertion): CheckBuilder = add(CorrelationConstraint(c1, c2, a))

@@ -81,6 +81,18 @@ class ConstraintSpec extends SparkSpec {
     assert(r.status == Success, r.message)
   }
 
+  test("multi-quantile: exact quantiles in one constraint") {
+    val r = run(MultiQuantileConstraint("v", Seq(
+      0.0 -> Assertion.Equals(10.0),
+      0.5 -> Assertion.Between(15.0, 35.0),
+      1.0 -> Assertion.Equals(40.0)), QuantileMethod.Exact))
+    assert(r.status == Success, r.message)
+    val bad = run(MultiQuantileConstraint("v", Seq(
+      0.0 -> Assertion.Equals(10.0), 1.0 -> Assertion.Equals(-1.0)), QuantileMethod.Exact))
+    assert(bad.status == Failure)
+    assert(bad.message.contains("1.0"))
+  }
+
   test("statistics on all-null column are Skipped") {
     import spark.implicits._
     val d = Seq.fill(3)((1, Option.empty[Double])).toDF("id", "x")
