@@ -228,28 +228,56 @@ object Dedup {
 
   // ---------- embedding near-dup ----------
 
-  /** Cosine similarity of two float-array columns, computed in double. */
+  /** Cosine similarity of two float-array columns, computed in double. UDF kernel (one
+    * primitive loop per row) — higher-order-function Columns are CodegenFallback and
+    * interpreted per element.
+    */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
+    val f = udf { (x: Seq[Float], y: Seq[Float]) =>
+      if (x == null || y == null) null.asInstanceOf[java.lang.Double]
+      else {
+        val n = math.min(x.length, y.length)
+        var dot = 0.0
+        var nx = 0.0
+        var ny = 0.0
+        var i = 0
+        while (i < n) {
+          val xi = x(i).toDouble; val yi = y(i).toDouble
+          dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+        }
+        java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+      }
+    }
+    f(a, b)
   }
 
   /** Random-hyperplane LSH bucket id: sign bits of dot products with `planes`
-    * deterministic pseudo-random hyperplanes, packed into a long. Row-local.
+    * deterministic pseudo-random hyperplanes, packed into a long. Row-local single-pass
+    * UDF; plane generation order matches [[Similarity.bucketOf]] (same seed ⇒ same
+    * buckets driver-side and executor-side).
     */
   def hyperplaneBucket(vec: Column, dim: Int, planes: Int, seed: Long = 42L): Column = {
     val rnd = new scala.util.Random(seed)
-    val planeCols: Seq[Column] = (0 until planes).map { p =>
-      val plane = Array.fill(dim)(rnd.nextGaussian())
-      val dot = aggregate(
-        zip_with(vec, array(plane.map(lit): _*), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    val planeVecs: Array[Array[Double]] =
+      Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+    val f = udf { (v: Seq[Float]) =>
+      if (v == null) null.asInstanceOf[java.lang.Long]
+      else {
+        var bucket = 0L
+        var p = 0
+        while (p < planeVecs.length) {
+          val w = planeVecs(p)
+          val n = math.min(v.length, w.length)
+          var dot = 0.0
+          var i = 0
+          while (i < n) { dot += v(i).toDouble * w(i); i += 1 }
+          if (dot >= 0) bucket |= (1L << p)
+          p += 1
+        }
+        java.lang.Long.valueOf(bucket)
+      }
     }
-    planeCols.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    f(vec)
   }
 
   /** Embedding near-dup pairs: bucket by hyperplane signature, verify cosine within

@@ -12,15 +12,26 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine of a vector column against a fixed probe vector (computed in double). */
+  /** Cosine of a vector column against a fixed probe vector (computed in double).
+    * A UDF kernel, not `zip_with`/`aggregate` Columns: higher-order functions are
+    * CodegenFallback (interpreted per-element lambdas), while this is one tight
+    * primitive loop per row — the difference dominates a 100 TB ANN scan.
+    */
   def cosineToProbe(vec: Column, probe: Seq[Float]): Column = {
-    val p = array(probe.map(v => lit(v.toDouble)): _*)
-    val dot = aggregate(zip_with(vec, p, (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, v) => acc + v)
-    val nv = sqrt(aggregate(transform(vec, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    val np = math.sqrt(probe.map(v => v.toDouble * v.toDouble).sum)
-    dot / (nv * lit(np))
+    val p = probe.map(_.toDouble).toArray
+    val np = math.sqrt(p.map(v => v * v).sum)
+    val f = udf { (v: Seq[Float]) =>
+      if (v == null) null.asInstanceOf[java.lang.Double]
+      else {
+        val n = math.min(v.length, p.length)
+        var dot = 0.0
+        var nv = 0.0
+        var i = 0
+        while (i < n) { val x = v(i).toDouble; dot += x * p(i); nv += x * x; i += 1 }
+        java.lang.Double.valueOf(dot / (math.sqrt(nv) * np))
+      }
+    }
+    f(vec)
   }
 
   /** Exact top-k by cosine. The plan is scan → project → TakeOrderedAndProject:
@@ -78,15 +89,35 @@ object Similarity {
   }
 
   /** IVF (inverted-file) assignment: nearest centroid id per row. Centroids are a small
-    * driver-side list (e.g. from a KMeans sample); assignment is row-local; probes scan
-    * only their centroid's partition.
+    * driver-side list (e.g. from a KMeans sample); assignment is row-local (one UDF
+    * pass over all centroids); probes scan only their centroid's partition.
+    * Ties break to the higher cell id (matching lexicographic max on (score, cell)).
     */
   def ivfAssign(df: DataFrame, vecCol: String, centroids: Seq[Seq[Float]],
       out: String = "ivf_cell"): DataFrame = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosineToProbe(col(vecCol), c).as("score"), lit(i).as("cell"))
+    val cs = centroids.map(_.map(_.toDouble).toArray).toArray
+    val norms = cs.map(c => math.sqrt(c.map(v => v * v).sum))
+    val f = udf { (v: Seq[Float]) =>
+      if (v == null) null.asInstanceOf[java.lang.Integer]
+      else {
+        var best = Double.NegativeInfinity
+        var bestCell = -1
+        var k = 0
+        while (k < cs.length) {
+          val c = cs(k)
+          val n = math.min(v.length, c.length)
+          var dot = 0.0
+          var nv = 0.0
+          var i = 0
+          while (i < n) { val x = v(i).toDouble; dot += x * c(i); nv += x * x; i += 1 }
+          val s = dot / (math.sqrt(nv) * norms(k))
+          if (s >= best) { best = s; bestCell = k }
+          k += 1
+        }
+        java.lang.Integer.valueOf(bestCell)
+      }
     }
-    df.withColumn(out, array_max(array(scored: _*)).getField("cell"))
+    df.withColumn(out, f(col(vecCol)))
   }
 
   /** Simple deterministic centroid seeding for IVF: k spread rows by id order.
