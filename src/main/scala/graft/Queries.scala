@@ -444,6 +444,21 @@ object Queries {
              | WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(list_distinct(a.g || b.g)) >= 0.9
              | ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "))),
 
+    // End-user near-dup DEDUP: rows kept after dropping the higher id of each verified
+    // pair. Oracle recomputes the same keep-lowest rule over exact all-pairs Jaccard.
+    QueryDef("dedup_near_kept_documents",
+      (s, d) => Dedup.dedupNearMinhash(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.9, shingleSize = 5)
+        .agg(count(lit(1)).as("kept_rows")),
+      Some("""WITH idx AS (SELECT unnest(range(1, 2000)) AS i),
+             | sh AS (SELECT doc_id, list(DISTINCT substr(text, CAST(i AS INT), 5)) AS g
+             |   FROM documents JOIN idx ON i <= length(text) - 4 GROUP BY doc_id),
+             | dropped AS (SELECT DISTINCT b.doc_id
+             |   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |   WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(list_distinct(a.g || b.g)) >= 0.9)
+             | SELECT count(*) AS kept_rows FROM documents
+             | WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin.replaceAll("\n", " "))),
+
     // SimHash near-dup pairs (rows-only: hash-function-specific).
     QueryDef("dedup_simhash_documents",
       (s, d) => Dedup.nearDupPairsSimhash(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)

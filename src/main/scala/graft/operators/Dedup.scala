@@ -164,6 +164,20 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Near-dup DEDUPLICATION (not just pair listing): drops every row that appears as
+    * the higher id of a verified near-dup pair, keeping the lowest id of each
+    * near-duplicate relation (chains collapse greedily: in a-b, b-c both b and c drop).
+    * One left-anti join against the distinct dropped-id set — the pair pipeline's
+    * subquadratic shape end to end.
+    */
+  def dedupNearMinhash(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16): DataFrame = {
+    val drop = nearDupPairsMinhash(df, idCol, textCol, threshold, shingleSize, numHashes, bands)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Exact all-pairs n-gram Jaccard (the verification baseline — quadratic; only for
     * modest corpora or as ground truth in tests). Shingles compared as 64-bit hashes,
     * same as [[exactJaccard]].

@@ -67,6 +67,17 @@ class OperatorSpec extends SparkSpec {
     assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
   }
 
+  test("near-dup dedup keeps lowest id of each verified relation") {
+    val threshold = 0.9
+    val exactDropped = Dedup.allPairsJaccard(docs, "doc_id", "text", shingleSize = 5)
+      .filter(col("jaccard") >= threshold)
+      .select("id_b").distinct().collect().map(_.getLong(0)).toSet
+    val keptIds = Dedup.dedupNearMinhash(docs, "doc_id", "text", threshold)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds == allIds -- exactDropped)
+  }
+
   test("simhash flags near-identical token multisets") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
