@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for cosine similarity of a float-vector column against a
+  * fixed probe vector — the hot inner loop of brute-force ANN scoring.
+  *
+  * This is the "(b) custom Catalyst `Expression`" tier: unlike a Scala UDF it
+  * participates in whole-stage codegen (no UDF serialization boundary, no
+  * `Seq[Float]` boxing of every row's array — the generated code reads the
+  * `UnsafeArrayData` floats in place), and unlike `zip_with`/`aggregate` Columns it is
+  * one fused loop instead of interpreted per-element lambdas.
+  *
+  * Null array ⇒ null result; null elements contribute nothing; zero vectors yield NaN
+  * (same as the UDF and higher-order formulations).
+  */
+case class CosineToProbe(child: Expression, probe: Array[Double])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"cosine_to_probe requires array<float>, got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_to_probe"
+
+  private lazy val probeNorm: Double = math.sqrt(probe.map(v => v * v).sum)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), probe.length)
+    var dot = 0.0
+    var nv = 0.0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = arr.getFloat(i).toDouble
+        dot += x * probe(i)
+        nv += x * x
+      }
+      i += 1
+    }
+    dot / (math.sqrt(nv) * probeNorm)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val probeRef = ctx.addReferenceObj("probe", probe, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val dot = ctx.freshName("dot")
+      val nv = ctx.freshName("nv")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      s"""
+         |double $dot = 0.0;
+         |double $nv = 0.0;
+         |int $n = java.lang.Math.min($c.numElements(), $probeRef.length);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    double $x = (double) $c.getFloat($i);
+         |    $dot += $x * $probeRef[$i];
+         |    $nv += $x * $x;
+         |  }
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nv) * ${probeNorm}D);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CosineToProbe =
+    copy(child = newChild)
+}
+
+/** Column-level entry points for the native vector expressions. */
+object VectorFunctions {
+  def cosineToProbe(vec: Column, probe: Seq[Float]): Column =
+    GraftSqlBridge.column(
+      CosineToProbe(GraftSqlBridge.expression(vec), probe.map(_.toDouble).toArray))
+}

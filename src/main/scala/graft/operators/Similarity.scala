@@ -13,26 +13,13 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine of a vector column against a fixed probe vector (computed in double).
-    * A UDF kernel, not `zip_with`/`aggregate` Columns: higher-order functions are
-    * CodegenFallback (interpreted per-element lambdas), while this is one tight
-    * primitive loop per row — the difference dominates a 100 TB ANN scan.
+    * A native codegen'd Catalyst expression ([[graft.functions.CosineToProbe]]): one
+    * fused loop reading the unsafe float array in place — no per-element interpreted
+    * lambdas (`zip_with`/`aggregate` are CodegenFallback) and no UDF boxing of every
+    * row's array. This is the hot inner loop of a 100 TB brute-force ANN scan.
     */
-  def cosineToProbe(vec: Column, probe: Seq[Float]): Column = {
-    val p = probe.map(_.toDouble).toArray
-    val np = math.sqrt(p.map(v => v * v).sum)
-    val f = udf { (v: Seq[Float]) =>
-      if (v == null) null.asInstanceOf[java.lang.Double]
-      else {
-        val n = math.min(v.length, p.length)
-        var dot = 0.0
-        var nv = 0.0
-        var i = 0
-        while (i < n) { val x = v(i).toDouble; dot += x * p(i); nv += x * x; i += 1 }
-        java.lang.Double.valueOf(dot / (math.sqrt(nv) * np))
-      }
-    }
-    f(vec)
-  }
+  def cosineToProbe(vec: Column, probe: Seq[Float]): Column =
+    graft.functions.VectorFunctions.cosineToProbe(vec, probe)
 
   /** Exact top-k by cosine. The plan is scan → project → TakeOrderedAndProject:
     * no shuffle, k rows to the driver.

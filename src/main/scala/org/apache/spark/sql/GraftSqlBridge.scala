@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the `private[sql]` Column <-> catalyst Expression conversions, needed to
+  * expose graft's native (codegen'd) Catalyst expressions as user-facing `Column`s.
+  * The standard extension-library pattern: one object inside the sql package, nothing
+  * else reaches across the boundary.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -67,6 +67,31 @@ class OperatorSpec extends SparkSpec {
     assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
   }
 
+  test("native cosine expression matches driver-side computation and codegens") {
+    import spark.implicits._
+    val probe = Seq(1.0f, 2.0f, 3.0f, 4.0f)
+    val rows = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),   // identical -> 1.0
+      (2L, Seq(-1.0f, -2.0f, -3.0f, -4.0f)), // opposite -> -1.0
+      (3L, Seq(4.0f, -3.0f, 2.0f, -1.0f)))
+    val df = rows.toDF("id", "v")
+    val got = df.select(col("id"), Similarity.cosineToProbe(col("v"), probe).as("c"))
+      .orderBy("id").collect().map(_.getDouble(1))
+    def expected(v: Seq[Float]): Double = {
+      val dot = v.zip(probe).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      dot / (math.sqrt(v.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(probe.map(x => x.toDouble * x.toDouble).sum))
+    }
+    rows.map(_._2).map(expected).zip(got).foreach { case (e, g) =>
+      assert(math.abs(e - g) < 1e-12, s"$e vs $g")
+    }
+    // The projection must be inside WholeStageCodegen (the expression's entire point).
+    // A local Seq collapses to LocalTableScan, so check over the parquet corpus.
+    val plan = embs.select(Similarity.cosineToProbe(col("embedding"), Seq.fill(64)(1.0f)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"expected WholeStageCodegen in:\n$plan")
+  }
+
   test("near-dup dedup keeps lowest id of each verified relation") {
     val threshold = 0.9
     val exactDropped = Dedup.allPairsJaccard(docs, "doc_id", "text", shingleSize = 5)
