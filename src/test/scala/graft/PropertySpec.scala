@@ -109,6 +109,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("containment ratio matches independent computation") {
+    val gen = for {
+      n <- Gen.choose(1, 80)
+      inEvery <- Gen.choose(1, 4)
+    } yield (1 to n).map(i => if (i % inEvery == 0) "ok" else s"bad$i")
+    forAll(gen) { values =>
+      import spark.implicits._
+      val df = values.toDF("g")
+      val expected = values.count(_ == "ok").toDouble / values.size
+      val r = ComplianceConstraint.containedIn("g", Seq("ok"), Assertion.Equals(expected)).evaluate(df)
+      assert(r.isSuccess, s"$r expected=$expected")
+    }
+  }
+
+  test("type consistency ratio matches independent computation") {
+    val gen = for {
+      n <- Gen.choose(1, 80)
+      intEvery <- Gen.choose(1, 5)
+    } yield (1 to n).map(i => if (i % intEvery == 0) i.toString else s"t$i")
+    forAll(gen) { values =>
+      import spark.implicits._
+      val df = values.toDF("s")
+      val intRatio = values.count(v => v.forall(_.isDigit)).toDouble / values.size
+      val dominant = math.max(intRatio, 1.0 - intRatio)
+      val r = TypeConsistencyConstraint("s", dominant - 1e-9).evaluate(df)
+      assert(r.isSuccess, s"$r dominant=$dominant")
+    }
+  }
+
   test("analyzer merge associativity: merge(a, merge(b, c)) == merge(merge(a, b), c)") {
     import graft.analyzers._
     forAll(rowsGen, rowsGen, rowsGen) { (r1, r2, r3) =>
