@@ -70,6 +70,12 @@ final class ParquetMetricsRepository(path: String, spark: org.apache.spark.sql.S
       .write.mode("append").parquet(path)
   }
 
+  /** The metric log as a DataFrame (timestamp, tags, metric, value) — arbitrary Spark
+    * SQL over metric history (the reference's SQL-over-metrics executor,
+    * repository/datafusion_executor.rs, without a bespoke engine).
+    */
+  def toDataFrame: org.apache.spark.sql.DataFrame = spark.read.parquet(path)
+
   def loadAll(): Seq[MetricRecord] = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

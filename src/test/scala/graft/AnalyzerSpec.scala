@@ -143,5 +143,9 @@ class AnalyzerSpec extends SparkSpec {
     assert(all.head.metrics("size.*") == 42.0)
     val q = repo.query(MetricsQuery(after = Some(1500L)))
     assert(q.size == 1 && q.head.metrics("size.*") == 43.0)
+    // SQL over the metric log
+    repo.toDataFrame.createOrReplaceTempView("metric_log")
+    val n = spark.sql("SELECT count(*) FROM metric_log WHERE metric = 'size.*'").head().getLong(0)
+    assert(n == 2L)
   }
 }
