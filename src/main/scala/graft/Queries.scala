@@ -356,6 +356,78 @@ object Queries {
              | round((sum(l_quantity * l_extendedprice) - sum(l_quantity) * sum(l_extendedprice) / count(*)) / sqrt((sum(l_quantity * l_quantity) - sum(l_quantity) * sum(l_quantity) / count(*)) * (sum(l_extendedprice * l_extendedprice) - sum(l_extendedprice) * sum(l_extendedprice) / count(*))), 6) AS corr_qty_price
              | FROM lineitem""".stripMargin.replaceAll("\n", " "))),
 
+    // Anomaly detection over a metric time series (reference: analyzers/anomaly):
+    // daily event counts become the metric history in a MetricsRepository; the z-score
+    // strategy flags days whose count deviates from the PRECEDING days' mean by more
+    // than 2 population-stddevs (minHistory=3). The oracle replicates the exact same
+    // preceding-window z-score with SQL window functions.
+    QueryDef("anomaly_zscore_daily_events",
+      (s, d) => {
+        import graft.analyzers._
+        import graft.repository._
+        val daily = t(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("day")
+          .collect()
+          .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1).toDouble))
+        val repo = new InMemoryMetricsRepository
+        daily.foreach { case (day, cnt) =>
+          repo.save(ResultKey(day), Map("size.daily_events" -> cnt))
+        }
+        val runner = new AnomalyDetectionRunner(repo,
+          Map("size.daily_events" -> ZScoreStrategy(threshold = 2.0, minHistory = 3)))
+        val anomalies = runner.detect("size.daily_events")
+        import s.implicits._
+        Seq((daily.length.toLong, anomalies.length.toLong)).toDF("n_days", "anomalies")
+      },
+      Some("""WITH dly AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt FROM events GROUP BY 1),
+             | z AS (SELECT cnt, row_number() OVER (ORDER BY day) AS rn,
+             |   avg(cnt) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mu,
+             |   stddev_pop(cnt) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sd
+             |   FROM dly)
+             | SELECT count(*) AS n_days,
+             | CAST(sum(CASE WHEN rn > 3 AND sd > 0 AND abs(cnt - mu) / sd > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS anomalies
+             | FROM z""".stripMargin.replaceAll("\n", " "))),
+
+    // Incremental analysis (reference: analyzers/incremental/runner.rs): orders split
+    // into year partitions, each analyzed separately (its own tiny scan), states merged
+    // through the StateStore — the merged metrics must equal a full-table scan, which is
+    // exactly what the oracle computes.
+    QueryDef("incremental_yearly_orders",
+      (s, d) => {
+        import graft.analyzers._
+        val orders = t(s, d, "orders")
+        val years = orders.select(year(col("o_orderdate")).as("y"))
+          .distinct().orderBy("y").collect().map(_.getInt(0)).toSeq
+        val store = new InMemoryStateStore
+        val runner = new IncrementalAnalysisRunner(store,
+          Seq(SizeAnalyzer(), MeanAnalyzer("o_totalprice")))
+        years.foreach { y =>
+          runner.analyzePartition(orders.filter(year(col("o_orderdate")) === y), y.toString)
+        }
+        val m = runner.currentMetrics()
+        import s.implicits._
+        Seq((years.length.toLong, m("size.*").asDouble.get.toLong,
+          BigDecimal(m("mean.o_totalprice").asDouble.get)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          .toDF("n_partitions", "n_rows", "mean_totalprice")
+      },
+      Some("""SELECT count(DISTINCT year(o_orderdate)) AS n_partitions, count(*) AS n_rows,
+             | round(avg(o_totalprice), 6) AS mean_totalprice
+             | FROM orders""".stripMargin.replaceAll("\n", " "))),
+
+    // Top-N most frequent values (§2f sort/limit guard shape) with deterministic
+    // tie-breaking on the value itself.
+    QueryDef("topk_orderpriority",
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("value"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("value"))
+        .limit(3),
+      Some("""SELECT o_orderpriority AS value, count(*) AS cnt FROM orders
+             | GROUP BY 1 ORDER BY cnt DESC, value LIMIT 3""".stripMargin.replaceAll("\n", " "))),
+
     QueryDef("json_validity_props",
       (s, d) => t(s, d, "events").agg(
         count(col("props")).as("non_null"),
@@ -458,6 +530,19 @@ object Queries {
              |   WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(list_distinct(a.g || b.g)) >= 0.9)
              | SELECT count(*) AS kept_rows FROM documents
              | WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin.replaceAll("\n", " "))),
+
+    // Embedding-cosine near-dup pairs: hyperplane-LSH candidates, exact-cosine
+    // verification. The synthetic embeddings are near-orthogonal random vectors, so the
+    // exact all-pairs oracle (quadratic, fine at gate scale) and the sub-quadratic LSH
+    // path must agree on the pair count; planted-duplicate recall is pinned by
+    // OperatorSpec against brute force.
+    QueryDef("dedup_embedding_pairs",
+      (s, d) => Dedup.nearDupPairsEmbedding(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.85, planes = 8)
+        .agg(count(lit(1)).as("near_pairs")),
+      Some("""SELECT count(*) AS near_pairs FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             | WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             | (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.85""".stripMargin.replaceAll("\n", " "))),
 
     // SimHash near-dup pairs (rows-only: hash-function-specific).
     QueryDef("dedup_simhash_documents",
