@@ -152,4 +152,20 @@ object Metrics {
         col("total") :+ col("non_null") :+
         (col("non_null").cast("double") / col("total").cast("double")).as("completeness"): _*)
       .orderBy(groups.map(col): _*)
+
+  /** Key-skew profile (beyond-reference, the pre-shuffle-join check at scale): heaviest
+    * key's row share plus distinct-key count. Two-level aggregation — per-key counts are
+    * map-side combined, then a single global reduce of (max, sum, count) — so no key's
+    * rows ever concentrate on one task. A top-1 share near 1.0 means a shuffle join on
+    * this key will hot-spot one partition (→ salt or broadcast instead).
+    */
+  def keySkew(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .agg(max(col("cnt")).as("max_key_rows"),
+        sum(col("cnt")).cast("long").as("total_rows"),
+        count(lit(1)).as("distinct_keys"))
+      .select(col("max_key_rows"), col("total_rows"), col("distinct_keys"),
+        (col("max_key_rows").cast("double") / col("total_rows").cast("double")).as("top_key_share"))
 }

@@ -428,6 +428,16 @@ object Queries {
       Some("""SELECT o_orderpriority AS value, count(*) AS cnt FROM orders
              | GROUP BY 1 ORDER BY cnt DESC, value LIMIT 3""".stripMargin.replaceAll("\n", " "))),
 
+    // Key-skew profile of the lineitem join key (beyond-reference scale guard).
+    QueryDef("key_skew_orderkey",
+      (s, d) => Metrics.keySkew(t(s, d, "lineitem"), Seq("l_orderkey")),
+      Some("""WITH kc AS (SELECT l_orderkey, count(*) AS cnt FROM lineitem
+             |   WHERE l_orderkey IS NOT NULL GROUP BY 1)
+             | SELECT max(cnt) AS max_key_rows, CAST(sum(cnt) AS BIGINT) AS total_rows,
+             | count(*) AS distinct_keys,
+             | CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_key_share
+             | FROM kc""".stripMargin.replaceAll("\n", " "))),
+
     QueryDef("json_validity_props",
       (s, d) => t(s, d, "events").agg(
         count(col("props")).as("non_null"),
