@@ -64,6 +64,19 @@ object ScratchSuite {
     med("count(*) repart32+cached AQE off") { c3.agg(count(lit(1))).head() }
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     med("suite20 repart32+cached AQE on") { Bench.suite20(c3) }
+
+    // Interleaved A/B: AQE on vs off on the same cached input, alternating runs so JIT
+    // warmth doesn't bias either arm.
+    val (onTs, offTs) = (1 to 9).map { _ =>
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val t0 = System.nanoTime(); Bench.suite20(c3); val on = (System.nanoTime() - t0) / 1e9
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val t1 = System.nanoTime(); Bench.suite20(c3); val off = (System.nanoTime() - t1) / 1e9
+      (on, off)
+    }.unzip
+    println(f"[scratch] interleaved AQE on  median=${onTs.sorted.apply(4)}%6.3f min=${onTs.min}%6.3f")
+    println(f"[scratch] interleaved AQE off median=${offTs.sorted.apply(4)}%6.3f min=${offTs.min}%6.3f")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.stop()
   }
 }
