@@ -593,6 +593,27 @@ object Queries {
              |   (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(pe, pe))) DESC, vec_id
              | LIMIT 10""".stripMargin.replaceAll("\n", " "))),
 
+    // IVF top-10 with exhaustive probing (nprobe == n_cells): must equal the exact
+    // brute-force oracle — same SQL as similarity_topk_embeddings. Reduced nprobe is the
+    // partition-pruned scale path; its recall is pinned in MetricsSpec.
+    QueryDef("similarity_ivf_topk",
+      (s, d) => {
+        val corpus = t(s, d, "embeddings")
+        val probe = corpus.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toSeq
+        val rest = corpus.filter(col("vec_id") =!= 0)
+        val centroids = Similarity.seedCentroids(rest, "vec_id", "embedding", 16)
+        Similarity.ivfTopK(rest, "vec_id", "embedding", centroids, probe, 10, nprobe = 16)
+          .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+      },
+      Some("""WITH p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0)
+             | SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], pe) /
+             |   (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(pe, pe))), 4) AS cosine
+             | FROM embeddings, p WHERE vec_id != 0
+             | ORDER BY list_dot_product(embedding::DOUBLE[], pe) /
+             |   (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(pe, pe))) DESC, vec_id
+             | LIMIT 10""".stripMargin.replaceAll("\n", " "))),
+
     // Three-pass column profiler output for customer.c_acctbal (oracle-checkable
     // subset: exact counts + moments; the approx-distinct sketch value is excluded).
     QueryDef("profile_customer_acctbal",

@@ -107,6 +107,28 @@ object Similarity {
     df.withColumn(out, f(col(vecCol)))
   }
 
+  /** IVF top-k: score only rows assigned to the `nprobe` centroid cells nearest the
+    * probe. `nprobe == centroids.size` is exhaustive — exact, equal to
+    * [[bruteForceTopK]] — while smaller values trade recall for touching fewer cells;
+    * with the corpus stored partitioned by `ivf_cell` the non-probed cells are never
+    * read (partition pruning), which is the 100 TB read path.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, centroids: Seq[Seq[Float]],
+      probe: Seq[Float], k: Int, nprobe: Int): DataFrame = {
+    val pd = probe.map(_.toDouble)
+    val pn = math.sqrt(pd.map(v => v * v).sum)
+    val cells = centroids.zipWithIndex.map { case (c, i) =>
+      val cd = c.map(_.toDouble)
+      val dot = cd.lazyZip(pd).map(_ * _).sum
+      (dot / (math.sqrt(cd.map(v => v * v).sum) * pn), i)
+    }.sortBy { case (s, i) => (-s, -i) }.take(nprobe).map(_._2)
+    ivfAssign(df, vecCol, centroids)
+      .filter(col("ivf_cell").isin(cells: _*))
+      .select(col(idCol), cosineToProbe(col(vecCol), probe).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Simple deterministic centroid seeding for IVF: k spread rows by id order.
     * (A full Lloyd's iteration belongs in a follow-up; seeding is enough to
     * demonstrate-and-test the partition-pruned read path.)

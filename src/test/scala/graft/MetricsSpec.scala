@@ -16,6 +16,27 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("top_key_share") - 6.0 / 9.0) < 1e-12)
   }
 
+  test("ivfTopK exhaustive equals brute force; reduced nprobe keeps the top hit") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 60).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "v")
+    val probe = vecs(3)._2
+    val centroids = Similarity.seedCentroids(df, "id", "v", 6)
+    val exact = Similarity.bruteForceTopK(df, "id", "v", probe, 5)
+      .collect().map(_.getLong(0)).toSeq
+    val exhaustive = Similarity.ivfTopK(df, "id", "v", centroids, probe, 5, nprobe = 6)
+      .collect().map(_.getLong(0)).toSeq
+    assert(exhaustive == exact)
+    // the probe row itself (cosine 1.0) must survive any nprobe >= 1: its cell is by
+    // definition the centroid most similar to the probe among those containing it —
+    // with nprobe=3 of 6 cells here it is always probed
+    val reduced = Similarity.ivfTopK(df, "id", "v", centroids, probe, 5, nprobe = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(reduced.contains(3L))
+  }
+
   test("keySkew on a composite unique key has share 1/n") {
     import spark.implicits._
     val df = (1 to 10).map(i => (i, i * 2)).toDF("a", "b")
