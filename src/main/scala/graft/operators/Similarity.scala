@@ -129,9 +129,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** One distributed Lloyd's iteration: assign every row to its nearest centroid, then
+    * recompute each centroid as its cell's element-wise mean. Wholly distributed —
+    * posexplode to (cell, dim_index, value), one groupBy (cell, dim_index) avg with
+    * map-side combine (shuffle rows = k × dim, independent of corpus size), k × dim
+    * doubles to the driver. Empty cells keep their previous centroid. Chain `iters`
+    * times for k-means-style refinement.
+    */
+  def refineCentroids(df: DataFrame, vecCol: String, centroids: Seq[Seq[Float]],
+      iters: Int = 1): Seq[Seq[Float]] = {
+    var cur = centroids
+    for (_ <- 1 to iters) {
+      val means = ivfAssign(df, vecCol, cur)
+        .select(col("ivf_cell"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .groupBy(col("ivf_cell"), col("dim"))
+        .agg(avg(col("v")).as("mean_v"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+        }
+      cur = cur.indices.map(i => means.getOrElse(i, cur(i)))
+    }
+    cur
+  }
+
   /** Simple deterministic centroid seeding for IVF: k spread rows by id order.
-    * (A full Lloyd's iteration belongs in a follow-up; seeding is enough to
-    * demonstrate-and-test the partition-pruned read path.)
+    * Refine with [[refineCentroids]] (distributed Lloyd's iterations).
     */
   def seedCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int): Seq[Seq[Float]] = {
     val n = df.count()

@@ -37,6 +37,32 @@ class MetricsSpec extends SparkSpec {
     assert(reduced.contains(3L))
   }
 
+  test("refineCentroids moves seeds toward cluster means") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // two tight clusters around orthogonal unit vectors e0 and e1
+    def jitter(base: Int) =
+      Seq.tabulate(8)(d => (if (d == base) 1.0f else 0.0f) + rnd.nextGaussian().toFloat * 0.05f)
+    val vecs = (0 until 40).map(i => (i.toLong, jitter(i % 2)))
+    val df = vecs.toDF("id", "v")
+    val seeds = Similarity.seedCentroids(df, "id", "v", 2)
+    val refined = Similarity.refineCentroids(df, "v", seeds, iters = 3)
+    assert(refined.size == 2 && refined.forall(_.size == 8))
+    // after refinement each centroid should be dominated by one of the two axes
+    val axes = refined.map(_.zipWithIndex.maxBy { case (v, _) => v }._2).toSet
+    assert(axes == Set(0, 1))
+    // mean best-cosine over the corpus should not degrade vs the seeds
+    def quality(cs: Seq[Seq[Float]]): Double = {
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        val dot = a.lazyZip(b).map((x, y) => x.toDouble * y.toDouble).sum
+        dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+      }
+      vecs.map { case (_, v) => cs.map(c => cos(v, c)).max }.sum / vecs.size
+    }
+    assert(quality(refined) >= quality(seeds) - 1e-9)
+  }
+
   test("keySkew on a composite unique key has share 1/n") {
     import spark.implicits._
     val df = (1 to 10).map(i => (i, i * 2)).toDF("a", "b")
