@@ -92,4 +92,21 @@ object Sources {
   def register(df: DataFrame, name: String): DataFrame = {
     df.createOrReplaceTempView(name); df
   }
+
+  /** Persist a table bucketed (and sorted) by join/aggregation keys. Two tables
+    * bucketed the same way join with NO shuffle of either side — at 100 TB the
+    * difference between a co-located merge join and re-shuffling the fact table every
+    * run. Bucket count should be sized so a bucket's data fits one task comfortably
+    * (e.g. ~128-512 MB per bucket at target scale).
+    */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCols: Seq[String],
+      numBuckets: Int, sorted: Boolean = true): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sorted) w.sortBy(bucketCols.head, bucketCols.tail: _*) else w)
+      .format("parquet").saveAsTable(tableName)
+  }
+
+  /** Read a previously saved bucketed table from the session catalog. */
+  def table(spark: SparkSession, tableName: String): DataFrame = spark.table(tableName)
 }

@@ -63,6 +63,30 @@ class MetricsSpec extends SparkSpec {
     assert(quality(refined) >= quality(seeds) - 1e-9)
   }
 
+  test("bucketed tables join without shuffling either side") {
+    import graft.sources.Sources
+    import spark.implicits._
+    // need an exchange-free sort-merge join: disable auto-broadcast for this test
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val facts = (1 to 1000).map(i => (i % 100, i.toDouble)).toDF("k", "x")
+      val dims = (0 until 100).map(i => (i, s"name_$i")).toDF("k", "name")
+      Sources.writeBucketed(facts, "bkt_facts", Seq("k"), 4)
+      Sources.writeBucketed(dims, "bkt_dims", Seq("k"), 4)
+      val joined = Sources.table(spark, "bkt_facts")
+        .join(Sources.table(spark, "bkt_dims"), "k")
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$physical")
+      assert(joined.count() == 1000L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_facts")
+      spark.sql("DROP TABLE IF EXISTS bkt_dims")
+    }
+  }
+
   test("keySkew on a composite unique key has share 1/n") {
     import spark.implicits._
     val df = (1 to 10).map(i => (i, i * 2)).toDF("a", "b")
