@@ -178,6 +178,18 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** End-user embedding near-dup DEDUP (mirror of [[dedupNearMinhash]]): drop the
+    * higher id of every cosine-verified near-dup pair, keep everything else. Same
+    * keep-lowest-id rule; candidates from hyperplane LSH, exact-cosine verified.
+    */
+  def dedupNearEmbedding(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int, threshold: Double,
+      planes: Int = 8): DataFrame = {
+    val drop = nearDupPairsEmbedding(df, idCol, vecCol, dim, threshold, planes)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Exact all-pairs n-gram Jaccard (the verification baseline — quadratic; only for
     * modest corpora or as ground truth in tests). Shingles compared as 64-bit hashes,
     * same as [[exactJaccard]].

@@ -87,6 +87,20 @@ class MetricsSpec extends SparkSpec {
     }
   }
 
+  test("dedupNearEmbedding drops the higher id of a planted near-identical pair") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val base = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val nearDup = base.zipWithIndex.map { case (v, i) => if (i == 0) v + 1e-4f else v }
+    val others = (2 until 20).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = ((0L, base) +: (1L, nearDup) +: others).toDF("id", "v")
+    val kept = Dedup.dedupNearEmbedding(df, "id", "v", dim = 16, threshold = 0.999)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(1L), "higher id of the planted pair must be dropped")
+    assert(kept.contains(0L) && kept.size == 19)
+  }
+
   test("keySkew on a composite unique key has share 1/n") {
     import spark.implicits._
     val df = (1 to 10).map(i => (i, i * 2)).toDF("a", "b")
