@@ -397,7 +397,9 @@ object Queries {
     QueryDef("incremental_yearly_orders",
       (s, d) => {
         import graft.analyzers._
-        val orders = t(s, d, "orders")
+        // Cached for the per-partition loop: each year's analyzePartition is a filter +
+        // one-row agg over the SAME table, so the loop re-reads memory, not parquet.
+        val orders = t(s, d, "orders").cache()
         val years = orders.select(year(col("o_orderdate")).as("y"))
           .distinct().orderBy("y").collect().map(_.getInt(0)).toSeq
         val store = new InMemoryStateStore
@@ -407,6 +409,7 @@ object Queries {
           runner.analyzePartition(orders.filter(year(col("o_orderdate")) === y), y.toString)
         }
         val m = runner.currentMetrics()
+        orders.unpersist()
         import s.implicits._
         Seq((years.length.toLong, m("size.*").asDouble.get.toLong,
           BigDecimal(m("mean.o_totalprice").asDouble.get)
@@ -474,13 +477,34 @@ object Queries {
         .agg(count(lit(1)).as("cnt")).orderBy("lang"),
       Some("SELECT lang, count(*) AS cnt FROM documents GROUP BY 1 ORDER BY 1")),
 
-    // Heuristic language-ID agreement with the labeled lang column (rows-only check:
-    // the n-gram/marker heuristic is not expressible in portable SQL).
+    // Heuristic language-ID agreement with the labeled lang column. The oracle
+    // replicates the marker-word heuristic exactly: per-language marker-token ratios
+    // are integer divisions (bit-identical doubles in both engines), the winner is the
+    // max score with ties to the lexicographically largest tag (Spark's array_max over
+    // (score, lang) structs ⇒ CASE checks fr→es→en→de), CJK via Han-script ratio.
     QueryDef("langid_agreement_documents",
       (s, d) => t(s, d, "documents").agg(
         count(lit(1)).as("n_docs"),
         sum(when(TextFunctions.langId(col("text")) === col("lang"), 1L).otherwise(0L)).as("agree")),
-      None),
+      Some("""WITH s AS (SELECT lang,
+             | CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^\p{Han}]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS cjk,
+             | list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks FROM documents),
+             | r AS (SELECT lang, cjk,
+             | CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','von','mit','ein','eine'], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS s_de,
+             | CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','for','with','was'], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS s_en,
+             | CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['el','la','los','las','y','es','en','por','para','una'], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS s_es,
+             | CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['le','la','les','et','est','dans','pour','que','une','des'], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS s_fr
+             | FROM s),
+             | lid AS (SELECT lang, CASE WHEN cjk > 0.2 THEN 'zh'
+             | WHEN greatest(s_de, s_en, s_es, s_fr) > 0.05 THEN
+             |  (CASE WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+             |        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+             |        WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+             |        ELSE 'de' END)
+             | ELSE 'und' END AS pred FROM r)
+             | SELECT count(*) AS n_docs,
+             | CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS agree
+             | FROM lid""".stripMargin.replaceAll("\n", " "))),
 
     QueryDef("dedup_exact_documents",
       (s, d) => Dedup.exactDupStats(t(s, d, "documents"), Seq("text")),
@@ -634,13 +658,33 @@ object Queries {
              | round(avg(c_acctbal), 4) AS mean_v
              | FROM customer""".stripMargin.replaceAll("\n", " "))),
 
-    // Composite quality score distribution (rows-only: heuristic composite).
+    // Composite quality-score distribution. Count/min/max shape, not float averages:
+    // every per-row score is built from integer-ratio divisions and exact-decimal
+    // constants, so the per-row doubles are bit-identical across engines and the
+    // threshold counts and extrema hash-match exactly — no summation-order tolerance
+    // needed. The oracle replicates the C4/Gopher-style heuristic term by term.
     QueryDef("quality_scores_documents",
-      (s, d) => t(s, d, "documents").agg(
-        round(avg(TextFunctions.qualityScore(col("text"))), 4).as("avg_quality"),
-        round(avg(TextFunctions.punctRatio(col("text"))), 6).as("avg_punct_ratio"),
-        round(avg(TextFunctions.meanWordLength(col("text"))), 4).as("avg_word_len")),
-      None)
+      (s, d) => {
+        val qs = TextFunctions.qualityScore(col("text"))
+        t(s, d, "documents").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(qs >= 0.8, 1L).otherwise(0L)).as("high_quality"),
+          sum(when(qs < 0.5, 1L).otherwise(0L)).as("low_quality"),
+          min(qs).as("min_quality"),
+          max(qs).as("max_quality"))
+      },
+      Some("""WITH toks AS (SELECT text, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS tk FROM documents),
+             | q AS (SELECT round(
+             | least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * (CASE WHEN CAST(length(text) AS DOUBLE) > 20000 THEN 0.5 ELSE 1.0 END) * 0.4
+             | + (CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
+             | + (CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) BETWEEN 0.05 AND 0.35 THEN 1.0 ELSE 0.7 END) * 0.2
+             | + (CASE WHEN (CASE WHEN len(tk) > 0 THEN CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) ELSE 0.0 END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.6 END) * 0.2
+             | , 6) AS qs FROM toks)
+             | SELECT count(*) AS n_docs,
+             | CAST(sum(CASE WHEN qs >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS high_quality,
+             | CAST(sum(CASE WHEN qs < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS low_quality,
+             | min(qs) AS min_quality, max(qs) AS max_quality
+             | FROM q""".stripMargin.replaceAll("\n", " ")))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -127,30 +127,81 @@ object Dedup {
         explode(lshBuckets(minhashSignature(col(textCol), shingleSize, numHashes),
           bands, rowsPerBand)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val bounded = buckets.withColumn("_n", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("_n") <= maxBucketSize).drop("_n")
+    // Oversized-bucket guard as a broadcast anti-join: the oversized set is tiny by
+    // construction (degenerate content only), so this costs one map-side-combined
+    // count — no window sort over every (id, band, bucket) row.
+    val oversized = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val bounded = buckets.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
     val a = bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = bounded.select(col("band"), col("bucket"), col("id").as("id_b"))
     a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
 
+  /** Sorted distinct 64-bit hashes of the text's char-n-gram shingle set — the
+    * document's fingerprint set for Jaccard verification. One allocation-lean UDF pass
+    * (hash every shingle in place, sort, dedupe in place): the higher-order-function
+    * Column formulation (`transform`+`substr`+`array_distinct`) materializes every
+    * shingle as a string and evaluates interpreted per element, which made the verify
+    * stage the dominant cost of the near-dup pipeline.
+    */
+  def shingleHashSet(text: Column, shingleSize: Int): Column = {
+    val f = udf { (t: String) =>
+      if (t == null) null
+      else {
+        val len = t.length
+        val (count, width) =
+          if (len < shingleSize) (1, len) else (len - shingleSize + 1, shingleSize)
+        val arr = new Array[Long](count)
+        var i = 0
+        while (i < count) { arr(i) = hashNgram(t, i, width); i += 1 }
+        java.util.Arrays.sort(arr)
+        var n = 0
+        var j = 0
+        while (j < count) {
+          if (j == 0 || arr(j) != arr(j - 1)) { arr(n) = arr(j); n += 1 }
+          j += 1
+        }
+        if (n == count) arr else java.util.Arrays.copyOf(arr, n)
+      }
+    }
+    f(text)
+  }
+
+  /** Jaccard of two SORTED distinct long arrays: one linear merge — no hash sets, no
+    * per-element boxing-heavy array_intersect/array_union.
+    */
+  private val jaccardSorted = udf { (a: Seq[Long], b: Seq[Long]) =>
+    if (a == null || b == null) null.asInstanceOf[java.lang.Double]
+    else {
+      val x = a.toArray
+      val y = b.toArray
+      var i = 0; var j = 0; var inter = 0
+      while (i < x.length && j < y.length) {
+        if (x(i) == y(j)) { inter += 1; i += 1; j += 1 }
+        else if (x(i) < y(j)) i += 1
+        else j += 1
+      }
+      val union = x.length + y.length - inter
+      java.lang.Double.valueOf(if (union == 0) 1.0 else inter.toDouble / union)
+    }
+  }
+
   /** Jaccard over hashed char-n-gram shingle sets for given id pairs. Shingles are
-    * compared as 64-bit xxhash64 values, not strings: set semantics are identical up to
-    * hash collisions (P < 1e-12 per document at typical shingle counts) and the
-    * intersect/union work is fixed-width long hashing instead of variable-length string
-    * hashing — the dominant cost of the verify stage.
+    * compared as 64-bit hashes, not strings: set semantics are identical up to hash
+    * collisions (P < 1e-12 per document at typical shingle counts) and the verify work
+    * is a linear merge of two sorted long arrays — the dominant cost of the verify
+    * stage stays in one tight primitive loop per candidate pair.
     */
   def exactJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5): DataFrame = {
-    val sh = docs.select(col(idCol).as("_jid"), shingleHashes(col(textCol), shingleSize).as("_sh"))
+    val sh = docs.select(col(idCol).as("_jid"), shingleHashSet(col(textCol), shingleSize).as("_sh"))
     pairs
       .join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
       .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("double") /
-          size(array_union(col("_sh_a"), col("_sh_b"))).cast("double"))
+      .withColumn("jaccard", jaccardSorted(col("_sh_a"), col("_sh_b")))
       .drop("_sh_a", "_sh_b")
   }
 
@@ -195,13 +246,11 @@ object Dedup {
     * same as [[exactJaccard]].
     */
   def allPairsJaccard(df: DataFrame, idCol: String, textCol: String, shingleSize: Int = 5): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleSize).as("sh"))
+    val sh = df.select(col(idCol).as("id"), shingleHashSet(col(textCol), shingleSize).as("sh"))
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .select(col("id_a"), col("id_b"), jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
   // ---------- SimHash ----------
