@@ -565,6 +565,48 @@ object Queries {
              | SELECT count(*) AS kept_rows FROM documents
              | WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin.replaceAll("\n", " "))),
 
+    // Near-dup CLUSTERS (connected components of the verified-pair graph, each labeled
+    // by its minimum doc id — chains a-b, b-c collapse into one cluster). Spark side:
+    // iterative min-label propagation; oracle: recursive-CTE transitive closure over
+    // the same exact-Jaccard edges. Compared as cluster-size distribution stats.
+    QueryDef("dedup_clusters_documents",
+      (s, d) => Dedup.nearDupClusters(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.9, shingleSize = 5)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .agg(
+          sum(col("sz")).cast("long").as("n_docs"),
+          count(lit(1)).as("n_clusters"),
+          sum(when(col("sz") > 1, col("sz")).otherwise(0L)).as("docs_in_dup_clusters"),
+          max(col("sz")).as("max_cluster_size")),
+      Some("""WITH RECURSIVE idx AS (SELECT unnest(range(1, 2000)) AS i),
+             | sh AS (SELECT doc_id, list(DISTINCT substr(text, CAST(i AS INT), 5)) AS g
+             |   FROM documents JOIN idx ON i <= length(text) - 4 GROUP BY doc_id),
+             | p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |   WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(list_distinct(a.g || b.g)) >= 0.9),
+             | e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+             | reach(a, b) AS (SELECT doc_id, doc_id FROM documents
+             |   UNION SELECT reach.a, e.dst FROM reach JOIN e ON reach.b = e.src),
+             | cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+             | sizes AS (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY 1)
+             | SELECT CAST(sum(sz) AS BIGINT) AS n_docs, count(*) AS n_clusters,
+             | CAST(sum(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT) AS docs_in_dup_clusters,
+             | CAST(max(sz) AS BIGINT) AS max_cluster_size
+             | FROM sizes""".stripMargin.replaceAll("\n", " "))),
+
+    // Token counting two ways (whitespace + BPE-ish subword proxy — GPT-2-style
+    // pre-tokenizer regex); both are exact integer counts, oracle-identical since the
+    // pattern uses only Java/RE2-common syntax with leftmost-first alternation.
+    QueryDef("token_counts_documents",
+      (s, d) => t(s, d, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text"))).cast("long").as("ws_tokens"),
+        sum(TextFunctions.bpeishTokenCount(col("text"))).cast("long").as("bpeish_tokens")),
+      Some("""SELECT count(*) AS n_docs,
+             | CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))) AS BIGINT) AS ws_tokens,
+             | CAST(sum(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+'))) AS BIGINT) AS bpeish_tokens
+             | FROM documents""".stripMargin.replaceAll("\n", " "))),
+
     // Embedding-cosine near-dup pairs: hyperplane-LSH candidates, exact-cosine
     // verification. The synthetic embeddings are near-orthogonal random vectors, so the
     // exact all-pairs oracle (quadratic, fine at gate scale) and the sub-quadratic LSH

@@ -40,6 +40,18 @@ object Dedup {
 
   // ---------- MinHash + LSH ----------
 
+  /** Fan narrow inputs out to the session's parallelism before row-local kernels
+    * (minhash/simhash/shingle/cosine passes). A single-row-group parquet — the local
+    * test corpus — pins an uncached scan to ONE task, serializing the per-row hashing
+    * that should saturate every core. No-op whenever the input is already at least as
+    * parallel, which is the real-cluster case (100 TB corpora arrive in thousands of
+    * splits), so no shuffle is added at scale.
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** FNV-1a over a char range + fmix64 avalanche — the 64-bit shingle hash used by the
     * MinHash UDF. Allocation-free (no substring).
     */
@@ -122,7 +134,7 @@ object Dedup {
       shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,
       maxBucketSize: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val buckets = df
+    val buckets = fanOut(df)
       .select(col(idCol).as("id"),
         explode(lshBuckets(minhashSignature(col(textCol), shingleSize, numHashes),
           bands, rowsPerBand)).as("bb"))
@@ -197,7 +209,7 @@ object Dedup {
     */
   def exactJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5): DataFrame = {
-    val sh = docs.select(col(idCol).as("_jid"), shingleHashSet(col(textCol), shingleSize).as("_sh"))
+    val sh = fanOut(docs).select(col(idCol).as("_jid"), shingleHashSet(col(textCol), shingleSize).as("_sh"))
     pairs
       .join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
       .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
@@ -227,6 +239,63 @@ object Dedup {
     val drop = nearDupPairsMinhash(df, idCol, textCol, threshold, shingleSize, numHashes, bands)
       .select(col("id_b").as(idCol)).distinct()
     df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** Connected components over an undirected pair graph: every id is labeled with the
+    * MINIMUM id reachable through the pairs — the canonical duplicate-cluster id (unlike
+    * [[dedupNearMinhash]]'s greedy pairwise drop, chains a-b, b-c collapse into ONE
+    * cluster rooted at a). Iterative min-label propagation: each round joins current
+    * labels across the edge set and keeps the element-wise min; terminates at fixpoint
+    * (≤ graph diameter rounds — near-dup clusters are shallow, so 2-4 in practice; cap
+    * at `maxIters`). Every round is two shuffle joins on id — no driver-side graph, so
+    * the shape survives any corpus size; for adversarial long-chain graphs switch to
+    * the large-star/small-star alternation (Kiveris et al., "Connected Components in
+    * MapReduce"), which bounds rounds logarithmically.
+    */
+  def clustersFromPairs(ids: DataFrame, pairs: DataFrame, idCol: String,
+      maxIters: Int = 20): DataFrame = {
+    // Undirected edges, both orientations: (src, dst).
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var cached = ids.select(col(idCol).as("id"), col(idCol).as("cluster"),
+      lit(false).as("chg")).cache()
+    var labels = cached.select(col("id"), col("cluster"))
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      // Min neighbor label per node, then element-wise min with own label. The join
+      // already has both old and candidate labels in hand, so change detection is a
+      // flag column — no second join — and the agg action below both materializes the
+      // new cache completely (truncating lineage for the next round) and returns the
+      // changed-row count in the same job.
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2")).agg(min(col("cluster")).as("nmin"))
+      val next = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
+          (coalesce(col("nmin"), col("cluster")) < col("cluster")).as("chg"))
+        .cache()
+      val changed = next.agg(coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L)))
+        .first().getLong(0)
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("id"), col("cluster"))
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("cluster").as("cluster_id"))
+  }
+
+  /** Near-duplicate clusters over documents: MinHash-LSH candidates → exact-Jaccard
+    * verification → connected components. Returns (id, cluster_id) for every input row;
+    * singleton rows are their own cluster.
+    */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16): DataFrame = {
+    val pairs = nearDupPairsMinhash(df, idCol, textCol, threshold, shingleSize, numHashes, bands)
+    clustersFromPairs(df.select(col(idCol)), pairs.select("id_a", "id_b"), idCol)
   }
 
   /** End-user embedding near-dup DEDUP (mirror of [[dedupNearMinhash]]): drop the
@@ -286,7 +355,7 @@ object Dedup {
     */
   def nearDupPairsSimhash(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val hashed = withSimhash(df.select(col(idCol).as("id"), col(textCol)), textCol)
+    val hashed = withSimhash(fanOut(df.select(col(idCol).as("id"), col(textCol))), textCol)
     val banded = hashed.select(col("id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"), shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bits"))
@@ -360,7 +429,7 @@ object Dedup {
     */
   def nearDupPairsEmbedding(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, planes: Int = 8): DataFrame = {
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val b = fanOut(df).select(col(idCol).as("id"), col(vecCol).as("v"),
       hyperplaneBucket(col(vecCol), dim, planes).as("bucket"))
     val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))

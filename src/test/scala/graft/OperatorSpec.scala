@@ -103,6 +103,35 @@ class OperatorSpec extends SparkSpec {
     assert(keptIds == allIds -- exactDropped)
   }
 
+  test("cluster labels propagate min id across chains") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    // chain 1-2-3 plus pair 5-6; 4 is a singleton
+    val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.clustersFromPairs(ids, pairs, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("near-dup clusters agree with components of exact all-pairs graph") {
+    val threshold = 0.9
+    val exactPairs = Dedup.allPairsJaccard(docs, "doc_id", "text", shingleSize = 5)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side union-find as ground truth (corpus is tiny)
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(allIds.map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    exactPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = allIds.map(i => i -> find(i)).toMap
+    val got = Dedup.nearDupClusters(docs, "doc_id", "text", threshold)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("simhash flags near-identical token multisets") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
