@@ -1,9 +1,10 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Deduplication operators for training-data pipelines, each designed around its
   * 100 TB shuffle shape:
@@ -253,13 +254,51 @@ object Dedup {
     * MapReduce"), which bounds rounds logarithmically.
     */
   def clustersFromPairs(ids: DataFrame, pairs: DataFrame, idCol: String,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, smallGraphEdges: Long = 5000000L): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b")).cache()
+    val nPairs = p.count()
+    // Verified near-dup edge sets are orders smaller than the corpus: up to
+    // `smallGraphEdges` pairs (~80 MB of longs) union-find runs on the driver in one
+    // collect — no iteration, one broadcast join back. Past that, fall through to the
+    // distributed min-label loop (shuffles proportional to the dup subgraph).
+    if (nPairs <= smallGraphEdges) {
+      val idField = ids.schema(idCol)
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        // path compression
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      val ord = orderingFor(idField.dataType)
+      p.collect().foreach { row =>
+        val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+        if (ra != rb) {
+          if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      p.unpersist()
+      val labelRows = parent.keys.toSeq.map(k => Row(k, find(k)))
+      val spark = ids.sparkSession
+      val labelDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(labelRows, 1),
+        StructType(Seq(idField.copy(name = idCol), idField.copy(name = "_cc_label"))))
+      return ids.select(col(idCol))
+        .join(broadcast(labelDf), Seq(idCol), "left")
+        .select(col(idCol), coalesce(col("_cc_label"), col(idCol)).as("cluster_id"))
+    }
     // Undirected edges, both orientations: (src, dst).
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
-    var cached = ids.select(col(idCol).as("id"), col(idCol).as("cluster"),
-      lit(false).as("chg")).cache()
+    // Only nodes that touch an edge can ever change label — iterate over the dup
+    // subgraph only (a small fraction of any real corpus); singletons rejoin at the end
+    // as their own cluster. Keeps every round's shuffle proportional to the number of
+    // near-duplicates, not the corpus size.
+    var cached = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster")).cache()
     var labels = cached.select(col("id"), col("cluster"))
     var converged = false
     var it = 0
@@ -285,8 +324,22 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
-    labels.select(col("id").as(idCol), col("cluster").as("cluster_id"))
+    p.unpersist()
+    // Singletons (no edges) are their own cluster.
+    ids.select(col(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("cluster_id"))
   }
+
+  /** Min-comparison for driver-side union-find over untyped id values. */
+  private def orderingFor(dt: DataType): Ordering[Any] = (dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Ordering.by((x: Any) => x.asInstanceOf[Number].longValue())
+    case FloatType | DoubleType =>
+      Ordering.by((x: Any) => x.asInstanceOf[Number].doubleValue())
+    case StringType => Ordering.by((x: Any) => x.asInstanceOf[String])
+    case other => throw new IllegalArgumentException(s"unsupported id type for clustering: $other")
+  }): Ordering[Any]
 
   /** Near-duplicate clusters over documents: MinHash-LSH candidates → exact-Jaccard
     * verification → connected components. Returns (id, cluster_id) for every input row;

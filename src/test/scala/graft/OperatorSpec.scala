@@ -103,14 +103,20 @@ class OperatorSpec extends SparkSpec {
     assert(keptIds == allIds -- exactDropped)
   }
 
-  test("cluster labels propagate min id across chains") {
+  test("cluster labels propagate min id across chains (both paths)") {
     import spark.implicits._
     val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
     // chain 1-2-3 plus pair 5-6; 4 is a singleton
     val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
-    val got = Dedup.clustersFromPairs(ids, pairs, "id")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L)
+    // driver union-find fast path
+    val small = Dedup.clustersFromPairs(ids, pairs, "id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+    assert(small == expected)
+    // distributed min-label loop (forced by zero small-graph budget)
+    val dist = Dedup.clustersFromPairs(ids, pairs, "id", smallGraphEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expected)
   }
 
   test("near-dup clusters agree with components of exact all-pairs graph") {
