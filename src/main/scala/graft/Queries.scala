@@ -621,10 +621,32 @@ object Queries {
              | (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.85""".stripMargin.replaceAll("\n", " "))),
 
     // SimHash near-dup pairs (rows-only: hash-function-specific).
+    // SimHash near-dup pairs, oracle-checked bit-for-bit: the query uses the engine's
+    // md5 token-hash variant (portable), and the oracle rebuilds the same 64-bit
+    // sketch in DuckDB as two 32-bit halves (BIGINT-safe), bands it 4×16 bits, and
+    // verifies Hamming <= 3 via bit_count(xor) — identical candidate + verify logic.
     QueryDef("dedup_simhash_documents",
-      (s, d) => Dedup.nearDupPairsSimhash(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
-        .agg(count(lit(1)).as("simhash_pairs")),
-      None),
+      (s, d) => Dedup.nearDupPairsSimhash(t(s, d, "documents"), "doc_id", "text",
+        maxHamming = 3, tokenHasher = "md5")
+        .agg(count(lit(1)).as("simhash_pairs"),
+          coalesce(sum(col("hamming")), lit(0L)).as("sum_hamming")),
+      Some("""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS tk FROM documents),
+             | th AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 8))::BIGINT AS hi, ('0x' || substr(md5(tk), 9, 8))::BIGINT AS lo FROM tok),
+             | votes AS (SELECT doc_id, i, sum((CASE WHEN i < 32 THEN (lo >> i) & 1 ELSE (hi >> (i - 32)) & 1 END) * 2 - 1) AS v
+             |   FROM th, (SELECT unnest(range(0, 64)) AS i) GROUP BY 1, 2),
+             | shx AS (SELECT doc_id,
+             |   CAST(sum(CASE WHEN v > 0 AND i < 32 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS lo32,
+             |   CAST(sum(CASE WHEN v > 0 AND i >= 32 THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS hi32
+             |   FROM votes GROUP BY 1),
+             | sh AS (SELECT d.doc_id, coalesce(lo32, 0) AS lo32, coalesce(hi32, 0) AS hi32 FROM documents d LEFT JOIN shx USING (doc_id)),
+             | banded AS (SELECT doc_id, hi32, lo32,
+             |   CASE b WHEN 0 THEN lo32 & 65535 WHEN 1 THEN (lo32 >> 16) & 65535 WHEN 2 THEN hi32 & 65535 ELSE (hi32 >> 16) & 65535 END AS bits16, b
+             |   FROM sh, (SELECT unnest(range(0, 4)) AS b)),
+             | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             |   bit_count(xor(a.lo32, b.lo32)) + bit_count(xor(a.hi32, b.hi32)) AS hamming
+             |   FROM banded a JOIN banded b ON a.b = b.b AND a.bits16 = b.bits16 AND a.doc_id < b.doc_id)
+             | SELECT count(*) AS simhash_pairs, CAST(coalesce(sum(hamming), 0) AS BIGINT) AS sum_hamming
+             | FROM cand WHERE hamming <= 3""".stripMargin.replaceAll("\n", " "))),
 
     QueryDef("embedding_norms",
       (s, d) => {

@@ -381,34 +381,72 @@ object Dedup {
     * Row-local; bit arithmetic via a tight Scala UDF (the per-row loop over 64 bits has
     * no vectorizable Column form; the UDF is still one projection, no shuffle).
     */
-  val simhash64: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (tokens: Seq[String]) =>
-      if (tokens == null || tokens.isEmpty) 0L
-      else {
-        val counts = new Array[Int](64)
-        tokens.foreach { t =>
-          var h = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c).toLong << 32
-          h |= (scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b).toLong & 0xffffffffL)
-          var i = 0
-          while (i < 64) { if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1; i += 1 }
-        }
-        var out = 0L
+  private def simhashOf(tokens: Seq[String], tokenHash: String => Long): Long =
+    if (tokens == null || tokens.isEmpty) 0L
+    else {
+      val counts = new Array[Int](64)
+      tokens.foreach { t =>
+        val h = tokenHash(t)
         var i = 0
-        while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
-        out
+        while (i < 64) { if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1; i += 1 }
       }
+      var out = 0L
+      var i = 0
+      while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
+      out
     }
 
-  def withSimhash(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame =
-    df.withColumn(out, simhash64(tokens(col(textCol))))
+  private def murmurTokenHash(t: String): Long = {
+    var h = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c).toLong << 32
+    h | (scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b).toLong & 0xffffffffL)
+  }
+
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of md5(token), big-endian — i.e. the first 16 hex chars of the
+    * standard digest string. Slower than murmur but reproducible in any engine with an
+    * `md5()` function (the oracle path).
+    */
+  private def md5TokenHash(t: String): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
+  val simhash64: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (tokens: Seq[String]) => simhashOf(tokens, murmurTokenHash) }
+
+  /** Engine-portable simhash (md5 token hash) — bit-identical to what a SQL oracle can
+    * reproduce; default [[simhash64]] (murmur) is the fast path.
+    */
+  val simhash64Md5: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (tokens: Seq[String]) => simhashOf(tokens, md5TokenHash) }
+
+  def withSimhash(df: DataFrame, textCol: String, out: String = "simhash",
+      tokenHasher: String = "murmur3"): DataFrame = {
+    val sh = tokenHasher match {
+      case "murmur3" => simhash64
+      case "md5"     => simhash64Md5
+      case other     => throw new IllegalArgumentException(s"unknown token hasher: $other")
+    }
+    df.withColumn(out, sh(tokens(col(textCol))))
+  }
 
   /** Near-dup pairs by SimHash: 4×16-bit band blocking (any identical band ⇒ candidate,
     * guaranteeing recall for Hamming distance <= 3), then exact Hamming verify via
     * bit_count(xor).
     */
   def nearDupPairsSimhash(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val hashed = withSimhash(fanOut(df.select(col(idCol).as("id"), col(textCol))), textCol)
+      maxHamming: Int = 3, tokenHasher: String = "murmur3"): DataFrame = {
+    val hashed = withSimhash(fanOut(df.select(col(idCol).as("id"), col(textCol))), textCol,
+      tokenHasher = tokenHasher)
     val banded = hashed.select(col("id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"), shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bits"))
