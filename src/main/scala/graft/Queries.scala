@@ -390,6 +390,45 @@ object Queries {
              | CAST(sum(CASE WHEN rn > 3 AND sd > 0 AND abs(cnt - mu) / sd > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS anomalies
              | FROM z""".stripMargin.replaceAll("\n", " "))),
 
+    // Rate-of-change + absolute-change anomaly detectors over the same daily-count
+    // series as the z-score query (reference: detector.rs RelativeRateOfChange /
+    // AbsoluteChange); oracle recomputes both rules with a LAG window.
+    QueryDef("anomaly_roc_abs_daily_events",
+      (s, d) => {
+        import graft.analyzers._
+        import graft.repository._
+        val daily = t(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("cnt"))
+          .orderBy("day")
+          .collect()
+          .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1).toDouble))
+        val repo = new InMemoryMetricsRepository
+        daily.foreach { case (day, cnt) =>
+          repo.save(ResultKey(day), Map("size.daily_events" -> cnt))
+        }
+        val roc = RelativeRateOfChangeStrategy(
+          maxRateIncrease = Some(0.25), maxRateDecrease = Some(0.25))
+          .detect(repo.history("size.daily_events")).length.toLong
+        val abs = AbsoluteChangeStrategy(maxIncrease = Some(25.0), maxDecrease = Some(25.0))
+          .detect(repo.history("size.daily_events")).length.toLong
+        import s.implicits._
+        Seq((daily.length.toLong, roc, abs)).toDF("n_days", "roc_anomalies", "abs_anomalies")
+      },
+      Some("""WITH dly AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS cnt FROM events GROUP BY 1),
+             | lagged AS (SELECT cnt, lag(cnt) OVER (ORDER BY day) AS prev FROM dly)
+             | SELECT count(*) AS n_days,
+             | CAST(sum(CASE WHEN prev IS NOT NULL AND prev != 0 AND (cnt / prev - 1.0 > 0.25 OR 1.0 - cnt / prev > 0.25) THEN 1 ELSE 0 END) AS BIGINT) AS roc_anomalies,
+             | CAST(sum(CASE WHEN prev IS NOT NULL AND (cnt - prev > 25.0 OR prev - cnt > 25.0) THEN 1 ELSE 0 END) AS BIGINT) AS abs_anomalies
+             | FROM lagged""".stripMargin.replaceAll("\n", " "))),
+
+    // Schema arity (reference: constraints/column_count.rs — no scan, metadata only).
+    QueryDef("column_count_orders",
+      (s, d) => {
+        import s.implicits._
+        Seq(t(s, d, "orders").schema.fields.length.toLong).toDF("n_cols")
+      },
+      Some("SELECT count(*) AS n_cols FROM (DESCRIBE orders)")),
+
     // Incremental analysis (reference: analyzers/incremental/runner.rs): orders split
     // into year partitions, each analyzed separately (its own tiny scan), states merged
     // through the StateStore — the merged metrics must equal a full-table scan, which is
