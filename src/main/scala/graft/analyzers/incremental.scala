@@ -91,10 +91,14 @@ final class IncrementalAnalysisRunner(store: StateStore, analyzers: Seq[Analyzer
 
   private val CumulativeKey = "__cumulative__"
 
-  /** Analyze one new partition; returns metrics over (history ∪ partition). */
+  /** Analyze one new partition; returns metrics over (history ∪ partition). All
+    * analyzers' states come from ONE scan of the partition (AnalysisRunner batching) —
+    * the per-analyzer-scan shape the reference fell back to is a linear job-count tax.
+    */
   def analyzePartition(df: DataFrame, partitionKey: String): Map[String, MetricValue] = {
+    val ctx = new AnalysisRunner(analyzers, continueOnError = false).run(df)
     analyzers.map { a =>
-      val newState = a.computeState(df)
+      val newState = ctx.states(a.key)
       store.save(a.key, partitionKey, a.fieldsOfAnyState(newState))
       val merged = store.load(a.key, CumulativeKey) match {
         case Some(fields) => a.mergeAnyStates(a.stateFromFields(fields), newState)
