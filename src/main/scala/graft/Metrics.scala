@@ -79,12 +79,14 @@ object Metrics {
   def mutualInformation(df: DataFrame, c1: String, c2: String): DataFrame = {
     val d = df.filter(col(c1).isNotNull && col(c2).isNotNull)
       .select(col(c1).cast("string").as("x"), col(c2).cast("string").as("y"))
-    // ONE scan of the data: the joint distribution. Marginals are re-aggregations of
-    // the (cardinality-bounded) joint counts, not extra passes over the input.
+    // ONE scan of the data: the joint distribution. Marginals are window sums OVER the
+    // (cardinality-bounded) joint counts — a linear plan, so Catalyst computes the
+    // joint once; self-joining it instead would recompute the base aggregation per
+    // marginal (three full input scans).
     val joint = d.groupBy("x", "y").agg(count(lit(1)).as("nxy"))
-    val mx = joint.groupBy("x").agg(sum(col("nxy")).as("nx"))
-    val my = joint.groupBy("y").agg(sum(col("nxy")).as("ny"))
-    joint.join(broadcast(mx), "x").join(broadcast(my), "y")
+    joint
+      .withColumn("nx", sum(col("nxy")).over(org.apache.spark.sql.expressions.Window.partitionBy("x")))
+      .withColumn("ny", sum(col("nxy")).over(org.apache.spark.sql.expressions.Window.partitionBy("y")))
       .agg(sum(col("nxy")).as("n"),
         sum(col("nxy") * (log(col("nxy")) - log(col("nx")) - log(col("ny")))).as("s"))
       .select(round(col("s") / col("n") + log(col("n")), 6).as("mutual_information"))
