@@ -87,6 +87,16 @@ class MetricsSpec extends SparkSpec {
     }
   }
 
+  test("mutual information plan scans the input exactly once") {
+    import spark.implicits._
+    val df = Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("c1", "c2")
+    val plan = Metrics.mutualInformation(df, "c1", "c2")
+      .queryExecution.executedPlan.toString
+    // marginals must be windows over the joint counts, not re-aggregations of the input
+    val scans = "LocalTableScan|Scan ".r.findAllIn(plan).length
+    assert(scans == 1, s"expected a single input scan, got $scans:\n$plan")
+  }
+
   test("dedupNearEmbedding drops the higher id of a planted near-identical pair") {
     import graft.operators.Dedup
     import spark.implicits._
