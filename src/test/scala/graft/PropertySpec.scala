@@ -95,6 +95,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("uniqueness NULL modes match independent computation") {
+    val keyedRowsGen = for {
+      n <- Gen.choose(1, 120)
+      nullEvery <- Gen.choose(2, 10)
+      card <- Gen.choose(1, 15) // small range to force duplicate keys
+    } yield (1 to n).map { i =>
+      (i.toLong, if (i % nullEvery == 0) None else Some((i % card).toLong))
+    }
+    forAll(keyedRowsGen) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("id", "k")
+      val total = rows.size.toDouble
+      val nonNull = rows.flatMap(_._2)
+      val nullRows = rows.count(_._2.isEmpty)
+      val expected = Map[NullMode, Double](
+        NullMode.Exclude -> nonNull.distinct.size / total,
+        NullMode.IncludeAsOne -> (nonNull.distinct.size + (if (nullRows > 0) 1 else 0)) / total,
+        NullMode.EachDistinct -> (nonNull.distinct.size + nullRows) / total)
+      expected.foreach { case (mode, exp) =>
+        val r = UniquenessConstraint(Seq("k"), Assertion.Equals(exp), mode).evaluate(df)
+        assert(r.status == ConstraintStatus.Success, s"mode=$mode expected=$exp got=$r")
+      }
+    }
+  }
+
   test("pattern-match ratio matches independent computation") {
     val strGen = for {
       n <- Gen.choose(1, 60)
