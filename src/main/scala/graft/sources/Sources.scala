@@ -109,4 +109,11 @@ object Sources {
 
   /** Read a previously saved bucketed table from the session catalog. */
   def table(spark: SparkSession, tableName: String): DataFrame = spark.table(tableName)
+
+  /** Hive-style partitioned parquet layout (`path/col=value/…`): filters on the
+    * partition columns prune whole directories at planning time (PartitionFilters in
+    * the scan) — the physical layout for time/tenant-sliced 100 TB corpora.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 }

@@ -87,6 +87,32 @@ class MetricsSpec extends SparkSpec {
     }
   }
 
+  test("salted join returns exactly the plain-join result") {
+    import graft.operators.Joins
+    import spark.implicits._
+    // hot key 7 carries half the fact rows
+    val facts = (1 to 400).map(i => (if (i % 2 == 0) 7L else (i % 50).toLong, i)).toDF("fk", "x")
+    val dim = (0 until 50).map(i => (i.toLong, s"d_$i")).toDF("dk", "name")
+    val plain = facts.join(dim, facts("fk") === dim("dk")).select("fk", "x", "name")
+    val salted = Joins.saltedJoin(facts, dim, Seq(("fk", "dk")), saltFactor = 4)
+      .select("fk", "x", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("partitioned layout prunes partitions at the scan") {
+    import graft.sources.Sources
+    import spark.implicits._
+    val df = (1 to 300).map(i => (i, s"2024-0${i % 3 + 1}", i.toDouble)).toDF("id", "month", "v")
+    val path = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Sources.writePartitioned(df, path, Seq("month"))
+    val pruned = spark.read.parquet(path).filter(col("month") === "2024-02")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(month"),
+      s"expected partition filters in scan:\n$scan")
+    assert(pruned.count() == 100L)
+  }
+
   test("mutual information plan scans the input exactly once") {
     import spark.implicits._
     val df = Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("c1", "c2")
