@@ -130,6 +130,67 @@ object HllSketch {
   }
 }
 
+/** Mergeable quantile-sketch state — the reference's KLL analyzer
+  * (analyzers/advanced/kll_sketch.rs) re-expressed on Spark's own Greenwald-Khanna
+  * summary (`QuantileSummaries`, the sketch behind `percentile_approx`): ε-bounded
+  * rank error, O(1/ε · log(εn)) space, true `merge` for incremental/partitioned runs.
+  * The sketch is computed distributively by a typed [[org.apache.spark.sql.expressions.Aggregator]]
+  * (partial sketches per partition, merged map-side) — not by collecting values.
+  */
+final case class QuantileState(sketch: org.apache.spark.sql.catalyst.util.QuantileSummaries)
+    extends AnalyzerState[QuantileState] {
+  def merge(o: QuantileState): QuantileState = {
+    // compress BEFORE the empty check: an uncompressed summary holds pending inserts
+    // in its head buffer and reports count == 0 until they are folded in
+    val (a, b) = (sketch.compress(), o.sketch.compress())
+    if (a.count == 0) QuantileState(b)
+    else if (b.count == 0) QuantileState(a)
+    else QuantileState(a.merge(b))
+  }
+  def toFields = Map("sketch" -> java.util.Base64.getEncoder.encodeToString(
+    QuantileSketch.serialize(sketch)))
+  def quantile(q: Double): Option[Double] =
+    sketch.compress().query(q).map(_.asInstanceOf[Double])
+}
+
+object QuantileSketch {
+  import org.apache.spark.sql.catalyst.util.QuantileSummaries
+
+  def empty(relativeError: Double): QuantileSummaries =
+    new QuantileSummaries(QuantileSummaries.defaultCompressThreshold, relativeError)
+
+  def serialize(qs: QuantileSummaries): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    try oos.writeObject(qs.compress()) finally oos.close()
+    bos.toByteArray
+  }
+  def deserialize(bytes: Array[Byte]): QuantileSummaries = {
+    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+    try ois.readObject().asInstanceOf[QuantileSummaries] finally ois.close()
+  }
+
+  /** Distributed sketch-building aggregate (nulls ignored, like SQL aggregates). */
+  final class Agg(relativeError: Double)
+      extends org.apache.spark.sql.expressions.Aggregator[java.lang.Double, QuantileSummaries, Array[Byte]] {
+    def zero: QuantileSummaries = empty(relativeError)
+    def reduce(b: QuantileSummaries, a: java.lang.Double): QuantileSummaries =
+      if (a == null) b else b.insert(a.doubleValue())
+    def merge(x: QuantileSummaries, y: QuantileSummaries): QuantileSummaries = {
+      // compress BEFORE the empty check (pending head inserts report count == 0)
+      val (xc, yc) = (x.compress(), y.compress())
+      if (xc.count == 0) yc else if (yc.count == 0) xc else xc.merge(yc)
+    }
+    def finish(b: QuantileSummaries): Array[Byte] = serialize(b)
+    def bufferEncoder = org.apache.spark.sql.Encoders.javaSerialization[QuantileSummaries]
+    def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+  }
+
+  def aggColumn(column: String, relativeError: Double): Column =
+    udaf(new Agg(relativeError), org.apache.spark.sql.Encoders.DOUBLE)
+      .apply(col(column).cast("double"))
+}
+
 /** Value→count map state for histogram/entropy/datatype distribution; mergeable by
   * count-sum. Bounded by `maxBuckets` at computation time (truncation marked).
   */
@@ -231,6 +292,22 @@ final case class CorrelationAnalyzer(c1: String, c2: String) extends Analyzer[Co
     f("n").toLong, f("sx").toDouble, f("sy").toDouble, f("sxx").toDouble, f("syy").toDouble, f("sxy").toDouble)
   def metricFromState(s: CoMomentsState) =
     MetricValue.DoubleMetric(s.correlation.getOrElse(Double.NaN))
+}
+
+/** Quantiles from a mergeable GK sketch (reference: the KLL analyzer) — states from
+  * different partitions/runs merge with bounded rank error instead of rescanning.
+  */
+final case class QuantileAnalyzer(column: String, quantiles: Seq[Double] = Seq(0.5),
+    relativeError: Double = 0.01) extends Analyzer[QuantileState] {
+  val name = "quantile"; val key = s"quantile.$column"
+  val stateAggregates = Seq(QuantileSketch.aggColumn(column, relativeError))
+  def stateFromValues(v: Seq[Any]) =
+    QuantileState(QuantileSketch.deserialize(v.head.asInstanceOf[Array[Byte]]))
+  def stateFromFields(f: Map[String, String]) =
+    QuantileState(QuantileSketch.deserialize(java.util.Base64.getDecoder.decode(f("sketch"))))
+  def metricFromState(s: QuantileState) = MetricValue.MapMetric(
+    quantiles.map(q => s"q$q" -> MetricValue.DoubleMetric(
+      s.quantile(q).getOrElse(Double.NaN))).toMap)
 }
 
 final case class ApproxCountDistinctAnalyzer(column: String) extends Analyzer[HllState] {

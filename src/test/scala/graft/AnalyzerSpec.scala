@@ -55,6 +55,27 @@ class AnalyzerSpec extends SparkSpec {
     assert(math.abs(est - 1000.0) / 1000.0 < 0.05, s"estimate $est")
   }
 
+  test("quantile sketch state: distributed build, merge, and rank-error bound") {
+    val a = QuantileAnalyzer("x", quantiles = Seq(0.1, 0.5, 0.9), relativeError = 0.01)
+    // merged partition sketches vs full-scan sketch vs exact quantiles
+    val merged = a.mergeAnyStates(a.computeState(part1), a.computeState(part2))
+      .asInstanceOf[QuantileState]
+    val fullState = a.computeState(full)
+    val n = 1000
+    Seq(0.1, 0.5, 0.9).foreach { q =>
+      val exact = q * n * 0.5 // x = i * 0.5, i in 1..1000
+      Seq(merged, fullState).foreach { s =>
+        val got = s.quantile(q).get
+        // GK guarantee: rank error <= relativeError * n -> value error <= eps*n*step
+        assert(math.abs(got - exact) <= 0.01 * n * 0.5 + 0.5,
+          s"q=$q got=$got exact=$exact")
+      }
+    }
+    // fields round-trip preserves the sketch
+    val revived = a.stateFromFields(merged.toFields)
+    assert(revived.quantile(0.5) == merged.quantile(0.5))
+  }
+
   test("state fields round-trip through serialization") {
     val analyzers: Seq[Analyzer[_]] = Seq(
       SizeAnalyzer(), CompletenessAnalyzer("y"), MeanAnalyzer("x"),
