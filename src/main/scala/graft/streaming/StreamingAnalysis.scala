@@ -1,10 +1,10 @@
 package graft.streaming
 
-import graft.analyzers.{Analyzer, IncrementalAnalysisRunner}
+import graft.analyzers.{Analyzer, IncrementalAnalysisRunner, MomentsState}
 import graft.core.MetricValue
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout}
 
 /** Structured-Streaming face of the engine. The reference has no stream processing; its
   * incremental batch analysis (per-partition states merged into history,
@@ -51,6 +51,51 @@ object StreamingAnalysis {
       val metrics = runner.analyzePartition(batch, f"batch=$batchId%012d")
       onBatch(batchId, metrics)
     }
+
+  /** Running per-key moments for `keyedRunningMoments` output rows. */
+  final case class KeyedMoments(key: String, n: Long, mean: Double, stddev: Double)
+
+  /** Per-key RUNNING statistics across micro-batches via `mapGroupsWithState`: each
+    * key's mergeable [[MomentsState]] lives in the streaming state store (RocksDB/HDFS
+    * on a real cluster) and is folded with every batch's values — the custom-state
+    * analog of the incremental runner, but keyed and continuous. Emits the updated
+    * (key, n, mean, stddev) row per key per batch; use output mode `update`. Optional
+    * idle-key expiry via processing-time timeout keeps state bounded on unbounded key
+    * domains.
+    */
+  def keyedRunningMoments(
+      stream: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      idleTimeout: Option[String] = None): Dataset[KeyedMoments] = {
+    val pairs = stream
+      .filter(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("_k"), col(valueCol).cast("double").as("_v"))
+      .as[(String, Double)](Encoders.tuple(Encoders.STRING, Encoders.scalaDouble))
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    pairs
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapGroupsWithState[MomentsState, KeyedMoments](timeoutConf) {
+        (key: String, rows: Iterator[(String, Double)], state: GroupState[MomentsState]) =>
+          if (state.hasTimedOut) {
+            val last = state.getOption.getOrElse(MomentsState(0L, 0.0, 0.0))
+            state.remove()
+            KeyedMoments(key, last.n, last.mean.getOrElse(Double.NaN),
+              last.stddevSamp.getOrElse(Double.NaN))
+          } else {
+            val batch = rows.foldLeft(MomentsState(0L, 0.0, 0.0)) { (m, r) =>
+              MomentsState(m.n + 1, m.sum + r._2, m.sumSq + r._2 * r._2)
+            }
+            val merged = state.getOption.map(_.merge(batch)).getOrElse(batch)
+            state.update(merged)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            KeyedMoments(key, merged.n, merged.mean.getOrElse(Double.NaN),
+              merged.stddevSamp.getOrElse(Double.NaN))
+          }
+      }(Encoders.kryo[MomentsState], Encoders.product[KeyedMoments])
+  }
 
   /** Continuous constraint evaluation: run a (batchable) constraint set on each
     * micro-batch, emitting failures to the foreachBatch callback. For per-batch gating

@@ -58,6 +58,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("keyed running moments fold state across micro-batches per key") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Double)]
+    val stream = StreamingAnalysis.keyedRunningMoments(
+      input.toDF().toDF("k", "v"), "k", "v")
+    val q = stream.writeStream.format("memory").queryName("krm").outputMode("update").start()
+    try {
+      input.addData(("a", 1.0), ("a", 3.0), ("b", 10.0))
+      q.processAllAvailable()
+      input.addData(("a", 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // last update per key reflects the cumulative state, not just the final batch
+    val byKey = spark.sql("SELECT key, n, mean, stddev FROM krm").collect()
+      .groupBy(_.getString(0)).map { case (k, rows) => k -> rows.maxBy(_.getLong(1)) }
+    val a = byKey("a")
+    assert(a.getLong(1) == 3 && math.abs(a.getDouble(2) - 3.0) < 1e-9)
+    assert(math.abs(a.getDouble(3) - 2.0) < 1e-9) // stddev_samp of 1,3,5
+    val b = byKey("b")
+    assert(b.getLong(1) == 1 && math.abs(b.getDouble(2) - 10.0) < 1e-9)
+  }
+
   test("constraint sink evaluates batchable constraints per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
