@@ -135,11 +135,20 @@ object Dedup {
       shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,
       maxBucketSize: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // Signature materialized in its OWN projection before banding: `lshBuckets` slices
+    // the signature 16 times, and inlining the UDF there would textually duplicate the
+    // (expensive, whole-text) minhash kernel per band. CollapseProject keeps the two
+    // projections separate because the alias is non-cheap and multiply referenced, so
+    // the kernel runs exactly once per row.
     val buckets = fanOut(df)
       .select(col(idCol).as("id"),
-        explode(lshBuckets(minhashSignature(col(textCol), shingleSize, numHashes),
-          bands, rowsPerBand)).as("bb"))
+        minhashSignature(col(textCol), shingleSize, numHashes).as("_sig"))
+      .select(col("id"), explode(lshBuckets(col("_sig"), bands, rowsPerBand)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      // Consumed twice (bucket-size guard + candidate join) — persist the ~24-byte
+      // (id, band, bucket) rows instead of re-running the signature kernel over the
+      // corpus; spills to disk if the executor cache is tight.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Oversized-bucket guard as a broadcast anti-join: the oversized set is tiny by
     // construction (degenerate content only), so this costs one map-side-combined
     // count — no window sort over every (id, band, bucket) row.
@@ -210,7 +219,12 @@ object Dedup {
     */
   def exactJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5): DataFrame = {
+    // The shingle-set projection feeds BOTH sides of the pair join (id_a and id_b
+    // lookups); persisting it runs the shingle-hash kernel once per document instead of
+    // twice. When the verified pair set is small, AQE turns both joins into broadcasts
+    // of `pairs` — the corpus-side shingle rows never shuffle.
     val sh = fanOut(docs).select(col(idCol).as("_jid"), shingleHashSet(col(textCol), shingleSize).as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs
       .join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
       .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
