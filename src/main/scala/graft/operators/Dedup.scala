@@ -477,28 +477,12 @@ object Dedup {
 
   // ---------- embedding near-dup ----------
 
-  /** Cosine similarity of two float-array columns, computed in double. UDF kernel (one
-    * primitive loop per row) — higher-order-function Columns are CodegenFallback and
-    * interpreted per element.
+  /** Cosine similarity of two float-array columns, computed in double. Native codegen'd
+    * Catalyst expression ([[graft.functions.CosineSim]]): one fused loop over both
+    * `UnsafeArrayData` inputs inside whole-stage codegen — no UDF boxing of every
+    * candidate pair's arrays, no interpreted higher-order-function lambdas.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val f = udf { (x: Seq[Float], y: Seq[Float]) =>
-      if (x == null || y == null) null.asInstanceOf[java.lang.Double]
-      else {
-        val n = math.min(x.length, y.length)
-        var dot = 0.0
-        var nx = 0.0
-        var ny = 0.0
-        var i = 0
-        while (i < n) {
-          val xi = x(i).toDouble; val yi = y(i).toDouble
-          dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
-        }
-        java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
-      }
-    }
-    f(a, b)
-  }
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorFunctions.cosine(a, b)
 
   /** Random-hyperplane LSH bucket id: sign bits of dot products with `planes`
     * deterministic pseudo-random hyperplanes, packed into a long. Row-local single-pass

@@ -92,6 +92,38 @@ class OperatorSpec extends SparkSpec {
     assert(plan.contains("*("), s"expected WholeStageCodegen in:\n$plan")
   }
 
+  test("native pairwise cosine matches driver-side computation, codegens, and registers in SQL") {
+    import spark.implicits._
+    val rows = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)),    // identical -> 1.0
+      (Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f)),    // orthogonal -> 0.0
+      (Seq(1.0f, 2.0f, 3.0f), Seq(-1.0f, -2.0f, -3.0f))) // opposite -> -1.0
+    val got = rows.toDF("a", "b")
+      .select(graft.functions.VectorFunctions.cosine(col("a"), col("b"))).collect()
+      .map(_.getDouble(0))
+    Seq(1.0, 0.0, -1.0).zip(got).foreach { case (e, g) =>
+      assert(math.abs(e - g) < 1e-12, s"$e vs $g")
+    }
+    // null array -> null
+    val n = Seq((Seq(1.0f), Option.empty[Seq[Float]])).toDF("a", "b")
+      .select(graft.functions.VectorFunctions.cosine(col("a"), col("b"))).head()
+    assert(n.isNullAt(0))
+    // stays inside WholeStageCodegen over a real scan
+    val plan = embs.select(graft.functions.VectorFunctions.cosine(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"expected WholeStageCodegen in:\n$plan")
+    // SQL registration: imperative path on the live session
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT graft_cosine(cast(array(1.0, 2.0) AS array<float>), cast(array(2.0, 4.0) AS array<float>)) AS c,
+        |       graft_cosine_to_probe(cast(array(3.0, 4.0) AS array<float>), array(3.0D, 4.0D)) AS p""".stripMargin).head()
+    assert(math.abs(viaSql.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(viaSql.getDouble(1) - 1.0) < 1e-12)
+    // extensions path: same descriptors wired through SparkSessionExtensions
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext) // must accept all descriptors
+  }
+
   test("near-dup dedup keeps lowest id of each verified relation") {
     val threshold = 0.9
     val exactDropped = Dedup.allPairsJaccard(docs, "doc_id", "text", shingleSize = 5)
