@@ -480,6 +480,45 @@ object Queries {
              | CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_key_share
              | FROM kc""".stripMargin.replaceAll("\n", " "))),
 
+    // EP1 end-to-end under the oracle gate: a real ValidationSuite (CheckBuilder →
+    // batched single-scan agg → report fold) over lineitem with one deliberately
+    // failing constraint. The oracle recomputes every constraint verdict from the same
+    // aggregates and tallies the identical report counts.
+    QueryDef("suite_report_lineitem",
+      (s, d) => {
+        import graft.core._
+        val report = ValidationSuite("oracle suite", Seq(
+          CheckBuilder("integrity", Level.Error)
+            .hasSize(Assertion.GreaterThan(1000))
+            .hasCompleteness("l_orderkey", Assertion.GreaterThanOrEqual(1.0))
+            .hasMean("l_discount", Assertion.Between(0.0, 0.1))
+            .isContainedIn("l_returnflag", Seq("A", "N", "R"))
+            .hasMax("l_quantity", Assertion.LessThanOrEqual(10.0)) // fails: max is 50
+            .hasUniqueness(Seq("l_orderkey", "l_linenumber"), Assertion.GreaterThanOrEqual(1.0))
+            .build())).run(t(s, d, "lineitem"))
+        import s.implicits._
+        Seq((report.metrics.totalConstraints.toLong, report.metrics.passed.toLong,
+          report.metrics.failed.toLong, report.metrics.skipped.toLong,
+          report.issues.length.toLong, if (report.isSuccess) 1L else 0L))
+          .toDF("total_constraints", "passed", "failed", "skipped", "n_issues", "is_success")
+      },
+      Some("""WITH m AS (SELECT count(*) AS cnt, count(l_orderkey) AS cok,
+             |   sum(l_discount) / count(l_discount) AS mean_disc,
+             |   CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(l_returnflag) AS DOUBLE) AS contained,
+             |   max(l_quantity) AS max_qty,
+             |   count(DISTINCT (l_orderkey, l_linenumber)) AS dl FROM lineitem),
+             | v AS (SELECT (CASE WHEN cnt > 1000 THEN 1 ELSE 0 END)
+             |   + (CASE WHEN CAST(cok AS DOUBLE) / CAST(cnt AS DOUBLE) >= 1.0 THEN 1 ELSE 0 END)
+             |   + (CASE WHEN mean_disc BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END)
+             |   + (CASE WHEN contained >= 1.0 THEN 1 ELSE 0 END)
+             |   + (CASE WHEN max_qty <= 10.0 THEN 1 ELSE 0 END)
+             |   + (CASE WHEN CAST(dl AS DOUBLE) / CAST(cnt AS DOUBLE) >= 1.0 THEN 1 ELSE 0 END) AS p FROM m)
+             | SELECT CAST(6 AS BIGINT) AS total_constraints, CAST(p AS BIGINT) AS passed,
+             | CAST(6 - p AS BIGINT) AS failed, CAST(0 AS BIGINT) AS skipped,
+             | CAST(6 - p AS BIGINT) AS n_issues,
+             | CAST(CASE WHEN p = 6 THEN 1 ELSE 0 END AS BIGINT) AS is_success
+             | FROM v""".stripMargin.replaceAll("\n", " "))),
+
     QueryDef("json_validity_props",
       (s, d) => t(s, d, "events").agg(
         count(col("props")).as("non_null"),
