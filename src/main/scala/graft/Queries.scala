@@ -430,27 +430,22 @@ object Queries {
       Some("SELECT count(*) AS n_cols FROM (DESCRIBE orders)")),
 
     // Incremental analysis (reference: analyzers/incremental/runner.rs): orders split
-    // into year partitions, each analyzed separately (its own tiny scan), states merged
-    // through the StateStore — the merged metrics must equal a full-table scan, which is
-    // exactly what the oracle computes.
+    // into year partitions, ALL states computed by one groupBy(year) scan
+    // (analyzePartitionsBatched), merged through the StateStore — the merged metrics
+    // must equal a full-table scan, which is exactly what the oracle computes. The
+    // per-partition sequential path (analyzePartition loop) is pinned equal to this in
+    // AnalyzerSpec.
     QueryDef("incremental_yearly_orders",
       (s, d) => {
         import graft.analyzers._
-        // Cached for the per-partition loop: each year's analyzePartition is a filter +
-        // one-row agg over the SAME table, so the loop re-reads memory, not parquet.
-        val orders = t(s, d, "orders").cache()
-        val years = orders.select(year(col("o_orderdate")).as("y"))
-          .distinct().orderBy("y").collect().map(_.getInt(0)).toSeq
         val store = new InMemoryStateStore
         val runner = new IncrementalAnalysisRunner(store,
           Seq(SizeAnalyzer(), MeanAnalyzer("o_totalprice")))
-        years.foreach { y =>
-          runner.analyzePartition(orders.filter(year(col("o_orderdate")) === y), y.toString)
-        }
-        val m = runner.currentMetrics()
-        orders.unpersist()
+        val m = runner.analyzePartitionsBatched(
+          t(s, d, "orders"), year(col("o_orderdate")))
         import s.implicits._
-        Seq((years.length.toLong, m("size.*").asDouble.get.toLong,
+        Seq((store.listPartitions("size.*").count(_ != "__cumulative__").toLong,
+          m("size.*").asDouble.get.toLong,
           BigDecimal(m("mean.o_totalprice").asDouble.get)
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
           .toDF("n_partitions", "n_rows", "mean_totalprice")

@@ -109,6 +109,49 @@ final class IncrementalAnalysisRunner(store: StateStore, analyzers: Seq[Analyzer
     }.toMap
   }
 
+  /** Analyze MANY new partitions in ONE scan: `groupBy(partitionExpr)` computes every
+    * analyzer's state aggregates per partition simultaneously (map-side combined, one
+    * shuffle bounded by the partition-key cardinality), then each row's states are
+    * saved and folded into the cumulative state driver-side. The per-partition-call
+    * alternative ([[analyzePartition]] in a loop) costs P scans of the new data — a
+    * linear job-count tax that dominates at real partition counts. States merge in a
+    * commutative monoid, so fold order doesn't affect results.
+    *
+    * `maxPartitions` guards the driver collect, mirroring the grouped-metrics
+    * `max_groups` guard: exceeding it throws rather than silently truncating.
+    */
+  def analyzePartitionsBatched(df: DataFrame, partitionExpr: org.apache.spark.sql.Column,
+      maxPartitions: Int = 10000): Map[String, MetricValue] = {
+    import org.apache.spark.sql.functions.coalesce
+    import org.apache.spark.sql.functions.lit
+    val allAggs = analyzers.flatMap(_.stateAggregates).zipWithIndex
+      .map { case (c, i) => c.as(s"a$i") }
+    require(allAggs.nonEmpty, "no analyzers")
+    val rows = df.groupBy(coalesce(partitionExpr.cast("string"), lit("__null__")).as("__pk"))
+      .agg(allAggs.head, allAggs.drop(1): _*)
+      .limit(maxPartitions + 1)
+      .collect()
+    require(rows.length <= maxPartitions,
+      s"more than $maxPartitions partitions in one batch — raise maxPartitions or split the input")
+    rows.sortBy(_.getString(0)).foreach { row =>
+      val pk = row.getString(0)
+      val values = row.toSeq.drop(1)
+      var offset = 0
+      analyzers.foreach { a =>
+        val vs = values.slice(offset, offset + a.stateAggregates.size)
+        offset += a.stateAggregates.size
+        val s = a.stateFromValues(vs)
+        store.save(a.key, pk, a.fieldsOfAnyState(s))
+        val merged = store.load(a.key, CumulativeKey) match {
+          case Some(fields) => a.mergeAnyStates(a.stateFromFields(fields), s)
+          case None         => s
+        }
+        store.save(a.key, CumulativeKey, a.fieldsOfAnyState(merged))
+      }
+    }
+    currentMetrics()
+  }
+
   /** Metrics over a chosen subset of stored partitions (fan-out merge,
     * reference: runner.rs:250-458).
     */

@@ -118,6 +118,32 @@ class AnalyzerSpec extends SparkSpec {
     assert(d(runner.currentMetrics()("size.*")) == 1000.0)
   }
 
+  test("batched one-scan partition ingest equals the sequential per-partition loop") {
+    // sequential: one analyzePartition call per bucket
+    val seqStore = new InMemoryStateStore
+    val seqRunner = new IncrementalAnalysisRunner(seqStore, Seq(SizeAnalyzer(), MeanAnalyzer("x")))
+    Seq(0L, 1L, 2L).foreach { b =>
+      seqRunner.analyzePartition(full.filter(col("id") % 3 === b), b.toString)
+    }
+    // batched: ONE groupBy scan discovers and ingests all buckets
+    val batStore = new InMemoryStateStore
+    val batRunner = new IncrementalAnalysisRunner(batStore, Seq(SizeAnalyzer(), MeanAnalyzer("x")))
+    val m = batRunner.analyzePartitionsBatched(full, col("id") % 3)
+    assert(d(m("size.*")) == 1000.0)
+    assert(math.abs(d(m("mean.x")) - d(seqRunner.currentMetrics()("mean.x"))) < 1e-9)
+    // identical per-partition stored states (same keys, same fields)
+    Seq("size.*", "mean.x").foreach { k =>
+      assert(batStore.listPartitions(k).toSet == seqStore.listPartitions(k).toSet)
+      Seq("0", "1", "2").foreach { p =>
+        assert(batStore.load(k, p) == seqStore.load(k, p), s"$k/$p")
+      }
+    }
+    // the guard throws rather than truncating
+    intercept[IllegalArgumentException] {
+      batRunner.analyzePartitionsBatched(full, col("id"), maxPartitions = 10)
+    }
+  }
+
   test("filesystem state store round-trips, lists, deletes") {
     val dir = java.nio.file.Files.createTempDirectory("graft-states").toString
     val store = new FileSystemStateStore(dir, spark)
