@@ -91,10 +91,12 @@ object Bench {
       name -> (if (t1 > 0.8) math.min(t1, once) else t1)
     }
 
-    // ONE compact JSON line. The driver keeps only a bounded tail of stdout, so the
-    // line must stay short: values rounded to ms, and if the query map would push the
-    // line past ~2,200 chars the cheapest entries are dropped (slowest are the
-    // informative ones). Headline metrics always stay.
+    // ONE compact JSON line. The driver keeps only the LAST 2,000 chars of stdout
+    // (measured from BENCH_r01/r02: tail length exactly 2000, with sbt's trailing
+    // "[success] Total time: …" line eating ~75 of them), so the line must stay well
+    // under that or the head of the JSON is cut off and the driver records
+    // parsed:null. Cap at 1,600 chars: values rounded to ms, cheapest query entries
+    // dropped first (slowest are the informative ones). Headline metrics always stay.
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val headline = Seq(
       "suite20_cold" -> coldSec, "suite20_warm" -> warmSec, "suite20_cached" -> cachedSec)
@@ -104,7 +106,7 @@ object Bench {
       s"""{"metric":"suite20_inmemory_sec","value":${r3(cachedSec)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
     var entries = results
-    while (line(entries).length > 2200 && entries.nonEmpty)
+    while (line(entries).length > 1600 && entries.nonEmpty)
       entries = entries.sortBy(-_._2).dropRight(1)
     println(line(entries))
     spark.stop()

@@ -90,12 +90,15 @@ final class FileSystemStateStore(rootDir: String, spark: SparkSession) extends S
 final class IncrementalAnalysisRunner(store: StateStore, analyzers: Seq[Analyzer[_]]) {
 
   private val CumulativeKey = "__cumulative__"
+  private val NullKey = "__null__"
 
   /** Analyze one new partition; returns metrics over (history ∪ partition). All
     * analyzers' states come from ONE scan of the partition (AnalysisRunner batching) —
     * the per-analyzer-scan shape the reference fell back to is a linear job-count tax.
     */
   def analyzePartition(df: DataFrame, partitionKey: String): Map[String, MetricValue] = {
+    require(partitionKey != CumulativeKey && partitionKey != NullKey,
+      s"partition key '$partitionKey' collides with a reserved state-store key")
     val ctx = new AnalysisRunner(analyzers, continueOnError = false).run(df)
     analyzers.map { a =>
       val newState = ctx.states(a.key)
@@ -122,19 +125,24 @@ final class IncrementalAnalysisRunner(store: StateStore, analyzers: Seq[Analyzer
     */
   def analyzePartitionsBatched(df: DataFrame, partitionExpr: org.apache.spark.sql.Column,
       maxPartitions: Int = 10000): Map[String, MetricValue] = {
-    import org.apache.spark.sql.functions.coalesce
-    import org.apache.spark.sql.functions.lit
     val allAggs = analyzers.flatMap(_.stateAggregates).zipWithIndex
       .map { case (c, i) => c.as(s"a$i") }
     require(allAggs.nonEmpty, "no analyzers")
-    val rows = df.groupBy(coalesce(partitionExpr.cast("string"), lit("__null__")).as("__pk"))
+    // Group on the raw (nullable) string key — mapping NULL through coalesce would
+    // make a real '__null__' partition value collide with the null sentinel and
+    // double-count after the merge. NULL keys get the sentinel driver-side instead,
+    // and real values equal to either reserved key fail loud (mirroring the
+    // maxPartitions policy) rather than overwriting the cumulative state.
+    val rows = df.groupBy(partitionExpr.cast("string").as("__pk"))
       .agg(allAggs.head, allAggs.drop(1): _*)
       .limit(maxPartitions + 1)
       .collect()
     require(rows.length <= maxPartitions,
       s"more than $maxPartitions partitions in one batch — raise maxPartitions or split the input")
-    rows.sortBy(_.getString(0)).foreach { row =>
-      val pk = row.getString(0)
+    rows.sortBy(r => if (r.isNullAt(0)) NullKey else r.getString(0)).foreach { row =>
+      val pk = if (row.isNullAt(0)) NullKey else row.getString(0)
+      require(row.isNullAt(0) || (pk != CumulativeKey && pk != NullKey),
+        s"partition key value '$pk' collides with a reserved state-store key")
       val values = row.toSeq.drop(1)
       var offset = 0
       analyzers.foreach { a =>

@@ -18,6 +18,8 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   // ---------- exact ----------
 
   /** total/distinct/duplicate-row counts over the key columns. */
@@ -145,17 +147,23 @@ object Dedup {
         minhashSignature(col(textCol), shingleSize, numHashes).as("_sig"))
       .select(col("id"), explode(lshBuckets(col("_sig"), bands, rowsPerBand)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      // Consumed twice (bucket-size guard + candidate join) — persist the ~24-byte
-      // (id, band, bucket) rows instead of re-running the signature kernel over the
-      // corpus; spills to disk if the executor cache is tight.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Oversized-bucket guard as a broadcast anti-join: the oversized set is tiny by
-    // construction (degenerate content only), so this costs one map-side-combined
-    // count — no window sort over every (id, band, bucket) row.
-    val oversized = buckets.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucketSize)
-      .select(col("band"), col("bucket"))
-    val bounded = buckets.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
+      // Consumed three times (bucket-size guard + both sides of the candidate join).
+      // One explicit shuffle on (band, bucket): ReuseExchange serves every consumer
+      // from the same shuffle files, so the signature kernel runs once per row, the
+      // downstream agg and self-join need no further exchange (partitioning already
+      // matches their keys), and — unlike persist() — nothing is pinned in executor
+      // storage for the life of the session (shuffle files are job-scoped).
+      .repartition(col("band"), col("bucket"))
+    // Oversized-bucket guard as a windowed count over the SAME shuffle output. A
+    // separate aggregation branch gets column-pruned into a canonically different
+    // subplan (no id column), so neither static ReuseExchange nor AQE stage reuse can
+    // serve it — it would re-run the signature kernel over the whole corpus. The
+    // window's per-partition sort is over ~24-byte rows, far cheaper than a second
+    // kernel pass; both join sides below stay canonically identical, so the exchange
+    // materializes once and is reused.
+    val bounded = buckets
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("_n") <= maxBucketSize)
     val a = bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = bounded.select(col("band"), col("bucket"), col("id").as("id_b"))
     a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
@@ -220,11 +228,13 @@ object Dedup {
   def exactJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5): DataFrame = {
     // The shingle-set projection feeds BOTH sides of the pair join (id_a and id_b
-    // lookups); persisting it runs the shingle-hash kernel once per document instead of
-    // twice. When the verified pair set is small, AQE turns both joins into broadcasts
-    // of `pairs` — the corpus-side shingle rows never shuffle.
+    // lookups). An explicit shuffle on the id lets ReuseExchange feed both joins from
+    // one run of the shingle-hash kernel (the rename projections above it preserve the
+    // exchange's canonical form), without persist()'s session-lifetime storage pin —
+    // repeated library calls previously accumulated cached blocks until eviction
+    // pressure degraded every later job in the session.
     val sh = fanOut(docs).select(col(idCol).as("_jid"), shingleHashSet(col(textCol), shingleSize).as("_sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .repartition(col("_jid"))
     pairs
       .join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
       .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
@@ -268,37 +278,65 @@ object Dedup {
     * MapReduce"), which bounds rounds logarithmically.
     */
   def clustersFromPairs(ids: DataFrame, pairs: DataFrame, idCol: String,
-      maxIters: Int = 20, smallGraphEdges: Long = 5000000L): DataFrame = {
+      maxIters: Int = 20, smallGraphEdges: Long = 1000000L): DataFrame = {
     val p = pairs.select(col("id_a"), col("id_b")).cache()
     val nPairs = p.count()
     // Verified near-dup edge sets are orders smaller than the corpus: up to
-    // `smallGraphEdges` pairs (~80 MB of longs) union-find runs on the driver in one
-    // collect — no iteration, one broadcast join back. Past that, fall through to the
+    // `smallGraphEdges` pairs union-find runs on the driver in one collect — no
+    // iteration, one broadcast join back. Integral ids collect as specialized
+    // (Long, Long) tuples (~48 B/edge incl. array slot ⇒ ~50 MB at the 1M default);
+    // other id types fall back to boxed Rows (~150 B/edge), which the same default
+    // keeps under ~150 MB of driver heap. Past the threshold, fall through to the
     // distributed min-label loop (shuffles proportional to the dup subgraph).
     if (nPairs <= smallGraphEdges) {
       val idField = ids.schema(idCol)
-      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
-      def find(x: Any): Any = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        // path compression
-        var c = x
-        while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
-        r
+      val spark = ids.sparkSession
+      val isIntegral = idField.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
       }
-      val ord = orderingFor(idField.dataType)
-      p.collect().foreach { row =>
-        val (ra, rb) = (find(row.get(0)), find(row.get(1)))
-        if (ra != rb) {
-          if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      val labelDf: DataFrame = if (isIntegral) {
+        import spark.implicits._
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+          r
         }
+        p.select(col("id_a").cast("long"), col("id_b").cast("long")).as[(Long, Long)]
+          .collect().foreach { case (a, b) =>
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+          }
+        val labels = parent.keys.toArray.map(k => (k, find(k)))
+        spark.createDataset(labels.toSeq).toDF(idCol, "_cc_label")
+          .select(col(idCol).cast(idField.dataType).as(idCol),
+            col("_cc_label").cast(idField.dataType).as("_cc_label"))
+      } else {
+        val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+        def find(x: Any): Any = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          // path compression
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+          r
+        }
+        val ord = orderingFor(idField.dataType)
+        p.collect().foreach { row =>
+          val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+          if (ra != rb) {
+            if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val labelRows = parent.keys.toSeq.map(k => Row(k, find(k)))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(labelRows, 1),
+          StructType(Seq(idField.copy(name = idCol), idField.copy(name = "_cc_label"))))
       }
       p.unpersist()
-      val labelRows = parent.keys.toSeq.map(k => Row(k, find(k)))
-      val spark = ids.sparkSession
-      val labelDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(labelRows, 1),
-        StructType(Seq(idField.copy(name = idCol), idField.copy(name = "_cc_label"))))
       return ids.select(col(idCol))
         .join(broadcast(labelDf), Seq(idCol), "left")
         .select(col(idCol), coalesce(col("_cc_label"), col(idCol)).as("cluster_id"))
@@ -337,11 +375,22 @@ object Dedup {
       converged = changed == 0
       it += 1
     }
+    if (!converged)
+      log.warn(s"clustersFromPairs: min-label propagation hit maxIters=$maxIters without " +
+        "converging — the pair graph has chains longer than the iteration cap and the " +
+        "returned cluster_ids may split single components. Raise maxIters or switch to " +
+        "a star-contraction formulation for adversarial graphs.")
+    // The final labels are consumed lazily by the caller, so the loop's cache can't be
+    // dropped before then; localCheckpoint materializes them into RDD blocks that the
+    // ContextCleaner reclaims once the result is garbage-collected — unlike DataFrame
+    // cache entries, which CacheManager pins for the life of the session.
+    val finalLabels = labels.localCheckpoint(true)
+    cached.unpersist()
     edges.unpersist()
     p.unpersist()
     // Singletons (no edges) are their own cluster.
     ids.select(col(idCol))
-      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .join(finalLabels.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("cluster_id"))
   }
 

@@ -20,6 +20,14 @@ object Joins {
   def saltedJoin(facts: DataFrame, dim: DataFrame, keys: Seq[(String, String)],
       saltFactor: Int = 8, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    // Replicating the dim side saltFactor× is only sound for join types that never
+    // emit unmatched DIM rows: right/full outer would return every unmatched dim row
+    // once per salt replica — silently wrong results.
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti")
+      .contains(normalized),
+      s"saltedJoin supports inner/left/left_semi/left_anti joins only, got '$joinType' — " +
+        "right/full outer would emit each unmatched dim row saltFactor times")
     val saltedFacts = facts.withColumn("_salt",
       pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
     val saltedDim = dim.withColumn("_salt",
