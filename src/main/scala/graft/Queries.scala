@@ -523,7 +523,52 @@ object Queries {
       Some("""SELECT count(props) AS non_null,
              | CAST(sum(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS BIGINT) AS valid_json,
              | CAST(sum(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(props) AS DOUBLE) AS valid_ratio
-             | FROM events""".stripMargin.replaceAll("\n", " ")))
+             | FROM events""".stripMargin.replaceAll("\n", " "))),
+
+    // Keep-one-row-per-key dedup with an explicit tiebreaker (the scalable
+    // row_number()=1 formulation — one shuffle on the key). Kept set is the min doc_id
+    // per lang, which the oracle states directly.
+    QueryDef("dedup_tiebreaker_documents",
+      (s, d) => graft.operators.Dedup.exactDedup(t(s, d, "documents"), Seq("lang"), Some("doc_id"))
+        .agg(count(lit(1)).as("kept_rows"), sum(col("doc_id")).as("sum_kept_ids")),
+      Some("""SELECT count(*) AS kept_rows, CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids
+             | FROM (SELECT min(doc_id) AS doc_id FROM documents GROUP BY lang)""".stripMargin.replaceAll("\n", " "))),
+
+    // Skew-salted equi-join must be row-for-row identical to the plain join (salt
+    // replication + salt-column drop verified end-to-end under the oracle gate).
+    QueryDef("salted_join_lineitem_orders",
+      (s, d) => graft.operators.Joins.saltedJoin(
+        t(s, d, "lineitem"), t(s, d, "orders"), Seq(("l_orderkey", "o_orderkey")), saltFactor = 4)
+        .agg(count(lit(1)).as("joined_rows"), sum(col("o_custkey")).as("sum_cust")),
+      Some("""SELECT count(*) AS joined_rows, CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+             | FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin.replaceAll("\n", " "))),
+
+    // CSV source end-to-end under the oracle gate (reference: sources/csv.rs): the
+    // nation table round-trips through a header CSV with schema inference, then
+    // aggregates; the oracle reads the original parquet.
+    QueryDef("csv_source_nation",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+        t(s, d, "nation").write.mode("overwrite").option("header", "true").csv(tmp)
+        graft.sources.Sources.csv(s, Seq(tmp))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("n_nationkey")).cast("long").as("sum_keys"),
+            countDistinct(col("n_regionkey")).as("n_regions"))
+      },
+      Some("""SELECT count(*) AS n_rows, CAST(sum(n_nationkey) AS BIGINT) AS sum_keys,
+             | count(DISTINCT n_regionkey) AS n_regions FROM nation""".stripMargin.replaceAll("\n", " "))),
+
+    // NDJSON source end-to-end (reference: sources/json.rs NDJSON path).
+    QueryDef("json_source_region",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+        t(s, d, "region").write.mode("overwrite").json(tmp)
+        graft.sources.Sources.json(s, Seq(tmp))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("r_regionkey")).cast("long").as("sum_keys"))
+      },
+      Some("""SELECT count(*) AS n_rows, CAST(sum(r_regionkey) AS BIGINT) AS sum_keys
+             | FROM region""".stripMargin.replaceAll("\n", " ")))
   )
 
   // ---- LLM-pipeline operators (SURVEY §7 step 8 / north-star extensions) ----

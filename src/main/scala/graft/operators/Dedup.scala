@@ -131,6 +131,11 @@ object Dedup {
     * recall at j ≥ 0.9 is 1-(1-0.9^8)^16 ≈ 0.9999 while pairs at the corpus-background
     * similarity (j ≤ 0.3) collide with probability < 1e-3 — wide bands (e.g. 32×4) let
     * background pairs flood the candidate set on boilerplate-heavy corpora.
+    *
+    * Note: pass the corpus UNCACHED. The signature kernel runs once only because both
+    * self-join sides reuse one exchange, and Spark cannot canonicalize the two
+    * InMemoryRelation copies a cached input becomes across the self-join — a cached
+    * corpus recomputes the kernel per side (correct, just slower).
     */
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,

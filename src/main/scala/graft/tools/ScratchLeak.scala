@@ -14,7 +14,8 @@ object ScratchLeak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val docs0 = spark.read.parquet(s"$sf/documents.parquet")
+    val docs = if (sys.env.contains("GRAFT_CACHE_INPUT")) docs0.cache() else docs0
 
     val pairs = Dedup.nearDupPairsMinhash(docs, "doc_id", "text", 0.8)
     println("pairs=" + pairs.collect().length)

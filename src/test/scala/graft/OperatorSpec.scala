@@ -149,6 +149,42 @@ class OperatorSpec extends SparkSpec {
     val dist = Dedup.clustersFromPairs(ids, pairs, "id", smallGraphEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist == expected)
+    // generic (non-integral id) driver path: string ids through the boxed union-find
+    val sIds = Seq("a", "b", "c", "d").toDF("id")
+    val sPairs = Seq(("b", "c"), ("a", "b")).toDF("id_a", "id_b")
+    val sGot = Dedup.clustersFromPairs(sIds, sPairs, "id")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sGot == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "d"))
+  }
+
+  test("dedup pipelines leave no cached blocks and reuse the bucket exchange") {
+    // Regression for the round-2 session-lifetime cache leak: persist()ed
+    // intermediates accumulated executor storage across library calls. The pipelines
+    // now rely on ReuseExchange over one explicit shuffle instead. Reuse requires an
+    // uncached input (InMemoryRelation copies don't canonicalize equal across the
+    // self-join's relation dedup), so assert on an uncached parquet read — the
+    // realistic at-scale shape, where the corpus streams from storage. A re-read of
+    // the fixture PATH would be silently rewritten to the cached `docs` plan by
+    // CacheManager, so round-trip through a temp path.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_reuse").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/docs")
+    val freshDocs = spark.read.parquet(s"$tmp/docs")
+    // Only NEW persisted RDDs count — the suite fixture itself is a .cache()d frame.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Dedup.nearDupPairsMinhash(freshDocs, "doc_id", "text", 0.9)
+    pairs.collect()
+    val finalPlan = pairs.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange"),
+      "candidate self-join should serve both sides from one reused shuffle")
+    Dedup.nearDupClusters(docs, "doc_id", "text", 0.9).collect()
+    Dedup.dedupNearMinhash(docs, "doc_id", "text", 0.9).collect()
+    // localCheckpoint blocks (from the distributed cluster path) are allowed: the
+    // ContextCleaner reclaims them on GC, unlike cache entries which CacheManager
+    // pins for the session's lifetime.
+    val leaked = spark.sparkContext.getPersistentRDDs.values
+      .filterNot(r => r.isCheckpointed || before.contains(r.id))
+    assert(leaked.isEmpty,
+      s"no RDD may stay persisted after dedup calls return, got: ${leaked.map(_.id)}")
   }
 
   test("near-dup clusters agree with components of exact all-pairs graph") {
