@@ -123,8 +123,24 @@ object ValidationSuite {
         }
       }
 
+    // Multi-job constraints (groupBy/join/window shapes) are independent Spark jobs:
+    // submit them CONCURRENTLY so their stages interleave in the scheduler instead of
+    // serializing driver round-trips — on a large cluster each join/groupBy job rarely
+    // saturates every executor slot, so overlap is nearly free latency. Bounded pool:
+    // enough overlap to hide latency without flooding the scheduler.
     val customResults: Map[Constraint, ConstraintResult] =
-      custom.map(c => c -> safeResult(c, () => c.evaluate(df))).toMap
+      if (custom.size <= 1)
+        custom.map(c => c -> safeResult(c, () => c.evaluate(df))).toMap
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(custom.size, MaxConcurrentJobs))
+        try {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          val futures = custom.map(c => Future(c -> safeResult(c, () => c.evaluate(df))))
+          Await.result(Future.sequence(futures), scala.concurrent.duration.Duration.Inf).toMap
+        } finally pool.shutdown()
+      }
 
     constraints.map(c => batchResults.getOrElse(c, customResults(c)))
   }
@@ -139,4 +155,7 @@ object ValidationSuite {
 
   /** Aggregates per physical job; chunking guards codegen limits on very wide suites. */
   val MaxAggsPerJob = 200
+
+  /** Concurrent submission bound for multi-job (non-batchable) constraints. */
+  val MaxConcurrentJobs = 4
 }

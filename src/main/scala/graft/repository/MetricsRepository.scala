@@ -46,6 +46,19 @@ trait MetricsRepository {
   def history(metricKey: String, q: MetricsQuery = MetricsQuery(newestFirst = false)): Seq[(Long, Double)] =
     query(q.copy(forAnalyzers = Seq(metricKey), newestFirst = false))
       .flatMap(r => r.metrics.get(metricKey).map(r.key.timestamp -> _))
+
+  /** The metric log as a DataFrame (timestamp, tags, metric, value) — arbitrary Spark
+    * SQL over metric history for ANY repository implementation (the reference's
+    * SQL-over-metrics executor, repository/datafusion_executor.rs:53-275, without a
+    * bespoke engine). ParquetMetricsRepository overrides with a direct file read so
+    * history never round-trips through the driver.
+    */
+  def toDataFrame(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    loadAll().flatMap(r => r.metrics.toSeq.map { case (m, v) =>
+      (r.key.timestamp, ParquetMetricsRepository.encodeTags(r.key.tags), m, v)
+    }).toDF("timestamp", "tags", "metric", "value")
+  }
 }
 
 final class InMemoryMetricsRepository extends MetricsRepository {
@@ -72,9 +85,12 @@ final class ParquetMetricsRepository(path: String, spark: org.apache.spark.sql.S
 
   /** The metric log as a DataFrame (timestamp, tags, metric, value) — arbitrary Spark
     * SQL over metric history (the reference's SQL-over-metrics executor,
-    * repository/datafusion_executor.rs, without a bespoke engine).
+    * repository/datafusion_executor.rs, without a bespoke engine). Reads the files
+    * directly — no driver round-trip, any history size.
     */
   def toDataFrame: org.apache.spark.sql.DataFrame = spark.read.parquet(path)
+  override def toDataFrame(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+    toDataFrame
 
   def loadAll(): Seq[MetricRecord] = {
     val fs = new org.apache.hadoop.fs.Path(path)

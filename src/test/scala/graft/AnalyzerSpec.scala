@@ -177,6 +177,12 @@ class AnalyzerSpec extends SparkSpec {
       Map("completeness." -> AbsoluteChangeStrategy(maxDecrease = Some(0.1))))
     assert(runner.detect("completeness.email").map(_.timestamp) == Seq(3000L))
     assert(runner.isLatestAnomalous("completeness.email"))
+    // SQL over metric history works for ANY repository via the trait default
+    repo.toDataFrame(spark).createOrReplaceTempView("mem_metric_log")
+    val worst = spark.sql(
+      "SELECT timestamp FROM mem_metric_log WHERE metric = 'completeness.email' ORDER BY value LIMIT 1")
+      .head().getLong(0)
+    assert(worst == 3000L)
   }
 
   test("parquet metrics repository round-trips") {

@@ -66,6 +66,23 @@ class SuiteSpec extends SparkSpec {
     assert(results.forall(_.status == ConstraintStatus.Success))
   }
 
+  test("concurrent multi-job constraints equal sequential evaluation") {
+    // Several non-batchable (own-Spark-job) constraints run through the bounded
+    // concurrent submission path; results must match standalone evaluation exactly.
+    val custom: Seq[Constraint] = Seq(
+      HistogramConstraint("status", h => h.buckets.contains("ok")),
+      GroupedCompletenessConstraint("status", Seq("name"), threshold = 0.0),
+      HistogramConstraint("name", h => h.distinctCount == 100L),
+      GroupedCompletenessConstraint("amount", Seq("status"), threshold = 0.0),
+      UniqueValueRatioConstraint(Seq("id"), Assertion.Equals(1.0)))
+    assert(custom.forall(_.aggregates.isEmpty), "test premise: all multi-job")
+    val concurrent = ValidationSuite.evaluateBatched(df, custom)
+    val standalone = custom.map(_.evaluate(df))
+    concurrent.zip(standalone).foreach { case (c, s) =>
+      assert(c.status == s.status && c.metric == s.metric, s"${c.constraint}: $c vs $s")
+    }
+  }
+
   test("suite report: error-level failure fails the suite, warning does not") {
     val failingError = ValidationSuite.builder("s")
       .check(CheckBuilder("c1", Level.Error).hasSize(Assertion.GreaterThan(1000)).build())
