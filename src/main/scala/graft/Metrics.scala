@@ -155,6 +155,21 @@ object Metrics {
         (col("non_null").cast("double") / col("total").cast("double")).as("completeness"): _*)
       .orderBy(groups.map(col): _*)
 
+  /** Grouped completeness, worst groups first with a deterministic value tiebreak and a
+    * `limit` guard (reference: analyzers/basic/grouped_completeness.rs:119-128 — worst-
+    * first ordering plus `LIMIT max_groups+1` truncation detection). The shuffle is
+    * bounded by group cardinality and the driver sees at most `maxGroups` rows.
+    */
+  def groupedCompletenessWorst(df: DataFrame, c: String, groups: Seq[String],
+      maxGroups: Int = 10000): DataFrame =
+    df.groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("total"), count(col(c)).as("non_null"))
+      .select(groups.map(col) :+
+        col("total") :+ col("non_null") :+
+        (col("non_null").cast("double") / col("total").cast("double")).as("completeness"): _*)
+      .orderBy(col("completeness").asc +: groups.map(col(_).asc): _*)
+      .limit(maxGroups)
+
   /** Key-skew profile (beyond-reference, the pre-shuffle-join check at scale): heaviest
     * key's row share plus distinct-key count. Two-level aggregation — per-key counts are
     * map-side combined, then a single global reduce of (max, sum, count) — so no key's

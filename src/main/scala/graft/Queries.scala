@@ -568,7 +568,118 @@ object Queries {
             sum(col("r_regionkey")).cast("long").as("sum_keys"))
       },
       Some("""SELECT count(*) AS n_rows, CAST(sum(r_regionkey) AS BIGINT) AS sum_keys
-             | FROM region""".stripMargin.replaceAll("\n", " ")))
+             | FROM region""".stripMargin.replaceAll("\n", " "))),
+
+    // All three uniqueness NULL modes in ONE aggregation over events.value (has real
+    // nulls): Exclude = plain DISTINCT; IncludeAsOne = nulls collapse to one sentinel
+    // value; EachDistinct = every null row counts as its own value (reference:
+    // constraints/uniqueness.rs:564-618 — the semantics-parity risk SURVEY §7 flags).
+    // Uses the same expression factory the UniquenessConstraint compiles to.
+    QueryDef("uniqueness_null_modes_events",
+      (s, d) => {
+        import graft.constraints.{NullMode, UniqueExprs}
+        val each = UniqueExprs.distinctCount(Seq("value"), NullMode.EachDistinct)
+        t(s, d, "events").agg(
+          count(lit(1)).as("total"),
+          UniqueExprs.distinctCount(Seq("value"), NullMode.Exclude).head.as("d_exclude"),
+          UniqueExprs.distinctCount(Seq("value"), NullMode.IncludeAsOne).head.as("d_include_one"),
+          (each(0) + each(1)).as("d_each_distinct"))
+      },
+      Some("""SELECT count(*) AS total, count(DISTINCT value) AS d_exclude,
+             | count(DISTINCT value) + (CASE WHEN count(*) > count(value) THEN 1 ELSE 0 END) AS d_include_one,
+             | count(DISTINCT value) + (count(*) - count(value)) AS d_each_distinct
+             | FROM events""".stripMargin.replaceAll("\n", " "))),
+
+    // GROUPED cross-table sum (reference: constraints/cross_table_sum.rs:187-280 CTE
+    // full-outer path): yearly lineitem revenue vs yearly order totals; every year
+    // violates at tolerance 0.5 since the two measures differ by construction. Goes
+    // through CrossTableSumConstraint's grouped evaluate (per-key sums, full outer
+    // join on the group key, tolerance filter).
+    QueryDef("cross_table_sum_yearly",
+      (s, d) => {
+        import graft.core.MetricValue
+        val li = t(s, d, "lineitem").withColumn("yr", year(col("l_shipdate")))
+        val o = t(s, d, "orders").withColumn("yr", year(col("o_orderdate")))
+        val res = graft.constraints.CrossTableSumConstraint(
+          o, col("l_extendedprice"), col("o_totalprice"),
+          tolerance = 0.5, groupKeys = Seq(("yr", "yr"))).evaluate(li)
+        val violations = res.metric match {
+          case Some(MetricValue.LongMetric(v)) => v
+          case _ => -1L
+        }
+        import s.implicits._
+        Seq(violations).toDF("violations")
+      },
+      Some("""WITH ls AS (SELECT year(l_shipdate) AS yr, sum(l_extendedprice) AS l_sum FROM lineitem GROUP BY 1),
+             | rs AS (SELECT year(o_orderdate) AS yr, sum(o_totalprice) AS r_sum FROM orders GROUP BY 1)
+             | SELECT CAST(sum(CASE WHEN abs(coalesce(l_sum, 0.0) - coalesce(r_sum, 0.0)) > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS violations
+             | FROM ls FULL OUTER JOIN rs USING (yr)""".stripMargin.replaceAll("\n", " "))),
+
+    // Worst-groups-first grouped completeness with the LIMIT guard (reference:
+    // analyzers/basic/grouped_completeness.rs:119-128 worst-first + truncation).
+    QueryDef("grouped_completeness_worst_events",
+      (s, d) => Metrics.groupedCompletenessWorst(t(s, d, "events"), "value",
+        Seq("event_type"), maxGroups = 3),
+      Some("""SELECT event_type, count(*) AS total, count(value) AS non_null,
+             | CAST(count(value) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS completeness
+             | FROM events GROUP BY 1
+             | ORDER BY completeness, event_type LIMIT 3""".stripMargin.replaceAll("\n", " "))),
+
+    // Window FRAME spec beyond LAG (§2e): 7-day rolling average of daily event counts
+    // via ROWS BETWEEN 6 PRECEDING AND CURRENT ROW. Rolling averages are exact-integer
+    // divisions (deterministic doubles), rounded well above either engine's error.
+    QueryDef("rolling_daily_events",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = t(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+        daily.select(avg(col("cnt")).over(w).as("roll7"))
+          .agg(count(lit(1)).as("n_days"),
+            round(max(col("roll7")), 6).as("max_roll7"),
+            round(min(col("roll7")), 6).as("min_roll7"))
+      },
+      Some("""WITH dly AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt FROM events GROUP BY 1),
+             | r AS (SELECT avg(cnt) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll7 FROM dly)
+             | SELECT count(*) AS n_days, round(max(roll7), 6) AS max_roll7,
+             | round(min(roll7), 6) AS min_roll7 FROM r""".stripMargin.replaceAll("\n", " "))),
+
+    // Profiler pass 2 (categorical histogram) under the oracle gate: the profiler's
+    // bucket map for a low-cardinality column must equal a plain GROUP BY with exact
+    // count/total ratios (reference: analyzers/profiler.rs pass 2).
+    QueryDef("profile_histogram_orderpriority",
+      (s, d) => {
+        val p = new graft.analyzers.ColumnProfiler()
+          .profile(t(s, d, "orders"), Seq("o_orderpriority"))("o_orderpriority")
+        val h = p.histogram.get
+        import s.implicits._
+        h.buckets.toSeq.map { case (v, b) => (v, b.count, b.ratio) }
+          .sortBy(_._1).toDF("value", "cnt", "ratio")
+      },
+      Some("""SELECT o_orderpriority AS value, count(*) AS cnt,
+             | CAST(count(*) AS DOUBLE) / CAST((SELECT count(*) FROM orders) AS DOUBLE) AS ratio
+             | FROM orders WHERE o_orderpriority IS NOT NULL
+             | GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "))),
+
+    // Schema analyzer FK suggestion (reference: analyzers/schema_analyzer.rs:51-661):
+    // name/type affinity proposes orders.o_custkey → customer.c_custkey, the overlap
+    // probe (left-semi count / non-null count) confirms it; the reverse direction is
+    // rejected because o_custkey is not key-like in orders. The oracle recomputes the
+    // single surviving candidate and its exact overlap ratio.
+    QueryDef("fk_suggestion_orders_customer",
+      (s, d) => {
+        val cands = new graft.analyzers.SchemaAnalyzer(minOverlap = 0.5).suggestForeignKeys(
+          Map("orders" -> t(s, d, "orders"), "customer" -> t(s, d, "customer")))
+        import s.implicits._
+        cands.map(c => (c.childTable, c.childColumn, c.parentTable, c.parentColumn,
+            BigDecimal(c.overlap).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          .sortBy(c => (c._1, c._2))
+          .toDF("child_table", "child_column", "parent_table", "parent_column", "overlap")
+      },
+      Some("""SELECT 'orders' AS child_table, 'o_custkey' AS child_column,
+             | 'customer' AS parent_table, 'c_custkey' AS parent_column,
+             | round(CAST((SELECT count(*) FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer)) AS DOUBLE)
+             |   / CAST((SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL) AS DOUBLE), 6) AS overlap""".stripMargin.replaceAll("\n", " ")))
   )
 
   // ---- LLM-pipeline operators (SURVEY §7 step 8 / north-star extensions) ----

@@ -17,7 +17,7 @@ object NullMode {
   case object EachDistinct extends NullMode
 }
 
-private[constraints] object UniqueExprs {
+private[graft] object UniqueExprs {
   /** Distinct-count column under a NULL mode; multi-column keys use native
     * countDistinct (replacing the reference's VARCHAR-concat hack, uniqueness.rs:643-647).
     */
