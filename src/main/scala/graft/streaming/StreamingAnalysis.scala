@@ -97,6 +97,57 @@ object StreamingAnalysis {
       }(Encoders.kryo[MomentsState], Encoders.product[KeyedMoments])
   }
 
+  /** Streaming EXACT dedup with bounded state: one row per key, duplicates dropped
+    * across micro-batches. With `watermark = Some(tsCol -> delay)` the state store only
+    * remembers keys until the watermark passes them (`dropDuplicatesWithinWatermark`) —
+    * the shape that survives an unbounded 100 TB/day stream, since total state is
+    * (keys per watermark horizon), not (keys ever seen). Without a watermark the state
+    * grows with distinct keys forever — only for bounded key domains.
+    */
+  def streamingDedupExact(
+      stream: DataFrame,
+      keys: Seq[String],
+      watermark: Option[(String, String)] = None): DataFrame =
+    watermark match {
+      case Some((tsCol, delay)) =>
+        stream.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
+      case None =>
+        stream.dropDuplicates(keys)
+    }
+
+  /** Streaming CONTENT dedup: exact dedup on the normalized-text fingerprint
+    * ([[graft.functions.TextFunctions.fingerprint]] — trimmed, whitespace-collapsed),
+    * so whitespace-variant reposts of the same document are dropped in-flight. Same
+    * bounded-state semantics as [[streamingDedupExact]].
+    */
+  def streamingDedupFingerprint(
+      stream: DataFrame,
+      textCol: String,
+      watermark: Option[(String, String)] = None): DataFrame = {
+    val fp = stream.withColumn("_fp",
+      graft.functions.TextFunctions.fingerprint(col(textCol)))
+    streamingDedupExact(fp, Seq("_fp"), watermark).drop("_fp")
+  }
+
+  /** Streaming anomaly detection: per micro-batch, compute a scalar metric, append it
+    * to the repository's history for `metricKey`, and run `strategy` over the updated
+    * history; `onAnomaly` fires with the batch id and the detected points. Composes the
+    * batch building blocks (MetricsRepository + AnomalyDetectionStrategy) into the
+    * continuous path — the streaming analog of AnomalyDetectionRunner.
+    */
+  def anomalySink(
+      stream: DataFrame,
+      metricOf: DataFrame => Double,
+      metricKey: String,
+      repo: graft.repository.MetricsRepository,
+      strategy: graft.analyzers.AnomalyDetectionStrategy,
+      onAnomaly: (Long, Seq[graft.analyzers.Anomaly]) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      repo.save(graft.repository.ResultKey(batchId), Map(metricKey -> metricOf(batch)))
+      val anomalies = strategy.detect(repo.history(metricKey))
+      if (anomalies.nonEmpty) onAnomaly(batchId, anomalies)
+    }
+
   /** Continuous constraint evaluation: run a (batchable) constraint set on each
     * micro-batch, emitting failures to the foreachBatch callback. For per-batch gating
     * (e.g. quarantine bad batches before they land).

@@ -81,6 +81,86 @@ class StreamingSpec extends SparkSpec {
     assert(b.getLong(1) == 1 && math.abs(b.getDouble(2) - 10.0) < 1e-9)
   }
 
+  test("streaming exact dedup drops duplicate keys across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val deduped = StreamingAnalysis.streamingDedupExact(
+      input.toDF().toDF("id", "payload"), Seq("id"))
+    val q = deduped.writeStream.format("memory").queryName("sde").outputMode("append").start()
+    try {
+      input.addData((1L, "a"), (2L, "b"), (1L, "a-again"))
+      q.processAllAvailable()
+      input.addData((2L, "b-later"), (3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.sql("SELECT id FROM sde").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L)) // each key exactly once, across batches
+  }
+
+  test("streaming fingerprint dedup drops whitespace-variant reposts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val deduped = StreamingAnalysis.streamingDedupFingerprint(
+      input.toDF().toDF("id", "text"), "text")
+    val q = deduped.writeStream.format("memory").queryName("sfd").outputMode("append").start()
+    try {
+      input.addData((1L, "hello  world"), (2L, " hello world "), (3L, "different"))
+      q.processAllAvailable()
+      input.addData((4L, "hello\tworld")) // same fingerprint again in a later batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql("SELECT id, text FROM sfd").collect()
+    assert(rows.length == 2) // one "hello world" variant + "different"
+    assert(rows.map(_.getString(1)).exists(_.contains("different")))
+    assert(!rows.map(_.schema.fieldNames.toSeq).exists(_.contains("_fp"))) // helper col dropped
+  }
+
+  test("streaming dedup with watermark bounds state and dedups within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val deduped = StreamingAnalysis.streamingDedupExact(
+      input.toDF().toDF("ts", "key"), Seq("key"), watermark = Some(("ts", "10 minutes")))
+    val q = deduped.writeStream.format("memory").queryName("sdw").outputMode("append").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData((ts(1), 7L), (ts(2), 7L)) // dup within horizon → one survivor
+      q.processAllAvailable()
+      input.addData((ts(5), 8L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val keys = spark.sql("SELECT key FROM sdw").collect().map(_.getLong(0)).sorted
+    assert(keys.toSeq == Seq(7L, 8L))
+  }
+
+  test("anomaly sink flags metric jumps across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Long]
+    val repo = new graft.repository.InMemoryMetricsRepository
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[graft.analyzers.Anomaly])]
+    val q = StreamingAnalysis.anomalySink(
+      input.toDF().toDF("v"),
+      b => b.count().toDouble,
+      "size.stream",
+      repo,
+      graft.analyzers.AbsoluteChangeStrategy(maxIncrease = Some(5.0)),
+      (bid, as) => hits.synchronized { hits += bid -> as })
+      .start()
+    try {
+      input.addData(1L, 2L, 3L) // batch of 3
+      q.processAllAvailable()
+      input.addData(1L, 2L) // batch of 2 — small change, no anomaly
+      q.processAllAvailable()
+      input.addData(1L to 20L: _*) // batch of 20 — jump of 18 > 5
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(repo.history("size.stream").map(_._2) == Seq(3.0, 2.0, 20.0))
+    assert(hits.nonEmpty && hits.last._2.nonEmpty, "the 2→20 jump must be flagged")
+  }
+
   test("constraint sink evaluates batchable constraints per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
