@@ -58,18 +58,89 @@ object GraftFunctions {
       s"graft_cosine_to_probe expects 2 arguments, got ${other.length}")
   }
 
+  import org.apache.spark.sql.{Column, GraftSqlBridge}
+
+  /** Lift a `Column`-composing function into a `FunctionRegistry` builder: SQL argument
+    * expressions become Columns, the library function composes them, and the resulting
+    * Column's expression tree is handed back to the analyzer. The SQL surface therefore
+    * compiles to the IDENTICAL (codegen'd) plan as the Column API — no wrapper UDF.
+    */
+  private def fromColumns(name: String, arity: Int,
+      f: Seq[Column] => Column): FunctionRegistry.FunctionBuilder =
+    (args: Seq[Expression]) => {
+      if (args.length != arity) throw new IllegalArgumentException(
+        s"$name expects $arity argument(s), got ${args.length}")
+      GraftSqlBridge.expressionEager(f(args.map(GraftSqlBridge.column)))
+    }
+
+  /** Evaluate a foldable integer argument at resolution time (for kernel parameters
+    * like shingle size that are baked into the generated code).
+    */
+  private def foldableInt(name: String, arg: String, e: Expression): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$name: $arg must be a constant integer")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$name: $arg must be a constant integer, got $other")
+    }
+  }
+
+  private val textFns: Seq[(String, String, FunctionRegistry.FunctionBuilder)] = {
+    import graft.functions.{TextFunctions => T}
+    Seq(
+      ("graft_tokens", "graft_tokens(text) - whitespace tokens, empties removed",
+        fromColumns("graft_tokens", 1, cs => T.tokens(cs.head))),
+      ("graft_token_count", "graft_token_count(text) - whitespace token count",
+        fromColumns("graft_token_count", 1, cs => T.tokenCount(cs.head))),
+      ("graft_bpeish_token_count",
+        "graft_bpeish_token_count(text) - GPT-2-style pre-tokenizer run count",
+        fromColumns("graft_bpeish_token_count", 1, cs => T.bpeishTokenCount(cs.head))),
+      ("graft_quality_score",
+        "graft_quality_score(text) - composite [0,1] pretraining-quality heuristic",
+        fromColumns("graft_quality_score", 1, cs => T.qualityScore(cs.head))),
+      ("graft_lang_id",
+        "graft_lang_id(text) - marker-word/CJK language tag (en/de/fr/es/zh/und)",
+        fromColumns("graft_lang_id", 1, cs => T.langId(cs.head))),
+      ("graft_fingerprint",
+        "graft_fingerprint(text) - 64-bit whitespace-normalized content fingerprint",
+        fromColumns("graft_fingerprint", 1, cs => T.fingerprint(cs.head))),
+      ("graft_simhash",
+        "graft_simhash(text) - 64-bit SimHash over whitespace tokens",
+        fromColumns("graft_simhash", 1,
+          cs => graft.operators.Dedup.simhash64(T.tokens(cs.head)))))
+  }
+
+  private def buildMinhash(args: Seq[Expression]): Expression = args match {
+    case Seq(text, shingle, hashes) =>
+      val n = foldableInt("graft_minhash", "shingleSize", shingle)
+      val k = foldableInt("graft_minhash", "numHashes", hashes)
+      GraftSqlBridge.expressionEager(
+        graft.operators.Dedup.minhashSignature(GraftSqlBridge.column(text), n, k))
+    case other => throw new IllegalArgumentException(
+      s"graft_minhash expects (text, shingleSize, numHashes), got ${other.length} argument(s)")
+  }
+
   /** (identifier, info, builder) triples in the exact shape
     * `SparkSessionExtensions.injectFunction` and `FunctionRegistry.registerFunction`
     * consume.
     */
-  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder)] = Seq(
-    (FunctionIdentifier("graft_cosine"),
-      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float vectors"),
-      buildCosine _),
-    (FunctionIdentifier("graft_cosine_to_probe"),
-      info("graft_cosine_to_probe",
-        "graft_cosine_to_probe(vec, probe) - cosine of vec against a constant probe vector"),
-      buildCosineToProbe _))
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder)] =
+    Seq(
+      (FunctionIdentifier("graft_cosine"),
+        info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float vectors"),
+        buildCosine _),
+      (FunctionIdentifier("graft_cosine_to_probe"),
+        info("graft_cosine_to_probe",
+          "graft_cosine_to_probe(vec, probe) - cosine of vec against a constant probe vector"),
+        buildCosineToProbe _),
+      (FunctionIdentifier("graft_minhash"),
+        info("graft_minhash",
+          "graft_minhash(text, shingleSize, numHashes) - MinHash signature of the char-shingle set"),
+        buildMinhash _)) ++
+    textFns.map { case (name, usage, builder) =>
+      (FunctionIdentifier(name), info(name, usage), builder)
+    }
 
   /** Register the functions on an already-running session (temporary-function registry,
     * session-scoped — the imperative twin of [[GraftExtensions]]).

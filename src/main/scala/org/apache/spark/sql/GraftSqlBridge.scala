@@ -10,4 +10,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** EAGER Column→Expression conversion. [[expression]] wraps the column node lazily
+    * (`ColumnNodeExpression`), which only the Dataset API boundary unwraps — inside a
+    * `FunctionRegistry` builder the analyzer would see an Unevaluable leftover and fail
+    * at codegen. This converts the whole node tree to catalyst immediately (nested
+    * functions become ordinary `UnresolvedFunction`s the analyzer then resolves).
+    */
+  def expressionEager(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }

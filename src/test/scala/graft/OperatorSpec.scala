@@ -124,6 +124,39 @@ class OperatorSpec extends SparkSpec {
     new graft.functions.GraftExtensions().apply(ext) // must accept all descriptors
   }
 
+  test("SQL-registered text/dedup kernels match the Column API exactly") {
+    import graft.functions.TextFunctions
+    graft.functions.GraftFunctions.register(spark)
+    docs.limit(50).createOrReplaceTempView("docs_sqlfns")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_token_count(text) AS tc, graft_bpeish_token_count(text) AS btc,
+        |       graft_quality_score(text) AS qs, graft_lang_id(text) AS lid,
+        |       graft_fingerprint(text) AS fp, graft_simhash(text) AS sh,
+        |       graft_minhash(text, 5, 16) AS mh
+        |FROM docs_sqlfns""".stripMargin)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getString(4), r.getLong(5),
+          r.getLong(6), r.getSeq[Long](7))).toMap
+    val viaCols = docs.limit(50).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")),
+        TextFunctions.bpeishTokenCount(col("text")),
+        TextFunctions.qualityScore(col("text")),
+        TextFunctions.langId(col("text")),
+        TextFunctions.fingerprint(col("text")),
+        Dedup.simhash64(TextFunctions.tokens(col("text"))),
+        Dedup.minhashSignature(col("text"), 5, 16))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getString(4), r.getLong(5),
+          r.getLong(6), r.getSeq[Long](7))).toMap
+    assert(viaSql == viaCols)
+    // non-constant kernel parameter must be rejected, not silently misread
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(text, doc_id, 16) FROM docs_sqlfns").collect()
+    }
+    assert(err.getMessage.contains("constant integer") ||
+      Option(err.getCause).exists(_.getMessage.contains("constant integer")))
+  }
+
   test("near-dup dedup keeps lowest id of each verified relation") {
     val threshold = 0.9
     val exactDropped = Dedup.allPairsJaccard(docs, "doc_id", "text", shingleSize = 5)
