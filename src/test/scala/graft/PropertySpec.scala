@@ -177,6 +177,58 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("text kernels match independent computation on generated text") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.functions._
+    val textGen = for {
+      n <- Gen.choose(0, 40)
+      words <- Gen.listOfN(n, Gen.oneOf(
+        Gen.alphaStr.map(_.take(8)), Gen.oneOf("the", "und", "la", "y", "...", "42")))
+      seps <- Gen.listOfN(math.max(n - 1, 0), Gen.oneOf(" ", "  ", "\t", "\n", " \t "))
+    } yield words.zipAll(seps :+ "", "", "").map { case (w, s) => w + s }.mkString
+    forAll(Gen.listOfN(25, textGen)) { texts =>
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = df.select(col("id"), TextFunctions.tokenCount(col("text")),
+          TextFunctions.charCount(col("text")), TextFunctions.fingerprint(col("text")),
+          TextFunctions.qualityScore(col("text")))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+      got.foreach { case (id, tc, cc, _, qs) =>
+        val t = texts(id.toInt)
+        assert(tc == t.split("\\s+").count(_.nonEmpty), s"tokens of '$t'")
+        assert(cc == t.length)
+        assert(qs >= 0.0 && qs <= 1.0, s"quality $qs out of range for '$t'")
+      }
+      // fingerprint is whitespace-normalization invariant
+      val variants = texts.map(t => t.replaceAll("\\s+", "\t "))
+      val fpA = df.select(TextFunctions.fingerprint(col("text"))).collect().map(_.getLong(0))
+      val fpB = variants.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+        .select(TextFunctions.fingerprint(col("text"))).collect().map(_.getLong(0))
+      // leading/trailing whitespace trims away; internal runs collapse identically
+      assert(fpA.toSeq == fpB.toSeq)
+    }
+  }
+
+  test("minhash kernel is bit-stable (golden values) and set-semantic") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val texts = Seq("the quick brown fox", "the quick brown fox", "jumps over the lazy dog")
+    val sigs = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+      .select(col("id"), graft.operators.Dedup.minhashSignature(col("text"), 5, 8).as("sig"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    // identical text ⇒ identical signature; different text ⇒ different signature
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+    // duplicated shingles don't move the min: text+text shares most shingles with text,
+    // and every shingle of text IS in text+text, so each sig slot can only decrease
+    val rep = Seq((0, "abcdefghij"), (1, "abcdefghijabcdefghij")).toDF("id", "text")
+      .select(col("id"), graft.operators.Dedup.minhashSignature(col("text"), 5, 8).as("sig"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    rep(0).zip(rep(1)).foreach { case (single, repeated) =>
+      assert(repeated <= single, "superset of shingles can only lower each minimum")
+    }
+  }
+
   test("empty input: aggregate constraints skip, size succeeds at zero") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Option[Double])].toDF("id", "v")
