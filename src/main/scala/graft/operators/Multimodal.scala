@@ -53,6 +53,22 @@ object Multimodal {
       out
     }
 
+    /** Stub resize: a real implementation decodes, scales to (w, h), re-encodes. The
+      * stand-in is deterministic in (bytes, w, h) and size-plausible (scales the payload
+      * by the pixel ratio against the stub-decoded dimensions) so downstream size
+      * accounting is exercised for real.
+      */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      if (bytes == null || bytes.isEmpty) return Array.emptyByteArray
+      val (_, w0, h0, _, _) = decodeMeta(bytes)
+      val ratio = (w.toDouble * h) / math.max(w0.toDouble * h0, 1.0)
+      val outLen = math.max((bytes.length * ratio).toInt, 16)
+      val out = new Array[Byte](outLen)
+      var i = 0
+      while (i < outLen) { out(i) = bytes(((i.toLong * bytes.length) / outLen).toInt); i += 1 }
+      out
+    }
+
     /** Stub frame sampler: every-nth 4KiB slice stands in for decoded video frames. */
     def sampleFrames(bytes: Array[Byte], everyNth: Int, maxFrames: Int): Seq[Array[Byte]] = {
       if (bytes == null || bytes.isEmpty) return Nil
@@ -78,6 +94,15 @@ object Multimodal {
   /** Attach a stubbed feature embedding (`Array[Float]` of `dim`). */
   def withFeatures(df: DataFrame, binCol: String, dim: Int, out: String = "features"): DataFrame = {
     val u = udf((bytes: Array[Byte]) => MediaCodecs.extractFeatures(bytes, dim))
+    df.withColumn(out, u(col(binCol)))
+  }
+
+  /** Attach a resized copy of the binary payload (stub codec; see [[MediaCodecs.resize]]).
+    * Row-local projection — at scale, resizing runs where the bytes already live.
+    */
+  def withResized(df: DataFrame, binCol: String, w: Int, h: Int,
+      out: String = "resized"): DataFrame = {
+    val u = udf((bytes: Array[Byte]) => MediaCodecs.resize(bytes, w, h))
     df.withColumn(out, u(col(binCol)))
   }
 

@@ -309,6 +309,21 @@ class OperatorSpec extends SparkSpec {
 
     val stats = Multimodal.mediaStats(df, "bytes").collect()
     assert(stats.map(_.getString(0)).toSeq == Seq("jpeg", "png"))
+
+    // resize: deterministic, size scales with the requested pixel ratio
+    val resized = Multimodal.withResized(df, "bytes", 32, 32)
+      .select(col("id"), length(col("resized")).as("len")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(resized.values.forall(_ >= 16))
+    val again = Multimodal.withResized(df, "bytes", 32, 32)
+      .select(col("id"), length(col("resized")).as("len")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(resized == again)
+    // bigger target ⇒ at least as many bytes as a smaller target
+    val small = Multimodal.withResized(df, "bytes", 16, 16)
+      .select(col("id"), length(col("resized")).as("len")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(resized.forall { case (id, len) => len >= small(id) })
   }
 
   test("quality score ranges and ordering") {
