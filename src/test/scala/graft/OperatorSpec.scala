@@ -326,6 +326,24 @@ class OperatorSpec extends SparkSpec {
     assert(resized.forall { case (id, len) => len >= small(id) })
   }
 
+  test("oversized LSH buckets are dropped, not joined quadratically") {
+    import spark.implicits._
+    // 200 identical documents: every band bucket holds all 200 ids — unguarded, the
+    // self-join would emit 200*199/2 pairs per band. With maxBucketSize below the
+    // bucket population, the degenerate buckets are excluded wholesale.
+    val boiler = (0 until 200).map(i => (i.toLong, "exactly the same boilerplate text repeated"))
+    val distinctTail = Seq((900L, "a genuinely unique document about salmon migration"),
+      (901L, "a genuinely unique document about salmon migration")) // one real dup pair
+    val df = (boiler ++ distinctTail).toDF("doc_id", "text")
+    val guarded = Dedup.minhashCandidatePairs(df, "doc_id", "text", maxBucketSize = 50)
+    val pairs = guarded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((900L, 901L)),
+      s"only the under-cap bucket's pair should survive, got ${pairs.size} pairs")
+    // and with the cap above the population, the boilerplate pairs all appear
+    val unguarded = Dedup.minhashCandidatePairs(df, "doc_id", "text", maxBucketSize = 1000)
+    assert(unguarded.count() == 200L * 199L / 2 + 1)
+  }
+
   test("quality score ranges and ordering") {
     import spark.implicits._
     val good = "This is a well formed paragraph of reasonable length with normal words and punctuation. " * 3
