@@ -115,13 +115,7 @@ object Similarity {
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, centroids: Seq[Seq[Float]],
       probe: Seq[Float], k: Int, nprobe: Int): DataFrame = {
-    val pd = probe.map(_.toDouble)
-    val pn = math.sqrt(pd.map(v => v * v).sum)
-    val cells = centroids.zipWithIndex.map { case (c, i) =>
-      val cd = c.map(_.toDouble)
-      val dot = cd.lazyZip(pd).map(_ * _).sum
-      (dot / (math.sqrt(cd.map(v => v * v).sum) * pn), i)
-    }.sortBy { case (s, i) => (-s, -i) }.take(nprobe).map(_._2)
+    val cells = nearestCells(centroids, probe, nprobe)
     ivfAssign(df, vecCol, centroids)
       .filter(col("ivf_cell").isin(cells: _*))
       .select(col(idCol), cosineToProbe(col(vecCol), probe).as("cosine"))
@@ -152,6 +146,44 @@ object Similarity {
       cur = cur.indices.map(i => means.getOrElse(i, cur(i)))
     }
     cur
+  }
+
+  /** Persist a corpus PARTITIONED BY its IVF cell: probes that filter on `ivf_cell`
+    * (exactly what [[ivfTopKFromPartitioned]] emits) prune non-probed cells at the
+    * directory level — at 100 TB, an nprobe=8-of-1024 query lists and reads under 1%
+    * of the corpus. The one-time write shuffles on the cell for one file set per cell.
+    */
+  def writeIvfPartitioned(df: DataFrame, vecCol: String, centroids: Seq[Seq[Float]],
+      path: String): Unit =
+    graft.sources.Sources.writePartitioned(
+      ivfAssign(df, vecCol, centroids).repartition(col("ivf_cell")),
+      path, Seq("ivf_cell"))
+
+  /** IVF top-k over a corpus written by [[writeIvfPartitioned]]: the cell filter becomes
+    * a partition filter on the scan (directory pruning — non-probed cells are never
+    * listed, let alone read), then the same score + TakeOrdered shape as [[ivfTopK]].
+    */
+  def ivfTopKFromPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, centroids: Seq[Seq[Float]],
+      probe: Seq[Float], k: Int, nprobe: Int): DataFrame = {
+    val cells = nearestCells(centroids, probe, nprobe)
+    spark.read.parquet(path)
+      .filter(col("ivf_cell").isin(cells: _*))
+      .select(col(idCol), cosineToProbe(col(vecCol), probe).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The `nprobe` cell ids nearest the probe (same ordering/tiebreak as [[ivfTopK]]). */
+  private def nearestCells(centroids: Seq[Seq[Float]], probe: Seq[Float],
+      nprobe: Int): Seq[Int] = {
+    val pd = probe.map(_.toDouble)
+    val pn = math.sqrt(pd.map(v => v * v).sum)
+    centroids.zipWithIndex.map { case (c, i) =>
+      val cd = c.map(_.toDouble)
+      val dot = cd.lazyZip(pd).map(_ * _).sum
+      (dot / (math.sqrt(cd.map(v => v * v).sum) * pn), i)
+    }.sortBy { case (s, i) => (-s, -i) }.take(nprobe).map(_._2)
   }
 
   /** Simple deterministic centroid seeding for IVF: k spread rows by id order.

@@ -37,6 +37,36 @@ class MetricsSpec extends SparkSpec {
     assert(reduced.contains(3L))
   }
 
+  test("IVF-partitioned corpus prunes non-probed cells at the directory level") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 120).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "v")
+    val centroids = Similarity.seedCentroids(df, "id", "v", 6)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.writeIvfPartitioned(df, "v", centroids, path)
+
+    val probe = vecs(5)._2
+    val pruned = Similarity.ivfTopKFromPartitioned(spark, path, "id", "v",
+      centroids, probe, 5, nprobe = 2)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(ivf_cell") ||
+      scan.contains("PartitionFilters: [ivf_cell"),
+      s"expected the cell filter as a PARTITION filter:\n$scan")
+    // pruned read agrees with the in-memory ivfTopK on the same cells
+    val inMem = Similarity.ivfTopK(df, "id", "v", centroids, probe, 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9))).toSeq
+    val fromDisk = pruned.collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9))).toSeq
+    assert(fromDisk == inMem)
+    // exhaustive probing over the partitioned layout equals brute force
+    val exact = Similarity.bruteForceTopK(df, "id", "v", probe, 5)
+      .collect().map(_.getLong(0)).toSeq
+    val allCells = Similarity.ivfTopKFromPartitioned(spark, path, "id", "v",
+      centroids, probe, 5, nprobe = 6).collect().map(_.getLong(0)).toSeq
+    assert(allCells == exact)
+  }
+
   test("refineCentroids moves seeds toward cluster means") {
     import graft.operators.Similarity
     import spark.implicits._
