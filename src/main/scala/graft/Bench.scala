@@ -95,18 +95,21 @@ object Bench {
     // (measured from BENCH_r01/r02: tail length exactly 2000, with sbt's trailing
     // "[success] Total time: …" line eating ~75 of them), so the line must stay well
     // under that or the head of the JSON is cut off and the driver records
-    // parsed:null. Cap at 1,600 chars: values rounded to ms, cheapest query entries
-    // dropped first (slowest are the informative ones). Headline metrics always stay.
+    // parsed:null. Cap at 1,800 chars (~125 of margin): per-query values rounded to
+    // 10 ms (headline keeps ms), cheapest query entries dropped first if still over
+    // (slowest are the informative ones). Headline metrics always stay.
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def r2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val headline = Seq(
       "suite20_cold" -> coldSec, "suite20_warm" -> warmSec, "suite20_cached" -> cachedSec)
     def line(entries: Seq[(String, Double)]): String = {
-      val qs = (entries ++ headline).map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      val qs = (entries.map { case (k, v) => "\"" + k + "\":" + r2(v) } ++
+        headline.map { case (k, v) => "\"" + k + "\":" + r3(v) })
         .mkString("{", ",", "}")
       s"""{"metric":"suite20_inmemory_sec","value":${r3(cachedSec)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
     var entries = results
-    while (line(entries).length > 1600 && entries.nonEmpty)
+    while (line(entries).length > 1800 && entries.nonEmpty)
       entries = entries.sortBy(-_._2).dropRight(1)
     println(line(entries))
     spark.stop()
