@@ -274,13 +274,12 @@ object Dedup {
   /** Connected components over an undirected pair graph: every id is labeled with the
     * MINIMUM id reachable through the pairs — the canonical duplicate-cluster id (unlike
     * [[dedupNearMinhash]]'s greedy pairwise drop, chains a-b, b-c collapse into ONE
-    * cluster rooted at a). Iterative min-label propagation: each round joins current
-    * labels across the edge set and keeps the element-wise min; terminates at fixpoint
-    * (≤ graph diameter rounds — near-dup clusters are shallow, so 2-4 in practice; cap
-    * at `maxIters`). Every round is two shuffle joins on id — no driver-side graph, so
-    * the shape survives any corpus size; for adversarial long-chain graphs switch to
-    * the large-star/small-star alternation (Kiveris et al., "Connected Components in
-    * MapReduce"), which bounds rounds logarithmically.
+    * cluster rooted at a). Distributed path: large-star/small-star alternation
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") — each round is
+    * two groupBy-join passes over the current edge set and the edge set contracts
+    * toward stars rooted at each component's minimum, converging in O(log n) rounds
+    * even on adversarial long-chain graphs (where naive min-label propagation needs
+    * diameter rounds). No driver-side graph past the `smallGraphEdges` fast path.
     */
   def clustersFromPairs(ids: DataFrame, pairs: DataFrame, idCol: String,
       maxIters: Int = 20, smallGraphEdges: Long = 1000000L): DataFrame = {
@@ -346,51 +345,64 @@ object Dedup {
         .join(broadcast(labelDf), Seq(idCol), "left")
         .select(col(idCol), coalesce(col("_cc_label"), col(idCol)).as("cluster_id"))
     }
-    // Undirected edges, both orientations: (src, dst).
-    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .cache()
-    // Only nodes that touch an edge can ever change label — iterate over the dup
-    // subgraph only (a small fraction of any real corpus); singletons rejoin at the end
-    // as their own cluster. Keeps every round's shuffle proportional to the number of
-    // near-duplicates, not the corpus size.
-    var cached = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster")).cache()
-    var labels = cached.select(col("id"), col("cluster"))
+    // Ids are compared with least/greatest below, which is only min-semantics-correct
+    // for totally ordered comparable types (the integral/string/float ids orderingFor
+    // accepts — evaluated for its type check even on this path).
+    orderingFor(ids.schema(idCol).dataType)
+
+    // --- large-star/small-star alternation over the dup subgraph only ---
+    // Edges kept canonically oriented (hi, lo) with hi > lo; self-loops dropped.
+    def canonical(e: DataFrame): DataFrame =
+      e.filter(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
+        .distinct()
+
+    // large-star: every node u links its LARGER neighbors to m(u) = min(Γ(u) ∪ {u}) —
+    // long tails hook directly onto the current minimum, halving chain depth per round.
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = nbrs.groupBy(col("src").as("u"))
+        .agg(least(min(col("dst")), first(col("src"))).as("m"))
+      canonical(nbrs.join(m, nbrs("src") === m("u"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst")))
+    }
+
+    // small-star: every node u links its SMALLER neighbors (and itself) to the minimum
+    // of that set — stars flatten so every member points at the root.
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy(col("src").as("u")).agg(min(col("dst")).as("m"))
+      val withM = e.join(m, e("src") === m("u"))
+      canonical(
+        withM.select(col("dst").as("src"), col("m").as("dst"))
+          .union(withM.select(col("src"), col("m").as("dst"))))
+    }
+
+    var edges = canonical(p.select(col("id_a").as("src"), col("id_b").as("dst"))).cache()
+    edges.count() // materialize before iterating
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      // Min neighbor label per node, then element-wise min with own label. The join
-      // already has both old and candidate labels in hand, so change detection is a
-      // flag column — no second join — and the agg action below both materializes the
-      // new cache completely (truncating lineage for the next round) and returns the
-      // changed-row count in the same job.
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src").as("id2")).agg(min(col("cluster")).as("nmin"))
-      val next = labels.join(neighborMin, labels("id") === col("id2"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
-          (coalesce(col("nmin"), col("cluster")) < col("cluster")).as("chg"))
-        .cache()
-      val changed = next.agg(coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L)))
-        .first().getLong(0)
-      cached.unpersist()
-      cached = next
-      labels = next.select(col("id"), col("cluster"))
-      converged = changed == 0
+      // One round = large-star then small-star; localCheckpoint truncates the plan
+      // lineage (it doubles per round otherwise) and the returned blocks are reclaimed
+      // by the ContextCleaner when unreferenced, unlike session-pinned cache entries.
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // Fixpoint when the canonical edge sets are identical: same size and no edge of
+      // `next` outside `edges` (both are distinct sets, so size + containment ⇒ equal).
+      val sameSize = next.count() == edges.count()
+      converged = sameSize &&
+        next.join(edges, Seq("src", "dst"), "left_anti").isEmpty
+      edges.unpersist()
+      edges = next
       it += 1
     }
     if (!converged)
-      log.warn(s"clustersFromPairs: min-label propagation hit maxIters=$maxIters without " +
-        "converging — the pair graph has chains longer than the iteration cap and the " +
-        "returned cluster_ids may split single components. Raise maxIters or switch to " +
-        "a star-contraction formulation for adversarial graphs.")
-    // The final labels are consumed lazily by the caller, so the loop's cache can't be
-    // dropped before then; localCheckpoint materializes them into RDD blocks that the
-    // ContextCleaner reclaims once the result is garbage-collected — unlike DataFrame
-    // cache entries, which CacheManager pins for the life of the session.
-    val finalLabels = labels.localCheckpoint(true)
-    cached.unpersist()
+      log.warn(s"clustersFromPairs: star contraction hit maxIters=$maxIters without " +
+        "converging — returned cluster_ids may split components (theoretical rounds " +
+        "are O(log n), so raise maxIters).")
+    // At fixpoint every edge is (member, root): the labels are the edges themselves.
+    val finalLabels = edges.select(col("src").as("id"), col("dst").as("cluster"))
+      .localCheckpoint(true)
     edges.unpersist()
     p.unpersist()
     // Singletons (no edges) are their own cluster.

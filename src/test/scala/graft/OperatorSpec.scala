@@ -190,6 +190,22 @@ class OperatorSpec extends SparkSpec {
     assert(sGot == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "d"))
   }
 
+  test("distributed star contraction collapses a long chain within O(log n) rounds") {
+    import spark.implicits._
+    // A 300-node path graph: naive min-label propagation needs ~300 rounds (and would
+    // split the component at any practical iteration cap); large-star/small-star must
+    // converge within the default maxIters=20 (~2·log2(300) ≈ 17 round bound).
+    val n = 300
+    val ids = (0 until n).map(_.toLong).toDF("id")
+    // shuffled edge order so convergence can't ride on input ordering
+    val chain = scala.util.Random.shuffle((0 until n - 1).map(i => (i.toLong, i + 1L)).toList)
+      .toDF("id_a", "id_b")
+    val got = Dedup.clustersFromPairs(ids, chain, "id", smallGraphEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.forall(_ == 0L),
+      s"all $n chained nodes must label to the minimum id 0, got ${got.values.toSet}")
+  }
+
   test("dedup pipelines leave no cached blocks and reuse the bucket exchange") {
     // Regression for the round-2 session-lifetime cache leak: persist()ed
     // intermediates accumulated executor storage across library calls. The pipelines
