@@ -98,6 +98,27 @@ class SuiteSpec extends SparkSpec {
     assert(failingWarning.metrics.failed == 1 && failingWarning.metrics.passed == 1)
   }
 
+  test("suites wider than MaxAggsPerJob chunk into multiple scans, results stay correct") {
+    import org.apache.spark.sql.functions._
+    // 230 columns → 230 completeness constraints → 231 distinct aggregate slots,
+    // crossing the MaxAggsPerJob=200 chunking boundary (codegen-width guard).
+    val nCols = ValidationSuite.MaxAggsPerJob + 30
+    val wide = spark.range(50).select(
+      (0 until nCols).map(i => when(col("id") % 2 === 0 || i % 3 != 0, col("id") + i)
+        .otherwise(lit(null)).as(s"c$i")): _*)
+    val constraints = (0 until nCols).map(i =>
+      CompletenessConstraint(s"c$i", Assertion.GreaterThan(0.0)))
+    val results = ValidationSuite.evaluateBatched(wide, constraints)
+    assert(results.length == nCols && results.forall(_.isSuccess))
+    // spot-check the computed metric against the direct count: columns with i % 3 != 0
+    // are fully complete, the rest are half-null
+    results.zipWithIndex.foreach { case (r, i) =>
+      val expected = if (i % 3 != 0) 1.0 else 0.5
+      val metric = r.metric.flatMap(_.asDouble).get
+      assert(math.abs(metric - expected) < 1e-12, s"c$i: $metric vs $expected")
+    }
+  }
+
   test("constraint evaluation errors are captured, not thrown") {
     val bad = CompletenessConstraint("no_such_column", Assertion.Equals(1.0))
     val results = ValidationSuite.evaluateBatched(df, Seq(bad, SizeConstraint(Assertion.Equals(100))))
