@@ -980,9 +980,40 @@ object Queries {
              | FROM q""".stripMargin.replaceAll("\n", " ")))
   )
 
+  /** The SQL-registered kernel surface under the oracle gate: the same quality/token
+    * metrics as their Column-API twins, but issued through `spark.sql` with the
+    * `graft_*` functions — proving the SQL registration compiles to the same semantics
+    * end-to-end (the oracle is shared with the Column-API text queries' style).
+    */
+  private val sqlSurfaceDefs: Seq[QueryDef] = Seq(
+    QueryDef("sql_text_metrics_documents",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        t(s, d, "documents").createOrReplaceTempView("graft_sql_docs")
+        s.sql("""SELECT count(*) AS n_docs,
+                 CAST(sum(graft_token_count(text)) AS BIGINT) AS ws_tokens,
+                 CAST(sum(graft_bpeish_token_count(text)) AS BIGINT) AS bpeish_tokens,
+                 CAST(sum(CASE WHEN graft_quality_score(text) >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS high_quality,
+                 count(DISTINCT graft_fingerprint(text)) AS distinct_fingerprints
+                 FROM graft_sql_docs""")
+      },
+      Some("""WITH toks AS (SELECT text, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS tk FROM documents),
+             | q AS (SELECT text, tk, round(
+             | least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * (CASE WHEN CAST(length(text) AS DOUBLE) > 20000 THEN 0.5 ELSE 1.0 END) * 0.4
+             | + (CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
+             | + (CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) BETWEEN 0.05 AND 0.35 THEN 1.0 ELSE 0.7 END) * 0.2
+             | + (CASE WHEN (CASE WHEN len(tk) > 0 THEN CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) ELSE 0.0 END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.6 END)  * 0.2
+             | , 6) AS qs FROM toks)
+             | SELECT count(*) AS n_docs,
+             | CAST(sum(len(tk)) AS BIGINT) AS ws_tokens,
+             | CAST(sum(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+'))) AS BIGINT) AS bpeish_tokens,
+             | CAST(sum(CASE WHEN qs >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS high_quality,
+             | count(DISTINCT regexp_replace(trim(text), '\s+', ' ', 'g')) AS distinct_fingerprints
+             | FROM q""".stripMargin.replaceAll("\n", " "))))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (defs ++ llmDefs).map(q => q.name -> q.run).toMap
+    (defs ++ llmDefs ++ sqlSurfaceDefs).map(q => q.name -> q.run).toMap
 
   def oracleSql: Map[String, String] =
-    (defs ++ llmDefs).flatMap(q => q.oracle.map(q.name -> _)).toMap
+    (defs ++ llmDefs ++ sqlSurfaceDefs).flatMap(q => q.oracle.map(q.name -> _)).toMap
 }
