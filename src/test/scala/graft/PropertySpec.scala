@@ -229,6 +229,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("star contraction equals driver union-find on random graphs") {
+    import org.apache.spark.sql.functions.col
+    val graphGen = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(0, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield (n, edges.filter { case (a, b) => a != b })
+    (1 to 4).foreach { i =>
+      val (n, edges) = graphGen.apply(Gen.Parameters.default, Seed(7000L + i))
+        .getOrElse(sys.error("gen failed"))
+      import spark.implicits._
+      val ids = (0 until n).map(_.toLong).toDF("id")
+      val pairs = if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+        else edges.toDF("id_a", "id_b")
+      val viaUnionFind = graft.operators.Dedup.clustersFromPairs(ids, pairs, "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaStars = graft.operators.Dedup.clustersFromPairs(ids, pairs, "id", smallGraphEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStars == viaUnionFind, s"case $i: n=$n edges=${edges.size}")
+    }
+  }
+
   test("empty input: aggregate constraints skip, size succeeds at zero") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Option[Double])].toDF("id", "v")
