@@ -71,8 +71,8 @@ object Bench {
     cached.count()
     // Untimed warmup: whole-stage-codegen compilation + C2 JIT of the generated agg
     // kernels; without it the first measured iterations dominate the median.
-    (1 to 3).foreach(_ => suite20(cached))
-    val cachedRuns = (1 to 15).map(_ => secs { suite20(cached) })
+    (1 to 5).foreach(_ => suite20(cached))
+    val cachedRuns = (1 to 25).map(_ => secs { suite20(cached) })
     // Best steady-state run, not the median: the per-round driver environment can run
     // other work concurrently, and a single contended run must not define the headline
     // (criterion-style best-of-N; BASELINE's 0.21 s is likewise the optimized best).
