@@ -97,6 +97,26 @@ object StreamingAnalysis {
       }(Encoders.kryo[MomentsState], Encoders.product[KeyedMoments])
   }
 
+  /** Generic per-window metric aggregation: any aggregate `Column`s (the same
+    * expressions the batch constraints compile to — including the SQL-registered graft
+    * kernels) evaluated per event-time window with a watermark. [[windowedQuality]] is
+    * the completeness-specialized instance of this shape.
+    */
+  def windowedMetrics(
+      stream: DataFrame,
+      tsCol: String,
+      windowDuration: String,
+      watermarkDelay: String,
+      aggs: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(aggs.nonEmpty, "windowedMetrics needs at least one aggregate column")
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration).as("w"))
+      .agg(aggs.head, aggs.drop(1): _*)
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("*")).drop("w")
+  }
+
   /** Streaming EXACT dedup with bounded state: one row per key, duplicates dropped
     * across micro-batches. With `watermark = Some(tsCol -> delay)` the state store only
     * remembers keys until the watermark passes them (`dropDuplicatesWithinWatermark`) —

@@ -229,6 +229,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("entropy matches independent computation") {
+    import org.apache.spark.sql.functions.col
+    val gen = for {
+      n <- Gen.choose(1, 150)
+      card <- Gen.choose(1, 8)
+      vals <- Gen.listOfN(n, Gen.choose(0, card - 1))
+    } yield vals
+    forAll(gen) { vals =>
+      import spark.implicits._
+      val df = vals.map(v => s"v$v").toDF("c")
+      val got = Metrics.entropy(df, "c").head().getDouble(0)
+      val counts = vals.groupBy(identity).values.map(_.size.toDouble)
+      val total = vals.size.toDouble
+      val expected = -counts.map(c => (c / total) * math.log(c / total)).sum
+      assert(math.abs(got - expected) < 1e-6, s"$got vs $expected for n=${vals.size}")
+    }
+  }
+
   test("star contraction equals driver union-find on random graphs") {
     import org.apache.spark.sql.functions.col
     val graphGen = for {

@@ -81,6 +81,29 @@ class StreamingSpec extends SparkSpec {
     assert(b.getLong(1) == 1 && math.abs(b.getDouble(2) - 10.0) < 1e-9)
   }
 
+  test("windowed metrics evaluate arbitrary aggregate columns per window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val stream = StreamingAnalysis.windowedMetrics(
+      input.toDF().toDF("ts", "text"), "ts", "10 minutes", "1 minute",
+      Seq(count(lit(1)).as("n"),
+        sum(graft.functions.TextFunctions.tokenCount(col("text"))).as("tokens"),
+        max(length(col("text"))).as("max_len")))
+    val q = stream.writeStream.format("memory").queryName("wm").outputMode("append").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData((ts(1), "two words"), (ts(2), "three small words"), (ts(3), "one"))
+      q.processAllAvailable()
+      input.addData((ts(25), "later"))
+      q.processAllAvailable()
+      input.addData((ts(40), "even later"))
+      q.processAllAvailable()
+      val r = spark.sql("SELECT n, tokens, max_len FROM wm ORDER BY n DESC").collect().head
+      assert(r.getLong(0) == 3 && r.getLong(1) == 6 && r.getInt(2) == 17)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops duplicate keys across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
