@@ -931,6 +931,27 @@ object Queries {
              |   (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(pe, pe))) DESC, vec_id
              | LIMIT 10""".stripMargin.replaceAll("\n", " "))),
 
+    // Hyperplane-LSH ANN with multi-probe covering ALL 2^planes buckets (planes=2,
+    // multiProbeBits=2): exhaustive, so it must equal the brute-force oracle exactly —
+    // oracle-gating the LSH bucket assignment + native cosine scoring + ordering path.
+    // Reduced probing is the scale path; its recall is pinned in OperatorSpec.
+    QueryDef("similarity_ann_exhaustive",
+      (s, d) => {
+        val probe = t(s, d, "embeddings").filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toSeq
+        Similarity.annTopK(
+          t(s, d, "embeddings").filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          probe, 10, planes = 2, multiProbeBits = 2)
+          .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+      },
+      Some("""WITH p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0)
+             | SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], pe) /
+             |   (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(pe, pe))), 4) AS cosine
+             | FROM embeddings, p WHERE vec_id != 0
+             | ORDER BY list_dot_product(embedding::DOUBLE[], pe) /
+             |   (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(pe, pe))) DESC, vec_id
+             | LIMIT 10""".stripMargin.replaceAll("\n", " "))),
+
     // Three-pass column profiler output for customer.c_acctbal (oracle-checkable
     // subset: exact counts + moments; the approx-distinct sketch value is excluded).
     QueryDef("profile_customer_acctbal",
