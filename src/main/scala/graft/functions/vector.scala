@@ -145,6 +145,70 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Jaccard of two SORTED distinct long arrays (the hashed shingle sets of
+  * [[graft.operators.Dedup.shingleHashSet]]) — the verify-stage kernel of MinHash
+  * near-dup, run once per candidate pair. One fused merge loop over both
+  * `UnsafeArrayData` inputs inside whole-stage codegen; the UDF it replaces boxed both
+  * arrays into `Seq[Long]` per pair, which dominates at 10^5+ candidates.
+  *
+  * Inputs MUST be sorted ascending with distinct non-null elements (what
+  * `shingleHashSet` emits). Any null array ⇒ null; two empty sets ⇒ 1.0.
+  */
+case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) =>
+      TypeCheckResult.TypeCheckFailure(s"jaccard_sorted requires (array<bigint>, array<bigint>), got ($l, $r)")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val xi = x.getLong(i); val yj = y.getLong(j)
+      if (xi == yj) { inter += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter")
+      val xi = ctx.freshName("xi")
+      val yj = ctx.freshName("yj")
+      val union = ctx.freshName("union")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $inter = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xi = $a.getLong($i);
+         |  long $yj = $b.getLong($j);
+         |  if ($xi == $yj) { $inter++; $i++; $j++; }
+         |  else if ($xi < $yj) { $i++; } else { $j++; }
+         |}
+         |int $union = $nx + $ny - $inter;
+         |${ev.value} = ($union == 0) ? 1.0 : ((double) $inter) / $union;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardSorted =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorFunctions {
   def cosineToProbe(vec: Column, probe: Seq[Float]): Column =
@@ -154,4 +218,8 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       CosineSim(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def jaccardSorted(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      JaccardSorted(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }

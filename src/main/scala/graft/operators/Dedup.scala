@@ -205,24 +205,13 @@ object Dedup {
     f(text)
   }
 
-  /** Jaccard of two SORTED distinct long arrays: one linear merge — no hash sets, no
-    * per-element boxing-heavy array_intersect/array_union.
+  /** Jaccard of two SORTED distinct long arrays: one linear merge inside whole-stage
+    * codegen (native [[graft.functions.JaccardSorted]] expression — no per-pair boxing
+    * of the arrays into `Seq[Long]`, which dominated the verify stage at 10^5+
+    * candidate pairs).
     */
-  private val jaccardSorted = udf { (a: Seq[Long], b: Seq[Long]) =>
-    if (a == null || b == null) null.asInstanceOf[java.lang.Double]
-    else {
-      val x = a.toArray
-      val y = b.toArray
-      var i = 0; var j = 0; var inter = 0
-      while (i < x.length && j < y.length) {
-        if (x(i) == y(j)) { inter += 1; i += 1; j += 1 }
-        else if (x(i) < y(j)) i += 1
-        else j += 1
-      }
-      val union = x.length + y.length - inter
-      java.lang.Double.valueOf(if (union == 0) 1.0 else inter.toDouble / union)
-    }
-  }
+  private def jaccardSorted(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.jaccardSorted(a, b)
 
   /** Jaccard over hashed char-n-gram shingle sets for given id pairs. Shingles are
     * compared as 64-bit hashes, not strings: set semantics are identical up to hash

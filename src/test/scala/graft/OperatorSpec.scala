@@ -124,6 +124,37 @@ class OperatorSpec extends SparkSpec {
     new graft.functions.GraftExtensions().apply(ext) // must accept all descriptors
   }
 
+  test("native jaccard_sorted matches independent set computation and stays in codegen") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val rows = (0 until 40).map { i =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(50).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(50).toLong).distinct.sorted
+      (i.toLong, a, b)
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        graft.functions.VectorFunctions.jaccardSorted(col("a"), col("b")).as("j"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, a, b) =>
+      val inter = a.toSet.intersect(b.toSet).size
+      val union = a.toSet.union(b.toSet).size
+      val expected = if (union == 0) 1.0 else inter.toDouble / union
+      assert(math.abs(got(id) - expected) < 1e-15, s"id=$id")
+    }
+    // null array -> null
+    val n = Seq((Seq(1L, 2L), Option.empty[Seq[Long]])).toDF("a", "b")
+      .select(graft.functions.VectorFunctions.jaccardSorted(col("a"), col("b"))).head()
+    assert(n.isNullAt(0))
+    // whole-stage codegen over a real scan
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jac").toString
+    df.write.mode("overwrite").parquet(tmp)
+    val plan = spark.read.parquet(tmp)
+      .select(graft.functions.VectorFunctions.jaccardSorted(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"expected WholeStageCodegen in:\n$plan")
+  }
+
   test("SQL-registered text/dedup kernels match the Column API exactly") {
     import graft.functions.TextFunctions
     graft.functions.GraftFunctions.register(spark)
