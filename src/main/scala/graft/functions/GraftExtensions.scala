@@ -40,6 +40,12 @@ object GraftFunctions {
       s"graft_cosine expects 2 arguments, got ${other.length}")
   }
 
+  private def buildJaccardSorted(args: Seq[Expression]): Expression = args match {
+    case Seq(a, b) => JaccardSorted(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_jaccard_sorted expects 2 arguments, got ${other.length}")
+  }
+
   private def buildCosineToProbe(args: Seq[Expression]): Expression = args match {
     case Seq(vec, probeExpr) if probeExpr.foldable =>
       val probe = probeExpr.eval() match {
@@ -134,6 +140,10 @@ object GraftFunctions {
         info("graft_cosine_to_probe",
           "graft_cosine_to_probe(vec, probe) - cosine of vec against a constant probe vector"),
         buildCosineToProbe _),
+      (FunctionIdentifier("graft_jaccard_sorted"),
+        info("graft_jaccard_sorted",
+          "graft_jaccard_sorted(a, b) - Jaccard of two sorted distinct bigint arrays"),
+        buildJaccardSorted _),
       (FunctionIdentifier("graft_minhash"),
         info("graft_minhash",
           "graft_minhash(text, shingleSize, numHashes) - MinHash signature of the char-shingle set"),
