@@ -155,9 +155,11 @@ object Metrics {
         (col("non_null").cast("double") / col("total").cast("double")).as("completeness"): _*)
       .orderBy(groups.map(col): _*)
 
-  /** Grouped completeness, worst groups first with a deterministic value tiebreak and a
-    * `limit` guard (reference: analyzers/basic/grouped_completeness.rs:119-128 — worst-
-    * first ordering plus `LIMIT max_groups+1` truncation detection). The shuffle is
+  /** The WORST `maxGroups` groups by completeness, deterministically tiebroken on the
+    * group value (reference: analyzers/basic/grouped_completeness.rs:119-128 worst-first
+    * ordering). This is a top-N surface — by design it does not signal whether more
+    * groups exist beyond the N returned; use [[graft.constraints.GroupedCompletenessConstraint]]
+    * when the reference's `max_groups+1` truncation DETECTION is wanted. The shuffle is
     * bounded by group cardinality and the driver sees at most `maxGroups` rows.
     */
   def groupedCompletenessWorst(df: DataFrame, c: String, groups: Seq[String],

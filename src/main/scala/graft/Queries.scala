@@ -548,7 +548,9 @@ object Queries {
     // aggregates; the oracle reads the original parquet.
     QueryDef("csv_source_nation",
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+        // Deterministic path + overwrite: a fresh createTempDirectory per invocation
+        // would leak one full table copy into /tmp every bench/verify run.
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_nation"
         t(s, d, "nation").write.mode("overwrite").option("header", "true").csv(tmp)
         graft.sources.Sources.csv(s, Seq(tmp))
           .agg(count(lit(1)).as("n_rows"),
@@ -561,7 +563,7 @@ object Queries {
     // NDJSON source end-to-end (reference: sources/json.rs NDJSON path).
     QueryDef("json_source_region",
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_region"
         t(s, d, "region").write.mode("overwrite").json(tmp)
         graft.sources.Sources.json(s, Seq(tmp))
           .agg(count(lit(1)).as("n_rows"),

@@ -139,10 +139,16 @@ final class IncrementalAnalysisRunner(store: StateStore, analyzers: Seq[Analyzer
       .collect()
     require(rows.length <= maxPartitions,
       s"more than $maxPartitions partitions in one batch — raise maxPartitions or split the input")
+    // Validate EVERY key before the first store.save: failing mid-loop would leave
+    // earlier partitions already folded into the cumulative state, and a retry after
+    // fixing the data would double-count them.
+    rows.foreach { row =>
+      require(row.isNullAt(0) ||
+        (row.getString(0) != CumulativeKey && row.getString(0) != NullKey),
+        s"partition key value '${row.getString(0)}' collides with a reserved state-store key")
+    }
     rows.sortBy(r => if (r.isNullAt(0)) NullKey else r.getString(0)).foreach { row =>
       val pk = if (row.isNullAt(0)) NullKey else row.getString(0)
-      require(row.isNullAt(0) || (pk != CumulativeKey && pk != NullKey),
-        s"partition key value '$pk' collides with a reserved state-store key")
       val values = row.toSeq.drop(1)
       var offset = 0
       analyzers.foreach { a =>

@@ -151,8 +151,11 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   * `UnsafeArrayData` inputs inside whole-stage codegen; the UDF it replaces boxed both
   * arrays into `Seq[Long]` per pair, which dominates at 10^5+ candidates.
   *
-  * Inputs MUST be sorted ascending with distinct non-null elements (what
-  * `shingleHashSet` emits). Any null array ⇒ null; two empty sets ⇒ 1.0.
+  * Inputs MUST be sorted ascending with distinct elements (what `shingleHashSet`
+  * emits). Any null array ⇒ null; any null ELEMENT also ⇒ null (reading a null slot
+  * from `UnsafeArrayData` would silently yield garbage, so nulls poison instead —
+  * relevant for the SQL-registered form, where inputs aren't under library control);
+  * two empty sets ⇒ 1.0.
   */
 case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -163,12 +166,17 @@ case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpr
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sorted"
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val nx = x.numElements()
     val ny = y.numElements()
+    var k = 0
+    while (k < nx) { if (x.isNullAt(k)) return null; k += 1 }
+    k = 0
+    while (k < ny) { if (y.isNullAt(k)) return null; k += 1 }
     var i = 0; var j = 0; var inter = 0
     while (i < nx && j < ny) {
       val xi = x.getLong(i); val yj = y.getLong(j)
@@ -186,22 +194,31 @@ case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpr
       val ny = ctx.freshName("ny")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
       val inter = ctx.freshName("inter")
       val xi = ctx.freshName("xi")
       val yj = ctx.freshName("yj")
       val union = ctx.freshName("union")
+      val hasNull = ctx.freshName("hasNull")
       s"""
          |int $nx = $a.numElements();
          |int $ny = $b.numElements();
-         |int $i = 0; int $j = 0; int $inter = 0;
-         |while ($i < $nx && $j < $ny) {
-         |  long $xi = $a.getLong($i);
-         |  long $yj = $b.getLong($j);
-         |  if ($xi == $yj) { $inter++; $i++; $j++; }
-         |  else if ($xi < $yj) { $i++; } else { $j++; }
+         |boolean $hasNull = false;
+         |for (int $k = 0; $k < $nx && !$hasNull; $k++) { $hasNull = $a.isNullAt($k); }
+         |for (int $k = 0; $k < $ny && !$hasNull; $k++) { $hasNull = $b.isNullAt($k); }
+         |if ($hasNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $i = 0; int $j = 0; int $inter = 0;
+         |  while ($i < $nx && $j < $ny) {
+         |    long $xi = $a.getLong($i);
+         |    long $yj = $b.getLong($j);
+         |    if ($xi == $yj) { $inter++; $i++; $j++; }
+         |    else if ($xi < $yj) { $i++; } else { $j++; }
+         |  }
+         |  int $union = $nx + $ny - $inter;
+         |  ${ev.value} = ($union == 0) ? 1.0 : ((double) $inter) / $union;
          |}
-         |int $union = $nx + $ny - $inter;
-         |${ev.value} = ($union == 0) ? 1.0 : ((double) $inter) / $union;
        """.stripMargin
     })
 

@@ -368,10 +368,15 @@ object Dedup {
     }
 
     var edges = canonical(p.select(col("id_a").as("src"), col("id_b").as("dst"))).cache()
-    edges.count() // materialize before iterating
+    val nEdges = edges.count() // materialize before iterating
+    // Theoretical convergence is O(log n) alternation rounds; the effective cap scales
+    // with log2 of the edge count so the distributed path (which only engages above
+    // `smallGraphEdges` edges) can never be starved by a fixed default that was tuned
+    // on small graphs. `maxIters` acts as a floor, not a ceiling.
+    val iterCap = math.max(maxIters, 2 * (64 - java.lang.Long.numberOfLeadingZeros(nEdges + 1)) + 6)
     var converged = false
     var it = 0
-    while (!converged && it < maxIters) {
+    while (!converged && it < iterCap) {
       // One round = large-star then small-star; localCheckpoint truncates the plan
       // lineage (it doubles per round otherwise) and the returned blocks are reclaimed
       // by the ContextCleaner when unreferenced, unlike session-pinned cache entries.
@@ -386,11 +391,17 @@ object Dedup {
       it += 1
     }
     if (!converged)
-      log.warn(s"clustersFromPairs: star contraction hit maxIters=$maxIters without " +
-        "converging — returned cluster_ids may split components (theoretical rounds " +
-        "are O(log n), so raise maxIters).")
-    // At fixpoint every edge is (member, root): the labels are the edges themselves.
-    val finalLabels = edges.select(col("src").as("id"), col("dst").as("cluster"))
+      log.warn(s"clustersFromPairs: star contraction hit the iteration cap ($iterCap) " +
+        "without converging — returned cluster_ids may split components (theoretical " +
+        "rounds are O(log n), so raise maxIters).")
+    // At fixpoint every edge is (member, root) and src values are unique. If the cap
+    // was hit first, a node can still carry several edges — collapse to the minimum
+    // per node so the output honors the one-row-per-id contract either way (labels may
+    // split components then, per the warning, but never duplicate ids).
+    val labelEdges =
+      if (converged) edges
+      else edges.groupBy(col("src")).agg(min(col("dst")).as("dst"))
+    val finalLabels = labelEdges.select(col("src").as("id"), col("dst").as("cluster"))
       .localCheckpoint(true)
     edges.unpersist()
     p.unpersist()

@@ -62,7 +62,10 @@ object Multimodal {
       if (bytes == null || bytes.isEmpty) return Array.emptyByteArray
       val (_, w0, h0, _, _) = decodeMeta(bytes)
       val ratio = (w.toDouble * h) / math.max(w0.toDouble * h0, 1.0)
-      val outLen = math.max((bytes.length * ratio).toInt, 16)
+      // Bound the per-row allocation: an aggressive upscale ratio against a tiny
+      // stub-decoded source would otherwise request gigabytes inside the executor UDF.
+      val MaxOut = 16 * 1024 * 1024
+      val outLen = math.min(math.max((bytes.length * ratio).toInt, 16), MaxOut)
       val out = new Array[Byte](outLen)
       var i = 0
       while (i < outLen) { out(i) = bytes(((i.toLong * bytes.length) / outLen).toInt); i += 1 }

@@ -90,7 +90,7 @@ final class ParquetMetricsRepository(path: String, spark: org.apache.spark.sql.S
     */
   def toDataFrame: org.apache.spark.sql.DataFrame = spark.read.parquet(path)
   override def toDataFrame(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
-    toDataFrame
+    s.read.parquet(path) // honor the CALLER's session (temp views etc. land there)
 
   def loadAll(): Seq[MetricRecord] = {
     val fs = new org.apache.hadoop.fs.Path(path)

@@ -25,19 +25,12 @@ object StreamingAnalysis {
       tsCol: String,
       windowDuration: String,
       watermarkDelay: String,
-      columns: Seq[String]): DataFrame = {
-    val aggs =
+      columns: Seq[String]): DataFrame =
+    windowedMetrics(stream, tsCol, windowDuration, watermarkDelay,
       count(lit(1)).as("row_count") +:
         columns.flatMap(c => Seq(
           count(col(c)).as(s"non_null_$c"),
-          (count(col(c)).cast("double") / count(lit(1)).cast("double")).as(s"completeness_$c")))
-    stream
-      .withWatermark(tsCol, watermarkDelay)
-      .groupBy(window(col(tsCol), windowDuration).as("w"))
-      .agg(aggs.head, aggs.drop(1): _*)
-      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
-        col("*")).drop("w")
-  }
+          (count(col(c)).cast("double") / count(lit(1)).cast("double")).as(s"completeness_$c"))))
 
   /** Attach incremental analysis to a stream: every micro-batch is analyzed as a
     * partition (keyed by batch id) and merged into the cumulative state store; `onBatch`
@@ -163,7 +156,12 @@ object StreamingAnalysis {
       strategy: graft.analyzers.AnomalyDetectionStrategy,
       onAnomaly: (Long, Seq[graft.analyzers.Anomaly]) => Unit): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-      repo.save(graft.repository.ResultKey(batchId), Map(metricKey -> metricOf(batch)))
+      // foreachBatch is at-least-once: a batch replayed after a mid-commit failure must
+      // not append its metric twice (duplicate history points corrupt every later
+      // change/z-score comparison). The batch id IS the record timestamp, so replays
+      // are detected by key.
+      if (!repo.history(metricKey).exists(_._1 == batchId))
+        repo.save(graft.repository.ResultKey(batchId), Map(metricKey -> metricOf(batch)))
       val anomalies = strategy.detect(repo.history(metricKey))
       if (anomalies.nonEmpty) onAnomaly(batchId, anomalies)
     }
