@@ -146,6 +146,14 @@ class OperatorSpec extends SparkSpec {
     val n = Seq((Seq(1L, 2L), Option.empty[Seq[Long]])).toDF("a", "b")
       .select(graft.functions.VectorFunctions.jaccardSorted(col("a"), col("b"))).head()
     assert(n.isNullAt(0))
+    // null ELEMENT -> null (UnsafeArrayData would silently read garbage otherwise);
+    // exercised through SQL where element nullability is out of library control
+    graft.functions.GraftFunctions.register(spark)
+    val en = spark.sql(
+      "SELECT graft_jaccard_sorted(array(1L, CAST(NULL AS BIGINT)), array(1L, 2L)) AS j").head()
+    assert(en.isNullAt(0), "null element must poison the result, not silently merge")
+    val ok = spark.sql("SELECT graft_jaccard_sorted(array(1L, 2L), array(1L, 2L)) AS j").head()
+    assert(math.abs(ok.getDouble(0) - 1.0) < 1e-15)
     // whole-stage codegen over a real scan
     val tmp = java.nio.file.Files.createTempDirectory("graft_jac").toString
     df.write.mode("overwrite").parquet(tmp)
