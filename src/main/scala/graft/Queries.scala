@@ -933,6 +933,43 @@ object Queries {
              |   (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(pe, pe))) DESC, vec_id
              | LIMIT 10""".stripMargin.replaceAll("\n", " "))),
 
+    // Format-regex library under the oracle gate. Synthetic columns derived from
+    // o_orderkey whose validity is known BY CONSTRUCTION (valid iff key % k == 0), so
+    // the oracle needs no regex at all — if the Java regex library's semantics drift
+    // (the dialect risk SURVEY §7 flags), the match ratios stop equalling the
+    // constructed truth. Ratios come out of FormatConstraint's own aggregates,
+    // evaluated as one batched suite scan.
+    QueryDef("format_library_synthetic",
+      (s, d) => {
+        import graft.constraints.{FormatConstraint, FormatType}
+        import graft.core._
+        val synth = t(s, d, "orders").select(
+          when(pmod(col("o_orderkey"), lit(3)) === 0,
+            concat(lit("user"), col("o_orderkey"), lit("@example.com")))
+            .otherwise(concat(lit("bad email "), col("o_orderkey"))).as("email"),
+          when(pmod(col("o_orderkey"), lit(4)) === 0,
+            concat(lit("00000000-0000-4000-8000-"),
+              lpad(pmod(col("o_orderkey"), lit(999999L)).cast("string"), 12, "0")))
+            .otherwise(lit("not-a-uuid")).as("uuid"),
+          when(pmod(col("o_orderkey"), lit(5)) === 0,
+            concat(lit("10.0.0."), pmod(col("o_orderkey"), lit(256)).cast("string")))
+            .otherwise(lit("10.0.0.999")).as("ip"))
+        val constraints = Seq(
+          FormatConstraint("email", FormatType.Email, Assertion.GreaterThanOrEqual(0.0)),
+          FormatConstraint("uuid", FormatType.Uuid, Assertion.GreaterThanOrEqual(0.0)),
+          FormatConstraint("ip", FormatType.Ipv4, Assertion.GreaterThanOrEqual(0.0)))
+        val rs = ValidationSuite.evaluateBatched(synth, constraints)
+        def ratio(i: Int) = BigDecimal(rs(i).metric.flatMap(_.asDouble).get)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        import s.implicits._
+        Seq((ratio(0), ratio(1), ratio(2))).toDF("email_ratio", "uuid_ratio", "ipv4_ratio")
+      },
+      Some("""SELECT
+             | round(CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS email_ratio,
+             | round(CAST(sum(CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS uuid_ratio,
+             | round(CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS ipv4_ratio
+             | FROM orders""".stripMargin.replaceAll("\n", " "))),
+
     // Hyperplane-LSH ANN with multi-probe covering ALL 2^planes buckets (planes=2,
     // multiProbeBits=2): exhaustive, so it must equal the brute-force oracle exactly —
     // oracle-gating the LSH bucket assignment + native cosine scoring + ordering path.
