@@ -21,6 +21,8 @@ object Queries {
       run: (SparkSession, String) => DataFrame,
       oracle: Option[String])
 
+  private def b2l(b: Boolean): Long = if (b) 1L else 0L
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The events table stores TIMESTAMP(NANOS) which Spark's parquet reader rejects by
     // default; read nanos as long and rebuild a microsecond timestamp (UTC session).
@@ -932,6 +934,45 @@ object Queries {
              | ORDER BY list_dot_product(embedding::DOUBLE[], pe) /
              |   (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(pe, pe))) DESC, vec_id
              | LIMIT 10""".stripMargin.replaceAll("\n", " "))),
+
+    // Multi-column logical combinators (reference: core/logical.rs All/Any/AtLeast/
+    // AtMost/Exactly) under the oracle gate: three synthetic columns with constructed
+    // completeness 1.0 / 0.5 / 0.0, threshold 0.9 ⇒ exactly one column satisfies, so
+    // every operator's verdict is known by construction. The oracle states the same
+    // verdicts from the modular-arithmetic null counts.
+    QueryDef("logical_ops_synthetic",
+      (s, d) => {
+        import graft.constraints.{LogicalOp, MultiColumnCompletenessConstraint}
+        import graft.core._
+        val synth = t(s, d, "orders").select(
+          col("o_orderkey").as("full"),
+          when(pmod(col("o_orderkey"), lit(2)) === 0, col("o_orderkey")).as("half"),
+          lit(null).cast("bigint").as("empty"))
+        val cols = Seq("full", "half", "empty")
+        val ops = Seq(LogicalOp.All, LogicalOp.Any, LogicalOp.AtLeast(1),
+          LogicalOp.AtLeast(2), LogicalOp.AtMost(1), LogicalOp.Exactly(1))
+        val rs = ValidationSuite.evaluateBatched(synth,
+          ops.map(op => MultiColumnCompletenessConstraint(cols, 0.9, op)))
+        import s.implicits._
+        Seq((rs(0).isSuccess, rs(1).isSuccess, rs(2).isSuccess,
+          rs(3).isSuccess, rs(4).isSuccess, rs(5).isSuccess))
+          .map(t6 => (b2l(t6._1), b2l(t6._2), b2l(t6._3), b2l(t6._4), b2l(t6._5), b2l(t6._6)))
+          .toDF("all_ok", "any_ok", "at_least1_ok", "at_least2_ok", "at_most1_ok", "exactly1_ok")
+      },
+      Some("""WITH c AS (SELECT count(*) AS total,
+             |   count(*) AS full_nn,
+             |   sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS half_nn,
+             |   0 AS empty_nn FROM orders),
+             | sat AS (SELECT (CASE WHEN CAST(full_nn AS DOUBLE) / total >= 0.9 THEN 1 ELSE 0 END)
+             |   + (CASE WHEN CAST(half_nn AS DOUBLE) / total >= 0.9 THEN 1 ELSE 0 END)
+             |   + (CASE WHEN CAST(empty_nn AS DOUBLE) / total >= 0.9 THEN 1 ELSE 0 END) AS n FROM c)
+             | SELECT CAST(CASE WHEN n = 3 THEN 1 ELSE 0 END AS BIGINT) AS all_ok,
+             | CAST(CASE WHEN n >= 1 THEN 1 ELSE 0 END AS BIGINT) AS any_ok,
+             | CAST(CASE WHEN n >= 1 THEN 1 ELSE 0 END AS BIGINT) AS at_least1_ok,
+             | CAST(CASE WHEN n >= 2 THEN 1 ELSE 0 END AS BIGINT) AS at_least2_ok,
+             | CAST(CASE WHEN n <= 1 THEN 1 ELSE 0 END AS BIGINT) AS at_most1_ok,
+             | CAST(CASE WHEN n = 1 THEN 1 ELSE 0 END AS BIGINT) AS exactly1_ok
+             | FROM sat""".stripMargin.replaceAll("\n", " "))),
 
     // Format-regex library under the oracle gate. Synthetic columns derived from
     // o_orderkey whose validity is known BY CONSTRUCTION (valid iff key % k == 0), so
