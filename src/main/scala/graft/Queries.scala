@@ -935,6 +935,53 @@ object Queries {
              |   (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(pe, pe))) DESC, vec_id
              | LIMIT 10""".stripMargin.replaceAll("\n", " "))),
 
+    // Assertion ADT semantics (reference: constraints/assertion.rs — Equals with
+    // ε=1e-10, NotEquals, Between/NotBetween bounds, ordering comparators) plus the
+    // detect-mode threshold inversion (format.rs:812-820), all with verdicts known by
+    // construction: SizeConstraint against the actual row count n, and a detect-mode
+    // CreditCard format column valid for exactly half the rows.
+    QueryDef("assertion_semantics_synthetic",
+      (s, d) => {
+        import graft.constraints.{FormatConstraint, FormatType, SizeConstraint}
+        import graft.core._
+        val orders = t(s, d, "orders")
+        val n = orders.count().toDouble
+        val synth = orders.select(
+          when(pmod(col("o_orderkey"), lit(2)) === 0,
+            lpad(col("o_orderkey").cast("string"), 16, "9"))
+            .otherwise(lit("not-a-card")).as("cc"))
+        val rs = ValidationSuite.evaluateBatched(synth, Seq(
+          SizeConstraint(Assertion.Equals(n)),                      // exact ⇒ pass
+          SizeConstraint(Assertion.Equals(n + 1e-11)),              // within ε ⇒ pass
+          SizeConstraint(Assertion.NotEquals(n)),                   // ⇒ fail
+          SizeConstraint(Assertion.Between(n - 1, n + 1)),          // ⇒ pass
+          SizeConstraint(Assertion.NotBetween(n - 1, n + 1)),       // ⇒ fail
+          SizeConstraint(Assertion.LessThan(n)),                    // strict ⇒ fail
+          SizeConstraint(Assertion.GreaterThanOrEqual(n)),          // ⇒ pass
+          // detect=true: metric is 1 - matchRatio = 0.5; ≤ 0.5 passes, ≤ 0.4 fails
+          FormatConstraint("cc", FormatType.CreditCard, Assertion.LessThanOrEqual(0.5), detect = true),
+          FormatConstraint("cc", FormatType.CreditCard, Assertion.LessThanOrEqual(0.4), detect = true)))
+        import s.implicits._
+        Seq((b2l(rs(0).isSuccess), b2l(rs(1).isSuccess), b2l(rs(2).isSuccess),
+          b2l(rs(3).isSuccess), b2l(rs(4).isSuccess), b2l(rs(5).isSuccess),
+          b2l(rs(6).isSuccess), b2l(rs(7).isSuccess), b2l(rs(8).isSuccess)))
+          .toDF("eq_ok", "eq_eps_ok", "neq_ok", "between_ok", "not_between_ok",
+            "lt_ok", "gte_ok", "detect_half_ok", "detect_tight_ok")
+      },
+      Some("""WITH c AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             |   CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS cc_ratio
+             |   FROM orders)
+             | SELECT CAST(CASE WHEN abs(n - n) <= 1e-10 THEN 1 ELSE 0 END AS BIGINT) AS eq_ok,
+             | CAST(CASE WHEN abs(n - (n + 1e-11)) <= 1e-10 THEN 1 ELSE 0 END AS BIGINT) AS eq_eps_ok,
+             | CAST(CASE WHEN abs(n - n) > 1e-10 THEN 1 ELSE 0 END AS BIGINT) AS neq_ok,
+             | CAST(CASE WHEN n BETWEEN n - 1 AND n + 1 THEN 1 ELSE 0 END AS BIGINT) AS between_ok,
+             | CAST(CASE WHEN NOT (n BETWEEN n - 1 AND n + 1) THEN 1 ELSE 0 END AS BIGINT) AS not_between_ok,
+             | CAST(CASE WHEN n < n THEN 1 ELSE 0 END AS BIGINT) AS lt_ok,
+             | CAST(CASE WHEN n >= n THEN 1 ELSE 0 END AS BIGINT) AS gte_ok,
+             | CAST(CASE WHEN 1.0 - cc_ratio <= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS detect_half_ok,
+             | CAST(CASE WHEN 1.0 - cc_ratio <= 0.4 THEN 1 ELSE 0 END AS BIGINT) AS detect_tight_ok
+             | FROM c""".stripMargin.replaceAll("\n", " "))),
+
     // Multi-column logical combinators (reference: core/logical.rs All/Any/AtLeast/
     // AtMost/Exactly) under the oracle gate: three synthetic columns with constructed
     // completeness 1.0 / 0.5 / 0.0, threshold 0.9 ⇒ exactly one column satisfies, so
