@@ -53,12 +53,16 @@ final case class HistogramConstraint(
   * TRUE non-null total, so truncated tail mass lowers the (partial) entropy rather than
   * skewing the observed buckets.
   */
-final case class EntropyConstraint(column: String, assertion: Assertion, maxBuckets: Int = 10000)
+final case class EntropyConstraint(column: String, assertion: Assertion)
     extends MultiJobConstraint {
   val name = s"Entropy($column) ${assertion.describe}"
   override def evaluate(df: DataFrame): ConstraintResult = {
     val filtered = df.filter(col(column).isNotNull)
-    // Single distributed pass: groupBy counts, then entropy terms aggregated in one agg.
+    // Single distributed pass: groupBy counts, then entropy terms aggregated in one
+    // agg. EXACT at any cardinality — the reference's top-N truncation + true-total
+    // correction (entropy.rs:204-330) exists because it collects per-value counts to
+    // the driver; nothing is collected here, so no truncation is needed and none is
+    // offered.
     val row = filtered.groupBy(col(column)).count()
       .agg(sum(col("count")), sum(col("count") * log(col("count")))).head()
     if (row.isNullAt(0)) return skipped("no non-null values")
