@@ -247,6 +247,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("numeric histogram matches independent equal-width bucketing") {
+    import org.apache.spark.sql.functions.col
+    val gen = for {
+      n <- Gen.choose(2, 200)
+      lo <- Gen.choose(-500, 500)
+      span <- Gen.choose(1, 1000)
+      vals <- Gen.listOfN(n, Gen.choose(0, span).map(v => (lo + v).toDouble))
+      buckets <- Gen.choose(2, 12)
+    } yield (vals, buckets)
+    forAll(gen) { case (vals, nb) =>
+      import spark.implicits._
+      val df = vals.toDF("v")
+      val got = Metrics.numericHistogram(df, "v", nb)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val mn = vals.min
+      val mx = vals.max
+      val width = if (mx > mn) (mx - mn) / nb else 1.0
+      val expected = vals
+        .groupBy(v => math.min(math.floor((v - mn) / width).toLong, (nb - 1).toLong))
+        .map { case (b, vs) => b -> vs.size.toLong }
+      assert(got == expected, s"n=${vals.size} nb=$nb")
+      assert(got.values.sum == vals.size.toLong) // every value lands in exactly one bucket
+    }
+  }
+
   test("star contraction equals driver union-find on random graphs") {
     import org.apache.spark.sql.functions.col
     val graphGen = for {
