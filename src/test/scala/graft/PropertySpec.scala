@@ -247,6 +247,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mutual information matches independent computation") {
+    val gen = for {
+      n <- Gen.choose(5, 150)
+      kx <- Gen.choose(1, 4)
+      ky <- Gen.choose(1, 4)
+      pairs <- Gen.listOfN(n, for {
+        x <- Gen.choose(0, kx); y <- Gen.choose(0, ky)
+      } yield (s"x$x", s"y$y"))
+    } yield pairs
+    forAll(gen) { pairs =>
+      import spark.implicits._
+      val df = pairs.toDF("a", "b")
+      val got = Metrics.mutualInformation(df, "a", "b").head().getDouble(0)
+      val n = pairs.size.toDouble
+      val joint = pairs.groupBy(identity).view.mapValues(_.size / n)
+      val px = pairs.groupBy(_._1).view.mapValues(_.size / n)
+      val py = pairs.groupBy(_._2).view.mapValues(_.size / n)
+      val expected = joint.map { case ((x, y), pxy) =>
+        pxy * math.log(pxy / (px(x) * py(y)))
+      }.sum
+      assert(math.abs(got - expected) < 1e-6, s"$got vs $expected n=${pairs.size}")
+    }
+  }
+
   test("numeric histogram matches independent equal-width bucketing") {
     import org.apache.spark.sql.functions.col
     val gen = for {
