@@ -446,7 +446,7 @@ object Queries {
         val m = runner.analyzePartitionsBatched(
           t(s, d, "orders"), year(col("o_orderdate")))
         import s.implicits._
-        Seq((store.listPartitions("size.*").count(_ != "__cumulative__").toLong,
+        Seq((runner.dataPartitions("size.*").length.toLong,
           m("size.*").asDouble.get.toLong,
           BigDecimal(m("mean.o_totalprice").asDouble.get)
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))

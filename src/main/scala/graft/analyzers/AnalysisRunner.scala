@@ -27,8 +27,9 @@ final class AnalysisRunner(analyzers: Seq[Analyzer[_]], continueOnError: Boolean
           Some(df.agg(aliased.head, aliased.drop(1): _*).head().toSeq)
         }
       } catch {
-        case e: Throwable if continueOnError => None
-        case e: Throwable                    => throw e
+        // NonFatal only: swallowing an OutOfMemoryError/interrupt here would answer a
+        // dying cluster by immediately launching N more per-analyzer fallback jobs.
+        case scala.util.control.NonFatal(_) if continueOnError => None
       }
 
     val results: Seq[Either[(String, String), (String, MetricValue, Any)]] = batched match {

@@ -112,12 +112,13 @@ final case class HllState(sketch: Array[Byte]) extends AnalyzerState[HllState] {
   def toFields = Map("sketch" -> java.util.Base64.getEncoder.encodeToString(sketch))
 }
 object HllSketch {
-  /** Union via a one-row Spark job on hll_union (the sketch format is Spark's own). */
-  @transient private var unionSession: org.apache.spark.sql.SparkSession = _
+  /** Union via a one-row Spark job on hll_union (the sketch format is Spark's own).
+    * Always resolves `SparkSession.active` — caching the first session in a field
+    * (the original shape) kept a stopped session alive and broke every later merge
+    * once the app rotated sessions; `active` is a cheap thread-local lookup.
+    */
   def union(a: HllState, b: HllState): HllState = {
-    val spark = Option(unionSession).getOrElse {
-      unionSession = org.apache.spark.sql.SparkSession.active; unionSession
-    }
+    val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
     val row = Seq((a.sketch, b.sketch)).toDF("a", "b")
       .select(expr("hll_union(a, b)")).head()
@@ -312,7 +313,9 @@ final case class QuantileAnalyzer(column: String, quantiles: Seq[Double] = Seq(0
 
 final case class ApproxCountDistinctAnalyzer(column: String) extends Analyzer[HllState] {
   val name = "approx_count_distinct"; val key = s"approx_count_distinct.$column"
-  val stateAggregates = Seq(expr(s"hll_sketch_agg(`$column`)"))
+  // Backtick-escape the interpolated identifier — a column named "a`b" (legal via the
+  // Column API) would otherwise break the parsed expression.
+  val stateAggregates = Seq(expr(s"hll_sketch_agg(`${column.replace("`", "``")}`)"))
   def stateFromValues(v: Seq[Any]) = HllState(v.head.asInstanceOf[Array[Byte]])
   def stateFromFields(f: Map[String, String]) =
     HllState(java.util.Base64.getDecoder.decode(f("sketch")))

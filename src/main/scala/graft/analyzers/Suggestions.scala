@@ -125,6 +125,9 @@ final class SchemaAnalyzer(minOverlap: Double = 0.95) {
       if f.name.endsWith("key") || f.name.endsWith("_id") || f.name == "id"
     } yield (tname, f.name, f.dataType)
 
+    // isKeyLike is a Spark aggregation job depending only on (table, column) — memoize
+    // it or T×K keyish columns cost O((TK)²) redundant jobs across the candidate pairs.
+    val keyLikeCache = scala.collection.mutable.Map.empty[(String, String), Boolean]
     for {
       (ct, cc, cdt) <- keyish
       (pt, pc, pdt) <- keyish
@@ -132,7 +135,7 @@ final class SchemaAnalyzer(minOverlap: Double = 0.95) {
       child = tables(ct)
       parent = tables(pt)
       // parent column must look like a key (distinct) and child values must overlap it
-      if isKeyLike(parent, pc)
+      if keyLikeCache.getOrElseUpdate((pt, pc), isKeyLike(parent, pc))
       ov = overlap(child, cc, parent, pc)
       if ov >= minOverlap
     } yield FkCandidate(ct, cc, pt, pc, ov)

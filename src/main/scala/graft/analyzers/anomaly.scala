@@ -12,8 +12,12 @@ trait AnomalyDetectionStrategy {
   def detect(series: Seq[(Long, Double)]): Seq[Anomaly]
 }
 
-/** Flags |v_t / v_{t-1} - 1| outside [maxDecrease, maxIncrease]
-  * (reference: detector.rs RelativeRateOfChange).
+/** Flags relative changes outside [maxDecrease, maxIncrease]
+  * (reference: detector.rs RelativeRateOfChange). Change is measured against
+  * |v_{t-1}| so the increase/decrease direction is the sign of (v_t − v_{t-1}) even
+  * for negative metrics (a signed cur/prev ratio would swap directions there); a
+  * transition from exactly 0 to any other value is an infinite relative change and is
+  * flagged whenever either bound is configured.
   */
 final case class RelativeRateOfChangeStrategy(
     maxRateIncrease: Option[Double] = None,
@@ -21,10 +25,14 @@ final case class RelativeRateOfChangeStrategy(
   val name = "relative_rate_of_change"
   def detect(series: Seq[(Long, Double)]): Seq[Anomaly] =
     series.sliding(2).collect {
-      case Seq((_, prev), (ts, cur)) if prev != 0.0 &&
-          (maxRateIncrease.exists(m => cur / prev - 1.0 > m) ||
-           maxRateDecrease.exists(m => 1.0 - cur / prev > m)) =>
-        Anomaly(ts, cur, f"rate of change ${cur / prev - 1.0}%.4f from $prev")
+      case Seq((_, prev), (ts, cur))
+        if (prev == 0.0 && cur != 0.0 &&
+            (maxRateIncrease.isDefined || maxRateDecrease.isDefined)) ||
+          (prev != 0.0 &&
+            (maxRateIncrease.exists(m => (cur - prev) / math.abs(prev) > m) ||
+             maxRateDecrease.exists(m => (prev - cur) / math.abs(prev) > m))) =>
+        val change = if (prev == 0.0) Double.PositiveInfinity else (cur - prev) / math.abs(prev)
+        Anomaly(ts, cur, f"rate of change $change%.4f from $prev")
     }.toSeq
 }
 

@@ -32,7 +32,11 @@ final class FileSystemStateStore(rootDir: String, spark: SparkSession) extends S
   private val conf = spark.sparkContext.hadoopConfiguration
   private def pathOf(a: String, p: String) =
     new Path(rootDir, s"${sanitize(a)}/${sanitize(p)}.state")
-  private def sanitize(s: String) = s.replaceAll("[^A-Za-z0-9._=-]", "_")
+  // URL-encoding is INJECTIVE — a lossy replaceAll("[^safe]", "_") mapped distinct
+  // keys ("p:1" vs "p_1") onto one file, silently overwriting one partition's state
+  // with another's. Decoding in listPartitions restores the original keys.
+  private def sanitize(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def unsanitize(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 
   def save(a: String, p: String, fields: Map[String, String]): Unit = {
     val path = pathOf(a, p)
@@ -61,7 +65,7 @@ final class FileSystemStateStore(rootDir: String, spark: SparkSession) extends S
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).toSeq.map(_.getPath.getName).filter(_.endsWith(".state"))
-      .map(_.stripSuffix(".state")).sorted
+      .map(n => unsanitize(n.stripSuffix(".state"))).sorted
   }
   def delete(a: String, p: String): Unit = {
     val path = pathOf(a, p)
@@ -92,23 +96,44 @@ final class IncrementalAnalysisRunner(store: StateStore, analyzers: Seq[Analyzer
   private val CumulativeKey = "__cumulative__"
   private val NullKey = "__null__"
 
+  /** Data partitions currently in the store for an analyzer — `listPartitions` minus
+    * the reserved cumulative entry (the `__null__` sentinel IS a data partition: it
+    * holds the null-keyed rows' state). Feed THIS to [[analyzePartitions]]; raw
+    * `store.listPartitions` includes `__cumulative__`, which would double every metric.
+    */
+  def dataPartitions(analyzerKey: String): Seq[String] =
+    store.listPartitions(analyzerKey).filterNot(_ == CumulativeKey)
+
+  /** Rebuild an analyzer's cumulative state as the merge of ALL stored data-partition
+    * states and persist it. Deriving the cumulative from the per-partition states —
+    * instead of folding each new state into it — makes every write path idempotent:
+    * replaying a partition (at-least-once `foreachBatch`) or re-analyzing it with
+    * corrected data overwrites that partition's state and can never double-count.
+    */
+  private def rebuildCumulative(a: Analyzer[_]): Option[Any] = {
+    val states = dataPartitions(a.key)
+      .flatMap(p => store.load(a.key, p)).map(a.stateFromFields)
+    val merged = states.reduceOption((x, y) => a.mergeAnyStates(x, y))
+    merged.foreach(m => store.save(a.key, CumulativeKey, a.fieldsOfAnyState(m)))
+    merged
+  }
+
   /** Analyze one new partition; returns metrics over (history ∪ partition). All
     * analyzers' states come from ONE scan of the partition (AnalysisRunner batching) —
     * the per-analyzer-scan shape the reference fell back to is a linear job-count tax.
+    * Idempotent under replay of the same `partitionKey` (see [[rebuildCumulative]]).
     */
   def analyzePartition(df: DataFrame, partitionKey: String): Map[String, MetricValue] = {
     require(partitionKey != CumulativeKey && partitionKey != NullKey,
       s"partition key '$partitionKey' collides with a reserved state-store key")
     val ctx = new AnalysisRunner(analyzers, continueOnError = false).run(df)
-    analyzers.map { a =>
-      val newState = ctx.states(a.key)
-      store.save(a.key, partitionKey, a.fieldsOfAnyState(newState))
-      val merged = store.load(a.key, CumulativeKey) match {
-        case Some(fields) => a.mergeAnyStates(a.stateFromFields(fields), newState)
-        case None         => newState
-      }
-      store.save(a.key, CumulativeKey, a.fieldsOfAnyState(merged))
-      a.key -> a.metricFromAnyState(merged)
+    // Materialize EVERY analyzer's state before the first save: a failed analyzer must
+    // abort the whole call with the store untouched, not after earlier analyzers
+    // already committed (a retry would then double-count them).
+    val newStates = analyzers.map(a => a -> ctx.states(a.key))
+    newStates.foreach { case (a, s) => store.save(a.key, partitionKey, a.fieldsOfAnyState(s)) }
+    newStates.map { case (a, s) =>
+      a.key -> a.metricFromAnyState(rebuildCumulative(a).getOrElse(s))
     }.toMap
   }
 
@@ -147,22 +172,24 @@ final class IncrementalAnalysisRunner(store: StateStore, analyzers: Seq[Analyzer
         (row.getString(0) != CumulativeKey && row.getString(0) != NullKey),
         s"partition key value '${row.getString(0)}' collides with a reserved state-store key")
     }
-    rows.sortBy(r => if (r.isNullAt(0)) NullKey else r.getString(0)).foreach { row =>
+    // Construct EVERY partition's every state before the first save (stateFromValues
+    // can throw, e.g. on an unexpected aggregate value) — failing mid-save would leave
+    // the store partially updated and a retry would have stale cumulative inputs.
+    val partStates = rows.sortBy(r => if (r.isNullAt(0)) NullKey else r.getString(0)).map { row =>
       val pk = if (row.isNullAt(0)) NullKey else row.getString(0)
       val values = row.toSeq.drop(1)
       var offset = 0
-      analyzers.foreach { a =>
+      pk -> analyzers.map { a =>
         val vs = values.slice(offset, offset + a.stateAggregates.size)
         offset += a.stateAggregates.size
-        val s = a.stateFromValues(vs)
-        store.save(a.key, pk, a.fieldsOfAnyState(s))
-        val merged = store.load(a.key, CumulativeKey) match {
-          case Some(fields) => a.mergeAnyStates(a.stateFromFields(fields), s)
-          case None         => s
-        }
-        store.save(a.key, CumulativeKey, a.fieldsOfAnyState(merged))
+        a -> a.stateFromValues(vs)
       }
     }
+    partStates.foreach { case (pk, ss) =>
+      ss.foreach { case (a, s) => store.save(a.key, pk, a.fieldsOfAnyState(s)) }
+    }
+    // Cumulative rebuilt from the stored partitions — idempotent under batch replay.
+    analyzers.foreach(rebuildCumulative)
     currentMetrics()
   }
 

@@ -38,15 +38,19 @@ object Formatters {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Every double goes through this: bare NaN/Infinity is not valid JSON and one
+    // non-finite value anywhere (vector element, histogram ratio) would make the whole
+    // report unparseable.
+    def num(v: Double): String = if (v.isNaN || v.isInfinite) "null" else v.toString
     def metricJson(m: MetricValue): String = m match {
-      case MetricValue.DoubleMetric(v) => if (v.isNaN || v.isInfinite) "null" else v.toString
+      case MetricValue.DoubleMetric(v) => num(v)
       case MetricValue.LongMetric(v) => v.toString
       case MetricValue.StringMetric(v) => q(v)
       case MetricValue.BooleanMetric(v) => v.toString
-      case MetricValue.VectorMetric(v) => v.mkString("[", ",", "]")
+      case MetricValue.VectorMetric(v) => v.map(num).mkString("[", ",", "]")
       case MetricValue.HistogramMetric(h) =>
         h.buckets.toSeq.sortBy(-_._2.count).map { case (k, b) =>
-          s"${q(k)}:{" + s""""count":${b.count},"ratio":${b.ratio}}""" }
+          s"${q(k)}:{" + s""""count":${b.count},"ratio":${num(b.ratio)}}""" }
           .mkString("{", ",", "}")
       case MetricValue.MapMetric(m2) =>
         m2.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}:${metricJson(v)}" }

@@ -116,6 +116,13 @@ class AnalyzerSpec extends SparkSpec {
     assert(d(sub("size.*")) == 400.0)
     // cumulative metrics read without data access
     assert(d(runner.currentMetrics()("size.*")) == 1000.0)
+    // REPLAY of an already-ingested partition (at-least-once foreachBatch) must be
+    // idempotent — the cumulative is rebuilt from partition states, never re-folded
+    val m2again = runner.analyzePartition(part2, "p2")
+    assert(d(m2again("size.*")) == 1000.0, "replaying p2 must not double-count")
+    assert(d(runner.currentMetrics()("size.*")) == 1000.0)
+    // dataPartitions excludes the reserved cumulative entry
+    assert(runner.dataPartitions("size.*").sorted == Seq("p1", "p2"))
   }
 
   test("batched one-scan partition ingest equals the sequential per-partition loop") {
@@ -142,6 +149,20 @@ class AnalyzerSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       batRunner.analyzePartitionsBatched(full, col("id"), maxPartitions = 10)
     }
+  }
+
+  test("filesystem state store keeps colliding-looking keys distinct") {
+    // "p:1" and "p_1" used to sanitize to the SAME file name, silently overwriting one
+    // partition's state with another's; URL-encoding is injective.
+    val dir = java.nio.file.Files.createTempDirectory("graft-states-enc").toString
+    val store = new FileSystemStateStore(dir, spark)
+    store.save("mean.x", "p:1", Map("v" -> "1"))
+    store.save("mean.x", "p_1", Map("v" -> "2"))
+    store.save("mean.x", "2024/01/01", Map("v" -> "3"))
+    assert(store.load("mean.x", "p:1") == Some(Map("v" -> "1")))
+    assert(store.load("mean.x", "p_1") == Some(Map("v" -> "2")))
+    assert(store.load("mean.x", "2024/01/01") == Some(Map("v" -> "3")))
+    assert(store.listPartitions("mean.x").sorted == Seq("2024/01/01", "p:1", "p_1"))
   }
 
   test("filesystem state store round-trips, lists, deletes") {
