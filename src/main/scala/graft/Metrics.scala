@@ -129,9 +129,15 @@ object Metrics {
     * value). Max value lands in the top bucket (reference behavior).
     */
   def numericHistogram(df: DataFrame, c: String, numBuckets: Int = 10): DataFrame = {
-    val Row(minV: Double, maxV: Double) = df
+    val bounds = df
       .agg(min(col(c).cast("double")).as("mn"), max(col(c).cast("double")).as("mx"))
       .head()
+    // Empty input / all-null column: min/max are NULL — return an empty histogram
+    // with the right schema instead of crashing on the destructure.
+    if (bounds.isNullAt(0) || bounds.isNullAt(1))
+      return df.limit(0).select(lit(0L).as("bucket"), lit(0.0).as("lo"),
+        lit(0.0).as("hi"), lit(0L).as("cnt"))
+    val (minV, maxV) = (bounds.getDouble(0), bounds.getDouble(1))
     val width = if (maxV > minV) (maxV - minV) / numBuckets else 1.0
     val bucket = least(
       floor((col(c).cast("double") - lit(minV)) / lit(width)),

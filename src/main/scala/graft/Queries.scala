@@ -173,7 +173,7 @@ object Queries {
              | WHEN regexp_matches(v, '(?i)^\s*(true|false)\s*$') THEN 'boolean'
              | WHEN TRY_CAST(v AS BIGINT) IS NOT NULL THEN 'integer'
              | WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL THEN 'fractional'
-             | WHEN TRY_CAST(v AS DATE) IS NOT NULL THEN 'date'
+             | WHEN regexp_matches(v, '^\s*\d{4}-\d{1,2}-\d{1,2}\s*$') AND TRY_CAST(v AS DATE) IS NOT NULL THEN 'date'
              | WHEN TRY_CAST(v AS TIMESTAMP) IS NOT NULL THEN 'timestamp'
              | ELSE 'text' END AS inferred_type, count(*) AS cnt
              | FROM (SELECT CAST(p_size AS VARCHAR) AS v FROM part) GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "))),
@@ -661,7 +661,7 @@ object Queries {
           .sortBy(_._1).toDF("value", "cnt", "ratio")
       },
       Some("""SELECT o_orderpriority AS value, count(*) AS cnt,
-             | CAST(count(*) AS DOUBLE) / CAST((SELECT count(*) FROM orders) AS DOUBLE) AS ratio
+             | CAST(count(*) AS DOUBLE) / CAST((SELECT count(o_orderpriority) FROM orders) AS DOUBLE) AS ratio
              | FROM orders WHERE o_orderpriority IS NOT NULL
              | GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "))),
 

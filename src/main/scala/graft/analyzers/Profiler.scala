@@ -101,8 +101,10 @@ final class ColumnProfiler(config: ProfilerConfig = ProfilerConfig()) {
           val buckets = df.filter(col(c).isNotNull)
             .groupBy(col(c).cast("string").as("v")).count()
             .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          // Ratio over NON-NULL values, matching HistogramConstraint / the reference's
+          // count / (total_cnt - null_cnt).
           Some(Histogram(
-            buckets.map { case (v, n) => v -> HistogramBucket(n, n.toDouble / total) },
+            buckets.map { case (v, n) => v -> HistogramBucket(n, n.toDouble / nonNull) },
             total, buckets.size.toLong, total - nonNull))
         } else None
       val inferred =

@@ -54,14 +54,22 @@ object ComplianceConstraint {
   * injection structurally impossible; this guards the one stringly-typed entry point.
   */
 object Sandbox {
-  private val forbidden = Seq(
-    ";", "--", "/*",
-    "insert ", "update ", "delete ", "drop ", "create ", "alter ", "truncate ",
-    "grant ", "revoke ", "attach ", "copy ", "merge ")
+  private val tokens = Seq(";", "--", "/*")
+  private val keywords = Seq(
+    "insert", "update", "delete", "drop", "create", "alter", "truncate",
+    "grant", "revoke", "attach", "copy", "merge")
   def validatePredicate(sql: String): Unit = {
-    val lower = sql.toLowerCase
-    forbidden.foreach { kw =>
-      require(!lower.contains(kw), s"predicate contains forbidden token '${kw.trim}'")
+    // Scan with string literals blanked: a '--' or keyword INSIDE a quoted literal is
+    // data, not SQL. Keywords match on word boundaries — the old "kw + space" form
+    // missed "delete\ttable" while false-flagging literals.
+    val noLiterals = sql.replaceAll("'(?:[^']|'')*'", "''")
+    val lower = noLiterals.toLowerCase
+    tokens.foreach { t =>
+      require(!lower.contains(t), s"predicate contains forbidden token '$t'")
+    }
+    keywords.foreach { kw =>
+      require(("\\b" + kw + "\\b").r.findFirstIn(lower).isEmpty,
+        s"predicate contains forbidden keyword '$kw'")
     }
   }
 }
@@ -92,7 +100,8 @@ object FormatType {
   case object Url extends FormatType("url", "^(https?|ftp)://[^\\s/$.?#].[^\\s]*$")
   case object Uuid extends FormatType("uuid", "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$")
   case object Ipv4 extends FormatType("ipv4", "^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$")
-  case object Ipv6 extends FormatType("ipv6", "^([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}$|^::1$|^::$")
+  case object Ipv6 extends FormatType("ipv6",
+    "^(([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}|([0-9a-fA-F]{1,4}(:[0-9a-fA-F]{1,4}){0,6})?::([0-9a-fA-F]{1,4}(:[0-9a-fA-F]{1,4}){0,6})?)$")
   case object CreditCard extends FormatType("credit_card", "^[0-9]{13,19}$")
   case object PhoneUS extends FormatType("phone_us", "^\\+?1?[-. ]?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}$")
   case object PostalCodeUS extends FormatType("postal_us", "^[0-9]{5}(-[0-9]{4})?$")
@@ -111,7 +120,7 @@ final case class FormatConstraint(
     extends Constraint {
   val name = s"Format($column, ${format.label}${if (detect) ", detect" else ""}) ${assertion.describe}"
   private val matches: Column = format match {
-    case FormatType.Json => expr(s"try_parse_json(`$column`)").isNotNull
+    case FormatType.Json => expr(s"try_parse_json(${graft.core.SqlIdent(column)})").isNotNull
     case f               => col(column).rlike(f.pattern)
   }
   val aggregates: Seq[Column] = Seq(

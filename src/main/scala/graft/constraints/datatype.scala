@@ -20,10 +20,14 @@ object InferredType extends Enumeration {
     // pays a multi-second collation-init cost in Spark 4; Java-regex (?i) does not.
     when(col(column).isNull, "null")
       .when(c.rlike("(?i)^\\s*(true|false)\\s*$"), "boolean")
-      .when(expr(s"try_cast(`$column` AS BIGINT)").isNotNull, "integer")
-      .when(expr(s"try_cast(`$column` AS DOUBLE)").isNotNull, "fractional")
-      .when(expr(s"try_cast(`$column` AS DATE)").isNotNull, "date")
-      .when(expr(s"try_cast(`$column` AS TIMESTAMP)").isNotNull, "timestamp")
+      .when(expr(s"try_cast(${graft.core.SqlIdent(column)} AS BIGINT)").isNotNull, "integer")
+      .when(expr(s"try_cast(${graft.core.SqlIdent(column)} AS DOUBLE)").isNotNull, "fractional")
+      // "date" only for strictly date-SHAPED strings: Spark's string→DATE cast accepts
+      // full timestamps too (truncating), which would make the timestamp branch
+      // unreachable if tested on cast success alone.
+      .when(c.rlike("^\\s*\\d{4}-\\d{1,2}-\\d{1,2}\\s*$") &&
+        expr(s"try_cast(${graft.core.SqlIdent(column)} AS DATE)").isNotNull, "date")
+      .when(expr(s"try_cast(${graft.core.SqlIdent(column)} AS TIMESTAMP)").isNotNull, "timestamp")
       .otherwise("text")
   }
   val labels = Seq("null", "boolean", "integer", "fractional", "date", "timestamp", "text")

@@ -39,8 +39,11 @@ final case class HistogramConstraint(
   override def evaluate(df: DataFrame): ConstraintResult = {
     val (top, total, nonNull, distinct) = Distribution.counts(df, column, maxBuckets)
     if (total == 0L) return skipped("empty input")
+    if (nonNull == 0L) return skipped("no non-null values")
+    // Bucket ratios over the NON-NULL count — the reference divides by
+    // (total_cnt - null_cnt) (histogram.rs ratio), and Metrics.histogram agrees.
     val hist = Histogram(
-      buckets = top.map { case (v, c) => v -> HistogramBucket(c, c.toDouble / total) }.toMap,
+      buckets = top.map { case (v, c) => v -> HistogramBucket(c, c.toDouble / nonNull) }.toMap,
       total = total, distinctCount = distinct, nullCount = total - nonNull)
     val metric = MetricValue.HistogramMetric(hist)
     if (assertion(hist)) success(metric)
@@ -89,10 +92,14 @@ final case class MutualInformationConstraint(
     // ONE scan of the data: the joint distribution; marginals are re-aggregations of
     // the (cardinality-bounded) joint counts, not extra passes over the input.
     val joint = d.groupBy("x", "y").count().withColumnRenamed("count", "nxy")
-    val mx = joint.groupBy("x").agg(sum(col("nxy")).as("nx"))
-    val my = joint.groupBy("y").agg(sum(col("nxy")).as("ny"))
+    // Marginals as window sums OVER the joint counts (same shape as
+    // Metrics.mutualInformation): no joins to broadcast — an unconditional
+    // broadcast(marginal) would collect an unbounded-cardinality frame to the driver.
     // MI = Σ (nxy/n)·ln(n·nxy/(nx·ny)); n folded in at the end.
-    val row = joint.join(broadcastIfSmall(mx), "x").join(broadcastIfSmall(my), "y")
+    import org.apache.spark.sql.expressions.Window
+    val row = joint
+      .withColumn("nx", sum(col("nxy")).over(Window.partitionBy("x")))
+      .withColumn("ny", sum(col("nxy")).over(Window.partitionBy("y")))
       .agg(
         sum(col("nxy")),
         sum(col("nxy") * (log(col("nxy")) - log(col("nx")) - log(col("ny")))))
@@ -103,7 +110,6 @@ final case class MutualInformationConstraint(
     val mi = s / n + math.log(n)
     assertOn(mi, assertion)
   }
-  private def broadcastIfSmall(d: DataFrame): DataFrame = broadcast(d)
 }
 object MutualInformationConstraint {
   /** Pre-bin a numeric column: FLOOR((x-min)/width) (reference: mutual_information.rs:238). */

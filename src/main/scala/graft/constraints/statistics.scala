@@ -22,7 +22,7 @@ object Stat {
   }
   /** Exact percentile — O(n log n) sort-based; prefer [[Percentile]] at scale. */
   final case class ExactPercentile(p: Double) extends Stat {
-    def column(c: String) = expr(s"percentile(`$c`, $p)")
+    def column(c: String) = expr(s"percentile(${graft.core.SqlIdent(c)}, $p)")
     val describe = s"exact_p$p"
   }
 }
@@ -53,6 +53,10 @@ final case class MultiStatisticConstraint(column: String, stats: Seq[(Stat, Asse
         case Some(d) => (st.describe, Some(d), a(d))
       }
     }
+    // An undefined statistic (all-null column) must not read as a passing assertion —
+    // mirror the single StatisticConstraint's Skipped.
+    if (outcomes.exists(_._2.isEmpty))
+      return skipped("statistic undefined (no non-null values)")
     val failed = outcomes.filter(!_._3)
     val metric = MetricValue.MapMetric(outcomes.collect {
       case (n, Some(d), _) => n -> MetricValue.DoubleMetric(d)
@@ -98,8 +102,11 @@ final case class ApproxCountDistinctConstraint(column: String, assertion: Assert
   val aggregates: Seq[Column] = Seq(approx_count_distinct(col(column), rsd))
   def fromAggregates(values: Seq[Any]): ConstraintResult =
     Num.toDouble(values.head) match {
-      case None    => skipped("empty input")
-      case Some(v) => assertOn(v, assertion)
+      // approx_count_distinct returns 0 (not NULL) on empty/all-null input — treat it
+      // as the same Skipped the rest of the family reports, not a passing assertion.
+      case None                 => skipped("empty input")
+      case Some(v) if v == 0.0  => skipped("no non-null values")
+      case Some(v)              => assertOn(v, assertion)
     }
 }
 
@@ -119,7 +126,7 @@ final case class QuantileConstraint(
   require(q >= 0 && q <= 1, "quantile must be in [0,1]")
   val name = s"Quantile($column, $q) ${assertion.describe}"
   val aggregates: Seq[Column] = Seq(method match {
-    case QuantileMethod.Exact       => expr(s"percentile(`$column`, $q)")
+    case QuantileMethod.Exact       => expr(s"percentile(${graft.core.SqlIdent(column)}, $q)")
     case QuantileMethod.Approximate => percentile_approx(col(column), lit(q), lit(accuracy))
   })
   def fromAggregates(values: Seq[Any]): ConstraintResult =
@@ -134,7 +141,7 @@ final case class MultiQuantileConstraint(column: String, qs: Seq[(Double, Assert
     method: QuantileMethod = QuantileMethod.Approximate) extends Constraint {
   val name = s"MultiQuantile($column)[${qs.map(_._1).mkString(",")}]"
   val aggregates: Seq[Column] = qs.map { case (q, _) => method match {
-    case QuantileMethod.Exact       => expr(s"percentile(`$column`, $q)")
+    case QuantileMethod.Exact       => expr(s"percentile(${graft.core.SqlIdent(column)}, $q)")
     case QuantileMethod.Approximate => percentile_approx(col(column), lit(q), lit(10000))
   }}
   def fromAggregates(values: Seq[Any]): ConstraintResult = {

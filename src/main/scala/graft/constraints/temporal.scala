@@ -115,9 +115,11 @@ final case class MonotonicConstraint(
       else Window.partitionBy(partitionBy.map(col): _*).orderBy(col(orderColumn))
     val prev = lag(col(valueColumn), 1).over(w)
     val bad = if (strict) col(valueColumn) <= prev else col(valueColumn) < prev
-    val violations = df.filter(col(valueColumn).isNotNull)
+    val row = df.filter(col(valueColumn).isNotNull)
       .withColumn("_viol", when(prev.isNotNull && bad, 1L).otherwise(0L))
-      .agg(sum(col("_viol"))).head().getLong(0)
+      .agg(count(lit(1)), coalesce(sum(col("_viol")), lit(0L))).head()
+    if (row.getLong(0) == 0L) return skipped("no non-null values")
+    val violations = row.getLong(1)
     if (violations == 0L) success(MetricValue.LongMetric(0L))
     else failure(Some(MetricValue.LongMetric(violations)), s"$violations non-monotonic step(s)")
   }

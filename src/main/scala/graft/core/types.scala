@@ -122,3 +122,11 @@ object Num {
     case _         => None
   }
 }
+
+/** Backtick-quote an identifier for string-built SQL expressions (embedded backticks
+  * escaped by doubling) — every `expr(s"fn(\`$column\`)")` site must go through this
+  * or a column legally named "a`b" breaks the parsed expression.
+  */
+private[graft] object SqlIdent {
+  def apply(c: String): String = "`" + c.replace("`", "``") + "`"
+}

@@ -127,6 +127,33 @@ class ConstraintSpec extends SparkSpec {
     assert(TypeConsistencyConstraint("c", 0.5, Some("fractional")).evaluate(d).status == Failure)
   }
 
+  test("type classifier distinguishes date-shaped from timestamp strings") {
+    import spark.implicits._
+    val d = Seq("2021-01-01", "2021-06-30", "2021-01-01 12:30:00", "2021-01-01T08:00:00", "plain")
+      .toDF("c")
+    val got = d.select(graft.constraints.InferredType.classifier("c").as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("date" -> 2L, "timestamp" -> 2L, "text" -> 1L), got.toString)
+  }
+
+  test("ipv6 format accepts zero-compressed addresses") {
+    import spark.implicits._
+    val d = Seq("fe80::1", "2001:db8::8a2e:370:7334", "::1", "::",
+      "2001:0db8:85a3:0000:0000:8a2e:0370:7334", "not-an-ip", "1.2.3.4").toDF("ip")
+    val r = FormatConstraint("ip", FormatType.Ipv6, Assertion.Equals(5.0 / 7)).evaluate(d)
+    assert(r.status == Success, r.message)
+  }
+
+  test("sandbox: keywords on word boundaries, literals exempt") {
+    // '--' and keywords inside string literals are data, not SQL
+    Sandbox.validatePredicate("comment NOT LIKE '%--%'")
+    Sandbox.validatePredicate("status != 'dropped'")
+    // whitespace variants of forbidden keywords are still caught
+    intercept[IllegalArgumentException] { Sandbox.validatePredicate("x > 0 or (drop\ttable)") }
+    intercept[IllegalArgumentException] { Sandbox.validatePredicate("delete\nfrom t") }
+    intercept[IllegalArgumentException] { Sandbox.validatePredicate("a; b") }
+  }
+
   test("entropy matches closed form") {
     import spark.implicits._
     val d = (Seq.fill(6)("a") ++ Seq.fill(4)("b")).toDF("c")
