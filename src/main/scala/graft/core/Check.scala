@@ -16,7 +16,10 @@ import org.apache.spark.sql.{Column, DataFrame}
   *   .build()
   * }}}
   */
-final case class CheckBuilder(description: String, level: Level = Level.Error) {
+final class CheckBuilder(val description: String, val level: Level = Level.Error) {
+  // Plain class, NOT a case class: case-class copy()/equals would ignore the mutable
+  // constraint buffer (a copy would silently build an EMPTY check that passes
+  // vacuously).
   private val cs = scala.collection.mutable.ArrayBuffer.empty[Constraint]
   private def add(c: Constraint): CheckBuilder = { cs += c; this }
 
@@ -124,4 +127,9 @@ final case class CheckBuilder(description: String, level: Level = Level.Error) {
   def withConstraint(c: Constraint): CheckBuilder = add(c)
 
   def build(): Check = Check(description, level, cs.toVector)
+}
+
+object CheckBuilder {
+  def apply(description: String, level: Level = Level.Error): CheckBuilder =
+    new CheckBuilder(description, level)
 }

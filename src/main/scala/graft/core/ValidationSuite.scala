@@ -93,12 +93,17 @@ object ValidationSuite {
     val batchResults: Map[Constraint, ConstraintResult] =
       if (batchable.isEmpty) Map.empty
       else {
-        // Dedupe aggregate columns by their string form (cosmetic misses only cost a
-        // redundant aggregate in the same scan — still one job).
-        val slots = scala.collection.mutable.LinkedHashMap.empty[String, (Int, org.apache.spark.sql.Column)]
+        // Dedupe aggregate columns by their CANONICALIZED catalyst expression —
+        // Column.toString is not injective (two different unnamed UDFs over the same
+        // column render identically), and a false merge would silently hand one
+        // constraint another constraint's aggregate value. Canonicalized expression
+        // trees compare structurally (distinct function objects stay distinct); a
+        // missed dedup only costs a redundant aggregate in the same scan.
+        val slots = scala.collection.mutable.LinkedHashMap.empty[
+          org.apache.spark.sql.catalyst.expressions.Expression, (Int, org.apache.spark.sql.Column)]
         val slotIdx: Seq[Seq[Int]] = batchable.map { c =>
           c.aggregates.map { col =>
-            val key = col.toString
+            val key = org.apache.spark.sql.GraftSqlBridge.expressionEager(col).canonicalized
             slots.getOrElseUpdate(key, (slots.size, col))._1
           }
         }

@@ -22,11 +22,16 @@ object Dedup {
 
   // ---------- exact ----------
 
-  /** total/distinct/duplicate-row counts over the key columns. */
+  /** total/distinct/duplicate-row counts over the key columns. NULL keys compare
+    * EQUAL to each other (the same semantics as [[exactDedup]]/`dropDuplicates`) — a
+    * plain `countDistinct` would skip null-keyed rows entirely and report every one of
+    * them as a duplicate.
+    */
   def exactDupStats(df: DataFrame, cols: Seq[String]): DataFrame =
     df.agg(
       count(lit(1)).as("total"),
-      countDistinct(col(cols.head), cols.drop(1).map(col): _*).as("distinct_count"))
+      graft.constraints.UniqueExprs.distinctCount(cols, graft.constraints.NullMode.IncludeAsOne)
+        .head.as("distinct_count"))
       .select(col("total"), col("distinct_count"),
         (col("total") - col("distinct_count")).as("duplicate_rows"))
 
@@ -141,6 +146,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,
       maxBucketSize: Int = 1000): DataFrame = {
+    require(bands > 0 && numHashes >= bands && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands) — " +
+        "otherwise signature slices are empty or trailing hash functions are silently unused")
     val rowsPerBand = numHashes / bands
     // Signature materialized in its OWN projection before banding: `lshBuckets` slices
     // the signature 16 times, and inlining the UDF there would textually duplicate the
@@ -525,6 +533,11 @@ object Dedup {
     */
   def nearDupPairsSimhash(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, tokenHasher: String = "murmur3"): DataFrame = {
+    require(maxHamming >= 0, "maxHamming must be non-negative")
+    if (maxHamming > 3)
+      log.warn(s"nearDupPairsSimhash: maxHamming=$maxHamming exceeds the 4x16-bit " +
+        "banding guarantee (full recall only for Hamming <= 3) — pairs with a " +
+        "differing bit in every band are never candidates, so recall is partial")
     val hashed = withSimhash(fanOut(df.select(col(idCol).as("id"), col(textCol))), textCol,
       tokenHasher = tokenHasher)
     val banded = hashed.select(col("id"), col("simhash"),

@@ -20,6 +20,8 @@ object Joins {
   def saltedJoin(facts: DataFrame, dim: DataFrame, keys: Seq[(String, String)],
       saltFactor: Int = 8, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    require(!facts.columns.contains("_salt") && !dim.columns.contains("_salt"),
+      "input already has a _salt column — it would be silently overwritten and dropped")
     // Replicating the dim side saltFactor× is only sound for join types that never
     // emit unmatched DIM rows: right/full outer would return every unmatched dim row
     // once per salt replica — silently wrong results.

@@ -67,6 +67,9 @@ object Similarity {
   }
 
   private def multiProbe(bucket: Long, planes: Int, flips: Int): Seq[Column] = {
+    require(flips <= 2,
+      s"multiProbeBits=$flips not supported: only 0-, 1- and 2-flip neighborhoods are " +
+        "enumerated — a larger value would silently probe fewer buckets than promised")
     val base = Seq(bucket)
     val oneFlip = if (flips >= 1) (0 until planes).map(b => bucket ^ (1L << b)) else Nil
     val twoFlip = if (flips >= 2)
@@ -98,10 +101,13 @@ object Similarity {
           var i = 0
           while (i < n) { val x = v(i).toDouble; dot += x * c(i); nv += x * x; i += 1 }
           val s = dot / (math.sqrt(nv) * norms(k))
-          if (s >= best) { best = s; bestCell = k }
+          // NaN (zero-norm vector or centroid) fails every comparison — without the
+          // explicit check a zero vector would keep cell -1 and silently vanish from
+          // every probe's partition filter.
+          if (!s.isNaN && s >= best) { best = s; bestCell = k }
           k += 1
         }
-        java.lang.Integer.valueOf(bestCell)
+        java.lang.Integer.valueOf(if (bestCell < 0) 0 else bestCell)
       }
     }
     df.withColumn(out, f(col(vecCol)))

@@ -62,7 +62,9 @@ object StreamingAnalysis {
       valueCol: String,
       idleTimeout: Option[String] = None): Dataset[KeyedMoments] = {
     val pairs = stream
-      .filter(col(valueCol).isNotNull)
+      // filter AFTER the cast: a non-numeric string passes isNotNull but casts to
+      // null, which would kill the query inside the non-nullable Double encoder
+      .filter(col(valueCol).cast("double").isNotNull)
       .select(col(keyCol).cast("string").as("_k"), col(valueCol).cast("double").as("_v"))
       .as[(String, Double)](Encoders.tuple(Encoders.STRING, Encoders.scalaDouble))
     val timeoutConf =
@@ -162,7 +164,9 @@ object StreamingAnalysis {
       // are detected by key.
       if (!repo.history(metricKey).exists(_._1 == batchId))
         repo.save(graft.repository.ResultKey(batchId), Map(metricKey -> metricOf(batch)))
-      val anomalies = strategy.detect(repo.history(metricKey))
+      // Only THIS batch's point may alert — detect() returns every historical anomaly
+      // each time, and re-firing them every micro-batch is an alert storm.
+      val anomalies = strategy.detect(repo.history(metricKey)).filter(_.timestamp == batchId)
       if (anomalies.nonEmpty) onAnomaly(batchId, anomalies)
     }
 
