@@ -62,10 +62,12 @@ object StreamingAnalysis {
       valueCol: String,
       idleTimeout: Option[String] = None): Dataset[KeyedMoments] = {
     val pairs = stream
-      // filter AFTER the cast: a non-numeric string passes isNotNull but casts to
-      // null, which would kill the query inside the non-nullable Double encoder
-      .filter(col(valueCol).cast("double").isNotNull)
-      .select(col(keyCol).cast("string").as("_k"), col(valueCol).cast("double").as("_v"))
+      // try_cast + filter on the RESULT: under ANSI mode (Spark 4 default) a plain
+      // cast throws on malformed values and kills the whole streaming query, and a
+      // pre-cast isNotNull filter would let cast-nulls reach the non-nullable Double
+      // encoder.
+      .filter(col(valueCol).try_cast("double").isNotNull)
+      .select(col(keyCol).cast("string").as("_k"), col(valueCol).try_cast("double").as("_v"))
       .as[(String, Double)](Encoders.tuple(Encoders.STRING, Encoders.scalaDouble))
     val timeoutConf =
       if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout

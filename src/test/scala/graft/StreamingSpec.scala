@@ -184,6 +184,21 @@ class StreamingSpec extends SparkSpec {
     assert(hits.nonEmpty && hits.last._2.nonEmpty, "the 2→20 jump must be flagged")
   }
 
+  test("keyed running moments survive non-numeric values (cast-null filter)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, String)]
+    val stream = StreamingAnalysis.keyedRunningMoments(
+      input.toDF().toDF("k", "v"), "k", "v") // v is a STRING column
+    val q = stream.writeStream.format("memory").queryName("krm2").outputMode("update").start()
+    try {
+      input.addData(("a", "1.5"), ("a", "garbage"), ("a", "2.5"))
+      q.processAllAvailable() // "garbage" casts to null — must be filtered, not crash
+    } finally q.stop()
+    val r = spark.sql("SELECT n, mean FROM krm2 WHERE key = 'a'").collect().head
+    assert(r.getLong(0) == 2 && math.abs(r.getDouble(1) - 2.0) < 1e-9)
+  }
+
   test("constraint sink evaluates batchable constraints per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -13,6 +13,27 @@ class SuiteSpec extends SparkSpec {
       .toDF("id", "name", "amount", "status")
   }
 
+  test("distinct predicates with identical string forms stay distinct in the batch") {
+    import org.apache.spark.sql.functions.{col, udf}
+    // Two different UDFs render identically in Column.toString — a string-keyed dedup
+    // would hand the second constraint the FIRST predicate's count.
+    val over20 = udf((d: Double) => d > 20.0)
+    val over5 = udf((d: Double) => d > 5.0)
+    val c1 = ComplianceConstraint("amount over 20", over20(col("amount")),
+      Assertion.Between(0.0, 1.0))
+    val c2 = ComplianceConstraint("amount over 5", over5(col("amount")),
+      Assertion.Between(0.0, 1.0))
+    val rs = ValidationSuite.evaluateBatched(df, Seq(c1, c2))
+    val m1 = rs(0).metric.flatMap(_.asDouble).get
+    val m2 = rs(1).metric.flatMap(_.asDouble).get
+    assert(m1 != m2, s"the two UDF predicates must not collapse to one slot ($m1 vs $m2)")
+  }
+
+  test("check builder accumulates constraints (plain-class semantics)") {
+    val b = CheckBuilder("c").hasSize(Assertion.GreaterThan(0)).isComplete("id")
+    assert(b.build().constraints.size == 2)
+  }
+
   test("batched evaluation equals standalone evaluation") {
     val constraints: Seq[Constraint] = Seq(
       SizeConstraint(Assertion.Equals(100)),
