@@ -86,9 +86,16 @@ object Bench {
     // and re-running everything would double the bench window for nothing (the fast
     // ones are already reproducible).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once = secs { try { fn(spark, sfDir).count() } catch { case _: Throwable => () } }
+      // A failing query must NOT masquerade as a fast measurement — publish -1 so a
+      // broken query is visible in the per-query series instead of looking cheap.
+      def once: Double =
+        try { val t0 = System.nanoTime(); fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case scala.util.control.NonFatal(_) => -1.0 }
       val t1 = once
-      name -> (if (t1 > 0.8) math.min(t1, once) else t1)
+      name -> (
+        if (t1 < 0) -1.0
+        else if (t1 > 0.8) { val t2 = once; if (t2 < 0) t1 else math.min(t1, t2) }
+        else t1)
     }
 
     // ONE compact JSON line. The driver keeps only the LAST 2,000 chars of stdout

@@ -114,7 +114,9 @@ object Metrics {
   def joinCoverage(left: DataFrame, right: DataFrame, keys: Seq[(String, String)]): DataFrame = {
     val r = right.select(keys.map { case (_, rc) => col(rc) }: _*).distinct()
       .withColumn("_matched", lit(1))
-    val cond = keys.map { case (lc, rc) => left(lc) <=> r(rc) }.reduce(_ && _)
+    // Plain equality: NULL left keys are uncovered by definition (null-safe <=> would
+    // count them covered whenever the right side also has a NULL key).
+    val cond = keys.map { case (lc, rc) => left(lc) === r(rc) }.reduce(_ && _)
     left.join(r, cond, "left")
       .agg(count(lit(1)).as("total"), count(col("_matched")).as("covered"))
       .select(col("covered"), col("total"),

@@ -321,13 +321,15 @@ object Queries {
     QueryDef("monotonic_events",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("user_id").orderBy("ts")
+        // ties on ts broken by event_id — without it, lag order (and the violation
+        // count) is arbitrary on BOTH engines for same-timestamp events
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         t(s, d, "events")
           .withColumn("_prev", lag(col("event_id"), 1).over(w))
           .agg(sum(when(col("_prev").isNotNull && col("event_id") < col("_prev"), 1L)
             .otherwise(0L)).as("violations"))
       },
-      Some("""WITH g AS (SELECT event_id, lag(event_id) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events)
+      Some("""WITH g AS (SELECT event_id, lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)
              | SELECT CAST(sum(CASE WHEN prev IS NOT NULL AND event_id < prev THEN 1 ELSE 0 END) AS BIGINT) AS violations
              | FROM g""".stripMargin.replaceAll("\n", " "))),
 
@@ -550,9 +552,10 @@ object Queries {
     // aggregates; the oracle reads the original parquet.
     QueryDef("csv_source_nation",
       (s, d) => {
-        // Deterministic path + overwrite: a fresh createTempDirectory per invocation
-        // would leak one full table copy into /tmp every bench/verify run.
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_nation"
+        // Deterministic PER-SCALE-FACTOR path + overwrite: a fresh createTempDirectory
+        // per invocation would leak a table copy every run, and one shared path would
+        // race when two JVMs run different scale factors concurrently.
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_nation_${d.hashCode.toHexString}"
         t(s, d, "nation").write.mode("overwrite").option("header", "true").csv(tmp)
         graft.sources.Sources.csv(s, Seq(tmp))
           .agg(count(lit(1)).as("n_rows"),
@@ -565,7 +568,7 @@ object Queries {
     // NDJSON source end-to-end (reference: sources/json.rs NDJSON path).
     QueryDef("json_source_region",
       (s, d) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_region"
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_region_${d.hashCode.toHexString}"
         t(s, d, "region").write.mode("overwrite").json(tmp)
         graft.sources.Sources.json(s, Seq(tmp))
           .agg(count(lit(1)).as("n_rows"),
@@ -583,10 +586,11 @@ object Queries {
       (s, d) => {
         import graft.constraints.{NullMode, UniqueExprs}
         val each = UniqueExprs.distinctCount(Seq("value"), NullMode.EachDistinct)
+        val incl = UniqueExprs.distinctCount(Seq("value"), NullMode.IncludeAsOne)
         t(s, d, "events").agg(
           count(lit(1)).as("total"),
           UniqueExprs.distinctCount(Seq("value"), NullMode.Exclude).head.as("d_exclude"),
-          UniqueExprs.distinctCount(Seq("value"), NullMode.IncludeAsOne).head.as("d_include_one"),
+          (incl(0) + incl(1)).as("d_include_one"), // exact single-column form: distinct + has-null flag
           (each(0) + each(1)).as("d_each_distinct"))
       },
       Some("""SELECT count(*) AS total, count(DISTINCT value) AS d_exclude,
@@ -741,8 +745,10 @@ object Queries {
 
     QueryDef("dedup_exact_documents",
       (s, d) => Dedup.exactDupStats(t(s, d, "documents"), Seq("text")),
-      Some("""SELECT count(*) AS total, count(DISTINCT text) AS distinct_count,
-             | count(*) - count(DISTINCT text) AS duplicate_rows FROM documents""".stripMargin.replaceAll("\n", " "))),
+      Some("""WITH c AS (SELECT count(*) AS total,
+             |   count(DISTINCT text) + (CASE WHEN count(*) > count(text) THEN 1 ELSE 0 END) AS distinct_count
+             |   FROM documents)
+             | SELECT total, distinct_count, total - distinct_count AS duplicate_rows FROM c""".stripMargin.replaceAll("\n", " "))),
 
     // Normalized-content fingerprints: hash distinctness must equal normalized-text
     // distinctness (hash collisions vanishingly unlikely at this scale).
@@ -761,7 +767,7 @@ object Queries {
       (s, d) => Dedup.nearDupPairsMinhash(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.9, shingleSize = 5)
         .agg(count(lit(1)).as("near_dup_pairs")),
-      Some("""WITH idx AS (SELECT unnest(range(1, 2000)) AS i),
+      Some("""WITH idx AS (SELECT unnest(range(1, CAST((SELECT coalesce(max(length(text)), 0) FROM documents) AS BIGINT) + 1)) AS i),
              | sh AS (SELECT doc_id, list(DISTINCT substr(text, CAST(i AS INT), 5)) AS g
              |   FROM documents JOIN idx ON i <= length(text) - 4 GROUP BY doc_id)
              | SELECT count(*) AS near_dup_pairs
@@ -775,7 +781,7 @@ object Queries {
       (s, d) => Dedup.nearDupPairsMinhash(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.9, shingleSize = 5)
         .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b"),
-      Some("""WITH idx AS (SELECT unnest(range(1, 2000)) AS i),
+      Some("""WITH idx AS (SELECT unnest(range(1, CAST((SELECT coalesce(max(length(text)), 0) FROM documents) AS BIGINT) + 1)) AS i),
              | sh AS (SELECT doc_id, list(DISTINCT substr(text, CAST(i AS INT), 5)) AS g
              |   FROM documents JOIN idx ON i <= length(text) - 4 GROUP BY doc_id)
              | SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -789,7 +795,7 @@ object Queries {
       (s, d) => Dedup.dedupNearMinhash(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.9, shingleSize = 5)
         .agg(count(lit(1)).as("kept_rows")),
-      Some("""WITH idx AS (SELECT unnest(range(1, 2000)) AS i),
+      Some("""WITH idx AS (SELECT unnest(range(1, CAST((SELECT coalesce(max(length(text)), 0) FROM documents) AS BIGINT) + 1)) AS i),
              | sh AS (SELECT doc_id, list(DISTINCT substr(text, CAST(i AS INT), 5)) AS g
              |   FROM documents JOIN idx ON i <= length(text) - 4 GROUP BY doc_id),
              | dropped AS (SELECT DISTINCT b.doc_id
@@ -811,7 +817,7 @@ object Queries {
           count(lit(1)).as("n_clusters"),
           sum(when(col("sz") > 1, col("sz")).otherwise(0L)).as("docs_in_dup_clusters"),
           max(col("sz")).as("max_cluster_size")),
-      Some("""WITH RECURSIVE idx AS (SELECT unnest(range(1, 2000)) AS i),
+      Some("""WITH RECURSIVE idx AS (SELECT unnest(range(1, CAST((SELECT coalesce(max(length(text)), 0) FROM documents) AS BIGINT) + 1)) AS i),
              | sh AS (SELECT doc_id, list(DISTINCT substr(text, CAST(i AS INT), 5)) AS g
              |   FROM documents JOIN idx ON i <= length(text) - 4 GROUP BY doc_id),
              | p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b

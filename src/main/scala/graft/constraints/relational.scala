@@ -56,7 +56,9 @@ final case class JoinCoverageConstraint(
   private def coverage(a: DataFrame, b: DataFrame, ks: Seq[(String, String)]): Option[Double] = {
     val bKeys = b.select(ks.map { case (_, r) => col(r) }: _*).distinct()
       .withColumn("_matched", lit(1))
-    val cond = ks.map { case (l, r) => a(l) <=> bKeys(r) }.reduce(_ && _)
+    // Plain equality: a NULL probe key must count as UNCOVERED (null-safe <=> would
+    // match it against a NULL key row surviving b's distinct()).
+    val cond = ks.map { case (l, r) => a(l) === bKeys(r) }.reduce(_ && _)
     val row = a.join(bKeys, cond, "left")
       .agg(count(lit(1)).as("total"), count(col("_matched")).as("covered")).head()
     if (row.getLong(0) == 0L) None

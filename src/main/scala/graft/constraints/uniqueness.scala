@@ -24,6 +24,16 @@ private[graft] object UniqueExprs {
   def distinctCount(cols: Seq[String], mode: NullMode): Seq[Column] = mode match {
     case NullMode.Exclude =>
       Seq(countDistinct(col(cols.head), cols.drop(1).map(col): _*))
+    // Single column: exact countDistinct + a has-null flag — no string cast, so
+    // engine-native value equality applies (e.g. 0.0 == -0.0 for floats, which the
+    // string form would split into two values).
+    case NullMode.IncludeAsOne if cols.size == 1 =>
+      Seq(countDistinct(col(cols.head)),
+        max(when(col(cols.head).isNull, 1L).otherwise(0L)))
+    // Multi column: per-column null sentinel via string concat, matching the
+    // reference's COALESCE(CAST(c AS VARCHAR),'<NULL>') || ... composite
+    // ((null, a) and (null, b) stay DISTINCT). String rendering caveat: -0.0 and 0.0
+    // render distinct here.
     case NullMode.IncludeAsOne =>
       Seq(countDistinct(
         coalesce(col(cols.head).cast("string"), lit("\u0000<NULL>")),
@@ -35,6 +45,8 @@ private[graft] object UniqueExprs {
   }
   def distinctOf(values: Seq[Any], mode: NullMode): Long = mode match {
     case NullMode.EachDistinct =>
+      Num.toLong(values(0)).getOrElse(0L) + Num.toLong(values(1)).getOrElse(0L)
+    case NullMode.IncludeAsOne if values.size == 2 => // single-column exact form
       Num.toLong(values(0)).getOrElse(0L) + Num.toLong(values(1)).getOrElse(0L)
     case _ => Num.toLong(values(0)).getOrElse(0L)
   }
