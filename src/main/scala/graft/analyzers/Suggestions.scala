@@ -96,7 +96,10 @@ object SuggestionRules {
 final class SuggestionEngine(
     rules: Seq[SuggestionRule] = SuggestionRules.all,
     minConfidence: Double = 0.5,
-    profiler: ColumnProfiler = new ColumnProfiler()) {
+    // Suggestions need the tight (1% rsd) distinct sketch: UniquenessRule's
+    // gate/margin (0.97 / 0.03) sit inside that error band. Plain profiling keeps the
+    // cheaper default rsd.
+    profiler: ColumnProfiler = new ColumnProfiler(ProfilerConfig(approxDistinctRsd = 0.01))) {
 
   def suggest(df: DataFrame, columns: Seq[String] = Nil): Seq[ConstraintSuggestion] = {
     val profiles = profiler.profile(df, columns)

@@ -25,13 +25,19 @@ final case class RelativeRateOfChangeStrategy(
   val name = "relative_rate_of_change"
   def detect(series: Seq[(Long, Double)]): Seq[Anomaly] =
     series.sliding(2).collect {
+      // 0 → x is a SIGNED infinite change: an increase only trips the increase bound
+      // and a decrease only the decrease bound (a decrease-only config must not alert
+      // on a pure increase from zero).
       case Seq((_, prev), (ts, cur))
         if (prev == 0.0 && cur != 0.0 &&
-            (maxRateIncrease.isDefined || maxRateDecrease.isDefined)) ||
+            ((cur > 0.0 && maxRateIncrease.isDefined) ||
+             (cur < 0.0 && maxRateDecrease.isDefined))) ||
           (prev != 0.0 &&
             (maxRateIncrease.exists(m => (cur - prev) / math.abs(prev) > m) ||
              maxRateDecrease.exists(m => (prev - cur) / math.abs(prev) > m))) =>
-        val change = if (prev == 0.0) Double.PositiveInfinity else (cur - prev) / math.abs(prev)
+        val change =
+          if (prev == 0.0) math.copySign(Double.PositiveInfinity, cur)
+          else (cur - prev) / math.abs(prev)
         Anomaly(ts, cur, f"rate of change $change%.4f from $prev")
     }.toSeq
 }

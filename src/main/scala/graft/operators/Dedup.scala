@@ -30,8 +30,11 @@ object Dedup {
   def exactDupStats(df: DataFrame, cols: Seq[String]): DataFrame =
     df.agg(
       count(lit(1)).as("total"),
+      // Sum ALL returned aggregate columns: the exact single-column form is
+      // (countDistinct + has-null flag) — taking only .head would silently drop
+      // null-keyed rows instead of collapsing them to one value.
       graft.constraints.UniqueExprs.distinctCount(cols, graft.constraints.NullMode.IncludeAsOne)
-        .head.as("distinct_count"))
+        .reduce(_ + _).as("distinct_count"))
       .select(col("total"), col("distinct_count"),
         (col("total") - col("distinct_count")).as("duplicate_rows"))
 
@@ -229,13 +232,24 @@ object Dedup {
     */
   def exactJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5): DataFrame = {
+    // Only docs that actually appear in a candidate pair need a shingle set: semi-join
+    // the corpus down BEFORE the kernel runs. Candidate sets are orders smaller than
+    // the corpus (LSH's whole point), so at scale this turns a full-corpus UDF pass
+    // into one over ~|pairs| docs; AQE broadcasts the id set when small. The inner
+    // id joins below already restrict the OUTPUT — this restricts the WORK.
+    val wanted = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol))).distinct()
     // The shingle-set projection feeds BOTH sides of the pair join (id_a and id_b
     // lookups). An explicit shuffle on the id lets ReuseExchange feed both joins from
     // one run of the shingle-hash kernel (the rename projections above it preserve the
     // exchange's canonical form), without persist()'s session-lifetime storage pin —
     // repeated library calls previously accumulated cached blocks until eviction
     // pressure degraded every later job in the session.
-    val sh = fanOut(docs).select(col(idCol).as("_jid"), shingleHashSet(col(textCol), shingleSize).as("_sh"))
+    // fanOut wraps the RAW scan, not the semi-join: fanOut probes partition count via
+    // .rdd, which under AQE forces join stages to execute — wrapping the join would
+    // materialize it twice. The semi-join preserves the fanned-out partitioning.
+    val sh = fanOut(docs).join(wanted, Seq(idCol), "left_semi")
+      .select(col(idCol).as("_jid"), shingleHashSet(col(textCol), shingleSize).as("_sh"))
       .repartition(col("_jid"))
     pairs
       .join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
@@ -244,11 +258,21 @@ object Dedup {
       .drop("_sh_a", "_sh_b")
   }
 
-  /** End-to-end MinHash-LSH near-dup pairs verified by exact Jaccard >= threshold. */
+  /** End-to-end MinHash-LSH near-dup pairs verified by exact Jaccard >= threshold.
+    *
+    * Eager at call time: the candidate pairs are materialized (localCheckpoint) before
+    * the verify stage. The verify stage consumes them TWICE — once to semi-join the
+    * corpus down to docs that appear in a pair (so the shingle kernel skips the rest)
+    * and once as the join probe — and without materialization each consumer re-runs
+    * the whole LSH candidate pipeline (the branches diverge before any reusable
+    * exchange). Candidate sets are small by LSH design (bucket-size guard bounds the
+    * per-bucket blowup), so the checkpoint is cheap at any corpus size.
+    */
   def nearDupPairsMinhash(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
       shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16): DataFrame = {
     val cands = minhashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bands)
+      .localCheckpoint(true)
     exactJaccard(cands, df, idCol, textCol, shingleSize)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))

@@ -54,6 +54,20 @@ class OperatorSpec extends SparkSpec {
     assert(kept == Seq(1, 3))
   }
 
+  test("exact dedup stats: null keys collapse to ONE distinct value, not zero") {
+    import spark.implicits._
+    // keys: a, a, null, null, b -> distinct = 3 (a, b, <null>), dup rows = 2
+    val df = Seq((1, Some("a")), (2, Some("a")), (3, None), (4, None), (5, Some("b")))
+      .toDF("id", "k")
+    val stats = Dedup.exactDupStats(df, Seq("k")).head()
+    assert(stats.getLong(0) == 5 && stats.getLong(1) == 3 && stats.getLong(2) == 2)
+    // multi-column form: (null,x) and (null,y) stay distinct
+    val df2 = Seq((Some("a"), Some("x")), (None, Some("x")), (None, Some("y")), (None, Some("y")))
+      .toDF("k1", "k2")
+    val stats2 = Dedup.exactDupStats(df2, Seq("k1", "k2")).head()
+    assert(stats2.getLong(0) == 4 && stats2.getLong(1) == 3 && stats2.getLong(2) == 1)
+  }
+
   test("minhash LSH finds the same high-jaccard pairs as exact all-pairs") {
     val threshold = 0.9
     val exact = Dedup.allPairsJaccard(docs, "doc_id", "text", shingleSize = 5)
@@ -259,11 +273,14 @@ class OperatorSpec extends SparkSpec {
     val freshDocs = spark.read.parquet(s"$tmp/docs")
     // Only NEW persisted RDDs count — the suite fixture itself is a .cache()d frame.
     val before = spark.sparkContext.getPersistentRDDs.keySet
+    // The reuse property lives in the CANDIDATE pipeline (the verified-pairs df now
+    // starts from the materialized candidate checkpoint, which hides it).
+    val cands = Dedup.minhashCandidatePairs(freshDocs, "doc_id", "text")
+    cands.collect()
+    assert(cands.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "candidate self-join should serve both sides from one reused shuffle")
     val pairs = Dedup.nearDupPairsMinhash(freshDocs, "doc_id", "text", 0.9)
     pairs.collect()
-    val finalPlan = pairs.queryExecution.executedPlan.toString
-    assert(finalPlan.contains("ReusedExchange"),
-      "candidate self-join should serve both sides from one reused shuffle")
     Dedup.nearDupClusters(docs, "doc_id", "text", 0.9).collect()
     Dedup.dedupNearMinhash(docs, "doc_id", "text", 0.9).collect()
     // localCheckpoint blocks (from the distributed cluster path) are allowed: the
