@@ -728,6 +728,70 @@ object Queries {
              | CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens
              | FROM documents""".stripMargin.replaceAll("\n", " "))),
 
+    // Intra-document repetition signals (Gopher-style quality filters): duplicate
+    // char-10-gram and word-3-gram fractions, 1 - distinct/total per doc. Exact
+    // integer-count divisions — bit-identical doubles in both engines, so threshold
+    // counts and rounded extrema hash-match.
+    QueryDef("repetition_stats_documents",
+      (s, d) => {
+        val charRep = TextFunctions.dupNgramFraction(col("text"), 10)
+        val wordRep = TextFunctions.dupWordNgramFraction(col("text"), 3)
+        t(s, d, "documents").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(charRep > 0.05, 1L).otherwise(0L)).as("high_char_rep"),
+          sum(when(wordRep > 0.01, 1L).otherwise(0L)).as("high_word_rep"),
+          round(max(charRep), 6).as("max_char_rep"),
+          round(min(charRep), 6).as("min_char_rep"))
+      },
+      Some("""WITH idx AS (SELECT unnest(range(1, CAST((SELECT coalesce(max(length(text)), 0) FROM documents) AS BIGINT) + 1)) AS i),
+             | ch AS (SELECT doc_id, count(DISTINCT substr(text, CAST(i AS INT), 10)) AS d, max(length(text)) - 9 AS tot
+             |   FROM documents JOIN idx ON i <= length(text) - 9 GROUP BY doc_id),
+             | tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS t FROM documents),
+             | wg AS (SELECT doc_id, count(DISTINCT array_to_string(t[CAST(i AS INT):CAST(i AS INT)+2], ' ')) AS d, max(len(t)) - 2 AS tot
+             |   FROM tok JOIN idx ON i <= len(t) - 2 GROUP BY doc_id),
+             | per AS (SELECT doc.doc_id,
+             |   CASE WHEN ch.doc_id IS NOT NULL THEN 1.0 - CAST(ch.d AS DOUBLE) / CAST(ch.tot AS DOUBLE) ELSE 0.0 END AS crep,
+             |   CASE WHEN wg.doc_id IS NOT NULL THEN 1.0 - CAST(wg.d AS DOUBLE) / CAST(wg.tot AS DOUBLE) ELSE 0.0 END AS wrep
+             |   FROM documents doc LEFT JOIN ch ON doc.doc_id = ch.doc_id LEFT JOIN wg ON wg.doc_id = doc.doc_id)
+             | SELECT count(*) AS n_docs,
+             | CAST(sum(CASE WHEN crep > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS high_char_rep,
+             | CAST(sum(CASE WHEN wrep > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS high_word_rep,
+             | round(max(crep), 6) AS max_char_rep, round(min(crep), 6) AS min_char_rep
+             | FROM per""".stripMargin.replaceAll("\n", " "))),
+
+    // Cross-corpus contamination (GPT-3-style decontamination): probe = every 10th doc,
+    // corpus = the rest; per probe doc, the fraction of its distinct word 8-grams that
+    // occur anywhere in the corpus. Spark matches grams by xxhash64 (collision odds
+    // ~1e-9 at this gram count); the oracle compares the strings directly.
+    QueryDef("contamination_probe_documents",
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("text").isNotNull)
+        val probe = docs.filter(col("doc_id") % 10 === 0)
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        graft.operators.Dedup.crossCorpusContamination(
+          corpus, probe, "text", "doc_id", "text", ngramWords = 8)
+          .agg(
+            count(lit(1)).as("n_probes"),
+            sum(when(col("ngrams_matched") > 0, 1L).otherwise(0L)).as("contaminated_docs"),
+            sum(col("ngrams_matched")).cast("long").as("total_matched"),
+            round(max(col("contamination")), 6).as("max_contamination"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS t FROM documents WHERE text IS NOT NULL),
+             | widx AS (SELECT unnest(range(1, CAST((SELECT coalesce(max(len(t)), 0) FROM tok) AS BIGINT) + 1)) AS i),
+             | g AS (SELECT doc_id, array_to_string(t[CAST(i AS INT):CAST(i AS INT)+7], ' ') AS gram FROM tok JOIN widx ON i <= len(t) - 7
+             |   UNION ALL SELECT doc_id, array_to_string(t, ' ') FROM tok WHERE len(t) < 8),
+             | gd AS (SELECT DISTINCT doc_id, gram FROM g),
+             | corp AS (SELECT DISTINCT gram FROM gd WHERE doc_id % 10 != 0),
+             | probe AS (SELECT doc_id, gram FROM gd WHERE doc_id % 10 = 0),
+             | per AS (SELECT probe.doc_id, count(*) AS total,
+             |     sum(CASE WHEN corp.gram IS NOT NULL THEN 1 ELSE 0 END) AS matched
+             |   FROM probe LEFT JOIN corp ON probe.gram = corp.gram GROUP BY 1)
+             | SELECT count(*) AS n_probes,
+             | CAST(sum(CASE WHEN matched > 0 THEN 1 ELSE 0 END) AS BIGINT) AS contaminated_docs,
+             | CAST(sum(matched) AS BIGINT) AS total_matched,
+             | round(max(CAST(matched AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS max_contamination
+             | FROM per""".stripMargin.replaceAll("\n", " "))),
+
     QueryDef("lang_distribution_documents",
       (s, d) => t(s, d, "documents").groupBy(col("lang"))
         .agg(count(lit(1)).as("cnt")).orderBy("lang"),

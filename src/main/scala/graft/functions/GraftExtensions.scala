@@ -114,7 +114,26 @@ object GraftFunctions {
       ("graft_simhash",
         "graft_simhash(text) - 64-bit SimHash over whitespace tokens",
         fromColumns("graft_simhash", 1,
-          cs => graft.operators.Dedup.simhash64(T.tokens(cs.head)))))
+          cs => graft.operators.Dedup.simhash64(T.tokens(cs.head)))),
+      ("graft_dup_line_fraction",
+        "graft_dup_line_fraction(text) - duplicate-line fraction over trimmed non-empty lines",
+        fromColumns("graft_dup_line_fraction", 1, cs => T.dupLineFraction(cs.head))))
+  }
+
+  private def buildDupNgramFraction(args: Seq[Expression]): Expression = args match {
+    case Seq(text, n) =>
+      GraftSqlBridge.expressionEager(TextFunctions.dupNgramFraction(
+        GraftSqlBridge.column(text), foldableInt("graft_dup_ngram_fraction", "n", n)))
+    case other => throw new IllegalArgumentException(
+      s"graft_dup_ngram_fraction expects (text, n), got ${other.length} argument(s)")
+  }
+
+  private def buildDupWordNgramFraction(args: Seq[Expression]): Expression = args match {
+    case Seq(text, k) =>
+      GraftSqlBridge.expressionEager(TextFunctions.dupWordNgramFraction(
+        GraftSqlBridge.column(text), foldableInt("graft_dup_word_ngram_fraction", "k", k)))
+    case other => throw new IllegalArgumentException(
+      s"graft_dup_word_ngram_fraction expects (text, k), got ${other.length} argument(s)")
   }
 
   private def buildMinhash(args: Seq[Expression]): Expression = args match {
@@ -147,7 +166,15 @@ object GraftFunctions {
       (FunctionIdentifier("graft_minhash"),
         info("graft_minhash",
           "graft_minhash(text, shingleSize, numHashes) - MinHash signature of the char-shingle set"),
-        buildMinhash _)) ++
+        buildMinhash _),
+      (FunctionIdentifier("graft_dup_ngram_fraction"),
+        info("graft_dup_ngram_fraction",
+          "graft_dup_ngram_fraction(text, n) - duplicate char-n-gram fraction (1 - distinct/total)"),
+        buildDupNgramFraction _),
+      (FunctionIdentifier("graft_dup_word_ngram_fraction"),
+        info("graft_dup_word_ngram_fraction",
+          "graft_dup_word_ngram_fraction(text, k) - duplicate word-k-gram fraction (1 - distinct/total)"),
+        buildDupWordNgramFraction _)) ++
     textFns.map { case (name, usage, builder) =>
       (FunctionIdentifier(name), info(name, usage), builder)
     }

@@ -125,4 +125,35 @@ object TextFunctions {
   /** Rolling 64-bit hashes of the character n-grams — the document-fingerprint set. */
   def shingleHashes(c: Column, n: Int): Column =
     transform(charShingles(c, n), s => xxhash64(s))
+
+  // ---- intra-document repetition (Gopher-style quality signals) ----
+
+  /** Fraction of the text's char n-grams that repeat an earlier one: 1 − distinct/total.
+    * 0 for texts shorter than n. High values flag boilerplate/looping generations
+    * (the "duplicate n-gram fraction" family of pretraining filters).
+    */
+  def dupNgramFraction(c: Column, n: Int): Column =
+    when(length(c) >= n,
+      lit(1.0) - size(charShingles(c, n)).cast("double") /
+        (length(c) - lit(n) + 1).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Word-level duplicate k-gram fraction: 1 − distinct/total over whitespace-token
+    * k-grams. 0 for texts with fewer than k tokens.
+    */
+  def dupWordNgramFraction(c: Column, k: Int): Column = {
+    val t = tokens(c)
+    when(size(t) >= k,
+      lit(1.0) - size(wordShingles(c, k)).cast("double") /
+        (size(t) - lit(k) + 1).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Duplicate-line fraction: 1 − distinct/total over trimmed non-empty lines. */
+  def dupLineFraction(c: Column): Column = {
+    val ls = filter(transform(split(c, "\n"), l => trim(l)), l => length(l) > 0)
+    when(size(ls) > 0,
+      lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls).cast("double"))
+      .otherwise(lit(0.0))
+  }
 }

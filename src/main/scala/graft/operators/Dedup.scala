@@ -292,6 +292,46 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Cross-corpus contamination (training-set decontamination): for each probe doc
+    * (an eval/test set), the fraction of its word `ngramWords`-grams that also occur
+    * anywhere in the corpus. The GPT-3-style n-gram-overlap decontamination check.
+    *
+    * 100 TB shape: the CORPUS NEVER SHUFFLES — its exploded n-gram hashes are filtered
+    * by a broadcast semi-join against the probe's (small) hash set right after the
+    * row-local shingle projection, and the only corpus-derived shuffle is a distinct
+    * over matched hashes, bounded by the probe set size. The probe side must therefore
+    * be broadcastable (eval sets are; a 100 GB probe is not a decontamination check).
+    *
+    * Eager at call time: the probe's shingles are materialized once (localCheckpoint)
+    * because they feed both the broadcast hash set and the per-doc scoring join.
+    *
+    * Output: one row per probe doc — `probe_id`, `ngrams_total` (distinct n-grams in
+    * the probe doc), `ngrams_matched`, `contamination` (= matched/total).
+    */
+  def crossCorpusContamination(corpus: DataFrame, probe: DataFrame,
+      corpusTextCol: String, probeIdCol: String, probeTextCol: String,
+      ngramWords: Int = 8): DataFrame = {
+    require(ngramWords > 0, s"ngramWords must be positive, got $ngramWords")
+    val probeShingles = probe
+      .select(col(probeIdCol).as("probe_id"),
+        explode(wordShingles(col(probeTextCol), ngramWords)).as("_g"))
+      .select(col("probe_id"), xxhash64(col("_g")).as("_h"))
+      .localCheckpoint(true)
+    val probeHashes = probeShingles.select("_h").distinct()
+    val matched = fanOut(corpus)
+      .select(explode(wordShingles(col(corpusTextCol), ngramWords)).as("_g"))
+      .select(xxhash64(col("_g")).as("_h"))
+      .join(broadcast(probeHashes), Seq("_h"), "left_semi")
+      .distinct()
+    probeShingles
+      .join(matched.withColumn("_hit", lit(1L)), Seq("_h"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("ngrams_total"),
+        sum(coalesce(col("_hit"), lit(0L))).as("ngrams_matched"))
+      .withColumn("contamination",
+        col("ngrams_matched").cast("double") / col("ngrams_total").cast("double"))
+  }
+
   /** Connected components over an undirected pair graph: every id is labeled with the
     * MINIMUM id reachable through the pairs — the canonical duplicate-cluster id (unlike
     * [[dedupNearMinhash]]'s greedy pairwise drop, chains a-b, b-c collapse into ONE

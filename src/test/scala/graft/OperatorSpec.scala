@@ -210,6 +210,50 @@ class OperatorSpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("constant integer")))
   }
 
+  test("repetition kernels: duplicate n-gram / word-gram / line fractions") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aaaaa"),                 // char 2-grams: 4 total, 1 distinct -> 0.75
+      (2L, "a b a b a"),             // word 2-grams: 4 total, 2 distinct -> 0.5
+      (3L, "x\ny\nx\n\n x "),        // trimmed lines: x,y,x,x -> 4 total, 2 distinct -> 0.5
+      (4L, "ab")                     // shorter than n -> 0.0
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+        TextFunctions.dupNgramFraction(col("text"), 2).as("c2"),
+        TextFunctions.dupWordNgramFraction(col("text"), 2).as("w2"),
+        TextFunctions.dupLineFraction(col("text")).as("dl"),
+        TextFunctions.dupNgramFraction(col("text"), 5).as("c5"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got(1L)._1 == 0.75)
+    assert(got(2L)._2 == 0.5)
+    assert(got(3L)._3 == 0.5)
+    assert(got(4L)._4 == 0.0)
+    // SQL surface compiles to the same kernels
+    df.createOrReplaceTempView("rep_docs")
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT id, graft_dup_ngram_fraction(text, 2), graft_dup_word_ngram_fraction(text, 2),
+        |  graft_dup_line_fraction(text) FROM rep_docs""".stripMargin)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(viaSql == got.map { case (k, v) => k -> (v._1, v._2, v._3) })
+  }
+
+  test("cross-corpus contamination finds shared word 8-grams, corpus never shuffled wide") {
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "one two three four five six seven eight nine ten"),
+      (101L, "completely unrelated corpus content goes right here ok")).toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, "zz one two three four five six seven eight yy"), // shares (one..eight): 1 of 3 grams
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota") // clean: 0 of 2 grams
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossCorpusContamination(corpus, probe, "text", "doc_id", "text", ngramWords = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((3L, 1L)), s"probe 1: ${got(1L)}")
+    assert(got(2L) == ((2L, 0L)), s"probe 2: ${got(2L)}")
+  }
+
   test("near-dup dedup keeps lowest id of each verified relation") {
     val threshold = 0.9
     val exactDropped = Dedup.allPairsJaccard(docs, "doc_id", "text", shingleSize = 5)
