@@ -49,6 +49,36 @@ object ComplianceConstraint {
   }
 }
 
+/** Training-set decontamination as a first-class constraint: the fraction of validated
+  * docs sharing any word `ngramWords`-gram with the reference corpus must satisfy the
+  * assertion (default: exactly zero contaminated docs). Join-based — runs its own jobs
+  * via [[graft.operators.Dedup.crossCorpusContamination]]; the corpus side never
+  * shuffles (broadcast probe-hash semi-join at the corpus scan), so the validated
+  * (probe) side must be the smaller one — eval/test sets are.
+  */
+final case class DecontaminationConstraint(
+    corpus: DataFrame,
+    corpusTextCol: String,
+    idCol: String,
+    textCol: String,
+    ngramWords: Int = 8,
+    assertion: Assertion = Assertion.Equals(0.0)) extends MultiJobConstraint {
+  val name = s"Decontamination($textCol, $ngramWords-gram) ${assertion.describe}"
+  override def evaluate(df: DataFrame): ConstraintResult = {
+    val probe = df.filter(col(textCol).isNotNull)
+    val row = graft.operators.Dedup.crossCorpusContamination(
+        corpus, probe, corpusTextCol, idCol, textCol, ngramWords)
+      .agg(count(lit(1)),
+        sum(when(col("ngrams_matched") > 0, 1L).otherwise(0L))).head()
+    val total = Num.toLong(row.get(0)).getOrElse(0L)
+    if (total == 0L) skipped("empty input")
+    else {
+      val contaminated = Num.toLong(row.get(1)).getOrElse(0L)
+      assertOn(contaminated.toDouble / total.toDouble, assertion)
+    }
+  }
+}
+
 /** Predicate sandbox: rejects statement-level SQL in user predicates
   * (reference: constraints/custom_sql.rs:97-190, security.rs:89-190). The Column API makes
   * injection structurally impossible; this guards the one stringly-typed entry point.

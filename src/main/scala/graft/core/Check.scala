@@ -2,6 +2,7 @@ package graft.core
 
 import graft.constraints._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
 
 /** Fluent check builder mirroring the reference's surface
   * (term-guard/src/core/check.rs:172-2330) in idiomatic Scala.
@@ -101,6 +102,21 @@ final class CheckBuilder(val description: String, val level: Level = Level.Error
     add(TypeConsistencyConstraint(c, threshold, Some(expected)))
   def hasConsistentType(c: String, threshold: Double = 0.95): CheckBuilder =
     add(TypeConsistencyConstraint(c, threshold))
+  /** At least `a` fraction of non-null docs must have duplicate char-n-gram fraction
+    * <= maxFraction (Gopher-style repetition quality gate; batches into the shared scan).
+    */
+  def hasLowRepetition(c: String, n: Int, maxFraction: Double,
+      a: Assertion = Assertion.GreaterThanOrEqual(1.0)): CheckBuilder =
+    add(ComplianceConstraint(s"dup $n-gram fraction of $c <= $maxFraction",
+      graft.functions.TextFunctions.dupNgramFraction(col(c), n) <= maxFraction, a,
+      ignoreNulls = Some(col(c))))
+  /** Fraction of validated docs sharing any word n-gram with `corpus` must satisfy `a`
+    * (default: zero contaminated docs) — GPT-3-style eval-set decontamination.
+    */
+  def isDecontaminatedAgainst(corpus: DataFrame, corpusTextCol: String,
+      idCol: String, textCol: String, ngramWords: Int = 8,
+      a: Assertion = Assertion.Equals(0.0)): CheckBuilder =
+    add(DecontaminationConstraint(corpus, corpusTextCol, idCol, textCol, ngramWords, a))
 
   // --- relational ---
   def hasForeignKey(parent: DataFrame, keys: (String, String)*): CheckBuilder =

@@ -178,4 +178,39 @@ class ConstraintSpec extends SparkSpec {
     assert(run(ContainsColumnConstraint("id")).status == Success)
     assert(run(ContainsColumnConstraint("nope")).status == Failure)
   }
+
+  test("decontamination constraint: contaminated probe fails the zero-tolerance default") {
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "one two three four five six seven eight nine ten"),
+      (101L, "totally unrelated corpus content sits over here now")).toDF("doc_id", "text")
+    val probes = Seq(
+      (1L, "zz one two three four five six seven eight yy"), // contaminated
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota") // clean
+    ).toDF("doc_id", "text")
+    val c = DecontaminationConstraint(corpus, "text", "doc_id", "text", ngramWords = 8)
+    val r = c.evaluate(probes)
+    assert(r.status == Failure, r.message) // 1 of 2 docs contaminated, Equals(0.0) fails
+    assert(r.metric.flatMap(_.asDouble).contains(0.5))
+    // relaxed tolerance passes; clean probe set passes the default
+    assert(DecontaminationConstraint(corpus, "text", "doc_id", "text", 8,
+      Assertion.LessThanOrEqual(0.5)).evaluate(probes).status == Success)
+    assert(c.evaluate(probes.filter($"doc_id" === 2L)).status == Success)
+    // empty probe set skips, mirroring the reference's empty-input semantics
+    assert(c.evaluate(probes.filter($"doc_id" > 99L)).status == Skipped)
+  }
+
+  test("low-repetition builder gates on duplicate n-gram fraction and batches") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "abcdefghij klmnopqrst uvwxyz distinct content"), // low repetition
+      (2L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa")                 // dup 5-gram fraction ~1
+    ).toDF("id", "text")
+    val pass = CheckBuilder("rep", Level.Error)
+      .hasLowRepetition("text", 5, 0.9, Assertion.GreaterThanOrEqual(0.5)).build()
+    val fail = CheckBuilder("rep", Level.Error)
+      .hasLowRepetition("text", 5, 0.9).build()
+    assert(ValidationSuite("s", Seq(pass)).run(d).isSuccess)
+    assert(!ValidationSuite("s", Seq(fail)).run(d).isSuccess)
+  }
 }
