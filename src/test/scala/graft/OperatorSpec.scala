@@ -248,10 +248,15 @@ class OperatorSpec extends SparkSpec {
       (1L, "zz one two three four five six seven eight yy"), // shares (one..eight): 1 of 3 grams
       (2L, "alpha beta gamma delta epsilon zeta eta theta iota") // clean: 0 of 2 grams
     ).toDF("doc_id", "text")
-    val got = Dedup.crossCorpusContamination(corpus, probe, "text", "doc_id", "text", ngramWords = 8)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val per = Dedup.crossCorpusContamination(corpus, probe, "text", "doc_id", "text", ngramWords = 8)
+    val got = per.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got(1L) == ((3L, 1L)), s"probe 1: ${got(1L)}")
     assert(got(2L) == ((2L, 0L)), s"probe 2: ${got(2L)}")
+    // Scale shape: the corpus-side gram filter must be a BROADCAST semi join (the
+    // corpus never shuffles on the gram hash), not a shuffled join.
+    val plan = per.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"corpus gram filter should be a broadcast left-semi join:\n$plan")
   }
 
   test("near-dup dedup keeps lowest id of each verified relation") {
