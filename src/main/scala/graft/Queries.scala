@@ -779,7 +779,7 @@ object Queries {
       Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS t FROM documents WHERE text IS NOT NULL),
              | widx AS (SELECT unnest(range(1, CAST((SELECT coalesce(max(len(t)), 0) FROM tok) AS BIGINT) + 1)) AS i),
              | g AS (SELECT doc_id, array_to_string(t[CAST(i AS INT):CAST(i AS INT)+7], ' ') AS gram FROM tok JOIN widx ON i <= len(t) - 7
-             |   UNION ALL SELECT doc_id, array_to_string(t, ' ') FROM tok WHERE len(t) < 8),
+             |   UNION ALL SELECT doc_id, array_to_string(t, ' ') FROM tok WHERE len(t) < 8 AND len(t) > 0),
              | gd AS (SELECT DISTINCT doc_id, gram FROM g),
              | corp AS (SELECT DISTINCT gram FROM gd WHERE doc_id % 10 != 0),
              | probe AS (SELECT doc_id, gram FROM gd WHERE doc_id % 10 = 0),

@@ -132,16 +132,19 @@ object TextFunctions {
     * 0 for texts shorter than n. High values flag boilerplate/looping generations
     * (the "duplicate n-gram fraction" family of pretraining filters).
     */
-  def dupNgramFraction(c: Column, n: Int): Column =
+  def dupNgramFraction(c: Column, n: Int): Column = {
+    require(n > 0, s"n-gram size must be positive, got $n")
     when(length(c) >= n,
       lit(1.0) - size(charShingles(c, n)).cast("double") /
         (length(c) - lit(n) + 1).cast("double"))
       .otherwise(lit(0.0))
+  }
 
   /** Word-level duplicate k-gram fraction: 1 − distinct/total over whitespace-token
     * k-grams. 0 for texts with fewer than k tokens.
     */
   def dupWordNgramFraction(c: Column, k: Int): Column = {
+    require(k > 0, s"k-gram size must be positive, got $k")
     val t = tokens(c)
     when(size(t) >= k,
       lit(1.0) - size(wordShingles(c, k)).cast("double") /

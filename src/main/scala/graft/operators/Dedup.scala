@@ -32,9 +32,10 @@ object Dedup {
       count(lit(1)).as("total"),
       // Sum ALL returned aggregate columns: the exact single-column form is
       // (countDistinct + has-null flag) — taking only .head would silently drop
-      // null-keyed rows instead of collapsing them to one value.
+      // null-keyed rows instead of collapsing them to one value. coalesce each term:
+      // over ZERO rows the flag aggregate (max) is NULL and would poison the sum.
       graft.constraints.UniqueExprs.distinctCount(cols, graft.constraints.NullMode.IncludeAsOne)
-        .reduce(_ + _).as("distinct_count"))
+        .map(e => coalesce(e, lit(0L))).reduce(_ + _).as("distinct_count"))
       .select(col("total"), col("distinct_count"),
         (col("total") - col("distinct_count")).as("duplicate_rows"))
 
@@ -230,6 +231,11 @@ object Dedup {
     * is a linear merge of two sorted long arrays — the dominant cost of the verify
     * stage stays in one tight primitive loop per candidate pair.
     */
+  /** NOTE: `pairs` is consumed THREE times (two wanted-id branches + the join probe),
+    * and the branches diverge before any reusable exchange — pass a MATERIALIZED or
+    * cheap-to-recompute candidate frame. [[nearDupPairsMinhash]] localCheckpoints its
+    * candidates before calling here for exactly this reason.
+    */
   def exactJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5): DataFrame = {
     // Only docs that actually appear in a candidate pair need a shingle set: semi-join
@@ -306,19 +312,26 @@ object Dedup {
     * because they feed both the broadcast hash set and the per-doc scoring join.
     *
     * Output: one row per probe doc — `probe_id`, `ngrams_total` (distinct n-grams in
-    * the probe doc), `ngrams_matched`, `contamination` (= matched/total).
+    * the probe doc), `ngrams_matched`, `contamination` (= matched/total). Docs with
+    * ZERO tokens (empty/whitespace-only/null text) contribute no grams on either side
+    * and are absent from the output — without the guard, every empty doc would share
+    * the empty pseudo-gram and score 100% contamination against any empty corpus row.
     */
   def crossCorpusContamination(corpus: DataFrame, probe: DataFrame,
       corpusTextCol: String, probeIdCol: String, probeTextCol: String,
       ngramWords: Int = 8): DataFrame = {
     require(ngramWords > 0, s"ngramWords must be positive, got $ngramWords")
+    // size(tokens) > 0 is also the null-text filter: tokens(null) is null, and a null
+    // comparison drops the row.
     val probeShingles = probe
+      .filter(size(tokens(col(probeTextCol))) > 0)
       .select(col(probeIdCol).as("probe_id"),
         explode(wordShingles(col(probeTextCol), ngramWords)).as("_g"))
       .select(col("probe_id"), xxhash64(col("_g")).as("_h"))
       .localCheckpoint(true)
     val probeHashes = probeShingles.select("_h").distinct()
     val matched = fanOut(corpus)
+      .filter(size(tokens(col(corpusTextCol))) > 0)
       .select(explode(wordShingles(col(corpusTextCol), ngramWords)).as("_g"))
       .select(xxhash64(col("_g")).as("_h"))
       .join(broadcast(probeHashes), Seq("_h"), "left_semi")

@@ -66,6 +66,10 @@ class OperatorSpec extends SparkSpec {
       .toDF("k1", "k2")
     val stats2 = Dedup.exactDupStats(df2, Seq("k1", "k2")).head()
     assert(stats2.getLong(0) == 4 && stats2.getLong(1) == 3 && stats2.getLong(2) == 1)
+    // empty input: all counts 0, never NULL (the has-null flag aggregate is NULL over
+    // zero rows and must not poison the sum)
+    val empty = Dedup.exactDupStats(df.filter(col("id") > 100), Seq("k")).head()
+    assert(empty.getLong(0) == 0 && empty.getLong(1) == 0 && empty.getLong(2) == 0)
   }
 
   test("minhash LSH finds the same high-jaccard pairs as exact all-pairs") {
@@ -237,6 +241,10 @@ class OperatorSpec extends SparkSpec {
         |  graft_dup_line_fraction(text) FROM rep_docs""".stripMargin)
       .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     assert(viaSql == got.map { case (k, v) => k -> (v._1, v._2, v._3) })
+    // non-positive gram sizes are rejected at construction, on both surfaces
+    intercept[IllegalArgumentException](TextFunctions.dupNgramFraction(col("text"), 0))
+    intercept[IllegalArgumentException](TextFunctions.dupWordNgramFraction(col("text"), -1))
+    intercept[Exception](spark.sql("SELECT graft_dup_ngram_fraction(text, 0) FROM rep_docs").collect())
   }
 
   test("cross-corpus contamination finds shared word 8-grams, corpus never shuffled wide") {
@@ -252,10 +260,21 @@ class OperatorSpec extends SparkSpec {
     val got = per.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got(1L) == ((3L, 1L)), s"probe 1: ${got(1L)}")
     assert(got(2L) == ((2L, 0L)), s"probe 2: ${got(2L)}")
+    // zero-token docs contribute no grams on either side: an empty probe doc must not
+    // "match" an empty corpus row through the empty pseudo-gram
+    import spark.implicits._
+    val emptyCorpus = corpus.union(Seq((102L, "   ")).toDF("doc_id", "text"))
+    val emptyProbe = probe.union(Seq((3L, ""), (4L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val got2 = Dedup.crossCorpusContamination(emptyCorpus, emptyProbe, "text", "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got2.keySet == Set(1L, 2L), s"empty/null probes must be absent, got ${got2.keySet}")
+    assert(got2(1L) == ((3L, 1L)) && got2(2L) == ((2L, 0L)))
     // Scale shape: the corpus-side gram filter must be a BROADCAST semi join (the
-    // corpus never shuffles on the gram hash), not a shuffled join.
+    // corpus never shuffles on the gram hash), not a shuffled join. Match the join
+    // node and its type TOGETHER — independent substring checks would pass if some
+    // OTHER join broadcast while the semi join degraded to sort-merge.
     val plan = per.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+    assert("BroadcastHashJoin [^\\n]*LeftSemi".r.findFirstIn(plan).isDefined,
       s"corpus gram filter should be a broadcast left-semi join:\n$plan")
   }
 
