@@ -209,6 +209,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("repetition kernels match independent computation on generated text") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.functions._
+    // biased toward repeated words/lines so the duplicate fractions are exercised
+    val textGen = for {
+      n <- Gen.choose(0, 30)
+      words <- Gen.listOfN(n, Gen.oneOf("spam", "ham", "eggs", "aa", "bbbb", "x"))
+      seps <- Gen.listOfN(math.max(n - 1, 0), Gen.oneOf(" ", "\n", "  "))
+    } yield words.zipAll(seps :+ "", "", "").map { case (w, s) => w + s }.mkString
+    forAll(Gen.listOfN(20, textGen)) { texts =>
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = df.select(col("id"),
+          TextFunctions.dupNgramFraction(col("text"), 3),
+          TextFunctions.dupWordNgramFraction(col("text"), 2),
+          TextFunctions.dupLineFraction(col("text")))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      got.foreach { case (id, cf, wf, lf) =>
+        val t = texts(id.toInt)
+        val expectedCf =
+          if (t.length < 3) 0.0
+          else 1.0 - t.sliding(3).toSeq.distinct.size.toDouble / (t.length - 2).toDouble
+        assert(cf == expectedCf, s"char dup fraction of '$t'")
+        val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+        val expectedWf =
+          if (toks.size < 2) 0.0
+          else 1.0 - toks.sliding(2).map(_.mkString(" ")).toSeq.distinct.size.toDouble /
+            (toks.size - 1).toDouble
+        assert(wf == expectedWf, s"word dup fraction of '$t'")
+        val lines = t.split("\n", -1).map(_.trim).filter(_.nonEmpty).toSeq
+        val expectedLf =
+          if (lines.isEmpty) 0.0 else 1.0 - lines.distinct.size.toDouble / lines.size.toDouble
+        assert(lf == expectedLf, s"line dup fraction of '$t'")
+      }
+    }
+  }
+
   test("minhash kernel is bit-stable (golden values) and set-semantic") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
