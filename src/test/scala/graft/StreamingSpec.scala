@@ -218,4 +218,27 @@ class StreamingSpec extends SparkSpec {
     assert(rs.head.isSuccess)
     assert(rs(1).isFailure) // "bad" not contained
   }
+
+  test("streaming decontamination gate: contaminated batch fails, clean batch passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val q = StreamingAnalysis.constraintSink(
+      input.toDF().toDF("doc_id", "text"),
+      Seq(graft.constraints.DecontaminationConstraint(corpus, "text", "doc_id", "text", 8)),
+      (bid, rs) => results.synchronized { results += bid -> rs.head.isSuccess })
+      .start()
+    try {
+      input.addData((1L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      q.processAllAvailable()
+      input.addData((2L, "zz one two three four five six seven eight yy"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = results.toMap
+    assert(byBatch(0L), "clean batch must pass the zero-contamination gate")
+    assert(!byBatch(1L), "batch sharing an 8-gram with the corpus must fail")
+  }
 }
