@@ -71,8 +71,10 @@ object Bench {
     cached.count()
     // Untimed warmup: whole-stage-codegen compilation + C2 JIT of the generated agg
     // kernels; without it the first measured iterations dominate the median.
-    (1 to 5).foreach(_ => suite20(cached))
-    val cachedRuns = (1 to 25).map(_ => secs { suite20(cached) })
+    (1 to 8).foreach(_ => suite20(cached))
+    // 35 runs: the min over 25 still varied 0.14-0.20 s across JVM launches (ambient
+    // CPU contention); a deeper pool costs ~2 s and tightens the headline.
+    val cachedRuns = (1 to 35).map(_ => secs { suite20(cached) })
     // Best steady-state run, not the median: the per-round driver environment can run
     // other work concurrently, and a single contended run must not define the headline
     // (criterion-style best-of-N; BASELINE's 0.21 s is likewise the optimized best).

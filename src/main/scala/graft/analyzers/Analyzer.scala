@@ -78,7 +78,11 @@ final case class MomentsState(n: Long, sum: Double, sumSq: Double) extends Analy
   def toFields = Map("n" -> n.toString, "sum" -> sum.toString, "sumSq" -> sumSq.toString)
   def mean: Option[Double] = if (n == 0) None else Some(sum / n)
   def varianceSamp: Option[Double] =
-    if (n < 2) None else Some((sumSq - sum * sum / n) / (n - 1))
+    // Clamp: sumSq - sum²/n cancels catastrophically for large-magnitude low-variance
+    // data and can come out slightly NEGATIVE, which sqrt would turn into NaN stddev.
+    // (The raw-moments layout itself is reference parity: standard_deviation.rs keeps
+    // count/sum/sum_sq too.)
+    if (n < 2) None else Some(math.max(0.0, sumSq - sum * sum / n) / (n - 1))
   def stddevSamp: Option[Double] = varianceSamp.map(math.sqrt)
 }
 

@@ -25,6 +25,11 @@ final case class MetricsQuery(
 }
 
 trait MetricsRepository {
+  /** Persist one run's metrics. Saving the SAME key again merges the metric maps into
+    * one record (every backend); re-saving the same metric name under the same key is
+    * backend-resolved — give each run a unique ResultKey (the reference's model:
+    * result_key.rs timestamps identify runs).
+    */
   def save(key: ResultKey, metrics: Map[String, Double]): Unit
   def loadAll(): Seq[MetricRecord]
 
@@ -42,10 +47,17 @@ trait MetricsRepository {
     q.limit.map(page.take).getOrElse(page)
   }
 
-  /** History of one metric, oldest first — the anomaly-detection input. */
-  def history(metricKey: String, q: MetricsQuery = MetricsQuery(newestFirst = false)): Seq[(Long, Double)] =
-    query(q.copy(forAnalyzers = Seq(metricKey), newestFirst = false))
-      .flatMap(r => r.metrics.get(metricKey).map(r.key.timestamp -> _))
+  /** History of one metric, oldest first — the anomaly-detection input. A `limit`
+    * keeps the NEWEST N points (then re-sorts oldest-first): limiting oldest-first
+    * would freeze the series at the first N runs ever recorded and newer points —
+    * the ones anomaly detection exists to judge — would never be returned.
+    */
+  def history(metricKey: String, q: MetricsQuery = MetricsQuery(newestFirst = false)): Seq[(Long, Double)] = {
+    val records =
+      if (q.limit.isDefined) query(q.copy(forAnalyzers = Seq(metricKey), newestFirst = true)).reverse
+      else query(q.copy(forAnalyzers = Seq(metricKey), newestFirst = false))
+    records.flatMap(r => r.metrics.get(metricKey).map(r.key.timestamp -> _))
+  }
 
   /** The metric log as a DataFrame (timestamp, tags, metric, value) — arbitrary Spark
     * SQL over metric history for ANY repository implementation (the reference's
@@ -64,7 +76,15 @@ trait MetricsRepository {
 final class InMemoryMetricsRepository extends MetricsRepository {
   private val buf = scala.collection.mutable.ArrayBuffer.empty[MetricRecord]
   def save(key: ResultKey, metrics: Map[String, Double]): Unit =
-    buf.synchronized { buf += MetricRecord(key, metrics) }
+    buf.synchronized {
+      // Same-key saves MERGE (new values win) — the parquet backend's loadAll groups
+      // rows by key, so keeping two records here would make record counts and
+      // pagination diverge across backends.
+      buf.indexWhere(_.key == key) match {
+        case -1 => buf += MetricRecord(key, metrics)
+        case i  => buf(i) = MetricRecord(key, buf(i).metrics ++ metrics)
+      }
+    }
   def loadAll(): Seq[MetricRecord] = buf.synchronized(buf.toVector)
 }
 
@@ -86,25 +106,36 @@ final class ParquetMetricsRepository(path: String, spark: org.apache.spark.sql.S
   /** The metric log as a DataFrame (timestamp, tags, metric, value) — arbitrary Spark
     * SQL over metric history (the reference's SQL-over-metrics executor,
     * repository/datafusion_executor.rs, without a bespoke engine). Reads the files
-    * directly — no driver round-trip, any history size.
+    * directly — no driver round-trip, any history size. A repository with no saves
+    * yet reads as an EMPTY frame with the log schema, matching loadAll()'s Nil.
     */
-  def toDataFrame: org.apache.spark.sql.DataFrame = spark.read.parquet(path)
+  def toDataFrame: org.apache.spark.sql.DataFrame = readLog(spark)
   override def toDataFrame(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
-    s.read.parquet(path) // honor the CALLER's session (temp views etc. land there)
+    readLog(s) // honor the CALLER's session (temp views etc. land there)
 
-  def loadAll(): Seq[MetricRecord] = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) return Nil
-    spark.read.parquet(path)
+  private def readLog(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)) s.read.parquet(path)
+    else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("timestamp", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("tags", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("metric", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
+  }
+
+  def loadAll(): Seq[MetricRecord] =
+    readLog(spark)
       .as[(Long, String, String, Double)]
       .collect().toSeq
       .groupBy(r => (r._1, r._2))
       .map { case ((ts, tags), rows) =>
         MetricRecord(ResultKey(ts, ParquetMetricsRepository.decodeTags(tags)),
-          rows.map(r => r._3 -> r._4).toMap)
+          // Sorted before toMap: groupBy preserves collect() order, which is partition-
+          // nondeterministic — a duplicated metric name must at least resolve the same
+          // way on every read.
+          rows.sortBy(r => (r._3, r._4)).map(r => r._3 -> r._4).toMap)
       }.toSeq.sortBy(_.key.timestamp)
-  }
 }
 object ParquetMetricsRepository {
   def encodeTags(tags: Map[String, String]): String =

@@ -56,7 +56,13 @@ object Sources {
     cfg.password.foreach(p => r = r.option("password", p))
     cfg.driver.foreach(d => r = r.option("driver", d))
     // Partitioned reads are what make JDBC ingestion scale: without bounds the whole
-    // table arrives through one connection.
+    // table arrives through one connection. A PARTIAL partition spec must fail loud —
+    // silently falling back to the single-connection read is exactly the degradation
+    // the user configured against.
+    val parts = Seq(cfg.partitionColumn, cfg.numPartitions, cfg.lowerBound, cfg.upperBound)
+    require(parts.forall(_.isDefined) || parts.forall(_.isEmpty),
+      "JDBC partitioned read needs ALL of partitionColumn/numPartitions/lowerBound/upperBound " +
+        s"(got partial: $cfg)")
     (cfg.partitionColumn, cfg.numPartitions, cfg.lowerBound, cfg.upperBound) match {
       case (Some(c), Some(n), Some(lo), Some(hi)) =>
         r = r.option("partitionColumn", c).option("numPartitions", n.toString)
@@ -101,6 +107,8 @@ object Sources {
     */
   def writeBucketed(df: DataFrame, tableName: String, bucketCols: Seq[String],
       numBuckets: Int, sorted: Boolean = true): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed needs at least one bucket column")
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     val w = df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sorted) w.sortBy(bucketCols.head, bucketCols.tail: _*) else w)

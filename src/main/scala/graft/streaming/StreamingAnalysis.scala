@@ -141,6 +141,10 @@ object StreamingAnalysis {
       stream: DataFrame,
       textCol: String,
       watermark: Option[(String, String)] = None): DataFrame = {
+    // The helper column must not shadow a caller column: withColumn would overwrite it
+    // and the trailing drop would silently delete the caller's field from the output.
+    require(!stream.columns.contains("_fp"),
+      "streamingDedupFingerprint reserves the column name _fp; rename the input column")
     val fp = stream.withColumn("_fp",
       graft.functions.TextFunctions.fingerprint(col(textCol)))
     streamingDedupExact(fp, Seq("_fp"), watermark).drop("_fp")
@@ -163,13 +167,20 @@ object StreamingAnalysis {
       // foreachBatch is at-least-once: a batch replayed after a mid-commit failure must
       // not append its metric twice (duplicate history points corrupt every later
       // change/z-score comparison). The batch id IS the record timestamp, so replays
-      // are detected by key.
-      if (!repo.history(metricKey).exists(_._1 == batchId))
-        repo.save(graft.repository.ResultKey(batchId), Map(metricKey -> metricOf(batch)))
-      // Only THIS batch's point may alert — detect() returns every historical anomaly
-      // each time, and re-firing them every micro-batch is an alert storm.
-      val anomalies = strategy.detect(repo.history(metricKey)).filter(_.timestamp == batchId)
-      if (anomalies.nonEmpty) onAnomaly(batchId, anomalies)
+      // are detected by key. History is read ONCE per batch (for a parquet-backed
+      // repository each read is a full log scan + collect — reading it twice doubled
+      // per-batch I/O) and the new point is appended locally for detection; a replayed
+      // batch neither re-saves nor re-alerts.
+      val prior = repo.history(metricKey)
+      if (!prior.exists(_._1 == batchId)) {
+        val point = batchId -> metricOf(batch)
+        repo.save(graft.repository.ResultKey(batchId), Map(metricKey -> point._2))
+        // Only THIS batch's point may alert — detect() returns every historical anomaly
+        // each time, and re-firing them every micro-batch is an alert storm.
+        val anomalies = strategy.detect((prior :+ point).sortBy(_._1))
+          .filter(_.timestamp == batchId)
+        if (anomalies.nonEmpty) onAnomaly(batchId, anomalies)
+      }
     }
 
   /** Continuous constraint evaluation: run a (batchable) constraint set on each

@@ -222,4 +222,36 @@ class AnalyzerSpec extends SparkSpec {
     val n = spark.sql("SELECT count(*) FROM metric_log WHERE metric = 'size.*'").head().getLong(0)
     assert(n == 2L)
   }
+
+  test("repository edge semantics: limited history keeps newest, backends agree on re-saves, empty log reads empty") {
+    // limited history must return the NEWEST N points, oldest-first
+    val repo = new InMemoryMetricsRepository
+    (1L to 10L).foreach(ts => repo.save(ResultKey(ts), Map("m" -> ts.toDouble)))
+    assert(repo.history("m", MetricsQuery(limit = Some(3))) ==
+      Seq(8L -> 8.0, 9L -> 9.0, 10L -> 10.0))
+    // same-key saves merge into ONE record on both backends
+    val dir = java.nio.file.Files.createTempDirectory("graft-metrics").toString + "/dup"
+    val pq = new ParquetMetricsRepository(dir, spark)
+    Seq(new InMemoryMetricsRepository, pq).foreach { r =>
+      r.save(ResultKey(100L), Map("a" -> 1.0))
+      r.save(ResultKey(100L), Map("b" -> 2.0))
+      val recs = r.loadAll()
+      assert(recs.size == 1, s"${r.getClass.getSimpleName}: ${recs.size} records")
+      assert(recs.head.metrics == Map("a" -> 1.0, "b" -> 2.0))
+    }
+    // a repository with no saves reads as an empty frame, not PATH_NOT_FOUND
+    val fresh = new ParquetMetricsRepository(
+      java.nio.file.Files.createTempDirectory("graft-metrics").toString + "/none", spark)
+    assert(fresh.toDataFrame.isEmpty && fresh.toDataFrame(spark).isEmpty)
+    assert(fresh.toDataFrame.columns.toSeq == Seq("timestamp", "tags", "metric", "value"))
+  }
+
+  test("moments stddev never goes NaN on large-magnitude low-variance data") {
+    // sumSq - sum²/n cancels to a small NEGATIVE number here without the clamp
+    val vals = Seq.fill(1000)(1e8 + 0.1) ++ Seq.fill(1000)(1e8 - 0.1)
+    val s = vals.foldLeft(MomentsState(0L, 0.0, 0.0))((st, v) =>
+      st.merge(MomentsState(1L, v, v * v)))
+    val sd = s.stddevSamp.get
+    assert(!sd.isNaN && sd >= 0.0, s"stddev $sd")
+  }
 }
