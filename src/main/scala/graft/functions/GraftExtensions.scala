@@ -53,7 +53,7 @@ object GraftFunctions {
           val et = probeExpr.dataType.asInstanceOf[ArrayType].elementType
           val cast = org.apache.spark.sql.catalyst.expressions.Cast(
             Literal.create(arr, probeExpr.dataType), ArrayType(DoubleType))
-          cast.eval().asInstanceOf[ArrayData].toDoubleArray()
+          cast.eval().asInstanceOf[ArrayData].toDoubleArray().toIndexedSeq
         case other => throw new IllegalArgumentException(
           s"graft_cosine_to_probe probe must be an array literal, got $other")
       }

@@ -19,8 +19,13 @@ import org.apache.spark.sql.types._
   * Null array ⇒ null result; null elements contribute nothing; zero vectors yield NaN
   * (same as the UDF and higher-order formulations).
   */
-case class CosineToProbe(child: Expression, probe: Array[Double])
+case class CosineToProbe(child: Expression, probe: IndexedSeq[Double])
     extends UnaryExpression {
+  // probe is an IndexedSeq, NOT an Array: a case-class Array field compares by
+  // reference, so two semantically identical expressions would never be equal and
+  // Catalyst subexpression elimination / exchange reuse could not dedupe them. The
+  // hot loops read the cached primitive array below — no per-element boxing.
+  private lazy val probeArr: Array[Double] = probe.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -30,18 +35,19 @@ case class CosineToProbe(child: Expression, probe: Array[Double])
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_to_probe"
 
-  private lazy val probeNorm: Double = math.sqrt(probe.map(v => v * v).sum)
+  private lazy val probeNorm: Double = math.sqrt(probeArr.map(v => v * v).sum)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val n = math.min(arr.numElements(), probe.length)
+    val p = probeArr
+    val n = math.min(arr.numElements(), p.length)
     var dot = 0.0
     var nv = 0.0
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val x = arr.getFloat(i).toDouble
-        dot += x * probe(i)
+        dot += x * p(i)
         nv += x * x
       }
       i += 1
@@ -50,7 +56,14 @@ case class CosineToProbe(child: Expression, probe: Array[Double])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val probeRef = ctx.addReferenceObj("probe", probe, "double[]")
+    val probeRef = ctx.addReferenceObj("probe", probeArr, "double[]")
+    // The norm must be emitted as a VALID Java literal: "${NaN}D" would be the token
+    // `NaND` and kill whole-stage codegen for the stage (janino compile failure →
+    // interpreted fallback).
+    val normLit =
+      if (probeNorm.isNaN) "Double.NaN"
+      else if (probeNorm == Double.PositiveInfinity) "Double.POSITIVE_INFINITY"
+      else s"${probeNorm}D"
     nullSafeCodeGen(ctx, ev, c => {
       val dot = ctx.freshName("dot")
       val nv = ctx.freshName("nv")
@@ -68,7 +81,7 @@ case class CosineToProbe(child: Expression, probe: Array[Double])
          |    $nv += $x * $x;
          |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nv) * ${probeNorm}D);
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nv) * $normLit);
        """.stripMargin
     })
   }
@@ -230,7 +243,7 @@ case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpr
 object VectorFunctions {
   def cosineToProbe(vec: Column, probe: Seq[Float]): Column =
     GraftSqlBridge.column(
-      CosineToProbe(GraftSqlBridge.expression(vec), probe.map(_.toDouble).toArray))
+      CosineToProbe(GraftSqlBridge.expression(vec), probe.map(_.toDouble).toIndexedSeq))
 
   def cosine(a: Column, b: Column): Column =
     GraftSqlBridge.column(

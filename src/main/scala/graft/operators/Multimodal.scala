@@ -43,10 +43,14 @@ object Multimodal {
         (math.abs(h >> 4) % 600000).toLong, bytes.length.toLong)
     }
 
-    /** Stub feature extractor: deterministic pseudo-embedding from byte content. */
+    /** Stub feature extractor: deterministic pseudo-embedding from byte content.
+      * Null/empty payloads yield NULL, not a zero vector: a zero vector is a "valid"
+      * embedding whose cosine is NaN, which would rank broken media ABOVE every real
+      * neighbor in a descending top-k; null propagates and drops out instead.
+      */
     def extractFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+      if (bytes == null || bytes.isEmpty) return null
       val out = new Array[Float](dim)
-      if (bytes == null || bytes.isEmpty) return out
       val rnd = new scala.util.Random(java.util.Arrays.hashCode(bytes))
       var i = 0
       while (i < dim) { out(i) = rnd.nextGaussian().toFloat; i += 1 }
@@ -115,8 +119,11 @@ object Multimodal {
     */
   def explodeFrames(df: DataFrame, binCol: String, everyNth: Int = 10, maxFrames: Int = 16): DataFrame = {
     val u = udf((bytes: Array[Byte]) => MediaCodecs.sampleFrames(bytes, everyNth, maxFrames))
+    // posexplode_OUTER: rows whose payload yields no frames (null/empty media) keep one
+    // output row with null frame columns — a plain posexplode would silently drop them
+    // and break count reconciliation in corpus-health audits.
     df.withColumn("_frames", u(col(binCol)))
-      .select(col("*"), posexplode(col("_frames")).as(Seq("frame_idx", "frame_bytes")))
+      .select(col("*"), posexplode_outer(col("_frames")).as(Seq("frame_idx", "frame_bytes")))
       .drop("_frames")
   }
 
@@ -127,7 +134,6 @@ object Multimodal {
     */
   def mapPartitionsWithSchema(df: DataFrame, outSchema: StructType)(
       f: Iterator[Row] => Iterator[Row]): DataFrame = {
-    val spark = df.sparkSession
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     df.mapPartitions(f)(enc)
   }

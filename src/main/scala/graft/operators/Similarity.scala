@@ -21,30 +21,50 @@ object Similarity {
   def cosineToProbe(vec: Column, probe: Seq[Float]): Column =
     graft.functions.VectorFunctions.cosineToProbe(vec, probe)
 
+  /** The ONE ranking shape all four top-k entry points share: score, drop unrankable
+    * rows, TakeOrdered k. Null embeddings (null cosine) and zero-norm vectors (NaN
+    * cosine) are EXCLUDED — under a descending sort Spark ranks NaN above every real
+    * double, so a single all-zeros embedding would otherwise occupy the top of every
+    * result; and dropping them on every path keeps the exhaustive-IVF == brute-force
+    * equality exact even when k exceeds the rankable row count.
+    */
+  private def topKByCosine(df: DataFrame, idCol: String, vecCol: String,
+      probe: Seq[Float], k: Int): DataFrame = {
+    val scored = df.select(col(idCol), cosineToProbe(col(vecCol), probe).as("cosine"))
+    scored.filter(col("cosine").isNotNull && !isnan(col("cosine")))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Exact top-k by cosine. The plan is scan → project → TakeOrderedAndProject:
-    * no shuffle, k rows to the driver.
+    * no shuffle, k rows to the driver. Null/zero-norm vectors are excluded (see
+    * [[topKByCosine]]).
     */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
       probe: Seq[Float], k: Int): DataFrame =
-    df.select(col(idCol), cosineToProbe(col(vecCol), probe).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol))
-      .limit(k)
+    topKByCosine(df, idCol, vecCol, probe, k)
 
   /** LSH-bucketed ANN: only rows in the probe's hyperplane bucket (and optionally
-    * neighboring buckets within `multiProbeBits` sign flips) are scored. With the corpus
-    * pre-bucketed (`bucketedCorpus`), the scan prunes to matching buckets.
+    * neighboring buckets within `multiProbeBits` sign flips) are scored. Pass
+    * `bucketCol` to filter on a PRE-BUCKETED column ([[bucketedCorpus]], ideally
+    * persisted partitioned/bucketed by it) so the filter can prune at the storage
+    * layer — recomputing the bucket via the kernel (the default) scans and hashes the
+    * whole corpus and can never prune the scan.
     */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, probe: Seq[Float], k: Int,
-      planes: Int = 8, seed: Long = 42L, multiProbeBits: Int = 1): DataFrame = {
+      planes: Int = 8, seed: Long = 42L, multiProbeBits: Int = 1,
+      bucketCol: Option[String] = None): DataFrame = {
     val dim = probe.size
     val probeBucket = bucketOf(probe, planes, seed)
     // multi-probe: the probe bucket plus all buckets within `multiProbeBits` bit flips.
     val buckets = multiProbe(probeBucket, planes, multiProbeBits)
-    df.withColumn("_bucket", Dedup.hyperplaneBucket(col(vecCol), dim, planes, seed))
-      .filter(col("_bucket").isin(buckets: _*))
-      .select(col(idCol), cosineToProbe(col(vecCol), probe).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol))
-      .limit(k)
+    val candidates = bucketCol match {
+      case Some(bc) => df.filter(col(bc).isin(buckets: _*))
+      case None =>
+        df.withColumn("_bucket", Dedup.hyperplaneBucket(col(vecCol), dim, planes, seed))
+          .filter(col("_bucket").isin(buckets: _*))
+    }
+    topKByCosine(candidates, idCol, vecCol, probe, k)
   }
 
   /** Pre-bucket a corpus for ANN reads: adds the bucket column and (optionally) writes
@@ -66,7 +86,7 @@ object Similarity {
     bucket
   }
 
-  private def multiProbe(bucket: Long, planes: Int, flips: Int): Seq[Column] = {
+  private def multiProbe(bucket: Long, planes: Int, flips: Int): Seq[Long] = {
     require(flips <= 2,
       s"multiProbeBits=$flips not supported: only 0-, 1- and 2-flip neighborhoods are " +
         "enumerated — a larger value would silently probe fewer buckets than promised")
@@ -75,7 +95,7 @@ object Similarity {
     val twoFlip = if (flips >= 2)
       for (i <- 0 until planes; j <- (i + 1) until planes) yield bucket ^ (1L << i) ^ (1L << j)
     else Nil
-    (base ++ oneFlip ++ twoFlip).distinct.map(lit(_))
+    (base ++ oneFlip ++ twoFlip).distinct
   }
 
   /** IVF (inverted-file) assignment: nearest centroid id per row. Centroids are a small
@@ -85,6 +105,8 @@ object Similarity {
     */
   def ivfAssign(df: DataFrame, vecCol: String, centroids: Seq[Seq[Float]],
       out: String = "ivf_cell"): DataFrame = {
+    require(centroids.nonEmpty,
+      "IVF needs at least one centroid (empty centroids would assign every row to cell 0)")
     val cs = centroids.map(_.map(_.toDouble).toArray).toArray
     val norms = cs.map(c => math.sqrt(c.map(v => v * v).sum))
     val f = udf { (v: Seq[Float]) =>
@@ -122,11 +144,9 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, centroids: Seq[Seq[Float]],
       probe: Seq[Float], k: Int, nprobe: Int): DataFrame = {
     val cells = nearestCells(centroids, probe, nprobe)
-    ivfAssign(df, vecCol, centroids)
-      .filter(col("ivf_cell").isin(cells: _*))
-      .select(col(idCol), cosineToProbe(col(vecCol), probe).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol))
-      .limit(k)
+    topKByCosine(
+      ivfAssign(df, vecCol, centroids).filter(col("ivf_cell").isin(cells: _*)),
+      idCol, vecCol, probe, k)
   }
 
   /** One distributed Lloyd's iteration: assign every row to its nearest centroid, then
@@ -173,16 +193,18 @@ object Similarity {
       idCol: String, vecCol: String, centroids: Seq[Seq[Float]],
       probe: Seq[Float], k: Int, nprobe: Int): DataFrame = {
     val cells = nearestCells(centroids, probe, nprobe)
-    spark.read.parquet(path)
-      .filter(col("ivf_cell").isin(cells: _*))
-      .select(col(idCol), cosineToProbe(col(vecCol), probe).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol))
-      .limit(k)
+    topKByCosine(
+      spark.read.parquet(path).filter(col("ivf_cell").isin(cells: _*)),
+      idCol, vecCol, probe, k)
   }
 
   /** The `nprobe` cell ids nearest the probe (same ordering/tiebreak as [[ivfTopK]]). */
   private def nearestCells(centroids: Seq[Seq[Float]], probe: Seq[Float],
       nprobe: Int): Seq[Int] = {
+    // A silent empty result is the failure mode here: zero centroids or zero probes
+    // make every downstream isin() filter reject all rows with no error.
+    require(centroids.nonEmpty, "IVF needs at least one centroid")
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
     val pd = probe.map(_.toDouble)
     val pn = math.sqrt(pd.map(v => v * v).sum)
     centroids.zipWithIndex.map { case (c, i) =>
@@ -192,14 +214,16 @@ object Similarity {
     }.sortBy { case (s, i) => (-s, -i) }.take(nprobe).map(_._2)
   }
 
-  /** Simple deterministic centroid seeding for IVF: k spread rows by id order.
-    * Refine with [[refineCentroids]] (distributed Lloyd's iterations).
+  /** Simple deterministic centroid seeding for IVF: k pseudo-randomly spread rows,
+    * chosen by ordering on a hash of the id (TakeOrdered — no full sort
+    * materialization). Id-AGNOSTIC: the previous pmod(id, step)==0 filter returned
+    * fewer than k — possibly zero — centroids whenever ids weren't 0-aligned
+    * multiples (e.g. all ids ≡ 7 mod step). Refine with [[refineCentroids]].
     */
   def seedCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int): Seq[Seq[Float]] = {
-    val n = df.count()
-    val step = math.max(n / k, 1L)
-    df.filter(pmod(col(idCol), lit(step)) === 0)
-      .orderBy(col(idCol)).limit(k)
+    require(k > 0, s"k must be positive, got $k")
+    df.filter(col(vecCol).isNotNull)
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toSeq).toSeq
   }

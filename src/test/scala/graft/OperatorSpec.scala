@@ -426,6 +426,54 @@ class OperatorSpec extends SparkSpec {
     assert(cells.subsetOf((0 until 4).toSet) && cells.size > 1)
   }
 
+  test("topK edge cases: zero vectors excluded, misaligned ids still seed, empty IVF rejected") {
+    import spark.implicits._
+    // a zero-norm vector scores cosine NaN, which sorts ABOVE every real double under
+    // desc — it must be excluded, not returned as the "best" neighbor
+    val probe = Seq(1.0f, 0.0f)
+    val df = Seq(
+      (1L, Seq(1.0f, 0.1f)), (2L, Seq(0.0f, 0.0f)), (3L, Seq(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, "vec_id", "embedding", probe, 3).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 3L), "zero vector must not rank")
+    assert(top.forall(r => !r.getDouble(1).isNaN))
+    // ids all ≡ 7 (mod 8): the old pmod-based seeding returned ZERO centroids here
+    val off = (0 until 32).map(i => (i * 8L + 7L, Seq(i.toFloat, 1.0f))).toDF("vec_id", "embedding")
+    val seeds = Similarity.seedCentroids(off, "vec_id", "embedding", 4)
+    assert(seeds.size == 4, s"got ${seeds.size} centroids")
+    // silent-empty guards
+    intercept[IllegalArgumentException](Similarity.ivfAssign(df, "embedding", Seq.empty))
+    intercept[IllegalArgumentException](
+      Similarity.ivfTopK(df, "vec_id", "embedding", seeds, probe, 3, nprobe = 0))
+    // pre-bucketed ANN path agrees with the recomputed-bucket path
+    val corpus = embs.filter(col("vec_id") =!= 0)
+    val p2 = embs.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toSeq
+    val pre = Similarity.annTopK(
+      Similarity.bucketedCorpus(corpus, "embedding", p2.size, planes = 4), "vec_id", "embedding",
+      p2, 5, planes = 4, multiProbeBits = 2, bucketCol = Some("bucket")).collect()
+    val recomputed = Similarity.annTopK(corpus, "vec_id", "embedding",
+      p2, 5, planes = 4, multiProbeBits = 2).collect()
+    assert(pre.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      recomputed.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
+  test("multimodal null/empty payloads: null features, frame rows preserved") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array[Byte](1, 2, 3)), (2L, null.asInstanceOf[Array[Byte]]), (3L, Array.emptyByteArray))
+      .toDF("id", "bytes")
+    // null/empty bytes must yield NULL features (a zero vector would be a "valid"
+    // embedding with NaN cosine, ranking broken media first in top-k)
+    val feats = Multimodal.withFeatures(df, "bytes", dim = 4)
+      .select(col("id"), col("features")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(feats(1L).isDefined && feats(2L).isEmpty && feats(3L).isEmpty)
+    // frameless rows stay in the output with null frame columns (count reconciliation)
+    val frames = Multimodal.explodeFrames(df, "bytes")
+    assert(frames.count() == 3)
+    assert(frames.filter(col("id") === 2 && col("frame_idx").isNull).count() == 1)
+  }
+
   test("multimodal meta/features/frames plumbing") {
     import spark.implicits._
     val png = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte) ++ Array.fill(8192)(7.toByte)
