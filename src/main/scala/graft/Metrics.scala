@@ -56,7 +56,11 @@ object Metrics {
   def histogram(df: DataFrame, c: String, maxBuckets: Int = 1000): DataFrame = {
     val counts = df.filter(col(c).isNotNull)
       .groupBy(col(c).cast("string").as("value")).agg(count(lit(1)).as("cnt"))
-    val total = df.agg(count(col(c)).as("_t"))
+    // The denominator is sum(cnt) over the GROUPED counts (pre-limit), not a second
+    // count(col) over the input: both branches share the groupBy's exchange
+    // (ReuseExchange), so the table is scanned ONCE — the separate count was a full
+    // second input scan per histogram call.
+    val total = counts.agg(sum(col("cnt")).as("_t"))
     counts.crossJoin(broadcast(total))
       .select(col("value"), col("cnt"),
         (col("cnt").cast("double") / col("_t").cast("double")).as("ratio"))
@@ -112,6 +116,11 @@ object Metrics {
     * keys can't multiply left rows, so `count(marker)` is exactly the covered count.
     */
   def joinCoverage(left: DataFrame, right: DataFrame, keys: Seq[(String, String)]): DataFrame = {
+    // The marker column must not shadow a real column: a left-side "_matched" makes
+    // count(col("_matched")) ambiguous after the join; a right-side KEY named
+    // "_matched" would be silently REPLACED by the marker.
+    require(!left.columns.contains("_matched") && !keys.exists(_._2 == "_matched"),
+      "joinCoverage reserves the column name _matched; rename the input column")
     val r = right.select(keys.map { case (_, rc) => col(rc) }: _*).distinct()
       .withColumn("_matched", lit(1))
     // Plain equality: NULL left keys are uncovered by definition (null-safe <=> would
@@ -131,7 +140,11 @@ object Metrics {
     * value). Max value lands in the top bucket (reference behavior).
     */
   def numericHistogram(df: DataFrame, c: String, numBuckets: Int = 10): DataFrame = {
-    val bounds = df
+    // NaN is excluded up front: Spark's max ranks NaN above every real double, so a
+    // single NaN row would make maxV = NaN, collapse the width computation to the
+    // 1.0 fallback, and silently pile nearly all rows into the top bucket.
+    val clean = df.filter(col(c).isNotNull && !isnan(col(c).cast("double")))
+    val bounds = clean
       .agg(min(col(c).cast("double")).as("mn"), max(col(c).cast("double")).as("mx"))
       .head()
     // Empty input / all-null column: min/max are NULL — return an empty histogram
@@ -144,7 +157,7 @@ object Metrics {
     val bucket = least(
       floor((col(c).cast("double") - lit(minV)) / lit(width)),
       lit(numBuckets - 1L)).cast("long")
-    df.filter(col(c).isNotNull)
+    clean
       .groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("bucket"),
@@ -154,14 +167,17 @@ object Metrics {
       .orderBy("bucket")
   }
 
-  /** Grouped completeness (reference: analyzers/basic/grouped_completeness.rs:110-140). */
-  def groupedCompleteness(df: DataFrame, c: String, groups: Seq[String]): DataFrame =
+  /** The one grouped-completeness aggregation both public shapes share. */
+  private def groupedCompletenessBase(df: DataFrame, c: String, groups: Seq[String]): DataFrame =
     df.groupBy(groups.map(col): _*)
       .agg(count(lit(1)).as("total"), count(col(c)).as("non_null"))
       .select(groups.map(col) :+
         col("total") :+ col("non_null") :+
         (col("non_null").cast("double") / col("total").cast("double")).as("completeness"): _*)
-      .orderBy(groups.map(col): _*)
+
+  /** Grouped completeness (reference: analyzers/basic/grouped_completeness.rs:110-140). */
+  def groupedCompleteness(df: DataFrame, c: String, groups: Seq[String]): DataFrame =
+    groupedCompletenessBase(df, c, groups).orderBy(groups.map(col): _*)
 
   /** The WORST `maxGroups` groups by completeness, deterministically tiebroken on the
     * group value (reference: analyzers/basic/grouped_completeness.rs:119-128 worst-first
@@ -172,11 +188,7 @@ object Metrics {
     */
   def groupedCompletenessWorst(df: DataFrame, c: String, groups: Seq[String],
       maxGroups: Int = 10000): DataFrame =
-    df.groupBy(groups.map(col): _*)
-      .agg(count(lit(1)).as("total"), count(col(c)).as("non_null"))
-      .select(groups.map(col) :+
-        col("total") :+ col("non_null") :+
-        (col("non_null").cast("double") / col("total").cast("double")).as("completeness"): _*)
+    groupedCompletenessBase(df, c, groups)
       .orderBy(col("completeness").asc +: groups.map(col(_).asc): _*)
       .limit(maxGroups)
 

@@ -32,25 +32,32 @@ final class AnalysisRunner(analyzers: Seq[Analyzer[_]], continueOnError: Boolean
         case scala.util.control.NonFatal(_) if continueOnError => None
       }
 
+    // continueOnError=false must PROPAGATE per-analyzer failures — converting them to
+    // errors-map entries made callers (e.g. the incremental runner's ctx.states(key))
+    // die later with a key-not-found that masks the root cause. NonFatal only, matching
+    // the shared-scan catch above (catching InterruptedException would keep launching
+    // jobs on a cluster being torn down).
+    def attempt(a: Analyzer[_])(body: => Any): Either[(String, String), (String, MetricValue, Any)] =
+      try {
+        val s = body
+        Right((a.key, a.metricFromAnyState(s), s))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          if (!continueOnError) throw e
+          Left(a.key -> e.getMessage)
+      }
+
     val results: Seq[Either[(String, String), (String, MetricValue, Any)]] = batched match {
       case Some(values) =>
         var offset = 0
         analyzers.map { a =>
           val vs = values.slice(offset, offset + a.stateAggregates.size)
           offset += a.stateAggregates.size
-          try {
-            val s = a.stateFromValues(vs)
-            Right((a.key, a.metricFromAnyState(s), s))
-          } catch { case e: Exception => Left(a.key -> e.getMessage) }
+          attempt(a)(a.stateFromValues(vs))
         }
       case None =>
         // Shared job failed (e.g. one analyzer referenced a bad column): isolate.
-        analyzers.map { a =>
-          try {
-            val s = a.computeState(df)
-            Right((a.key, a.metricFromAnyState(s), s))
-          } catch { case e: Exception => Left(a.key -> e.getMessage) }
-        }
+        analyzers.map(a => attempt(a)(a.computeState(df)))
     }
 
     AnalyzerContext(

@@ -112,8 +112,14 @@ final case class CoMomentsState(n: Long, sx: Double, sy: Double, sxx: Double, sy
   * (advanced/approx_count_distinct.rs:78-79).
   */
 final case class HllState(sketch: Array[Byte]) extends AnalyzerState[HllState] {
-  def merge(o: HllState) = HllSketch.union(this, o)
-  def toFields = Map("sketch" -> java.util.Base64.getEncoder.encodeToString(sketch))
+  // hll_sketch_agg over an all-null (or empty) column yields NULL, so a null/empty
+  // sketch IS the legitimate empty state — it must merge as the identity and estimate
+  // as 0, not NPE in Base64/hll_union/hll_sketch_estimate.
+  def isEmpty: Boolean = sketch == null || sketch.isEmpty
+  def merge(o: HllState) =
+    if (isEmpty) o else if (o.isEmpty) this else HllSketch.union(this, o)
+  def toFields = Map("sketch" -> java.util.Base64.getEncoder.encodeToString(
+    if (sketch == null) Array.emptyByteArray else sketch))
 }
 object HllSketch {
   /** Union via a one-row Spark job on hll_union (the sketch format is Spark's own).
@@ -128,7 +134,7 @@ object HllSketch {
       .select(expr("hll_union(a, b)")).head()
     HllState(row.getAs[Array[Byte]](0))
   }
-  def estimate(s: HllState): Long = {
+  def estimate(s: HllState): Long = if (s.isEmpty) 0L else {
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
     Seq(s.sketch).toDF("s").select(expr("hll_sketch_estimate(s)")).head().getLong(0)

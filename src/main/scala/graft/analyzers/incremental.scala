@@ -41,9 +41,18 @@ final class FileSystemStateStore(rootDir: String, spark: SparkSession) extends S
   def save(a: String, p: String, fields: Map[String, String]): Unit = {
     val path = pathOf(a, p)
     val fs = path.getFileSystem(conf)
-    val out = fs.create(path, true)
+    // Write-temp-then-rename: a crash (or a reader racing the writer) must never see a
+    // TRUNCATED state file — Codec.decode throws on a half-written line and that
+    // partition's state would be unreadable until hand-deleted. Rename is atomic on
+    // HDFS/local; on object stores it is copy-of-a-complete-object, which still never
+    // exposes a partial file.
+    val tmp = new Path(path.getParent, s".${path.getName}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(Codec.encode(fields).getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(path)) fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"atomic state save failed: rename $tmp -> $path")
   }
   def load(a: String, p: String): Option[Map[String, String]] = {
     val path = pathOf(a, p)
@@ -118,6 +127,24 @@ final class IncrementalAnalysisRunner(store: StateStore, analyzers: Seq[Analyzer
     merged
   }
 
+  /** Advance the cumulative state after `fresh` partition states were saved. FRESH keys
+    * (the common streaming path) FOLD into the stored cumulative — O(1) store reads,
+    * where the full rebuild is O(all partitions) per call and made long-lived
+    * incremental sinks quadratic in total I/O. Any REPLAYED key (it already existed —
+    * its old state is being overwritten, so the stored cumulative includes a
+    * contribution that must not be double-counted) falls back to the full idempotent
+    * rebuild. A crash between a partition save and this fold is also safe: the retry
+    * sees the key as replayed and rebuilds.
+    */
+  private def updateCumulative(a: Analyzer[_], fresh: Seq[Any], anyReplayed: Boolean): Option[Any] =
+    if (anyReplayed) rebuildCumulative(a)
+    else {
+      val cur = store.load(a.key, CumulativeKey).map(a.stateFromFields)
+      val merged = (cur.toSeq ++ fresh).reduceOption((x, y) => a.mergeAnyStates(x, y))
+      merged.foreach(m => store.save(a.key, CumulativeKey, a.fieldsOfAnyState(m)))
+      merged
+    }
+
   /** Analyze one new partition; returns metrics over (history ∪ partition). All
     * analyzers' states come from ONE scan of the partition (AnalysisRunner batching) —
     * the per-analyzer-scan shape the reference fell back to is a linear job-count tax.
@@ -127,13 +154,16 @@ final class IncrementalAnalysisRunner(store: StateStore, analyzers: Seq[Analyzer
     require(partitionKey != CumulativeKey && partitionKey != NullKey,
       s"partition key '$partitionKey' collides with a reserved state-store key")
     val ctx = new AnalysisRunner(analyzers, continueOnError = false).run(df)
-    // Materialize EVERY analyzer's state before the first save: a failed analyzer must
-    // abort the whole call with the store untouched, not after earlier analyzers
-    // already committed (a retry would then double-count them).
-    val newStates = analyzers.map(a => a -> ctx.states(a.key))
-    newStates.foreach { case (a, s) => store.save(a.key, partitionKey, a.fieldsOfAnyState(s)) }
-    newStates.map { case (a, s) =>
-      a.key -> a.metricFromAnyState(rebuildCumulative(a).getOrElse(s))
+    // Materialize EVERY analyzer's state AND its rendered fields before the first save:
+    // a failed analyzer (or a toFields that throws) must abort the whole call with the
+    // store untouched, not after earlier analyzers already committed (a retry would
+    // then double-count them).
+    val newStates = analyzers.map(a => (a, ctx.states(a.key)))
+    val rendered = newStates.map { case (a, s) => (a, s, a.fieldsOfAnyState(s)) }
+    val replayed = analyzers.map(a => a.key -> store.load(a.key, partitionKey).isDefined).toMap
+    rendered.foreach { case (a, _, f) => store.save(a.key, partitionKey, f) }
+    rendered.map { case (a, s, _) =>
+      a.key -> a.metricFromAnyState(updateCumulative(a, Seq(s), replayed(a.key)).getOrElse(s))
     }.toMap
   }
 
@@ -147,6 +177,11 @@ final class IncrementalAnalysisRunner(store: StateStore, analyzers: Seq[Analyzer
     *
     * `maxPartitions` guards the driver collect, mirroring the grouped-metrics
     * `max_groups` guard: exceeding it throws rather than silently truncating.
+    *
+    * Contract difference from [[analyzePartition]]: partition keys are DISCOVERED from
+    * the data here, so an empty input records nothing (there are no keys to record),
+    * whereas analyzePartition is told its key explicitly and records that partition's
+    * zero-valued state.
     */
   def analyzePartitionsBatched(df: DataFrame, partitionExpr: org.apache.spark.sql.Column,
       maxPartitions: Int = 10000): Map[String, MetricValue] = {
@@ -172,9 +207,10 @@ final class IncrementalAnalysisRunner(store: StateStore, analyzers: Seq[Analyzer
         (row.getString(0) != CumulativeKey && row.getString(0) != NullKey),
         s"partition key value '${row.getString(0)}' collides with a reserved state-store key")
     }
-    // Construct EVERY partition's every state before the first save (stateFromValues
-    // can throw, e.g. on an unexpected aggregate value) — failing mid-save would leave
-    // the store partially updated and a retry would have stale cumulative inputs.
+    // Construct EVERY partition's every state AND its rendered field map before the
+    // first save (stateFromValues and toFields can both throw, e.g. on an unexpected
+    // aggregate value) — failing mid-save would leave the store partially updated and
+    // a retry would have stale cumulative inputs.
     val partStates = rows.sortBy(r => if (r.isNullAt(0)) NullKey else r.getString(0)).map { row =>
       val pk = if (row.isNullAt(0)) NullKey else row.getString(0)
       val values = row.toSeq.drop(1)
@@ -182,14 +218,21 @@ final class IncrementalAnalysisRunner(store: StateStore, analyzers: Seq[Analyzer
       pk -> analyzers.map { a =>
         val vs = values.slice(offset, offset + a.stateAggregates.size)
         offset += a.stateAggregates.size
-        a -> a.stateFromValues(vs)
+        val s = a.stateFromValues(vs)
+        (a, s, a.fieldsOfAnyState(s))
       }
     }
+    // Replay detection BEFORE the saves overwrite the evidence.
+    val replayed = analyzers.map(a =>
+      a.key -> partStates.exists { case (pk, _) => store.load(a.key, pk).isDefined }).toMap
     partStates.foreach { case (pk, ss) =>
-      ss.foreach { case (a, s) => store.save(a.key, pk, a.fieldsOfAnyState(s)) }
+      ss.foreach { case (a, _, f) => store.save(a.key, pk, f) }
     }
-    // Cumulative rebuilt from the stored partitions — idempotent under batch replay.
-    analyzers.foreach(rebuildCumulative)
+    // Fresh keys fold into the cumulative; any replayed key triggers the full
+    // idempotent rebuild (see updateCumulative).
+    analyzers.zipWithIndex.foreach { case (a, i) =>
+      updateCumulative(a, partStates.toSeq.map(_._2(i)._2), replayed(a.key))
+    }
     currentMetrics()
   }
 

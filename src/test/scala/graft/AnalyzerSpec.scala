@@ -246,6 +246,34 @@ class AnalyzerSpec extends SparkSpec {
     assert(fresh.toDataFrame.columns.toSeq == Seq("timestamp", "tags", "metric", "value"))
   }
 
+  test("all-null column: approx-distinct state is the empty sketch, not a poisoned null") {
+    import spark.implicits._
+    val df = Seq((1, None: Option[String]), (2, None), (3, None)).toDF("id", "v")
+    // direct runner path
+    val ctx = new AnalysisRunner(Seq(ApproxCountDistinctAnalyzer("v"))).run(df)
+    assert(ctx.errors.isEmpty, ctx.errors.toString)
+    assert(ctx.metrics("approx_count_distinct.v") == MetricValue.LongMetric(0L))
+    // incremental path: the null-sketch state must save, merge as identity, and reload
+    val runner = new IncrementalAnalysisRunner(new InMemoryStateStore,
+      Seq(ApproxCountDistinctAnalyzer("v")))
+    val m1 = runner.analyzePartition(df, "p_null")
+    assert(m1("approx_count_distinct.v") == MetricValue.LongMetric(0L))
+    val m2 = runner.analyzePartition(Seq((4, Some("a")), (5, Some("b"))).toDF("id", "v"), "p_vals")
+    assert(m2("approx_count_distinct.v") == MetricValue.LongMetric(2L))
+  }
+
+  test("continueOnError=false propagates the root cause instead of burying it in the errors map") {
+    import spark.implicits._
+    val df = Seq(1, 2).toDF("x")
+    val bad = MeanAnalyzer("no_such_column")
+    val e = intercept[Exception](
+      new AnalysisRunner(Seq(bad), continueOnError = false).run(df))
+    assert(e.getMessage != null)
+    // with continueOnError=true the same failure lands in the errors map instead
+    val ctx = new AnalysisRunner(Seq(bad), continueOnError = true).run(df)
+    assert(ctx.errors.contains(bad.key) && ctx.metrics.isEmpty)
+  }
+
   test("moments stddev never goes NaN on large-magnitude low-variance data") {
     // sumSq - sum²/n cancels to a small NEGATIVE number here without the clamp
     val vals = Seq.fill(1000)(1e8 + 0.1) ++ Seq.fill(1000)(1e8 - 0.1)
