@@ -604,18 +604,25 @@ object Queries {
     QueryDef("uniqueness_null_modes_events",
       (s, d) => {
         import graft.constraints.{NullMode, UniqueExprs}
-        val each = UniqueExprs.distinctCount(Seq("value"), NullMode.EachDistinct)
-        val incl = UniqueExprs.distinctCount(Seq("value"), NullMode.IncludeAsOne)
-        t(s, d, "events").agg(
-          count(lit(1)).as("total"),
-          UniqueExprs.distinctCount(Seq("value"), NullMode.Exclude).head.as("d_exclude"),
-          (incl(0) + incl(1)).as("d_include_one"), // exact single-column form: distinct + has-null flag
-          (each(0) + each(1)).as("d_each_distinct"))
+        // events.value has NO nulls in the fixtures — nulls are INJECTED (every 7th
+        // event id) so the three modes actually differ and the has-null flag /
+        // null-count terms are exercised, not vacuously equal.
+        val each = UniqueExprs.distinctCount(Seq("v"), NullMode.EachDistinct)
+        val incl = UniqueExprs.distinctCount(Seq("v"), NullMode.IncludeAsOne)
+        t(s, d, "events")
+          .withColumn("v",
+            when(col("event_id") % 7 === 0, lit(null).cast("double")).otherwise(col("value")))
+          .agg(
+            count(lit(1)).as("total"),
+            UniqueExprs.distinctCount(Seq("v"), NullMode.Exclude).head.as("d_exclude"),
+            (incl(0) + incl(1)).as("d_include_one"), // exact single-column form: distinct + has-null flag
+            (each(0) + each(1)).as("d_each_distinct"))
       },
-      Some("""SELECT count(*) AS total, count(DISTINCT value) AS d_exclude,
-             | count(DISTINCT value) + (CASE WHEN count(*) > count(value) THEN 1 ELSE 0 END) AS d_include_one,
-             | count(DISTINCT value) + (count(*) - count(value)) AS d_each_distinct
-             | FROM events""".stripMargin.replaceAll("\n", " "))),
+      Some("""WITH e AS (SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v FROM events)
+             | SELECT count(*) AS total, count(DISTINCT v) AS d_exclude,
+             | count(DISTINCT v) + (CASE WHEN count(*) > count(v) THEN 1 ELSE 0 END) AS d_include_one,
+             | count(DISTINCT v) + (count(*) - count(v)) AS d_each_distinct
+             | FROM e""".stripMargin.replaceAll("\n", " "))),
 
     // GROUPED cross-table sum (reference: constraints/cross_table_sum.rs:187-280 CTE
     // full-outer path): yearly lineitem revenue vs yearly order totals; every year
@@ -852,7 +859,8 @@ object Queries {
         .agg(count(lit(1)).as("near_dup_pairs")),
       Some("""WITH idx AS (SELECT unnest(range(1, CAST((SELECT coalesce(max(length(text)), 0) FROM documents) AS BIGINT) + 1)) AS i),
              | sh AS (SELECT doc_id, list(DISTINCT substr(text, CAST(i AS INT), 5)) AS g
-             |   FROM documents JOIN idx ON i <= length(text) - 4 GROUP BY doc_id)
+             |   FROM documents JOIN idx ON i <= length(text) - 4 GROUP BY doc_id
+             |   UNION ALL SELECT doc_id, [text] AS g FROM documents WHERE length(text) < 5)
              | SELECT count(*) AS near_dup_pairs
              | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
              | WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(list_distinct(a.g || b.g)) >= 0.9""".stripMargin.replaceAll("\n", " "))),
@@ -866,7 +874,8 @@ object Queries {
         .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b"),
       Some("""WITH idx AS (SELECT unnest(range(1, CAST((SELECT coalesce(max(length(text)), 0) FROM documents) AS BIGINT) + 1)) AS i),
              | sh AS (SELECT doc_id, list(DISTINCT substr(text, CAST(i AS INT), 5)) AS g
-             |   FROM documents JOIN idx ON i <= length(text) - 4 GROUP BY doc_id)
+             |   FROM documents JOIN idx ON i <= length(text) - 4 GROUP BY doc_id
+             |   UNION ALL SELECT doc_id, [text] AS g FROM documents WHERE length(text) < 5)
              | SELECT a.doc_id AS id_a, b.doc_id AS id_b
              | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
              | WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(list_distinct(a.g || b.g)) >= 0.9
@@ -880,7 +889,8 @@ object Queries {
         .agg(count(lit(1)).as("kept_rows")),
       Some("""WITH idx AS (SELECT unnest(range(1, CAST((SELECT coalesce(max(length(text)), 0) FROM documents) AS BIGINT) + 1)) AS i),
              | sh AS (SELECT doc_id, list(DISTINCT substr(text, CAST(i AS INT), 5)) AS g
-             |   FROM documents JOIN idx ON i <= length(text) - 4 GROUP BY doc_id),
+             |   FROM documents JOIN idx ON i <= length(text) - 4 GROUP BY doc_id
+             |   UNION ALL SELECT doc_id, [text] AS g FROM documents WHERE length(text) < 5),
              | dropped AS (SELECT DISTINCT b.doc_id
              |   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
              |   WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(list_distinct(a.g || b.g)) >= 0.9)
@@ -902,7 +912,8 @@ object Queries {
           max(col("sz")).as("max_cluster_size")),
       Some("""WITH RECURSIVE idx AS (SELECT unnest(range(1, CAST((SELECT coalesce(max(length(text)), 0) FROM documents) AS BIGINT) + 1)) AS i),
              | sh AS (SELECT doc_id, list(DISTINCT substr(text, CAST(i AS INT), 5)) AS g
-             |   FROM documents JOIN idx ON i <= length(text) - 4 GROUP BY doc_id),
+             |   FROM documents JOIN idx ON i <= length(text) - 4 GROUP BY doc_id
+             |   UNION ALL SELECT doc_id, [text] AS g FROM documents WHERE length(text) < 5),
              | p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
              |   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
              |   WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(list_distinct(a.g || b.g)) >= 0.9),
@@ -1060,9 +1071,9 @@ object Queries {
       Some("""WITH c AS (SELECT CAST(count(*) AS DOUBLE) AS n,
              |   CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS cc_ratio
              |   FROM orders)
-             | SELECT CAST(CASE WHEN abs(n - n) <= 1e-10 THEN 1 ELSE 0 END AS BIGINT) AS eq_ok,
-             | CAST(CASE WHEN abs(n - (n + 1e-11)) <= 1e-10 THEN 1 ELSE 0 END AS BIGINT) AS eq_eps_ok,
-             | CAST(CASE WHEN abs(n - n) > 1e-10 THEN 1 ELSE 0 END AS BIGINT) AS neq_ok,
+             | SELECT CAST(CASE WHEN abs(n - n) < 1e-10 THEN 1 ELSE 0 END AS BIGINT) AS eq_ok,
+             | CAST(CASE WHEN abs(n - (n + 1e-11)) < 1e-10 THEN 1 ELSE 0 END AS BIGINT) AS eq_eps_ok,
+             | CAST(CASE WHEN abs(n - n) >= 1e-10 THEN 1 ELSE 0 END AS BIGINT) AS neq_ok,
              | CAST(CASE WHEN n BETWEEN n - 1 AND n + 1 THEN 1 ELSE 0 END AS BIGINT) AS between_ok,
              | CAST(CASE WHEN NOT (n BETWEEN n - 1 AND n + 1) THEN 1 ELSE 0 END AS BIGINT) AS not_between_ok,
              | CAST(CASE WHEN n < n THEN 1 ELSE 0 END AS BIGINT) AS lt_ok,

@@ -20,7 +20,10 @@ object Formatters {
           case ConstraintStatus.Skipped => "-"
         }
         sb.append(s"    $mark ${r.constraint}")
-        r.metric.flatMap(_.asDouble).foreach(v => sb.append(f" = $v%.6g"))
+        // Locale.ROOT: the f interpolator uses the JVM default locale, which renders
+        // decimal COMMAS on e.g. de_DE deployments — same report, different bytes.
+        r.metric.flatMap(_.asDouble).foreach(v =>
+          sb.append(String.format(java.util.Locale.ROOT, " = %.6g", Double.box(v))))
         if (r.message.nonEmpty) sb.append(s"  (${r.message})")
         sb.append('\n')
       }

@@ -90,42 +90,55 @@ object ValidationSuite {
   def evaluateBatched(df: DataFrame, constraints: Seq[Constraint]): Seq[ConstraintResult] = {
     val (batchable, custom) = constraints.partition(_.aggregates.nonEmpty)
 
+    // One shared scan for a set of batchable constraints (throws on failure).
+    // Dedupes aggregate columns by their CANONICALIZED catalyst expression —
+    // Column.toString is not injective (two different unnamed UDFs over the same
+    // column render identically), and a false merge would silently hand one
+    // constraint another constraint's aggregate value. Canonicalized expression
+    // trees compare structurally (distinct function objects stay distinct); a
+    // missed dedup only costs a redundant aggregate in the same scan.
+    def runShared(cs: Seq[Constraint]): Map[Constraint, ConstraintResult] = {
+      val slots = scala.collection.mutable.LinkedHashMap.empty[
+        org.apache.spark.sql.catalyst.expressions.Expression, (Int, org.apache.spark.sql.Column)]
+      val slotIdx: Seq[Seq[Int]] = cs.map { c =>
+        c.aggregates.map { col =>
+          val key = org.apache.spark.sql.GraftSqlBridge.expressionEager(col).canonicalized
+          slots.getOrElseUpdate(key, (slots.size, col))._1
+        }
+      }
+      val distinctCols = slots.values.toSeq.sortBy(_._1).map(_._2)
+      // Chunk very wide suites to keep codegen happy; each chunk is still one scan.
+      val values = new Array[Any](distinctCols.size)
+      distinctCols.zipWithIndex.grouped(MaxAggsPerJob).foreach { chunk =>
+        val cols = chunk.map { case (c, i) => c.as(s"g$i") }
+        val row = df.agg(cols.head, cols.drop(1): _*).head()
+        chunk.zipWithIndex.foreach { case ((_, slot), local) => values(slot) = row.get(local) }
+      }
+      cs.zip(slotIdx).map { case (c, idxs) =>
+        c -> safeResult(c, () => c.fromAggregates(idxs.map(values)))
+      }.toMap
+    }
+
     val batchResults: Map[Constraint, ConstraintResult] =
       if (batchable.isEmpty) Map.empty
-      else {
-        // Dedupe aggregate columns by their CANONICALIZED catalyst expression —
-        // Column.toString is not injective (two different unnamed UDFs over the same
-        // column render identically), and a false merge would silently hand one
-        // constraint another constraint's aggregate value. Canonicalized expression
-        // trees compare structurally (distinct function objects stay distinct); a
-        // missed dedup only costs a redundant aggregate in the same scan.
-        val slots = scala.collection.mutable.LinkedHashMap.empty[
-          org.apache.spark.sql.catalyst.expressions.Expression, (Int, org.apache.spark.sql.Column)]
-        val slotIdx: Seq[Seq[Int]] = batchable.map { c =>
-          c.aggregates.map { col =>
-            val key = org.apache.spark.sql.GraftSqlBridge.expressionEager(col).canonicalized
-            slots.getOrElseUpdate(key, (slots.size, col))._1
-          }
-        }
-        val distinctCols = slots.values.toSeq.sortBy(_._1).map(_._2)
-        // Chunk very wide suites to keep codegen happy; each chunk is still one scan.
-        val values = new Array[Any](distinctCols.size)
-        try {
-          distinctCols.zipWithIndex.grouped(MaxAggsPerJob).foreach { chunk =>
-            val cols = chunk.map { case (c, i) => c.as(s"g$i") }
-            val row = df.agg(cols.head, cols.drop(1): _*).head()
-            chunk.zipWithIndex.foreach { case ((_, slot), local) => values(slot) = row.get(local) }
-          }
-          batchable.zip(slotIdx).map { case (c, idxs) =>
-            c -> safeResult(c, () => c.fromAggregates(idxs.map(values)))
-          }.toMap
-        } catch {
-          // A single bad constraint (e.g. missing column) fails the shared job at
-          // analysis time; fall back to per-constraint evaluation so one mistake
-          // doesn't sink the whole suite.
-          case _: Exception =>
-            batchable.map(c => c -> safeResult(c, () => c.evaluate(df))).toMap
-        }
+      else try runShared(batchable) catch {
+        // A single bad constraint (e.g. missing column) fails the shared job at
+        // analysis time. One mistake must not cost N full scans either: probe each
+        // constraint's aggregates ANALYSIS-ONLY (df.agg construction analyzes eagerly
+        // and runs no job), report the failing ones, and run the healthy rest as ONE
+        // shared scan. Per-constraint evaluation remains only as the last resort for
+        // a RUNTIME failure of the healthy batch.
+        case scala.util.control.NonFatal(_) =>
+          val (ok, bad) = batchable.partition(c =>
+            scala.util.Try(df.agg(c.aggregates.head, c.aggregates.drop(1): _*)).isSuccess)
+          val badResults = bad.map(c => c -> safeResult(c, () => c.evaluate(df))).toMap
+          val okResults =
+            if (ok.isEmpty) Map.empty[Constraint, ConstraintResult]
+            else try runShared(ok) catch {
+              case scala.util.control.NonFatal(_) =>
+                ok.map(c => c -> safeResult(c, () => c.evaluate(df))).toMap
+            }
+          okResults ++ badResults
       }
 
     // Multi-job constraints (groupBy/join/window shapes) are independent Spark jobs:

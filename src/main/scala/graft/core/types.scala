@@ -117,8 +117,12 @@ object Num {
     case l: Long   => Some(l)
     case i: Int    => Some(i.toLong)
     case s: Short  => Some(s.toLong)
+    case b: Byte   => Some(b.toLong)
     case d: Double => Some(d.toLong)
+    case f: Float  => Some(f.toLong)
     case bd: java.math.BigDecimal => Some(bd.longValue)
+    case bd: BigDecimal => Some(bd.toLong)
+    case b: Boolean     => Some(if (b) 1L else 0L)
     case _         => None
   }
 }

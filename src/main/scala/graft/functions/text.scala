@@ -100,9 +100,13 @@ object TextFunctions {
 
   // ---- fingerprinting / shingling ----
 
-  /** Normalized 64-bit content fingerprint (whitespace-collapsed). */
+  /** Normalized 64-bit content fingerprint (whitespace-collapsed). NULL in ⇒ NULL out:
+    * xxhash64 SKIPS null inputs and would return the bare seed, silently giving every
+    * null-text doc one shared "real" fingerprint (and diverging from SQL engines,
+    * where hashing NULL yields NULL and count(DISTINCT) excludes it).
+    */
   def fingerprint(c: Column): Column =
-    xxhash64(regexp_replace(trim(c), "\\s+", " "))
+    when(c.isNotNull, xxhash64(regexp_replace(trim(c), "\\s+", " ")))
 
   /** Character n-gram shingles (distinct). */
   def charShingles(c: Column, n: Int): Column =
