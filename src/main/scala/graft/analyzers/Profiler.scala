@@ -49,14 +49,16 @@ final class ColumnProfiler(config: ProfilerConfig = ProfilerConfig()) {
     def isNumeric(t: DataType) = t.isInstanceOf[NumericType]
     def isString(t: DataType) = t == StringType
 
-    // ---- pass 1: one agg for all basic stats ----
+    // ---- pass 1: one scan for all basic stats ----
     val aggs = scala.collection.mutable.ArrayBuffer.empty[Column]
     val index = scala.collection.mutable.Map.empty[(String, String), Int]
     def slot(c: String, what: String, expr: Column): Unit = {
       index((c, what)) = aggs.size; aggs += expr
     }
+    // ONE shared row count for the whole frame (it was previously added once per
+    // column — N identical aggregates in the same scan).
+    slot("", "total", count(lit(1)))
     targets.foreach { c =>
-      slot(c, "total", count(lit(1)))
       slot(c, "nonNull", count(col(c)))
       slot(c, "approxDistinct", approx_count_distinct(col(c), config.approxDistinctRsd))
       val t = schema(c)
@@ -72,10 +74,18 @@ final class ColumnProfiler(config: ProfilerConfig = ProfilerConfig()) {
         slot(c, "avgLen", avg(length(col(c))))
       }
     }
-    val aliased = aggs.zipWithIndex.map { case (c, i) => c.as(s"p$i") }
-    val row = df.agg(aliased.head, aliased.drop(1).toSeq: _*).head()
+    // Chunked like ValidationSuite.evaluateBatched: hundreds of columns yield
+    // thousands of aggregates, and a single unbounded agg blows whole-stage codegen's
+    // method-size limits (interpreted fallback) on exactly the wide tables the
+    // batching is meant to help. Each chunk is still one scan.
+    val values = new Array[Any](aggs.size)
+    aggs.zipWithIndex.grouped(200).foreach { chunk =>
+      val cols = chunk.map { case (c, i) => c.as(s"p$i") }
+      val r = df.agg(cols.head, cols.drop(1).toSeq: _*).head()
+      chunk.zipWithIndex.foreach { case ((_, slotIdx), local) => values(slotIdx) = r.get(local) }
+    }
     def get(c: String, what: String): Option[Any] =
-      index.get((c, what)).map(row.get).filter(_ != null)
+      index.get((c, what)).map(values(_)).filter(_ != null)
     def getD(c: String, what: String): Option[Double] =
       get(c, what).flatMap(graft.core.Num.toDouble)
     def getL(c: String, what: String): Option[Long] =
@@ -95,26 +105,44 @@ final class ColumnProfiler(config: ProfilerConfig = ProfilerConfig()) {
         }.toMap
       }
 
-    targets.map { c =>
-      val total = getL(c, "total").getOrElse(0L)
+    // ---- pass 2 + inference: per-column jobs, submitted CONCURRENTLY (bounded pool,
+    // same rationale as ValidationSuite's multi-job constraints — each job rarely
+    // saturates the cluster, and a 100-column table would otherwise serialize up to
+    // ~200 driver round-trips).
+    val total = getL("", "total").getOrElse(0L)
+    def histogramFor(c: String): Option[Histogram] = {
       val nonNull = getL(c, "nonNull").getOrElse(0L)
       val approxDistinct = getL(c, "approxDistinct").getOrElse(0L)
-      // ---- pass 2: histogram only when cardinality is bounded ----
-      val histogram =
-        if (approxDistinct > 0 && approxDistinct <= config.histogramMaxDistinct && nonNull > 0) {
-          val buckets = df.filter(col(c).isNotNull)
-            .groupBy(col(c).cast("string").as("v")).count()
-            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-          // Ratio over NON-NULL values, matching HistogramConstraint / the reference's
-          // count / (total_cnt - null_cnt).
-          Some(Histogram(
-            buckets.map { case (v, n) => v -> HistogramBucket(n, n.toDouble / nonNull) },
-            total, buckets.size.toLong, total - nonNull))
-        } else None
-      val inferred =
-        if (schema(c) == StringType)
-          Some(TypeInference.infer(df, c, config.typeInferenceSampleRows))
-        else None
+      if (approxDistinct > 0 && approxDistinct <= config.histogramMaxDistinct && nonNull > 0) {
+        val buckets = df.filter(col(c).isNotNull)
+          .groupBy(col(c).cast("string").as("v")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // Ratio over NON-NULL values, matching HistogramConstraint / the reference's
+        // count / (total_cnt - null_cnt).
+        Some(Histogram(
+          buckets.map { case (v, n) => v -> HistogramBucket(n, n.toDouble / nonNull) },
+          total, buckets.size.toLong, total - nonNull))
+      } else None
+    }
+    val perColumn: Map[String, (Option[Histogram], Option[TypeInference.Inferred])] = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(targets.size, 4))
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val futures = targets.map { c =>
+          Future(c -> (histogramFor(c),
+            if (schema(c) == StringType)
+              Some(TypeInference.infer(df, c, config.typeInferenceSampleRows))
+            else None))
+        }
+        Await.result(Future.sequence(futures), scala.concurrent.duration.Duration.Inf).toMap
+      } finally pool.shutdown()
+    }
+
+    targets.map { c =>
+      val nonNull = getL(c, "nonNull").getOrElse(0L)
+      val approxDistinct = getL(c, "approxDistinct").getOrElse(0L)
+      val (histogram, inferred) = perColumn(c)
       c -> ColumnProfile(
         column = c,
         sparkType = schema(c).simpleString,

@@ -128,9 +128,11 @@ final class SchemaAnalyzer(minOverlap: Double = 0.95) {
       if f.name.endsWith("key") || f.name.endsWith("_id") || f.name == "id"
     } yield (tname, f.name, f.dataType)
 
-    // isKeyLike is a Spark aggregation job depending only on (table, column) — memoize
-    // it or T×K keyish columns cost O((TK)²) redundant jobs across the candidate pairs.
+    // isKeyLike and the child's non-null count are Spark jobs depending only on
+    // (table, column) — memoize both or T×K keyish columns cost O((TK)²) redundant
+    // jobs across the candidate pairs.
     val keyLikeCache = scala.collection.mutable.Map.empty[(String, String), Boolean]
+    val childCountCache = scala.collection.mutable.Map.empty[(String, String), Long]
     for {
       (ct, cc, cdt) <- keyish
       (pt, pc, pdt) <- keyish
@@ -139,7 +141,9 @@ final class SchemaAnalyzer(minOverlap: Double = 0.95) {
       parent = tables(pt)
       // parent column must look like a key (distinct) and child values must overlap it
       if keyLikeCache.getOrElseUpdate((pt, pc), isKeyLike(parent, pc))
-      ov = overlap(child, cc, parent, pc)
+      total = childCountCache.getOrElseUpdate((ct, cc),
+        child.filter(col(cc).isNotNull).count())
+      ov = overlap(child, cc, parent, pc, total)
       if ov >= minOverlap
     } yield FkCandidate(ct, cc, pt, pc, ov)
   }
@@ -155,8 +159,8 @@ final class SchemaAnalyzer(minOverlap: Double = 0.95) {
     r.getLong(0) > 0 && r.getLong(1).toDouble / r.getLong(0) >= 0.9
   }
 
-  private def overlap(child: DataFrame, cc: String, parent: DataFrame, pc: String): Double = {
-    val total = child.filter(col(cc).isNotNull).count()
+  private def overlap(child: DataFrame, cc: String, parent: DataFrame, pc: String,
+      total: Long): Double = {
     if (total == 0) return 0.0
     val matched = child.filter(col(cc).isNotNull)
       .join(parent.select(col(pc)).distinct(), child(cc) === parent(pc), "left_semi").count()

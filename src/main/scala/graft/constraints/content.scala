@@ -65,15 +65,17 @@ final case class DecontaminationConstraint(
     assertion: Assertion = Assertion.Equals(0.0)) extends MultiJobConstraint {
   val name = s"Decontamination($textCol, $ngramWords-gram) ${assertion.describe}"
   override def evaluate(df: DataFrame): ConstraintResult = {
-    val probe = df.filter(col(textCol).isNotNull)
-    val row = graft.operators.Dedup.crossCorpusContamination(
-        corpus, probe, corpusTextCol, idCol, textCol, ngramWords)
-      .agg(count(lit(1)),
-        sum(when(col("ngrams_matched") > 0, 1L).otherwise(0L))).head()
-    val total = Num.toLong(row.get(0)).getOrElse(0L)
+    // Denominator = ALL validated docs, as the docstring promises — the operator's
+    // output drops docs with no tokens (null/empty/whitespace text), and using its
+    // row count would inflate the ratio on probes with many empty docs (an empty doc
+    // is trivially uncontaminated, so it belongs in the denominator).
+    val total = df.count()
     if (total == 0L) skipped("empty input")
     else {
-      val contaminated = Num.toLong(row.get(1)).getOrElse(0L)
+      val row = graft.operators.Dedup.crossCorpusContamination(
+          corpus, df, corpusTextCol, idCol, textCol, ngramWords)
+        .agg(coalesce(sum(when(col("ngrams_matched") > 0, 1L).otherwise(0L)), lit(0L))).head()
+      val contaminated = Num.toLong(row.get(0)).getOrElse(0L)
       assertOn(contaminated.toDouble / total.toDouble, assertion)
     }
   }
@@ -91,8 +93,13 @@ object Sandbox {
   def validatePredicate(sql: String): Unit = {
     // Scan with string literals blanked: a '--' or keyword INSIDE a quoted literal is
     // data, not SQL. Keywords match on word boundaries — the old "kw + space" form
-    // missed "delete\ttable" while false-flagging literals.
-    val noLiterals = sql.replaceAll("'(?:[^']|'')*'", "''")
+    // missed "delete\ttable" while false-flagging literals. Spark treats DOUBLE-quoted
+    // text as string literals too (default spark.sql.parser.quotedRegexColumnNames
+    // off), so blank those as well — `action != "insert"` is a data comparison, not
+    // an INSERT statement.
+    val noLiterals = sql
+      .replaceAll("\"(?:[^\"]|\"\")*\"", "\"\"")
+      .replaceAll("'(?:[^']|'')*'", "''")
     val lower = noLiterals.toLowerCase
     tokens.foreach { t =>
       require(!lower.contains(t), s"predicate contains forbidden token '$t'")
@@ -107,12 +114,14 @@ object Sandbox {
 /** String-length constraint (reference: constraints/length.rs:37-43). */
 final case class LengthConstraint(column: String, assertion: Assertion, stat: Stat = Stat.Max)
     extends Constraint {
+  require(stat == Stat.Min || stat == Stat.Max || stat == Stat.Mean,
+    s"LengthConstraint supports Min/Max/Mean, got ${stat.describe} — other stats would " +
+      "silently aggregate the raw VALUES instead of their lengths")
   val name = s"Length($column).${stat.describe} ${assertion.describe}"
   val aggregates: Seq[Column] = Seq(stat match {
     case Stat.Min  => min(length(col(column)))
     case Stat.Max  => max(length(col(column)))
-    case Stat.Mean => avg(length(col(column)))
-    case other     => other.column(column) // unreachable for supported stats
+    case _         => avg(length(col(column)))
   })
   def fromAggregates(values: Seq[Any]): ConstraintResult =
     Num.toDouble(values.head) match {

@@ -48,21 +48,22 @@ final case class MultiStatisticConstraint(column: String, stats: Seq[(Stat, Asse
   val aggregates: Seq[Column] = stats.map(_._1.column(column))
   def fromAggregates(values: Seq[Any]): ConstraintResult = {
     val outcomes = stats.zip(values).map { case ((st, a), v) =>
-      Num.toDouble(v) match {
-        case None    => (st.describe, None, true)
-        case Some(d) => (st.describe, Some(d), a(d))
-      }
+      val d = Num.toDouble(v)
+      (st.describe, d, d.map(a(_)))
     }
-    // An undefined statistic (all-null column) must not read as a passing assertion —
-    // mirror the single StatisticConstraint's Skipped.
-    if (outcomes.exists(_._2.isEmpty))
-      return skipped("statistic undefined (no non-null values)")
-    val failed = outcomes.filter(!_._3)
     val metric = MetricValue.MapMetric(outcomes.collect {
       case (n, Some(d), _) => n -> MetricValue.DoubleMetric(d)
     }.toMap)
-    if (failed.isEmpty) success(metric)
-    else failure(Some(metric), failed.map(f => s"${f._1}=${f._2.orNull}").mkString("failed: ", ", ", ""))
+    // Severity order: a CONCRETE failure of a defined statistic always surfaces, even
+    // when a sibling statistic is undefined (skipping the whole constraint would mask
+    // it); with no failures, any undefined statistic downgrades to Skipped (an
+    // undefined value must never read as a passing assertion).
+    val failed = outcomes.filter(_._3.contains(false))
+    if (failed.nonEmpty)
+      failure(Some(metric), failed.map(f => s"${f._1}=${f._2.orNull}").mkString("failed: ", ", ", ""))
+    else if (outcomes.exists(_._2.isEmpty))
+      skipped("statistic undefined (no non-null values)")
+    else success(metric)
   }
 }
 
@@ -139,6 +140,8 @@ final case class QuantileConstraint(
 /** Multiple quantiles of one column in one scan. */
 final case class MultiQuantileConstraint(column: String, qs: Seq[(Double, Assertion)],
     method: QuantileMethod = QuantileMethod.Approximate) extends Constraint {
+  require(qs.forall { case (q, _) => q >= 0 && q <= 1 },
+    "quantiles must be in [0,1]") // fail at construction, not inside the shared batched scan
   val name = s"MultiQuantile($column)[${qs.map(_._1).mkString(",")}]"
   val aggregates: Seq[Column] = qs.map { case (q, _) => method match {
     case QuantileMethod.Exact       => expr(s"percentile(${graft.core.SqlIdent(column)}, $q)")
@@ -146,10 +149,18 @@ final case class MultiQuantileConstraint(column: String, qs: Seq[(Double, Assert
   }}
   def fromAggregates(values: Seq[Any]): ConstraintResult = {
     val outcomes = qs.zip(values).map { case ((q, a), v) =>
-      (q, Num.toDouble(v), Num.toDouble(v).forall(a(_)))
+      val d = Num.toDouble(v)
+      (q, d, d.map(a(_)))
     }
     val metric = MetricValue.VectorMetric(outcomes.flatMap(_._2))
-    if (outcomes.forall(_._3)) success(metric)
-    else failure(Some(metric), s"quantiles failing: ${outcomes.filter(!_._3).map(_._1).mkString(",")}")
+    // Same severity order as MultiStatisticConstraint: concrete failures first, then
+    // undefined-⇒-Skipped (an undefined quantile — empty/all-null input — previously
+    // read as PASSING via Option.forall).
+    val failed = outcomes.filter(_._3.contains(false))
+    if (failed.nonEmpty)
+      failure(Some(metric), s"quantiles failing: ${failed.map(_._1).mkString(",")}")
+    else if (outcomes.exists(_._2.isEmpty))
+      skipped("quantile undefined on empty input")
+    else success(metric)
   }
 }

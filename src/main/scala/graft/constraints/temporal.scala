@@ -110,9 +110,13 @@ final case class MonotonicConstraint(
     strict: Boolean = false) extends MultiJobConstraint {
   val name = s"Monotonic($valueColumn by $orderColumn)"
   override def evaluate(df: DataFrame): ConstraintResult = {
+    // Tie-break on the VALUE column: rows sharing an order key would otherwise be
+    // compared in physical shuffle order and the verdict could flip between runs;
+    // with the value tiebreak a tie-group is scanned ascending, deterministically.
     val w =
-      if (partitionBy.isEmpty) Window.orderBy(col(orderColumn))
-      else Window.partitionBy(partitionBy.map(col): _*).orderBy(col(orderColumn))
+      if (partitionBy.isEmpty) Window.orderBy(col(orderColumn), col(valueColumn))
+      else Window.partitionBy(partitionBy.map(col): _*)
+        .orderBy(col(orderColumn), col(valueColumn))
     val prev = lag(col(valueColumn), 1).over(w)
     val bad = if (strict) col(valueColumn) <= prev else col(valueColumn) < prev
     val row = df.filter(col(valueColumn).isNotNull)

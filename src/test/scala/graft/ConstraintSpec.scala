@@ -179,6 +179,50 @@ class ConstraintSpec extends SparkSpec {
     assert(run(ContainsColumnConstraint("nope")).status == Failure)
   }
 
+  test("multi-stat/quantile severity: concrete failures beat undefined-skip; empty skips") {
+    import spark.implicits._
+    // one row: stddev_samp is undefined, but the Min violation must still FAIL the
+    // constraint (skipping would mask it)
+    val one = Seq(-10.0).toDF("v")
+    val mixed = MultiStatisticConstraint("v", Seq(
+      Stat.Min -> Assertion.GreaterThanOrEqual(0.0),
+      Stat.StdDev -> Assertion.LessThan(5.0))).evaluate(one)
+    assert(mixed.status == Failure, mixed.message)
+    // no failures + an undefined statistic -> Skipped
+    val passing = MultiStatisticConstraint("v", Seq(
+      Stat.Min -> Assertion.LessThan(0.0),
+      Stat.StdDev -> Assertion.LessThan(5.0))).evaluate(one)
+    assert(passing.status == Skipped)
+    // empty input: quantiles undefined -> Skipped, never Success
+    val empty = Seq.empty[Double].toDF("v")
+    val mq = MultiQuantileConstraint("v", Seq(0.5 -> Assertion.GreaterThan(10.0))).evaluate(empty)
+    assert(mq.status == Skipped, mq.message)
+    // invalid quantile and unsupported length stat fail at CONSTRUCTION
+    intercept[IllegalArgumentException](
+      MultiQuantileConstraint("v", Seq(1.5 -> Assertion.GreaterThan(0.0))))
+    intercept[IllegalArgumentException](
+      LengthConstraint("v", Assertion.LessThan(5.0), Stat.Median))
+  }
+
+  test("sandbox: keywords inside double-quoted literals are data, not SQL") {
+    Sandbox.validatePredicate("""action != "insert" AND note != "drop; --" """)
+    Sandbox.validatePredicate("action != 'delete me'")
+    intercept[IllegalArgumentException](Sandbox.validatePredicate("1=1; DROP TABLE t"))
+  }
+
+  test("decontamination denominator counts ALL validated docs, including zero-token ones") {
+    import spark.implicits._
+    val corpus = Seq((100L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    // 1 contaminated + 9 empty docs: contamination ratio is 1/10, not 1/1
+    val probes = (Seq((1L, "zz one two three four five six seven eight yy")) ++
+      (2L to 10L).map(i => (i, ""))).toDF("doc_id", "text")
+    val r = DecontaminationConstraint(corpus, "text", "doc_id", "text", 8,
+      Assertion.LessThanOrEqual(0.1)).evaluate(probes)
+    assert(r.status == Success, r.message)
+    assert(r.metric.flatMap(_.asDouble).contains(0.1))
+  }
+
   test("decontamination constraint: contaminated probe fails the zero-tolerance default") {
     import spark.implicits._
     val corpus = Seq(
