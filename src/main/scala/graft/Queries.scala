@@ -958,6 +958,9 @@ object Queries {
     // md5 token-hash variant (portable), and the oracle rebuilds the same 64-bit
     // sketch in DuckDB as two 32-bit halves (BIGINT-safe), bands it 4×16 bits, and
     // verifies Hamming <= 3 via bit_count(xor) — identical candidate + verify logic.
+    // Zero-token docs are excluded on BOTH sides (the engine filters them — they all
+    // sketch to 0); the engine's oversized-band guard (10k) never fires at oracle
+    // scale so the oracle omits it.
     QueryDef("dedup_simhash_documents",
       (s, d) => Dedup.nearDupPairsSimhash(t(s, d, "documents"), "doc_id", "text",
         maxHamming = 3, tokenHasher = "md5")
@@ -971,7 +974,7 @@ object Queries {
              |   CAST(sum(CASE WHEN v > 0 AND i < 32 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS lo32,
              |   CAST(sum(CASE WHEN v > 0 AND i >= 32 THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS hi32
              |   FROM votes GROUP BY 1),
-             | sh AS (SELECT d.doc_id, coalesce(lo32, 0) AS lo32, coalesce(hi32, 0) AS hi32 FROM documents d LEFT JOIN shx USING (doc_id)),
+             | sh AS (SELECT doc_id, lo32, hi32 FROM shx),
              | banded AS (SELECT doc_id, hi32, lo32,
              |   CASE b WHEN 0 THEN lo32 & 65535 WHEN 1 THEN (lo32 >> 16) & 65535 WHEN 2 THEN hi32 & 65535 ELSE (hi32 >> 16) & 65535 END AS bits16, b
              |   FROM sh, (SELECT unnest(range(0, 4)) AS b)),

@@ -18,8 +18,19 @@ object Verify {
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      catch {
+        // NonFatal only: an OOM/fatal error must kill the harness, not leave it
+        // running in a corrupted JVM whose remaining writes the driver would compare
+        // as real engine output.
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // A failure BEFORE the overwrite started leaves the PREVIOUS run's parquet
+          // in place — the driver would compare stale data and mask the failure.
+          val stale = new java.io.File(s"$outDir/$name")
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(stale)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

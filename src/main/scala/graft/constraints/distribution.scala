@@ -11,14 +11,21 @@ import org.apache.spark.sql.functions._
   * true-total correction (reference: analyzers/advanced/entropy.rs:204-330).
   */
 object Distribution {
-  /** value→count plus true totals, truncated to top `maxBuckets` by frequency. */
+  /** value→count plus true totals, truncated to top `maxBuckets` by frequency.
+    * ONE input scan: totals are derived from the grouped counts (both consumers share
+    * the groupBy's exchange) — the previous input-level agg was a full second table
+    * pass. distinctCount is counted over the SAME string rendering as the buckets, so
+    * `buckets.size` can never disagree with it (a raw countDistinct normalizes
+    * 0.0/-0.0 into one value while the string-keyed buckets split them).
+    */
   def counts(df: DataFrame, column: String, maxBuckets: Int): (Seq[(String, Long)], Long, Long, Long) = {
-    val totals = df.agg(count(lit(1)), count(col(column)), countDistinct(col(column))).head()
-    val total = totals.getLong(0)
-    val nonNull = totals.getLong(1)
-    val distinct = totals.getLong(2)
-    val top = df.filter(col(column).isNotNull)
-      .groupBy(col(column).cast("string").as("value")).count()
+    val grouped = df.groupBy(col(column).cast("string").as("value")).count()
+    val t = grouped.agg(
+      coalesce(sum(col("count")), lit(0L)),
+      coalesce(sum(when(col("value").isNotNull, col("count"))), lit(0L)),
+      count(col("value"))).head()
+    val (total, nonNull, distinct) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val top = grouped.filter(col("value").isNotNull)
       .orderBy(col("count").desc, col("value"))
       .limit(maxBuckets)
       .collect()
@@ -132,7 +139,10 @@ final case class GroupedCompletenessConstraint(
     val grouped = df.groupBy(groupColumns.map(col): _*)
       .agg(count(lit(1)).as("total"), count(col(column)).as("non_null"))
       .withColumn("completeness", col("non_null") / col("total"))
-      .orderBy(col("completeness").asc)
+      // Group-column tiebreak: ties AT the truncation boundary would otherwise retain
+      // a shuffle-order-dependent subset, making the reported examples (and the
+      // truncation flag's meaning) vary run to run.
+      .orderBy(col("completeness").asc +: groupColumns.map(col(_).asc): _*)
       .limit(maxGroups + 1)
       .collect()
     if (grouped.isEmpty) return skipped("empty input")
@@ -148,7 +158,11 @@ final case class GroupedCompletenessConstraint(
         val key = groupColumns.map(g => s"$g=${r.getAs[Any](g)}").mkString(",")
         f"$key:${r.getAs[Double]("completeness")}%.4f"
       }.mkString("; ")
-      failure(Some(metric), s"${failing.length} group(s) below $threshold: $examples")
+      // Worst-first ordering means a FULL page of failing rows implies more beyond
+      // the truncation point — say so instead of undercounting.
+      val n = if (truncated && failing.length == rows.length) s"at least ${failing.length}"
+        else failing.length.toString
+      failure(Some(metric), s"$n group(s) below $threshold: $examples")
     }
   }
 }

@@ -25,7 +25,11 @@ object Dedup {
   /** total/distinct/duplicate-row counts over the key columns. NULL keys compare
     * EQUAL to each other (the same semantics as [[exactDedup]]/`dropDuplicates`) — a
     * plain `countDistinct` would skip null-keyed rows entirely and report every one of
-    * them as a duplicate.
+    * them as a duplicate. Caveat (multi-column keys only): distinctness is computed
+    * over STRING renderings with a null sentinel, so 0.0/-0.0 floats count as two
+    * values where dropDuplicates groups them as one, and a string key literally equal
+    * to the sentinel merges with real NULLs — see [[graft.constraints.UniqueExprs]].
+    * The single-column form is exact.
     */
   def exactDupStats(df: DataFrame, cols: Seq[String]): DataFrame =
     df.agg(
@@ -154,12 +158,16 @@ object Dedup {
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands) — " +
         "otherwise signature slices are empty or trailing hash functions are silently unused")
     val rowsPerBand = numHashes / bands
+    // Null-text rows can never verify as near-dups (their jaccard is null), but
+    // without this filter they all share one bucket — xxhash64(null signature) — and
+    // flood the candidate join with pairs the verify stage then discards.
+    val docs = df.filter(col(textCol).isNotNull)
     // Signature materialized in its OWN projection before banding: `lshBuckets` slices
     // the signature 16 times, and inlining the UDF there would textually duplicate the
     // (expensive, whole-text) minhash kernel per band. CollapseProject keeps the two
     // projections separate because the alias is non-cheap and multiply referenced, so
     // the kernel runs exactly once per row.
-    val buckets = fanOut(df)
+    val buckets = fanOut(docs)
       .select(col(idCol).as("id"),
         minhashSignature(col(textCol), shingleSize, numHashes).as("_sig"))
       .select(col("id"), explode(lshBuckets(col("_sig"), bands, rowsPerBand)).as("bb"))
@@ -497,12 +505,21 @@ object Dedup {
   }
 
   /** Min-comparison for driver-side union-find over untyped id values. */
+  // java.sql.Date is Comparable[java.util.Date] (via its superclass), so a
+  // self-referential bound wouldn't fit — an erased Comparable[Any] cast does.
+  private val comparableOrdering: Ordering[Any] =
+    Ordering.fromLessThan((a: Any, b: Any) =>
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
+
   private def orderingFor(dt: DataType): Ordering[Any] = (dt match {
     case ByteType | ShortType | IntegerType | LongType =>
       Ordering.by((x: Any) => x.asInstanceOf[Number].longValue())
     case FloatType | DoubleType =>
       Ordering.by((x: Any) => x.asInstanceOf[Number].doubleValue())
     case StringType => Ordering.by((x: Any) => x.asInstanceOf[String])
+    // All totally ordered id types both paths handle: least/greatest are
+    // min-semantics-correct for these, and the boxed union-find just needs an Ordering.
+    case _: DecimalType | DateType | TimestampType => comparableOrdering
     case other => throw new IllegalArgumentException(s"unsupported id type for clustering: $other")
   }): Ordering[Any]
 
@@ -609,19 +626,30 @@ object Dedup {
     * bit_count(xor).
     */
   def nearDupPairsSimhash(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, tokenHasher: String = "murmur3"): DataFrame = {
+      maxHamming: Int = 3, tokenHasher: String = "murmur3",
+      maxBucketSize: Int = 10000): DataFrame = {
     require(maxHamming >= 0, "maxHamming must be non-negative")
     if (maxHamming > 3)
       log.warn(s"nearDupPairsSimhash: maxHamming=$maxHamming exceeds the 4x16-bit " +
         "banding guarantee (full recall only for Hamming <= 3) — pairs with a " +
         "differing bit in every band are never candidates, so recall is partial")
-    val hashed = withSimhash(fanOut(df.select(col(idCol).as("id"), col(textCol))), textCol,
-      tokenHasher = tokenHasher)
+    // Zero-token docs (null/empty/whitespace text) all sketch to simhash 0 — without
+    // this filter every such pair is a "near-duplicate" at Hamming 0 and the band
+    // self-join goes quadratic in their count.
+    val docs = df.select(col(idCol).as("id"), col(textCol))
+      .filter(size(tokens(col(textCol))) > 0)
+    val hashed = withSimhash(fanOut(docs), textCol, tokenHasher = tokenHasher)
     val banded = hashed.select(col("id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"), shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bits"))
       }: _*)).as("bb"))
       .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+      // Oversized-band guard, same shape and rationale as minhashCandidatePairs: a
+      // boilerplate-heavy corpus can pile thousands of docs onto one 16-bit band value
+      // and the self-join below would go quadratic on that bucket.
+      .repartition(col("band"), col("bits"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("band"), col("bits"))))
+      .filter(col("_n") <= maxBucketSize).drop("_n")
     val a = banded.select(col("band"), col("bits"), col("id").as("id_a"), col("simhash").as("h_a"))
     val b = banded.select(col("band"), col("bits"), col("id").as("id_b"), col("simhash").as("h_b"))
     a.join(b, Seq("band", "bits")).filter(col("id_a") < col("id_b"))
@@ -652,14 +680,19 @@ object Dedup {
     val f = udf { (v: Seq[Float]) =>
       if (v == null) null.asInstanceOf[java.lang.Long]
       else {
+        // Fail loud on a length mismatch: silently truncating to min(len, dim) would
+        // bucket on a PREFIX while the cosine verify uses the full vector (silent
+        // recall loss), and the driver-side Similarity.bucketOf uses the probe's full
+        // length — the two sides would compute different buckets with no error.
+        require(v.length == dim,
+          s"embedding length ${v.length} != declared dim $dim")
         var bucket = 0L
         var p = 0
         while (p < planeVecs.length) {
           val w = planeVecs(p)
-          val n = math.min(v.length, w.length)
           var dot = 0.0
           var i = 0
-          while (i < n) { dot += v(i).toDouble * w(i); i += 1 }
+          while (i < dim) { dot += v(i).toDouble * w(i); i += 1 }
           if (dot >= 0) bucket |= (1L << p)
           p += 1
         }

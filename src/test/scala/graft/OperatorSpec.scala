@@ -311,6 +311,20 @@ class OperatorSpec extends SparkSpec {
     assert(sGot == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "d"))
   }
 
+  test("clustering supports decimal ids (both paths)") {
+    import spark.implicits._
+    val ids = Seq(BigDecimal(1), BigDecimal(2), BigDecimal(3)).toDF("id")
+      .select(col("id").cast("decimal(38,0)").as("id"))
+    val pairs = Seq((BigDecimal(2), BigDecimal(3))).toDF("id_a", "id_b")
+      .select(col("id_a").cast("decimal(38,0)").as("id_a"),
+        col("id_b").cast("decimal(38,0)").as("id_b"))
+    def run(smallGraph: Long) = Dedup.clustersFromPairs(ids, pairs, "id", smallGraphEdges = smallGraph)
+      .collect().map(r => r.getDecimal(0).longValue() -> r.getDecimal(1).longValue()).toMap
+    val expected = Map(1L -> 1L, 2L -> 2L, 3L -> 2L)
+    assert(run(1000000L) == expected) // driver union-find path
+    assert(run(0L) == expected)       // distributed star-contraction path
+  }
+
   test("distributed star contraction collapses a long chain within O(log n) rounds") {
     import spark.implicits._
     // A 300-node path graph: naive min-label propagation needs ~300 rounds (and would
