@@ -18,16 +18,24 @@ object InferredType extends Enumeration {
     val c = col(column).cast("string")
     // NOTE: rlike instead of lower().isin(...) — first use of lower()/upper() in a JVM
     // pays a multi-second collation-init cost in Spark 4; Java-regex (?i) does not.
+    //
+    // Every branch classifies the STRING form `c` (Column.try_cast, no SQL-string
+    // round-trip): try_cast on the RAW column gave wrong answers for non-string
+    // inputs — a DOUBLE value 1.5 BIGINT-casts by truncation (everything "integer"),
+    // a DATE column's cast to BIGINT fails ANALYSIS and sank the shared scan — and
+    // mixing col() with backticked expr() split nested-name semantics between
+    // branches. Value-level inference is defined on the value's text, which is also
+    // exactly what the DuckDB oracle models.
     when(col(column).isNull, "null")
       .when(c.rlike("(?i)^\\s*(true|false)\\s*$"), "boolean")
-      .when(expr(s"try_cast(${graft.core.SqlIdent(column)} AS BIGINT)").isNotNull, "integer")
-      .when(expr(s"try_cast(${graft.core.SqlIdent(column)} AS DOUBLE)").isNotNull, "fractional")
+      .when(c.try_cast("bigint").isNotNull, "integer")
+      .when(c.try_cast("double").isNotNull, "fractional")
       // "date" only for strictly date-SHAPED strings: Spark's string→DATE cast accepts
       // full timestamps too (truncating), which would make the timestamp branch
       // unreachable if tested on cast success alone.
       .when(c.rlike("^\\s*\\d{4}-\\d{1,2}-\\d{1,2}\\s*$") &&
-        expr(s"try_cast(${graft.core.SqlIdent(column)} AS DATE)").isNotNull, "date")
-      .when(expr(s"try_cast(${graft.core.SqlIdent(column)} AS TIMESTAMP)").isNotNull, "timestamp")
+        c.try_cast("date").isNotNull, "date")
+      .when(c.try_cast("timestamp").isNotNull, "timestamp")
       .otherwise("text")
   }
   val labels = Seq("null", "boolean", "integer", "fractional", "date", "timestamp", "text")
@@ -40,6 +48,8 @@ final case class TypeConsistencyConstraint(
     column: String,
     threshold: Double,
     expected: Option[String] = None) extends Constraint {
+  require(expected.forall(InferredType.labels.contains),
+    s"unknown inferred-type label ${expected.orNull}; valid: ${InferredType.labels.mkString(", ")}")
   val name = expected match {
     case Some(t) => s"DataType($column == $t) >= $threshold"
     case None    => s"TypeConsistency($column) >= $threshold"
@@ -51,7 +61,10 @@ final case class TypeConsistencyConstraint(
     val counts = InferredType.labels.zip(values.map(v => Num.toLong(v).getOrElse(0L))).toMap
     val nonNull = counts.filter(_._1 != "null").values.sum
     if (nonNull == 0L) return skipped("no non-null values")
-    val (domType, domCount) = counts.filter(_._1 != "null").maxBy(_._2)
+    // Dominant type in fixed label order (maxBy keeps the FIRST max): a HashMap maxBy
+    // picks an arbitrary label on count ties.
+    val (domType, domCount) = InferredType.labels.filter(_ != "null")
+      .map(l => l -> counts(l)).maxBy(_._2)
     val metric = MetricValue.MapMetric(counts.map { case (k, v) => k -> MetricValue.LongMetric(v) })
     expected match {
       case Some(t) =>

@@ -54,6 +54,11 @@ final case class JoinCoverageConstraint(
     * can't multiply probe rows).
     */
   private def coverage(a: DataFrame, b: DataFrame, ks: Seq[(String, String)]): Option[Double] = {
+    // Same marker-collision guard as Metrics.joinCoverage: a probe-side "_matched"
+    // makes the count ambiguous; a b-side KEY named "_matched" would be silently
+    // REPLACED by the constant marker (degenerating the join condition).
+    require(!a.columns.contains("_matched") && !ks.exists(_._2 == "_matched"),
+      "join coverage reserves the column name _matched; rename the input column")
     val bKeys = b.select(ks.map { case (_, r) => col(r) }: _*).distinct()
       .withColumn("_matched", lit(1))
     // Plain equality: a NULL probe key must count as UNCOVERED (null-safe <=> would
@@ -71,7 +76,14 @@ final case class JoinCoverageConstraint(
       case CoverageMode.LeftCoverage  => coverage(left, right, fwd)
       case CoverageMode.RightCoverage => coverage(right, left, rev)
       case CoverageMode.Bidirectional =>
-        for (l <- coverage(left, right, fwd); r <- coverage(right, left, rev)) yield math.min(l, r)
+        // One empty side must NOT skip the whole check: the non-empty side's coverage
+        // against an empty table is a well-defined 0.0 that should be judged (a feed
+        // delivering zero rows is a failure, not a skip). min over the DEFINED sides;
+        // skip only when both are empty.
+        (coverage(left, right, fwd), coverage(right, left, rev)) match {
+          case (Some(l), Some(r)) => Some(math.min(l, r))
+          case (l, r)             => l.orElse(r)
+        }
     }
     value match {
       case None    => skipped("empty input")
@@ -94,8 +106,13 @@ final case class CrossTableSumConstraint(
   val name = if (groupKeys.isEmpty) "CrossTableSum" else s"CrossTableSum by ${groupKeys.map(_._1).mkString(",")}"
   override def evaluate(df: DataFrame): ConstraintResult = {
     if (groupKeys.isEmpty) {
-      val l = Num.toDouble(df.agg(sum(leftExpr)).head().get(0)).getOrElse(0.0)
-      val r = Num.toDouble(other.agg(sum(rightExpr)).head().get(0)).getOrElse(0.0)
+      val lOpt = Num.toDouble(df.agg(sum(leftExpr)).head().get(0))
+      val rOpt = Num.toDouble(other.agg(sum(rightExpr)).head().get(0))
+      // Null sums (empty/all-null side) must SKIP, not coerce to 0.0 — coercing both
+      // sides made total data loss reconcile as |0 - 0| = 0 and report Success.
+      if (lOpt.isEmpty && rOpt.isEmpty) return skipped("no data to reconcile on either side")
+      val l = lOpt.getOrElse(0.0)
+      val r = rOpt.getOrElse(0.0)
       val diff = math.abs(l - r)
       if (diff <= tolerance) success(MetricValue.DoubleMetric(diff))
       else failure(Some(MetricValue.DoubleMetric(diff)), f"sums differ: $l vs $r (|Δ|=$diff%.6g > $tolerance)")

@@ -50,10 +50,14 @@ object GraftFunctions {
     case Seq(vec, probeExpr) if probeExpr.foldable =>
       val probe = probeExpr.eval() match {
         case arr: ArrayData if probeExpr.dataType.isInstanceOf[ArrayType] =>
-          val et = probeExpr.dataType.asInstanceOf[ArrayType].elementType
           val cast = org.apache.spark.sql.catalyst.expressions.Cast(
             Literal.create(arr, probeExpr.dataType), ArrayType(DoubleType))
-          cast.eval().asInstanceOf[ArrayData].toDoubleArray().toIndexedSeq
+          val data = cast.eval().asInstanceOf[ArrayData]
+          // Reject null elements: toDoubleArray would unbox them to 0.0 and the
+          // similarity would be computed against a silently different vector.
+          (0 until data.numElements()).foreach(i => require(!data.isNullAt(i),
+            s"graft_cosine_to_probe probe contains a NULL element at index $i"))
+          data.toDoubleArray().toIndexedSeq
         case other => throw new IllegalArgumentException(
           s"graft_cosine_to_probe probe must be an array literal, got $other")
       }
@@ -86,7 +90,9 @@ object GraftFunctions {
     if (!e.foldable) throw new IllegalArgumentException(
       s"$name: $arg must be a constant integer")
     e.eval() match {
-      case n: Number => n.intValue()
+      // Integral values only — intValue() on a 3.7D literal would silently truncate
+      // to a kernel parameter the user didn't write.
+      case n: Number if n.doubleValue() == n.intValue().toDouble => n.intValue()
       case other => throw new IllegalArgumentException(
         s"$name: $arg must be a constant integer, got $other")
     }
