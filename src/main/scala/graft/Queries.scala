@@ -370,7 +370,7 @@ object Queries {
         Seq((m("size.*").toLong, m("completeness.l_tax"),
           BigDecimal(m("mean.l_quantity")).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
           BigDecimal(m("stddev.l_extendedprice")).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          BigDecimal(m("correlation.l_quantity.l_extendedprice")).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          BigDecimal(m("correlation.l_quantity|l_extendedprice")).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
           .toDF("n_rows", "completeness_tax", "mean_qty", "stddev_price", "corr_qty_price")
       },
       Some("""SELECT count(*) AS n_rows,

@@ -266,7 +266,9 @@ final case class MeanAnalyzer(column: String) extends Analyzer[SumState] {
 
 final case class MinMaxAnalyzer(column: String) extends Analyzer[MinMaxState] {
   val name = "min_max"; val key = s"min_max.$column"
-  val stateAggregates = Seq(min(col(column)).cast("double"), max(col(column)).cast("double"))
+  // Cast BEFORE aggregating: min/max of a string-typed numeric column is otherwise
+  // lexicographic ("10" < "9") and only the final garbage value gets cast.
+  val stateAggregates = Seq(min(col(column).cast("double")), max(col(column).cast("double")))
   def stateFromValues(v: Seq[Any]) = MinMaxState(Num.toDouble(v(0)), Num.toDouble(v(1)))
   def stateFromFields(f: Map[String, String]) = MinMaxState(
     Some(f("min")).filter(_.nonEmpty).map(_.toDouble), Some(f("max")).filter(_.nonEmpty).map(_.toDouble))
@@ -277,8 +279,11 @@ final case class MinMaxAnalyzer(column: String) extends Analyzer[MinMaxState] {
 
 final case class StdDevAnalyzer(column: String) extends Analyzer[MomentsState] {
   val name = "stddev"; val key = s"stddev.$column"
-  val stateAggregates = Seq(
-    count(col(column)), sum(col(column)), sum(col(column) * col(column)))
+  // Cast to double BEFORE squaring (like CorrelationAnalyzer): the per-row square in
+  // an integer column's native type overflows silently (100000² wraps Int), and
+  // decimal products that overflow precision become NULL and drop from the sum.
+  private def xd = col(column).cast("double")
+  val stateAggregates = Seq(count(col(column)), sum(xd), sum(xd * xd))
   def stateFromValues(v: Seq[Any]) = MomentsState(
     Num.toLong(v(0)).getOrElse(0L), Num.toDouble(v(1)).getOrElse(0.0), Num.toDouble(v(2)).getOrElse(0.0))
   def stateFromFields(f: Map[String, String]) =
@@ -288,7 +293,9 @@ final case class StdDevAnalyzer(column: String) extends Analyzer[MomentsState] {
 }
 
 final case class CorrelationAnalyzer(c1: String, c2: String) extends Analyzer[CoMomentsState] {
-  val name = "correlation"; val key = s"correlation.$c1.$c2"
+  // "|" separator: the dotted form made correlation.a.b.c ambiguous between
+  // (a, b.c) and (a.b, c), silently overwriting one analyzer's results.
+  val name = "correlation"; val key = s"correlation.$c1|$c2"
   private def both = col(c1).isNotNull && col(c2).isNotNull
   private def x = when(both, col(c1)).cast("double")
   private def y = when(both, col(c2)).cast("double")
@@ -310,7 +317,11 @@ final case class CorrelationAnalyzer(c1: String, c2: String) extends Analyzer[Co
   */
 final case class QuantileAnalyzer(column: String, quantiles: Seq[Double] = Seq(0.5),
     relativeError: Double = 0.01) extends Analyzer[QuantileState] {
-  val name = "quantile"; val key = s"quantile.$column"
+  // Parameters in the key: two QuantileAnalyzers on one column with different q lists
+  // previously shared key "quantile.col" and one silently overwrote the other in the
+  // runner's keyed maps.
+  val name = "quantile"
+  val key = s"quantile.$column[${quantiles.mkString(",")}]@$relativeError"
   val stateAggregates = Seq(QuantileSketch.aggColumn(column, relativeError))
   def stateFromValues(v: Seq[Any]) =
     QuantileState(QuantileSketch.deserialize(v.head.asInstanceOf[Array[Byte]]))
@@ -323,9 +334,7 @@ final case class QuantileAnalyzer(column: String, quantiles: Seq[Double] = Seq(0
 
 final case class ApproxCountDistinctAnalyzer(column: String) extends Analyzer[HllState] {
   val name = "approx_count_distinct"; val key = s"approx_count_distinct.$column"
-  // Backtick-escape the interpolated identifier — a column named "a`b" (legal via the
-  // Column API) would otherwise break the parsed expression.
-  val stateAggregates = Seq(expr(s"hll_sketch_agg(`${column.replace("`", "``")}`)"))
+  val stateAggregates = Seq(expr(s"hll_sketch_agg(${graft.core.SqlIdent(column)})"))
   def stateFromValues(v: Seq[Any]) = HllState(v.head.asInstanceOf[Array[Byte]])
   def stateFromFields(f: Map[String, String]) =
     HllState(java.util.Base64.getDecoder.decode(f("sketch")))

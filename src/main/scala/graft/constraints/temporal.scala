@@ -14,13 +14,19 @@ import org.apache.spark.sql.functions._
 final case class DateRangeConstraint(tsColumn: String, from: String, to: String)
     extends Constraint {
   val name = s"DateRange($tsColumn in [$from, $to])"
+  // The bounds travel as extra aggregates so an UNPARSEABLE literal (to_timestamp →
+  // NULL) is reported as a configuration error — without the check every row's
+  // predicate is NULL and a typo'd bound masquerades as "all N values out of range".
   val aggregates: Seq[Column] = Seq(
     count(col(tsColumn)),
     sum(when(col(tsColumn) >= to_timestamp(lit(from)) &&
-             col(tsColumn) <= to_timestamp(lit(to)), 1L).otherwise(0L)))
+             col(tsColumn) <= to_timestamp(lit(to)), 1L).otherwise(0L)),
+    first(to_timestamp(lit(from))), first(to_timestamp(lit(to))))
   def fromAggregates(values: Seq[Any]): ConstraintResult = {
     val nonNull = Num.toLong(values(0)).getOrElse(0L)
     if (nonNull == 0L) return skipped("no non-null timestamps")
+    if (values(2) == null || values(3) == null)
+      return failure(None, s"unparseable range bound: [$from, $to] — fix the check definition")
     val in = Num.toLong(values(1)).getOrElse(0L)
     if (in == nonNull) success(MetricValue.DoubleMetric(1.0))
     else failure(Some(MetricValue.DoubleMetric(in.toDouble / nonNull)),
@@ -36,8 +42,16 @@ final case class BusinessHoursConstraint(
     startHour: Int = 9, endHour: Int = 17,
     businessDaysOnly: Boolean = true,
     assertion: Assertion = Assertion.GreaterThanOrEqual(1.0)) extends Constraint {
+  require(startHour >= 0 && startHour <= 24 && endHour >= 0 && endHour <= 24,
+    s"hours must be in [0,24], got $startHour..$endHour")
+  require(startHour != endHour,
+    s"startHour == endHour ($startHour) matches no timestamps")
   val name = s"BusinessHours($tsColumn ${startHour}h-${endHour}h) ${assertion.describe}"
-  private val inHours = hour(col(tsColumn)) >= startHour && hour(col(tsColumn)) < endHour
+  // start > end = an OVERNIGHT window (e.g. 22h-6h, a night shift): hour >= start OR
+  // hour < end. The naive AND would silently match nothing and always fail.
+  private val inHours =
+    if (startHour < endHour) hour(col(tsColumn)) >= startHour && hour(col(tsColumn)) < endHour
+    else hour(col(tsColumn)) >= startHour || hour(col(tsColumn)) < endHour
   // Spark dayofweek: 1=Sunday..7=Saturday; business days are 2..6.
   private val inDays = dayofweek(col(tsColumn)).between(2, 6)
   private val pred = if (businessDaysOnly) inHours && inDays else inHours
@@ -81,22 +95,28 @@ final case class MaxTimeGapConstraint(
     partitionBy: Seq[String],
     maxGapSeconds: Long) extends MultiJobConstraint {
   val name = s"MaxTimeGap($tsColumn by ${partitionBy.mkString(",")}) <= ${maxGapSeconds}s"
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
   override def evaluate(df: DataFrame): ConstraintResult = {
+    if (partitionBy.isEmpty)
+      log.warn("MaxTimeGapConstraint with no partition key uses a GLOBAL window — " +
+        "the whole dataset sorts in one task; partition by a session/entity key at scale")
     val w =
       if (partitionBy.isEmpty) Window.orderBy(col(tsColumn))
       else Window.partitionBy(partitionBy.map(col): _*).orderBy(col(tsColumn))
+    // Gap in FRACTIONAL seconds: unix_timestamp truncates to whole seconds, so a
+    // 1.9 s gap passed a 1 s limit.
     val gaps = df.filter(col(tsColumn).isNotNull)
       .withColumn("_prev", lag(col(tsColumn), 1).over(w))
-      .withColumn("_gap", unix_timestamp(col(tsColumn)) - unix_timestamp(col("_prev")))
+      .withColumn("_gap", col(tsColumn).cast("double") - col("_prev").cast("double"))
     val row = gaps.agg(
       max(col("_gap")),
       sum(when(col("_gap") > maxGapSeconds, 1L).otherwise(0L))).head()
     if (row.isNullAt(0)) return skipped("fewer than 2 timestamps")
-    val maxGap = Num.toLong(row.get(0)).getOrElse(0L)
+    val maxGap = Num.toDouble(row.get(0)).getOrElse(0.0)
     val violations = Num.toLong(row.get(1)).getOrElse(0L)
-    if (violations == 0L) success(MetricValue.LongMetric(maxGap))
-    else failure(Some(MetricValue.LongMetric(maxGap)),
-      s"$violations gap(s) exceed ${maxGapSeconds}s (max observed ${maxGap}s)")
+    if (violations == 0L) success(MetricValue.DoubleMetric(maxGap))
+    else failure(Some(MetricValue.DoubleMetric(maxGap)),
+      f"$violations gap(s) exceed ${maxGapSeconds}s (max observed $maxGap%.3fs)")
   }
 }
 
@@ -119,7 +139,9 @@ final case class MonotonicConstraint(
         .orderBy(col(orderColumn), col(valueColumn))
     val prev = lag(col(valueColumn), 1).over(w)
     val bad = if (strict) col(valueColumn) <= prev else col(valueColumn) < prev
-    val row = df.filter(col(valueColumn).isNotNull)
+    // NULL order keys sort first (asc nulls-first) and would anchor the sequence,
+    // flagging spurious violations against rows that have no position in the order.
+    val row = df.filter(col(valueColumn).isNotNull && col(orderColumn).isNotNull)
       .withColumn("_viol", when(prev.isNotNull && bad, 1L).otherwise(0L))
       .agg(count(lit(1)), coalesce(sum(col("_viol")), lit(0L))).head()
     if (row.getLong(0) == 0L) return skipped("no non-null values")

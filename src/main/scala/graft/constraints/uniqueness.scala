@@ -30,14 +30,15 @@ private[graft] object UniqueExprs {
     case NullMode.IncludeAsOne if cols.size == 1 =>
       Seq(countDistinct(col(cols.head)),
         max(when(col(cols.head).isNull, 1L).otherwise(0L)))
-    // Multi column: per-column null sentinel via string concat, matching the
-    // reference's COALESCE(CAST(c AS VARCHAR),'<NULL>') || ... composite
-    // ((null, a) and (null, b) stay DISTINCT). String rendering caveat: -0.0 and 0.0
-    // render distinct here.
+    // Multi column: countDistinct over a STRUCT of the key columns. Struct grouping
+    // treats per-field NULLs as equal (all-null tuples collapse to one; (null, a) and
+    // (null, b) stay DISTINCT) and normalizes -0.0/0.0 — the same semantics as
+    // dropDuplicates, without the old string-concat sentinel's hazards (a value
+    // literally equal to the sentinel merged with real NULLs; distinct invalid-UTF8
+    // binary values conflated under the string cast). Observably identical to the
+    // reference's COALESCE-composite on data without those pathologies.
     case NullMode.IncludeAsOne =>
-      Seq(countDistinct(
-        coalesce(col(cols.head).cast("string"), lit("\u0000<NULL>")),
-        cols.drop(1).map(c => coalesce(col(c).cast("string"), lit("\u0000<NULL>"))): _*))
+      Seq(countDistinct(struct(cols.map(col): _*)))
     case NullMode.EachDistinct =>
       Seq(
         countDistinct(col(cols.head), cols.drop(1).map(col): _*),
