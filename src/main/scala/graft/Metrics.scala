@@ -140,10 +140,12 @@ object Metrics {
     * value). Max value lands in the top bucket (reference behavior).
     */
   def numericHistogram(df: DataFrame, c: String, numBuckets: Int = 10): DataFrame = {
-    // NaN is excluded up front: Spark's max ranks NaN above every real double, so a
-    // single NaN row would make maxV = NaN, collapse the width computation to the
-    // 1.0 fallback, and silently pile nearly all rows into the top bucket.
-    val clean = df.filter(col(c).isNotNull && !isnan(col(c).cast("double")))
+    // Only FINITE values participate: a NaN makes maxV = NaN (Spark's max ranks NaN
+    // above every real double) and an Infinity makes the width infinite — both
+    // silently collapse the histogram into one garbage bucket. between(±MaxValue)
+    // excludes NaN (<= fails under NaN-largest), ±Inf, and NULL in one predicate.
+    val clean = df.filter(
+      col(c).cast("double").between(-Double.MaxValue, Double.MaxValue))
     val bounds = clean
       .agg(min(col(c).cast("double")).as("mn"), max(col(c).cast("double")).as("mx"))
       .head()

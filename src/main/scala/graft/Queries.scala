@@ -32,12 +32,8 @@ object Queries {
     val pid = ProcessHandle.current().pid()
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_${prefix}_${sfDir.hashCode.toHexString}_$pid"
     val f = new java.io.File(path)
-    if (cleanupRegistered.add(path)) Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(x: java.io.File): Unit = {
-        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
-      }
-      rm(f)
-    }))
+    if (cleanupRegistered.add(path)) Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.core.FsUtil.deleteRecursively(f)))
     path
   }
   private val cleanupRegistered =

@@ -26,11 +26,7 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
           // A failure BEFORE the overwrite started leaves the PREVIOUS run's parquet
           // in place — the driver would compare stale data and mask the failure.
-          val stale = new java.io.File(s"$outDir/$name")
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-          }
-          rm(stale)
+          graft.core.FsUtil.deleteRecursively(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -184,7 +184,11 @@ object TypeInference {
     val nonNull = counts.filter(_._1 != "null").values.sum
     if (nonNull == 0) Inferred("unknown", 0.0, counts)
     else {
-      val (t, n) = counts.filter(_._1 != "null").maxBy(_._2)
+      // Fixed label order on count ties (maxBy keeps the FIRST max) — a HashMap maxBy
+      // picks an arbitrary winner, flipping the inferred type across runs. Same
+      // tiebreak as TypeConsistencyConstraint.
+      val (t, n) = graft.constraints.InferredType.labels.filter(_ != "null")
+        .map(l => l -> counts.getOrElse(l, 0L)).maxBy(_._2)
       Inferred(t, n.toDouble / nonNull, counts)
     }
   }

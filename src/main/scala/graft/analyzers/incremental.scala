@@ -41,18 +41,20 @@ final class FileSystemStateStore(rootDir: String, spark: SparkSession) extends S
   def save(a: String, p: String, fields: Map[String, String]): Unit = {
     val path = pathOf(a, p)
     val fs = path.getFileSystem(conf)
-    // Write-temp-then-rename: a crash (or a reader racing the writer) must never see a
-    // TRUNCATED state file — Codec.decode throws on a half-written line and that
-    // partition's state would be unreadable until hand-deleted. Rename is atomic on
-    // HDFS/local; on object stores it is copy-of-a-complete-object, which still never
-    // exposes a partial file.
+    // Write-temp-then-rename-OVERWRITE: a crash (or a reader racing the writer) must
+    // never see a TRUNCATED state file — Codec.decode throws on a half-written line —
+    // and must never see the file MISSING either: a delete-then-rename pair has a
+    // window where load() returns None, which the incremental runner's replay check
+    // would misread as "fresh partition" and double-count the cumulative.
+    // FileContext.rename(OVERWRITE) replaces the target atomically on HDFS/local; on
+    // object stores it is copy-of-a-complete-object, which still never exposes a
+    // partial or missing file.
     val tmp = new Path(path.getParent, s".${path.getName}.tmp")
     val out = fs.create(tmp, true)
     try out.write(Codec.encode(fields).getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(path)) fs.delete(path, false)
-    if (!fs.rename(tmp, path))
-      throw new java.io.IOException(s"atomic state save failed: rename $tmp -> $path")
+    org.apache.hadoop.fs.FileContext.getFileContext(path.toUri, conf)
+      .rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
   def load(a: String, p: String): Option[Map[String, String]] = {
     val path = pathOf(a, p)
@@ -119,11 +121,17 @@ final class IncrementalAnalysisRunner(store: StateStore, analyzers: Seq[Analyzer
     * replaying a partition (at-least-once `foreachBatch`) or re-analyzing it with
     * corrected data overwrites that partition's state and can never double-count.
     */
+  // The cumulative record is stamped with how many partition states produced it, so
+  // the fast fold path can detect a stale cumulative (deleted partitions, legacy or
+  // crash-window records) with one directory listing.
+  private val NPartsField = "__nparts"
+
   private def rebuildCumulative(a: Analyzer[_]): Option[Any] = {
     val states = dataPartitions(a.key)
       .flatMap(p => store.load(a.key, p)).map(a.stateFromFields)
     val merged = states.reduceOption((x, y) => a.mergeAnyStates(x, y))
-    merged.foreach(m => store.save(a.key, CumulativeKey, a.fieldsOfAnyState(m)))
+    merged.foreach(m => store.save(a.key, CumulativeKey,
+      a.fieldsOfAnyState(m) + (NPartsField -> states.size.toString)))
     merged
   }
 
@@ -139,10 +147,25 @@ final class IncrementalAnalysisRunner(store: StateStore, analyzers: Seq[Analyzer
   private def updateCumulative(a: Analyzer[_], fresh: Seq[Any], anyReplayed: Boolean): Option[Any] =
     if (anyReplayed) rebuildCumulative(a)
     else {
-      val cur = store.load(a.key, CumulativeKey).map(a.stateFromFields)
-      val merged = (cur.toSeq ++ fresh).reduceOption((x, y) => a.mergeAnyStates(x, y))
-      merged.foreach(m => store.save(a.key, CumulativeKey, a.fieldsOfAnyState(m)))
-      merged
+      val curFields = store.load(a.key, CumulativeKey)
+      // Consistency check before trusting the fold: after the fresh saves, the
+      // cumulative's stamped producer count + |fresh| must equal the actual partition
+      // listing. A mismatch means partitions were DELETED (store.delete is public —
+      // the old cumulative would propagate their contribution forever), or the
+      // record predates the stamp, or a crash hit the save window — rebuild instead.
+      // One directory listing; the fold stays O(1) point reads on the common path.
+      val actual = dataPartitions(a.key).size.toLong
+      val consistent =
+        curFields.flatMap(_.get(NPartsField)).map(_.toLong).contains(actual - fresh.size) ||
+          (curFields.isEmpty && actual == fresh.size)
+      if (!consistent) rebuildCumulative(a)
+      else {
+        val cur = curFields.map(a.stateFromFields)
+        val merged = (cur.toSeq ++ fresh).reduceOption((x, y) => a.mergeAnyStates(x, y))
+        merged.foreach(m => store.save(a.key, CumulativeKey,
+          a.fieldsOfAnyState(m) + (NPartsField -> actual.toString)))
+        merged
+      }
     }
 
   /** Analyze one new partition; returns metrics over (history ∪ partition). All

@@ -96,10 +96,10 @@ object Sandbox {
     // missed "delete\ttable" while false-flagging literals. Spark treats DOUBLE-quoted
     // text as string literals too (default spark.sql.parser.quotedRegexColumnNames
     // off), so blank those as well — `action != "insert"` is a data comparison, not
-    // an INSERT statement.
-    val noLiterals = sql
-      .replaceAll("\"(?:[^\"]|\"\")*\"", "\"\"")
-      .replaceAll("'(?:[^']|'')*'", "''")
+    // an INSERT statement. ONE alternation pass, leftmost-first: two sequential
+    // replaceAlls let a double-quote match SPAN two single-quoted literals (e.g.
+    // `a = 'x"' ; drop t ; b = '"y'`), erasing forbidden tokens outside any literal.
+    val noLiterals = sql.replaceAll("'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"", "''")
     val lower = noLiterals.toLowerCase
     tokens.foreach { t =>
       require(!lower.contains(t), s"predicate contains forbidden token '$t'")

@@ -127,6 +127,16 @@ object Num {
   }
 }
 
+/** Recursive local-file delete, shared by the harness cleanup paths (source-query temp
+  * dirs, stale verify output).
+  */
+private[graft] object FsUtil {
+  def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+}
+
 /** Backtick-quote an identifier for string-built SQL expressions (embedded backticks
   * escaped by doubling) — every `expr(s"fn(\`$column\`)")` site must go through this
   * or a column legally named "a`b" breaks the parsed expression.

@@ -23,13 +23,9 @@ object Dedup {
   // ---------- exact ----------
 
   /** total/distinct/duplicate-row counts over the key columns. NULL keys compare
-    * EQUAL to each other (the same semantics as [[exactDedup]]/`dropDuplicates`) — a
-    * plain `countDistinct` would skip null-keyed rows entirely and report every one of
-    * them as a duplicate. Caveat (multi-column keys only): distinctness is computed
-    * over STRING renderings with a null sentinel, so 0.0/-0.0 floats count as two
-    * values where dropDuplicates groups them as one, and a string key literally equal
-    * to the sentinel merges with real NULLs — see [[graft.constraints.UniqueExprs]].
-    * The single-column form is exact.
+    * EQUAL to each other and 0.0/-0.0 group as one value — the same semantics as
+    * [[exactDedup]]/`dropDuplicates`, for any column count (a plain `countDistinct`
+    * would skip null-keyed rows entirely and report every one of them as a duplicate).
     */
   def exactDupStats(df: DataFrame, cols: Seq[String]): DataFrame =
     df.agg(

@@ -274,6 +274,21 @@ class AnalyzerSpec extends SparkSpec {
     assert(ctx.errors.contains(bad.key) && ctx.metrics.isEmpty)
   }
 
+  test("deleting a stored partition self-heals the cumulative on the next fresh fold") {
+    import spark.implicits._
+    val store = new InMemoryStateStore
+    val runner = new IncrementalAnalysisRunner(store, Seq(SumAnalyzer("v")))
+    def part(vs: Double*) = vs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "v")
+    runner.analyzePartition(part(1.0, 2.0), "p1") // sum 3
+    runner.analyzePartition(part(10.0), "p2")     // sum 13
+    // expunge p1; the stored cumulative still contains its contribution
+    store.delete("sum.v", "p1")
+    // next FRESH partition must detect the inconsistency (stamp != listing) and
+    // rebuild instead of folding the stale cumulative forward
+    val m = runner.analyzePartition(part(100.0), "p3")
+    assert(m("sum.v") == MetricValue.DoubleMetric(110.0), m.toString) // p2 + p3 only
+  }
+
   test("moments stddev never goes NaN on large-magnitude low-variance data") {
     // sumSq - sum²/n cancels to a small NEGATIVE number here without the clamp
     val vals = Seq.fill(1000)(1e8 + 0.1) ++ Seq.fill(1000)(1e8 - 0.1)

@@ -208,6 +208,10 @@ class ConstraintSpec extends SparkSpec {
     Sandbox.validatePredicate("""action != "insert" AND note != "drop; --" """)
     Sandbox.validatePredicate("action != 'delete me'")
     intercept[IllegalArgumentException](Sandbox.validatePredicate("1=1; DROP TABLE t"))
+    // a double-quote match must not SPAN two single-quoted literals and blank the
+    // forbidden tokens between them
+    intercept[IllegalArgumentException](
+      Sandbox.validatePredicate("""a = 'x"' ; drop table t ; b = '"y'"""))
   }
 
   test("decontamination denominator counts ALL validated docs, including zero-token ones") {
