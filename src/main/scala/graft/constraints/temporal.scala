@@ -95,28 +95,70 @@ final case class MaxTimeGapConstraint(
     partitionBy: Seq[String],
     maxGapSeconds: Long) extends MultiJobConstraint {
   val name = s"MaxTimeGap($tsColumn by ${partitionBy.mkString(",")}) <= ${maxGapSeconds}s"
-  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
   override def evaluate(df: DataFrame): ConstraintResult = {
-    if (partitionBy.isEmpty)
-      log.warn("MaxTimeGapConstraint with no partition key uses a GLOBAL window — " +
-        "the whole dataset sorts in one task; partition by a session/entity key at scale")
-    val w =
-      if (partitionBy.isEmpty) Window.orderBy(col(tsColumn))
-      else Window.partitionBy(partitionBy.map(col): _*).orderBy(col(tsColumn))
-    // Gap in FRACTIONAL seconds: unix_timestamp truncates to whole seconds, so a
-    // 1.9 s gap passed a 1 s limit.
-    val gaps = df.filter(col(tsColumn).isNotNull)
-      .withColumn("_prev", lag(col(tsColumn), 1).over(w))
-      .withColumn("_gap", col(tsColumn).cast("double") - col("_prev").cast("double"))
-    val row = gaps.agg(
-      max(col("_gap")),
-      sum(when(col("_gap") > maxGapSeconds, 1L).otherwise(0L))).head()
-    if (row.isNullAt(0)) return skipped("fewer than 2 timestamps")
-    val maxGap = Num.toDouble(row.get(0)).getOrElse(0.0)
-    val violations = Num.toLong(row.get(1)).getOrElse(0L)
-    if (violations == 0L) success(MetricValue.DoubleMetric(maxGap))
-    else failure(Some(MetricValue.DoubleMetric(maxGap)),
-      f"$violations gap(s) exceed ${maxGapSeconds}s (max observed $maxGap%.3fs)")
+    // Gaps in FRACTIONAL seconds: unix_timestamp truncates to whole seconds, so a
+    // 1.9 s gap would pass a 1 s limit.
+    val result =
+      if (partitionBy.isEmpty) globalGaps(df)
+      else {
+        val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(col(tsColumn))
+        val gaps = df.filter(col(tsColumn).isNotNull)
+          .withColumn("_prev", lag(col(tsColumn), 1).over(w))
+          .withColumn("_gap", col(tsColumn).cast("double") - col("_prev").cast("double"))
+        val row = gaps.agg(
+          max(col("_gap")),
+          sum(when(col("_gap") > maxGapSeconds, 1L).otherwise(0L))).head()
+        if (row.isNullAt(0)) None
+        else Some((Num.toDouble(row.get(0)).getOrElse(0.0), Num.toLong(row.get(1)).getOrElse(0L)))
+      }
+    result match {
+      case None => skipped("fewer than 2 timestamps")
+      case Some((maxGap, violations)) =>
+        if (violations == 0L) success(MetricValue.DoubleMetric(maxGap))
+        else failure(Some(MetricValue.DoubleMetric(maxGap)),
+          f"$violations gap(s) exceed ${maxGapSeconds}s (max observed $maxGap%.3fs)")
+    }
+  }
+
+  /** Global (un-keyed) gap analysis WITHOUT the single-task global window: range-
+    * repartition on the timestamp, sort within partitions, scan each partition once
+    * for (first, last, maxGap, violations), then fold the partition-boundary gaps
+    * driver-side — range partition i holds smaller values than i+1, so the only
+    * cross-partition gaps are last(i) → first(i+1). Work per task is its range's
+    * rows; the driver sees one tiny tuple per partition.
+    */
+  private def globalGaps(df: DataFrame): Option[(Double, Long)] = {
+    val limit = maxGapSeconds
+    val stats = df.filter(col(tsColumn).isNotNull)
+      .select(col(tsColumn).cast("double").as("t"))
+      .repartitionByRange(col("t"))
+      .sortWithinPartitions("t")
+      .rdd.mapPartitionsWithIndex { (idx, it) =>
+        var first = 0.0; var last = 0.0; var maxGap = Double.NegativeInfinity
+        var viol = 0L; var n = 0L
+        while (it.hasNext) {
+          val t = it.next().getDouble(0)
+          if (n > 0) {
+            val g = t - last
+            if (g > maxGap) maxGap = g
+            if (g > limit) viol += 1
+          } else first = t
+          last = t; n += 1
+        }
+        if (n == 0) Iterator.empty else Iterator((idx, first, last, maxGap, viol, n))
+      }.collect().sortBy(_._1)
+    val total = stats.map(_._6).sum
+    if (total < 2) return None
+    var maxGap = stats.map(_._4).max // NegativeInfinity for single-row partitions
+    var violations = stats.map(_._5).sum
+    stats.sliding(2).foreach {
+      case Array(a, b) =>
+        val g = b._2 - a._3 // next partition's first minus this partition's last
+        if (g > maxGap) maxGap = g
+        if (g > limit) violations += 1
+      case _ => ()
+    }
+    Some((maxGap, violations))
   }
 }
 

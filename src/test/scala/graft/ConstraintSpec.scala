@@ -179,6 +179,27 @@ class ConstraintSpec extends SparkSpec {
     assert(run(ContainsColumnConstraint("nope")).status == Failure)
   }
 
+  test("global max-time-gap: boundary-folded per-partition scan matches independent computation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val times = Seq.fill(500)(rnd.nextDouble() * 100000.0).distinct
+    val df = times.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "ts")
+      .repartition(8) // scattered input; the constraint must range-repartition itself
+    val sorted = times.sorted
+    val gaps = sorted.sliding(2).map { case Seq(a, b) => b - a }.toSeq
+    val expectedMax = gaps.max
+    val expectedViol = gaps.count(_ > 150.0)
+    assert(expectedViol > 0, "fixture should contain violations")
+    val r = MaxTimeGapConstraint("ts", Nil, maxGapSeconds = 150L).evaluate(df)
+    assert(r.status == Failure)
+    assert(math.abs(r.metric.flatMap(_.asDouble).get - expectedMax) < 1e-9)
+    assert(r.message.startsWith(s"$expectedViol gap(s)"), r.message)
+    // no violations at a generous limit
+    assert(MaxTimeGapConstraint("ts", Nil, maxGapSeconds = 100000L).evaluate(df).status == Success)
+    // fewer than 2 timestamps skips
+    assert(MaxTimeGapConstraint("ts", Nil, 1L).evaluate(df.limit(1)).status == Skipped)
+  }
+
   test("multi-stat/quantile severity: concrete failures beat undefined-skip; empty skips") {
     import spark.implicits._
     // one row: stddev_samp is undefined, but the Min violation must still FAIL the
