@@ -349,6 +349,20 @@ object Queries {
              | SELECT CAST(sum(CASE WHEN prev IS NOT NULL AND event_id < prev THEN 1 ELSE 0 END) AS BIGINT) AS violations
              | FROM g""".stripMargin.replaceAll("\n", " "))),
 
+    // UN-KEYED monotonicity through the constraint's own distributed plan (range
+    // repartition + per-partition LAG + boundary fold — no single-task global sort).
+    // The oracle is the straightforward global-window formulation, so a hash match
+    // proves the distributed decomposition equals the naive total order.
+    QueryDef("monotonic_global_events",
+      (s, d) => graft.constraints.MonotonicConstraint("event_id", "ts")
+        .globalViolationsDf(
+          t(s, d, "events").filter(col("event_id").isNotNull && col("ts").isNotNull)),
+      Some("""WITH g AS (SELECT event_id, lag(event_id) OVER (ORDER BY ts, event_id) AS prev
+             | FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL)
+             | SELECT count(*) AS total,
+             | CAST(sum(CASE WHEN prev IS NOT NULL AND event_id < prev THEN 1 ELSE 0 END) AS BIGINT) AS violations
+             | FROM g""".stripMargin.replaceAll("\n", " "))),
+
     // ---- analyzer framework (mergeable sufficient-statistics states) ----
     // Metrics are produced by AnalysisRunner's single batched scan and re-derived from
     // the SAME closed forms in DuckDB (moments: n, Σx, Σx² / co-moments for corr).

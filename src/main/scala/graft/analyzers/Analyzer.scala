@@ -23,6 +23,11 @@ trait Analyzer[S <: AnalyzerState[S]] extends Serializable {
   def name: String
   /** Metric key, e.g. "completeness.email" (reference: basic/mean.rs:163). */
   def key: String
+  /** Keys this analyzer persisted state under in PREVIOUS releases. The incremental
+    * runner migrates a state store from the first legacy key found to [[key]] once,
+    * so key-format changes don't orphan history. Field layouts must be compatible.
+    */
+  def legacyKeys: Seq[String] = Nil
 
   /** Aggregate expressions whose collected values define the state — batched with other
     * analyzers into one scan by [[AnalysisRunner]].
@@ -296,6 +301,7 @@ final case class CorrelationAnalyzer(c1: String, c2: String) extends Analyzer[Co
   // "|" separator: the dotted form made correlation.a.b.c ambiguous between
   // (a, b.c) and (a.b, c), silently overwriting one analyzer's results.
   val name = "correlation"; val key = s"correlation.$c1|$c2"
+  override def legacyKeys: Seq[String] = Seq(s"correlation.$c1.$c2")
   private def both = col(c1).isNotNull && col(c2).isNotNull
   private def x = when(both, col(c1)).cast("double")
   private def y = when(both, col(c2)).cast("double")
@@ -322,6 +328,7 @@ final case class QuantileAnalyzer(column: String, quantiles: Seq[Double] = Seq(0
   // runner's keyed maps.
   val name = "quantile"
   val key = s"quantile.$column[${quantiles.mkString(",")}]@$relativeError"
+  override def legacyKeys: Seq[String] = Seq(s"quantile.$column")
   val stateAggregates = Seq(QuantileSketch.aggColumn(column, relativeError))
   def stateFromValues(v: Seq[Any]) =
     QuantileState(QuantileSketch.deserialize(v.head.asInstanceOf[Array[Byte]]))

@@ -124,8 +124,12 @@ final class ColumnProfiler(config: ProfilerConfig = ProfilerConfig()) {
           total, buckets.size.toLong, total - nonNull))
       } else None
     }
-    val perColumn: Map[String, (Option[Histogram], Option[TypeInference.Inferred])] = {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(targets.size, 4))
+    val perColumn: Map[String, (Option[Histogram], Option[TypeInference.Inferred])] =
+      if (targets.isEmpty) Map.empty
+      else {
+      // max(1, ...): newFixedThreadPool(0) throws, and a zero-column frame must
+      // profile to an empty map like the old sequential code did.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, math.min(targets.size, 4)))
       try {
         import scala.concurrent.{Await, ExecutionContext, Future}
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -137,7 +141,7 @@ final class ColumnProfiler(config: ProfilerConfig = ProfilerConfig()) {
         }
         Await.result(Future.sequence(futures), scala.concurrent.duration.Duration.Inf).toMap
       } finally pool.shutdown()
-    }
+      }
 
     targets.map { c =>
       val nonNull = getL(c, "nonNull").getOrElse(0L)

@@ -107,13 +107,36 @@ final class IncrementalAnalysisRunner(store: StateStore, analyzers: Seq[Analyzer
   private val CumulativeKey = "__cumulative__"
   private val NullKey = "__null__"
 
+  // One-time state migration from an analyzer's legacy key format (e.g. pre-"|"
+  // CorrelationAnalyzer, unparameterized QuantileAnalyzer keys): if the store has
+  // nothing under the current key but does under a legacy key, MOVE those entries
+  // (including the cumulative) so incremental history survives the rename. Checked
+  // once per analyzer per runner instance — a directory listing, not a data scan.
+  // NOTE: MetricsRepository history is NOT migrated; metric series recorded under a
+  // legacy key restart under the new key (documented break, acceptable pre-1.0).
+  private val migrationChecked = scala.collection.mutable.Set.empty[String]
+  private def ensureMigrated(): Unit = migrationChecked.synchronized {
+    analyzers.foreach { a =>
+      if (migrationChecked.add(a.key) && store.listPartitions(a.key).isEmpty) {
+        a.legacyKeys.find(lk => store.listPartitions(lk).nonEmpty).foreach { lk =>
+          store.listPartitions(lk).foreach { p =>
+            store.load(lk, p).foreach(f => store.save(a.key, p, f))
+            store.delete(lk, p)
+          }
+        }
+      }
+    }
+  }
+
   /** Data partitions currently in the store for an analyzer — `listPartitions` minus
     * the reserved cumulative entry (the `__null__` sentinel IS a data partition: it
     * holds the null-keyed rows' state). Feed THIS to [[analyzePartitions]]; raw
     * `store.listPartitions` includes `__cumulative__`, which would double every metric.
     */
-  def dataPartitions(analyzerKey: String): Seq[String] =
+  def dataPartitions(analyzerKey: String): Seq[String] = {
+    ensureMigrated()
     store.listPartitions(analyzerKey).filterNot(_ == CumulativeKey)
+  }
 
   /** Rebuild an analyzer's cumulative state as the merge of ALL stored data-partition
     * states and persist it. Deriving the cumulative from the per-partition states —
@@ -176,6 +199,7 @@ final class IncrementalAnalysisRunner(store: StateStore, analyzers: Seq[Analyzer
   def analyzePartition(df: DataFrame, partitionKey: String): Map[String, MetricValue] = {
     require(partitionKey != CumulativeKey && partitionKey != NullKey,
       s"partition key '$partitionKey' collides with a reserved state-store key")
+    ensureMigrated()
     val ctx = new AnalysisRunner(analyzers, continueOnError = false).run(df)
     // Materialize EVERY analyzer's state AND its rendered fields before the first save:
     // a failed analyzer (or a toFields that throws) must abort the whole call with the
@@ -211,6 +235,7 @@ final class IncrementalAnalysisRunner(store: StateStore, analyzers: Seq[Analyzer
     val allAggs = analyzers.flatMap(_.stateAggregates).zipWithIndex
       .map { case (c, i) => c.as(s"a$i") }
     require(allAggs.nonEmpty, "no analyzers")
+    ensureMigrated()
     // Group on the raw (nullable) string key — mapping NULL through coalesce would
     // make a real '__null__' partition value collide with the null sentinel and
     // double-count after the merge. NULL keys get the sentinel driver-side instead,
@@ -263,6 +288,7 @@ final class IncrementalAnalysisRunner(store: StateStore, analyzers: Seq[Analyzer
     * reference: runner.rs:250-458).
     */
   def analyzePartitions(partitionKeys: Seq[String]): Map[String, MetricValue] = {
+    ensureMigrated()
     analyzers.flatMap { a =>
       val states = partitionKeys.flatMap(p => store.load(a.key, p)).map(a.stateFromFields)
       states.reduceOption((x, y) => a.mergeAnyStates(x, y))
@@ -271,8 +297,10 @@ final class IncrementalAnalysisRunner(store: StateStore, analyzers: Seq[Analyzer
   }
 
   /** Current cumulative metrics without touching any data. */
-  def currentMetrics(): Map[String, MetricValue] =
+  def currentMetrics(): Map[String, MetricValue] = {
+    ensureMigrated()
     analyzers.flatMap { a =>
       store.load(a.key, CumulativeKey).map(f => a.key -> a.metricFromAnyState(a.stateFromFields(f)))
     }.toMap
+  }
 }

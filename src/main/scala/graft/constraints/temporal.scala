@@ -95,16 +95,27 @@ final case class MaxTimeGapConstraint(
     partitionBy: Seq[String],
     maxGapSeconds: Long) extends MultiJobConstraint {
   val name = s"MaxTimeGap($tsColumn by ${partitionBy.mkString(",")}) <= ${maxGapSeconds}s"
+  // Gaps in FRACTIONAL seconds. Numeric columns (epoch seconds) cast straight to
+  // double — routing them through TIMESTAMP would silently truncate to microsecond
+  // precision. Everything else (timestamp/date/string) coerces through TIMESTAMP: a
+  // direct numeric cast rejects DATE at analysis. try_cast, not cast: under ANSI mode
+  // (Spark 4 default) a plain cast THROWS on the first malformed string — unparseable
+  // rows must instead drop out like the old unix_timestamp path dropped them
+  // (null → filtered).
+  private def epochSeconds(df: DataFrame): Column =
+    df.schema(tsColumn).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => col(tsColumn).cast("double")
+      case _ => col(tsColumn).try_cast("timestamp").cast("double")
+    }
   override def evaluate(df: DataFrame): ConstraintResult = {
-    // Gaps in FRACTIONAL seconds: unix_timestamp truncates to whole seconds, so a
-    // 1.9 s gap would pass a 1 s limit.
     val result =
       if (partitionBy.isEmpty) globalGaps(df)
       else {
-        val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(col(tsColumn))
-        val gaps = df.filter(col(tsColumn).isNotNull)
-          .withColumn("_prev", lag(col(tsColumn), 1).over(w))
-          .withColumn("_gap", col(tsColumn).cast("double") - col("_prev").cast("double"))
+        val gaps0 = df.withColumn("_ts", epochSeconds(df)).filter(col("_ts").isNotNull)
+        val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(col("_ts"))
+        val gaps = gaps0
+          .withColumn("_prev", lag(col("_ts"), 1).over(w))
+          .withColumn("_gap", col("_ts") - col("_prev"))
         val row = gaps.agg(
           max(col("_gap")),
           sum(when(col("_gap") > maxGapSeconds, 1L).otherwise(0L))).head()
@@ -129,8 +140,7 @@ final case class MaxTimeGapConstraint(
     */
   private def globalGaps(df: DataFrame): Option[(Double, Long)] = {
     val limit = maxGapSeconds
-    val stats = df.filter(col(tsColumn).isNotNull)
-      .select(col(tsColumn).cast("double").as("t"))
+    val stats = df.select(epochSeconds(df).as("t")).filter(col("t").isNotNull)
       .repartitionByRange(col("t"))
       .sortWithinPartitions("t")
       .rdd.mapPartitionsWithIndex { (idx, it) =>
@@ -172,23 +182,71 @@ final case class MonotonicConstraint(
     strict: Boolean = false) extends MultiJobConstraint {
   val name = s"Monotonic($valueColumn by $orderColumn)"
   override def evaluate(df: DataFrame): ConstraintResult = {
-    // Tie-break on the VALUE column: rows sharing an order key would otherwise be
-    // compared in physical shuffle order and the verdict could flip between runs;
-    // with the value tiebreak a tie-group is scanned ascending, deterministically.
-    val w =
-      if (partitionBy.isEmpty) Window.orderBy(col(orderColumn), col(valueColumn))
-      else Window.partitionBy(partitionBy.map(col): _*)
-        .orderBy(col(orderColumn), col(valueColumn))
-    val prev = lag(col(valueColumn), 1).over(w)
-    val bad = if (strict) col(valueColumn) <= prev else col(valueColumn) < prev
     // NULL order keys sort first (asc nulls-first) and would anchor the sequence,
     // flagging spurious violations against rows that have no position in the order.
-    val row = df.filter(col(valueColumn).isNotNull && col(orderColumn).isNotNull)
-      .withColumn("_viol", when(prev.isNotNull && bad, 1L).otherwise(0L))
-      .agg(count(lit(1)), coalesce(sum(col("_viol")), lit(0L))).head()
-    if (row.getLong(0) == 0L) return skipped("no non-null values")
-    val violations = row.getLong(1)
+    val input = df.filter(col(valueColumn).isNotNull && col(orderColumn).isNotNull)
+    val (total, violations) =
+      if (partitionBy.isEmpty) globalViolations(input)
+      else {
+        // Tie-break on the VALUE column: rows sharing an order key would otherwise be
+        // compared in physical shuffle order and the verdict could flip between runs;
+        // with the value tiebreak a tie-group is scanned ascending, deterministically.
+        val w = Window.partitionBy(partitionBy.map(col): _*)
+          .orderBy(col(orderColumn), col(valueColumn))
+        val prev = lag(col(valueColumn), 1).over(w)
+        val bad = if (strict) col(valueColumn) <= prev else col(valueColumn) < prev
+        val row = input
+          .withColumn("_viol", when(prev.isNotNull && bad, 1L).otherwise(0L))
+          .agg(count(lit(1)), coalesce(sum(col("_viol")), lit(0L))).head()
+        (row.getLong(0), row.getLong(1))
+      }
+    if (total == 0L) return skipped("no non-null values")
     if (violations == 0L) success(MetricValue.LongMetric(0L))
     else failure(Some(MetricValue.LongMetric(violations)), s"$violations non-monotonic step(s)")
+  }
+
+  /** Un-keyed monotonicity WITHOUT the single-task global window (same strategy as
+    * [[MaxTimeGapConstraint]].globalGaps): range-repartition on (order, value) so
+    * partition i holds smaller tuples than i+1, LAG inside each physical partition via
+    * a `spark_partition_id()`-keyed window (parallel across partitions), then fold the
+    * partition BOUNDARIES — the only cross-partition steps are last(i) → first(i+1) —
+    * over the per-partition summary frame, which has one row per shuffle partition.
+    * The final un-keyed window/sort only ever sees that tiny summary, never the data.
+    */
+  private def globalViolations(input: DataFrame): (Long, Long) = {
+    val row = globalViolationsDf(input).head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** The un-keyed plan as a one-row (total, violations) frame — exposed so the oracle
+    * harness can gate the DISTRIBUTED plan itself, not a re-derivation of it. Caller
+    * filters out null order/value rows (evaluate does).
+    */
+  private[graft] def globalViolationsDf(input: DataFrame): DataFrame = {
+    val ranged = input
+      .select(col(orderColumn).as("_o"), col(valueColumn).as("_v"))
+      .repartitionByRange(col("_o"), col("_v"))
+      .withColumn("_pid", spark_partition_id())
+    val w = Window.partitionBy(col("_pid")).orderBy(col("_o"), col("_v"))
+    val prev = lag(col("_v"), 1).over(w)
+    val bad = if (strict) col("_v") <= prev else col("_v") < prev
+    // min/max of struct(_o,_v) compare lexicographically — exactly the window's sort
+    // order — so they are the partition's first/last tuples in scan order.
+    val perPartition = ranged
+      .withColumn("_viol", when(prev.isNotNull && bad, 1L).otherwise(0L))
+      .groupBy(col("_pid"))
+      .agg(
+        count(lit(1)).as("_n"),
+        sum(col("_viol")).as("_inner"),
+        min(struct(col("_o"), col("_v"))).as("_first"),
+        max(struct(col("_o"), col("_v"))).as("_last"))
+    val wb = Window.orderBy(col("_pid"))
+    val prevLast = lag(col("_last._v"), 1).over(wb)
+    val bBad = if (strict) col("_first._v") <= prevLast else col("_first._v") < prevLast
+    perPartition
+      .withColumn("_bviol", when(prevLast.isNotNull && bBad, 1L).otherwise(0L))
+      .agg(
+        coalesce(sum(col("_n")), lit(0L)).as("total"),
+        coalesce(sum(col("_inner")) + sum(col("_bviol")), lit(0L)).as("violations"))
   }
 }

@@ -200,6 +200,73 @@ class ConstraintSpec extends SparkSpec {
     assert(MaxTimeGapConstraint("ts", Nil, 1L).evaluate(df.limit(1)).status == Skipped)
   }
 
+  test("max-time-gap accepts date-, string-, and numeric-typed timestamp columns") {
+    import spark.implicits._
+    // DATE column: a direct numeric cast fails analysis; the timestamp coercion works
+    val dates = Seq("2024-01-01", "2024-01-03", "2024-01-10").toDF("s")
+      .select(col("s").cast("date").as("d"))
+    assert(MaxTimeGapConstraint("d", Nil, maxGapSeconds = 5 * 86400L).evaluate(dates)
+      .status == Failure) // 7-day gap
+    assert(MaxTimeGapConstraint("d", Nil, maxGapSeconds = 10 * 86400L).evaluate(dates)
+      .status == Success)
+    // string column with a malformed row: must neither throw (ANSI) nor NPE — the
+    // bad row drops out and the 30 s gap passes a 60 s limit
+    val strings = Seq("2024-01-01 00:00:00", "2024-01-01 00:00:30", "not a timestamp").toDF("s")
+    assert(MaxTimeGapConstraint("s", Nil, maxGapSeconds = 60L).evaluate(strings)
+      .status == Success)
+    // keyed path with DATE: same coercion
+    val keyed = Seq(("a", "2024-01-01"), ("a", "2024-01-05"), ("b", "2024-01-01"))
+      .toDF("k", "s").select(col("k"), col("s").cast("date").as("d"))
+    assert(MaxTimeGapConstraint("d", Seq("k"), maxGapSeconds = 86400L).evaluate(keyed)
+      .status == Failure)
+  }
+
+  test("global monotonic: distributed boundary-folded plan matches naive total order") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // (order, value) pairs with duplicate order keys so the value tie-break matters
+    val rows = Seq.fill(600)((rnd.nextInt(200), rnd.nextInt(500)))
+    val df = rows.toDF("o", "v").repartition(8) // scattered; constraint must range-repartition
+    val sorted = rows.sorted
+    val expected = sorted.sliding(2).count { case Seq(a, b) => b._2 < a._2; case _ => false }
+    assert(expected > 0, "fixture should contain violations")
+    val r = MonotonicConstraint("v", "o").evaluate(df)
+    assert(r.status == Failure)
+    assert(r.metric.flatMap(_.asDouble).get == expected.toDouble, r.message)
+    // strict mode: equal consecutive values count too
+    val expectedStrict = sorted.sliding(2).count { case Seq(a, b) => b._2 <= a._2; case _ => false }
+    val rs = MonotonicConstraint("v", "o", strict = true).evaluate(df)
+    assert(rs.metric.flatMap(_.asDouble).get == expectedStrict.toDouble, rs.message)
+    // a genuinely monotonic sequence passes
+    val mono = (1 to 100).map(i => (i, i * 2)).toDF("o", "v").repartition(8)
+    assert(MonotonicConstraint("v", "o").evaluate(mono).status == Success)
+    // empty input skips
+    assert(MonotonicConstraint("v", "o").evaluate(df.limit(0)).status == Skipped)
+  }
+
+  test("global monotonic plan: data flows through range partitions, never one task") {
+    import spark.implicits._
+    val df = Seq.fill(100)((scala.util.Random.nextInt(50), scala.util.Random.nextInt(50)))
+      .toDF("o", "v").repartition(8)
+    val qdf = MonotonicConstraint("v", "o").globalViolationsDf(df)
+    val plan = qdf.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange rangepartitioning"),
+      s"data must range-repartition:\n$plan")
+    assert(plan.contains("hashpartitioning(_pid"),
+      s"per-partition window must key on _pid:\n$plan")
+    // Any single-partition funnel may only carry the per-partition SUMMARY — its
+    // subtree must hit the _pid aggregate before it hits the data scan.
+    val lines = plan.linesIterator.toVector
+    val lastSingle = lines.lastIndexWhere(_.contains("Exchange SinglePartition"))
+    assert(lastSingle >= 0, s"expected the boundary-fold exchange:\n$plan")
+    val below = lines.drop(lastSingle + 1)
+    // struct min/max plans as SortAggregate, so match any aggregate flavor
+    val aggIdx = below.indexWhere(l => l.contains("Aggregate(") && l.contains("_pid"))
+    val scanIdx = below.indexWhere(l => l.contains("LocalTableScan") || l.contains("Scan parquet"))
+    assert(aggIdx >= 0 && (scanIdx < 0 || aggIdx < scanIdx),
+      s"single-partition exchange must sit above the _pid aggregate, not the raw data:\n$plan")
+  }
+
   test("multi-stat/quantile severity: concrete failures beat undefined-skip; empty skips") {
     import spark.implicits._
     // one row: stddev_samp is undefined, but the Min violation must still FAIL the
