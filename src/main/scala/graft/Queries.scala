@@ -1171,6 +1171,64 @@ object Queries {
              | round(CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS ipv4_ratio
              | FROM orders""".stripMargin.replaceAll("\n", " "))),
 
+    // Country-parameterized Phone/PostalCode + SSN-detect under the oracle gate, same
+    // by-construction scheme as format_library_synthetic: column c is valid iff
+    // o_orderkey % k == 0 for a per-column modulus, so the oracle needs no regex and
+    // any Java-regex drift in the country patterns breaks the ratio equality.
+    QueryDef("format_countries_synthetic",
+      (s, d) => {
+        import graft.constraints.{FormatConstraint, FormatType}
+        import graft.core._
+        def pick(k: Int, valid: org.apache.spark.sql.Column, invalid: org.apache.spark.sql.Column) =
+          when(pmod(col("o_orderkey"), lit(k)) === 0, valid).otherwise(invalid)
+        val synth = t(s, d, "orders").select(
+          pick(2, lit("+44 020 12345678"), lit("4420")).as("p_uk"),
+          pick(3, lit("+49 030 123456"), lit("49")).as("p_de"),
+          pick(4, lit("01 23456789"), lit("0123")).as("p_fr"),
+          // E.164 derived from the key: "+1" + 9 digits (leading 1, length <= 15)
+          pick(5, concat(lit("+1"), lpad(pmod(col("o_orderkey"), lit(999999999L))
+            .cast("string"), 9, "1")), concat(lit("0"), col("o_orderkey"))).as("p_e164"),
+          pick(6, lit("K1A 0B1"), lit("12345")).as("z_ca"),
+          pick(7, lit("SW1A 1AA"), lit("999")).as("z_uk"),
+          pick(8, lit("123-4567"), lit("1234567")).as("z_jp"),
+          pick(9, lit("2000"), lit("20")).as("z_au"),
+          pick(10, lit("ABC-123"), lit("x")).as("z_gen"),
+          pick(11, lit("123-45-6789"), lit("666-12-3456")).as("ssn"))
+        val ge0 = Assertion.GreaterThanOrEqual(0.0)
+        val constraints = Seq(
+          FormatConstraint("p_uk", FormatType.Phone(Some("UK")), ge0),
+          FormatConstraint("p_de", FormatType.Phone(Some("DE")), ge0),
+          FormatConstraint("p_fr", FormatType.Phone(Some("FR")), ge0),
+          FormatConstraint("p_e164", FormatType.Phone(), ge0),
+          FormatConstraint("z_ca", FormatType.PostalCode(Some("CA")), ge0),
+          FormatConstraint("z_uk", FormatType.PostalCode(Some("UK")), ge0),
+          FormatConstraint("z_jp", FormatType.PostalCode(Some("JP")), ge0),
+          FormatConstraint("z_au", FormatType.PostalCode(Some("AU")), ge0),
+          FormatConstraint("z_gen", FormatType.PostalCode(), ge0),
+          // detect mode: the metric is the fraction FLAGGED-ABSENT (1 - match ratio)
+          FormatConstraint("ssn", FormatType.SocialSecurityNumber, ge0, detect = true))
+        val rs = ValidationSuite.evaluateBatched(synth, constraints)
+        def ratio(i: Int) = BigDecimal(rs(i).metric.flatMap(_.asDouble).get)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        import s.implicits._
+        Seq((ratio(0), ratio(1), ratio(2), ratio(3), ratio(4), ratio(5), ratio(6),
+          ratio(7), ratio(8), ratio(9)))
+          .toDF("uk_phone", "de_phone", "fr_phone", "e164_phone", "ca_postal",
+            "uk_postal", "jp_postal", "au_postal", "generic_postal", "ssn_clear")
+      },
+      Some("""SELECT
+             | round(CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS uk_phone,
+             | round(CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS de_phone,
+             | round(CAST(sum(CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS fr_phone,
+             | round(CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS e164_phone,
+             | round(CAST(sum(CASE WHEN o_orderkey % 6 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS ca_postal,
+             | round(CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS uk_postal,
+             | round(CAST(sum(CASE WHEN o_orderkey % 8 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS jp_postal,
+             | round(CAST(sum(CASE WHEN o_orderkey % 9 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS au_postal,
+             | round(CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS generic_postal,
+             | round(1.0 - CAST(sum(CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS ssn_clear
+             | FROM orders""".stripMargin.replaceAll("\n", " "))),
+
     // Hyperplane-LSH ANN with multi-probe covering ALL 2^planes buckets (planes=2,
     // multiProbeBits=2): exhaustive, so it must equal the brute-force oracle exactly —
     // oracle-gating the LSH bucket assignment + native cosine scoring + ordering path.

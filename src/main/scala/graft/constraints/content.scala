@@ -146,7 +146,53 @@ object FormatType {
   case object PostalCodeUS extends FormatType("postal_us", "^[0-9]{5}(-[0-9]{4})?$")
   case object Iso8601 extends FormatType("iso8601", "^\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?(Z|[+-]\\d{2}:?\\d{2})?)?$")
   case object Json extends FormatType("json", "") // validated structurally, not by regex
-  val all: Seq[FormatType] = Seq(Email, Url, Uuid, Ipv4, Ipv6, CreditCard, PhoneUS, PostalCodeUS, Iso8601, Json)
+
+  /** Country-parameterized phone validation (reference: format.rs:250-258). `None` (or
+    * an unrecognized country, mirroring the reference's fallthrough) = generic E.164.
+    */
+  final case class Phone(country: Option[String] = None) extends FormatType(
+    country.fold("phone_e164")(c => s"phone_${c.toLowerCase}"),
+    FormatType.phonePattern(country))
+
+  /** Country-parameterized postal-code validation (reference: format.rs:261-272).
+    * `None`/unrecognized = the reference's generic 3-10 alphanumeric form.
+    */
+  final case class PostalCode(country: Option[String] = None) extends FormatType(
+    country.fold("postal_generic")(c => s"postal_${c.toLowerCase}"),
+    FormatType.postalPattern(country))
+
+  /** US Social Security Number, usually with detect=true to FLAG presence (reference:
+    * format.rs:289-295). Valid area ranges enumerated (001-899 minus 666) instead of
+    * lookahead — DuckDB's RE2 oracle dialect has no lookahead.
+    */
+  case object SocialSecurityNumber extends FormatType("ssn",
+    "^(00[1-9]|0[1-9][0-9]|[1-5][0-9]{2}|6[0-5][0-9]|66[0-5]|66[7-9]|6[7-9][0-9]|[78][0-9]{2})" +
+      "-?(0[1-9]|[1-9][0-9])-?(000[1-9]|00[1-9][0-9]|0[1-9][0-9]{2}|[1-9][0-9]{3})$")
+
+  private[constraints] def phonePattern(country: Option[String]): String =
+    country.map(_.toUpperCase) match {
+      case Some("US") | Some("CA") =>
+        "^(\\+?1[-.\\s]?)?\\(?[0-9]{3}\\)?[-.\\s]?[0-9]{3}[-.\\s]?[0-9]{4}$"
+      case Some("UK") =>
+        "^(\\+44\\s?)?(\\(?0\\d{4}\\)?\\s?\\d{6}|\\(?0\\d{3}\\)?\\s?\\d{7}|\\(?0\\d{2}\\)?\\s?\\d{8})$"
+      case Some("DE") => "^(\\+49\\s?)?\\(?0\\d{2,5}\\)?\\s?\\d{4,12}$"
+      case Some("FR") => "^(\\+33\\s?)?\\(?0\\d\\)?\\s?\\d{8}$"
+      case _          => "^\\+?[1-9]\\d{0,15}$" // E.164
+    }
+
+  private[constraints] def postalPattern(country: Option[String]): String =
+    country.map(_.toUpperCase) match {
+      case Some("US")             => "^\\d{5}(-\\d{4})?$"
+      case Some("CA")             => "^[A-Za-z]\\d[A-Za-z][ -]?\\d[A-Za-z]\\d$"
+      case Some("UK")             => "^[A-Z]{1,2}\\d[A-Z\\d]?\\s?\\d[A-Z]{2}$"
+      case Some("DE") | Some("FR") => "^\\d{5}$"
+      case Some("JP")             => "^\\d{3}-\\d{4}$"
+      case Some("AU")             => "^\\d{4}$"
+      case _                      => "^[A-Za-z0-9\\s-]{3,10}$"
+    }
+
+  val all: Seq[FormatType] = Seq(Email, Url, Uuid, Ipv4, Ipv6, CreditCard, PhoneUS,
+    PostalCodeUS, Iso8601, Json, Phone(), PostalCode(), SocialSecurityNumber)
 }
 
 /** Format constraint: fraction of non-null values matching a format; `detect=true`

@@ -136,6 +136,39 @@ class ConstraintSpec extends SparkSpec {
     assert(got == Map("date" -> 2L, "timestamp" -> 2L, "text" -> 1L), got.toString)
   }
 
+  test("country phone/postal/SSN patterns accept known-valid, reject known-invalid") {
+    import spark.implicits._
+    // Pins the Java-regex dialect behavior of every country pattern: each fixture's
+    // validity is known a priori, so a dialect/pattern drift flips an exact ratio.
+    def check(fmt: FormatType, valid: Seq[String], invalid: Seq[String]): Unit = {
+      val d = (valid ++ invalid).toDF("v")
+      val expected = valid.size.toDouble / (valid.size + invalid.size)
+      val r = FormatConstraint("v", fmt, Assertion.Equals(expected)).evaluate(d)
+      assert(r.status == Success, s"${fmt.label}: ${r.message}")
+    }
+    check(FormatType.Phone(Some("UK")),
+      Seq("020 12345678", "+44 01234 567890", "01234 567890"), Seq("12345", "4420"))
+    check(FormatType.Phone(Some("DE")),
+      Seq("+49 030 123456", "030 123456"), Seq("49", "12345678901234567"))
+    check(FormatType.Phone(Some("FR")),
+      Seq("01 23456789", "+33 01 23456789"), Seq("0123", "01 2345"))
+    check(FormatType.Phone(Some("CA")),
+      Seq("(416) 555-1234", "+1 416 555 1234"), Seq("41655"))
+    check(FormatType.Phone(None),
+      Seq("+14155552671", "4915123456789"), Seq("0123456", "+0123", "phone"))
+    check(FormatType.PostalCode(Some("CA")), Seq("K1A 0B1", "k1a0b1"), Seq("12345"))
+    check(FormatType.PostalCode(Some("UK")),
+      Seq("SW1A 1AA", "EC1A1BB", "M1 1AE"), Seq("sw1a 1aa", "999"))
+    check(FormatType.PostalCode(Some("JP")), Seq("123-4567"), Seq("1234567", "12-34567"))
+    check(FormatType.PostalCode(Some("AU")), Seq("2000", "0800"), Seq("200", "20000"))
+    check(FormatType.PostalCode(Some("DE")), Seq("10115"), Seq("1011", "101155"))
+    check(FormatType.PostalCode(None),
+      Seq("75008", "ABC-123", "A1B 2C3"), Seq("ab", "toolongpostal"))
+    check(FormatType.SocialSecurityNumber,
+      Seq("123-45-6789", "123456789", "001-01-0001", "899-99-9999"),
+      Seq("666-45-6789", "000-45-6789", "123-00-6789", "123-45-0000", "900-45-6789"))
+  }
+
   test("ipv6 format accepts zero-compressed addresses") {
     import spark.implicits._
     val d = Seq("fe80::1", "2001:db8::8a2e:370:7334", "::1", "::",
