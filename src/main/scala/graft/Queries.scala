@@ -123,6 +123,96 @@ object Queries {
              | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
              | FROM lineitem""".stripMargin.replaceAll("\n", " "))),
 
+    // MultiStatisticConstraint THROUGH the constraint surface (one shared scan, a
+    // MapMetric of every statistic) — the values must equal DuckDB's closed forms.
+    QueryDef("multi_statistic_quantity",
+      (s, d) => {
+        import graft.constraints._
+        import graft.core._
+        val ge0 = Assertion.GreaterThanOrEqual(0.0)
+        val c = MultiStatisticConstraint("l_quantity", Seq(
+          Stat.Min -> ge0, Stat.Max -> ge0, Stat.Mean -> ge0,
+          Stat.Sum -> ge0, Stat.StdDev -> ge0, Stat.Variance -> ge0))
+        val m = ValidationSuite.evaluateBatched(t(s, d, "lineitem"), Seq(c))
+          .head.metric.get.asInstanceOf[MetricValue.MapMetric].value
+        def v(k: String, scale: Int) = BigDecimal(m(k).asDouble.get)
+          .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+        import s.implicits._
+        Seq((v("min", 2), v("max", 2), v("mean", 6), v("sum", 2), v("stddev", 4), v("variance", 4)))
+          .toDF("min_q", "max_q", "mean_q", "sum_q", "stddev_q", "variance_q")
+      },
+      Some("""SELECT round(CAST(min(l_quantity) AS DOUBLE), 2) AS min_q,
+             | round(CAST(max(l_quantity) AS DOUBLE), 2) AS max_q,
+             | round(CAST(avg(l_quantity) AS DOUBLE), 6) AS mean_q,
+             | round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_q,
+             | round(CAST(stddev_samp(l_quantity) AS DOUBLE), 4) AS stddev_q,
+             | round(CAST(var_samp(l_quantity) AS DOUBLE), 4) AS variance_q
+             | FROM lineitem""".stripMargin.replaceAll("\n", " "))),
+
+    // MultiQuantileConstraint (exact method) through the constraint surface: the
+    // VectorMetric must equal DuckDB's continuous quantiles.
+    QueryDef("multi_quantile_price",
+      (s, d) => {
+        import graft.constraints._
+        import graft.core._
+        val ge0 = Assertion.GreaterThanOrEqual(0.0)
+        val c = MultiQuantileConstraint("l_extendedprice",
+          Seq(0.25 -> ge0, 0.5 -> ge0, 0.75 -> ge0), QuantileMethod.Exact)
+        val qs = ValidationSuite.evaluateBatched(t(s, d, "lineitem"), Seq(c))
+          .head.metric.get.asInstanceOf[MetricValue.VectorMetric].value
+          .map(x => BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        import s.implicits._
+        Seq((qs(0), qs(1), qs(2))).toDF("p25", "p50", "p75")
+      },
+      Some("""SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+             | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+             | FROM lineitem""".stripMargin.replaceAll("\n", " "))),
+
+    // BeforeAfterConstraint (strict and non-strict) through the constraint surface:
+    // metric = fraction of both-non-null rows in order. The (discount, tax) pair is
+    // non-trivially ordered in both directions (the fixtures have no date pair in one
+    // table), exercising the generic column-pair comparison.
+    QueryDef("before_after_discount_tax",
+      (s, d) => {
+        import graft.constraints._
+        import graft.core._
+        val rs = ValidationSuite.evaluateBatched(t(s, d, "lineitem"), Seq(
+          BeforeAfterConstraint("l_discount", "l_tax"),
+          BeforeAfterConstraint("l_discount", "l_tax", strict = true)))
+        def ratio(i: Int) = BigDecimal(rs(i).metric.flatMap(_.asDouble).get)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        import s.implicits._
+        Seq((ratio(0), ratio(1))).toDF("leq_ratio", "lt_ratio")
+      },
+      Some("""SELECT
+             | round(CAST(sum(CASE WHEN l_discount <= l_tax THEN 1 ELSE 0 END) AS DOUBLE)
+             |   / CAST(sum(CASE WHEN l_discount IS NOT NULL AND l_tax IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE), 6) AS leq_ratio,
+             | round(CAST(sum(CASE WHEN l_discount < l_tax THEN 1 ELSE 0 END) AS DOUBLE)
+             |   / CAST(sum(CASE WHEN l_discount IS NOT NULL AND l_tax IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE), 6) AS lt_ratio
+             | FROM lineitem""".stripMargin.replaceAll("\n", " "))),
+
+    // LengthConstraint min/max/mean modes through the constraint surface (the sibling
+    // length_customer_name query re-derives raw aggregates without the constraint).
+    QueryDef("length_constraint_text",
+      (s, d) => {
+        import graft.constraints._
+        import graft.core._
+        val ge0 = Assertion.GreaterThanOrEqual(0.0)
+        val rs = ValidationSuite.evaluateBatched(t(s, d, "documents"), Seq(
+          LengthConstraint("text", ge0, Stat.Min),
+          LengthConstraint("text", ge0, Stat.Max),
+          LengthConstraint("text", ge0, Stat.Mean)))
+        def v(i: Int, scale: Int) = BigDecimal(rs(i).metric.flatMap(_.asDouble).get)
+          .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+        import s.implicits._
+        Seq((v(0, 0), v(1, 0), v(2, 6))).toDF("min_len", "max_len", "mean_len")
+      },
+      Some("""SELECT CAST(min(length(text)) AS DOUBLE) AS min_len,
+             | CAST(max(length(text)) AS DOUBLE) AS max_len,
+             | round(CAST(sum(length(text)) AS DOUBLE) / CAST(count(text) AS DOUBLE), 6) AS mean_len
+             | FROM documents""".stripMargin.replaceAll("\n", " "))),
+
     // Library path uses approx_count_distinct (mergeable HLL++); the oracle-facing
     // value is the exact distinct count (FIXTURES.md oracle protocol).
     QueryDef("count_distinct_partkey",

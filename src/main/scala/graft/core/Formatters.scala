@@ -24,6 +24,7 @@ object Formatters {
         // decimal COMMAS on e.g. de_DE deployments — same report, different bytes.
         r.metric.flatMap(_.asDouble).foreach(v =>
           sb.append(String.format(java.util.Locale.ROOT, " = %.6g", Double.box(v))))
+        sb.append(s" [${r.durationMillis} ms]")
         if (r.message.nonEmpty) sb.append(s"  (${r.message})")
         sb.append('\n')
       }
@@ -62,7 +63,8 @@ object Formatters {
     val checks = report.checkResults.map { cr =>
       val rs = cr.constraintResults.map { r =>
         s"""{"constraint":${q(r.constraint)},"status":${q(r.status.toString)},""" +
-          s""""metric":${r.metric.map(metricJson).getOrElse("null")},"message":${q(r.message)}}"""
+          s""""metric":${r.metric.map(metricJson).getOrElse("null")},"message":${q(r.message)},""" +
+          s""""duration_ms":${r.durationMillis}}"""
       }.mkString("[", ",", "]")
       s"""{"check":${q(cr.check.description)},"level":${q(cr.check.level.toString)},""" +
         s""""passed":${cr.passed},"results":$rs}"""

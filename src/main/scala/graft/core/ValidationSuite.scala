@@ -98,6 +98,7 @@ object ValidationSuite {
     // trees compare structurally (distinct function objects stay distinct); a
     // missed dedup only costs a redundant aggregate in the same scan.
     def runShared(cs: Seq[Constraint]): Map[Constraint, ConstraintResult] = {
+      val tShared0 = System.nanoTime()
       val slots = scala.collection.mutable.LinkedHashMap.empty[
         org.apache.spark.sql.catalyst.expressions.Expression, (Int, org.apache.spark.sql.Column)]
       val slotIdx: Seq[Seq[Int]] = cs.map { c =>
@@ -114,8 +115,12 @@ object ValidationSuite {
         val row = df.agg(cols.head, cols.drop(1): _*).head()
         chunk.zipWithIndex.foreach { case ((_, slot), local) => values(slot) = row.get(local) }
       }
+      // Every rider of the shared scan is stamped with the scan's total duration —
+      // the individually-attributable share of a single fused job is not observable.
+      val sharedMillis = (System.nanoTime() - tShared0) / 1000000
       cs.zip(slotIdx).map { case (c, idxs) =>
         c -> safeResult(c, () => c.fromAggregates(idxs.map(values)))
+          .copy(durationMillis = sharedMillis)
       }.toMap
     }
 
@@ -131,12 +136,12 @@ object ValidationSuite {
         case scala.util.control.NonFatal(_) =>
           val (ok, bad) = batchable.partition(c =>
             scala.util.Try(df.agg(c.aggregates.head, c.aggregates.drop(1): _*)).isSuccess)
-          val badResults = bad.map(c => c -> safeResult(c, () => c.evaluate(df))).toMap
+          val badResults = bad.map(c => c -> timedResult(c, () => c.evaluate(df))).toMap
           val okResults =
             if (ok.isEmpty) Map.empty[Constraint, ConstraintResult]
             else try runShared(ok) catch {
               case scala.util.control.NonFatal(_) =>
-                ok.map(c => c -> safeResult(c, () => c.evaluate(df))).toMap
+                ok.map(c => c -> timedResult(c, () => c.evaluate(df))).toMap
             }
           okResults ++ badResults
       }
@@ -148,14 +153,14 @@ object ValidationSuite {
     // enough overlap to hide latency without flooding the scheduler.
     val customResults: Map[Constraint, ConstraintResult] =
       if (custom.size <= 1)
-        custom.map(c => c -> safeResult(c, () => c.evaluate(df))).toMap
+        custom.map(c => c -> timedResult(c, () => c.evaluate(df))).toMap
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(custom.size, MaxConcurrentJobs))
         try {
           import scala.concurrent.{Await, ExecutionContext, Future}
           implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-          val futures = custom.map(c => Future(c -> safeResult(c, () => c.evaluate(df))))
+          val futures = custom.map(c => Future(c -> timedResult(c, () => c.evaluate(df))))
           Await.result(Future.sequence(futures), scala.concurrent.duration.Duration.Inf).toMap
         } finally pool.shutdown()
       }
@@ -170,6 +175,12 @@ object ValidationSuite {
         ConstraintResult(c.name, ConstraintStatus.Failure, None,
           s"evaluation error: ${e.getMessage}")
     }
+
+  /** safeResult + own-wall-time stamp, for constraints that run their own job(s). */
+  private def timedResult(c: Constraint, f: () => ConstraintResult): ConstraintResult = {
+    val t0 = System.nanoTime()
+    safeResult(c, f).copy(durationMillis = (System.nanoTime() - t0) / 1000000)
+  }
 
   /** Aggregates per physical job; chunking guards codegen limits on very wide suites. */
   val MaxAggsPerJob = 200

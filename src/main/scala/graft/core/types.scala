@@ -54,7 +54,14 @@ final case class ConstraintResult(
     constraint: String,
     status: ConstraintStatus,
     metric: Option[MetricValue],
-    message: String) {
+    message: String,
+    /** Wall time attributable to this constraint (lightweight parity with the
+      * reference's per-constraint telemetry spans, term-guard/src/telemetry.rs).
+      * Multi-job constraints report their own evaluation; constraints batched into a
+      * shared scan all report that scan's duration — like concurrent spans, the
+      * per-constraint durations of one suite may sum to more than its wall clock.
+      */
+    durationMillis: Long = 0L) {
   def isSuccess: Boolean = status == ConstraintStatus.Success
   def isFailure: Boolean = status == ConstraintStatus.Failure
 }

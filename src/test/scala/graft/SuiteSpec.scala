@@ -140,6 +140,22 @@ class SuiteSpec extends SparkSpec {
     }
   }
 
+  test("per-constraint durations are populated and rendered") {
+    val rs = ValidationSuite.evaluateBatched(df, Seq(
+      SizeConstraint(Assertion.GreaterThan(0)),          // rides the shared scan
+      CompletenessConstraint("status", Assertion.GreaterThan(0.0)),
+      GroupedCompletenessConstraint("status", Seq("name"), 0.0))) // own groupBy job
+    assert(rs.forall(_.durationMillis >= 0L))
+    // shared-scan riders carry the scan's duration: identical and > 0
+    assert(rs(0).durationMillis == rs(1).durationMillis)
+    assert(rs(0).durationMillis > 0L, s"shared scan took ${rs(0).durationMillis} ms")
+    assert(rs(2).durationMillis > 0L, s"multi-job took ${rs(2).durationMillis} ms")
+    val report = ValidationSuite("timed", Seq(Check("c", Level.Error, Seq(
+      SizeConstraint(Assertion.GreaterThan(0)))))).run(df)
+    assert(Formatters.text(report).contains(" ms]"))
+    assert(Formatters.json(report).contains("\"duration_ms\":"))
+  }
+
   test("constraint evaluation errors are captured, not thrown") {
     val bad = CompletenessConstraint("no_such_column", Assertion.Equals(1.0))
     val results = ValidationSuite.evaluateBatched(df, Seq(bad, SizeConstraint(Assertion.Equals(100))))
