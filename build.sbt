@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Dev/diagnostic mains (plan dumps, ad-hoc timing) live OUTSIDE the library source
+// tree so src/main measures the library only; they still compile + runMain normally.
+Compile / unmanagedSourceDirectories += baseDirectory.value / "src" / "tools" / "scala"
 // Forward forked-run stdout VERBATIM (no "[info] " logger prefix): the per-round
 // driver parses graft.Bench's single JSON stdout line, and sbt's default
 // LoggedOutput prefix breaks that parse.

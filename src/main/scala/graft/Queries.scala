@@ -326,6 +326,30 @@ object Queries {
              | LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey
              | WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL""".stripMargin.replaceAll("\n", " "))),
 
+    // The named multi-source convenience surface (register-by-name + "table.column"
+    // string refs) over the same FK/coverage engine — both results through
+    // MultiSourceValidator must equal the oracle's explicit joins.
+    QueryDef("multi_source_named_fk",
+      (s, d) => {
+        import graft.core._
+        import graft.constraints.CoverageMode
+        val v = new MultiSourceValidator(s)
+          .addSource("ms_orders", t(s, d, "orders"))
+          .addSource("ms_customer", t(s, d, "customer"))
+        val fk = v.foreignKey("ms_orders.o_custkey", "ms_customer.c_custkey")
+        val cov = v.joinCoverage("ms_orders.o_custkey", "ms_customer.c_custkey",
+          CoverageMode.LeftCoverage, Assertion.GreaterThanOrEqual(0.0))
+        import s.implicits._
+        Seq((fk.metric.flatMap(_.asDouble).get.toLong,
+          BigDecimal(cov.metric.flatMap(_.asDouble).get)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          .toDF("orphans", "coverage")
+      },
+      Some("""SELECT CAST(sum(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphans,
+             | round(CAST(sum(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS coverage
+             | FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             | ON o.o_custkey = c.c_custkey""".stripMargin.replaceAll("\n", " "))),
+
     QueryDef("join_coverage_lineitem_orders",
       (s, d) => Metrics.joinCoverage(t(s, d, "lineitem"), t(s, d, "orders"),
         Seq(("l_orderkey", "o_orderkey"))),

@@ -1,0 +1,95 @@
+package graft.core
+
+import graft.constraints._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Named multi-source validation (reference: term-guard/src/core/multi_source.rs:59-333).
+  *
+  * Registers DataFrames under table names and accepts `"table.column"` string
+  * references for cross-table checks, delegating to the explicit-DataFrame constraint
+  * engine (graft's idiomatic surface — SURVEY §1). Each source is also registered as a
+  * temp view, mirroring the reference's SessionContext registration, so `spark.sql`
+  * can address the same names. The reference's SQL-result LRU cache is intentionally
+  * absent: callers that re-validate a source repeatedly should `.cache()` the
+  * DataFrame — Spark's storage layer is the right owner of that memory at cluster
+  * scale, not a driver-side byte-counted map.
+  */
+final class MultiSourceValidator(spark: SparkSession) {
+
+  private val sources = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+
+  /** Register a DataFrame under `name` (also exposed as a temp view of that name). */
+  def addSource(name: String, df: DataFrame): this.type = {
+    require(name.nonEmpty && !name.contains("."),
+      s"source name '$name' must be non-empty and dot-free ('.' separates table from column)")
+    sources(name) = df
+    df.createOrReplaceTempView(name)
+    this
+  }
+
+  def addParquet(name: String, path: String): this.type =
+    addSource(name, spark.read.parquet(path))
+  def addCsv(name: String, path: String, header: Boolean = true): this.type =
+    addSource(name, spark.read.option("header", header.toString).option("inferSchema", "true").csv(path))
+
+  def listSources: Seq[String] = sources.keys.toSeq
+  def source(name: String): DataFrame = sources.getOrElse(name,
+    throw new IllegalArgumentException(
+      s"unknown source '$name'; registered: ${sources.keys.mkString(", ")}"))
+
+  /** Parse `"table.column"`; the FIRST dot splits, so dotted column names stay intact. */
+  private[graft] def parseRef(s: String): (String, String) = {
+    val i = s.indexOf('.')
+    require(i > 0 && i < s.length - 1, s"expected 'table.column', got '$s'")
+    (s.take(i), s.drop(i + 1))
+  }
+  private def resolve(s: String): (DataFrame, String) = {
+    val (t, c) = parseRef(s)
+    val df = source(t)
+    require(df.columns.contains(c), s"source '$t' has no column '$c' (columns: ${df.columns.mkString(", ")})")
+    (df, c)
+  }
+
+  /** Referential integrity by name: every `childRef` value exists at `parentRef`
+    * (reference: multi_source.rs FK usage over registered names).
+    */
+  def foreignKey(childRef: String, parentRef: String,
+      ignoreNulls: Boolean = true, maxExamples: Int = 5): ConstraintResult = {
+    val (child, childCol) = resolve(childRef)
+    val (parent, parentCol) = resolve(parentRef)
+    ForeignKeyConstraint(parent, Seq((childCol, parentCol)), ignoreNulls, maxExamples)
+      .evaluate(child)
+  }
+
+  /** Join coverage by name: fraction of `leftRef` rows with a match at `rightRef`. */
+  def joinCoverage(leftRef: String, rightRef: String, mode: CoverageMode,
+      assertion: Assertion): ConstraintResult = {
+    val (left, leftCol) = resolve(leftRef)
+    val (right, rightCol) = resolve(rightRef)
+    JoinCoverageConstraint(right, Seq((leftCol, rightCol)), mode, assertion).evaluate(left)
+  }
+
+  /** Cross-table sum reconciliation by name: sum(leftRef) vs sum(rightRef), optionally
+    * per group key pair (also `"table.column"` refs, which must address the same two
+    * tables).
+    */
+  def crossTableSum(leftRef: String, rightRef: String, tolerance: Double = 1e-9,
+      groupKeys: Seq[(String, String)] = Nil): ConstraintResult = {
+    val (left, leftCol) = resolve(leftRef)
+    val (right, rightCol) = resolve(rightRef)
+    val (lt, _) = parseRef(leftRef); val (rt, _) = parseRef(rightRef)
+    val keyCols = groupKeys.map { case (l, r) =>
+      val (ltab, lcol) = parseRef(l); val (rtab, rcol) = parseRef(r)
+      require(ltab == lt && rtab == rt,
+        s"group key ($l, $r) must reference the same tables as ($leftRef, $rightRef)")
+      (lcol, rcol)
+    }
+    // Backtick-quoted: a column literally named "x.y" must not parse as nested access.
+    CrossTableSumConstraint(right, org.apache.spark.sql.functions.col(SqlIdent(leftCol)),
+      org.apache.spark.sql.functions.col(SqlIdent(rightCol)), tolerance, keyCols).evaluate(left)
+  }
+
+  /** Run a whole [[ValidationSuite]] against a registered source by name. */
+  def validate(sourceName: String, suite: ValidationSuite): ValidationReport =
+    suite.run(source(sourceName))
+}

@@ -52,6 +52,23 @@ class PerfSpec extends SparkSpec {
     assert(sec < 5.0, f"warm 10-constraint suite took $sec%.2f s (> 5 s)")
   }
 
+  test("bench suite20 warm best-of-N stays under its ceiling") {
+    // Pins the BENCH suite20_warm surface in-tree: the per-round number wanders with
+    // sandbox load, so a best-of-5 on the fixed sf0.001 fixture backstops it — a
+    // structural regression (batching broken into N scans, a constraint going
+    // driver-side) blows through this ceiling; ambient variance does not.
+    val path = "/root/testdata/sf0.001/lineitem.parquet"
+    assume(new java.io.File(path).exists(), "driver-generated testdata not present")
+    val li = spark.read.parquet(path).cache()
+    li.count()
+    (1 to 3).foreach(_ => Bench.suite20(li)) // codegen + JIT warmup
+    val best = (1 to 5).map { _ =>
+      val t0 = System.nanoTime(); Bench.suite20(li); (System.nanoTime() - t0) / 1e9
+    }.min
+    li.unpersist()
+    assert(best < 1.5, f"best-of-5 warm suite20 took $best%.3f s (> 1.5 s)")
+  }
+
   test("10x data stays under the reference's 15x time bound (warm)") {
     val small = mkData(20000)
     val big = mkData(200000)

@@ -140,6 +140,42 @@ class SuiteSpec extends SparkSpec {
     }
   }
 
+  test("named multi-source validator resolves table.column refs to the engine") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val orders = Seq((1L, 10L, 5.0), (2L, 11L, 7.0), (3L, 99L, 2.0))
+      .toDF("oid", "cust", "amt") // cust=99 is an orphan
+    val customers = Seq((10L, "a"), (11L, "b"), (12L, "c")).toDF("cid", "nm")
+    val v = new MultiSourceValidator(spark)
+      .addSource("t_orders", orders).addSource("t_customers", customers)
+    assert(v.listSources == Seq("t_orders", "t_customers"))
+    // registered names are SQL-addressable, like the reference's context registration
+    assert(spark.sql("SELECT count(*) FROM t_orders").head().getLong(0) == 3L)
+    val fk = v.foreignKey("t_orders.cust", "t_customers.cid")
+    assert(fk.isFailure && fk.metric.flatMap(_.asDouble).contains(1.0), fk.message)
+    val cov = v.joinCoverage("t_orders.cust", "t_customers.cid",
+      CoverageMode.LeftCoverage, Assertion.GreaterThanOrEqual(0.5))
+    assert(cov.isSuccess && cov.metric.flatMap(_.asDouble).contains(2.0 / 3), cov.message)
+    val cts = v.crossTableSum("t_orders.amt", "t_customers.cid", tolerance = 100.0)
+    assert(cts.isSuccess, cts.message) // |14 - 33| <= 100
+    // suite-by-name runs against the registered frame
+    val report = v.validate("t_orders", ValidationSuite("named", Seq(
+      Check("c", Level.Error, Seq(SizeConstraint(Assertion.Equals(3)))))))
+    assert(report.isSuccess)
+    // malformed refs and unknown names fail loud
+    intercept[IllegalArgumentException](v.foreignKey("no_dot", "t_customers.cid"))
+    intercept[IllegalArgumentException](v.foreignKey("nope.cust", "t_customers.cid"))
+    intercept[IllegalArgumentException](v.foreignKey("t_orders.nope", "t_customers.cid"))
+    intercept[IllegalArgumentException](new MultiSourceValidator(spark).addSource("a.b", orders))
+    // grouped cross-table keys must address the same two tables
+    intercept[IllegalArgumentException](v.crossTableSum(
+      "t_orders.amt", "t_customers.cid", 1.0, Seq(("t_customers.cid", "t_orders.oid"))))
+    // a dotted COLUMN name resolves via the first dot only
+    val dotted = orders.withColumnRenamed("amt", "x.y")
+    v.addSource("t_dotted", dotted)
+    assert(v.crossTableSum("t_dotted.x.y", "t_orders.amt", tolerance = 0.1).isSuccess)
+  }
+
   test("per-constraint durations are populated and rendered") {
     val rs = ValidationSuite.evaluateBatched(df, Seq(
       SizeConstraint(Assertion.GreaterThan(0)),          // rides the shared scan
