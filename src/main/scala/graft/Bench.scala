@@ -94,8 +94,14 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // A failing query must NOT masquerade as a fast measurement — publish -1 so a
       // broken query is visible in the per-query series instead of looking cheap.
+      // collect(), NOT count(): count() over a lazy aggregate lets ColumnPruning drop
+      // every aggregate expression (the optimized plan is an EMPTY global Aggregate
+      // over a zero-column scan), so agg-shaped queries measured as scan-only.
+      // collect() materializes every output column — what Verify's parquet dump (and a
+      // real consumer) pays. Results are driver-safe: every queries() entry returns a
+      // bounded frame (single-row metrics / top-k) by design.
       def once: Double =
-        try { val t0 = System.nanoTime(); fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try { val t0 = System.nanoTime(); fn(spark, sfDir).collect(); (System.nanoTime() - t0) / 1e9 }
         catch { case scala.util.control.NonFatal(_) => -1.0 }
       val warm = once // untimed: codegen + JIT warmup
       val t1 = once

@@ -108,13 +108,20 @@ object Queries {
              | round(stddev_samp(l_extendedprice), 4) AS stddev_price
              | FROM lineitem""".stripMargin.replaceAll("\n", " "))),
 
+    // Exact percentile is the documented small-data path (QuantileConstraint prefers
+    // the approx sketch at scale), but the single-row-group test parquet pins its
+    // partial aggregation to ONE task — spread it across cores first (a ~5 MB
+    // shuffle) so the heavy OpenHashMap build parallelizes. Values are count-based
+    // and partitioning-independent.
     QueryDef("median_quantity",
-      (s, d) => t(s, d, "lineitem").agg(
+      (s, d) => t(s, d, "lineitem")
+        .repartition(s.sparkContext.defaultParallelism).agg(
         round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty")),
       Some("SELECT round(quantile_cont(l_quantity, 0.5), 6) AS median_qty FROM lineitem")),
 
     QueryDef("quantiles_price",
-      (s, d) => t(s, d, "lineitem").agg(
+      (s, d) => t(s, d, "lineitem")
+        .repartition(s.sparkContext.defaultParallelism).agg(
         round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
         round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75")),
@@ -158,7 +165,9 @@ object Queries {
         val ge0 = Assertion.GreaterThanOrEqual(0.0)
         val c = MultiQuantileConstraint("l_extendedprice",
           Seq(0.25 -> ge0, 0.5 -> ge0, 0.75 -> ge0), QuantileMethod.Exact)
-        val qs = ValidationSuite.evaluateBatched(t(s, d, "lineitem"), Seq(c))
+        // repartition: see quantiles_price — parallelize the exact-percentile build
+        val qs = ValidationSuite.evaluateBatched(
+          t(s, d, "lineitem").repartition(s.sparkContext.defaultParallelism), Seq(c))
           .head.metric.get.asInstanceOf[MetricValue.VectorMetric].value
           .map(x => BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
         import s.implicits._

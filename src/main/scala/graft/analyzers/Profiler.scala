@@ -114,14 +114,23 @@ final class ColumnProfiler(config: ProfilerConfig = ProfilerConfig()) {
       val nonNull = getL(c, "nonNull").getOrElse(0L)
       val approxDistinct = getL(c, "approxDistinct").getOrElse(0L)
       if (approxDistinct > 0 && approxDistinct <= config.histogramMaxDistinct && nonNull > 0) {
-        val buckets = df.filter(col(c).isNotNull)
+        // The gate above uses an approx sketch (~5% rsd): a column just over the
+        // threshold can slip under it. LIMIT bounds what can ever reach the driver,
+        // and the post-collect cap withholds the histogram when the TRUE cardinality
+        // exceeds the configured max — same contract as a correct sketch estimate.
+        val rows = df.filter(col(c).isNotNull)
           .groupBy(col(c).cast("string").as("v")).count()
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        // Ratio over NON-NULL values, matching HistogramConstraint / the reference's
-        // count / (total_cnt - null_cnt).
-        Some(Histogram(
-          buckets.map { case (v, n) => v -> HistogramBucket(n, n.toDouble / nonNull) },
-          total, buckets.size.toLong, total - nonNull))
+          .limit(math.min(config.histogramMaxDistinct, Int.MaxValue - 1L).toInt + 1)
+          .collect()
+        if (rows.length > config.histogramMaxDistinct) None
+        else {
+          val buckets = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+          // Ratio over NON-NULL values, matching HistogramConstraint / the reference's
+          // count / (total_cnt - null_cnt).
+          Some(Histogram(
+            buckets.map { case (v, n) => v -> HistogramBucket(n, n.toDouble / nonNull) },
+            total, buckets.size.toLong, total - nonNull))
+        }
       } else None
     }
     val perColumn: Map[String, (Option[Histogram], Option[TypeInference.Inferred])] =

@@ -8,6 +8,19 @@ class ProfilerSpec extends SparkSpec {
 
   private lazy val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").cache()
 
+  test("histogram withheld when true cardinality exceeds the configured max") {
+    import spark.implicits._
+    // 8 distinct values, max set to 5: even if the approx-distinct sketch
+    // underestimates past the gate, the post-collect cap must withhold the histogram
+    val d = (1 to 80).map(i => (i, s"v${i % 8}")).toDF("id", "s")
+    val p = new graft.analyzers.ColumnProfiler(
+      graft.analyzers.ProfilerConfig(histogramMaxDistinct = 5)).profile(d, Seq("s"))("s")
+    assert(p.histogram.isEmpty, "cardinality 8 > max 5 must not produce a histogram")
+    val ok = new graft.analyzers.ColumnProfiler(
+      graft.analyzers.ProfilerConfig(histogramMaxDistinct = 8)).profile(d, Seq("s"))("s")
+    assert(ok.histogram.isDefined && ok.histogram.get.buckets.size == 8)
+  }
+
   test("profiler: basic stats, numeric, string, histogram") {
     val profiles = new ColumnProfiler().profile(orders)
     val pk = profiles("o_orderkey")

@@ -24,7 +24,8 @@ object QueryTime {
       val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
       (1 to n).foreach { i =>
         val t0 = System.nanoTime()
-        val rows = fn(spark, sfDir).count()
+        // collect, not count: count() over lazy aggregates prunes the agg work away
+        val rows = fn(spark, sfDir).collect().length
         println(f"[scratch] $name%-36s run$i ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
       }
     }
