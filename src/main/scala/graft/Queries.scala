@@ -108,23 +108,29 @@ object Queries {
              | round(stddev_samp(l_extendedprice), 4) AS stddev_price
              | FROM lineitem""".stripMargin.replaceAll("\n", " "))),
 
-    // Exact percentile is the documented small-data path (QuantileConstraint prefers
-    // the approx sketch at scale), but the single-row-group test parquet pins its
-    // partial aggregation to ONE task — spread it across cores first (a ~5 MB
-    // shuffle) so the heavy OpenHashMap build parallelizes. Values are count-based
-    // and partitioning-independent.
+    // Exact quantiles through the DISTRIBUTED operator (Quantiles.exactQuantiles):
+    // sketch-bracketed rank selection — no whole-value-set single-task merge like
+    // Spark's own `percentile`. collectThreshold is forced tiny so the oracle runs
+    // exercise the sketch+bracket path (default 1M would collect-all at sf0.01).
     QueryDef("median_quantity",
-      (s, d) => t(s, d, "lineitem")
-        .repartition(s.sparkContext.defaultParallelism).agg(
-        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty")),
+      (s, d) => {
+        val m = graft.operators.Quantiles
+          .exactQuantile(t(s, d, "lineitem"), "l_quantity", 0.5, collectThreshold = 1000).get
+        import s.implicits._
+        Seq(BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          .toDF("median_qty")
+      },
       Some("SELECT round(quantile_cont(l_quantity, 0.5), 6) AS median_qty FROM lineitem")),
 
     QueryDef("quantiles_price",
-      (s, d) => t(s, d, "lineitem")
-        .repartition(s.sparkContext.defaultParallelism).agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75")),
+      (s, d) => {
+        val qs = graft.operators.Quantiles
+          .exactQuantiles(t(s, d, "lineitem"), "l_extendedprice", Seq(0.25, 0.5, 0.75),
+            collectThreshold = 1000).get
+          .map(x => BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        import s.implicits._
+        Seq((qs(0), qs(1), qs(2))).toDF("p25", "p50", "p75")
+      },
       Some("""SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
              | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
              | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
@@ -165,9 +171,7 @@ object Queries {
         val ge0 = Assertion.GreaterThanOrEqual(0.0)
         val c = MultiQuantileConstraint("l_extendedprice",
           Seq(0.25 -> ge0, 0.5 -> ge0, 0.75 -> ge0), QuantileMethod.Exact)
-        // repartition: see quantiles_price — parallelize the exact-percentile build
-        val qs = ValidationSuite.evaluateBatched(
-          t(s, d, "lineitem").repartition(s.sparkContext.defaultParallelism), Seq(c))
+        val qs = ValidationSuite.evaluateBatched(t(s, d, "lineitem"), Seq(c))
           .head.metric.get.asInstanceOf[MetricValue.VectorMetric].value
           .map(x => BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
         import s.implicits._

@@ -112,8 +112,11 @@ final case class ApproxCountDistinctConstraint(column: String, assertion: Assert
 }
 
 /** Quantile constraint (reference: constraints/quantile.rs:228-241,344-346).
-  * `Approximate` uses the mergeable `percentile_approx` sketch (scale path);
-  * `Exact` uses sort-based `percentile` (oracle-matchable, small data only).
+  * `Approximate` uses the mergeable `percentile_approx` sketch (one shared-scan
+  * aggregate, batchable); `Exact` runs [[graft.operators.Quantiles.exactQuantiles]] —
+  * a multi-pass sketch-bracketed rank selection that stays exact AND distributed
+  * (Spark's own `percentile` merges the whole value→count map in one task), so it
+  * cannot share the suite's single scan and runs as its own job.
   */
 sealed trait QuantileMethod
 object QuantileMethod {
@@ -126,15 +129,23 @@ final case class QuantileConstraint(
     accuracy: Int = 10000) extends Constraint {
   require(q >= 0 && q <= 1, "quantile must be in [0,1]")
   val name = s"Quantile($column, $q) ${assertion.describe}"
-  val aggregates: Seq[Column] = Seq(method match {
-    case QuantileMethod.Exact       => expr(s"percentile(${graft.core.SqlIdent(column)}, $q)")
-    case QuantileMethod.Approximate => percentile_approx(col(column), lit(q), lit(accuracy))
-  })
+  val aggregates: Seq[Column] = method match {
+    case QuantileMethod.Exact       => Nil // own multi-pass job, see evaluate
+    case QuantileMethod.Approximate => Seq(percentile_approx(col(column), lit(q), lit(accuracy)))
+  }
   def fromAggregates(values: Seq[Any]): ConstraintResult =
     Num.toDouble(values.head) match {
       case None    => skipped("quantile undefined on empty input")
       case Some(v) => assertOn(v, assertion)
     }
+  override def evaluate(df: DataFrame): ConstraintResult = method match {
+    case QuantileMethod.Approximate => super.evaluate(df)
+    case QuantileMethod.Exact =>
+      graft.operators.Quantiles.exactQuantile(df, column, q, accuracy) match {
+        case None    => skipped("quantile undefined on empty input")
+        case Some(v) => assertOn(v, assertion)
+      }
+  }
 }
 
 /** Multiple quantiles of one column in one scan. */
@@ -143,11 +154,22 @@ final case class MultiQuantileConstraint(column: String, qs: Seq[(Double, Assert
   require(qs.forall { case (q, _) => q >= 0 && q <= 1 },
     "quantiles must be in [0,1]") // fail at construction, not inside the shared batched scan
   val name = s"MultiQuantile($column)[${qs.map(_._1).mkString(",")}]"
-  val aggregates: Seq[Column] = qs.map { case (q, _) => method match {
-    case QuantileMethod.Exact       => expr(s"percentile(${graft.core.SqlIdent(column)}, $q)")
-    case QuantileMethod.Approximate => percentile_approx(col(column), lit(q), lit(10000))
-  }}
-  def fromAggregates(values: Seq[Any]): ConstraintResult = {
+  val aggregates: Seq[Column] = method match {
+    case QuantileMethod.Exact       => Nil // own multi-pass distributed job, see evaluate
+    case QuantileMethod.Approximate =>
+      qs.map { case (q, _) => percentile_approx(col(column), lit(q), lit(10000)) }
+  }
+  override def evaluate(df: DataFrame): ConstraintResult = method match {
+    case QuantileMethod.Approximate => super.evaluate(df)
+    case QuantileMethod.Exact =>
+      // All quantiles in one operator call: the bracket passes share scans.
+      graft.operators.Quantiles.exactQuantiles(df, column, qs.map(_._1)) match {
+        case None     => fromValues(qs.map(_ => null))
+        case Some(vs) => fromValues(vs)
+      }
+  }
+  def fromAggregates(values: Seq[Any]): ConstraintResult = fromValues(values)
+  private def fromValues(values: Seq[Any]): ConstraintResult = {
     val outcomes = qs.zip(values).map { case ((q, a), v) =>
       val d = Num.toDouble(v)
       (q, d, d.map(a(_)))
