@@ -73,4 +73,38 @@ class SourcesSpec extends SparkSpec {
       chain.toLowerCase.contains("no filesystem for scheme"),
       s"expected the missing-connector failure shape, got: $chain")
   }
+
+  test("object-store contract: full s3a:// parquet round-trip through the FileSystem API") {
+    // A FileSystem registered for the s3a scheme (see FakeS3FileSystem) exercises the
+    // SAME code Spark runs against a real object store — scheme resolution from
+    // hadoopConfiguration, path qualification, FileOutputCommitter rename dance,
+    // reader footer probes — with only the byte transport swapped for local disk.
+    val hc = spark.sparkContext.hadoopConfiguration
+    Sources.withS3Credentials(spark, "ak", "sk", Some("http://localhost:9000"))
+    hc.set("fs.s3a.impl", classOf[FakeS3FileSystem].getName)
+    // Hadoop's default conf binds scheme s3a to the (absent) S3ACommitterFactory —
+    // the same knob deployments use to select the magic committer. Bind the default
+    // FileOutputCommitter factory instead.
+    hc.set("mapreduce.outputcommitter.factory.scheme.s3a",
+      "org.apache.hadoop.mapreduce.lib.output.FileOutputCommitterFactory")
+    val dir = java.nio.file.Files.createTempDirectory("fake_s3").toString
+    try {
+      import spark.implicits._
+      val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s")
+      val uri = s"s3a://test-bucket$dir/rt"
+      df.write.mode("overwrite").parquet(uri)
+      val back = spark.read.parquet(uri).orderBy("id").collect()
+      assert(back.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+        Seq((1, "a"), (2, "b"), (3, "c")))
+      // CSV through the same scheme (different writer stack: text + header).
+      val curi = s"s3a://test-bucket$dir/rt_csv"
+      df.write.option("header", "true").csv(curi)
+      assert(Sources.csv(spark, Seq(curi)).count() == 3)
+    } finally {
+      hc.unset("fs.s3a.impl")
+      hc.unset("mapreduce.outputcommitter.factory.scheme.s3a")
+      org.apache.hadoop.fs.FileSystem.closeAll()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
