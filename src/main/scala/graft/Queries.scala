@@ -878,14 +878,18 @@ object Queries {
     // counts and rounded extrema hash-match.
     QueryDef("repetition_stats_documents",
       (s, d) => {
-        val charRep = TextFunctions.dupNgramFraction(col("text"), 10)
-        val wordRep = TextFunctions.dupWordNgramFraction(col("text"), 3)
-        t(s, d, "documents").agg(
-          count(lit(1)).as("n_docs"),
-          sum(when(charRep > 0.05, 1L).otherwise(0L)).as("high_char_rep"),
-          sum(when(wordRep > 0.01, 1L).otherwise(0L)).as("high_word_rep"),
-          round(max(charRep), 6).as("max_char_rep"),
-          round(min(charRep), 6).as("min_char_rep"))
+        // Pre-project the kernels so each runs ONCE per row — the aggregate references
+        // charRep three times, and subexpression elimination across separate aggregate
+        // expressions is not guaranteed.
+        t(s, d, "documents").select(
+          TextFunctions.dupNgramFraction(col("text"), 10).as("charRep"),
+          TextFunctions.dupWordNgramFraction(col("text"), 3).as("wordRep"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("charRep") > 0.05, 1L).otherwise(0L)).as("high_char_rep"),
+            sum(when(col("wordRep") > 0.01, 1L).otherwise(0L)).as("high_word_rep"),
+            round(max(col("charRep")), 6).as("max_char_rep"),
+            round(min(col("charRep")), 6).as("min_char_rep"))
       },
       Some("""WITH idx AS (SELECT unnest(range(1, CAST((SELECT coalesce(max(length(text)), 0) FROM documents) AS BIGINT) + 1)) AS i),
              | ch AS (SELECT doc_id, count(DISTINCT substr(text, CAST(i AS INT), 10)) AS d, max(length(text)) - 9 AS tot

@@ -134,26 +134,23 @@ object TextFunctions {
 
   /** Fraction of the text's char n-grams that repeat an earlier one: 1 − distinct/total.
     * 0 for texts shorter than n. High values flag boilerplate/looping generations
-    * (the "duplicate n-gram fraction" family of pretraining filters).
+    * (the "duplicate n-gram fraction" family of pretraining filters). Native
+    * codegen'd kernel ([[DupNgramFraction]]) — one byte-walk per document instead of
+    * materializing the L-element shingle array.
     */
   def dupNgramFraction(c: Column, n: Int): Column = {
     require(n > 0, s"n-gram size must be positive, got $n")
-    when(length(c) >= n,
-      lit(1.0) - size(charShingles(c, n)).cast("double") /
-        (length(c) - lit(n) + 1).cast("double"))
-      .otherwise(lit(0.0))
+    org.apache.spark.sql.GraftSqlBridge.column(
+      DupNgramFraction(org.apache.spark.sql.GraftSqlBridge.expression(c), n, word = false))
   }
 
   /** Word-level duplicate k-gram fraction: 1 − distinct/total over whitespace-token
-    * k-grams. 0 for texts with fewer than k tokens.
+    * k-grams. 0 for texts with fewer than k tokens. Same native kernel, word mode.
     */
   def dupWordNgramFraction(c: Column, k: Int): Column = {
     require(k > 0, s"k-gram size must be positive, got $k")
-    val t = tokens(c)
-    when(size(t) >= k,
-      lit(1.0) - size(wordShingles(c, k)).cast("double") /
-        (size(t) - lit(k) + 1).cast("double"))
-      .otherwise(lit(0.0))
+    org.apache.spark.sql.GraftSqlBridge.column(
+      DupNgramFraction(org.apache.spark.sql.GraftSqlBridge.expression(c), k, word = true))
   }
 
   /** Duplicate-line fraction: 1 − distinct/total over trimmed non-empty lines. */

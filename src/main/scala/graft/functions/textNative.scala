@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass duplicate n-gram fraction kernels (static so generated code can call them
+  * directly). The Column-level formulation (`transform(sequence(...))` →
+  * `array_distinct`) materializes an L-element substring array per document and runs
+  * interpreted per-element lambdas — ~10× the work of one byte-walk, and higher-order
+  * functions neither codegen nor participate in subexpression elimination. Semantics
+  * are EXACT distinct-substring counts (a hash set of byte-slice views, full equality
+  * on collision — not a fingerprint approximation), matching the SQL-oracle forms.
+  */
+object DupNgramKernel {
+
+  /** `1 − distinct(char n-grams)/total`; 0.0 when fewer than n chars. N-grams are in
+    * CODE POINTS (like `substr`), computed over the UTF-8 bytes with one offset walk.
+    */
+  def charFraction(s: UTF8String, n: Int): Double = {
+    val bytes = s.getBytes
+    // Char-start byte offsets: offs(i) = byte position of code point i.
+    val offs = new Array[Int](bytes.length + 1)
+    var i = 0
+    var chars = 0
+    while (i < bytes.length) {
+      offs(chars) = i
+      chars += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    offs(chars) = bytes.length
+    if (chars < n) return 0.0
+    val total = chars - n + 1
+    val set = new java.util.HashSet[UTF8String](initialCapacity(total))
+    var k = 0
+    while (k < total) {
+      // Zero-copy view over the shared byte array; HashSet compares bytes on collision.
+      set.add(UTF8String.fromBytes(bytes, offs(k), offs(k + n) - offs(k)))
+      k += 1
+    }
+    1.0 - set.size.toDouble / total
+  }
+
+  /** `1 − distinct(word k-grams)/total` over whitespace tokens joined by single
+    * spaces; 0.0 when fewer than k tokens. Tokenization matches `split(c, "\\s+")`
+    * with empties removed: maximal runs of non-whitespace bytes (Java `\s` is ASCII
+    * [ \t\n\x0B\f\r], so a byte-level scan is exact for any UTF-8 input).
+    */
+  def wordFraction(s: UTF8String, k: Int): Double = {
+    val bytes = s.getBytes
+    // Canonical buffer: tokens joined by single spaces (k-grams must compare equal
+    // regardless of the separator run that appeared in the source text).
+    val canon = new Array[Byte](bytes.length)
+    val starts = new Array[Int](bytes.length / 2 + 2)
+    val ends = new Array[Int](bytes.length / 2 + 2)
+    var w = 0
+    var nt = 0
+    var i = 0
+    while (i < bytes.length) {
+      while (i < bytes.length && isWs(bytes(i))) i += 1
+      if (i < bytes.length) {
+        if (nt > 0) { canon(w) = ' '; w += 1 }
+        starts(nt) = w
+        while (i < bytes.length && !isWs(bytes(i))) { canon(w) = bytes(i); w += 1; i += 1 }
+        ends(nt) = w
+        nt += 1
+      }
+    }
+    if (nt < k) return 0.0
+    val total = nt - k + 1
+    val set = new java.util.HashSet[UTF8String](initialCapacity(total))
+    var j = 0
+    while (j < total) {
+      set.add(UTF8String.fromBytes(canon, starts(j), ends(j + k - 1) - starts(j)))
+      j += 1
+    }
+    1.0 - set.size.toDouble / total
+  }
+
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0D)
+
+  private def initialCapacity(expected: Int): Int =
+    math.min(expected * 4 / 3 + 1, 1 << 17).max(4)
+}
+
+/** Codegen'd duplicate n-gram fraction (char or word mode) — the repetition-filter
+  * kernel (Gopher-style "duplicate n-gram fraction" pretraining signal) as a single
+  * fused byte-walk per document. NULL input ⇒ 0.0, matching the Column form
+  * `when(length >= n, …).otherwise(0.0)` and the SQL oracle's `CASE … ELSE 0.0`.
+  */
+case class DupNgramFraction(child: Expression, n: Int, word: Boolean)
+    extends UnaryExpression {
+  require(n > 0, s"n-gram size must be positive, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String =
+    if (word) "dup_word_ngram_fraction" else "dup_ngram_fraction"
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0.0
+    else if (word) DupNgramKernel.wordFraction(v.asInstanceOf[UTF8String], n)
+    else DupNgramKernel.charFraction(v.asInstanceOf[UTF8String], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val fn = if (word) "wordFraction" else "charFraction"
+    ev.copy(
+      code = c.code + code"""
+        double ${ev.value} = ${c.isNull} ? 0.0 :
+          graft.functions.DupNgramKernel.$fn(${c.value}, $n);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DupNgramFraction =
+    copy(child = newChild)
+}

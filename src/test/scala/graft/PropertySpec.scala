@@ -215,7 +215,9 @@ class PropertySpec extends SparkSpec {
     // biased toward repeated words/lines so the duplicate fractions are exercised
     val textGen = for {
       n <- Gen.choose(0, 30)
-      words <- Gen.listOfN(n, Gen.oneOf("spam", "ham", "eggs", "aa", "bbbb", "x"))
+      // multi-byte UTF-8 tokens (é=2B, 中=3B) exercise the native kernel's code-point
+      // walk; all BMP, so the JVM-string reference computation counts the same chars
+      words <- Gen.listOfN(n, Gen.oneOf("spam", "ham", "eggs", "aa", "bbbb", "x", "héé", "中文中"))
       seps <- Gen.listOfN(math.max(n - 1, 0), Gen.oneOf(" ", "\n", "  "))
     } yield words.zipAll(seps :+ "", "", "").map { case (w, s) => w + s }.mkString
     forAll(Gen.listOfN(20, textGen)) { texts =>
