@@ -115,9 +115,14 @@ final class SuggestionEngine(
 }
 
 /** Cross-table FK/join suggestion by name/type match + overlap probe
-  * (reference: analyzers/schema_analyzer.rs:51-661).
+  * (reference: analyzers/schema_analyzer.rs:51-661). An optional [[graft.core.StatsCache]]
+  * carries the per-(table, column) key-likeness and count probes ACROSS invocations —
+  * a scheduled sweep re-analyzing slowly-changing tables skips every probe job still
+  * inside the TTL. Keys are caller-supplied table names, so callers re-binding a name
+  * to different data within the TTL should pass a fresh cache (heuristic surface only).
   */
-final class SchemaAnalyzer(minOverlap: Double = 0.95) {
+final class SchemaAnalyzer(minOverlap: Double = 0.95,
+    statsCache: Option[graft.core.StatsCache] = None) {
   final case class FkCandidate(childTable: String, childColumn: String,
       parentTable: String, parentColumn: String, overlap: Double)
 
@@ -130,9 +135,23 @@ final class SchemaAnalyzer(minOverlap: Double = 0.95) {
 
     // isKeyLike and the child's non-null count are Spark jobs depending only on
     // (table, column) — memoize both or T×K keyish columns cost O((TK)²) redundant
-    // jobs across the candidate pairs.
+    // jobs across the candidate pairs. With a StatsCache, the memo also spans
+    // invocations (TTL-bounded), so re-running the sweep is probe-free.
     val keyLikeCache = scala.collection.mutable.Map.empty[(String, String), Boolean]
     val childCountCache = scala.collection.mutable.Map.empty[(String, String), Long]
+    def cachedKeyLike(pt: String, pc: String, parent: DataFrame): Boolean =
+      keyLikeCache.getOrElseUpdate((pt, pc), statsCache match {
+        case Some(sc) =>
+          sc.getOrCompute(s"keylike:$pt.$pc")(if (isKeyLike(parent, pc)) 1.0 else 0.0) == 1.0
+        case None => isKeyLike(parent, pc)
+      })
+    def cachedChildCount(ct: String, cc: String, child: DataFrame): Long =
+      childCountCache.getOrElseUpdate((ct, cc), statsCache match {
+        case Some(sc) =>
+          sc.getOrCompute(s"nonnull:$ct.$cc")(
+            child.filter(col(cc).isNotNull).count().toDouble).toLong
+        case None => child.filter(col(cc).isNotNull).count()
+      })
     for {
       (ct, cc, cdt) <- keyish
       (pt, pc, pdt) <- keyish
@@ -140,9 +159,8 @@ final class SchemaAnalyzer(minOverlap: Double = 0.95) {
       child = tables(ct)
       parent = tables(pt)
       // parent column must look like a key (distinct) and child values must overlap it
-      if keyLikeCache.getOrElseUpdate((pt, pc), isKeyLike(parent, pc))
-      total = childCountCache.getOrElseUpdate((ct, cc),
-        child.filter(col(cc).isNotNull).count())
+      if cachedKeyLike(pt, pc, parent)
+      total = cachedChildCount(ct, cc, child)
       ov = overlap(child, cc, parent, pc, total)
       if ov >= minOverlap
     } yield FkCandidate(ct, cc, pt, pc, ov)

@@ -72,6 +72,33 @@ class ProfilerSpec extends SparkSpec {
       cands.mkString("; "))
   }
 
+  test("stats cache: TTL expiry, oldest eviction, cross-invocation schema-analyzer reuse") {
+    import graft.core.StatsCache
+    var now = 0L
+    val sc = new StatsCache(ttlMillis = 100, maxEntries = 2, clock = () => now)
+    var computes = 0
+    def probe(k: String, v: Double) = sc.getOrCompute(k) { computes += 1; v }
+    assert(probe("a", 1.0) == 1.0 && computes == 1)
+    assert(probe("a", 99.0) == 1.0 && computes == 1, "hit must not recompute")
+    now = 150 // past TTL
+    assert(probe("a", 2.0) == 2.0 && computes == 2, "expired entry must recompute")
+    probe("b", 3.0); probe("c", 4.0) // capacity 2: inserting c evicts oldest (a)
+    assert(sc.get("a").isEmpty && sc.get("b").contains(3.0) && sc.get("c").contains(4.0))
+
+    // Second analyzer sweep with the same cache runs no count/keylike probe jobs:
+    // identical candidates, and the cache holds the probes from the first sweep.
+    val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val shared = new StatsCache()
+    val tables = Map("orders" -> orders, "customer" -> customer)
+    val first = new SchemaAnalyzer(statsCache = Some(shared)).suggestForeignKeys(tables)
+    val cachedProbes = shared.size
+    assert(cachedProbes > 0, "sweep must populate the cache")
+    val second = new SchemaAnalyzer(statsCache = Some(shared)).suggestForeignKeys(tables)
+    assert(first == second)
+    assert(shared.size == cachedProbes, "re-sweep must not add probes")
+    assert(first.exists(c => c.childColumn == "o_custkey" && c.parentColumn == "c_custkey"))
+  }
+
   test("formatters render text and valid-ish json") {
     import spark.implicits._
     val df = Seq((1, "a"), (2, null)).toDF("id", "s")
