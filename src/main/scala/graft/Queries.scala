@@ -1313,9 +1313,11 @@ object Queries {
         def pick(k: Int, valid: org.apache.spark.sql.Column, invalid: org.apache.spark.sql.Column) =
           when(pmod(col("o_orderkey"), lit(k)) === 0, valid).otherwise(invalid)
         val synth = t(s, d, "orders").select(
-          pick(2, lit("+44 020 12345678"), lit("4420")).as("p_uk"),
-          pick(3, lit("+49 030 123456"), lit("49")).as("p_de"),
-          pick(4, lit("01 23456789"), lit("0123")).as("p_fr"),
+          // canonical international forms (trunk 0 dropped after +CC) — pins the
+          // documented divergence from the reference's trunk-0-required patterns
+          pick(2, lit("+44 20 7946 0958"), lit("4420")).as("p_uk"),
+          pick(3, lit("+49 30 123456"), lit("49")).as("p_de"),
+          pick(4, lit("01 23 45 67 89"), lit("0123")).as("p_fr"),
           // E.164 derived from the key: "+1" + 9 digits (leading 1, length <= 15)
           pick(5, concat(lit("+1"), lpad(pmod(col("o_orderkey"), lit(999999999L))
             .cast("string"), 9, "1")), concat(lit("0"), col("o_orderkey"))).as("p_e164"),

@@ -328,7 +328,13 @@ final case class QuantileAnalyzer(column: String, quantiles: Seq[Double] = Seq(0
   // runner's keyed maps.
   val name = "quantile"
   val key = s"quantile.$column[${quantiles.mkString(",")}]@$relativeError"
-  override def legacyKeys: Seq[String] = Seq(s"quantile.$column")
+  // Legacy "quantile.col" records carried no relativeError, so adopting one can only
+  // be justified for the default-accuracy analyzer (the legacy-era default) — a
+  // non-default analyzer adopting a coarser legacy sketch would claim precision the
+  // merged state does not have. The q list is NOT restricted: the stored GK sketch is
+  // quantile-independent (q is evaluated at read time).
+  override def legacyKeys: Seq[String] =
+    if (relativeError == 0.01) Seq(s"quantile.$column") else Nil
   val stateAggregates = Seq(QuantileSketch.aggColumn(column, relativeError))
   def stateFromValues(v: Seq[Any]) =
     QuantileState(QuantileSketch.deserialize(v.head.asInstanceOf[Array[Byte]]))

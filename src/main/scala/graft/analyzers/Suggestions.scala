@@ -136,22 +136,33 @@ final class SchemaAnalyzer(minOverlap: Double = 0.95,
     // isKeyLike and the child's non-null count are Spark jobs depending only on
     // (table, column) — memoize both or T×K keyish columns cost O((TK)²) redundant
     // jobs across the candidate pairs. With a StatsCache, the memo also spans
-    // invocations (TTL-bounded), so re-running the sweep is probe-free.
+    // invocations (TTL-bounded) and INCLUDES the per-pair overlap semi-join — the
+    // dominant sweep cost — so re-running over slowly-changing tables is job-free.
+    // Cache keys join the name parts with NUL (a dot would make ("a", "b.c") and
+    // ("a.b", "c") collide — table names here are arbitrary caller map keys).
+    def ckey(parts: String*) = parts.mkString("\u0000")
     val keyLikeCache = scala.collection.mutable.Map.empty[(String, String), Boolean]
     val childCountCache = scala.collection.mutable.Map.empty[(String, String), Long]
     def cachedKeyLike(pt: String, pc: String, parent: DataFrame): Boolean =
       keyLikeCache.getOrElseUpdate((pt, pc), statsCache match {
         case Some(sc) =>
-          sc.getOrCompute(s"keylike:$pt.$pc")(if (isKeyLike(parent, pc)) 1.0 else 0.0) == 1.0
+          sc.getOrCompute(ckey("keylike", pt, pc))(
+            if (isKeyLike(parent, pc)) 1.0 else 0.0) == 1.0
         case None => isKeyLike(parent, pc)
       })
     def cachedChildCount(ct: String, cc: String, child: DataFrame): Long =
       childCountCache.getOrElseUpdate((ct, cc), statsCache match {
         case Some(sc) =>
-          sc.getOrCompute(s"nonnull:$ct.$cc")(
+          sc.getOrCompute(ckey("nonnull", ct, cc))(
             child.filter(col(cc).isNotNull).count().toDouble).toLong
         case None => child.filter(col(cc).isNotNull).count()
       })
+    def cachedOverlap(ct: String, cc: String, pt: String, pc: String,
+        child: DataFrame, parent: DataFrame, total: Long): Double = statsCache match {
+      case Some(sc) =>
+        sc.getOrCompute(ckey("overlap", ct, cc, pt, pc))(overlap(child, cc, parent, pc, total))
+      case None => overlap(child, cc, parent, pc, total)
+    }
     for {
       (ct, cc, cdt) <- keyish
       (pt, pc, pdt) <- keyish
@@ -161,7 +172,7 @@ final class SchemaAnalyzer(minOverlap: Double = 0.95,
       // parent column must look like a key (distinct) and child values must overlap it
       if cachedKeyLike(pt, pc, parent)
       total = cachedChildCount(ct, cc, child)
-      ov = overlap(child, cc, parent, pc, total)
+      ov = cachedOverlap(ct, cc, pt, pc, child, parent, total)
       if ov >= minOverlap
     } yield FkCandidate(ct, cc, pt, pc, ov)
   }

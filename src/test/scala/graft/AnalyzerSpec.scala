@@ -125,6 +125,39 @@ class AnalyzerSpec extends SparkSpec {
     assert(runner.dataPartitions("size.*").sorted == Seq("p1", "p2"))
   }
 
+  test("legacy-key migration: resumable mid-crash, default-rsd-only adoption, stamp-validated reads") {
+    import graft.analyzers._
+    // Seed a legacy-format correlation store: partitions under "correlation.x.y".
+    val a = CorrelationAnalyzer("x", "y")
+    val legacy = "correlation.x.y"
+    def coFields(n: Long, v: Double) = Map(
+      "n" -> n.toString, "sx" -> v.toString, "sy" -> v.toString,
+      "sxx" -> v.toString, "syy" -> v.toString, "sxy" -> v.toString)
+    val store = new InMemoryStateStore
+    store.save(legacy, "p1", coFields(10, 1.0))
+    store.save(legacy, "p2", coFields(20, 2.0))
+    store.save(legacy, "p3", coFields(30, 3.0))
+    store.save(legacy, "__cumulative__", coFields(60, 6.0))
+    // Simulate a CRASH mid-migration: p1 already moved (exists under BOTH keys would
+    // be the save-then-crash-before-delete window; moved-and-deleted is the other).
+    store.save(a.key, "p1", coFields(10, 1.0))
+    store.delete(legacy, "p1")
+    val runner = new IncrementalAnalysisRunner(store, Seq(a))
+    // Resumed migration must pick up p2/p3 even though the new key is non-empty.
+    assert(runner.dataPartitions(a.key).sorted == Seq("p1", "p2", "p3"))
+    assert(store.listPartitions(legacy).isEmpty, "legacy entries (incl. cumulative) drained")
+    // currentMetrics must NOT trust a stale/absent cumulative — it rebuilds from the
+    // three migrated partitions (n=60 co-moment merge, correlation defined).
+    assert(runner.currentMetrics().contains(a.key))
+    val cum = store.load(a.key, "__cumulative__")
+    assert(cum.flatMap(_.get("n")).contains("60"), s"rebuilt cumulative over all parts: $cum")
+
+    // Quantile legacy key adoption is restricted to the default relativeError: a
+    // non-default analyzer must NOT claim precision the legacy sketch may lack.
+    assert(QuantileAnalyzer("x").legacyKeys.nonEmpty)
+    assert(QuantileAnalyzer("x", relativeError = 0.001).legacyKeys.isEmpty)
+  }
+
   test("batched one-scan partition ingest equals the sequential per-partition loop") {
     // sequential: one analyzePartition call per bucket
     val seqStore = new InMemoryStateStore

@@ -147,15 +147,21 @@ class ConstraintSpec extends SparkSpec {
       assert(r.status == Success, s"${fmt.label}: ${r.message}")
     }
     check(FormatType.Phone(Some("UK")),
-      Seq("020 12345678", "+44 01234 567890", "01234 567890"), Seq("12345", "4420"))
+      // canonical international (+44, trunk 0 dropped) AND national (trunk 0) forms
+      Seq("020 12345678", "+44 01234 567890", "01234 567890",
+        "+44 20 7946 0958", "+44 20 79460958"), Seq("12345", "4420"))
     check(FormatType.Phone(Some("DE")),
-      Seq("+49 030 123456", "030 123456"), Seq("49", "12345678901234567"))
+      Seq("+49 030 123456", "030 123456", "+49 30 123456"),
+      Seq("49", "12345678901234567"))
     check(FormatType.Phone(Some("FR")),
-      Seq("01 23456789", "+33 01 23456789"), Seq("0123", "01 2345"))
+      Seq("01 23456789", "+33 01 23456789", "+33 1 23 45 67 89", "01 23 45 67 89"),
+      Seq("0123", "01 2345"))
     check(FormatType.Phone(Some("CA")),
       Seq("(416) 555-1234", "+1 416 555 1234"), Seq("41655"))
     check(FormatType.Phone(None),
-      Seq("+14155552671", "4915123456789"), Seq("0123456", "+0123", "phone"))
+      Seq("+14155552671", "4915123456789", "+123456789012345"),
+      // E.164 caps at 15 digits: a 16-digit number must NOT pass (reference accepts it)
+      Seq("0123456", "+0123", "phone", "+1234567890123456"))
     check(FormatType.PostalCode(Some("CA")), Seq("K1A 0B1", "k1a0b1"), Seq("12345"))
     check(FormatType.PostalCode(Some("UK")),
       Seq("SW1A 1AA", "EC1A1BB", "M1 1AE"), Seq("sw1a 1aa", "999"))
