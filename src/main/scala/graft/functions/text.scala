@@ -86,17 +86,13 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"),
     "es" -> Seq("el", "la", "los", "las", "y", "es", "en", "por", "para", "una"))
 
-  /** Best-scoring language tag, "zh" for CJK-dominant text, "und" when nothing scores. */
-  def langId(c: Column): Column = {
-    val cjkRatio = ratioOf(length(regexp_replace(c, "[^\\p{IsHan}]", "")), length(c))
-    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      struct(wordSetRatio(c, markers).as("score"), lit(lang).as("lang"))
-    }
-    val best = array_max(array(scored: _*))
-    when(cjkRatio > 0.2, "zh")
-      .when(best.getField("score") > 0.05, best.getField("lang"))
-      .otherwise("und")
-  }
+  /** Best-scoring language tag, "zh" for CJK-dominant text, "und" when nothing scores.
+    * Native one-pass kernel ([[LangIdExpr]]): one tokenizer walk + Han code-point count
+    * instead of a regexp_replace plus four filter/array_contains lambda pipelines.
+    */
+  def langId(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      LangIdExpr(org.apache.spark.sql.GraftSqlBridge.expression(c)))
 
   // ---- fingerprinting / shingling ----
 

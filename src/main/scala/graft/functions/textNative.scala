@@ -86,7 +86,110 @@ object DupNgramKernel {
     b == 0x20 || (b >= 0x09 && b <= 0x0D)
 
   private def initialCapacity(expected: Int): Int =
-    math.min(expected * 4 / 3 + 1, 1 << 17).max(4)
+    math.min(expected.toLong * 4 / 3 + 1, 1L << 17).toInt.max(4)
+}
+
+/** One-pass language-ID kernel (static so generated code can call it directly).
+  * Exactly replicates the Column formulation it replaces — Han-script code-point
+  * ratio for "zh", marker-token fraction per language with array_max's (score, lang)
+  * struct ordering (ties prefer the lexicographically LARGER tag), 0.05 floor,
+  * "und" fallback — in one tokenizer walk instead of four filter/array_contains
+  * lambda pipelines plus a regexp_replace per row.
+  */
+object LangIdKernel {
+  private val markers: Array[(String, java.util.HashSet[String])] =
+    TextFunctions.LangMarkers.toArray.map { case (lang, ws) =>
+      val s = new java.util.HashSet[String]()
+      ws.foreach(s.add)
+      (lang, s)
+    }
+  private val und = UTF8String.fromString("und")
+  private val zh = UTF8String.fromString("zh")
+
+  def langId(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // Code-point walk: total chars + Han chars (matches Spark length()/\p{IsHan}).
+    var chars = 0
+    var han = 0
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      chars += 1
+      if (Character.UnicodeScript.of(cp) == Character.UnicodeScript.HAN) han += 1
+      i += Character.charCount(cp)
+    }
+    if (chars > 0 && han.toDouble / chars > 0.2) return zh
+    // Whitespace tokens (same ASCII-run scan as DupNgramKernel.wordFraction).
+    var nt = 0
+    val counts = new Array[Int](markers.length)
+    var j = 0
+    while (j < str.length) {
+      while (j < str.length && isWsChar(str.charAt(j))) j += 1
+      if (j < str.length) {
+        val start = j
+        while (j < str.length && !isWsChar(str.charAt(j))) j += 1
+        nt += 1
+        val tok = str.substring(start, j)
+        var m = 0
+        while (m < markers.length) {
+          if (markers(m)._2.contains(tok)) counts(m) += 1
+          m += 1
+        }
+      }
+    }
+    if (nt == 0) return und
+    // array_max over (score, lang) structs: max score, ties to the LARGER lang tag.
+    var bestScore = -1.0
+    var bestLang: String = null
+    var m = 0
+    while (m < markers.length) {
+      val score = counts(m).toDouble / nt
+      if (score > bestScore || (score == bestScore && markers(m)._1.compareTo(bestLang) > 0)) {
+        bestScore = score
+        bestLang = markers(m)._1
+      }
+      m += 1
+    }
+    if (bestScore > 0.05) UTF8String.fromString(bestLang) else und
+  }
+
+  def undTag: UTF8String = und
+
+  private def isWsChar(c: Char): Boolean =
+    c == ' ' || (c >= '\t' && c <= '\r')
+}
+
+/** Codegen'd language ID — see [[LangIdKernel]]. NULL input ⇒ "und", matching the
+  * Column form (null lengths fall through every `when` to the "und" branch).
+  */
+case class LangIdExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) LangIdKernel.undTag else LangIdKernel.langId(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = c.code + code"""
+        UTF8String ${ev.value} = ${c.isNull} ?
+          graft.functions.LangIdKernel.undTag() :
+          graft.functions.LangIdKernel.langId(${c.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
 }
 
 /** Codegen'd duplicate n-gram fraction (char or word mode) — the repetition-filter

@@ -20,7 +20,8 @@ class QuantilesSpec extends SparkSpec {
     val expected = sparkExact(df, c)
     val got = Quantiles.exactQuantiles(df, c, qs, collectThreshold = threshold).get
     got.zip(expected).zip(qs).foreach { case ((g, e), q) =>
-      assert(math.abs(g - e) <= math.abs(e) * 1e-12 + 1e-12,
+      // exact-equality first: infinities make the relative-tolerance arithmetic NaN
+      assert(g == e || math.abs(g - e) <= math.abs(e) * 1e-12 + 1e-12,
         s"q=$q (threshold=$threshold): got $g expected $e")
     }
   }
@@ -81,6 +82,18 @@ class QuantilesSpec extends SparkSpec {
     assert(Quantiles.exactQuantile(df, "v", 0.25).get == 15.0)
     assert(Quantiles.exactQuantile(df, "v", 0.0).get == 10.0)
     assert(Quantiles.exactQuantile(df, "v", 1.0).get == 30.0)
+  }
+
+  test("infinities sort correctly; threshold boundary n = threshold+1 takes sketch path") {
+    import spark.implicits._
+    val r = new scala.util.Random(41)
+    val data = Seq(Double.NegativeInfinity, Double.PositiveInfinity) ++
+      Seq.fill(4998)(r.nextDouble() * 100)
+    check(data.toDF("v").repartition(8), "v", threshold = 256)
+    // n exactly one over the threshold: smallest possible sketch-path input
+    val small = Seq.fill(257)(r.nextDouble()).toDF("v")
+    check(small, "v", threshold = 256)
+    check(small, "v", threshold = 257) // and exactly at it: collect-all path
   }
 
   test("constraint surface routes Exact through the distributed operator") {
