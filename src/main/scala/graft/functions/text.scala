@@ -66,14 +66,9 @@ object TextFunctions {
     * density, whitespace sanity, and (for Latin-script text) stopword presence.
     * Heuristic shape follows common pretraining-corpus filters (C4/Gopher-style rules).
     */
-  def qualityScore(c: Column): Column = {
-    val len = length(c).cast("double")
-    val lengthScore = least(len / lit(200.0), lit(1.0)) * when(len > 20000, 0.5).otherwise(1.0)
-    val punctScore = when(punctRatio(c) < 0.2, 1.0).otherwise(0.5)
-    val wsScore = when(whitespaceRatio(c).between(0.05, 0.35), 1.0).otherwise(0.7)
-    val wordLenScore = when(meanWordLength(c).between(2.0, 12.0), 1.0).otherwise(0.6)
-    round(lengthScore * lit(0.4) + punctScore * lit(0.2) + wsScore * lit(0.2) + wordLenScore * lit(0.2), 6)
-  }
+  def qualityScore(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      QualityScoreExpr(org.apache.spark.sql.GraftSqlBridge.expression(c)))
 
   // ---- language identification (n-gram/marker heuristic) ----
 

@@ -89,6 +89,94 @@ object DupNgramKernel {
     math.min(expected.toLong * 4 / 3 + 1, 1L << 17).toInt.max(4)
 }
 
+/** One-pass quality-score kernel (static so generated code can call it directly).
+  * Replaces three regexp_replace passes + an aggregate lambda per row with a single
+  * code-point walk. The arithmetic replicates the Column formulation BIT-EXACTLY,
+  * including its null semantics (Spark's `least` SKIPS nulls, so a null text scores
+  * lengthScore=1.0 while the ratio scores fall through to their otherwise branches)
+  * and `round(_, 6)`'s scala-BigDecimal HALF_UP.
+  */
+object QualityScoreKernel {
+
+  def qualityScore(s: UTF8String): Double = {
+    val str = s.toString
+    var chars = 0
+    var punct = 0
+    var ws = 0
+    var nt = 0
+    var sumTokChars = 0L
+    var inTok = false
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      chars += 1
+      val isWs = cp == ' ' || (cp >= '\t' && cp <= '\r')
+      if (isWs) ws += 1
+      // Java \p{Punct}: the four ASCII punctuation ranges.
+      if ((cp >= 0x21 && cp <= 0x2f) || (cp >= 0x3a && cp <= 0x40) ||
+        (cp >= 0x5b && cp <= 0x60) || (cp >= 0x7b && cp <= 0x7e)) punct += 1
+      if (isWs) inTok = false
+      else {
+        if (!inTok) { nt += 1; inTok = true }
+        sumTokChars += 1
+      }
+      i += Character.charCount(cp)
+    }
+    val len = chars.toDouble
+    val lengthScore = math.min(len / 200.0, 1.0) * (if (chars > 20000) 0.5 else 1.0)
+    val punctRatio = if (chars > 0) punct.toDouble / len else 0.0
+    val wsRatio = if (chars > 0) ws.toDouble / len else 0.0
+    val mwl = if (nt > 0) sumTokChars.toDouble / nt.toDouble else 0.0
+    score(lengthScore, punctRatio, wsRatio, mwl)
+  }
+
+  /** Null text: `least` skips the null length (score 1.0); every ratio falls through
+    * its `when` to the otherwise branch exactly as a null comparison does.
+    */
+  def nullScore: Double = score(1.0, 0.0, Double.NaN, Double.NaN)
+
+  private def score(lengthScore: Double, punctRatio: Double, wsRatio: Double,
+      mwl: Double): Double = {
+    val punctScore = if (punctRatio < 0.2) 1.0 else 0.5
+    val wsScore = if (wsRatio >= 0.05 && wsRatio <= 0.35) 1.0 else 0.7
+    val wordLenScore = if (mwl >= 2.0 && mwl <= 12.0) 1.0 else 0.6
+    val raw = lengthScore * 0.4 + punctScore * 0.2 + wsScore * 0.2 + wordLenScore * 0.2
+    BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+}
+
+/** Codegen'd composite quality score — see [[QualityScoreKernel]]. */
+case class QualityScoreExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "quality_score"
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) QualityScoreKernel.nullScore
+    else QualityScoreKernel.qualityScore(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = c.code + code"""
+        double ${ev.value} = ${c.isNull} ?
+          graft.functions.QualityScoreKernel.nullScore() :
+          graft.functions.QualityScoreKernel.qualityScore(${c.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QualityScoreExpr =
+    copy(child = newChild)
+}
+
 /** One-pass language-ID kernel (static so generated code can call it directly).
   * Exactly replicates the Column formulation it replaces — Han-script code-point
   * ratio for "zh", marker-token fraction per language with array_max's (score, lang)

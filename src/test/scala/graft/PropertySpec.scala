@@ -209,6 +209,60 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native quality score and langId equal the Column formulations bit-exactly") {
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // The pre-kernel Column formulations, inlined as the independent reference.
+    def refQuality(c: org.apache.spark.sql.Column) = {
+      val len = length(c).cast("double")
+      val lengthScore = least(len / lit(200.0), lit(1.0)) * when(len > 20000, 0.5).otherwise(1.0)
+      val punctScore = when(punctRatio(c) < 0.2, 1.0).otherwise(0.5)
+      val wsScore = when(whitespaceRatio(c).between(0.05, 0.35), 1.0).otherwise(0.7)
+      val wordLenScore = when(meanWordLength(c).between(2.0, 12.0), 1.0).otherwise(0.6)
+      round(lengthScore * lit(0.4) + punctScore * lit(0.2) + wsScore * lit(0.2) +
+        wordLenScore * lit(0.2), 6)
+    }
+    def refLangId(c: org.apache.spark.sql.Column) = {
+      def ratio(part: org.apache.spark.sql.Column, whole: org.apache.spark.sql.Column) =
+        when(whole > 0, part.cast("double") / whole.cast("double")).otherwise(lit(0.0))
+      val cjk = ratio(length(regexp_replace(c, "[^\\p{IsHan}]", "")), length(c))
+      val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+        struct(wordSetRatio(c, ms).as("score"), lit(lang).as("lang"))
+      }
+      val best = array_max(array(scored: _*))
+      when(cjk > 0.2, "zh")
+        .when(best.getField("score") > 0.05, best.getField("lang"))
+        .otherwise("und")
+    }
+    val edges = Seq(null, "", " ", "x", "the the the", "!!!???...", "中文中文中文xx",
+      "a" * 250, ("word " * 50).trim, "mixed 中文 the und la y", "\t\n\f\r",
+      "ab" * 10001 /* > 20000 chars */, "é中a " * 60)
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      ws <- Gen.listOfN(n, Gen.oneOf("the", "und", "der", "la", "el", "y", "...", "!x",
+        "中文", "supercalifragilistic", "a", "éé"))
+      seps <- Gen.listOfN(math.max(n - 1, 0), Gen.oneOf(" ", "  ", "\t", "\n"))
+    } yield ws.zipAll(seps :+ "", "", "").map { case (w, s) => w + s }.mkString
+    forAll(Gen.listOfN(15, gen)) { texts =>
+      val all = edges ++ texts
+      val df = all.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val rows = df.select(col("id"),
+          qualityScore(col("text")), refQuality(col("text")),
+          langId(col("text")), refLangId(col("text")))
+        .collect()
+      rows.foreach { r =>
+        val t = Option(all(r.getLong(0).toInt)).map(_.take(40))
+        // null text included: `least` skips the null length, so even the reference
+        // yields a concrete score (0.86) for null — the kernel must reproduce it
+        assert(!r.isNullAt(2) && r.getDouble(1) == r.getDouble(2),
+          s"quality of '$t': ${r.getDouble(1)} vs ${r.get(2)}")
+        assert(r.getString(3) == r.getString(4),
+          s"langId of '$t': ${r.getString(3)} vs ${r.getString(4)}")
+      }
+    }
+  }
+
   test("repetition kernels match independent computation on generated text") {
     import graft.functions.TextFunctions
     import org.apache.spark.sql.functions._
