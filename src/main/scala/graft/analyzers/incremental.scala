@@ -116,15 +116,26 @@ final class IncrementalAnalysisRunner(store: StateStore, analyzers: Seq[Analyzer
   // run instead of stranding them behind a "new key is non-empty" guard. A partition
   // present under BOTH keys keeps the new key's record (it is newer by construction).
   // Legacy CUMULATIVE records are deleted, not moved — the stamped-count rebuild
-  // machinery regenerates the cumulative from the migrated partitions. Checked once
+  // machinery regenerates the cumulative from the migrated partitions — and only in a
+  // run that actually migrated data partitions: a store holding ONLY a legacy
+  // cumulative (data partitions pruned externally) keeps it, because that record is
+  // the sole survivor of its history and nothing under the new key can regenerate it.
+  // (A crash exactly between the last partition delete and the cumulative delete
+  // leaves one inert legacy cumulative behind — harmless, never read.) A legacy key
+  // claimed by MORE THAN ONE analyzer in this runner is ambiguous — e.g. the pre-"|"
+  // "correlation.a.b.c" could belong to ("a","b.c") or ("a.b","c") — so it is left in
+  // place rather than attributed to whichever analyzer migrates first. Checked once
   // per analyzer per runner instance — directory listings, not data scans.
   // NOTE: MetricsRepository history is NOT migrated; metric series recorded under a
   // legacy key restart under the new key (documented break, acceptable pre-1.0).
   private val migrationChecked = scala.collection.mutable.Set.empty[String]
+  private lazy val ambiguousLegacyKeys: Set[String] =
+    analyzers.flatMap(_.legacyKeys.distinct).groupBy(identity)
+      .collect { case (k, claims) if claims.size > 1 => k }.toSet
   private def ensureMigrated(): Unit = migrationChecked.synchronized {
     analyzers.foreach { a =>
       if (migrationChecked.add(a.key)) {
-        a.legacyKeys.foreach { lk =>
+        a.legacyKeys.filterNot(ambiguousLegacyKeys).foreach { lk =>
           val legacyParts = store.listPartitions(lk).filterNot(_ == CumulativeKey)
           if (legacyParts.nonEmpty) {
             val existing = store.listPartitions(a.key).toSet
@@ -136,9 +147,11 @@ final class IncrementalAnalysisRunner(store: StateStore, analyzers: Seq[Analyzer
                 case None => () // unreadable: leave in place, never erase unmoved data
               }
             }
+            // Drop the legacy cumulative only once every legacy data partition has
+            // been migrated (unreadable stragglers keep it for the next attempt).
+            if (store.listPartitions(lk).forall(_ == CumulativeKey))
+              store.delete(lk, CumulativeKey)
           }
-          // Drop the legacy cumulative only once no legacy data partitions remain.
-          if (store.listPartitions(lk).forall(_ == CumulativeKey)) store.delete(lk, CumulativeKey)
         }
       }
     }

@@ -50,23 +50,53 @@ final class MultiSourceValidator(spark: SparkSession) {
     (df, c)
   }
 
+  /** Project `df` to exactly `cols` (first-occurrence dedup), aliasing any name that
+    * contains a dot or backtick to a positional safe name. The delegated constraints
+    * resolve plain string names through the Column API, where '.' means NESTED-FIELD
+    * access — so a flat column literally named "x.y" (which [[parseRef]] explicitly
+    * supports) would either fail analysis or silently hit a real nested field. The
+    * constraints only read the referenced columns, so the projection cannot change
+    * semantics; when every name is already safe the frame passes through untouched.
+    * Trade-off: with exotic names the constraint's failure message shows the `_msv<i>`
+    * alias rather than the original name.
+    */
+  private def sanitize(df: DataFrame, cols: Seq[String]): (DataFrame, Map[String, String]) = {
+    val distinct = cols.distinct
+    def unsafe(c: String) = c.contains(".") || c.contains("`")
+    if (!distinct.exists(unsafe)) (df, distinct.map(c => c -> c).toMap)
+    else {
+      // ALL columns get positional names once any is unsafe, so an alias can never
+      // collide with a passed-through original name.
+      val mapping = distinct.zipWithIndex.map { case (c, i) => c -> s"_msv$i" }
+      val proj = mapping.map { case (c, n) =>
+        org.apache.spark.sql.functions.col(SqlIdent(c)).as(n)
+      }
+      (df.select(proj: _*), mapping.toMap)
+    }
+  }
+
   /** Referential integrity by name: every `childRef` value exists at `parentRef`
     * (reference: multi_source.rs FK usage over registered names).
     */
   def foreignKey(childRef: String, parentRef: String,
       ignoreNulls: Boolean = true, maxExamples: Int = 5): ConstraintResult = {
-    val (child, childCol) = resolve(childRef)
-    val (parent, parentCol) = resolve(parentRef)
-    ForeignKeyConstraint(parent, Seq((childCol, parentCol)), ignoreNulls, maxExamples)
+    val (child0, childCol0) = resolve(childRef)
+    val (parent0, parentCol0) = resolve(parentRef)
+    val (child, cm) = sanitize(child0, Seq(childCol0))
+    val (parent, pm) = sanitize(parent0, Seq(parentCol0))
+    ForeignKeyConstraint(parent, Seq((cm(childCol0), pm(parentCol0))), ignoreNulls, maxExamples)
       .evaluate(child)
   }
 
   /** Join coverage by name: fraction of `leftRef` rows with a match at `rightRef`. */
   def joinCoverage(leftRef: String, rightRef: String, mode: CoverageMode,
       assertion: Assertion): ConstraintResult = {
-    val (left, leftCol) = resolve(leftRef)
-    val (right, rightCol) = resolve(rightRef)
-    JoinCoverageConstraint(right, Seq((leftCol, rightCol)), mode, assertion).evaluate(left)
+    val (left0, leftCol0) = resolve(leftRef)
+    val (right0, rightCol0) = resolve(rightRef)
+    val (left, lm) = sanitize(left0, Seq(leftCol0))
+    val (right, rm) = sanitize(right0, Seq(rightCol0))
+    JoinCoverageConstraint(right, Seq((lm(leftCol0), rm(rightCol0))), mode, assertion)
+      .evaluate(left)
   }
 
   /** Cross-table sum reconciliation by name: sum(leftRef) vs sum(rightRef), optionally
@@ -75,18 +105,28 @@ final class MultiSourceValidator(spark: SparkSession) {
     */
   def crossTableSum(leftRef: String, rightRef: String, tolerance: Double = 1e-9,
       groupKeys: Seq[(String, String)] = Nil): ConstraintResult = {
-    val (left, leftCol) = resolve(leftRef)
-    val (right, rightCol) = resolve(rightRef)
+    val (left0, leftCol0) = resolve(leftRef)
+    val (right0, rightCol0) = resolve(rightRef)
     val (lt, _) = parseRef(leftRef); val (rt, _) = parseRef(rightRef)
-    val keyCols = groupKeys.map { case (l, r) =>
+    val keyCols0 = groupKeys.map { case (l, r) =>
       val (ltab, lcol) = parseRef(l); val (rtab, rcol) = parseRef(r)
       require(ltab == lt && rtab == rt,
         s"group key ($l, $r) must reference the same tables as ($leftRef, $rightRef)")
+      require(source(lt).columns.contains(lcol),
+        s"source '$lt' has no column '$lcol'")
+      require(source(rt).columns.contains(rcol),
+        s"source '$rt' has no column '$rcol'")
       (lcol, rcol)
     }
-    // Backtick-quoted: a column literally named "x.y" must not parse as nested access.
-    CrossTableSumConstraint(right, org.apache.spark.sql.functions.col(SqlIdent(leftCol)),
-      org.apache.spark.sql.functions.col(SqlIdent(rightCol)), tolerance, keyCols).evaluate(left)
+    // Sanitize sum + group-key columns together: the constraint resolves group keys
+    // through groupBy(col(_)), where a dotted flat name would parse as nested access.
+    val (left, lm) = sanitize(left0, leftCol0 +: keyCols0.map(_._1))
+    val (right, rm) = sanitize(right0, rightCol0 +: keyCols0.map(_._2))
+    val keyCols = keyCols0.map { case (l, r) => (lm(l), rm(r)) }
+    CrossTableSumConstraint(right,
+      org.apache.spark.sql.functions.col(SqlIdent(lm(leftCol0))),
+      org.apache.spark.sql.functions.col(SqlIdent(rm(rightCol0))), tolerance, keyCols)
+      .evaluate(left)
   }
 
   /** Run a whole [[ValidationSuite]] against a registered source by name. */

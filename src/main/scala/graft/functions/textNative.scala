@@ -93,8 +93,9 @@ object DupNgramKernel {
   * Replaces three regexp_replace passes + an aggregate lambda per row with a single
   * code-point walk. The arithmetic replicates the Column formulation BIT-EXACTLY,
   * including its null semantics (Spark's `least` SKIPS nulls, so a null text scores
-  * lengthScore=1.0 while the ratio scores fall through to their otherwise branches)
-  * and `round(_, 6)`'s scala-BigDecimal HALF_UP.
+  * lengthScore=1.0, and every ratio helper's `otherwise(0.0)` turns a null input into
+  * ratio 0.0 — punct then PASSES its `< 0.2` check while ws/word-length fail their
+  * `between`) and `round(_, 6)`'s scala-BigDecimal HALF_UP.
   */
 object QualityScoreKernel {
 
@@ -130,10 +131,12 @@ object QualityScoreKernel {
     score(lengthScore, punctRatio, wsRatio, mwl)
   }
 
-  /** Null text: `least` skips the null length (score 1.0); every ratio falls through
-    * its `when` to the otherwise branch exactly as a null comparison does.
+  /** Null text: `least` skips the null length (score 1.0); every ratio helper's
+    * `otherwise(0.0)` yields 0.0 for a null input, so punctRatio=0.0 PASSES `< 0.2`
+    * (punctScore 1.0) while wsRatio=0.0 and meanWordLength=0.0 fail their `between`
+    * checks (0.7 / 0.6) — total 0.86, pinned by PropertySpec against the Column form.
     */
-  def nullScore: Double = score(1.0, 0.0, Double.NaN, Double.NaN)
+  def nullScore: Double = score(1.0, 0.0, 0.0, 0.0)
 
   private def score(lengthScore: Double, punctRatio: Double, wsRatio: Double,
       mwl: Double): Double = {

@@ -158,6 +158,41 @@ class AnalyzerSpec extends SparkSpec {
     assert(QuantileAnalyzer("x", relativeError = 0.001).legacyKeys.isEmpty)
   }
 
+  test("legacy migration preserves sole-survivor cumulatives and skips ambiguous keys") {
+    import graft.analyzers._
+    def coFields(n: Long, v: Double) = Map(
+      "n" -> n.toString, "sx" -> v.toString, "sy" -> v.toString,
+      "sxx" -> v.toString, "syy" -> v.toString, "sxy" -> v.toString)
+    // A store holding ONLY a legacy cumulative (data partitions pruned externally):
+    // nothing migrates, and the sole surviving record must NOT be erased.
+    val a = CorrelationAnalyzer("x", "y")
+    val s1 = new InMemoryStateStore
+    s1.save("correlation.x.y", "__cumulative__", coFields(60, 6.0))
+    val r1 = new IncrementalAnalysisRunner(s1, Seq(a))
+    assert(r1.dataPartitions(a.key).isEmpty)
+    assert(s1.load("correlation.x.y", "__cumulative__").nonEmpty,
+      "cumulative-only legacy record must survive a no-op migration")
+    // A legacy key claimed by TWO analyzers in the runner is ambiguous — e.g.
+    // "correlation.x.y.z" could be ("x","y.z") or ("x.y","z") — and must be left in
+    // place, not attributed to whichever analyzer migrates first.
+    val a1 = CorrelationAnalyzer("x", "y.z")
+    val a2 = CorrelationAnalyzer("x.y", "z")
+    assert(a1.legacyKeys == a2.legacyKeys && a1.key != a2.key)
+    val s2 = new InMemoryStateStore
+    s2.save("correlation.x.y.z", "p1", coFields(10, 1.0))
+    val r2 = new IncrementalAnalysisRunner(s2, Seq(a1, a2))
+    assert(r2.dataPartitions(a1.key).isEmpty && r2.dataPartitions(a2.key).isEmpty)
+    assert(s2.listPartitions("correlation.x.y.z") == Seq("p1"),
+      "ambiguous legacy record left untouched")
+    // An UNambiguous claim in the same runner still migrates normally.
+    val b = CorrelationAnalyzer("p", "q")
+    val s3 = new InMemoryStateStore
+    s3.save("correlation.p.q", "p1", coFields(10, 1.0))
+    val r3 = new IncrementalAnalysisRunner(s3, Seq(b, a1, a2))
+    assert(r3.dataPartitions(b.key) == Seq("p1"))
+    assert(s3.listPartitions("correlation.p.q").isEmpty)
+  }
+
   test("batched one-scan partition ingest equals the sequential per-partition loop") {
     // sequential: one analyzePartition call per bucket
     val seqStore = new InMemoryStateStore

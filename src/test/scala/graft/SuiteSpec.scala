@@ -174,6 +174,31 @@ class SuiteSpec extends SparkSpec {
     val dotted = orders.withColumnRenamed("amt", "x.y")
     v.addSource("t_dotted", dotted)
     assert(v.crossTableSum("t_dotted.x.y", "t_orders.amt", tolerance = 0.1).isSuccess)
+    // ...and must address the FLAT column even when a real struct with the same
+    // path exists alongside (the silent-wrong-column case for dot-as-nested-access)
+    val trap = dotted.withColumn("x", org.apache.spark.sql.functions.struct(
+      org.apache.spark.sql.functions.lit(999.0).as("y")))
+    v.addSource("t_trap", trap)
+    assert(v.crossTableSum("t_trap.x.y", "t_orders.amt", tolerance = 0.1).isSuccess,
+      "flat x.y (sum 14) must win over struct field x.y (sum 2997)")
+    // dotted child key through foreignKey / joinCoverage (these resolve names via
+    // the Column API downstream, where an unescaped dot would mean nested access)
+    val dottedChild = orders.withColumnRenamed("cust", "c.key")
+    v.addSource("t_dchild", dottedChild)
+    val dfk = v.foreignKey("t_dchild.c.key", "t_customers.cid")
+    assert(dfk.isFailure && dfk.metric.flatMap(_.asDouble).contains(1.0), dfk.message)
+    val dcov = v.joinCoverage("t_dchild.c.key", "t_customers.cid",
+      CoverageMode.LeftCoverage, Assertion.GreaterThanOrEqual(0.5))
+    assert(dcov.isSuccess && dcov.metric.flatMap(_.asDouble).contains(2.0 / 3), dcov.message)
+    // grouped cross-table sum with dotted group keys AND dotted sum columns
+    val gl = Seq((1L, 5.0), (1L, 3.0), (2L, 4.0)).toDF("g.k", "a.mt")
+    val gr = Seq((1L, 8.0), (2L, 4.0)).toDF("k.g", "m.t")
+    v.addSource("t_gl", gl).addSource("t_gr", gr)
+    assert(v.crossTableSum("t_gl.a.mt", "t_gr.m.t", 1e-9,
+      Seq(("t_gl.g.k", "t_gr.k.g"))).isSuccess)
+    // unknown grouped-key columns fail loud, not at Spark analysis depth
+    intercept[IllegalArgumentException](v.crossTableSum("t_gl.a.mt", "t_gr.m.t", 1e-9,
+      Seq(("t_gl.nope", "t_gr.k.g"))))
   }
 
   test("per-constraint durations are populated and rendered") {

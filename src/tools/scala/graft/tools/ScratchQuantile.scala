@@ -53,11 +53,7 @@ object ScratchQuantile {
     (1 to 2).foreach { i =>
       println(f"[scratch] count$i=${secs(agg().count())}%5.2f head$i=${secs(agg().head())}%5.2f")
     }
-    val countPlan = {
-      val d = agg(); d.count(); d.queryExecution.executedPlan
-    }
     println("[scratch] head plan:\n" + agg().queryExecution.executedPlan.toString.take(1200))
-    import org.apache.spark.sql.execution.QueryExecution
     val cdf = agg().groupBy().count()
     println("[scratch] count-shaped optimized logical:\n" +
       cdf.queryExecution.optimizedPlan.toString.take(1200))
