@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object Metrics {
 
+  /** Guarded ratio: NULL when the denominator is zero. Spark 4 runs with ANSI mode ON
+    * by default, where ANY division by zero — long, decimal, or double — throws
+    * [DIVIDE_BY_ZERO] instead of yielding NULL/NaN, so an unguarded count ratio turns
+    * a legal input (empty table, all-null column) into a runtime error. CaseWhen
+    * short-circuits, so the division is never evaluated when the guard fails; the NULL
+    * result matches what DuckDB/PostgreSQL return for the same division.
+    */
+  private[graft] def ratio(num: Column, den: Column): Column =
+    when(den > 0, num.cast("double") / den.cast("double"))
+
   /** Row count. */
   def size(df: DataFrame): DataFrame =
     df.agg(count(lit(1)).as("row_count"))
@@ -20,20 +30,20 @@ object Metrics {
   def completeness(df: DataFrame, c: String): DataFrame =
     df.agg(count(lit(1)).as("total"), count(col(c)).as("non_null"))
       .select(col("total"), col("non_null"),
-        (col("non_null").cast("double") / col("total").cast("double")).as("ratio"))
+        ratio(col("non_null"), col("total")).as("ratio"))
 
   /** Distinct/total ratio (reference: constraints/uniqueness.rs:549-622). */
   def uniqueness(df: DataFrame, cols: Seq[String]): DataFrame =
     df.agg(count(lit(1)).as("total"),
         countDistinct(col(cols.head), cols.drop(1).map(col): _*).as("distinct_count"))
       .select(col("total"), col("distinct_count"),
-        (col("distinct_count").cast("double") / col("total").cast("double")).as("uniqueness"))
+        ratio(col("distinct_count"), col("total")).as("uniqueness"))
 
   /** Distinct/non-null ratio (reference: analyzers/basic/distinctness.rs:113-114). */
   def distinctness(df: DataFrame, c: String): DataFrame =
     df.agg(count(col(c)).as("non_null"), countDistinct(col(c)).as("distinct_count"))
       .select(col("non_null"), col("distinct_count"),
-        (col("distinct_count").cast("double") / col("non_null").cast("double")).as("distinctness"))
+        ratio(col("distinct_count"), col("non_null")).as("distinctness"))
 
   /** Values appearing exactly once / distinct values (reference: uniqueness.rs:661-684). */
   def uniqueValueRatio(df: DataFrame, cols: Seq[String]): DataFrame =
@@ -41,7 +51,7 @@ object Metrics {
       .agg(sum(when(col("count") === 1L, 1L).otherwise(0L)).as("unique_values"),
         count(lit(1)).as("distinct_values"))
       .select(col("unique_values"), col("distinct_values"),
-        (col("unique_values").cast("double") / col("distinct_values").cast("double")).as("unique_value_ratio"))
+        ratio(col("unique_values"), col("distinct_values")).as("unique_value_ratio"))
 
   /** Primary-key health: total vs distinct vs null keys (reference: uniqueness.rs:687-718). */
   def primaryKey(df: DataFrame, cols: Seq[String]): DataFrame =
@@ -63,7 +73,7 @@ object Metrics {
     val total = counts.agg(sum(col("cnt")).as("_t"))
     counts.crossJoin(broadcast(total))
       .select(col("value"), col("cnt"),
-        (col("cnt").cast("double") / col("_t").cast("double")).as("ratio"))
+        ratio(col("cnt"), col("_t")).as("ratio"))
       .orderBy(col("cnt").desc, col("value"))
       .limit(maxBuckets)
   }
@@ -129,7 +139,7 @@ object Metrics {
     left.join(r, cond, "left")
       .agg(count(lit(1)).as("total"), count(col("_matched")).as("covered"))
       .select(col("covered"), col("total"),
-        (col("covered").cast("double") / col("total").cast("double")).as("coverage"))
+        ratio(col("covered"), col("total")).as("coverage"))
   }
 
   /** Equal-width numeric histogram (reference: analyzers/advanced/histogram.rs:184-300,
@@ -175,7 +185,7 @@ object Metrics {
       .agg(count(lit(1)).as("total"), count(col(c)).as("non_null"))
       .select(groups.map(col) :+
         col("total") :+ col("non_null") :+
-        (col("non_null").cast("double") / col("total").cast("double")).as("completeness"): _*)
+        ratio(col("non_null"), col("total")).as("completeness"): _*)
 
   /** Grouped completeness (reference: analyzers/basic/grouped_completeness.rs:110-140). */
   def groupedCompleteness(df: DataFrame, c: String, groups: Seq[String]): DataFrame =
@@ -191,7 +201,9 @@ object Metrics {
   def groupedCompletenessWorst(df: DataFrame, c: String, groups: Seq[String],
       maxGroups: Int = 10000): DataFrame =
     groupedCompletenessBase(df, c, groups)
-      .orderBy(col("completeness").asc +: groups.map(col(_).asc): _*)
+      // Tiebreak nulls LAST (SQL default): under the LIMIT, Spark's nulls-first
+      // ascending would let a NULL group value displace a named group from the cut.
+      .orderBy(col("completeness").asc +: groups.map(col(_).asc_nulls_last): _*)
       .limit(maxGroups)
 
   /** Key-skew profile (beyond-reference, the pre-shuffle-join check at scale): heaviest
@@ -208,5 +220,5 @@ object Metrics {
         sum(col("cnt")).cast("long").as("total_rows"),
         count(lit(1)).as("distinct_keys"))
       .select(col("max_key_rows"), col("total_rows"), col("distinct_keys"),
-        (col("max_key_rows").cast("double") / col("total_rows").cast("double")).as("top_key_share"))
+        ratio(col("max_key_rows"), col("total_rows")).as("top_key_share"))
 }

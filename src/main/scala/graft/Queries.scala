@@ -23,6 +23,14 @@ object Queries {
 
   private def b2l(b: Boolean): Long = if (b) 1L else 0L
 
+  /** NaN/Inf-safe HALF_UP rounding: `BigDecimal(NaN)` THROWS, while both engines'
+    * `round()` pass non-finite values through — a NaN metric (legal on NaN-bearing
+    * input) must compare as NaN, not crash the query.
+    */
+  private def rd(x: Double, scale: Int): Double =
+    if (x.isNaN || x.isInfinite) x
+    else BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Per-JVM temp dir for source round-trip queries (csv/json). Keyed by the
     * scale-factor dir hash AND the process PID: two concurrent JVMs running the SAME
     * scale factor must not race (a mode=overwrite delete would yank files another JVM
@@ -99,14 +107,18 @@ object Queries {
              | FROM lineitem""".stripMargin.replaceAll("\n", " "))),
 
     QueryDef("stats_extendedprice",
-      (s, d) => t(s, d, "lineitem").agg(
+      // finite values only: one NaN/Inf poisons every moment (and DuckDB's stddev
+      // errors on Inf, so the metric isn't even oracle-expressible unfiltered)
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_extendedprice").between(-Double.MaxValue, Double.MaxValue))
+        .agg(
         round(sum(col("l_extendedprice")), 2).as("sum_price"),
         round(sum(col("l_extendedprice")) / count(col("l_extendedprice")), 4).as("mean_price"),
         round(stddev_samp(col("l_extendedprice")), 4).as("stddev_price")),
       Some("""SELECT round(sum(l_extendedprice), 2) AS sum_price,
              | round(sum(l_extendedprice) / count(l_extendedprice), 4) AS mean_price,
              | round(stddev_samp(l_extendedprice), 4) AS stddev_price
-             | FROM lineitem""".stripMargin.replaceAll("\n", " "))),
+             | FROM lineitem WHERE isfinite(CAST(l_extendedprice AS DOUBLE))""".stripMargin.replaceAll("\n", " "))),
 
     // Exact quantiles through the DISTRIBUTED operator (Quantiles.exactQuantiles):
     // sketch-bracketed rank selection — no whole-value-set single-task merge like
@@ -120,7 +132,8 @@ object Queries {
         Seq(BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
           .toDF("median_qty")
       },
-      Some("SELECT round(quantile_cont(l_quantity, 0.5), 6) AS median_qty FROM lineitem")),
+      Some("SELECT round(quantile_cont(l_quantity, 0.5), 6) AS median_qty FROM lineitem" +
+        " WHERE isfinite(CAST(l_quantity AS DOUBLE))")),
 
     QueryDef("quantiles_price",
       (s, d) => {
@@ -134,7 +147,7 @@ object Queries {
       Some("""SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
              | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
              | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
-             | FROM lineitem""".stripMargin.replaceAll("\n", " "))),
+             | FROM lineitem WHERE isfinite(CAST(l_extendedprice AS DOUBLE))""".stripMargin.replaceAll("\n", " "))),
 
     // MultiStatisticConstraint THROUGH the constraint surface (one shared scan, a
     // MapMetric of every statistic) — the values must equal DuckDB's closed forms.
@@ -180,7 +193,7 @@ object Queries {
       Some("""SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
              | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
              | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
-             | FROM lineitem""".stripMargin.replaceAll("\n", " "))),
+             | FROM lineitem WHERE isfinite(CAST(l_extendedprice AS DOUBLE))""".stripMargin.replaceAll("\n", " "))),
 
     // BeforeAfterConstraint (strict and non-strict) through the constraint surface:
     // metric = fraction of both-non-null rows in order. The (discount, tax) pair is
@@ -233,14 +246,20 @@ object Queries {
       Some("SELECT count(DISTINCT l_partkey) AS distinct_parts FROM lineitem")),
 
     QueryDef("correlation_qty_price",
-      (s, d) => t(s, d, "lineitem").agg(
-        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("correlation")),
-      Some("SELECT round(corr(l_quantity, l_extendedprice), 6) AS correlation FROM lineitem")),
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_quantity").between(-Double.MaxValue, Double.MaxValue) &&
+          col("l_extendedprice").between(-Double.MaxValue, Double.MaxValue))
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("correlation")),
+      Some("SELECT round(corr(l_quantity, l_extendedprice), 6) AS correlation FROM lineitem" +
+        " WHERE isfinite(CAST(l_quantity AS DOUBLE)) AND isfinite(CAST(l_extendedprice AS DOUBLE))")),
 
     QueryDef("covariance_qty_price",
-      (s, d) => t(s, d, "lineitem").agg(
-        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covariance")),
-      Some("SELECT round(covar_samp(l_quantity, l_extendedprice), 2) AS covariance FROM lineitem")),
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_quantity").between(-Double.MaxValue, Double.MaxValue) &&
+          col("l_extendedprice").between(-Double.MaxValue, Double.MaxValue))
+        .agg(round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covariance")),
+      Some("SELECT round(covar_samp(l_quantity, l_extendedprice), 2) AS covariance FROM lineitem" +
+        " WHERE isfinite(CAST(l_quantity AS DOUBLE)) AND isfinite(CAST(l_extendedprice AS DOUBLE))")),
 
     // ---- content family ----
     QueryDef("containment_orderstatus",
@@ -248,7 +267,7 @@ object Queries {
         count(col("o_orderstatus")).as("non_null"),
         sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("contained"))
         .select(col("non_null"), col("contained"),
-          (col("contained").cast("double") / col("non_null").cast("double")).as("ratio")),
+          Metrics.ratio(col("contained"), col("non_null")).as("ratio")),
       Some("""SELECT count(o_orderstatus) AS non_null,
              | CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS contained,
              | CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(o_orderstatus) AS DOUBLE) AS ratio
@@ -259,7 +278,7 @@ object Queries {
         count(lit(1)).as("total"),
         sum(when(col("l_discount").between(0.0, 0.1), 1L).otherwise(0L)).as("compliant"))
         .select(col("total"), col("compliant"),
-          (col("compliant").cast("double") / col("total").cast("double")).as("compliance")),
+          Metrics.ratio(col("compliant"), col("total")).as("compliance")),
       Some("""SELECT count(*) AS total,
              | CAST(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS compliant,
              | CAST(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS compliance
@@ -268,19 +287,19 @@ object Queries {
     QueryDef("pattern_orderpriority",
       (s, d) => t(s, d, "orders").agg(
         count(col("o_orderpriority")).as("non_null"),
-        sum(when(col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$"), 1L).otherwise(0L)).as("matching"))
+        sum(when(col("o_orderpriority").rlike("^[1-5]-[A-Z ]+\\z"), 1L).otherwise(0L)).as("matching"))
         .select(col("non_null"), col("matching"),
-          (col("matching").cast("double") / col("non_null").cast("double")).as("match_ratio")),
+          Metrics.ratio(col("matching"), col("non_null")).as("match_ratio")),
       Some("""SELECT count(o_orderpriority) AS non_null,
-             | CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 1 ELSE 0 END) AS BIGINT) AS matching,
-             | CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(o_orderpriority) AS DOUBLE) AS match_ratio
+             | CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+\z') THEN 1 ELSE 0 END) AS BIGINT) AS matching,
+             | CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+\z') THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(o_orderpriority) AS DOUBLE) AS match_ratio
              | FROM orders""".stripMargin.replaceAll("\n", " "))),
 
     QueryDef("length_customer_name",
       (s, d) => t(s, d, "customer").agg(
         min(length(col("c_name"))).as("min_len"),
         max(length(col("c_name"))).as("max_len"),
-        (sum(length(col("c_name"))).cast("double") / count(col("c_name")).cast("double")).as("avg_len")),
+        Metrics.ratio(sum(length(col("c_name"))), count(col("c_name"))).as("avg_len")),
       Some("""SELECT CAST(min(length(c_name)) AS INT) AS min_len, CAST(max(length(c_name)) AS INT) AS max_len,
              | CAST(sum(length(c_name)) AS DOUBLE) / CAST(count(c_name) AS DOUBLE) AS avg_len
              | FROM customer""".stripMargin.replaceAll("\n", " "))),
@@ -289,10 +308,10 @@ object Queries {
       (s, d) => Metrics.dataTypeDistribution(
         t(s, d, "part").select(col("p_size").cast("string").as("v")), "v"),
       Some("""SELECT CASE WHEN v IS NULL THEN 'null'
-             | WHEN regexp_matches(v, '(?i)^\s*(true|false)\s*$') THEN 'boolean'
+             | WHEN regexp_matches(v, '(?i)^[ \t\n\x0b\f\r]*(true|false)[ \t\n\x0b\f\r]*$') THEN 'boolean'
              | WHEN TRY_CAST(v AS BIGINT) IS NOT NULL THEN 'integer'
              | WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL THEN 'fractional'
-             | WHEN regexp_matches(v, '^\s*\d{4}-\d{1,2}-\d{1,2}\s*$') AND TRY_CAST(v AS DATE) IS NOT NULL THEN 'date'
+             | WHEN regexp_matches(v, '^[ \t\n\x0b\f\r]*\d{4}-\d{1,2}-\d{1,2}[ \t\n\x0b\f\r]*$') AND TRY_CAST(v AS DATE) IS NOT NULL THEN 'date'
              | WHEN TRY_CAST(v AS TIMESTAMP) IS NOT NULL THEN 'timestamp'
              | ELSE 'text' END AS inferred_type, count(*) AS cnt
              | FROM (SELECT CAST(p_size AS VARCHAR) AS v FROM part) GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "))),
@@ -312,9 +331,12 @@ object Queries {
       (s, d) => Metrics.numericHistogram(t(s, d, "lineitem"), "l_extendedprice", 10)
         .select(col("bucket"), col("cnt")),
       Some("""WITH s AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mn,
-             | max(CAST(l_extendedprice AS DOUBLE)) AS mx FROM lineitem)
-             | SELECT CAST(least(floor((CAST(l_extendedprice AS DOUBLE) - mn) / ((mx - mn) / 10)), 9) AS BIGINT) AS bucket,
-             | count(*) AS cnt FROM lineitem, s WHERE l_extendedprice IS NOT NULL
+             | max(CAST(l_extendedprice AS DOUBLE)) AS mx FROM lineitem
+             | WHERE isfinite(CAST(l_extendedprice AS DOUBLE))),
+             | w AS (SELECT mn, CASE WHEN mx > mn THEN (mx - mn) / 10 ELSE 1.0 END AS wd FROM s)
+             | SELECT CAST(least(floor((CAST(l_extendedprice AS DOUBLE) - mn) / wd), 9) AS BIGINT) AS bucket,
+             | count(*) AS cnt FROM lineitem, w
+             | WHERE isfinite(CAST(l_extendedprice AS DOUBLE))
              | GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "))),
 
     QueryDef("entropy_returnflag",
@@ -413,7 +435,7 @@ object Queries {
         sum(when(hour(col("ts")) >= 9 && hour(col("ts")) < 17 &&
           dayofweek(col("ts")).between(2, 6), 1L).otherwise(0L)).as("in_business_hours"))
         .select(col("non_null"), col("in_business_hours"),
-          (col("in_business_hours").cast("double") / col("non_null").cast("double")).as("ratio")),
+          Metrics.ratio(col("in_business_hours"), col("non_null")).as("ratio")),
       Some("""SELECT count(ts) AS non_null,
              | CAST(sum(CASE WHEN hour(ts) >= 9 AND hour(ts) < 17 AND dayofweek(ts) BETWEEN 1 AND 5 THEN 1 ELSE 0 END) AS BIGINT) AS in_business_hours,
              | CAST(sum(CASE WHEN hour(ts) >= 9 AND hour(ts) < 17 AND dayofweek(ts) BETWEEN 1 AND 5 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(ts) AS DOUBLE) AS ratio
@@ -446,8 +468,8 @@ object Queries {
     QueryDef("uniqueness_composite_lineitem",
       (s, d) => Metrics.uniqueness(t(s, d, "lineitem"), Seq("l_orderkey", "l_linenumber")),
       Some("""SELECT count(*) AS total,
-             | count(DISTINCT (l_orderkey, l_linenumber)) AS distinct_count,
-             | CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS uniqueness
+             | count(DISTINCT (l_orderkey, l_linenumber)) FILTER (WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL) AS distinct_count,
+             | CAST(count(DISTINCT (l_orderkey, l_linenumber)) FILTER (WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS uniqueness
              | FROM lineitem""".stripMargin.replaceAll("\n", " "))),
 
     // Multi-column completeness combinator (reference: core/logical.rs All/AtLeast...).
@@ -468,11 +490,15 @@ object Queries {
         // count) is arbitrary on BOTH engines for same-timestamp events
         val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         t(s, d, "events")
+          // null ts/event_id order nulls-first in Spark but nulls-last in SQL
+          // dialects, changing pair adjacency — monotonicity is over defined rows
+          .filter(col("ts").isNotNull && col("event_id").isNotNull)
           .withColumn("_prev", lag(col("event_id"), 1).over(w))
           .agg(sum(when(col("_prev").isNotNull && col("event_id") < col("_prev"), 1L)
             .otherwise(0L)).as("violations"))
       },
-      Some("""WITH g AS (SELECT event_id, lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)
+      Some("""WITH g AS (SELECT event_id, lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             | FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL)
              | SELECT CAST(sum(CASE WHEN prev IS NOT NULL AND event_id < prev THEN 1 ELSE 0 END) AS BIGINT) AS violations
              | FROM g""".stripMargin.replaceAll("\n", " "))),
 
@@ -505,9 +531,9 @@ object Queries {
         def m(k: String) = ctx.metrics(k).asDouble.get
         import s.implicits._
         Seq((m("size.*").toLong, m("completeness.l_tax"),
-          BigDecimal(m("mean.l_quantity")).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          BigDecimal(m("stddev.l_extendedprice")).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          BigDecimal(m("correlation.l_quantity|l_extendedprice")).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          rd(m("mean.l_quantity"), 6),
+          rd(m("stddev.l_extendedprice"), 3),
+          rd(m("correlation.l_quantity|l_extendedprice"), 6)))
           .toDF("n_rows", "completeness_tax", "mean_qty", "stddev_price", "corr_qty_price")
       },
       Some("""SELECT count(*) AS n_rows,
@@ -527,6 +553,7 @@ object Queries {
         import graft.analyzers._
         import graft.repository._
         val daily = t(s, d, "events")
+          .filter(col("ts").isNotNull) // null ts has no day: excluded from the series
           .groupBy(to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("cnt"))
           .orderBy("day")
@@ -542,7 +569,7 @@ object Queries {
         import s.implicits._
         Seq((daily.length.toLong, anomalies.length.toLong)).toDF("n_days", "anomalies")
       },
-      Some("""WITH dly AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt FROM events GROUP BY 1),
+      Some("""WITH dly AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt FROM events WHERE ts IS NOT NULL GROUP BY 1),
              | z AS (SELECT cnt, row_number() OVER (ORDER BY day) AS rn,
              |   avg(cnt) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mu,
              |   stddev_pop(cnt) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sd
@@ -559,6 +586,7 @@ object Queries {
         import graft.analyzers._
         import graft.repository._
         val daily = t(s, d, "events")
+          .filter(col("ts").isNotNull)
           .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("cnt"))
           .orderBy("day")
           .collect()
@@ -575,7 +603,7 @@ object Queries {
         import s.implicits._
         Seq((daily.length.toLong, roc, abs)).toDF("n_days", "roc_anomalies", "abs_anomalies")
       },
-      Some("""WITH dly AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS cnt FROM events GROUP BY 1),
+      Some("""WITH dly AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS cnt FROM events WHERE ts IS NOT NULL GROUP BY 1),
              | lagged AS (SELECT cnt, lag(cnt) OVER (ORDER BY day) AS prev FROM dly)
              | SELECT count(*) AS n_days,
              | CAST(sum(CASE WHEN prev IS NOT NULL AND prev != 0 AND (cnt / prev - 1.0 > 0.25 OR 1.0 - cnt / prev > 0.25) THEN 1 ELSE 0 END) AS BIGINT) AS roc_anomalies,
@@ -607,11 +635,11 @@ object Queries {
         import s.implicits._
         Seq((runner.dataPartitions("size.*").length.toLong,
           m("size.*").asDouble.get.toLong,
-          BigDecimal(m("mean.o_totalprice").asDouble.get)
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          rd(m("mean.o_totalprice").asDouble.get, 6)))
           .toDF("n_partitions", "n_rows", "mean_totalprice")
       },
-      Some("""SELECT count(DISTINCT year(o_orderdate)) AS n_partitions, count(*) AS n_rows,
+      Some("""SELECT CAST(count(DISTINCT year(o_orderdate))
+             |   + coalesce(max(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_partitions, count(*) AS n_rows,
              | round(avg(o_totalprice), 6) AS mean_totalprice
              | FROM orders""".stripMargin.replaceAll("\n", " "))),
 
@@ -621,7 +649,9 @@ object Queries {
       (s, d) => t(s, d, "orders")
         .groupBy(col("o_orderpriority").as("value"))
         .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("value"))
+        // value tiebreak nulls LAST: DuckDB's default ascending puts NULLs last,
+        // Spark's puts them first — under LIMIT different rows would survive the cut
+        .orderBy(col("cnt").desc, col("value").asc_nulls_last)
         .limit(3),
       Some("""SELECT o_orderpriority AS value, count(*) AS cnt FROM orders
              | GROUP BY 1 ORDER BY cnt DESC, value LIMIT 3""".stripMargin.replaceAll("\n", " "))),
@@ -662,7 +692,7 @@ object Queries {
              |   sum(l_discount) / count(l_discount) AS mean_disc,
              |   CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(l_returnflag) AS DOUBLE) AS contained,
              |   max(l_quantity) AS max_qty,
-             |   count(DISTINCT (l_orderkey, l_linenumber)) AS dl FROM lineitem),
+             |   count(DISTINCT (l_orderkey, l_linenumber)) FILTER (WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL) AS dl FROM lineitem),
              | v AS (SELECT (CASE WHEN cnt > 1000 THEN 1 ELSE 0 END)
              |   + (CASE WHEN CAST(cok AS DOUBLE) / CAST(cnt AS DOUBLE) >= 1.0 THEN 1 ELSE 0 END)
              |   + (CASE WHEN mean_disc BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END)
@@ -680,7 +710,7 @@ object Queries {
         count(col("props")).as("non_null"),
         sum(when(expr("try_parse_json(props)").isNotNull, 1L).otherwise(0L)).as("valid_json"))
         .select(col("non_null"), col("valid_json"),
-          (col("valid_json").cast("double") / col("non_null").cast("double")).as("valid_ratio")),
+          Metrics.ratio(col("valid_json"), col("non_null")).as("valid_ratio")),
       Some("""SELECT count(props) AS non_null,
              | CAST(sum(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS BIGINT) AS valid_json,
              | CAST(sum(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(props) AS DOUBLE) AS valid_ratio
@@ -713,7 +743,10 @@ object Queries {
         // within one JVM from leaking copies; the PID keys out cross-JVM races.
         val tmp = sourceTmpDir("csv_nation", d)
         t(s, d, "nation").write.mode("overwrite").option("header", "true").csv(tmp)
-        graft.sources.Sources.csv(s, Seq(tmp))
+        // multiLine: the writer quotes embedded newlines in n_name/n_comment, which
+        // the default line-split reader would shred into malformed rows
+        graft.sources.Sources.csv(s, Seq(tmp),
+          graft.sources.Sources.CsvOptions(multiLine = true))
           .agg(count(lit(1)).as("n_rows"),
             sum(col("n_nationkey")).cast("long").as("sum_keys"),
             countDistinct(col("n_regionkey")).as("n_regions"))
@@ -784,7 +817,7 @@ object Queries {
       Some("""WITH ls AS (SELECT year(l_shipdate) AS yr, sum(l_extendedprice) AS l_sum FROM lineitem GROUP BY 1),
              | rs AS (SELECT year(o_orderdate) AS yr, sum(o_totalprice) AS r_sum FROM orders GROUP BY 1)
              | SELECT CAST(sum(CASE WHEN abs(coalesce(l_sum, 0.0) - coalesce(r_sum, 0.0)) > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS violations
-             | FROM ls FULL OUTER JOIN rs USING (yr)""".stripMargin.replaceAll("\n", " "))),
+             | FROM ls FULL OUTER JOIN rs ON ls.yr IS NOT DISTINCT FROM rs.yr""".stripMargin.replaceAll("\n", " "))),
 
     // Worst-groups-first grouped completeness with the LIMIT guard (reference:
     // analyzers/basic/grouped_completeness.rs:119-128 worst-first + truncation).
@@ -803,6 +836,7 @@ object Queries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val daily = t(s, d, "events")
+          .filter(col("ts").isNotNull) // null day would order dialect-dependently
           .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("cnt"))
         val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
         daily.select(avg(col("cnt")).over(w).as("roll7"))
@@ -810,7 +844,7 @@ object Queries {
             round(max(col("roll7")), 6).as("max_roll7"),
             round(min(col("roll7")), 6).as("min_roll7"))
       },
-      Some("""WITH dly AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt FROM events GROUP BY 1),
+      Some("""WITH dly AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt FROM events WHERE ts IS NOT NULL GROUP BY 1),
              | r AS (SELECT avg(cnt) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll7 FROM dly)
              | SELECT count(*) AS n_days, round(max(roll7), 6) AS max_roll7,
              | round(min(roll7), 6) AS min_roll7 FROM r""".stripMargin.replaceAll("\n", " "))),
@@ -868,8 +902,8 @@ object Queries {
           count(lit(1)).cast("double")).as("avg_tokens")),
       Some("""SELECT count(*) AS n_docs,
              | CAST(sum(length(text)) AS BIGINT) AS total_chars,
-             | CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))) AS BIGINT) AS total_tokens,
-             | CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens
+             | CAST(sum(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != ''))) AS BIGINT) AS total_tokens,
+             | CAST(sum(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != ''))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens
              | FROM documents""".stripMargin.replaceAll("\n", " "))),
 
     // Intra-document repetition signals (Gopher-style quality filters): duplicate
@@ -894,7 +928,7 @@ object Queries {
       Some("""WITH idx AS (SELECT unnest(range(1, CAST((SELECT coalesce(max(length(text)), 0) FROM documents) AS BIGINT) + 1)) AS i),
              | ch AS (SELECT doc_id, count(DISTINCT substr(text, CAST(i AS INT), 10)) AS d, max(length(text)) - 9 AS tot
              |   FROM documents JOIN idx ON i <= length(text) - 9 GROUP BY doc_id),
-             | tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS t FROM documents),
+             | tok AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS t FROM documents),
              | wg AS (SELECT doc_id, count(DISTINCT array_to_string(t[CAST(i AS INT):CAST(i AS INT)+2], ' ')) AS d, max(len(t)) - 2 AS tot
              |   FROM tok JOIN idx ON i <= len(t) - 2 GROUP BY doc_id),
              | per AS (SELECT doc.doc_id,
@@ -924,7 +958,7 @@ object Queries {
             sum(col("ngrams_matched")).cast("long").as("total_matched"),
             round(max(col("contamination")), 6).as("max_contamination"))
       },
-      Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS t FROM documents WHERE text IS NOT NULL),
+      Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS t FROM documents WHERE text IS NOT NULL),
              | widx AS (SELECT unnest(range(1, CAST((SELECT coalesce(max(len(t)), 0) FROM tok) AS BIGINT) + 1)) AS i),
              | g AS (SELECT doc_id, array_to_string(t[CAST(i AS INT):CAST(i AS INT)+7], ' ') AS gram FROM tok JOIN widx ON i <= len(t) - 7
              |   UNION ALL SELECT doc_id, array_to_string(t, ' ') FROM tok WHERE len(t) < 8 AND len(t) > 0),
@@ -956,7 +990,7 @@ object Queries {
         sum(when(TextFunctions.langId(col("text")) === col("lang"), 1L).otherwise(0L)).as("agree")),
       Some("""WITH s AS (SELECT lang,
              | CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^\p{Han}]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS cjk,
-             | list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks FROM documents),
+             | list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS toks FROM documents),
              | r AS (SELECT lang, cjk,
              | CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','von','mit','ein','eine'], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS s_de,
              | CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','for','with','was'], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS s_en,
@@ -986,7 +1020,7 @@ object Queries {
     QueryDef("fingerprint_documents",
       (s, d) => t(s, d, "documents").agg(
         countDistinct(TextFunctions.fingerprint(col("text"))).as("distinct_fingerprints")),
-      Some("""SELECT count(DISTINCT regexp_replace(trim(text), '\s+', ' ', 'g')) AS distinct_fingerprints
+      Some("""SELECT count(DISTINCT regexp_replace(trim(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS distinct_fingerprints
              | FROM documents""".stripMargin.replaceAll("\n", " "))),
 
     // Near-dup pair count at exact char-5-gram Jaccard >= 0.9. Candidates come from
@@ -1036,7 +1070,7 @@ object Queries {
              |   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
              |   WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(list_distinct(a.g || b.g)) >= 0.9)
              | SELECT count(*) AS kept_rows FROM documents
-             | WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin.replaceAll("\n", " "))),
+             | WHERE doc_id IS NULL OR doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin.replaceAll("\n", " "))),
 
     // Near-dup CLUSTERS (connected components of the verified-pair graph, each labeled
     // by its minimum doc id — chains a-b, b-c collapse into one cluster). Spark side:
@@ -1077,8 +1111,8 @@ object Queries {
         sum(TextFunctions.tokenCount(col("text"))).cast("long").as("ws_tokens"),
         sum(TextFunctions.bpeishTokenCount(col("text"))).cast("long").as("bpeish_tokens")),
       Some("""SELECT count(*) AS n_docs,
-             | CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))) AS BIGINT) AS ws_tokens,
-             | CAST(sum(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+'))) AS BIGINT) AS bpeish_tokens
+             | CAST(sum(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != ''))) AS BIGINT) AS ws_tokens,
+             | CAST(sum(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^ \t\n\x0b\f\r\p{L}\p{N}]+'))) AS BIGINT) AS bpeish_tokens
              | FROM documents""".stripMargin.replaceAll("\n", " "))),
 
     // Embedding-cosine near-dup pairs: hyperplane-LSH candidates, exact-cosine
@@ -1107,7 +1141,7 @@ object Queries {
         maxHamming = 3, tokenHasher = "md5")
         .agg(count(lit(1)).as("simhash_pairs"),
           coalesce(sum(col("hamming")), lit(0L)).as("sum_hamming")),
-      Some("""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS tk FROM documents),
+      Some("""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS tk FROM documents),
              | th AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 8))::BIGINT AS hi, ('0x' || substr(md5(tk), 9, 8))::BIGINT AS lo FROM tok),
              | votes AS (SELECT doc_id, i, sum((CASE WHEN i < 32 THEN (lo >> i) & 1 ELSE (hi >> (i - 32)) & 1 END) * 2 - 1) AS v
              |   FROM th, (SELECT unnest(range(0, 64)) AS i) GROUP BY 1, 2),
@@ -1275,7 +1309,9 @@ object Queries {
       (s, d) => {
         import graft.constraints.{FormatConstraint, FormatType}
         import graft.core._
-        val synth = t(s, d, "orders").select(
+        // non-null keys only: a NULL o_orderkey nulls some derived columns, and the
+        // engine's non-null denominator would part ways with the oracle's count(*)
+        val synth = t(s, d, "orders").filter(col("o_orderkey").isNotNull).select(
           when(pmod(col("o_orderkey"), lit(3)) === 0,
             concat(lit("user"), col("o_orderkey"), lit("@example.com")))
             .otherwise(concat(lit("bad email "), col("o_orderkey"))).as("email"),
@@ -1300,7 +1336,7 @@ object Queries {
              | round(CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS email_ratio,
              | round(CAST(sum(CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS uuid_ratio,
              | round(CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS ipv4_ratio
-             | FROM orders""".stripMargin.replaceAll("\n", " "))),
+             | FROM orders WHERE o_orderkey IS NOT NULL""".stripMargin.replaceAll("\n", " "))),
 
     // Country-parameterized Phone/PostalCode + SSN-detect under the oracle gate, same
     // by-construction scheme as format_library_synthetic: column c is valid iff
@@ -1312,7 +1348,7 @@ object Queries {
         import graft.core._
         def pick(k: Int, valid: org.apache.spark.sql.Column, invalid: org.apache.spark.sql.Column) =
           when(pmod(col("o_orderkey"), lit(k)) === 0, valid).otherwise(invalid)
-        val synth = t(s, d, "orders").select(
+        val synth = t(s, d, "orders").filter(col("o_orderkey").isNotNull).select(
           // canonical international forms (trunk 0 dropped after +CC) — pins the
           // documented divergence from the reference's trunk-0-required patterns
           pick(2, lit("+44 20 7946 0958"), lit("4420")).as("p_uk"),
@@ -1360,7 +1396,7 @@ object Queries {
              | round(CAST(sum(CASE WHEN o_orderkey % 9 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS au_postal,
              | round(CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS generic_postal,
              | round(1.0 - CAST(sum(CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS ssn_clear
-             | FROM orders""".stripMargin.replaceAll("\n", " "))),
+             | FROM orders WHERE o_orderkey IS NOT NULL""".stripMargin.replaceAll("\n", " "))),
 
     // Hyperplane-LSH ANN with multi-probe covering ALL 2^planes buckets (planes=2,
     // multiProbeBits=2): exhaustive, so it must equal the brute-force oracle exactly —
@@ -1391,10 +1427,7 @@ object Queries {
         val n = p.numeric.get
         import s.implicits._
         Seq((p.totalCount, p.nullCount,
-          BigDecimal(p.completeness).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          BigDecimal(n.min).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          BigDecimal(n.max).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          BigDecimal(n.mean).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          rd(p.completeness, 6), rd(n.min, 2), rd(n.max, 2), rd(n.mean, 4)))
           .toDF("total", "nulls", "completeness", "min_v", "max_v", "mean_v")
       },
       Some("""SELECT count(*) AS total, count(*) - count(c_acctbal) AS nulls,
@@ -1418,7 +1451,7 @@ object Queries {
           min(qs).as("min_quality"),
           max(qs).as("max_quality"))
       },
-      Some("""WITH toks AS (SELECT text, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS tk FROM documents),
+      Some("""WITH toks AS (SELECT text, list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS tk FROM documents),
              | q AS (SELECT round(
              | least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * (CASE WHEN CAST(length(text) AS DOUBLE) > 20000 THEN 0.5 ELSE 1.0 END) * 0.4
              | + (CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
@@ -1449,7 +1482,7 @@ object Queries {
                  count(DISTINCT graft_fingerprint(text)) AS distinct_fingerprints
                  FROM graft_sql_docs""")
       },
-      Some("""WITH toks AS (SELECT text, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS tk FROM documents),
+      Some("""WITH toks AS (SELECT text, list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS tk FROM documents),
              | q AS (SELECT text, tk, round(
              | least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * (CASE WHEN CAST(length(text) AS DOUBLE) > 20000 THEN 0.5 ELSE 1.0 END) * 0.4
              | + (CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
@@ -1458,9 +1491,9 @@ object Queries {
              | , 6) AS qs FROM toks)
              | SELECT count(*) AS n_docs,
              | CAST(sum(len(tk)) AS BIGINT) AS ws_tokens,
-             | CAST(sum(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+'))) AS BIGINT) AS bpeish_tokens,
+             | CAST(sum(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^ \t\n\x0b\f\r\p{L}\p{N}]+'))) AS BIGINT) AS bpeish_tokens,
              | CAST(sum(CASE WHEN qs >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS high_quality,
-             | count(DISTINCT regexp_replace(trim(text), '\s+', ' ', 'g')) AS distinct_fingerprints
+             | count(DISTINCT regexp_replace(trim(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS distinct_fingerprints
              | FROM q""".stripMargin.replaceAll("\n", " "))))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

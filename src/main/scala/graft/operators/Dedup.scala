@@ -46,7 +46,10 @@ object Dedup {
     tiebreaker match {
       case None => df.dropDuplicates(keys)
       case Some(tb) =>
-        val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tb))
+        // nulls LAST: the kept representative should be the smallest REAL tiebreaker
+        // value — default ascending ranks NULL first, so a null-id row would shadow
+        // every genuine id in its group (and diverge from SQL min(), which skips NULLs).
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tb).asc_nulls_last)
         df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
     }
 
@@ -292,7 +295,9 @@ object Dedup {
     * the higher id of a verified near-dup pair, keeping the lowest id of each
     * near-duplicate relation (chains collapse greedily: in a-b, b-c both b and c drop).
     * One left-anti join against the distinct dropped-id set — the pair pipeline's
-    * subquadratic shape end to end.
+    * subquadratic shape end to end. A row with a NULL id is always KEPT: the pair
+    * ordering `idA < idB` is undefined against NULL, so such a row can never be the
+    * dropped side of a pair (assign ids upstream if null-id rows should dedup).
     */
   def dedupNearMinhash(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,

@@ -4,7 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed EXACT quantiles (`percentile_cont` semantics — linear interpolation at
-  * rank `q*(n-1)`; nulls and NaN excluded).
+  * rank `q*(n-1)`; nulls, NaN, and ±Infinity excluded: quantiles are defined over the
+  * FINITE values — NaN has no rank, and an infinite interpolation endpoint makes the
+  * result meaningless rather than approximate).
   *
   * Spark's built-in exact `percentile` builds a per-partition value→count OpenHashMap
   * and merges ALL of them in a single reduce task; on a high-cardinality column the
@@ -47,8 +49,9 @@ object Quantiles {
     require(qs.forall(q => q >= 0.0 && q <= 1.0), "quantiles must be in [0,1]")
     require(accuracy >= 100, "accuracy must be >= 100")
     require(collectThreshold >= 16, "collectThreshold must be >= 16")
+    // between(±MaxValue) excludes NULL, NaN (NaN fails <=), and ±Inf in one predicate.
     val vals = df.select(col(column).cast("double").as("v"))
-      .filter(col("v").isNotNull && !isnan(col("v")))
+      .filter(col("v").between(-Double.MaxValue, Double.MaxValue))
 
     // Pass 1: n + sketch probes in one scan. Margins are in quantile space here (n is
     // unknown until the scan returns); the exact-count check in selectRanks is what

@@ -17,6 +17,12 @@ object Sources {
       delimiter: String = ",",
       inferSchema: Boolean = true,
       nullValue: String = "",
+      /** Parse quoted fields that span lines (Spark's own CSV WRITER quotes embedded
+        * newlines, so reading such output back REQUIRES this). Off by default: a
+        * multiLine CSV file is not splittable — one file becomes one task — so at
+        * scale prefer newline-free data or a binary format over enabling it.
+        */
+      multiLine: Boolean = false,
       extra: Map[String, String] = Map.empty)
 
   /** reference: sources/csv.rs:76-272 (single path, path list, glob all work). */
@@ -26,6 +32,7 @@ object Sources {
       .option("sep", options.delimiter)
       .option("inferSchema", options.inferSchema.toString)
       .option("nullValue", options.nullValue)
+      .option("multiLine", options.multiLine.toString)
       .options(options.extra)
       .csv(paths: _*)
 

@@ -84,12 +84,24 @@ class QuantilesSpec extends SparkSpec {
     assert(Quantiles.exactQuantile(df, "v", 1.0).get == 30.0)
   }
 
-  test("infinities sort correctly; threshold boundary n = threshold+1 takes sketch path") {
+  test("non-finite values excluded; threshold boundary n = threshold+1 takes sketch path") {
     import spark.implicits._
     val r = new scala.util.Random(41)
-    val data = Seq(Double.NegativeInfinity, Double.PositiveInfinity) ++
-      Seq.fill(4998)(r.nextDouble() * 100)
-    check(data.toDF("v").repartition(8), "v", threshold = 256)
+    // Quantiles are over FINITE values: ±Inf/NaN are excluded (an infinite
+    // interpolation endpoint is meaningless, NaN has no rank), so the result must
+    // equal Spark percentile over the finite subset.
+    val finite = Seq.fill(4998)(r.nextDouble() * 100)
+    val data = Seq(Double.NegativeInfinity, Double.PositiveInfinity, Double.NaN) ++ finite
+    val expected = sparkExact(finite.toDF("v"), "v")
+    val got = Quantiles.exactQuantiles(
+      data.toDF("v").repartition(8), "v", qs, collectThreshold = 256).get
+    got.zip(expected).zip(qs).foreach { case ((g, e), q) =>
+      assert(g == e || math.abs(g - e) <= math.abs(e) * 1e-12 + 1e-12,
+        s"q=$q: got $g expected $e")
+    }
+    // an all-non-finite column has no quantiles
+    assert(Quantiles.exactQuantiles(
+      Seq(Double.PositiveInfinity, Double.NaN).toDF("v"), "v", qs).isEmpty)
     // n exactly one over the threshold: smallest possible sketch-path input
     val small = Seq.fill(257)(r.nextDouble()).toDF("v")
     check(small, "v", threshold = 256)
