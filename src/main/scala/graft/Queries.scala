@@ -31,6 +31,13 @@ object Queries {
     if (x.isNaN || x.isInfinite) x
     else BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Constraint metric as a nullable rounded double: a constraint that SKIPS (e.g. on
+    * empty input) carries no metric — surface SQL NULL, exactly what the oracle's
+    * aggregate yields over zero rows, instead of crashing on `.get`.
+    */
+  private def optD(r: graft.core.ConstraintResult, scale: Int): Option[Double] =
+    r.metric.flatMap(_.asDouble).map(rd(_, scale))
+
   /** Per-JVM temp dir for source round-trip queries (csv/json). Keyed by the
     * scale-factor dir hash AND the process PID: two concurrent JVMs running the SAME
     * scale factor must not race (a mode=overwrite delete would yank files another JVM
@@ -127,10 +134,9 @@ object Queries {
     QueryDef("median_quantity",
       (s, d) => {
         val m = graft.operators.Quantiles
-          .exactQuantile(t(s, d, "lineitem"), "l_quantity", 0.5, collectThreshold = 1000).get
+          .exactQuantile(t(s, d, "lineitem"), "l_quantity", 0.5, collectThreshold = 1000)
         import s.implicits._
-        Seq(BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-          .toDF("median_qty")
+        Seq(m.map(rd(_, 6))).toDF("median_qty") // None (empty input) -> SQL NULL
       },
       Some("SELECT round(quantile_cont(l_quantity, 0.5), 6) AS median_qty FROM lineitem" +
         " WHERE isfinite(CAST(l_quantity AS DOUBLE))")),
@@ -139,10 +145,10 @@ object Queries {
       (s, d) => {
         val qs = graft.operators.Quantiles
           .exactQuantiles(t(s, d, "lineitem"), "l_extendedprice", Seq(0.25, 0.5, 0.75),
-            collectThreshold = 1000).get
-          .map(x => BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            collectThreshold = 1000)
+          .map(_.map(rd(_, 4)))
         import s.implicits._
-        Seq((qs(0), qs(1), qs(2))).toDF("p25", "p50", "p75")
+        Seq((qs.map(_(0)), qs.map(_(1)), qs.map(_(2)))).toDF("p25", "p50", "p75")
       },
       Some("""SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
              | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
@@ -160,9 +166,8 @@ object Queries {
           Stat.Min -> ge0, Stat.Max -> ge0, Stat.Mean -> ge0,
           Stat.Sum -> ge0, Stat.StdDev -> ge0, Stat.Variance -> ge0))
         val m = ValidationSuite.evaluateBatched(t(s, d, "lineitem"), Seq(c))
-          .head.metric.get.asInstanceOf[MetricValue.MapMetric].value
-        def v(k: String, scale: Int) = BigDecimal(m(k).asDouble.get)
-          .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+          .head.metric.map(_.asInstanceOf[MetricValue.MapMetric].value)
+        def v(k: String, scale: Int) = m.flatMap(_(k).asDouble).map(rd(_, scale))
         import s.implicits._
         Seq((v("min", 2), v("max", 2), v("mean", 6), v("sum", 2), v("stddev", 4), v("variance", 4)))
           .toDF("min_q", "max_q", "mean_q", "sum_q", "stddev_q", "variance_q")
@@ -185,10 +190,9 @@ object Queries {
         val c = MultiQuantileConstraint("l_extendedprice",
           Seq(0.25 -> ge0, 0.5 -> ge0, 0.75 -> ge0), QuantileMethod.Exact)
         val qs = ValidationSuite.evaluateBatched(t(s, d, "lineitem"), Seq(c))
-          .head.metric.get.asInstanceOf[MetricValue.VectorMetric].value
-          .map(x => BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          .head.metric.map(_.asInstanceOf[MetricValue.VectorMetric].value.map(rd(_, 4)))
         import s.implicits._
-        Seq((qs(0), qs(1), qs(2))).toDF("p25", "p50", "p75")
+        Seq((qs.map(_(0)), qs.map(_(1)), qs.map(_(2)))).toDF("p25", "p50", "p75")
       },
       Some("""SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
              | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
@@ -206,8 +210,7 @@ object Queries {
         val rs = ValidationSuite.evaluateBatched(t(s, d, "lineitem"), Seq(
           BeforeAfterConstraint("l_discount", "l_tax"),
           BeforeAfterConstraint("l_discount", "l_tax", strict = true)))
-        def ratio(i: Int) = BigDecimal(rs(i).metric.flatMap(_.asDouble).get)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        def ratio(i: Int) = optD(rs(i), 6)
         import s.implicits._
         Seq((ratio(0), ratio(1))).toDF("leq_ratio", "lt_ratio")
       },
@@ -229,8 +232,7 @@ object Queries {
           LengthConstraint("text", ge0, Stat.Min),
           LengthConstraint("text", ge0, Stat.Max),
           LengthConstraint("text", ge0, Stat.Mean)))
-        def v(i: Int, scale: Int) = BigDecimal(rs(i).metric.flatMap(_.asDouble).get)
-          .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+        def v(i: Int, scale: Int) = optD(rs(i), scale)
         import s.implicits._
         Seq((v(0, 0), v(1, 0), v(2, 6))).toDF("min_len", "max_len", "mean_len")
       },
@@ -375,12 +377,10 @@ object Queries {
         val cov = v.joinCoverage("ms_orders.o_custkey", "ms_customer.c_custkey",
           CoverageMode.LeftCoverage, Assertion.GreaterThanOrEqual(0.0))
         import s.implicits._
-        Seq((fk.metric.flatMap(_.asDouble).get.toLong,
-          BigDecimal(cov.metric.flatMap(_.asDouble).get)
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
-          .toDF("orphans", "coverage")
+        Seq((fk.metric.flatMap(_.asDouble).map(_.toLong),
+          optD(cov, 6))).toDF("orphans", "coverage")
       },
-      Some("""SELECT CAST(sum(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphans,
+      Some("""SELECT CAST(coalesce(sum(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS orphans,
              | round(CAST(sum(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS coverage
              | FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
              | ON o.o_custkey = c.c_custkey""".stripMargin.replaceAll("\n", " "))),
@@ -388,7 +388,7 @@ object Queries {
     QueryDef("join_coverage_lineitem_orders",
       (s, d) => Metrics.joinCoverage(t(s, d, "lineitem"), t(s, d, "orders"),
         Seq(("l_orderkey", "o_orderkey"))),
-      Some("""SELECT CAST(sum(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+      Some("""SELECT CAST(coalesce(sum(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS covered,
              | count(*) AS total,
              | CAST(sum(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage
              | FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
@@ -513,7 +513,7 @@ object Queries {
       Some("""WITH g AS (SELECT event_id, lag(event_id) OVER (ORDER BY ts, event_id) AS prev
              | FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL)
              | SELECT count(*) AS total,
-             | CAST(sum(CASE WHEN prev IS NOT NULL AND event_id < prev THEN 1 ELSE 0 END) AS BIGINT) AS violations
+             | CAST(coalesce(sum(CASE WHEN prev IS NOT NULL AND event_id < prev THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations
              | FROM g""".stripMargin.replaceAll("\n", " "))),
 
     // ---- analyzer framework (mergeable sufficient-statistics states) ----
@@ -575,7 +575,7 @@ object Queries {
              |   stddev_pop(cnt) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sd
              |   FROM dly)
              | SELECT count(*) AS n_days,
-             | CAST(sum(CASE WHEN rn > 3 AND sd > 0 AND abs(cnt - mu) / sd > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS anomalies
+             | CAST(coalesce(sum(CASE WHEN rn > 3 AND sd > 0 AND abs(cnt - mu) / sd > 2.0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS anomalies
              | FROM z""".stripMargin.replaceAll("\n", " "))),
 
     // Rate-of-change + absolute-change anomaly detectors over the same daily-count
@@ -606,8 +606,8 @@ object Queries {
       Some("""WITH dly AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS cnt FROM events WHERE ts IS NOT NULL GROUP BY 1),
              | lagged AS (SELECT cnt, lag(cnt) OVER (ORDER BY day) AS prev FROM dly)
              | SELECT count(*) AS n_days,
-             | CAST(sum(CASE WHEN prev IS NOT NULL AND prev != 0 AND (cnt / prev - 1.0 > 0.25 OR 1.0 - cnt / prev > 0.25) THEN 1 ELSE 0 END) AS BIGINT) AS roc_anomalies,
-             | CAST(sum(CASE WHEN prev IS NOT NULL AND (cnt - prev > 25.0 OR prev - cnt > 25.0) THEN 1 ELSE 0 END) AS BIGINT) AS abs_anomalies
+             | CAST(coalesce(sum(CASE WHEN prev IS NOT NULL AND prev != 0 AND (cnt / prev - 1.0 > 0.25 OR 1.0 - cnt / prev > 0.25) THEN 1 ELSE 0 END), 0) AS BIGINT) AS roc_anomalies,
+             | CAST(coalesce(sum(CASE WHEN prev IS NOT NULL AND (cnt - prev > 25.0 OR prev - cnt > 25.0) THEN 1 ELSE 0 END), 0) AS BIGINT) AS abs_anomalies
              | FROM lagged""".stripMargin.replaceAll("\n", " "))),
 
     // Schema arity (reference: constraints/column_count.rs — no scan, metadata only).
@@ -633,9 +633,10 @@ object Queries {
         val m = runner.analyzePartitionsBatched(
           t(s, d, "orders"), year(col("o_orderdate")))
         import s.implicits._
+        // empty input: zero partitions -> no metrics at all; count 0, mean NULL
         Seq((runner.dataPartitions("size.*").length.toLong,
-          m("size.*").asDouble.get.toLong,
-          rd(m("mean.o_totalprice").asDouble.get, 6)))
+          m.get("size.*").flatMap(_.asDouble).map(_.toLong).getOrElse(0L),
+          m.get("mean.o_totalprice").flatMap(_.asDouble).map(rd(_, 6))))
           .toDF("n_partitions", "n_rows", "mean_totalprice")
       },
       Some("""SELECT CAST(count(DISTINCT year(o_orderdate))
@@ -693,16 +694,18 @@ object Queries {
              |   CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(l_returnflag) AS DOUBLE) AS contained,
              |   max(l_quantity) AS max_qty,
              |   count(DISTINCT (l_orderkey, l_linenumber)) FILTER (WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL) AS dl FROM lineitem),
-             | v AS (SELECT (CASE WHEN cnt > 1000 THEN 1 ELSE 0 END)
+             | v AS (SELECT cnt, (CASE WHEN cnt > 1000 THEN 1 ELSE 0 END)
              |   + (CASE WHEN CAST(cok AS DOUBLE) / CAST(cnt AS DOUBLE) >= 1.0 THEN 1 ELSE 0 END)
              |   + (CASE WHEN mean_disc BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END)
              |   + (CASE WHEN contained >= 1.0 THEN 1 ELSE 0 END)
              |   + (CASE WHEN max_qty <= 10.0 THEN 1 ELSE 0 END)
              |   + (CASE WHEN CAST(dl AS DOUBLE) / CAST(cnt AS DOUBLE) >= 1.0 THEN 1 ELSE 0 END) AS p FROM m)
-             | SELECT CAST(6 AS BIGINT) AS total_constraints, CAST(p AS BIGINT) AS passed,
-             | CAST(6 - p AS BIGINT) AS failed, CAST(0 AS BIGINT) AS skipped,
-             | CAST(6 - p AS BIGINT) AS n_issues,
-             | CAST(CASE WHEN p = 6 THEN 1 ELSE 0 END AS BIGINT) AS is_success
+             | SELECT CAST(6 AS BIGINT) AS total_constraints,
+             | CAST(CASE WHEN cnt = 0 THEN 0 ELSE p END AS BIGINT) AS passed,
+             | CAST(CASE WHEN cnt = 0 THEN 1 ELSE 6 - p END AS BIGINT) AS failed,
+             | CAST(CASE WHEN cnt = 0 THEN 5 ELSE 0 END AS BIGINT) AS skipped,
+             | CAST(CASE WHEN cnt = 0 THEN 1 ELSE 6 - p END AS BIGINT) AS n_issues,
+             | CAST(CASE WHEN cnt = 0 THEN 0 WHEN p = 6 THEN 1 ELSE 0 END AS BIGINT) AS is_success
              | FROM v""".stripMargin.replaceAll("\n", " "))),
 
     QueryDef("json_validity_props",
@@ -758,8 +761,11 @@ object Queries {
     QueryDef("json_source_region",
       (s, d) => {
         val tmp = sourceTmpDir("json_region", d)
-        t(s, d, "region").write.mode("overwrite").json(tmp)
-        graft.sources.Sources.json(s, Seq(tmp))
+        val src = t(s, d, "region")
+        src.write.mode("overwrite").json(tmp)
+        // explicit schema: a zero-row JSON write leaves nothing to infer from, which
+        // would otherwise drop every column
+        graft.sources.Sources.json(s, Seq(tmp), schema = Some(src.schema))
           .agg(count(lit(1)).as("n_rows"),
             sum(col("r_regionkey")).cast("long").as("sum_keys"))
       },
@@ -816,7 +822,7 @@ object Queries {
       },
       Some("""WITH ls AS (SELECT year(l_shipdate) AS yr, sum(l_extendedprice) AS l_sum FROM lineitem GROUP BY 1),
              | rs AS (SELECT year(o_orderdate) AS yr, sum(o_totalprice) AS r_sum FROM orders GROUP BY 1)
-             | SELECT CAST(sum(CASE WHEN abs(coalesce(l_sum, 0.0) - coalesce(r_sum, 0.0)) > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS violations
+             | SELECT CAST(coalesce(sum(CASE WHEN abs(coalesce(l_sum, 0.0) - coalesce(r_sum, 0.0)) > 0.5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations
              | FROM ls FULL OUTER JOIN rs ON ls.yr IS NOT DISTINCT FROM rs.yr""".stripMargin.replaceAll("\n", " "))),
 
     // Worst-groups-first grouped completeness with the LIMIT guard (reference:
@@ -856,10 +862,10 @@ object Queries {
       (s, d) => {
         val p = new graft.analyzers.ColumnProfiler()
           .profile(t(s, d, "orders"), Seq("o_orderpriority"))("o_orderpriority")
-        val h = p.histogram.get
         import s.implicits._
-        h.buckets.toSeq.map { case (v, b) => (v, b.count, b.ratio) }
-          .sortBy(_._1).toDF("value", "cnt", "ratio")
+        // no histogram (e.g. empty input) -> zero rows, like the oracle's GROUP BY
+        p.histogram.map(_.buckets.toSeq.map { case (v, b) => (v, b.count, b.ratio) })
+          .getOrElse(Seq.empty).sortBy(_._1).toDF("value", "cnt", "ratio")
       },
       Some("""SELECT o_orderpriority AS value, count(*) AS cnt,
              | CAST(count(*) AS DOUBLE) / CAST((SELECT count(o_orderpriority) FROM orders) AS DOUBLE) AS ratio
@@ -881,10 +887,11 @@ object Queries {
           .sortBy(c => (c._1, c._2))
           .toDF("child_table", "child_column", "parent_table", "parent_column", "overlap")
       },
-      Some("""SELECT 'orders' AS child_table, 'o_custkey' AS child_column,
+      Some("""WITH cand AS (SELECT 'orders' AS child_table, 'o_custkey' AS child_column,
              | 'customer' AS parent_table, 'c_custkey' AS parent_column,
              | round(CAST((SELECT count(*) FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer)) AS DOUBLE)
-             |   / CAST((SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL) AS DOUBLE), 6) AS overlap""".stripMargin.replaceAll("\n", " ")))
+             |   / CAST((SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL) AS DOUBLE), 6) AS overlap)
+             | SELECT * FROM cand WHERE overlap >= 0.5""".stripMargin.replaceAll("\n", " ")))
   )
 
   // ---- LLM-pipeline operators (SURVEY §7 step 8 / north-star extensions) ----
@@ -1178,11 +1185,17 @@ object Queries {
     // Brute-force cosine top-10 for probe vec_id=0 (the ANN correctness baseline).
     QueryDef("similarity_topk_embeddings",
       (s, d) => {
-        val probe = t(s, d, "embeddings").filter(col("vec_id") === 0)
-          .select("embedding").head().getSeq[Float](0).toSeq
-        Similarity.bruteForceTopK(
-          t(s, d, "embeddings").filter(col("vec_id") =!= 0), "vec_id", "embedding", probe, 10)
-          .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+        // headOption: an empty corpus has no probe row -> empty top-k, not a crash
+        val probeOpt = t(s, d, "embeddings").filter(col("vec_id") === 0)
+          .select("embedding").head(1).headOption.map(_.getSeq[Float](0).toSeq)
+        probeOpt match {
+          case Some(probe) => Similarity.bruteForceTopK(
+              t(s, d, "embeddings").filter(col("vec_id") =!= 0), "vec_id", "embedding", probe, 10)
+            .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+          case None =>
+            import s.implicits._
+            Seq.empty[(Long, Double)].toDF("vec_id", "cosine")
+        }
       },
       Some("""WITH p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0)
              | SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], pe) /
@@ -1198,12 +1211,18 @@ object Queries {
     QueryDef("similarity_ivf_topk",
       (s, d) => {
         val corpus = t(s, d, "embeddings")
-        val probe = corpus.filter(col("vec_id") === 0)
-          .select("embedding").head().getSeq[Float](0).toSeq
-        val rest = corpus.filter(col("vec_id") =!= 0)
-        val centroids = Similarity.seedCentroids(rest, "vec_id", "embedding", 16)
-        Similarity.ivfTopK(rest, "vec_id", "embedding", centroids, probe, 10, nprobe = 16)
-          .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+        val probeOpt = corpus.filter(col("vec_id") === 0)
+          .select("embedding").head(1).headOption.map(_.getSeq[Float](0).toSeq)
+        probeOpt match {
+          case Some(probe) =>
+            val rest = corpus.filter(col("vec_id") =!= 0)
+            val centroids = Similarity.seedCentroids(rest, "vec_id", "embedding", 16)
+            Similarity.ivfTopK(rest, "vec_id", "embedding", centroids, probe, 10, nprobe = 16)
+              .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+          case None =>
+            import s.implicits._
+            Seq.empty[(Long, Double)].toDF("vec_id", "cosine")
+        }
       },
       Some("""WITH p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0)
              | SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], pe) /
@@ -1288,15 +1307,15 @@ object Queries {
              |   count(*) AS full_nn,
              |   sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS half_nn,
              |   0 AS empty_nn FROM orders),
-             | sat AS (SELECT (CASE WHEN CAST(full_nn AS DOUBLE) / total >= 0.9 THEN 1 ELSE 0 END)
+             | sat AS (SELECT total, (CASE WHEN CAST(full_nn AS DOUBLE) / total >= 0.9 THEN 1 ELSE 0 END)
              |   + (CASE WHEN CAST(half_nn AS DOUBLE) / total >= 0.9 THEN 1 ELSE 0 END)
              |   + (CASE WHEN CAST(empty_nn AS DOUBLE) / total >= 0.9 THEN 1 ELSE 0 END) AS n FROM c)
-             | SELECT CAST(CASE WHEN n = 3 THEN 1 ELSE 0 END AS BIGINT) AS all_ok,
-             | CAST(CASE WHEN n >= 1 THEN 1 ELSE 0 END AS BIGINT) AS any_ok,
-             | CAST(CASE WHEN n >= 1 THEN 1 ELSE 0 END AS BIGINT) AS at_least1_ok,
-             | CAST(CASE WHEN n >= 2 THEN 1 ELSE 0 END AS BIGINT) AS at_least2_ok,
-             | CAST(CASE WHEN n <= 1 THEN 1 ELSE 0 END AS BIGINT) AS at_most1_ok,
-             | CAST(CASE WHEN n = 1 THEN 1 ELSE 0 END AS BIGINT) AS exactly1_ok
+             | SELECT CAST(CASE WHEN total = 0 THEN 0 WHEN n = 3 THEN 1 ELSE 0 END AS BIGINT) AS all_ok,
+             | CAST(CASE WHEN total = 0 THEN 0 WHEN n >= 1 THEN 1 ELSE 0 END AS BIGINT) AS any_ok,
+             | CAST(CASE WHEN total = 0 THEN 0 WHEN n >= 1 THEN 1 ELSE 0 END AS BIGINT) AS at_least1_ok,
+             | CAST(CASE WHEN total = 0 THEN 0 WHEN n >= 2 THEN 1 ELSE 0 END AS BIGINT) AS at_least2_ok,
+             | CAST(CASE WHEN total = 0 THEN 0 WHEN n <= 1 THEN 1 ELSE 0 END AS BIGINT) AS at_most1_ok,
+             | CAST(CASE WHEN total = 0 THEN 0 WHEN n = 1 THEN 1 ELSE 0 END AS BIGINT) AS exactly1_ok
              | FROM sat""".stripMargin.replaceAll("\n", " "))),
 
     // Format-regex library under the oracle gate. Synthetic columns derived from
@@ -1327,8 +1346,7 @@ object Queries {
           FormatConstraint("uuid", FormatType.Uuid, Assertion.GreaterThanOrEqual(0.0)),
           FormatConstraint("ip", FormatType.Ipv4, Assertion.GreaterThanOrEqual(0.0)))
         val rs = ValidationSuite.evaluateBatched(synth, constraints)
-        def ratio(i: Int) = BigDecimal(rs(i).metric.flatMap(_.asDouble).get)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        def ratio(i: Int) = optD(rs(i), 6)
         import s.implicits._
         Seq((ratio(0), ratio(1), ratio(2))).toDF("email_ratio", "uuid_ratio", "ipv4_ratio")
       },
@@ -1377,8 +1395,7 @@ object Queries {
           // detect mode: the metric is the fraction FLAGGED-ABSENT (1 - match ratio)
           FormatConstraint("ssn", FormatType.SocialSecurityNumber, ge0, detect = true))
         val rs = ValidationSuite.evaluateBatched(synth, constraints)
-        def ratio(i: Int) = BigDecimal(rs(i).metric.flatMap(_.asDouble).get)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        def ratio(i: Int) = optD(rs(i), 6)
         import s.implicits._
         Seq((ratio(0), ratio(1), ratio(2), ratio(3), ratio(4), ratio(5), ratio(6),
           ratio(7), ratio(8), ratio(9)))
@@ -1404,12 +1421,17 @@ object Queries {
     // Reduced probing is the scale path; its recall is pinned in OperatorSpec.
     QueryDef("similarity_ann_exhaustive",
       (s, d) => {
-        val probe = t(s, d, "embeddings").filter(col("vec_id") === 0)
-          .select("embedding").head().getSeq[Float](0).toSeq
-        Similarity.annTopK(
-          t(s, d, "embeddings").filter(col("vec_id") =!= 0), "vec_id", "embedding",
-          probe, 10, planes = 2, multiProbeBits = 2)
-          .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+        val probeOpt = t(s, d, "embeddings").filter(col("vec_id") === 0)
+          .select("embedding").head(1).headOption.map(_.getSeq[Float](0).toSeq)
+        probeOpt match {
+          case Some(probe) => Similarity.annTopK(
+              t(s, d, "embeddings").filter(col("vec_id") =!= 0), "vec_id", "embedding",
+              probe, 10, planes = 2, multiProbeBits = 2)
+            .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+          case None =>
+            import s.implicits._
+            Seq.empty[(Long, Double)].toDF("vec_id", "cosine")
+        }
       },
       Some("""WITH p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0)
              | SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], pe) /

@@ -159,9 +159,11 @@ final class ColumnProfiler(config: ProfilerConfig = ProfilerConfig()) {
       c -> ColumnProfile(
         column = c,
         sparkType = schema(c).simpleString,
-        completeness = if (total == 0) 0.0 else nonNull.toDouble / total,
+        // NaN, not 0.0, on a zero denominator: "every row is null" (a real 0.0) and
+        // "there are no rows" are different findings, and SQL ratios are NULL there
+        completeness = if (total == 0) Double.NaN else nonNull.toDouble / total,
         approxDistinct = approxDistinct,
-        distinctness = if (nonNull == 0) 0.0 else approxDistinct.toDouble / nonNull,
+        distinctness = if (nonNull == 0) Double.NaN else approxDistinct.toDouble / nonNull,
         nullCount = total - nonNull,
         totalCount = total,
         numeric = if (isNumeric(schema(c)))

@@ -28,8 +28,10 @@ private[graft] object UniqueExprs {
     // engine-native value equality applies (e.g. 0.0 == -0.0 for floats, which the
     // string form would split into two values).
     case NullMode.IncludeAsOne if cols.size == 1 =>
+      // coalesce: max/sum over ZERO rows is NULL, which would null the whole
+      // distinct-count sum downstream (count-style semantics want 0 on empty)
       Seq(countDistinct(col(cols.head)),
-        max(when(col(cols.head).isNull, 1L).otherwise(0L)))
+        coalesce(max(when(col(cols.head).isNull, 1L).otherwise(0L)), lit(0L)))
     // Multi column: countDistinct over a STRUCT of the key columns. Struct grouping
     // treats per-field NULLs as equal (all-null tuples collapse to one; (null, a) and
     // (null, b) stay DISTINCT) and normalizes -0.0/0.0 — the same semantics as
@@ -42,7 +44,7 @@ private[graft] object UniqueExprs {
     case NullMode.EachDistinct =>
       Seq(
         countDistinct(col(cols.head), cols.drop(1).map(col): _*),
-        sum(when(cols.map(c => col(c).isNull).reduce(_ || _), 1L).otherwise(0L)))
+        coalesce(sum(when(cols.map(c => col(c).isNull).reduce(_ || _), 1L).otherwise(0L)), lit(0L)))
   }
   def distinctOf(values: Seq[Any], mode: NullMode): Long = mode match {
     case NullMode.EachDistinct =>

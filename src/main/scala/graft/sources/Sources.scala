@@ -41,10 +41,15 @@ object Sources {
     spark.read.parquet(paths: _*)
 
   /** NDJSON or JSON-array, sniffed like the reference (sources/json.rs:17-237):
-    * multiLine handles whole-file JSON arrays.
+    * multiLine handles whole-file JSON arrays. Pass `schema` to skip inference — also
+    * the only way a ZERO-ROW JSON dataset keeps its columns (there is nothing to
+    * infer from, so an empty read without a schema yields a zero-column frame).
     */
-  def json(spark: SparkSession, paths: Seq[String], jsonArray: Boolean = false): DataFrame =
-    spark.read.option("multiLine", jsonArray.toString).json(paths: _*)
+  def json(spark: SparkSession, paths: Seq[String], jsonArray: Boolean = false,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val reader = spark.read.option("multiLine", jsonArray.toString)
+    schema.fold(reader)(reader.schema).json(paths: _*)
+  }
 
   /** reference: sources/database.rs (Postgres/MySQL/SQLite via DatabaseConfig). */
   final case class JdbcConfig(

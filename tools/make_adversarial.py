@@ -38,6 +38,14 @@ def append_rows(src_path, dst_path, rows):
 def main():
     src, dst = sys.argv[1], sys.argv[2]
     os.makedirs(dst, exist_ok=True)
+    if "--empty" in sys.argv:
+        # Zero-row variant of every table (schema preserved): the empty-input class —
+        # DuckDB aggregates yield a NULL row where unguarded engine code .get-crashes.
+        for f in sorted(os.listdir(src)):
+            t = pq.read_table(os.path.join(src, f))
+            pq.write_table(t.slice(0, 0), os.path.join(dst, f))
+            print(f"{f.removesuffix('.parquet')}: 0 rows")
+        return
     NAN, INF = float("nan"), float("inf")
 
     adv = {
