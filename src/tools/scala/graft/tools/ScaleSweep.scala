@@ -1,0 +1,131 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-shot 10× scale-sweep datapoint for the LLM-pipeline operators (dev harness; not
+  * part of the library surface).
+  *
+  * Builds a synthetic "sf1" from sf0.1 by replicating `documents` / `embeddings` 10×
+  * in a way that keeps the workload HONEST at 10× rather than degenerate:
+  *
+  *  - documents: doc_id offset by replica; every token salted with the replica index
+  *    (`regexp_replace(text, "(\\S+)", "$1⟨r⟩")`). Within a replica the duplicate /
+  *    near-duplicate structure is byte-identical to the original; across replicas the
+  *    shingle sets are disjoint (Jaccard 0), so near-dup pairs grow exactly 10×, not
+  *    quadratically (10 verbatim copies of every doc would mean 45 extra exact-dup
+  *    pairs PER DOC — a 45× harder workload masquerading as 10× data).
+  *  - embeddings: vec_id offset by replica; a per-replica deterministic sign-flip of
+  *    coordinates (flip i iff xxhash64(r, i) is odd). Sign flips are an orthogonal
+  *    transform, so intra-replica cosine structure and norms are preserved EXACTLY,
+  *    while cross-replica cosines decorrelate to ~0 (masks differ on ~half the
+  *    coordinates) — again linear, not quadratic, growth in near-pairs.
+  *
+  * Measures each headline query at sf0.1 (after a JIT warmup pass) and at the
+  * synthetic sf1, prints the ratio against the reference's 10×-data ⇒ <15×-time bound
+  * (BASELINE.md), and appends one JSON line per query to PROGRESS.jsonl.
+  *
+  * Usage: `runMain graft.tools.ScaleSweep [--keep]`
+  */
+object ScaleSweep {
+  private val Queries = Seq(
+    "dedup_exact_documents",
+    "dedup_minhash_documents",
+    "dedup_near_kept_documents",
+    "dedup_clusters_documents",
+    "dedup_simhash_documents",
+    "dedup_embedding_pairs",
+    "contamination_probe_documents",
+    "similarity_topk_embeddings",
+    "similarity_ivf_topk")
+
+  def main(args: Array[String]): Unit = {
+    val keep = args.contains("--keep")
+    val src = "/root/testdata/sf0.1"
+    val out = s"/tmp/graft-sf1-${ProcessHandle.current().pid()}"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      build10x(spark, src, out)
+      val d10 = spark.read.parquet(s"$out/documents.parquet").count()
+      val e10 = spark.read.parquet(s"$out/embeddings.parquet").count()
+      println(s"[sweep] synthetic sf1 at $out: documents=$d10 embeddings=$e10")
+
+      val results = Queries.map { name =>
+        val fn = SparkEntry.queries(name)
+        time(fn(spark, src)) // warmup: JIT + codegen caches, discarded
+        val small = time(fn(spark, src))
+        val big = time(fn(spark, out))
+        val ratio = big / small
+        val verdict = if (ratio < 15.0) "ok" else "EXCEEDS 15x BOUND"
+        println(f"[sweep] $name%-34s sf0.1 $small%7.2f s   sf1 $big%7.2f s   ratio ${ratio}%5.1fx  $verdict")
+        (name, small, big, ratio)
+      }
+      appendProgress(results)
+      val worst = results.maxBy(_._4)
+      println(f"[sweep] worst ratio: ${worst._1} at ${worst._4}%.1fx (bound 15x)")
+    } finally {
+      spark.stop()
+      if (!keep) {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(out)).deleteRecursively()
+      }
+    }
+  }
+
+  private def time(df: => DataFrame): Double = {
+    val t0 = System.nanoTime()
+    df.collect() // collect, not count: count() over lazy aggregates prunes the work
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def build10x(spark: SparkSession, src: String, out: String): Unit = {
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val embs = spark.read.parquet(s"$src/embeddings.parquet")
+    // Offsets keep ids unique across replicas while replica 0 keeps the originals
+    // (the similarity probe row vec_id=0 must survive).
+    val docStride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val embStride = embs.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val docReps = (0 until 10).map { r =>
+      docs.select(
+        Seq(
+          (col("doc_id") + lit(r.toLong * docStride)).as("doc_id"),
+          (if (r == 0) col("text")
+           else regexp_replace(col("text"), "(\\S+)", "$1" + r)).as("text")) ++
+        docs.columns.filterNot(c => c == "doc_id" || c == "text").map(col): _*)
+    }
+    // n_chars tracks the salted text so the replica table stays internally consistent.
+    docReps.map(_.withColumn("n_chars", length(col("text")).cast("long")))
+      .reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val embReps = (0 until 10).map { r =>
+      embs.select(
+        Seq(
+          (col("vec_id") + lit(r.toLong * embStride)).as("vec_id"),
+          (if (r == 0) col("embedding")
+           else expr(s"transform(embedding, (x, i) -> CASE WHEN pmod(xxhash64($r, i), 2) = 0 THEN x ELSE cast(-x AS FLOAT) END)")
+          ).as("embedding")) ++
+        embs.columns.filterNot(c => c == "vec_id" || c == "embedding").map(col): _*)
+    }
+    embReps.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  private def appendProgress(results: Seq[(String, Double, Double, Double)]): Unit = {
+    val ts = System.currentTimeMillis() / 1000.0
+    val lines = results.map { case (name, small, big, ratio) =>
+      f"""{"ts": $ts%.1f, "kind": "scale_sweep", "query": "$name", "sf01_s": $small%.3f, "sf1_s": $big%.3f, "ratio": $ratio%.2f, "bound": 15.0}"""
+    }
+    val path = java.nio.file.Paths.get("/root/repo/PROGRESS.jsonl")
+    java.nio.file.Files.write(path, (lines.mkString("", "\n", "\n")).getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND, java.nio.file.StandardOpenOption.CREATE)
+  }
+}
