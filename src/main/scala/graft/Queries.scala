@@ -55,12 +55,22 @@ object Queries {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The events table stores TIMESTAMP(NANOS) which Spark's parquet reader rejects by
-    // default; read nanos as long and rebuild a microsecond timestamp (UTC session).
+    // events.ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across
+    // testdata generations, so normalize by the type the reader actually produced, not
+    // by assumption: nanos (read as long via the legacy conf) rebuild a microsecond
+    // TIMESTAMP; micros arrive as TIMESTAMP_NTZ and cast to session-local TIMESTAMP
+    // (identical wall-clock under the UTC session). Both paths land on the same
+    // TIMESTAMP type the query catalog and its DuckDB oracles were calibrated against.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      df.schema("ts").dataType match {
+        case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
+    } else df
   }
 
   val defs: Seq[QueryDef] = Seq(

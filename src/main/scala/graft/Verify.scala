@@ -15,6 +15,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -24,11 +25,17 @@ object Verify {
         // as real engine output.
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          failed += name
           // A failure BEFORE the overwrite started leaves the PREVIOUS run's parquet
           // in place — the driver would compare stale data and mask the failure.
           graft.core.FsUtil.deleteRecursively(new java.io.File(s"$outDir/$name"))
       }
     }
+    // Machine-readable failure manifest: a deleted output dir is invisible to a
+    // directory-listing consumer (check_oracle.py once reported "0 fail" while 12
+    // queries were erroring), so the failures are recorded affirmatively too.
+    Files.writeString(Paths.get(s"$outDir/failed.json"),
+      failed.sorted.map(n => "\"" + n + "\"").mkString("[", ",", "]"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -40,6 +40,20 @@ def compare(sf_dir, out_dir):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_pass = n_fail = 0
+    # A query that threw in Verify has no output dir (Verify deletes it so the driver
+    # can't compare stale data) — surface those as failures instead of skipping them.
+    failed_manifest = []
+    fj = os.path.join(out_dir, "failed.json")
+    if os.path.exists(fj):
+        with open(fj) as f:
+            failed_manifest = json.load(f)
+    for name in failed_manifest:
+        print(f"  {name}: FAIL engine error (see [verify] stderr)")
+        n_fail += 1
+    for name in sorted(oracles):
+        if name not in failed_manifest and not os.path.isdir(os.path.join(out_dir, name)):
+            print(f"  {name}: FAIL missing output dir")
+            n_fail += 1
     declared = sorted(os.listdir(out_dir))
     for name in declared:
         path = os.path.join(out_dir, name)
