@@ -73,6 +73,20 @@ object Queries {
     } else df
   }
 
+  /** Shared scaffold for the probe-seeded similarity queries: look up the vec_id=0
+    * probe vector (an empty corpus has no probe row → empty top-k, not a crash) and
+    * run `body` with it, else the shared empty (vec_id, cosine) frame. One definition
+    * so the fallback schema and probe lookup cannot drift between the three queries.
+    */
+  private def withProbe(s: SparkSession, d: String)(body: Seq[Float] => DataFrame): DataFrame =
+    t(s, d, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").head(1).headOption.map(_.getSeq[Float](0).toSeq) match {
+      case Some(probe) => body(probe)
+      case None =>
+        import s.implicits._
+        Seq.empty[(Long, Double)].toDF("vec_id", "cosine")
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- size / completeness / uniqueness family ----
@@ -546,11 +560,15 @@ object Queries {
           rd(m("correlation.l_quantity|l_extendedprice"), 6)))
           .toDF("n_rows", "completeness_tax", "mean_qty", "stddev_price", "corr_qty_price")
       },
+      // coalesce(..., 'nan') maps SQL's NULL-on-undefined (0/0 over zero rows,
+      // moments of an empty/all-null column) onto the engine's documented
+      // NaN-on-undefined metric convention; on any defined input the coalesce is a
+      // no-op, and genuine NaN data stays NaN on both sides.
       Some("""SELECT count(*) AS n_rows,
-             | CAST(count(l_tax) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS completeness_tax,
-             | round(sum(l_quantity) / count(l_quantity), 6) AS mean_qty,
-             | round(sqrt((sum(l_extendedprice * l_extendedprice) - sum(l_extendedprice) * sum(l_extendedprice) / count(l_extendedprice)) / (count(l_extendedprice) - 1)), 3) AS stddev_price,
-             | round((sum(l_quantity * l_extendedprice) - sum(l_quantity) * sum(l_extendedprice) / count(*)) / sqrt((sum(l_quantity * l_quantity) - sum(l_quantity) * sum(l_quantity) / count(*)) * (sum(l_extendedprice * l_extendedprice) - sum(l_extendedprice) * sum(l_extendedprice) / count(*))), 6) AS corr_qty_price
+             | coalesce(CAST(count(l_tax) AS DOUBLE) / CAST(count(*) AS DOUBLE), 'nan'::DOUBLE) AS completeness_tax,
+             | coalesce(round(sum(l_quantity) / count(l_quantity), 6), 'nan'::DOUBLE) AS mean_qty,
+             | coalesce(round(sqrt((sum(l_extendedprice * l_extendedprice) - sum(l_extendedprice) * sum(l_extendedprice) / count(l_extendedprice)) / (count(l_extendedprice) - 1)), 3), 'nan'::DOUBLE) AS stddev_price,
+             | coalesce(round((sum(l_quantity * l_extendedprice) - sum(l_quantity) * sum(l_extendedprice) / count(*)) / sqrt((sum(l_quantity * l_quantity) - sum(l_quantity) * sum(l_quantity) / count(*)) * (sum(l_extendedprice * l_extendedprice) - sum(l_extendedprice) * sum(l_extendedprice) / count(*))), 6), 'nan'::DOUBLE) AS corr_qty_price
              | FROM lineitem""".stripMargin.replaceAll("\n", " "))),
 
     // Anomaly detection over a metric time series (reference: analyzers/anomaly):
@@ -1194,18 +1212,10 @@ object Queries {
 
     // Brute-force cosine top-10 for probe vec_id=0 (the ANN correctness baseline).
     QueryDef("similarity_topk_embeddings",
-      (s, d) => {
-        // headOption: an empty corpus has no probe row -> empty top-k, not a crash
-        val probeOpt = t(s, d, "embeddings").filter(col("vec_id") === 0)
-          .select("embedding").head(1).headOption.map(_.getSeq[Float](0).toSeq)
-        probeOpt match {
-          case Some(probe) => Similarity.bruteForceTopK(
-              t(s, d, "embeddings").filter(col("vec_id") =!= 0), "vec_id", "embedding", probe, 10)
-            .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
-          case None =>
-            import s.implicits._
-            Seq.empty[(Long, Double)].toDF("vec_id", "cosine")
-        }
+      (s, d) => withProbe(s, d) { probe =>
+        Similarity.bruteForceTopK(
+            t(s, d, "embeddings").filter(col("vec_id") =!= 0), "vec_id", "embedding", probe, 10)
+          .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
       },
       Some("""WITH p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0)
              | SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], pe) /
@@ -1219,20 +1229,11 @@ object Queries {
     // brute-force oracle — same SQL as similarity_topk_embeddings. Reduced nprobe is the
     // partition-pruned scale path; its recall is pinned in MetricsSpec.
     QueryDef("similarity_ivf_topk",
-      (s, d) => {
-        val corpus = t(s, d, "embeddings")
-        val probeOpt = corpus.filter(col("vec_id") === 0)
-          .select("embedding").head(1).headOption.map(_.getSeq[Float](0).toSeq)
-        probeOpt match {
-          case Some(probe) =>
-            val rest = corpus.filter(col("vec_id") =!= 0)
-            val centroids = Similarity.seedCentroids(rest, "vec_id", "embedding", 16)
-            Similarity.ivfTopK(rest, "vec_id", "embedding", centroids, probe, 10, nprobe = 16)
-              .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
-          case None =>
-            import s.implicits._
-            Seq.empty[(Long, Double)].toDF("vec_id", "cosine")
-        }
+      (s, d) => withProbe(s, d) { probe =>
+        val rest = t(s, d, "embeddings").filter(col("vec_id") =!= 0)
+        val centroids = Similarity.seedCentroids(rest, "vec_id", "embedding", 16)
+        Similarity.ivfTopK(rest, "vec_id", "embedding", centroids, probe, 10, nprobe = 16)
+          .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
       },
       Some("""WITH p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0)
              | SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], pe) /
@@ -1430,18 +1431,11 @@ object Queries {
     // oracle-gating the LSH bucket assignment + native cosine scoring + ordering path.
     // Reduced probing is the scale path; its recall is pinned in OperatorSpec.
     QueryDef("similarity_ann_exhaustive",
-      (s, d) => {
-        val probeOpt = t(s, d, "embeddings").filter(col("vec_id") === 0)
-          .select("embedding").head(1).headOption.map(_.getSeq[Float](0).toSeq)
-        probeOpt match {
-          case Some(probe) => Similarity.annTopK(
-              t(s, d, "embeddings").filter(col("vec_id") =!= 0), "vec_id", "embedding",
-              probe, 10, planes = 2, multiProbeBits = 2)
-            .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
-          case None =>
-            import s.implicits._
-            Seq.empty[(Long, Double)].toDF("vec_id", "cosine")
-        }
+      (s, d) => withProbe(s, d) { probe =>
+        Similarity.annTopK(
+            t(s, d, "embeddings").filter(col("vec_id") =!= 0), "vec_id", "embedding",
+            probe, 10, planes = 2, multiProbeBits = 2)
+          .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
       },
       Some("""WITH p AS (SELECT embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id = 0)
              | SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], pe) /
@@ -1462,10 +1456,13 @@ object Queries {
           rd(p.completeness, 6), rd(n.min, 2), rd(n.max, 2), rd(n.mean, 4)))
           .toDF("total", "nulls", "completeness", "min_v", "max_v", "mean_v")
       },
+      // coalesce(..., 'nan'): NULL-on-undefined (empty/all-null column) → the
+      // profiler's NaN-on-undefined convention; no-op on defined input.
       Some("""SELECT count(*) AS total, count(*) - count(c_acctbal) AS nulls,
-             | round(CAST(count(c_acctbal) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS completeness,
-             | round(min(c_acctbal), 2) AS min_v, round(max(c_acctbal), 2) AS max_v,
-             | round(avg(c_acctbal), 4) AS mean_v
+             | coalesce(round(CAST(count(c_acctbal) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6), 'nan'::DOUBLE) AS completeness,
+             | coalesce(round(min(c_acctbal), 2), 'nan'::DOUBLE) AS min_v,
+             | coalesce(round(max(c_acctbal), 2), 'nan'::DOUBLE) AS max_v,
+             | coalesce(round(avg(c_acctbal), 4), 'nan'::DOUBLE) AS mean_v
              | FROM customer""".stripMargin.replaceAll("\n", " "))),
 
     // Composite quality-score distribution. Count/min/max shape, not float averages:
@@ -1487,7 +1484,7 @@ object Queries {
              | q AS (SELECT round(
              | least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * (CASE WHEN CAST(length(text) AS DOUBLE) > 20000 THEN 0.5 ELSE 1.0 END) * 0.4
              | + (CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
-             | + (CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) BETWEEN 0.05 AND 0.35 THEN 1.0 ELSE 0.7 END) * 0.2
+             | + (CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) BETWEEN 0.05 AND 0.35 THEN 1.0 ELSE 0.7 END) * 0.2
              | + (CASE WHEN (CASE WHEN len(tk) > 0 THEN CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) ELSE 0.0 END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.6 END) * 0.2
              | , 6) AS qs FROM toks)
              | SELECT count(*) AS n_docs,
@@ -1518,7 +1515,7 @@ object Queries {
              | q AS (SELECT text, tk, round(
              | least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * (CASE WHEN CAST(length(text) AS DOUBLE) > 20000 THEN 0.5 ELSE 1.0 END) * 0.4
              | + (CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
-             | + (CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) BETWEEN 0.05 AND 0.35 THEN 1.0 ELSE 0.7 END) * 0.2
+             | + (CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) BETWEEN 0.05 AND 0.35 THEN 1.0 ELSE 0.7 END) * 0.2
              | + (CASE WHEN (CASE WHEN len(tk) > 0 THEN CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) ELSE 0.0 END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.6 END)  * 0.2
              | , 6) AS qs FROM toks)
              | SELECT count(*) AS n_docs,

@@ -32,10 +32,10 @@ object Dedup {
       count(lit(1)).as("total"),
       // Sum ALL returned aggregate columns: the exact single-column form is
       // (countDistinct + has-null flag) — taking only .head would silently drop
-      // null-keyed rows instead of collapsing them to one value. coalesce each term:
-      // over ZERO rows the flag aggregate (max) is NULL and would poison the sum.
+      // null-keyed rows instead of collapsing them to one value. Zero-row safety
+      // (the flag max is NULL over empty input) lives in distinctCount itself.
       graft.constraints.UniqueExprs.distinctCount(cols, graft.constraints.NullMode.IncludeAsOne)
-        .map(e => coalesce(e, lit(0L))).reduce(_ + _).as("distinct_count"))
+        .reduce(_ + _).as("distinct_count"))
       .select(col("total"), col("distinct_count"),
         (col("total") - col("distinct_count")).as("duplicate_rows"))
 

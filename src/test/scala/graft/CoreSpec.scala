@@ -46,4 +46,19 @@ class CoreSpec extends AnyFunSuite {
     val h = Histogram(Map("a" -> HistogramBucket(6, 0.6), "b" -> HistogramBucket(4, 0.4)), 10, 2, 0)
     assert(h.ratio("a") == 0.6 && h.count("b") == 4L && h.ratio("zzz") == 0.0)
   }
+
+  test("oracle SQL whitespace classes never drift from the canonical RE2-safe form") {
+    // The class [ \t\n\x0b\f\r] exists because RE2's \s lacks \x0b (Java's \s has it)
+    // — the exact dialect divergence the adversarial fixture injects. It is hand-typed
+    // across many oracle strings; this pin fails on any typo'd variant (e.g. a copy
+    // missing \r) and on any oracle regressing to the \s shorthand.
+    val canonical = """[ \t\n\x0b\f\r]"""
+    val bracketClass = """\[\^? ?\\t[^\]]*\]""".r
+    for ((name, sql) <- SparkEntry.oracleSql; m <- bracketClass.findAllIn(sql)) {
+      val ok = m == canonical || m.startsWith("[^ \\t\\n\\x0b\\f\\r")
+      assert(ok, s"$name: whitespace class '$m' drifts from canonical '$canonical'")
+    }
+    for ((name, sql) <- SparkEntry.oracleSql)
+      assert(!sql.contains("""\s"""), s"$name: oracle uses \\s — RE2's \\s lacks \\x0b")
+  }
 }

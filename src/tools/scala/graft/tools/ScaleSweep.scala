@@ -59,7 +59,11 @@ object ScaleSweep {
 
       val results = Queries.map { name =>
         val fn = SparkEntry.queries(name)
-        time(fn(spark, src)) // warmup: JIT + codegen caches, discarded
+        // Symmetric warmup on BOTH inputs: each measured run is the second read of its
+        // dataset, so parquet footer/metadata caching and codegen/JIT are paid equally
+        // — otherwise the sf1 side eats first-read costs and every ratio biases high.
+        time(fn(spark, src))
+        time(fn(spark, out))
         val small = time(fn(spark, src))
         val big = time(fn(spark, out))
         val ratio = big / small
@@ -121,8 +125,12 @@ object ScaleSweep {
 
   private def appendProgress(results: Seq[(String, Double, Double, Double)]): Unit = {
     val ts = System.currentTimeMillis() / 1000.0
+    // Locale.ROOT: the default-locale f interpolator renders 6.40 as "6,40" on
+    // comma-decimal locales, corrupting the JSON line.
+    def n(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
     val lines = results.map { case (name, small, big, ratio) =>
-      f"""{"ts": $ts%.1f, "kind": "scale_sweep", "query": "$name", "sf01_s": $small%.3f, "sf1_s": $big%.3f, "ratio": $ratio%.2f, "bound": 15.0}"""
+      s"""{"ts": ${n(ts, 1)}, "kind": "scale_sweep", "query": "$name", "sf01_s": ${n(small, 3)}, "sf1_s": ${n(big, 3)}, "ratio": ${n(ratio, 2)}, "bound": 15.0}"""
     }
     val path = java.nio.file.Paths.get("/root/repo/PROGRESS.jsonl")
     java.nio.file.Files.write(path, (lines.mkString("", "\n", "\n")).getBytes("UTF-8"),

@@ -59,12 +59,18 @@ def compare(sf_dir, out_dir):
         path = os.path.join(out_dir, name)
         if not os.path.isdir(path):
             continue
-        spark_df = pd.concat([pd.read_parquet(p) for p in glob.glob(f"{path}/*.parquet")])
+        # Nullable dtypes on BOTH sides: the numpy backend maps SQL NULL to NaN in
+        # float columns, which made NULL-vs-NaN divergences (exactly the class the
+        # Metrics.ratio / profiler fixes target) invisible to this gate.
+        spark_df = pd.concat([
+            pd.read_parquet(p, dtype_backend="numpy_nullable")
+            for p in glob.glob(f"{path}/*.parquet")])
         if name not in oracles:
             print(f"  {name}: NO-ORACLE rows={len(spark_df)}")
             continue
         try:
-            duck_df = con.execute(oracles[name]).fetchdf()
+            duck_df = con.execute(oracles[name]).arrow().to_pandas(
+                types_mapper=NULLABLE_DTYPES.get)
         except Exception as e:
             print(f"  {name}: ORACLE-SQL-ERROR {e}")
             n_fail += 1
@@ -80,7 +86,21 @@ def compare(sf_dir, out_dir):
     return n_fail
 
 
+import pyarrow as pa
+
+# Arrow → pandas nullable dtypes, mirroring read_parquet(dtype_backend="numpy_nullable")
+# so SQL NULL materializes as pd.NA (isna-only) while a value NaN stays a float value.
+NULLABLE_DTYPES = {
+    pa.float64(): pd.Float64Dtype(), pa.float32(): pd.Float32Dtype(),
+    pa.int64(): pd.Int64Dtype(), pa.int32(): pd.Int32Dtype(),
+    pa.int16(): pd.Int16Dtype(), pa.int8(): pd.Int8Dtype(),
+    pa.bool_(): pd.BooleanDtype(), pa.string(): pd.StringDtype(),
+    pa.large_string(): pd.StringDtype(),
+}
+
+
 def frames_equal(a, b):
+    import numpy as np
     a = a.reindex(sorted(a.columns), axis=1)
     b = b.reindex(sorted(b.columns), axis=1)
     if list(a.columns) != list(b.columns):
@@ -92,9 +112,16 @@ def frames_equal(a, b):
     for c in a.columns:
         av, bv = a[c], b[c]
         try:
-            if str(av.dtype).startswith("float") or str(bv.dtype).startswith("float"):
-                import numpy as np
-                if not np.allclose(av.astype(float), bv.astype(float), rtol=0, atol=0, equal_nan=True):
+            # NULL placement must agree before values are compared: with nullable
+            # dtypes isna() is True for SQL NULL only, never for a value NaN.
+            if not (av.isna().to_numpy() == bv.isna().to_numpy()).all():
+                return False, f"col {c} NULL mask differs: {av.tolist()[:5]} vs {bv.tolist()[:5]}"
+            if str(av.dtype).lower().startswith("float") or str(bv.dtype).lower().startswith("float"):
+                an = av.to_numpy(dtype="float64", na_value=np.nan)
+                bn = bv.to_numpy(dtype="float64", na_value=np.nan)
+                # Masks already matched, so NaN==NaN here only equates value NaNs
+                # (or the mask-verified shared NULLs).
+                if not np.allclose(an, bn, rtol=0, atol=0, equal_nan=True):
                     return False, f"col {c}: {av.tolist()[:5]} vs {bv.tolist()[:5]}"
             else:
                 if not (av.astype(str) == bv.astype(str)).all():

@@ -36,9 +36,12 @@ def append_rows(src_path, dst_path, rows):
 
 
 def main():
-    src, dst = sys.argv[1], sys.argv[2]
+    # Flags may appear in any position; positionals are src then dst.
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    src, dst = pos[0], pos[1]
     os.makedirs(dst, exist_ok=True)
-    if "--empty" in sys.argv:
+    if "--empty" in flags:
         # Zero-row variant of every table (schema preserved): the empty-input class —
         # DuckDB aggregates yield a NULL row where unguarded engine code .get-crashes.
         for f in sorted(os.listdir(src)):
@@ -91,7 +94,7 @@ def main():
              "value": None, "props": None},
             {"event_id": 9_300_001, "ts": None, "user_id": 1, "event_type": "click",
              "value": 1.0, "props": "{not json"},
-            {"event_id": 9_300_002, "ts": 1_700_000_000_000_000_000, "user_id": None,
+            {"event_id": 9_300_002, "ts": "TS_EPOCH_1700000000", "user_id": None,
              "event_type": None, "value": NAN, "props": "[]"},
         ],
         # Null text / empty text / whitespace-dialect text (VT 0x0B is \s in Java but
@@ -134,6 +137,16 @@ def main():
     emb = pq.read_table(os.path.join(src, "embeddings.parquet"))
     dim = len(emb.column("embedding")[0].as_py())
     adv["embeddings"][1]["embedding"] = [0.0] * dim
+
+    # The injected "valid" ts must honor the fixture's actual timestamp unit — the
+    # driver has shipped events.ts as both ns and us across regenerations, and a raw
+    # integer literal interpreted in the wrong unit lands the row ~54,000 years out
+    # (and overflows Python datetime materialization of the table).
+    ts_type = pq.read_schema(os.path.join(src, "events.parquet")).field("ts").type
+    unit_mult = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts_type.unit]
+    for row in adv["events"]:
+        if row.get("ts") == "TS_EPOCH_1700000000":
+            row["ts"] = 1_700_000_000 * unit_mult
 
     for f in sorted(os.listdir(src)):
         name = f.removesuffix(".parquet")
