@@ -99,7 +99,12 @@ def main():
         ],
         # Null text / empty text / whitespace-dialect text (VT 0x0B is \s in Java but
         # not RE2), trailing newline, null lang + null doc_id (dedup tiebreak), exact
-        # duplicate pair with one null id.
+        # duplicate pair with one null id. Unicode classes target the multilingual
+        # LLM-data reality: codepoint-vs-byte length() drift, supplementary-plane
+        # (non-BMP) chars through Java regex vs RE2, combining marks, CJK text with no
+        # whitespace at all (zero ws-tokens), NBSP (not \s in either dialect but a
+        # classic tokenizer trap), a whitespace-only doc, and a pathological single
+        # 5k-char token (shingle/minhash kernel stress).
         "documents": [
             {"doc_id": 9_400_001, "text": None, "lang": None, "source": "adv",
              "n_chars": None},
@@ -110,6 +115,18 @@ def main():
              "lang": "xx", "source": "adv", "n_chars": 36},
             {"doc_id": 9_400_005, "text": "duplicate adversarial body text here",
              "lang": "xx", "source": "adv", "n_chars": 36},
+            {"doc_id": 9_400_006, "text": "\U0001F600\U0001F600 emoji \U0001D518\U0001D52B\U0001D526 math-bold test",
+             "lang": "en", "source": "adv", "n_chars": 30},
+            {"doc_id": 9_400_007, "text": "中文文本没有空格也需要正确处理的情况",
+             "lang": "zh", "source": "adv", "n_chars": 18},
+            {"doc_id": 9_400_008, "text": "cafe\u0301 combining vs caf\u00e9 precomposed",
+             "lang": "fr", "source": "adv", "n_chars": 34},
+            {"doc_id": 9_400_009, "text": "nbsp\u00a0separated\u00a0words here",
+             "lang": "en", "source": "adv", "n_chars": 25},
+            {"doc_id": 9_400_010, "text": "   \t  \n ", "lang": None, "source": "adv",
+             "n_chars": 8},
+            {"doc_id": 9_400_011, "text": "y" * 5000, "lang": None, "source": "adv",
+             "n_chars": 5000},
         ],
         # Null embedding and an all-zero vector (ANN zero-vector exclusion); ids far
         # from the probe seed vec_id=0.
