@@ -71,7 +71,24 @@ object ScaleSweep {
         println(f"[sweep] $name%-34s sf0.1 $small%7.2f s   sf1 $big%7.2f s   ratio ${ratio}%5.1fx  $verdict")
         (name, small, big, ratio)
       }
-      appendProgress(results)
+      // Headline-workload scaling: the 20-constraint suite over 10× lineitem.
+      // Verbatim replication is sound here (unlike the dedup tables): the suite is
+      // pure per-row aggregation, so copies scale the work without changing shape.
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      (0 until 10).map(_ => li).reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      val li1 = spark.read.parquet(s"$src/lineitem.parquet")
+      val li10 = spark.read.parquet(s"$out/lineitem.parquet")
+      def suite(df: org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        require(graft.Bench.suite20(df).metrics.totalConstraints == 20)
+        (System.nanoTime() - t0) / 1e9
+      }
+      suite(li1); suite(li10) // symmetric warmup
+      val s1 = suite(li1); val s10 = suite(li10)
+      println(f"[sweep] suite20_lineitem                   1x $s1%7.2f s   10x $s10%7.2f s   ratio ${s10 / s1}%5.1fx")
+
+      appendProgress(results :+ ("suite20_lineitem_10x", s1, s10, s10 / s1))
       val worst = results.maxBy(_._4)
       println(f"[sweep] worst ratio: ${worst._1} at ${worst._4}%.1fx (bound 15x)")
     } finally {
