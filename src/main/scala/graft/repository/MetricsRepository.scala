@@ -51,12 +51,18 @@ trait MetricsRepository {
     * keeps the NEWEST N points (then re-sorts oldest-first): limiting oldest-first
     * would freeze the series at the first N runs ever recorded and newer points —
     * the ones anomaly detection exists to judge — would never be returned.
+    *
+    * Pagination applies AFTER the exact-key extraction, not inside query(): query's
+    * forAnalyzers filter also matches dotted sub-metrics (`metricKey.anything`), so
+    * limiting records first could page in N records none of which carry the exact
+    * key — an empty "history" while real points exist.
     */
   def history(metricKey: String, q: MetricsQuery = MetricsQuery(newestFirst = false)): Seq[(Long, Double)] = {
-    val records =
-      if (q.limit.isDefined) query(q.copy(forAnalyzers = Seq(metricKey), newestFirst = true)).reverse
-      else query(q.copy(forAnalyzers = Seq(metricKey), newestFirst = false))
-    records.flatMap(r => r.metrics.get(metricKey).map(r.key.timestamp -> _))
+    val records = query(q.copy(forAnalyzers = Seq(metricKey), newestFirst = false,
+      limit = None, offset = 0))
+    val points = records.flatMap(r => r.metrics.get(metricKey).map(r.key.timestamp -> _))
+    val newestFirst = points.reverse.drop(q.offset)
+    q.limit.map(newestFirst.take).getOrElse(newestFirst).reverse
   }
 
   /** The metric log as a DataFrame (timestamp, tags, metric, value) — arbitrary Spark

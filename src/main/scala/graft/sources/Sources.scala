@@ -71,10 +71,13 @@ object Sources {
     // table arrives through one connection. A PARTIAL partition spec must fail loud —
     // silently falling back to the single-connection read is exactly the degradation
     // the user configured against.
-    val parts = Seq(cfg.partitionColumn, cfg.numPartitions, cfg.lowerBound, cfg.upperBound)
-    require(parts.forall(_.isDefined) || parts.forall(_.isEmpty),
+    val partNames = Seq("partitionColumn" -> cfg.partitionColumn, "numPartitions" -> cfg.numPartitions,
+      "lowerBound" -> cfg.lowerBound, "upperBound" -> cfg.upperBound)
+    // Name only the missing fields — interpolating cfg would put the PASSWORD into the
+    // exception text (stack traces, driver logs, CI output).
+    require(partNames.forall(_._2.isDefined) || partNames.forall(_._2.isEmpty),
       "JDBC partitioned read needs ALL of partitionColumn/numPartitions/lowerBound/upperBound " +
-        s"(got partial: $cfg)")
+        s"(missing: ${partNames.collect { case (n, None) => n }.mkString(", ")})")
     (cfg.partitionColumn, cfg.numPartitions, cfg.lowerBound, cfg.upperBound) match {
       case (Some(c), Some(n), Some(lo), Some(hi)) =>
         r = r.option("partitionColumn", c).option("numPartitions", n.toString)
@@ -134,6 +137,10 @@ object Sources {
     * partition columns prune whole directories at planning time (PartitionFilters in
     * the scan) — the physical layout for time/tenant-sliced 100 TB corpora.
     */
-  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    // partitionBy() with zero columns silently writes a flat layout — the opposite of
+    // this function's stated purpose (directory pruning); fail like writeBucketed does.
+    require(partitionCols.nonEmpty, "writePartitioned needs at least one partition column")
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.analyzers.{Analyzer, IncrementalAnalysisRunner, MomentsState}
+import graft.analyzers.{IncrementalAnalysisRunner, MomentsState}
 import graft.core.MetricValue
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions._
@@ -145,9 +145,15 @@ object StreamingAnalysis {
     // and the trailing drop would silently delete the caller's field from the output.
     require(!stream.columns.contains("_fp"),
       "streamingDedupFingerprint reserves the column name _fp; rename the input column")
-    val fp = stream.withColumn("_fp",
+    // NULL text rows PASS THROUGH instead of deduping: fingerprint(NULL) is NULL, and
+    // dropDuplicates treats NULL keys as equal — every null-text row after the first
+    // would silently vanish even though its other fields differ. Rows with no content
+    // have no fingerprint identity; content dedup must not collapse them.
+    val withText = stream.filter(col(textCol).isNotNull)
+    val nullText = stream.filter(col(textCol).isNull)
+    val fp = withText.withColumn("_fp",
       graft.functions.TextFunctions.fingerprint(col(textCol)))
-    streamingDedupExact(fp, Seq("_fp"), watermark).drop("_fp")
+    streamingDedupExact(fp, Seq("_fp"), watermark).drop("_fp").unionByName(nullText)
   }
 
   /** Streaming anomaly detection: per micro-batch, compute a scalar metric, append it
@@ -162,24 +168,45 @@ object StreamingAnalysis {
       metricKey: String,
       repo: graft.repository.MetricsRepository,
       strategy: graft.analyzers.AnomalyDetectionStrategy,
-      onAnomaly: (Long, Seq[graft.analyzers.Anomaly]) => Unit): DataStreamWriter[Row] =
+      onAnomaly: (Long, Seq[graft.analyzers.Anomaly]) => Unit,
+      historyLimit: Option[Int] = Some(1024)): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       // foreachBatch is at-least-once: a batch replayed after a mid-commit failure must
       // not append its metric twice (duplicate history points corrupt every later
       // change/z-score comparison). The batch id IS the record timestamp, so replays
-      // are detected by key. History is read ONCE per batch (for a parquet-backed
-      // repository each read is a full log scan + collect — reading it twice doubled
-      // per-batch I/O) and the new point is appended locally for detection; a replayed
-      // batch neither re-saves nor re-alerts.
-      val prior = repo.history(metricKey)
-      if (!prior.exists(_._1 == batchId)) {
-        val point = batchId -> metricOf(batch)
-        repo.save(graft.repository.ResultKey(batchId), Map(metricKey -> point._2))
+      // are detected by key. History is read ONCE per batch and BOUNDED (for a
+      // parquet-backed repository each read is a log scan + driver collect — unbounded,
+      // per-batch cost would grow linearly with stream lifetime; the newest-N window is
+      // what every strategy actually consumes).
+      val prior = repo.history(metricKey,
+        graft.repository.MetricsQuery(limit = historyLimit))
+      val point = batchId -> metricOf(batch)
+      def alertFor(series: Seq[(Long, Double)]): Unit = {
         // Only THIS batch's point may alert — detect() returns every historical anomaly
         // each time, and re-firing them every micro-batch is an alert storm.
-        val anomalies = strategy.detect((prior :+ point).sortBy(_._1))
-          .filter(_.timestamp == batchId)
+        val anomalies = strategy.detect(series.sortBy(_._1)).filter(_.timestamp == batchId)
         if (anomalies.nonEmpty) onAnomaly(batchId, anomalies)
+      }
+      prior.find(_._1 == batchId) match {
+        case Some((_, prev)) if prev == point._2 || (prev.isNaN && point._2.isNaN) =>
+          // Genuine replay (same batch, same deterministic metric): the point is
+          // already in history. RE-RUN detection and alerting — the prior attempt may
+          // have died between save and onAnomaly, and a duplicate alert is recoverable
+          // where a silently swallowed one is not (at-least-once alerting).
+          alertFor(prior)
+        case Some((_, prev)) =>
+          // Same batch id, DIFFERENT metric: this is not a replay — it is a query
+          // restarted with a fresh checkpoint (batch ids reset to 0) writing into the
+          // same repository/metricKey. Silently skipping would discard every colliding
+          // batch's metrics while the pipeline looks healthy; fail loud instead.
+          throw new IllegalStateException(
+            s"anomalySink: batch $batchId already has metric '$metricKey' = $prev in the " +
+              s"repository but this run computed ${point._2}. A restarted query with a " +
+              "fresh checkpoint is colliding with existing history — use a new metricKey, " +
+              "a new repository path, or restore the original checkpoint.")
+        case None =>
+          repo.save(graft.repository.ResultKey(batchId), Map(metricKey -> point._2))
+          alertFor(prior :+ point)
       }
     }
 

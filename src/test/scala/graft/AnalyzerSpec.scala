@@ -297,6 +297,14 @@ class AnalyzerSpec extends SparkSpec {
     (1L to 10L).foreach(ts => repo.save(ResultKey(ts), Map("m" -> ts.toDouble)))
     assert(repo.history("m", MetricsQuery(limit = Some(3))) ==
       Seq(8L -> 8.0, 9L -> 9.0, 10L -> 10.0))
+    // the limit pages exact-key POINTS: newer runs carrying only dotted sub-metrics
+    // (matched by query's forAnalyzers prefix rule) must not eat the page and return
+    // an empty/short history while exact-key points exist
+    val mixed = new InMemoryMetricsRepository
+    (1L to 5L).foreach(ts => mixed.save(ResultKey(ts), Map("size" -> ts.toDouble)))
+    (6L to 10L).foreach(ts => mixed.save(ResultKey(ts), Map("size.daily" -> ts.toDouble)))
+    assert(mixed.history("size", MetricsQuery(limit = Some(3))) ==
+      Seq(3L -> 3.0, 4L -> 4.0, 5L -> 5.0))
     // same-key saves merge into ONE record on both backends
     val dir = java.nio.file.Files.createTempDirectory("graft-metrics").toString + "/dup"
     val pq = new ParquetMetricsRepository(dir, spark)

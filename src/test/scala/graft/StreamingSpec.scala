@@ -140,6 +140,25 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.map(_.schema.fieldNames.toSeq).exists(_.contains("_fp"))) // helper col dropped
   }
 
+  test("streaming fingerprint dedup passes null-text rows through, never dedups them") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val deduped = StreamingAnalysis.streamingDedupFingerprint(
+      input.toDF().toDF("id", "text"), "text")
+    val q = deduped.writeStream.format("memory").queryName("sfdn").outputMode("append").start()
+    try {
+      // fingerprint(NULL) is NULL and dropDuplicates treats NULL keys as equal —
+      // without the passthrough, rows 2 and 3 would silently vanish
+      input.addData((1L, "real content"), (2L, null), (3L, null))
+      q.processAllAvailable()
+      input.addData((4L, null))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.sql("SELECT id FROM sfdn").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 4L), "every null-text row must survive")
+  }
+
   test("streaming dedup with watermark bounds state and dedups within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -182,6 +201,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     assert(repo.history("size.stream").map(_._2) == Seq(3.0, 2.0, 20.0))
     assert(hits.nonEmpty && hits.last._2.nonEmpty, "the 2→20 jump must be flagged")
+  }
+
+  test("anomaly sink replay re-alerts without re-saving; checkpoint-reset collision fails loud") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // REPLAY: batch 0's point (count=20) is already in history from a prior attempt
+    // that died between save and alert — the sink must re-run detection (at-least-once
+    // alerting) and must NOT append a duplicate history point.
+    val repo = new graft.repository.InMemoryMetricsRepository
+    repo.save(graft.repository.ResultKey(-5L), Map("m" -> 2.0))
+    repo.save(graft.repository.ResultKey(0L), Map("m" -> 20.0))
+    val hits = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val input = MemoryStream[Long]
+    val q = StreamingAnalysis.anomalySink(
+      input.toDF().toDF("v"), b => b.count().toDouble, "m", repo,
+      graft.analyzers.AbsoluteChangeStrategy(maxIncrease = Some(5.0)),
+      (bid, _) => hits.synchronized { hits += bid }).start()
+    try {
+      input.addData(1L to 20L: _*) // batch 0 recomputes 20.0 == saved → replay branch
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(hits.toSeq == Seq(0L), "replayed batch must re-fire its anomaly")
+    assert(repo.history("m") == Seq(-5L -> 2.0, 0L -> 20.0), "no duplicate history point")
+
+    // COLLISION: same batch id, different metric value (fresh checkpoint writing into
+    // existing history) must kill the query loudly, not silently drop batches.
+    val repo2 = new graft.repository.InMemoryMetricsRepository
+    repo2.save(graft.repository.ResultKey(0L), Map("m" -> 999.0))
+    val input2 = MemoryStream[Long]
+    val q2 = StreamingAnalysis.anomalySink(
+      input2.toDF().toDF("v"), b => b.count().toDouble, "m", repo2,
+      graft.analyzers.AbsoluteChangeStrategy(maxIncrease = Some(5.0)),
+      (_, _) => ()).start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        input2.addData(1L, 2L, 3L) // batch 0 computes 3.0 != 999.0
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    assert(ex.getMessage.contains("anomalySink") ||
+      Option(ex.getCause).exists(_.getMessage.contains("fresh checkpoint")))
   }
 
   test("keyed running moments survive non-numeric values (cast-null filter)") {
