@@ -32,11 +32,19 @@ final case class StatisticConstraint(column: String, stat: Stat, assertion: Asse
     extends Constraint {
   val name = s"${stat.describe}($column) ${assertion.describe}"
   val aggregates: Seq[Column] = Seq(stat.column(column))
-  def fromAggregates(values: Seq[Any]): ConstraintResult =
-    Num.toDouble(values.head) match {
-      case None    => skipped("statistic undefined on empty/all-null input")
-      case Some(v) => assertOn(v, assertion)
+  // NULL means genuinely undefined (empty/all-null input) → Skip. A NON-NULL value
+  // that isn't numeric (min/max of a date/timestamp/string column) is a configuration
+  // error and must FAIL loud — skipping would vacuously pass the check with a message
+  // claiming the data was empty when it wasn't.
+  def fromAggregates(values: Seq[Any]): ConstraintResult = values.head match {
+    case null => skipped("statistic undefined on empty/all-null input")
+    case v => Num.toDouble(v) match {
+      case Some(d) => assertOn(d, assertion)
+      case None => failure(None,
+        s"${stat.describe}($column) is not numeric (got ${v.getClass.getSimpleName}); " +
+          "statistic assertions need a numeric column")
     }
+  }
 }
 
 /** Several statistics of one column verified from ONE shared scan
@@ -59,8 +67,17 @@ final case class MultiStatisticConstraint(column: String, stats: Seq[(Stat, Asse
     // it); with no failures, any undefined statistic downgrades to Skipped (an
     // undefined value must never read as a passing assertion).
     val failed = outcomes.filter(_._3.contains(false))
+    // Same non-numeric rule as StatisticConstraint: a non-null value Num.toDouble
+    // can't read is a config error (wrong column type), not an empty-input skip.
+    val nonNumeric = stats.map(_._1).zip(values).collect {
+      case (st, v) if v != null && Num.toDouble(v).isEmpty => st.describe
+    }
     if (failed.nonEmpty)
       failure(Some(metric), failed.map(f => s"${f._1}=${f._2.orNull}").mkString("failed: ", ", ", ""))
+    else if (nonNumeric.nonEmpty)
+      failure(Some(metric),
+        s"non-numeric statistic value(s) for $column: ${nonNumeric.mkString(", ")} — " +
+          "statistic assertions need a numeric column")
     else if (outcomes.exists(_._2.isEmpty))
       skipped("statistic undefined (no non-null values)")
     else success(metric)

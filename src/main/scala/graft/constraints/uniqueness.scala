@@ -62,6 +62,7 @@ final case class UniquenessConstraint(
     columns: Seq[String],
     assertion: Assertion = Assertion.GreaterThanOrEqual(1.0),
     nullMode: NullMode = NullMode.Exclude) extends Constraint {
+  require(columns.nonEmpty, "UniquenessConstraint needs at least one column")
   val name = s"Uniqueness(${columns.mkString(",")}) ${assertion.describe}"
   val aggregates: Seq[Column] =
     count(lit(1)) +: UniqueExprs.distinctCount(columns, nullMode)
@@ -94,6 +95,7 @@ final case class DistinctnessConstraint(columns: Seq[String], assertion: Asserti
   * (reference: constraints/uniqueness.rs:687-718).
   */
 final case class PrimaryKeyConstraint(columns: Seq[String]) extends Constraint {
+  require(columns.nonEmpty, "PrimaryKeyConstraint needs at least one column")
   val name = s"PrimaryKey(${columns.mkString(",")})"
   val aggregates: Seq[Column] = Seq(
     count(lit(1)),
@@ -119,6 +121,7 @@ final case class PrimaryKeyConstraint(columns: Seq[String]) extends Constraint {
   */
 final case class UniqueValueRatioConstraint(columns: Seq[String], assertion: Assertion)
     extends MultiJobConstraint {
+  require(columns.nonEmpty, "UniqueValueRatioConstraint needs at least one column")
   val name = s"UniqueValueRatio(${columns.mkString(",")}) ${assertion.describe}"
   override def evaluate(df: DataFrame): ConstraintResult = {
     val counts = df.na.drop(columns).groupBy(columns.map(col): _*).count()

@@ -53,9 +53,13 @@ object Formatters {
       case MetricValue.BooleanMetric(v) => v.toString
       case MetricValue.VectorMetric(v) => v.map(num).mkString("[", ",", "]")
       case MetricValue.HistogramMetric(h) =>
-        h.buckets.toSeq.sortBy(-_._2.count).map { case (k, b) =>
+        // total/distinct/null counts travel alongside the buckets: bucket counts need
+        // not sum to total (nulls, truncation), so a JSON consumer cannot derive them.
+        val buckets = h.buckets.toSeq.sortBy(-_._2.count).map { case (k, b) =>
           s"${q(k)}:{" + s""""count":${b.count},"ratio":${num(b.ratio)}}""" }
           .mkString("{", ",", "}")
+        s"""{"total":${h.total},"distinct":${h.distinctCount},"nulls":${h.nullCount},""" +
+          s""""buckets":$buckets}"""
       case MetricValue.MapMetric(m2) =>
         m2.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}:${metricJson(v)}" }
           .mkString("{", ",", "}")
@@ -69,9 +73,13 @@ object Formatters {
       s"""{"check":${q(cr.check.description)},"level":${q(cr.check.level.toString)},""" +
         s""""passed":${cr.passed},"results":$rs}"""
     }.mkString("[", ",", "]")
+    val issues = report.issues.map { i =>
+      s"""{"check":${q(i.check)},"level":${q(i.level.toString)},""" +
+        s""""constraint":${q(i.constraint)},"message":${q(i.message)}}"""
+    }.mkString("[", ",", "]")
     s"""{"suite":${q(report.suiteName)},"success":${report.isSuccess},""" +
       s""""metrics":{"total":${report.metrics.totalConstraints},"passed":${report.metrics.passed},""" +
       s""""failed":${report.metrics.failed},"skipped":${report.metrics.skipped},""" +
-      s""""duration_ms":${report.metrics.durationMillis}},"checks":$checks}"""
+      s""""duration_ms":${report.metrics.durationMillis}},"checks":$checks,"issues":$issues}"""
   }
 }

@@ -43,11 +43,26 @@ final class MultiSourceValidator(spark: SparkSession) {
     require(i > 0 && i < s.length - 1, s"expected 'table.column', got '$s'")
     (s.take(i), s.drop(i + 1))
   }
+  /** Resolve a column name against a source the way Spark itself would: exact match
+    * first, then unique case-insensitive match (spark.sql.caseSensitive defaults to
+    * false — rejecting 'CustKey' for a 'custkey' column here while every delegated
+    * `col(...)` would happily resolve it would be inconsistent with the plain
+    * ValidationSuite path).
+    */
+  private def resolveColumn(table: String, c: String): String = {
+    val cols = source(table).columns
+    if (cols.contains(c)) c
+    else cols.filter(_.equalsIgnoreCase(c)) match {
+      case Array(one) => one
+      case Array() => throw new IllegalArgumentException(
+        s"source '$table' has no column '$c' (columns: ${cols.mkString(", ")})")
+      case many => throw new IllegalArgumentException(
+        s"column '$c' of source '$table' is ambiguous case-insensitively: ${many.mkString(", ")}")
+    }
+  }
   private def resolve(s: String): (DataFrame, String) = {
     val (t, c) = parseRef(s)
-    val df = source(t)
-    require(df.columns.contains(c), s"source '$t' has no column '$c' (columns: ${df.columns.mkString(", ")})")
-    (df, c)
+    (source(t), resolveColumn(t, c))
   }
 
   /** Project `df` to exactly `cols` (first-occurrence dedup), aliasing any name that
@@ -60,9 +75,13 @@ final class MultiSourceValidator(spark: SparkSession) {
     * Trade-off: with exotic names the constraint's failure message shows the `_msv<i>`
     * alias rather than the original name.
     */
-  private def sanitize(df: DataFrame, cols: Seq[String]): (DataFrame, Map[String, String]) = {
+  private def sanitize(df: DataFrame, cols: Seq[String],
+      reserved: Set[String] = Set.empty): (DataFrame, Map[String, String]) = {
     val distinct = cols.distinct
-    def unsafe(c: String) = c.contains(".") || c.contains("`")
+    // `reserved` lets a caller force aliasing for names its delegate uses internally
+    // (e.g. CrossTableSumConstraint's l_sum/r_sum output aliases — a group key with
+    // that literal name would make the aggregate ambiguous).
+    def unsafe(c: String) = c.contains(".") || c.contains("`") || reserved(c)
     if (!distinct.exists(unsafe)) (df, distinct.map(c => c -> c).toMap)
     else {
       // ALL columns get positional names once any is unsafe, so an alias can never
@@ -112,16 +131,14 @@ final class MultiSourceValidator(spark: SparkSession) {
       val (ltab, lcol) = parseRef(l); val (rtab, rcol) = parseRef(r)
       require(ltab == lt && rtab == rt,
         s"group key ($l, $r) must reference the same tables as ($leftRef, $rightRef)")
-      require(source(lt).columns.contains(lcol),
-        s"source '$lt' has no column '$lcol'")
-      require(source(rt).columns.contains(rcol),
-        s"source '$rt' has no column '$rcol'")
-      (lcol, rcol)
+      (resolveColumn(lt, lcol), resolveColumn(rt, rcol))
     }
     // Sanitize sum + group-key columns together: the constraint resolves group keys
     // through groupBy(col(_)), where a dotted flat name would parse as nested access.
-    val (left, lm) = sanitize(left0, leftCol0 +: keyCols0.map(_._1))
-    val (right, rm) = sanitize(right0, rightCol0 +: keyCols0.map(_._2))
+    // l_sum/r_sum are the delegate's internal aggregate aliases — force-alias them.
+    val reserved = Set("l_sum", "r_sum")
+    val (left, lm) = sanitize(left0, leftCol0 +: keyCols0.map(_._1), reserved)
+    val (right, rm) = sanitize(right0, rightCol0 +: keyCols0.map(_._2), reserved)
     val keyCols = keyCols0.map { case (l, r) => (lm(l), rm(r)) }
     CrossTableSumConstraint(right,
       org.apache.spark.sql.functions.col(SqlIdent(lm(leftCol0))),

@@ -54,8 +54,11 @@ final case class ValidationSuite(name: String, checks: Seq[Check]) {
     val t0 = System.nanoTime()
     val constraints = checks.flatMap(_.constraints)
     val results = ValidationSuite.evaluateBatched(df, constraints)
-    val byConstraint = constraints.zip(results).toMap
-    val checkResults = checks.map(c => CheckResult(c, c.constraints.map(byConstraint)))
+    // Positional slicing, not an equality-keyed map: results come back positionally,
+    // and keying by constraint would silently misassign if a future constraint type
+    // had non-structural equality or per-occurrence results.
+    val it = results.iterator
+    val checkResults = checks.map(c => CheckResult(c, c.constraints.map(_ => it.next())))
     val all = checkResults.flatMap(_.constraintResults)
     val issues = checkResults.flatMap { cr =>
       cr.constraintResults.filter(_.isFailure).map(r =>
@@ -99,29 +102,47 @@ object ValidationSuite {
     // missed dedup only costs a redundant aggregate in the same scan.
     def runShared(cs: Seq[Constraint]): Map[Constraint, ConstraintResult] = {
       val tShared0 = System.nanoTime()
-      val slots = scala.collection.mutable.LinkedHashMap.empty[
-        org.apache.spark.sql.catalyst.expressions.Expression, (Int, org.apache.spark.sql.Column)]
-      val slotIdx: Seq[Seq[Int]] = cs.map { c =>
-        c.aggregates.map { col =>
-          val key = org.apache.spark.sql.GraftSqlBridge.expressionEager(col).canonicalized
-          slots.getOrElseUpdate(key, (slots.size, col))._1
+      // Chunk very wide suites to keep codegen happy — but chunk by CONSTRAINT, never
+      // by slot: one constraint's aggregates must all evaluate in the SAME df.agg job
+      // (same data snapshot), or rows arriving between two sequential scans could hand
+      // it e.g. a count(*) and a count(col) from different table states (nonNull >
+      // total → completeness > 1.0). Aggregates dedup within a chunk; a cross-chunk
+      // duplicate (e.g. count(*) in two chunks of a >MaxAggsPerJob suite) just costs a
+      // redundant aggregate in an already-running scan.
+      final case class Chunk(
+        slots: scala.collection.mutable.LinkedHashMap[
+          org.apache.spark.sql.catalyst.expressions.Expression, (Int, org.apache.spark.sql.Column)],
+        members: scala.collection.mutable.ArrayBuffer[(Constraint, Seq[Int])])
+      def newChunk() = Chunk(scala.collection.mutable.LinkedHashMap.empty,
+        scala.collection.mutable.ArrayBuffer.empty)
+      val chunks = scala.collection.mutable.ArrayBuffer(newChunk())
+      cs.foreach { c =>
+        val keys = c.aggregates.map(col =>
+          org.apache.spark.sql.GraftSqlBridge.expressionEager(col).canonicalized -> col)
+        val cur = chunks.last
+        val newSlots = keys.count { case (k, _) => !cur.slots.contains(k) }
+        // A single constraint wider than MaxAggsPerJob still runs in one (oversized)
+        // scan — atomicity outranks the codegen-size heuristic.
+        val target =
+          if (cur.slots.size + newSlots <= MaxAggsPerJob || cur.members.isEmpty) cur
+          else { val n = newChunk(); chunks += n; n }
+        val idxs = keys.map { case (k, col) =>
+          target.slots.getOrElseUpdate(k, (target.slots.size, col))._1
         }
+        target.members += ((c, idxs))
       }
-      val distinctCols = slots.values.toSeq.sortBy(_._1).map(_._2)
-      // Chunk very wide suites to keep codegen happy; each chunk is still one scan.
-      val values = new Array[Any](distinctCols.size)
-      distinctCols.zipWithIndex.grouped(MaxAggsPerJob).foreach { chunk =>
-        val cols = chunk.map { case (c, i) => c.as(s"g$i") }
+      val resultPairs = chunks.toSeq.filter(_.members.nonEmpty).flatMap { chunk =>
+        val cols = chunk.slots.values.toSeq.sortBy(_._1)
+          .map { case (i, c) => c.as(s"g$i") }
         val row = df.agg(cols.head, cols.drop(1): _*).head()
-        chunk.zipWithIndex.foreach { case ((_, slot), local) => values(slot) = row.get(local) }
+        chunk.members.toSeq.map { case (c, idxs) =>
+          c -> safeResult(c, () => c.fromAggregates(idxs.map(row.get)))
+        }
       }
       // Every rider of the shared scan is stamped with the scan's total duration —
       // the individually-attributable share of a single fused job is not observable.
       val sharedMillis = (System.nanoTime() - tShared0) / 1000000
-      cs.zip(slotIdx).map { case (c, idxs) =>
-        c -> safeResult(c, () => c.fromAggregates(idxs.map(values)))
-          .copy(durationMillis = sharedMillis)
-      }.toMap
+      resultPairs.map { case (c, r) => c -> r.copy(durationMillis = sharedMillis) }.toMap
     }
 
     val batchResults: Map[Constraint, ConstraintResult] =
@@ -151,16 +172,20 @@ object ValidationSuite {
     // serializing driver round-trips — on a large cluster each join/groupBy job rarely
     // saturates every executor slot, so overlap is nearly free latency. Bounded pool:
     // enough overlap to hide latency without flooding the scheduler.
+    // Duplicate occurrences (equal constraints in several checks) evaluate ONCE — the
+    // result map is equality-keyed anyway, so a second identical groupBy/join job
+    // would only burn a full scan to compute a value that gets discarded.
+    val distinctCustom = custom.distinct
     val customResults: Map[Constraint, ConstraintResult] =
-      if (custom.size <= 1)
-        custom.map(c => c -> timedResult(c, () => c.evaluate(df))).toMap
+      if (distinctCustom.size <= 1)
+        distinctCustom.map(c => c -> timedResult(c, () => c.evaluate(df))).toMap
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(custom.size, MaxConcurrentJobs))
+          math.min(distinctCustom.size, MaxConcurrentJobs))
         try {
           import scala.concurrent.{Await, ExecutionContext, Future}
           implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-          val futures = custom.map(c => Future(c -> timedResult(c, () => c.evaluate(df))))
+          val futures = distinctCustom.map(c => Future(c -> timedResult(c, () => c.evaluate(df))))
           Await.result(Future.sequence(futures), scala.concurrent.duration.Duration.Inf).toMap
         } finally pool.shutdown()
       }

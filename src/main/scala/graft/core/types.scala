@@ -139,7 +139,11 @@ object Num {
   */
 private[graft] object FsUtil {
   def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    // Never recurse THROUGH a symlink: listFiles() resolves links, so recursing would
+    // delete the link target's contents (potentially outside the intended tree).
+    // Deleting the link itself is safe and sufficient.
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
   }
 }

@@ -99,6 +99,24 @@ class ConstraintSpec extends SparkSpec {
     assert(StatisticConstraint("x", Stat.Mean, Assertion.Equals(0)).evaluate(d).status == Skipped)
   }
 
+  test("statistics on a non-numeric column FAIL loud, never skip-as-pass") {
+    import spark.implicits._
+    // min(date) returns a non-null java.sql.Date: skipping would vacuously pass the
+    // check with a message claiming the data was empty
+    val d = Seq("2024-01-01", "2024-06-01").toDF("s")
+      .select(org.apache.spark.sql.functions.col("s").cast("date").as("dt"))
+    val r = StatisticConstraint("dt", Stat.Min, Assertion.GreaterThan(0)).evaluate(d)
+    assert(r.status == Failure && r.message.contains("not numeric"), r.message)
+    val multi = MultiStatisticConstraint("dt", Seq(Stat.Min -> Assertion.GreaterThan(0))).evaluate(d)
+    assert(multi.status == Failure && multi.message.contains("non-numeric"), multi.message)
+  }
+
+  test("uniqueness-family constraints reject an empty column list at construction") {
+    intercept[IllegalArgumentException](PrimaryKeyConstraint(Nil))
+    intercept[IllegalArgumentException](UniquenessConstraint(Nil))
+    intercept[IllegalArgumentException](UniqueValueRatioConstraint(Nil, Assertion.Equals(1.0)))
+  }
+
   test("containment and compliance") {
     assert(run(ComplianceConstraint.containedIn("g", Seq("x", "y"))).status == Success)
     assert(run(ComplianceConstraint.containedIn("g", Seq("x"))).status == Failure)

@@ -47,6 +47,20 @@ class CoreSpec extends AnyFunSuite {
     assert(h.ratio("a") == 0.6 && h.count("b") == 4L && h.ratio("zzz") == 0.0)
   }
 
+  test("deleteRecursively removes a symlink without following it into the target") {
+    import java.nio.file.Files
+    val target = Files.createTempDirectory("graft-link-target")
+    val precious = target.resolve("precious.txt")
+    Files.writeString(precious, "keep me")
+    val tree = Files.createTempDirectory("graft-tree")
+    Files.writeString(tree.resolve("own.txt"), "x")
+    Files.createSymbolicLink(tree.resolve("link"), target)
+    FsUtil.deleteRecursively(tree.toFile)
+    assert(!Files.exists(tree), "the tree itself must be gone")
+    assert(Files.exists(precious), "content behind the symlink must survive")
+    Files.delete(precious); Files.delete(target)
+  }
+
   test("oracle SQL whitespace classes never drift from the canonical RE2-safe form") {
     // The class [ \t\n\x0b\f\r] exists because RE2's \s lacks \x0b (Java's \s has it)
     // — the exact dialect divergence the adversarial fixture injects. It is hand-typed

@@ -158,6 +158,17 @@ class SuiteSpec extends SparkSpec {
     assert(cov.isSuccess && cov.metric.flatMap(_.asDouble).contains(2.0 / 3), cov.message)
     val cts = v.crossTableSum("t_orders.amt", "t_customers.cid", tolerance = 100.0)
     assert(cts.isSuccess, cts.message) // |14 - 33| <= 100
+    // case-insensitive resolution, matching Spark's default (spark.sql.caseSensitive=false)
+    val fkCi = v.foreignKey("t_orders.CUST", "t_customers.Cid")
+    assert(fkCi.isFailure && fkCi.metric.flatMap(_.asDouble).contains(1.0), fkCi.message)
+    // a group key legally named l_sum must not collide with the delegate's internal alias
+    val lsum = orders.withColumnRenamed("cust", "l_sum")
+    val rsum = customers.withColumnRenamed("cid", "r_sum")
+    v.addSource("t_lsum", lsum).addSource("t_rsum", rsum)
+    val ctsReserved = v.crossTableSum("t_lsum.amt", "t_rsum.r_sum", tolerance = 1e9,
+      Seq(("t_lsum.l_sum", "t_rsum.r_sum")))
+    assert(ctsReserved.status != ConstraintStatus.Failure || !ctsReserved.message.contains("ambiguous"),
+      ctsReserved.message)
     // suite-by-name runs against the registered frame
     val report = v.validate("t_orders", ValidationSuite("named", Seq(
       Check("c", Level.Error, Seq(SizeConstraint(Assertion.Equals(3)))))))
@@ -215,6 +226,21 @@ class SuiteSpec extends SparkSpec {
       SizeConstraint(Assertion.GreaterThan(0)))))).run(df)
     assert(Formatters.text(report).contains(" ms]"))
     assert(Formatters.json(report).contains("\"duration_ms\":"))
+    // the JSON carries the issues list and full histogram counts — a JSON consumer
+    // must not see less than an in-process ValidationReport consumer
+    val failing = ValidationSuite("iss", Seq(Check("must fail", Level.Error, Seq(
+      SizeConstraint(Assertion.Equals(-1)))))).run(df)
+    val js = Formatters.json(failing)
+    assert(js.contains("\"issues\":[{\"check\":\"must fail\""), js)
+    val histReport = ValidationReport("h", Seq(CheckResult(
+      Check("c", Level.Error, Nil),
+      Seq(ConstraintResult("c", ConstraintStatus.Success,
+        Some(MetricValue.HistogramMetric(Histogram(
+          Map("a" -> HistogramBucket(6, 0.6)), total = 10, distinctCount = 2, nullCount = 1))),
+        "")))),
+      ValidationMetrics(1, 1, 0, 0, 0), Nil)
+    val hj = Formatters.json(histReport)
+    assert(hj.contains("\"total\":10") && hj.contains("\"distinct\":2") && hj.contains("\"nulls\":1"), hj)
   }
 
   test("constraint evaluation errors are captured, not thrown") {
