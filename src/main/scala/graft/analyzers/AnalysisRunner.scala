@@ -23,8 +23,27 @@ final class AnalysisRunner(analyzers: Seq[Analyzer[_]], continueOnError: Boolean
       try {
         if (allAggs.isEmpty) Some(Nil)
         else {
-          val aliased = allAggs.zipWithIndex.map { case (c, i) => c.as(s"a$i") }
-          Some(df.agg(aliased.head, aliased.drop(1): _*).head().toSeq)
+          // Chunk on ANALYZER boundaries (one analyzer's count/sum slots must come
+          // from the same scan/snapshot), capped like ValidationSuite.MaxAggsPerJob so
+          // a wide suite doesn't blow whole-stage codegen's method-size limit and
+          // silently fall back to interpreted execution.
+          val maxAggs = graft.core.ValidationSuite.MaxAggsPerJob
+          val groups = scala.collection.mutable.ArrayBuffer(
+            scala.collection.mutable.ArrayBuffer.empty[Analyzer[_]])
+          analyzers.filter(_.stateAggregates.nonEmpty).foreach { a =>
+            val cur = groups.last
+            val width = cur.map(_.stateAggregates.size).sum
+            if (cur.nonEmpty && width + a.stateAggregates.size > maxAggs)
+              groups += scala.collection.mutable.ArrayBuffer(a)
+            else cur += a
+          }
+          // Values are reassembled in the ORIGINAL analyzers order (the positional
+          // slice below depends on it); grouping is order-preserving.
+          Some(groups.filter(_.nonEmpty).toSeq.flatMap { g =>
+            val aggs = g.toSeq.flatMap(_.stateAggregates)
+            val aliased = aggs.zipWithIndex.map { case (c, i) => c.as(s"a$i") }
+            df.agg(aliased.head, aliased.drop(1): _*).head().toSeq
+          })
         }
       } catch {
         // NonFatal only: swallowing an OutOfMemoryError/interrupt here would answer a

@@ -127,23 +127,20 @@ final case class HllState(sketch: Array[Byte]) extends AnalyzerState[HllState] {
     if (sketch == null) Array.emptyByteArray else sketch))
 }
 object HllSketch {
-  /** Union via a one-row Spark job on hll_union (the sketch format is Spark's own).
-    * Always resolves `SparkSession.active` — caching the first session in a field
-    * (the original shape) kept a stopped session alive and broke every later merge
-    * once the app rotated sessions; `active` is a cheap thread-local lookup.
+  /** Driver-local union/estimate via the DataSketches library Spark itself bundles
+    * (its `hll_sketch_agg` output IS a serialized DataSketches HLL sketch). The
+    * original shape ran a one-row Spark job per pairwise merge (~50-200 ms scheduler
+    * round-trip each); an incremental cumulative rebuild over P partition states
+    * folded P of those sequentially — minutes of pure driver overhead at the 10k-
+    * partition scale the batched runner targets. heapify+union is microseconds.
     */
   def union(a: HllState, b: HllState): HllState = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    import spark.implicits._
-    val row = Seq((a.sketch, b.sketch)).toDF("a", "b")
-      .select(expr("hll_union(a, b)")).head()
-    HllState(row.getAs[Array[Byte]](0))
+    val u = org.apache.datasketches.hll.Union.heapify(a.sketch)
+    u.update(org.apache.datasketches.hll.HllSketch.heapify(b.sketch))
+    HllState(u.getResult.toUpdatableByteArray)
   }
-  def estimate(s: HllState): Long = if (s.isEmpty) 0L else {
-    val spark = org.apache.spark.sql.SparkSession.active
-    import spark.implicits._
-    Seq(s.sketch).toDF("s").select(expr("hll_sketch_estimate(s)")).head().getLong(0)
-  }
+  def estimate(s: HllState): Long = if (s.isEmpty) 0L
+    else Math.round(org.apache.datasketches.hll.HllSketch.heapify(s.sketch).getEstimate)
 }
 
 /** Mergeable quantile-sketch state — the reference's KLL analyzer
@@ -175,15 +172,43 @@ object QuantileSketch {
   def empty(relativeError: Double): QuantileSummaries =
     new QuantileSummaries(QuantileSummaries.defaultCompressThreshold, relativeError)
 
+  // Versioned explicit encoding, NOT Java serialization of the catalyst-internal
+  // class: QuantileSummaries has no serial-form stability guarantee, so a Spark
+  // upgrade would throw InvalidClassException on every stored quantile state — and
+  // that failure surfaces inside currentMetrics()/rebuildCumulative where it takes
+  // down ALL analyzers' metrics, not just the quantile's. The GK summary is fully
+  // described by (compressThreshold, relativeError, count, sampled (value,g,delta)
+  // triples); this encoding survives upgrades and stays readable by construction.
+  private val Magic = 0x47515331 // "GQS1"
+
   def serialize(qs: QuantileSummaries): Array[Byte] = {
+    val c = qs.compress()
     val bos = new java.io.ByteArrayOutputStream()
-    val oos = new java.io.ObjectOutputStream(bos)
-    try oos.writeObject(qs.compress()) finally oos.close()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(Magic)
+    out.writeInt(c.compressThreshold)
+    out.writeDouble(c.relativeError)
+    out.writeLong(c.count)
+    out.writeInt(c.sampled.length)
+    c.sampled.foreach { s => out.writeDouble(s.value); out.writeLong(s.g); out.writeLong(s.delta) }
+    out.flush()
     bos.toByteArray
   }
   def deserialize(bytes: Array[Byte]): QuantileSummaries = {
-    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
-    try ois.readObject().asInstanceOf[QuantileSummaries] finally ois.close()
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    if (bytes.length >= 4 && in.readInt() == Magic) {
+      val threshold = in.readInt()
+      val err = in.readDouble()
+      val count = in.readLong()
+      val sampled = Array.fill(in.readInt()) {
+        new QuantileSummaries.Stats(in.readDouble(), in.readLong(), in.readLong())
+      }
+      new QuantileSummaries(threshold, err, sampled, count, true)
+    } else {
+      // Legacy state written by the pre-versioned Java-serialized form.
+      val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+      try ois.readObject().asInstanceOf[QuantileSummaries] finally ois.close()
+    }
   }
 
   /** Distributed sketch-building aggregate (nulls ignored, like SQL aggregates). */
@@ -205,19 +230,6 @@ object QuantileSketch {
   def aggColumn(column: String, relativeError: Double): Column =
     udaf(new Agg(relativeError), org.apache.spark.sql.Encoders.DOUBLE)
       .apply(col(column).cast("double"))
-}
-
-/** Value→count map state for histogram/entropy/datatype distribution; mergeable by
-  * count-sum. Bounded by `maxBuckets` at computation time (truncation marked).
-  */
-final case class CountsState(counts: Map[String, Long], truncated: Boolean)
-    extends AnalyzerState[CountsState] {
-  def merge(o: CountsState) = CountsState(
-    (counts.keySet ++ o.counts.keySet).map(k =>
-      k -> (counts.getOrElse(k, 0L) + o.counts.getOrElse(k, 0L))).toMap,
-    truncated || o.truncated)
-  def toFields = Map("truncated" -> truncated.toString) ++
-    counts.map { case (k, v) => s"c:$k" -> v.toString }
 }
 
 // ---------- concrete analyzers ----------
@@ -252,7 +264,11 @@ final case class ComplianceAnalyzer(label: String, predicate: Column) extends An
 
 final case class SumAnalyzer(column: String) extends Analyzer[SumState] {
   val name = "sum"; val key = s"sum.$column"
-  val stateAggregates = Seq(sum(col(column)), count(col(column)))
+  // count the CAST column, like the sum: if a value can't participate in the sum
+  // (cast → null on a malformed string under non-ANSI), counting it anyway would
+  // silently skew every count-derived statistic.
+  private def xd = col(column).cast("double")
+  val stateAggregates = Seq(sum(xd), count(xd))
   def stateFromValues(v: Seq[Any]) =
     SumState(Num.toDouble(v(0)).getOrElse(0.0), Num.toLong(v(1)).getOrElse(0L))
   def stateFromFields(f: Map[String, String]) = SumState(f("sum").toDouble, f("count").toLong)
@@ -261,7 +277,10 @@ final case class SumAnalyzer(column: String) extends Analyzer[SumState] {
 
 final case class MeanAnalyzer(column: String) extends Analyzer[SumState] {
   val name = "mean"; val key = s"mean.$column"
-  val stateAggregates = Seq(sum(col(column)), count(col(column)))
+  // count the cast column (see SumAnalyzer): n must count exactly the values the
+  // sum contains, or the mean is silently wrong on partially-castable columns.
+  private def xd = col(column).cast("double")
+  val stateAggregates = Seq(sum(xd), count(xd))
   def stateFromValues(v: Seq[Any]) =
     SumState(Num.toDouble(v(0)).getOrElse(0.0), Num.toLong(v(1)).getOrElse(0L))
   def stateFromFields(f: Map[String, String]) = SumState(f("sum").toDouble, f("count").toLong)
@@ -288,7 +307,10 @@ final case class StdDevAnalyzer(column: String) extends Analyzer[MomentsState] {
   // an integer column's native type overflows silently (100000² wraps Int), and
   // decimal products that overflow precision become NULL and drop from the sum.
   private def xd = col(column).cast("double")
-  val stateAggregates = Seq(count(col(column)), sum(xd), sum(xd * xd))
+  // count(xd), not count(col): n must count exactly the values inside the sums — a
+  // value whose cast nulls out (malformed string, non-ANSI) would otherwise inflate n
+  // and silently shrink the variance.
+  val stateAggregates = Seq(count(xd), sum(xd), sum(xd * xd))
   def stateFromValues(v: Seq[Any]) = MomentsState(
     Num.toLong(v(0)).getOrElse(0L), Num.toDouble(v(1)).getOrElse(0.0), Num.toDouble(v(2)).getOrElse(0.0))
   def stateFromFields(f: Map[String, String]) =
@@ -305,8 +327,12 @@ final case class CorrelationAnalyzer(c1: String, c2: String) extends Analyzer[Co
   private def both = col(c1).isNotNull && col(c2).isNotNull
   private def x = when(both, col(c1)).cast("double")
   private def y = when(both, col(c2)).cast("double")
+  // n counts pairs where BOTH casts produced values — the pairs actually inside the
+  // co-moment sums — not merely both-non-null raw values (a malformed string that
+  // cast-nulls would otherwise count in n but vanish from the sums).
   val stateAggregates = Seq(
-    sum(when(both, 1L).otherwise(0L)), sum(x), sum(y), sum(x * x), sum(y * y), sum(x * y))
+    sum(when(x.isNotNull && y.isNotNull, 1L).otherwise(0L)),
+    sum(x), sum(y), sum(x * x), sum(y * y), sum(x * y))
   def stateFromValues(v: Seq[Any]) = CoMomentsState(
     Num.toLong(v(0)).getOrElse(0L),
     Num.toDouble(v(1)).getOrElse(0.0), Num.toDouble(v(2)).getOrElse(0.0),
@@ -347,7 +373,10 @@ final case class QuantileAnalyzer(column: String, quantiles: Seq[Double] = Seq(0
 
 final case class ApproxCountDistinctAnalyzer(column: String) extends Analyzer[HllState] {
   val name = "approx_count_distinct"; val key = s"approx_count_distinct.$column"
-  val stateAggregates = Seq(expr(s"hll_sketch_agg(${graft.core.SqlIdent(column)})"))
+  // col(), not a SQL-string identifier: every other analyzer resolves its column
+  // through the Column API (dot = nested-field access), and mixing the two meant the
+  // same constructor string addressed DIFFERENT columns across analyzers in one suite.
+  val stateAggregates = Seq(hll_sketch_agg(col(column)))
   def stateFromValues(v: Seq[Any]) = HllState(v.head.asInstanceOf[Array[Byte]])
   def stateFromFields(f: Map[String, String]) =
     HllState(java.util.Base64.getDecoder.decode(f("sketch")))

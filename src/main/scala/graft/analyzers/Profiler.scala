@@ -49,43 +49,53 @@ final class ColumnProfiler(config: ProfilerConfig = ProfilerConfig()) {
     def isNumeric(t: DataType) = t.isInstanceOf[NumericType]
     def isString(t: DataType) = t == StringType
 
-    // ---- pass 1: one scan for all basic stats ----
-    val aggs = scala.collection.mutable.ArrayBuffer.empty[Column]
-    val index = scala.collection.mutable.Map.empty[(String, String), Int]
-    def slot(c: String, what: String, expr: Column): Unit = {
-      index((c, what)) = aggs.size; aggs += expr
-    }
-    // ONE shared row count for the whole frame (it was previously added once per
-    // column — N identical aggregates in the same scan).
-    slot("", "total", count(lit(1)))
-    targets.foreach { c =>
-      slot(c, "nonNull", count(col(c)))
-      slot(c, "approxDistinct", approx_count_distinct(col(c), config.approxDistinctRsd))
+    // ---- pass 1: one scan for all basic stats, chunked on COLUMN boundaries ----
+    // Every reference goes through SqlIdent: the names come from df.columns, so a
+    // literal dot/backtick in a name must stay literal — a bare col("user.name")
+    // parses the dot as struct-field access and aborts the whole profile.
+    def c0(c: String) = col(graft.core.SqlIdent(c))
+    val perColAggs: Seq[(String, Seq[(String, Column)])] = targets.map { c =>
       val t = schema(c)
-      if (isNumeric(t)) {
-        slot(c, "min", min(col(c)).cast("double"))
-        slot(c, "max", max(col(c)).cast("double"))
-        slot(c, "mean", avg(col(c)))
-        slot(c, "stddev", stddev_samp(col(c)))
-      }
-      if (isString(t)) {
-        slot(c, "minLen", min(length(col(c))))
-        slot(c, "maxLen", max(length(col(c))))
-        slot(c, "avgLen", avg(length(col(c))))
+      val base = Seq(
+        "nonNull" -> count(c0(c)),
+        "approxDistinct" -> approx_count_distinct(c0(c), config.approxDistinctRsd))
+      val num = if (isNumeric(t)) Seq(
+        "min" -> min(c0(c)).cast("double"), "max" -> max(c0(c)).cast("double"),
+        "mean" -> avg(c0(c)), "stddev" -> stddev_samp(c0(c))) else Nil
+      val str = if (isString(t)) Seq(
+        "minLen" -> min(length(c0(c))), "maxLen" -> max(length(c0(c))),
+        "avgLen" -> avg(length(c0(c)))) else Nil
+      c -> (base ++ num ++ str)
+    }
+    // Chunked like ValidationSuite.evaluateBatched — and, like there, never splitting
+    // one column's aggregates (or separating them from the row count they're compared
+    // against) across two scans: data changing between sequential jobs would yield
+    // nonNull > total (completeness > 1.0) or min > max within one profile. Each
+    // chunk carries its OWN count(*), so every column's total comes from its scan.
+    val maxAggs = 200
+    val chunks = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[(String, Seq[(String, Column)])])
+    perColAggs.foreach { ca =>
+      val cur = chunks.last
+      val width = cur.map(_._2.size).sum
+      if (cur.nonEmpty && width + ca._2.size + 1 > maxAggs)
+        chunks += scala.collection.mutable.ArrayBuffer(ca)
+      else cur += ca
+    }
+    val statMap = scala.collection.mutable.Map.empty[(String, String), Any]
+    chunks.filter(_.nonEmpty).foreach { group =>
+      val slots: Seq[((String, String), Column)] =
+        (("", "total") -> count(lit(1))) +:
+          group.toSeq.flatMap { case (name, as) => as.map { case (w, e) => (name, w) -> e } }
+      val aliased = slots.zipWithIndex.map { case ((_, e), i) => e.as(s"p$i") }
+      val row = df.agg(aliased.head, aliased.drop(1): _*).head()
+      slots.zipWithIndex.foreach {
+        case ((("", "total"), _), i) =>
+          group.foreach { case (name, _) => statMap((name, "total")) = row.get(i) }
+        case (((cname, what), _), i) => statMap((cname, what)) = row.get(i)
       }
     }
-    // Chunked like ValidationSuite.evaluateBatched: hundreds of columns yield
-    // thousands of aggregates, and a single unbounded agg blows whole-stage codegen's
-    // method-size limits (interpreted fallback) on exactly the wide tables the
-    // batching is meant to help. Each chunk is still one scan.
-    val values = new Array[Any](aggs.size)
-    aggs.zipWithIndex.grouped(200).foreach { chunk =>
-      val cols = chunk.map { case (c, i) => c.as(s"p$i") }
-      val r = df.agg(cols.head, cols.drop(1).toSeq: _*).head()
-      chunk.zipWithIndex.foreach { case ((_, slotIdx), local) => values(slotIdx) = r.get(local) }
-    }
-    def get(c: String, what: String): Option[Any] =
-      index.get((c, what)).map(values(_)).filter(_ != null)
+    def get(c: String, what: String): Option[Any] = statMap.get((c, what)).filter(_ != null)
     def getD(c: String, what: String): Option[Double] =
       get(c, what).flatMap(graft.core.Num.toDouble)
     def getL(c: String, what: String): Option[Long] =
@@ -97,7 +107,7 @@ final class ColumnProfiler(config: ProfilerConfig = ProfilerConfig()) {
       if (numericCols.isEmpty) Map.empty
       else {
         val qCols = numericCols.map(c =>
-          percentile_approx(col(c), array(config.quantiles.map(lit): _*), lit(10000)).as(s"q_$c"))
+          percentile_approx(c0(c), array(config.quantiles.map(lit): _*), lit(10000)).as(s"q_$c"))
         val qRow = df.agg(qCols.head, qCols.drop(1): _*).head()
         numericCols.zipWithIndex.map { case (c, i) =>
           val arr = Option(qRow.get(i)).map(_.asInstanceOf[scala.collection.Seq[Any]]).getOrElse(Nil)
@@ -109,8 +119,8 @@ final class ColumnProfiler(config: ProfilerConfig = ProfilerConfig()) {
     // same rationale as ValidationSuite's multi-job constraints — each job rarely
     // saturates the cluster, and a 100-column table would otherwise serialize up to
     // ~200 driver round-trips).
-    val total = getL("", "total").getOrElse(0L)
     def histogramFor(c: String): Option[Histogram] = {
+      val total = getL(c, "total").getOrElse(0L)
       val nonNull = getL(c, "nonNull").getOrElse(0L)
       val approxDistinct = getL(c, "approxDistinct").getOrElse(0L)
       if (approxDistinct > 0 && approxDistinct <= config.histogramMaxDistinct && nonNull > 0) {
@@ -118,8 +128,8 @@ final class ColumnProfiler(config: ProfilerConfig = ProfilerConfig()) {
         // threshold can slip under it. LIMIT bounds what can ever reach the driver,
         // and the post-collect cap withholds the histogram when the TRUE cardinality
         // exceeds the configured max — same contract as a correct sketch estimate.
-        val rows = df.filter(col(c).isNotNull)
-          .groupBy(col(c).cast("string").as("v")).count()
+        val rows = df.filter(c0(c).isNotNull)
+          .groupBy(c0(c).cast("string").as("v")).count()
           .limit(math.min(config.histogramMaxDistinct, Int.MaxValue - 1L).toInt + 1)
           .collect()
         if (rows.length > config.histogramMaxDistinct) None
@@ -153,6 +163,7 @@ final class ColumnProfiler(config: ProfilerConfig = ProfilerConfig()) {
       }
 
     targets.map { c =>
+      val total = getL(c, "total").getOrElse(0L)
       val nonNull = getL(c, "nonNull").getOrElse(0L)
       val approxDistinct = getL(c, "approxDistinct").getOrElse(0L)
       val (histogram, inferred) = perColumn(c)
@@ -192,8 +203,11 @@ object TypeInference {
       distribution: Map[String, Long])
 
   def infer(df: DataFrame, column: String, sampleRows: Int = 1000): Inferred = {
-    val sample = df.select(col(column)).filter(col(column).isNotNull).limit(sampleRows)
-    val cls = graft.constraints.InferredType.classifier(column)
+    // SqlIdent + a safe alias: the name comes from the schema — a literal dot must
+    // not parse as struct-field access here or inside the classifier's col() call.
+    val cc = col(graft.core.SqlIdent(column))
+    val sample = df.select(cc.as("_ti_v")).filter(col("_ti_v").isNotNull).limit(sampleRows)
+    val cls = graft.constraints.InferredType.classifier("_ti_v")
     val counts = sample.groupBy(cls.as("t")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val nonNull = counts.filter(_._1 != "null").values.sum

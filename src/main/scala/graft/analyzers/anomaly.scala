@@ -65,13 +65,19 @@ final case class ZScoreStrategy(threshold: Double = 3.0, minHistory: Int = 3)
   def detect(series: Seq[(Long, Double)]): Seq[Anomaly] = {
     val values = series.map(_._2)
     series.zipWithIndex.drop(minHistory).flatMap { case ((ts, v), i) =>
-      val prior = values.take(i)
-      val mean = prior.sum / prior.size
-      val variance = prior.map(x => (x - mean) * (x - mean)).sum / prior.size
-      val sd = math.sqrt(variance)
-      if (sd > 0 && math.abs(v - mean) / sd > threshold)
-        Some(Anomaly(ts, v, f"z-score ${math.abs(v - mean) / sd}%.2f vs mean $mean%.4f"))
-      else None
+      // Non-finite history points (NaN completeness of an empty batch is a legitimate,
+      // persisted value) must not participate: one NaN in the window would make
+      // mean/sd NaN for EVERY later point and silently disable detection forever.
+      val prior = values.take(i).filter(java.lang.Double.isFinite)
+      if (prior.size < minHistory) None
+      else {
+        val mean = prior.sum / prior.size
+        val variance = prior.map(x => (x - mean) * (x - mean)).sum / prior.size
+        val sd = math.sqrt(variance)
+        if (sd > 0 && math.abs(v - mean) / sd > threshold)
+          Some(Anomaly(ts, v, f"z-score ${math.abs(v - mean) / sd}%.2f vs mean $mean%.4f"))
+        else None
+      }
     }
   }
 }
@@ -83,10 +89,16 @@ final class AnomalyDetectionRunner(
     repository: graft.repository.MetricsRepository,
     strategies: Map[String, AnomalyDetectionStrategy]) {
 
-  /** Strategy for a metric key: exact match, else prefix (e.g. "completeness."), else none. */
+  /** Strategy for a metric key: exact match, else the LONGEST matching prefix (e.g.
+    * "completeness.email." beats "completeness."), else none. Longest-wins makes the
+    * routing deterministic — collectFirst over an unordered Map let HashMap iteration
+    * order pick between multiple matching prefixes.
+    */
   def strategyFor(metricKey: String): Option[AnomalyDetectionStrategy] =
     strategies.get(metricKey).orElse(
-      strategies.collectFirst { case (p, s) if p.endsWith(".") && metricKey.startsWith(p) => s })
+      strategies.view
+        .filter { case (p, _) => p.endsWith(".") && metricKey.startsWith(p) }
+        .maxByOption(_._1.length).map(_._2))
 
   def detect(metricKey: String): Seq[Anomaly] =
     strategyFor(metricKey).map(_.detect(repository.history(metricKey))).getOrElse(Nil)

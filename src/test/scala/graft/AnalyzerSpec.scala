@@ -255,6 +255,39 @@ class AnalyzerSpec extends SparkSpec {
     assert(z.map(_.timestamp) == Seq(4L))
   }
 
+  test("one NaN history point must not disable z-score detection forever") {
+    // NaN is a legitimate persisted metric (completeness of an empty batch); without
+    // filtering, prior.sum is NaN for every later window and detection silently dies
+    val series = Seq(1L -> 100.0, 2L -> Double.NaN, 3L -> 101.0, 4L -> 99.0,
+      5L -> 100.0, 6L -> 150.0)
+    val z = ZScoreStrategy(threshold = 3.0, minHistory = 3).detect(series)
+    assert(z.map(_.timestamp) == Seq(6L), s"NaN at ts=2 must not mask the ts=6 jump: $z")
+  }
+
+  test("anomaly strategy routing is most-specific-prefix wins, deterministically") {
+    val repo = new InMemoryMetricsRepository
+    val specific = AbsoluteChangeStrategy(maxDecrease = Some(0.01))
+    val general = ZScoreStrategy()
+    val runner = new AnomalyDetectionRunner(repo, Map(
+      "completeness." -> general,
+      "completeness.email." -> specific,
+      "a." -> general, "b." -> general, "c." -> general)) // force >4 entries (HashMap)
+    assert(runner.strategyFor("completeness.email.domain").contains(specific))
+    assert(runner.strategyFor("completeness.name").contains(general))
+  }
+
+  test("quantile state decodes both the versioned and the legacy Java-serialized form") {
+    val qs = (1 to 100).foldLeft(QuantileSketch.empty(0.01))((s, v) => s.insert(v.toDouble))
+    val roundtrip = QuantileSketch.deserialize(QuantileSketch.serialize(qs))
+    assert(QuantileState(roundtrip).quantile(0.5).exists(v => v >= 45 && v <= 55))
+    // legacy form: plain Java serialization of the compressed summary
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(qs.compress()); oos.close()
+    val legacy = QuantileSketch.deserialize(bos.toByteArray)
+    assert(QuantileState(legacy).quantile(0.5).exists(v => v >= 45 && v <= 55))
+  }
+
   test("metrics repository + anomaly runner end-to-end") {
     val repo = new InMemoryMetricsRepository
     Seq(1000L -> 0.99, 2000L -> 0.985, 3000L -> 0.5).foreach { case (ts, v) =>

@@ -40,6 +40,19 @@ class ProfilerSpec extends SparkSpec {
     assert(n.quantiles(0.5) > n.min && n.quantiles(0.5) < n.max)
   }
 
+  test("profiler survives columns whose names contain literal dots") {
+    import spark.implicits._
+    // The names come from df.columns — col("user.name") would parse the dot as a
+    // struct-field path and abort the whole profile
+    val df = Seq((1L, "a", 2.0), (2L, "b", 4.0), (3L, null, 6.0))
+      .toDF("id", "user.name", "amount.usd")
+    val profiles = new ColumnProfiler().profile(df)
+    assert(profiles("user.name").completeness == 2.0 / 3)
+    assert(profiles("user.name").inferredType.isDefined)
+    val amt = profiles("amount.usd").numeric.get
+    assert(amt.min == 2.0 && amt.max == 6.0)
+  }
+
   test("type inference on stringified numerics") {
     import spark.implicits._
     val df = Seq("1", "2", "3", "4.5", "x").toDF("c")
