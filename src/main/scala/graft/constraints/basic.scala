@@ -44,6 +44,9 @@ final case class MultiColumnCompletenessConstraint(
     columns: Seq[String],
     threshold: Double,
     op: LogicalOp) extends Constraint {
+  // An accidentally-empty dynamic column list would vacuously succeed (All.holds(0,0)
+  // is true) — the check would report Success having verified nothing.
+  require(columns.nonEmpty, "MultiColumnCompletenessConstraint needs at least one column")
   val name = s"${op.describe}Complete(${columns.mkString(",")}) >= $threshold"
   val aggregates: Seq[Column] = count(lit(1)) +: columns.map(c => count(col(c)))
   def fromAggregates(values: Seq[Any]): ConstraintResult = {

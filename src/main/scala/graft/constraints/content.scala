@@ -139,11 +139,24 @@ object FormatType {
   case object Url extends FormatType("url", "^(https?|ftp)://[^\\s/$.?#].[^\\s]*$")
   case object Uuid extends FormatType("uuid", "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$")
   case object Ipv4 extends FormatType("ipv4", "^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$")
+  // Exhaustive '::' placement alternation (RE2-safe, no lookahead): the naive
+  // "{0,6}::{0,6}" form accepted >8 hextet groups (e.g. '1:2:3:4:5:6:7::8'),
+  // passing malformed addresses in exactly the direction that hides bad data.
   case object Ipv6 extends FormatType("ipv6",
-    "^(([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}|([0-9a-fA-F]{1,4}(:[0-9a-fA-F]{1,4}){0,6})?::([0-9a-fA-F]{1,4}(:[0-9a-fA-F]{1,4}){0,6})?)$")
+    "^(([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}|([0-9A-Fa-f]{1,4}:){1,7}:|" +
+      "([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}|" +
+      "([0-9A-Fa-f]{1,4}:){1,5}(:[0-9A-Fa-f]{1,4}){1,2}|" +
+      "([0-9A-Fa-f]{1,4}:){1,4}(:[0-9A-Fa-f]{1,4}){1,3}|" +
+      "([0-9A-Fa-f]{1,4}:){1,3}(:[0-9A-Fa-f]{1,4}){1,4}|" +
+      "([0-9A-Fa-f]{1,4}:){1,2}(:[0-9A-Fa-f]{1,4}){1,5}|" +
+      "[0-9A-Fa-f]{1,4}:(:[0-9A-Fa-f]{1,4}){1,6}|" +
+      ":((:[0-9A-Fa-f]{1,4}){1,7}|:))$")
   case object CreditCard extends FormatType("credit_card", "^[0-9]{13,19}$")
-  case object PhoneUS extends FormatType("phone_us", "^\\+?1?[-. ]?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}$")
-  case object PostalCodeUS extends FormatType("postal_us", "^[0-9]{5}(-[0-9]{4})?$")
+  // Delegate to the country-parameterized patterns: the hand-copied duplicates had
+  // already drifted (the old PhoneUS decoupled '+' from the '1' and accepted
+  // '+4155551234'), so two checks both claiming "US phone" disagreed on the same value.
+  case object PhoneUS extends FormatType("phone_us", FormatType.phonePattern(Some("US")))
+  case object PostalCodeUS extends FormatType("postal_us", FormatType.postalPattern(Some("US")))
   case object Iso8601 extends FormatType("iso8601", "^\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?(Z|[+-]\\d{2}:?\\d{2})?)?$")
   case object Json extends FormatType("json", "") // validated structurally, not by regex
 
@@ -217,8 +230,12 @@ final case class FormatConstraint(
     column: String, format: FormatType, assertion: Assertion, detect: Boolean = false)
     extends Constraint {
   val name = s"Format($column, ${format.label}${if (detect) ", detect" else ""}) ${assertion.describe}"
+  // Both branches resolve the column the SAME way (Column API): the Json branch
+  // previously went through a SQL-string identifier (literal name) while the regex
+  // branch dot-parsed, so the same constructor string could address different
+  // columns — or crash in one branch and work in the other.
   private val matches: Column = format match {
-    case FormatType.Json => expr(s"try_parse_json(${graft.core.SqlIdent(column)})").isNotNull
+    case FormatType.Json => try_parse_json(col(column)).isNotNull
     case f               => col(column).rlike(f.pattern)
   }
   val aggregates: Seq[Column] = Seq(
@@ -236,6 +253,15 @@ final case class FormatConstraint(
 /** Regex-pattern constraint with a caller-supplied pattern. */
 final case class PatternConstraint(column: String, pattern: String, assertion: Assertion)
     extends Constraint {
+  // Fail at construction, not inside the shared batched scan: rlike compiles its
+  // pattern lazily at execution, so one typo'd regex would fail the shared job at
+  // runtime, pass the analysis-only health probe, and sink every batchable
+  // constraint into the N-individual-scans fallback.
+  try java.util.regex.Pattern.compile(pattern) catch {
+    case e: java.util.regex.PatternSyntaxException =>
+      throw new IllegalArgumentException(
+        s"invalid regex for Pattern($column): ${e.getMessage}")
+  }
   val name = s"Pattern($column, $pattern) ${assertion.describe}"
   val aggregates: Seq[Column] = Seq(
     count(col(column)),

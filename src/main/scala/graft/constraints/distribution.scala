@@ -19,18 +19,26 @@ object Distribution {
     * 0.0/-0.0 into one value while the string-keyed buckets split them).
     */
   def counts(df: DataFrame, column: String, maxBuckets: Int): (Seq[(String, Long)], Long, Long, Long) = {
+    // persist the grouped frame: the totals agg and the top-N are two separate
+    // ACTIONS (independent query executions), and exchange reuse only applies within
+    // one plan — without the persist each consumer re-scans and re-shuffles the full
+    // input. The cached frame is one row per distinct value (already reduced), far
+    // smaller than the input it replaces a second pass over.
     val grouped = df.groupBy(col(column).cast("string").as("value")).count()
-    val t = grouped.agg(
-      coalesce(sum(col("count")), lit(0L)),
-      coalesce(sum(when(col("value").isNotNull, col("count"))), lit(0L)),
-      count(col("value"))).head()
-    val (total, nonNull, distinct) = (t.getLong(0), t.getLong(1), t.getLong(2))
-    val top = grouped.filter(col("value").isNotNull)
-      .orderBy(col("count").desc, col("value"))
-      .limit(maxBuckets)
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
-    (top, total, nonNull, distinct)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val t = grouped.agg(
+        coalesce(sum(col("count")), lit(0L)),
+        coalesce(sum(when(col("value").isNotNull, col("count"))), lit(0L)),
+        count(col("value"))).head()
+      val (total, nonNull, distinct) = (t.getLong(0), t.getLong(1), t.getLong(2))
+      val top = grouped.filter(col("value").isNotNull)
+        .orderBy(col("count").desc, col("value"))
+        .limit(maxBuckets)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      (top, total, nonNull, distinct)
+    } finally grouped.unpersist(blocking = false)
   }
 }
 

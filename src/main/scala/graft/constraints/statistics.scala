@@ -91,6 +91,10 @@ final case class CorrelationConstraint(c1: String, c2: String, assertion: Assert
     extends Constraint {
   val name = s"Correlation($c1,$c2) ${assertion.describe}"
   val aggregates: Seq[Column] = Seq(corr(col(c1), col(c2)))
+  // NaN (zero variance / non-finite input) deliberately follows the engine-wide
+  // "NaN fails every assertion" rule rather than skipping: the NaN metric surfaces to
+  // the caller, and DuckDB's corr returns the same NaN — skipping here would hide a
+  // constant-column finding AND break engine-vs-oracle metric parity.
   def fromAggregates(values: Seq[Any]): ConstraintResult =
     Num.toDouble(values.head) match {
       case None    => skipped("correlation undefined")
@@ -106,7 +110,7 @@ final case class CovarianceConstraint(c1: String, c2: String, assertion: Asserti
   def fromAggregates(values: Seq[Any]): ConstraintResult =
     Num.toDouble(values.head) match {
       case None    => skipped("covariance undefined")
-      case Some(v) => assertOn(v, assertion)
+      case Some(v) => assertOn(v, assertion) // NaN fails, by the same rule as corr
     }
 }
 

@@ -14,19 +14,31 @@ import org.apache.spark.sql.functions._
 final case class DateRangeConstraint(tsColumn: String, from: String, to: String)
     extends Constraint {
   val name = s"DateRange($tsColumn in [$from, $to])"
-  // The bounds travel as extra aggregates so an UNPARSEABLE literal (to_timestamp →
-  // NULL) is reported as a configuration error — without the check every row's
-  // predicate is NULL and a typo'd bound masquerades as "all N values out of range".
+  // The bounds travel as extra aggregates so an UNPARSEABLE literal is reported as a
+  // configuration error with a clear message. try_to_timestamp, not to_timestamp:
+  // under ANSI mode (Spark 4 default) a malformed literal THROWS a raw cast exception
+  // out of the shared scan; try_ yields NULL in both modes so the config-error branch
+  // below reports it uniformly — and without the check, every row's predicate is NULL
+  // and a typo'd bound masquerades as "all N values out of range".
+  private def lo = try_to_timestamp(lit(from))
+  private def hi = try_to_timestamp(lit(to))
   val aggregates: Seq[Column] = Seq(
     count(col(tsColumn)),
-    sum(when(col(tsColumn) >= to_timestamp(lit(from)) &&
-             col(tsColumn) <= to_timestamp(lit(to)), 1L).otherwise(0L)),
-    first(to_timestamp(lit(from))), first(to_timestamp(lit(to))))
+    sum(when(col(tsColumn) >= lo && col(tsColumn) <= hi, 1L).otherwise(0L)),
+    first(lo), first(hi),
+    count(lit(1)))
   def fromAggregates(values: Seq[Any]): ConstraintResult = {
-    val nonNull = Num.toLong(values(0)).getOrElse(0L)
-    if (nonNull == 0L) return skipped("no non-null timestamps")
+    // Bound check BEFORE the all-null skip: a typo'd bound is a configuration error
+    // regardless of whether the column has data yet — the old order reported it as a
+    // benign skip on an all-null column until data showed up. Only a genuinely
+    // zero-ROW table skips first (first() over zero rows is NULL even for a valid
+    // bound, so the bound is unobservable there).
+    val totalRows = Num.toLong(values(4)).getOrElse(0L)
+    if (totalRows == 0L) return skipped("no rows")
     if (values(2) == null || values(3) == null)
       return failure(None, s"unparseable range bound: [$from, $to] — fix the check definition")
+    val nonNull = Num.toLong(values(0)).getOrElse(0L)
+    if (nonNull == 0L) return skipped("no non-null timestamps")
     val in = Num.toLong(values(1)).getOrElse(0L)
     if (in == nonNull) success(MetricValue.DoubleMetric(1.0))
     else failure(Some(MetricValue.DoubleMetric(in.toDouble / nonNull)),
@@ -107,11 +119,19 @@ final case class MaxTimeGapConstraint(
       case _: org.apache.spark.sql.types.NumericType => col(tsColumn).cast("double")
       case _ => col(tsColumn).try_cast("timestamp").cast("double")
     }
+  // Only FINITE epochs participate (same rule as Metrics.numericHistogram): a NaN from
+  // a numeric epoch column ranks above every real double in Spark SQL (every NaN gap
+  // "violates") but compares false to everything in the JVM driver fold (real gaps
+  // next to it silently vanish) — the keyed and global paths would return OPPOSITE
+  // verdicts on the same data. between(±MaxValue) drops NULL, NaN, and ±Inf in one
+  // predicate, identically in both engines.
+  private def finiteTs(c: Column): Column = c.between(-Double.MaxValue, Double.MaxValue)
+
   override def evaluate(df: DataFrame): ConstraintResult = {
     val result =
       if (partitionBy.isEmpty) globalGaps(df)
       else {
-        val gaps0 = df.withColumn("_ts", epochSeconds(df)).filter(col("_ts").isNotNull)
+        val gaps0 = df.withColumn("_ts", epochSeconds(df)).filter(finiteTs(col("_ts")))
         val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(col("_ts"))
         val gaps = gaps0
           .withColumn("_prev", lag(col("_ts"), 1).over(w))
@@ -140,7 +160,7 @@ final case class MaxTimeGapConstraint(
     */
   private def globalGaps(df: DataFrame): Option[(Double, Long)] = {
     val limit = maxGapSeconds
-    val stats = df.select(epochSeconds(df).as("t")).filter(col("t").isNotNull)
+    val stats = df.select(epochSeconds(df).as("t")).filter(finiteTs(col("t")))
       .repartitionByRange(col("t"))
       .sortWithinPartitions("t")
       .rdd.mapPartitionsWithIndex { (idx, it) =>

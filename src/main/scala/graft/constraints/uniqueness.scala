@@ -79,6 +79,7 @@ final case class UniquenessConstraint(
   */
 final case class DistinctnessConstraint(columns: Seq[String], assertion: Assertion)
     extends Constraint {
+  require(columns.nonEmpty, "DistinctnessConstraint needs at least one column")
   val name = s"Distinctness(${columns.mkString(",")}) ${assertion.describe}"
   val aggregates: Seq[Column] = Seq(
     count(when(columns.map(c => col(c).isNotNull).reduce(_ && _), 1L)),

@@ -115,6 +115,51 @@ class ConstraintSpec extends SparkSpec {
     intercept[IllegalArgumentException](PrimaryKeyConstraint(Nil))
     intercept[IllegalArgumentException](UniquenessConstraint(Nil))
     intercept[IllegalArgumentException](UniqueValueRatioConstraint(Nil, Assertion.Equals(1.0)))
+    intercept[IllegalArgumentException](DistinctnessConstraint(Nil, Assertion.Equals(1.0)))
+    intercept[IllegalArgumentException](
+      MultiColumnCompletenessConstraint(Nil, 0.9, LogicalOp.All)) // All.holds(0,0) would vacuously pass
+  }
+
+  test("invalid user regex fails at construction, not inside the shared scan") {
+    intercept[IllegalArgumentException](PatternConstraint("c", "([", Assertion.Equals(1.0)))
+  }
+
+  test("format library: US aliases agree with country-parameterized forms; ipv6 rejects >8 groups") {
+    assert(FormatType.PhoneUS.pattern == FormatType.Phone(Some("US")).pattern)
+    assert(FormatType.PostalCodeUS.pattern == FormatType.PostalCode(Some("US")).pattern)
+    // the old hand-copied PhoneUS accepted '+' decoupled from the '1'
+    assert(!"+4155551234".matches(FormatType.PhoneUS.pattern))
+    assert("+1-415-555-1234".matches(FormatType.PhoneUS.pattern))
+    val v6 = FormatType.Ipv6.pattern
+    assert("2001:db8::1".matches(v6) && "::1".matches(v6) && "::".matches(v6) &&
+      "1:2:3:4:5:6:7:8".matches(v6))
+    // '::' must replace at least one zero group — 8 explicit groups plus '::' is invalid
+    assert(!"1:2:3:4:5:6:7::8".matches(v6))
+    assert(!"1:2:3:4:5:6:7::7:6:5:4:3:2:1".matches(v6))
+  }
+
+  test("max-time-gap: keyed and un-keyed paths agree on NaN-bearing epoch columns") {
+    import spark.implicits._
+    // NaN ranks above every double in Spark SQL but compares false in the JVM — the
+    // two paths previously returned OPPOSITE verdicts on this data
+    val d = Seq((1L, 0.0), (1L, 100.0), (1L, Double.NaN), (1L, 200.0))
+      .toDF("k", "ts")
+    val keyed = MaxTimeGapConstraint("ts", Seq("k"), maxGapSeconds = 150L).evaluate(d)
+    val global = MaxTimeGapConstraint("ts", Nil, maxGapSeconds = 150L).evaluate(d)
+    assert(keyed.status == global.status,
+      s"keyed=${keyed.status}/${keyed.message} global=${global.status}/${global.message}")
+    assert(keyed.isSuccess, "finite gaps are 100 and 100 — no violation")
+  }
+
+  test("date-range: unparseable bound fails loud even on an all-null column") {
+    import spark.implicits._
+    val allNull = Seq.fill(3)(Option.empty[java.sql.Timestamp]).toDF("ts")
+    val r = DateRangeConstraint("ts", "2026-13-99", "2026-01-01").evaluate(allNull)
+    assert(r.isFailure && r.message.contains("unparseable"), s"${r.status}/${r.message}")
+    // a genuinely zero-row table still skips (the bound is unobservable there)
+    val empty = allNull.filter(col("ts").isNotNull === lit(false) && lit(false))
+    assert(DateRangeConstraint("ts", "2026-13-99", "2026-01-01").evaluate(empty)
+      .status == Skipped)
   }
 
   test("containment and compliance") {
