@@ -540,8 +540,9 @@ object Dedup {
     */
   def dedupNearEmbedding(
       df: DataFrame, idCol: String, vecCol: String, dim: Int, threshold: Double,
-      planes: Int = 8): DataFrame = {
-    val drop = nearDupPairsEmbedding(df, idCol, vecCol, dim, threshold, planes)
+      planes: Int = 8, tables: Int = 1, maxBucketSize: Int = 10000): DataFrame = {
+    val drop = nearDupPairsEmbedding(df, idCol, vecCol, dim, threshold, planes,
+        tables, maxBucketSize)
       .select(col("id_b").as(idCol)).distinct()
     df.join(drop, Seq(idCol), "left_anti")
   }
@@ -675,46 +676,105 @@ object Dedup {
     * buckets driver-side and executor-side).
     */
   def hyperplaneBucket(vec: Column, dim: Int, planes: Int, seed: Long = 42L): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planeVecs: Array[Array[Double]] =
-      Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+    val planeVecs = planesFor(dim, planes, seed)
     val f = udf { (v: Seq[Float]) =>
       if (v == null) null.asInstanceOf[java.lang.Long]
-      else {
-        // Fail loud on a length mismatch: silently truncating to min(len, dim) would
-        // bucket on a PREFIX while the cosine verify uses the full vector (silent
-        // recall loss), and the driver-side Similarity.bucketOf uses the probe's full
-        // length — the two sides would compute different buckets with no error.
-        require(v.length == dim,
-          s"embedding length ${v.length} != declared dim $dim")
-        var bucket = 0L
-        var p = 0
-        while (p < planeVecs.length) {
-          val w = planeVecs(p)
-          var dot = 0.0
-          var i = 0
-          while (i < dim) { dot += v(i).toDouble * w(i); i += 1 }
-          if (dot >= 0) bucket |= (1L << p)
-          p += 1
-        }
-        java.lang.Long.valueOf(bucket)
-      }
+      else java.lang.Long.valueOf(bucketFor(v, dim, planeVecs))
+    }
+    f(vec)
+  }
+
+  /** One table's hyperplanes: `planes` Gaussian vectors drawn from `Random(seed)` in
+    * plane-major order — the exact generation order [[Similarity.bucketOf]] uses, so
+    * the same seed yields the same buckets driver-side and executor-side.
+    */
+  private def planesFor(dim: Int, planes: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  private def bucketFor(v: Seq[Float], dim: Int, planeVecs: Array[Array[Double]]): Long = {
+    // Fail loud on a length mismatch: silently truncating to min(len, dim) would
+    // bucket on a PREFIX while the cosine verify uses the full vector (silent
+    // recall loss), and the driver-side Similarity.bucketOf uses the probe's full
+    // length — the two sides would compute different buckets with no error.
+    require(v.length == dim,
+      s"embedding length ${v.length} != declared dim $dim")
+    var bucket = 0L
+    var p = 0
+    while (p < planeVecs.length) {
+      val w = planeVecs(p)
+      var dot = 0.0
+      var i = 0
+      while (i < dim) { dot += v(i).toDouble * w(i); i += 1 }
+      if (dot >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  /** All `tables` hyperplane bucket ids of a vector in one row-local pass (one UDF
+    * invocation, one traversal of the plane set — no per-table re-boxing of the
+    * vector). Table t draws its planes from `seed + t`, so table 0 reproduces
+    * [[hyperplaneBucket]]'s buckets exactly.
+    */
+  def hyperplaneBuckets(vec: Column, dim: Int, planes: Int, tables: Int,
+      seed: Long = 42L): Column = {
+    val tablePlanes: Array[Array[Array[Double]]] =
+      Array.tabulate(tables)(t => planesFor(dim, planes, seed + t))
+    val f = udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else tablePlanes.map(p => bucketFor(v, dim, p))
     }
     f(vec)
   }
 
   /** Embedding near-dup pairs: bucket by hyperplane signature, verify cosine within
-    * buckets. `planes` trades recall for bucket size (expected bucket fraction 2^-planes).
+    * buckets. `planes` trades recall for bucket size (expected bucket fraction
+    * 2^-planes); `tables` independent plane sets union their candidates (like
+    * MinHash's bands) — recall for a pair at angle θ is 1-(1-(1-θ/π)^planes)^tables,
+    * so a single 8-plane table measurably misses pairs near the threshold while
+    * tables=4 recovers them.
+    *
+    * 100 TB shape, mirroring [[minhashCandidatePairs]]+[[exactJaccard]]: only
+    * (table, bucket, id) rows — not the float vectors — cross the bucket shuffle and
+    * self-join; an oversized-bucket guard (windowed count over the same exchange)
+    * drops degenerate buckets (all-zero / near-identical vector piles, or planes ≪
+    * log₂ n) that would otherwise make the self-join quadratic; vectors are joined
+    * back per side only for the surviving distinct id pairs, then cosine-verified.
     */
   def nearDupPairsEmbedding(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      threshold: Double, planes: Int = 8): DataFrame = {
-    val b = fanOut(df).select(col(idCol).as("id"), col(vecCol).as("v"),
-      hyperplaneBucket(col(vecCol), dim, planes).as("bucket"))
-    val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, "bucket").filter(col("id_a") < col("id_b"))
+      threshold: Double, planes: Int = 8, tables: Int = 1,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(planes >= 1 && planes <= 63, s"planes must be in [1, 63], got $planes")
+    require(tables >= 1, s"tables must be positive, got $tables")
+    val docs = fanOut(df).select(col(idCol).as("id"), col(vecCol).as("v"))
+    // Vector lookup side for the verify joins: one explicit shuffle on the id so
+    // ReuseExchange feeds both the id_a and id_b joins from a single materialization
+    // (same rationale as exactJaccard's shingle side).
+    val vecs = docs.select(col("id").as("_vid"), col("v")).repartition(col("_vid"))
+    // Null vectors bucket to null and posexplode drops them — a null embedding can
+    // never cosine-verify anyway, and without the drop every null would need a
+    // null-safe join to even pair up.
+    val bucketed = docs
+      .select(col("id"),
+        posexplode(hyperplaneBuckets(col("v"), dim, planes, tables)).as(Seq("table", "bucket")))
+      // Guard shape identical to minhashCandidatePairs: one explicit shuffle on the
+      // bucket key reused by the windowed count and both join sides; the window sees
+      // ~20-byte (table, bucket, id) rows, never the vectors.
+      .repartition(col("table"), col("bucket"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("table"), col("bucket"))))
+      .filter(col("_n") <= maxBucketSize).drop("_n")
+    val a = bucketed.select(col("table"), col("bucket"), col("id").as("id_a"))
+    val b = bucketed.select(col("table"), col("bucket"), col("id").as("id_b"))
+    // Distinct BEFORE the vector join: a pair sharing buckets in several tables must
+    // fetch vectors and run the cosine kernel once, not `tables` times.
+    val idPairs = a.join(b, Seq("table", "bucket")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    idPairs
+      .join(vecs.withColumnRenamed("_vid", "id_a").withColumnRenamed("v", "v_a"), "id_a")
+      .join(vecs.withColumnRenamed("_vid", "id_b").withColumnRenamed("v", "v_b"), "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .distinct()
   }
 }

@@ -417,6 +417,68 @@ class OperatorSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("embedding LSH bucket guard bounds a degenerate identical-vector corpus") {
+    import spark.implicits._
+    // 5k identical vectors: every row lands in the SAME bucket of every table, so an
+    // unguarded self-join would verify ~12.5M pairs carrying full float arrays. The
+    // guard must drop the oversized bucket and return no pairs, quickly.
+    val v = Array.fill(16)(1.0f).toSeq
+    val df = (1L to 5000L).map(i => (i, v)).toDF("id", "v")
+    val t0 = System.nanoTime()
+    val n = Dedup.nearDupPairsEmbedding(df, "id", "v", dim = 16, threshold = 0.9,
+      planes = 4, tables = 2, maxBucketSize = 100).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(n == 0, s"guard should drop the degenerate bucket, got $n pairs")
+    assert(sec < 60.0, s"degenerate corpus took ${sec}s — guard not bounding the join")
+  }
+
+  test("multi-table embedding LSH recovers recall a single table loses") {
+    import spark.implicits._
+    // 200 planted pairs at cosine exactly 0.85 (near = cosθ·v + sinθ·u, u ⊥ v):
+    // with planes=3 the per-table collision probability at that angle is
+    // (1 - θ/π)^3 ≈ 0.59, so one table misses ~40% of pairs while 6 independent
+    // tables union to ≈ 1-(0.41)^6 ≈ 0.995 recall. Fixed seed ⇒ deterministic.
+    val dim = 32
+    val rnd = new scala.util.Random(7)
+    val theta = math.acos(0.85)
+    val rows = (0 until 200).flatMap { k =>
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val vn = math.sqrt(v.map(x => x * x).sum)
+      val base = v.map(_ / vn)
+      val u0 = Array.fill(dim)(rnd.nextGaussian())
+      val dot = base.zip(u0).map { case (a, b) => a * b }.sum
+      val uo = u0.zip(base).map { case (a, b) => a - dot * b }
+      val un = math.sqrt(uo.map(x => x * x).sum)
+      val near = base.zip(uo).map { case (b, u) =>
+        math.cos(theta) * b + math.sin(theta) * (u / un) }
+      Seq((2L * k, base.map(_.toFloat).toSeq), (2L * k + 1, near.map(_.toFloat).toSeq))
+    }
+    val df = rows.toDF("id", "v")
+    // Brute-force truth driver-side (400 vectors): exactly the planted pairs plus any
+    // chance background pair over threshold (none at dim 32 with this seed).
+    val vecs = rows.toMap
+    val ids = rows.map(_._1)
+    val truth = (for {
+      i <- ids; j <- ids if i < j
+      a = vecs(i); b = vecs(j)
+      cos = a.zip(b).map { case (x, y) => x.toDouble * y }.sum /
+        (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+      if cos >= 0.8
+    } yield (i, j)).toSet
+    assert(truth.size >= 200, s"planted pairs missing from brute force: ${truth.size}")
+    def recallAt(tables: Int): Double = {
+      val found = Dedup.nearDupPairsEmbedding(df, "id", "v", dim = dim, threshold = 0.8,
+        planes = 3, tables = tables)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(found.subsetOf(truth), "LSH must never report a pair below threshold")
+      found.size.toDouble / truth.size
+    }
+    val one = recallAt(1)
+    val six = recallAt(6)
+    assert(one < 0.95, s"single-table recall unexpectedly high ($one) — test not discriminating")
+    assert(six >= 0.97, s"six-table recall $six below 0.97")
+  }
+
   test("brute-force topK matches within-bucket ANN on its candidates") {
     val probe = embs.filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).toSeq
