@@ -465,6 +465,28 @@ object Queries {
              | CAST(sum(CASE WHEN hour(ts) >= 9 AND hour(ts) < 17 AND dayofweek(ts) BETWEEN 1 AND 5 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(ts) AS DOUBLE) AS ratio
              | FROM events""".stripMargin.replaceAll("\n", " "))),
 
+    // Minute-granularity BusinessHours THROUGH the constraint surface (the sibling
+    // business_hours_events re-derives whole-hour aggregates without the constraint):
+    // a 09:30-17:30 business-day window and an overnight 22:15-06:45 shift window,
+    // both checked against DuckDB's hour*60+minute arithmetic.
+    QueryDef("business_hours_halfhour_events",
+      (s, d) => {
+        import graft.constraints._
+        import graft.core._
+        val ge0 = Assertion.GreaterThanOrEqual(0.0)
+        val rs = ValidationSuite.evaluateBatched(t(s, d, "events"), Seq(
+          BusinessHoursConstraint("ts", "09:30", "17:30", businessDaysOnly = true, ge0),
+          BusinessHoursConstraint("ts", "22:15", "06:45", businessDaysOnly = false, ge0)))
+        import s.implicits._
+        Seq((optD(rs(0), 6), optD(rs(1), 6))).toDF("day_ratio", "night_ratio")
+      },
+      Some("""SELECT
+             | round(CAST(sum(CASE WHEN hour(ts)*60+minute(ts) >= 570 AND hour(ts)*60+minute(ts) < 1050
+             |   AND dayofweek(ts) BETWEEN 1 AND 5 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(ts) AS DOUBLE), 6) AS day_ratio,
+             | round(CAST(sum(CASE WHEN hour(ts)*60+minute(ts) >= 1335 OR hour(ts)*60+minute(ts) < 405
+             |   THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(ts) AS DOUBLE), 6) AS night_ratio
+             | FROM events""".stripMargin.replaceAll("\n", " "))),
+
     QueryDef("date_range_events",
       (s, d) => t(s, d, "events").agg(
         count(col("ts")).as("non_null"),

@@ -51,19 +51,24 @@ final case class DateRangeConstraint(tsColumn: String, from: String, to: String)
   */
 final case class BusinessHoursConstraint(
     tsColumn: String,
-    startHour: Int = 9, endHour: Int = 17,
+    start: String = "09:00", end: String = "17:00",
     businessDaysOnly: Boolean = true,
     assertion: Assertion = Assertion.GreaterThanOrEqual(1.0)) extends Constraint {
-  require(startHour >= 0 && startHour <= 24 && endHour >= 0 && endHour <= 24,
-    s"hours must be in [0,24], got $startHour..$endHour")
-  require(startHour != endHour,
-    s"startHour == endHour ($startHour) matches no timestamps")
-  val name = s"BusinessHours($tsColumn ${startHour}h-${endHour}h) ${assertion.describe}"
-  // start > end = an OVERNIGHT window (e.g. 22h-6h, a night shift): hour >= start OR
-  // hour < end. The naive AND would silently match nothing and always fail.
+  // Minute granularity like the reference's HH:MM string compare
+  // (temporal_ordering.rs:392-401): "09:30".."17:30" is a valid window. Bare "9"
+  // still means 09:00 for the common whole-hour case.
+  private val startMin = BusinessHoursConstraint.minuteOfDayOf(start)
+  private val endMin = BusinessHoursConstraint.minuteOfDayOf(end)
+  require(startMin != endMin,
+    s"start == end ($start) matches no timestamps")
+  val name = s"BusinessHours($tsColumn $start-$end) ${assertion.describe}"
+  private def minuteOfDay = hour(col(tsColumn)) * 60 + minute(col(tsColumn))
+  // start > end = an OVERNIGHT window (e.g. 22:00-06:00, a night shift):
+  // minute >= start OR minute < end. The naive AND would silently match nothing
+  // and always fail.
   private val inHours =
-    if (startHour < endHour) hour(col(tsColumn)) >= startHour && hour(col(tsColumn)) < endHour
-    else hour(col(tsColumn)) >= startHour || hour(col(tsColumn)) < endHour
+    if (startMin < endMin) minuteOfDay >= startMin && minuteOfDay < endMin
+    else minuteOfDay >= startMin || minuteOfDay < endMin
   // Spark dayofweek: 1=Sunday..7=Saturday; business days are 2..6.
   private val inDays = dayofweek(col(tsColumn)).between(2, 6)
   private val pred = if (businessDaysOnly) inHours && inDays else inHours
@@ -74,6 +79,35 @@ final case class BusinessHoursConstraint(
     val nonNull = Num.toLong(values(0)).getOrElse(0L)
     if (nonNull == 0L) return skipped("no non-null timestamps")
     assertOn(Num.toLong(values(1)).getOrElse(0L).toDouble / nonNull.toDouble, assertion)
+  }
+}
+
+object BusinessHoursConstraint {
+  private val Hhmm = "^(\\d{1,2})(?::([0-5]\\d))?$".r
+
+  /** Parse an "HH:MM" (or bare "HH") bound to minutes past midnight. "24:00" is the
+    * end-of-day sentinel (1440), valid only as an end bound's exclusive limit — the
+    * range check below allows it and the window arithmetic treats it as > every
+    * in-day minute, exactly like the old endHour=24.
+    */
+  private[constraints] def minuteOfDayOf(bound: String): Int = bound match {
+    case Hhmm(h, m) =>
+      val mins = h.toInt * 60 + Option(m).map(_.toInt).getOrElse(0)
+      require(mins >= 0 && mins <= 24 * 60,
+        s"business-hours bound out of range: '$bound'")
+      mins
+    case other =>
+      throw new IllegalArgumentException(
+        s"business-hours bound must be 'HH:MM' or 'HH', got '$other'")
+  }
+
+  /** Whole-hour convenience constructor (the pre-minute-granularity surface). */
+  def apply(tsColumn: String, startHour: Int, endHour: Int, businessDaysOnly: Boolean,
+      assertion: Assertion): BusinessHoursConstraint = {
+    require(startHour >= 0 && startHour <= 24 && endHour >= 0 && endHour <= 24,
+      s"hours must be in [0,24], got $startHour..$endHour")
+    BusinessHoursConstraint(tsColumn, f"$startHour%02d:00", f"$endHour%02d:00",
+      businessDaysOnly, assertion)
   }
 }
 

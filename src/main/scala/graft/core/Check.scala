@@ -129,9 +129,9 @@ final class CheckBuilder(val description: String, val level: Level = Level.Error
 
   // --- temporal ---
   def isInDateRange(ts: String, from: String, to: String): CheckBuilder = add(DateRangeConstraint(ts, from, to))
-  def isInBusinessHours(ts: String, startHour: Int = 9, endHour: Int = 17,
+  def isInBusinessHours(ts: String, start: String = "09:00", end: String = "17:00",
       businessDaysOnly: Boolean = true, a: Assertion = Assertion.GreaterThanOrEqual(1.0)): CheckBuilder =
-    add(BusinessHoursConstraint(ts, startHour, endHour, businessDaysOnly, a))
+    add(BusinessHoursConstraint(ts, start, end, businessDaysOnly, a))
   def isBefore(before: String, after: String, strict: Boolean = false): CheckBuilder =
     add(BeforeAfterConstraint(before, after, strict))
   def hasMaxTimeGap(ts: String, partitionBy: Seq[String], maxGapSeconds: Long): CheckBuilder =

@@ -162,6 +162,53 @@ class ConstraintSpec extends SparkSpec {
       .status == Skipped)
   }
 
+  test("business hours: minute granularity, exclusive end, overnight window") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 2024-01-08 is a Monday; 2024-01-06 a Saturday.
+    val frame = Seq(
+      ts("2024-01-08 09:29:59"), // before 09:30 → out
+      ts("2024-01-08 09:30:00"), // boundary → in
+      ts("2024-01-08 17:29:59"), // in
+      ts("2024-01-08 17:30:00"), // exclusive end → out
+      ts("2024-01-06 12:00:00")  // Saturday noon → out on business days
+    ).map(Tuple1(_)).toDF("ts")
+    val day = BusinessHoursConstraint("ts", "09:30", "17:30", businessDaysOnly = true,
+      Assertion.Equals(0.4)).evaluate(frame)
+    assert(day.status == ConstraintStatus.Success, s"${day.status}/${day.message}")
+    // Overnight 22:15-06:45 wraps midnight: >= start OR < end, day filter off.
+    val night = Seq(
+      ts("2024-01-08 22:14:59"), // out
+      ts("2024-01-08 22:15:00"), // in
+      ts("2024-01-09 03:00:00"), // in
+      ts("2024-01-09 06:44:59"), // in
+      ts("2024-01-09 06:45:00")  // exclusive end → out
+    ).map(Tuple1(_)).toDF("ts")
+    val r = BusinessHoursConstraint("ts", "22:15", "06:45", businessDaysOnly = false,
+      Assertion.Equals(0.6)).evaluate(night)
+    assert(r.status == ConstraintStatus.Success, s"${r.status}/${r.message}")
+    // Bare "9" still means 09:00, and the whole-hour Int constructor still works.
+    val nine = BusinessHoursConstraint("ts", "9", "17:00", businessDaysOnly = false,
+      Assertion.GreaterThanOrEqual(0.0))
+    assert(nine.name.contains("9-17:00"))
+    val legacy = BusinessHoursConstraint("ts", 9, 17, businessDaysOnly = true,
+      Assertion.GreaterThanOrEqual(0.0))
+    assert(legacy.name.contains("09:00-17:00"))
+    // Malformed / degenerate bounds fail at construction, not inside the scan.
+    intercept[IllegalArgumentException] {
+      BusinessHoursConstraint("ts", "9:5", "17:00", businessDaysOnly = true,
+        Assertion.GreaterThanOrEqual(0.0))
+    }
+    intercept[IllegalArgumentException] {
+      BusinessHoursConstraint("ts", "25:00", "17:00", businessDaysOnly = true,
+        Assertion.GreaterThanOrEqual(0.0))
+    }
+    intercept[IllegalArgumentException] {
+      BusinessHoursConstraint("ts", "09:30", "09:30", businessDaysOnly = true,
+        Assertion.GreaterThanOrEqual(0.0))
+    }
+  }
+
   test("containment and compliance") {
     assert(run(ComplianceConstraint.containedIn("g", Seq("x", "y"))).status == Success)
     assert(run(ComplianceConstraint.containedIn("g", Seq("x"))).status == Failure)
