@@ -39,6 +39,32 @@ final case class ValidationReport(
   def allResults: Seq[ConstraintResult] = checkResults.flatMap(_.constraintResults)
 }
 
+/** Telemetry hook for suite execution (idiomatic stand-in for the reference's
+  * structured span exporter, term-guard/src/telemetry.rs:1-821): implement the
+  * callbacks and pass the listener to [[ValidationSuite.run]] /
+  * [[ValidationSuite.evaluateBatched]] to stream per-constraint completions into
+  * metrics/log/OTel pipelines.
+  *
+  * Contract: every constraint occurrence gets exactly ONE `onConstraintComplete`
+  * (carrying name, status, metric, message, durationMillis) as its result group
+  * becomes available — batched constraints right after their shared scan, multi-job
+  * constraints after their own job(s) — followed by one `onSuiteComplete` from
+  * [[ValidationSuite.run]]. Callbacks run on the driver thread that called the suite,
+  * in deterministic order (declaration order within each group, batched group first);
+  * a listener that throws aborts the run, so exporters should catch their own errors.
+  */
+trait ValidationListener {
+  def onConstraintComplete(result: ConstraintResult): Unit
+  def onSuiteComplete(suiteName: String, metrics: ValidationMetrics): Unit
+}
+
+object ValidationListener {
+  val NoOp: ValidationListener = new ValidationListener {
+    def onConstraintComplete(result: ConstraintResult): Unit = ()
+    def onSuiteComplete(suiteName: String, metrics: ValidationMetrics): Unit = ()
+  }
+}
+
 /** Suite runner. The centerpiece optimization (live here, dead code in the reference —
   * term-guard/src/core/suite.rs:457-469): all aggregate-batchable constraints across all
   * checks are deduplicated by expression and executed as ONE `df.agg(...)` job — a single
@@ -50,10 +76,10 @@ final case class ValidationReport(
   */
 final case class ValidationSuite(name: String, checks: Seq[Check]) {
 
-  def run(df: DataFrame): ValidationReport = {
+  def run(df: DataFrame, listener: ValidationListener = ValidationListener.NoOp): ValidationReport = {
     val t0 = System.nanoTime()
     val constraints = checks.flatMap(_.constraints)
-    val results = ValidationSuite.evaluateBatched(df, constraints)
+    val results = ValidationSuite.evaluateBatched(df, constraints, listener)
     // Positional slicing, not an equality-keyed map: results come back positionally,
     // and keying by constraint would silently misassign if a future constraint type
     // had non-structural equality or per-occurrence results.
@@ -70,6 +96,7 @@ final case class ValidationSuite(name: String, checks: Seq[Check]) {
       failed = all.count(_.isFailure),
       skipped = all.count(_.status == ConstraintStatus.Skipped),
       durationMillis = (System.nanoTime() - t0) / 1000000)
+    listener.onSuiteComplete(name, metrics)
     ValidationReport(name, checkResults, metrics, issues)
   }
 }
@@ -90,7 +117,8 @@ object ValidationSuite {
     * computed once (reference intent: optimizer/combiner.rs:176-186).
     * Results are returned positionally matching `constraints`.
     */
-  def evaluateBatched(df: DataFrame, constraints: Seq[Constraint]): Seq[ConstraintResult] = {
+  def evaluateBatched(df: DataFrame, constraints: Seq[Constraint],
+      listener: ValidationListener = ValidationListener.NoOp): Seq[ConstraintResult] = {
     val (batchable, custom) = constraints.partition(_.aggregates.nonEmpty)
 
     // One shared scan for a set of batchable constraints (throws on failure).
@@ -166,6 +194,11 @@ object ValidationSuite {
             }
           okResults ++ badResults
       }
+    // Batched completions fire as a group right after the shared scan(s), in
+    // declaration order — the per-job granularity a span exporter can observe for a
+    // fused scan (individual shares of one job are not attributable; see
+    // ConstraintResult.durationMillis).
+    batchable.foreach(c => listener.onConstraintComplete(batchResults(c)))
 
     // Multi-job constraints (groupBy/join/window shapes) are independent Spark jobs:
     // submit them CONCURRENTLY so their stages interleave in the scheduler instead of
@@ -189,6 +222,10 @@ object ValidationSuite {
           Await.result(Future.sequence(futures), scala.concurrent.duration.Duration.Inf).toMap
         } finally pool.shutdown()
       }
+    // One completion per OCCURRENCE (duplicate constraints in several checks each get
+    // their shared result), on the driver thread, after the concurrent pool joins —
+    // listeners never race.
+    custom.foreach(c => listener.onConstraintComplete(customResults(c)))
 
     constraints.map(c => batchResults.getOrElse(c, customResults(c)))
   }

@@ -104,6 +104,41 @@ class SuiteSpec extends SparkSpec {
     }
   }
 
+  test("validation listener: one callback per occurrence, batched first, suite last") {
+    val recorded = scala.collection.mutable.ArrayBuffer.empty[(String, Any)]
+    val listener = new ValidationListener {
+      def onConstraintComplete(r: ConstraintResult): Unit = recorded += (("c", r))
+      def onSuiteComplete(name: String, m: ValidationMetrics): Unit = recorded += (("s", (name, m)))
+    }
+    // Mixed suite: two batchable (shared scan), one multi-job (own job), plus a
+    // DUPLICATE batchable occurrence across checks — each occurrence must fire once.
+    val report = ValidationSuite.builder("telemetry")
+      .check(CheckBuilder("c1", Level.Error)
+        .hasSize(Assertion.Equals(100))
+        .hasCompleteness("status", Assertion.Equals(0.9)).build())
+      .check(CheckBuilder("c2", Level.Warning)
+        .hasSize(Assertion.Equals(100))
+        .hasHistogramSatisfying("status", "has ok")(h => h.buckets.contains("ok")).build())
+      .build().run(df, listener)
+    val constraintEvents = recorded.collect { case ("c", r: ConstraintResult) => r }
+    assert(constraintEvents.size == 4, s"one event per occurrence: $constraintEvents")
+    // Payload carries name/status/metric/duration for every event.
+    constraintEvents.foreach { r =>
+      assert(r.constraint.nonEmpty && r.durationMillis >= 0, r.toString)
+    }
+    assert(constraintEvents.count(_.constraint.startsWith("Size")) == 2,
+      "duplicate Size occurrence fires twice")
+    // Batched group (Size, Completeness, Size) precedes the multi-job Histogram,
+    // declaration order within each group; suite completion is last overall.
+    assert(constraintEvents.last.constraint.startsWith("Histogram"), constraintEvents.map(_.constraint))
+    assert(recorded.last._1 == "s")
+    val (suiteName, metrics) = recorded.last._2.asInstanceOf[(String, ValidationMetrics)]
+    assert(suiteName == "telemetry" && metrics == report.metrics)
+    // Listener observes the same results the report carries.
+    assert(constraintEvents.map(_.status).toSet.subsetOf(
+      report.allResults.map(_.status).toSet))
+  }
+
   test("suite report: error-level failure fails the suite, warning does not") {
     val failingError = ValidationSuite.builder("s")
       .check(CheckBuilder("c1", Level.Error).hasSize(Assertion.GreaterThan(1000)).build())
