@@ -194,23 +194,32 @@ final case class MaxTimeGapConstraint(
     */
   private def globalGaps(df: DataFrame): Option[(Double, Long)] = {
     val limit = maxGapSeconds
-    val stats = df.select(epochSeconds(df).as("t")).filter(finiteTs(col("t")))
-      .repartitionByRange(col("t"))
-      .sortWithinPartitions("t")
-      .rdd.mapPartitionsWithIndex { (idx, it) =>
-        var first = 0.0; var last = 0.0; var maxGap = Double.NegativeInfinity
-        var viol = 0L; var n = 0L
-        while (it.hasNext) {
-          val t = it.next().getDouble(0)
-          if (n > 0) {
-            val g = t - last
-            if (g > maxGap) maxGap = g
-            if (g > limit) viol += 1
-          } else first = t
-          last = t; n += 1
-        }
-        if (n == 0) Iterator.empty else Iterator((idx, first, last, maxGap, viol, n))
-      }.collect().sortBy(_._1)
+    // repartitionByRange computes its bounds with a SAMPLING JOB over the input, then
+    // the shuffle job reads it again — uncached, that is two full scans (two parquet
+    // decodes) of the projection. Cache the single-column projection so the sample
+    // pass populates executor storage (~8 bytes/row, MEMORY_AND_DISK so it spills,
+    // never OOMs) and the shuffle reads it back; unpersist as soon as the summaries
+    // are collected.
+    val projected = df.select(epochSeconds(df).as("t")).filter(finiteTs(col("t"))).cache()
+    val stats = try {
+      projected
+        .repartitionByRange(col("t"))
+        .sortWithinPartitions("t")
+        .rdd.mapPartitionsWithIndex { (idx, it) =>
+          var first = 0.0; var last = 0.0; var maxGap = Double.NegativeInfinity
+          var viol = 0L; var n = 0L
+          while (it.hasNext) {
+            val t = it.next().getDouble(0)
+            if (n > 0) {
+              val g = t - last
+              if (g > maxGap) maxGap = g
+              if (g > limit) viol += 1
+            } else first = t
+            last = t; n += 1
+          }
+          if (n == 0) Iterator.empty else Iterator((idx, first, last, maxGap, viol, n))
+        }.collect().sortBy(_._1)
+    } finally projected.unpersist(blocking = false)
     val total = stats.map(_._6).sum
     if (total < 2) return None
     var maxGap = stats.map(_._4).max // NegativeInfinity for single-row partitions
@@ -277,8 +286,15 @@ final case class MonotonicConstraint(
     * filters out null order/value rows (evaluate does).
     */
   private[graft] def globalViolationsDf(input: DataFrame): DataFrame = {
-    val ranged = input
+    // Eager at call time: repartitionByRange's bound-sampling job and the shuffle
+    // job would each re-read the source — two full parquet decodes of the projection.
+    // localCheckpoint materializes the two-column projection once (executor-local
+    // blocks, disk-spilling, job-scoped cleanup via the context cleaner) and both
+    // passes read it back; at sf0.1 this halves the wall time of the whole plan.
+    val projected = input
       .select(col(orderColumn).as("_o"), col(valueColumn).as("_v"))
+      .localCheckpoint(true)
+    val ranged = projected
       .repartitionByRange(col("_o"), col("_v"))
       .withColumn("_pid", spark_partition_id())
     val w = Window.partitionBy(col("_pid")).orderBy(col("_o"), col("_v"))
