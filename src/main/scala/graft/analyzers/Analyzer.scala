@@ -267,6 +267,12 @@ final case class SumAnalyzer(column: String) extends Analyzer[SumState] {
   // count the CAST column, like the sum: if a value can't participate in the sum
   // (cast → null on a malformed string under non-ANSI), counting it anyway would
   // silently skew every count-derived statistic.
+  // Deliberate precision trade-off: the sum accumulates in DOUBLE, so exact long /
+  // decimal sums beyond 2^53 round (~1 ulp per partial). The alternatives both lose:
+  // a native long sum overflows (throws under ANSI) at epoch-magnitude values times
+  // billions of rows, and SumState itself carries Double — incremental merges would
+  // re-round whatever extra precision one scan preserved. Exact big-integer sums
+  // belong to StatisticConstraint (un-merged, single scan), not this mergeable state.
   private def xd = col(column).cast("double")
   val stateAggregates = Seq(sum(xd), count(xd))
   def stateFromValues(v: Seq[Any]) =
@@ -279,6 +285,7 @@ final case class MeanAnalyzer(column: String) extends Analyzer[SumState] {
   val name = "mean"; val key = s"mean.$column"
   // count the cast column (see SumAnalyzer): n must count exactly the values the
   // sum contains, or the mean is silently wrong on partially-castable columns.
+  // Same double-accumulation precision trade-off as SumAnalyzer (documented there).
   private def xd = col(column).cast("double")
   val stateAggregates = Seq(sum(xd), count(xd))
   def stateFromValues(v: Seq[Any]) =

@@ -234,6 +234,11 @@ final case class FormatConstraint(
   // previously went through a SQL-string identifier (literal name) while the regex
   // branch dot-parsed, so the same constructor string could address different
   // columns — or crash in one branch and work in the other.
+  // Deliberate dotted-name semantics (constraint-layer convention, unlike the
+  // Profiler whose names come from df.columns and stay literal via SqlIdent): a
+  // dot here means struct-field access, as everywhere else in this package; a
+  // column literally named "a.b" must be addressed as "`a.b`", Spark's own
+  // col() convention.
   private val matches: Column = format match {
     case FormatType.Json => try_parse_json(col(column)).isNotNull
     case f               => col(column).rlike(f.pattern)

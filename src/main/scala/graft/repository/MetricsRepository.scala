@@ -65,6 +65,25 @@ trait MetricsRepository {
     q.limit.map(newestFirst.take).getOrElse(newestFirst).reverse
   }
 
+  /** Newest-N points of EXACTLY `metricKey` (no dotted sub-metrics), returned
+    * oldest-first — the bounded per-batch read the streaming anomaly sink does on
+    * every micro-batch. The base implementation delegates to [[history]], whose bound
+    * is DRIVER-SIDE only (the full log is still loaded); ParquetMetricsRepository
+    * overrides with a predicate-pushed distributed read so the driver only ever
+    * collects N rows regardless of log size.
+    */
+  def pointsFor(metricKey: String, newestN: Option[Int]): Seq[(Long, Double)] =
+    history(metricKey, MetricsQuery(limit = newestN, newestFirst = false))
+
+  /** Exact-key point lookup: the value recorded for `metricKey` at `timestamp`, if
+    * any. Complements [[pointsFor]]'s newest-N window — a replay/collision probe for
+    * a timestamp OLDER than the window needs this unbounded-exact check, not a wider
+    * scan. Base implementation filters [[history]]; ParquetMetricsRepository pushes
+    * both predicates into the file scan.
+    */
+  def pointAt(metricKey: String, timestamp: Long): Option[Double] =
+    history(metricKey).reverseIterator.find(_._1 == timestamp).map(_._2)
+
   /** The metric log as a DataFrame (timestamp, tags, metric, value) — arbitrary Spark
     * SQL over metric history for ANY repository implementation (the reference's
     * SQL-over-metrics executor, repository/datafusion_executor.rs:53-275, without a
@@ -128,6 +147,34 @@ final class ParquetMetricsRepository(path: String, spark: org.apache.spark.sql.S
         org.apache.spark.sql.types.StructField("tags", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("metric", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
+  }
+
+  /** Predicate-pushed bounded read: `metric = key` prunes row groups at the parquet
+    * scan, duplicate rows merge to the max value exactly like loadAll's record merge,
+    * and the newest-N cut runs as a distributed TopK (TakeOrdered) — the driver
+    * collects at most N rows however long the stream has been appending.
+    */
+  override def pointsFor(metricKey: String, newestN: Option[Int]): Seq[(Long, Double)] = {
+    import org.apache.spark.sql.functions.{col, max}
+    val merged = readLog(spark).filter(col("metric") === metricKey)
+      .groupBy(col("timestamp"), col("tags")).agg(max(col("value")).as("value"))
+      .select(col("timestamp"), col("value"))
+    val limited = newestN match {
+      case Some(n) => merged.orderBy(col("timestamp").desc).limit(n)
+      case None    => merged
+    }
+    limited.as[(Long, Double)].collect().toSeq.sortBy(_._1)
+  }
+
+  /** Exact (metric, timestamp) probe — both predicates reach the file scan; ties
+    * across tag sets resolve to the max value, matching loadAll's merge direction.
+    */
+  override def pointAt(metricKey: String, timestamp: Long): Option[Double] = {
+    import org.apache.spark.sql.functions.{col, max}
+    val row = readLog(spark)
+      .filter(col("metric") === metricKey && col("timestamp") === timestamp)
+      .agg(max(col("value"))).head()
+    if (row.isNullAt(0)) None else Some(row.getDouble(0))
   }
 
   def loadAll(): Seq[MetricRecord] =

@@ -174,27 +174,36 @@ object StreamingAnalysis {
       // foreachBatch is at-least-once: a batch replayed after a mid-commit failure must
       // not append its metric twice (duplicate history points corrupt every later
       // change/z-score comparison). The batch id IS the record timestamp, so replays
-      // are detected by key. History is read ONCE per batch and BOUNDED (for a
-      // parquet-backed repository each read is a log scan + driver collect — unbounded,
-      // per-batch cost would grow linearly with stream lifetime; the newest-N window is
-      // what every strategy actually consumes).
-      val prior = repo.history(metricKey,
-        graft.repository.MetricsQuery(limit = historyLimit))
+      // are detected by key. History is read ONCE per batch and BOUNDED end to end —
+      // pointsFor pushes the exact-key filter and newest-N cut into the repository
+      // (the parquet backend runs it as a predicate-pushed TopK, so the driver
+      // collects N rows however long the stream has run); the newest-N window is what
+      // every strategy actually consumes.
+      val prior = repo.pointsFor(metricKey, historyLimit)
       val point = batchId -> metricOf(batch)
+      // Replay/collision detection must be EXACT even past the bounded window: a
+      // checkpoint-reset collision at batch 0 on a stream with >historyLimit recorded
+      // batches is invisible to the newest-N read and would silently re-save over
+      // existing history. Only when the window could have truncated the key (window
+      // full AND its oldest point is newer than this batch) pay one exact-key probe.
+      val windowMayTruncate = historyLimit.exists(prior.size >= _) &&
+        prior.headOption.exists(_._1 > batchId)
+      val existing = prior.find(_._1 == batchId).map(_._2)
+        .orElse(if (windowMayTruncate) repo.pointAt(metricKey, batchId) else None)
       def alertFor(series: Seq[(Long, Double)]): Unit = {
         // Only THIS batch's point may alert — detect() returns every historical anomaly
         // each time, and re-firing them every micro-batch is an alert storm.
         val anomalies = strategy.detect(series.sortBy(_._1)).filter(_.timestamp == batchId)
         if (anomalies.nonEmpty) onAnomaly(batchId, anomalies)
       }
-      prior.find(_._1 == batchId) match {
-        case Some((_, prev)) if prev == point._2 || (prev.isNaN && point._2.isNaN) =>
+      existing match {
+        case Some(prev) if prev == point._2 || (prev.isNaN && point._2.isNaN) =>
           // Genuine replay (same batch, same deterministic metric): the point is
           // already in history. RE-RUN detection and alerting — the prior attempt may
           // have died between save and onAnomaly, and a duplicate alert is recoverable
           // where a silently swallowed one is not (at-least-once alerting).
           alertFor(prior)
-        case Some((_, prev)) =>
+        case Some(prev) =>
           // Same batch id, DIFFERENT metric: this is not a replay — it is a query
           // restarted with a fresh checkpoint (batch ids reset to 0) writing into the
           // same repository/metricKey. Silently skipping would discard every colliding

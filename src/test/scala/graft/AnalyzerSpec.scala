@@ -355,6 +355,26 @@ class AnalyzerSpec extends SparkSpec {
     assert(fresh.toDataFrame.columns.toSeq == Seq("timestamp", "tags", "metric", "value"))
   }
 
+  test("pointsFor/pointAt: backends agree, bound is pushed, dotted sub-metrics don't leak") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-metrics").toString + "/points"
+    val pq = new ParquetMetricsRepository(dir, spark)
+    val mem = new InMemoryMetricsRepository
+    Seq(pq, mem).foreach { r =>
+      (1L to 10L).foreach(ts => r.save(ResultKey(ts), Map("m" -> ts.toDouble)))
+      // dotted sub-metric rows must not match the exact key
+      r.save(ResultKey(11L), Map("m.daily" -> 99.0))
+    }
+    Seq[MetricsRepository](pq, mem).foreach { r =>
+      val label = r.getClass.getSimpleName
+      assert(r.pointsFor("m", Some(3)) == Seq(8L -> 8.0, 9L -> 9.0, 10L -> 10.0), label)
+      assert(r.pointsFor("m", None).size == 10, label)
+      // exact lookup reaches BEYOND any newest-N window
+      assert(r.pointAt("m", 1L).contains(1.0), label)
+      assert(r.pointAt("m", 11L).isEmpty, s"$label: dotted sub-metric matched exact key")
+      assert(r.pointAt("m", 42L).isEmpty, label)
+    }
+  }
+
   test("all-null column: approx-distinct state is the empty sketch, not a poisoned null") {
     import spark.implicits._
     val df = Seq((1, None: Option[String]), (2, None), (3, None)).toDF("id", "v")

@@ -244,6 +244,47 @@ class StreamingSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("fresh checkpoint")))
   }
 
+  test("anomaly sink detects replay and collision BEYOND the bounded history window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // historyLimit=3, but history already holds batch 0 plus newer points 1..5: the
+    // newest-3 window (3,4,5) does not contain batch 0, so only the exact-key probe
+    // can see the prior point. A fresh-checkpoint collision at batch 0 must still
+    // fail loud, not silently re-save (the pre-fix behavior).
+    val repo = new graft.repository.InMemoryMetricsRepository
+    repo.save(graft.repository.ResultKey(0L), Map("m" -> 999.0))
+    (1L to 5L).foreach(ts => repo.save(graft.repository.ResultKey(ts), Map("m" -> 1.0)))
+    val input = MemoryStream[Long]
+    val q = StreamingAnalysis.anomalySink(
+      input.toDF().toDF("v"), b => b.count().toDouble, "m", repo,
+      graft.analyzers.AbsoluteChangeStrategy(maxIncrease = Some(5.0)),
+      (_, _) => (), historyLimit = Some(3)).start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        input.addData(1L, 2L, 3L) // batch 0 computes 3.0 != 999.0, outside the window
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    assert(ex.getMessage.contains("anomalySink") ||
+      Option(ex.getCause).exists(_.getMessage.contains("fresh checkpoint")))
+
+    // Genuine replay beyond the window: same value at batch 0 → no duplicate point,
+    // no exception, history unchanged.
+    val repo2 = new graft.repository.InMemoryMetricsRepository
+    repo2.save(graft.repository.ResultKey(0L), Map("m" -> 3.0))
+    (1L to 5L).foreach(ts => repo2.save(graft.repository.ResultKey(ts), Map("m" -> 1.0)))
+    val input2 = MemoryStream[Long]
+    val q2 = StreamingAnalysis.anomalySink(
+      input2.toDF().toDF("v"), b => b.count().toDouble, "m", repo2,
+      graft.analyzers.AbsoluteChangeStrategy(maxIncrease = Some(5.0)),
+      (_, _) => (), historyLimit = Some(3)).start()
+    try {
+      input2.addData(1L, 2L, 3L) // batch 0 recomputes 3.0 == saved → replay, skip save
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(repo2.history("m").size == 6, "replay must not append a duplicate point")
+  }
+
   test("keyed running moments survive non-numeric values (cast-null filter)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -150,6 +150,13 @@ def main():
         ],
     }
 
+    # n_chars derives from the text (Python len == codepoints == Spark length()), so
+    # an n_chars-vs-length(text) consistency constraint sees these rows as CONSISTENT
+    # — the hostile classes here are the texts themselves, not a planted metadata
+    # mismatch that would fail such a constraint for an unintended reason.
+    for row in adv["documents"]:
+        row["n_chars"] = len(row["text"]) if row["text"] is not None else None
+
     # embeddings list type needs the fixture's element count for the zero vector probe
     emb = pq.read_table(os.path.join(src, "embeddings.parquet"))
     dim = len(emb.column("embedding")[0].as_py())
