@@ -111,6 +111,17 @@ object Bench {
         else t1)
     }
 
+    // ---- 10x scale sweep (design-for-scale gate) ----
+    // Ratios for the LLM-pipeline headliners at 10x synthetic data (ScaleSweep builds
+    // a structure-preserving 10x corpus; the reference's own bound is <15x time for
+    // 10x data). In the bench JSON so a scale regression gates per-round instead of
+    // living in ad-hoc sweep logs. SPARK_GRAFT_SWEEP=0 skips (fast local iteration).
+    val sweep: Seq[(String, Double)] =
+      if (sys.env.get("SPARK_GRAFT_SWEEP").contains("0")) Nil
+      else try graft.tools.ScaleSweep.run(spark, sfDir).map { case (n, _, _, r) => n -> r }
+      catch { case scala.util.control.NonFatal(e) =>
+        println(s"[sweep] failed: ${e.getMessage}"); Seq("sweep_failed" -> -1.0) }
+
     // ONE compact JSON line. The driver keeps only the LAST 2,000 chars of stdout
     // (measured from BENCH_r01/r02: tail length exactly 2000, with sbt's trailing
     // "[success] Total time: …" line eating ~75 of them), so the line must stay well
@@ -122,11 +133,18 @@ object Bench {
     def r2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val headline = Seq(
       "suite20_cold" -> coldSec, "suite20_warm" -> warmSec, "suite20_cached" -> cachedSec)
+    val sweepJson: String =
+      if (sweep.isEmpty) ""
+      else {
+        val worst = sweep.maxBy(_._2)
+        val ratios = sweep.map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
+        s""","sweep10x":{"worst":${r2(worst._2)},"worst_q":"${worst._1}","bound":15.0,"ratios":$ratios}"""
+      }
     def line(entries: Seq[(String, Double)]): String = {
       val qs = (entries.map { case (k, v) => "\"" + k + "\":" + r2(v) } ++
         headline.map { case (k, v) => "\"" + k + "\":" + r3(v) })
         .mkString("{", ",", "}")
-      s"""{"metric":"suite20_inmemory_sec","value":${r3(cachedSec)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"suite20_inmemory_sec","value":${r3(cachedSec)},"unit":"sec","queries":$qs$sweepJson,"sf":"$sfDir"}"""
     }
     var entries = results
     // Drop the smallest NON-NEGATIVE value first: -1.0 failure sentinels must stay

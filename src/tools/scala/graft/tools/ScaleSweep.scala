@@ -40,22 +40,18 @@ object ScaleSweep {
     "similarity_topk_embeddings",
     "similarity_ivf_topk")
 
-  def main(args: Array[String]): Unit = {
-    val keep = args.contains("--keep")
-    val src = "/root/testdata/sf0.1"
+  /** Run the sweep against `src` on an existing session, returning
+    * (name, smallSec, bigSec, ratio) per headliner plus the suite20 10× datapoint.
+    * Callable from [[graft.Bench]] so the ratios land in the per-round bench JSON
+    * (scale regressions gate automatically) as well as from the standalone main.
+    */
+  def run(spark: SparkSession, src: String): Seq[(String, Double, Double, Double)] = {
     val out = s"/tmp/graft-sf1-${ProcessHandle.current().pid()}"
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
     try {
       build10x(spark, src, out)
       val d10 = spark.read.parquet(s"$out/documents.parquet").count()
       val e10 = spark.read.parquet(s"$out/embeddings.parquet").count()
-      println(s"[sweep] synthetic sf1 at $out: documents=$d10 embeddings=$e10")
+      println(s"[sweep] synthetic 10x at $out: documents=$d10 embeddings=$e10")
 
       val results = Queries.map { name =>
         val fn = SparkEntry.queries(name)
@@ -68,7 +64,7 @@ object ScaleSweep {
         val big = time(fn(spark, out))
         val ratio = big / small
         val verdict = if (ratio < 15.0) "ok" else "EXCEEDS 15x BOUND"
-        println(f"[sweep] $name%-34s sf0.1 $small%7.2f s   sf1 $big%7.2f s   ratio ${ratio}%5.1fx  $verdict")
+        println(f"[sweep] $name%-34s 1x $small%7.2f s   10x $big%7.2f s   ratio ${ratio}%5.1fx  $verdict")
         (name, small, big, ratio)
       }
       // Headline-workload scaling: the 20-constraint suite over 10× lineitem.
@@ -87,17 +83,28 @@ object ScaleSweep {
       suite(li1); suite(li10) // symmetric warmup
       val s1 = suite(li1); val s10 = suite(li10)
       println(f"[sweep] suite20_lineitem                   1x $s1%7.2f s   10x $s10%7.2f s   ratio ${s10 / s1}%5.1fx")
-
-      appendProgress(results :+ ("suite20_lineitem_10x", s1, s10, s10 / s1))
-      val worst = results.maxBy(_._4)
+      val all = results :+ ("suite20_lineitem_10x", s1, s10, s10 / s1)
+      val worst = all.maxBy(_._4)
       println(f"[sweep] worst ratio: ${worst._1} at ${worst._4}%.1fx (bound 15x)")
+      all
     } finally {
-      spark.stop()
-      if (!keep) {
-        import scala.reflect.io.Directory
-        new Directory(new java.io.File(out)).deleteRecursively()
-      }
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out)).deleteRecursively()
+      ()
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try appendProgress(run(spark, src))
+    finally spark.stop()
   }
 
   private def time(df: => DataFrame): Double = {
