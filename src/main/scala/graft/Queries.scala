@@ -894,6 +894,10 @@ object Queries {
         val daily = t(s, d, "events")
           .filter(col("ts").isNotNull) // null day would order dialect-dependently
           .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("cnt"))
+        // Un-partitioned window is BOUNDED by construction: it runs over the daily
+        // AGGREGATE (one row per distinct day — years of data is thousands of rows),
+        // never the events. The "No Partition Defined" warning it logs is benign here;
+        // re-audit only if the window's input stops being a per-day rollup.
         val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
         daily.select(avg(col("cnt")).over(w).as("roll7"))
           .agg(count(lit(1)).as("n_days"),
@@ -1524,6 +1528,11 @@ object Queries {
   private val sqlSurfaceDefs: Seq[QueryDef] = Seq(
     QueryDef("sql_text_metrics_documents",
       (s, d) => {
+        // In the timed body deliberately: register is an idempotent driver-side
+        // functionRegistry insert (microseconds) and the temp view a catalog map put —
+        // bench-profiled as noise. The query's r5 cost growth (0.2→1.4 s) was the
+        // ADDED work (quality scoring + distinct fingerprints through the SQL
+        // surface), not registration churn.
         graft.functions.GraftFunctions.register(s)
         t(s, d, "documents").createOrReplaceTempView("graft_sql_docs")
         s.sql("""SELECT count(*) AS n_docs,

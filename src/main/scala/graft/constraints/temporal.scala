@@ -310,6 +310,10 @@ final case class MonotonicConstraint(
         sum(col("_viol")).as("_inner"),
         min(struct(col("_o"), col("_v"))).as("_first"),
         max(struct(col("_o"), col("_v"))).as("_last"))
+    // Un-partitioned window is BOUNDED by construction: its input is the per-partition
+    // summary frame — exactly ONE row per shuffle partition (dozens, not data-scale) —
+    // so the "No Partition Defined" warning Spark logs for it is benign. Re-audit only
+    // if this window's input stops being the groupBy(_pid) rollup above.
     val wb = Window.orderBy(col("_pid"))
     val prevLast = lag(col("_last._v"), 1).over(wb)
     val bBad = if (strict) col("_first._v") <= prevLast else col("_first._v") < prevLast

@@ -62,9 +62,25 @@ object Dedup {
     * parallel, which is the real-cluster case (100 TB corpora arrive in thousands of
     * splits), so no shuffle is added at scale.
     */
-  private def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  private[graft] def fanOut(df: DataFrame): DataFrame = {
+    // The .rdd partition probe below PARTIALLY EXECUTES the plan under AQE when it
+    // contains shuffle stages — a join-shaped input would materialize twice (probe +
+    // downstream consumption). Guard by plan shape instead of caller discipline: a
+    // frame whose plan already shuffles (join/agg/window/repartition) comes out at
+    // spark.sql.shuffle.partitions-parallel anyway, so the probe is both dangerous
+    // AND pointless there — return it untouched. Only a genuine narrow scan (the
+    // single-row-group local-test corpus this exists for) gets probed and fanned.
+    import org.apache.spark.sql.catalyst.plans.{logical => lp}
+    val shuffles = df.queryExecution.logical.exists {
+      case _: lp.Join | _: lp.Aggregate | _: lp.Window | _: lp.RepartitionOperation |
+           _: lp.Distinct => true
+      case _ => false
+    }
+    if (shuffles) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    }
   }
 
   /** FNV-1a over a char range + fmix64 avalanche — the 64-bit shingle hash used by the
@@ -258,9 +274,9 @@ object Dedup {
     // exchange's canonical form), without persist()'s session-lifetime storage pin —
     // repeated library calls previously accumulated cached blocks until eviction
     // pressure degraded every later job in the session.
-    // fanOut wraps the RAW scan, not the semi-join: fanOut probes partition count via
-    // .rdd, which under AQE forces join stages to execute — wrapping the join would
-    // materialize it twice. The semi-join preserves the fanned-out partitioning.
+    // fanOut wraps the RAW scan, not the semi-join: fanOut's plan-shape guard would
+    // see the join and no-op (correct but useless); on the scan it genuinely fans the
+    // kernel out. The semi-join preserves the fanned-out partitioning.
     val sh = fanOut(docs).join(wanted, Seq(idCol), "left_semi")
       .select(col(idCol).as("_jid"), shingleHashSet(col(textCol), shingleSize).as("_sh"))
       .repartition(col("_jid"))

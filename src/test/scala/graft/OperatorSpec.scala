@@ -417,6 +417,35 @@ class OperatorSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("fanOut never executes a shuffle-bearing plan for its partition probe") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "t")
+    val b = Seq((1L, 10), (2L, 20)).toDF("id", "n")
+    val joined = a.join(b, "id")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val out = graft.operators.Dedup.fanOut(joined)
+      Thread.sleep(500) // let the listener bus drain
+      assert(jobs.get() == 0, "probing a join-shaped plan must not run Spark jobs")
+      assert(out eq joined, "shuffle-bearing frames pass through untouched")
+    } finally spark.sparkContext.removeSparkListener(l)
+    // a genuine narrow scan (single-row-group parquet, the real use case) still fans
+    // out to session parallelism
+    val dir = java.nio.file.Files.createTempDirectory("graft-fanout").toString + "/narrow"
+    Seq.tabulate(64)(i => (i.toLong, s"d$i")).toDF("id", "t")
+      .repartition(1).write.parquet(dir)
+    val narrow = spark.read.parquet(dir)
+    assert(narrow.rdd.getNumPartitions < spark.sparkContext.defaultParallelism,
+      "test premise: the scan is under-parallel")
+    val fanned = graft.operators.Dedup.fanOut(narrow)
+    assert(fanned.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+  }
+
   test("embedding LSH bucket guard bounds a degenerate identical-vector corpus") {
     import spark.implicits._
     // 5k identical vectors: every row lands in the SAME bucket of every table, so an
