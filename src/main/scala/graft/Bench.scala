@@ -120,7 +120,10 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_SWEEP").contains("0")) Nil
       else try graft.tools.ScaleSweep.run(spark, sfDir).map { case (n, _, _, r) => n -> r }
       catch { case scala.util.control.NonFatal(e) =>
-        println(s"[sweep] failed: ${e.getMessage}"); Seq("sweep_failed" -> -1.0) }
+        // Sentinel ABOVE the bound, not -1: a gate comparing worst < 15 must FAIL when
+        // the sweep itself crashed (a scale regression can manifest as a crash) — a
+        // negative sentinel would read as a pass in that comparison.
+        println(s"[sweep] failed: ${e.getMessage}"); Seq("sweep_failed" -> 9999.0) }
 
     // ONE compact JSON line. The driver keeps only the LAST 2,000 chars of stdout
     // (measured from BENCH_r01/r02: tail length exactly 2000, with sbt's trailing

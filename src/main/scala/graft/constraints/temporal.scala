@@ -286,14 +286,30 @@ final case class MonotonicConstraint(
     * filters out null order/value rows (evaluate does).
     */
   private[graft] def globalViolationsDf(input: DataFrame): DataFrame = {
-    // Eager at call time: repartitionByRange's bound-sampling job and the shuffle
-    // job would each re-read the source — two full parquet decodes of the projection.
-    // localCheckpoint materializes the two-column projection once (executor-local
-    // blocks, disk-spilling, job-scoped cleanup via the context cleaner) and both
-    // passes read it back; at sf0.1 this halves the wall time of the whole plan.
+    // Eager at call time: repartitionByRange's bound-sampling job and the shuffle job
+    // would each re-read the source — two full parquet decodes of the projection.
+    // cache() (not localCheckpoint: lineage stays recomputable, so a lost executor
+    // re-derives its blocks instead of failing the job — the same trade globalGaps
+    // makes) shares one materialization between the passes, the plan executes HERE,
+    // and the cache is released deterministically before returning. The one-row
+    // result comes back as a local frame — callers (evaluate, the oracle harness)
+    // consume values, and those values are the distributed plan's own output.
     val projected = input
       .select(col(orderColumn).as("_o"), col(valueColumn).as("_v"))
-      .localCheckpoint(true)
+      .cache()
+    try {
+      val row = globalViolationsPlan(projected).head()
+      val spark = input.sparkSession
+      import spark.implicits._
+      Seq((row.getLong(0), row.getLong(1))).toDF("total", "violations")
+    } finally projected.unpersist(blocking = false)
+  }
+
+  /** The distributed plan over a pre-projected (_o, _v) frame — exposed (lazily) so
+    * the plan-shape regression test can inspect the exact plan [[globalViolationsDf]]
+    * executes.
+    */
+  private[graft] def globalViolationsPlan(projected: DataFrame): DataFrame = {
     val ranged = projected
       .repartitionByRange(col("_o"), col("_v"))
       .withColumn("_pid", spark_partition_id())

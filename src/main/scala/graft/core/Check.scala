@@ -132,6 +132,10 @@ final class CheckBuilder(val description: String, val level: Level = Level.Error
   def isInBusinessHours(ts: String, start: String = "09:00", end: String = "17:00",
       businessDaysOnly: Boolean = true, a: Assertion = Assertion.GreaterThanOrEqual(1.0)): CheckBuilder =
     add(BusinessHoursConstraint(ts, start, end, businessDaysOnly, a))
+  /** Whole-hour Int surface, matching the constraint companion's compat constructor. */
+  def isInBusinessHours(ts: String, startHour: Int, endHour: Int,
+      businessDaysOnly: Boolean, a: Assertion): CheckBuilder =
+    add(BusinessHoursConstraint(ts, startHour, endHour, businessDaysOnly, a))
   def isBefore(before: String, after: String, strict: Boolean = false): CheckBuilder =
     add(BeforeAfterConstraint(before, after, strict))
   def hasMaxTimeGap(ts: String, partitionBy: Seq[String], maxGapSeconds: Long): CheckBuilder =

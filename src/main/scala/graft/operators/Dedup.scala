@@ -72,8 +72,13 @@ object Dedup {
     // single-row-group local-test corpus this exists for) gets probed and fanned.
     import org.apache.spark.sql.catalyst.plans.{logical => lp}
     val shuffles = df.queryExecution.logical.exists {
+      // Deduplicate is what dropDuplicates/exactDedup produce (lp.Distinct only comes
+      // from SQL SELECT DISTINCT); global Sort is a range exchange. Both belong here —
+      // the exact-then-near dedup pipeline feeds exactDedup output straight into the
+      // LSH operators.
       case _: lp.Join | _: lp.Aggregate | _: lp.Window | _: lp.RepartitionOperation |
-           _: lp.Distinct => true
+           _: lp.Distinct | _: lp.Deduplicate => true
+      case s: lp.Sort if s.global => true
       case _ => false
     }
     if (shuffles) df

@@ -201,8 +201,11 @@ object StreamingAnalysis {
           // Genuine replay (same batch, same deterministic metric): the point is
           // already in history. RE-RUN detection and alerting — the prior attempt may
           // have died between save and onAnomaly, and a duplicate alert is recoverable
-          // where a silently swallowed one is not (at-least-once alerting).
-          alertFor(prior)
+          // where a silently swallowed one is not (at-least-once alerting). When the
+          // replayed batch was detected BEYOND the bounded window (pointAt), its point
+          // is not in `prior` — append it, or alertFor's timestamp filter could never
+          // re-fire and the at-least-once guarantee above would be silently void.
+          alertFor(if (prior.exists(_._1 == batchId)) prior else prior :+ (batchId -> prev))
         case Some(prev) =>
           // Same batch id, DIFFERENT metric: this is not a replay — it is a query
           // restarted with a fresh checkpoint (batch ids reset to 0) writing into the

@@ -397,7 +397,10 @@ class ConstraintSpec extends SparkSpec {
     import spark.implicits._
     val df = Seq.fill(100)((scala.util.Random.nextInt(50), scala.util.Random.nextInt(50)))
       .toDF("o", "v").repartition(8)
-    val qdf = MonotonicConstraint("v", "o").globalViolationsDf(df)
+    // globalViolationsDf executes eagerly (cache + release) and returns the one-row
+    // result; the plan under test is the distributed plan it runs internally.
+    val qdf = MonotonicConstraint("v", "o").globalViolationsPlan(
+      df.select(col("o").as("_o"), col("v").as("_v")))
     val plan = qdf.queryExecution.executedPlan.toString
     assert(plan.contains("Exchange rangepartitioning"),
       s"data must range-repartition:\n$plan")

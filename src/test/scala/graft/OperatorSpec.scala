@@ -430,9 +430,17 @@ class OperatorSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(l)
     try {
       val out = graft.operators.Dedup.fanOut(joined)
+      // Deduplicate (dropDuplicates — the exact-then-near pipeline shape) and global
+      // Sort are shuffle-bearing too, not just Join/Aggregate.
+      val deduped = graft.operators.Dedup.fanOut(a.dropDuplicates("id"))
+      val sorted = graft.operators.Dedup.fanOut(a.orderBy("id"))
       Thread.sleep(500) // let the listener bus drain
-      assert(jobs.get() == 0, "probing a join-shaped plan must not run Spark jobs")
+      assert(jobs.get() == 0, "probing a shuffle-bearing plan must not run Spark jobs")
       assert(out eq joined, "shuffle-bearing frames pass through untouched")
+      assert(deduped.queryExecution.logical == a.dropDuplicates("id").queryExecution.logical,
+        "dropDuplicates input must pass through unrepartitioned")
+      assert(sorted.queryExecution.logical == a.orderBy("id").queryExecution.logical,
+        "global-sort input must pass through unrepartitioned")
     } finally spark.sparkContext.removeSparkListener(l)
     // a genuine narrow scan (single-row-group parquet, the real use case) still fans
     // out to session parallelism

@@ -269,20 +269,28 @@ class StreamingSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("fresh checkpoint")))
 
     // Genuine replay beyond the window: same value at batch 0 → no duplicate point,
-    // no exception, history unchanged.
+    // no exception, history unchanged — and the batch's alert RE-FIRES even though
+    // its point is absent from the bounded window (at-least-once alerting).
+    val levelStrategy = new graft.analyzers.AnomalyDetectionStrategy {
+      val name = "level"
+      def detect(series: Seq[(Long, Double)]): Seq[graft.analyzers.Anomaly] =
+        series.collect { case (ts, v) if v > 10.0 => graft.analyzers.Anomaly(ts, v, "level") }
+    }
     val repo2 = new graft.repository.InMemoryMetricsRepository
-    repo2.save(graft.repository.ResultKey(0L), Map("m" -> 3.0))
+    repo2.save(graft.repository.ResultKey(0L), Map("m" -> 20.0))
     (1L to 5L).foreach(ts => repo2.save(graft.repository.ResultKey(ts), Map("m" -> 1.0)))
+    val hits2 = scala.collection.mutable.ArrayBuffer.empty[Long]
     val input2 = MemoryStream[Long]
     val q2 = StreamingAnalysis.anomalySink(
       input2.toDF().toDF("v"), b => b.count().toDouble, "m", repo2,
-      graft.analyzers.AbsoluteChangeStrategy(maxIncrease = Some(5.0)),
-      (_, _) => (), historyLimit = Some(3)).start()
+      levelStrategy, (bid, _) => hits2.synchronized { hits2 += bid },
+      historyLimit = Some(3)).start()
     try {
-      input2.addData(1L, 2L, 3L) // batch 0 recomputes 3.0 == saved → replay, skip save
+      input2.addData(1L to 20L: _*) // batch 0 recomputes 20.0 == saved → replay branch
       q2.processAllAvailable()
     } finally q2.stop()
     assert(repo2.history("m").size == 6, "replay must not append a duplicate point")
+    assert(hits2.toSeq == Seq(0L), "beyond-window replay must re-fire its alert")
   }
 
   test("keyed running moments survive non-numeric values (cast-null filter)") {

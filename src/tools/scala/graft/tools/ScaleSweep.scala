@@ -45,7 +45,8 @@ object ScaleSweep {
     * Callable from [[graft.Bench]] so the ratios land in the per-round bench JSON
     * (scale regressions gate automatically) as well as from the standalone main.
     */
-  def run(spark: SparkSession, src: String): Seq[(String, Double, Double, Double)] = {
+  def run(spark: SparkSession, src: String,
+      keep: Boolean = false): Seq[(String, Double, Double, Double)] = {
     val out = s"/tmp/graft-sf1-${ProcessHandle.current().pid()}"
     try {
       build10x(spark, src, out)
@@ -88,14 +89,18 @@ object ScaleSweep {
       println(f"[sweep] worst ratio: ${worst._1} at ${worst._4}%.1fx (bound 15x)")
       all
     } finally {
-      import scala.reflect.io.Directory
-      new Directory(new java.io.File(out)).deleteRecursively()
-      ()
+      if (keep) println(s"[sweep] kept synthetic corpus at $out")
+      else {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(out)).deleteRecursively()
+        ()
+      }
     }
   }
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
+    val keep = args.contains("--keep")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -103,7 +108,7 @@ object ScaleSweep {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try appendProgress(run(spark, src))
+    try appendProgress(run(spark, src, keep))
     finally spark.stop()
   }
 
