@@ -310,6 +310,29 @@ object Queries {
              | CAST(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS compliance
              | FROM lineitem""".stripMargin.replaceAll("\n", " "))),
 
+    // Cross-column metadata consistency through the constraint surface: the documents
+    // table's n_chars column must equal length(text) (codepoint semantics in BOTH
+    // engines — Spark length() counts codepoints, as does DuckDB's; the adversarial
+    // fixture's Unicode rows are generated consistent for exactly this check).
+    // ignoreNulls=text: a null-text row has no defined length, so it is excluded from
+    // the denominator instead of failing the predicate.
+    QueryDef("metadata_consistency_documents",
+      (s, d) => {
+        import graft.constraints._
+        import graft.core._
+        val r = ValidationSuite.evaluateBatched(t(s, d, "documents"), Seq(
+          ComplianceConstraint("n_chars = length(text)",
+            col("n_chars") === length(col("text")),
+            Assertion.GreaterThanOrEqual(0.0), ignoreNulls = Some(col("text")))))
+        import s.implicits._
+        Seq(optD(r.head, 6)).toDF("consistent_ratio")
+      },
+      // NULLIF denominator: an all-null-text table must yield SQL NULL (the
+      // constraint SKIPS there), not DuckDB's 0/0 NaN.
+      Some("""SELECT round(CAST(sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS DOUBLE)
+             | / NULLIF(CAST(count(text) AS DOUBLE), 0), 6) AS consistent_ratio
+             | FROM documents""".stripMargin.replaceAll("\n", " "))),
+
     QueryDef("pattern_orderpriority",
       (s, d) => t(s, d, "orders").agg(
         count(col("o_orderpriority")).as("non_null"),
