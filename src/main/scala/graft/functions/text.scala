@@ -99,22 +99,34 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     when(c.isNotNull, xxhash64(regexp_replace(trim(c), "\\s+", " ")))
 
-  /** Character n-gram shingles (distinct). */
-  def charShingles(c: Column, n: Int): Column =
-    when(length(c) >= n,
-      array_distinct(transform(
-        sequence(lit(0), length(c) - lit(n)),
-        i => c.substr(i + lit(1), lit(n)))))
-      .otherwise(array(c))
+  /** Character n-gram shingles (distinct). NULL text yields NULL, not a pseudo-shingle
+    * set: the `otherwise(array(c))` short-text fallback would hand every null-text doc
+    * the shared set [null] — whose hashes are all xxhash64's bare seed (xxhash64 SKIPS
+    * null inputs, see [[fingerprint]]) — and null docs would jaccard-match each other
+    * at 1.0.
+    */
+  def charShingles(c: Column, n: Int): Column = {
+    require(n > 0, s"shingle size must be positive, got $n")
+    when(c.isNotNull,
+      when(length(c) >= n,
+        array_distinct(transform(
+          sequence(lit(0), length(c) - lit(n)),
+          i => c.substr(i + lit(1), lit(n)))))
+        .otherwise(array(c)))
+  }
 
-  /** Word k-gram shingles (distinct), joined with single spaces. */
+  /** Word k-gram shingles (distinct), joined with single spaces. NULL text yields NULL
+    * (same hazard as [[charShingles]]: the fallback would be the shared set [""]).
+    */
   def wordShingles(c: Column, k: Int): Column = {
+    require(k > 0, s"shingle size must be positive, got $k")
     val t = tokens(c)
-    when(size(t) >= k,
-      array_distinct(transform(
-        sequence(lit(0), size(t) - lit(k)),
-        i => concat_ws(" ", slice(t, i + 1, lit(k))))))
-      .otherwise(array(concat_ws(" ", t)))
+    when(c.isNotNull,
+      when(size(t) >= k,
+        array_distinct(transform(
+          sequence(lit(0), size(t) - lit(k)),
+          i => concat_ws(" ", slice(t, i + 1, lit(k))))))
+        .otherwise(array(concat_ws(" ", t))))
   }
 
   /** Rolling 64-bit hashes of the character n-grams — the document-fingerprint set. */

@@ -49,6 +49,8 @@ object Dedup {
         // nulls LAST: the kept representative should be the smallest REAL tiebreaker
         // value — default ascending ranks NULL first, so a null-id row would shadow
         // every genuine id in its group (and diverge from SQL min(), which skips NULLs).
+        require(!df.columns.contains("_rn"),
+          "exactDedup uses an internal _rn column; input already has one — rename it")
         val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tb).asc_nulls_last)
         df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
     }
@@ -71,7 +73,10 @@ object Dedup {
     // AND pointless there — return it untouched. Only a genuine narrow scan (the
     // single-row-group local-test corpus this exists for) gets probed and fanned.
     import org.apache.spark.sql.catalyst.plans.{logical => lp}
-    val shuffles = df.queryExecution.logical.exists {
+    // Inspect the ANALYZED plan, not .logical: a view / spark.table name is an
+    // UnresolvedRelation pre-analysis, so a join hidden behind a view would bypass
+    // this guard. Analysis resolves names without executing anything.
+    val shuffles = df.queryExecution.analyzed.exists {
       // Deduplicate is what dropDuplicates/exactDedup produce (lp.Distinct only comes
       // from SQL SELECT DISTINCT); global Sort is a range exchange. Both belong here —
       // the exact-then-near dedup pipeline feeds exactDedup output straight into the
@@ -119,6 +124,11 @@ object Dedup {
     * banding reference downstream) — orders of magnitude slower.
     */
   def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column = {
+    // shingleSize <= 0 would make hashNgram loop zero times: every shingle hashes to
+    // one constant, every doc gets an identical signature, and the pipeline silently
+    // collapses the corpus (or guard-drops everything) instead of erroring.
+    require(shingleSize > 0, s"shingleSize must be positive, got $shingleSize")
+    require(numHashes > 0, s"numHashes must be positive, got $numHashes")
     val f = udf { (t: String) =>
       if (t == null) null
       else {
@@ -223,6 +233,7 @@ object Dedup {
     * stage the dominant cost of the near-dup pipeline.
     */
   def shingleHashSet(text: Column, shingleSize: Int): Column = {
+    require(shingleSize > 0, s"shingleSize must be positive, got $shingleSize")
     val f = udf { (t: String) =>
       if (t == null) null
       else {
@@ -698,7 +709,7 @@ object Dedup {
     */
   def hyperplaneBucket(vec: Column, dim: Int, planes: Int, seed: Long = 42L): Column = {
     val planeVecs = planesFor(dim, planes, seed)
-    val f = udf { (v: Seq[Float]) =>
+    val f = udf { (v: Seq[java.lang.Float]) =>
       if (v == null) null.asInstanceOf[java.lang.Long]
       else java.lang.Long.valueOf(bucketFor(v, dim, planeVecs))
     }
@@ -706,15 +717,17 @@ object Dedup {
   }
 
   /** One table's hyperplanes: `planes` Gaussian vectors drawn from `Random(seed)` in
-    * plane-major order — the exact generation order [[Similarity.bucketOf]] uses, so
-    * the same seed yields the same buckets driver-side and executor-side.
+    * plane-major order. [[Similarity.bucketOf]] calls this (not a re-implementation),
+    * so the same seed yields the same buckets driver-side and executor-side by
+    * construction.
     */
-  private def planesFor(dim: Int, planes: Int, seed: Long): Array[Array[Double]] = {
+  private[graft] def planesFor(dim: Int, planes: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  private def bucketFor(v: Seq[Float], dim: Int, planeVecs: Array[Array[Double]]): Long = {
+  private[graft] def bucketFor(v: Seq[java.lang.Float], dim: Int,
+      planeVecs: Array[Array[Double]]): Long = {
     // Fail loud on a length mismatch: silently truncating to min(len, dim) would
     // bucket on a PREFIX while the cosine verify uses the full vector (silent
     // recall loss), and the driver-side Similarity.bucketOf uses the probe's full
@@ -727,7 +740,10 @@ object Dedup {
       val w = planeVecs(p)
       var dot = 0.0
       var i = 0
-      while (i < dim) { dot += v(i).toDouble * w(i); i += 1 }
+      // Null ELEMENTS contribute 0 to the dot product — the same per-element skip the
+      // native CosineSim verify makes, so bucketing and verification see one vector
+      // semantics (a boxed-unbox NPE here would kill the task with no row context).
+      while (i < dim) { val x = v(i); if (x != null) dot += x.toDouble * w(i); i += 1 }
       if (dot >= 0) bucket |= (1L << p)
       p += 1
     }
@@ -743,7 +759,7 @@ object Dedup {
       seed: Long = 42L): Column = {
     val tablePlanes: Array[Array[Array[Double]]] =
       Array.tabulate(tables)(t => planesFor(dim, planes, seed + t))
-    val f = udf { (v: Seq[Float]) =>
+    val f = udf { (v: Seq[java.lang.Float]) =>
       if (v == null) null
       else tablePlanes.map(p => bucketFor(v, dim, p))
     }

@@ -91,10 +91,7 @@ object Multimodal {
     * binary payloads never shuffle.
     */
   def withMediaMeta(df: DataFrame, binCol: String, out: String = "media_meta"): DataFrame = {
-    val u = udf((bytes: Array[Byte]) => {
-      val (f, w, h, d, s) = MediaCodecs.decodeMeta(bytes)
-      (f, w, h, d, s)
-    })
+    val u = udf((bytes: Array[Byte]) => MediaCodecs.decodeMeta(bytes))
     df.withColumn(out, u(col(binCol)).cast(MediaMetaType))
   }
 

@@ -74,17 +74,13 @@ object Similarity {
       seed: Long = 42L, out: String = "bucket"): DataFrame =
     df.withColumn(out, Dedup.hyperplaneBucket(col(vecCol), dim, planes, seed))
 
-  /** Driver-side bucket id for the probe — same planes as [[Dedup.hyperplaneBucket]]. */
-  def bucketOf(vec: Seq[Float], planes: Int, seed: Long = 42L): Long = {
-    val rnd = new scala.util.Random(seed)
-    var bucket = 0L
-    (0 until planes).foreach { p =>
-      val plane = Array.fill(vec.size)(rnd.nextGaussian())
-      val dot = vec.zip(plane).map { case (x, w) => x.toDouble * w }.sum
-      if (dot >= 0) bucket |= (1L << p)
-    }
-    bucket
-  }
+  /** Driver-side bucket id for the probe — delegates to the SAME plane generation and
+    * sign packing the executor-side [[Dedup.hyperplaneBucket]] uses (one shared
+    * implementation, so the two sides cannot silently desynchronize).
+    */
+  def bucketOf(vec: Seq[Float], planes: Int, seed: Long = 42L): Long =
+    Dedup.bucketFor(vec.map(java.lang.Float.valueOf), vec.size,
+      Dedup.planesFor(vec.size, planes, seed))
 
   private def multiProbe(bucket: Long, planes: Int, flips: Int): Seq[Long] = {
     require(flips <= 2,
@@ -107,21 +103,33 @@ object Similarity {
       out: String = "ivf_cell"): DataFrame = {
     require(centroids.nonEmpty,
       "IVF needs at least one centroid (empty centroids would assign every row to cell 0)")
+    require(centroids.map(_.length).distinct.size == 1,
+      s"IVF centroids have mixed dimensions: ${centroids.map(_.length).distinct.sorted}")
     val cs = centroids.map(_.map(_.toDouble).toArray).toArray
     val norms = cs.map(c => math.sqrt(c.map(v => v * v).sum))
-    val f = udf { (v: Seq[Float]) =>
+    val dim = cs(0).length
+    val f = udf { (v: Seq[java.lang.Float]) =>
       if (v == null) null.asInstanceOf[java.lang.Integer]
       else {
+        // Fail loud on a dimension mismatch (same rule as Dedup.bucketFor): scoring a
+        // PREFIX would assign rows to prefix-derived cells and every probe would see
+        // silently degraded recall with no error anywhere.
+        require(v.length == dim,
+          s"embedding length ${v.length} != centroid dim $dim")
         var best = Double.NegativeInfinity
         var bestCell = -1
         var k = 0
         while (k < cs.length) {
           val c = cs(k)
-          val n = math.min(v.length, c.length)
           var dot = 0.0
           var nv = 0.0
           var i = 0
-          while (i < n) { val x = v(i).toDouble; dot += x * c(i); nv += x * x; i += 1 }
+          // null elements contribute 0, matching the native CosineSim verify skip
+          while (i < dim) {
+            val b = v(i)
+            if (b != null) { val x = b.toDouble; dot += x * c(i); nv += x * x }
+            i += 1
+          }
           val s = dot / (math.sqrt(nv) * norms(k))
           // NaN (zero-norm vector or centroid) fails every comparison — without the
           // explicit check a zero vector would keep cell -1 and silently vanish from

@@ -417,6 +417,41 @@ class OperatorSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("null text yields NULL shingle sets, not a shared pseudo-shingle") {
+    import spark.implicits._
+    val df = Seq(Some("hello world text"), None, None).toDF("t")
+    val r = df.select(
+      TextFunctions.charShingles(col("t"), 3).as("cs"),
+      TextFunctions.wordShingles(col("t"), 2).as("ws"),
+      TextFunctions.shingleHashes(col("t"), 3).as("sh")).collect()
+    assert(r(0).getSeq[String](0).nonEmpty && r(0).getSeq[String](1).nonEmpty)
+    // null docs must NOT share a fingerprint set (they'd jaccard-match at 1.0)
+    (1 to 2).foreach { i =>
+      assert(r(i).isNullAt(0) && r(i).isNullAt(1) && r(i).isNullAt(2),
+        s"null text must shingle to NULL: ${r(i)}")
+    }
+    intercept[IllegalArgumentException] { TextFunctions.charShingles(col("t"), 0) }
+    intercept[IllegalArgumentException] { Dedup.minhashSignature(col("t"), 0, 128) }
+    intercept[IllegalArgumentException] { Dedup.shingleHashSet(col("t"), -1) }
+  }
+
+  test("guards: exactDedup _rn collision, IVF dim mismatch fail loud") {
+    import spark.implicits._
+    val withRn = Seq((1L, "a", 1)).toDF("id", "t", "_rn")
+    intercept[IllegalArgumentException] {
+      Dedup.exactDedup(withRn, Seq("id"), tiebreaker = Some("t"))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAssign(embs, "embedding", Seq(Seq(1.0f, 2.0f), Seq(1.0f)))
+    }
+    val shortCentroids = Seq(Seq(1.0f, 2.0f, 3.0f)) // corpus is 64-dim
+    val ex = intercept[org.apache.spark.SparkException] {
+      Similarity.ivfAssign(embs, "embedding", shortCentroids).collect()
+    }
+    assert(ex.getMessage.contains("centroid dim") ||
+      Option(ex.getCause).exists(_.getMessage.contains("centroid dim")))
+  }
+
   test("fanOut never executes a shuffle-bearing plan for its partition probe") {
     import spark.implicits._
     val a = Seq((1L, "x"), (2L, "y")).toDF("id", "t")
