@@ -65,11 +65,14 @@ final case class DecontaminationConstraint(
     assertion: Assertion = Assertion.Equals(0.0)) extends MultiJobConstraint {
   val name = s"Decontamination($textCol, $ngramWords-gram) ${assertion.describe}"
   override def evaluate(df: DataFrame): ConstraintResult = {
-    // Denominator = ALL validated docs, as the docstring promises — the operator's
-    // output drops docs with no tokens (null/empty/whitespace text), and using its
-    // row count would inflate the ratio on probes with many empty docs (an empty doc
-    // is trivially uncontaminated, so it belongs in the denominator).
-    val total = df.count()
+    // Denominator = distinct probe IDS, matching the numerator's granularity: the
+    // operator groupBys on probe_id, so duplicate-id docs merge into ONE output row —
+    // counting input ROWS here would understate the ratio whenever ids repeat (10
+    // contaminated rows sharing one id: contaminated=1 vs total=10 → 0.1, not 1.0).
+    // Zero-token docs (dropped by the operator as trivially uncontaminated) still
+    // count: their ids are in the distinct set unless shared with a token-bearing doc,
+    // in which case the id is judged by that doc — id-granular either way.
+    val total = df.select(col(idCol)).distinct().count()
     if (total == 0L) skipped("empty input")
     else {
       val row = graft.operators.Dedup.crossCorpusContamination(
@@ -99,7 +102,12 @@ object Sandbox {
     // an INSERT statement. ONE alternation pass, leftmost-first: two sequential
     // replaceAlls let a double-quote match SPAN two single-quoted literals (e.g.
     // `a = 'x"' ; drop t ; b = '"y'`), erasing forbidden tokens outside any literal.
-    val noLiterals = sql.replaceAll("'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"", "''")
+    // Literal grammar includes BACKSLASH ESCAPES (\' continues the literal in Spark's
+    // parser): without the \\. alternative the scan would end a literal at \' , expose
+    // the literal's tail to the keyword scan, and falsely reject predicates like
+    // remark != 'don\'t delete'.
+    val noLiterals = sql.replaceAll(
+      "'(?:[^'\\\\]|\\\\.|'')*'|\"(?:[^\"\\\\]|\\\\.|\"\")*\"", "''")
     val lower = noLiterals.toLowerCase
     tokens.foreach { t =>
       require(!lower.contains(t), s"predicate contains forbidden token '$t'")
@@ -210,6 +218,9 @@ object FormatType {
     country.map(_.toUpperCase) match {
       case Some("US")             => "^\\d{5}(-\\d{4})?$"
       case Some("CA")             => "^[A-Za-z]\\d[A-Za-z][ -]?\\d[A-Za-z]\\d$"
+      // Uppercase-only is REFERENCE PARITY (format.rs:263 — CA accepts both cases,
+      // UK does not; the asymmetric case policy is the reference's own, pinned by
+      // the ConstraintSpec fixtures). Normalize case upstream for lowercase feeds.
       case Some("UK")             => "^[A-Z]{1,2}\\d[A-Z\\d]?\\s?\\d[A-Z]{2}$"
       case Some("DE") | Some("FR") => "^\\d{5}$"
       case Some("JP")             => "^\\d{3}-\\d{4}$"

@@ -142,6 +142,10 @@ final case class GroupedCompletenessConstraint(
     groupColumns: Seq[String],
     threshold: Double,
     maxGroups: Int = 10000) extends MultiJobConstraint {
+  // maxGroups <= 0 would take(0) groups and report an unconditional vacuous Success
+  // with a fabricated worst = 1.0 — same guard class as MultiColumnCompleteness's
+  // nonEmpty require.
+  require(maxGroups > 0, s"maxGroups must be positive, got $maxGroups")
   val name = s"GroupedCompleteness($column by ${groupColumns.mkString(",")}) >= $threshold"
   override def evaluate(df: DataFrame): ConstraintResult = {
     val grouped = df.groupBy(groupColumns.map(col): _*)

@@ -20,16 +20,24 @@ final case class ForeignKeyConstraint(
     val base = if (ignoreNulls) child.na.drop(childKeys) else child
     val parentKeys = parent.select(keys.map { case (_, p) => col(p) }: _*).distinct()
     val cond = keys.map { case (c, p) => base(c) <=> parentKeys(p) }.reduce(_ && _)
+    // Persist across the two actions (count + example sampling): uncached, the
+    // failure path re-runs the anti-join — a second full scan of the child table —
+    // and on a concurrently-appended source the two scans could even disagree
+    // (N orphans reported with an empty example list). Same two-action pattern as
+    // Distribution.counts.
     val orphanRows = base.join(parentKeys, cond, "left_anti")
-    val orphans = orphanRows.count()
-    if (orphans == 0L) success(MetricValue.LongMetric(0L))
-    else {
-      val examples = orphanRows.select(childKeys.map(col): _*).distinct()
-        .limit(maxExamples).collect()
-        .map(_.toSeq.mkString("(", ",", ")")).mkString(", ")
-      failure(Some(MetricValue.LongMetric(orphans)),
-        s"$orphans orphan row(s); examples: $examples")
-    }
+      .select(childKeys.map(col): _*).persist()
+    try {
+      val orphans = orphanRows.count()
+      if (orphans == 0L) success(MetricValue.LongMetric(0L))
+      else {
+        val examples = orphanRows.distinct()
+          .limit(maxExamples).collect()
+          .map(_.toSeq.mkString("(", ",", ")")).mkString(", ")
+        failure(Some(MetricValue.LongMetric(orphans)),
+          s"$orphans orphan row(s); examples: $examples")
+      }
+    } finally orphanRows.unpersist(blocking = false)
   }
 }
 

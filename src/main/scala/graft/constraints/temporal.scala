@@ -128,7 +128,7 @@ final case class BeforeAfterConstraint(before: String, after: String, strict: Bo
     val good = Num.toLong(values(1)).getOrElse(0L)
     if (good == total) success(MetricValue.DoubleMetric(1.0))
     else failure(Some(MetricValue.DoubleMetric(good.toDouble / total)),
-      s"${total - good} row(s) violate $before <= $after")
+      s"${total - good} row(s) violate $before ${if (strict) "<" else "<="} $after")
   }
 }
 

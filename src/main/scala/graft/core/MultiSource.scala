@@ -82,7 +82,12 @@ final class MultiSourceValidator(spark: SparkSession) {
     // (e.g. CrossTableSumConstraint's l_sum/r_sum output aliases — a group key with
     // that literal name would make the aggregate ambiguous).
     def unsafe(c: String) = c.contains(".") || c.contains("`") || reserved(c)
-    if (!distinct.exists(unsafe)) (df, distinct.map(c => c -> c).toMap)
+    // A reserved name ANYWHERE in the frame forces the projection, not just among the
+    // requested columns: the pass-through path hands the delegate the whole frame, so
+    // an unrelated column named e.g. _matched would still trip the delegate's
+    // collision guard — projecting down to the requested columns drops it.
+    val mustProject = distinct.exists(unsafe) || df.columns.exists(reserved)
+    if (!mustProject) (df, distinct.map(c => c -> c).toMap)
     else {
       // ALL columns get positional names once any is unsafe, so an alias can never
       // collide with a passed-through original name.
@@ -112,8 +117,14 @@ final class MultiSourceValidator(spark: SparkSession) {
       assertion: Assertion): ConstraintResult = {
     val (left0, leftCol0) = resolve(leftRef)
     val (right0, rightCol0) = resolve(rightRef)
-    val (left, lm) = sanitize(left0, Seq(leftCol0))
-    val (right, rm) = sanitize(right0, Seq(rightCol0))
+    // _matched is the constraint's internal match marker (reserved on the probe side,
+    // which is left OR right depending on mode — reserve on both): without this a
+    // registered source carrying an unrelated _matched column throws the constraint's
+    // collision require instead of being aliased away here, like crossTableSum's
+    // l_sum/r_sum.
+    val reserved = Set("_matched")
+    val (left, lm) = sanitize(left0, Seq(leftCol0), reserved)
+    val (right, rm) = sanitize(right0, Seq(rightCol0), reserved)
     JoinCoverageConstraint(right, Seq((lm(leftCol0), rm(rightCol0))), mode, assertion)
       .evaluate(left)
   }

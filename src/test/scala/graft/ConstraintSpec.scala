@@ -297,6 +297,13 @@ class ConstraintSpec extends SparkSpec {
     // '--' and keywords inside string literals are data, not SQL
     Sandbox.validatePredicate("comment NOT LIKE '%--%'")
     Sandbox.validatePredicate("status != 'dropped'")
+    // backslash-escaped quote CONTINUES the literal (Spark parser semantics): the
+    // keyword after \' is still inside the literal and must not be flagged
+    Sandbox.validatePredicate("remark != 'don\\'t delete'")
+    // ...but the same keyword genuinely outside a literal is still caught
+    intercept[IllegalArgumentException] {
+      Sandbox.validatePredicate("remark != 'don\\'t' or (delete from)")
+    }
     // whitespace variants of forbidden keywords are still caught
     intercept[IllegalArgumentException] { Sandbox.validatePredicate("x > 0 or (drop\ttable)") }
     intercept[IllegalArgumentException] { Sandbox.validatePredicate("delete\nfrom t") }
@@ -320,6 +327,19 @@ class ConstraintSpec extends SparkSpec {
     assert(GroupedCompletenessConstraint("v", Seq("g"), 0.5).evaluate(df).status == Success)
     val r = GroupedCompletenessConstraint("v", Seq("g"), 0.9).evaluate(df)
     assert(r.status == Failure && r.message.contains("g=x"))
+    // maxGroups <= 0 would take(0) groups and vacuously pass — reject at construction
+    intercept[IllegalArgumentException] {
+      GroupedCompletenessConstraint("v", Seq("g"), 0.9, maxGroups = 0)
+    }
+  }
+
+  test("before/after failure message names the operator that was violated") {
+    import spark.implicits._
+    val eq = Seq((1, 1)).toDF("a", "b")
+    val strict = BeforeAfterConstraint("a", "b", strict = true).evaluate(eq)
+    assert(strict.isFailure && strict.message.contains("a < b"), strict.message)
+    val loose = BeforeAfterConstraint("b", "a").evaluate(Seq((1, 2)).toDF("a", "b"))
+    assert(loose.isFailure && loose.message.contains("b <= a"), loose.message)
   }
 
   test("column count and presence") {
@@ -465,6 +485,21 @@ class ConstraintSpec extends SparkSpec {
       Assertion.LessThanOrEqual(0.1)).evaluate(probes)
     assert(r.status == Success, r.message)
     assert(r.metric.flatMap(_.asDouble).contains(0.1))
+  }
+
+  test("decontamination ratio is ID-granular: duplicate-id probe rows don't dilute it") {
+    import spark.implicits._
+    val corpus = Seq((100L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    // 10 rows sharing ONE id, all contaminated: the operator merges them into one
+    // probe_id row, so a row-count denominator would report 1/10 — it must be 1/1.
+    val probes = (1 to 10)
+      .map(_ => (1L, "zz one two three four five six seven eight yy"))
+      .toDF("doc_id", "text")
+    val r = DecontaminationConstraint(corpus, "text", "doc_id", "text", 8,
+      Assertion.Equals(1.0)).evaluate(probes)
+    assert(r.status == Success, s"${r.status}/${r.message}")
+    assert(r.metric.flatMap(_.asDouble).contains(1.0))
   }
 
   test("decontamination constraint: contaminated probe fails the zero-tolerance default") {

@@ -196,6 +196,14 @@ class SuiteSpec extends SparkSpec {
     // case-insensitive resolution, matching Spark's default (spark.sql.caseSensitive=false)
     val fkCi = v.foreignKey("t_orders.CUST", "t_customers.Cid")
     assert(fkCi.isFailure && fkCi.metric.flatMap(_.asDouble).contains(1.0), fkCi.message)
+    // an UNRELATED column named _matched on either side must be projected away, not
+    // trip the join-coverage delegate's marker-collision require
+    val withMarker = orders.withColumn("_matched", col("oid"))
+    v.addSource("t_marked", withMarker)
+    val covMarked = v.joinCoverage("t_marked.cust", "t_customers.cid",
+      CoverageMode.LeftCoverage, Assertion.GreaterThanOrEqual(0.5))
+    assert(covMarked.isSuccess && covMarked.metric.flatMap(_.asDouble).contains(2.0 / 3),
+      covMarked.message)
     // a group key legally named l_sum must not collide with the delegate's internal alias
     val lsum = orders.withColumnRenamed("cust", "l_sum")
     val rsum = customers.withColumnRenamed("cid", "r_sum")
