@@ -154,10 +154,13 @@ object Metrics {
     // above every real double) and an Infinity makes the width infinite — both
     // silently collapse the histogram into one garbage bucket. between(±MaxValue)
     // excludes NaN (<= fails under NaN-largest), ±Inf, and NULL in one predicate.
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    // try_cast: under ANSI mode (Spark 4 default) a plain cast throws on the first
+    // malformed string instead of letting the finiteness filter drop it.
     val clean = df.filter(
-      col(c).cast("double").between(-Double.MaxValue, Double.MaxValue))
+      col(c).try_cast("double").between(-Double.MaxValue, Double.MaxValue))
     val bounds = clean
-      .agg(min(col(c).cast("double")).as("mn"), max(col(c).cast("double")).as("mx"))
+      .agg(min(col(c).try_cast("double")).as("mn"), max(col(c).try_cast("double")).as("mx"))
       .head()
     // Empty input / all-null column: min/max are NULL — return an empty histogram
     // with the right schema instead of crashing on the destructure.
@@ -165,10 +168,24 @@ object Metrics {
       return df.limit(0).select(lit(0L).as("bucket"), lit(0.0).as("lo"),
         lit(0.0).as("hi"), lit(0L).as("cnt"))
     val (minV, maxV) = (bounds.getDouble(0), bounds.getDouble(1))
-    val width = if (maxV > minV) (maxV - minV) / numBuckets else 1.0
-    val bucket = least(
-      floor((col(c).cast("double") - lit(minV)) / lit(width)),
-      lit(numBuckets - 1L)).cast("long")
+    // Per-term division: (maxV - minV) overflows to Infinity when the extremes
+    // straddle ~±1.7e308 (finite values that PASS the filter) — an infinite width
+    // would put every row in bucket 0 with NaN/Inf bounds. Dividing each term first
+    // stays finite for numBuckets >= 2; the numBuckets == 1 extreme clamps to
+    // MaxValue (single bucket; width is display-only there).
+    val width =
+      if (maxV <= minV) 1.0
+      else {
+        val w = maxV / numBuckets - minV / numBuckets
+        if (java.lang.Double.isFinite(w) && w > 0) w else Double.MaxValue
+      }
+    // Clamped at BOTH ends: least() caps the top bucket; greatest() guards against
+    // rows below the pass-1 min reaching the second scan (recomputed
+    // non-deterministic source / concurrent append) — a negative bucket id would
+    // silently emit a bucket with lo < minV.
+    val bucket = greatest(lit(0L), least(
+      floor((col(c).try_cast("double") - lit(minV)) / lit(width)),
+      lit(numBuckets - 1L)).cast("long"))
     clean
       .groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("cnt"))

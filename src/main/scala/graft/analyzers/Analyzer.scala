@@ -229,7 +229,7 @@ object QuantileSketch {
 
   def aggColumn(column: String, relativeError: Double): Column =
     udaf(new Agg(relativeError), org.apache.spark.sql.Encoders.DOUBLE)
-      .apply(col(column).cast("double"))
+      .apply(col(column).try_cast("double"))
 }
 
 // ---------- concrete analyzers ----------
@@ -273,7 +273,7 @@ final case class SumAnalyzer(column: String) extends Analyzer[SumState] {
   // billions of rows, and SumState itself carries Double — incremental merges would
   // re-round whatever extra precision one scan preserved. Exact big-integer sums
   // belong to StatisticConstraint (un-merged, single scan), not this mergeable state.
-  private def xd = col(column).cast("double")
+  private def xd = col(column).try_cast("double")
   val stateAggregates = Seq(sum(xd), count(xd))
   def stateFromValues(v: Seq[Any]) =
     SumState(Num.toDouble(v(0)).getOrElse(0.0), Num.toLong(v(1)).getOrElse(0L))
@@ -286,7 +286,7 @@ final case class MeanAnalyzer(column: String) extends Analyzer[SumState] {
   // count the cast column (see SumAnalyzer): n must count exactly the values the
   // sum contains, or the mean is silently wrong on partially-castable columns.
   // Same double-accumulation precision trade-off as SumAnalyzer (documented there).
-  private def xd = col(column).cast("double")
+  private def xd = col(column).try_cast("double")
   val stateAggregates = Seq(sum(xd), count(xd))
   def stateFromValues(v: Seq[Any]) =
     SumState(Num.toDouble(v(0)).getOrElse(0.0), Num.toLong(v(1)).getOrElse(0L))
@@ -299,7 +299,7 @@ final case class MinMaxAnalyzer(column: String) extends Analyzer[MinMaxState] {
   val name = "min_max"; val key = s"min_max.$column"
   // Cast BEFORE aggregating: min/max of a string-typed numeric column is otherwise
   // lexicographic ("10" < "9") and only the final garbage value gets cast.
-  val stateAggregates = Seq(min(col(column).cast("double")), max(col(column).cast("double")))
+  val stateAggregates = Seq(min(col(column).try_cast("double")), max(col(column).try_cast("double")))
   def stateFromValues(v: Seq[Any]) = MinMaxState(Num.toDouble(v(0)), Num.toDouble(v(1)))
   def stateFromFields(f: Map[String, String]) = MinMaxState(
     Some(f("min")).filter(_.nonEmpty).map(_.toDouble), Some(f("max")).filter(_.nonEmpty).map(_.toDouble))
@@ -313,7 +313,7 @@ final case class StdDevAnalyzer(column: String) extends Analyzer[MomentsState] {
   // Cast to double BEFORE squaring (like CorrelationAnalyzer): the per-row square in
   // an integer column's native type overflows silently (100000² wraps Int), and
   // decimal products that overflow precision become NULL and drop from the sum.
-  private def xd = col(column).cast("double")
+  private def xd = col(column).try_cast("double")
   // count(xd), not count(col): n must count exactly the values inside the sums — a
   // value whose cast nulls out (malformed string, non-ANSI) would otherwise inflate n
   // and silently shrink the variance.
@@ -332,8 +332,8 @@ final case class CorrelationAnalyzer(c1: String, c2: String) extends Analyzer[Co
   val name = "correlation"; val key = s"correlation.$c1|$c2"
   override def legacyKeys: Seq[String] = Seq(s"correlation.$c1.$c2")
   private def both = col(c1).isNotNull && col(c2).isNotNull
-  private def x = when(both, col(c1)).cast("double")
-  private def y = when(both, col(c2)).cast("double")
+  private def x = when(both, col(c1)).try_cast("double")
+  private def y = when(both, col(c2)).try_cast("double")
   // n counts pairs where BOTH casts produced values — the pairs actually inside the
   // co-moment sums — not merely both-non-null raw values (a malformed string that
   // cast-nulls would otherwise count in n but vanish from the sums).

@@ -136,9 +136,15 @@ final class ColumnProfiler(config: ProfilerConfig = ProfilerConfig()) {
         else {
           val buckets = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
           // Ratio over NON-NULL values, matching HistogramConstraint / the reference's
-          // count / (total_cnt - null_cnt).
+          // count / (total_cnt - null_cnt). The denominator is the SAME SCAN's bucket
+          // sum, not pass 1's nonNull: rows appended between the two jobs would make
+          // a cross-scan ratio exceed 1.0 (the hazard the pass-1 chunking comment
+          // defends within a scan). Sound because the un-truncated branch collected
+          // EVERY group — the sum is exactly this scan's non-null count.
+          val denom = buckets.values.sum.toDouble
           Some(Histogram(
-            buckets.map { case (v, n) => v -> HistogramBucket(n, n.toDouble / nonNull) },
+            buckets.map { case (v, n) =>
+              v -> HistogramBucket(n, if (denom > 0) n / denom else 0.0) },
             total, buckets.size.toLong, total - nonNull))
         }
       } else None
@@ -206,7 +212,14 @@ object TypeInference {
     // SqlIdent + a safe alias: the name comes from the schema — a literal dot must
     // not parse as struct-field access here or inside the classifier's col() call.
     val cc = col(graft.core.SqlIdent(column))
-    val sample = df.select(cc.as("_ti_v")).filter(col("_ti_v").isNotNull).limit(sampleRows)
+    // A true RANDOM sample, not limit(): limit takes the HEAD of the data, so a
+    // column whose first rows are legacy all-numeric ids but whose tail is
+    // alphanumeric would classify "integer" at 100% confidence (the reference,
+    // inference.rs, is sample-based). Bottom-k by rand(seed) is a uniform reservoir
+    // sample via TakeOrdered — one scan of the single column, k rows to the driver,
+    // deterministic for a fixed layout.
+    val sample = df.select(cc.as("_ti_v")).filter(col("_ti_v").isNotNull)
+      .orderBy(rand(42L)).limit(sampleRows)
     val cls = graft.constraints.InferredType.classifier("_ti_v")
     val counts = sample.groupBy(cls.as("t")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -103,9 +103,15 @@ final class AnomalyDetectionRunner(
   def detect(metricKey: String): Seq[Anomaly] =
     strategyFor(metricKey).map(_.detect(repository.history(metricKey))).getOrElse(Nil)
 
-  /** True iff the most recent observation of the metric is anomalous. */
+  /** True iff the most recent observation of the metric is anomalous. One history
+    * read: detecting over the SAME series the "latest" timestamp came from (a second
+    * read would be another full log scan AND could race a concurrent append,
+    * checking a stale latest against a newer series).
+    */
   def isLatestAnomalous(metricKey: String): Boolean = {
     val h = repository.history(metricKey)
-    h.lastOption.exists { case (ts, _) => detect(metricKey).exists(_.timestamp == ts) }
+    h.lastOption.exists { case (ts, _) =>
+      strategyFor(metricKey).exists(_.detect(h).exists(_.timestamp == ts))
+    }
   }
 }

@@ -61,7 +61,12 @@ final class FileSystemStateStore(rootDir: String, spark: SparkSession) extends S
     val fs = path.getFileSystem(conf)
     if (!fs.exists(path)) None
     else {
-      val in = fs.open(path)
+      // exists→open is a TOCTOU window: a concurrent delete (e.g. another runner's
+      // legacy-key migration) between the two must read as "no state" per the Option
+      // contract, not abort the whole run with FileNotFoundException.
+      val in = try fs.open(path) catch {
+        case _: java.io.FileNotFoundException => return None
+      }
       try {
         val bytes = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](8192)
@@ -225,6 +230,13 @@ final class IncrementalAnalysisRunner(store: StateStore, analyzers: Seq[Analyzer
     * the per-analyzer-scan shape the reference fell back to is a linear job-count tax.
     * Idempotent under replay of the same `partitionKey` (see [[rebuildCumulative]]).
     */
+  /** Whether any analyzer already has stored state under `partitionKey` — lets sinks
+    * distinguish a first ingest from an overwrite (replay or checkpoint-reset
+    * collision) before committing. One point-read, short-circuiting.
+    */
+  def hasPartitionState(partitionKey: String): Boolean =
+    analyzers.exists(a => store.load(a.key, partitionKey).isDefined)
+
   def analyzePartition(df: DataFrame, partitionKey: String): Map[String, MetricValue] = {
     require(partitionKey != CumulativeKey && partitionKey != NullKey,
       s"partition key '$partitionKey' collides with a reserved state-store key")
@@ -299,9 +311,14 @@ final class IncrementalAnalysisRunner(store: StateStore, analyzers: Seq[Analyzer
         (a, s, a.fieldsOfAnyState(s))
       }
     }
-    // Replay detection BEFORE the saves overwrite the evidence.
-    val replayed = analyzers.map(a =>
-      a.key -> partStates.exists { case (pk, _) => store.load(a.key, pk).isDefined }).toMap
+    // Replay detection BEFORE the saves overwrite the evidence. ONE listing per
+    // analyzer, not P×A point-reads: the exists() only short-circuits when a replay
+    // IS found, so the common all-fresh path would otherwise load every partition
+    // state file (100k driver-side FS reads at 10k partitions × 10 analyzers).
+    val replayed = analyzers.map { a =>
+      val existing = store.listPartitions(a.key).toSet
+      a.key -> partStates.exists { case (pk, _) => existing(pk) }
+    }.toMap
     partStates.foreach { case (pk, ss) =>
       ss.foreach { case (a, _, f) => store.save(a.key, pk, f) }
     }

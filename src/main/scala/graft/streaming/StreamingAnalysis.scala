@@ -15,6 +15,8 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateT
   */
 object StreamingAnalysis {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Per-window data-quality aggregates with watermarked event time.
     * Emits one row per (window, metrics...) — completeness ratios and row counts for
     * the given columns, computed with the same conditional-count shapes as the batch
@@ -41,7 +43,20 @@ object StreamingAnalysis {
       runner: IncrementalAnalysisRunner,
       onBatch: (Long, Map[String, MetricValue]) => Unit = (_, _) => ()): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-      val metrics = runner.analyzePartition(batch, f"batch=$batchId%012d")
+      val pk = f"batch=$batchId%012d"
+      // Pre-existing state for this batch key is EITHER a benign replay (mid-commit
+      // failure re-delivery — the runner's overwrite+rebuild is idempotent for it) OR
+      // a query restarted with a FRESH CHECKPOINT (batch ids reset to 0) colliding
+      // with the original run's history. The two are indistinguishable here (unlike
+      // anomalySink's scalar metric, analyzer states are float-order-sensitive, so an
+      // equality probe would false-positive on genuine replays) — surface the
+      // overwrite loudly instead of corrupting silently.
+      if (runner.hasPartitionState(pk))
+        log.warn(s"incrementalSink: batch $batchId already has stored state and will be " +
+          "overwritten. If this query was restarted with a fresh checkpoint against an " +
+          "existing state store, the original run's contribution is being REPLACED — " +
+          "use a new store path or restore the original checkpoint.")
+      val metrics = runner.analyzePartition(batch, pk)
       onBatch(batchId, metrics)
     }
 
@@ -65,8 +80,12 @@ object StreamingAnalysis {
       // try_cast + filter on the RESULT: under ANSI mode (Spark 4 default) a plain
       // cast throws on malformed values and kills the whole streaming query, and a
       // pre-cast isNotNull filter would let cast-nulls reach the non-nullable Double
-      // encoder.
-      .filter(col(valueCol).try_cast("double").isNotNull)
+      // encoder. between(±MaxValue), not isNotNull: one NaN/Infinity value (a double
+      // NaN, or the string "NaN"/"Infinity", which try_cast converts to a NON-null
+      // non-finite) folded into a key's running sums poisons that key's mean/stddev
+      // PERMANENTLY — the state never recovers (same guard class as
+      // Metrics.numericHistogram and ZScoreStrategy's finite-history filter).
+      .filter(col(valueCol).try_cast("double").between(-Double.MaxValue, Double.MaxValue))
       .select(col(keyCol).cast("string").as("_k"), col(valueCol).try_cast("double").as("_v"))
       .as[(String, Double)](Encoders.tuple(Encoders.STRING, Encoders.scalaDouble))
     val timeoutConf =
@@ -106,12 +125,19 @@ object StreamingAnalysis {
       watermarkDelay: String,
       aggs: Seq[org.apache.spark.sql.Column]): DataFrame = {
     require(aggs.nonEmpty, "windowedMetrics needs at least one aggregate column")
-    stream
+    val out = stream
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowDuration).as("w"))
       .agg(aggs.head, aggs.drop(1): _*)
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("*")).drop("w")
+    // Reserved-name guard (same class as joinCoverage's _matched / dedup's _fp): an
+    // aggregate aliased window_start/window_end would yield DUPLICATE output columns
+    // and an AMBIGUOUS_REFERENCE far from the cause on first downstream use.
+    val dups = out.columns.diff(out.columns.distinct).distinct
+    require(dups.isEmpty,
+      s"windowedMetrics reserves window_start/window_end; rename aggregate alias(es): ${dups.mkString(", ")}")
+    out
   }
 
   /** Streaming EXACT dedup with bounded state: one row per key, duplicates dropped

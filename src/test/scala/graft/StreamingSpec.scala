@@ -301,11 +301,26 @@ class StreamingSpec extends SparkSpec {
       input.toDF().toDF("k", "v"), "k", "v") // v is a STRING column
     val q = stream.writeStream.format("memory").queryName("krm2").outputMode("update").start()
     try {
-      input.addData(("a", "1.5"), ("a", "garbage"), ("a", "2.5"))
-      q.processAllAvailable() // "garbage" casts to null — must be filtered, not crash
+      // "garbage" casts to null; "NaN"/"Infinity" try_cast to NON-null non-finites
+      // that would poison the key's running sums forever — all three must filter out.
+      input.addData(("a", "1.5"), ("a", "garbage"), ("a", "NaN"), ("a", "Infinity"), ("a", "2.5"))
+      q.processAllAvailable()
     } finally q.stop()
     val r = spark.sql("SELECT n, mean FROM krm2 WHERE key = 'a'").collect().head
     assert(r.getLong(0) == 2 && math.abs(r.getDouble(1) - 2.0) < 1e-9)
+  }
+
+  test("windowedMetrics rejects aggregate aliases that collide with window_start/window_end") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val ex = intercept[IllegalArgumentException] {
+      StreamingAnalysis.windowedMetrics(input.toDF().toDF("ts", "v"), "ts",
+        "1 minute", "1 minute",
+        Seq(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))
+          .as("window_start")))
+    }
+    assert(ex.getMessage.contains("window_start"), ex.getMessage)
   }
 
   test("constraint sink evaluates batchable constraints per micro-batch") {
