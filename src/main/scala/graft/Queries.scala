@@ -79,7 +79,9 @@ object Queries {
     * so the fallback schema and probe lookup cannot drift between the three queries.
     */
   private def withProbe(s: SparkSession, d: String)(body: Seq[Float] => DataFrame): DataFrame =
-    t(s, d, "embeddings").filter(col("vec_id") === 0)
+    // isNotNull: a probe ROW with a NULL embedding must degrade like a missing row
+    // (the None branch), not NPE on getSeq(0).toSeq.
+    t(s, d, "embeddings").filter(col("vec_id") === 0 && col("embedding").isNotNull)
       .select("embedding").head(1).headOption.map(_.getSeq[Float](0).toSeq) match {
       case Some(probe) => body(probe)
       case None =>
@@ -960,7 +962,7 @@ object Queries {
           Map("orders" -> t(s, d, "orders"), "customer" -> t(s, d, "customer")))
         import s.implicits._
         cands.map(c => (c.childTable, c.childColumn, c.parentTable, c.parentColumn,
-            BigDecimal(c.overlap).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+            rd(c.overlap, 6)))
           .sortBy(c => (c._1, c._2))
           .toDF("child_table", "child_column", "parent_table", "parent_column", "overlap")
       },
@@ -1112,14 +1114,19 @@ object Queries {
     // against Dedup.allPairsJaccard), then exact-Jaccard verification; the oracle is
     // the quadratic all-pairs SQL, which stays feasible at the sf0.01 gate while the
     // Spark side stays subquadratic at any scale.
+    // A SECOND kernel parameterization (6-char shingles, 32 bands of 4 rows), not a
+    // repeat of dedup_minhash_documents' (5, 16×8): different shingle sets, different
+    // banding S-curve (recall at j=0.9 is 1-(1-0.9⁴)³² ≈ 1-2e-15), same exact
+    // all-pairs oracle recomputed at width 6 — the banding math is proven at two
+    // configurations instead of paying the pipeline twice for one.
     QueryDef("dedup_ngram_jaccard_documents",
       (s, d) => Dedup.nearDupPairsMinhash(t(s, d, "documents"), "doc_id", "text",
-        threshold = 0.9, shingleSize = 5)
+        threshold = 0.9, shingleSize = 6, numHashes = 128, bands = 32)
         .agg(count(lit(1)).as("near_dup_pairs")),
       Some("""WITH idx AS (SELECT unnest(range(1, CAST((SELECT coalesce(max(length(text)), 0) FROM documents) AS BIGINT) + 1)) AS i),
-             | sh AS (SELECT doc_id, list(DISTINCT substr(text, CAST(i AS INT), 5)) AS g
-             |   FROM documents JOIN idx ON i <= length(text) - 4 GROUP BY doc_id
-             |   UNION ALL SELECT doc_id, [text] AS g FROM documents WHERE length(text) < 5)
+             | sh AS (SELECT doc_id, list(DISTINCT substr(text, CAST(i AS INT), 6)) AS g
+             |   FROM documents JOIN idx ON i <= length(text) - 5 GROUP BY doc_id
+             |   UNION ALL SELECT doc_id, [text] AS g FROM documents WHERE length(text) < 6)
              | SELECT count(*) AS near_dup_pairs
              | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
              | WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(list_distinct(a.g || b.g)) >= 0.9""".stripMargin.replaceAll("\n", " "))),

@@ -31,7 +31,10 @@ object SuggestionRules {
           CompletenessConstraint.complete(p.column)))
       else if (p.completeness >= 0.9)
         Seq(ConstraintSuggestion(p.column,
-          f"${p.column} is ${p.completeness * 100}%.1f%% complete", 0.7, name,
+          // Locale.ROOT (same rule as Formatters): the f interpolator renders 97,5 on
+          // comma-decimal default locales, making descriptions deployment-dependent.
+          s"${p.column} is ${String.format(java.util.Locale.ROOT, "%.1f",
+            Double.box(p.completeness * 100))}% complete", 0.7, name,
           CompletenessConstraint(p.column,
             Assertion.GreaterThanOrEqual(math.floor(p.completeness * 100) / 100 * 0.95))))
       else Nil
@@ -82,7 +85,8 @@ object SuggestionRules {
       p.inferredType match {
         case Some(t) if t.dataType != "text" && t.dataType != "unknown" && t.confidence >= 0.95 =>
           Seq(ConstraintSuggestion(p.column,
-            f"${p.column} values parse as ${t.dataType} (${t.confidence * 100}%.0f%%)", t.confidence, name,
+            s"${p.column} values parse as ${t.dataType} (${String.format(
+              java.util.Locale.ROOT, "%.0f", Double.box(t.confidence * 100))}%)", t.confidence, name,
             TypeConsistencyConstraint(p.column, 0.9, Some(t.dataType))))
         case _ => Nil
       }
@@ -191,8 +195,17 @@ final class SchemaAnalyzer(minOverlap: Double = 0.95,
   private def overlap(child: DataFrame, cc: String, parent: DataFrame, pc: String,
       total: Long): Double = {
     if (total == 0) return 0.0
-    val matched = child.filter(col(cc).isNotNull)
-      .join(parent.select(col(pc)).distinct(), child(cc) === parent(pc), "left_semi").count()
+    // Alias both sides: the unaliased child(cc) === parent(pc) condition resolves to
+    // the same attribute when both names map to one underlying DataFrame (the same
+    // frame registered twice, or a filter of the other) and Spark's default
+    // failAmbiguousSelfJoin kills the whole suggestion sweep with AMBIGUOUS_SELF_JOIN.
+    val c = child.filter(col(graft.core.SqlIdent(cc)).isNotNull).alias("_sac")
+    val p = parent.select(col(graft.core.SqlIdent(pc))).distinct().alias("_sap")
+    // SqlIdent: the names come from df.columns, so a literal dot/backtick must stay
+    // one identifier under the alias qualifier.
+    val matched = c.join(p,
+      col(s"_sac.${graft.core.SqlIdent(cc)}") === col(s"_sap.${graft.core.SqlIdent(pc)}"),
+      "left_semi").count()
     matched.toDouble / total
   }
 }

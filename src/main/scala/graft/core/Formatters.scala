@@ -33,15 +33,7 @@ object Formatters {
   }
 
   def json(report: ValidationReport): String = {
-    def q(s: String) = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def q(s: String) = JsonStr.quote(s)
     // Every double goes through this: bare NaN/Infinity is not valid JSON and one
     // non-finite value anywhere (vector element, histogram ratio) would make the whole
     // report unparseable.
@@ -55,7 +47,9 @@ object Formatters {
       case MetricValue.HistogramMetric(h) =>
         // total/distinct/null counts travel alongside the buckets: bucket counts need
         // not sum to total (nulls, truncation), so a JSON consumer cannot derive them.
-        val buckets = h.buckets.toSeq.sortBy(-_._2.count).map { case (k, b) =>
+        // Secondary key sort: count ties would otherwise serialize in Map iteration
+        // order — same report, different bytes across JVM/Scala versions.
+        val buckets = h.buckets.toSeq.sortBy(b => (-b._2.count, b._1)).map { case (k, b) =>
           s"${q(k)}:{" + s""""count":${b.count},"ratio":${num(b.ratio)}}""" }
           .mkString("{", ",", "}")
         s"""{"total":${h.total},"distinct":${h.distinctCount},"nulls":${h.nullCount},""" +

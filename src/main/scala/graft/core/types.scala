@@ -155,3 +155,18 @@ private[graft] object FsUtil {
 private[graft] object SqlIdent {
   def apply(c: String): String = "`" + c.replace("`", "``") + "`"
 }
+
+/** The ONE JSON string escaper (backslash, quote, all control chars < 0x20) — shared
+  * by the report formatter and the Verify oracle dump so the two cannot drift.
+  */
+private[graft] object JsonStr {
+  def quote(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+}
