@@ -1586,9 +1586,117 @@ object Queries {
              | count(DISTINCT regexp_replace(trim(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS distinct_fingerprints
              | FROM q""".stripMargin.replaceAll("\n", " "))))
 
+  /** Deterministic PII-bearing text built from `customer` — the synthetic corpus has
+    * no natural PII, so both engines derive identical text from the same rows (pure
+    * integer arithmetic + casts, so the strings are bit-identical across engines) and
+    * the redaction pass has real matches to find. Residue classes of `c_custkey`
+    * decide which PII kinds a row carries, giving varied per-type counts.
+    */
+  private def piiSyntheticText: org.apache.spark.sql.Column = {
+    val k = col("c_custkey")
+    def pad(e: org.apache.spark.sql.Column, n: Int) = lpad(e.cast("string"), n, "0")
+    concat(
+      lit("Report for "), col("c_name"), lit(" segment "), col("c_mktsegment"),
+      when(k % 3 === 0,
+        concat(lit(" contact user"), k.cast("string"), lit("@mail.example.com")))
+        .otherwise(lit("")),
+      when(k % 4 === 0,
+        concat(lit(" phone 555-"), pad(k * 11 % 1000, 3), lit("-"), pad(k % 10000, 4)))
+        .otherwise(lit("")),
+      when(k % 5 === 0,
+        concat(lit(" ssn "), pad(k * 7 % 1000, 3), lit("-"), pad(k * 3 % 100, 2),
+          lit("-"), pad(k % 10000, 4)))
+        .otherwise(lit("")),
+      when(k % 6 === 0,
+        concat(lit(" ip 10."), (k % 256).cast("string"), lit("."),
+          (k * 3 % 256).cast("string"), lit("."), (k % 100).cast("string")))
+        .otherwise(lit("")),
+      when(k % 7 === 0,
+        concat(lit(" card "), pad(k % 10000, 4), lit("-"), pad(k * 3 % 10000, 4),
+          lit("-"), pad(k * 7 % 10000, 4), lit("-"), pad(k * 9 % 10000, 4)))
+        .otherwise(lit("")))
+  }
+
+  /** The same construction in DuckDB (`||` not `concat()`: DuckDB's `concat` IGNORES
+    * NULL args while Spark's propagates them — `||` null-propagates like Spark).
+    */
+  private val piiSyntheticSql: String =
+    """'Report for ' || c_name || ' segment ' || c_mktsegment
+      | || (CASE WHEN c_custkey % 3 = 0 THEN ' contact user' || CAST(c_custkey AS VARCHAR) || '@mail.example.com' ELSE '' END)
+      | || (CASE WHEN c_custkey % 4 = 0 THEN ' phone 555-' || lpad(CAST(c_custkey * 11 % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ELSE '' END)
+      | || (CASE WHEN c_custkey % 5 = 0 THEN ' ssn ' || lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(c_custkey * 3 % 100 AS VARCHAR), 2, '0') || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ELSE '' END)
+      | || (CASE WHEN c_custkey % 6 = 0 THEN ' ip 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.' || CAST(c_custkey * 3 % 256 AS VARCHAR) || '.' || CAST(c_custkey % 100 AS VARCHAR) ELSE '' END)
+      | || (CASE WHEN c_custkey % 7 = 0 THEN ' card ' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || '-' || lpad(CAST(c_custkey * 3 % 10000 AS VARCHAR), 4, '0') || '-' || lpad(CAST(c_custkey * 7 % 10000 AS VARCHAR), 4, '0') || '-' || lpad(CAST(c_custkey * 9 % 10000 AS VARCHAR), 4, '0') ELSE '' END)
+      |""".stripMargin.replaceAll("\n", " ")
+
+  /** DuckDB form of one pattern's match count over `text` (len of extract_all;
+    * NULL-propagating like Spark's `regexp_count`).
+    */
+  private def piiCountSql(regex: String): String =
+    s"len(regexp_extract_all(text, '$regex'))"
+
+  /** Large-scale pipeline transforms beyond the reference's own surface: PII
+    * scrubbing, Bloom decontamination, shard packing, stratified sampling. Grouped
+    * separately so each addition carries its oracle from day one.
+    */
+  private val pipelineDefs: Seq[QueryDef] = Seq(
+
+    // Per-PII-type detection stats through the operator's one-scan rollup.
+    QueryDef("pii_stats_customer",
+      (s, d) => {
+        val df = t(s, d, "customer").select(piiSyntheticText.as("text"))
+        graft.operators.Pii.piiStats(df, "text")
+      },
+      Some {
+        val unions = graft.operators.Pii.Defaults.map { p =>
+          s"""SELECT '${p.name}' AS pii_type,
+             | CAST(coalesce(sum(CASE WHEN ${piiCountSql(p.regex)} > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS docs_matched,
+             | CAST(coalesce(sum(${piiCountSql(p.regex)}), 0) AS BIGINT) AS total_matches FROM pii""".stripMargin
+        }.mkString(" UNION ALL ")
+        s"WITH pii AS (SELECT $piiSyntheticSql AS text FROM customer) $unions"
+          .replaceAll("\n", " ")
+      }),
+
+    // End-to-end redaction: chained codegen'd regexp_replace, then residual-PII and
+    // length accounting over the redacted corpus.
+    QueryDef("pii_redaction_customer",
+      (s, d) => {
+        import graft.operators.Pii
+        val df = t(s, d, "customer").select(piiSyntheticText.as("text"))
+        val lenBefore = coalesce(sum(length(col("text"))), lit(0L))
+        val before = df.agg(lenBefore.as("_lb")).head().getLong(0)
+        Pii.redactDf(df, "text").agg(
+          count(lit(1)).as("n_rows"),
+          coalesce(sum(when(Pii.containsPii(col("text")), 1L).otherwise(0L)), lit(0L))
+            .as("residual_pii_rows"),
+          lit(before).as("len_before"),
+          lenBefore.as("len_after"),
+          coalesce(sum(when(col("text").contains("[EMAIL]"), 1L).otherwise(0L)), lit(0L))
+            .as("rows_with_email_token"))
+      },
+      Some {
+        val redacted = graft.operators.Pii.Defaults.foldLeft("text") { (acc, p) =>
+          // Replacement strings are literal in both engines except for \N group refs
+          // (absent from these tokens) — no escaping of the brackets.
+          s"regexp_replace($acc, '${p.regex}', '${p.replacement}', 'g')"
+        }
+        val residual = graft.operators.Pii.Defaults
+          .map(p => s"coalesce(len(regexp_extract_all(text, '${p.regex}')) > 0, FALSE)")
+          .mkString(" OR ")
+        s"""WITH pii AS (SELECT $piiSyntheticSql AS text FROM customer),
+           | red AS (SELECT $redacted AS text FROM pii)
+           | SELECT count(*) AS n_rows,
+           | CAST(coalesce(sum(CASE WHEN $residual THEN 1 ELSE 0 END), 0) AS BIGINT) AS residual_pii_rows,
+           | CAST(coalesce((SELECT sum(length(text)) FROM pii), 0) AS BIGINT) AS len_before,
+           | CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS len_after,
+           | CAST(coalesce(sum(CASE WHEN contains(text, '[EMAIL]') THEN 1 ELSE 0 END), 0) AS BIGINT) AS rows_with_email_token
+           | FROM red""".stripMargin.replaceAll("\n", " ")
+      })
+  )
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (defs ++ llmDefs ++ sqlSurfaceDefs).map(q => q.name -> q.run).toMap
+    (defs ++ llmDefs ++ sqlSurfaceDefs ++ pipelineDefs).map(q => q.name -> q.run).toMap
 
   def oracleSql: Map[String, String] =
-    (defs ++ llmDefs ++ sqlSurfaceDefs).flatMap(q => q.oracle.map(q.name -> _)).toMap
+    (defs ++ llmDefs ++ sqlSurfaceDefs ++ pipelineDefs).flatMap(q => q.oracle.map(q.name -> _)).toMap
 }
