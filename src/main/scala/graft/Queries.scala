@@ -1657,6 +1657,99 @@ object Queries {
           .replaceAll("\n", " ")
       }),
 
+    // The Bloom-prefiltered decontamination path (exact result, ~fpp of the corpus
+    // grams shuffled instead of all of them) against the same overlap oracle as the
+    // broadcast path — different split (%7) and gram width (6) so the two
+    // contamination queries don't share intermediate answers.
+    QueryDef("contamination_bloom_documents",
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("text").isNotNull)
+        val probe = docs.filter(col("doc_id") % 7 === 0)
+        val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+        graft.operators.Dedup.crossCorpusContaminationBloom(
+          corpus, probe, "text", "doc_id", "text", ngramWords = 6)
+          .agg(
+            count(lit(1)).as("n_probes"),
+            sum(when(col("ngrams_matched") > 0, 1L).otherwise(0L)).as("contaminated_docs"),
+            sum(col("ngrams_matched")).cast("long").as("total_matched"),
+            round(max(col("contamination")), 6).as("max_contamination"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS t FROM documents WHERE text IS NOT NULL),
+             | widx AS (SELECT unnest(range(1, CAST((SELECT coalesce(max(len(t)), 0) FROM tok) AS BIGINT) + 1)) AS i),
+             | g AS (SELECT doc_id, array_to_string(t[CAST(i AS INT):CAST(i AS INT)+5], ' ') AS gram FROM tok JOIN widx ON i <= len(t) - 5
+             |   UNION ALL SELECT doc_id, array_to_string(t, ' ') FROM tok WHERE len(t) < 6 AND len(t) > 0),
+             | gd AS (SELECT DISTINCT doc_id, gram FROM g),
+             | corp AS (SELECT DISTINCT gram FROM gd WHERE doc_id % 7 != 0),
+             | probe AS (SELECT doc_id, gram FROM gd WHERE doc_id % 7 = 0),
+             | per AS (SELECT probe.doc_id, count(*) AS total,
+             |     sum(CASE WHEN corp.gram IS NOT NULL THEN 1 ELSE 0 END) AS matched
+             |   FROM probe LEFT JOIN corp ON probe.gram = corp.gram GROUP BY 1)
+             | SELECT count(*) AS n_probes,
+             | CAST(sum(CASE WHEN matched > 0 THEN 1 ELSE 0 END) AS BIGINT) AS contaminated_docs,
+             | CAST(sum(matched) AS BIGINT) AS total_matched,
+             | round(max(CAST(matched AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS max_contamination
+             | FROM per""".stripMargin.replaceAll("\n", " "))),
+
+    // NFC canonicalization sweep: how much of the corpus is non-canonical (composed
+    // vs combining-mark forms). Clean fixtures are ASCII (0 changed); the adversarial
+    // gate's combining-mark/Unicode hostiles exercise real normalization here.
+    QueryDef("unicode_nfc_documents",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val nfc = TextFunctions.nfcNormalize(col("text"))
+        docs.agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(when(nfc =!= col("text"), 1L).otherwise(0L)), lit(0L))
+            .as("docs_changed"),
+          coalesce(sum(length(col("text"))), lit(0L)).as("chars_before"),
+          coalesce(sum(length(nfc)), lit(0L)).as("chars_after"))
+      },
+      Some("""SELECT count(*) AS n_docs,
+             | CAST(coalesce(sum(CASE WHEN nfc_normalize(text) != text THEN 1 ELSE 0 END), 0) AS BIGINT) AS docs_changed,
+             | CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS chars_before,
+             | CAST(coalesce(sum(length(nfc_normalize(text))), 0) AS BIGINT) AS chars_after
+             | FROM documents""".stripMargin.replaceAll("\n", " "))),
+
+    // Deterministic per-language quota sample through the salted two-phase top-k
+    // (salt=4 exercises the hot-stratum scale path; the result is salt-invariant).
+    QueryDef("stratified_sample_documents",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .filter(col("lang").isNotNull && col("doc_id").isNotNull)
+        graft.operators.Sampling.quotaPerStratum(docs, Seq("lang"), 30, Seq("doc_id"), salt = 4)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sampled"),
+            coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"),
+            min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"))
+      },
+      Some("""WITH r AS (SELECT lang, doc_id, n_chars,
+             |   row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+             |   FROM documents WHERE lang IS NOT NULL AND doc_id IS NOT NULL)
+             | SELECT lang, count(*) AS n_sampled,
+             | CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars,
+             | min(doc_id) AS min_id, max(doc_id) AS max_id
+             | FROM r WHERE rn <= 30 GROUP BY 1""".stripMargin.replaceAll("\n", " "))),
+
+    // Token-budget shard packing through the distributed prefix-sum (range-repartition
+    // + per-partition running sum + boundary-offset fold — no global window). All
+    // integer arithmetic end to end, so the per-shard rollup is bit-exact.
+    QueryDef("shard_packing_documents",
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"),
+            coalesce(TextFunctions.tokenCount(col("text")).cast("long"), lit(0L)).as("toks"))
+        graft.operators.Sharding.packIntoShards(docs, "doc_id", "toks", budget = 2000L)
+          .groupBy(col("shard_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("toks")), lit(0L)).as("shard_tokens"))
+      },
+      Some("""WITH dd AS (SELECT doc_id, coalesce(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')), 0) AS toks FROM documents WHERE doc_id IS NOT NULL),
+             | c AS (SELECT doc_id, toks, coalesce(sum(toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl FROM dd)
+             | SELECT CAST(excl // 2000 AS BIGINT) AS shard_id, count(*) AS n_docs,
+             | CAST(coalesce(sum(toks), 0) AS BIGINT) AS shard_tokens
+             | FROM c GROUP BY 1""".stripMargin.replaceAll("\n", " "))),
+
     // End-to-end redaction: chained codegen'd regexp_replace, then residual-PII and
     // length accounting over the redacted corpus.
     QueryDef("pii_redaction_customer",

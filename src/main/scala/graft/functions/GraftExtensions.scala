@@ -123,7 +123,13 @@ object GraftFunctions {
           cs => graft.operators.Dedup.simhash64(T.tokens(cs.head)))),
       ("graft_dup_line_fraction",
         "graft_dup_line_fraction(text) - duplicate-line fraction over trimmed non-empty lines",
-        fromColumns("graft_dup_line_fraction", 1, cs => T.dupLineFraction(cs.head))))
+        fromColumns("graft_dup_line_fraction", 1, cs => T.dupLineFraction(cs.head))),
+      ("graft_nfc",
+        "graft_nfc(text) - Unicode NFC canonicalization (UAX #15)",
+        fromColumns("graft_nfc", 1, cs => T.nfcNormalize(cs.head))),
+      ("graft_nfkc",
+        "graft_nfkc(text) - Unicode NFKC compatibility fold (UAX #15)",
+        fromColumns("graft_nfkc", 1, cs => T.nfkcNormalize(cs.head))))
   }
 
   private def buildDupNgramFraction(args: Seq[Expression]): Expression = args match {

@@ -156,6 +156,22 @@ object TextFunctions {
       DupNgramFraction(org.apache.spark.sql.GraftSqlBridge.expression(c), k, word = true))
   }
 
+  /** Unicode NFC canonicalization (é ≡ e+COMBINING ACUTE) — run before any
+    * hash/fingerprint/dedup step so canonically-equal text collides. Native codegen'd
+    * [[UnicodeNormalize]]; already-normalized text (all ASCII included) returns the
+    * input buffer without copying.
+    */
+  def nfcNormalize(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      UnicodeNormalize(org.apache.spark.sql.GraftSqlBridge.expression(c), "NFC"))
+
+  /** Unicode NFKC compatibility fold (ﬁ → fi, fullwidth → ASCII, superscripts →
+    * digits) — the aggressive canonicalization most tokenizer pipelines apply.
+    */
+  def nfkcNormalize(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      UnicodeNormalize(org.apache.spark.sql.GraftSqlBridge.expression(c), "NFKC"))
+
   /** Duplicate-line fraction: 1 − distinct/total over trimmed non-empty lines. */
   def dupLineFraction(c: Column): Column = {
     val ls = filter(transform(split(c, "\n"), l => trim(l)), l => length(l) > 0)

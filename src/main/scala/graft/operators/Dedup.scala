@@ -362,21 +362,100 @@ object Dedup {
       corpusTextCol: String, probeIdCol: String, probeTextCol: String,
       ngramWords: Int = 8): DataFrame = {
     require(ngramWords > 0, s"ngramWords must be positive, got $ngramWords")
-    // size(tokens) > 0 is also the null-text filter: tokens(null) is null, and a null
-    // comparison drops the row.
-    val probeShingles = probe
+    val probeShingles = probeShingleHashes(probe, probeIdCol, probeTextCol, ngramWords)
+    val probeHashes = probeShingles.select("_h").distinct()
+    val matched = corpusGramHashes(corpus, corpusTextCol, ngramWords)
+      .join(broadcast(probeHashes), Seq("_h"), "left_semi")
+      .distinct()
+    scoreContamination(probeShingles, matched)
+  }
+
+  /** [[crossCorpusContamination]] for probe sets too large to broadcast as a hash-join
+    * table but whose BLOOM BITS still fit (~1.2 MB per million distinct grams at 1%
+    * fpp — a 100 M-gram probe is ~120 MB of bits vs several GB of join hashtable).
+    *
+    * Same exact output as the broadcast path. The Bloom filter is only a PRE-SHUFFLE
+    * filter — the Spark runtime-filter pattern, applied explicitly: corpus grams that
+    * pass the (codegen'd, no-UDF) `might_contain` probe are a small superset of the
+    * true matches (true matches + `fpp` of the corpus's distinct grams), and only
+    * that superset shuffles into the exact semi-join that removes false positives. At
+    * fpp=0.01 the corpus-side shuffle volume drops ~99% vs a plain shuffle join while
+    * the result stays exact.
+    *
+    * Two probe-side passes (distinct-count for sizing + the aggregate that builds the
+    * filter) run over the localCheckpointed shingle frame — no source re-read.
+    */
+  def crossCorpusContaminationBloom(corpus: DataFrame, probe: DataFrame,
+      corpusTextCol: String, probeIdCol: String, probeTextCol: String,
+      ngramWords: Int = 8, fpp: Double = 0.01): DataFrame = {
+    require(ngramWords > 0, s"ngramWords must be positive, got $ngramWords")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val probeShingles = probeShingleHashes(probe, probeIdCol, probeTextCol, ngramWords)
+    val probeHashes = probeShingles.select("_h").distinct().localCheckpoint(true)
+    // Exact distinct count sizes the filter — an undersized Bloom silently degrades
+    // to pass-everything and the "99% shuffle cut" quietly becomes 0%.
+    val n = probeHashes.count()
+    if (n == 0L) {
+      // Empty probe: nothing can match; skip building a filter over zero items.
+      return scoreContamination(probeShingles, probeHashes)
+    }
+    val bloom = probeHashes.stat.bloomFilter("_h", n, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    // Codegen'd catalyst predicate (the expression behind Spark's own runtime bloom
+    // joins) — the corpus-side scan stays a single WholeStageCodegen span with zero
+    // UDF boundary. The serialized bits ride the stage's task binary (broadcast once
+    // per executor), not per-row.
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.GraftSqlBridge
+    def mightContain(h: Column): Column = GraftSqlBridge.column(
+      BloomFilterMightContain(Literal(bytes, BinaryType), GraftSqlBridge.expression(h)))
+    val matched = corpusGramHashes(corpus, corpusTextCol, ngramWords)
+      .filter(mightContain(col("_h")))
+      // NOT broadcast: this semi-join is the exact false-positive scrub, sized by the
+      // too-big-to-broadcast probe — let it shuffle the (already Bloom-thinned)
+      // survivors. distinct() after, bounded by the probe's gram count.
+      .join(probeHashes.hint("shuffle_hash"), Seq("_h"), "left_semi")
+      .distinct()
+    scoreContamination(probeShingles, matched)
+  }
+
+  /** Probe-side (probe_id, gram-hash) pairs, one row per distinct gram per doc,
+    * materialized once (localCheckpoint) — every contamination path consumes it at
+    * least twice (hash set / filter build + the per-doc scoring join).
+    *
+    * `size(tokens) > 0` is also the null-text filter: tokens(null) is null, and a
+    * null comparison drops the row. Docs with ZERO tokens (empty/whitespace-only/null
+    * text) contribute no grams on either side and are absent from the output —
+    * without the guard, every empty doc would share the empty pseudo-gram and score
+    * 100% contamination against any empty corpus row.
+    */
+  private def probeShingleHashes(probe: DataFrame, probeIdCol: String,
+      probeTextCol: String, ngramWords: Int): DataFrame =
+    probe
       .filter(size(tokens(col(probeTextCol))) > 0)
       .select(col(probeIdCol).as("probe_id"),
         explode(wordShingles(col(probeTextCol), ngramWords)).as("_g"))
       .select(col("probe_id"), xxhash64(col("_g")).as("_h"))
       .localCheckpoint(true)
-    val probeHashes = probeShingles.select("_h").distinct()
-    val matched = fanOut(corpus)
+
+  /** Corpus-side gram hashes as a pure row-local projection — the corpus NEVER
+    * shuffles here; whatever filter follows decides what little of it moves.
+    */
+  private def corpusGramHashes(corpus: DataFrame, corpusTextCol: String,
+      ngramWords: Int): DataFrame =
+    fanOut(corpus)
       .filter(size(tokens(col(corpusTextCol))) > 0)
       .select(explode(wordShingles(col(corpusTextCol), ngramWords)).as("_g"))
       .select(xxhash64(col("_g")).as("_h"))
-      .join(broadcast(probeHashes), Seq("_h"), "left_semi")
-      .distinct()
+
+  /** Per-probe-doc rollup: `probe_id`, `ngrams_total` (distinct grams in the doc),
+    * `ngrams_matched`, `contamination` (= matched/total).
+    */
+  private def scoreContamination(probeShingles: DataFrame, matched: DataFrame): DataFrame =
     probeShingles
       .join(matched.withColumn("_hit", lit(1L)), Seq("_h"), "left")
       .groupBy(col("probe_id"))
@@ -384,7 +463,6 @@ object Dedup {
         sum(coalesce(col("_hit"), lit(0L))).as("ngrams_matched"))
       .withColumn("contamination",
         col("ngrams_matched").cast("double") / col("ngrams_total").cast("double"))
-  }
 
   /** Connected components over an undirected pair graph: every id is labeled with the
     * MINIMUM id reachable through the pairs — the canonical duplicate-cluster id (unlike

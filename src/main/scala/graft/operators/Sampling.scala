@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for data-mixture construction: per-stratum quotas (so a
+  * target language/source/domain mix can be assembled exactly) and stable hash-based
+  * fraction splits (train/val/test that survive reruns, repartitioning, and
+  * incremental corpus growth).
+  *
+  * Everything here is reproducible by construction — no `rand()`, no
+  * partition-order dependence — because a sampling step that changes membership
+  * between runs silently invalidates every downstream eval.
+  */
+object Sampling {
+
+  /** The first `k` rows of each stratum in ascending `orderCols` order — an exact,
+    * deterministic quota sample. `orderCols` must totally order rows WITHIN a stratum
+    * (ties would make `row_number` partition-order-dependent); a unique id column is
+    * the usual choice.
+    *
+    * Scale: the stratum-keyed window sorts each stratum inside one task, so a hot
+    * stratum (one language at 50% of a 100 TB corpus) would sort data-scale rows in a
+    * single task. `salt > 1` adds a pre-pass: per-(stratum, salt-bucket) top-k —
+    * buckets assigned by hashing `orderCols`, so the pass is deterministic and
+    * partition-independent — shrinks every stratum to ≤ `salt·k` rows BEFORE the
+    * stratum-keyed window, which then sorts at most `salt·k` rows per stratum. The
+    * result is identical for any salt (the global top-k is a subset of the union of
+    * bucket top-ks); salt only re-shapes the shuffle.
+    */
+  def quotaPerStratum(df: DataFrame, strataCols: Seq[String], k: Int,
+      orderCols: Seq[String], salt: Int = 1): DataFrame = {
+    require(k > 0, s"quota k must be positive, got $k")
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    require(strataCols.nonEmpty && orderCols.nonEmpty,
+      "quotaPerStratum needs at least one stratum column and one order column")
+    val strata = strataCols.map(col)
+    val order = orderCols.map(col)
+    val base =
+      if (salt <= 1) df
+      else {
+        val w1 = Window.partitionBy(strata :+ col("_salt"): _*).orderBy(order: _*)
+        df.withColumn("_salt", pmod(xxhash64(order: _*), lit(salt.toLong)))
+          .withColumn("_rn1", row_number().over(w1))
+          .filter(col("_rn1") <= k)
+          .drop("_salt", "_rn1")
+      }
+    val w = Window.partitionBy(strata: _*).orderBy(order: _*)
+    base.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn")
+  }
+
+  /** Stable `fraction` sample keyed on `keyCols`: a row is in iff
+    * `xxhash64(keys, seed) mod 1e6 < fraction·1e6`. Membership depends only on key
+    * values and seed — rerunning, repartitioning, or appending new data never flips
+    * an existing row's membership (the property `rand()`-based sampling lacks).
+    * Row-local, no shuffle. NULL keys hash like any other value (xxhash64 folds
+    * NULL as a no-op into its seed) — stable, but give rows unique keys if NULL
+    * collisions matter.
+    */
+  def hashSample(df: DataFrame, keyCols: Seq[String], fraction: Double,
+      seed: Long = 42L): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
+    require(keyCols.nonEmpty, "hashSample needs at least one key column")
+    df.filter(hashBucket(keyCols, seed) < (fraction * BUCKETS).toLong)
+  }
+
+  /** Disjoint deterministic splits (train/val/test): adds `split_id` = the index of
+    * the weight bucket the row's key hash falls in. Weights are normalized; the same
+    * key always lands in the same split under the same seed.
+    */
+  def hashSplit(df: DataFrame, keyCols: Seq[String], weights: Seq[Double],
+      seed: Long = 42L, splitCol: String = "split_id"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_ > 0), s"weights must be positive: $weights")
+    require(keyCols.nonEmpty, "hashSplit needs at least one key column")
+    val total = weights.sum
+    // Cumulative upper bounds in bucket space; the last is forced to BUCKETS so
+    // float rounding can never leave a hash value unassigned.
+    val bounds = weights.scanLeft(0.0)(_ + _).tail
+      .map(c => (c / total * BUCKETS).toLong)
+      .updated(weights.size - 1, BUCKETS)
+    val b = hashBucket(keyCols, seed)
+    val splitId = bounds.zipWithIndex.reverse.foldLeft(lit(weights.size - 1)) {
+      case (acc, (bound, i)) => when(b < bound, lit(i)).otherwise(acc)
+    }
+    df.withColumn(splitCol, splitId)
+  }
+
+  private val BUCKETS = 1000000L
+
+  private def hashBucket(keyCols: Seq[String], seed: Long) =
+    pmod(xxhash64((lit(seed) +: keyCols.map(col)): _*), lit(BUCKETS))
+}

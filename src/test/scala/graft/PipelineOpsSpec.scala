@@ -1,6 +1,7 @@
 package graft
 
-import graft.operators.{Pii, PiiPattern}
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Pii, PiiPattern, Sampling, Sharding}
 import org.apache.spark.sql.functions._
 
 /** Pipeline-transform operators added beyond the reference surface: PII scrubbing
@@ -74,5 +75,163 @@ class PipelineOpsSpec extends SparkSpec {
     val df = Seq.empty[String].toDF("text")
     val stats = Pii.piiStats(df, "text").collect()
     assert(stats.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
+  }
+
+  test("Bloom contamination path is exact: identical to the broadcast path") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull)
+    val probe = docs.filter(col("doc_id") % 7 === 0)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val exact = Dedup.crossCorpusContamination(corpus, probe, "text", "doc_id", "text", 6)
+      .orderBy("probe_id").collect().toSeq
+    val bloom = Dedup.crossCorpusContaminationBloom(corpus, probe, "text", "doc_id", "text", 6)
+      .orderBy("probe_id").collect().toSeq
+    assert(exact.nonEmpty)
+    assert(bloom == exact)
+  }
+
+  test("Bloom contamination plan: codegen'd might_contain, no broadcast of probe hashes") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull)
+    val probe = docs.filter(col("doc_id") % 7 === 0)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val plan = Dedup.crossCorpusContaminationBloom(corpus, probe, "text", "doc_id", "text", 6)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"expected bloom predicate in plan:\n$plan")
+    // The false-positive scrub must be the hinted shuffle join, not a broadcast.
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"expected non-broadcast semi-join in plan:\n$plan")
+  }
+
+  test("withRunningTotal matches the naive global window at any partitioning") {
+    import spark.implicits._
+    // Deterministic pseudo-random weights; ids deliberately NOT pre-sorted.
+    val rows = (0 until 5000).map(i => (i * 37 % 5000, (i * i * 7 % 113).toLong))
+    val df = rows.toDF("k", "v").repartition(13)
+    val got = Sharding.withRunningTotal(df, "k", "v", "rt")
+      .select("k", "rt").as[(Int, Long)].collect().toMap
+    val expect = rows.sortBy(_._1).scanLeft((0, 0L)) { case ((_, acc), (k, v)) => (k, acc + v) }
+      .drop(1).toMap
+    assert(got == expect)
+  }
+
+  test("withRunningTotal: NULL weights carry the total; leading NULL prefix stays NULL") {
+    import spark.implicits._
+    val df = Seq((1, None: Option[Long]), (2, Some(5L)), (3, None), (4, Some(2L)))
+      .toDF("k", "v")
+    val got = Sharding.withRunningTotal(df, "k", "v", "rt")
+      .orderBy("k").select("rt").collect().map(r => Option(r.get(0)))
+    assert(got.toSeq == Seq(None, Some(5L), Some(5L), Some(7L)))
+  }
+
+  test("packIntoShards: budget exceeded by at most one row; oversized rows skip ids") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i, if (i == 50) 1000L else 30L)).toDF("k", "v")
+    val packed = Sharding.packIntoShards(df, "k", "v", budget = 100L)
+    val byShard = packed.groupBy("shard_id").agg(sum("v").as("tot"), max("v").as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // No shard exceeds budget + (its largest single row - 1).
+    assert(byShard.forall { case (_, tot, mx) => tot <= 100L + mx - 1 })
+    // Shard ids monotone in k.
+    val perRow = packed.orderBy("k").select("shard_id").as[Long].collect()
+    assert(perRow.zip(perRow.tail).forall { case (a, b) => a <= b })
+    // The 1000-weight row at k=50 spans several budget windows -> ids skip.
+    val ids = perRow.distinct
+    assert(ids.zip(ids.tail).exists { case (a, b) => b - a > 1 })
+  }
+
+  test("withRunningTotal plan: the data-scale window is partition-keyed") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i, i.toLong)).toDF("k", "v")
+    val plan = Sharding.withRunningTotal(df, "k", "v", "rt")
+      .queryExecution.executedPlan.toString
+    // The per-row window must be keyed on the physical partition id; the only
+    // un-keyed window may consume the one-row-per-partition totals rollup.
+    val windows = plan.split("\n").filter(_.contains("Window")).toSeq
+    assert(windows.exists(_.contains("_pid")), s"expected _pid-keyed window:\n$plan")
+  }
+
+  test("quotaPerStratum: exact first-k per stratum; salt never changes the result") {
+    import spark.implicits._
+    val rows = (0 until 3000).map(i => (s"s${i % 7}", i))
+    val df = rows.toDF("stratum", "id").repartition(11)
+    val plain = Sampling.quotaPerStratum(df, Seq("stratum"), 20, Seq("id"))
+      .select("stratum", "id").as[(String, Int)].collect().toSet
+    val salted = Sampling.quotaPerStratum(df, Seq("stratum"), 20, Seq("id"), salt = 8)
+      .select("stratum", "id").as[(String, Int)].collect().toSet
+    val expect = rows.groupBy(_._1).toSeq
+      .flatMap { case (_, g) => g.sortBy(_._2).take(20) }.toSet
+    assert(plain == expect)
+    assert(salted == expect)
+  }
+
+  test("hashSample: stable membership, approximate fraction, append-invariant") {
+    import spark.implicits._
+    val df = (1 to 20000).map(i => s"doc$i").toDF("id")
+    val a = Sampling.hashSample(df, Seq("id"), 0.25).as[String].collect().toSet
+    val b = Sampling.hashSample(df.repartition(17), Seq("id"), 0.25).as[String].collect().toSet
+    assert(a == b) // partitioning-independent
+    assert(math.abs(a.size / 20000.0 - 0.25) < 0.02)
+    // Appending rows never flips existing membership.
+    val grown = (1 to 30000).map(i => s"doc$i").toDF("id")
+    val c = Sampling.hashSample(grown, Seq("id"), 0.25).as[String].collect().toSet
+    assert(a.subsetOf(c))
+    // Different seed -> a genuinely different (but valid-sized) sample.
+    val d = Sampling.hashSample(df, Seq("id"), 0.25, seed = 7L).as[String].collect().toSet
+    assert(d != a && math.abs(d.size / 20000.0 - 0.25) < 0.02)
+  }
+
+  test("hashSplit: disjoint, exhaustive, weight-proportional") {
+    import spark.implicits._
+    val df = (1 to 30000).map(i => s"k$i").toDF("id")
+    val split = Sampling.hashSplit(df, Seq("id"), Seq(0.8, 0.1, 0.1))
+    val counts = split.groupBy("split_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(0, 1, 2)) // exhaustive, no unassigned bucket
+    assert(counts.values.sum == 30000L)   // disjoint partition of the input
+    assert(math.abs(counts(0) / 30000.0 - 0.8) < 0.02)
+    assert(math.abs(counts(1) / 30000.0 - 0.1) < 0.01)
+  }
+
+  test("unicode normalization: NFC composes, NFKC folds compatibility forms") {
+    import spark.implicits._
+    val combining = "e\u0301clair"  // e + COMBINING ACUTE ACCENT
+    val composed = "\u00e9clair"    // precomposed LATIN SMALL LETTER E WITH ACUTE
+    val compat = "\uFB01ne \uFF14\uFF12"  // fi-ligature + fullwidth 4 2
+    val df = Seq(Some(combining), Some(composed), Some(compat), Some("plain"), None)
+      .toDF("t")
+    val out = df.select(
+      TextFunctions.nfcNormalize(col("t")).as("nfc"),
+      TextFunctions.nfkcNormalize(col("t")).as("nfkc"))
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))))
+    assert(out(0)._1.contains(composed))          // NFC composes the combining pair
+    assert(out(1)._1.contains(composed))          // already-canonical text unchanged
+    assert(out(2)._1.contains(compat))            // NFC keeps compatibility chars
+    assert(out(2)._2.contains("fine 42"))         // NFKC folds ligature + fullwidth
+    assert(out(3)._1.contains("plain"))
+    assert(out(4)._1.isEmpty && out(4)._2.isEmpty) // NULL in, NULL out
+    // Canonicalized dedup: the two éclair spellings fingerprint identically post-NFC.
+    val fps = df.filter(col("t").isNotNull).limit(2)
+      .select(TextFunctions.fingerprint(TextFunctions.nfcNormalize(col("t"))))
+      .as[Long].collect()
+    assert(fps.distinct.length == 1)
+  }
+
+  test("unicode normalization stays inside whole-stage codegen") {
+    // Parquet-backed frame: a LocalTableScan would constant-fold the projection away.
+    val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(TextFunctions.nfcNormalize(col("text")))
+      .queryExecution.executedPlan.toString
+    // The "*(n)" prefix marks a WholeStageCodegen span in the compact plan string —
+    // the projection must carry it (a non-codegen Expression would drop the star).
+    assert("\\*\\(\\d+\\) Project \\[unicode_nfc".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("Bloom contamination with empty probe returns empty, not a crash") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull)
+    val out = Dedup.crossCorpusContaminationBloom(
+      docs, docs.filter(lit(false)), "text", "doc_id", "text", 6)
+    assert(out.count() == 0L)
   }
 }

@@ -37,6 +37,10 @@ object ScaleSweep {
     "dedup_simhash_documents",
     "dedup_embedding_pairs",
     "contamination_probe_documents",
+    "contamination_bloom_documents",
+    "shard_packing_documents",
+    "stratified_sample_documents",
+    "unicode_nfc_documents",
     "similarity_topk_embeddings",
     "similarity_ivf_topk")
 
