@@ -1690,6 +1690,48 @@ object Queries {
              | round(max(CAST(matched AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS max_contamination
              | FROM per""".stripMargin.replaceAll("\n", " "))),
 
+    // Sliding-window chunking (64-token windows, 8-token overlap): row-local explode,
+    // all window arithmetic integral — counts/sums/ids compare bit-exact.
+    QueryDef("chunk_documents",
+      (s, d) => {
+        graft.operators.Chunking.chunkByTokens(t(s, d, "documents"), "doc_id", "text",
+          chunkTokens = 64, overlapTokens = 8)
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            coalesce(sum(col("chunk_tokens")), lit(0L)).as("total_chunk_tokens"),
+            coalesce(sum(length(col("chunk_text"))), lit(0L)).as("total_chunk_chars"),
+            max(col("chunk_id")).cast("long").as("max_chunk_id"),
+            countDistinct(col("doc_id")).as("n_docs"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS t FROM documents),
+             | dd AS (SELECT doc_id, t, len(t) AS n, (greatest(len(t) - 8, 1) + 55) // 56 AS nc FROM tok WHERE len(t) > 0),
+             | kk AS (SELECT unnest(range(0, (SELECT coalesce(max(nc), 0) FROM dd))) AS k),
+             | ch AS (SELECT doc_id, k, array_to_string(t[CAST(k*56+1 AS INT) : CAST(k*56+64 AS INT)], ' ') AS ctext,
+             |   least(64, n - k*56) AS ctok FROM dd JOIN kk ON k < nc)
+             | SELECT count(*) AS n_chunks,
+             | CAST(coalesce(sum(ctok), 0) AS BIGINT) AS total_chunk_tokens,
+             | CAST(coalesce(sum(length(ctext)), 0) AS BIGINT) AS total_chunk_chars,
+             | CAST(max(k) AS BIGINT) AS max_chunk_id,
+             | count(DISTINCT doc_id) AS n_docs
+             | FROM ch""".stripMargin.replaceAll("\n", " "))),
+
+    // Whole-distribution drift (PSI) between the two halves of the corpus — the
+    // categorical path through Drift.psi, epsilon-smoothed exactly like the oracle.
+    QueryDef("drift_psi_documents",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.Drift.psi(
+          docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 =!= 0), "lang")
+          .select(round(col("psi"), 6).as("psi"), col("n_categories"))
+      },
+      Some("""WITH r AS (SELECT lang AS v, count(*) AS n FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+             | c AS (SELECT lang AS v, count(*) AS n FROM documents WHERE doc_id % 2 != 0 GROUP BY 1),
+             | j AS (SELECT coalesce(r.n, 0) AS nr, coalesce(c.n, 0) AS nc FROM r FULL JOIN c ON r.v IS NOT DISTINCT FROM c.v),
+             | t AS (SELECT sum(nr) AS tr, sum(nc) AS tc FROM j),
+             | p AS (SELECT CASE WHEN tr > 0 THEN greatest(CAST(nr AS DOUBLE) / tr, 1e-6) END AS pr,
+             |   CASE WHEN tc > 0 THEN greatest(CAST(nc AS DOUBLE) / tc, 1e-6) END AS pc FROM j, t)
+             | SELECT round(sum((pr - pc) * ln(pr / pc)), 6) AS psi, count(*) AS n_categories FROM p""".stripMargin.replaceAll("\n", " "))),
+
     // NFC canonicalization sweep: how much of the corpus is non-canonical (composed
     // vs combining-mark forms). Clean fixtures are ASCII (0 changed); the adversarial
     // gate's combining-mark/Unicode hostiles exercise real normalization here.

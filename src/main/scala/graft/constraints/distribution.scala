@@ -178,3 +178,25 @@ final case class GroupedCompletenessConstraint(
     }
   }
 }
+
+/** Distribution drift as a first-class constraint: PSI of the validated dataset's
+  * `column` distribution against a pinned reference dataset must satisfy the
+  * assertion (default: below 0.25, the "significant drift" convention). Join-based —
+  * runs its own jobs via [[graft.operators.Drift.psi]]: each side collapses to its
+  * per-category counts first, so nothing data-scale moves twice. Complements the
+  * time-series anomaly detectors (one statistic over time) with a whole-distribution
+  * comparison against a fixed baseline.
+  */
+final case class DistributionStabilityConstraint(
+    ref: DataFrame,
+    column: String,
+    assertion: Assertion = Assertion.LessThan(0.25),
+    epsilon: Double = 1e-6) extends MultiJobConstraint {
+  val name = s"DistributionStability($column PSI) ${assertion.describe}"
+  override def evaluate(df: DataFrame): ConstraintResult = {
+    val row = graft.operators.Drift.psi(ref, df, column, epsilon).head()
+    // NULL PSI = one side had no rows: nothing to compare, not a drift verdict.
+    if (row.isNullAt(0)) skipped("empty reference or current distribution")
+    else assertOn(row.getDouble(0), assertion)
+  }
+}

@@ -117,6 +117,20 @@ final class CheckBuilder(val description: String, val level: Level = Level.Error
       idCol: String, textCol: String, ngramWords: Int = 8,
       a: Assertion = Assertion.Equals(0.0)): CheckBuilder =
     add(DecontaminationConstraint(corpus, corpusTextCol, idCol, textCol, ngramWords, a))
+  /** At least `a` fraction of non-null docs must carry NO PII (default: all clean) —
+    * the scrub-before-training gate, batched into the shared scan.
+    */
+  def hasNoPii(c: String,
+      patterns: Seq[graft.operators.PiiPattern] = graft.operators.Pii.Defaults,
+      a: Assertion = Assertion.GreaterThanOrEqual(1.0)): CheckBuilder =
+    add(ComplianceConstraint(s"no PII in $c",
+      !graft.operators.Pii.containsPii(col(c), patterns), a, ignoreNulls = Some(col(c))))
+  /** PSI of `c`'s distribution against the pinned `ref` dataset must satisfy `a`
+    * (default: below 0.25, the "significant drift" convention).
+    */
+  def hasStableDistribution(ref: DataFrame, c: String,
+      a: Assertion = Assertion.LessThan(0.25)): CheckBuilder =
+    add(DistributionStabilityConstraint(ref, c, a))
 
   // --- relational ---
   def hasForeignKey(parent: DataFrame, keys: (String, String)*): CheckBuilder =

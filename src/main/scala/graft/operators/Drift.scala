@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift metrics between a reference and a current dataset — the
+  * "did this week's crawl change shape against the corpus we trained on" monitor,
+  * complementing the per-metric time-series anomaly detectors (which watch ONE
+  * statistic over time; PSI watches a whole distribution at once).
+  *
+  * 100 TB shape: each side collapses to its per-category counts first (one keyed
+  * partial-agg shuffle per side, output = |categories| rows), and everything after —
+  * the null-safe full-outer join, smoothing, the PSI rollup — runs on those tiny
+  * frames. Nothing data-scale crosses the wire twice.
+  */
+object Drift {
+
+  /** Per-category drift detail over `colName`: `value`, `n_ref`, `n_cur`, `p_ref`,
+    * `p_cur` (smoothed shares, `max(n/total, epsilon)` — the standard PSI guard so a
+    * category present on one side only contributes a finite term), `psi_term`
+    * (`(p_ref − p_cur)·ln(p_ref/p_cur)`, always ≥ 0). NULL is a category of its own
+    * (null-safe join); an EMPTY side yields NULL shares/terms rather than inventing
+    * an epsilon distribution.
+    */
+  def psiDetail(ref: DataFrame, cur: DataFrame, colName: String,
+      epsilon: Double = 1e-6): DataFrame = {
+    require(epsilon > 0 && epsilon < 1, s"epsilon must be in (0,1), got $epsilon")
+    val r = ref.groupBy(col(colName).as("value")).agg(count(lit(1)).as("n_ref"))
+    val c = cur.groupBy(col(colName).as("value")).agg(count(lit(1)).as("n_cur"))
+    val joined = r.join(c, r("value") <=> c("value"), "full_outer")
+      .select(
+        coalesce(r("value"), c("value")).as("value"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    // Totals via a single-row broadcast product over the (already tiny) category
+    // frame — no collect, no second scan of the inputs.
+    val totals = joined.agg(
+      sum(col("n_ref")).as("_tr"), sum(col("n_cur")).as("_tc"))
+    val p = joined.crossJoin(broadcast(totals))
+    def share(n: String, t: String) =
+      when(col(t) > 0, greatest(col(n).cast("double") / col(t).cast("double"), lit(epsilon)))
+    p.withColumn("p_ref", share("n_ref", "_tr"))
+      .withColumn("p_cur", share("n_cur", "_tc"))
+      .withColumn("psi_term",
+        when(col("p_ref").isNotNull && col("p_cur").isNotNull,
+          (col("p_ref") - col("p_cur")) * log(col("p_ref") / col("p_cur"))))
+      .drop("_tr", "_tc")
+  }
+
+  /** Total PSI in one row: `psi`, `n_categories`. Rule-of-thumb reading (the credit-
+    * scoring convention PSI comes from): < 0.1 stable, 0.1–0.25 moderate shift,
+    * > 0.25 significant drift. `psi` is SQL NULL when either side is empty.
+    */
+  def psi(ref: DataFrame, cur: DataFrame, colName: String,
+      epsilon: Double = 1e-6): DataFrame =
+    psiDetail(ref, cur, colName, epsilon).agg(
+      sum(col("psi_term")).as("psi"),
+      count(lit(1)).as("n_categories"))
+
+  /** PSI over a numeric column via fixed-width bins on [lo, hi) — bounds are
+    * CALLER-SUPPLIED (the reference dataset's known range), keeping the binning
+    * deterministic and identical on both sides; out-of-range values clamp into the
+    * edge bins so new outliers register as edge-bin drift instead of vanishing.
+    */
+  def psiNumeric(ref: DataFrame, cur: DataFrame, colName: String,
+      lo: Double, hi: Double, bins: Int, epsilon: Double = 1e-6): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val width = (hi - lo) / bins
+    def bucket(df: DataFrame) = df.withColumn("_bin",
+      when(col(colName).isNull, lit(null))
+        .otherwise(least(greatest(
+          floor((col(colName).cast("double") - lo) / width), lit(0.0)), lit((bins - 1).toDouble))
+          .cast("long")))
+    psi(bucket(ref), bucket(cur), "_bin", epsilon)
+  }
+}

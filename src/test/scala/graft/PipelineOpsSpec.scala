@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Pii, PiiPattern, Sampling, Sharding}
+import graft.operators.{Chunking, Dedup, Drift, Pii, PiiPattern, Sampling, Sharding}
 import org.apache.spark.sql.functions._
 
 /** Pipeline-transform operators added beyond the reference surface: PII scrubbing
@@ -225,6 +225,76 @@ class PipelineOpsSpec extends SparkSpec {
     // The "*(n)" prefix marks a WholeStageCodegen span in the compact plan string —
     // the projection must carry it (a non-codegen Expression would drop the star).
     assert("\\*\\(\\d+\\) Project \\[unicode_nfc".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("chunkByTokens: full coverage, overlap, short-doc and empty-doc semantics") {
+    import spark.implicits._
+    val doc = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "one two"), (3L, ""), (4L, "   "), (5L, null))
+      .toDF("doc_id", "text")
+    val chunks = Chunking.chunkByTokens(df, "doc_id", "text", chunkTokens = 5, overlapTokens = 2)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    // stride 3, n=10: ceil(max(10-2,1)/3)=3 windows at starts 0,3,6
+    val d1 = chunks.filter(_._1 == 1L)
+    assert(d1.map(_._3).toSeq == Seq(
+      "w1 w2 w3 w4 w5", "w4 w5 w6 w7 w8", "w7 w8 w9 w10"))
+    assert(d1.map(_._4).toSeq == Seq(5, 5, 4))
+    // every token appears in some chunk
+    assert((1 to 10).forall(i => d1.exists(_._3.split(" ").contains(s"w$i"))))
+    // short doc -> exactly one window; empty/whitespace/null docs -> no rows
+    assert(chunks.filter(_._1 == 2L).toSeq == Seq((2L, 0, "one two", 2)))
+    assert(!chunks.exists(c => c._1 >= 3L))
+  }
+
+  test("psi: zero for identical distributions, positive for shifted, NULL on empty side") {
+    import spark.implicits._
+    val a = (Seq.fill(80)("en") ++ Seq.fill(20)("de")).toDF("lang")
+    val b = (Seq.fill(40)("en") ++ Seq.fill(60)("de")).toDF("lang")
+    val same = Drift.psi(a, a, "lang").head()
+    assert(math.abs(same.getDouble(0)) < 1e-12 && same.getLong(1) == 2L)
+    val shifted = Drift.psi(a, b, "lang").head().getDouble(0)
+    // closed form: (0.8-0.4)ln(2) + (0.2-0.6)ln(1/3)
+    assert(math.abs(shifted - (0.4 * math.log(2.0) + (-0.4) * math.log(1.0 / 3.0))) < 1e-9)
+    val empty = Drift.psi(a, a.filter(lit(false)), "lang").head()
+    assert(empty.isNullAt(0) && empty.getLong(1) == 2L)
+    // one-sided category contributes a finite (epsilon-smoothed) term, not Inf
+    val c = (Seq.fill(100)("en") ++ Seq.fill(1)("zz")).toDF("lang")
+    val oneSided = Drift.psi(a, c, "lang").head().getDouble(0)
+    assert(!oneSided.isInfinite && oneSided > 0)
+  }
+
+  test("psiNumeric: clamped fixed-width bins catch a mean shift") {
+    import spark.implicits._
+    val ref = (1 to 1000).map(_ % 100).map(_.toDouble).toDF("x")
+    val cur = (1 to 1000).map(i => (i % 100) + 50.0).toDF("x") // shifted + out-of-range
+    val drifted = Drift.psiNumeric(ref, cur, "x", lo = 0, hi = 100, bins = 10).head().getDouble(0)
+    assert(drifted > 0.25)
+    val stable = Drift.psiNumeric(ref, ref, "x", lo = 0, hi = 100, bins = 10).head().getDouble(0)
+    assert(math.abs(stable) < 1e-12)
+  }
+
+  test("hasNoPii and hasStableDistribution constraints wire into the suite") {
+    import spark.implicits._
+    import graft.core._
+    val clean = Seq("all good here", "nothing sensitive").toDF("text")
+    val dirty = Seq("mail bob@x.io", "all good").toDF("text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      ValidationSuite("pii", Seq(CheckBuilder("c", Level.Error).hasNoPii("text").build()))
+        .run(df).allResults.head.status
+    assert(run(clean) == ConstraintStatus.Success)
+    assert(run(dirty) == ConstraintStatus.Failure)
+    val ref = (Seq.fill(80)("en") ++ Seq.fill(20)("de")).toDF("lang")
+    val cur = (Seq.fill(20)("en") ++ Seq.fill(80)("de")).toDF("lang")
+    def drift(df: org.apache.spark.sql.DataFrame) =
+      ValidationSuite("drift", Seq(CheckBuilder("d", Level.Error)
+        .hasStableDistribution(ref, "lang").build())).run(df).allResults.head.status
+    assert(drift(ref) == ConstraintStatus.Success)
+    assert(drift(cur) == ConstraintStatus.Failure)
+    // Empty current side -> skipped, not a verdict
+    assert(ValidationSuite("drift", Seq(CheckBuilder("d", Level.Error)
+      .hasStableDistribution(ref, "lang").build()))
+      .run(ref.filter(lit(false))).allResults.head.status == ConstraintStatus.Skipped)
   }
 
   test("Bloom contamination with empty probe returns empty, not a crash") {

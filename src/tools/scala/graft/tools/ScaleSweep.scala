@@ -41,6 +41,8 @@ object ScaleSweep {
     "shard_packing_documents",
     "stratified_sample_documents",
     "unicode_nfc_documents",
+    "chunk_documents",
+    "drift_psi_documents",
     "similarity_topk_embeddings",
     "similarity_ivf_topk")
 
