@@ -1797,17 +1797,20 @@ object Queries {
     QueryDef("pii_redaction_customer",
       (s, d) => {
         import graft.operators.Pii
-        val df = t(s, d, "customer").select(piiSyntheticText.as("text"))
-        val lenBefore = coalesce(sum(length(col("text"))), lit(0L))
-        val before = df.agg(lenBefore.as("_lb")).head().getLong(0)
-        Pii.redactDf(df, "text").agg(
-          count(lit(1)).as("n_rows"),
-          coalesce(sum(when(Pii.containsPii(col("text")), 1L).otherwise(0L)), lit(0L))
-            .as("residual_pii_rows"),
-          lit(before).as("len_before"),
-          lenBefore.as("len_after"),
-          coalesce(sum(when(col("text").contains("[EMAIL]"), 1L).otherwise(0L)), lit(0L))
-            .as("rows_with_email_token"))
+        // ONE lazy plan carrying pre- and post-redaction columns side by side: both
+        // length sums come from the same scan, and building the query runs no job
+        // (every QueryDef.run is a plan builder, not an executor).
+        t(s, d, "customer")
+          .select(piiSyntheticText.as("_pre"))
+          .withColumn("text", Pii.redact(col("_pre")))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            coalesce(sum(when(Pii.containsPii(col("text")), 1L).otherwise(0L)), lit(0L))
+              .as("residual_pii_rows"),
+            coalesce(sum(length(col("_pre"))), lit(0L)).as("len_before"),
+            coalesce(sum(length(col("text"))), lit(0L)).as("len_after"),
+            coalesce(sum(when(col("text").contains("[EMAIL]"), 1L).otherwise(0L)), lit(0L))
+              .as("rows_with_email_token"))
       },
       Some {
         val redacted = graft.operators.Pii.Defaults.foldLeft("text") { (acc, p) =>

@@ -30,8 +30,14 @@ object Chunking {
     require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
     require(overlapTokens >= 0 && overlapTokens < chunkTokens,
       s"overlapTokens must be in [0, chunkTokens), got $overlapTokens (chunk $chunkTokens)")
+    require(!df.columns.contains("_ck_t"),
+      "chunkByTokens uses an internal _ck_t column; input already has one — rename it")
     val stride = chunkTokens - overlapTokens
-    val t: Column = TextFunctions.tokens(col(textCol))
+    // Tokenize ONCE into a projected attribute: expressions embedded in a
+    // higher-order-function lambda body are outside common-subexpression
+    // elimination, so referencing tokens()/size() directly inside the transform
+    // would re-run the split per window reference (~2× per window per doc).
+    val t: Column = col("_ck_t")
     val n: Column = size(t)
     // Ceil((max(n-overlap,1)) / stride). Int-ranged operands make the double division
     // exact (< 2^53), and cast-to-int truncation == floor on positives — the count is
@@ -42,6 +48,7 @@ object Chunking {
     // re-tokenization of the joined chunk text — same value, one split pass instead
     // of two.
     df
+      .withColumn("_ck_t", TextFunctions.tokens(col(textCol)))
       .filter(n > 0)
       .select(
         col(idCol),

@@ -61,17 +61,24 @@ object Drift {
     * CALLER-SUPPLIED (the reference dataset's known range), keeping the binning
     * deterministic and identical on both sides; out-of-range values clamp into the
     * edge bins so new outliers register as edge-bin drift instead of vanishing.
+    * NULL stays its own category, and NaN gets a dedicated bin (-1) — silently
+    * clamping NaN into bin 0 (what raw floor arithmetic does) would inflate the low
+    * bin and report drift that is really data corruption.
     */
   def psiNumeric(ref: DataFrame, cur: DataFrame, colName: String,
       lo: Double, hi: Double, bins: Int, epsilon: Double = 1e-6): DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")
     require(hi > lo, s"need hi > lo, got [$lo, $hi)")
     val width = (hi - lo) / bins
-    def bucket(df: DataFrame) = df.withColumn("_bin",
-      when(col(colName).isNull, lit(null))
-        .otherwise(least(greatest(
-          floor((col(colName).cast("double") - lo) / width), lit(0.0)), lit((bins - 1).toDouble))
-          .cast("long")))
+    def bucket(df: DataFrame) = {
+      val x = col(colName).cast("double")
+      df.withColumn("_bin",
+        when(col(colName).isNull, lit(null))
+          .when(isnan(x), lit(-1L))
+          .otherwise(least(greatest(
+            floor((x - lo) / width), lit(0.0)), lit((bins - 1).toDouble))
+            .cast("long")))
+    }
     psi(bucket(ref), bucket(cur), "_bin", epsilon)
   }
 }

@@ -98,9 +98,14 @@ class PipelineOpsSpec extends SparkSpec {
     val plan = Dedup.crossCorpusContaminationBloom(corpus, probe, "text", "doc_id", "text", 6)
       .queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"), s"expected bloom predicate in plan:\n$plan")
-    // The false-positive scrub must be the hinted shuffle join, not a broadcast.
-    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
-      s"expected non-broadcast semi-join in plan:\n$plan")
+    // The false-positive scrub specifically — the LeftSemi join — must be the hinted
+    // shuffle join, not a broadcast. Checking the semi-join's own line (not the whole
+    // plan string) keeps the assertion from passing vacuously off the scoring join.
+    val semiLines = plan.split("\n").filter(_.contains("LeftSemi")).toSeq
+    assert(semiLines.nonEmpty, s"expected a LeftSemi join in plan:\n$plan")
+    assert(semiLines.forall(l =>
+      l.contains("ShuffledHashJoin") || l.contains("SortMergeJoin")),
+      s"expected the FP-scrub semi-join to shuffle, got:\n${semiLines.mkString("\n")}")
   }
 
   test("withRunningTotal matches the naive global window at any partitioning") {
@@ -117,11 +122,27 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("withRunningTotal: NULL weights carry the total; leading NULL prefix stays NULL") {
     import spark.implicits._
-    val df = Seq((1, None: Option[Long]), (2, Some(5L)), (3, None), (4, Some(2L)))
-      .toDF("k", "v")
-    val got = Sharding.withRunningTotal(df, "k", "v", "rt")
-      .orderBy("k").select("rt").collect().map(r => Option(r.get(0)))
-    assert(got.toSeq == Seq(None, Some(5L), Some(5L), Some(7L)))
+    // AQE coalescing OFF: the 4 rows then spread across shuffle partitions, putting
+    // NULL-weight rows at partition STARTS — the layout where a per-partition-only
+    // fold would wrongly emit NULL instead of carrying the prior partitions' total.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      val df = Seq((1, None: Option[Long]), (2, Some(5L)), (3, None), (4, Some(2L)))
+        .toDF("k", "v")
+      val got = Sharding.withRunningTotal(df, "k", "v", "rt")
+        .orderBy("k").select("rt").collect().map(r => Option(r.get(0)))
+      assert(got.toSeq == Seq(None, Some(5L), Some(5L), Some(7L)))
+      // And through packIntoShards: NULL-weight rows inherit the running position —
+      // the same shard as the next weighted row — never a reset to shard 0.
+      val rows = (1 to 100).map(i => (i, if (i == 51 || i == 52) None else Some(30L)))
+      val shards = Sharding.packIntoShards(rows.toDF("k", "v"), "k", "v", budget = 100L)
+        .orderBy("k").select("shard_id").as[Long].collect()
+      assert(shards(50) == shards(52) && shards(51) == shards(52))
+      assert(shards(50) >= shards(49))
+      assert(shards.zip(shards.tail).forall { case (a, b) => a <= b }) // monotone
+    } finally spark.conf.set(coalesceKey, prev)
   }
 
   test("packIntoShards: budget exceeded by at most one row; oversized rows skip ids") {
@@ -140,15 +161,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ids.zip(ids.tail).exists { case (a, b) => b - a > 1 })
   }
 
-  test("withRunningTotal plan: the data-scale window is partition-keyed") {
+  test("withRunningTotal plan: no exchange and no window after the materialized range shuffle") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i, i.toLong)).toDF("k", "v")
     val plan = Sharding.withRunningTotal(df, "k", "v", "rt")
       .queryExecution.executedPlan.toString
-    // The per-row window must be keyed on the physical partition id; the only
-    // un-keyed window may consume the one-row-per-partition totals rollup.
-    val windows = plan.split("\n").filter(_.contains("Window")).toSeq
-    assert(windows.exists(_.contains("_pid")), s"expected _pid-keyed window:\n$plan")
+    // The range repartition is materialized inside the localCheckpoint; the returned
+    // plan is the streaming fold over those partitions — any Exchange or Window here
+    // would be a second data-scale shuffle/sort creeping back in.
+    assert(!plan.contains("Exchange"), s"unexpected exchange:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
   }
 
   test("quotaPerStratum: exact first-k per stratum; salt never changes the result") {
@@ -272,6 +294,14 @@ class PipelineOpsSpec extends SparkSpec {
     assert(drifted > 0.25)
     val stable = Drift.psiNumeric(ref, ref, "x", lo = 0, hi = 100, bins = 10).head().getDouble(0)
     assert(math.abs(stable) < 1e-12)
+    // NaN gets its own bin, not silently clamped into bin 0: NaN-only drift registers
+    // as a category count change, and identical NaN fractions stay stable.
+    val withNan = (1 to 100).map(i => if (i % 10 == 0) Double.NaN else (i % 100).toDouble).toDF("x")
+    val nanDrift = Drift.psiNumeric(ref, withNan, "x", lo = 0, hi = 100, bins = 10).head()
+    assert(nanDrift.getLong(1) == 11L) // 10 value bins + the NaN bin
+    val nanStable = Drift.psiNumeric(withNan, withNan, "x", lo = 0, hi = 100, bins = 10)
+      .head().getDouble(0)
+    assert(math.abs(nanStable) < 1e-12)
   }
 
   test("hasNoPii and hasStableDistribution constraints wire into the suite") {
