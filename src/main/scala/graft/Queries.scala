@@ -1773,6 +1773,27 @@ object Queries {
              | min(doc_id) AS min_id, max(doc_id) AS max_id
              | FROM r WHERE rn <= 30 GROUP BY 1""".stripMargin.replaceAll("\n", " "))),
 
+    // Data-mixture assembly: different quota per language, shortfall languages keep
+    // all rows, unlisted languages drop. Same machinery as the quota sample at the
+    // largest quota, trimmed per-stratum afterwards.
+    QueryDef("mixture_sample_documents",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .filter(col("lang").isNotNull && col("doc_id").isNotNull)
+        graft.operators.Sampling.mixtureSample(docs, "lang",
+          Map("en" -> 40, "de" -> 20, "fr" -> 10), Seq("doc_id"), salt = 4)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sampled"),
+            min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"))
+      },
+      Some("""WITH r AS (SELECT lang, doc_id,
+             |   row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+             |   FROM documents WHERE lang IS NOT NULL AND doc_id IS NOT NULL AND lang IN ('en','de','fr'))
+             | SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_id, max(doc_id) AS max_id
+             | FROM r WHERE rn <= (CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 20 ELSE 10 END)
+             | GROUP BY 1""".stripMargin.replaceAll("\n", " "))),
+
     // Token-budget shard packing through the distributed prefix-sum (range-repartition
     // + per-partition running sum + boundary-offset fold — no global window). All
     // integer arithmetic end to end, so the per-shard rollup is bit-exact.

@@ -50,6 +50,29 @@ object Sampling {
     base.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn")
   }
 
+  /** Data-mixture assembly: a DIFFERENT quota per stratum (e.g. a target
+    * language/domain mix: 100k en, 30k de, 5k yo). Strata absent from `quotas` are
+    * dropped; a stratum with fewer rows than its quota contributes all it has (the
+    * caller can read the shortfall off the output counts). Same salted two-phase
+    * shape as [[quotaPerStratum]], run at the LARGEST requested quota — per-stratum
+    * trimming happens in the final filter.
+    */
+  def mixtureSample(df: DataFrame, strataCol: String, quotas: Map[String, Int],
+      orderCols: Seq[String], salt: Int = 1): DataFrame = {
+    require(quotas.nonEmpty, "mixtureSample needs at least one stratum quota")
+    require(quotas.values.forall(_ > 0), s"quotas must be positive: $quotas")
+    val kMax = quotas.values.max
+    val quotaCol = quotas.foldLeft(lit(0)) { case (acc, (s, k)) =>
+      when(col(strataCol) === s, lit(k)).otherwise(acc)
+    }
+    quotaPerStratum(df.filter(col(strataCol).isin(quotas.keys.toSeq: _*)),
+      Seq(strataCol), kMax, orderCols, salt)
+      .withColumn("_q_rank", row_number().over(
+        Window.partitionBy(col(strataCol)).orderBy(orderCols.map(col): _*)))
+      .filter(col("_q_rank") <= quotaCol)
+      .drop("_q_rank")
+  }
+
   /** Stable `fraction` sample keyed on `keyCols`: a row is in iff
     * `xxhash64(keys, seed) mod 1e6 < fraction·1e6`. Membership depends only on key
     * values and seed — rerunning, repartitioning, or appending new data never flips

@@ -112,6 +112,17 @@ object Sharding {
     * `repartition(shardCol)` first for one file per shard) turns the assignment into
     * physical shard files.
     */
+  /** Pack and WRITE: `path/shard_id=N/` directories with exactly ONE file per shard
+    * (each shard's rows hash to one task via `repartition(shardCol)` before the
+    * partitioned write) — the physical training-shard layout downstream loaders
+    * expect, ~`budget` weight per file.
+    */
+  def writeShards(df: DataFrame, orderCol: String, valueCol: String,
+      budget: Long, path: String, shardCol: String = "shard_id"): Unit =
+    packIntoShards(df, orderCol, valueCol, budget, shardCol)
+      .repartition(col(shardCol))
+      .write.partitionBy(shardCol).mode("overwrite").parquet(path)
+
   def packIntoShards(df: DataFrame, orderCol: String, valueCol: String,
       budget: Long, shardCol: String = "shard_id"): DataFrame = {
     require(budget > 0, s"shard budget must be positive, got $budget")

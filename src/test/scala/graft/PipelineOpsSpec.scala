@@ -187,6 +187,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(salted == expect)
   }
 
+  test("mixtureSample: per-stratum quotas, shortfall kept, unlisted strata dropped") {
+    import spark.implicits._
+    val rows = (0 until 500).map(i => (Seq("en", "de", "yo", "zz")(i % 4), i))
+    val df = rows.toDF("lang", "id").repartition(7)
+    val out = Sampling.mixtureSample(df, "lang", Map("en" -> 50, "de" -> 10, "yo" -> 999),
+      Seq("id"), salt = 4)
+      .select("lang", "id").as[(String, Int)].collect()
+    val byLang = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byLang.keySet == Set("en", "de", "yo")) // zz dropped
+    assert(byLang("en") == rows.filter(_._1 == "en").map(_._2).sorted.take(50))
+    assert(byLang("de") == rows.filter(_._1 == "de").map(_._2).sorted.take(10))
+    assert(byLang("yo").size == 125) // shortfall: all it has
+  }
+
+  test("writeShards: one file per shard directory, all rows present") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
+      val df = (1 to 300).map(i => (i.toLong, 10L)).toDF("k", "v")
+      Sharding.writeShards(df, "k", "v", budget = 200L, path = dir)
+      val shardDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard_id="))
+      assert(shardDirs.length == 15) // 300*10/200
+      assert(shardDirs.forall(_.listFiles().count(_.getName.endsWith(".parquet")) == 1))
+      val back = spark.read.parquet(dir)
+      assert(back.count() == 300L)
+      assert(back.groupBy("shard_id").sum("v").collect()
+        .forall(_.getLong(1) == 200L))
+    } finally graft.core.FsUtil.deleteRecursively(new java.io.File(dir))
+  }
+
   test("hashSample: stable membership, approximate fraction, append-invariant") {
     import spark.implicits._
     val df = (1 to 20000).map(i => s"doc$i").toDF("id")

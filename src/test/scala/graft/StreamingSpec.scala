@@ -365,4 +365,28 @@ class StreamingSpec extends SparkSpec {
     assert(byBatch(0L), "clean batch must pass the zero-contamination gate")
     assert(!byBatch(1L), "batch sharing an 8-gram with the corpus must fail")
   }
+
+  test("row-local pipeline transforms (PII redaction, chunking) run on streams") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    // Redact-then-chunk as a streaming projection: both operators are pure row-local
+    // plans, so they compose into readStream->transform->writeStream unchanged.
+    val out = graft.operators.Chunking.chunkByTokens(
+      graft.operators.Pii.redactDf(input.toDF().toDF("doc_id", "text"), "text"),
+      "doc_id", "text", chunkTokens = 4, overlapTokens = 1)
+    val q = out.writeStream.format("memory").queryName("graft_stream_chunks")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "mail a@b.co then one two three four five six"),
+        (2L, ""))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("graft_stream_chunks")
+      .orderBy("doc_id", "chunk_id")
+      .select("chunk_text").as[String].collect()
+    // 9 tokens, stride 3 -> ceil(8/3) = 3 windows; redaction already applied.
+    assert(rows.toSeq == Seq(
+      "mail [EMAIL] then one", "one two three four", "four five six"))
+  }
 }
