@@ -238,4 +238,27 @@ object Metrics {
         count(lit(1)).as("distinct_keys"))
       .select(col("max_key_rows"), col("total_rows"), col("distinct_keys"),
         ratio(col("max_key_rows"), col("total_rows")).as("top_key_share"))
+
+  /** Corpus vocabulary head: the `k` most frequent whitespace tokens with counts and
+    * corpus share — the vocab-coverage/OOV-rate input a tokenizer-training or
+    * mixture-debugging pass reads first. Shape: explode is row-local; per-token
+    * counts are map-side combined before the (cardinality-bounded) shuffle; the
+    * global top-k is a TakeOrdered over the count frame, never a full sort. Ties on
+    * count break by token (ascending) so the result is deterministic across runs and
+    * engines.
+    */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val counts = df
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("occurrences"))
+    val total = counts.agg(coalesce(sum(col("occurrences")), lit(0L)).as("_tot"))
+    counts
+      .crossJoin(broadcast(total))
+      .select(col("token"), col("occurrences"),
+        ratio(col("occurrences"), col("_tot")).as("share"))
+      .orderBy(col("occurrences").desc, col("token").asc)
+      .limit(k)
+  }
 }

@@ -1773,6 +1773,17 @@ object Queries {
              | min(doc_id) AS min_id, max(doc_id) AS max_id
              | FROM r WHERE rn <= 30 GROUP BY 1""".stripMargin.replaceAll("\n", " "))),
 
+    // Corpus vocabulary head: explode → map-side-combined counts → TakeOrdered top-k
+    // with a deterministic (count desc, token asc) tie-break.
+    QueryDef("vocab_topk_documents",
+      (s, d) => graft.Metrics.vocabTopK(t(s, d, "documents"), "text", 20)
+        .select(col("token"), col("occurrences"), round(col("share"), 6).as("share")),
+      Some("""WITH tok AS (SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS token FROM documents),
+             | c AS (SELECT token, count(*) AS occurrences FROM tok GROUP BY 1),
+             | tt AS (SELECT sum(occurrences) AS tot FROM c)
+             | SELECT token, occurrences, round(CAST(occurrences AS DOUBLE) / tot, 6) AS share
+             | FROM c, tt ORDER BY occurrences DESC, token ASC LIMIT 20""".stripMargin.replaceAll("\n", " "))),
+
     // Data-mixture assembly: different quota per language, shortfall languages keep
     // all rows, unlisted languages drop. Same machinery as the quota sample at the
     // largest quota, trimmed per-stratum afterwards.

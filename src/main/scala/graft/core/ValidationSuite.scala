@@ -65,6 +65,43 @@ object ValidationListener {
   }
 }
 
+/** Concrete span exporter: one JSON line per constraint completion and per suite
+  * completion, appended to `out` — the tail-able/shippable structured-telemetry file
+  * the reference's exporter produces (term-guard/src/telemetry.rs), minus the OTel
+  * wire format. Per the [[ValidationListener]] contract, a listener that throws
+  * aborts the run — so write failures are swallowed into `lastError` (telemetry must
+  * never fail the validation it observes). Not thread-safe across listeners sharing
+  * one file; give each suite its own, or wrap `out` in your own synchronization.
+  */
+final class JsonlValidationListener(out: java.io.Writer) extends ValidationListener
+    with java.io.Closeable {
+  @volatile var lastError: Option[Throwable] = None
+  private def emit(line: String): Unit =
+    try { out.write(line); out.write('\n'); out.flush() }
+    catch { case scala.util.control.NonFatal(e) => lastError = Some(e) }
+  private def q(s: String) = JsonStr.quote(s)
+
+  def onConstraintComplete(r: ConstraintResult): Unit = {
+    val metric = r.metric.flatMap(_.asDouble) match {
+      case Some(v) if !v.isNaN && !v.isInfinite => v.toString
+      case _ => "null"
+    }
+    emit(s"""{"event":"constraint","name":${q(r.constraint)},"status":${q(r.status.toString)},""" +
+      s""""metric":$metric,"message":${q(r.message)},"duration_ms":${r.durationMillis}}""")
+  }
+  def onSuiteComplete(suiteName: String, m: ValidationMetrics): Unit =
+    emit(s"""{"event":"suite","name":${q(suiteName)},"constraints":${m.totalConstraints},""" +
+      s""""passed":${m.passed},"failed":${m.failed},"skipped":${m.skipped},"duration_ms":${m.durationMillis}}""")
+  def close(): Unit = out.close()
+}
+
+object JsonlValidationListener {
+  /** Appending file-backed exporter (UTF-8). */
+  def toFile(path: String): JsonlValidationListener =
+    new JsonlValidationListener(new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(path, true), java.nio.charset.StandardCharsets.UTF_8))
+}
+
 /** Suite runner. The centerpiece optimization (live here, dead code in the reference —
   * term-guard/src/core/suite.rs:457-469): all aggregate-batchable constraints across all
   * checks are deduplicated by expression and executed as ONE `df.agg(...)` job — a single

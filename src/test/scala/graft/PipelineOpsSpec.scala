@@ -217,6 +217,17 @@ class PipelineOpsSpec extends SparkSpec {
     } finally graft.core.FsUtil.deleteRecursively(new java.io.File(dir))
   }
 
+  test("vocabTopK: counts, deterministic tie-break, shares sum under 1") {
+    import spark.implicits._
+    val df = Seq("b a a", "c b a", "", "d").toDF("text")
+    val top = Metrics.vocabTopK(df, "text", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // a:3 b:2 c:1 d:1 over 7 tokens; tie at 1 breaks to 'c' (ascending token)
+    assert(top.map(t => (t._1, t._2)).toSeq == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+    assert(math.abs(top.head._3 - 3.0 / 7.0) < 1e-12)
+    assert(Metrics.vocabTopK(df.filter(lit(false)), "text", 5).count() == 0L)
+  }
+
   test("hashSample: stable membership, approximate fraction, append-invariant") {
     import spark.implicits._
     val df = (1 to 20000).map(i => s"doc$i").toDF("id")

@@ -293,4 +293,37 @@ class SuiteSpec extends SparkSpec {
     assert(results.head.message.contains("evaluation error"))
     assert(results(1).status == ConstraintStatus.Success)
   }
+
+  test("JSONL telemetry listener: one parseable line per constraint plus the suite line") {
+    val sw = new java.io.StringWriter()
+    val listener = new JsonlValidationListener(sw)
+    val suite = ValidationSuite("telemetry", Seq(
+      CheckBuilder("c", Level.Error)
+        .hasSize(Assertion.GreaterThan(0))
+        .isComplete("no_such_column") // evaluation error -> Failure line, not a throw
+        .build()))
+    val report = suite.run(df, listener)
+    val lines = sw.toString.trim.split("\n").toSeq
+    assert(lines.length == 3) // 2 constraints + 1 suite event
+    // Every line is standalone-parseable JSON with the contract fields.
+    lines.foreach { l =>
+      assert(l.startsWith("{") && l.endsWith("}"), l)
+      assert(l.contains("\"event\":"), l)
+    }
+    assert(lines.take(2).forall(_.contains("\"event\":\"constraint\"")))
+    assert(lines.take(2).forall(_.contains("\"duration_ms\":")))
+    val suiteLine = lines.last
+    assert(suiteLine.contains("\"event\":\"suite\"") &&
+      suiteLine.contains("\"name\":\"telemetry\"") &&
+      suiteLine.contains(s""""failed":${report.metrics.failed}"""), suiteLine)
+    // A write failure must NOT abort the run (telemetry never fails validation).
+    val broken = new JsonlValidationListener(new java.io.Writer() {
+      def write(c: Array[Char], o: Int, l: Int): Unit = throw new java.io.IOException("disk full")
+      def flush(): Unit = ()
+      def close(): Unit = ()
+    })
+    val r2 = suite.run(df, broken)
+    assert(r2.metrics.totalConstraints == 2)
+    assert(broken.lastError.exists(_.getMessage == "disk full"))
+  }
 }
