@@ -1773,6 +1773,42 @@ object Queries {
              | min(doc_id) AS min_id, max(doc_id) AS max_id
              | FROM r WHERE rn <= 30 GROUP BY 1""".stripMargin.replaceAll("\n", " "))),
 
+    // C4-style corpus-wide line dedup: duplicate lines keep only their first
+    // occurrence; documents reassemble with surviving lines in order. The clean
+    // synthetic docs are single-line AND dup-free at sf0.01, so both engines prepend
+    // a shared boilerplate line to every doc — the exact shape this pass removes
+    // (one survivor, every other copy dropped) — while the adversarial fixture's
+    // newline-bearing/duplicate hostiles exercise the organic path.
+    QueryDef("dedup_lines_documents",
+      (s, d) => graft.operators.Dedup
+        .dedupLinesAcrossCorpus(
+          t(s, d, "documents").select(col("doc_id"),
+            concat(lit("BOILERPLATE HEADER\n"), col("text")).as("text")),
+          "doc_id", "text")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(col("lines_total")), lit(0L)).as("lines_total"),
+          coalesce(sum(col("lines_dropped")), lit(0L)).as("lines_dropped"),
+          coalesce(sum(when(col("lines_dropped") > 0, 1L).otherwise(0L)), lit(0L))
+            .as("docs_changed"),
+          coalesce(sum(length(col("text"))), lit(0L)).as("chars_after")),
+      Some("""WITH base AS (SELECT doc_id, 'BOILERPLATE HEADER' || chr(10) || text AS text FROM documents),
+             | ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM base WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             | widx AS (SELECT unnest(range(1, CAST((SELECT coalesce(max(len(l)), 0) FROM ls) AS BIGINT) + 1)) AS i),
+             | ln AS (SELECT doc_id, CAST(i AS BIGINT) AS idx, l[CAST(i AS INT)] AS line, length(l[CAST(i AS INT)]) >= 1 AS part FROM ls JOIN widx ON i <= len(l)),
+             | rk AS (SELECT doc_id, idx, line, part,
+             |   (NOT part) OR row_number() OVER (PARTITION BY part, line ORDER BY doc_id, idx) = 1 AS keep FROM ln),
+             | doc_after AS (SELECT doc_id,
+             |   coalesce(string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE keep), '') AS t2,
+             |   sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS ld FROM rk GROUP BY 1)
+             | SELECT (SELECT count(*) FROM base) AS n_docs,
+             | CAST((SELECT coalesce(sum(len(string_split(text, chr(10)))), 0) FROM base WHERE text IS NOT NULL) AS BIGINT) AS lines_total,
+             | CAST(coalesce(sum(ld), 0) AS BIGINT) AS lines_dropped,
+             | CAST(coalesce(sum(CASE WHEN ld > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS docs_changed,
+             | CAST((SELECT coalesce(sum(length(t2)), 0) FROM doc_after)
+             |   + (SELECT coalesce(sum(length(text)), 0) FROM base WHERE doc_id IS NULL AND text IS NOT NULL) AS BIGINT) AS chars_after
+             | FROM doc_after""".stripMargin.replaceAll("\n", " "))),
+
     // Corpus vocabulary head: explode → map-side-combined counts → TakeOrdered top-k
     // with a deterministic (count desc, token asc) tie-break.
     QueryDef("vocab_topk_documents",

@@ -423,6 +423,75 @@ object Dedup {
     scoreContamination(probeShingles, matched)
   }
 
+  /** Corpus-wide LINE-level dedup (the C4-style pass): every line of text that
+    * appears more than once ANYWHERE in the corpus is kept only at its first
+    * occurrence — `(idCol, line-index)` lexicographic order — and removed everywhere
+    * else; documents are reassembled with their surviving lines in original order.
+    *
+    * Output: `idCol`, `textCol` (deduped; NULL text stays NULL, a doc losing every
+    * line becomes empty), `lines_total`, `lines_dropped`.
+    *
+    * Semantics:
+    *  - Lines split on `\n` with trailing empties preserved (both engines' split
+    *    semantics); reassembly joins with `\n`, so byte-identical round-trip for
+    *    untouched docs.
+    *  - Lines shorter than `minLineChars` (default 1 — i.e. empty lines) are
+    *    STRUCTURAL: always kept, never counted, never claim a first-occurrence slot.
+    *    Deduping them would collapse paragraph breaks corpus-wide.
+    *  - Rows with a NULL `idCol` have no position in the first-occurrence order:
+    *    they are kept verbatim and do not participate in dedup.
+    *
+    * 100 TB shape: one row-local explode; per-line winners via `groupBy(line)` with
+    * `min(struct(id, idx))` — map-side combine collapses each duplicated line to ONE
+    * row per input partition before the shuffle, so a line duplicated a billion times
+    * costs a billion-row combiner input but only partition-count shuffle rows (the
+    * window-function formulation would put all billion in one window partition);
+    * then a line-keyed join back and a doc-keyed reassembly groupBy. Two keyed
+    * shuffles of the line frame — inherent to corpus-wide dedup.
+    */
+  def dedupLinesAcrossCorpus(df: DataFrame, idCol: String, textCol: String,
+      minLineChars: Int = 1): DataFrame = {
+    require(minLineChars >= 0, s"minLineChars must be >= 0, got $minLineChars")
+    // NULL-id rows bypass the pipeline entirely: they can't hold a first-occurrence
+    // slot, and routing them through the reassembly groupBy would MERGE all of them
+    // into one output row. They come back verbatim via union, with row-local counts.
+    val nullIdRows = df.filter(col(idCol).isNull).select(
+      col(idCol),
+      col(textCol),
+      coalesce(size(split(col(textCol), "\n", -1)).cast("long"), lit(0L)).as("lines_total"),
+      lit(0L).as("lines_dropped"))
+    val lines = df
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).as("_id"), col(textCol).isNull.as("_null_text"),
+        posexplode_outer(split(col(textCol), "\n", -1)).as(Seq("_idx", "_line")))
+    val participates =
+      col("_line").isNotNull && length(col("_line")) >= minLineChars
+    val winners = lines
+      .filter(participates)
+      .groupBy(col("_line"))
+      .agg(min(struct(col("_id"), col("_idx"))).as("_w"))
+    lines
+      .join(winners, Seq("_line"), "left")
+      .withColumn("_keep",
+        !participates || struct(col("_id"), col("_idx")) === col("_w"))
+      .groupBy(col("_id"), col("_null_text"))
+      .agg(
+        // Reassemble surviving lines in original order; the sort key struct leads
+        // with _idx (unique per doc) so array_sort's lexicographic order is exact.
+        array_join(transform(
+          array_sort(collect_list(when(col("_keep"),
+            struct(col("_idx"), col("_line"))))),
+          x => x.getField("_line")), "\n").as("_text"),
+        coalesce(sum(when(col("_idx").isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as("lines_total"),
+        coalesce(sum(when(!col("_keep"), 1L).otherwise(0L)), lit(0L)).as("lines_dropped"))
+      .select(
+        col("_id").as(idCol),
+        when(col("_null_text"), lit(null)).otherwise(col("_text")).as(textCol),
+        col("lines_total"), col("lines_dropped"))
+      .unionByName(nullIdRows)
+  }
+
   /** Probe-side (probe_id, gram-hash) pairs, one row per distinct gram per doc,
     * materialized once (localCheckpoint) — every contamination path consumes it at
     * least twice (hash set / filter build + the per-doc scoring join).

@@ -368,6 +368,44 @@ class PipelineOpsSpec extends SparkSpec {
       .run(ref.filter(lit(false))).allResults.head.status == ConstraintStatus.Skipped)
   }
 
+  test("dedupLinesAcrossCorpus: first occurrence wins, structure preserved") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), "intro\n\nshared boilerplate\nunique a"),
+      (Some(2L), "shared boilerplate\nunique b\n\nintro"),
+      (Some(3L), "shared boilerplate"),
+      (Some(4L), ""),
+      (Some(5L), null: String),
+      (None: Option[Long], "shared boilerplate\nkept verbatim"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLinesAcrossCorpus(df, "doc_id", "text")
+      .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        Option(r.getString(1)), r.getLong(2), r.getLong(3))).toSeq
+    val byId = out.collect { case (Some(id), t, lt, ld) => id -> ((t, lt, ld)) }.toMap
+    // doc 1 holds every first occurrence -> unchanged (incl. the empty line)
+    assert(byId(1L) == ((Some("intro\n\nshared boilerplate\nunique a"), 4L, 0L)))
+    // doc 2 loses both lines doc 1 claimed; its empty line survives (structural)
+    assert(byId(2L) == ((Some("unique b\n"), 4L, 2L)))
+    // doc 3 loses its only line -> empty, not NULL
+    assert(byId(3L) == ((Some(""), 1L, 1L)))
+    // empty doc: its one empty line is structural, kept
+    assert(byId(4L) == ((Some(""), 1L, 0L)))
+    // NULL text stays NULL
+    assert(byId(5L) == ((None, 0L, 0L)))
+    // NULL id: verbatim, no participation (its 'shared boilerplate' copy survives)
+    val nullRow = out.collectFirst { case (None, t, lt, ld) => (t, lt, ld) }.get
+    assert(nullRow == ((Some("shared boilerplate\nkept verbatim"), 2L, 0L)))
+  }
+
+  test("dedupLinesAcrossCorpus: dup-free corpus round-trips byte-identical") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"alpha $i\nbeta $i\n\ngamma $i")).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesAcrossCorpus(docs, "doc_id", "text")
+    assert(out.filter(col("lines_dropped") > 0).count() == 0L)
+    val back = out.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert((1L to 50L).forall(i => back(i) == s"alpha $i\nbeta $i\n\ngamma $i"))
+  }
+
   test("Bloom contamination with empty probe returns empty, not a crash") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("text").isNotNull)

@@ -43,6 +43,7 @@ object ScaleSweep {
     "unicode_nfc_documents",
     "chunk_documents",
     "drift_psi_documents",
+    "dedup_lines_documents",
     "similarity_topk_embeddings",
     "similarity_ivf_topk")
 
