@@ -1206,6 +1206,57 @@ object Queries {
              | CAST(sum(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^ \t\n\x0b\f\r\p{L}\p{N}]+'))) AS BIGINT) AS bpeish_tokens
              | FROM documents""".stripMargin.replaceAll("\n", " "))),
 
+    // Gopher structural quality rules (word-count/mean-word-length/symbol-ratio/
+    // bullet-ellipsis-lines/alpha-words/stopwords) — per-rule corpus pass counts plus
+    // the conjunction. Oracle recomputes every rule from scratch in DuckDB; the \s
+    // dialect gap (Java includes \x0b, RE2 does not) is closed with the explicit char
+    // class, same as token_counts_documents.
+    QueryDef("gopher_quality_documents",
+      (s, d) => {
+        val g = graft.functions.TextFunctions.gopherFlags(col("text")).as("g")
+        t(s, d, "documents").select(g).agg(
+          count(col("g")).as("n_docs"),
+          coalesce(sum(when(col("g.word_count_ok"), 1L).otherwise(0L)), lit(0L)).as("word_count_pass"),
+          coalesce(sum(when(col("g.mean_word_len_ok"), 1L).otherwise(0L)), lit(0L)).as("mean_word_len_pass"),
+          coalesce(sum(when(col("g.symbol_ratio_ok"), 1L).otherwise(0L)), lit(0L)).as("symbol_ratio_pass"),
+          coalesce(sum(when(col("g.bullet_lines_ok"), 1L).otherwise(0L)), lit(0L)).as("bullet_lines_pass"),
+          coalesce(sum(when(col("g.ellipsis_lines_ok"), 1L).otherwise(0L)), lit(0L)).as("ellipsis_lines_pass"),
+          coalesce(sum(when(col("g.alpha_words_ok"), 1L).otherwise(0L)), lit(0L)).as("alpha_words_pass"),
+          coalesce(sum(when(col("g.stopword_ok"), 1L).otherwise(0L)), lit(0L)).as("stopword_pass"),
+          coalesce(sum(when(col("g.keep"), 1L).otherwise(0L)), lit(0L)).as("kept"))
+      },
+      Some("""WITH f AS (SELECT text,
+             |   list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS t,
+             |   list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l != '') AS ls
+             |   FROM documents WHERE text IS NOT NULL),
+             | g AS (SELECT len(t) AS nw,
+             |   CASE WHEN len(t) > 0 THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) ELSE 0.0 END AS mwl,
+             |   len(regexp_extract_all(text, '#|\.{3}|…')) AS nsym,
+             |   len(ls) AS nl,
+             |   len(list_filter(ls, l -> regexp_matches(l, '^[•‣▪*-]'))) AS nbul,
+             |   len(list_filter(ls, l -> regexp_matches(l, '(\.{3}|…)$'))) AS nell,
+             |   len(list_filter(t, x -> regexp_matches(x, '\p{L}'))) AS nalpha,
+             |   len(list_filter(t, x -> regexp_matches(x, '(?i)^(the|be|to|of|and|that|have|with)$'))) AS nstop
+             |   FROM f),
+             | r AS (SELECT
+             |   nw >= 50 AND nw <= 100000 AS wok,
+             |   nw > 0 AND mwl >= 3.0 AND mwl <= 10.0 AS mok,
+             |   nw > 0 AND CAST(nsym AS DOUBLE) <= 0.1 * CAST(nw AS DOUBLE) AS sok,
+             |   (nl = 0 OR CAST(nbul AS DOUBLE) <= 0.9 * CAST(nl AS DOUBLE)) AS bok,
+             |   (nl = 0 OR CAST(nell AS DOUBLE) <= 0.3 * CAST(nl AS DOUBLE)) AS eok,
+             |   nw > 0 AND CAST(nalpha AS DOUBLE) >= 0.8 * CAST(nw AS DOUBLE) AS aok,
+             |   nstop >= 2 AS stok FROM g)
+             | SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |   CAST(coalesce(sum(CASE WHEN wok THEN 1 ELSE 0 END), 0) AS BIGINT) AS word_count_pass,
+             |   CAST(coalesce(sum(CASE WHEN mok THEN 1 ELSE 0 END), 0) AS BIGINT) AS mean_word_len_pass,
+             |   CAST(coalesce(sum(CASE WHEN sok THEN 1 ELSE 0 END), 0) AS BIGINT) AS symbol_ratio_pass,
+             |   CAST(coalesce(sum(CASE WHEN bok THEN 1 ELSE 0 END), 0) AS BIGINT) AS bullet_lines_pass,
+             |   CAST(coalesce(sum(CASE WHEN eok THEN 1 ELSE 0 END), 0) AS BIGINT) AS ellipsis_lines_pass,
+             |   CAST(coalesce(sum(CASE WHEN aok THEN 1 ELSE 0 END), 0) AS BIGINT) AS alpha_words_pass,
+             |   CAST(coalesce(sum(CASE WHEN stok THEN 1 ELSE 0 END), 0) AS BIGINT) AS stopword_pass,
+             |   CAST(coalesce(sum(CASE WHEN wok AND mok AND sok AND bok AND eok AND aok AND stok THEN 1 ELSE 0 END), 0) AS BIGINT) AS kept
+             | FROM r""".stripMargin.replaceAll("\n", " "))),
+
     // Embedding-cosine near-dup pairs: hyperplane-LSH candidates, exact-cosine
     // verification. The synthetic embeddings are near-orthogonal random vectors, so the
     // exact all-pairs oracle (quadratic, fine at gate scale) and the sub-quadratic LSH
@@ -1808,6 +1859,52 @@ object Queries {
              | CAST((SELECT coalesce(sum(length(t2)), 0) FROM doc_after)
              |   + (SELECT coalesce(sum(length(text)), 0) FROM base WHERE doc_id IS NULL AND text IS NOT NULL) AS BIGINT) AS chars_after
              | FROM doc_after""".stripMargin.replaceAll("\n", " "))),
+
+    // Exact duplicate-substring spans (Lee et al. 2021 style): corpus-duplicated token
+    // 8-grams merged into maximal per-doc spans. The clean corpus is dup-free word
+    // salad, so both engines prepend a shared 10-token header to every doc — its three
+    // fully-interior grams (positions 0,1,2) are corpus-duplicated and must merge into
+    // ONE 10-token span per doc; header↔body boundary grams stay unique per doc. The
+    // island arithmetic (lag >= k ⇒ new span) is the same fold the operator runs.
+    QueryDef("dedup_spans_documents",
+      (s, d) => graft.operators.Dedup
+        .duplicateTokenSpans(
+          t(s, d, "documents").select(col("doc_id"),
+            concat(lit("shared header alpha beta gamma delta epsilon zeta eta theta "),
+              col("text")).as("text")),
+          "doc_id", "text", k = 8)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(when(col("span_count") > 0, 1L).otherwise(0L)), lit(0L)).as("docs_with_dups"),
+          coalesce(sum(col("dup_positions")), lit(0L)).as("dup_positions"),
+          coalesce(sum(col("span_count")), lit(0L)).as("span_count"),
+          coalesce(sum(col("covered_tokens")), lit(0L)).as("covered_tokens"),
+          coalesce(sum(col("tokens_total")), lit(0L)).as("tokens_total")),
+      Some("""WITH base AS (SELECT doc_id,
+             |   'shared header alpha beta gamma delta epsilon zeta eta theta ' || text AS text
+             |   FROM documents WHERE doc_id IS NOT NULL),
+             | toks AS (SELECT doc_id,
+             |   list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS t FROM base),
+             | tn AS (SELECT doc_id, t, coalesce(len(t), 0) AS n FROM toks),
+             | grams AS (SELECT doc_id, unnest(range(0, n - 8 + 1)) AS pos, t
+             |   FROM tn WHERE n >= 8),
+             | gs AS (SELECT doc_id, pos, array_to_string(t[CAST(pos + 1 AS INT):CAST(pos + 8 AS INT)], ' ') AS g FROM grams),
+             | dupg AS (SELECT g FROM gs GROUP BY g HAVING count(*) >= 2),
+             | dpos AS (SELECT doc_id, pos FROM gs WHERE g IN (SELECT g FROM dupg)),
+             | w AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dpos),
+             | per AS (SELECT doc_id, count(*) AS dp,
+             |   sum(CASE WHEN prev IS NULL OR pos - prev >= 8 THEN 1 ELSE 0 END) AS sc,
+             |   sum(CASE WHEN prev IS NULL OR pos - prev >= 8 THEN 8 ELSE pos - prev END) AS cv
+             |   FROM w GROUP BY doc_id),
+             | f AS (SELECT tn.doc_id, n, coalesce(dp, 0) AS dp, coalesce(sc, 0) AS sc, coalesce(cv, 0) AS cv
+             |   FROM tn LEFT JOIN per ON tn.doc_id = per.doc_id)
+             | SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |   CAST(coalesce(sum(CASE WHEN sc > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS docs_with_dups,
+             |   CAST(coalesce(sum(dp), 0) AS BIGINT) AS dup_positions,
+             |   CAST(coalesce(sum(sc), 0) AS BIGINT) AS span_count,
+             |   CAST(coalesce(sum(cv), 0) AS BIGINT) AS covered_tokens,
+             |   CAST(coalesce(sum(n), 0) AS BIGINT) AS tokens_total
+             | FROM f""".stripMargin.replaceAll("\n", " "))),
 
     // Corpus vocabulary head: explode → map-side-combined counts → TakeOrdered top-k
     // with a deterministic (count desc, token asc) tie-break.

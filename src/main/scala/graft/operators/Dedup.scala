@@ -492,6 +492,77 @@ object Dedup {
       .unionByName(nullIdRows)
   }
 
+  /** Exact duplicate-SUBSTRING detection (the suffix-array pass of "Deduplicating
+    * Training Data Makes Language Models Better", Lee et al. 2021, re-expressed for a
+    * shared-nothing engine): every token `k`-gram occurring more than once ANYWHERE in
+    * the corpus (including twice within one document) marks its positions duplicated;
+    * per document, overlapping duplicated-gram windows `[p, p+k)` merge into maximal
+    * spans — exactly the ≥k-token substrings shared with other text.
+    *
+    * Output, one row per non-null-id input doc: `idCol`, `tokens_total`,
+    * `dup_positions` (k-gram starts whose gram repeats corpus-wide), `span_count`
+    * (maximal merged spans), `covered_tokens` (union size of the duplicated windows),
+    * `covered_frac`. Docs with fewer than `k` tokens (incl. empty/NULL text) have no
+    * grams and report zeros. Rows with NULL `idCol` are EXCLUDED (documented: per-doc
+    * stats need an identity; a NULL group would merge every such doc into one row).
+    *
+    * Grams are keyed by xxhash64 of the space-joined window (tokens contain no
+    * whitespace, so the join is unambiguous); a 64-bit collision could mark a
+    * position duplicated spuriously — P(any collision) ≈ G²/2⁶⁵ for G corpus grams,
+    * negligible below ~10¹² grams and the standard trade in the published pipelines.
+    *
+    * 100 TB shape: gram rows are (id, pos, hash) ≈ 28 bytes regardless of text size.
+    * Duplicated-gram discovery is `groupBy(hash)` — map-side combine collapses a
+    * billion-fold repeated gram to one row per input partition before the shuffle.
+    * The flag-back is a broadcast-unfriendly but key-local hash join on the gram
+    * hash, then one `groupBy(id)` reassembly; three keyed shuffles of compact rows,
+    * no window over data-scale partitions, no driver collection.
+    */
+  def duplicateTokenSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"span gram size must be >= 2 tokens, got $k")
+    val toks = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_t"))
+      .select(col("_id"), col("_t"), coalesce(size(col("_t")), lit(0)).as("_n"))
+    val grams = toks
+      .filter(col("_n") >= k)
+      .select(col("_id"), posexplode(transform(
+        sequence(lit(0), col("_n") - k),
+        i => xxhash64(concat_ws(" ", slice(col("_t"), i + 1, lit(k)))))).as(Seq("_pos", "_h")))
+    // Corpus-duplicated gram hashes: count over ALL occurrences (a within-doc repeat
+    // is a duplicate substring too, same as the suffix-array formulation).
+    val dup = grams.groupBy(col("_h")).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= 2).select("_h")
+    // Sorted duplicated positions fold left-to-right into maximal merged windows:
+    // after each step the open window ends at p+k, so a position within k of its
+    // predecessor extends the span by (p - prev) and a farther one opens a new span.
+    val init = struct(lit(0L).as("c"), lit(0L).as("s"), lit(Long.MinValue).as("e"))
+    val perDoc = grams.join(dup, Seq("_h"), "leftsemi")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("dup_positions"),
+        aggregate(
+          array_sort(collect_list(col("_pos").cast("long"))),
+          init,
+          (acc, p) => {
+            val fresh = p >= acc.getField("e")
+            struct(
+              (acc.getField("c") + when(fresh, lit(k.toLong))
+                .otherwise(p + lit(k.toLong) - acc.getField("e"))).as("c"),
+              (acc.getField("s") + when(fresh, 1L).otherwise(0L)).as("s"),
+              (p + lit(k.toLong)).as("e"))
+          }).as("_agg"))
+    toks.join(perDoc, Seq("_id"), "left")
+      .select(
+        col("_id").as(idCol),
+        col("_n").cast("long").as("tokens_total"),
+        coalesce(col("dup_positions"), lit(0L)).as("dup_positions"),
+        coalesce(col("_agg.s"), lit(0L)).as("span_count"),
+        coalesce(col("_agg.c"), lit(0L)).as("covered_tokens"),
+        when(col("_n") > 0,
+          coalesce(col("_agg.c"), lit(0L)).cast("double") / col("_n").cast("double"))
+          .otherwise(lit(0.0)).as("covered_frac"))
+  }
+
   /** Probe-side (probe_id, gram-hash) pairs, one row per distinct gram per doc,
     * materialized once (localCheckpoint) — every contamination path consumes it at
     * least twice (hash set / filter build + the per-doc scoring join).

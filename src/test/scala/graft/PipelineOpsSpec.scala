@@ -406,6 +406,87 @@ class PipelineOpsSpec extends SparkSpec {
     assert((1L to 50L).forall(i => back(i) == s"alpha $i\nbeta $i\n\ngamma $i"))
   }
 
+  test("gopherFlags: each rule trips on its own violation class") {
+    import spark.implicits._
+    val cfg = TextFunctions.GopherConfig(minWords = 3, maxWords = 10,
+      minMeanWordLen = 2.0, maxMeanWordLen = 6.0, maxSymbolWordRatio = 0.25,
+      maxBulletLineFraction = 0.5, maxEllipsisLineFraction = 0.5,
+      minAlphaWordFraction = 0.5, minStopwordHits = 1)
+    val docs = Seq(
+      (1L, "the quick brown fox"),          // passes every rule
+      (2L, "hi there"),                     // word count 2 < 3
+      (3L, "the a # # bb ..."),             // 3 symbols > 0.25 * 6 words
+      (4L, "- one the\n- two the\nthree"),  // 2/3 bullet lines > 0.5
+      (5L, "one the...\ntwo the...\nthree"),// 2/3 ellipsis-ended lines > 0.5
+      (6L, "11 22 33 the"),                 // alpha words 1/4 < 0.5
+      (7L, "xyz abc qqq"),                  // zero stopword hits
+      (8L, null: String))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      TextFunctions.gopherFlags(col("text"), cfg).as("g")).collect()
+      .map(r => r.getLong(0) -> Option(r.getStruct(1))).toMap
+    def flag(id: Long, f: String): Boolean =
+      out(id).get.getBoolean(out(id).get.fieldIndex(f))
+    assert(flag(1L, "keep"))
+    assert(!flag(2L, "word_count_ok") && !flag(2L, "keep"))
+    assert(!flag(3L, "symbol_ratio_ok") && flag(3L, "word_count_ok"))
+    assert(!flag(4L, "bullet_lines_ok") && flag(4L, "ellipsis_lines_ok"))
+    assert(!flag(5L, "ellipsis_lines_ok") && flag(5L, "bullet_lines_ok"))
+    assert(!flag(6L, "alpha_words_ok") && flag(6L, "stopword_ok"))
+    assert(!flag(7L, "stopword_ok") && flag(7L, "alpha_words_ok"))
+    assert(out(8L).isEmpty, "NULL text must yield a NULL verdict struct")
+  }
+
+  test("gopherFlags default config keeps normal prose, drops word salad") {
+    import spark.implicits._
+    val prose = ("the report was written to be read with care and that is why " +
+      "every line of the method section has to explain what the data can and " +
+      "cannot support before any claim is made about the result of the study " +
+      "so the reader can trust each number that appears in the final pages").trim
+    val salad = Seq.fill(60)("zzgh").mkString(" ") // no stopwords, uniform junk
+    val out = Seq((1L, prose), (2L, salad)).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.gopherFlags(col("text")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(out(1L).getBoolean(out(1L).fieldIndex("keep")))
+    assert(!out(2L).getBoolean(out(2L).fieldIndex("keep")))
+  }
+
+  test("duplicateTokenSpans: planted cross-doc run merges into one maximal span") {
+    import spark.implicits._
+    val shared = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (Some(1L), s"$shared unique tail here"),
+      (Some(2L), s"prefix junk $shared"),
+      (Some(3L), "totally different words with no repeats at all whatsoever today"),
+      (Some(4L), "tiny doc"),            // < k tokens: zeros
+      (Some(5L), null: String),          // NULL text: zeros
+      (None: Option[Long], shared))      // NULL id: excluded entirely
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateTokenSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 1: shared run = tokens 0..9; interior grams at 0,1,2 -> one span of 10
+    assert(out(1L) == ((13L, 3L, 1L, 10L)))
+    // doc 2: shared run = tokens 2..11; grams at 2,3,4 -> one span of 10
+    assert(out(2L) == ((12L, 3L, 1L, 10L)))
+    assert(out(3L) == ((10L, 0L, 0L, 0L)))
+    assert(out(4L) == ((2L, 0L, 0L, 0L)))
+    assert(out(5L) == ((0L, 0L, 0L, 0L)))
+    assert(!out.contains(0L) && out.size == 5, "NULL-id doc must be excluded")
+  }
+
+  test("duplicateTokenSpans: within-doc repetition and adjacent spans count") {
+    import spark.implicits._
+    val doc = (1L, "a b c d e f g h a b c d e f g h") // gram repeats at pos 0 and 8
+    val out = Dedup.duplicateTokenSpans(Seq(doc).toDF("doc_id", "text"), "doc_id", "text", k = 8)
+      .collect().head
+    assert(out.getLong(1) == 16L)
+    assert(out.getLong(2) == 2L, "positions 0 and 8 both duplicated")
+    assert(out.getLong(3) == 2L, "gap of exactly k opens a second span")
+    assert(out.getLong(4) == 16L, "both 8-token windows covered")
+    assert(out.getDouble(5) == 1.0)
+  }
+
   test("Bloom contamination with empty probe returns empty, not a crash") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("text").isNotNull)

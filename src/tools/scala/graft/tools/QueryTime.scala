@@ -25,8 +25,9 @@ object QueryTime {
       (1 to n).foreach { i =>
         val t0 = System.nanoTime()
         // collect, not count: count() over lazy aggregates prunes the agg work away
-        val rows = fn(spark, sfDir).collect().length
-        println(f"[scratch] $name%-36s run$i ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
+        val collected = fn(spark, sfDir).collect()
+        println(f"[scratch] $name%-36s run$i ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=${collected.length}")
+        if (flags.contains("--show")) collected.take(5).foreach(r => println(s"[scratch]   $r"))
       }
     }
     spark.stop()

@@ -44,6 +44,7 @@ object ScaleSweep {
     "chunk_documents",
     "drift_psi_documents",
     "dedup_lines_documents",
+    "dedup_spans_documents",
     "similarity_topk_embeddings",
     "similarity_ivf_topk")
 
