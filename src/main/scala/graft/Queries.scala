@@ -1860,6 +1860,111 @@ object Queries {
              |   + (SELECT coalesce(sum(length(text)), 0) FROM base WHERE doc_id IS NULL AND text IS NOT NULL) AS BIGINT) AS chars_after
              | FROM doc_after""".stripMargin.replaceAll("\n", " "))),
 
+    // URL canonicalization over engine-built crawl-style URLs (the tables carry no
+    // natural URLs, so both engines construct the same hostile spellings from orders:
+    // mixed-case scheme/host, www., default ports per scheme, trailing slash, tracking
+    // + unsorted params, fragment, and a .CO.UK sub-population for the public-suffix
+    // rule). The oracle re-implements the whole normalization pipeline in DuckDB.
+    QueryDef("url_normalize_orders",
+      (s, d) => {
+        import graft.functions.WebFunctions
+        val scheme = when(col("o_orderkey") % 2 === 0, "HTTP").otherwise("HTTPS")
+        val port = when(col("o_orderkey") % 2 === 0, ":80").otherwise(":443")
+        val tld = when(col("o_custkey") % 5 === 0, ".CO.UK").otherwise(".COM")
+        val u = concat(scheme, lit("://WWW.Shop"), (col("o_custkey") % 40).cast("string"),
+          tld, port, lit("/items/"), col("o_orderkey").cast("string"),
+          lit("/?utm_source=feed&b="), (col("o_orderkey") % 7).cast("string"),
+          lit("&a="), (col("o_orderkey") % 3).cast("string"), lit("#frag"))
+        t(s, d, "orders")
+          .select(WebFunctions.urlNormalize(u).as("norm"), WebFunctions.domainOf(u).as("dom"))
+          .agg(
+            count(lit(1)).as("n_urls"),
+            countDistinct(col("norm")).as("distinct_norm"),
+            countDistinct(col("dom")).as("distinct_domains"),
+            min(col("norm")).as("min_norm"),
+            max(col("norm")).as("max_norm"),
+            coalesce(sum(length(col("norm"))), lit(0L)).as("sum_len"))
+      },
+      Some("""WITH raw AS (SELECT
+             |   (CASE WHEN o_orderkey % 2 = 0 THEN 'HTTP' ELSE 'HTTPS' END) || '://WWW.Shop' ||
+             |   CAST(o_custkey % 40 AS VARCHAR) ||
+             |   (CASE WHEN o_custkey % 5 = 0 THEN '.CO.UK' ELSE '.COM' END) ||
+             |   (CASE WHEN o_orderkey % 2 = 0 THEN ':80' ELSE ':443' END) ||
+             |   '/items/' || CAST(o_orderkey AS VARCHAR) || '/?utm_source=feed&b=' ||
+             |   CAST(o_orderkey % 7 AS VARCHAR) || '&a=' || CAST(o_orderkey % 3 AS VARCHAR) || '#frag' AS u
+             |   FROM orders),
+             | parts AS (SELECT
+             |   lower(regexp_extract(regexp_replace(u, '#.*$', ''), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             |   regexp_replace(lower(regexp_extract(regexp_replace(u, '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') AS host0,
+             |   regexp_extract(regexp_replace(u, '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest,
+             |   u FROM raw),
+             | np AS (SELECT scheme,
+             |   CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+             |        WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+             |        ELSE host0 END AS host,
+             |   regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+             |   list_sort(list_filter(string_split(regexp_extract(rest, '^[^?]*\?(.*)$', 1), '&'),
+             |     p -> length(p) > 0 AND NOT regexp_matches(p, '^(?i)(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_eid|ref)='))) AS params,
+             |   regexp_replace(regexp_replace(lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]+$', ''), '^www\.', '') AS hostp
+             |   FROM parts),
+             | d AS (SELECT
+             |   scheme || '://' || host || path ||
+             |     (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END) AS norm,
+             |   (CASE WHEN len(string_split(hostp, '.')) >= 3
+             |         AND string_split(hostp, '.')[len(string_split(hostp, '.')) - 1]
+             |           IN ('co','com','net','org','gov','ac','edu')
+             |     THEN array_to_string(string_split(hostp, '.')[len(string_split(hostp, '.')) - 2:], '.')
+             |     WHEN len(string_split(hostp, '.')) >= 2
+             |     THEN array_to_string(string_split(hostp, '.')[len(string_split(hostp, '.')) - 1:], '.')
+             |     ELSE hostp END) AS dom
+             |   FROM np)
+             | SELECT CAST(count(*) AS BIGINT) AS n_urls,
+             |   CAST(count(DISTINCT norm) AS BIGINT) AS distinct_norm,
+             |   CAST(count(DISTINCT dom) AS BIGINT) AS distinct_domains,
+             |   min(norm) AS min_norm, max(norm) AS max_norm,
+             |   CAST(coalesce(sum(length(norm)), 0) AS BIGINT) AS sum_len
+             | FROM d""".stripMargin.replaceAll("\n", " "))),
+
+    // Per-domain capping (the crawl-balance pass): registered-domain key from the same
+    // constructed URLs, deterministic first-5-by-orderkey quota per domain.
+    QueryDef("domain_cap_orders",
+      (s, d) => {
+        import graft.functions.WebFunctions
+        val tld = when(col("o_custkey") % 5 === 0, ".CO.UK").otherwise(".COM")
+        val u = concat(lit("https://WWW.Shop"), (col("o_custkey") % 40).cast("string"),
+          tld, lit("/p/"), col("o_orderkey").cast("string"))
+        // NULL keys out BEFORE the quota window: Spark orders nulls-first, DuckDB
+        // nulls-last, so a NULL o_orderkey inside a full stratum would pick different
+        // survivors per engine — and capping needs a real (domain, key) anyway.
+        val withDom = t(s, d, "orders")
+          .filter(col("o_orderkey").isNotNull && col("o_custkey").isNotNull)
+          .select(col("o_orderkey"), WebFunctions.domainOf(u).as("dom"))
+        graft.operators.Sampling.quotaPerStratum(withDom, Seq("dom"), 5, Seq("o_orderkey"))
+          .agg(
+            count(lit(1)).as("n_kept"),
+            countDistinct(col("dom")).as("n_domains"),
+            coalesce(sum(col("o_orderkey")), lit(0L)).as("sum_keys"))
+      },
+      Some("""WITH raw AS (SELECT o_orderkey,
+             |   'shop' || CAST(o_custkey % 40 AS VARCHAR) ||
+             |   (CASE WHEN o_custkey % 5 = 0 THEN '.co.uk' ELSE '.com' END) AS hostp
+             |   FROM orders WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL),
+             | d AS (SELECT o_orderkey,
+             |   (CASE WHEN len(string_split(hostp, '.')) >= 3
+             |         AND string_split(hostp, '.')[len(string_split(hostp, '.')) - 1]
+             |           IN ('co','com','net','org','gov','ac','edu')
+             |     THEN array_to_string(string_split(hostp, '.')[len(string_split(hostp, '.')) - 2:], '.')
+             |     WHEN len(string_split(hostp, '.')) >= 2
+             |     THEN array_to_string(string_split(hostp, '.')[len(string_split(hostp, '.')) - 1:], '.')
+             |     ELSE hostp END) AS dom
+             |   FROM raw),
+             | r AS (SELECT dom, o_orderkey,
+             |   row_number() OVER (PARTITION BY dom ORDER BY o_orderkey) AS rn FROM d)
+             | SELECT CAST(count(*) AS BIGINT) AS n_kept,
+             |   CAST(count(DISTINCT dom) AS BIGINT) AS n_domains,
+             |   CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) AS sum_keys
+             | FROM r WHERE rn <= 5""".stripMargin.replaceAll("\n", " "))),
+
     // Exact duplicate-substring spans (Lee et al. 2021 style): corpus-duplicated token
     // 8-grams merged into maximal per-doc spans. The clean corpus is dup-free word
     // salad, so both engines prepend a shared 10-token header to every doc — its three

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization and domain extraction for web-corpus pipelines.
+  *
+  * Web crawls carry the same page under many spellings — scheme/host case, default
+  * ports, `www.`, trailing slashes, tracking parameters, fragments — and URL-level
+  * dedup / per-domain capping (the C4 and RefinedWeb pre-passes) only works after
+  * canonicalization. Everything here is a pure codegen'd `Column` expression
+  * (row-local, no UDFs, no shuffle): it runs inline in a 100 TB scan.
+  *
+  * ASCII-only lowercasing via `translate` (hostnames are ASCII post-IDNA; `lower()`
+  * is avoided per the repo-wide rule — its first use pays a multi-second collation
+  * init in this Spark build).
+  */
+object WebFunctions {
+
+  private val Upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+
+  /** ASCII lowercase (A-Z only) — exactly what scheme/host canonicalization needs. */
+  def asciiLower(c: Column): Column = translate(c, Upper, Lower)
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+  /** Query parameters stripped during normalization: analytics/click-tracking noise
+    * that changes per referral without changing the resource.
+    */
+  val TrackingParamRe = "^(?i)(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_eid|ref)="
+
+  /** Canonical form of an absolute URL:
+    *  - fragment removed;
+    *  - scheme and host ASCII-lowercased; leading `www.` dropped;
+    *  - default port dropped (`:80` for http, `:443` for https);
+    *  - trailing slashes trimmed from the path (`/a/` ≡ `/a`, root `/` ≡ none);
+    *  - tracking parameters ([[TrackingParamRe]]) and empty parameters removed,
+    *    the survivors sorted byte-lexicographically (param order never
+    *    distinguishes resources) and re-joined; a now-empty query drops its `?`.
+    *
+    * Strings WITHOUT a `scheme://` prefix are returned trimmed but otherwise
+    * untouched (no guessing relative references into URLs); NULL stays NULL.
+    */
+  def urlNormalize(u: Column): Column = {
+    val t = trim(u)
+    val noFrag = regexp_replace(t, "#.*$", "")
+    val scheme = asciiLower(regexp_extract(noFrag, SchemeRe, 1))
+    val hostRaw = asciiLower(regexp_extract(noFrag, SchemeRe + "([^/?#]*)", 2))
+    val host0 = regexp_replace(hostRaw, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val rest = regexp_extract(noFrag, SchemeRe + "[^/?#]*(.*)$", 2)
+    val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
+    val params = array_sort(filter(split(query, "&"),
+      p => length(p) > 0 && !p.rlike(TrackingParamRe)))
+    val queryPart = when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+      .otherwise(lit(""))
+    when(t.rlike(SchemeRe), concat(scheme, lit("://"), host, path, queryPart))
+      .otherwise(t)
+  }
+
+  /** Host (with port stripped) of an absolute URL, lowercased, `www.` removed —
+    * empty string when `u` has no `scheme://`. */
+  def hostOf(u: Column): Column = {
+    val raw = asciiLower(regexp_extract(trim(u), SchemeRe + "([^/?#]*)", 2))
+    regexp_replace(regexp_replace(raw, ":\\d+$", ""), "^www\\.", "")
+  }
+
+  /** Second-level labels that act as country-level suffixes (`example.co.uk` →
+    * `example.co.uk`, not `co.uk`). A pragmatic subset of the public-suffix list —
+    * the full list is data, swap it in by passing `extraSuffixLabels`.
+    */
+  val DefaultSuffixLabels: Seq[String] = Seq("co", "com", "net", "org", "gov", "ac", "edu")
+
+  /** Registered domain of a host: the last two labels, or the last THREE when the
+    * second-to-last is a public-suffix label with at least three labels present
+    * (`a.b.example.co.uk` → `example.co.uk`). Hosts with fewer than two labels
+    * (e.g. `localhost`, an IP would also pass through) return as-is.
+    */
+  def registeredDomainOfHost(host: Column,
+      suffixLabels: Seq[String] = DefaultSuffixLabels): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val secondLevel = element_at(labels, -2)
+    val take3 = n >= 3 && secondLevel.isInCollection(suffixLabels)
+    when(n >= 2,
+      when(take3, array_join(slice(labels, -3, 3), "."))
+        .otherwise(array_join(slice(labels, -2, 2), ".")))
+      .otherwise(host)
+  }
+
+  /** Registered domain straight from a URL — the per-domain capping key. */
+  def domainOf(u: Column, suffixLabels: Seq[String] = DefaultSuffixLabels): Column =
+    registeredDomainOfHost(hostOf(u), suffixLabels)
+}

@@ -487,6 +487,49 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.getDouble(5) == 1.0)
   }
 
+  test("urlNormalize: canonical spellings collapse, non-URLs pass through") {
+    import spark.implicits._
+    import graft.functions.WebFunctions
+    val in = Seq(
+      "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&z=2&a=1#frag",
+      "https://example.com/a/b?a=1&z=2",     // the canonical twin of the above
+      "http://host.org:8080/x/",             // non-default port survives
+      "http://host.org:443/x",               // :443 is NOT http's default — kept
+      "https://example.com/",                // root slash drops
+      "https://example.com/q?utm_source=x",  // all params tracking -> no '?'
+      "  ftp://Files.Example.net:21/д/  ",   // other scheme: port kept, path case kept
+      "not a url at all  ",
+      null)
+      .toDF("u").select(WebFunctions.urlNormalize(col("u")).as("n"))
+      .as[String].collect()
+    assert(in(0) == "https://example.com/a/b?a=1&z=2")
+    assert(in(0) == in(1))
+    assert(in(2) == "http://host.org:8080/x")
+    assert(in(3) == "http://host.org:443/x")
+    assert(in(4) == "https://example.com")
+    assert(in(5) == "https://example.com/q")
+    assert(in(6) == "ftp://files.example.net:21/д")
+    assert(in(7) == "not a url at all")
+    assert(in(8) == null)
+  }
+
+  test("domainOf: public-suffix rule, subdomains, degenerate hosts") {
+    import spark.implicits._
+    import graft.functions.WebFunctions
+    val out = Seq(
+      "https://a.b.Example.CO.UK/x",
+      "https://x.y.example.com/x",
+      "http://localhost:9000/x",
+      "https://WWW.example.net/x",
+      "no scheme here")
+      .toDF("u").select(WebFunctions.domainOf(col("u")).as("d")).as[String].collect()
+    assert(out(0) == "example.co.uk")
+    assert(out(1) == "example.com")
+    assert(out(2) == "localhost")
+    assert(out(3) == "example.net")
+    assert(out(4) == "", "non-URL has no host, so no domain")
+  }
+
   test("Bloom contamination with empty probe returns empty, not a crash") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("text").isNotNull)
