@@ -590,6 +590,22 @@ object Queries {
     // ---- analyzer framework (mergeable sufficient-statistics states) ----
     // Metrics are produced by AnalysisRunner's single batched scan and re-derived from
     // the SAME closed forms in DuckDB (moments: n, Σx, Σx² / co-moments for corr).
+    // Heavy hitters via the mergeable frequent-items sketch (Misra-Gries family).
+    // o_orderpriority has 5 distinct values — far inside the sketch's exact regime
+    // (~0.75·1024) — so the sketch's top-k MUST equal the exact GROUP BY, making the
+    // approximate operator itself oracle-gateable (same trick as the HLL and GK gates).
+    QueryDef("frequent_items_orderpriority",
+      (s, d) => {
+        import graft.analyzers._
+        val a = FrequentItemsAnalyzer("o_orderpriority", k = 10)
+        val rows = FrequentItemsSketch.topK(a.computeState(t(s, d, "orders")), 10)
+          .map { case (item, est, _, _) => (item, est) }
+        import s.implicits._
+        rows.toDF("item", "cnt")
+      },
+      Some("""SELECT o_orderpriority AS item, CAST(count(*) AS BIGINT) AS cnt
+             | FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1""".stripMargin.replaceAll("\n", " "))),
+
     QueryDef("analyzers_lineitem",
       (s, d) => {
         import graft.analyzers._

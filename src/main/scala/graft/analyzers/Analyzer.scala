@@ -232,6 +232,107 @@ object QuantileSketch {
       .apply(col(column).try_cast("double"))
 }
 
+/** Mergeable frequent-items (heavy-hitters) sketch state — the Misra-Gries family
+  * sketch from the DataSketches library Spark already bundles. Space-bounded top-k
+  * over unbounded cardinality: the map holds `maxMapSize` counters; estimates carry
+  * explicit lower/upper bounds, and are EXACT whenever the column's distinct count
+  * stays under the sketch's load factor (~0.75·maxMapSize) — which the oracle gate
+  * exploits. Completes the mergeable-sketch family next to HLL (distincts) and GK
+  * (quantiles); the reference has no frequent-items analyzer at all.
+  */
+final case class FrequentItemsState(sketch: Array[Byte]) extends AnalyzerState[FrequentItemsState] {
+  def isEmpty: Boolean = sketch == null || sketch.isEmpty
+  def merge(o: FrequentItemsState): FrequentItemsState =
+    if (isEmpty) o else if (o.isEmpty) this else FrequentItemsSketch.union(this, o)
+  def toFields = Map("sketch" -> java.util.Base64.getEncoder.encodeToString(
+    if (sketch == null) Array.emptyByteArray else sketch))
+}
+
+object FrequentItemsSketch {
+  import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+  import org.apache.datasketches.common.ArrayOfStringsSerDe
+  import org.apache.datasketches.memory.Memory
+
+  /** Power of two (library requirement); exact top-k below ~768 distinct values. */
+  val DefaultMaxMapSize = 1024
+
+  private def serde = new ArrayOfStringsSerDe
+
+  def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
+    ItemsSketch.getInstance(Memory.wrap(bytes), serde)
+
+  def union(a: FrequentItemsState, b: FrequentItemsState): FrequentItemsState = {
+    val s = deserialize(a.sketch)
+    s.merge(deserialize(b.sketch))
+    FrequentItemsState(s.toByteArray(serde))
+  }
+
+  /** Top-k (estimate desc, item asc — deterministic at equal estimates) with bounds.
+    * NO_FALSE_NEGATIVES: every true heavy hitter appears; an over-threshold estimate
+    * for a light item is possible only past the exactness regime.
+    */
+  def topK(s: FrequentItemsState, k: Int): Seq[(String, Long, Long, Long)] =
+    if (s.isEmpty) Nil
+    else deserialize(s.sketch)
+      .getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+      .map(r => (r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound))
+      .sortBy { case (item, est, _, _) => (-est, item) }
+      .take(k)
+      .toSeq
+
+  /** Serializable Aggregator buffer: ItemsSketch itself is not Serializable, so the
+    * holder round-trips through the sketch's own compact byte form on (de)serialize.
+    */
+  final class Holder(@transient var sk: ItemsSketch[String]) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      val bytes = sk.toByteArray(new ArrayOfStringsSerDe)
+      out.writeInt(bytes.length); out.write(bytes)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      val bytes = new Array[Byte](in.readInt()); in.readFully(bytes)
+      sk = ItemsSketch.getInstance(Memory.wrap(bytes), new ArrayOfStringsSerDe)
+    }
+  }
+
+  /** Distributed sketch build: partial sketches per partition, merged map-side —
+    * the same partial+final shape as `hll_sketch_agg`. Nulls ignored (SQL aggregate
+    * convention).
+    */
+  final class Agg(maxMapSize: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[String, Holder, Array[Byte]] {
+    def zero: Holder = new Holder(new ItemsSketch[String](maxMapSize))
+    def reduce(b: Holder, a: String): Holder = { if (a != null) b.sk.update(a); b }
+    def merge(x: Holder, y: Holder): Holder = { x.sk.merge(y.sk); x }
+    def finish(b: Holder): Array[Byte] = b.sk.toByteArray(new ArrayOfStringsSerDe)
+    def bufferEncoder = org.apache.spark.sql.Encoders.javaSerialization[Holder]
+    def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+  }
+
+  def aggColumn(column: String, maxMapSize: Int): Column =
+    udaf(new Agg(maxMapSize), org.apache.spark.sql.Encoders.STRING)
+      .apply(col(column).cast("string"))
+}
+
+/** Heavy-hitters analyzer: top-`k` most frequent values of `column` (stringified) as
+  * a MapMetric of item → estimated count. Mergeable across partitions/increments via
+  * [[FrequentItemsState]].
+  */
+final case class FrequentItemsAnalyzer(column: String,
+    maxMapSize: Int = FrequentItemsSketch.DefaultMaxMapSize, k: Int = 10)
+    extends Analyzer[FrequentItemsState] {
+  require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
+    s"maxMapSize must be a power of two >= 8, got $maxMapSize")
+  require(k >= 1, s"k must be positive, got $k")
+  val name = "frequent_items"; val key = s"frequent_items.$column"
+  val stateAggregates = Seq(FrequentItemsSketch.aggColumn(column, maxMapSize))
+  def stateFromValues(v: Seq[Any]) = FrequentItemsState(v.head.asInstanceOf[Array[Byte]])
+  def stateFromFields(f: Map[String, String]) =
+    FrequentItemsState(java.util.Base64.getDecoder.decode(f("sketch")))
+  def metricFromState(s: FrequentItemsState) = MetricValue.MapMetric(
+    FrequentItemsSketch.topK(s, k)
+      .map { case (item, est, _, _) => item -> MetricValue.LongMetric(est) }.toMap)
+}
+
 // ---------- concrete analyzers ----------
 
 final case class SizeAnalyzer() extends Analyzer[LongState] {

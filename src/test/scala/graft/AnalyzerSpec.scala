@@ -55,6 +55,44 @@ class AnalyzerSpec extends SparkSpec {
     assert(math.abs(est - 1000.0) / 1000.0 < 0.05, s"estimate $est")
   }
 
+  test("frequent-items sketch: exact in-regime, merge == full scan, bounded skew") {
+    import spark.implicits._
+    // 7 distinct values << 0.75 * 64 -> the sketch is EXACT; merged partition states
+    // must equal the full scan item-for-item, count-for-count.
+    val a = FrequentItemsAnalyzer("v", maxMapSize = 64, k = 10)
+    val skewed = (1 to 1000).map(i =>
+      (i.toLong, if (i % 2 == 0) "hot" else s"cold${i % 13 % 7}")).toDF("id", "v")
+    val p1 = skewed.filter(col("id") <= 600); val p2 = skewed.filter(col("id") > 600)
+    val merged = a.mergeAnyStates(a.computeState(p1), a.computeState(p2))
+    val mm = a.metricFromAnyState(merged).asInstanceOf[MetricValue.MapMetric].value
+    val fm = a.metricFromAnyState(a.computeState(skewed))
+      .asInstanceOf[MetricValue.MapMetric].value
+    assert(mm == fm, "merged != full-scan in the exact regime")
+    val exact = skewed.groupBy("v").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    mm.foreach { case (item, est) =>
+      assert(est.asDouble.get.toLong == exact(item), s"$item: $est vs ${exact(item)}")
+    }
+    // Past the exact regime (map of 8 over ~200 distinct) the heavy hitter must
+    // still surface with its true count inside [lb, ub] (NO_FALSE_NEGATIVES).
+    val tiny = FrequentItemsAnalyzer("v", maxMapSize = 8, k = 3)
+    val flood = ((1 to 2000).map(i => s"noise$i") ++ Seq.fill(500)("whale")).toDF("v")
+    val st = tiny.computeState(flood)
+    val top = FrequentItemsSketch.topK(st, 3)
+    val whale = top.find(_._1 == "whale")
+    assert(whale.isDefined, s"heavy hitter lost: $top")
+    val (_, _, lb, ub) = whale.get
+    assert(lb <= 500 && 500 <= ub, s"true count outside bounds [$lb, $ub]")
+    // null values are ignored, and the all-null/empty state is the identity
+    val withNulls = Seq(Some("a"), None, Some("a"), None).toDF("v")
+    val nst = FrequentItemsAnalyzer("v", maxMapSize = 8).computeState(withNulls)
+    assert(FrequentItemsSketch.topK(nst, 5) == Seq(("a", 2L, 2L, 2L)))
+    val empty = FrequentItemsAnalyzer("v", maxMapSize = 8)
+      .computeState(withNulls.filter(lit(false)))
+    assert(empty.merge(nst).toFields == nst.merge(empty).toFields)
+    assert(FrequentItemsSketch.topK(empty.merge(nst), 5).map(t => (t._1, t._2)) == Seq(("a", 2L)))
+  }
+
   test("quantile sketch state: distributed build, merge, and rank-error bound") {
     val a = QuantileAnalyzer("x", quantiles = Seq(0.1, 0.5, 0.9), relativeError = 0.01)
     // merged partition sketches vs full-scan sketch vs exact quantiles
