@@ -1286,6 +1286,60 @@ object Queries {
              | WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
              | (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.85""".stripMargin.replaceAll("\n", " "))),
 
+    // SemDeDup (Abbas et al. 2023): cluster-then-dedup over the embedding space. The
+    // query pins the WHOLE pipeline with FIXED one-hot centroids so DuckDB can replay
+    // cell assignment exactly (argmax over the first 4 components — cosine against a
+    // one-hot axis is v[k]/|v|, and dividing by the shared positive norm preserves the
+    // argmax; ties go to the higher cell in both engines). Zero-norm / non-finite /
+    // NULL vectors and NULL ids are filtered identically on both sides — Spark orders
+    // NaN above every double while DuckDB's NaN>0 is also true but Java's is false, so
+    // the explicit isfinite+positive-norm filter is what keeps the engines aligned.
+    // The k-means-seeded path (data-dependent centroids, not SQL-replayable) is pinned
+    // by OperatorSpec against brute force instead.
+    QueryDef("semdedup_embeddings",
+      (s, d) => {
+        import graft.operators.Similarity
+        val oneHot = (0 until 4).map(k => Seq.tabulate(64)(i => if (i == k) 1.0f else 0.0f))
+        val ss = aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))
+        // The synthetic vectors are near-orthogonal (zero organic near-dups), so both
+        // engines plant an exact copy of every 50th row under a shifted id — copies
+        // land in their source's cell and must pair at cosine 1.0.
+        val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val withPlanted = base.unionByName(
+          base.filter(col("vec_id") % 50 === 0)
+            .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        val filtered = withPlanted
+          .filter(col("vec_id").isNotNull &&
+            !isnan(ss) && ss < lit(Double.PositiveInfinity) && ss > 0)
+        val pairs = Similarity.semDedupPairs(filtered, "vec_id", "embedding", oneHot, 0.85)
+        val kept = Similarity.semDedup(filtered, "vec_id", "embedding", oneHot, 0.85)
+        val cells = Similarity.ivfAssign(filtered, "embedding", oneHot)
+        pairs.agg(
+            count(lit(1)).as("n_pairs"),
+            countDistinct(col("id_b")).as("n_dropped"))
+          .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+          .crossJoin(cells.agg(countDistinct(col("ivf_cell")).as("n_cells")))
+      },
+      Some("""WITH base AS (SELECT vec_id, embedding FROM embeddings
+             |   UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0),
+             | f AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |   FROM base
+             |   WHERE vec_id IS NOT NULL AND isfinite(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+             |     AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0),
+             | c AS (SELECT vec_id, v,
+             |   CASE WHEN v[4] >= v[3] AND v[4] >= v[2] AND v[4] >= v[1] THEN 3
+             |        WHEN v[3] >= v[2] AND v[3] >= v[1] THEN 2
+             |        WHEN v[2] >= v[1] THEN 1 ELSE 0 END AS cell FROM f),
+             | p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |   FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+             |   WHERE list_dot_product(a.v, b.v) /
+             |     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.85)
+             | SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_pairs,
+             |   CAST((SELECT count(DISTINCT id_b) FROM p) AS BIGINT) AS n_dropped,
+             |   CAST((SELECT count(*) FROM f WHERE vec_id NOT IN (SELECT id_b FROM p)) AS BIGINT) AS n_kept,
+             |   CAST((SELECT count(DISTINCT cell) FROM c) AS BIGINT) AS n_cells""".stripMargin.replaceAll("\n", " "))),
+
     // SimHash near-dup pairs (rows-only: hash-function-specific).
     // SimHash near-dup pairs, oracle-checked bit-for-bit: the query uses the engine's
     // md5 token-hash variant (portable), and the oracle rebuilds the same 64-bit

@@ -235,4 +235,55 @@ object Similarity {
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toSeq).toSeq
   }
+
+  /** SemDeDup-style semantic near-duplicate PAIRS (Abbas et al. 2023: cluster the
+    * embedding space, deduplicate within clusters): rows are assigned to their
+    * nearest-centroid cell ([[ivfAssign]]), and every within-cell pair at cosine ≥
+    * `threshold` is emitted as `(id_a, id_b, cosine)` with `id_a < id_b`. Cross-cell
+    * near-dups are invisible by design — that is SemDeDup's recall/cost trade, with
+    * the cluster count k steering it (more cells = cheaper + lower recall).
+    *
+    * Same scale shape as the hyperplane-LSH path (`Dedup.nearDupPairsEmbedding`):
+    * only (cell, id) rows cross the cell shuffle, a windowed count drops cells above
+    * `maxCellSize` (a degenerate clustering cannot go quadratic carrying vectors),
+    * and vectors join back per side only for surviving candidate id-pairs. NULL
+    * vectors have no cell and pair with nothing.
+    */
+  def semDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Float]], threshold: Double,
+      maxCellSize: Int = 10000): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    require(maxCellSize >= 2, s"maxCellSize must be >= 2, got $maxCellSize")
+    val docs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val vecs = docs.select(col("id").as("_vid"), col("v")).repartition(col("_vid"))
+    val celled = ivfAssign(docs, "v", centroids, out = "_cell")
+      .filter(col("_cell").isNotNull)
+      .select(col("id"), col("_cell"))
+      .repartition(col("_cell"))
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_cell"))))
+      .filter(col("_n") <= maxCellSize).drop("_n")
+    val a = celled.select(col("_cell"), col("id").as("id_a"))
+    val b = celled.select(col("_cell"), col("id").as("id_b"))
+    val idPairs = a.join(b, Seq("_cell")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    idPairs
+      .join(vecs.withColumnRenamed("_vid", "id_a").withColumnRenamed("v", "v_a"), "id_a")
+      .join(vecs.withColumnRenamed("_vid", "id_b").withColumnRenamed("v", "v_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorFunctions.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** SemDeDup keep-set: drop every row that appears as the HIGHER id of a within-cell
+    * near-dup pair — each semantic duplicate set keeps its lowest id. Returns the
+    * surviving rows of `df` unchanged.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Float]], threshold: Double,
+      maxCellSize: Int = 10000): DataFrame = {
+    val drop = semDedupPairs(df, idCol, vecCol, centroids, threshold, maxCellSize)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
 }

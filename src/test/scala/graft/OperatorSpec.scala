@@ -551,6 +551,37 @@ class OperatorSpec extends SparkSpec {
     assert(six >= 0.97, s"six-table recall $six below 0.97")
   }
 
+  test("semDedup: kmeans-seeded cells catch planted dups, guard bounds degenerate cells") {
+    import spark.implicits._
+    // Two tight clusters + planted exact copies: copies share their source's cell for
+    // ANY sane centroid set, so within-cell dedup must drop every copy.
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    def around(center: Array[Double]): Seq[Float] = {
+      val v = center.map(c => c + 0.05 * rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val c1 = Array.tabulate(dim)(i => if (i < dim / 2) 1.0 else 0.0)
+    val c2 = Array.tabulate(dim)(i => if (i >= dim / 2) 1.0 else 0.0)
+    val originals = (0 until 40).map(k =>
+      (k.toLong, around(if (k % 2 == 0) c1 else c2)))
+    val copies = originals.take(10).map { case (id, v) => (id + 1000L, v) }
+    val df = (originals ++ copies).toDF("id", "v")
+    val seeds = Similarity.seedCentroids(df, "id", "v", 2)
+    val centroids = Similarity.refineCentroids(df, "v", seeds, iters = 3)
+    val kept = Similarity.semDedup(df, "id", "v", centroids, threshold = 0.999)
+      .select("id").as[Long].collect().toSet
+    assert(copies.forall { case (cid, _) => !kept.contains(cid) || !kept.contains(cid - 1000L) },
+      "an exact copy and its source both survived semDedup")
+    assert(kept.size == 40, s"expected exactly the 40 distinct vectors, got ${kept.size}")
+    // Degenerate clustering: every row in ONE cell above maxCellSize -> guard drops
+    // the cell, pairs are empty, and nothing is deduplicated (bounded, not quadratic).
+    val pairs = Similarity.semDedupPairs(df, "id", "v",
+      centroids = Seq(Seq.tabulate(dim)(_ => 1.0f)), threshold = 0.999, maxCellSize = 10)
+    assert(pairs.count() == 0L, "oversized cell must be dropped by the guard")
+  }
+
   test("brute-force topK matches within-bucket ANN on its candidates") {
     val probe = embs.filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).toSeq
