@@ -1309,8 +1309,13 @@ object Queries {
         val withPlanted = base.unionByName(
           base.filter(col("vec_id") % 50 === 0)
             .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        // The element-null exclusion must be EXPLICIT on both sides: Spark's
+        // aggregate fold turns one NULL element into a NULL sum (row dropped) while
+        // DuckDB's list_sum SKIPS null elements (row kept) — without the mirrored
+        // exists/list_filter clause a null-element vector desyncs the engines.
         val filtered = withPlanted
           .filter(col("vec_id").isNotNull &&
+            !exists(col("embedding"), x => x.isNull) &&
             !isnan(ss) && ss < lit(Double.PositiveInfinity) && ss > 0)
         val pairs = Similarity.semDedupPairs(filtered, "vec_id", "embedding", oneHot, 0.85)
         val kept = Similarity.semDedup(filtered, "vec_id", "embedding", oneHot, 0.85)
@@ -1325,7 +1330,9 @@ object Queries {
              |   UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0),
              | f AS (SELECT vec_id, embedding::DOUBLE[] AS v
              |   FROM base
-             |   WHERE vec_id IS NOT NULL AND isfinite(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+             |   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+             |     AND len(list_filter(embedding, x -> x IS NULL)) = 0
+             |     AND isfinite(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
              |     AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0),
              | c AS (SELECT vec_id, v,
              |   CASE WHEN v[4] >= v[3] AND v[4] >= v[2] AND v[4] >= v[1] THEN 3

@@ -460,18 +460,29 @@ object Dedup {
       col(textCol),
       coalesce(size(split(col(textCol), "\n", -1)).cast("long"), lit(0L)).as("lines_total"),
       lit(0L).as("lines_dropped"))
+    val participates =
+      col("_line").isNotNull && length(col("_line")) >= minLineChars
+    // Dedup key = (xxhash64, length), NOT the line text: the winner groupBy's partial
+    // rows and the flag-back join's build side would otherwise carry every distinct
+    // line's FULL text across the shuffle (multi-KB boilerplate lines are exactly
+    // what this pass exists for). The length component means a 64-bit collision must
+    // also match length — two different equal-length lines colliding is ~L²/2⁶⁴ for L
+    // distinct lines; this pass MUTATES text, so unlike the stats-only gram paths the
+    // residual risk is called out here rather than silently accepted. NULL for
+    // non-participating lines: they never claim a slot and a NULL key joins nothing.
+    // xxhash64(NULL) would return the bare seed (one shared value), hence the guard.
     val lines = df
       .filter(col(idCol).isNotNull)
       .select(col(idCol).as("_id"), col(textCol).isNull.as("_null_text"),
         posexplode_outer(split(col(textCol), "\n", -1)).as(Seq("_idx", "_line")))
-    val participates =
-      col("_line").isNotNull && length(col("_line")) >= minLineChars
+      .withColumn("_lk",
+        when(participates, struct(xxhash64(col("_line")), length(col("_line")))))
     val winners = lines
-      .filter(participates)
-      .groupBy(col("_line"))
+      .filter(col("_lk").isNotNull)
+      .groupBy(col("_lk"))
       .agg(min(struct(col("_id"), col("_idx"))).as("_w"))
     lines
-      .join(winners, Seq("_line"), "left")
+      .join(winners, Seq("_lk"), "left")
       .withColumn("_keep",
         !participates || struct(col("_id"), col("_idx")) === col("_w"))
       .groupBy(col("_id"), col("_null_text"))
@@ -517,6 +528,16 @@ object Dedup {
     * The flag-back is a broadcast-unfriendly but key-local hash join on the gram
     * hash, then one `groupBy(id)` reassembly; three keyed shuffles of compact rows,
     * no window over data-scale partitions, no driver collection.
+    *
+    * DELIBERATE two-pass trade: `grams` feeds both the duplicated-hash groupBy and
+    * the flag-back join, so the corpus is scanned+tokenized+hashed twice. The
+    * alternative — materializing the gram frame (localCheckpoint, as the small
+    * probe-side contamination frame does) — writes ~(tokens × 28 B) ≈ several times
+    * the corpus's parquet bytes to executor disk; one extra columnar scan + row-local
+    * CPU pass is the cheaper side of that trade at every scale we measured (the 10×
+    * sweep holds at ~1.4× wall for 10× data). A flag-back via a count-window over the
+    * hash would fuse the passes but pins each hot gram's rows to ONE task with no
+    * AQE skew mitigation; the join keeps AQE's skew-split available.
     */
   def duplicateTokenSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {

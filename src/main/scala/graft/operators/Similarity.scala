@@ -272,7 +272,12 @@ object Similarity {
       .join(vecs.withColumnRenamed("_vid", "id_b").withColumnRenamed("v", "v_b"), "id_b")
       .select(col("id_a"), col("id_b"),
         graft.functions.VectorFunctions.cosine(col("v_a"), col("v_b")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+      // NaN guard: a zero-norm vector is assigned cell 0 by ivfAssign (bestCell<0
+      // falls back to 0) and its cosine with every cell-mate is 0/0 = NaN — which
+      // Spark orders ABOVE every double, so `>= threshold` alone would emit a
+      // pair per cell-mate and semDedup would silently drop every higher-id row
+      // sharing the cell. Same guard topKByCosine applies.
+      .filter(!isnan(col("cosine")) && col("cosine") >= threshold)
   }
 
   /** SemDeDup keep-set: drop every row that appears as the HIGHER id of a within-cell

@@ -580,6 +580,18 @@ class OperatorSpec extends SparkSpec {
     val pairs = Similarity.semDedupPairs(df, "id", "v",
       centroids = Seq(Seq.tabulate(dim)(_ => 1.0f)), threshold = 0.999, maxCellSize = 10)
     assert(pairs.count() == 0L, "oversized cell must be dropped by the guard")
+    // Zero-norm vectors cosine to NaN against every cell-mate, and Spark orders NaN
+    // above every double — without the isnan guard each zero vector would "match"
+    // everything in its cell and semDedup would drop innocent rows.
+    val withZero = (originals :+ (9999L, Seq.fill(dim)(0.0f))).toDF("id", "v")
+    val zPairs = Similarity.semDedupPairs(withZero, "id", "v", centroids, threshold = 0.9)
+    assert(zPairs.filter(col("id_a") === 9999L || col("id_b") === 9999L).count() == 0L,
+      "zero-norm vector must pair with nothing")
+    assert(Similarity.semDedup(withZero, "id", "v", centroids, threshold = 0.9)
+      .count() == withZero.count() -
+        Similarity.semDedupPairs(withZero, "id", "v", centroids, threshold = 0.9)
+          .select("id_b").distinct().count(),
+      "kept count must equal input minus dropped ids")
   }
 
   test("brute-force topK matches within-bucket ANN on its candidates") {
