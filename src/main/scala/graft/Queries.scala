@@ -2179,9 +2179,80 @@ object Queries {
       })
   )
 
+  /** Corpus-statistics models (operators/CorpusStats.scala): train-on-corpus /
+    * score-every-doc text models. The model always trains on the FULL table; only
+    * the scored OUTPUT is mod-filtered to keep result sets bounded at larger SFs.
+    */
+  private val tokSql =
+    "list_filter(string_split_regex(text,'[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')"
+
+  val corpusStatsDefs: Seq[QueryDef] = Seq(
+    // Per-doc TF-IDF keywords: smooth idf = ln((N+1)/(df+1))+1, N counts docs with
+    // non-null id AND text (whitespace-only docs included — corpus members with no
+    // tokens). rank cast to long: Spark row_number is INT, DuckDB's is BIGINT.
+    QueryDef("tfidf_top_terms_documents",
+      (s, d) => graft.operators.CorpusStats.tfIdfTopTerms(t(s, d, "documents"), "doc_id", "text", 3)
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("token"), col("tf"), col("df_docs"),
+          round(col("score"), 6).as("score"), col("rank").cast("long").as("rank")),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS token
+             |   FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             | tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+             | dfq AS (SELECT token, count(*) AS df_docs FROM tf GROUP BY 1),
+             | n AS (SELECT count(DISTINCT doc_id) AS n FROM documents
+             |   WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             | sc AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df_docs,
+             |   CAST(tf.tf AS DOUBLE) * (ln((CAST(n.n AS DOUBLE) + 1) / (CAST(dfq.df_docs AS DOUBLE) + 1)) + 1) AS score
+             |   FROM tf JOIN dfq USING (token), n),
+             | rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank FROM sc)
+             | SELECT doc_id, token, tf, df_docs, round(score, 6) AS score, rank
+             | FROM rk WHERE rank <= 3 AND doc_id % 7 = 0""".stripMargin.replaceAll("\n", " "))),
+
+    // CCNet-style self-trained bigram-LM surprisal (quality filter signal): add-0.5
+    // smoothing over bigram counts with left-context totals and corpus vocab size.
+    QueryDef("lm_surprisal_documents",
+      (s, d) => graft.operators.CorpusStats.bigramSurprisal(t(s, d, "documents"), "doc_id", "text", alpha = 0.5)
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("n_bigrams"), round(col("surprisal"), 6).as("surprisal")),
+      Some(s"""WITH tk AS (SELECT doc_id, $tokSql AS t
+             |   FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             | bi0 AS (SELECT doc_id, list_transform(range(1, len(t)), i -> struct_pack(w1 := t[i], w2 := t[i+1])) AS bs
+             |   FROM tk WHERE len(t) >= 2),
+             | bi AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (SELECT doc_id, unnest(bs) AS b FROM bi0)),
+             | c AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+             | cx AS (SELECT w1, sum(c12) AS c1 FROM c GROUP BY 1),
+             | v AS (SELECT count(DISTINCT token) AS v FROM (SELECT unnest($tokSql) AS token
+             |   FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)),
+             | lp AS (SELECT bi.doc_id,
+             |   ln((CAST(c.c12 AS DOUBLE) + 0.5) / (CAST(cx.c1 AS DOUBLE) + 0.5 * CAST(v.v AS DOUBLE))) AS lp
+             |   FROM bi JOIN c USING (w1, w2) JOIN cx USING (w1), v)
+             | SELECT doc_id, count(*) AS n_bigrams, round(-avg(lp), 6) AS surprisal
+             | FROM lp WHERE doc_id % 7 = 0 GROUP BY 1""".stripMargin.replaceAll("\n", " "))),
+
+    // Collocation mining: top-20 bigrams by count with PMI; unique (w1,w2) pairs make
+    // the (c12 desc, w1, w2) cut deterministic in both engines.
+    QueryDef("collocations_pmi_documents",
+      (s, d) => graft.operators.CorpusStats.collocationsPmi(t(s, d, "documents"), "doc_id", "text",
+          k = 20, minCount = 2)
+        .select(col("w1"), col("w2"), col("c12"), round(col("pmi"), 6).as("pmi")),
+      Some(s"""WITH tk AS (SELECT doc_id, $tokSql AS t
+             |   FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             | bi0 AS (SELECT doc_id, list_transform(range(1, len(t)), i -> struct_pack(w1 := t[i], w2 := t[i+1])) AS bs
+             |   FROM tk WHERE len(t) >= 2),
+             | bi AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (SELECT doc_id, unnest(bs) AS b FROM bi0)),
+             | c AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+             | l AS (SELECT w1, sum(c12) AS lt FROM c GROUP BY 1),
+             | r AS (SELECT w2, sum(c12) AS rt FROM c GROUP BY 1),
+             | n AS (SELECT sum(c12) AS n FROM c)
+             | SELECT w1, w2, c12,
+             |   round(ln(CAST(c12 AS DOUBLE) * CAST(n.n AS DOUBLE) / (CAST(l.lt AS DOUBLE) * CAST(r.rt AS DOUBLE))), 6) AS pmi
+             | FROM c JOIN l USING (w1) JOIN r USING (w2), n
+             | WHERE c12 >= 2 ORDER BY c12 DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin.replaceAll("\n", " ")))
+  )
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (defs ++ llmDefs ++ sqlSurfaceDefs ++ pipelineDefs).map(q => q.name -> q.run).toMap
+    (defs ++ llmDefs ++ sqlSurfaceDefs ++ pipelineDefs ++ corpusStatsDefs).map(q => q.name -> q.run).toMap
 
   def oracleSql: Map[String, String] =
-    (defs ++ llmDefs ++ sqlSurfaceDefs ++ pipelineDefs).flatMap(q => q.oracle.map(q.name -> _)).toMap
+    (defs ++ llmDefs ++ sqlSurfaceDefs ++ pipelineDefs ++ corpusStatsDefs).flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

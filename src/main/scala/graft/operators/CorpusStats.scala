@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-level statistical text models for training-data curation: TF-IDF keyword
+  * extraction, a bigram language model for CCNet-style perplexity/surprisal quality
+  * filtering, and PMI collocation mining. These are the "train a cheap statistical
+  * model ON the corpus, then score every document WITH it" family — the workhorse
+  * quality signals of large-scale pretraining pipelines (beyond the reference's
+  * per-row validation surface; reference quality checks are row-local only,
+  * term-guard/src/constraints/format.rs, values.rs).
+  *
+  * 100 TB shape, shared by all three operators:
+  *  - Tokenization and n-gram extraction are row-local array transforms (codegen'd,
+  *    no UDFs) — one projection over the corpus scan.
+  *  - Model "training" is a keyed `groupBy` over exploded grams: map-side combine
+  *    collapses each distinct gram to one row per input partition before the
+  *    shuffle, so shuffle volume is bounded by (partitions × vocabulary), not by
+  *    corpus token count.
+  *  - Scoring joins the exploded grams back to the count tables on the gram key —
+  *    keyed shuffles of compact (hashable) rows. A natural-language vocabulary is
+  *    Zipfian, so the gram-keyed joins are skew-prone on stopword grams; they are
+  *    plain equi-joins, which AQE's skew-join splitting handles without salting.
+  *  - Corpus-wide scalars (doc count, vocab size, total bigrams) are single-row
+  *    frames broadcast into the scoring join, never driver-collected constants
+  *    embedded in the plan (keeps the whole pipeline one lazy DAG).
+  */
+object CorpusStats {
+
+  private def nonNull(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+
+  /** Per-document top-`k` TF-IDF terms: `tf · (ln((N+1)/(df+1)) + 1)` with the
+    * smooth-idf convention (sklearn's default — never zero, never divides by zero,
+    * even for a term in every document). Output: (idCol, token, tf, df_docs, score,
+    * rank), rank 1..k per doc ordered (score desc, token asc) — fully deterministic,
+    * token is unique within a doc's tf table so ties cannot reorder.
+    *
+    * N counts distinct participating docs (non-null id AND text) — including docs
+    * whose text tokenizes to nothing (whitespace-only): they are real corpus members
+    * for idf purposes even though they contribute no tf rows.
+    */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val base = nonNull(df, idCol, textCol)
+    val toks = base.select(col(idCol).as("_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(col("_id"), col("token")).agg(count(lit(1)).as("tf"))
+    // df from the tf table (one row per (doc, token) already) — no second
+    // distinct over the exploded frame.
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df_docs"))
+    val nDocs = base.agg(countDistinct(col(idCol)).as("_n"))
+    val w = Window.partitionBy(col("_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") *
+          (log((col("_n").cast("double") + 1.0) / (col("df_docs").cast("double") + 1.0)) + 1.0))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("_id").as(idCol), col("token"), col("tf"), col("df_docs"),
+        col("score"), col("rank"))
+  }
+
+  /** Exploded within-doc bigrams: one row per adjacent token pair. Row-local array
+    * transform (no shuffle); docs with <2 tokens contribute nothing.
+    */
+  private def bigrams(base: DataFrame, idCol: String, textCol: String): DataFrame =
+    base.select(col(idCol).as("_id"), TextFunctions.tokens(col(textCol)).as("_t"))
+      .filter(size(col("_t")) >= 2)
+      .select(col("_id"), explode(transform(
+        sequence(lit(1), size(col("_t")) - 1),
+        i => struct(element_at(col("_t"), i).as("w1"),
+          element_at(col("_t"), i + 1).as("w2")))).as("_b"))
+      .select(col("_id"), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+
+  /** Bigram-LM document scoring (CCNet-style perplexity filter, self-trained):
+    * trains add-α-smoothed bigram probabilities on the corpus itself, then scores
+    * every document by mean surprisal (negative log-likelihood per bigram) —
+    * boilerplate and fluent text score LOW, gibberish/OCR-noise scores HIGH,
+    * which is exactly the split a perplexity quality gate filters on.
+    *
+    * `P(w2|w1) = (c(w1,w2) + α) / (ctx(w1) + α·V)` where `ctx(w1)` is w1's count as
+    * a bigram left-hand side and `V` the corpus vocabulary size (distinct tokens).
+    * Output: (idCol, n_bigrams, surprisal) for every doc with ≥2 tokens.
+    *
+    * The model tables derive from ONE bigram explode: `ctx` is a rollup of the
+    * bigram counts (vocab-sized input, not corpus-sized), and V comes from the
+    * unigram distinct. Scoring re-explodes and joins on (w1,w2) then w1.
+    */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"smoothing alpha must be positive, got $alpha")
+    val base = nonNull(df, idCol, textCol)
+    val bi = bigrams(base, idCol, textCol)
+    val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val ctx = counts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = base
+      .select(explode(TextFunctions.tokens(col(textCol))).as("_tok"))
+      .agg(countDistinct(col("_tok")).as("_v"))
+    bi.join(counts, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("_lp", log(
+        (col("c12").cast("double") + alpha) /
+          (col("c1").cast("double") + lit(alpha) * col("_v").cast("double"))))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_bigrams"), (-avg(col("_lp"))).as("surprisal"))
+      .select(col("_id").as(idCol), col("n_bigrams"), col("surprisal"))
+  }
+
+  /** Top-`k` bigram collocations by frequency with pointwise mutual information:
+    * `pmi = ln(c12 · N / (left(w1) · right(w2)))` over pairs seen ≥ `minCount`
+    * times. High-count high-PMI pairs are multiword expressions ("new york");
+    * high-count LOW-PMI pairs are stopword noise — the standard collocation screen.
+    * Deterministic order: (c12 desc, w1 asc, w2 asc).
+    */
+  def collocationsPmi(df: DataFrame, idCol: String, textCol: String, k: Int,
+      minCount: Long = 2L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val bi = bigrams(nonNull(df, idCol, textCol), idCol, textCol)
+    val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val left = counts.groupBy(col("w1")).agg(sum(col("c12")).as("_l"))
+    val right = counts.groupBy(col("w2")).agg(sum(col("c12")).as("_r"))
+    val total = counts.agg(coalesce(sum(col("c12")), lit(0L)).as("_n"))
+    counts.filter(col("c12") >= minCount)
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("pmi", log(
+        col("c12").cast("double") * col("_n").cast("double") /
+          (col("_l").cast("double") * col("_r").cast("double"))))
+      .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+      .select(col("w1"), col("w2"), col("c12"), col("pmi"))
+  }
+}

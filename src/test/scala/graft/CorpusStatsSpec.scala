@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.CorpusStats
+import org.apache.spark.sql.functions._
+
+class CorpusStatsSpec extends SparkSpec {
+
+  private def approx(a: Double, b: Double, eps: Double = 1e-9): Boolean =
+    math.abs(a - b) <= eps
+
+  test("tfIdfTopTerms: smooth idf, whitespace-only doc counts toward N, ranks deterministic") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("apple banana apple")),
+      (Some(2L), Some("banana cherry")),
+      (Some(3L), Some("apple date")),
+      (Some(4L), Some("   ")), // tokenizes to nothing but is a corpus member: N = 4
+      (Some(5L), None: Option[String]), // null text: excluded entirely
+      (None, Some("apple apple"))) // null id: excluded entirely
+      .toDF("doc_id", "text")
+    val out = CorpusStats.tfIdfTopTerms(df, "doc_id", "text", 2)
+      .orderBy("doc_id", "rank").collect()
+    // N=4; df: apple 2, banana 2, cherry 1, date 1
+    val idf2 = math.log(5.0 / 3.0) + 1 // df=2
+    val idf1 = math.log(5.0 / 2.0) + 1 // df=1
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getString(1)).toSeq == Seq("apple", "banana"))
+    assert(approx(d1(0).getDouble(4), 2 * idf2) && d1(0).getLong(2) == 2L)
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.map(_.getString(1)).toSeq == Seq("cherry", "banana"),
+      "cherry (rarer) must outrank banana")
+    assert(approx(d2(0).getDouble(4), idf1))
+    val d3 = out.filter(_.getLong(0) == 3L)
+    assert(d3.map(_.getString(1)).toSeq == Seq("date", "apple"))
+    assert(!out.exists(r => r.getLong(0) == 4L || r.getLong(0) == 5L))
+    assert(out.forall(_.getInt(5) <= 2))
+  }
+
+  test("tfIdfTopTerms: equal scores tie-break by token ascending") {
+    import spark.implicits._
+    val df = Seq((1L, "zz aa"), (2L, "aa zz")).toDF("doc_id", "text")
+    // aa and zz both have tf=1, df=2 in both docs — identical scores.
+    val top1 = CorpusStats.tfIdfTopTerms(df, "doc_id", "text", 1)
+      .orderBy("doc_id").collect()
+    assert(top1.map(_.getString(1)).toSeq == Seq("aa", "aa"))
+  }
+
+  test("bigramSurprisal: add-alpha bigram LM, hand-computed") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("a b a b")),
+      (Some(2L), Some("a b")),
+      (Some(3L), Some("a")), // single token: no bigrams, no output row
+      (Some(4L), None: Option[String]))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.bigramSurprisal(df, "doc_id", "text", alpha = 0.5)
+      .orderBy("doc_id").collect()
+    // counts: (a,b)=3 (b,a)=1; ctx: a=3 b=1; V=2
+    val lpAB = math.log(3.5 / 4.0)
+    val lpBA = math.log(1.5 / 2.0)
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 3L)
+    assert(approx(out(0).getDouble(2), -(2 * lpAB + lpBA) / 3.0))
+    assert(out(1).getLong(0) == 2L && out(1).getLong(1) == 1L)
+    assert(approx(out(1).getDouble(2), -lpAB))
+    // gibberish (unseen-ish pairs) must score HIGHER than the corpus-dominant doc
+    val mixed = Seq((1L, "x y x y x y x y"), (2L, "x q")).toDF("doc_id", "text")
+    val s = CorpusStats.bigramSurprisal(mixed, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(2L) > s(1L), "rare bigram doc must have higher surprisal")
+  }
+
+  test("collocationsPmi: counts, minCount screen, deterministic order") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = CorpusStats.collocationsPmi(df, "doc_id", "text", k = 10, minCount = 2)
+      .collect()
+    // bigrams: (a,b)x3, (b,a)x1 → minCount=2 keeps only (a,b)
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "a" && r.getString(1) == "b" && r.getLong(2) == 3L)
+    // pmi = ln(c12*N / (left(a)*right(b))) = ln(3*4/(3*3))
+    assert(approx(r.getDouble(3), math.log(4.0 / 3.0)))
+  }
+
+  test("corpus stats on empty / all-null input yield empty frames, not crashes") {
+    import spark.implicits._
+    val empty = Seq.empty[(Option[Long], Option[String])].toDF("doc_id", "text")
+    assert(CorpusStats.tfIdfTopTerms(empty, "doc_id", "text", 3).count() == 0L)
+    assert(CorpusStats.bigramSurprisal(empty, "doc_id", "text").count() == 0L)
+    assert(CorpusStats.collocationsPmi(empty, "doc_id", "text", 3).count() == 0L)
+    val nulls = Seq((Some(1L), None: Option[String])).toDF("doc_id", "text")
+    assert(CorpusStats.tfIdfTopTerms(nulls, "doc_id", "text", 3).count() == 0L)
+    assert(CorpusStats.bigramSurprisal(nulls, "doc_id", "text").count() == 0L)
+  }
+}
