@@ -2250,9 +2250,79 @@ object Queries {
              | WHERE c12 >= 2 ORDER BY c12 DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin.replaceAll("\n", " ")))
   )
 
+  /** Portable affine hash mirrored as SQL — the SAME arithmetic
+    * [[graft.operators.Splits.portableUniform]] runs, so split membership and
+    * shuffle order re-derive identically in DuckDB. doc_id here is non-negative
+    * after the NULL filter, but the double-mod keeps the SQL a faithful pmod.
+    */
+  private def portableUSql(seed: Long): String = {
+    val p = 2147483647L
+    val sd = ((seed % p) + p) % p
+    s"""CAST((((((((doc_id % $p) + $p) % $p + $sd) % $p)
+       | * 1103515245 + 12345) % $p * 69069 + 1013904223) % $p) AS DOUBLE) / $p.0""".stripMargin
+      .replaceAll("\n", " ")
+  }
+
+  val splitDefs: Seq[QueryDef] = Seq(
+    // Deterministic train/valid/test carve: bin edges are the Scala-accumulated
+    // cumulative doubles (0.8, 0.8+0.1, ...) embedded verbatim — re-summing in SQL
+    // could move an edge by an ulp and flip a boundary key.
+    QueryDef("hash_split_documents", {
+      val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+      (s, d) => graft.operators.Splits.hashSplit(
+          t(s, d, "documents").filter(col("doc_id").isNotNull), "doc_id", splits, seed = 42)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_rows"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+    }, Some {
+      val bounds = graft.operators.Splits.cumulativeBounds(
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      s"""WITH u AS (SELECT doc_id, ${portableUSql(42)} AS u
+         |   FROM documents WHERE doc_id IS NOT NULL),
+         | a AS (SELECT doc_id, CASE WHEN u < ${bounds(0)} THEN 'train'
+         |   WHEN u < ${bounds(1)} THEN 'valid' ELSE 'test' END AS split FROM u)
+         | SELECT split, count(*) AS n_rows, min(doc_id) AS min_id, max(doc_id) AS max_id
+         | FROM a GROUP BY 1""".stripMargin.replaceAll("\n", " ")
+    }),
+
+    // Seeded global shuffle: the first 15 rows of the permutation. Membership of the
+    // LIMIT proves both engines ordered identically; u is bit-identical arithmetic.
+    QueryDef("deterministic_shuffle_documents",
+      (s, d) => graft.operators.Splits.deterministicShuffle(
+          t(s, d, "documents").filter(col("doc_id").isNotNull)
+            .select(col("doc_id")), "doc_id", seed = 7)
+        .limit(15)
+        .select(col("doc_id"),
+          round(graft.operators.Splits.portableUniform(col("doc_id"), 7), 6).as("u")),
+      Some(s"""SELECT doc_id, round(u, 6) AS u FROM (
+             |   SELECT doc_id, ${portableUSql(7)} AS u FROM documents WHERE doc_id IS NOT NULL)
+             | ORDER BY u ASC, doc_id ASC LIMIT 15""".stripMargin.replaceAll("\n", " "))),
+
+    // Shallow linear quality classifier over an explicit vocabulary, scored row-local
+    // (zero shuffles). NULL-text rows excluded: the operator scores them NULL while
+    // DuckDB's coalesce(list_sum(NULL),0) would invent the prior.
+    QueryDef("classifier_quality_documents", {
+      val w = Seq("fast" -> 0.8, "slow" -> -0.8, "merge" -> -1.2, "data" -> 0.3,
+        "query" -> 0.5)
+      (s, d) => t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull && col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          round(TextFunctions.linearScore(col("text"), w.toMap, bias = -0.2), 6).as("score"))
+    }, Some {
+      val cases = Seq("fast" -> 0.8, "slow" -> -0.8, "merge" -> -1.2, "data" -> 0.3,
+        "query" -> 0.5)
+        .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+      s"""SELECT doc_id, round(1.0 / (1.0 + exp(-(-0.2 +
+         |   coalesce(list_sum(list_transform($tokSql, x -> CASE x $cases ELSE 0.0 END)), 0.0)))), 6) AS score
+         | FROM documents
+         | WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 7 = 0""".stripMargin
+        .replaceAll("\n", " ")
+    })
+  )
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (defs ++ llmDefs ++ sqlSurfaceDefs ++ pipelineDefs ++ corpusStatsDefs).map(q => q.name -> q.run).toMap
+    (defs ++ llmDefs ++ sqlSurfaceDefs ++ pipelineDefs ++ corpusStatsDefs ++ splitDefs).map(q => q.name -> q.run).toMap
 
   def oracleSql: Map[String, String] =
-    (defs ++ llmDefs ++ sqlSurfaceDefs ++ pipelineDefs ++ corpusStatsDefs).flatMap(q => q.oracle.map(q.name -> _)).toMap
+    (defs ++ llmDefs ++ sqlSurfaceDefs ++ pipelineDefs ++ corpusStatsDefs ++ splitDefs).flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -49,6 +49,27 @@ object TextFunctions {
       .otherwise(lit(0.0))
   }
 
+  /** Linear text-classifier score (fastText-style shallow quality/domain classifier
+    * with an explicit vocabulary): `sigmoid(bias + Σ_token weight(token))`. Row-local
+    * fold of the token array against a literal map — codegen'd, zero shuffles, zero
+    * UDFs: the way to run a bounded-vocabulary classifier over a 100 TB corpus inside
+    * the scan projection. For learned vocabularies too large to inline in the plan,
+    * explode tokens and broadcast-join a weights table instead. NULL text ⇒ NULL
+    * score (no content, no verdict); a doc with no vocabulary hits scores
+    * `sigmoid(bias)` — the classifier's prior, not NULL.
+    */
+  def linearScore(c: Column, weights: Map[String, Double], bias: Double): Column = {
+    require(weights.nonEmpty, "classifier weights must be non-empty")
+    // Deterministic literal order (sorted keys): the map literal is part of the plan
+    // and of plan canonicalization/caching — unordered Map iteration would make two
+    // identical calls build different (cache-missing) plans.
+    val m = map(weights.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val z = aggregate(tokens(c), lit(bias),
+      (acc, t) => acc + coalesce(element_at(m, t), lit(0.0)))
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
   /** Fraction of tokens found in the given (small) word set — e.g. stopwords. */
   def wordSetRatio(c: Column, words: Seq[String]): Column = {
     val t = tokens(c)

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset assembly: hash-based train/validation/test splits and
+  * seeded corpus shuffling — the "carve and order the corpus reproducibly" step a
+  * training pipeline runs after filtering/dedup.
+  *
+  * Both operators are pure functions of (key, seed): membership and order are stable
+  * across runs, cluster sizes, partition layouts, and engines — which is the entire
+  * point (a split that shifts when the cluster resizes leaks test data into train).
+  *
+  * 100 TB shape: split assignment is a row-local projection (no shuffle at all —
+  * writing the splits out partitioned-by-split is one `partitionBy` on the sink);
+  * the shuffle operator is one global range sort, Spark's scalable
+  * sample-then-range-partition path, which is the honest cost of a total order. If
+  * only per-shard locality is needed, `repartition(n, u)` + `sortWithinPartitions`
+  * drops the range-sampling pass.
+  */
+object Splits {
+
+  private val P = 2147483647L // Mersenne prime 2^31 - 1
+
+  /** Portable uniform hash `u ∈ [0,1)`: two affine rounds mod 2^31-1 over a numeric
+    * key. Cross-engine reproducible — plain integer arithmetic every SQL engine
+    * evaluates identically, so a consumer can re-derive split membership outside
+    * Spark (the property seed-keyed `xxhash64` cannot give you). All intermediates
+    * fit in a long: operands are < 2^31 before each multiply by a < 2^31 constant.
+    * Mixing is affine-grade — ample for split assignment and order scrambling, NOT
+    * a content hash (use fingerprint/xxhash64 for identity). String keys: hash them
+    * to a long first and accept Spark-only reproducibility, or key on a numeric id.
+    * NULL key ⇒ NULL.
+    */
+  def portableUniform(key: Column, seed: Long): Column = {
+    val x0 = pmod(pmod(key.cast("long"), lit(P)) + lit(((seed % P) + P) % P), lit(P))
+    val h1 = pmod(x0 * lit(1103515245L) + lit(12345L), lit(P))
+    val h2 = pmod(h1 * lit(69069L) + lit(1013904223L), lit(P))
+    h2.cast("double") / lit(P.toDouble)
+  }
+
+  /** Cumulative upper bounds for `hashSplit`'s bins, in split order (last is the
+    * exact fraction sum). Exposed so an external re-derivation (e.g. an oracle SQL)
+    * can embed the SAME accumulated doubles — re-summing fractions in a different
+    * order/precision would move bin edges by an ulp and flip boundary keys.
+    */
+  def cumulativeBounds(splits: Seq[(String, Double)]): Seq[Double] =
+    splits.map(_._2).scanLeft(0.0)(_ + _).tail
+
+  /** Deterministic named splits: appends a `split` column assigning each row to the
+    * first split whose cumulative upper bound exceeds `u = portableUniform(key)`.
+    * The LAST split takes everything remaining (no `u < 1.0` edge to lose rows to
+    * float summation). Fractions must be positive and sum to 1 (±1e-9); names must
+    * be distinct. NULL key ⇒ NULL split — an unkeyed row has no deterministic
+    * identity, and silently bucketing it would make membership depend on row order.
+    */
+  def hashSplit(df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
+      seed: Long): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"split names must be distinct, got ${splits.map(_._1)}")
+    require(splits.forall(_._2 > 0), s"split fractions must be positive, got $splits")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) <= 1e-9, s"split fractions must sum to 1, got $total")
+    val u = portableUniform(col(keyCol), seed)
+    val bounds = cumulativeBounds(splits)
+    val assigned = splits.init.zip(bounds.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), bound), rest) =>
+      when(u < bound, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", when(col(keyCol).isNotNull, assigned))
+  }
+
+  /** Seeded deterministic global shuffle: total order by (u, key) — the key
+    * tie-break keeps the order total even on colliding hashes, so the output is a
+    * permutation, bit-stable across partition layouts. NULL keys sort last (they
+    * have no hash identity), tie-broken amongst themselves arbitrarily-but-stably
+    * by the engine's NULL grouping.
+    */
+  def deterministicShuffle(df: DataFrame, keyCol: String, seed: Long): DataFrame =
+    df.orderBy(portableUniform(col(keyCol), seed).asc_nulls_last, col(keyCol).asc_nulls_last)
+}
