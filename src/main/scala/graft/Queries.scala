@@ -1937,6 +1937,40 @@ object Queries {
              |   + (SELECT coalesce(sum(length(text)), 0) FROM base WHERE doc_id IS NULL AND text IS NOT NULL) AS BIGINT) AS chars_after
              | FROM doc_after""".stripMargin.replaceAll("\n", " "))),
 
+    // Paragraph-granularity corpus dedup: same first-occurrence pass with sep="\n\n".
+    // Both engines append a shared multi-line footer PARAGRAPH to every doc — the
+    // multi-line-boilerplate-block shape line-level dedup cannot remove atomically
+    // (it would orphan the block's unduplicated lines); one survivor keeps it.
+    QueryDef("dedup_paragraphs_documents",
+      (s, d) => graft.operators.Dedup
+        .dedupLinesAcrossCorpus(
+          t(s, d, "documents").select(col("doc_id"),
+            concat(col("text"), lit("\n\nSHARED FOOTER\nSECOND LINE")).as("text")),
+          "doc_id", "text", minLineChars = 1, sep = "\n\n")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(col("lines_total")), lit(0L)).as("paras_total"),
+          coalesce(sum(col("lines_dropped")), lit(0L)).as("paras_dropped"),
+          coalesce(sum(when(col("lines_dropped") > 0, 1L).otherwise(0L)), lit(0L))
+            .as("docs_changed"),
+          coalesce(sum(length(col("text"))), lit(0L)).as("chars_after")),
+      Some("""WITH base AS (SELECT doc_id, text || chr(10) || chr(10) || 'SHARED FOOTER' || chr(10) || 'SECOND LINE' AS text FROM documents),
+             | ls AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS l FROM base WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             | widx AS (SELECT unnest(range(1, CAST((SELECT coalesce(max(len(l)), 0) FROM ls) AS BIGINT) + 1)) AS i),
+             | ln AS (SELECT doc_id, CAST(i AS BIGINT) AS idx, l[CAST(i AS INT)] AS para, length(l[CAST(i AS INT)]) >= 1 AS part FROM ls JOIN widx ON i <= len(l)),
+             | rk AS (SELECT doc_id, idx, para, part,
+             |   (NOT part) OR row_number() OVER (PARTITION BY part, para ORDER BY doc_id, idx) = 1 AS keep FROM ln),
+             | doc_after AS (SELECT doc_id,
+             |   coalesce(string_agg(para, chr(10) || chr(10) ORDER BY idx) FILTER (WHERE keep), '') AS t2,
+             |   sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS ld FROM rk GROUP BY 1)
+             | SELECT (SELECT count(*) FROM base) AS n_docs,
+             | CAST((SELECT coalesce(sum(len(string_split(text, chr(10) || chr(10)))), 0) FROM base WHERE text IS NOT NULL) AS BIGINT) AS paras_total,
+             | CAST(coalesce(sum(ld), 0) AS BIGINT) AS paras_dropped,
+             | CAST(coalesce(sum(CASE WHEN ld > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS docs_changed,
+             | CAST((SELECT coalesce(sum(length(t2)), 0) FROM doc_after)
+             |   + (SELECT coalesce(sum(length(text)), 0) FROM base WHERE doc_id IS NULL AND text IS NOT NULL) AS BIGINT) AS chars_after
+             | FROM doc_after""".stripMargin.replaceAll("\n", " "))),
+
     // URL canonicalization over engine-built crawl-style URLs (the tables carry no
     // natural URLs, so both engines construct the same hostile spellings from orders:
     // mixed-case scheme/host, www., default ports per scheme, trailing slash, tracking

@@ -432,9 +432,10 @@ object Dedup {
     * line becomes empty), `lines_total`, `lines_dropped`.
     *
     * Semantics:
-    *  - Lines split on `\n` with trailing empties preserved (both engines' split
-    *    semantics); reassembly joins with `\n`, so byte-identical round-trip for
-    *    untouched docs.
+    *  - Units split on the literal `sep` ("\n" lines by default, "\n\n" for
+    *    paragraph-level dedup) with trailing empties preserved (both engines'
+    *    split semantics); reassembly joins with the same separator, so
+    *    byte-identical round-trip for untouched docs.
     *  - Lines shorter than `minLineChars` (default 1 — i.e. empty lines) are
     *    STRUCTURAL: always kept, never counted, never claim a first-occurrence slot.
     *    Deduping them would collapse paragraph breaks corpus-wide.
@@ -450,15 +451,22 @@ object Dedup {
     * shuffles of the line frame — inherent to corpus-wide dedup.
     */
   def dedupLinesAcrossCorpus(df: DataFrame, idCol: String, textCol: String,
-      minLineChars: Int = 1): DataFrame = {
+      minLineChars: Int = 1, sep: String = "\n"): DataFrame = {
     require(minLineChars >= 0, s"minLineChars must be >= 0, got $minLineChars")
+    require(sep.nonEmpty, "separator must be non-empty")
+    // `sep` generalizes the unit: "\n" = C4 line dedup, "\n\n" = paragraph dedup
+    // (the same pass at paragraph granularity — how boilerplate blocks spanning
+    // multiple lines are actually removed). Split treats it as a LITERAL (quoted
+    // into the regex); reassembly joins with the same separator, so untouched docs
+    // round-trip byte-identically.
+    val sepRe = java.util.regex.Pattern.quote(sep)
     // NULL-id rows bypass the pipeline entirely: they can't hold a first-occurrence
     // slot, and routing them through the reassembly groupBy would MERGE all of them
     // into one output row. They come back verbatim via union, with row-local counts.
     val nullIdRows = df.filter(col(idCol).isNull).select(
       col(idCol),
       col(textCol),
-      coalesce(size(split(col(textCol), "\n", -1)).cast("long"), lit(0L)).as("lines_total"),
+      coalesce(size(split(col(textCol), sepRe, -1)).cast("long"), lit(0L)).as("lines_total"),
       lit(0L).as("lines_dropped"))
     val participates =
       col("_line").isNotNull && length(col("_line")) >= minLineChars
@@ -474,7 +482,7 @@ object Dedup {
     val lines = df
       .filter(col(idCol).isNotNull)
       .select(col(idCol).as("_id"), col(textCol).isNull.as("_null_text"),
-        posexplode_outer(split(col(textCol), "\n", -1)).as(Seq("_idx", "_line")))
+        posexplode_outer(split(col(textCol), sepRe, -1)).as(Seq("_idx", "_line")))
       .withColumn("_lk",
         when(participates, struct(xxhash64(col("_line")), length(col("_line")))))
     val winners = lines
@@ -492,7 +500,7 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(when(col("_keep"),
             struct(col("_idx"), col("_line"))))),
-          x => x.getField("_line")), "\n").as("_text"),
+          x => x.getField("_line")), sep).as("_text"),
         coalesce(sum(when(col("_idx").isNotNull, 1L).otherwise(0L)), lit(0L))
           .as("lines_total"),
         coalesce(sum(when(!col("_keep"), 1L).otherwise(0L)), lit(0L)).as("lines_dropped"))

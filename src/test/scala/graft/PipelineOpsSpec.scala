@@ -406,6 +406,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert((1L to 50L).forall(i => back(i) == s"alpha $i\nbeta $i\n\ngamma $i"))
   }
 
+  test("dedupLinesAcrossCorpus sep=\\n\\n: paragraph blocks dedup atomically") {
+    import spark.implicits._
+    val footer = "SHARED FOOTER\nSECOND LINE"
+    val df = Seq(
+      (1L, s"body one\n\n$footer"),
+      (2L, s"body two\n\n$footer"),
+      (3L, s"unrelated\nno footer"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLinesAcrossCorpus(df, "doc_id", "text", sep = "\n\n")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 keeps the footer paragraph (first occurrence, both its lines intact)
+    assert(out(1L) == ((s"body one\n\n$footer", 2L, 0L)))
+    // doc 2 loses the WHOLE footer block atomically — line-level dedup would have
+    // left "SECOND LINE" orphaned if only one line were duplicated elsewhere
+    assert(out(2L) == (("body two", 2L, 1L)))
+    // a doc with no duplicate paragraph round-trips byte-identical (internal \n kept)
+    assert(out(3L) == (("unrelated\nno footer", 1L, 0L)))
+  }
+
   test("gopherFlags: each rule trips on its own violation class") {
     import spark.implicits._
     val cfg = TextFunctions.GopherConfig(minWords = 3, maxWords = 10,
