@@ -51,7 +51,11 @@ object CorpusStats {
       explode(TextFunctions.tokens(col(textCol))).as("token"))
     val tf = toks.groupBy(col("_id"), col("token")).agg(count(lit(1)).as("tf"))
     // df from the tf table (one row per (doc, token) already) — no second
-    // distinct over the exploded frame.
+    // distinct over the exploded frame. DELIBERATE two-pass trade: tf feeds both
+    // the scoring join and this rollup, so the corpus is scanned+tokenized twice
+    // rather than materializing the (doc,token)-scale tf frame to executor disk —
+    // tf is corpus-scale (unlike the vocab-bounded counts the bigram ops
+    // checkpoint), same trade duplicateTokenSpans documents.
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df_docs"))
     val nDocs = base.agg(countDistinct(col(idCol)).as("_n"))
     val w = Window.partitionBy(col("_id"))
@@ -98,7 +102,15 @@ object CorpusStats {
     require(alpha > 0, s"smoothing alpha must be positive, got $alpha")
     val base = nonNull(df, idCol, textCol)
     val bi = bigrams(base, idCol, textCol)
+    // Eager at call time (localCheckpoint): `counts` feeds the ctx rollup AND the
+    // scoring join's build side — unmaterialized, each consumer re-scans and
+    // re-tokenizes the whole corpus (plan-verified: 4 file scans instead of 2).
+    // The table is distinct-bigram-bounded (~30 B rows), orders of magnitude
+    // smaller than the corpus it summarizes — the cheap side of the trade at any
+    // scale. The corpus-sized `bi` frame deliberately stays unmaterialized and is
+    // scanned twice (train + score), same trade as duplicateTokenSpans documents.
     val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
     val ctx = counts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val vocab = base
       .select(explode(TextFunctions.tokens(col(textCol))).as("_tok"))
@@ -124,7 +136,11 @@ object CorpusStats {
       minCount: Long = 2L): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val bi = bigrams(nonNull(df, idCol, textCol), idCol, textCol)
+    // Eager once (localCheckpoint): left/right/total are all rollups of `counts` —
+    // unmaterialized they each re-scan and re-tokenize the corpus (4 scans for one
+    // logical pass). Distinct-bigram-bounded, small relative to the corpus.
     val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
     val left = counts.groupBy(col("w1")).agg(sum(col("c12")).as("_l"))
     val right = counts.groupBy(col("w2")).agg(sum(col("c12")).as("_r"))
     val total = counts.agg(coalesce(sum(col("c12")), lit(0L)).as("_n"))

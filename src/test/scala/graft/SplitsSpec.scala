@@ -69,6 +69,22 @@ class SplitsSpec extends SparkSpec {
     assert(!o1.sameElements(o3), "different seed must change the order")
   }
 
+  test("hashSplit and linearScore are shuffle-free codegen'd projections over a scan") {
+    // The 100 TB contract of both operators: row-local, no Exchange anywhere in the
+    // plan. Local Seqs collapse to LocalTableScan, so check over a real parquet scan.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val splitPlan = Splits.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.9, "test" -> 0.1), seed = 1)
+      .queryExecution.executedPlan.toString
+    assert(!splitPlan.contains("Exchange"), s"hashSplit must not shuffle:\n$splitPlan")
+    assert(splitPlan.contains("*("), s"expected WholeStageCodegen in:\n$splitPlan")
+    val scorePlan = docs.select(
+      TextFunctions.linearScore(col("text"), Map("fast" -> 1.0), 0.0))
+      .queryExecution.executedPlan.toString
+    assert(!scorePlan.contains("Exchange"), s"linearScore must not shuffle:\n$scorePlan")
+    assert(scorePlan.contains("*("), s"expected WholeStageCodegen in:\n$scorePlan")
+  }
+
   test("cumulativeBounds exposes the exact accumulated doubles") {
     val b = Splits.cumulativeBounds(Seq("a" -> 0.8, "b" -> 0.1, "c" -> 0.1))
     assert(b.length == 3 && b(0) == 0.8 && b(1) == 0.8 + 0.1)
