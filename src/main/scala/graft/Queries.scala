@@ -2332,6 +2332,36 @@ object Queries {
              |   SELECT doc_id, ${portableUSql(7)} AS u FROM documents WHERE doc_id IS NOT NULL)
              | ORDER BY u ASC, doc_id ASC LIMIT 15""".stripMargin.replaceAll("\n", " "))),
 
+    // Temperature-scaled mixture weights (p_i ∝ n_i^0.5): per-language sampling
+    // weight + expected epochs at a 1000-row budget. NULL lang is a real stratum.
+    QueryDef("mixture_temperature_documents",
+      (s, d) => graft.operators.Sampling.temperatureWeights(
+          t(s, d, "documents"), "lang", alpha = 0.5, budgetRows = 1000)
+        .select(col("lang"), col("n_rows"), round(col("weight"), 6).as("weight"),
+          round(col("expected_epochs"), 6).as("expected_epochs")),
+      Some("""WITH c AS (SELECT lang, count(*) AS n_rows FROM documents GROUP BY 1),
+             | z AS (SELECT sum(power(CAST(n_rows AS DOUBLE), 0.5)) AS z FROM c)
+             | SELECT lang, n_rows,
+             |   round(power(CAST(n_rows AS DOUBLE), 0.5) / z, 6) AS weight,
+             |   round(power(CAST(n_rows AS DOUBLE), 0.5) / z * 1000.0 / CAST(n_rows AS DOUBLE), 6) AS expected_epochs
+             | FROM c, z""".stripMargin.replaceAll("\n", " "))),
+
+    // Round-robin source interleave through the distributed per-source prefix rank
+    // (range-repartition + bounded per-(partition,source) summary + streaming fold —
+    // no single-task per-source window). First 20 stream positions.
+    QueryDef("interleave_sources_documents",
+      (s, d) => graft.operators.Sharding.interleaveBySource(
+          t(s, d, "documents").filter(col("doc_id").isNotNull)
+            .select(col("doc_id"), col("source")), "source", "doc_id")
+        .orderBy(col("rr_rank").asc, col("source").asc_nulls_last)
+        .limit(20)
+        .select(col("doc_id"), col("source"), col("rr_rank")),
+      Some("""WITH r AS (SELECT doc_id, source,
+             |   row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rr_rank
+             |   FROM documents WHERE doc_id IS NOT NULL)
+             | SELECT doc_id, source, rr_rank FROM r
+             | ORDER BY rr_rank ASC, source ASC LIMIT 20""".stripMargin.replaceAll("\n", " "))),
+
     // Shallow linear quality classifier over an explicit vocabulary, scored row-local
     // (zero shuffles). NULL-text rows excluded: the operator scores them NULL while
     // DuckDB's coalesce(list_sum(NULL),0) would invent the prior.

@@ -91,6 +91,11 @@ object Sampling {
   /** Disjoint deterministic splits (train/val/test): adds `split_id` = the index of
     * the weight bucket the row's key hash falls in. Weights are normalized; the same
     * key always lands in the same split under the same seed.
+    *
+    * Sibling surface: [[graft.operators.Splits.hashSplit]] assigns NAMED splits via
+    * a portable affine hash any SQL engine re-derives (cross-engine membership);
+    * this variant hashes MULTI-column keys with xxhash64 (better mixing,
+    * Spark-only reproducibility). Same guarantees otherwise.
     */
   def hashSplit(df: DataFrame, keyCols: Seq[String], weights: Seq[Double],
       seed: Long = 42L, splitCol: String = "split_id"): DataFrame = {
@@ -107,6 +112,37 @@ object Sampling {
       case (acc, (bound, i)) => when(b < bound, lit(i)).otherwise(acc)
     }
     df.withColumn(splitCol, splitId)
+  }
+
+  /** Temperature-scaled mixture weights over strata (the multilingual/multi-source
+    * rebalance rule, XLM-R-style: `p_i ∝ n_i^alpha`): one row per stratum with its
+    * size, normalized sampling weight, and `expected_epochs` = how many times the
+    * stratum repeats when drawing `budgetRows` rows from the reweighted mixture —
+    * the overfit-risk number mixture designers actually watch (>1 means the stratum
+    * up-samples). `alpha = 1` is proportional (no rebalance); `alpha → 0`
+    * approaches uniform; `alpha ∈ (0,1)` up-samples small strata.
+    *
+    * A NULL stratum is a real group (its rows exist and consume budget) and
+    * surfaces as a NULL-keyed row — dropping it would silently misnormalize every
+    * other weight.
+    *
+    * Scale: one stratum-keyed count (map-side combined), then arithmetic over the
+    * strata-sized frame with the normalizer riding in as a broadcast single-row
+    * frame — the corpus is scanned once, nothing data-scale shuffles.
+    */
+  def temperatureWeights(df: DataFrame, strataCol: String, alpha: Double,
+      budgetRows: Long): DataFrame = {
+    require(alpha > 0, s"temperature alpha must be positive, got $alpha")
+    require(budgetRows >= 0, s"budgetRows must be >= 0, got $budgetRows")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_rows"))
+    val z = counts.agg(
+      sum(pow(col("n_rows").cast("double"), lit(alpha))).as("_z"))
+    counts.crossJoin(broadcast(z))
+      .withColumn("weight",
+        pow(col("n_rows").cast("double"), lit(alpha)) / col("_z"))
+      .withColumn("expected_epochs",
+        col("weight") * lit(budgetRows.toDouble) / col("n_rows").cast("double"))
+      .select(col(strataCol), col("n_rows"), col("weight"), col("expected_epochs"))
   }
 
   private val BUCKETS = 1000000L

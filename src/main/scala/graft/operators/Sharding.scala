@@ -136,4 +136,79 @@ object Sharding {
       .withColumn(shardCol, expr(s"_rt_excl DIV ${budget}L"))
       .drop("_rt_incl", "_rt_excl")
   }
+
+  /** Round-robin source interleaving for the final training stream: adds `rankCol` =
+    * the row's 1-based rank WITHIN its source (ascending `orderCol`), so ordering the
+    * output by `(rankCol, sourceCol)` yields the canonical interleave — first row of
+    * every source, then second of every source, … — the deterministic "mix the
+    * sources evenly through the stream" ordering (sources that run out simply stop
+    * appearing; no RNG, reruns are bit-identical).
+    *
+    * The naive `row_number().over(Window.partitionBy(source))` sorts EVERYTHING of
+    * one source in a single task — the hot source at 50% of a 100 TB corpus is one
+    * task. This is instead the [[withRunningTotal]] two-pass shape: ONE data-scale
+    * exchange (range-repartition by `orderCol` + in-partition sort, materialized
+    * once), a bounded summary pass collecting per-(partition, source) row counts,
+    * then a streaming per-partition fold adding each partition's per-source offsets.
+    * The driver state is `partitions × distinct sources` — sources are mixture
+    * components (10s–1000s), enforced by `maxSources` (fail loud, don't OOM the
+    * driver silently).
+    *
+    * Contracts (as [[withRunningTotal]]): `orderCol` must totally order rows (ties
+    * straddling a partition boundary would make ranks run-dependent) and must be
+    * non-NULL; NULL sources form a real source group (ranked like any other — the
+    * caller decides whether unattributed rows belong in the stream).
+    */
+  def interleaveBySource(df: DataFrame, sourceCol: String, orderCol: String,
+      rankCol: String = "rr_rank", maxSources: Int = 100000): DataFrame = {
+    require(!df.columns.contains(rankCol), s"input already has a '$rankCol' column")
+    val spark = df.sparkSession
+    val ranged = df
+      .repartitionByRange(col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+      .localCheckpoint(true)
+    val srcIdx = ranged.columns.indexOf(sourceCol)
+    require(srcIdx >= 0, s"no column '$sourceCol' in ${ranged.columns.mkString(",")}")
+    // Pass 1: per-(partition, source) counts — one row per pair, bounded by
+    // partitions × sources, never by data.
+    val stats = ranged.select(col(sourceCol))
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        val m = scala.collection.mutable.HashMap.empty[Option[Any], Long]
+        it.foreach { r =>
+          val k = if (r.isNullAt(0)) None else Some(r.get(0))
+          m.update(k, m.getOrElse(k, 0L) + 1L)
+        }
+        m.iterator.map { case (k, n) => (pid, k, n) }
+      }(Encoders.tuple(Encoders.scalaInt,
+        Encoders.kryo[Option[Any]], Encoders.scalaLong))
+      .collect()
+    val nSources = stats.map(_._2).distinct.length
+    require(nSources <= maxSources,
+      s"interleaveBySource saw $nSources distinct sources (> maxSources=$maxSources); " +
+        "this operator is for mixture-component granularity — bucket the source key first")
+    // Exclusive per-source offsets per partition: rows of source s in partitions
+    // before pid.
+    val offsets: Map[Int, Map[Option[Any], Long]] = {
+      val acc = scala.collection.mutable.HashMap.empty[Option[Any], Long]
+      stats.groupBy(_._1).toSeq.sortBy(_._1).map { case (pid, rows) =>
+        val snapshot = acc.toMap
+        rows.foreach { case (_, k, n) => acc.update(k, acc.getOrElse(k, 0L) + n) }
+        pid -> snapshot
+      }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outSchema = ranged.schema.add(rankCol, LongType, nullable = false)
+    ranged.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      val local = scala.collection.mutable.HashMap.empty[Option[Any], Long]
+      val base = bc.value.getOrElse(pid, Map.empty[Option[Any], Long])
+      it.map { r =>
+        val k = if (r.isNullAt(srcIdx)) None else Some(r.get(srcIdx))
+        val n = local.getOrElse(k, base.getOrElse(k, 0L)) + 1L
+        local.update(k, n)
+        Row.fromSeq(r.toSeq :+ n)
+      }
+    }(Encoders.row(outSchema))
+  }
 }

@@ -49,6 +49,9 @@ object Splits {
 
   /** Deterministic named splits: appends a `split` column assigning each row to the
     * first split whose cumulative upper bound exceeds `u = portableUniform(key)`.
+    * Sibling surface: [[graft.operators.Sampling.hashSplit]] is the multi-column
+    * xxhash64 variant (better mixing, Spark-only reproducibility, integer split
+    * ids); this one trades mixing for cross-engine re-derivability and named splits.
     * The LAST split takes everything remaining (no `u < 1.0` edge to lose rows to
     * float summation). Fractions must be positive and sum to 1 (±1e-9); names must
     * be distinct. NULL key ⇒ NULL split — an unkeyed row has no deterministic

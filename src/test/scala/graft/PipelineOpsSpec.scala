@@ -425,6 +425,61 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(3L) == (("unrelated\nno footer", 1L, 0L)))
   }
 
+  test("temperatureWeights: alpha rebalances toward small strata, null stratum kept") {
+    import spark.implicits._
+    val df = (Seq.fill(80)(Some("en")) ++ Seq.fill(20)(Some("de")) :+ (None: Option[String]))
+      .toDF("lang")
+    val prop = Sampling.temperatureWeights(df.filter(col("lang").isNotNull), "lang",
+      alpha = 1.0, budgetRows = 100)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(math.abs(prop("en")._2 - 0.8) < 1e-12 && math.abs(prop("de")._2 - 0.2) < 1e-12)
+    assert(math.abs(prop("en")._3 - 1.0) < 1e-12, "alpha=1 with budget=N is one epoch each")
+    val sq = Sampling.temperatureWeights(df.filter(col("lang").isNotNull), "lang",
+      alpha = 0.5, budgetRows = 100)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    val z = math.sqrt(80.0) + math.sqrt(20.0)
+    assert(math.abs(sq("de")._1 - math.sqrt(20.0) / z) < 1e-12)
+    assert(sq("de")._2 > 1.0 && sq("en")._2 < 1.0,
+      "alpha<1 must up-sample the small stratum past one epoch")
+    // NULL stratum is a real group
+    val withNull = Sampling.temperatureWeights(df, "lang", 0.5, 100)
+    assert(withNull.filter(col("lang").isNull).count() == 1L)
+    intercept[IllegalArgumentException](Sampling.temperatureWeights(df, "lang", 0.0, 10))
+  }
+
+  test("interleaveBySource matches the window formulation and orders round-robin") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a"), (2L, "b"), (3L, "a"), (4L, "c"), (5L, "a"), (6L, "b"))
+    // scramble partitioning to prove partition-independence
+    val df = rows.toDF("id", "src").repartition(5)
+    val out = Sharding.interleaveBySource(df, "src", "id")
+    val got = out.orderBy(col("rr_rank"), col("src")).select("id", "src", "rr_rank")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a", 1L), (2L, "b", 1L), (4L, "c", 1L),
+      (3L, "a", 2L), (6L, "b", 2L), (5L, "a", 3L)))
+    // equivalence with the single-task window formulation on a larger frame
+    val big = (1L to 500L).map(i => (i, s"s${i % 7}")).toVector.toDF("id", "src")
+      .repartition(13)
+    val viaOp = Sharding.interleaveBySource(big, "src", "id")
+      .select("id", "rr_rank").as[(Long, Long)].collect().toMap
+    val viaWin = big.withColumn("rr_rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("id"))))
+      .select("id", "rr_rank").as[(Long, Int)].collect().toMap
+    assert(viaOp.size == 500 && viaOp.forall { case (id, r) => viaWin(id).toLong == r })
+    // null sources rank as their own group
+    val withNull = Seq((1L, Some("a")), (2L, None: Option[String]), (3L, None: Option[String]))
+      .toDF("id", "src")
+    val nr = Sharding.interleaveBySource(withNull, "src", "id")
+      .filter(col("src").isNull).select("id", "rr_rank").as[(Long, Long)].collect().toMap
+    assert(nr == Map(2L -> 1L, 3L -> 2L))
+    // source-cardinality guard fails loud
+    val wide = (1L to 100L).map(i => (i, s"s$i")).toVector.toDF("id", "src")
+    intercept[IllegalArgumentException](
+      Sharding.interleaveBySource(wide, "src", "id", maxSources = 10))
+  }
+
   test("gopherFlags: each rule trips on its own violation class") {
     import spark.implicits._
     val cfg = TextFunctions.GopherConfig(minWords = 3, maxWords = 10,
