@@ -46,7 +46,16 @@ object ScaleSweep {
     "dedup_lines_documents",
     "dedup_spans_documents",
     "similarity_topk_embeddings",
-    "similarity_ivf_topk")
+    "similarity_ivf_topk",
+    // round-6 corpus-stats/assembly headliners: bigram-LM trains+scores over the
+    // replicated corpus (vocab grows 10× — replica-salted tokens are disjoint — so
+    // the gram-keyed joins see a 10× key space: linear, the honest shape); tfidf is
+    // the same two-pass explode+join family; interleave exercises the prefix-fold
+    // path at 10× partitions. dedup_paragraphs is skipped: machinery-identical to
+    // the swept dedup_lines.
+    "lm_surprisal_documents",
+    "tfidf_top_terms_documents",
+    "interleave_sources_documents")
 
   /** Run the sweep against `src` on an existing session, returning
     * (name, smallSec, bigSec, ratio) per headliner plus the suite20 10× datapoint.
