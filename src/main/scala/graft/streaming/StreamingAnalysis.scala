@@ -182,6 +182,38 @@ object StreamingAnalysis {
     streamingDedupExact(fp, Seq("_fp"), watermark).drop("_fp").unionByName(nullText)
   }
 
+  /** Streaming NEAR-dup gate: exact dedup on the 64-bit SimHash of the token stream
+    * — drops in-flight reposts that survive [[streamingDedupFingerprint]]'s
+    * whitespace normalization (token reorder, small re-punctuation: any edit that
+    * keeps the per-bit token-hash majority vote identical). Same bounded-state
+    * semantics as [[streamingDedupExact]].
+    *
+    * HONEST RECALL LIMIT, by design: streaming state lookup is equality-keyed, so
+    * this catches Hamming-distance-0 collisions only. The batch operator's band
+    * blocking (any of 4 identical 16-bit bands ⇒ candidate, then Hamming verify)
+    * cannot be expressed over `dropDuplicatesWithinWatermark` state — a banded
+    * variant would need `flatMapGroupsWithState` over band keys and a second
+    * stateful verify join. Near-dups at Hamming 1-3 pass through; run the batch
+    * [[graft.operators.Dedup.nearDupPairsSimhash]] pass on the landed data for
+    * full recall. Zero-token docs share simhash 0 and would all collapse into one —
+    * they pass through un-deduped (no content identity), like NULL text.
+    */
+  def streamingDedupSimhash(
+      stream: DataFrame,
+      textCol: String,
+      watermark: Option[(String, String)] = None): DataFrame = {
+    require(!stream.columns.contains("_sh"),
+      "streamingDedupSimhash reserves the column name _sh; rename the input column")
+    val hasTokens = col(textCol).isNotNull &&
+      size(graft.functions.TextFunctions.tokens(col(textCol))) > 0
+    val tokenless = stream.filter(!coalesce(hasTokens, lit(false)))
+    val hashed = stream.filter(coalesce(hasTokens, lit(false)))
+      .withColumn("_sh", graft.operators.Dedup.simhash64(
+        graft.functions.TextFunctions.tokens(col(textCol))))
+    streamingDedupExact(hashed, Seq("_sh"), watermark).drop("_sh")
+      .unionByName(tokenless)
+  }
+
   /** Streaming anomaly detection: per micro-batch, compute a scalar metric, append it
     * to the repository's history for `metricKey`, and run `strategy` over the updated
     * history; `onAnomaly` fires with the batch id and the detected points. Composes the

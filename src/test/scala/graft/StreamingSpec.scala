@@ -159,6 +159,34 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L, 4L), "every null-text row must survive")
   }
 
+  test("streaming simhash dedup drops token-reorder reposts; tokenless rows pass through") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val deduped = StreamingAnalysis.streamingDedupSimhash(
+      input.toDF().toDF("id", "text"), "text")
+    val q = deduped.writeStream.format("memory").queryName("ssh").outputMode("append").start()
+    try {
+      // rows 1 and 2 are token REORDERS (identical token multiset -> identical
+      // simhash) — fingerprint dedup would keep both; simhash keeps one
+      input.addData(
+        (1L, "alpha beta gamma delta"),
+        (2L, "delta gamma beta alpha"),
+        (3L, "entirely different content"))
+      q.processAllAvailable()
+      input.addData((4L, "beta alpha delta gamma")) // same multiset, later batch
+      q.processAllAvailable()
+      // tokenless rows have no content identity: all survive, never collapse
+      input.addData((5L, null), (6L, ""), (7L, "   "))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql("SELECT id FROM ssh").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows.count(Set(1L, 2L, 4L)) == 1L, s"reorders must collapse to one: $rows")
+    assert(rows.contains(3L))
+    assert(Seq(5L, 6L, 7L).forall(rows.contains), s"tokenless rows must pass through: $rows")
+    assert(!spark.table("ssh").schema.fieldNames.contains("_sh"))
+  }
+
   test("streaming dedup with watermark bounds state and dedups within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
