@@ -2362,6 +2362,33 @@ object Queries {
              | SELECT doc_id, source, rr_rank FROM r
              | ORDER BY rr_rank ASC, source ASC LIMIT 20""".stripMargin.replaceAll("\n", " "))),
 
+    // Int8 quantization fidelity over the embeddings corpus: the 4x-compression
+    // memory lever for a 100 TB ANN index, verified end to end — both engines
+    // quantize (scale = max|x|/127, round to code, dequantize) and compare
+    // reconstruction error + cosine fidelity. Unquantizable vectors (null /
+    // null-element / zero-norm / non-finite) are excluded identically.
+    QueryDef("quantization_embeddings",
+      (s, d) => graft.operators.Similarity.quantizationFidelity(
+          t(s, d, "embeddings").filter(col("vec_id").isNotNull), "vec_id", "embedding")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(col("max_abs_err")), 6).as("avg_max_err"),
+          round(min(col("cos_fidelity")), 6).as("min_fidelity"),
+          round(avg(col("cos_fidelity")), 6).as("avg_fidelity")),
+      Some("""WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS x
+             |   FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+             |     AND len(list_filter(embedding, e -> e IS NULL)) = 0),
+             | m AS (SELECT vec_id, x, list_max(list_transform(x, e -> abs(e))) AS ma FROM v),
+             | f AS (SELECT vec_id, x, ma / 127.0 AS s FROM m WHERE isfinite(ma) AND ma > 0),
+             | d AS (SELECT vec_id, s, x, list_transform(x, e -> round(e / s) * s) AS dq FROM f),
+             | e AS (SELECT vec_id,
+             |   list_max(list_transform(range(1, len(x) + 1), i -> abs(x[CAST(i AS INT)] - dq[CAST(i AS INT)]))) AS max_err,
+             |   list_sum(list_transform(range(1, len(x) + 1), i -> x[CAST(i AS INT)] * dq[CAST(i AS INT)])) /
+             |     (sqrt(list_sum(list_transform(x, e2 -> e2 * e2))) * sqrt(list_sum(list_transform(dq, e2 -> e2 * e2)))) AS fid
+             |   FROM d)
+             | SELECT count(*) AS n_vecs, round(avg(max_err), 6) AS avg_max_err,
+             |   round(min(fid), 6) AS min_fidelity, round(avg(fid), 6) AS avg_fidelity
+             | FROM e""".stripMargin.replaceAll("\n", " "))),
+
     // Shallow linear quality classifier over an explicit vocabulary, scored row-local
     // (zero shuffles). NULL-text rows excluded: the operator scores them NULL while
     // DuckDB's coalesce(list_sum(NULL),0) would invent the prior.

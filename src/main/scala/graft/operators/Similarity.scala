@@ -291,4 +291,60 @@ object Similarity {
       .select(col("id_b").as(idCol)).distinct()
     df.join(drop, Seq(idCol), "left_anti")
   }
+
+  // ---------- int8 quantization (ANN memory compression) ----------
+
+  /** Quantizable = a real direction exists: non-null vector, no null elements, a
+    * finite positive max |x|. Zero vectors have no direction (scale 0 would map
+    * everything to 0 and "reconstruct" perfectly — a lie); NaN/Inf elements poison
+    * every element through the shared scale.
+    */
+  private def maxAbsD(vecCol: Column): Column =
+    array_max(transform(vecCol, x => abs(x.cast("double"))))
+
+  /** Symmetric per-vector int8 quantization: `scale = max|x| / 127`,
+    * `q_i = round(x_i / scale)` — 4× smaller than float32 (the standard memory
+    * lever for serving a 100 TB corpus's ANN index; pair with IVF cells so a probe
+    * reads a pruned, compressed slice). Output: (idCol, q_scale DOUBLE, q_vec
+    * ARRAY<TINYINT>). `|q_i| ≤ 127` by construction, so the tinyint cast cannot
+    * overflow (ANSI-safe). Unquantizable vectors (null / null-element / zero-norm /
+    * non-finite — see [[maxAbsD]]) surface NULL scale+vec rather than a fabricated
+    * zero code: the caller decides whether to keep them uncompressed or drop them.
+    *
+    * Row-local projection — zero shuffles, the whole pass lives inside the scan.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val xd = transform(col(vecCol), x => x.cast("double"))
+    val ma = maxAbsD(col(vecCol))
+    val ok = col(vecCol).isNotNull && !exists(col(vecCol), x => x.isNull) &&
+      !isnan(ma) && ma > 0 && ma < lit(Double.PositiveInfinity)
+    val scale = ma / lit(127.0)
+    df.select(
+      col(idCol),
+      when(ok, scale).as("q_scale"),
+      when(ok, transform(xd, x => round(x / scale).cast("tinyint"))).as("q_vec"))
+  }
+
+  /** Reconstruction fidelity of [[quantizeInt8]], per vector: `max_abs_err` =
+    * `max_i |x_i − q_i·scale|` (bounded by scale/2 = max|x|/254 by construction —
+    * the assertion a spec pins) and `cos_fidelity` = cosine(x, dequantized x).
+    * Unquantizable vectors are EXCLUDED (they have no reconstruction to measure).
+    * Quantization is recomputed inline (row-local both ways) — cheaper than
+    * joining the compressed table back to the originals.
+    */
+  def quantizationFidelity(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val xd = transform(col(vecCol), x => x.cast("double"))
+    val ma = maxAbsD(col(vecCol))
+    val ok = col(vecCol).isNotNull && !exists(col(vecCol), x => x.isNull) &&
+      !isnan(ma) && ma > 0 && ma < lit(Double.PositiveInfinity)
+    val scale = ma / lit(127.0)
+    val dq = transform(xd, x => round(x / scale) * scale)
+    val err = array_max(zip_with(xd, dq, (a, b) => abs(a - b)))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val fid = dot(xd, dq) / (sqrt(dot(xd, xd)) * sqrt(dot(dq, dq)))
+    df.filter(ok)
+      .select(col(idCol), scale.as("q_scale"), err.as("max_abs_err"),
+        fid.as("cos_fidelity"))
+  }
 }

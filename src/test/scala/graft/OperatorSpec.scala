@@ -594,6 +594,42 @@ class OperatorSpec extends SparkSpec {
       "kept count must equal input minus dropped ids")
   }
 
+  test("int8 quantization: codes, guards, fidelity bound, shuffle-free plan") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Some(Seq(1.0f, -0.5f, 0.25f, 0.0f))),
+      (2L, Some(Seq(0.0f, 0.0f, 0.0f, 0.0f))), // zero-norm: unquantizable
+      (3L, None: Option[Seq[Float]]), // null vector: unquantizable
+      (4L, Some(Seq(Float.NaN, 1.0f, 0.0f, 0.0f)))) // NaN poisons the scale
+      .toDF("id", "v")
+    val q = Similarity.quantizeInt8(rows.toDF("id", "v"), "id", "v")
+      .orderBy("id").collect()
+    // id 1: scale = 1/127, q = round(x*127) = [127, -64, 32, 0] (HALF_UP: -63.5 -> -64)
+    assert(math.abs(q(0).getDouble(1) - 1.0 / 127) < 1e-15)
+    assert(q(0).getSeq[Byte](2) == Seq[Byte](127, -64, 32, 0))
+    assert(q(1).isNullAt(1) && q(1).isNullAt(2), "zero vector must not fake a code")
+    assert(q(2).isNullAt(1) && q(2).isNullAt(2))
+    assert(q(3).isNullAt(1) && q(3).isNullAt(2), "NaN element must not quantize")
+    // fidelity: error bounded by scale/2, cosine near 1 on a real vector; the
+    // unquantizable rows are excluded
+    val fid = Similarity.quantizationFidelity(rows.toDF("id", "v"), "id", "v").collect()
+    assert(fid.map(_.getLong(0)).toSeq == Seq(1L))
+    val r = fid.head
+    assert(r.getDouble(2) <= r.getDouble(1) / 2 + 1e-15, "max err must be <= scale/2")
+    assert(r.getDouble(3) > 0.999, s"cosine fidelity too low: ${r.getDouble(3)}")
+    // randomized fidelity sweep: 64-dim vectors, reconstruction stays tight
+    val rng = new scala.util.Random(7)
+    val many = (1L to 200L).map(i => (i, Seq.fill(64)(rng.nextFloat() * 2 - 1))).toDF("id", "v")
+    val stats = Similarity.quantizationFidelity(many, "id", "v")
+      .agg(min(col("cos_fidelity")), max(col("max_abs_err") / col("q_scale"))).head()
+    assert(stats.getDouble(0) > 0.999, s"min fidelity ${stats.getDouble(0)}")
+    assert(stats.getDouble(1) <= 0.5 + 1e-12, "normalized error must respect the half-step bound")
+    // row-local contract: no Exchange over a real scan
+    val plan = Similarity.quantizeInt8(embs, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quantizeInt8 must not shuffle:\n$plan")
+  }
+
   test("brute-force topK matches within-bucket ANN on its candidates") {
     val probe = embs.filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).toSeq
