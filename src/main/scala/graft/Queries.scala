@@ -2284,18 +2284,25 @@ object Queries {
              | WHERE c12 >= 2 ORDER BY c12 DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin.replaceAll("\n", " ")))
   )
 
-  /** Portable affine hash mirrored as SQL — the SAME arithmetic
-    * [[graft.operators.Splits.portableUniform]] runs, so split membership and
-    * shuffle order re-derive identically in DuckDB. doc_id here is non-negative
-    * after the NULL filter, but the double-mod keeps the SQL a faithful pmod.
+  /** Portable affine hash mirrored as SQL — the SAME arithmetic (and the same
+    * seed-derived multiplier constants, via `Splits.seedConstants`) as
+    * [[graft.operators.Splits.portableUniform]], so split membership and shuffle
+    * order re-derive identically in DuckDB. doc_id here is non-negative after the
+    * NULL filter, but the double-mod keeps the SQL a faithful pmod.
     */
   private def portableUSql(seed: Long): String = {
     val p = 2147483647L
-    val sd = ((seed % p) + p) % p
-    s"""CAST((((((((doc_id % $p) + $p) % $p + $sd) % $p)
-       | * 1103515245 + 12345) % $p * 69069 + 1013904223) % $p) AS DOUBLE) / $p.0""".stripMargin
+    val (a1, b1, a2, b2) = graft.operators.Splits.seedConstants(seed)
+    s"""CAST((((((doc_id % $p) + $p) % $p
+       | * $a1 + $b1) % $p * $a2 + $b2) % $p) AS DOUBLE) / $p.0""".stripMargin
       .replaceAll("\n", " ")
   }
+
+  /** Classifier vocabulary shared by classifier_quality_documents' Spark body and
+    * its oracle SQL (one literal, two consumers — desync impossible).
+    */
+  private val classifierWeights = Seq("fast" -> 0.8, "slow" -> -0.8, "merge" -> -1.2,
+    "data" -> 0.3, "query" -> 0.5)
 
   val splitDefs: Seq[QueryDef] = Seq(
     // Deterministic train/valid/test carve: bin edges are the Scala-accumulated
@@ -2391,24 +2398,23 @@ object Queries {
 
     // Shallow linear quality classifier over an explicit vocabulary, scored row-local
     // (zero shuffles). NULL-text rows excluded: the operator scores them NULL while
-    // DuckDB's coalesce(list_sum(NULL),0) would invent the prior.
-    QueryDef("classifier_quality_documents", {
-      val w = Seq("fast" -> 0.8, "slow" -> -0.8, "merge" -> -1.2, "data" -> 0.3,
-        "query" -> 0.5)
+    // DuckDB's coalesce(list_sum(NULL),0) would invent the prior. ONE weights
+    // literal feeds BOTH engines — editing a weight cannot desync them.
+    QueryDef("classifier_quality_documents",
       (s, d) => t(s, d, "documents")
         .filter(col("doc_id").isNotNull && col("text").isNotNull && col("doc_id") % 7 === 0)
         .select(col("doc_id"),
-          round(TextFunctions.linearScore(col("text"), w.toMap, bias = -0.2), 6).as("score"))
-    }, Some {
-      val cases = Seq("fast" -> 0.8, "slow" -> -0.8, "merge" -> -1.2, "data" -> 0.3,
-        "query" -> 0.5)
-        .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
-      s"""SELECT doc_id, round(1.0 / (1.0 + exp(-(-0.2 +
-         |   coalesce(list_sum(list_transform($tokSql, x -> CASE x $cases ELSE 0.0 END)), 0.0)))), 6) AS score
-         | FROM documents
-         | WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 7 = 0""".stripMargin
-        .replaceAll("\n", " ")
-    })
+          round(TextFunctions.linearScore(col("text"), classifierWeights.toMap, bias = -0.2), 6)
+            .as("score")),
+      Some {
+        val cases = classifierWeights
+          .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+        s"""SELECT doc_id, round(1.0 / (1.0 + exp(-(-0.2 +
+           |   coalesce(list_sum(list_transform($tokSql, x -> CASE x $cases ELSE 0.0 END)), 0.0)))), 6) AS score
+           | FROM documents
+           | WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 7 = 0""".stripMargin
+          .replaceAll("\n", " ")
+      })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -170,7 +170,11 @@ object Sharding {
     val srcIdx = ranged.columns.indexOf(sourceCol)
     require(srcIdx >= 0, s"no column '$sourceCol' in ${ranged.columns.mkString(",")}")
     // Pass 1: per-(partition, source) counts — one row per pair, bounded by
-    // partitions × sources, never by data.
+    // partitions × sources, never by data. The cardinality guard fires IN THE TASK
+    // (any single partition over maxSources kills the job there): guarding only
+    // after collect() would let a runaway key (doc_id passed as sourceCol) OOM the
+    // driver with the very stats rows the guard exists to bound. Driver state is
+    // then ≤ partitions × maxSources rows; the exact global check still runs below.
     val stats = ranged.select(col(sourceCol))
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
@@ -178,6 +182,11 @@ object Sharding {
         it.foreach { r =>
           val k = if (r.isNullAt(0)) None else Some(r.get(0))
           m.update(k, m.getOrElse(k, 0L) + 1L)
+          if (m.size > maxSources)
+            throw new IllegalArgumentException(
+              s"interleaveBySource: partition $pid alone saw > $maxSources distinct " +
+                "sources; this operator is for mixture-component granularity — " +
+                "bucket the source key first")
         }
         m.iterator.map { case (k, n) => (pid, k, n) }
       }(Encoders.tuple(Encoders.scalaInt,

@@ -297,10 +297,19 @@ object Similarity {
   /** Quantizable = a real direction exists: non-null vector, no null elements, a
     * finite positive max |x|. Zero vectors have no direction (scale 0 would map
     * everything to 0 and "reconstruct" perfectly — a lie); NaN/Inf elements poison
-    * every element through the shared scale.
+    * every element through the shared scale. ONE definition feeds both
+    * [[quantizeInt8]] and [[quantizationFidelity]] — the guard encodes subtle
+    * semantics and the compressor and its verifier must never disagree on it.
     */
-  private def maxAbsD(vecCol: Column): Column =
-    array_max(transform(vecCol, x => abs(x.cast("double"))))
+  private case class QuantPrep(xd: Column, ok: Column, scale: Column)
+  private def quantPrep(vecCol: Column): QuantPrep = {
+    val ma = array_max(transform(vecCol, x => abs(x.cast("double"))))
+    QuantPrep(
+      xd = transform(vecCol, x => x.cast("double")),
+      ok = vecCol.isNotNull && !exists(vecCol, x => x.isNull) &&
+        !isnan(ma) && ma > 0 && ma < lit(Double.PositiveInfinity),
+      scale = ma / lit(127.0))
+  }
 
   /** Symmetric per-vector int8 quantization: `scale = max|x| / 127`,
     * `q_i = round(x_i / scale)` — 4× smaller than float32 (the standard memory
@@ -314,15 +323,11 @@ object Similarity {
     * Row-local projection — zero shuffles, the whole pass lives inside the scan.
     */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val xd = transform(col(vecCol), x => x.cast("double"))
-    val ma = maxAbsD(col(vecCol))
-    val ok = col(vecCol).isNotNull && !exists(col(vecCol), x => x.isNull) &&
-      !isnan(ma) && ma > 0 && ma < lit(Double.PositiveInfinity)
-    val scale = ma / lit(127.0)
+    val p = quantPrep(col(vecCol))
     df.select(
       col(idCol),
-      when(ok, scale).as("q_scale"),
-      when(ok, transform(xd, x => round(x / scale).cast("tinyint"))).as("q_vec"))
+      when(p.ok, p.scale).as("q_scale"),
+      when(p.ok, transform(p.xd, x => round(x / p.scale).cast("tinyint"))).as("q_vec"))
   }
 
   /** Reconstruction fidelity of [[quantizeInt8]], per vector: `max_abs_err` =
@@ -333,18 +338,14 @@ object Similarity {
     * joining the compressed table back to the originals.
     */
   def quantizationFidelity(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val xd = transform(col(vecCol), x => x.cast("double"))
-    val ma = maxAbsD(col(vecCol))
-    val ok = col(vecCol).isNotNull && !exists(col(vecCol), x => x.isNull) &&
-      !isnan(ma) && ma > 0 && ma < lit(Double.PositiveInfinity)
-    val scale = ma / lit(127.0)
-    val dq = transform(xd, x => round(x / scale) * scale)
-    val err = array_max(zip_with(xd, dq, (a, b) => abs(a - b)))
+    val p = quantPrep(col(vecCol))
+    val dq = transform(p.xd, x => round(x / p.scale) * p.scale)
+    val err = array_max(zip_with(p.xd, dq, (a, b) => abs(a - b)))
     def dot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val fid = dot(xd, dq) / (sqrt(dot(xd, xd)) * sqrt(dot(dq, dq)))
-    df.filter(ok)
-      .select(col(idCol), scale.as("q_scale"), err.as("max_abs_err"),
+    val fid = dot(p.xd, dq) / (sqrt(dot(p.xd, p.xd)) * sqrt(dot(dq, dq)))
+    df.filter(p.ok)
+      .select(col(idCol), p.scale.as("q_scale"), err.as("max_abs_err"),
         fid.as("cos_fidelity"))
   }
 }

@@ -22,20 +22,46 @@ object Splits {
 
   private val P = 2147483647L // Mersenne prime 2^31 - 1
 
+  /** Per-seed affine constants, mixed DRIVER-side by splitmix64 so only plain
+    * affine arithmetic reaches the plan (and any SQL re-derivation). The seed picks
+    * the MULTIPLIERS, not an additive offset: with a purely additive seed, two
+    * seeds' hashes differ by a constant mod p — every "re-shuffle" would be an
+    * exact rotation of the same circular permutation and every "re-split" a fixed
+    * interval shift. Distinct multipliers make different seeds genuinely different
+    * bijections. `a` constants are in [1, p-1] (0 would collapse everything to `b`).
+    * Exposed (private[graft]) so oracle SQL builders embed the same constants.
+    */
+  private[graft] def seedConstants(seed: Long): (Long, Long, Long, Long) = {
+    var x = seed
+    def next(): Long = {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    (Math.floorMod(next(), P - 1) + 1, Math.floorMod(next(), P),
+      Math.floorMod(next(), P - 1) + 1, Math.floorMod(next(), P))
+  }
+
   /** Portable uniform hash `u ∈ [0,1)`: two affine rounds mod 2^31-1 over a numeric
-    * key. Cross-engine reproducible — plain integer arithmetic every SQL engine
-    * evaluates identically, so a consumer can re-derive split membership outside
-    * Spark (the property seed-keyed `xxhash64` cannot give you). All intermediates
-    * fit in a long: operands are < 2^31 before each multiply by a < 2^31 constant.
-    * Mixing is affine-grade — ample for split assignment and order scrambling, NOT
-    * a content hash (use fingerprint/xxhash64 for identity). String keys: hash them
+    * key, with seed-derived multipliers (see [[seedConstants]] — an additive-only
+    * seed would make seeds mere rotations of one permutation). Cross-engine
+    * reproducible — plain integer arithmetic every SQL engine evaluates identically,
+    * so a consumer can re-derive split membership outside Spark (the property
+    * seed-keyed `xxhash64` cannot give you) given the seed's four constants. All
+    * intermediates fit in a long: operands are < 2^31 before each multiply by a
+    * < 2^31 constant. For a FIXED seed the map is an affine bijection mod p —
+    * exactly uniform, ample for split assignment and order scrambling, NOT a
+    * content hash (use fingerprint/xxhash64 for identity). String keys: hash them
     * to a long first and accept Spark-only reproducibility, or key on a numeric id.
     * NULL key ⇒ NULL.
     */
   def portableUniform(key: Column, seed: Long): Column = {
-    val x0 = pmod(pmod(key.cast("long"), lit(P)) + lit(((seed % P) + P) % P), lit(P))
-    val h1 = pmod(x0 * lit(1103515245L) + lit(12345L), lit(P))
-    val h2 = pmod(h1 * lit(69069L) + lit(1013904223L), lit(P))
+    val (a1, b1, a2, b2) = seedConstants(seed)
+    val x0 = pmod(key.cast("long"), lit(P))
+    val h1 = pmod(x0 * lit(a1) + lit(b1), lit(P))
+    val h2 = pmod(h1 * lit(a2) + lit(b2), lit(P))
     h2.cast("double") / lit(P.toDouble)
   }
 
@@ -58,7 +84,10 @@ object Splits {
     * identity, and silently bucketing it would make membership depend on row order.
     */
   def hashSplit(df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
-      seed: Long): DataFrame = {
+      seed: Long, splitCol: String = "split"): DataFrame = {
+    require(!df.columns.contains(splitCol),
+      s"input already has a '$splitCol' column (re-carving a split corpus?) — " +
+        "pass a different splitCol rather than silently overwriting it")
     require(splits.nonEmpty, "at least one split required")
     require(splits.map(_._1).distinct.size == splits.size,
       s"split names must be distinct, got ${splits.map(_._1)}")
@@ -71,14 +100,19 @@ object Splits {
       lit(splits.last._1): Column) { case (((name, _), bound), rest) =>
       when(u < bound, lit(name)).otherwise(rest)
     }
-    df.withColumn("split", when(col(keyCol).isNotNull, assigned))
+    df.withColumn(splitCol, when(col(keyCol).isNotNull, assigned))
   }
 
   /** Seeded deterministic global shuffle: total order by (u, key) — the key
     * tie-break keeps the order total even on colliding hashes, so the output is a
-    * permutation, bit-stable across partition layouts. NULL keys sort last (they
-    * have no hash identity), tie-broken amongst themselves arbitrarily-but-stably
-    * by the engine's NULL grouping.
+    * permutation, bit-stable across partition layouts.
+    *
+    * CONTRACT: `keyCol` must uniquely identify rows — it IS the permutation
+    * identity. Rows SHARING a key (or multiple NULL-key rows, which all sort last)
+    * tie on the full sort key, and order within a tie is engine- and
+    * partition-layout-dependent: "deterministic" holds between the distinct keys
+    * only. Not checked (checking costs a scan) — same contract as
+    * [[graft.operators.Sharding.withRunningTotal]]'s order column.
     */
   def deterministicShuffle(df: DataFrame, keyCol: String, seed: Long): DataFrame =
     df.orderBy(portableUniform(col(keyCol), seed).asc_nulls_last, col(keyCol).asc_nulls_last)

@@ -474,10 +474,14 @@ class PipelineOpsSpec extends SparkSpec {
     val nr = Sharding.interleaveBySource(withNull, "src", "id")
       .filter(col("src").isNull).select("id", "rr_rank").as[(Long, Long)].collect().toMap
     assert(nr == Map(2L -> 1L, 3L -> 2L))
-    // source-cardinality guard fails loud
+    // source-cardinality guard fails loud — in the TASK (before any driver
+    // collect), so it surfaces as a SparkException wrapping the guard's message
     val wide = (1L to 100L).map(i => (i, s"s$i")).toVector.toDF("id", "src")
-    intercept[IllegalArgumentException](
+    val e = intercept[Exception](
       Sharding.interleaveBySource(wide, "src", "id", maxSources = 10))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("bucket the source key")), s"unexpected: $e")
   }
 
   test("gopherFlags: each rule trips on its own violation class") {

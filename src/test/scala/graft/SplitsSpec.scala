@@ -67,6 +67,14 @@ class SplitsSpec extends SparkSpec {
     assert(o1.toVector != ids, "order must differ from insertion order")
     val o3 = Splits.deterministicShuffle(df, "doc_id", 8).as[Long].collect()
     assert(!o1.sameElements(o3), "different seed must change the order")
+    // A rotation of the same circular permutation would pass the inequality above
+    // while preserving every adjacency (the additive-seed bug this guards against:
+    // seed must pick MULTIPLIERS, or two seeds differ by a constant mod p). Demand
+    // genuine decorrelation: almost no adjacent pair survives a seed change.
+    def adjacencies(o: Array[Long]): Set[(Long, Long)] =
+      o.sliding(2).map(w => (w(0), w(1))).toSet
+    val shared = adjacencies(o1).intersect(adjacencies(o3)).size
+    assert(shared < 25, s"seeds 7 and 8 share $shared/499 adjacencies — rotation, not a re-shuffle")
   }
 
   test("hashSplit and linearScore are shuffle-free codegen'd projections over a scan") {
