@@ -2369,6 +2369,40 @@ object Queries {
              | SELECT doc_id, source, rr_rank FROM r
              | ORDER BY rr_rank ASC, source ASC LIMIT 20""".stripMargin.replaceAll("\n", " "))),
 
+    // Snapshot diff (corpus-version QA): both engines derive v1/v2 of orders
+    // deterministically (mod-keyed deletes both ways, +1.0 price edits on %3 keys)
+    // and reconcile added/removed/changed/unchanged plus per-column change counts
+    // through one full-outer key join. Null-safe (<=> / IS DISTINCT FROM) compare.
+    QueryDef("snapshot_diff_orders",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val v1 = o.filter(col("o_orderkey") % 5 =!= 0)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val v2 = o.filter(col("o_orderkey") % 7 =!= 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice")).as("o_totalprice"))
+        graft.operators.SnapshotDiff.diffSummary(v1, v2,
+          Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+      },
+      Some("""WITH v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             |   WHERE o_orderkey IS NOT NULL AND o_orderkey % 5 != 0),
+             | v2 AS (SELECT o_orderkey, o_orderstatus,
+             |   CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+             |   FROM orders WHERE o_orderkey IS NOT NULL AND o_orderkey % 7 != 0),
+             | j AS (SELECT v1.o_orderkey IS NOT NULL AS in_old, v2.o_orderkey IS NOT NULL AS in_new,
+             |   (v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus) AS chg_status,
+             |   (v1.o_totalprice IS DISTINCT FROM v2.o_totalprice) AS chg_price
+             |   FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+             | SELECT
+             | CAST(coalesce(sum(CASE WHEN NOT in_old THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_added,
+             | CAST(coalesce(sum(CASE WHEN NOT in_new THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed,
+             | CAST(coalesce(sum(CASE WHEN in_old AND in_new AND (chg_status OR chg_price) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_changed,
+             | CAST(coalesce(sum(CASE WHEN in_old AND in_new AND NOT (chg_status OR chg_price) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_unchanged,
+             | CAST(coalesce(sum(CASE WHEN in_old AND in_new AND chg_status THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_changed_o_orderstatus,
+             | CAST(coalesce(sum(CASE WHEN in_old AND in_new AND chg_price THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_changed_o_totalprice
+             | FROM j""".stripMargin.replaceAll("\n", " "))),
+
     // Int8 quantization fidelity over the embeddings corpus: the 4x-compression
     // memory lever for a 100 TB ANN index, verified end to end — both engines
     // quantize (scale = max|x|/127, round to code, dequantize) and compare

@@ -484,6 +484,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("bucket the source key")), s"unexpected: $e")
   }
 
+  test("snapshot diff: statuses, null-safe column compare, null keys excluded") {
+    import spark.implicits._
+    import graft.operators.SnapshotDiff
+    val old = Seq(
+      (Some(1L), Some("a"), Some(10.0)),
+      (Some(2L), Some("b"), Some(20.0)),  // removed in new
+      (Some(3L), None: Option[String], Some(30.0)), // value null -> null: unchanged
+      (Some(4L), Some("d"), Some(40.0)),  // price changes
+      (Some(5L), None: Option[String], Some(50.0)), // null -> value: changed
+      (None, Some("x"), Some(0.0)))       // null key: excluded
+      .toDF("id", "status", "price")
+    val neu = Seq(
+      (Some(1L), Some("a"), Some(10.0)),  // unchanged
+      (Some(3L), None: Option[String], Some(30.0)),
+      (Some(4L), Some("d"), Some(41.0)),
+      (Some(5L), Some("e"), Some(50.0)),
+      (Some(6L), Some("f"), Some(60.0)),  // added
+      (None, Some("y"), Some(0.0)))
+      .toDF("id", "status", "price")
+    val d = SnapshotDiff.rowDiff(old, neu, Seq("id"), Seq("status", "price"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getBoolean(2)),
+        if (r.isNullAt(3)) None else Some(r.getBoolean(3))))).toMap
+    assert(d(1L) == (("unchanged", Some(false), Some(false))))
+    assert(d(2L) == (("removed", None, None)), "removed rows have nothing to compare")
+    assert(d(3L) == (("unchanged", Some(false), Some(false))), "NULL <=> NULL is unchanged")
+    assert(d(4L) == (("changed", Some(false), Some(true))))
+    assert(d(5L) == (("changed", Some(true), Some(false))), "NULL -> value is a change")
+    assert(d(6L) == (("added", None, None)))
+    assert(d.size == 6, "null-keyed rows must not appear")
+    val s = SnapshotDiff.diffSummary(old, neu, Seq("id"), Seq("status", "price")).head()
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3)) == ((1L, 1L, 2L, 2L)))
+    assert((s.getLong(4), s.getLong(5)) == ((1L, 1L)), "per-column changed counts")
+    intercept[IllegalArgumentException](
+      SnapshotDiff.rowDiff(old, neu, Seq("id"), Seq("id", "price")))
+  }
+
   test("gopherFlags: each rule trips on its own violation class") {
     import spark.implicits._
     val cfg = TextFunctions.GopherConfig(minWords = 3, maxWords = 10,
