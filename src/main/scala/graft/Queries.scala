@@ -2369,6 +2369,33 @@ object Queries {
              | SELECT doc_id, source, rr_rank FROM r
              | ORDER BY rr_rank ASC, source ASC LIMIT 20""".stripMargin.replaceAll("\n", " "))),
 
+    // Gap-based sessionization (30-min gap per user): session counts, mean events
+    // per session, longest session, singletons — the gaps-and-islands rollup
+    // mirrored as LAG + running-sum windows in DuckDB. All integer micros.
+    QueryDef("sessions_events",
+      (s, d) => graft.operators.Sessions.sessionStats(
+          t(s, d, "events"), "user_id", "ts", maxGapSeconds = 1800)
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          round(sum(col("n_events")).cast("double") / count(lit(1)).cast("double"), 6)
+            .as("avg_events"),
+          max(col("duration_us")).as("max_duration_us"),
+          coalesce(sum(when(col("n_events") === 1, 1L).otherwise(0L)), lit(0L))
+            .as("singleton_sessions")),
+      Some("""WITH e AS (SELECT user_id, ts FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             | g AS (SELECT user_id, ts,
+             |   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |     OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+             |     THEN 1 ELSE 0 END AS is_new FROM e),
+             | sx AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM g),
+             | st AS (SELECT user_id, sid, count(*) AS n,
+             |   max(epoch_us(ts)) - min(epoch_us(ts)) AS dur FROM sx GROUP BY 1, 2)
+             | SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+             | round(CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_events,
+             | CAST(max(dur) AS BIGINT) AS max_duration_us,
+             | CAST(coalesce(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS singleton_sessions
+             | FROM st""".stripMargin.replaceAll("\n", " "))),
+
     // Snapshot diff (corpus-version QA): both engines derive v1/v2 of orders
     // deterministically (mod-keyed deletes both ways, +1.0 price edits on %3 keys)
     // and reconcile added/removed/changed/unchanged plus per-column change counts

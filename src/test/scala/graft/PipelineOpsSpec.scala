@@ -521,6 +521,40 @@ class PipelineOpsSpec extends SparkSpec {
       SnapshotDiff.rowDiff(old, neu, Seq("id"), Seq("id", "price")))
   }
 
+  test("sessionize: gap boundaries, per-key independence, tie safety, null exclusion") {
+    import spark.implicits._
+    import graft.operators.Sessions
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:00:00"))),
+      (Some(1L), Some(ts("2024-01-01 10:10:00"))), // 10 min gap: same session
+      (Some(1L), Some(ts("2024-01-01 11:00:00"))), // 50 min gap: new session
+      (Some(1L), Some(ts("2024-01-01 11:30:00"))), // exactly 30 min: NOT > gap, same
+      (Some(2L), Some(ts("2024-01-01 10:05:00"))), // other key: own numbering
+      (None, Some(ts("2024-01-01 10:00:00"))),     // null key: excluded
+      (Some(3L), None))                            // null ts: excluded
+      .toDF("user_id", "ts")
+    val s = Sessions.sessionize(df, "user_id", "ts", maxGapSeconds = 1800)
+      .select(col("user_id"), col("ts"), col("session_idx"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+    assert(s.length == 5, "null key/ts rows must be excluded")
+    val u1 = s.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    assert(u1 == Seq(1L, 1L, 2L, 2L), s"session boundaries wrong: $u1")
+    assert(s.find(_._1 == 2L).get._3 == 1L)
+    val st = Sessions.sessionStats(df, "user_id", "ts", 1800)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(5)))).toMap
+    assert(st((1L, 1L)) == ((2L, 600L * 1000000L)))
+    assert(st((1L, 2L)) == ((2L, 1800L * 1000000L)))
+    assert(st((2L, 1L)) == ((1L, 0L)))
+    // tied timestamps never straddle a session boundary
+    val tied = Seq((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 12:00:00")),
+      (1L, ts("2024-01-01 12:00:00"))).toDF("user_id", "ts")
+    val tiedIdx = Sessions.sessionize(tied, "user_id", "ts", 1800)
+      .filter(col("ts") === ts("2024-01-01 12:00:00"))
+      .select("session_idx").as[Long].collect().toSet
+    assert(tiedIdx.size == 1, s"ties split across sessions: $tiedIdx")
+  }
+
   test("gopherFlags: each rule trips on its own violation class") {
     import spark.implicits._
     val cfg = TextFunctions.GopherConfig(minWords = 3, maxWords = 10,
