@@ -42,7 +42,25 @@ object WebFunctions {
     * Strings WITHOUT a `scheme://` prefix are returned trimmed but otherwise
     * untouched (no guessing relative references into URLs); NULL stays NULL.
     */
-  def urlNormalize(u: Column): Column = {
+  def urlNormalize(u: Column): Column = urlParts(u).getField("norm")
+
+  /** One-pass native parse → struct(norm, host, domain) — the hot path (the regex
+    * chain below was the single most expensive projection in the bench; the kernel
+    * is ~5× cheaper and computes all three outputs in one walk). Pulling several
+    * fields from the same call costs ONE parse per row (subexpression elimination
+    * dedups the shared struct inside a projection).
+    */
+  def urlParts(u: Column,
+      suffixLabels: Seq[String] = DefaultSuffixLabels): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      UrlParts(org.apache.spark.sql.GraftSqlBridge.expression(u), suffixLabels))
+
+  /** The original Column-pipeline normalization — retained as the executable
+    * SPECIFICATION of [[urlParts]] (spec-pinned equivalent on newline-free input;
+    * Java regex `$` matches before a trailing newline where the kernel treats `#`
+    * cuts literally, so embedded-newline URLs — not URLs at all — may differ).
+    */
+  def urlNormalizeColumns(u: Column): Column = {
     val t = trim(u)
     val noFrag = regexp_replace(t, "#.*$", "")
     val scheme = asciiLower(regexp_extract(noFrag, SchemeRe, 1))
@@ -64,7 +82,11 @@ object WebFunctions {
 
   /** Host (with port stripped) of an absolute URL, lowercased, `www.` removed —
     * empty string when `u` has no `scheme://`. */
-  def hostOf(u: Column): Column = {
+  def hostOf(u: Column): Column = urlParts(u).getField("host")
+
+  /** Column-pipeline host extraction — the executable specification of
+    * [[urlParts]]'s `host` field. */
+  def hostOfColumns(u: Column): Column = {
     val raw = asciiLower(regexp_extract(trim(u), SchemeRe + "([^/?#]*)", 2))
     regexp_replace(regexp_replace(raw, ":\\d+$", ""), "^www\\.", "")
   }
@@ -94,5 +116,10 @@ object WebFunctions {
 
   /** Registered domain straight from a URL — the per-domain capping key. */
   def domainOf(u: Column, suffixLabels: Seq[String] = DefaultSuffixLabels): Column =
-    registeredDomainOfHost(hostOf(u), suffixLabels)
+    urlParts(u, suffixLabels).getField("domain")
+
+  /** Column-pipeline registered domain — the executable specification of
+    * [[urlParts]]'s `domain` field. */
+  def domainOfColumns(u: Column, suffixLabels: Seq[String] = DefaultSuffixLabels): Column =
+    registeredDomainOfHost(hostOfColumns(u), suffixLabels)
 }

@@ -679,6 +679,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(4) == "", "non-URL has no host, so no domain")
   }
 
+  test("native url kernel == Column-pipeline specification over a hostile corpus") {
+    import spark.implicits._
+    import graft.functions.WebFunctions
+    // Every spelling class the Column pipeline handles, plus generated combinations
+    val fixed = Seq(
+      "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&z=2&a=1#frag",
+      "https://example.com/a/b?a=1&z=2", "http://host.org:8080/x/",
+      "http://host.org:443/x", "https://example.com/", "http://example.com:80",
+      "https://example.com/q?utm_source=x", "  ftp://Files.Example.net:21/д/  ",
+      "not a url at all  ", "", "   ", "https://", "http://#", "http://?",
+      "http://h#f?fake=1", "http://h/?", "http://h/?&&", "http://h/?ref=1&REF=2&r=",
+      "http://h/p?utm_=x&utm_a-b=c&UTM_Z9=ok", "https://a.b.Example.CO.UK/x",
+      "http://localhost:9000/x", "scheme+odd-1.x://Host/Pp?b=2&a=1#z",
+      "http://www.:80", "http://:80/x", "http://h:8080:80/x", "http://h:",
+      "https://example.com////", "http://h/a//b///?z=%20&a=+", "xx://WWW.UP.COM:443/a")
+    val rng = new scala.util.Random(11)
+    val gen = (1 to 300).map { _ =>
+      val scheme = Seq("http", "HTTP", "https", "HTTPS", "ftp")(rng.nextInt(5))
+      val www = if (rng.nextBoolean()) "WWW." else ""
+      val host = Seq("Ex.COM", "a.b.co.uk", "X.Y.Example.net", "localhost")(rng.nextInt(4))
+      val port = Seq("", ":80", ":443", ":8080")(rng.nextInt(4))
+      val path = Seq("", "/", "/a/b", "/a/b/", "//x//")(rng.nextInt(5))
+      val query = Seq("", "?z=1&a=2", "?utm_source=f&b=1", "?REF=x", "?&", "?a=1&a=1")(rng.nextInt(6))
+      val frag = Seq("", "#f", "#")(rng.nextInt(3))
+      s"$scheme://$www$host$port$path$query$frag"
+    }
+    val df = (fixed ++ gen).toDF("u")
+    val cmp = df.select(
+      WebFunctions.urlNormalize(col("u")).as("n1"),
+      WebFunctions.urlNormalizeColumns(col("u")).as("n2"),
+      WebFunctions.hostOf(col("u")).as("h1"),
+      WebFunctions.hostOfColumns(col("u")).as("h2"),
+      WebFunctions.domainOf(col("u")).as("d1"),
+      WebFunctions.domainOfColumns(col("u")).as("d2"))
+    val bad = cmp.filter(!(col("n1") <=> col("n2")) || !(col("h1") <=> col("h2")) ||
+      !(col("d1") <=> col("d2")))
+    assert(bad.count() == 0L, s"kernel diverges from spec:\n${bad.take(5).mkString("\n")}")
+  }
+
   test("Bloom contamination with empty probe returns empty, not a crash") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("text").isNotNull)
