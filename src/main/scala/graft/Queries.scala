@@ -2369,6 +2369,26 @@ object Queries {
              | SELECT doc_id, source, rr_rank FROM r
              | ORDER BY rr_rank ASC, source ASC LIMIT 20""".stripMargin.replaceAll("\n", " "))),
 
+    // Hashed bag-of-words embeddings: the murmur3 kernel is not reproducible in
+    // DuckDB, but its defining invariant IS — the embedding is a pure function of
+    // the token MULTISET, so embedding distinctness must equal sorted-token-list
+    // distinctness (a 128-float exact collision between different multisets is
+    // ~2^-4096). Tokenless docs excluded (they share the zero vector by design).
+    QueryDef("hashed_embedding_documents",
+      (s, d) => t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), TextFunctions.hashedEmbedding(col("text"), 128).as("v"),
+          TextFunctions.tokenCount(col("text")).as("_ntok"))
+        .filter(col("_ntok") > 0)
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("v")).as("distinct_embeddings")),
+      Some(s"""WITH tk AS (SELECT doc_id, list_sort($tokSql) AS t FROM documents
+             |   WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             | f AS (SELECT * FROM tk WHERE len(t) > 0)
+             | SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             | CAST(count(DISTINCT t) AS BIGINT) AS distinct_embeddings
+             | FROM f""".stripMargin.replaceAll("\n", " "))),
+
     // Gap-based sessionization (30-min gap per user): session counts, mean events
     // per session, longest session, singletons — the gaps-and-islands rollup
     // mirrored as LAG + running-sum windows in DuckDB. All integer micros.

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Feature-hashed bag-of-words document embedding kernel (the "hashing trick",
+  * Weinberger et al. 2009): every whitespace token hashes to a dimension and a ±1
+  * sign, accumulated and L2-normalized — a deterministic, model-free dense vector
+  * whose cosine approximates token-multiset overlap. This is the bridge from the
+  * text corpus into every embedding operator (ANN top-k, hyperplane/IVF blocking,
+  * SemDeDup, int8 quantization) when no learned encoder is available: signatures
+  * at 100 TB with zero model-serving infrastructure.
+  *
+  * NOT a semantic embedding — two paraphrases sharing no tokens score ~0. It is the
+  * bag-of-words baseline the learned-encoder column upgrades, with identical
+  * downstream plumbing.
+  *
+  * One byte-walk per document: tokens are hashed in place from the UTF-8 buffer
+  * (Murmur3 via Spark's hashUnsafeBytes — no substring allocation), so the cost is
+  * O(bytes + dim) per row. Dimension index and sign come from independent seeds.
+  */
+object HashedEmbeddingKernel {
+
+  def embed(s: UTF8String, dim: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val acc = new Array[Float](dim)
+    var i = 0
+    var tokenStart = -1
+    var any = false
+    while (i <= bytes.length) {
+      val isWs = i == bytes.length || {
+        val b = bytes(i)
+        b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+      }
+      if (isWs) {
+        if (tokenStart >= 0) {
+          val len = i - tokenStart
+          val h1 = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+            bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + tokenStart, len, 42)
+          val h2 = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+            bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + tokenStart, len, 7919)
+          val idx = Math.floorMod(h1, dim)
+          acc(idx) += (if ((h2 & 1) == 0) 1.0f else -1.0f)
+          any = true
+          tokenStart = -1
+        }
+      } else if (tokenStart < 0) tokenStart = i
+      i += 1
+    }
+    if (!any)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(acc) // zero vector: no tokens
+    var ss = 0.0
+    var d = 0
+    while (d < dim) { ss += acc(d).toDouble * acc(d).toDouble; d += 1 }
+    // Signs can cancel exactly (e.g. two tokens sharing a bucket with opposite
+    // signs) — an all-zero accumulation stays zero rather than dividing by 0.
+    if (ss > 0) {
+      val inv = (1.0 / math.sqrt(ss)).toFloat
+      d = 0
+      while (d < dim) { acc(d) *= inv; d += 1 }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(acc)
+  }
+}
+
+/** Codegen'd `hashed_embedding(text)` → ARRAY<FLOAT> of length `dim`, unit-norm
+  * (zero vector for tokenless text — downstream zero-norm guards already exclude
+  * those from cosine ranking).
+  */
+case class HashedEmbedding(child: Expression, dim: Int) extends UnaryExpression {
+  require(dim > 0, s"embedding dim must be positive, got $dim")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $other")
+  }
+  override val dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "hashed_embedding"
+
+  override def nullSafeEval(input: Any): Any =
+    HashedEmbeddingKernel.embed(input.asInstanceOf[UTF8String], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashedEmbeddingKernel.embed($c, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedEmbedding =
+    copy(child = newChild)
+}
+
+object HashedEmbedding {
+  /** Column surface; default 128 dims — enough buckets that a quality-filter-size
+    * vocabulary rarely cancels, small enough to broadcast probes freely.
+    */
+  def apply(c: Column, dim: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      HashedEmbedding(org.apache.spark.sql.GraftSqlBridge.expression(c), dim))
+}

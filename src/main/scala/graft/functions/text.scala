@@ -70,6 +70,15 @@ object TextFunctions {
     lit(1.0) / (lit(1.0) + exp(-z))
   }
 
+  /** Feature-hashed bag-of-words document embedding ([[HashedEmbedding]]): a
+    * deterministic, model-free unit vector per document whose cosine approximates
+    * token-multiset overlap — the bridge from text into the embedding operators
+    * (ANN, SemDeDup, int8 quantization) when no learned encoder is available.
+    * Tokenless text yields the zero vector (excluded by every downstream
+    * zero-norm guard); NULL stays NULL.
+    */
+  def hashedEmbedding(c: Column, dim: Int = 128): Column = HashedEmbedding(c, dim)
+
   /** Fraction of tokens found in the given (small) word set — e.g. stopwords. */
   def wordSetRatio(c: Column, words: Seq[String]): Column = {
     val t = tokens(c)

@@ -594,6 +594,47 @@ class OperatorSpec extends SparkSpec {
       "kept count must equal input minus dropped ids")
   }
 
+  test("hashed embedding: deterministic unit vectors, overlap-tracking cosine, ANN integration") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.hashedEmbedding
+    val df = Seq(
+      (1L, Some("alpha beta gamma delta")),
+      (2L, Some("alpha beta gamma delta")),  // identical text
+      (3L, Some("alpha beta gamma epsilon")), // 3/4 token overlap
+      (4L, Some("zeta eta theta iota")),      // disjoint
+      (5L, Some("   ")),                      // tokenless -> zero vector
+      (6L, None: Option[String]))
+      .toDF("id", "text")
+    val emb = df.select(col("id"), hashedEmbedding(col("text"), 64).as("v"))
+    val rows = emb.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else r.getSeq[Float](1))).toMap
+    assert(rows(6L) == null, "null text must embed null")
+    assert(rows(5L).forall(_ == 0.0f), "tokenless text must be the zero vector")
+    assert(rows(1L) == rows(2L), "same text must embed identically")
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    assert(math.abs(cos(rows(1L), rows(1L)) - 1.0) < 1e-6, "unit norm")
+    assert(cos(rows(1L), rows(3L)) > 0.5, "high token overlap must keep cosine high")
+    assert(math.abs(cos(rows(1L), rows(4L))) < 0.5, "disjoint tokens must decorrelate")
+    // whitespace variants share the token multiset -> identical embedding
+    val ws = Seq(("a  b\tc"), ("a b c")).toDF("text")
+      .select(hashedEmbedding(col("text"), 64).as("v")).collect()
+    assert(ws(0).getSeq[Float](0) == ws(1).getSeq[Float](0))
+    // integration: text -> embedding -> brute-force ANN ranks the identical doc at 1.0
+    val probeVec = rows(1L)
+    val top = Similarity.bruteForceTopK(
+      emb.filter(col("id") =!= 1L), "id", "v", probeVec, k = 2).collect()
+    assert(top.head.getLong(0) == 2L && math.abs(top.head.getDouble(1) - 1.0) < 1e-6)
+    // integration: embeddings survive int8 quantization with high fidelity
+    val fid = Similarity.quantizationFidelity(emb, "id", "v")
+      .agg(min(col("cos_fidelity"))).head().getDouble(0)
+    assert(fid > 0.99, s"quantized hashed embeddings lost fidelity: $fid")
+    // codegen over a real scan
+    val plan = docs.select(hashedEmbedding(col("text"), 64))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"expected WholeStageCodegen in:\n$plan")
+  }
+
   test("int8 quantization: codes, guards, fidelity bound, shuffle-free plan") {
     import spark.implicits._
     val rows = Seq(
