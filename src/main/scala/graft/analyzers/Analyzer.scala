@@ -396,6 +396,37 @@ final case class MeanAnalyzer(column: String) extends Analyzer[SumState] {
     if (s.count == 0) MetricValue.DoubleMetric(Double.NaN) else MetricValue.DoubleMetric(s.sum / s.count)
 }
 
+/** Exact long pair — token totals are integers, so unlike SumState there is no
+  * double-accumulation trade: merges stay exact at any corpus size (sums would
+  * need > 2^63 tokens to overflow; a 100 TB corpus holds ~10^13).
+  */
+final case class TokenState(tokens: Long, docs: Long) extends AnalyzerState[TokenState] {
+  def merge(o: TokenState) = TokenState(tokens + o.tokens, docs + o.docs)
+  def toFields = Map("tokens" -> tokens.toString, "docs" -> docs.toString)
+}
+
+/** Corpus token accounting as a mergeable state — the LLM-pipeline counterpart of
+  * SizeAnalyzer: total whitespace tokens, documents with text, and mean tokens/doc,
+  * foldable per-partition by the incremental runner so a growing corpus's token
+  * budget is tracked without rescanning history. NULL text contributes nothing
+  * (no tokens, not a doc).
+  */
+final case class TokenCountAnalyzer(column: String) extends Analyzer[TokenState] {
+  val name = "token_count"; val key = s"token_count.$column"
+  val stateAggregates = Seq(
+    coalesce(sum(graft.functions.TextFunctions.tokenCount(col(column)).cast("long")), lit(0L)),
+    count(col(column)))
+  def stateFromValues(v: Seq[Any]) =
+    TokenState(Num.toLong(v(0)).getOrElse(0L), Num.toLong(v(1)).getOrElse(0L))
+  def stateFromFields(f: Map[String, String]) =
+    TokenState(f("tokens").toLong, f("docs").toLong)
+  def metricFromState(s: TokenState) = MetricValue.MapMetric(Map(
+    "total_tokens" -> MetricValue.LongMetric(s.tokens),
+    "docs" -> MetricValue.LongMetric(s.docs),
+    "mean_tokens" -> MetricValue.DoubleMetric(
+      if (s.docs == 0) Double.NaN else s.tokens.toDouble / s.docs)))
+}
+
 final case class MinMaxAnalyzer(column: String) extends Analyzer[MinMaxState] {
   val name = "min_max"; val key = s"min_max.$column"
   // Cast BEFORE aggregating: min/max of a string-typed numeric column is otherwise

@@ -20,6 +20,28 @@ class AnalyzerSpec extends SparkSpec {
 
   private def d(m: MetricValue): Double = m.asDouble.get
 
+  test("token-count analyzer: exact long merge, null text neither token nor doc") {
+    import spark.implicits._
+    val docs = Seq(Some("a b c"), Some("one"), Some("  "), None).toDF("text")
+    val a = TokenCountAnalyzer("text")
+    val m = a.compute(docs).asInstanceOf[MetricValue.MapMetric].value
+    assert(m("total_tokens") == MetricValue.LongMetric(4L))
+    assert(m("docs") == MetricValue.LongMetric(3L), "null text is not a doc; empty text is")
+    assert(d(m("mean_tokens")) == 4.0 / 3)
+    // merge == full scan, exactly (long arithmetic, no epsilon needed)
+    val p1 = docs.limit(2)
+    val p2 = docs.exceptAll(p1)
+    assert(a.mergeAnyStates(a.computeState(p1), a.computeState(p2)) == a.computeState(docs))
+    // state round-trips through the flat field form
+    val st = a.computeState(docs)
+    assert(a.stateFromFields(st.toFields) == st)
+    // empty frame: zero state, NaN mean
+    val empty = Seq.empty[Option[String]].toDF("text")
+    assert(a.computeState(empty) == TokenState(0L, 0L))
+    assert(a.metricFromState(TokenState(0L, 0L))
+      .asInstanceOf[MetricValue.MapMetric].value("mean_tokens").asDouble.get.isNaN)
+  }
+
   test("merged partition states equal full-scan state") {
     val analyzers: Seq[Analyzer[_]] = Seq(
       SizeAnalyzer(), CompletenessAnalyzer("y"), MeanAnalyzer("x"), SumAnalyzer("x"),
