@@ -2370,24 +2370,34 @@ object Queries {
              | ORDER BY rr_rank ASC, source ASC LIMIT 20""".stripMargin.replaceAll("\n", " "))),
 
     // Hashed bag-of-words embeddings: the murmur3 kernel is not reproducible in
-    // DuckDB, but its defining invariant IS — the embedding is a pure function of
-    // the token MULTISET, so embedding distinctness must equal sorted-token-list
-    // distinctness (a 128-float exact collision between different multisets is
-    // ~2^-4096). Tokenless docs excluded (they share the zero vector by design).
+    // DuckDB, so the gate pins the kernel's SOUND direction only — the embedding is
+    // a pure function of the token multiset, so every group of docs sharing a
+    // sorted token list must share ONE embedding (max distinct embeddings per
+    // group == 1, a Spark-side fact the oracle demands as a constant). The
+    // CONVERSE is deliberately not asserted: L2 normalization erases multiplicity
+    // scaling ("x" and "x x" embed identically) and full sign cancellation is
+    // structural, so distinct multisets may legitimately collide. Group count and
+    // doc count verify exactly cross-engine.
     QueryDef("hashed_embedding_documents",
       (s, d) => t(s, d, "documents")
         .filter(col("doc_id").isNotNull && col("text").isNotNull)
-        .select(col("doc_id"), TextFunctions.hashedEmbedding(col("text"), 128).as("v"),
-          TextFunctions.tokenCount(col("text")).as("_ntok"))
-        .filter(col("_ntok") > 0)
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("v")).as("distinct_embeddings")),
+        .select(col("doc_id"),
+          sort_array(TextFunctions.tokens(col("text"))).as("_toks"),
+          TextFunctions.hashedEmbedding(col("text"), 128).as("v"))
+        .filter(size(col("_toks")) > 0)
+        .groupBy(col("_toks"))
+        .agg(count(lit(1)).as("_docs"), countDistinct(col("v")).as("_emb"))
+        .agg(coalesce(sum(col("_docs")), lit(0L)).as("n_docs"),
+          count(lit(1)).as("n_multiset_groups"),
+          coalesce(max(col("_emb")), lit(0L)).as("max_embeddings_per_group")),
       Some(s"""WITH tk AS (SELECT doc_id, list_sort($tokSql) AS t FROM documents
              |   WHERE doc_id IS NOT NULL AND text IS NOT NULL),
-             | f AS (SELECT * FROM tk WHERE len(t) > 0)
-             | SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             | CAST(count(DISTINCT t) AS BIGINT) AS distinct_embeddings
-             | FROM f""".stripMargin.replaceAll("\n", " "))),
+             | f AS (SELECT * FROM tk WHERE len(t) > 0),
+             | g AS (SELECT t, count(*) AS docs FROM f GROUP BY 1)
+             | SELECT CAST(coalesce(sum(docs), 0) AS BIGINT) AS n_docs,
+             | CAST(count(*) AS BIGINT) AS n_multiset_groups,
+             | CAST(coalesce(max(CASE WHEN docs >= 0 THEN 1 END), 0) AS BIGINT) AS max_embeddings_per_group
+             | FROM g""".stripMargin.replaceAll("\n", " "))),
 
     // Gap-based sessionization (30-min gap per user): session counts, mean events
     // per session, longest session, singletons — the gaps-and-islands rollup

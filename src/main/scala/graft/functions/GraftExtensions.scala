@@ -158,6 +158,19 @@ object GraftFunctions {
       s"graft_minhash expects (text, shingleSize, numHashes), got ${other.length} argument(s)")
   }
 
+  private def buildUrlParts(args: Seq[Expression]): Expression = args match {
+    case Seq(url) => UrlParts(url, WebFunctions.DefaultSuffixLabels)
+    case other => throw new IllegalArgumentException(
+      s"graft_url_parts expects (url), got ${other.length} argument(s)")
+  }
+
+  private def buildHashedEmbedding(args: Seq[Expression]): Expression = args match {
+    case Seq(text, dim) =>
+      HashedEmbedding(text, foldableInt("graft_hashed_embedding", "dim", dim))
+    case other => throw new IllegalArgumentException(
+      s"graft_hashed_embedding expects (text, dim), got ${other.length} argument(s)")
+  }
+
   /** (identifier, info, builder) triples in the exact shape
     * `SparkSessionExtensions.injectFunction` and `FunctionRegistry.registerFunction`
     * consume.
@@ -186,7 +199,15 @@ object GraftFunctions {
       (FunctionIdentifier("graft_dup_word_ngram_fraction"),
         info("graft_dup_word_ngram_fraction",
           "graft_dup_word_ngram_fraction(text, k) - duplicate word-k-gram fraction (1 - distinct/total)"),
-        buildDupWordNgramFraction _)) ++
+        buildDupWordNgramFraction _),
+      (FunctionIdentifier("graft_url_parts"),
+        info("graft_url_parts",
+          "graft_url_parts(url) - struct(norm, host, domain): canonical URL, host, registered domain"),
+        buildUrlParts _),
+      (FunctionIdentifier("graft_hashed_embedding"),
+        info("graft_hashed_embedding",
+          "graft_hashed_embedding(text, dim) - unit-norm feature-hashed bag-of-words vector"),
+        buildHashedEmbedding _)) ++
     textFns.map { case (name, usage, builder) =>
       (FunctionIdentifier(name), info(name, usage), builder)
     }

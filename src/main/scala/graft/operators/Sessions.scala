@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * them stays ≤ `maxGapSeconds`; a longer silence starts a new session.
   *
   * Semantics:
-  *  - NULL key or NULL timestamp rows are EXCLUDED: no session identity / no
-  *    position in time (surface them with completeness constraints instead).
+  *  - NULL key rows, NULL timestamps, and values that don't `try_cast` to a
+  *    timestamp are EXCLUDED: no session identity / no position in time (surface
+  *    them with completeness/datatype constraints instead).
   *  - Timestamp TIES within a key are safe: tied rows share the default RANGE
   *    window frame, so they always land in the same session regardless of which
   *    of them the (arbitrary-order) LAG pairs with — session count and membership
@@ -33,11 +34,19 @@ object Sessions {
     require(maxGapSeconds > 0, s"maxGapSeconds must be positive, got $maxGapSeconds")
     require(!df.columns.contains("session_idx"),
       "input already has a 'session_idx' column — rename it")
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
-    val tsUs = unix_micros(col(tsCol).cast("timestamp"))
+    require(!df.columns.contains("_sess_new"),
+      "sessionize reserves the column name _sess_new; rename the input column")
+    // try_cast, and the WINDOW orders by the cast micros, not the raw column: a
+    // string tsCol would otherwise sort lexicographically while gaps computed
+    // temporally (silently merged/split sessions), and a castable-but-malformed
+    // value would turn every gap NULL (every event its own session). Rows whose
+    // value can't become a timestamp are excluded exactly like NULL timestamps —
+    // no position in time.
+    val tsUs = unix_micros(col(tsCol).try_cast("timestamp"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(tsUs)
     val gapUs = tsUs - lag(tsUs, 1).over(w)
     val isNew = when(gapUs.isNull || gapUs > maxGapSeconds * 1000000L, 1L).otherwise(0L)
-    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+    df.filter(col(keyCol).isNotNull && tsUs.isNotNull)
       .withColumn("_sess_new", isNew)
       // Default RANGE frame: tied timestamps share one frame edge, so ties can
       // never straddle a session boundary (see class doc).
@@ -54,7 +63,7 @@ object Sessions {
       .groupBy(col(keyCol), col("session_idx"))
       .agg(
         count(lit(1)).as("n_events"),
-        min(unix_micros(col(tsCol).cast("timestamp"))).as("start_us"),
-        max(unix_micros(col(tsCol).cast("timestamp"))).as("end_us"))
+        min(unix_micros(col(tsCol).try_cast("timestamp"))).as("start_us"),
+        max(unix_micros(col(tsCol).try_cast("timestamp"))).as("end_us"))
       .withColumn("duration_us", col("end_us") - col("start_us"))
 }

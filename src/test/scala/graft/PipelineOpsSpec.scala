@@ -553,6 +553,13 @@ class PipelineOpsSpec extends SparkSpec {
       .filter(col("ts") === ts("2024-01-01 12:00:00"))
       .select("session_idx").as[Long].collect().toSet
     assert(tiedIdx.size == 1, s"ties split across sessions: $tiedIdx")
+    // string timestamps: ISO strings sessionize temporally; non-castable values are
+    // EXCLUDED like NULLs (try_cast), never silently one-session-per-event
+    val strTs = Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:10:00"),
+      (1L, "not a timestamp")).toDF("user_id", "ts")
+    val strOut = Sessions.sessionize(strTs, "user_id", "ts", 1800)
+      .select("session_idx").as[Long].collect()
+    assert(strOut.toSeq == Seq(1L, 1L), s"string-ts handling wrong: ${strOut.toSeq}")
   }
 
   test("gopherFlags: each rule trips on its own violation class") {
