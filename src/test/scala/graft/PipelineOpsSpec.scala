@@ -725,6 +725,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bad.count() == 0L, s"kernel diverges from spec:\n${bad.take(5).mkString("\n")}")
   }
 
+  test("graft_url_parts and graft_hashed_embedding register in SQL and match the Column path") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_url_parts('HTTPS://WWW.Ex.COM:443/a/?b=2&utm_source=x#f') AS p")
+      .select("p.norm", "p.host", "p.domain").head()
+    assert(r.getString(0) == "https://ex.com/a?b=2")
+    assert(r.getString(1) == "ex.com" && r.getString(2) == "ex.com")
+    val viaSql = spark.sql("SELECT graft_hashed_embedding('a b c', 64) AS v")
+      .head().getSeq[Float](0)
+    val viaCol = Seq("a b c").toDF("t")
+      .select(graft.functions.TextFunctions.hashedEmbedding(col("t"), 64)).head().getSeq[Float](0)
+    assert(viaSql == viaCol, "SQL and Column paths must produce identical vectors")
+    // dim must be a foldable literal
+    intercept[Exception](spark.sql(
+      "SELECT graft_hashed_embedding(t, CAST(id AS INT)) FROM (SELECT 'x' t, 64 id)").collect())
+  }
+
   test("Bloom contamination with empty probe returns empty, not a crash") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("text").isNotNull)
