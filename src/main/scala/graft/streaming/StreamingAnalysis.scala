@@ -182,6 +182,34 @@ object StreamingAnalysis {
     streamingDedupExact(fp, Seq("_fp"), watermark).drop("_fp").unionByName(nullText)
   }
 
+  /** Streaming gap-based sessionization: Spark's native `session_window` — state
+    * merges adjacent windows while events arrive within `gapDuration` and emits
+    * each session's rollup once the watermark passes its close. The continuous
+    * twin of [[graft.operators.Sessions.sessionStats]] (same gap semantics; batch
+    * numbering adds the per-key session INDEX, which streaming state cannot — an
+    * index over an unbounded past is unbounded state).
+    *
+    * Output per closed session: key, session_start/session_end (the window
+    * bounds), n_events, plus any extra `aggs`. Append mode only (sessions emit on
+    * close); NULL keys form their own session group per Spark groupBy semantics —
+    * filter upstream if unattributed events shouldn't sessionize.
+    */
+  def sessionStatsSink(
+      stream: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gapDuration: String,
+      watermarkDelay: String,
+      aggs: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gapDuration), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), aggs: _*)
+      // keep every agg column whatever the caller named it; only unpack the window
+      .withColumn("session_start", col("session_window.start"))
+      .withColumn("session_end", col("session_window.end"))
+      .drop("session_window")
+
   /** Streaming NEAR-dup gate: exact dedup on the 64-bit SimHash of the token stream
     * — drops in-flight reposts that survive [[streamingDedupFingerprint]]'s
     * whitespace normalization (token reorder, small re-punctuation: any edit that

@@ -159,6 +159,35 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L, 4L), "every null-text row must survive")
   }
 
+  test("streaming session_window stats close sessions at the gap and agree with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(m: Int, s: Int = 0) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val sessions = StreamingAnalysis.sessionStatsSink(
+      input.toDF().toDF("ts", "user_id", "value"), "user_id", "ts",
+      gapDuration = "5 minutes", watermarkDelay = "0 seconds",
+      aggs = Seq(sum(col("value")).as("sum_value")))
+    val q = sessions.writeStream.format("memory").queryName("ssw").outputMode("append").start()
+    try {
+      // user 7: two events 2 min apart (one session), then 20 min silence (new one)
+      input.addData((ts(0), 7L, 1.0), (ts(2), 7L, 2.0), (ts(22), 7L, 4.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to close every session above
+      input.addData((ts(59), 99L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql("SELECT user_id, n_events, sum_value FROM ssw WHERE user_id = 7")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._2)
+    assert(rows.toSeq == Seq((7L, 1L, 4.0), (7L, 2L, 3.0)),
+      s"closed sessions wrong: ${rows.toSeq}")
+    // batch twin agrees on the session partition (same gap, same events)
+    val batch = Seq((7L, ts(0)), (7L, ts(2)), (7L, ts(22))).toDF("user_id", "ts")
+    val bStats = graft.operators.Sessions.sessionStats(batch, "user_id", "ts", 300)
+      .select("n_events").as[Long].collect().sorted
+    assert(bStats.toSeq == Seq(1L, 2L), "batch and streaming session partitions must agree")
+  }
+
   test("streaming simhash dedup drops token-reorder reposts; tokenless rows pass through") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
