@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -67,6 +68,87 @@ object HashedEmbeddingKernel {
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(acc)
   }
+}
+
+/** Int8-quantization fidelity kernel: one fused loop over the float vector
+  * computing max |x|, the guards, and the reconstruction stats the Column
+  * formulation needed three interpreted higher-order-function passes for
+  * (`zip_with`/`aggregate` are CodegenFallback — measured 4.3 s for the fidelity
+  * query at sf0.1, the slowest projection in the bench; this kernel removes it).
+  * Rounding replicates Spark's `round()` exactly (BigDecimal.valueOf HALF_UP on
+  * the shortest decimal representation — `floor(x+0.5)` diverges on values like
+  * 0.49999999999999994, and the DuckDB oracle compares against Spark's choice).
+  */
+object QuantKernel {
+
+  private def roundHalfUp(v: Double): Double =
+    java.math.BigDecimal.valueOf(v).setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** (q_scale, max_abs_err, cos_fidelity) or null when unquantizable (null
+    * element, NaN/Inf element, zero norm) — mirrors quantPrep's `ok` guard.
+    */
+  def fidelity(arr: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow = {
+    val n = arr.numElements()
+    var ma = 0.0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val v = arr.getFloat(i).toDouble
+      if (java.lang.Double.isNaN(v)) return null
+      val a = Math.abs(v)
+      if (a > ma) ma = a
+      i += 1
+    }
+    if (ma == 0.0 || java.lang.Double.isInfinite(ma)) return null
+    val scale = ma / 127.0
+    var maxErr = 0.0
+    var dotXD = 0.0
+    var dotXX = 0.0
+    var dotDD = 0.0
+    i = 0
+    while (i < n) {
+      val x = arr.getFloat(i).toDouble
+      val d = roundHalfUp(x / scale) * scale
+      val e = Math.abs(x - d)
+      if (e > maxErr) maxErr = e
+      dotXD += x * d
+      dotXX += x * x
+      dotDD += d * d
+      i += 1
+    }
+    val fid = dotXD / (Math.sqrt(dotXX) * Math.sqrt(dotDD))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, maxErr, fid))
+  }
+}
+
+/** Codegen'd `quant_fidelity(vec)` → struct(q_scale, max_abs_err, cos_fidelity),
+  * NULL for unquantizable vectors.
+  */
+case class QuantFidelity(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>, got $other")
+  }
+  override val dataType: DataType = StructType(Seq(
+    StructField("q_scale", DoubleType, nullable = false),
+    StructField("max_abs_err", DoubleType, nullable = false),
+    StructField("cos_fidelity", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "quant_fidelity"
+
+  override def nullSafeEval(input: Any): Any =
+    QuantKernel.fidelity(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.QuantKernel.fidelity($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): QuantFidelity =
+    copy(child = newChild)
 }
 
 /** Codegen'd `hashed_embedding(text)` → ARRAY<FLOAT> of length `dim`, unit-norm

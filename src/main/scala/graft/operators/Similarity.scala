@@ -336,8 +336,26 @@ object Similarity {
     * Unquantizable vectors are EXCLUDED (they have no reconstruction to measure).
     * Quantization is recomputed inline (row-local both ways) — cheaper than
     * joining the compressed table back to the originals.
+    *
+    * Hot path is the fused native kernel ([[graft.functions.QuantFidelity]] — the
+    * `zip_with`/`aggregate` formulation runs interpreted CodegenFallback lambdas
+    * and was the slowest projection in the bench); [[quantizationFidelityColumns]]
+    * stays as the executable specification, spec-pinned equal.
     */
   def quantizationFidelity(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val q = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.QuantFidelity(
+        org.apache.spark.sql.GraftSqlBridge.expression(col(vecCol))))
+    df.select(col(idCol), q.as("_q"))
+      .filter(col("_q").isNotNull)
+      .select(col(idCol), col("_q.q_scale").as("q_scale"),
+        col("_q.max_abs_err").as("max_abs_err"),
+        col("_q.cos_fidelity").as("cos_fidelity"))
+  }
+
+  /** Column-pipeline fidelity — the executable specification of
+    * [[quantizationFidelity]]'s native kernel. */
+  def quantizationFidelityColumns(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val p = quantPrep(col(vecCol))
     val dq = transform(p.xd, x => round(x / p.scale) * p.scale)
     val err = array_max(zip_with(p.xd, dq, (a, b) => abs(a - b)))

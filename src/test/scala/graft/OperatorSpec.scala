@@ -669,6 +669,16 @@ class OperatorSpec extends SparkSpec {
     val plan = Similarity.quantizeInt8(embs, "vec_id", "embedding")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"quantizeInt8 must not shuffle:\n$plan")
+    // native fidelity kernel == Column-pipeline specification, bit-for-bit, over
+    // the real embeddings corpus plus every guard class from `rows` above
+    val both = Seq(rows.toDF("id", "v"),
+      embs.select(col("vec_id").as("id"), col("embedding").as("v")))
+    both.foreach { frame =>
+      val k = Similarity.quantizationFidelity(frame, "id", "v")
+      val c = Similarity.quantizationFidelityColumns(frame, "id", "v")
+      assert(k.exceptAll(c).count() == 0L && c.exceptAll(k).count() == 0L,
+        "kernel diverges from Column spec")
+    }
   }
 
   test("brute-force topK matches within-bucket ANN on its candidates") {
