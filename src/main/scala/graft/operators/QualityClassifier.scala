@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Trainable document-quality classifier — the DCLM/fastText-style pipeline step:
+  * fit a logistic regression on a small LABELED seed set (curated positives vs
+  * crawl negatives), then score the whole corpus and keep the top fraction.
+  *
+  * Features are [[TextFunctions.hashedEmbedding]] vectors (deterministic, model-
+  * free), so featurization is a codegen'd row-local projection on BOTH sides:
+  * training runs MLlib's distributed L-BFGS on the (small) seed frame; scoring
+  * does NOT run the MLlib model per row — the fitted weights come back to the
+  * driver (dim + 1 doubles) and scoring is a literal dot product folded into the
+  * corpus scan (`zip_with` against a constant array + sigmoid), broadcast-free
+  * and shuffle-free at any corpus size.
+  *
+  * Determinism: LogisticRegression with fixed data is deterministic (L-BFGS from
+  * a zero start, no sampling), so retraining on the same seed reproduces the same
+  * weights — membership of the filtered corpus is stable across runs.
+  */
+object QualityClassifier {
+
+  /** Fitted model: weights per hashed-embedding dimension plus intercept. */
+  final case class Model(weights: Array[Double], intercept: Double, dim: Int) {
+    require(weights.length == dim, s"weight count ${weights.length} != dim $dim")
+
+    /** Score column: `sigmoid(intercept + w · hashedEmbedding(text))` — row-local,
+      * NULL text ⇒ NULL score (tokenless text scores `sigmoid(intercept)`, the
+      * prior, via the zero vector).
+      */
+    def score(text: Column): Column = {
+      val w = array(weights.map(lit).toIndexedSeq: _*)
+      val z = aggregate(
+        zip_with(TextFunctions.hashedEmbedding(text, dim), w,
+          (x, wi) => x.cast("double") * wi),
+        lit(intercept), (acc, v) => acc + v)
+      lit(1.0) / (lit(1.0) + exp(-z))
+    }
+  }
+
+  /** Fit on a labeled seed frame (`labelCol` ∈ {0, 1}; rows with NULL text or
+    * label are dropped — they carry no training signal). `dim` trades collision
+    * noise against plan size; 128-256 suits quality classifiers.
+    *
+    * Scale shape: the seed set is small by construction (curation is expensive) —
+    * MLlib aggregates gradients tree-wise over however it is partitioned; the
+    * returned Model is dim+1 doubles regardless of corpus size.
+    */
+  def trainLogistic(seed: DataFrame, textCol: String, labelCol: String,
+      dim: Int = 128, maxIter: Int = 100, regParam: Double = 1e-4): Model = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val toVec = udf((a: Seq[Float]) =>
+      org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
+    val prepared = seed
+      .filter(col(textCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).cast("double").as("label"),
+        toVec(TextFunctions.hashedEmbedding(col(textCol), dim)).as("features"))
+    val lr = new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(maxIter)
+      .setRegParam(regParam)
+      .setStandardization(false)
+    val fitted = lr.fit(prepared)
+    Model(fitted.coefficients.toArray, fitted.intercept, dim)
+  }
+}

@@ -562,6 +562,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(strOut.toSeq == Seq(1L, 1L), s"string-ts handling wrong: ${strOut.toSeq}")
   }
 
+  test("quality classifier: trains on seed labels, separates held-out docs, scores row-local") {
+    import spark.implicits._
+    import graft.operators.QualityClassifier
+    val rng = new scala.util.Random(3)
+    val goodVocab = Seq("theorem", "analysis", "method", "results", "experiment", "study")
+    val badVocab = Seq("click", "free", "winner", "casino", "pills", "xxx")
+    def doc(vocab: Seq[String]) =
+      (1 to 12).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val train = ((1 to 60).map(_ => (doc(goodVocab), 1)) ++
+      (1 to 60).map(_ => (doc(badVocab), 0))).toDF("text", "label")
+    val model = QualityClassifier.trainLogistic(train, "text", "label", dim = 64)
+    assert(model.weights.length == 64)
+    // held-out docs from the same vocabularies must separate cleanly
+    val heldOut = ((1 to 30).map(i => (i.toLong, doc(goodVocab), 1)) ++
+      (1 to 30).map(i => (i + 100L, doc(badVocab), 0))).toDF("id", "text", "label")
+    val scored = heldOut.select(col("label"),
+      model.score(col("text")).as("s")).collect()
+    val acc = scored.count(r =>
+      (r.getDouble(1) >= 0.5) == (r.getInt(0) == 1)).toDouble / scored.length
+    assert(acc >= 0.95, s"held-out accuracy $acc")
+    // determinism: refit on the same seed reproduces identical weights
+    val model2 = QualityClassifier.trainLogistic(train, "text", "label", dim = 64)
+    assert(model.weights.sameElements(model2.weights) && model.intercept == model2.intercept)
+    // null text scores null; tokenless text scores the prior
+    val edge = Seq(Some("   "), None).toDF("text")
+      .select(model.score(col("text")).as("s")).collect()
+    val prior = 1.0 / (1.0 + math.exp(-model.intercept))
+    assert(math.abs(edge(0).getDouble(0) - prior) < 1e-12)
+    assert(edge(1).isNullAt(0))
+    // scoring is a row-local projection: no Exchange over a real scan
+    val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(model.score(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+  }
+
   test("gopherFlags: each rule trips on its own violation class") {
     import spark.implicits._
     val cfg = TextFunctions.GopherConfig(minWords = 3, maxWords = 10,
