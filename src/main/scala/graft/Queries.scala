@@ -2399,6 +2399,31 @@ object Queries {
              | CAST(coalesce(max(CASE WHEN docs >= 0 THEN 1 END), 0) AS BIGINT) AS max_embeddings_per_group
              | FROM g""".stripMargin.replaceAll("\n", " "))),
 
+    // Semi-structured extraction: pull $.k out of the events props JSON column and
+    // aggregate it — the "JSON sidecar column" pattern every event pipeline has.
+    // try-semantics on both sides: malformed JSON / missing key / non-numeric k
+    // become NULL (counted), never a crash. Adversarial fixture carries hostile
+    // props (null, broken JSON) through the same path.
+    QueryDef("json_extract_events",
+      (s, d) => t(s, d, "events")
+        .select(get_json_object(col("props"), "$.k").try_cast("long").as("_k"),
+          col("props"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("_k")).as("n_extracted"),
+          coalesce(sum(col("_k")), lit(0L)).as("sum_k"),
+          min(col("_k")).as("min_k"), max(col("_k")).as("max_k"),
+          countDistinct(col("_k")).as("distinct_k")),
+      // json_valid guard: DuckDB's json_extract ERRORS on malformed JSON where
+      // Spark's get_json_object returns NULL — the guard aligns them.
+      Some("""WITH e AS (SELECT CASE WHEN props IS NOT NULL AND json_valid(props)
+             |   THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k FROM events)
+             | SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             | CAST(count(k) AS BIGINT) AS n_extracted,
+             | CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+             | min(k) AS min_k, max(k) AS max_k,
+             | CAST(count(DISTINCT k) AS BIGINT) AS distinct_k
+             | FROM e""".stripMargin.replaceAll("\n", " "))),
+
     // Gap-based sessionization (30-min gap per user): session counts, mean events
     // per session, longest session, singletons — the gaps-and-islands rollup
     // mirrored as LAG + running-sum windows in DuckDB. All integer micros.
