@@ -2401,21 +2401,23 @@ object Queries {
 
     // Semi-structured extraction: pull $.k out of the events props JSON column and
     // aggregate it — the "JSON sidecar column" pattern every event pipeline has.
-    // try-semantics on both sides: malformed JSON / missing key / non-numeric k
-    // become NULL (counted), never a crash. Adversarial fixture carries hostile
-    // props (null, broken JSON) through the same path.
+    // Extraction is gated by ONE shared strict-shape regex in BOTH engines:
+    // Spark's get_json_object is Jackson-LENIENT (extracts from single-quoted /
+    // trailing-garbage JSON that DuckDB's json_valid rejects) and the engines'
+    // TRY_CASTs disagree on non-integers (DuckDB '1.5'::BIGINT = 2, Spark NULL),
+    // so parser-validity and cast leniency must never decide a row — the regex
+    // does, and within its shape both JSON parsers and both casts agree exactly.
+    // Hostile props (null, '{not json', '[]') fall outside the shape in both.
     QueryDef("json_extract_events",
       (s, d) => t(s, d, "events")
-        .select(get_json_object(col("props"), "$.k").try_cast("long").as("_k"),
-          col("props"))
+        .select(when(col("props").rlike("^\\{\"k\": -?\\d+\\}$"),
+          get_json_object(col("props"), "$.k").try_cast("long")).as("_k"))
         .agg(count(lit(1)).as("n_rows"),
           count(col("_k")).as("n_extracted"),
           coalesce(sum(col("_k")), lit(0L)).as("sum_k"),
           min(col("_k")).as("min_k"), max(col("_k")).as("max_k"),
           countDistinct(col("_k")).as("distinct_k")),
-      // json_valid guard: DuckDB's json_extract ERRORS on malformed JSON where
-      // Spark's get_json_object returns NULL — the guard aligns them.
-      Some("""WITH e AS (SELECT CASE WHEN props IS NOT NULL AND json_valid(props)
+      Some("""WITH e AS (SELECT CASE WHEN regexp_matches(props, '^\{"k": -?\d+\}$')
              |   THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k FROM events)
              | SELECT CAST(count(*) AS BIGINT) AS n_rows,
              | CAST(count(k) AS BIGINT) AS n_extracted,

@@ -86,14 +86,20 @@ object QuantKernel {
 
   /** (q_scale, max_abs_err, cos_fidelity) or null when unquantizable (null
     * element, NaN/Inf element, zero norm) — mirrors quantPrep's `ok` guard.
+    * `isDouble` dispatches the element read: the verifier accepts BOTH
+    * array<float> and array<double>, like the compressor's elementwise cast does
+    * (the two must never disagree on accepted inputs).
     */
-  def fidelity(arr: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow = {
+  def fidelity(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      isDouble: Boolean): InternalRow = {
     val n = arr.numElements()
+    def elem(i: Int): Double =
+      if (isDouble) arr.getDouble(i) else arr.getFloat(i).toDouble
     var ma = 0.0
     var i = 0
     while (i < n) {
       if (arr.isNullAt(i)) return null
-      val v = arr.getFloat(i).toDouble
+      val v = elem(i)
       if (java.lang.Double.isNaN(v)) return null
       val a = Math.abs(v)
       if (a > ma) ma = a
@@ -107,7 +113,7 @@ object QuantKernel {
     var dotDD = 0.0
     i = 0
     while (i < n) {
-      val x = arr.getFloat(i).toDouble
+      val x = elem(i)
       val d = roundHalfUp(x / scale) * scale
       val e = Math.abs(x - d)
       if (e > maxErr) maxErr = e
@@ -127,10 +133,13 @@ object QuantKernel {
   */
 case class QuantFidelity(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
-    case other =>
-      TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>, got $other")
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double>, got $other")
   }
+  private lazy val isDouble: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
   override val dataType: DataType = StructType(Seq(
     StructField("q_scale", DoubleType, nullable = false),
     StructField("max_abs_err", DoubleType, nullable = false),
@@ -139,11 +148,12 @@ case class QuantFidelity(child: Expression) extends UnaryExpression {
   override def prettyName: String = "quant_fidelity"
 
   override def nullSafeEval(input: Any): Any =
-    QuantKernel.fidelity(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    QuantKernel.fidelity(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], isDouble)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.functions.QuantKernel.fidelity($c);
+      ${ev.value} = graft.functions.QuantKernel.fidelity($c, $isDouble);
       ${ev.isNull} = ${ev.value} == null;
     """)
 

@@ -240,10 +240,74 @@ case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpr
 }
 
 /** Column-level entry points for the native vector expressions. */
+/** `bias + Σ vec_i · weight_i` against a constant weight vector — the linear-model
+  * scoring kernel (logistic / linear classifiers over a fixed fitted weight
+  * vector). Same tier rationale as [[CosineToProbe]]: the `zip_with`/`aggregate`
+  * Column formulation runs interpreted CodegenFallback lambdas per element on the
+  * corpus-scan hot path; this is one fused loop over the unsafe float array.
+  * Accumulation starts AT `bias` and adds terms in index order — bit-identical to
+  * the left fold `aggregate(zip_with(v, w, _*_), bias, _+_)` it replaces.
+  * Null array ⇒ null; null elements contribute nothing.
+  */
+case class AffineToProbe(child: Expression, probe: IndexedSeq[Double], bias: Double)
+    extends UnaryExpression {
+  private lazy val probeArr: Array[Double] = probe.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"affine_to_probe requires array<float>, got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "affine_to_probe"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val p = probeArr
+    val n = math.min(arr.numElements(), p.length)
+    var acc = bias
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) acc += arr.getFloat(i).toDouble * p(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val probeRef = ctx.addReferenceObj("weights", probeArr, "double[]")
+    val biasLit =
+      if (bias.isNaN) "Double.NaN"
+      else if (bias == Double.PositiveInfinity) "Double.POSITIVE_INFINITY"
+      else if (bias == Double.NegativeInfinity) "Double.NEGATIVE_INFINITY"
+      else s"${bias}D"
+    nullSafeCodeGen(ctx, ev, c => {
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |double $acc = $biasLit;
+         |int $n = java.lang.Math.min($c.numElements(), $probeRef.length);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$c.isNullAt($i)) $acc += ((double) $c.getFloat($i)) * $probeRef[$i];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AffineToProbe =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   def cosineToProbe(vec: Column, probe: Seq[Float]): Column =
     GraftSqlBridge.column(
       CosineToProbe(GraftSqlBridge.expression(vec), probe.map(_.toDouble).toIndexedSeq))
+
+  def affineToProbe(vec: Column, weights: Seq[Double], bias: Double): Column =
+    GraftSqlBridge.column(
+      AffineToProbe(GraftSqlBridge.expression(vec), weights.toIndexedSeq, bias))
 
   def cosine(a: Column, b: Column): Column =
     GraftSqlBridge.column(

@@ -29,16 +29,28 @@ object QualityClassifier {
 
     /** Score column: `sigmoid(intercept + w · hashedEmbedding(text))` — row-local,
       * NULL text ⇒ NULL score (tokenless text scores `sigmoid(intercept)`, the
-      * prior, via the zero vector).
+      * prior, via the zero vector). The dot product is the fused
+      * [[graft.functions.AffineToProbe]] kernel (a `zip_with`/`aggregate` fold
+      * would run ~2·dim interpreted CodegenFallback lambdas per corpus row —
+      * the same trap the quantization-fidelity kernel removed);
+      * [[scoreColumns]] keeps that fold as the executable specification.
       */
-    def score(text: Column): Column = {
+    def score(text: Column): Column =
+      sigmoid(graft.functions.VectorFunctions.affineToProbe(
+        TextFunctions.hashedEmbedding(text, dim), weights.toSeq, intercept))
+
+    /** Column-fold scoring — the executable specification of [[score]]
+      * (accumulation order identical, spec-pinned equal). */
+    def scoreColumns(text: Column): Column = {
       val w = array(weights.map(lit).toIndexedSeq: _*)
       val z = aggregate(
         zip_with(TextFunctions.hashedEmbedding(text, dim), w,
           (x, wi) => x.cast("double") * wi),
         lit(intercept), (acc, v) => acc + v)
-      lit(1.0) / (lit(1.0) + exp(-z))
+      sigmoid(z)
     }
+
+    private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
   }
 
   /** Fit on a labeled seed frame (`labelCol` ∈ {0, 1}; rows with NULL text or

@@ -200,15 +200,25 @@ object StreamingAnalysis {
       tsCol: String,
       gapDuration: String,
       watermarkDelay: String,
-      aggs: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+      aggs: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    // The unpacked window bounds and the built-in count would silently clobber
+    // same-named caller aggregates (withColumn replaces) — reserve them.
+    val reserved = Seq("session_start", "session_end", "n_events")
+    val aggNames = aggs.map(_.toString)
+    reserved.foreach { r =>
+      require(!aggNames.exists(_.endsWith(s" AS $r")),
+        s"sessionStatsSink reserves the output column name '$r'; alias the aggregate differently")
+    }
     stream
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(session_window(col(tsCol), gapDuration), col(keyCol))
       .agg(count(lit(1)).as("n_events"), aggs: _*)
-      // keep every agg column whatever the caller named it; only unpack the window
+      // keep every agg column whatever the caller named it (reserved names barred
+      // above); only unpack the window
       .withColumn("session_start", col("session_window.start"))
       .withColumn("session_end", col("session_window.end"))
       .drop("session_window")
+  }
 
   /** Streaming NEAR-dup gate: exact dedup on the 64-bit SimHash of the token stream
     * — drops in-flight reposts that survive [[streamingDedupFingerprint]]'s

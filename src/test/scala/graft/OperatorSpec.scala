@@ -641,7 +641,8 @@ class OperatorSpec extends SparkSpec {
       (1L, Some(Seq(1.0f, -0.5f, 0.25f, 0.0f))),
       (2L, Some(Seq(0.0f, 0.0f, 0.0f, 0.0f))), // zero-norm: unquantizable
       (3L, None: Option[Seq[Float]]), // null vector: unquantizable
-      (4L, Some(Seq(Float.NaN, 1.0f, 0.0f, 0.0f)))) // NaN poisons the scale
+      (4L, Some(Seq(Float.NaN, 1.0f, 0.0f, 0.0f))), // NaN poisons the scale
+      (5L, Some(Seq(Float.PositiveInfinity, 1.0f, 0.0f, 0.0f)))) // Inf too
       .toDF("id", "v")
     val q = Similarity.quantizeInt8(rows.toDF("id", "v"), "id", "v")
       .orderBy("id").collect()
@@ -669,9 +670,13 @@ class OperatorSpec extends SparkSpec {
     val plan = Similarity.quantizeInt8(embs, "vec_id", "embedding")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"quantizeInt8 must not shuffle:\n$plan")
+    assert(q(4).isNullAt(1) && q(4).isNullAt(2), "Inf element must not quantize")
     // native fidelity kernel == Column-pipeline specification, bit-for-bit, over
     // the real embeddings corpus plus every guard class from `rows` above
-    val both = Seq(rows.toDF("id", "v"),
+    // (null-element vectors can't ride the Seq encoder: build one via SQL)
+    val withNullElem = spark.sql(
+      "SELECT CAST(9 AS BIGINT) AS id, array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS v")
+    val both = Seq(rows.toDF("id", "v"), withNullElem,
       embs.select(col("vec_id").as("id"), col("embedding").as("v")))
     both.foreach { frame =>
       val k = Similarity.quantizationFidelity(frame, "id", "v")
@@ -679,6 +684,14 @@ class OperatorSpec extends SparkSpec {
       assert(k.exceptAll(c).count() == 0L && c.exceptAll(k).count() == 0L,
         "kernel diverges from Column spec")
     }
+    assert(Similarity.quantizationFidelity(withNullElem, "id", "v").count() == 0L,
+      "null-element vector must be excluded")
+    // the verifier accepts array<double> like the compressor does
+    val dbl = spark.sql(
+      "SELECT CAST(1 AS BIGINT) AS id, array(CAST(1.0 AS DOUBLE), CAST(-0.5 AS DOUBLE)) AS v")
+    val dk = Similarity.quantizationFidelity(dbl, "id", "v").head()
+    val dc = Similarity.quantizationFidelityColumns(dbl, "id", "v").head()
+    assert(dk == dc, s"double-vector kernel $dk != spec $dc")
   }
 
   test("brute-force topK matches within-bucket ANN on its candidates") {

@@ -596,6 +596,11 @@ class PipelineOpsSpec extends SparkSpec {
       .select(model.score(col("text")))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+    // fused-kernel score == Column-fold specification, bit-for-bit
+    val cmp = heldOut.select(model.score(col("text")).as("a"),
+      model.scoreColumns(col("text")).as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(cmp == 0L, "AffineToProbe scoring diverges from the fold spec")
   }
 
   test("gopherFlags: each rule trips on its own violation class") {

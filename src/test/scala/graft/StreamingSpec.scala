@@ -186,6 +186,10 @@ class StreamingSpec extends SparkSpec {
     val bStats = graft.operators.Sessions.sessionStats(batch, "user_id", "ts", 300)
       .select("n_events").as[Long].collect().sorted
     assert(bStats.toSeq == Seq(1L, 2L), "batch and streaming session partitions must agree")
+    // reserved output names fail loud instead of being clobbered by the unpack
+    intercept[IllegalArgumentException](StreamingAnalysis.sessionStatsSink(
+      input.toDF().toDF("ts", "user_id", "value"), "user_id", "ts", "5 minutes",
+      "0 seconds", aggs = Seq(min(col("ts")).as("session_start"))))
   }
 
   test("streaming simhash dedup drops token-reorder reposts; tokenless rows pass through") {
