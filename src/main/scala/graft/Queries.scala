@@ -2453,6 +2453,50 @@ object Queries {
              | CAST(coalesce(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS singleton_sessions
              | FROM st""".stripMargin.replaceAll("\n", " "))),
 
+    // Embedding-space drift: centroid shift between two deterministic halves of
+    // the embeddings corpus (vec_id parity), compared by L2 / cosine / max
+    // per-dimension shift. Null-element vectors excluded on both sides.
+    QueryDef("embedding_shift_embeddings",
+      (s, d) => {
+        val v = t(s, d, "embeddings").filter(col("vec_id").isNotNull)
+        graft.operators.Drift.embeddingShift(
+          v.filter(col("vec_id") % 2 === 0), v.filter(col("vec_id") % 2 === 1),
+          "embedding")
+          .select(col("n_dims"), round(col("l2_shift"), 6).as("l2_shift"),
+            round(col("centroid_cosine"), 6).as("centroid_cosine"),
+            round(col("max_dim_shift"), 6).as("max_dim_shift"))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding FROM embeddings
+             |   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+             |     AND len(list_filter(embedding, e -> e IS NULL)) = 0),
+             | r AS (SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS e FROM v WHERE vec_id % 2 = 0),
+             | c AS (SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS e FROM v WHERE vec_id % 2 = 1),
+             | mr AS (SELECT dim, avg(CAST(e AS DOUBLE)) AS m FROM r GROUP BY 1),
+             | mc AS (SELECT dim, avg(CAST(e AS DOUBLE)) AS m FROM c GROUP BY 1),
+             | j AS (SELECT mr.m AS a, mc.m AS b FROM mr JOIN mc USING (dim))
+             | SELECT CAST(count(*) AS BIGINT) AS n_dims,
+             | round(sqrt(sum(power(a - b, 2.0))), 6) AS l2_shift,
+             | round(sum(a * b) / (sqrt(sum(power(a, 2.0))) * sqrt(sum(power(b, 2.0)))), 6) AS centroid_cosine,
+             | round(max(abs(a - b)), 6) AS max_dim_shift
+             | FROM j""".stripMargin.replaceAll("\n", " "))),
+
+    // Grouped EXACT percentiles (linear interpolation — Spark percentile() and
+    // DuckDB quantile_cont share the (n-1)p convention). NaN values excluded
+    // explicitly: the engines order NaN differently around the top ranks.
+    QueryDef("grouped_percentiles_events",
+      (s, d) => t(s, d, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull && !isnan(col("value")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90")),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+             | round(quantile_cont(value, 0.5), 6) AS p50,
+             | round(quantile_cont(value, 0.9), 6) AS p90
+             | FROM events
+             | WHERE event_type IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+             | GROUP BY 1""".stripMargin.replaceAll("\n", " "))),
+
     // Snapshot diff (corpus-version QA): both engines derive v1/v2 of orders
     // deterministically (mod-keyed deletes both ways, +1.0 price edits on %3 keys)
     // and reconcile added/removed/changed/unchanged plus per-column change counts

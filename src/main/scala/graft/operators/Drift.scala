@@ -81,4 +81,32 @@ object Drift {
     }
     psi(bucket(ref), bucket(cur), "_bin", epsilon)
   }
+
+  /** Embedding-space drift between two corpus snapshots: the centroid (per-
+    * dimension mean) of each side, compared by L2 distance, cosine, and the
+    * largest single-dimension shift — the cheap first-order "did the upstream
+    * encoder / content mix move?" monitor run before expensive distributional
+    * tests. Vectors with NULL elements are excluded (one NULL would silently
+    * shrink that dimension's denominator and fake a shift).
+    *
+    * Scale: `posexplode` + a dim-keyed partial-agg mean per side — shuffle rows
+    * bounded by partitions × dim, never by corpus size; the two dim-length
+    * centroid frames join on the dimension index.
+    */
+  def embeddingShift(ref: DataFrame, cur: DataFrame, vecCol: String): DataFrame = {
+    def centroid(df: DataFrame) = df
+      .filter(col(vecCol).isNotNull && !exists(col(vecCol), e => e.isNull))
+      .select(posexplode(col(vecCol)).as(Seq("_dim", "_e")))
+      .groupBy(col("_dim"))
+      .agg(avg(col("_e").cast("double")).as("_m"))
+    centroid(ref).withColumnRenamed("_m", "_mr")
+      .join(centroid(cur).withColumnRenamed("_m", "_mc"), Seq("_dim"))
+      .agg(
+        count(lit(1)).as("n_dims"),
+        sqrt(sum(pow(col("_mr") - col("_mc"), 2.0))).as("l2_shift"),
+        (sum(col("_mr") * col("_mc")) /
+          (sqrt(sum(pow(col("_mr"), 2.0))) * sqrt(sum(pow(col("_mc"), 2.0)))))
+          .as("centroid_cosine"),
+        max(abs(col("_mr") - col("_mc"))).as("max_dim_shift"))
+  }
 }

@@ -603,6 +603,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cmp == 0L, "AffineToProbe scoring diverges from the fold spec")
   }
 
+  test("embeddingShift: identical corpora show zero shift; a moved dim registers") {
+    import spark.implicits._
+    val a = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))).toDF("id", "v")
+    val same = Drift.embeddingShift(a, a, "v").head()
+    assert(same.getLong(0) == 2L)
+    assert(same.getDouble(1) == 0.0 && same.getDouble(3) == 0.0)
+    assert(math.abs(same.getDouble(2) - 1.0) < 1e-12, "identical centroids: cosine 1")
+    val b = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(2.0f, 1.0f))).toDF("id", "v")
+    val moved = Drift.embeddingShift(a, b, "v").head()
+    assert(moved.getDouble(1) > 0.9 && moved.getDouble(3) > 0.9, "dim-0 centroid moved by 1")
+    // a null element excludes the whole vector, not just the dimension
+    val withNull = spark.sql(
+      "SELECT CAST(3 AS BIGINT) AS id, array(CAST(NULL AS FLOAT), CAST(9.0 AS FLOAT)) AS v")
+      .unionByName(a)
+    val excl = Drift.embeddingShift(withNull, a, "v").head()
+    assert(excl.getDouble(1) == 0.0, "null-element vector must not skew the centroid")
+  }
+
   test("gopherFlags: each rule trips on its own violation class") {
     import spark.implicits._
     val cfg = TextFunctions.GopherConfig(minWords = 3, maxWords = 10,
