@@ -37,6 +37,83 @@ class PropertySpec extends SparkSpec {
     (i.toLong, if (i % nullEvery == 0) None else Some((base + i).toDouble))
   }
 
+  test("hashSplit properties: total, disjoint, seed-stable for random fraction vectors") {
+    import spark.implicits._
+    val fracGen = for {
+      k <- Gen.choose(2, 5)
+      raw <- Gen.listOfN(k, Gen.choose(1, 100))
+    } yield {
+      val tot = raw.sum.toDouble
+      raw.zipWithIndex.map { case (w, i) => s"s$i" -> (w / tot) }
+    }
+    forAll(Gen.zip(fracGen, Gen.choose(-500L, 500L), Gen.choose(50, 400))) {
+      case (fracs, seed, n) =>
+        // fractions from integer weights can drift an ulp from 1.0 — normalize
+        val total = fracs.map(_._2).sum
+        val normalized = fracs.map { case (k2, f) => k2 -> f / total }
+        val df = (0L until n.toLong).toVector.toDF("doc_id")
+        val out = graft.operators.Splits.hashSplit(df, "doc_id", normalized, seed)
+        val counts = out.groupBy("split").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(counts.values.sum == n.toLong, "every row must land in exactly one split")
+        assert(counts.keySet.subsetOf(normalized.map(_._1).toSet))
+        val again = graft.operators.Splits.hashSplit(df, "doc_id", normalized, seed)
+        assert(out.exceptAll(again).count() == 0L, "membership must be seed-stable")
+    }
+  }
+
+  test("dedupLinesAcrossCorpus round-trips dup-free corpora for ANY separator") {
+    import spark.implicits._
+    val sepGen = Gen.oneOf("\n", "\n\n", "|", "::")
+    forAll(Gen.zip(sepGen, Gen.choose(2, 30))) { case (sep, n) =>
+      // unique per-doc units: nothing dedups, so reassembly must be byte-identical
+      val docs = (1L to n.toLong).map(i =>
+        (i, (1 to 3).map(j => s"unit $i $j").mkString(sep))).toVector.toDF("doc_id", "text")
+      val out = graft.operators.Dedup
+        .dedupLinesAcrossCorpus(docs, "doc_id", "text", sep = sep)
+      assert(out.filter(org.apache.spark.sql.functions.col("lines_dropped") > 0).count() == 0L)
+      val back = out.select("doc_id", "text").as[(Long, String)].collect().toMap
+      (1L to n.toLong).foreach(i =>
+        assert(back(i) == (1 to 3).map(j => s"unit $i $j").mkString(sep), s"sep=$sep doc=$i"))
+    }
+  }
+
+  test("quantization fidelity bound holds for random vectors at any dim") {
+    import spark.implicits._
+    val vecGen = for {
+      dim <- Gen.choose(2, 96)
+      scale <- Gen.choose(1e-3, 1e3)
+      vs <- Gen.listOfN(dim, Gen.choose(-1.0, 1.0))
+    } yield vs.map(v => (v * scale).toFloat)
+    forAll(Gen.listOfN(20, vecGen)) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val out = graft.operators.Similarity.quantizationFidelity(df, "id", "v")
+        .select("q_scale", "max_abs_err", "cos_fidelity").collect()
+      out.foreach { r =>
+        assert(r.getDouble(1) <= r.getDouble(0) / 2 + 1e-12,
+          "reconstruction error must stay under half a quantization step")
+        assert(r.getDouble(2) > 0.995, s"fidelity ${r.getDouble(2)}")
+      }
+    }
+  }
+
+  test("interleaveBySource equals the window formulation for random partitionings") {
+    import spark.implicits._
+    forAll(Gen.zip(Gen.choose(20, 200), Gen.choose(1, 9), Gen.choose(1, 16))) {
+      case (n, nSources, parts) =>
+        val df = (1L to n.toLong).map(i => (i, s"src${i % nSources}")).toVector
+          .toDF("id", "src").repartition(parts)
+        val viaOp = graft.operators.Sharding.interleaveBySource(df, "src", "id")
+          .select("id", "rr_rank").as[(Long, Long)].collect().toMap
+        val viaWin = df.withColumn("rr_rank",
+          org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(org.apache.spark.sql.functions.col("src")).orderBy(org.apache.spark.sql.functions.col("id"))))
+          .select("id", "rr_rank").as[(Long, Int)].collect().toMap
+        assert(viaOp.size == n && viaOp.forall { case (id, r) => viaWin(id).toLong == r },
+          s"n=$n sources=$nSources parts=$parts")
+    }
+  }
+
   test("completeness matches independent computation") {
     forAll(rowsGen) { rows =>
       import spark.implicits._
