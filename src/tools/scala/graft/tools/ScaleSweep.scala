@@ -55,7 +55,17 @@ object ScaleSweep {
     // the swept dedup_lines.
     "lm_surprisal_documents",
     "tfidf_top_terms_documents",
-    "interleave_sources_documents")
+    "interleave_sources_documents",
+    // events-family headliners (events replicate as 10× NEW USERS with identical
+    // per-user streams — window work scales by group count, the honest shape;
+    // verbatim row copies would instead deepen every per-user window 10×):
+    // monotonic_global is the un-keyed boundary-fold plan (the scale-critical
+    // one), sessions/time_gaps the keyed-window family, grouped_percentiles the
+    // per-group exact sort.
+    "monotonic_global_events",
+    "sessions_events",
+    "time_gaps_events",
+    "grouped_percentiles_events")
 
   /** Run the sweep against `src` on an existing session, returning
     * (name, smallSec, bigSec, ratio) per headliner plus the suite20 10× datapoint.
@@ -167,6 +177,22 @@ object ScaleSweep {
     embReps.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // events: replica r = a fresh user population repeating the same per-user
+    // streams in the same time range (how real traffic scales) — windows see 10×
+    // GROUPS of unchanged depth; ts/event_type/value/props pass through verbatim.
+    val events = spark.read.parquet(s"$src/events.parquet")
+    val evStride = events.agg(max(col("event_id"))).head().getLong(0) + 1
+    val userStride = events.agg(max(col("user_id"))).head().getLong(0) + 1
+    val evReps = (0 until 10).map { r =>
+      events.select(
+        Seq(
+          (col("event_id") + lit(r.toLong * evStride)).as("event_id"),
+          (col("user_id") + lit(r.toLong * userStride)).as("user_id")) ++
+        events.columns.filterNot(c => c == "event_id" || c == "user_id").map(col): _*)
+    }
+    evReps.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
   }
 
   private def appendProgress(results: Seq[(String, Double, Double, Double)]): Unit = {
