@@ -848,6 +848,46 @@ object Queries {
       Some("""SELECT count(*) AS n_rows, CAST(sum(n_nationkey) AS BIGINT) AS sum_keys,
              | count(DISTINCT n_regionkey) AS n_regions FROM nation""".stripMargin.replaceAll("\n", " "))),
 
+    // ORC source end-to-end (beyond the reference's format set — free with Spark):
+    // write supplier as ORC, read back through the Sources surface, reconcile
+    // against DuckDB over the original parquet.
+    QueryDef("orc_source_supplier",
+      (s, d) => {
+        val tmp = sourceTmpDir("orc_supplier", d)
+        t(s, d, "supplier").write.mode("overwrite").orc(tmp)
+        graft.sources.Sources.orc(s, Seq(tmp))
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("s_suppkey")), lit(0L)).cast("long").as("sum_keys"),
+            countDistinct(col("s_nationkey")).as("n_nations"))
+      },
+      Some("""SELECT count(*) AS n_rows, CAST(coalesce(sum(s_suppkey), 0) AS BIGINT) AS sum_keys,
+             | count(DISTINCT s_nationkey) AS n_nations FROM supplier""".stripMargin.replaceAll("\n", " "))),
+
+    // Raw text-lines source (one doc per line — the LLM-corpus interchange
+    // format): write the newline-scrubbed doc bodies as .txt, read back through
+    // the line reader, reconcile counts/lengths against DuckDB applying the same
+    // scrub to the parquet originals. Newlines must be scrubbed BEFORE writing —
+    // the line reader would shred a multi-line doc into several rows.
+    QueryDef("text_source_documents",
+      (s, d) => {
+        val tmp = sourceTmpDir("text_docs", d)
+        t(s, d, "documents")
+          .filter(col("text").isNotNull && length(col("text")) > 0)
+          .select(regexp_replace(col("text"), "[\\n\\r\\u0085\\u2028\\u2029]", " ").as("value"))
+          .write.mode("overwrite").text(tmp)
+        graft.sources.Sources.textLines(s, Seq(tmp))
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(length(col("value"))), lit(0L)).as("sum_chars"),
+            min(length(col("value"))).as("min_len"),
+            max(length(col("value"))).as("max_len"))
+      },
+      Some("""WITH t0 AS (SELECT regexp_replace(text, '[\n\r\x{0085}\x{2028}\x{2029}]', ' ', 'g') AS v
+             |   FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+             | SELECT count(*) AS n_docs,
+             | CAST(coalesce(sum(length(v)), 0) AS BIGINT) AS sum_chars,
+             | min(length(v)) AS min_len, max(length(v)) AS max_len
+             | FROM t0""".stripMargin.replaceAll("\n", " "))),
+
     // NDJSON source end-to-end (reference: sources/json.rs NDJSON path).
     QueryDef("json_source_region",
       (s, d) => {

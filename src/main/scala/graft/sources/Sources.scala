@@ -40,6 +40,20 @@ object Sources {
   def parquet(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.parquet(paths: _*)
 
+  /** ORC — free with Spark, beyond the reference's format set (columnar
+    * alternative with the same pushdown/pruning properties as parquet). */
+  def orc(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.orc(paths: _*)
+
+  /** Raw text corpus: one row per LINE (column `value`) — the lowest-common-
+    * denominator LLM-corpus interchange format (one document per line).
+    * `wholeText = true` reads one row per FILE instead (document-per-file
+    * layouts). No schema, no parsing — pair with the text operators.
+    */
+  def textLines(spark: SparkSession, paths: Seq[String],
+      wholeText: Boolean = false): DataFrame =
+    spark.read.option("wholetext", wholeText.toString).text(paths: _*)
+
   /** NDJSON or JSON-array, sniffed like the reference (sources/json.rs:17-237):
     * multiLine handles whole-file JSON arrays. Pass `schema` to skip inference — also
     * the only way a ZERO-ROW JSON dataset keeps its columns (there is nothing to
