@@ -2493,6 +2493,19 @@ object Queries {
              | CAST(coalesce(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS singleton_sessions
              | FROM st""".stripMargin.replaceAll("\n", " "))),
 
+    // Compression-ratio quality sweep: no SQL engine can replay deflate, so this
+    // query carries NO oracle — the driver records the weaker rows-only check, by
+    // design (the kernel itself is spec-gated: ordering, determinism, edges).
+    QueryDef("compression_ratio_documents",
+      (s, d) => t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull && length(col("text")) > 0)
+        .select(TextFunctions.deflateRatio(col("text")).as("r"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("r")), 4).as("avg_ratio"),
+          round(min(col("r")), 4).as("min_ratio"),
+          round(max(col("r")), 4).as("max_ratio")),
+      None),
+
     // Embedding-space drift: centroid shift between two deterministic halves of
     // the embeddings corpus (vec_id parity), compared by L2 / cosine / max
     // per-dimension shift. Null-element vectors excluded on both sides.

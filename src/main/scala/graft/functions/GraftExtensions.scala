@@ -129,7 +129,10 @@ object GraftFunctions {
         fromColumns("graft_nfc", 1, cs => T.nfcNormalize(cs.head))),
       ("graft_nfkc",
         "graft_nfkc(text) - Unicode NFKC compatibility fold (UAX #15)",
-        fromColumns("graft_nfkc", 1, cs => T.nfkcNormalize(cs.head))))
+        fromColumns("graft_nfkc", 1, cs => T.nfkcNormalize(cs.head))),
+      ("graft_deflate_ratio",
+        "graft_deflate_ratio(text) - zlib-6 compressed/raw byte ratio (lower = more repetitive)",
+        fromColumns("graft_deflate_ratio", 1, cs => T.deflateRatio(cs.head))))
   }
 
   private def buildDupNgramFraction(args: Seq[Expression]): Expression = args match {

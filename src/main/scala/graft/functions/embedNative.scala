@@ -70,6 +70,50 @@ object HashedEmbeddingKernel {
   }
 }
 
+/** Deflate compression-ratio kernel — the classic "repetitive text compresses
+  * too well" quality signal (CCNet / RedPajama-style filters drop documents whose
+  * ratio is far from natural prose on either side: boilerplate/template spam
+  * compresses hard, random noise not at all). `ratio = deflate(bytes) / bytes`
+  * at zlib level 6 — LOWER means more repetitive. Deterministic for a given JDK
+  * (the bundled zlib); there is no SQL-engine oracle for deflate, so this surface
+  * is spec-gated and its corpus query is rows-only-checked by design.
+  */
+object CompressionKernel {
+  def deflateRatio(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    if (bytes.isEmpty) return 1.0 // no content: incompressible by convention
+    val d = new java.util.zip.Deflater(6, /*nowrap=*/ true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / bytes.length
+    } finally d.end()
+  }
+}
+
+/** Codegen'd `deflate_ratio(text)` → double (NULL in ⇒ NULL out). */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "deflate_ratio"
+
+  override def nullSafeEval(input: Any): Any =
+    CompressionKernel.deflateRatio(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CompressionKernel.deflateRatio($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
+    copy(child = newChild)
+}
+
 /** Int8-quantization fidelity kernel: one fused loop over the float vector
   * computing max |x|, the guards, and the reconstruction stats the Column
   * formulation needed three interpreted higher-order-function passes for

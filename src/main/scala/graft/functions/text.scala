@@ -70,6 +70,15 @@ object TextFunctions {
     lit(1.0) / (lit(1.0) + exp(-z))
   }
 
+  /** Deflate compression ratio ([[DeflateRatio]]): `compressed/raw` bytes at zlib
+    * level 6 — LOWER = more repetitive. The CCNet/RedPajama-style quality signal
+    * for template spam (compresses hard) and noise (doesn't compress). NULL ⇒
+    * NULL; empty text ⇒ 1.0. No SQL oracle exists for deflate — spec-gated.
+    */
+  def deflateRatio(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      DeflateRatio(org.apache.spark.sql.GraftSqlBridge.expression(c)))
+
   /** Feature-hashed bag-of-words document embedding ([[HashedEmbedding]]): a
     * deterministic, model-free unit vector per document whose cosine approximates
     * token-multiset overlap — the bridge from text into the embedding operators

@@ -621,6 +621,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(excl.getDouble(1) == 0.0, "null-element vector must not skew the centroid")
   }
 
+  test("deflateRatio orders repetitive < prose < noise; edge classes defined") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val repetitive = "lorem ipsum " * 200
+    val prose = (1 to 200).map(i => s"sentence number $i differs mildly").mkString(". ")
+    val noise = (1 to 2000).map(_ => rng.nextPrintableChar()).mkString
+    val out = Seq(("rep", repetitive), ("prose", prose), ("noise", noise))
+      .toDF("k", "text")
+      .select(col("k"), TextFunctions.deflateRatio(col("text")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("rep") < out("prose"), s"$out")
+    assert(out("prose") < out("noise"), s"$out")
+    assert(out("rep") < 0.05 && out("noise") > 0.5, s"$out")
+    val edge = Seq(Some(""), None: Option[String]).toDF("text")
+      .select(TextFunctions.deflateRatio(col("text"))).collect()
+    assert(edge(0).getDouble(0) == 1.0, "empty text is incompressible by convention")
+    assert(edge(1).isNullAt(0))
+    // deterministic and SQL-registered
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(s"SELECT graft_deflate_ratio('${"ab " * 50}')").head().getDouble(0)
+    assert(viaSql == out("rep") || viaSql > 0.0) // same kernel; value sanity
+    val twice = Seq(prose, prose).toDF("text")
+      .select(TextFunctions.deflateRatio(col("text"))).as[Double].collect()
+    assert(twice(0) == twice(1), "ratio must be deterministic")
+  }
+
   test("gopherFlags: each rule trips on its own violation class") {
     import spark.implicits._
     val cfg = TextFunctions.GopherConfig(minWords = 3, maxWords = 10,
