@@ -2515,7 +2515,8 @@ object Queries {
         graft.operators.Drift.embeddingShift(
           v.filter(col("vec_id") % 2 === 0), v.filter(col("vec_id") % 2 === 1),
           "embedding")
-          .select(col("n_dims"), round(col("l2_shift"), 6).as("l2_shift"),
+          .select(col("n_dims"), col("ref_only_dims"), col("cur_only_dims"),
+            round(col("l2_shift"), 6).as("l2_shift"),
             round(col("centroid_cosine"), 6).as("centroid_cosine"),
             round(col("max_dim_shift"), 6).as("max_dim_shift"))
       },
@@ -2526,8 +2527,12 @@ object Queries {
              | c AS (SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS e FROM v WHERE vec_id % 2 = 1),
              | mr AS (SELECT dim, avg(CAST(e AS DOUBLE)) AS m FROM r GROUP BY 1),
              | mc AS (SELECT dim, avg(CAST(e AS DOUBLE)) AS m FROM c GROUP BY 1),
-             | j AS (SELECT mr.m AS a, mc.m AS b FROM mr JOIN mc USING (dim))
+             | j AS (SELECT mr.m IS NULL AS cur_only, mc.m IS NULL AS ref_only,
+             |   coalesce(mr.m, 0.0) AS a, coalesce(mc.m, 0.0) AS b
+             |   FROM mr FULL OUTER JOIN mc USING (dim))
              | SELECT CAST(count(*) AS BIGINT) AS n_dims,
+             | CAST(coalesce(sum(CASE WHEN ref_only THEN 1 ELSE 0 END), 0) AS BIGINT) AS ref_only_dims,
+             | CAST(coalesce(sum(CASE WHEN cur_only THEN 1 ELSE 0 END), 0) AS BIGINT) AS cur_only_dims,
              | round(sqrt(sum(power(a - b, 2.0))), 6) AS l2_shift,
              | round(sum(a * b) / (sqrt(sum(power(a, 2.0))) * sqrt(sum(power(b, 2.0)))), 6) AS centroid_cosine,
              | round(max(abs(a - b)), 6) AS max_dim_shift

@@ -79,18 +79,25 @@ object HashedEmbeddingKernel {
   * is spec-gated and its corpus query is rows-only-checked by design.
   */
 object CompressionKernel {
+  // One native zlib state per task thread, reset() between rows — allocating and
+  // freeing a Deflater per row would dominate short documents with native
+  // malloc/free churn. Never end()ed: the ThreadLocal lives for the executor
+  // thread's lifetime and the finalizer reclaims native state on thread death.
+  private val deflaters = ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+    new java.util.zip.Deflater(6, /*nowrap=*/ true))
+  private val buffers = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
+
   def deflateRatio(s: UTF8String): Double = {
     val bytes = s.getBytes
     if (bytes.isEmpty) return 1.0 // no content: incompressible by convention
-    val d = new java.util.zip.Deflater(6, /*nowrap=*/ true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total.toDouble / bytes.length
-    } finally d.end()
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = buffers.get()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / bytes.length
   }
 }
 

@@ -99,10 +99,22 @@ object Drift {
       .select(posexplode(col(vecCol)).as(Seq("_dim", "_e")))
       .groupBy(col("_dim"))
       .agg(avg(col("_e").cast("double")).as("_m"))
+    // FULL outer on the dimension: an inner join would silently DROP dimensions
+    // present on only one side — i.e. the most blatant encoder move (a dim-count
+    // change) would report near-zero shift. A one-sided dimension instead
+    // compares against mean 0 (its entire mass IS the shift) and the
+    // ref_only/cur_only counts make the mismatch visible. Ragged vector lengths
+    // WITHIN a side average each dim over the vectors that have it (documented,
+    // not guarded — a per-dim denominator check would cost a second pass; the
+    // one-sided counts expose the common cause).
     centroid(ref).withColumnRenamed("_m", "_mr")
-      .join(centroid(cur).withColumnRenamed("_m", "_mc"), Seq("_dim"))
+      .join(centroid(cur).withColumnRenamed("_m", "_mc"), Seq("_dim"), "full_outer")
+      .select(col("_mr").isNull.as("_cur_only"), col("_mc").isNull.as("_ref_only"),
+        coalesce(col("_mr"), lit(0.0)).as("_mr"), coalesce(col("_mc"), lit(0.0)).as("_mc"))
       .agg(
         count(lit(1)).as("n_dims"),
+        coalesce(sum(when(col("_ref_only"), 1L).otherwise(0L)), lit(0L)).as("ref_only_dims"),
+        coalesce(sum(when(col("_cur_only"), 1L).otherwise(0L)), lit(0L)).as("cur_only_dims"),
         sqrt(sum(pow(col("_mr") - col("_mc"), 2.0))).as("l2_shift"),
         (sum(col("_mr") * col("_mc")) /
           (sqrt(sum(pow(col("_mr"), 2.0))) * sqrt(sum(pow(col("_mc"), 2.0)))))

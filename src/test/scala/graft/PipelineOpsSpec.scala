@@ -603,22 +603,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cmp == 0L, "AffineToProbe scoring diverges from the fold spec")
   }
 
-  test("embeddingShift: identical corpora show zero shift; a moved dim registers") {
+  test("embeddingShift: zero shift on identical corpora, moved dims register, dim changes visible") {
     import spark.implicits._
+    def get(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
     val a = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))).toDF("id", "v")
-    val same = Drift.embeddingShift(a, a, "v").head()
-    assert(same.getLong(0) == 2L)
-    assert(same.getDouble(1) == 0.0 && same.getDouble(3) == 0.0)
-    assert(math.abs(same.getDouble(2) - 1.0) < 1e-12, "identical centroids: cosine 1")
+    val (nd, ro, co, l2, cos, mx) = get(Drift.embeddingShift(a, a, "v").head())
+    assert(nd == 2L && ro == 0L && co == 0L)
+    assert(l2 == 0.0 && mx == 0.0)
+    assert(math.abs(cos - 1.0) < 1e-12, "identical centroids: cosine 1")
     val b = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(2.0f, 1.0f))).toDF("id", "v")
-    val moved = Drift.embeddingShift(a, b, "v").head()
-    assert(moved.getDouble(1) > 0.9 && moved.getDouble(3) > 0.9, "dim-0 centroid moved by 1")
+    val moved = get(Drift.embeddingShift(a, b, "v").head())
+    assert(moved._4 > 0.9 && moved._6 > 0.9, "dim-0 centroid moved by 1")
     // a null element excludes the whole vector, not just the dimension
     val withNull = spark.sql(
       "SELECT CAST(3 AS BIGINT) AS id, array(CAST(NULL AS FLOAT), CAST(9.0 AS FLOAT)) AS v")
       .unionByName(a)
-    val excl = Drift.embeddingShift(withNull, a, "v").head()
-    assert(excl.getDouble(1) == 0.0, "null-element vector must not skew the centroid")
+    assert(get(Drift.embeddingShift(withNull, a, "v").head())._4 == 0.0,
+      "null-element vector must not skew the centroid")
+    // an encoder dim change must be VISIBLE, not silently dropped by an inner join:
+    // cur grows two extra dims whose whole mass counts as shift
+    val wide = Seq((1L, Seq(1.0f, 0.0f, 3.0f, 4.0f)), (2L, Seq(0.0f, 1.0f, 3.0f, 4.0f)))
+      .toDF("id", "v")
+    val dimChange = get(Drift.embeddingShift(a, wide, "v").head())
+    assert(dimChange._1 == 4L && dimChange._3 == 2L,
+      s"cur-only dims must surface: $dimChange")
+    assert(dimChange._4 > 4.9, "new dims' mass must count as shift (3-4-5 triangle: 5)")
   }
 
   test("deflateRatio orders repetitive < prose < noise; edge classes defined") {
@@ -638,10 +648,14 @@ class PipelineOpsSpec extends SparkSpec {
       .select(TextFunctions.deflateRatio(col("text"))).collect()
     assert(edge(0).getDouble(0) == 1.0, "empty text is incompressible by convention")
     assert(edge(1).isNullAt(0))
-    // deterministic and SQL-registered
+    // deterministic, and the SQL registration hits the SAME kernel (identical
+    // value on the identical literal — a mis-wired registration cannot pass)
     graft.functions.GraftFunctions.register(spark)
-    val viaSql = spark.sql(s"SELECT graft_deflate_ratio('${"ab " * 50}')").head().getDouble(0)
-    assert(viaSql == out("rep") || viaSql > 0.0) // same kernel; value sanity
+    val lit50 = "ab " * 50
+    val viaSql = spark.sql(s"SELECT graft_deflate_ratio('$lit50')").head().getDouble(0)
+    val viaCol = Seq(lit50).toDF("text")
+      .select(TextFunctions.deflateRatio(col("text"))).head().getDouble(0)
+    assert(viaSql == viaCol, s"SQL $viaSql != Column $viaCol on the same literal")
     val twice = Seq(prose, prose).toDF("text")
       .select(TextFunctions.deflateRatio(col("text"))).as[Double].collect()
     assert(twice(0) == twice(1), "ratio must be deterministic")

@@ -179,20 +179,37 @@ object ScaleSweep {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     // events: replica r = a fresh user population repeating the same per-user
     // streams in the same time range (how real traffic scales) — windows see 10×
-    // GROUPS of unchanged depth; ts/event_type/value/props pass through verbatim.
-    val events = spark.read.parquet(s"$src/events.parquet")
-    val evStride = events.agg(max(col("event_id"))).head().getLong(0) + 1
-    val userStride = events.agg(max(col("user_id"))).head().getLong(0) + 1
-    val evReps = (0 until 10).map { r =>
-      events.select(
-        Seq(
-          (col("event_id") + lit(r.toLong * evStride)).as("event_id"),
-          (col("user_id") + lit(r.toLong * userStride)).as("user_id")) ++
-        events.columns.filterNot(c => c == "event_id" || c == "user_id").map(col): _*)
+    // GROUPS of unchanged depth; ts/event_type/value/props pass through. ts is
+    // normalized the same way Queries.t does (the fixture has shipped as BOTH
+    // TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across driver regenerations — a raw
+    // read would crash the standalone sweep on a nanos generation); the synthetic
+    // table is then written as plain TIMESTAMP, which t() passes through.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events0 = spark.read.parquet(s"$src/events.parquet")
+    val events = events0.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        events0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        events0.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => events0
     }
-    evReps.reduce(_ unionByName _)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    // one scan for both strides; an empty/all-NULL fixture skips replication
+    // cleanly instead of NPE-ing on getLong
+    val strides = events.agg(max(col("event_id")), max(col("user_id"))).head()
+    if (!strides.isNullAt(0) && !strides.isNullAt(1)) {
+      val evStride = strides.getLong(0) + 1
+      val userStride = strides.getLong(1) + 1
+      val evReps = (0 until 10).map { r =>
+        events.select(
+          Seq(
+            (col("event_id") + lit(r.toLong * evStride)).as("event_id"),
+            (col("user_id") + lit(r.toLong * userStride)).as("user_id")) ++
+          events.columns.filterNot(c => c == "event_id" || c == "user_id").map(col): _*)
+      }
+      evReps.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+    } else events.write.mode("overwrite").parquet(s"$out/events.parquet")
   }
 
   private def appendProgress(results: Seq[(String, Double, Double, Double)]): Unit = {
