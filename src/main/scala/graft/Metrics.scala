@@ -239,6 +239,43 @@ object Metrics {
       .select(col("max_key_rows"), col("total_rows"), col("distinct_keys"),
         ratio(col("max_key_rows"), col("total_rows")).as("top_key_share"))
 
+  /** Robust (median/MAD) outlier profile: median, median absolute deviation, and
+    * the count of values beyond `k` MADs — the outlier screen that, unlike mean/
+    * stddev z-scores, is not dragged by the outliers it hunts (50% breakdown
+    * point). NULL / NaN / ±Inf values are excluded. Constant data (MAD 0) flags
+    * every value ≠ median — the standard degenerate caveat, surfaced by mad = 0
+    * in the output rather than hidden.
+    *
+    * Scale: two exact-quantile passes through [[graft.operators.Quantiles]]
+    * (sketch + bracket verification — driver memory bounded regardless of n; the
+    * medians come back as scalars) and one filtered count scan. Three bounded
+    * scans, no data-scale shuffle.
+    */
+  def robustOutliers(df: DataFrame, colName: String, k: Double = 3.5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = col(colName).cast("double")
+    val vals = df.select(x.as("_v"))
+      .filter(col("_v").between(-Double.MaxValue, Double.MaxValue))
+    graft.operators.Quantiles.exactQuantile(vals, "_v", 0.5) match {
+      case None =>
+        // one row, not zero: a SQL aggregate over an empty input yields
+        // (0, NULL, NULL, 0), and the oracle comparison expects that shape
+        Seq((0L, Option.empty[Double], Option.empty[Double], 0L))
+          .toDF("n_values", "median", "mad", "n_outliers")
+      case Some(med) =>
+        val devs = vals.select(abs(col("_v") - lit(med)).as("_v"))
+        val mad = graft.operators.Quantiles.exactQuantile(devs, "_v", 0.5).get
+        vals.agg(
+          count(lit(1)).as("n_values"),
+          lit(med).as("median"),
+          lit(mad).as("mad"),
+          coalesce(sum(when(abs(col("_v") - lit(med)) > lit(k * mad), 1L)
+            .otherwise(0L)), lit(0L)).as("n_outliers"))
+    }
+  }
+
   /** Corpus vocabulary head: the `k` most frequent whitespace tokens with counts and
     * corpus share — the vocab-coverage/OOV-rate input a tokenizer-training or
     * mixture-debugging pass reads first. Shape: explode is row-local; per-token

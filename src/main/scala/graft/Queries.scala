@@ -2493,6 +2493,24 @@ object Queries {
              | CAST(coalesce(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS singleton_sessions
              | FROM st""".stripMargin.replaceAll("\n", " "))),
 
+    // Robust median/MAD outlier screen over events.value (k = 3.5 MADs): immune
+    // to the outliers it hunts, unlike mean/stddev z-scores. Both medians are
+    // exact interpolated quantiles (the sketch+bracket operator vs quantile_cont,
+    // the same parity the median/quantile queries already pin).
+    QueryDef("robust_outliers_events",
+      (s, d) => graft.Metrics.robustOutliers(t(s, d, "events"), "value", k = 3.5)
+        .select(col("n_values"), round(col("median"), 6).as("median"),
+          round(col("mad"), 6).as("mad"), col("n_outliers")),
+      Some("""WITH v AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+             |   WHERE value IS NOT NULL AND NOT isnan(value) AND isfinite(value)),
+             | m AS (SELECT quantile_cont(x, 0.5) AS med FROM v),
+             | d2 AS (SELECT quantile_cont(abs(x - med), 0.5) AS mad FROM v, m)
+             | SELECT CAST(count(*) AS BIGINT) AS n_values,
+             | round((SELECT med FROM m), 6) AS median,
+             | round((SELECT mad FROM d2), 6) AS mad,
+             | CAST(coalesce(sum(CASE WHEN abs(x - (SELECT med FROM m)) > 3.5 * (SELECT mad FROM d2) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers
+             | FROM v""".stripMargin.replaceAll("\n", " "))),
+
     // Compression-ratio quality sweep: no SQL engine can replay deflate, so this
     // query carries NO oracle — the driver records the weaker rows-only check, by
     // design (the kernel itself is spec-gated: ordering, determinism, edges).

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+// (robustOutliers tests appended at the bottom of this suite)
 
 class MetricsSpec extends SparkSpec {
 
@@ -174,5 +175,30 @@ class MetricsSpec extends SparkSpec {
     assert(r.getAs[Long]("max_key_rows") == 1L)
     assert(r.getAs[Long]("distinct_keys") == 10L)
     assert(math.abs(r.getAs[Double]("top_key_share") - 0.1) < 1e-12)
+  }
+
+  test("robustOutliers: median/MAD exactness, outlier count, degenerate and empty classes") {
+    import spark.implicits._
+    // values 1..9 plus one far outlier: median 5.5? n=10 values: 1..9 + 1000
+    // sorted: 1..9,1000 -> median = (5+6)/2 = 5.5; deviations |x-5.5|:
+    // .5,1.5,2.5,3.5,4.5,0.5,1.5,2.5,3.5,994.5 sorted -> mad = (2.5+2.5)/2 = 2.5
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).map(Option(_)).toDF("v")
+    val r = Metrics.robustOutliers(df, "v", k = 3.5).head()
+    assert(r.getLong(0) == 10L)
+    assert(r.getDouble(1) == 5.5 && r.getDouble(2) == 2.5)
+    // |x-5.5| > 8.75: only 1000 qualifies
+    assert(r.getLong(3) == 1L, s"$r")
+    // NaN/Inf/null excluded
+    val hostile = Seq(Some(1.0), Some(2.0), Some(3.0), Some(Double.NaN),
+      Some(Double.PositiveInfinity), None).toDF("v")
+    val h = Metrics.robustOutliers(hostile, "v").head()
+    assert(h.getLong(0) == 3L && h.getDouble(1) == 2.0)
+    // constant data: mad 0 surfaces; nothing differs from the median
+    val const = Seq.fill(5)(7.0).map(Option(_)).toDF("v")
+    val c = Metrics.robustOutliers(const, "v").head()
+    assert(c.getDouble(2) == 0.0 && c.getLong(3) == 0L)
+    // empty: one (0, NULL, NULL, 0) row, the SQL-aggregate shape
+    val e = Metrics.robustOutliers(df.filter(org.apache.spark.sql.functions.lit(false)), "v").head()
+    assert(e.getLong(0) == 0L && e.isNullAt(1) && e.isNullAt(2) && e.getLong(3) == 0L)
   }
 }
