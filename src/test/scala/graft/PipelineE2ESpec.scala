@@ -1,0 +1,99 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** End-to-end integration of the LLM data-curation pipeline over the real fixture
+  * corpus: quality-filter → corpus line dedup → exact dedup → near-dup dedup →
+  * decontaminate → split → shuffle → shard-pack → physical write. One test chains
+  * every stage the way a user would, so cross-operator interface drift (column
+  * contracts, null handling, determinism) breaks HERE before it breaks a pipeline.
+  */
+class PipelineE2ESpec extends SparkSpec {
+
+  test("full curation pipeline composes end to end with exact row accounting") {
+    import spark.implicits._
+    val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+    val n0 = raw.count()
+    assert(n0 > 0, "fixture must not be empty")
+
+    // 1. quality gate: Gopher rules + heuristic score (keep the permissive side —
+    //    the synthetic docs are word-salad-ish, the gate must not empty the corpus)
+    val quality = raw.filter(
+      TextFunctions.qualityScore(col("text")) > 0.2 &&
+        TextFunctions.tokenCount(col("text")) >= 3)
+    val n1 = quality.count()
+    assert(n1 > 0 && n1 <= n0)
+
+    // 2. corpus-wide line dedup (inject shared boilerplate so the stage has work)
+    val withBoiler = quality.select(col("doc_id"),
+      concat(lit("SHARED HEADER\n"), col("text")).as("text"))
+    val lineDeduped = Dedup.dedupLinesAcrossCorpus(withBoiler, "doc_id", "text")
+    assert(lineDeduped.count() == n1, "line dedup must preserve doc count")
+    assert(lineDeduped.agg(sum("lines_dropped")).head().getLong(0) == n1 - 1,
+      "exactly one boilerplate survivor corpus-wide")
+
+    // 3. exact dedup on the normalized fingerprint
+    val fp = lineDeduped.withColumn("_fp", TextFunctions.fingerprint(col("text")))
+    val exactDeduped = fp.withColumn("_rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_fp")).orderBy(col("doc_id"))))
+      .filter(col("_rn") === 1).drop("_rn", "_fp")
+    val n3 = exactDeduped.count()
+    assert(n3 > 0 && n3 <= n1)
+
+    // 4. near-dup dedup (MinHash-LSH candidates -> exact-Jaccard verify -> keep lowest id)
+    val nearDeduped = Dedup.dedupNearMinhash(exactDeduped, "doc_id", "text",
+      threshold = 0.85, shingleSize = 5)
+    val n4 = nearDeduped.count()
+    assert(n4 > 0 && n4 <= n3)
+
+    // 5. decontamination against a probe set built from 3 documents of the corpus
+    //    itself — those 3 must score as fully contaminated and get dropped
+    val probe = nearDeduped.orderBy("doc_id").limit(3)
+      .select(col("doc_id").as("p_id"), col("text").as("p_text"))
+    val contamination = Dedup.crossCorpusContamination(
+      nearDeduped, probe, "text", "p_id", "p_text", ngramWords = 8)
+    val contaminatedIds = contamination.filter(col("contamination") >= 0.8)
+      .select(col("probe_id")).as[Long].collect().toSet
+    assert(contaminatedIds.nonEmpty, "self-probe must detect contamination")
+    val clean = nearDeduped.join(
+      probe.select(col("p_id").as("doc_id")), Seq("doc_id"), "left_anti")
+    val n5 = clean.count()
+    assert(n5 == n4 - 3)
+
+    // 6. deterministic split + seeded shuffle + token-budget shard packing
+    val split = Splits.hashSplit(clean, "doc_id",
+      Seq("train" -> 0.9, "test" -> 0.1), seed = 13)
+    assert(split.filter(col("split").isNull).count() == 0L)
+    val train = split.filter(col("split") === "train").drop("split")
+    val shuffled = Splits.deterministicShuffle(train, "doc_id", seed = 99)
+    val order1 = shuffled.select("doc_id").as[Long].collect().toSeq
+    val order2 = Splits.deterministicShuffle(train, "doc_id", seed = 99)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(order1 == order2, "the training order must be reproducible")
+
+    val withToks = train.select(col("doc_id"),
+      coalesce(TextFunctions.tokenCount(col("text")).cast("long"), lit(0L)).as("toks"))
+    val packed = Sharding.packIntoShards(withToks, "doc_id", "toks", budget = 500L)
+    val shardStats = packed.groupBy("shard_id")
+      .agg(sum("toks").as("toks"), count(lit(1)).as("docs")).collect()
+    assert(shardStats.nonEmpty)
+    val totalToks = withToks.agg(sum("toks")).head().getLong(0)
+    assert(shardStats.map(_.getLong(1)).sum == totalToks, "no tokens lost in packing")
+
+    // 7. physical write: one file per shard directory
+    val out = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    Sharding.writeShards(withToks, "doc_id", "toks", budget = 500L, path = out)
+    val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("shard_id="))
+    assert(dirs.length == shardStats.length, "one directory per shard")
+    dirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"${d.getName} must hold exactly one file")
+    }
+    val readBack = spark.read.parquet(out)
+    assert(readBack.count() == train.count(), "write round-trip preserves rows")
+  }
+}
