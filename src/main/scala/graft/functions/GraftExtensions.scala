@@ -131,7 +131,7 @@ object GraftFunctions {
         "graft_nfkc(text) - Unicode NFKC compatibility fold (UAX #15)",
         fromColumns("graft_nfkc", 1, cs => T.nfkcNormalize(cs.head))),
       ("graft_deflate_ratio",
-        "graft_deflate_ratio(text) - zlib-6 compressed/raw byte ratio (lower = more repetitive)",
+        "graft_deflate_ratio(text) - raw-deflate-level-6 compressed/raw byte ratio (lower = more repetitive)",
         fromColumns("graft_deflate_ratio", 1, cs => T.deflateRatio(cs.head))))
   }
 

@@ -74,7 +74,9 @@ object HashedEmbeddingKernel {
   * too well" quality signal (CCNet / RedPajama-style filters drop documents whose
   * ratio is far from natural prose on either side: boilerplate/template spam
   * compresses hard, random noise not at all). `ratio = deflate(bytes) / bytes`
-  * at zlib level 6 — LOWER means more repetitive. Deterministic for a given JDK
+  * as RAW deflate (nowrap — no zlib header/checksum framing, so ratios run a few
+  * bytes lower than framed zlib output) at level 6 — LOWER means more
+  * repetitive. Deterministic for a given JDK
   * (the bundled zlib); there is no SQL-engine oracle for deflate, so this surface
   * is spec-gated and its corpus query is rows-only-checked by design.
   */

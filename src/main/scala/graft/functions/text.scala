@@ -70,8 +70,8 @@ object TextFunctions {
     lit(1.0) / (lit(1.0) + exp(-z))
   }
 
-  /** Deflate compression ratio ([[DeflateRatio]]): `compressed/raw` bytes at zlib
-    * level 6 — LOWER = more repetitive. The CCNet/RedPajama-style quality signal
+  /** Deflate compression ratio ([[DeflateRatio]]): `compressed/raw` bytes as raw
+    * deflate at level 6 — LOWER = more repetitive. The CCNet/RedPajama-style quality signal
     * for template spam (compresses hard) and noise (doesn't compress). NULL ⇒
     * NULL; empty text ⇒ 1.0. No SQL oracle exists for deflate — spec-gated.
     */

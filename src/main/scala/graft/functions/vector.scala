@@ -40,7 +40,8 @@ case class CosineToProbe(child: Expression, probe: IndexedSeq[Double])
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val p = probeArr
-    val n = math.min(arr.numElements(), p.length)
+    val n = arr.numElements()
+    if (n != p.length) throw CosineToProbe.dimMismatch(prettyName, n, p.length)
     var dot = 0.0
     var nv = 0.0
     var i = 0
@@ -73,7 +74,10 @@ case class CosineToProbe(child: Expression, probe: IndexedSeq[Double])
       s"""
          |double $dot = 0.0;
          |double $nv = 0.0;
-         |int $n = java.lang.Math.min($c.numElements(), $probeRef.length);
+         |int $n = $c.numElements();
+         |if ($n != $probeRef.length) {
+         |  throw graft.functions.CosineToProbe.dimMismatch("cosine_to_probe", $n, $probeRef.length);
+         |}
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$c.isNullAt($i)) {
          |    double $x = (double) $c.getFloat($i);
@@ -88,6 +92,18 @@ case class CosineToProbe(child: Expression, probe: IndexedSeq[Double])
 
   override protected def withNewChildInternal(newChild: Expression): CosineToProbe =
     copy(child = newChild)
+}
+
+object CosineToProbe {
+  /** Fail-loud on a vector/probe dimension mismatch — scoring a PREFIX would
+    * silently degrade every downstream score (same rule as `ivfAssign` and
+    * `Dedup.bucketFor`). Called from generated code via the static forwarder, so
+    * it returns the exception for a Java-side `throw`.
+    */
+  def dimMismatch(fn: String, vecDims: Int, probeDims: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"$fn: vector has $vecDims dims but the probe/weight vector has $probeDims — " +
+        "refusing to score a prefix; re-embed or fix the model dimensions")
 }
 
 /** Native pairwise cosine similarity of two float-vector columns — the verify-stage
@@ -247,7 +263,8 @@ case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpr
   * corpus-scan hot path; this is one fused loop over the unsafe float array.
   * Accumulation starts AT `bias` and adds terms in index order — bit-identical to
   * the left fold `aggregate(zip_with(v, w, _*_), bias, _+_)` it replaces.
-  * Null array ⇒ null; null elements contribute nothing.
+  * Null array ⇒ null; null elements contribute nothing; a vector whose length
+  * differs from `probe` throws (see [[CosineToProbe.dimMismatch]]).
   */
 case class AffineToProbe(child: Expression, probe: IndexedSeq[Double], bias: Double)
     extends UnaryExpression {
@@ -264,7 +281,8 @@ case class AffineToProbe(child: Expression, probe: IndexedSeq[Double], bias: Dou
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val p = probeArr
-    val n = math.min(arr.numElements(), p.length)
+    val n = arr.numElements()
+    if (n != p.length) throw CosineToProbe.dimMismatch(prettyName, n, p.length)
     var acc = bias
     var i = 0
     while (i < n) {
@@ -287,7 +305,10 @@ case class AffineToProbe(child: Expression, probe: IndexedSeq[Double], bias: Dou
       val n = ctx.freshName("n")
       s"""
          |double $acc = $biasLit;
-         |int $n = java.lang.Math.min($c.numElements(), $probeRef.length);
+         |int $n = $c.numElements();
+         |if ($n != $probeRef.length) {
+         |  throw graft.functions.CosineToProbe.dimMismatch("affine_to_probe", $n, $probeRef.length);
+         |}
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$c.isNullAt($i)) $acc += ((double) $c.getFloat($i)) * $probeRef[$i];
          |}

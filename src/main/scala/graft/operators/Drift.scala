@@ -116,9 +116,12 @@ object Drift {
         coalesce(sum(when(col("_ref_only"), 1L).otherwise(0L)), lit(0L)).as("ref_only_dims"),
         coalesce(sum(when(col("_cur_only"), 1L).otherwise(0L)), lit(0L)).as("cur_only_dims"),
         sqrt(sum(pow(col("_mr") - col("_mc"), 2.0))).as("l2_shift"),
-        (sum(col("_mr") * col("_mc")) /
-          (sqrt(sum(pow(col("_mr"), 2.0))) * sqrt(sum(pow(col("_mc"), 2.0)))))
-          .as("centroid_cosine"),
+        // NULL (not an ANSI DIVIDE_BY_ZERO) when either centroid is exactly
+        // zero — e.g. one side empty — matching psi's NULL-on-empty-side.
+        {
+          val den = sqrt(sum(pow(col("_mr"), 2.0))) * sqrt(sum(pow(col("_mc"), 2.0)))
+          when(den > 0.0, sum(col("_mr") * col("_mc")) / den).as("centroid_cosine")
+        },
         max(abs(col("_mr") - col("_mc"))).as("max_dim_shift"))
   }
 }

@@ -35,6 +35,7 @@ object Sampling {
     require(salt >= 1, s"salt must be >= 1, got $salt")
     require(strataCols.nonEmpty && orderCols.nonEmpty,
       "quotaPerStratum needs at least one stratum column and one order column")
+    reserveInternal(df, if (salt <= 1) Seq("_rn") else Seq("_salt", "_rn1", "_rn"))
     val strata = strataCols.map(col)
     val order = orderCols.map(col)
     val base =
@@ -61,6 +62,7 @@ object Sampling {
       orderCols: Seq[String], salt: Int = 1): DataFrame = {
     require(quotas.nonEmpty, "mixtureSample needs at least one stratum quota")
     require(quotas.values.forall(_ > 0), s"quotas must be positive: $quotas")
+    reserveInternal(df, Seq("_q_rank"))
     val kMax = quotas.values.max
     val quotaCol = quotas.foldLeft(lit(0)) { case (acc, (s, k)) =>
       when(col(strataCol) === s, lit(k)).otherwise(acc)
@@ -144,6 +146,16 @@ object Sampling {
         col("weight") * lit(budgetRows.toDouble) / col("n_rows").cast("double"))
       .select(col(strataCol), col("n_rows"), col("weight"), col("expected_epochs"))
   }
+
+  /** `withColumn` on an existing name silently REPLACES the caller's column and the
+    * trailing `drop` then deletes it — same reserved-column convention as
+    * `chunkByTokens`/`sessionize`/`withRunningTotal`.
+    */
+  private def reserveInternal(df: DataFrame, names: Seq[String]): Unit =
+    names.foreach { n =>
+      require(!df.columns.contains(n),
+        s"input already has a column named '$n' (reserved internal name)")
+    }
 
   private val BUCKETS = 1000000L
 

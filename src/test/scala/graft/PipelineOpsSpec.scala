@@ -631,6 +631,70 @@ class PipelineOpsSpec extends SparkSpec {
     assert(dimChange._4 > 4.9, "new dims' mass must count as shift (3-4-5 triangle: 5)")
   }
 
+  test("embeddingShift: one-sided-empty comparison yields NULL cosine, not DIVIDE_BY_ZERO") {
+    import spark.implicits._
+    val a = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))).toDF("id", "v")
+    val empty = a.filter(lit(false))
+    // Empty cur side: every ref dim compares against mean 0, so the cosine
+    // denominator is exactly 0.0 — must be NULL (matching psi's NULL-on-empty),
+    // not an ANSI DIVIDE_BY_ZERO runtime error.
+    val oneSided = Drift.embeddingShift(a, empty, "v").head()
+    assert(oneSided.isNullAt(oneSided.fieldIndex("centroid_cosine")))
+    assert(oneSided.getDouble(oneSided.fieldIndex("l2_shift")) > 0.0,
+      "the ref side's whole mass is the shift")
+    // Both sides empty: zero output rows upstream of the final agg — still no error.
+    val bothEmpty = Drift.embeddingShift(empty, empty, "v").head()
+    assert(bothEmpty.getLong(bothEmpty.fieldIndex("n_dims")) == 0L)
+    assert(bothEmpty.isNullAt(bothEmpty.fieldIndex("centroid_cosine")))
+  }
+
+  test("sampling operators refuse inputs that shadow reserved internal columns") {
+    import spark.implicits._
+    val clash = (1 to 10).map(i => (i.toLong, "en", i)).toDF("id", "lang", "_rn")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.quotaPerStratum(clash, Seq("lang"), 3, Seq("id"))
+    }
+    assert(e1.getMessage.contains("_rn"))
+    // the salt-path columns are only reserved when the salt path actually runs
+    val saltClash = (1 to 10).map(i => (i.toLong, "en", i)).toDF("id", "lang", "_salt")
+    Sampling.quotaPerStratum(saltClash, Seq("lang"), 3, Seq("id")) // salt=1: fine
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.quotaPerStratum(saltClash, Seq("lang"), 3, Seq("id"), salt = 4)
+    }
+    assert(e2.getMessage.contains("_salt"))
+    val qClash = (1 to 10).map(i => (i.toLong, "en", i)).toDF("id", "lang", "_q_rank")
+    val e3 = intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(qClash, "lang", Map("en" -> 3), Seq("id"))
+    }
+    assert(e3.getMessage.contains("_q_rank"))
+  }
+
+  test("probe kernels fail loud on a vector/weights dimension mismatch") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    def rootMessage(t: Throwable): String = {
+      var cur = t; val sb = new StringBuilder
+      while (cur != null) { sb.append(cur.getMessage).append('\n'); cur = cur.getCause }
+      sb.toString
+    }
+    // 2-dim weights against a 3-dim vector: scoring a prefix would silently
+    // corrupt every score — both kernels must throw instead (ivfAssign rule).
+    val eAff = intercept[Exception] {
+      df.select(graft.functions.VectorFunctions.affineToProbe(
+        col("v"), Seq(1.0, 2.0), 0.5)).collect()
+    }
+    assert(rootMessage(eAff).contains("refusing to score a prefix"), rootMessage(eAff))
+    val eCos = intercept[Exception] {
+      df.select(graft.functions.VectorFunctions.cosineToProbe(
+        col("v"), Seq(1.0f, 2.0f))).collect()
+    }
+    assert(rootMessage(eCos).contains("refusing to score a prefix"), rootMessage(eCos))
+    // matched dims still score
+    val ok = df.select(graft.functions.VectorFunctions.affineToProbe(
+      col("v"), Seq(1.0, 1.0, 1.0), 0.0)).head().getDouble(0)
+    assert(math.abs(ok - 6.0) < 1e-9)
+  }
+
   test("deflateRatio orders repetitive < prose < noise; edge classes defined") {
     import spark.implicits._
     val rng = new scala.util.Random(5)
