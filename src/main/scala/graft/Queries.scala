@@ -2652,7 +2652,76 @@ object Queries {
            | FROM documents
            | WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 7 = 0""".stripMargin
           .replaceAll("\n", " ")
-      })
+      }),
+
+    // As-of (point-in-time) join: every event enriched with the most recent
+    // "snapshot" (every-10th event per user, deduped to unique instants) — the
+    // union+window carry plan vs DuckDB's native ASOF LEFT JOIN. NULL-key rows
+    // excluded on BOTH engines: SQL equi-keys never match on NULL, while a window
+    // partition groups NULLs together (documented operator semantics). NULL left
+    // TIMES also excluded on both: DuckDB's ASOF operator sorts NULL times last
+    // and matches them to the final right row, where this operator (like pandas
+    // merge_asof) never matches a timeless row — the operator's semantics are
+    // spec-pinned; the oracle compares the shared domain.
+    QueryDef("asof_join_events",
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+        val left = ev.filter(col("event_id").isNotNull && col("ts").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("t_us"), col("value"))
+        val right = ev
+          .filter(col("event_id").isNotNull && col("ts").isNotNull &&
+            col("event_id") % 10 === 0)
+          .groupBy(col("user_id"), unix_micros(col("ts")).as("rt_us"))
+          .agg(max(col("value")).as("snap_value"))
+        graft.operators.AsOf.asofJoin(left, right, Seq("user_id"), "t_us", "rt_us",
+            Seq("snap_value"), matchedTimeCol = Some("mt_us"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("mt_us").isNotNull, 1L).otherwise(0L)).cast("bigint")
+              .as("n_matched"),
+            round(sum(col("snap_value")), 2).as("sum_snap"),
+            sum(col("t_us") - col("mt_us")).cast("bigint").as("staleness_us"))
+      },
+      Some("""WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t_us, value FROM events
+             |   WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND ts IS NOT NULL),
+             | r AS (SELECT user_id, epoch_us(ts) AS rt_us, max(value) AS snap_value FROM events
+             |   WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND ts IS NOT NULL
+             |     AND event_id % 10 = 0 GROUP BY 1, 2)
+             | SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             | CAST(sum(CASE WHEN rt_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+             | round(sum(snap_value), 2) AS sum_snap,
+             | CAST(sum(t_us - rt_us) AS BIGINT) AS staleness_us
+             | FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t_us >= r.rt_us"""
+        .stripMargin.replaceAll("\n", " "))),
+
+    // Range (interval-containment) join: every event inside any user's first-hour
+    // window — the bin-bucketed equi-join plan (shuffle-linear) vs DuckDB's native
+    // inequality join. Aggregated so output size stays bounded at any SF.
+    QueryDef("range_join_events",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val pts = ev.filter(col("ts").isNotNull && col("event_id").isNotNull)
+          .select(col("event_id"), unix_micros(col("ts")).as("x"))
+        val ivs = ev.filter(col("ts").isNotNull && col("user_id").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(min(unix_micros(col("ts"))).as("s"))
+          .withColumn("e", col("s") + lit(3600L * 1000000L))
+        graft.operators.Joins.rangeJoin(pts, ivs, "x", "s", "e",
+            binWidth = 3600.0 * 1000000.0)
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("user_id")).as("n_intervals_hit"),
+            sum(col("x") - col("s")).cast("bigint").as("sum_offset_us"))
+      },
+      Some("""WITH p AS (SELECT event_id, epoch_us(ts) AS x FROM events
+             |   WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+             | iv AS (SELECT user_id, min(epoch_us(ts)) AS s, min(epoch_us(ts)) + 3600000000 AS e
+             |   FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1)
+             | SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             | CAST(count(DISTINCT user_id) AS BIGINT) AS n_intervals_hit,
+             | CAST(sum(x - s) AS BIGINT) AS sum_offset_us
+             | FROM p JOIN iv ON p.x >= iv.s AND p.x <= iv.e"""
+        .stripMargin.replaceAll("\n", " ")))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

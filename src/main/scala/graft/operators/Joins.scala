@@ -40,4 +40,59 @@ object Joins {
       .drop(saltedDim("_salt")).drop(saltedFacts("_salt"))
     keys.map(_._2).foldLeft(joined)((df, d) => df.drop(saltedDim(d)))
   }
+
+  /** Range (interval-containment) join: pair every point row with every interval row
+    * whose `[start, end]` contains the point — without the
+    * BroadcastNestedLoopJoin/cartesian plan Spark picks for a raw inequality
+    * condition (quadratic compares: every point against every interval).
+    *
+    * Strategy: discretize the domain into `binWidth`-sized bins. Each interval
+    * EXPLODES to the bins it covers; each point has exactly ONE bin; an equi-join on
+    * the bin then only compares points against intervals overlapping their bin, and
+    * the exact containment filter removes same-bin non-matches. A (point, interval)
+    * pair can only meet in the point's single bin, so no dedup pass is needed.
+    * Cost: one hash shuffle on the bin key of |points| + Σ spans/binWidth rows —
+    * shuffle-linear, never pair-quadratic.
+    *
+    * `binWidth` tunes the trade: small bins → more interval replicas, less
+    * filtering; large bins → few replicas, more same-bin false compares. Set it near
+    * the TYPICAL interval length. An interval spanning more than `maxBinsPerInterval`
+    * bins fails loud (a single giant interval would otherwise replicate itself across
+    * the whole axis — at corpus scale that is an accidental cross join; raise
+    * `binWidth` or split the outlier interval).
+    *
+    * Semantics: inner join, containment inclusive on both ends (`start <= p <= end`).
+    * NULL points, NULL bounds, and inverted intervals (`end < start`) match nothing.
+    * Time columns: pass numeric columns (cast timestamps to epoch seconds up front —
+    * keeps binning arithmetic exact and engine-portable).
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, pointCol: String,
+      startCol: String, endCol: String, binWidth: Double,
+      maxBinsPerInterval: Int = 4096): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
+    require(!points.columns.contains("_bin") && !intervals.columns.contains("_bin"),
+      "input already has a _bin column (reserved internal name)")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"column name collision between sides: ${overlap.mkString(", ")} — rename before joining")
+    def binOf(c: Column) = floor(c / binWidth).cast("long")
+    val p = points.filter(col(pointCol).isNotNull)
+      .withColumn("_bin", binOf(col(pointCol)))
+    val spanBins = binOf(col(endCol)) - binOf(col(startCol)) + 1L
+    val iv = intervals
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(endCol) >= col(startCol))
+      // Fail IN THE TASK, not after a collect: raise_error inside the projection
+      // stops the job the moment one runaway interval appears.
+      .withColumn("_bin", explode(sequence(
+        when(spanBins <= maxBinsPerInterval, binOf(col(startCol)))
+          .otherwise(raise_error(concat(
+            lit(s"rangeJoin: interval spans more than $maxBinsPerInterval bins of width $binWidth ("),
+            spanBins, lit(" bins) — raise binWidth or split the interval")))),
+        binOf(col(endCol)))))
+    p.join(iv, Seq("_bin"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("_bin")
+  }
 }

@@ -1,0 +1,142 @@
+package graft
+
+import graft.operators.{AsOf, Joins}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join and range (interval) join. */
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def trades = Seq(
+    ("A", 10L, 100), ("A", 20L, 200), ("A", 25L, 250), ("B", 5L, 50), ("B", 30L, 300))
+    .toDF("sym", "t", "qty")
+  private def quotes = Seq(
+    ("A", 8L, 1.0), ("A", 20L, 2.0), ("A", 21L, 3.0), ("B", 29L, 9.0))
+    .toDF("sym", "qt", "px")
+
+  test("asofJoin keyed backward: latest at-or-before, inclusive ties, unmatched NULL") {
+    val out = AsOf.asofJoin(trades, quotes, Seq("sym"), "t", "qt", Seq("px"),
+      matchedTimeCol = Some("mt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Double]), Option(r.get(4)).map(_.asInstanceOf[Long])))
+      .toMap
+    assert(out(("A", 10L)) == (Some(1.0), Some(8L)))
+    assert(out(("A", 20L)) == (Some(2.0), Some(20L)), "equal instant is inclusive")
+    assert(out(("A", 25L)) == (Some(3.0), Some(21L)))
+    assert(out(("B", 5L)) == (None, None), "before first quote: left row kept, NULL payload")
+    assert(out(("B", 30L)) == (Some(9.0), Some(29L)))
+    assert(out.size == 5, "every left row exactly once")
+  }
+
+  test("asofJoin forward + tolerance + NULL-time semantics") {
+    val fwd = AsOf.asofJoin(trades, quotes, Seq("sym"), "t", "qt", Seq("px"), forward = true)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(3))).toMap
+    assert(fwd(("A", 10L)).contains(2.0), "earliest at-or-after")
+    assert(fwd(("A", 20L)).contains(2.0), "inclusive at the instant")
+    assert(fwd(("A", 25L)).isEmpty, "no later quote")
+    assert(fwd(("B", 5L)).contains(9.0))
+    // tolerance: A@25's match (21) is 4 old — tolerance 3 discards it, keeps the row
+    val tol = AsOf.asofJoin(trades, quotes, Seq("sym"), "t", "qt", Seq("px"),
+      tolerance = Some(lit(3L)))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(3))).toMap
+    assert(tol(("A", 25L)).isEmpty && tol(("A", 20L)).contains(2.0))
+    assert(tol.size == 5)
+    // NULL left time never matches; NULL right time is dropped, not "earliest"
+    val nl = Seq(("A", Option.empty[Long], 1)).toDF("sym", "t", "qty")
+    val nr = quotes.unionByName(Seq(("A", Option.empty[Long], 99.0)).toDF("sym", "qt", "px"))
+    val out = AsOf.asofJoin(nl, nr, Seq("sym"), "t", "qt", Seq("px")).collect()
+    assert(out.length == 1 && out(0).isNullAt(3))
+    // forward mode must not leak a match to a NULL-time left row either (desc
+    // ordering parks NULLs LAST — the carry state there holds a real match)
+    val outF = AsOf.asofJoin(nl, nr, Seq("sym"), "t", "qt", Seq("px"), forward = true).collect()
+    assert(outF.length == 1 && outF(0).isNullAt(3))
+    val outG = AsOf.asofJoin(nl.drop("sym"), nr.drop("sym"), Nil, "t", "qt", Seq("px")).collect()
+    assert(outG.length == 1 && outG(0).isNullAt(2), "global path: NULL time never matches")
+    // a right row with a NULL payload VALUE still wins the carry (state goes NULL)
+    val nullPx = Seq(("A", 9L, Option.empty[Double])).toDF("sym", "qt", "px")
+    val carried = AsOf.asofJoin(trades.filter($"sym" === "A"),
+      quotes.unionByName(nullPx), Seq("sym"), "t", "qt", Seq("px"))
+      .collect().map(r => r.getLong(1) -> Option(r.get(3))).toMap
+    assert(carried(10L).isEmpty, "NULL-payload quote at t=9 must replace px=1.0, not be skipped")
+  }
+
+  test("asofJoin global (un-keyed) matches the keyed plan on a constant key") {
+    val rng = new scala.util.Random(7)
+    val left = (1 to 5000).map(_ => (rng.nextInt(100000).toLong, rng.nextInt(1000)))
+      .toDF("t", "v").withColumn("k", lit(1))
+    val right = (1 to 800).map(_ => (rng.nextInt(100000).toLong, rng.nextDouble()))
+      .toDF("rt", "price").withColumn("k", lit(1))
+    def canon(df: DataFrame) = df.select("t", "v", "price", "mt")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val keyed = canon(AsOf.asofJoin(left, right, Seq("k"), "t", "rt", Seq("price"),
+      matchedTimeCol = Some("mt")))
+    val global = canon(AsOf.asofJoin(left.drop("k"), right.drop("k"), Nil, "t", "rt",
+      Seq("price"), matchedTimeCol = Some("mt")))
+    assert(keyed.length == 5000 && global.length == 5000)
+    assert(keyed.sameElements(global),
+      "distributed range-partitioned carry must equal the single-key window plan")
+    // forward flavor too (exercises the desc range partitioning + seeds)
+    val keyedF = canon(AsOf.asofJoin(left, right, Seq("k"), "t", "rt", Seq("price"),
+      matchedTimeCol = Some("mt"), forward = true))
+    val globalF = canon(AsOf.asofJoin(left.drop("k"), right.drop("k"), Nil, "t", "rt",
+      Seq("price"), matchedTimeCol = Some("mt"), forward = true))
+    assert(keyedF.sameElements(globalF))
+  }
+
+  test("asofJoin plan: keyed path is one shuffle, no join node") {
+    val plan = AsOf.asofJoin(trades, quotes, Seq("sym"), "t", "qt", Seq("px"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"exactly one hash exchange expected:\n$plan")
+  }
+
+  test("asofJoin guards: reserved names, payload clash, missing keys") {
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoin(trades.withColumnRenamed("qty", "px"), quotes, Seq("sym"), "t", "qt", Seq("px"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoin(trades.withColumn("_side", lit(1)), quotes, Seq("sym"), "t", "qt", Seq("px"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoin(trades, quotes, Seq("nope"), "t", "qt", Seq("px"))
+    }
+  }
+
+  test("rangeJoin matches the naive inequality join; inclusive ends; guards") {
+    val rng = new scala.util.Random(11)
+    val points = (1 to 2000).map(i => (i.toLong, rng.nextDouble() * 1000)).toDF("pid", "x")
+    val ivs = (1 to 300).map { i =>
+      val s = rng.nextDouble() * 1000
+      (i.toLong, s, s + rng.nextDouble() * 30)
+    }.toDF("iid", "s", "e")
+    val got = Joins.rangeJoin(points, ivs, "x", "s", "e", binWidth = 10.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = points.crossJoin(ivs).filter($"x" >= $"s" && $"x" <= $"e")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"diff: ${(got diff want).take(5)} / ${(want diff got).take(5)}")
+    // inclusive on both ends, exact bin boundaries, negative domain
+    val bp = Seq((1L, -20.0), (2L, -10.0), (3L, 0.0)).toDF("pid", "x")
+    val bi = Seq((1L, -20.0, -10.0), (2L, 0.0, 0.0)).toDF("iid", "s", "e")
+    val edge = Joins.rangeJoin(bp, bi, "x", "s", "e", binWidth = 10.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edge == Set((1L, 1L), (2L, 1L), (3L, 2L)))
+    // runaway interval fails loud in the task
+    val runaway = Seq((9L, 0.0, 1e9)).toDF("iid", "s", "e")
+    val e = intercept[Exception] {
+      Joins.rangeJoin(points, runaway, "x", "s", "e", binWidth = 10.0).count()
+    }
+    def msgs(t: Throwable): String = {
+      var cur = t; val sb = new StringBuilder
+      while (cur != null) { sb.append(cur.getMessage).append('\n'); cur = cur.getCause }
+      sb.toString
+    }
+    assert(msgs(e).contains("raise binWidth"), msgs(e))
+    // no quadratic plan: the bin equi-join must be a real hash/sort-merge join
+    val plan = Joins.rangeJoin(points, ivs, "x", "s", "e", 10.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join planned quadratic:\n$plan")
+  }
+}
