@@ -2330,10 +2330,15 @@ object Queries {
     * order re-derive identically in DuckDB. doc_id here is non-negative after the
     * NULL filter, but the double-mod keeps the SQL a faithful pmod.
     */
-  private def portableUSql(seed: Long): String = {
+  private def portableUSql(seed: Long): String = portableUSqlOn("doc_id", seed)
+
+  /** The [[graft.operators.Splits.portableUniform]] affine hash as DuckDB SQL over
+    * an arbitrary numeric expression — same constants, same arithmetic.
+    */
+  private def portableUSqlOn(expr: String, seed: Long): String = {
     val p = 2147483647L
     val (a1, b1, a2, b2) = graft.operators.Splits.seedConstants(seed)
-    s"""CAST((((((doc_id % $p) + $p) % $p
+    s"""CAST(((((($expr % $p) + $p) % $p
        | * $a1 + $b1) % $p * $a2 + $b2) % $p) AS DOUBLE) / $p.0""".stripMargin
       .replaceAll("\n", " ")
   }
@@ -2364,6 +2369,39 @@ object Queries {
          |   WHEN u < ${bounds(1)} THEN 'valid' ELSE 'test' END AS split FROM u)
          | SELECT split, count(*) AS n_rows, min(doc_id) AS min_id, max(doc_id) AS max_id
          | FROM a GROUP BY 1""".stripMargin.replaceAll("\n", " ")
+    }),
+
+    // Leakage-safe split: all chunks of one parent document land in ONE split
+    // (the eval-contamination guard). Parent = doc_id/5 with every 7th doc
+    // orphaned (NULL group → splits by its own key). Both engines derive the
+    // group representative (min key per group, singleton partition for orphans)
+    // and run the identical affine split hash over it.
+    QueryDef("leakage_safe_split_documents", {
+      val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+      (s, d) => {
+        val base = t(s, d, "documents").filter(col("doc_id").isNotNull)
+          .withColumn("parent", when(col("doc_id") % 7 === 0, lit(null).cast("long"))
+            .otherwise(floor(col("doc_id") / 5)))
+        graft.operators.Splits.leakageSafeSplit(base, "doc_id", "parent",
+            splits, seed = 13)
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("parent")).as("n_groups"),
+            min(col("doc_id")).as("min_id"))
+      }
+    }, Some {
+      val bounds = graft.operators.Splits.cumulativeBounds(
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      s"""WITH base AS (SELECT doc_id,
+         |   CASE WHEN doc_id % 7 = 0 THEN NULL ELSE CAST(floor(doc_id / 5) AS BIGINT) END AS parent
+         |   FROM documents WHERE doc_id IS NOT NULL),
+         | r AS (SELECT doc_id, parent, min(doc_id) OVER (
+         |   PARTITION BY parent, CASE WHEN parent IS NULL THEN doc_id END) AS rep FROM base),
+         | u AS (SELECT doc_id, parent, ${portableUSqlOn("rep", 13)} AS u FROM r),
+         | a AS (SELECT doc_id, parent, CASE WHEN u < ${bounds(0)} THEN 'train'
+         |   WHEN u < ${bounds(1)} THEN 'valid' ELSE 'test' END AS split FROM u)
+         | SELECT split, count(*) AS n_rows, CAST(count(DISTINCT parent) AS BIGINT) AS n_groups,
+         | min(doc_id) AS min_id FROM a GROUP BY 1""".stripMargin.replaceAll("\n", " ")
     }),
 
     // Seeded global shuffle: the first 15 rows of the permutation. Membership of the

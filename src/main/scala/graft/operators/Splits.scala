@@ -103,6 +103,39 @@ object Splits {
     df.withColumn(splitCol, when(col(keyCol).isNotNull, assigned))
   }
 
+  /** Leakage-safe splits: [[hashSplit]] keyed on a GROUP REPRESENTATIVE instead of
+    * the row key, so every row of a duplicate group (exact-dup fingerprint,
+    * near-dup cluster label from [[Dedup]], a source-document id for chunked rows —
+    * whatever `groupCol` encodes) lands in the SAME split. Splitting dup groups
+    * per-row is the classic eval-contamination bug: a near-copy of a test document
+    * sits in train and the eval silently inflates. Representative = `min(keyCol)`
+    * within the group — deterministic, content-independent of which copy appears
+    * first. Rows with a NULL `groupCol` have no group identity and split by their
+    * OWN key (they are not lumped into one mega-group); a NULL representative
+    * (NULL key too) yields a NULL split, matching [[hashSplit]].
+    *
+    * 100 TB shape: one keyed shuffle (the group-min window) then the row-local
+    * assignment — same cost class as the dedup that produced the groups. Skewed
+    * giant groups cost what any keyed window costs; the aggregate is a bare `min`,
+    * so enabling partial aggregation via `groupBy(groupCol).agg(min)` + join is the
+    * escape hatch if one group dominates (documented, not defaulted: the join
+    * doubles the shuffles for the common case).
+    */
+  def leakageSafeSplit(df: DataFrame, keyCol: String, groupCol: String,
+      splits: Seq[(String, Double)], seed: Long, splitCol: String = "split"): DataFrame = {
+    require(!df.columns.contains("_rep"),
+      "input already has a '_rep' column (reserved internal name)")
+    // NULL-group rows partition by their OWN key (second struct field), not into
+    // one giant NULL partition — a corpus where most rows have no fingerprint
+    // would otherwise funnel data-scale rows through a single window task. The
+    // singleton partition's min IS the row's own key, which is the wanted
+    // semantics anyway.
+    val part = struct(col(groupCol), when(col(groupCol).isNull, col(keyCol)))
+    val rep = min(col(keyCol))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy(part))
+    hashSplit(df.withColumn("_rep", rep), "_rep", splits, seed, splitCol).drop("_rep")
+  }
+
   /** Seeded deterministic global shuffle: total order by (u, key) — the key
     * tie-break keeps the order total even on colliding hashes, so the output is a
     * permutation, bit-stable across partition layouts.

@@ -43,6 +43,43 @@ class SplitsSpec extends SparkSpec {
     assert(s.exceptAll(s2).count() == 0L && s2.exceptAll(s).count() == 0L)
   }
 
+  test("leakageSafeSplit: groups never straddle splits; orphans split independently") {
+    import spark.implicits._
+    // 3000 rows in 300 groups of 10, plus 500 orphans (null group)
+    val grouped = (1 to 3000).map(i => (i.toLong, Some((i % 300).toLong)))
+    val orphans = (10001 to 10500).map(i => (i.toLong, Option.empty[Long]))
+    val df = (grouped ++ orphans).toDF("id", "grp")
+    val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val out = Splits.leakageSafeSplit(df, "id", "grp", splits, seed = 5).cache()
+    try {
+      // THE invariant: zero groups with rows in more than one split
+      val leaks = out.filter($"grp".isNotNull).groupBy("grp")
+        .agg(countDistinct($"split").as("k")).filter($"k" > 1).count()
+      assert(leaks == 0L, "a duplicate group straddles splits")
+      // full coverage, and group-level fractions roughly honored
+      assert(out.filter($"split".isNull).count() == 0)
+      val trainGroups = out.filter($"grp".isNotNull && $"split" === "train")
+        .select("grp").distinct().count()
+      assert(trainGroups > 200 && trainGroups < 280, s"got $trainGroups/300 train groups")
+      // orphans assign like plain hashSplit on their own key (same seed)
+      val orphanAssign = out.filter($"grp".isNull).select("id", "split")
+      val plain = Splits.hashSplit(orphans.toDF("id", "grp"), "id", splits, seed = 5)
+        .select("id", "split")
+      assert(orphanAssign.exceptAll(plain).count() == 0 &&
+        plain.exceptAll(orphanAssign).count() == 0)
+      // determinism across recomputation
+      val again = Splits.leakageSafeSplit(df, "id", "grp", splits, seed = 5)
+      assert(out.select("id", "split").exceptAll(again.select("id", "split")).count() == 0)
+    } finally out.unpersist(blocking = false)
+    // orphan rows do NOT share one window partition (skew guard): the partition
+    // key includes the row key when the group is null, so a mostly-orphan corpus
+    // cannot funnel through a single task. Verified via the invariant that a
+    // NULL-group row's representative is its own key (assignment equality above).
+    intercept[IllegalArgumentException] {
+      Splits.leakageSafeSplit(df.withColumn("_rep", lit(1)), "id", "grp", splits, 5)
+    }
+  }
+
   test("hashSplit validates fractions and names") {
     import spark.implicits._
     val df = Seq(1L).toDF("doc_id")
