@@ -1900,6 +1900,32 @@ object Queries {
              |   CASE WHEN tc > 0 THEN greatest(CAST(nc AS DOUBLE) / tc, 1e-6) END AS pc FROM j, t)
              | SELECT round(sum((pr - pc) * ln(pr / pc)), 6) AS psi, count(*) AS n_categories FROM p""".stripMargin.replaceAll("\n", " "))),
 
+    // Two-sample KS statistic over events.value between the even/odd user halves —
+    // the distributed range-partitioned ECDF fold vs DuckDB's cumulative window
+    // over grouped values. Exact equality up to rounding: both evaluate the same
+    // right-continuous ECDF difference at the same distinct points.
+    QueryDef("ks_drift_events",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        graft.operators.Drift.ksStatistic(
+            ev.filter(col("user_id") % 2 === 0), ev.filter(col("user_id") % 2 === 1),
+            "value")
+          .select(col("n_ref"), col("n_cur"), round(col("ks"), 6).as("ks"))
+      },
+      Some("""WITH v AS (SELECT CAST(value AS DOUBLE) AS x,
+             |     CASE WHEN user_id % 2 = 0 THEN 1 ELSE 2 END AS s
+             |   FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+             |     AND NOT isnan(value) AND isfinite(CAST(value AS DOUBLE)) AND user_id % 2 IN (0, 1)),
+             | g AS (SELECT x, CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             |   CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2 FROM v GROUP BY 1),
+             | n AS (SELECT CAST(coalesce(sum(c1), 0) AS BIGINT) AS n1,
+             |   CAST(coalesce(sum(c2), 0) AS BIGINT) AS n2 FROM g),
+             | cum AS (SELECT sum(c1) OVER (ORDER BY x) AS r1, sum(c2) OVER (ORDER BY x) AS r2 FROM g)
+             | SELECT n1 AS n_ref, n2 AS n_cur,
+             | CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE
+             |   round((SELECT max(abs(CAST(r1 AS DOUBLE) / n1 - CAST(r2 AS DOUBLE) / n2)) FROM cum), 6)
+             | END AS ks FROM n""".stripMargin.replaceAll("\n", " "))),
+
     // NFC canonicalization sweep: how much of the corpus is non-canonical (composed
     // vs combining-mark forms). Clean fixtures are ASCII (0 changed); the adversarial
     // gate's combining-mark/Unicode hostiles exercise real normalization here.

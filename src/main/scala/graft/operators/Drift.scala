@@ -57,6 +57,79 @@ object Drift {
       sum(col("psi_term")).as("psi"),
       count(lit(1)).as("n_categories"))
 
+  /** Two-sample Kolmogorov–Smirnov statistic over a numeric column:
+    * `D = sup_x |F_ref(x) − F_cur(x)|` — the nonparametric "did the continuous
+    * distribution move" monitor PSI's fixed bins can miss (a pure location shift
+    * inside one wide bin is invisible to PSI; KS sees any CDF separation).
+    * Returns one row `(n_ref, n_cur, ks)`; `ks` is NULL when either side has no
+    * finite values (same empty-side convention as [[psi]]). NULL/NaN/±Inf values
+    * are excluded — they have no place on the real line the CDF runs over.
+    *
+    * The supremum over all x is attained at sample points, so it equals the max
+    * over DISTINCT values of the right-continuous ECDF difference — which is what
+    * both this plan and any SQL re-derivation (cumulative window over grouped
+    * values) compute, exactly.
+    *
+    * 100 TB shape: one keyed shuffle for the union's value-grouped partial-agg
+    * counts, then the cumulative fold runs range-partitioned with a driver-side
+    * prefix of ONE summary row per partition (the same boundary-fold strategy as
+    * `Sharding.withRunningTotal` and the un-keyed monotonicity plan) and each
+    * partition reports only its local max — no global sort into one task, no
+    * data-scale collect, driver state bounded by the partition count.
+    */
+  def ksStatistic(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    val spark = ref.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame, s: Int) = df
+      .select(col(valueCol).cast("double").as("_x"))
+      .filter(col("_x").isNotNull && !isnan(col("_x")) &&
+        col("_x").between(Double.MinValue, Double.MaxValue))
+      .select(col("_x"), lit(s).as("_s"))
+    val grouped = side(ref, 0).unionByName(side(cur, 1))
+      .groupBy(col("_x"))
+      .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_c1"),
+        sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_c2"))
+    // Pin ONE materialization of the nondeterministic range partitioning — both
+    // passes below must observe identical partition contents and order.
+    val ranged = grouped
+      .repartitionByRange(col("_x")).sortWithinPartitions(col("_x"))
+      .localCheckpoint(true)
+    import org.apache.spark.sql.Encoders
+    // Pass 1: per-partition count totals (one row per partition).
+    val stats = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var t1 = 0L; var t2 = 0L
+      it.foreach { r => t1 += r.getLong(1); t2 += r.getLong(2) }
+      Iterator.single((pid, t1, t2))
+    }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong, Encoders.scalaLong))
+      .collect().sortBy(_._1)
+    val n1 = stats.map(_._2).sum
+    val n2 = stats.map(_._3).sum
+    if (n1 == 0L || n2 == 0L)
+      return Seq((n1, n2, Option.empty[Double])).toDF("n_ref", "n_cur", "ks")
+    // Exclusive prefix counts per partition, then a parallel local-max fold.
+    val offsets: Map[Int, (Long, Long)] = {
+      var a1 = 0L; var a2 = 0L
+      stats.map { case (pid, t1, t2) =>
+        val e = pid -> ((a1, a2)); a1 += t1; a2 += t2; e
+      }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val d = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var (a1, a2) = bc.value(pid)
+      var best = 0.0
+      it.foreach { r =>
+        a1 += r.getLong(1); a2 += r.getLong(2)
+        val diff = math.abs(a1.toDouble / n1 - a2.toDouble / n2)
+        if (diff > best) best = diff
+      }
+      Iterator.single(best)
+    }(Encoders.scalaDouble)
+      .collect().foldLeft(0.0)(math.max)
+    Seq((n1, n2, Some(d))).toDF("n_ref", "n_cur", "ks")
+  }
+
   /** PSI over a numeric column via fixed-width bins on [lo, hi) — bounds are
     * CALLER-SUPPLIED (the reference dataset's known range), keeping the binning
     * deterministic and identical on both sides; out-of-range values clamp into the

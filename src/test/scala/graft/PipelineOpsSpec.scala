@@ -631,6 +631,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(dimChange._4 > 4.9, "new dims' mass must count as shift (3-4-5 triangle: 5)")
   }
 
+  test("ksStatistic: 0 on identical, 1 on disjoint, matches naive ECDF, edge classes") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val a = (1 to 4000).map(_ => rng.nextGaussian()).toDF("v")
+    val b = (1 to 3000).map(_ => rng.nextGaussian() + 0.3).toDF("v")
+    def ks(r: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+      Drift.ksStatistic(r, c, "v").head()
+    val same = ks(a, a)
+    assert(same.getDouble(2) == 0.0, "identical samples: D = 0")
+    val disjoint = ks(a, a.select(($"v" + 100.0).as("v")))
+    assert(disjoint.getDouble(2) == 1.0, "fully separated samples: D = 1")
+    // exact agreement with the naive single-window ECDF formulation
+    val got = ks(a, b)
+    val u = a.select($"v", lit(1).as("s")).unionByName(b.select($"v", lit(2).as("s")))
+    val g = u.groupBy("v").agg(
+      sum(when($"s" === 1, 1L).otherwise(0L)).as("c1"),
+      sum(when($"s" === 2, 1L).otherwise(0L)).as("c2"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val naive = g.select((abs(sum($"c1").over(w) / 4000.0 - sum($"c2").over(w) / 3000.0))
+      .as("d")).agg(max($"d")).head().getDouble(0)
+    assert(got.getDouble(2) == naive, s"${got.getDouble(2)} vs naive $naive")
+    assert(got.getLong(0) == 4000L && got.getLong(1) == 3000L)
+    // a location shift of 0.3 sigma must register well above same-sample noise
+    assert(got.getDouble(2) > 0.08)
+    // empty side -> NULL ks, counts still reported; non-finite values excluded
+    val empty = a.filter(lit(false))
+    val e = ks(a, empty)
+    assert(e.getLong(1) == 0L && e.isNullAt(2))
+    val hostile = Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity, 1.0)
+      .toDF("v")
+    assert(ks(hostile, hostile).getLong(0) == 1L, "only the finite value survives")
+  }
+
   test("embeddingShift: one-sided-empty comparison yields NULL cosine, not DIVIDE_BY_ZERO") {
     import spark.implicits._
     val a = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))).toDF("id", "v")

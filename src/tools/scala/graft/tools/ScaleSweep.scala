@@ -65,7 +65,13 @@ object ScaleSweep {
     "monotonic_global_events",
     "sessions_events",
     "time_gaps_events",
-    "grouped_percentiles_events")
+    "grouped_percentiles_events",
+    // round-7 join operators: asof is the union+keyed-window carry (10× users ⇒
+    // more window groups, the honest shape); range_join's bin equi-join sees 10×
+    // points AND 10× intervals — pair output grows ~10× (new users' windows),
+    // the linear-in-output shape a bin join must hold.
+    "asof_join_events",
+    "range_join_events")
 
   /** Run the sweep against `src` on an existing session, returning
     * (name, smallSec, bigSec, ratio) per headliner plus the suite20 10× datapoint.
