@@ -276,6 +276,51 @@ object Metrics {
     }
   }
 
+  /** Winsorization screen: clip `colName` to its `[pLo, pHi]` exact quantiles and
+    * report what clipping would do — `n_values`, the clip bounds, how many values
+    * each tail clips, and the post-clip mean. The standard heavy-tail tamer for
+    * numeric features before training (a handful of runaway values otherwise own
+    * the feature's scale); run the screen first, wire the clamp into the pipeline
+    * once the counts look sane.
+    *
+    * Quantiles come from the distributed sketch+bracket operator
+    * ([[graft.operators.Quantiles.exactQuantiles]]) — exact interpolated values,
+    * never a single-task percentile merge. NULL/NaN/±Inf are excluded up front
+    * (clamping a NaN is meaningless; an Inf would BE the quantile at the tail).
+    * Empty/all-hostile input yields the SQL-aggregate shape `(0, NULL, NULL, 0, 0,
+    * NULL)`. Shape: two bounded quantile scans + one aggregation scan, nothing
+    * data-scale shuffles.
+    */
+  def winsorizeStats(df: DataFrame, colName: String, pLo: Double = 0.01,
+      pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0.0 && pLo < pHi && pHi <= 1.0,
+      s"need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = col(colName).cast("double")
+    val vals = df.select(x.as("_v"))
+      .filter(col("_v").between(-Double.MaxValue, Double.MaxValue))
+    graft.operators.Quantiles.exactQuantiles(vals, "_v", Seq(pLo, pHi)) match {
+      case None =>
+        Seq((0L, Option.empty[Double], Option.empty[Double], 0L, 0L,
+          Option.empty[Double]))
+          .toDF("n_values", "q_lo", "q_hi", "n_clipped_lo", "n_clipped_hi",
+            "mean_clipped")
+      case Some(Seq(qLo, qHi)) =>
+        vals.agg(
+          count(lit(1)).as("n_values"),
+          lit(qLo).as("q_lo"),
+          lit(qHi).as("q_hi"),
+          coalesce(sum(when(col("_v") < qLo, 1L).otherwise(0L)), lit(0L))
+            .as("n_clipped_lo"),
+          coalesce(sum(when(col("_v") > qHi, 1L).otherwise(0L)), lit(0L))
+            .as("n_clipped_hi"),
+          avg(greatest(least(col("_v"), lit(qHi)), lit(qLo))).as("mean_clipped"))
+      case Some(other) =>
+        throw new IllegalStateException(s"expected 2 quantiles, got $other")
+    }
+  }
+
   /** Corpus vocabulary head: the `k` most frequent whitespace tokens with counts and
     * corpus share — the vocab-coverage/OOV-rate input a tokenizer-training or
     * mixture-debugging pass reads first. Shape: explode is row-local; per-token

@@ -2785,7 +2785,43 @@ object Queries {
              | CAST(count(DISTINCT user_id) AS BIGINT) AS n_intervals_hit,
              | CAST(sum(x - s) AS BIGINT) AS sum_offset_us
              | FROM p JOIN iv ON p.x >= iv.s AND p.x <= iv.e"""
-        .stripMargin.replaceAll("\n", " ")))
+        .stripMargin.replaceAll("\n", " "))),
+
+    // Zipf-law slope of the top-500 vocabulary (ln freq on ln rank, OLS): the
+    // one-number corpus-health signal — natural prose sits near −1. Both engines
+    // rank the same deterministically tie-broken set and regress identically
+    // (regr_slope IS covar_pop/var_pop).
+    QueryDef("zipf_slope_documents",
+      (s, d) => graft.operators.CorpusStats.zipfSlope(t(s, d, "documents"), "text")
+        .select(col("n_ranked"), round(col("zipf_slope"), 6).as("zipf_slope")),
+      Some("""WITH tok AS (SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS token FROM documents),
+             | c AS (SELECT token, count(*) AS occ FROM tok GROUP BY 1 ORDER BY occ DESC, token ASC LIMIT 500),
+             | rk AS (SELECT ln(CAST(row_number() OVER (ORDER BY occ DESC, token ASC) AS DOUBLE)) AS x,
+             |   ln(CAST(occ AS DOUBLE)) AS y FROM c)
+             | SELECT CAST(count(*) AS BIGINT) AS n_ranked,
+             | CASE WHEN count(*) >= 2 AND var_pop(x) > 0 THEN round(regr_slope(y, x), 6) END AS zipf_slope
+             | FROM rk""".stripMargin.replaceAll("\n", " "))),
+
+    // Winsorization screen over events.value at [p05, p95]: exact clip bounds from
+    // the distributed sketch+bracket quantile operator, tail clip counts, and the
+    // post-clip mean — all replayed with quantile_cont in DuckDB. Exact boundary
+    // compares are safe: an interpolated quantile only coincides with a sample
+    // value when the bracket ties, and then both engines hold the identical value.
+    QueryDef("winsorize_events",
+      (s, d) => graft.Metrics.winsorizeStats(t(s, d, "events"), "value", 0.05, 0.95)
+        .select(col("n_values"), round(col("q_lo"), 6).as("q_lo"),
+          round(col("q_hi"), 6).as("q_hi"), col("n_clipped_lo"),
+          col("n_clipped_hi"), round(col("mean_clipped"), 6).as("mean_clipped")),
+      Some("""WITH v AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+             |   WHERE value IS NOT NULL AND NOT isnan(value) AND isfinite(CAST(value AS DOUBLE))),
+             | q AS (SELECT quantile_cont(x, 0.05) AS ql, quantile_cont(x, 0.95) AS qh FROM v)
+             | SELECT CAST(count(*) AS BIGINT) AS n_values,
+             | round((SELECT ql FROM q), 6) AS q_lo,
+             | round((SELECT qh FROM q), 6) AS q_hi,
+             | CAST(coalesce(sum(CASE WHEN x < (SELECT ql FROM q) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_clipped_lo,
+             | CAST(coalesce(sum(CASE WHEN x > (SELECT qh FROM q) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_clipped_hi,
+             | round(avg(greatest(least(x, (SELECT qh FROM q)), (SELECT ql FROM q))), 6) AS mean_clipped
+             | FROM v""".stripMargin.replaceAll("\n", " ")))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

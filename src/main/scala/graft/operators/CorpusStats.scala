@@ -154,4 +154,40 @@ object CorpusStats {
       .limit(k)
       .select(col("w1"), col("w2"), col("c12"), col("pmi"))
   }
+
+  /** Zipf-law fit over the top-`topK` vocabulary: the OLS slope of `ln(freq)` on
+    * `ln(rank)` — natural language sits near −1; a corpus drifting toward template
+    * spam (too steep: a few boilerplate tokens dominate) or toward noise/ID soup
+    * (too flat: no head at all) moves the slope, making it a cheap one-number
+    * corpus-health signal alongside `Metrics.vocabTopK`'s inspectable head.
+    *
+    * Fit over the top-K only (the standard practice): the count-1 tail is
+    * quantization noise, not signal. Ranking ties (equal counts) don't disturb the
+    * fit — tied tokens share `y`, so which tie takes which rank permutes identical
+    * points — but the top-K CUT is tie-broken deterministically (count desc, token
+    * asc) so any re-derivation ranks the same set. Slope is NULL below 2 ranked
+    * tokens (no line through one point).
+    *
+    * Scale: one token-keyed count shuffle (map-side combined), a TakeOrdered top-K
+    * (no global sort), then the regression runs over ≤ K rows — the single-task
+    * window is bounded by K, never by the corpus.
+    */
+  def zipfSlope(df: DataFrame, textCol: String, topK: Int = 500): DataFrame = {
+    require(topK >= 2, s"topK must be at least 2, got $topK")
+    val top = df
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("occ"))
+      .orderBy(col("occ").desc, col("token").asc)
+      .limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("occ").desc, col("token").asc)
+    val xy = top.withColumn("_r", row_number().over(w))
+      .select(log(col("_r").cast("double")).as("_x"),
+        log(col("occ").cast("double")).as("_y"))
+    xy.agg(
+      count(lit(1)).as("n_ranked"),
+      when(count(lit(1)) >= 2 && var_pop(col("_x")) > 0,
+        covar_pop(col("_x"), col("_y")) / var_pop(col("_x"))).as("zipf_slope"))
+  }
 }

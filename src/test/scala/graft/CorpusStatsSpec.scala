@@ -93,4 +93,31 @@ class CorpusStatsSpec extends SparkSpec {
     assert(CorpusStats.tfIdfTopTerms(nulls, "doc_id", "text", 3).count() == 0L)
     assert(CorpusStats.bigramSurprisal(nulls, "doc_id", "text").count() == 0L)
   }
+
+  test("zipfSlope: ~-1 on an exact Zipf corpus, hand-computed OLS, degenerate classes") {
+    import spark.implicits._
+    // token w<i> appears exactly floor(1000/i) times, i = 1..50: slope must land
+    // near -1 (quantized counts bend it slightly; the OLS absorbs that)
+    val zipf = (1 to 50).flatMap(i => Seq.fill(1000 / i)(f"w$i%02d"))
+    val corpus = zipf.grouped(97).map(_.mkString(" ")).toSeq.toDF("text")
+    val z = CorpusStats.zipfSlope(corpus, "text", topK = 50).head()
+    assert(z.getLong(0) == 50L)
+    assert(math.abs(z.getDouble(1) - (-1.0)) < 0.05, s"slope ${z.getDouble(1)}")
+    // hand-computed OLS on a 3-token fixture: counts 8, 4, 1 at ranks 1, 2, 3
+    val tiny = Seq((Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq("c")).mkString(" "))
+      .toDF("text")
+    val got = CorpusStats.zipfSlope(tiny, "text", topK = 10).head()
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(8.0, 4.0, 1.0).map(math.log)
+    val mx = xs.sum / 3; val my = ys.sum / 3
+    val want = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      xs.map(x => (x - mx) * (x - mx)).sum
+    assert(math.abs(got.getDouble(1) - want) < 1e-12, s"${got.getDouble(1)} vs $want")
+    // fewer than 2 ranked tokens or an empty corpus: NULL slope, counts honest
+    val one = CorpusStats.zipfSlope(Seq("solo solo solo").toDF("text"), "text").head()
+    assert(one.getLong(0) == 1L && one.isNullAt(1))
+    val emptyZ = CorpusStats.zipfSlope(Seq.empty[String].toDF("text"), "text").head()
+    assert(emptyZ.getLong(0) == 0L && emptyZ.isNullAt(1))
+    intercept[IllegalArgumentException](CorpusStats.zipfSlope(tiny, "text", topK = 1))
+  }
 }

@@ -201,4 +201,27 @@ class MetricsSpec extends SparkSpec {
     val e = Metrics.robustOutliers(df.filter(org.apache.spark.sql.functions.lit(false)), "v").head()
     assert(e.getLong(0) == 0L && e.isNullAt(1) && e.isNullAt(2) && e.getLong(3) == 0L)
   }
+
+  test("winsorizeStats: interpolated bounds, tail counts, clipped mean, hostile/empty classes") {
+    import spark.implicits._
+    // 1..100: q05 = 5 + 0.95 = 5.95, q95 = 95 + 0.05 = 95.05 ((n-1)p interpolation);
+    // 5 values clip on each tail; the symmetric clip leaves the mean at 50.5
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val r = Metrics.winsorizeStats(df, "v", 0.05, 0.95).head()
+    assert(r.getLong(0) == 100L)
+    assert(math.abs(r.getDouble(1) - 5.95) < 1e-12 && math.abs(r.getDouble(2) - 95.05) < 1e-12)
+    assert(r.getLong(3) == 5L && r.getLong(4) == 5L)
+    assert(math.abs(r.getDouble(5) - 50.5) < 1e-9)
+    // NaN/Inf/null are excluded before the quantiles, not clamped into them
+    val hostile = df.unionByName(
+      Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity).toDF("v"))
+      .unionByName(Seq(Option.empty[Double]).toDF("v"))
+    val h = Metrics.winsorizeStats(hostile, "v", 0.05, 0.95).head()
+    assert(h.getLong(0) == 100L && math.abs(h.getDouble(2) - 95.05) < 1e-12)
+    // empty: SQL-aggregate shape
+    val e2 = Metrics.winsorizeStats(df.filter(lit(false)), "v", 0.05, 0.95).head()
+    assert(e2.getLong(0) == 0L && e2.isNullAt(1) && e2.isNullAt(2) &&
+      e2.getLong(3) == 0L && e2.getLong(4) == 0L && e2.isNullAt(5))
+    intercept[IllegalArgumentException](Metrics.winsorizeStats(df, "v", 0.9, 0.1))
+  }
 }
