@@ -2787,6 +2787,32 @@ object Queries {
              | FROM p JOIN iv ON p.x >= iv.s AND p.x <= iv.e"""
         .stripMargin.replaceAll("\n", " "))),
 
+    // Incremental dedup: new batch (doc_id % 3 = 0) deduped against the standing
+    // corpus through a persisted (id, band, bucket) signature index — the standing
+    // side never recomputes signatures. Must equal DuckDB's brute-force Jaccard
+    // restricted to pairs touching the new batch (old-by-old pairs belong to
+    // previous runs, by contract).
+    QueryDef("incremental_dedup_documents",
+      (s, d) => {
+        val all = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        val oldDocs = all.filter(col("doc_id") % 3 =!= 0)
+        val newDocs = all.filter(col("doc_id") % 3 === 0)
+        val index = Dedup.minhashIndex(oldDocs, "doc_id", "text")
+        Dedup.incrementalNearDupPairs(newDocs, index, all, "doc_id", "text", 0.9)
+          .agg(count(lit(1)).as("new_batch_pairs"),
+            sum(when(col("id_a") % 3 === 0 && col("id_b") % 3 === 0, 1L)
+              .otherwise(0L)).cast("bigint").as("within_new_pairs"))
+      },
+      Some("""WITH idx AS (SELECT unnest(range(1, CAST((SELECT coalesce(max(length(text)), 0) FROM documents) AS BIGINT) + 1)) AS i),
+             | sh AS (SELECT doc_id, list(DISTINCT substr(text, CAST(i AS INT), 5)) AS g
+             |   FROM documents JOIN idx ON i <= length(text) - 4 GROUP BY doc_id
+             |   UNION ALL SELECT doc_id, [text] AS g FROM documents WHERE length(text) < 5)
+             | SELECT CAST(count(*) AS BIGINT) AS new_batch_pairs,
+             | CAST(sum(CASE WHEN a.doc_id % 3 = 0 AND b.doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS within_new_pairs
+             | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             | WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(list_distinct(a.g || b.g)) >= 0.9
+             |   AND (a.doc_id % 3 = 0 OR b.doc_id % 3 = 0)""".stripMargin.replaceAll("\n", " "))),
+
     // Zipf-law slope of the top-500 vocabulary (ln freq on ln rank, OLS): the
     // one-number corpus-health signal — natural prose sits near −1. Both engines
     // rank the same deterministically tie-broken set and regress identically

@@ -180,10 +180,20 @@ object Dedup {
     * InMemoryRelation copies a cached input becomes across the self-join — a cached
     * corpus recomputes the kernel per side (correct, just slower).
     */
-  def minhashCandidatePairs(
+  /** The LSH bucket index of a corpus: one `(id, band, bucket)` row per banded
+    * signature slice — the persistable state that makes dedup INCREMENTAL. Write
+    * this once for the standing corpus (parquet, ideally `partitionBy("band")` for
+    * join co-location), then each new batch runs the signature kernel over ITS OWN
+    * rows only and joins [[incrementalMinhashCandidates]] against the stored index —
+    * at a 100 TB standing corpus the saved work is the whole corpus-wide kernel +
+    * banding pass, per batch. Same banding as [[minhashCandidatePairs]]; use
+    * IDENTICAL parameters for index build and every incremental batch, or buckets
+    * cannot match (not detectable from the index itself — the caller owns that
+    * contract).
+    */
+  def minhashIndex(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,
-      maxBucketSize: Int = 1000): DataFrame = {
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16): DataFrame = {
     require(bands > 0 && numHashes >= bands && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands) — " +
         "otherwise signature slices are empty or trailing hash functions are silently unused")
@@ -197,17 +207,63 @@ object Dedup {
     // (expensive, whole-text) minhash kernel per band. CollapseProject keeps the two
     // projections separate because the alias is non-cheap and multiply referenced, so
     // the kernel runs exactly once per row.
-    val buckets = fanOut(docs)
+    fanOut(docs)
       .select(col(idCol).as("id"),
         minhashSignature(col(textCol), shingleSize, numHashes).as("_sig"))
       .select(col("id"), explode(lshBuckets(col("_sig"), bands, rowsPerBand)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      // Consumed three times (bucket-size guard + both sides of the candidate join).
-      // One explicit shuffle on (band, bucket): ReuseExchange serves every consumer
-      // from the same shuffle files, so the signature kernel runs once per row, the
-      // downstream agg and self-join need no further exchange (partitioning already
-      // matches their keys), and — unlike persist() — nothing is pinned in executor
-      // storage for the life of the session (shuffle files are job-scoped).
+  }
+
+  /** LSH candidate pairs for an incremental batch: pairs among `newDocs` plus pairs
+    * between `newDocs` and the standing corpus represented by `index` (from
+    * [[minhashIndex]], SAME parameters). Old×old pairs are deliberately absent —
+    * previous runs already emitted them; re-deriving them would redo the full-corpus
+    * join this operator exists to avoid. Ids must be unique ACROSS batches (they are
+    * the pair identity). Verify stage: feed the result to [[exactJaccard]] with a
+    * docs frame covering BOTH corpora — the semi-join inside restricts the shingle
+    * kernel to docs that actually appear in a candidate pair, so the standing corpus
+    * is scanned but only candidate docs pay the kernel.
+    *
+    * Scale: the index side never recomputes signatures — its `(id, band, bucket)`
+    * rows (~24 B) shuffle straight into the (band, bucket) join; the windowed
+    * `maxBucketSize` guard runs over the COMBINED buckets, so a hot boilerplate
+    * bucket cannot go quadratic no matter which side fills it.
+    */
+  def incrementalMinhashCandidates(
+      newDocs: DataFrame, index: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(Seq("id", "band", "bucket").forall(index.columns.contains),
+      s"index must have (id, band, bucket) columns, got ${index.columns.mkString(", ")}")
+    val newBuckets = minhashIndex(newDocs, idCol, textCol, shingleSize, numHashes, bands)
+      .withColumn("_new", lit(true))
+    val all = newBuckets
+      .unionByName(index.select(col("id"), col("band"), col("bucket"))
+        .withColumn("_new", lit(false)))
+      .repartition(col("band"), col("bucket"))
+    val bounded = all
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("_n") <= maxBucketSize)
+    val a = bounded.select(col("band"), col("bucket"), col("id").as("id_a"),
+      col("_new").as("_new_a"))
+    val b = bounded.select(col("band"), col("bucket"), col("id").as("id_b"),
+      col("_new").as("_new_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b") && (col("_new_a") || col("_new_b")))
+      .select("id_a", "id_b").distinct()
+  }
+
+  def minhashCandidatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame = {
+    // Consumed three times (bucket-size guard + both sides of the candidate join).
+    // One explicit shuffle on (band, bucket): ReuseExchange serves every consumer
+    // from the same shuffle files, so the signature kernel runs once per row, the
+    // downstream agg and self-join need no further exchange (partitioning already
+    // matches their keys), and — unlike persist() — nothing is pinned in executor
+    // storage for the life of the session (shuffle files are job-scoped).
+    val buckets = minhashIndex(df, idCol, textCol, shingleSize, numHashes, bands)
       .repartition(col("band"), col("bucket"))
     // Oversized-bucket guard as a windowed count over the SAME shuffle output. A
     // separate aggregation branch gets column-pruned into a canonically different
@@ -319,6 +375,26 @@ object Dedup {
     val cands = minhashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bands)
       .localCheckpoint(true)
     exactJaccard(cands, df, idCol, textCol, shingleSize)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Incremental end-to-end near-dup pairs: [[incrementalMinhashCandidates]] against
+    * the standing-corpus `index`, verified by exact Jaccard ≥ `threshold`. `allDocs`
+    * must cover BOTH corpora (the verify stage shingles only docs appearing in a
+    * candidate — the standing corpus never pays a full kernel pass). Parameters must
+    * match the index build exactly.
+    */
+  def incrementalNearDupPairs(
+      newDocs: DataFrame, index: DataFrame, allDocs: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame = {
+    // Materialized for the same reason nearDupPairsMinhash materializes: the verify
+    // stage consumes the candidate frame three times.
+    val cands = incrementalMinhashCandidates(newDocs, index, idCol, textCol,
+      shingleSize, numHashes, bands, maxBucketSize).localCheckpoint(true)
+    exactJaccard(cands, allDocs, idCol, textCol, shingleSize)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

@@ -85,6 +85,36 @@ class OperatorSpec extends SparkSpec {
     assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
   }
 
+  test("incremental minhash dedup == full recompute restricted to new-batch pairs") {
+    import spark.implicits._
+    val threshold = 0.9
+    // split the real corpus (planted near-dups land in both halves and across)
+    val all = docs.filter(col("doc_id").isNotNull)
+    val oldDocs = all.filter(col("doc_id") % 3 =!= 0)
+    val newDocs = all.filter(col("doc_id") % 3 === 0)
+    val index = Dedup.minhashIndex(oldDocs, "doc_id", "text")
+    val inc = Dedup.incrementalNearDupPairs(newDocs, index, all, "doc_id", "text", threshold)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.nearDupPairsMinhash(all, "doc_id", "text", threshold)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (a, b) => a % 3 == 0 || b % 3 == 0 }
+    assert(expected.nonEmpty, "fixture must contain cross/new-batch near-dups")
+    assert(inc == expected, s"missed: ${expected -- inc}; extra: ${inc -- expected}")
+    // no old-by-old pair may leak: previous runs own those
+    assert(inc.forall { case (a, b) => a % 3 == 0 || b % 3 == 0 })
+    // the index side of the incremental plan must not re-run the signature kernel:
+    // its branch reads the (id, band, bucket) frame as-is (here: a parquet round-trip
+    // of the index, as a real pipeline would store it)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    index.write.mode("overwrite").parquet(tmp)
+    try {
+      val stored = spark.read.parquet(tmp)
+      val viaStored = Dedup.incrementalNearDupPairs(newDocs, stored, all, "doc_id", "text", threshold)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaStored == expected, "parquet-round-tripped index must behave identically")
+    } finally graft.core.FsUtil.deleteRecursively(new java.io.File(tmp))
+  }
+
   test("native cosine expression matches driver-side computation and codegens") {
     import spark.implicits._
     val probe = Seq(1.0f, 2.0f, 3.0f, 4.0f)

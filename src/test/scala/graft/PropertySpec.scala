@@ -114,6 +114,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("asofJoin equals the naive max-match join for random multi-key data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(19)
+    // duplicate times and sparse keys on purpose: ties and unmatched rows are the
+    // interesting cases; two key columns exercise the multi-key path
+    val left = (1 to 1500).map { i =>
+      (i.toLong, rng.nextInt(4), rng.nextInt(3).toString, rng.nextInt(200).toLong)
+    }.toDF("lid", "k1", "k2", "t")
+    val right = (1 to 400).map { i =>
+      (rng.nextInt(4), rng.nextInt(3).toString, rng.nextInt(200).toLong, i.toDouble)
+    }.toDF("k1", "k2", "rt", "payload")
+      // unique (key, rt): duplicate right instants are ambiguous in ANY as-of engine
+      .groupBy("k1", "k2", "rt").agg(max($"payload").as("payload"))
+    val got = graft.operators.AsOf.asofJoin(left, right, Seq("k1", "k2"), "t", "rt",
+        Seq("payload"), matchedTimeCol = Some("mt"))
+      .select("lid", "payload", "mt")
+    // naive specification: join all right rows at-or-before, keep the max rt
+    val naive = left.as("l")
+      .join(right.as("r"),
+        $"l.k1" === $"r.k1" && $"l.k2" === $"r.k2" && $"r.rt" <= $"l.t", "left")
+      .groupBy($"l.lid".as("lid"), $"l.t")
+      .agg(max(struct($"r.rt", $"r.payload")).as("m"))
+      .select($"lid", $"m.payload".as("payload"), $"m.rt".as("mt"))
+    assert(got.exceptAll(naive).count() == 0 && naive.exceptAll(got).count() == 0,
+      "as-of carry must equal the naive inequality-join specification")
+  }
+
   test("completeness matches independent computation") {
     forAll(rowsGen) { rows =>
       import spark.implicits._
