@@ -276,6 +276,40 @@ object Metrics {
     }
   }
 
+  /** Per-group robust outlier screen: [[robustOutliers]] stratified by `groupCol` —
+    * one row per group with its exact median, MAD, and count beyond `k` MADs. The
+    * per-stratum version is what mixed corpora actually need (a global MAD over
+    * five event types screens none of them well). NULL group is a REAL group
+    * (dropping it would silently unscreen those rows); NULL/NaN/±Inf values are
+    * excluded as in the global screen.
+    *
+    * Shape: one hash shuffle on the group key, then BOTH medians run as
+    * aggregate-over-window passes on that same partitioning (no joins, no second
+    * exchange) and the rollup group-by is partitioning-aligned too. Groups are
+    * entity-bounded (an event-type, a language): a single data-scale hot group
+    * buffers its partition in one task — the global [[robustOutliers]] with its
+    * sketch+bracket quantiles is the tool for that shape.
+    */
+  def robustOutliersByGroup(df: DataFrame, groupCol: String, colName: String,
+      k: Double = 3.5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val v = df
+      .select(col(groupCol).as("_g"), col(colName).cast("double").as("_v"))
+      .filter(col("_v").between(-Double.MaxValue, Double.MaxValue))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_g"))
+    v.withColumn("_med", expr("percentile(_v, 0.5)").over(w))
+      .withColumn("_dev", abs(col("_v") - col("_med")))
+      .withColumn("_mad", expr("percentile(_dev, 0.5)").over(w))
+      .groupBy(col("_g"))
+      .agg(
+        count(lit(1)).as("n_values"),
+        min(col("_med")).as("median"),
+        min(col("_mad")).as("mad"),
+        coalesce(sum(when(col("_dev") > col("_mad") * k, 1L).otherwise(0L)), lit(0L))
+          .as("n_outliers"))
+      .withColumnRenamed("_g", groupCol)
+  }
+
   /** Winsorization screen: clip `colName` to its `[pLo, pHi]` exact quantiles and
     * report what clipping would do — `n_values`, the clip bounds, how many values
     * each tail clips, and the post-clip mean. The standard heavy-tail tamer for

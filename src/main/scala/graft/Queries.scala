@@ -2828,6 +2828,26 @@ object Queries {
              | CASE WHEN count(*) >= 2 AND var_pop(x) > 0 THEN round(regr_slope(y, x), 6) END AS zipf_slope
              | FROM rk""".stripMargin.replaceAll("\n", " "))),
 
+    // Per-event-type robust outlier screen: exact per-group median/MAD (percentile
+    // window == quantile_cont, the parity grouped_percentiles pins) + beyond-k-MAD
+    // counts. NULL event_type is a real group on both engines.
+    QueryDef("robust_outliers_by_type_events",
+      (s, d) => graft.Metrics.robustOutliersByGroup(t(s, d, "events"), "event_type",
+          "value", k = 3.5)
+        .select(col("event_type"), col("n_values"), round(col("median"), 6).as("median"),
+          round(col("mad"), 6).as("mad"), col("n_outliers")),
+      Some("""WITH v AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x FROM events
+             |   WHERE value IS NOT NULL AND NOT isnan(value) AND isfinite(CAST(value AS DOUBLE))),
+             | m AS (SELECT g, quantile_cont(x, 0.5) AS med FROM v GROUP BY g),
+             | dv AS (SELECT v.g, v.x, m.med, abs(v.x - m.med) AS dev
+             |   FROM v JOIN m ON v.g IS NOT DISTINCT FROM m.g),
+             | md AS (SELECT g, quantile_cont(dev, 0.5) AS mad FROM dv GROUP BY g)
+             | SELECT dv.g AS event_type, CAST(count(*) AS BIGINT) AS n_values,
+             | round(min(dv.med), 6) AS median, round(min(md.mad), 6) AS mad,
+             | CAST(coalesce(sum(CASE WHEN dv.dev > 3.5 * md.mad THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers
+             | FROM dv JOIN md ON dv.g IS NOT DISTINCT FROM md.g
+             | GROUP BY dv.g""".stripMargin.replaceAll("\n", " "))),
+
     // Winsorization screen over events.value at [p05, p95]: exact clip bounds from
     // the distributed sketch+bracket quantile operator, tail clip counts, and the
     // post-clip mean — all replayed with quantile_cont in DuckDB. Exact boundary

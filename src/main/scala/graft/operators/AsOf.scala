@@ -70,7 +70,7 @@ object AsOf {
     val clash = payload.filter(left.columns.contains)
     require(clash.isEmpty,
       s"payload columns ${clash.mkString(", ")} already exist on the left side — rename before joining")
-    val reserved = Seq("_t", "_side", "_m", "_mt") ++ matchedTimeCol.toSeq
+    val reserved = Seq("_t", "_side", "_m", "_mt", "__mt") ++ matchedTimeCol.toSeq
     val bad = reserved.filter(n => left.columns.contains(n) || payload.contains(n))
     require(bad.isEmpty, s"reserved column name(s) in use: ${bad.mkString(", ")}")
     require(keys.forall(k => left.columns.contains(k) && right.columns.contains(k)),
@@ -216,7 +216,9 @@ object AsOf {
       }
       // Materialize before unpersisting: the returned frame's lineage reads the
       // cached exchange, and callers run further plans over it.
-      spark.createDataFrame(carriedRdd, outSchema).localCheckpoint()
+      val out = spark.createDataFrame(carriedRdd, outSchema).localCheckpoint()
+      seedsB.destroy() // checkpoint materialized — the seeds are baked into blocks
+      out
     } finally dataset.unpersist(blocking = false)
   }
 }

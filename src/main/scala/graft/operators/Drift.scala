@@ -127,6 +127,7 @@ object Drift {
       Iterator.single(best)
     }(Encoders.scalaDouble)
       .collect().foldLeft(0.0)(math.max)
+    bc.destroy() // both passes complete; the result is a driver-local scalar
     Seq((n1, n2, Some(d))).toDF("n_ref", "n_cur", "ks")
   }
 

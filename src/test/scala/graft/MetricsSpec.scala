@@ -202,6 +202,32 @@ class MetricsSpec extends SparkSpec {
     assert(e.getLong(0) == 0L && e.isNullAt(1) && e.isNullAt(2) && e.getLong(3) == 0L)
   }
 
+  test("robustOutliersByGroup: per-group median/MAD, null group kept, matches global on one group") {
+    import spark.implicits._
+    // group A: 1..9 with a planted 1000 (med 5, MAD 2, |1000-5| > 7 -> 1 outlier);
+    // group B: constant 7s (MAD 0, the 8 is an outlier at any k);
+    // NULL group: two values, a real stratum
+    val df = ((1 to 9).map(d => (Some("A"), d.toDouble)) :+ ((Some("A"), 1000.0)) :+
+      ((Some("B"), 7.0)) :+ ((Some("B"), 7.0)) :+ ((Some("B"), 8.0)) :+
+      ((Option.empty[String], 1.0)) :+ ((Option.empty[String], 2.0)))
+      .toDF("g", "v")
+    val out = Metrics.robustOutliersByGroup(df, "g", "v", k = 3.5)
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val a = out(Some("A"))
+    assert(a._1 == 10L && a._2 == 5.5 && a._4 == 1L, s"$a")
+    val b = out(Some("B"))
+    assert(b._2 == 7.0 && b._3 == 0.0 && b._4 == 1L, "MAD 0: any deviation is an outlier")
+    assert(out.contains(None) && out(None)._1 == 2L, "NULL group is a real stratum")
+    // single group == the global screen (same exclusions, same definition)
+    val one = df.filter($"g" === "A")
+    val grouped = Metrics.robustOutliersByGroup(one, "g", "v", 3.5).head()
+    val global = Metrics.robustOutliers(one, "v", 3.5).head()
+    assert(grouped.getDouble(2) == global.getDouble(1) &&
+      grouped.getDouble(3) == global.getDouble(2) &&
+      grouped.getLong(4) == global.getLong(3))
+  }
+
   test("winsorizeStats: interpolated bounds, tail counts, clipped mean, hostile/empty classes") {
     import spark.implicits._
     // 1..100: q05 = 5 + 0.95 = 5.95, q95 = 95 + 0.05 = 95.05 ((n-1)p interpolation);

@@ -71,7 +71,9 @@ object ScaleSweep {
     // points AND 10× intervals — pair output grows ~10× (new users' windows),
     // the linear-in-output shape a bin join must hold.
     "asof_join_events",
-    "range_join_events")
+    "range_join_events",
+    // the range-partitioned ECDF boundary fold (distinct-value counts grow ~10×)
+    "ks_drift_events")
 
   /** Run the sweep against `src` on an existing session, returning
     * (name, smallSec, bigSec, ratio) per headliner plus the suite20 10× datapoint.
