@@ -2828,6 +2828,25 @@ object Queries {
              | CASE WHEN count(*) >= 2 AND var_pop(x) > 0 THEN round(regr_slope(y, x), 6) END AS zipf_slope
              | FROM rk""".stripMargin.replaceAll("\n", " "))),
 
+    // Pairwise source vocabulary-Jaccard matrix (mixture similarity diagnostic):
+    // every overlapping source pair with shared-token count and Jaccard. Both
+    // engines tokenize identically (the vocab_topk-pinned whitespace classes).
+    QueryDef("source_overlap_documents",
+      (s, d) => graft.operators.CorpusStats.sourceVocabOverlap(
+          t(s, d, "documents"), "text", "source")
+        .select(col("source_a"), col("source_b"), col("shared_tokens"),
+          round(col("vocab_jaccard"), 6).as("vocab_jaccard")),
+      Some("""WITH tk AS (SELECT source AS src, unnest(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS tok
+             |   FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+             | tok AS (SELECT DISTINCT src, tok FROM tk),
+             | sz AS (SELECT src, count(*) AS n FROM tok GROUP BY 1),
+             | inter AS (SELECT a.src AS source_a, b.src AS source_b, CAST(count(*) AS BIGINT) AS shared_tokens
+             |   FROM tok a JOIN tok b ON a.tok = b.tok AND a.src < b.src GROUP BY 1, 2)
+             | SELECT source_a, source_b, shared_tokens,
+             | round(CAST(shared_tokens AS DOUBLE) / (sa.n + sb.n - shared_tokens), 6) AS vocab_jaccard
+             | FROM inter JOIN sz sa ON inter.source_a = sa.src
+             | JOIN sz sb ON inter.source_b = sb.src""".stripMargin.replaceAll("\n", " "))),
+
     // Per-event-type robust outlier screen: exact per-group median/MAD (percentile
     // window == quantile_cont, the parity grouped_percentiles pins) + beyond-k-MAD
     // counts. NULL event_type is a real group on both engines.

@@ -155,6 +155,41 @@ object CorpusStats {
       .select(col("w1"), col("w2"), col("c12"), col("pmi"))
   }
 
+  /** Pairwise source-similarity matrix: vocabulary Jaccard between every pair of
+    * sources — the "which corpus components are linguistically close" mixture
+    * diagnostic (two near-identical sources in a mixture silently double their
+    * weight; a source whose vocabulary overlaps nothing is often noise). One row
+    * per UNORDERED source pair that shares at least one token (zero-overlap pairs
+    * are absent, not zero rows): `source_a < source_b`, `shared_tokens`,
+    * `vocab_jaccard = |A∩B| / |A∪B|`. NULL source/text rows carry no identity and
+    * are excluded.
+    *
+    * Scale: distinct (source, token) is one map-side-combined shuffle; the token
+    * self-join fans each token out to at most |sources| rows (hot stopwords are
+    * bounded by the source count, not the corpus); the pair rollup and size joins
+    * run on |sources|²-bounded frames. Contract: sources are a BOUNDED dimension
+    * (dozens-to-thousands) — this is a matrix over them, not over documents.
+    */
+  def sourceVocabOverlap(df: DataFrame, textCol: String, sourceCol: String): DataFrame = {
+    val tok = df
+      .filter(col(sourceCol).isNotNull && col(textCol).isNotNull)
+      .select(col(sourceCol).as("_src"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("_tok"))
+      .distinct()
+    val sizes = tok.groupBy(col("_src")).agg(count(lit(1)).as("_n"))
+    val a = tok.select(col("_tok"), col("_src").as("source_a"))
+    val b = tok.select(col("_tok"), col("_src").as("source_b"))
+    a.join(b, Seq("_tok")).filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_tokens"))
+      .join(sizes.select(col("_src").as("source_a"), col("_n").as("_na")), Seq("source_a"))
+      .join(sizes.select(col("_src").as("source_b"), col("_n").as("_nb")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared_tokens"),
+        (col("shared_tokens").cast("double") /
+          (col("_na") + col("_nb") - col("shared_tokens")).cast("double"))
+          .as("vocab_jaccard"))
+  }
+
   /** Zipf-law fit over the top-`topK` vocabulary: the OLS slope of `ln(freq)` on
     * `ln(rank)` — natural language sits near −1; a corpus drifting toward template
     * spam (too steep: a few boilerplate tokens dominate) or toward noise/ID soup

@@ -94,6 +94,23 @@ class CorpusStatsSpec extends SparkSpec {
     assert(CorpusStats.bigramSurprisal(nulls, "doc_id", "text").count() == 0L)
   }
 
+  test("sourceVocabOverlap: hand-computed Jaccard, zero-overlap pairs absent, null excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("X"), Some("a b c")), (Some("X"), Some("a a")),
+      (Some("Y"), Some("b c d")), (Some("Z"), Some("z")),
+      (None, Some("a b c d z")), (Some("X"), None))
+      .toDF("source", "text")
+    val out = CorpusStats.sourceVocabOverlap(df, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // X={a,b,c}, Y={b,c,d}: shared {b,c}=2, union 4 -> 0.5
+    assert(out((("X"): String, ("Y"): String)) == ((2L, 0.5)), s"$out")
+    assert(out.size == 1, "zero-overlap pairs (X-Z, Y-Z) and NULL source must be absent")
+    // sources with shared vocab through a third never pair transitively
+    assert(!out.contains(("X", "Z")) && !out.contains(("Y", "Z")))
+  }
+
   test("zipfSlope: ~-1 on an exact Zipf corpus, hand-computed OLS, degenerate classes") {
     import spark.implicits._
     // token w<i> appears exactly floor(1000/i) times, i = 1..50: slope must land
