@@ -293,6 +293,8 @@ object Metrics {
   def robustOutliersByGroup(df: DataFrame, groupCol: String, colName: String,
       k: Double = 3.5): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(!Seq("n_values", "median", "mad", "n_outliers").contains(groupCol),
+      s"groupCol '$groupCol' collides with an output column name — rename it first")
     val v = df
       .select(col(groupCol).as("_g"), col(colName).cast("double").as("_v"))
       .filter(col("_v").between(-Double.MaxValue, Double.MaxValue))

@@ -2364,7 +2364,9 @@ object Queries {
   private def portableUSqlOn(expr: String, seed: Long): String = {
     val p = 2147483647L
     val (a1, b1, a2, b2) = graft.operators.Splits.seedConstants(seed)
-    s"""CAST(((((($expr % $p) + $p) % $p
+    // ($expr) parenthesized: a compound expression like "a + b" must bind as a
+    // unit, not leak its last operand into the `% p`.
+    s"""CAST((((((($expr) % $p) + $p) % $p
        | * $a1 + $b1) % $p * $a2 + $b2) % $p) AS DOUBLE) / $p.0""".stripMargin
       .replaceAll("\n", " ")
   }

@@ -76,6 +76,16 @@ object AsOf {
     require(keys.forall(k => left.columns.contains(k) && right.columns.contains(k)),
       s"keys ${keys.mkString(", ")} must exist on both sides")
 
+    // Fail loud on a time-type mismatch: a silent cast (e.g. timestamp → long)
+    // converts to epoch SECONDS against a micros axis, and every left row then
+    // "matches" the globally-latest right row — wrong enrichment everywhere with
+    // no error. Same fail-loud rule as the probe-kernel dimension guards.
+    val lt = left.schema(leftTime).dataType
+    val rt = right.schema(rightTime).dataType
+    require(lt == rt,
+      s"leftTime '$leftTime' is $lt but rightTime '$rightTime' is $rt — cast the " +
+        "time columns to one type (and one unit) before joining")
+
     // One relation, two roles: left rows carry their own columns and NULL payload;
     // right rows carry NULL left columns and the payload. Matching then becomes
     // "last non-null payload at or before me" — a carry-forward, not a join.
@@ -83,7 +93,7 @@ object AsOf {
       .filter(col(rightTime).isNotNull)
       .select(
         keys.map(col) ++
-          Seq(col(rightTime).cast(left.schema(leftTime).dataType).as("_t"), lit(0).as("_side")) ++
+          Seq(col(rightTime).as("_t"), lit(0).as("_side")) ++
           left.columns.filterNot(keys.contains)
             .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
           payload.map(col): _*)

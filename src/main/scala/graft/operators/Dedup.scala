@@ -164,22 +164,6 @@ object Dedup {
         xxhash64(slice(signature, b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
     }: _*)
 
-  /** Candidate near-duplicate pairs (idA < idB) from MinHash-LSH. One shuffle on
-    * (band, bucket); the self-join carries ONLY (band, bucket, id) — signatures never
-    * cross the shuffle, so a candidate row is ~24 bytes regardless of numHashes.
-    * Buckets larger than `maxBucketSize` (degenerate/skewed content) are dropped — the
-    * standard guard against quadratic blowup on pathological buckets.
-    *
-    * Default banding is 16 bands × 8 rows: the S-curve midpoint (1/b)^(1/r) ≈ 0.71, so
-    * recall at j ≥ 0.9 is 1-(1-0.9^8)^16 ≈ 0.9999 while pairs at the corpus-background
-    * similarity (j ≤ 0.3) collide with probability < 1e-3 — wide bands (e.g. 32×4) let
-    * background pairs flood the candidate set on boilerplate-heavy corpora.
-    *
-    * Note: pass the corpus UNCACHED. The signature kernel runs once only because both
-    * self-join sides reuse one exchange, and Spark cannot canonicalize the two
-    * InMemoryRelation copies a cached input becomes across the self-join — a cached
-    * corpus recomputes the kernel per side (correct, just slower).
-    */
   /** The LSH bucket index of a corpus: one `(id, band, bucket)` row per banded
     * signature slice — the persistable state that makes dedup INCREMENTAL. Write
     * this once for the standing corpus (parquet, ideally `partitionBy("band")` for
@@ -253,6 +237,22 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Candidate near-duplicate pairs (idA < idB) from MinHash-LSH. One shuffle on
+    * (band, bucket); the self-join carries ONLY (band, bucket, id) — signatures never
+    * cross the shuffle, so a candidate row is ~24 bytes regardless of numHashes.
+    * Buckets larger than `maxBucketSize` (degenerate/skewed content) are dropped — the
+    * standard guard against quadratic blowup on pathological buckets.
+    *
+    * Default banding is 16 bands × 8 rows: the S-curve midpoint (1/b)^(1/r) ≈ 0.71, so
+    * recall at j ≥ 0.9 is 1-(1-0.9^8)^16 ≈ 0.9999 while pairs at the corpus-background
+    * similarity (j ≤ 0.3) collide with probability < 1e-3 — wide bands (e.g. 32×4) let
+    * background pairs flood the candidate set on boilerplate-heavy corpora.
+    *
+    * Note: pass the corpus UNCACHED. The signature kernel runs once only because both
+    * self-join sides reuse one exchange, and Spark cannot canonicalize the two
+    * InMemoryRelation copies a cached input becomes across the self-join — a cached
+    * corpus recomputes the kernel per side (correct, just slower).
+    */
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,

@@ -80,10 +80,10 @@ object Drift {
   def ksStatistic(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
     val spark = ref.sparkSession
     import spark.implicits._
+    // between(±MaxValue) excludes NULL, NaN, and ±Inf in one predicate (repo idiom).
     def side(df: DataFrame, s: Int) = df
       .select(col(valueCol).cast("double").as("_x"))
-      .filter(col("_x").isNotNull && !isnan(col("_x")) &&
-        col("_x").between(Double.MinValue, Double.MaxValue))
+      .filter(col("_x").between(-Double.MaxValue, Double.MaxValue))
       .select(col("_x"), lit(s).as("_s"))
     val grouped = side(ref, 0).unionByName(side(cur, 1))
       .groupBy(col("_x"))

@@ -62,7 +62,10 @@ object Joins {
     * `binWidth` or split the outlier interval).
     *
     * Semantics: inner join, containment inclusive on both ends (`start <= p <= end`).
-    * NULL points, NULL bounds, and inverted intervals (`end < start`) match nothing.
+    * NULL or non-finite (NaN/±Inf) points and bounds, and inverted intervals
+    * (`end < start`), match nothing — a NaN bound would otherwise both dodge the
+    * span guard (NaN-is-largest makes `end >= start` true while `binOf(NaN)` casts
+    * to 0, turning the span negative) and diverge from SQL `p <= NaN` semantics.
     * Time columns: pass numeric columns (cast timestamps to epoch seconds up front —
     * keeps binning arithmetic exact and engine-portable).
     */
@@ -77,16 +80,20 @@ object Joins {
     require(overlap.isEmpty,
       s"column name collision between sides: ${overlap.mkString(", ")} — rename before joining")
     def binOf(c: Column) = floor(c / binWidth).cast("long")
-    val p = points.filter(col(pointCol).isNotNull)
+    // between(±MaxValue) excludes NULL, NaN, and ±Inf in one predicate (repo idiom).
+    def finite(c: Column) = c.between(-Double.MaxValue, Double.MaxValue)
+    val p = points.filter(finite(col(pointCol)))
       .withColumn("_bin", binOf(col(pointCol)))
     val spanBins = binOf(col(endCol)) - binOf(col(startCol)) + 1L
     val iv = intervals
-      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+      .filter(finite(col(startCol)) && finite(col(endCol)) &&
         col(endCol) >= col(startCol))
       // Fail IN THE TASK, not after a collect: raise_error inside the projection
-      // stops the job the moment one runaway interval appears.
+      // stops the job the moment one runaway interval appears. Both guard ends:
+      // a span outside [1, max] means either a runaway interval or arithmetic
+      // corruption — never something to join through silently.
       .withColumn("_bin", explode(sequence(
-        when(spanBins <= maxBinsPerInterval, binOf(col(startCol)))
+        when(spanBins.between(1L, maxBinsPerInterval), binOf(col(startCol)))
           .otherwise(raise_error(concat(
             lit(s"rangeJoin: interval spans more than $maxBinsPerInterval bins of width $binWidth ("),
             spanBins, lit(" bins) — raise binWidth or split the interval")))),

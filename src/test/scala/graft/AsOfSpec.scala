@@ -92,6 +92,16 @@ class AsOfSpec extends SparkSpec {
       s"exactly one hash exchange expected:\n$plan")
   }
 
+  test("asofJoin fails loud on a time-type mismatch instead of silently casting") {
+    // timestamp right vs long left: a silent cast would land on epoch SECONDS
+    // against a micros axis and every row would "match" the latest snapshot
+    val tsRight = quotes.withColumn("qt", to_timestamp(col("qt").cast("double")))
+    val e = intercept[IllegalArgumentException] {
+      AsOf.asofJoin(trades, tsRight, Seq("sym"), "t", "qt", Seq("px"))
+    }
+    assert(e.getMessage.contains("one unit"), e.getMessage)
+  }
+
   test("asofJoin guards: reserved names, payload clash, missing keys") {
     intercept[IllegalArgumentException] {
       AsOf.asofJoin(trades.withColumnRenamed("qty", "px"), quotes, Seq("sym"), "t", "qt", Seq("px"))
@@ -138,5 +148,13 @@ class AsOfSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"range join planned quadratic:\n$plan")
+    // a NaN/Inf bound must match NOTHING — not dodge the span guard (NaN-is-largest
+    // makes end >= start true while binOf(NaN) casts to 0: a negative span would
+    // slip `span <= max` and explode a ~1e8-bin descending sequence)
+    val nanIv = Seq((7L, 9e8, Double.NaN), (8L, Double.NegativeInfinity, 5.0),
+      (9L, 1.0, Double.PositiveInfinity)).toDF("iid", "s", "e")
+    assert(Joins.rangeJoin(points, nanIv, "x", "s", "e", 10.0).count() == 0L)
+    val nanPt = Seq((9L, Double.NaN)).toDF("pid", "x")
+    assert(Joins.rangeJoin(nanPt, ivs, "x", "s", "e", 10.0).count() == 0L)
   }
 }

@@ -219,6 +219,10 @@ class MetricsSpec extends SparkSpec {
     val b = out(Some("B"))
     assert(b._2 == 7.0 && b._3 == 0.0 && b._4 == 1L, "MAD 0: any deviation is an outlier")
     assert(out.contains(None) && out(None)._1 == 2L, "NULL group is a real stratum")
+    // a group column named like an output column would emit a duplicate name
+    intercept[IllegalArgumentException] {
+      Metrics.robustOutliersByGroup(df.withColumnRenamed("g", "median"), "median", "v")
+    }
     // single group == the global screen (same exclusions, same definition)
     val one = df.filter($"g" === "A")
     val grouped = Metrics.robustOutliersByGroup(one, "g", "v", 3.5).head()

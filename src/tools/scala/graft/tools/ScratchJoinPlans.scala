@@ -64,7 +64,7 @@ object ScratchJoinPlans {
     // exchange) — print the grouped-counts child plan it builds on instead.
     show("ksStatistic input (value-grouped counts before the range fold)") {
       val v = ev.select(col("value").cast("double").as("_x"), lit(0).as("_s"))
-        .filter(col("_x").isNotNull && !isnan(col("_x")))
+        .filter(col("_x").between(-Double.MaxValue, Double.MaxValue))
       v.groupBy("_x").agg(
         sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_c1"),
         sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_c2"))
