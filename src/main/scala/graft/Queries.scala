@@ -1900,6 +1900,28 @@ object Queries {
              |   CASE WHEN tc > 0 THEN greatest(CAST(nc AS DOUBLE) / tc, 1e-6) END AS pc FROM j, t)
              | SELECT round(sum((pr - pc) * ln(pr / pc)), 6) AS psi, count(*) AS n_categories FROM p""".stripMargin.replaceAll("\n", " "))),
 
+    // Daily PSI series over the event-type mix: each day vs the previous day —
+    // the "which day did the feed shift" monitor. First day (no reference) is
+    // NULL on both engines; NULL event_type is a real category.
+    QueryDef("psi_series_events",
+      (s, d) => graft.operators.Drift.psiSeries(t(s, d, "events"), "ts", "event_type")
+        .select(col("day"), col("n_categories"), round(col("psi"), 6).as("psi")),
+      Some("""WITH c AS (SELECT CAST(ts AS DATE) AS day, event_type AS cat, count(*) AS n
+             |   FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+             | cur AS (SELECT day, cat, n AS nc FROM c),
+             | ref AS (SELECT day + 1 AS day, cat, n AS nr FROM c),
+             | j AS (SELECT coalesce(cur.day, ref.day) AS day,
+             |   coalesce(nc, 0) AS nc, coalesce(nr, 0) AS nr
+             |   FROM cur FULL JOIN ref ON cur.day = ref.day AND cur.cat IS NOT DISTINCT FROM ref.cat),
+             | t AS (SELECT day, sum(nc) AS tc, sum(nr) AS tr FROM j GROUP BY 1),
+             | p AS (SELECT j.day, t.tc,
+             |   CASE WHEN tc > 0 THEN greatest(CAST(nc AS DOUBLE) / tc, 1e-6) END AS pc,
+             |   CASE WHEN tr > 0 THEN greatest(CAST(nr AS DOUBLE) / tr, 1e-6) END AS pr
+             |   FROM j JOIN t ON j.day = t.day)
+             | SELECT day, CAST(count(*) AS BIGINT) AS n_categories,
+             | round(sum((pr - pc) * ln(pr / pc)), 6) AS psi
+             | FROM p WHERE tc > 0 GROUP BY 1""".stripMargin.replaceAll("\n", " "))),
+
     // Two-sample KS statistic over events.value between the even/odd user halves —
     // the distributed range-partitioned ECDF fold vs DuckDB's cumulative window
     // over grouped values. Exact equality up to rounding: both evaluate the same

@@ -57,6 +57,66 @@ object Drift {
       sum(col("psi_term")).as("psi"),
       count(lit(1)).as("n_categories"))
 
+  /** Daily PSI series: for every calendar day with data, the PSI of `catCol`'s
+    * distribution against the PREVIOUS day — [[psi]] unrolled over event time, the
+    * feed-monitoring view ("which day did the upstream mix shift") where the
+    * two-snapshot psi answers only "did it shift between these two corpora".
+    * One row per day: `(day, n_categories, psi)`; `psi` is NULL when the previous
+    * day has no rows (nothing to compare against — the first day always). NULL
+    * category is a real category (same convention as [[psiDetail]]); rows with a
+    * NULL/invalid timestamp have no day and are excluded.
+    *
+    * Scale: one (day, category)-keyed count shuffle (map-side combined, output
+    * bounded by days × categories), then every join/rollup runs on that bounded
+    * frame — the corpus is scanned once.
+    */
+  def psiSeries(df: DataFrame, tsCol: String, catCol: String,
+      epsilon: Double = 1e-6): DataFrame = {
+    require(epsilon > 0 && epsilon < 1, s"epsilon must be in (0,1), got $epsilon")
+    val counts = df
+      .select(to_date(col(tsCol)).as("_day"), col(catCol).as("_cat"))
+      .filter(col("_day").isNotNull)
+      .groupBy(col("_day"), col("_cat"))
+      .agg(count(lit(1)).as("_n"))
+    // The reference side is "yesterday" shifted forward one day, so the full-outer
+    // join lines both sides up on the SAME day key; categories present on only one
+    // side survive with a 0 count (the epsilon floor gives them a finite term).
+    // Explicit dataset aliases: both sides derive from `counts`, and bare column
+    // refs across such a self-join are ambiguous to the analyzer.
+    val cur = counts.select(col("_day"), col("_cat"), col("_n").as("_nc")).as("_cur")
+    val ref = counts.select(date_add(col("_day"), 1).as("_day"), col("_cat"),
+      col("_n").as("_nr")).as("_ref")
+    val joined = cur.join(ref,
+        col("_cur._day") === col("_ref._day") && col("_cur._cat") <=> col("_ref._cat"),
+        "full_outer")
+      .select(
+        coalesce(col("_cur._day"), col("_ref._day")).as("_day"),
+        coalesce(col("_cur._cat"), col("_ref._cat")).as("_cat"),
+        coalesce(col("_nc"), lit(0L)).as("_nc"),
+        coalesce(col("_nr"), lit(0L)).as("_nr"))
+    val totals = joined.groupBy(col("_day")).agg(
+      sum(col("_nc")).as("_tc"), sum(col("_nr")).as("_tr"))
+    def share(n: String, t: String) =
+      when(col(t) > 0, greatest(col(n).cast("double") / col(t).cast("double"),
+        lit(epsilon)))
+    joined.join(totals, Seq("_day"))
+      .withColumn("_pc", share("_nc", "_tc"))
+      .withColumn("_pr", share("_nr", "_tr"))
+      .withColumn("_term",
+        when(col("_pc").isNotNull && col("_pr").isNotNull,
+          (col("_pr") - col("_pc")) * log(col("_pr") / col("_pc"))))
+      .groupBy(col("_day"))
+      // A day whose reference side is empty (first day / gap) has every _term NULL
+      // -> sum NULL -> psi NULL; days with data on both sides sum finite terms.
+      .agg(count(lit(1)).as("n_categories"), sum(col("_term")).as("psi"),
+        max(col("_tc")).as("_tcm"))
+      // Days that only appear as a shifted reference (the day AFTER the last data
+      // day) are join artifacts, not observations — only days with CURRENT rows
+      // report.
+      .filter(col("_tcm") > 0)
+      .select(col("_day").as("day"), col("n_categories"), col("psi"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic over a numeric column:
     * `D = sup_x |F_ref(x) − F_cur(x)|` — the nonparametric "did the continuous
     * distribution move" monitor PSI's fixed bins can miss (a pure location shift

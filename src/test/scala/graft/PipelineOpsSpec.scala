@@ -631,6 +631,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(dimChange._4 > 4.9, "new dims' mass must count as shift (3-4-5 triangle: 5)")
   }
 
+  test("psiSeries: first-day NULL, zero on repeat, closed-form shift, phantom day absent") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // day1 {a:2,b:2}; day2 identical; day3 {a:4} (b vanishes)
+    val rows = Seq(ts(1) -> "a", ts(1) -> "a", ts(1) -> "b", ts(1) -> "b",
+      ts(2) -> "a", ts(2) -> "a", ts(2) -> "b", ts(2) -> "b",
+      ts(3) -> "a", ts(3) -> "a", ts(3) -> "a", ts(3) -> "a")
+    val df = rows.toDF("ts", "cat")
+      .unionByName(Seq((Option.empty[java.sql.Timestamp], Some("a"))).toDF("ts", "cat"))
+    val out = Drift.psiSeries(df, "ts", "cat").collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(out.size == 3, s"exactly the three data days: $out")
+    assert(out("2024-01-01")._2.isEmpty, "first day has no reference: NULL psi")
+    assert(math.abs(out("2024-01-02")._2.get) < 1e-12, "identical distribution: psi 0")
+    val eps = 1e-6
+    val want = (0.5 - 1.0) * math.log(0.5 / 1.0) +
+      (0.5 - eps) * math.log(0.5 / eps)
+    assert(math.abs(out("2024-01-03")._2.get - want) < 1e-9,
+      s"${out("2024-01-03")._2.get} vs closed-form $want")
+    assert(out("2024-01-03")._1 == 2L, "union categories of cur and ref")
+    // NULL category is a real category; a shifted day with no current rows is absent
+    val withNullCat = df.unionByName(Seq((Some(ts(2)), Option.empty[String])).toDF("ts", "cat"))
+    val d2 = Drift.psiSeries(withNullCat, "ts", "cat").collect()
+      .find(_.getDate(0).toString == "2024-01-02").get
+    assert(d2.getLong(1) == 3L, "NULL category counts as a category")
+  }
+
   test("ksStatistic: 0 on identical, 1 on disjoint, matches naive ECDF, edge classes") {
     import spark.implicits._
     val rng = new scala.util.Random(3)
