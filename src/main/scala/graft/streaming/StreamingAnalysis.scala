@@ -318,6 +318,59 @@ object StreamingAnalysis {
       }
     }
 
+  /** Streaming distribution-drift gate: every micro-batch's `catCol` mix scored by
+    * PSI against a STATIC reference distribution (collapsed ONCE at sink
+    * construction); `onDrift` fires when the batch's PSI reaches `threshold`
+    * (0.25 = the significant-shift convention [[graft.operators.Drift.psi]]
+    * documents). The streaming face of the batch drift monitor — same epsilon
+    * smoothing, same category semantics (NULL is a real category), pinned equal to
+    * `Drift.psi` in the spec.
+    *
+    * Empty batches (and an empty reference) have no distribution: no callback, by
+    * the batch psi's NULL-on-empty-side convention. Stateless per batch: an
+    * at-least-once replay re-fires the callback (duplicate alerts are recoverable;
+    * swallowed ones are not). `maxCategories` bounds the per-batch collect — a
+    * continuous column passed as a "category" fails loud instead of growing the
+    * driver map without limit.
+    */
+  def driftSink(
+      stream: DataFrame,
+      catCol: String,
+      reference: DataFrame,
+      refCatCol: String,
+      onDrift: (Long, Double) => Unit,
+      threshold: Double = 0.25,
+      epsilon: Double = 1e-6,
+      maxCategories: Int = 10000): DataStreamWriter[Row] = {
+    require(epsilon > 0 && epsilon < 1, s"epsilon must be in (0,1), got $epsilon")
+    require(threshold >= 0, s"threshold must be >= 0, got $threshold")
+    require(maxCategories > 0, "maxCategories must be positive")
+    def countsOf(df: DataFrame, c: String, what: String): Map[Any, Long] = {
+      val rows = df.groupBy(col(c)).agg(count(lit(1)).as("n"))
+        .limit(maxCategories + 1).collect()
+      require(rows.length <= maxCategories,
+        s"driftSink: $what has more than $maxCategories categories — '$c' does not " +
+          "look categorical; bin it (Drift.psiNumeric's clamped bins) before gating")
+      rows.map(r => r.get(0) -> r.getLong(1)).toMap
+    }
+    val refCounts = countsOf(reference, refCatCol, "reference")
+    val refTotal = refCounts.values.sum
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      val curCounts = countsOf(batch, catCol, s"batch $batchId")
+      val curTotal = curCounts.values.sum
+      if (refTotal > 0 && curTotal > 0) {
+        // Same closed form as Drift.psi: union of categories, shares floored at
+        // epsilon so one-sided categories contribute a finite term.
+        val psi = (refCounts.keySet ++ curCounts.keySet).toSeq.map { cat =>
+          val pr = math.max(refCounts.getOrElse(cat, 0L).toDouble / refTotal, epsilon)
+          val pc = math.max(curCounts.getOrElse(cat, 0L).toDouble / curTotal, epsilon)
+          (pr - pc) * math.log(pr / pc)
+        }.sum
+        if (psi >= threshold) onDrift(batchId, psi)
+      }
+    }
+  }
+
   /** Continuous constraint evaluation: run a (batchable) constraint set on each
     * micro-batch, emitting failures to the foreachBatch callback. For per-batch gating
     * (e.g. quarantine bad batches before they land).

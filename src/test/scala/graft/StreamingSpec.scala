@@ -450,4 +450,38 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(
       "mail [EMAIL] then one", "one two three four", "four five six"))
   }
+
+  test("drift sink: quiet on matching mix, fires on shift with batch-psi parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val reference = Seq.fill(50)("a").map(Tuple1(_)).toDF("cat")
+      .unionByName(Seq.fill(50)("b").map(Tuple1(_)).toDF("cat"))
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val input = MemoryStream[String]
+    val q = StreamingAnalysis.driftSink(
+      input.toDF().toDF("cat"), "cat", reference, "cat",
+      (bid, psi) => hits.synchronized { hits += bid -> psi }, threshold = 0.25)
+      .start()
+    try {
+      input.addData(Seq.fill(10)("a") ++ Seq.fill(10)("b"): _*) // same mix: quiet
+      q.processAllAvailable()
+      input.addData(Seq.fill(20)("a"): _*) // all-a batch: b's mass vanished
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(hits.map(_._1).toSeq == Seq(1L), s"only the shifted batch alerts: $hits")
+    // parity with the batch operator on the same frames
+    val batchPsi = graft.operators.Drift.psi(
+      reference, Seq.fill(20)("a").map(Tuple1(_)).toDF("cat"), "cat")
+      .head().getDouble(0)
+    assert(math.abs(hits.head._2 - batchPsi) < 1e-9,
+      s"streaming psi ${hits.head._2} != batch psi $batchPsi")
+    // a continuous column fails loud instead of growing the driver map
+    val e = intercept[IllegalArgumentException] {
+      StreamingAnalysis.driftSink(
+        input.toDF().toDF("cat"), "cat",
+        (1 to 20001).map(i => Tuple1(i.toString)).toDF("cat"), "cat",
+        (_, _) => (), maxCategories = 20000)
+    }
+    assert(e.getMessage.contains("does not look categorical"), e.getMessage)
+  }
 }
