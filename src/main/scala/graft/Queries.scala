@@ -1900,6 +1900,34 @@ object Queries {
              |   CASE WHEN tc > 0 THEN greatest(CAST(nc AS DOUBLE) / tc, 1e-6) END AS pc FROM j, t)
              | SELECT round(sum((pr - pc) * ln(pr / pc)), 6) AS psi, count(*) AS n_categories FROM p""".stripMargin.replaceAll("\n", " "))),
 
+    // CUBE rollup over (lang, source): per-cell, per-lang, per-source, and grand
+    // totals in ONE pass with grouping_id disambiguating subtotal rows from real
+    // NULL categories — the OLAP rollup surface (Spark cube == DuckDB GROUP BY
+    // CUBE, including the grouping-bit convention).
+    QueryDef("cube_quality_documents",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        // The grand-total grouping set comes from a separate GLOBAL aggregate:
+        // standard SQL (and DuckDB) emit the () set's one row even over EMPTY
+        // input, while Spark's Expand+HashAggregate cube yields zero rows there —
+        // the union keeps the empty-input shape standard.
+        docs.cube(col("lang"), col("source"))
+          .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+            round(avg(col("n_chars")), 4).as("avg_chars"))
+          .filter(col("gid") =!= 3)
+          .select(col("lang"), col("source"), col("gid"), col("n_docs"), col("avg_chars"))
+          .unionByName(docs.agg(count(lit(1)).as("n_docs"),
+              round(avg(col("n_chars")), 4).as("avg_chars"))
+            .select(lit(null).cast("string").as("lang"),
+              lit(null).cast("string").as("source"), lit(3L).as("gid"),
+              col("n_docs"), col("avg_chars")))
+      },
+      Some("""SELECT lang, source,
+             | CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid,
+             | count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+             | FROM documents GROUP BY CUBE (lang, source)""".stripMargin
+        .replaceAll("\n", " "))),
+
     // Daily PSI series over the event-type mix: each day vs the previous day —
     // the "which day did the feed shift" monitor. First day (no reference) is
     // NULL on both engines; NULL event_type is a real category.
