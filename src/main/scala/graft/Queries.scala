@@ -1950,6 +1950,31 @@ object Queries {
              | round(sum((pr - pc) * ln(pr / pc)), 6) AS psi
              | FROM p WHERE tc > 0 GROUP BY 1""".stripMargin.replaceAll("\n", " "))),
 
+    // Per-event-type KS between the even/odd user halves — the stratified drift
+    // view; groups with one empty side report NULL, NULL event_type is a group.
+    QueryDef("ks_by_type_events",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        graft.operators.Drift.ksStatisticByGroup(
+            ev.filter(col("user_id") % 2 === 0), ev.filter(col("user_id") % 2 === 1),
+            "event_type", "value")
+          .select(col("event_type"), col("n_ref"), col("n_cur"),
+            round(col("ks"), 6).as("ks"))
+      },
+      Some("""WITH v AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x,
+             |     CASE WHEN user_id % 2 = 0 THEN 1 ELSE 2 END AS s
+             |   FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+             |     AND NOT isnan(value) AND isfinite(CAST(value AS DOUBLE)) AND user_id % 2 IN (0, 1)),
+             | gg AS (SELECT g, x, CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             |   CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2 FROM v GROUP BY 1, 2),
+             | c AS (SELECT g, sum(c1) OVER (PARTITION BY g ORDER BY x) AS r1,
+             |   sum(c2) OVER (PARTITION BY g ORDER BY x) AS r2,
+             |   sum(c1) OVER (PARTITION BY g) AS n1, sum(c2) OVER (PARTITION BY g) AS n2 FROM gg)
+             | SELECT g AS event_type, CAST(max(n1) AS BIGINT) AS n_ref, CAST(max(n2) AS BIGINT) AS n_cur,
+             | CASE WHEN max(n1) = 0 OR max(n2) = 0 THEN NULL ELSE
+             |   round(max(abs(CAST(r1 AS DOUBLE) / n1 - CAST(r2 AS DOUBLE) / n2)), 6) END AS ks
+             | FROM c GROUP BY 1""".stripMargin.replaceAll("\n", " "))),
+
     // Two-sample KS statistic over events.value between the even/odd user halves —
     // the distributed range-partitioned ECDF fold vs DuckDB's cumulative window
     // over grouped values. Exact equality up to rounding: both evaluate the same

@@ -191,6 +191,54 @@ object Drift {
     Seq((n1, n2, Some(d))).toDF("n_ref", "n_cur", "ks")
   }
 
+  /** Per-group two-sample KS: [[ksStatistic]] stratified by `groupCol` — one row
+    * per group with side counts and the group's `D = sup|F_ref − F_cur|`; `ks` is
+    * NULL where either side of the group is empty. NULL group is a real group.
+    * The per-stratum view a mixed corpus needs (a value drift inside one
+    * event-type/language washes out of the global statistic).
+    *
+    * Shape: one (group, value)-keyed count shuffle, then cumulative/total windows
+    * partitioned by group on the SAME partitioning and a group rollup — no joins,
+    * no global sort. Groups are entity-bounded (the grouped-window contract shared
+    * with `Metrics.robustOutliersByGroup`): a single data-scale group belongs to
+    * the global [[ksStatistic]]'s boundary-fold plan instead.
+    */
+  def ksStatisticByGroup(ref: DataFrame, cur: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    require(!Seq("n_ref", "n_cur", "ks").contains(groupCol),
+      s"groupCol '$groupCol' collides with an output column name — rename it first")
+    def side(df: DataFrame, s: Int) = df
+      .select(col(groupCol).as("_g"), col(valueCol).cast("double").as("_x"))
+      .filter(col("_x").between(-Double.MaxValue, Double.MaxValue))
+      .select(col("_g"), col("_x"), lit(s).as("_s"))
+    val grouped = side(ref, 0).unionByName(side(cur, 1))
+      .groupBy(col("_g"), col("_x"))
+      .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_c1"),
+        sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_c2"))
+    val cum = org.apache.spark.sql.expressions.Window.partitionBy(col("_g"))
+      .orderBy(col("_x"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(col("_g"))
+    grouped
+      .withColumn("_r1", sum(col("_c1")).over(cum))
+      .withColumn("_r2", sum(col("_c2")).over(cum))
+      .withColumn("_n1", sum(col("_c1")).over(tot))
+      .withColumn("_n2", sum(col("_c2")).over(tot))
+      // Guard the division PER ROW: a one-sided group's rows evaluate the ECDF
+      // difference before any aggregate-level guard could apply, and ANSI mode
+      // makes that a DIVIDE_BY_ZERO error, not a NULL. All-NULL rows then roll up
+      // to a NULL max — exactly the wanted one-sided verdict.
+      .withColumn("_d", when(col("_n1") > 0 && col("_n2") > 0,
+        abs(col("_r1").cast("double") / col("_n1") -
+          col("_r2").cast("double") / col("_n2"))))
+      .groupBy(col("_g"))
+      .agg(
+        max(col("_n1")).as("n_ref"),
+        max(col("_n2")).as("n_cur"),
+        max(col("_d")).as("ks"))
+      .withColumnRenamed("_g", groupCol)
+  }
+
   /** PSI over a numeric column via fixed-width bins on [lo, hi) — bounds are
     * CALLER-SUPPLIED (the reference dataset's known range), keeping the binning
     * deterministic and identical on both sides; out-of-range values clamp into the

@@ -631,6 +631,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(dimChange._4 > 4.9, "new dims' mass must count as shift (3-4-5 triangle: 5)")
   }
 
+  test("ksStatisticByGroup: per-group == global on that group, one-sided NULL, null group") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val ref = (1 to 2000).map(_ => (Some(Seq("A", "B")(rng.nextInt(2))), rng.nextGaussian()))
+      .toDF("g", "v")
+      .unionByName(Seq((Option.empty[String], 1.0), (Option.empty[String], 2.0)).toDF("g", "v"))
+    val cur = (1 to 1500).map { _ =>
+      val g = Seq("A", "B")(rng.nextInt(2))
+      (Some(g), rng.nextGaussian() + (if (g == "A") 0.5 else 0.0))
+    }.toDF("g", "v").unionByName(Seq((Some("C"), 3.0)).toDF("g", "v"))
+    val out = Drift.ksStatisticByGroup(ref, cur, "g", "v").collect()
+      .map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    // per-group result == the global operator run on just that group
+    for (g <- Seq("A", "B")) {
+      val expect = Drift.ksStatistic(
+        ref.filter($"g" === g), cur.filter($"g" === g), "v").head().getDouble(2)
+      assert(out(Some(g))._3.contains(expect), s"group $g: ${out(Some(g))} vs $expect")
+    }
+    assert(out(Some("A"))._3.get > out(Some("B"))._3.get,
+      "the planted 0.5-sigma shift in A must dominate B's noise")
+    // one-sided groups: NULL ks, counts honest; NULL group is a real group
+    assert(out(Some("C")) == ((0L, 1L, None)), "cur-only group reports NULL ks")
+    assert(out(None) == ((2L, 0L, None)), "NULL group kept, ref-only -> NULL ks")
+    intercept[IllegalArgumentException](Drift.ksStatisticByGroup(ref, cur, "ks", "v"))
+  }
+
   test("psiSeries: first-day NULL, zero on repeat, closed-form shift, phantom day absent") {
     import spark.implicits._
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
