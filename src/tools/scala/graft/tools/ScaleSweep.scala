@@ -73,7 +73,11 @@ object ScaleSweep {
     "asof_join_events",
     "range_join_events",
     // the range-partitioned ECDF boundary fold (distinct-value counts grow ~10×)
-    "ks_drift_events")
+    "ks_drift_events",
+    // grouped-window drift family: per-type ECDF windows and the day-keyed PSI
+    // joins both scale by group/day count × distinct values, the honest shape
+    "ks_by_type_events",
+    "psi_series_events")
 
   /** Run the sweep against `src` on an existing session, returning
     * (name, smallSec, bigSec, ratio) per headliner plus the suite20 10× datapoint.
