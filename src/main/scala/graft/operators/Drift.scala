@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift metrics between a reference and a current dataset — the
@@ -14,6 +14,17 @@ import org.apache.spark.sql.functions._
   * frames. Nothing data-scale crosses the wire twice.
   */
 object Drift {
+
+  /** `max(n/total, epsilon)` when the side has mass, else NULL — the PSI smoothing
+    * shared by every PSI surface here (one definition, so the epsilon convention
+    * cannot silently diverge between the snapshot and series forms).
+    */
+  private def smoothedShare(n: Column, total: Column, epsilon: Double): Column =
+    when(total > 0, greatest(n.cast("double") / total.cast("double"), lit(epsilon)))
+
+  /** `(p_ref − p_cur)·ln(p_ref/p_cur)` where both shares exist, else NULL. */
+  private def psiTerm(pRef: Column, pCur: Column): Column =
+    when(pRef.isNotNull && pCur.isNotNull, (pRef - pCur) * log(pRef / pCur))
 
   /** Per-category drift detail over `colName`: `value`, `n_ref`, `n_cur`, `p_ref`,
     * `p_cur` (smoothed shares, `max(n/total, epsilon)` — the standard PSI guard so a
@@ -37,13 +48,9 @@ object Drift {
     val totals = joined.agg(
       sum(col("n_ref")).as("_tr"), sum(col("n_cur")).as("_tc"))
     val p = joined.crossJoin(broadcast(totals))
-    def share(n: String, t: String) =
-      when(col(t) > 0, greatest(col(n).cast("double") / col(t).cast("double"), lit(epsilon)))
-    p.withColumn("p_ref", share("n_ref", "_tr"))
-      .withColumn("p_cur", share("n_cur", "_tc"))
-      .withColumn("psi_term",
-        when(col("p_ref").isNotNull && col("p_cur").isNotNull,
-          (col("p_ref") - col("p_cur")) * log(col("p_ref") / col("p_cur"))))
+    p.withColumn("p_ref", smoothedShare(col("n_ref"), col("_tr"), epsilon))
+      .withColumn("p_cur", smoothedShare(col("n_cur"), col("_tc"), epsilon))
+      .withColumn("psi_term", psiTerm(col("p_ref"), col("p_cur")))
       .drop("_tr", "_tc")
   }
 
@@ -96,15 +103,10 @@ object Drift {
         coalesce(col("_nr"), lit(0L)).as("_nr"))
     val totals = joined.groupBy(col("_day")).agg(
       sum(col("_nc")).as("_tc"), sum(col("_nr")).as("_tr"))
-    def share(n: String, t: String) =
-      when(col(t) > 0, greatest(col(n).cast("double") / col(t).cast("double"),
-        lit(epsilon)))
     joined.join(totals, Seq("_day"))
-      .withColumn("_pc", share("_nc", "_tc"))
-      .withColumn("_pr", share("_nr", "_tr"))
-      .withColumn("_term",
-        when(col("_pc").isNotNull && col("_pr").isNotNull,
-          (col("_pr") - col("_pc")) * log(col("_pr") / col("_pc"))))
+      .withColumn("_pc", smoothedShare(col("_nc"), col("_tc"), epsilon))
+      .withColumn("_pr", smoothedShare(col("_nr"), col("_tr"), epsilon))
+      .withColumn("_term", psiTerm(col("_pr"), col("_pc")))
       .groupBy(col("_day"))
       // A day whose reference side is empty (first day / gap) has every _term NULL
       // -> sum NULL -> psi NULL; days with data on both sides sum finite terms.

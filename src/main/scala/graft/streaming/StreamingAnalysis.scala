@@ -345,6 +345,14 @@ object StreamingAnalysis {
     require(epsilon > 0 && epsilon < 1, s"epsilon must be in (0,1), got $epsilon")
     require(threshold >= 0, s"threshold must be >= 0, got $threshold")
     require(maxCategories > 0, "maxCategories must be positive")
+    // Categories are matched as driver-side map keys (raw JVM equality), so the two
+    // columns must share one type — an INT reference against a BIGINT stream would
+    // box to Integer-vs-Long keys, every category would look one-sided, and the
+    // gate would false-alert on every batch. Fail loud instead (the asofJoin
+    // time-type rule).
+    require(reference.schema(refCatCol).dataType == stream.schema(catCol).dataType,
+      s"driftSink: reference '$refCatCol' is ${reference.schema(refCatCol).dataType} " +
+        s"but stream '$catCol' is ${stream.schema(catCol).dataType} — cast them to one type")
     def countsOf(df: DataFrame, c: String, what: String): Map[Any, Long] = {
       val rows = df.groupBy(col(c)).agg(count(lit(1)).as("n"))
         .limit(maxCategories + 1).collect()
@@ -355,10 +363,15 @@ object StreamingAnalysis {
     }
     val refCounts = countsOf(reference, refCatCol, "reference")
     val refTotal = refCounts.values.sum
+    // An empty reference would construct a gate that can NEVER alert — a silent
+    // monitor is worse than no monitor. Surface the misconfiguration now.
+    require(refTotal > 0,
+      "driftSink: the reference distribution is empty — wrong path/filter? A gate " +
+        "with no reference can never fire")
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       val curCounts = countsOf(batch, catCol, s"batch $batchId")
       val curTotal = curCounts.values.sum
-      if (refTotal > 0 && curTotal > 0) {
+      if (curTotal > 0) {
         // Same closed form as Drift.psi: union of categories, shares floored at
         // epsilon so one-sided categories contribute a finite term.
         val psi = (refCounts.keySet ++ curCounts.keySet).toSeq.map { cat =>

@@ -483,5 +483,17 @@ class StreamingSpec extends SparkSpec {
         (_, _) => (), maxCategories = 20000)
     }
     assert(e.getMessage.contains("does not look categorical"), e.getMessage)
+    // cross-type categories would box to unequal keys and false-alert every batch
+    val eT = intercept[IllegalArgumentException] {
+      StreamingAnalysis.driftSink(
+        input.toDF().toDF("cat"), "cat", Seq(1, 2).toDF("cat"), "cat", (_, _) => ())
+    }
+    assert(eT.getMessage.contains("cast them to one type"), eT.getMessage)
+    // an empty reference is a gate that can never fire — fail at construction
+    val eE = intercept[IllegalArgumentException] {
+      StreamingAnalysis.driftSink(
+        input.toDF().toDF("cat"), "cat", reference.filter(lit(false)), "cat", (_, _) => ())
+    }
+    assert(eE.getMessage.contains("can never fire"), eE.getMessage)
   }
 }
