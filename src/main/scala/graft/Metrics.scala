@@ -276,6 +276,49 @@ object Metrics {
     }
   }
 
+  /** Equi-DEPTH histogram: `buckets` buckets holding ~equal row counts, edged by
+    * the column's exact quantiles — the skew-honest complement to
+    * [[numericHistogram]]'s fixed-width buckets (on a heavy-tailed column the
+    * equi-width histogram puts ~everything in bucket 0; equi-depth shows the
+    * distribution's actual shape, and its edges are the optimizer-style statistics
+    * a partitioner or binner would want). One row per bucket: `(bucket, lo, hi,
+    * cnt)`; heavy ties can leave interior buckets empty — those rows report
+    * `cnt = 0` rather than vanishing. NULL/NaN/±Inf excluded; empty input returns
+    * an empty frame.
+    *
+    * Assignment rule (engine-portable, exact): `bucket = Σ_i [x > edge_i]` over the
+    * interior quantile edges — a value exactly ON an edge falls in the lower
+    * bucket. Edges come from the distributed sketch+bracket quantile operator;
+    * counting is one scan with a codegen'd comparison chain; the per-bucket join
+    * is against a `buckets`-row broadcast frame.
+    */
+  def equiDepthHistogram(df: DataFrame, c: String, buckets: Int = 10): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val clean = df
+      .select(col(c).try_cast("double").as("_v"))
+      .filter(col("_v").between(-Double.MaxValue, Double.MaxValue))
+    val qs = (0 to buckets).map(_.toDouble / buckets)
+    graft.operators.Quantiles.exactQuantiles(clean, "_v", qs) match {
+      case None =>
+        clean.limit(0).select(lit(0L).as("bucket"), lit(0.0).as("lo"),
+          lit(0.0).as("hi"), lit(0L).as("cnt"))
+      case Some(edges) =>
+        val interior = edges.slice(1, buckets)
+        val bucketCol = interior.foldLeft(lit(0L))((acc, e) =>
+          acc + when(col("_v") > e, 1L).otherwise(0L))
+        val counts = clean.groupBy(bucketCol.as("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        val edgeFrame = (0 until buckets)
+          .map(i => (i.toLong, edges(i), edges(i + 1)))
+          .toDF("bucket", "lo", "hi")
+        edgeFrame.join(counts, Seq("bucket"), "left")
+          .select(col("bucket"), col("lo"), col("hi"),
+            coalesce(col("cnt"), lit(0L)).as("cnt"))
+    }
+  }
+
   /** Per-group robust outlier screen: [[robustOutliers]] stratified by `groupCol` —
     * one row per group with its exact median, MAD, and count beyond `k` MADs. The
     * per-stratum version is what mixed corpora actually need (a global MAD over

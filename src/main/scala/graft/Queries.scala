@@ -1950,6 +1950,34 @@ object Queries {
              | round(sum((pr - pc) * ln(pr / pc)), 6) AS psi
              | FROM p WHERE tc > 0 GROUP BY 1""".stripMargin.replaceAll("\n", " "))),
 
+    // Equi-depth histogram over events.value: 5 quantile-edged buckets with
+    // counts — the skew-honest profile. Both engines derive identical exact
+    // interpolated edges and the same x > edge assignment rule; empty input
+    // yields zero rows on both (the q IS NOT NULL gate).
+    QueryDef("equidepth_histogram_events", {
+      val b = 5
+      (s: SparkSession, d: String) =>
+        graft.Metrics.equiDepthHistogram(t(s, d, "events"), "value", b)
+          .select(col("bucket"), round(col("lo"), 6).as("lo"),
+            round(col("hi"), 6).as("hi"), col("cnt"))
+    }, Some {
+      val b = 5
+      val probes = (0 to b).map(i => s"${i.toDouble / b}").mkString(", ")
+      val caseChain = (1 until b)
+        .map(i => s"CASE WHEN x > q[${i + 1}] THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH v AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+         |   WHERE value IS NOT NULL AND NOT isnan(value) AND isfinite(CAST(value AS DOUBLE))),
+         | e AS (SELECT quantile_cont(x, [$probes]) AS q FROM v),
+         | bk AS (SELECT unnest(range(0, $b)) AS bucket),
+         | a AS (SELECT ($caseChain) AS bucket FROM v, e),
+         | cn AS (SELECT bucket, count(*) AS cnt FROM a GROUP BY 1)
+         | SELECT bk.bucket, round(e.q[CAST(bk.bucket + 1 AS INT)], 6) AS lo,
+         | round(e.q[CAST(bk.bucket + 2 AS INT)], 6) AS hi,
+         | CAST(coalesce(cn.cnt, 0) AS BIGINT) AS cnt
+         | FROM bk CROSS JOIN e LEFT JOIN cn ON bk.bucket = cn.bucket
+         | WHERE e.q IS NOT NULL""".stripMargin.replaceAll("\n", " ")
+    }),
+
     // Per-event-type KS between the even/odd user halves — the stratified drift
     // view; groups with one empty side report NULL, NULL event_type is a group.
     QueryDef("ks_by_type_events",

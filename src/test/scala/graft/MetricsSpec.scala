@@ -232,6 +232,30 @@ class MetricsSpec extends SparkSpec {
       grouped.getLong(4) == global.getLong(3))
   }
 
+  test("equiDepthHistogram: quartile edges and counts, tie/empty/hostile classes") {
+    import spark.implicits._
+    // 1..100 in 4 buckets: interior edges 25.75 / 50.5 / 75.25 ((n-1)p), 25 rows each
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val out = Metrics.equiDepthHistogram(df, "v", 4).orderBy("bucket").collect()
+    assert(out.length == 4)
+    assert(out.map(_.getLong(3)).toSeq == Seq(25L, 25L, 25L, 25L))
+    assert(out(0).getDouble(1) == 1.0 && out(3).getDouble(2) == 100.0)
+    assert(math.abs(out(0).getDouble(2) - 25.75) < 1e-12)
+    assert(math.abs(out(1).getDouble(2) - 50.5) < 1e-12)
+    assert(math.abs(out(2).getDouble(2) - 75.25) < 1e-12)
+    // heavy ties: all mass in bucket 0, empty interior buckets REPORTED at cnt 0
+    val ties = Seq.fill(50)(7.0).toDF("v")
+    val t2 = Metrics.equiDepthHistogram(ties, "v", 4).orderBy("bucket").collect()
+    assert(t2.map(_.getLong(3)).toSeq == Seq(50L, 0L, 0L, 0L))
+    // NaN/Inf/null excluded; empty input -> empty frame with the right schema
+    val hostile = df.unionByName(Seq(Double.NaN, Double.PositiveInfinity).toDF("v"))
+    assert(Metrics.equiDepthHistogram(hostile, "v", 4)
+      .agg(sum("cnt")).head().getLong(0) == 100L)
+    val empty = Metrics.equiDepthHistogram(df.filter(lit(false)), "v", 4)
+    assert(empty.count() == 0L &&
+      empty.columns.toSeq == Seq("bucket", "lo", "hi", "cnt"))
+  }
+
   test("winsorizeStats: interpolated bounds, tail counts, clipped mean, hostile/empty classes") {
     import spark.implicits._
     // 1..100: q05 = 5 + 0.95 = 5.95, q95 = 95 + 0.05 = 95.05 ((n-1)p interpolation);
