@@ -1900,6 +1900,56 @@ object Queries {
              |   CASE WHEN tc > 0 THEN greatest(CAST(nc AS DOUBLE) / tc, 1e-6) END AS pc FROM j, t)
              | SELECT round(sum((pr - pc) * ln(pr / pc)), 6) AS psi, count(*) AS n_categories FROM p""".stripMargin.replaceAll("\n", " "))),
 
+    // Chi-square homogeneity test on the same even/odd lang split — the classical
+    // counterpart to PSI, with Cramér's V as the N-invariant effect size. The full
+    // 2×C contingency arithmetic is replayed in DuckDB.
+    QueryDef("chi_square_documents",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.Drift.chiSquare(
+          docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 =!= 0), "lang")
+          .select(round(col("chi2"), 6).as("chi2"), col("dof"),
+            round(col("cramers_v"), 6).as("cramers_v"),
+            col("n_ref"), col("n_cur"), col("n_categories"))
+      },
+      Some("""WITH r AS (SELECT lang AS v, count(*) AS n FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+             | c AS (SELECT lang AS v, count(*) AS n FROM documents WHERE doc_id % 2 != 0 GROUP BY 1),
+             | j AS (SELECT coalesce(r.n, 0) AS nr, coalesce(c.n, 0) AS nc FROM r FULL JOIN c ON r.v IS NOT DISTINCT FROM c.v),
+             | t AS (SELECT sum(nr) AS tr, sum(nc) AS tc FROM j),
+             | x AS (SELECT nr, nc, tr, tc, CAST(tr + tc AS DOUBLE) AS n, CAST(nr + nc AS DOUBLE) AS ct FROM j, t),
+             | e AS (SELECT CASE WHEN tr > 0 AND tc > 0 THEN
+             |   pow(nr - tr * ct / n, 2) / (tr * ct / n) + pow(nc - tc * ct / n, 2) / (tc * ct / n) END AS term,
+             |   tr, tc, n FROM x)
+             | SELECT round(sum(term), 6) AS chi2,
+             | CASE WHEN count(*) > 0 THEN count(*) - 1 END AS dof,
+             | round(CASE WHEN count(*) > 1 THEN sqrt(sum(term) / max(n)) END, 6) AS cramers_v,
+             | CAST(coalesce(max(tr), 0) AS BIGINT) AS n_ref,
+             | CAST(coalesce(max(tc), 0) AS BIGINT) AS n_cur,
+             | count(*) AS n_categories FROM e""".stripMargin.replaceAll("\n", " "))),
+
+    // Jensen-Shannon divergence on the same split — exact (no epsilon smoothing;
+    // one-sided categories contribute finitely by the 0·ln0 convention), symmetric,
+    // bounded: the cross-column-comparable drift number.
+    QueryDef("js_divergence_documents",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.Drift.jsDivergence(
+          docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 =!= 0), "lang")
+          .select(round(col("jsd"), 6).as("jsd"),
+            round(col("jsd_normalized"), 6).as("jsd_normalized"), col("n_categories"))
+      },
+      Some("""WITH r AS (SELECT lang AS v, count(*) AS n FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+             | c AS (SELECT lang AS v, count(*) AS n FROM documents WHERE doc_id % 2 != 0 GROUP BY 1),
+             | j AS (SELECT coalesce(r.n, 0) AS nr, coalesce(c.n, 0) AS nc FROM r FULL JOIN c ON r.v IS NOT DISTINCT FROM c.v),
+             | t AS (SELECT sum(nr) AS tr, sum(nc) AS tc FROM j),
+             | p AS (SELECT CASE WHEN tr > 0 AND tc > 0 THEN CAST(nr AS DOUBLE) / tr END AS p,
+             |   CASE WHEN tr > 0 AND tc > 0 THEN CAST(nc AS DOUBLE) / tc END AS q FROM j, t),
+             | s AS (SELECT CASE WHEN p IS NULL THEN NULL ELSE
+             |   CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) * 0.5 ELSE 0 END +
+             |   CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) * 0.5 ELSE 0 END END AS term FROM p)
+             | SELECT round(sum(term), 6) AS jsd, round(sum(term) / ln(2), 6) AS jsd_normalized,
+             | count(*) AS n_categories FROM s""".stripMargin.replaceAll("\n", " "))),
+
     // CUBE rollup over (lang, source): per-cell, per-lang, per-source, and grand
     // totals in ONE pass with grouping_id disambiguating subtotal rows from real
     // NULL categories — the OLAP rollup surface (Spark cube == DuckDB GROUP BY

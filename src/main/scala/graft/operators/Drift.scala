@@ -26,6 +26,26 @@ object Drift {
   private def psiTerm(pRef: Column, pCur: Column): Column =
     when(pRef.isNotNull && pCur.isNotNull, (pRef - pCur) * log(pRef / pCur))
 
+  /** Per-category joint counts with side totals: `(value, n_ref, n_cur, _tr, _tc)` —
+    * the shared scaffold under every categorical two-sample statistic here (PSI,
+    * chi-square, Jensen–Shannon). Each side collapses to its category counts (one
+    * keyed partial-agg shuffle), sides meet in a null-safe full-outer join (NULL is
+    * a category of its own), and the totals ride along as a single-row broadcast
+    * product over the already-tiny category frame — no collect, no second input scan.
+    */
+  private def jointCounts(ref: DataFrame, cur: DataFrame, colName: String): DataFrame = {
+    val r = ref.groupBy(col(colName).as("value")).agg(count(lit(1)).as("n_ref"))
+    val c = cur.groupBy(col(colName).as("value")).agg(count(lit(1)).as("n_cur"))
+    val joined = r.join(c, r("value") <=> c("value"), "full_outer")
+      .select(
+        coalesce(r("value"), c("value")).as("value"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(
+      sum(col("n_ref")).as("_tr"), sum(col("n_cur")).as("_tc"))
+    joined.crossJoin(broadcast(totals))
+  }
+
   /** Per-category drift detail over `colName`: `value`, `n_ref`, `n_cur`, `p_ref`,
     * `p_cur` (smoothed shares, `max(n/total, epsilon)` — the standard PSI guard so a
     * category present on one side only contributes a finite term), `psi_term`
@@ -36,18 +56,7 @@ object Drift {
   def psiDetail(ref: DataFrame, cur: DataFrame, colName: String,
       epsilon: Double = 1e-6): DataFrame = {
     require(epsilon > 0 && epsilon < 1, s"epsilon must be in (0,1), got $epsilon")
-    val r = ref.groupBy(col(colName).as("value")).agg(count(lit(1)).as("n_ref"))
-    val c = cur.groupBy(col(colName).as("value")).agg(count(lit(1)).as("n_cur"))
-    val joined = r.join(c, r("value") <=> c("value"), "full_outer")
-      .select(
-        coalesce(r("value"), c("value")).as("value"),
-        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-    // Totals via a single-row broadcast product over the (already tiny) category
-    // frame — no collect, no second scan of the inputs.
-    val totals = joined.agg(
-      sum(col("n_ref")).as("_tr"), sum(col("n_cur")).as("_tc"))
-    val p = joined.crossJoin(broadcast(totals))
+    val p = jointCounts(ref, cur, colName)
     p.withColumn("p_ref", smoothedShare(col("n_ref"), col("_tr"), epsilon))
       .withColumn("p_cur", smoothedShare(col("n_cur"), col("_tc"), epsilon))
       .withColumn("psi_term", psiTerm(col("p_ref"), col("p_cur")))
@@ -63,6 +72,74 @@ object Drift {
     psiDetail(ref, cur, colName, epsilon).agg(
       sum(col("psi_term")).as("psi"),
       count(lit(1)).as("n_categories"))
+
+  /** Two-sample chi-square test of homogeneity over `colName`'s categories — the
+    * classical counterpart to [[psi]] (PSI weights by share difference; chi-square
+    * weights by statistical surprise, so a small shift in a HUGE category registers
+    * where PSI shrugs). One row: `(chi2, dof, cramers_v, n_ref, n_cur,
+    * n_categories)` for the 2×C contingency table of (side × category):
+    * `chi2 = Σ (O−E)²/E` over both rows, `E = rowTotal·colTotal/N`,
+    * `dof = C − 1`, `cramers_v = sqrt(chi2 / N)` (the 2×C specialization of
+    * `sqrt(chi2 / (N·min(r−1,c−1)))` — the [0,1] effect size that, unlike chi2
+    * itself, does not grow with N: the number to THRESHOLD on at 100 TB, where any
+    * real shift makes chi2 astronomically significant). An empty side yields NULL
+    * statistics (nothing to compare — same convention as [[psi]]); `cramers_v` is
+    * NULL when C = 1 (a single category carries no association to measure). NULL
+    * is a category of its own. Exact arithmetic over the category-count frame; the
+    * inputs are scanned once each.
+    */
+  def chiSquare(ref: DataFrame, cur: DataFrame, colName: String): DataFrame = {
+    // Every category in the frame has colTotal > 0 (it exists because at least one
+    // side counted it), so E > 0 whenever both side totals are positive — the
+    // when() guard below also covers ANSI division by an N=0 denominator.
+    jointCounts(ref, cur, colName)
+      .withColumn("_n", (col("_tr") + col("_tc")).cast("double"))
+      .withColumn("_ct", (col("n_ref") + col("n_cur")).cast("double"))
+      .withColumn("_er", col("_tr").cast("double") * col("_ct") / col("_n"))
+      .withColumn("_ec", col("_tc").cast("double") * col("_ct") / col("_n"))
+      .withColumn("_term", when(col("_tr") > 0 && col("_tc") > 0,
+        pow(col("n_ref") - col("_er"), 2.0) / col("_er") +
+          pow(col("n_cur") - col("_ec"), 2.0) / col("_ec")))
+      .agg(
+        sum(col("_term")).as("chi2"),
+        count(lit(1)).as("n_categories"),
+        max(col("_tr")).as("n_ref"),
+        max(col("_tc")).as("n_cur"),
+        max(col("_n")).as("_nn"))
+      .select(
+        col("chi2"),
+        // NULL (not -1) when both sides are empty and no category row exists.
+        when(col("n_categories") > 0L, col("n_categories") - 1L).as("dof"),
+        when(col("n_categories") > 1L, sqrt(col("chi2") / col("_nn"))).as("cramers_v"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        col("n_categories"))
+  }
+
+  /** Jensen–Shannon divergence between the two category distributions —
+    * `JSD = ½·KL(P‖M) + ½·KL(Q‖M)` with `M = (P+Q)/2`, in nats. One row:
+    * `(jsd, jsd_normalized, n_categories)`; `jsd_normalized = jsd / ln 2 ∈ [0,1]`
+    * (1 = fully disjoint supports). Unlike PSI, JSD needs NO epsilon smoothing —
+    * a category absent on one side contributes `½·p·ln 2` finitely (the `0·ln 0 = 0`
+    * convention), so the statistic is exact, symmetric, and bounded, which is what
+    * you want for comparing drift ACROSS columns with different cardinalities.
+    * An empty side yields NULL (same convention as [[psi]]).
+    */
+  def jsDivergence(ref: DataFrame, cur: DataFrame, colName: String): DataFrame = {
+    val p = col("n_ref").cast("double") / col("_tr")
+    val q = col("n_cur").cast("double") / col("_tc")
+    val m = (p + q) / 2.0 // > 0 on every category row: n_ref + n_cur >= 1
+    def kl(x: Column): Column = when(x > 0, x * log(x / m) * 0.5).otherwise(lit(0.0))
+    jointCounts(ref, cur, colName)
+      // ALL divisions live inside the untaken-on-empty-side CaseWhen branch
+      // (CaseWhen evaluates lazily per row — an empty side's _tr/_tc = 0
+      // denominators are never touched, so ANSI mode cannot throw); the branch
+      // yields NULL terms -> sum NULL, the empty-side verdict.
+      .withColumn("_term", when(col("_tr") > 0 && col("_tc") > 0, kl(p) + kl(q)))
+      .agg(sum(col("_term")).as("jsd"), count(lit(1)).as("n_categories"))
+      .select(col("jsd"), (col("jsd") / math.log(2.0)).as("jsd_normalized"),
+        col("n_categories"))
+  }
 
   /** Daily PSI series: for every calendar day with data, the PSI of `catCol`'s
     * distribution against the PREVIOUS day — [[psi]] unrolled over event time, the

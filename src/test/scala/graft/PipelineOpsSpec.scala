@@ -327,6 +327,60 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!oneSided.isInfinite && oneSided > 0)
   }
 
+  test("chiSquare: closed form 2x2, zero on identical, NULL classes, single-category V") {
+    import spark.implicits._
+    val a = (Seq.fill(80)("en") ++ Seq.fill(20)("de")).toDF("lang")
+    val b = (Seq.fill(40)("en") ++ Seq.fill(60)("de")).toDF("lang")
+    // Hand-computed 2x2: N=200, col totals en=120 de=80, row totals 100/100
+    // E(en)=60, E(de)=40 per side; chi2 = 2*(20^2/60) + 2*(20^2/40) = 13.333... + 20
+    val out = Drift.chiSquare(a, b, "lang").head()
+    val expect = 2 * (400.0 / 60.0) + 2 * (400.0 / 40.0)
+    assert(math.abs(out.getDouble(0) - expect) < 1e-9)
+    assert(out.getLong(1) == 1L) // dof = C-1 = 1
+    assert(math.abs(out.getDouble(2) - math.sqrt(expect / 200.0)) < 1e-12)
+    assert(out.getLong(3) == 100L && out.getLong(4) == 100L && out.getLong(5) == 2L)
+    // identical distributions (equal side sizes): O == E exactly -> chi2 0, V 0
+    val same = Drift.chiSquare(a, a, "lang").head()
+    assert(same.getDouble(0) == 0.0 && same.getDouble(2) == 0.0)
+    // empty side: NULL chi2/dof-is-C-1-still, NULL V; counts still reported
+    val empty = Drift.chiSquare(a, a.filter(lit(false)), "lang").head()
+    assert(empty.isNullAt(0) && empty.isNullAt(2) &&
+      empty.getLong(3) == 100L && empty.getLong(4) == 0L)
+    // both empty: NULL dof (not -1), zero counts
+    val none = Drift.chiSquare(a.filter(lit(false)), a.filter(lit(false)), "lang").head()
+    assert(none.isNullAt(0) && none.isNullAt(1) && none.getLong(5) == 0L)
+    // single shared category: chi2 0 but V NULL (no association measurable)
+    val c1 = Seq.fill(10)("en").toDF("lang")
+    val single = Drift.chiSquare(c1, c1, "lang").head()
+    assert(single.getDouble(0) == 0.0 && single.isNullAt(2))
+    // NULL is a real category: a NULL-vs-value shift registers
+    val withNull = (Seq.fill(50)(Some("en")) ++ Seq.fill(50)(Option.empty[String])).toDF("lang")
+    assert(Drift.chiSquare(a, withNull, "lang").head().getDouble(0) > 0)
+  }
+
+  test("jsDivergence: closed forms, bounds, no-epsilon exactness, NULL on empty side") {
+    import spark.implicits._
+    val a = (Seq.fill(80)("en") ++ Seq.fill(20)("de")).toDF("lang")
+    val b = (Seq.fill(40)("en") ++ Seq.fill(60)("de")).toDF("lang")
+    // identical -> exactly 0 (no smoothing noise)
+    val same = Drift.jsDivergence(a, a, "lang").head()
+    assert(same.getDouble(0) == 0.0 && same.getDouble(1) == 0.0 && same.getLong(2) == 2L)
+    // closed form for p=(.8,.2) q=(.4,.6): m=(.6,.4)
+    val expect = 0.5 * (0.8 * math.log(0.8 / 0.6) + 0.2 * math.log(0.2 / 0.4)) +
+      0.5 * (0.4 * math.log(0.4 / 0.6) + 0.6 * math.log(0.6 / 0.4))
+    val shifted = Drift.jsDivergence(a, b, "lang").head()
+    assert(math.abs(shifted.getDouble(0) - expect) < 1e-12)
+    assert(math.abs(shifted.getDouble(1) - expect / math.log(2.0)) < 1e-12)
+    // disjoint supports -> exactly ln 2, normalized exactly 1 (the upper bound)
+    val c = Seq.fill(30)("fr").toDF("lang")
+    val disjoint = Drift.jsDivergence(a, c, "lang").head()
+    assert(math.abs(disjoint.getDouble(0) - math.log(2.0)) < 1e-12 &&
+      math.abs(disjoint.getDouble(1) - 1.0) < 1e-12)
+    // empty side (either one): NULL verdict, no ANSI division error
+    assert(Drift.jsDivergence(a, a.filter(lit(false)), "lang").head().isNullAt(0))
+    assert(Drift.jsDivergence(a.filter(lit(false)), a, "lang").head().isNullAt(0))
+  }
+
   test("psiNumeric: clamped fixed-width bins catch a mean shift") {
     import spark.implicits._
     val ref = (1 to 1000).map(_ % 100).map(_.toDouble).toDF("x")
