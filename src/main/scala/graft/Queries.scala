@@ -2942,6 +2942,51 @@ object Queries {
              | FROM p JOIN iv ON p.x >= iv.s AND p.x <= iv.e"""
         .stripMargin.replaceAll("\n", " "))),
 
+    // Fuzzy self-match: all distinct customer-name pairs within 1 edit, via
+    // symmetric-delete blocking + exact verify — DuckDB replays it as the literal
+    // quadratic all-pairs compare (fine at sf, dead at scale; that asymmetry IS the
+    // operator's point). ASCII gate in BOTH engines: Spark levenshtein counts code
+    // points, DuckDB counts bytes — they only agree on ASCII, so the oracle
+    // contract pins the key domain (the operator itself is code-point general).
+    QueryDef("fuzzy_pairs_customer",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+          .filter(col("c_name").isNotNull && col("c_name").rlike("^[ -~]*$"))
+        graft.operators.Joins.fuzzyKeyPairs(cust, "c_name", maxDist = 1)
+          .select(col("key_a"), col("key_b"), col("edit_distance").cast("long").as("edit_distance"))
+      },
+      Some("""WITH k AS (SELECT DISTINCT c_name AS n FROM customer
+             |   WHERE c_name IS NOT NULL AND regexp_full_match(c_name, '[ -~]*'))
+             | SELECT a.n AS key_a, b.n AS key_b, levenshtein(a.n, b.n) AS edit_distance
+             | FROM k a JOIN k b ON a.n < b.n AND levenshtein(a.n, b.n) <= 1"""
+        .stripMargin.replaceAll("\n", " "))),
+
+    // Record linkage: deterministically mangled probe names (5th char deleted)
+    // linked back to the customer table through the fuzzy join — each probe must
+    // find exactly its original row at edit distance 1.
+    QueryDef("fuzzy_join_customer",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+          .filter(col("c_name").isNotNull && col("c_name").rlike("^[ -~]*$"))
+        val probes = cust.filter(col("c_custkey") % 97 === 0)
+          .select(col("c_custkey").as("probe_id"),
+            concat(substring(col("c_name"), 1, 4), expr("substring(c_name, 6)"))
+              .as("probe_name"))
+        val corpus = cust.select(col("c_custkey").as("cust_id"), col("c_name").as("cust_name"))
+        graft.operators.Joins.editDistanceJoin(probes, corpus, "probe_name", "cust_name",
+            maxDist = 1)
+          .select(col("probe_id"), col("cust_id"),
+            col("edit_distance").cast("long").as("edit_distance"))
+      },
+      Some("""WITH f AS (SELECT c_custkey, c_name FROM customer
+             |   WHERE c_name IS NOT NULL AND regexp_full_match(c_name, '[ -~]*')),
+             | p AS (SELECT c_custkey AS probe_id, substr(c_name, 1, 4) || substr(c_name, 6) AS probe_name
+             |   FROM f WHERE c_custkey % 97 = 0),
+             | k AS (SELECT c_custkey AS cust_id, c_name AS cust_name FROM f)
+             | SELECT probe_id, cust_id, levenshtein(probe_name, cust_name) AS edit_distance
+             | FROM p JOIN k ON levenshtein(probe_name, cust_name) <= 1"""
+        .stripMargin.replaceAll("\n", " "))),
+
     // Incremental dedup: new batch (doc_id % 3 = 0) deduped against the standing
     // corpus through a persisted (id, band, bucket) signature index — the standing
     // side never recomputes signatures. Must equal DuckDB's brute-force Jaccard

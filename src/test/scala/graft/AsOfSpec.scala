@@ -157,4 +157,85 @@ class AsOfSpec extends SparkSpec {
     val nanPt = Seq((9L, Double.NaN)).toDF("pid", "x")
     assert(Joins.rangeJoin(nanPt, ivs, "x", "s", "e", 10.0).count() == 0L)
   }
+
+  private def causeChain(t: Throwable): String = {
+    var cur = t; val sb = new StringBuilder
+    while (cur != null) { sb.append(cur.getMessage).append('\n'); cur = cur.getCause }
+    sb.toString
+  }
+
+  test("fuzzyKeyPairs == naive all-pairs at d=1 and d=2 on a random corpus") {
+    val rng = new scala.util.Random(23)
+    val alphabet = "abc"
+    // Clustered strings (base words + small random edits) so pairs actually exist
+    val words = (1 to 60).map(_ => (1 to (3 + rng.nextInt(5)))
+      .map(_ => alphabet(rng.nextInt(3))).mkString)
+    val corpus = (1 to 300).map { _ =>
+      val w = words(rng.nextInt(words.size)).toCharArray.toBuffer
+      if (rng.nextBoolean() && w.nonEmpty) w(rng.nextInt(w.size)) = alphabet(rng.nextInt(3))
+      if (rng.nextInt(3) == 0) w.insert(rng.nextInt(w.size + 1), alphabet(rng.nextInt(3)))
+      w.mkString
+    }.toDF("k")
+    for (d <- Seq(1, 2)) {
+      val got = Joins.fuzzyKeyPairs(corpus, "k", d)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      val keys = corpus.select($"k").distinct()
+      val want = keys.as("a").crossJoin(keys.as("b"))
+        .filter($"a.k" < $"b.k" && levenshtein($"a.k", $"b.k") <= d)
+        .select($"a.k", $"b.k", levenshtein($"a.k", $"b.k"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      assert(want.nonEmpty, "degenerate test corpus: no pairs to find")
+      assert(got == want,
+        s"d=$d diff: ${(got diff want).take(5)} / ${(want diff got).take(5)}")
+    }
+  }
+
+  test("editDistanceJoin: linkage semantics, code-point distance, NULL keys, guards") {
+    val probes = Seq((1L, "kitten"), (2L, "cafe"), (3L, "nomatch"), (4L, null))
+      .toDF("pid", "pk")
+    val corpus = Seq((10L, "kittn"), (11L, "mitten"), (12L, "café"),
+      (13L, "zzzz"), (14L, null)).toDF("cid", "ck")
+    val got = Joins.editDistanceJoin(probes, corpus, "pk", "ck", maxDist = 1)
+      .select($"pid", $"cid", $"edit_distance")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // café matches cafe at CODE-POINT distance 1 (byte distance would be 2);
+    // NULL keys on either side match nothing
+    assert(got == Set((1L, 10L, 1), (1L, 11L, 1), (2L, 12L, 1)))
+    // d=2 widens: kitten-mitten stays 1, cafe..café still 1, kitten-kittn 1
+    val d2 = Joins.editDistanceJoin(probes, corpus, "pk", "ck", maxDist = 2)
+      .select($"pid", $"edit_distance").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(d2.count(_._1 == 1L) == 2 && d2.forall(_._2 <= 2))
+    // guards: maxDist domain, column collisions, non-string keys
+    intercept[IllegalArgumentException] {
+      Joins.editDistanceJoin(probes, corpus, "pk", "ck", maxDist = 3)
+    }
+    intercept[IllegalArgumentException] { // shared column name
+      Joins.editDistanceJoin(probes, probes.withColumnRenamed("pk", "qk"), "pk", "qk", 1)
+    }
+    intercept[IllegalArgumentException] { // long key must be a string
+      Joins.editDistanceJoin(probes.select($"pid".as("ik"), $"pk"), corpus, "ik", "ck", 1)
+    }
+    // over-long key fails loud IN THE TASK
+    val longKey = Seq((9L, "x" * 100)).toDF("qid", "qk")
+    val e = intercept[Exception] {
+      Joins.editDistanceJoin(longKey, corpus, "qk", "ck", 1, maxKeyLength = 64).count()
+    }
+    assert(causeChain(e).contains("maxKeyLength"), causeChain(e))
+    // runaway variant bucket fails loud instead of going quadratic silently
+    val hot = (0 until 50).map(i => (i.toLong, s"a$i")).toDF("hid", "hk")
+    val hot2 = (0 until 50).map(i => (i.toLong, s"b$i")).toDF("gid", "gk")
+    val e2 = intercept[Exception] {
+      Joins.editDistanceJoin(hot, hot2, "hk", "gk", 2, maxPairsPerVariant = 10L).count()
+    }
+    assert(causeChain(e2).contains("maxPairsPerVariant"), causeChain(e2))
+  }
+
+  test("editDistanceJoin plan: no cartesian/nested-loop; variant strings never shuffle") {
+    val a = (1 to 50).map(i => (i.toLong, s"name$i")).toDF("aid", "ak")
+    val b = (1 to 50).map(i => (i.toLong, s"name$i")).toDF("bid", "bk")
+    val plan = Joins.editDistanceJoin(a, b, "ak", "bk", 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"fuzzy join planned quadratic:\n$plan")
+  }
 }
