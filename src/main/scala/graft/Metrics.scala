@@ -408,6 +408,97 @@ object Metrics {
     * count break by token (ascending) so the result is deterministic across runs and
     * engines.
     */
+  /** Cohen's kappa between two categorical "rater" columns — chance-corrected
+    * agreement (`(po − pe)/(1 − pe)`): the honest number for comparing two
+    * classifiers/annotators, where raw agreement `po` flatters any pair that mostly
+    * predicts the majority class. One row: `(n, po, pe, kappa)`. NULL is a real
+    * category on both sides (null-safe agreement); `kappa` is NULL when `pe = 1`
+    * (both raters constant and identical — no chance-corrected signal exists) or on
+    * empty input. Landis–Koch reading: < 0.2 slight, 0.2–0.4 fair, 0.4–0.6
+    * moderate, 0.6–0.8 substantial, > 0.8 near-perfect.
+    *
+    * 100 TB shape: ONE `(r1, r2)`-keyed count shuffle (map-side combined, output
+    * bounded by category²); marginals, expected agreement, and the closed form all
+    * run on that tiny frame. Marginal products accumulate in doubles — long
+    * arithmetic would overflow at `n1·n2 > 2^63` (reachable at corpus scale).
+    */
+  def cohensKappa(df: DataFrame, col1: String, col2: String): DataFrame = {
+    val counts = df.groupBy(col(col1).as("_r1"), col(col2).as("_r2"))
+      .agg(count(lit(1)).as("_n"))
+    val m1 = counts.groupBy(col("_r1").as("_cat")).agg(sum(col("_n")).as("_n1"))
+    val m2 = counts.groupBy(col("_r2").as("_cat")).agg(sum(col("_n")).as("_n2"))
+    // Full-outer on the category: a category one rater never uses still carries its
+    // (zero-product) marginal row; inner would silently drop asymmetric categories.
+    val cross = m1.join(m2, m1("_cat") <=> m2("_cat"), "full_outer")
+      .agg(sum(coalesce(col("_n1"), lit(0L)).cast("double") *
+        coalesce(col("_n2"), lit(0L)).cast("double")).as("_x"))
+    val agree = counts.agg(
+      coalesce(sum(col("_n")), lit(0L)).as("_t"),
+      sum(when(col("_r1") <=> col("_r2"), col("_n")).otherwise(0L)).as("_a"))
+    val po = col("_a").cast("double") / col("_t")
+    val pe = col("_x") / (col("_t").cast("double") * col("_t"))
+    agree.crossJoin(broadcast(cross)).select(
+      col("_t").as("n"),
+      when(col("_t") > 0, po).as("po"),
+      when(col("_t") > 0, pe).as("pe"),
+      when(col("_t") > 0 && pe < 1.0, (po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
+
+  /** Exact ECDF (percentile-rank) normalization of a numeric column: appends
+    * `outCol = F(x) = P(X <= x)` ∈ (0, 1] — the rank-based calibration that makes
+    * quality scores from different models/sources comparable before mixing (raw
+    * score scales are arbitrary; their percentiles are not). Ties share one value
+    * (inclusive cumulative count / N — SQL `cume_dist` exactly); rows whose value
+    * is NULL/NaN/±Inf get NULL (they have no place on the real line) but are KEPT.
+    *
+    * 100 TB shape — deliberately NOT a global `cume_dist()` window (one task sorts
+    * the corpus): distinct-value counts (one keyed map-side-combined shuffle), a
+    * range-partitioned cumulative fold with driver-side prefix offsets of ONE
+    * summary row per partition (the `ksStatistic` / `withRunningTotal` boundary-fold
+    * strategy), then one value-keyed equi-join maps rows to their rank — every
+    * stage shuffle-linear, driver state bounded by the partition count.
+    */
+  def ecdfNormalize(df: DataFrame, c: String, outCol: String = "ecdf"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists — pick another name")
+    Seq("_ecdf_v", "_ecdf_cum").foreach(r => require(!df.columns.contains(r),
+      s"input already has a $r column (reserved internal name)"))
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Encoders
+    val clean = df
+      .select(col(c).try_cast("double").as("_v"))
+      .filter(col("_v").between(-Double.MaxValue, Double.MaxValue))
+      .groupBy(col("_v")).agg(count(lit(1)).as("_c"))
+    // One pinned materialization of the nondeterministic range partitioning — the
+    // totals pass and the emit pass must see identical partition contents/order.
+    val ranged = clean
+      .repartitionByRange(col("_v")).sortWithinPartitions(col("_v"))
+      .localCheckpoint(true)
+    val stats = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var t = 0L
+      it.foreach { r => t += r.getLong(1) }
+      Iterator.single((pid, t))
+    }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
+      .collect().sortBy(_._1)
+    val n = stats.map(_._2).sum
+    if (n == 0L) return df.withColumn(outCol, lit(null).cast("double"))
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      stats.map { case (pid, t) => val e = pid -> acc; acc += t; e }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val ranks = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var acc = bc.value(pid)
+      it.map { r => acc += r.getLong(1); (r.getDouble(0), acc) }
+    }(Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+      .toDF("_ecdf_v", "_ecdf_cum")
+    df.join(ranks, df(c).try_cast("double") === col("_ecdf_v"), "left")
+      .withColumn(outCol, col("_ecdf_cum").cast("double") / n)
+      .drop("_ecdf_v", "_ecdf_cum")
+  }
+
   def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val counts = df

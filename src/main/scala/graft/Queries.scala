@@ -1150,6 +1150,48 @@ object Queries {
              | CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS agree
              | FROM lid""".stripMargin.replaceAll("\n", " "))),
 
+    // Cohen's kappa between the labeled lang column and the langId heuristic —
+    // chance-corrected agreement (raw agreement flatters majority-class
+    // predictors). The DuckDB oracle re-derives the heuristic (same CTEs as
+    // langid_agreement) and replays the full kappa closed form.
+    QueryDef("cohens_kappa_langid_documents",
+      (s, d) => {
+        val raters = t(s, d, "documents")
+          .select(col("lang"), TextFunctions.langId(col("text")).as("pred"))
+        graft.Metrics.cohensKappa(raters, "lang", "pred")
+          .select(col("n"), round(col("po"), 6).as("po"), round(col("pe"), 6).as("pe"),
+            round(col("kappa"), 6).as("kappa"))
+      },
+      Some("""WITH s AS (SELECT lang,
+             | CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^\p{Han}]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS cjk,
+             | list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS toks FROM documents),
+             | r AS (SELECT lang, cjk,
+             | CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','von','mit','ein','eine'], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS s_de,
+             | CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','for','with','was'], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS s_en,
+             | CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['el','la','los','las','y','es','en','por','para','una'], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS s_es,
+             | CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['le','la','les','et','est','dans','pour','que','une','des'], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS s_fr
+             | FROM s),
+             | lid AS (SELECT lang, CASE WHEN cjk > 0.2 THEN 'zh'
+             | WHEN greatest(s_de, s_en, s_es, s_fr) > 0.05 THEN
+             |  (CASE WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+             |        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+             |        WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+             |        ELSE 'de' END)
+             | ELSE 'und' END AS pred FROM r),
+             | cj AS (SELECT lang AS r1, pred AS r2, count(*) AS cnt FROM lid GROUP BY 1, 2),
+             | tt AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS t,
+             |   coalesce(sum(CASE WHEN r1 IS NOT DISTINCT FROM r2 THEN cnt ELSE 0 END), 0) AS a FROM cj),
+             | m1 AS (SELECT r1 AS cat, sum(cnt) AS n1 FROM cj GROUP BY 1),
+             | m2 AS (SELECT r2 AS cat, sum(cnt) AS n2 FROM cj GROUP BY 1),
+             | mx AS (SELECT sum(CAST(coalesce(n1, 0) AS DOUBLE) * CAST(coalesce(n2, 0) AS DOUBLE)) AS x
+             |   FROM m1 FULL JOIN m2 ON m1.cat IS NOT DISTINCT FROM m2.cat)
+             | SELECT t AS n,
+             | CASE WHEN t > 0 THEN round(CAST(a AS DOUBLE) / t, 6) END AS po,
+             | CASE WHEN t > 0 THEN round(x / (CAST(t AS DOUBLE) * t), 6) END AS pe,
+             | CASE WHEN t > 0 AND x / (CAST(t AS DOUBLE) * t) < 1 THEN
+             |   round((CAST(a AS DOUBLE) / t - x / (CAST(t AS DOUBLE) * t)) / (1 - x / (CAST(t AS DOUBLE) * t)), 6) END AS kappa
+             | FROM tt, mx""".stripMargin.replaceAll("\n", " "))),
+
     QueryDef("dedup_exact_documents",
       (s, d) => Dedup.exactDupStats(t(s, d, "documents"), Seq("text")),
       Some("""WITH c AS (SELECT count(*) AS total,
@@ -2027,6 +2069,30 @@ object Queries {
          | FROM bk CROSS JOIN e LEFT JOIN cn ON bk.bucket = cn.bucket
          | WHERE e.q IS NOT NULL""".stripMargin.replaceAll("\n", " ")
     }),
+
+    // Exact ECDF (percentile-rank) normalization of events.value, rolled up per
+    // event_type: score calibration via the distributed boundary-fold rank (NOT a
+    // single-task global window). DuckDB replays it with a literal cume_dist over
+    // the finite rows, NULL-ranked hostiles unioned back so per-type counts match.
+    QueryDef("ecdf_normalize_events",
+      (s, d) => graft.Metrics.ecdfNormalize(t(s, d, "events"), "value", "pct")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), count(col("pct")).as("n_ranked"),
+          round(avg(col("pct")), 6).as("mean_pct"),
+          round(min(col("pct")), 6).as("min_pct"),
+          round(max(col("pct")), 6).as("max_pct")),
+      Some("""WITH f AS (SELECT event_type, cume_dist() OVER (ORDER BY x) AS p
+             |   FROM (SELECT event_type, CAST(value AS DOUBLE) AS x FROM events
+             |     WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+             |       AND isfinite(CAST(value AS DOUBLE)))),
+             | u AS (SELECT event_type, p FROM f UNION ALL
+             |   SELECT event_type, NULL AS p FROM events
+             |   WHERE value IS NULL OR isnan(CAST(value AS DOUBLE))
+             |     OR NOT isfinite(CAST(value AS DOUBLE)))
+             | SELECT event_type, count(*) AS n, count(p) AS n_ranked,
+             | round(avg(p), 6) AS mean_pct, round(min(p), 6) AS min_pct,
+             | round(max(p), 6) AS max_pct
+             | FROM u GROUP BY 1""".stripMargin.replaceAll("\n", " "))),
 
     // Per-event-type KS between the even/odd user halves — the stratified drift
     // view; groups with one empty side report NULL, NULL event_type is a group.

@@ -256,6 +256,66 @@ class MetricsSpec extends SparkSpec {
       empty.columns.toSeq == Seq("bucket", "lo", "hi", "cnt"))
   }
 
+  test("cohensKappa: closed form, perfect/constant/disjoint raters, NULL category, empty") {
+    import spark.implicits._
+    // 2x2 hand-computed: po=35/50=0.7, pe=(25*30+25*20)/2500=0.5, kappa=0.4
+    val pairs = Seq.fill(20)(("a", "a")) ++ Seq.fill(5)(("a", "b")) ++
+      Seq.fill(10)(("b", "a")) ++ Seq.fill(15)(("b", "b"))
+    val out = Metrics.cohensKappa(pairs.toDF("r1", "r2"), "r1", "r2").head()
+    assert(out.getLong(0) == 50L && out.getDouble(1) == 0.7 &&
+      out.getDouble(2) == 0.5 && math.abs(out.getDouble(3) - 0.4) < 1e-12)
+    // perfect agreement over 2+ categories -> kappa exactly 1
+    val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("r1", "r2")
+    assert(Metrics.cohensKappa(perfect, "r1", "r2").head().getDouble(3) == 1.0)
+    // both raters constant and identical: pe=1 -> kappa NULL (not a 0/0 NaN)
+    val const = Seq.fill(10)(("a", "a")).toDF("r1", "r2")
+    val k0 = Metrics.cohensKappa(const, "r1", "r2").head()
+    assert(k0.getDouble(1) == 1.0 && k0.getDouble(2) == 1.0 && k0.isNullAt(3))
+    // constant but DIFFERENT raters: pe=0, po=0 -> kappa 0
+    val disj = Seq.fill(10)(("a", "b")).toDF("r1", "r2")
+    assert(Metrics.cohensKappa(disj, "r1", "r2").head().getDouble(3) == 0.0)
+    // NULL is a real category: (NULL, NULL) agrees, (NULL, x) does not
+    val withNull = Seq((Some("a"), Some("a")), (None, None), (None, Some("a")),
+      (Some("b"), Some("b"))).toDF("r1", "r2")
+    val kn = Metrics.cohensKappa(withNull, "r1", "r2").head()
+    assert(kn.getDouble(1) == 0.75)
+    // empty input: n=0, NULL statistics
+    val empty = Metrics.cohensKappa(pairs.toDF("r1", "r2").filter(lit(false)), "r1", "r2").head()
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1) && empty.isNullAt(3))
+  }
+
+  test("ecdfNormalize: cume_dist parity with ties, hostile values NULL but kept, empty, guards") {
+    import spark.implicits._
+    val df = Seq(3.0, 1.0, 2.0, 2.0, 5.0).toDF("v")
+    val got = Metrics.ecdfNormalize(df, "v", "p").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toMap
+    assert(got == Map(1.0 -> 0.2, 2.0 -> 0.6, 3.0 -> 0.8, 5.0 -> 1.0))
+    // randomized parity against the single-window cume_dist formulation
+    val rng = new scala.util.Random(7)
+    val rand = (1 to 400).map(i => (i.toLong, (rng.nextInt(40) - 20).toDouble / 4)).toDF("id", "v")
+    val naive = rand.withColumn("p0",
+      org.apache.spark.sql.functions.cume_dist().over(
+        org.apache.spark.sql.expressions.Window.orderBy("v")))
+    val both = Metrics.ecdfNormalize(rand, "v", "p").join(naive, Seq("id", "v"))
+    assert(both.filter(abs(col("p") - col("p0")) > lit(1e-12)).count() == 0L)
+    // NULL/NaN/Inf rows are KEPT with NULL rank; finite rows rank over finite N only
+    val hostile = Seq(Some(1.0), Some(2.0), None, Some(Double.NaN),
+      Some(Double.PositiveInfinity)).toDF("v")
+    val h = Metrics.ecdfNormalize(hostile, "v", "p").collect()
+    assert(h.length == 5)
+    val byV = h.filter(!_.isNullAt(0)).filter(r => !r.getDouble(0).isNaN &&
+      !r.getDouble(0).isInfinite).map(r => (r.getDouble(0), r.getDouble(1))).toMap
+    assert(byV == Map(1.0 -> 0.5, 2.0 -> 1.0))
+    assert(h.count(_.isNullAt(1)) == 3)
+    // empty input keeps schema with an all-NULL out column
+    val e = Metrics.ecdfNormalize(df.filter(lit(false)), "v", "p")
+    assert(e.columns.toSeq == Seq("v", "p") && e.count() == 0L)
+    // guards: existing out column, reserved internals
+    intercept[IllegalArgumentException](Metrics.ecdfNormalize(df, "v", "v"))
+    intercept[IllegalArgumentException](
+      Metrics.ecdfNormalize(df.withColumn("_ecdf_v", lit(1)), "v", "p"))
+  }
+
   test("winsorizeStats: interpolated bounds, tail counts, clipped mean, hostile/empty classes") {
     import spark.implicits._
     // 1..100: q05 = 5 + 0.95 = 5.95, q95 = 95 + 0.05 = 95.05 ((n-1)p interpolation);
