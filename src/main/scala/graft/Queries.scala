@@ -863,6 +863,19 @@ object Queries {
       Some("""SELECT count(*) AS n_rows, CAST(coalesce(sum(s_suppkey), 0) AS BIGINT) AS sum_keys,
              | count(DISTINCT s_nationkey) AS n_nations FROM supplier""".stripMargin.replaceAll("\n", " "))),
 
+    // Physical-layout audit from parquet FOOTERS only (no data pages read): footer
+    // row totals must equal the engines' full-scan counts — the metadata pass that
+    // sizes row groups / flags small files before any 100 TB query runs.
+    QueryDef("parquet_footer_rows",
+      (s, d) => Seq("lineitem", "orders", "documents").map { tb =>
+        graft.sources.Sources.parquetLayoutAudit(s, s"$d/$tb.parquet")
+          .agg(coalesce(sum(col("num_rows")), lit(0L)).as("footer_rows"))
+          .select(lit(tb).as("tbl"), col("footer_rows"))
+      }.reduce(_ unionByName _),
+      Some("""SELECT 'lineitem' AS tbl, count(*) AS footer_rows FROM lineitem
+             | UNION ALL SELECT 'orders', count(*) FROM orders
+             | UNION ALL SELECT 'documents', count(*) FROM documents""".stripMargin.replaceAll("\n", " "))),
+
     // Raw text-lines source (one doc per line — the LLM-corpus interchange
     // format): write the newline-scrubbed doc bodies as .txt, read back through
     // the line reader, reconcile counts/lengths against DuckDB applying the same

@@ -147,6 +147,48 @@ object Sources {
   /** Read a previously saved bucketed table from the session catalog. */
   def table(spark: SparkSession, tableName: String): DataFrame = spark.table(tableName)
 
+  /** Physical-layout audit of a parquet file or directory, from the footers alone
+    * (no data read): one row per file with its size, row-group count, row totals,
+    * per-group row min/max, and compressed/uncompressed byte totals. This is the
+    * "small files / tiny row groups" diagnostic that decides 100 TB scan
+    * performance before any query runs: a corpus of 10k-row row groups loses
+    * predicate/rowgroup pruning granularity benefits to per-group overhead, and a
+    * directory of 1 MB files drowns the driver in task scheduling — both invisible
+    * to `count()` but obvious here.
+    *
+    * Cost model: a METADATA pass — O(files) footer reads, no data pages touched.
+    * Runs on the driver (the audit is bounded by file count, not data; at extreme
+    * file counts — O(100k)+ — shard the path list and union, or fix the layout
+    * first: that many files IS the finding).
+    */
+  def parquetLayoutAudit(spark: SparkSession, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val root = fs.getFileStatus(p)
+    val files =
+      if (root.isDirectory)
+        fs.listStatus(p).filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+          && !f.getPath.getName.startsWith(".")).toSeq
+      else Seq(root)
+    val rows = files.map { st =>
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, hconf))
+      try {
+        val blocks = rdr.getFooter.getBlocks.asScala.toSeq
+        val counts = blocks.map(_.getRowCount)
+        (st.getPath.toString, st.getLen, blocks.size.toLong, counts.sum,
+          if (counts.nonEmpty) counts.min else 0L,
+          if (counts.nonEmpty) counts.max else 0L,
+          blocks.map(_.getCompressedSize).sum, blocks.map(_.getTotalByteSize).sum)
+      } finally rdr.close()
+    }
+    rows.toDF("file", "file_bytes", "num_row_groups", "num_rows",
+      "min_group_rows", "max_group_rows", "compressed_bytes", "uncompressed_bytes")
+  }
+
   /** Hive-style partitioned parquet layout (`path/col=value/…`): filters on the
     * partition columns prune whole directories at planning time (PartitionFilters in
     * the scan) — the physical layout for time/tenant-sliced 100 TB corpora.

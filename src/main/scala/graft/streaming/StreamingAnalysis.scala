@@ -140,6 +140,32 @@ object StreamingAnalysis {
     out
   }
 
+  /** Per-source token-throughput monitor: tumbling event-time windows of document
+    * and token counts per source, with the tokens/sec rate — the "is the feed
+    * healthy / which upstream went quiet" dashboard stream for an ingestion
+    * pipeline whose real budget is tokens, not rows. Watermarked windowed
+    * aggregation: state is bounded by (windows in the watermark horizon ×
+    * sources); NULL text counts 0 tokens but the document still counts (a feed
+    * suddenly shipping empty bodies shows as rate collapse WITH steady doc
+    * volume — the signature that distinguishes an encoder bug from an outage).
+    * NULL source is a real group. Output: `(window_start, window_end, source,
+    * docs, tokens, tokens_per_sec)`; append-mode (emits once per closed window).
+    */
+  def tokenThroughput(stream: DataFrame, tsCol: String, textCol: String,
+      sourceCol: String, windowDuration: String, watermarkDelay: String): DataFrame = {
+    val secs = col("window_end").cast("long") - col("window_start").cast("long")
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration).as("_w"), col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(coalesce(graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long"),
+          lit(0L))).as("tokens"))
+      .select(col("_w.start").as("window_start"), col("_w.end").as("window_end"),
+        col("source"), col("docs"), col("tokens"))
+      .withColumn("tokens_per_sec",
+        when(secs > 0, col("tokens").cast("double") / secs))
+  }
+
   /** Streaming EXACT dedup with bounded state: one row per key, duplicates dropped
     * across micro-batches. With `watermark = Some(tsCol -> delay)` the state store only
     * remembers keys until the watermark passes them (`dropDuplicatesWithinWatermark`) —

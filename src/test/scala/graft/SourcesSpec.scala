@@ -53,6 +53,31 @@ class SourcesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("parquetLayoutAudit: footer metadata matches the data, files and directories, sidecar skip") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("layout_audit").toString
+    val df = (1 to 9000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+    df.repartition(3).write.mode("overwrite").parquet(dir)
+    val audit = graft.sources.Sources.parquetLayoutAudit(spark, dir).collect()
+    assert(audit.length == 3, s"expected 3 part files, got ${audit.map(_.getString(0)).toSeq}")
+    assert(audit.map(_.getLong(3)).sum == 9000L) // footer rows == written rows
+    audit.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) >= 1 && r.getLong(6) > 0 && r.getLong(7) > 0)
+      assert(r.getLong(4) <= r.getLong(5) && r.getLong(5) <= r.getLong(3))
+      assert(!r.getString(0).contains("_SUCCESS"))
+    }
+    // single-file path form; rows match a direct scan of that one file
+    val one = audit.head.getString(0)
+    val row = graft.sources.Sources.parquetLayoutAudit(spark, one).collect()
+    assert(row.length == 1 &&
+      row.head.getLong(3) == spark.read.parquet(one).count())
+    // empty table still audits (0 rows, footer present)
+    val edir = java.nio.file.Files.createTempDirectory("layout_empty").toString
+    df.filter(lit(false)).coalesce(1).write.mode("overwrite").parquet(edir)
+    val empty = graft.sources.Sources.parquetLayoutAudit(spark, edir).collect()
+    assert(empty.map(_.getLong(3)).sum == 0L)
+  }
+
   test("object-store contract: credentials reach hadoopConfiguration; only the connector jar is absent") {
     // This sandbox ships no hadoop-aws / aws-sdk jars and has no network egress, so a
     // LIVE s3a round-trip (even against a local mock endpoint) cannot run here — the

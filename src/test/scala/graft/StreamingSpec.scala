@@ -104,6 +104,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("token throughput: per-source windowed rates, null-text zero tokens, null source group") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Option[String], Option[String])]
+    val stream = StreamingAnalysis.tokenThroughput(
+      input.toDF().toDF("ts", "text", "src"), "ts", "text", "src",
+      "10 minutes", "1 minute")
+    val q = stream.writeStream.format("memory").queryName("tp").outputMode("append").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData(
+        (ts(1), Some("two words"), Some("web")),
+        (ts(2), Some("three small words"), Some("web")),
+        (ts(3), None, Some("web")),             // doc counts, 0 tokens
+        (ts(4), Some("one"), None))             // NULL source is a real group
+      q.processAllAvailable()
+      input.addData((ts(25), Some("later"), Some("web")))
+      q.processAllAvailable()
+      input.addData((ts(45), Some("flush"), Some("web")))
+      q.processAllAvailable()
+      val web = spark.sql(
+        "SELECT docs, tokens, tokens_per_sec FROM tp WHERE source = 'web' ORDER BY docs DESC")
+        .collect().head
+      // window [10:00,10:10): 3 web docs, 2+3+0 = 5 tokens, 5/600 tokens/sec
+      assert(web.getLong(0) == 3L && web.getLong(1) == 5L &&
+        math.abs(web.getDouble(2) - 5.0 / 600.0) < 1e-12)
+      val nullSrc = spark.sql(
+        "SELECT docs, tokens FROM tp WHERE source IS NULL").collect()
+      assert(nullSrc.length == 1 && nullSrc.head.getLong(0) == 1L &&
+        nullSrc.head.getLong(1) == 1L)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops duplicate keys across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
