@@ -499,6 +499,45 @@ object Metrics {
       .drop("_ecdf_v", "_ecdf_cum")
   }
 
+  /** Per-group [[ecdfNormalize]]: `outCol = F_g(x)` within each `groupCol` stratum —
+    * the cross-source score calibration itself (each source's scores rank against
+    * that source's own distribution, so "top 10% of web" and "top 10% of code"
+    * mean the same thing before mixing). Same value semantics as the global form:
+    * ties share a rank, hostile values rank NULL but rows are kept; NULL group is
+    * a real stratum.
+    *
+    * Shape: one (group, value)-keyed count shuffle, cumulative/total windows over
+    * the COUNTS frame on the same partitioning, one (group, value)-keyed join
+    * back. The window partitions are bounded by distinct values per group (the
+    * grouped-window contract shared with `Drift.ksStatisticByGroup`); a group
+    * whose value domain is data-scale-distinct belongs to the global
+    * [[ecdfNormalize]] boundary-fold run per group instead.
+    */
+  def ecdfNormalizeByGroup(df: DataFrame, groupCol: String, c: String,
+      outCol: String = "ecdf"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists — pick another name")
+    Seq("_ecdf_g", "_ecdf_v", "_ecdf_p").foreach(r => require(!df.columns.contains(r),
+      s"input already has a $r column (reserved internal name)"))
+    val counts = df
+      .select(col(groupCol).as("_ecdf_g"), col(c).try_cast("double").as("_ecdf_v"))
+      .filter(col("_ecdf_v").between(-Double.MaxValue, Double.MaxValue))
+      .groupBy(col("_ecdf_g"), col("_ecdf_v")).agg(count(lit(1)).as("_c"))
+    val cum = org.apache.spark.sql.expressions.Window.partitionBy(col("_ecdf_g"))
+      .orderBy(col("_ecdf_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(col("_ecdf_g"))
+    val ranks = counts
+      .withColumn("_ecdf_p",
+        sum(col("_c")).over(cum).cast("double") / sum(col("_c")).over(tot))
+      .drop("_c")
+    df.join(ranks,
+        df(groupCol) <=> ranks("_ecdf_g") && df(c).try_cast("double") === ranks("_ecdf_v"),
+        "left")
+      .withColumn(outCol, col("_ecdf_p"))
+      .drop("_ecdf_g", "_ecdf_v", "_ecdf_p")
+  }
+
   def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val counts = df

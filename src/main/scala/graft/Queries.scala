@@ -2107,6 +2107,53 @@ object Queries {
              | round(max(p), 6) AS max_pct
              | FROM u GROUP BY 1""".stripMargin.replaceAll("\n", " "))),
 
+    // Per-group ECDF: each event type's values rank against that type's OWN
+    // distribution (the cross-source calibration itself). Sum of ranks per type
+    // pins every row's rank; NULL type is a real stratum.
+    QueryDef("ecdf_by_type_events",
+      (s, d) => graft.Metrics.ecdfNormalizeByGroup(t(s, d, "events"), "event_type",
+          "value", "pct")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), count(col("pct")).as("n_ranked"),
+          round(sum(col("pct")), 6).as("sum_pct"),
+          round(min(col("pct")), 6).as("min_pct"),
+          round(max(col("pct")), 6).as("max_pct")),
+      Some("""WITH f AS (SELECT event_type, cume_dist() OVER (PARTITION BY event_type ORDER BY x) AS p
+             |   FROM (SELECT event_type, CAST(value AS DOUBLE) AS x FROM events
+             |     WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+             |       AND isfinite(CAST(value AS DOUBLE)))),
+             | u AS (SELECT event_type, p FROM f UNION ALL
+             |   SELECT event_type, NULL AS p FROM events
+             |   WHERE value IS NULL OR isnan(CAST(value AS DOUBLE))
+             |     OR NOT isfinite(CAST(value AS DOUBLE)))
+             | SELECT event_type, count(*) AS n, count(p) AS n_ranked,
+             | round(sum(p), 6) AS sum_pct, round(min(p), 6) AS min_pct,
+             | round(max(p), 6) AS max_pct
+             | FROM u GROUP BY 1""".stripMargin.replaceAll("\n", " "))),
+
+    // Vocabulary novelty of the odd-doc half against the even-doc reference: share
+    // of current token mass whose TYPE the reference never saw — the open-vocab
+    // drift number (tokenizer-OOV planning) PSI's closed categories can't express.
+    QueryDef("vocab_novelty_documents",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.Drift.vocabNovelty(
+          docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 =!= 0), "text")
+          .select(col("n_tokens"), col("n_types"), col("n_new_types"),
+            round(col("new_mass"), 6).as("new_mass"))
+      },
+      Some("""WITH rt AS (SELECT DISTINCT t FROM documents,
+             |   unnest(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS u(t)
+             |   WHERE doc_id % 2 = 0),
+             | ct AS (SELECT t, count(*) AS n FROM documents,
+             |   unnest(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS u(t)
+             |   WHERE doc_id % 2 != 0 GROUP BY 1),
+             | j AS (SELECT ct.n, rt.t IS NOT NULL AS seen FROM ct LEFT JOIN rt ON ct.t = rt.t)
+             | SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_tokens, count(*) AS n_types,
+             | CAST(coalesce(sum(CASE WHEN NOT seen THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_new_types,
+             | CASE WHEN sum(n) > 0 THEN round(CAST(sum(CASE WHEN NOT seen THEN n ELSE 0 END) AS DOUBLE) / sum(n), 6) END AS new_mass
+             | FROM j""".stripMargin.replaceAll("\n", " "))),
+
     // Per-event-type KS between the even/odd user halves — the stratified drift
     // view; groups with one empty side report NULL, NULL event_type is a group.
     QueryDef("ks_by_type_events",

@@ -343,6 +343,39 @@ object Drift {
     psi(bucket(ref), bucket(cur), "_bin", epsilon)
   }
 
+  /** Vocabulary novelty of a current corpus against a reference: how much of the
+    * new text is built from token TYPES the reference never saw — the
+    * tokenizer-OOV / topic-shift planning number that PSI-over-categories can't
+    * give for an open vocabulary. One row: `(n_tokens, n_types, n_new_types,
+    * new_mass)` where `new_mass` is the share of current token OCCURRENCES whose
+    * type is unseen (mass-weighted — a million hits on one new token matters more
+    * than a thousand hapaxes), NULL when the current side has no tokens.
+    * Whitespace tokenization (`TextFunctions.tokens`), NULL/empty text contributes
+    * nothing.
+    *
+    * Shape: map-side-combined token counts on the current side and a distinct on
+    * the reference side (both shuffles bounded by vocabulary, not corpus rows),
+    * then one vocab×vocab left join. AQE's skew handling covers Zipfian token
+    * keys; nothing corpus-scale moves twice.
+    */
+  def vocabNovelty(ref: DataFrame, cur: DataFrame, textCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val refTypes = ref
+      .select(explode(TextFunctions.tokens(col(textCol))).as("_t")).distinct()
+      .withColumn("_seen", lit(true))
+    val curCounts = cur
+      .select(explode(TextFunctions.tokens(col(textCol))).as("_t"))
+      .groupBy(col("_t")).agg(count(lit(1)).as("_n"))
+    val tot = sum(col("_n"))
+    val newMass = sum(when(col("_seen").isNull, col("_n")).otherwise(0L))
+    curCounts.join(refTypes, Seq("_t"), "left")
+      .agg(
+        coalesce(tot, lit(0L)).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        coalesce(sum(when(col("_seen").isNull, 1L).otherwise(0L)), lit(0L)).as("n_new_types"),
+        when(tot > 0, newMass.cast("double") / tot).as("new_mass"))
+  }
+
   /** Embedding-space drift between two corpus snapshots: the centroid (per-
     * dimension mean) of each side, compared by L2 distance, cosine, and the
     * largest single-dimension shift — the cheap first-order "did the upstream

@@ -316,6 +316,35 @@ class MetricsSpec extends SparkSpec {
       Metrics.ecdfNormalize(df.withColumn("_ecdf_v", lit(1)), "v", "p"))
   }
 
+  test("ecdfNormalizeByGroup: per-group window parity, single-group == global, NULL group") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val df = (1 to 300).map { i =>
+      (i.toLong, if (i % 3 == 0) Some("a") else if (i % 3 == 1) Some("b") else None,
+        (rng.nextInt(20) - 10).toDouble / 2)
+    }.toDF("id", "g", "v")
+    val naive = df.withColumn("p0", org.apache.spark.sql.functions.cume_dist().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("v")))
+    // join on id only (unique): an equi-join keyed on g would drop the NULL-group rows
+    val both = Metrics.ecdfNormalizeByGroup(df, "g", "v", "p").select("id", "p")
+      .join(naive.select("id", "p0"), Seq("id"))
+    assert(both.count() == 300)
+    assert(both.filter(abs(col("p") - col("p0")) > lit(1e-12)).count() == 0L,
+      "grouped ECDF diverges from the window formulation (incl. the NULL group)")
+    // one constant group == the global form
+    val one = df.withColumn("g", lit("only"))
+    val g1 = Metrics.ecdfNormalizeByGroup(one, "g", "v", "p")
+      .select("id", "p").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val glob = Metrics.ecdfNormalize(df, "v", "p")
+      .select("id", "p").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(g1 == glob)
+    // hostile values NULL but kept; guards
+    val hostile = Seq(("x", Some(1.0)), ("x", None), ("x", Some(Double.NaN))).toDF("g", "v")
+    val h = Metrics.ecdfNormalizeByGroup(hostile, "g", "v", "p").collect()
+    assert(h.length == 3 && h.count(_.isNullAt(2)) == 2)
+    intercept[IllegalArgumentException](Metrics.ecdfNormalizeByGroup(df, "g", "v", "v"))
+  }
+
   test("winsorizeStats: interpolated bounds, tail counts, clipped mean, hostile/empty classes") {
     import spark.implicits._
     // 1..100: q05 = 5 + 0.95 = 5.95, q95 = 95 + 0.05 = 95.05 ((n-1)p interpolation);

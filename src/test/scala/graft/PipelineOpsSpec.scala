@@ -381,6 +381,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Drift.jsDivergence(a.filter(lit(false)), a, "lang").head().isNullAt(0))
   }
 
+  test("vocabNovelty: mass-weighted closed form, empty sides, null text") {
+    import spark.implicits._
+    val ref = Seq("alpha beta", "beta gamma").toDF("text")
+    val cur = Seq("alpha alpha newtok", "beta").toDF("text")
+    // cur tokens: alpha x2, newtok x1, beta x1 -> 4 tokens, 3 types, 1 new, mass 1/4
+    val out = Drift.vocabNovelty(ref, cur, "text").head()
+    assert(out.getLong(0) == 4L && out.getLong(1) == 3L && out.getLong(2) == 1L &&
+      math.abs(out.getDouble(3) - 0.25) < 1e-12)
+    // empty current side: zero counts, NULL mass (nothing to measure)
+    val e = Drift.vocabNovelty(ref, ref.filter(lit(false)), "text").head()
+    assert(e.getLong(0) == 0L && e.getLong(1) == 0L && e.isNullAt(3))
+    // empty REFERENCE: everything is novel, mass exactly 1
+    val r = Drift.vocabNovelty(ref.filter(lit(false)), cur, "text").head()
+    assert(r.getDouble(3) == 1.0 && r.getLong(2) == 3L)
+    // NULL / whitespace-only text contributes no tokens
+    val nulls = Seq(Some("alpha"), None, Some("   ")).toDF("text")
+    val n = Drift.vocabNovelty(ref, nulls, "text").head()
+    assert(n.getLong(0) == 1L && n.getDouble(3) == 0.0)
+  }
+
   test("psiNumeric: clamped fixed-width bins catch a mean shift") {
     import spark.implicits._
     val ref = (1 to 1000).map(_ % 100).map(_.toDouble).toDF("x")

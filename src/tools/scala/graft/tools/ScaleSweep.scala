@@ -77,7 +77,17 @@ object ScaleSweep {
     // grouped-window drift family: per-type ECDF windows and the day-keyed PSI
     // joins both scale by group/day count × distinct values, the honest shape
     "ks_by_type_events",
-    "psi_series_events")
+    "psi_series_events",
+    // round-7 additions over replicated tables: ecdf exercises the boundary fold +
+    // the value-keyed join-back at 10× rows (distinct values unchanged — replicas
+    // repeat the same streams — counts grow 10×, the honest shape for ties);
+    // equi-depth runs the sketch+bracket quantile operator plus a counting scan at
+    // 10×; kappa's cost is the row-local langId kernel over 10× docs (its shuffle
+    // is category²-bounded). fuzzy_pairs_customer is NOT sweepable here: customer
+    // is not a replicated table.
+    "ecdf_normalize_events",
+    "equidepth_histogram_events",
+    "cohens_kappa_langid_documents")
 
   /** Run the sweep against `src` on an existing session, returning
     * (name, smallSec, bigSec, ratio) per headliner plus the suite20 10× datapoint.
