@@ -137,6 +137,93 @@ object Sharding {
       .drop("_rt_incl", "_rt_excl")
   }
 
+  /** Quality-ranked selection under a global token budget: the "take the best
+    * documents until we have N tokens" data-mixing step. Returns the MAXIMAL PREFIX
+    * of rows in (`scoreCol` DESC, `tieCol` ASC) order whose inclusive cumulative
+    * `weightCol` stays ≤ `budget`, plus `outCol` = that cumulative total — so the
+    * caller can read the realized token count and the score threshold straight off
+    * the result. Because weights are non-negative, "maximal prefix" and
+    * "rows with cumulative ≤ budget" are the same set (the cumulative sum is
+    * monotone), which is what makes the semantics exactly SQL-expressible.
+    *
+    * Eligibility: rows whose score casts to a FINITE double compete; NULL / NaN /
+    * ±Inf scores are excluded entirely (no quality signal ⇒ not in the ranking —
+    * the caller decides their fate separately). NULL weights count 0 tokens but
+    * keep their rank; negative weights fail loud IN THE TASK (a token count can
+    * never be negative — silently absorbing one would corrupt every cumulative
+    * after it).
+    *
+    * Contracts (as [[withRunningTotal]]): `tieCol` must be unique and non-NULL —
+    * it is what makes "score DESC" a total order, so the selected set is
+    * bit-identical across runs and engines.
+    *
+    * Shape: the [[withRunningTotal]] two-pass fold — ONE data-scale exchange
+    * (range-repartition on (score DESC, tie) + in-partition sort, materialized
+    * once), a bounded per-partition weight-sum collect, then a streaming fold that
+    * stops CONSUMING at the budget boundary. Partitions whose exclusive offset
+    * already exceeds the budget emit nothing without reading a row — at 100 TB
+    * with a 1% budget, ~99% of tasks are no-ops. The naive formulation
+    * (`sum over (ORDER BY score DESC)`) is a single-task global window.
+    */
+  def selectTopByBudget(df: DataFrame, scoreCol: String, weightCol: String,
+      tieCol: String, budget: Long, outCol: String = "cum_weight"): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    require(!df.columns.contains(outCol), s"input already has a '$outCol' column")
+    Seq("_sel_s", "_sel_w").foreach(r => require(!df.columns.contains(r),
+      s"input already has a $r column (reserved internal name)"))
+    val spark = df.sparkSession
+    val ranged = df
+      .withColumn("_sel_s", col(scoreCol).try_cast("double"))
+      .withColumn("_sel_w", col(weightCol).cast("long"))
+      .filter(col("_sel_s").between(-Double.MaxValue, Double.MaxValue))
+      .repartitionByRange(col("_sel_s").desc, col(tieCol))
+      .sortWithinPartitions(col("_sel_s").desc, col(tieCol))
+      .localCheckpoint(true)
+    val wIdx = ranged.columns.indexOf("_sel_w")
+    val stats = ranged.select(col("_sel_w"))
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var total = 0L
+        it.foreach { r =>
+          if (!r.isNullAt(0)) {
+            val w = r.getLong(0)
+            if (w < 0L) throw new IllegalArgumentException(
+              s"selectTopByBudget: negative weight $w in partition $pid — " +
+                "token/byte counts must be non-negative")
+            total += w
+          }
+        }
+        Iterator.single((pid, total))
+      }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
+      .collect()
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      stats.sortBy(_._1).map { case (pid, total) =>
+        val e = pid -> acc; acc += total; e
+      }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outSchema = ranged.schema.add(outCol, LongType, nullable = false)
+    ranged.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      val offset = bc.value.getOrElse(pid, 0L)
+      // Strictly past the budget before this partition even starts: nothing here
+      // can be selected (weights ≥ 0 ⇒ cumulative never decreases) — emit nothing
+      // WITHOUT consuming the input. offset == budget still processes: zero-weight
+      // rows at the boundary hold the cumulative at exactly `budget` and belong in.
+      if (offset > budget) Iterator.empty
+      else {
+        var acc = offset
+        it.map { r =>
+          val w = if (r.isNullAt(wIdx)) 0L else r.getLong(wIdx)
+          acc += w
+          if (acc > budget) null else Row.fromSeq(r.toSeq :+ acc)
+        }.takeWhile(_ != null) // monotone cumulative: first violation ends the prefix
+      }
+    }(Encoders.row(outSchema))
+      .drop("_sel_s", "_sel_w")
+  }
+
   /** Round-robin source interleaving for the final training stream: adds `rankCol` =
     * the row's 1-based rank WITHIN its source (ascending `orderCol`), so ordering the
     * output by `(rankCol, sourceCol)` yields the canonical interleave — first row of

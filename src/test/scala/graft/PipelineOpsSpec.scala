@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions
-import graft.operators.{Chunking, Dedup, Drift, Pii, PiiPattern, Sampling, Sharding}
+import graft.operators.{Chunking, Dedup, Drift, Pii, PiiPattern, QualityClassifier, Sampling, Sharding}
 import org.apache.spark.sql.functions._
 
 /** Pipeline-transform operators added beyond the reference surface: PII scrubbing
@@ -108,6 +108,34 @@ class PipelineOpsSpec extends SparkSpec {
       s"expected the FP-scrub semi-join to shuffle, got:\n${semiLines.mkString("\n")}")
   }
 
+  test("calibrationBins: closed-form bins, NULL-bin bucket, NULL/NaN label semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (0.05, Some(0.0)), (0.05, Some(1.0)),            // bin 0: rate 0.5
+      (0.95, Some(1.0)), (1.0, Some(1.0)),             // bin 9 (1.0 closes into it): rate 1
+      (0.55, None),                                    // bin 5: occupied, no votes -> NULL rate
+      (0.55, Some(Double.NaN)),                        // NaN label = hostile, not a 0/1 vote
+      (Double.NaN, Some(1.0)), (1.5, Some(0.0)), (-0.1, Some(1.0)) // malformed scores -> NULL bin
+    ).toDF("score", "label")
+    val out = QualityClassifier.calibrationBins(df, "score", "label", bins = 10)
+      .collect().map(r => (if (r.isNullAt(0)) -1 else r.getInt(0)) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(out.keySet == Set(0, 5, 9, -1))
+    assert(out(0)._1 == 2 && out(0)._2 == 2 && out(0)._4.contains(0.5))
+    assert(out(9)._1 == 2 && out(9)._4.contains(1.0))
+    assert(out(5)._1 == 2 && out(5)._2 == 0 && out(5)._4.isEmpty) // no votes, NULL rate
+    assert(out(-1)._1 == 3 && out(-1)._3.isEmpty)                 // malformed-score bucket
+    // mean_score sits inside the bin's range
+    assert(out(0)._3.exists(m => m.asInstanceOf[Double] == 0.05))
+    intercept[IllegalArgumentException](QualityClassifier.calibrationBins(df, "score", "label", 0))
+    // empty input -> zero rows (no fabricated spine)
+    assert(QualityClassifier.calibrationBins(df.filter(lit(false)), "score", "label").count() == 0)
+    // plan: one aggregate pair, no window/sort
+    val plan = QualityClassifier.calibrationBins(df, "score", "label")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Sort"), s"unexpected plan:\n$plan")
+  }
+
   test("withRunningTotal matches the naive global window at any partitioning") {
     import spark.implicits._
     // Deterministic pseudo-random weights; ids deliberately NOT pre-sorted.
@@ -159,6 +187,53 @@ class PipelineOpsSpec extends SparkSpec {
     // The 1000-weight row at k=50 spans several budget windows -> ids skip.
     val ids = perRow.distinct
     assert(ids.zip(ids.tail).exists { case (a, b) => b - a > 1 })
+  }
+
+  test("selectTopByBudget: naive-window parity, ineligible scores, zero-weight boundary") {
+    import spark.implicits._
+    // Deterministic scores with heavy ties (7 distinct values over 2000 rows) so the
+    // doc-id tiebreak decides real boundaries; weights 0..12 include zeros.
+    val rows = (0 until 2000).map(i => (i.toLong, (i * 31 % 7).toDouble / 2, (i * i % 13).toLong))
+    val df = rows.toDF("id", "q", "w").repartition(11)
+    val budget = 3000L
+    val got = Sharding.selectTopByBudget(df, "q", "w", "id", budget, "cum")
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    // Naive definition: inclusive cumulative in (q DESC, id) order, keep cum <= budget.
+    val expect = rows.sortBy { case (id, q, _) => (-q, id) }
+      .scanLeft((-1L, 0L)) { case ((_, acc), (id, _, w)) => (id, acc + w) }.drop(1)
+      .takeWhile(_._2 <= budget).toMap
+    assert(got == expect)
+    assert(got.nonEmpty && got.size < 2000, "budget should select a strict subset")
+    // NULL / NaN / Inf scores are ineligible; NULL weights count 0 but keep rank.
+    val hostile = Seq(
+      (1L, Some(5.0), Some(10L)), (2L, None, Some(1L)), (3L, Some(Double.NaN), Some(1L)),
+      (4L, Some(Double.PositiveInfinity), Some(1L)), (5L, Some(4.0), None),
+      (6L, Some(3.0), Some(5L))).toDF("id", "q", "w")
+    val sel = Sharding.selectTopByBudget(hostile, "q", "w", "id", 15L, "cum")
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(sel == Map(1L -> 10L, 5L -> 10L, 6L -> 15L))
+    // Budget >= total: every eligible row selected.
+    val all = Sharding.selectTopByBudget(hostile, "q", "w", "id", 1000L, "cum").count()
+    assert(all == 3L)
+    // Zero-weight rows sitting exactly AT the budget boundary stay in (cum == budget
+    // <= budget); the first strictly-over row ends the prefix for everything after.
+    val boundary = Seq((1L, 9.0, 10L), (2L, 8.0, 0L), (3L, 7.0, 0L), (4L, 6.0, 1L), (5L, 5.0, 0L))
+      .toDF("id", "q", "w")
+    val b = Sharding.selectTopByBudget(boundary, "q", "w", "id", 10L, "cum")
+      .select("id").as[Long].collect().toSet
+    assert(b == Set(1L, 2L, 3L))
+    // Guards: negative weight fails in-task; bad budget / taken names fail fast.
+    val neg = Seq((1L, 1.0, -5L)).toDF("id", "q", "w")
+    val ex = intercept[Exception](Sharding.selectTopByBudget(neg, "q", "w", "id", 10L).count())
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ causes(t.getCause)
+    assert(causes(ex).exists(_.contains("negative weight")))
+    intercept[IllegalArgumentException](Sharding.selectTopByBudget(df, "q", "w", "id", 0L))
+    intercept[IllegalArgumentException](Sharding.selectTopByBudget(df, "q", "w", "id", 10L, "q"))
+    intercept[IllegalArgumentException](
+      Sharding.selectTopByBudget(df.withColumn("_sel_w", lit(1)), "q", "w", "id", 10L))
+    // Empty input: empty output, no crash.
+    assert(Sharding.selectTopByBudget(df.filter(lit(false)), "q", "w", "id", 10L).count() == 0L)
   }
 
   test("withRunningTotal plan: no exchange and no window after the materialized range shuffle") {

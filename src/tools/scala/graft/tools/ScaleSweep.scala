@@ -87,7 +87,14 @@ object ScaleSweep {
     // is not a replicated table.
     "ecdf_normalize_events",
     "equidepth_histogram_events",
-    "cohens_kappa_langid_documents")
+    "cohens_kappa_langid_documents",
+    // budget selection is the withRunningTotal fold over 10× docs under the SAME
+    // 10k-token budget — the partitions-past-the-boundary short-circuit should
+    // make the selection pass CHEAPER per row as data grows (most tasks no-op);
+    // hll_rollup is one map-side-combined sketch scan whose shuffle carries one
+    // ~12 KiB sketch per (partition × group), invariant in row count.
+    "budget_select_documents",
+    "hll_rollup_events")
 
   /** Run the sweep against `src` on an existing session, returning
     * (name, smallSec, bigSec, ratio) per headliner plus the suite20 10× datapoint.
