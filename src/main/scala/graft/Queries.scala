@@ -2154,6 +2154,116 @@ object Queries {
              | CASE WHEN sum(n) > 0 THEN round(CAST(sum(CASE WHEN NOT seen THEN n ELSE 0 END) AS DOUBLE) / sum(n), 6) END AS new_mass
              | FROM j""".stripMargin.replaceAll("\n", " "))),
 
+    // Quality-ranked selection under a global 10k-token budget: the maximal prefix
+    // of docs in (quality DESC, doc_id) order whose cumulative whitespace-token
+    // count stays ≤ budget — the distributed budget fold vs DuckDB's cumulative
+    // window. NULL doc_ids are filtered on BOTH sides (the operator's tiebreak
+    // contract: the tie key must be unique and non-NULL).
+    QueryDef("budget_select_documents",
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+          .withColumn("q", TextFunctions.qualityScore(col("text")))
+          .withColumn("w", TextFunctions.tokenCount(col("text")))
+        graft.operators.Sharding.selectTopByBudget(docs, "q", "w", "doc_id", 10000L, "cum")
+          .agg(count(lit(1)).as("n_sel"),
+            coalesce(sum(col("w")), lit(0L)).cast("long").as("sel_tokens"),
+            round(min(col("q")), 6).as("threshold"),
+            max(col("cum")).as("max_cum"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, text, list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS tk
+             |   FROM documents WHERE doc_id IS NOT NULL),
+             | q AS (SELECT doc_id, round(
+             | least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * (CASE WHEN CAST(length(text) AS DOUBLE) > 20000 THEN 0.5 ELSE 1.0 END) * 0.4
+             | + (CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
+             | + (CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) BETWEEN 0.05 AND 0.35 THEN 1.0 ELSE 0.7 END) * 0.2
+             | + (CASE WHEN (CASE WHEN len(tk) > 0 THEN CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) ELSE 0.0 END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.6 END) * 0.2
+             | , 6) AS qs, len(tk) AS w FROM toks),
+             | sel AS (SELECT qs, w, sum(coalesce(w, 0)) OVER (ORDER BY qs DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+             |   FROM q WHERE qs IS NOT NULL)
+             | SELECT count(*) AS n_sel, CAST(coalesce(sum(w), 0) AS BIGINT) AS sel_tokens,
+             | round(min(qs), 6) AS threshold, CAST(max(cum) AS BIGINT) AS max_cum
+             | FROM sel WHERE cum <= 10000""".stripMargin.replaceAll("\n", " "))),
+
+    // Reliability curve of the heuristic quality score against the Gopher keep
+    // verdict: 10 fixed-width score bins × empirical keep rate — the threshold-
+    // picking table behind score-based filtering. Non-NULL text on both sides (the
+    // operator's NULL-bin bucket is spec-pinned; qualityScore is total on non-NULL
+    // text, so no bin is NULL here).
+    QueryDef("calibration_quality_documents",
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("text").isNotNull)
+          .withColumn("score", TextFunctions.qualityScore(col("text")))
+          .withColumn("label", TextFunctions.gopherFlags(col("text")).getField("keep"))
+        graft.operators.QualityClassifier.calibrationBins(docs, "score", "label", 10)
+          .select(col("bin"), col("n"), col("n_labeled"),
+            round(col("mean_score"), 6).as("mean_score"),
+            round(col("label_rate"), 6).as("label_rate"))
+      },
+      Some("""WITH f AS (SELECT text,
+             |   list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS t,
+             |   list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l != '') AS ls
+             |   FROM documents WHERE text IS NOT NULL),
+             | g AS (SELECT text, t, len(t) AS nw,
+             |   CASE WHEN len(t) > 0 THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) ELSE 0.0 END AS mwl,
+             |   len(regexp_extract_all(text, '#|\.{3}|…')) AS nsym,
+             |   len(ls) AS nl,
+             |   len(list_filter(ls, l -> regexp_matches(l, '^[•‣▪*-]'))) AS nbul,
+             |   len(list_filter(ls, l -> regexp_matches(l, '(\.{3}|…)$'))) AS nell,
+             |   len(list_filter(t, x -> regexp_matches(x, '\p{L}'))) AS nalpha,
+             |   len(list_filter(t, x -> regexp_matches(x, '(?i)^(the|be|to|of|and|that|have|with)$'))) AS nstop
+             |   FROM f),
+             | r AS (SELECT round(
+             |   least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * (CASE WHEN CAST(length(text) AS DOUBLE) > 20000 THEN 0.5 ELSE 1.0 END) * 0.4
+             |   + (CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
+             |   + (CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) BETWEEN 0.05 AND 0.35 THEN 1.0 ELSE 0.7 END) * 0.2
+             |   + (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.6 END) * 0.2
+             |   , 6) AS qs,
+             |   ((nw >= 50 AND nw <= 100000) AND (nw > 0 AND mwl >= 3.0 AND mwl <= 10.0)
+             |    AND (nw > 0 AND CAST(nsym AS DOUBLE) <= 0.1 * CAST(nw AS DOUBLE))
+             |    AND (nl = 0 OR CAST(nbul AS DOUBLE) <= 0.9 * CAST(nl AS DOUBLE))
+             |    AND (nl = 0 OR CAST(nell AS DOUBLE) <= 0.3 * CAST(nl AS DOUBLE))
+             |    AND (nw > 0 AND CAST(nalpha AS DOUBLE) >= 0.8 * CAST(nw AS DOUBLE))
+             |    AND nstop >= 2) AS keep FROM g),
+             | b AS (SELECT CASE WHEN qs IS NOT NULL AND NOT isnan(qs) AND qs >= 0 AND qs <= 1
+             |     THEN least(CAST(floor(qs * 10) AS INT), 9) END AS bin,
+             |   qs, CAST(keep AS DOUBLE) AS lab FROM r)
+             | SELECT bin, count(*) AS n, CAST(count(lab) AS BIGINT) AS n_labeled,
+             | round(avg(CASE WHEN bin IS NOT NULL THEN qs END), 6) AS mean_score,
+             | round(avg(lab), 6) AS label_rate
+             | FROM b GROUP BY 1""".stripMargin.replaceAll("\n", " "))),
+
+    // Mergeable HLL sketch columns: per-event-type distinct-user sketches, each
+    // estimate gated within 5% of the exact count (lgK=14 ⇒ ~0.4% typical error,
+    // and Datasketches HLL is deterministic — the booleans are stable facts, not
+    // flaky tolerances), and the UNION of the per-type sketches gated against the
+    // global exact — proving merge-without-rescan. NULL event_type is a group;
+    // an all-NULL-user group's empty sketch must estimate exactly 0.
+    QueryDef("hll_rollup_events",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val per = graft.Metrics.approxDistinctRollup(ev, "event_type", "user_id")
+        val exact = ev.groupBy(col("event_type").as("_et"))
+          .agg(count_distinct(col("user_id")).as("_exact"))
+        val j = per.join(exact, per("event_type") <=> exact("_et"))
+          .select(col("hll_sketch"),
+            when(col("_exact") === 0, col("approx_distinct") === 0)
+              .otherwise(abs(col("approx_distinct") - col("_exact")) <=
+                col("_exact") * lit(0.05)).as("_ok"))
+        val unionEst = graft.Metrics.mergeSketches(j.select("hll_sketch"))
+        val globalExact = ev.agg(count_distinct(col("user_id")).as("global_exact"))
+        j.agg(count(lit(1)).as("n_groups"), bool_and(col("_ok")).as("groups_ok"))
+          .crossJoin(unionEst).crossJoin(globalExact)
+          .select(col("n_groups"), col("groups_ok"),
+            when(col("global_exact") === 0, col("merged_distinct") === 0)
+              .otherwise(abs(col("merged_distinct") - col("global_exact")) <=
+                col("global_exact") * lit(0.05)).as("union_ok"),
+            col("global_exact"))
+      },
+      Some("""SELECT CAST((SELECT count(*) FROM (SELECT DISTINCT event_type FROM events)) AS BIGINT) AS n_groups,
+             | CASE WHEN (SELECT count(*) FROM events) = 0 THEN NULL ELSE TRUE END AS groups_ok,
+             | TRUE AS union_ok,
+             | CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT) AS global_exact""".stripMargin.replaceAll("\n", " "))),
+
     // Per-event-type KS between the even/odd user halves — the stratified drift
     // view; groups with one empty side report NULL, NULL event_type is a group.
     QueryDef("ks_by_type_events",
