@@ -538,6 +538,39 @@ object Metrics {
       .drop("_ecdf_g", "_ecdf_v", "_ecdf_p")
   }
 
+  /** Per-group mergeable distinct-count sketches as COLUMNS: each `groupCol` stratum
+    * gets a Datasketches-HLL binary (`hll_sketch`) plus its estimate
+    * (`approx_distinct`) in ONE map-side-combined scan — the store-and-merge-later
+    * surface for partitioned distinct counting (per-day sketches persisted to the
+    * metrics store, month = [[mergeSketches]] over 30 sketch rows, NO rescan of the
+    * month's data). NULL values contribute nothing (SQL distinct semantics); a group
+    * with no non-NULL values carries an EMPTY (non-NULL) sketch estimating 0. `lgK`
+    * 14 keeps the relative error ~0.4% at ~12 KiB per sketch.
+    *
+    * This is the SQL-native sibling of the analyzer-state HLL
+    * ([[graft.analyzers.Analyzers.approxCountDistinct]]): same sketch family, but
+    * living in a DataFrame column so rollups compose in plain queries.
+    */
+  def approxDistinctRollup(df: DataFrame, groupCol: String, c: String,
+      lgK: Int = 14): DataFrame = {
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4,21], got $lgK") // datasketches bounds
+    df.groupBy(col(groupCol))
+      .agg(hll_sketch_agg(col(c), lit(lgK)).as("hll_sketch"))
+      .withColumn("approx_distinct",
+        coalesce(hll_sketch_estimate(col("hll_sketch")), lit(0L)))
+  }
+
+  /** Union a frame of [[approxDistinctRollup]] sketches down to one estimate —
+    * the merge step that replaces rescanning the underlying data. Bounded input
+    * (one sketch row per group/day), one tiny all-to-one aggregation; NULL
+    * sketches (empty groups) are skipped, an empty input estimates 0.
+    */
+  def mergeSketches(sketches: DataFrame, sketchCol: String = "hll_sketch"): DataFrame =
+    sketches
+      .filter(col(sketchCol).isNotNull)
+      .agg(coalesce(hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(true))),
+        lit(0L)).as("merged_distinct"))
+
   def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val counts = df

@@ -345,6 +345,39 @@ class MetricsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Metrics.ecdfNormalizeByGroup(df, "g", "v", "v"))
   }
 
+  test("approxDistinctRollup/mergeSketches: small-n exactness, 2% at 10k, NULL groups, merge==rescan") {
+    import spark.implicits._
+    // Small cardinalities: the HLL sits in exact (coupon) mode — estimates are exact.
+    val small = Seq(("a", Some(1L)), ("a", Some(2L)), ("a", Some(2L)), ("a", None),
+      (null.asInstanceOf[String], Some(3L)), ("b", None)).toDF("g", "u")
+    val per = Metrics.approxDistinctRollup(small, "g", "u")
+      .collect().map(r => Option(r.getString(0)) -> (r.getLong(2), r.isNullAt(1))).toMap
+    assert(per(Some("a"))._1 == 2L)
+    assert(per(None)._1 == 1L)                      // NULL group is a real stratum
+    assert(per(Some("b")) == ((0L, false)))         // all-NULL group: EMPTY sketch, est 0
+    // Merge of per-group sketches == the distinct count of the union (exact here).
+    val merged = Metrics.mergeSketches(
+      Metrics.approxDistinctRollup(small, "g", "u").select("hll_sketch"))
+      .head().getLong(0)
+    assert(merged == 3L)
+    // 10k distinct values split across 4 groups: estimates within 2% per group and
+    // after merge (lgK=14 keeps ~0.4% typical relative error).
+    val big = (1 to 40000).map(i => (s"g${i % 4}", (i % 10000).toLong)).toDF("g", "u")
+      .repartition(8)
+    val bigPer = Metrics.approxDistinctRollup(big, "g", "u")
+      .select("g", "approx_distinct").as[(String, Long)].collect().toMap
+    assert(bigPer.size == 4)
+    bigPer.values.foreach(est => assert(math.abs(est - 2500L) <= 50L, s"group est $est vs 2500"))
+    val bigMerged = Metrics.mergeSketches(
+      Metrics.approxDistinctRollup(big, "g", "u").select("hll_sketch")).head().getLong(0)
+    assert(math.abs(bigMerged - 10000L) <= 200L, s"merged est $bigMerged vs 10000")
+    // Empty input: zero rollup rows; merge of nothing estimates 0.
+    assert(Metrics.approxDistinctRollup(small.filter(lit(false)), "g", "u").count() == 0L)
+    assert(Metrics.mergeSketches(
+      Metrics.approxDistinctRollup(small.filter(lit(false)), "g", "u")).head().getLong(0) == 0L)
+    intercept[IllegalArgumentException](Metrics.approxDistinctRollup(small, "g", "u", lgK = 3))
+  }
+
   test("winsorizeStats: interpolated bounds, tail counts, clipped mean, hostile/empty classes") {
     import spark.implicits._
     // 1..100: q05 = 5 + 0.95 = 5.95, q95 = 95 + 0.05 = 95.05 ((n-1)p interpolation);
