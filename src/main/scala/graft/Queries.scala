@@ -2264,6 +2264,44 @@ object Queries {
              | TRUE AS union_ok,
              | CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT) AS global_exact""".stripMargin.replaceAll("\n", " "))),
 
+    // Theta-sketch set algebra: distinct-token INTERSECTION and union between the
+    // even/odd doc halves, each estimate gated within 5% of the exact count
+    // computed alongside (below 2^14 distinct the sketch is in exact mode, so the
+    // booleans are deterministic facts). Intersection is what HLL can't answer —
+    // with per-source sketches stored, every pairwise corpus overlap is a set op
+    // on ~100 KiB binaries, not a vocab×vocab join.
+    QueryDef("theta_overlap_documents",
+      (s, d) => {
+        import graft.functions.SketchFunctions._
+        val toks = t(s, d, "documents").filter(col("doc_id").isNotNull)
+          .select((col("doc_id") % 2 === 0).as("even"),
+            explode(TextFunctions.tokens(col("text"))).as("tk"))
+        val sk = toks.agg(
+            thetaSketch(when(col("even"), col("tk"))).as("ska"),
+            thetaSketch(when(!col("even"), col("tk"))).as("skb"))
+          .select(thetaIntersectionEstimate(col("ska"), col("skb")).as("est_inter"),
+            thetaUnionEstimate(col("ska"), col("skb")).as("est_union"))
+        val exact = toks.groupBy(col("tk"))
+          .agg(bool_or(col("even")).as("ina"), bool_or(!col("even")).as("inb"))
+          .agg(coalesce(sum(when(col("ina") && col("inb"), 1L)), lit(0L)).as("exact_inter"),
+            count(lit(1)).as("exact_union"))
+        exact.crossJoin(sk).select(
+          col("exact_inter"), col("exact_union"),
+          when(col("exact_inter") === 0, col("est_inter") === 0.0)
+            .otherwise(abs(col("est_inter") - col("exact_inter")) <=
+              col("exact_inter") * lit(0.05)).as("inter_ok"),
+          when(col("exact_union") === 0, col("est_union") === 0.0)
+            .otherwise(abs(col("est_union") - col("exact_union")) <=
+              col("exact_union") * lit(0.05)).as("union_ok"))
+      },
+      Some("""WITH tok AS (SELECT doc_id % 2 = 0 AS even, t FROM documents,
+             |   unnest(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS u(t)
+             |   WHERE doc_id IS NOT NULL),
+             | g AS (SELECT t, bool_or(even) AS ina, bool_or(NOT even) AS inb FROM tok GROUP BY 1)
+             | SELECT CAST(coalesce(sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END), 0) AS BIGINT) AS exact_inter,
+             | count(*) AS exact_union, TRUE AS inter_ok, TRUE AS union_ok
+             | FROM g""".stripMargin.replaceAll("\n", " "))),
+
     // Per-event-type KS between the even/odd user halves — the stratified drift
     // view; groups with one empty side report NULL, NULL event_type is a group.
     QueryDef("ks_by_type_events",

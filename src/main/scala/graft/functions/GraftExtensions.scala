@@ -174,6 +174,21 @@ object GraftFunctions {
       s"graft_hashed_embedding expects (text, dim), got ${other.length} argument(s)")
   }
 
+  private def buildThetaSketch(args: Seq[Expression]): Expression = args match {
+    case Seq(v) => ThetaSketchAgg(v).toAggregateExpression()
+    case Seq(v, lgK) =>
+      ThetaSketchAgg(v, foldableInt("graft_theta_sketch", "lgK", lgK)).toAggregateExpression()
+    case other => throw new IllegalArgumentException(
+      s"graft_theta_sketch expects (value[, lgK]), got ${other.length} argument(s)")
+  }
+
+  private def buildThetaSet(op: String)(args: Seq[Expression]): Expression = args match {
+    case Seq(a) if op == "estimate" => ThetaEstimate(a)
+    case Seq(a, b) if op != "estimate" => ThetaSetEstimate(a, b, op)
+    case other => throw new IllegalArgumentException(
+      s"graft_theta_$op: wrong argument count ${other.length}")
+  }
+
   /** (identifier, info, builder) triples in the exact shape
     * `SparkSessionExtensions.injectFunction` and `FunctionRegistry.registerFunction`
     * consume.
@@ -210,7 +225,27 @@ object GraftFunctions {
       (FunctionIdentifier("graft_hashed_embedding"),
         info("graft_hashed_embedding",
           "graft_hashed_embedding(text, dim) - unit-norm feature-hashed bag-of-words vector"),
-        buildHashedEmbedding _)) ++
+        buildHashedEmbedding _),
+      (FunctionIdentifier("graft_theta_sketch"),
+        info("graft_theta_sketch",
+          "graft_theta_sketch(value[, lgK]) - mergeable theta distinct-count sketch (aggregate)"),
+        buildThetaSketch _),
+      (FunctionIdentifier("graft_theta_estimate"),
+        info("graft_theta_estimate",
+          "graft_theta_estimate(sketch) - distinct-count estimate of a theta sketch"),
+        buildThetaSet("estimate") _),
+      (FunctionIdentifier("graft_theta_intersection_estimate"),
+        info("graft_theta_intersection_estimate",
+          "graft_theta_intersection_estimate(a, b) - estimated |A ∩ B| of two theta sketches"),
+        buildThetaSet("intersection") _),
+      (FunctionIdentifier("graft_theta_union_estimate"),
+        info("graft_theta_union_estimate",
+          "graft_theta_union_estimate(a, b) - estimated |A ∪ B| of two theta sketches"),
+        buildThetaSet("union") _),
+      (FunctionIdentifier("graft_theta_difference_estimate"),
+        info("graft_theta_difference_estimate",
+          "graft_theta_difference_estimate(a, b) - estimated |A \\ B| of two theta sketches"),
+        buildThetaSet("difference") _)) ++
     textFns.map { case (name, usage, builder) =>
       (FunctionIdentifier(name), info(name, usage), builder)
     }

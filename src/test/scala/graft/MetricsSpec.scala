@@ -378,6 +378,45 @@ class MetricsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Metrics.approxDistinctRollup(small, "g", "u", lgK = 3))
   }
 
+  test("theta sketches: exact-mode set algebra, partition determinism, 3% at 50k, hostile classes") {
+    import graft.functions.SketchFunctions._
+    import spark.implicits._
+    // Planted sets: A = 0..999, B = 500..1499 -> |A|=|B|=1000, |A∩B|=500, |A∪B|=1500,
+    // |A\B|=500. Below k=2^14 the sketch is in exact mode: estimates ARE the counts.
+    val df = ((0 until 1000).map(i => (s"v$i", true)) ++
+      (500 until 1500).map(i => (s"v$i", false))).toDF("v", "ina").repartition(9)
+    val sk = df.agg(
+      thetaSketch(when(col("ina"), col("v"))).as("a"),
+      thetaSketch(when(!col("ina"), col("v"))).as("b"))
+    val r = sk.select(
+      thetaEstimate(col("a")), thetaEstimate(col("b")),
+      thetaIntersectionEstimate(col("a"), col("b")),
+      thetaUnionEstimate(col("a"), col("b")),
+      thetaDifferenceEstimate(col("a"), col("b"))).head()
+    assert((0 to 4).map(r.getDouble) == Seq(1000.0, 1000.0, 500.0, 1500.0, 500.0))
+    // Determinism: the compact-sketch bytes are a pure function of the value SET —
+    // identical regardless of partitioning (1 partition vs 9).
+    val one = df.coalesce(1).agg(thetaSketch(when(col("ina"), col("v"))).as("a")).head().getAs[Array[Byte]](0)
+    val nine = sk.head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(one, nine))
+    // NULLs contribute nothing; all-NULL input -> empty sketch estimating exactly 0.
+    val withNulls = Seq(Some("x"), None, Some("x")).toDF("v")
+    assert(withNulls.agg(thetaEstimate(thetaSketch(col("v")))).head().getDouble(0) == 1.0)
+    assert(withNulls.filter(col("v").isNull)
+      .agg(thetaEstimate(thetaSketch(col("v")))).head().getDouble(0) == 0.0)
+    // Past exact mode: 50k distinct longs within 3% (lgK 14 ~ 0.78% RSE).
+    val big = (1L to 50000L).toDF("v").repartition(8)
+    val est = big.agg(thetaEstimate(thetaSketch(col("v")))).head().getDouble(0)
+    assert(math.abs(est - 50000.0) <= 1500.0, s"estimate $est vs 50000")
+    // Per-group sketches compose with groupBy.
+    val grouped = (1 to 300).map(i => (s"g${i % 3}", i % 50)).toDF("g", "v")
+      .groupBy("g").agg(thetaEstimate(thetaSketch(col("v"))).as("d"))
+      .as[(String, Double)].collect().toMap
+    assert(grouped.values.toSet == Set(50.0))
+    // Type gate: doubles are not hashable identity-stably -> analysis error.
+    intercept[Exception](Seq(1.0).toDF("v").agg(thetaSketch(col("v"))).head())
+  }
+
   test("winsorizeStats: interpolated bounds, tail counts, clipped mean, hostile/empty classes") {
     import spark.implicits._
     // 1..100: q05 = 5 + 0.95 = 5.95, q95 = 95 + 0.05 = 95.05 ((n-1)p interpolation);

@@ -1144,6 +1144,25 @@ class PipelineOpsSpec extends SparkSpec {
       "SELECT graft_hashed_embedding(t, CAST(id AS INT)) FROM (SELECT 'x' t, 64 id)").collect())
   }
 
+  test("graft_theta_* register in SQL: aggregate + set algebra match the Column path") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    ((0 until 800).map(i => (s"v$i", true)) ++ (400 until 1200).map(i => (s"v$i", false)))
+      .toDF("v", "ina").createOrReplaceTempView("theta_sql_probe")
+    val r = spark.sql(
+      """SELECT graft_theta_estimate(a) AS ea,
+        |  graft_theta_intersection_estimate(a, b) AS inter,
+        |  graft_theta_union_estimate(a, b) AS uni,
+        |  graft_theta_difference_estimate(a, b) AS dif
+        |FROM (SELECT graft_theta_sketch(CASE WHEN ina THEN v END) AS a,
+        |             graft_theta_sketch(CASE WHEN NOT ina THEN v END, 14) AS b
+        |      FROM theta_sql_probe)""".stripMargin).head()
+    assert((0 to 3).map(r.getDouble) == Seq(800.0, 400.0, 1200.0, 400.0))
+    // lgK must be a foldable literal
+    intercept[Exception](spark.sql(
+      "SELECT graft_theta_sketch(v, CAST(length(v) AS INT)) FROM theta_sql_probe").collect())
+  }
+
   test("Bloom contamination with empty probe returns empty, not a crash") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("text").isNotNull)
