@@ -3321,6 +3321,35 @@ object Queries {
              | FROM inter JOIN sz sa ON inter.source_a = sa.src
              | JOIN sz sb ON inter.source_b = sb.src""".stripMargin.replaceAll("\n", " "))),
 
+    // Sketch-based source overlap matrix gated against the exact operator: the
+    // FULL pairwise matrix (zero-overlap pairs at shared 0), per-pair estimate
+    // within max(10%, 10) of the exact shared count — below 2^14 distinct tokens
+    // per source the sketches are in exact mode and the booleans are deterministic.
+    // The DuckDB side replays the exact matrix over all token-bearing sources.
+    QueryDef("theta_source_overlap_documents",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sk = graft.operators.CorpusStats.sourceVocabOverlapSketch(docs, "text", "source")
+        val ex = graft.operators.CorpusStats.sourceVocabOverlap(docs, "text", "source")
+          .select(col("source_a"), col("source_b"), col("shared_tokens"))
+        sk.join(ex, Seq("source_a", "source_b"), "left")
+          .select(col("source_a"), col("source_b"),
+            coalesce(col("shared_tokens"), lit(0L)).as("shared_tokens"),
+            (abs(col("shared_est") - coalesce(col("shared_tokens"), lit(0L))) <=
+              greatest(coalesce(col("shared_tokens"), lit(0L)) * lit(0.1), lit(10.0)))
+              .as("shared_ok"))
+      },
+      Some("""WITH tk AS (SELECT source AS src, unnest(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS tok
+             |   FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+             | tok AS (SELECT DISTINCT src, tok FROM tk),
+             | srcs AS (SELECT DISTINCT src FROM tok),
+             | pairs AS (SELECT a.src AS source_a, b.src AS source_b FROM srcs a JOIN srcs b ON a.src < b.src),
+             | inter AS (SELECT a.src AS source_a, b.src AS source_b, CAST(count(*) AS BIGINT) AS shared_tokens
+             |   FROM tok a JOIN tok b ON a.tok = b.tok AND a.src < b.src GROUP BY 1, 2)
+             | SELECT p.source_a, p.source_b, coalesce(i.shared_tokens, 0) AS shared_tokens, TRUE AS shared_ok
+             | FROM pairs p LEFT JOIN inter i ON p.source_a = i.source_a AND p.source_b = i.source_b"""
+        .stripMargin.replaceAll("\n", " "))),
+
     // Per-event-type robust outlier screen: exact per-group median/MAD (percentile
     // window == quantile_cont, the parity grouped_percentiles pins) + beyond-k-MAD
     // counts. NULL event_type is a real group on both engines.

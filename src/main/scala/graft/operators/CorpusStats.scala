@@ -190,6 +190,49 @@ object CorpusStats {
           .as("vocab_jaccard"))
   }
 
+  /** Sketch-based [[sourceVocabOverlap]]: per-source theta sketches in ONE corpus
+    * pass (the sketch dedups internally — no distinct materialization of the
+    * (source, token) domain at all), then every pairwise overlap is SET ALGEBRA on
+    * ~100 KiB binaries. The exact version's cost is a distinct + a token-keyed
+    * self-join that grows with vocabulary × source-overlap; this one's corpus cost
+    * is one map-side-combined aggregation whose shuffle carries one sketch per
+    * (task × source), and the pairwise stage touches `sources²` sketch rows,
+    * never the corpus. Below 2^lgK distinct tokens per source the sketches are in
+    * exact mode and the estimates ARE the exact matrix.
+    *
+    * Sources are mixture components (10s–1000s) — `maxSources` fails loud before
+    * the quadratic pairing, same contract as `interleaveBySource`. Pairs where
+    * both vocabularies are empty report NULL jaccard (0/0 is no overlap
+    * statement, not zero overlap). Unlike the exact operator (whose token join
+    * only SURFACES overlapping pairs), this emits the FULL matrix — zero-overlap
+    * pairs appear with `shared_est` 0, which is usually what a mixture diagnostic
+    * wants to see.
+    */
+  def sourceVocabOverlapSketch(df: DataFrame, textCol: String, sourceCol: String,
+      lgK: Int = 14, maxSources: Int = 10000): DataFrame = {
+    import graft.functions.SketchFunctions._
+    val sk = df
+      .filter(col(sourceCol).isNotNull && col(textCol).isNotNull)
+      .select(col(sourceCol).as("_src"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("_tok"))
+      .groupBy(col("_src"))
+      .agg(thetaSketch(col("_tok"), lgK).as("_sk"))
+    val n = sk.count()
+    require(n <= maxSources,
+      s"sourceVocabOverlapSketch saw $n distinct sources (> maxSources=$maxSources); " +
+        "this operator is for mixture-component granularity — bucket the source key first")
+    val a = sk.select(col("_src").as("source_a"), col("_sk").as("_ska"))
+    val b = sk.select(col("_src").as("source_b"), col("_sk").as("_skb"))
+    val inter = thetaIntersectionEstimate(col("_ska"), col("_skb"))
+    val uni = thetaUnionEstimate(col("_ska"), col("_skb"))
+    a.join(b, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        thetaEstimate(col("_ska")).as("distinct_a"),
+        thetaEstimate(col("_skb")).as("distinct_b"),
+        inter.as("shared_est"),
+        when(uni > 0.0, inter / uni).as("vocab_jaccard_est"))
+  }
+
   /** Zipf-law fit over the top-`topK` vocabulary: the OLS slope of `ln(freq)` on
     * `ln(rank)` — natural language sits near −1; a corpus drifting toward template
     * spam (too steep: a few boilerplate tokens dominate) or toward noise/ID soup

@@ -189,6 +189,39 @@ object Sources {
       "min_group_rows", "max_group_rows", "compressed_bytes", "uncompressed_bytes")
   }
 
+  /** Compact a small-files parquet layout into ~`targetBytes` files — the fix for
+    * what [[parquetLayoutAudit]] diagnoses (a 100 TB table written by 10k streaming
+    * micro-batches is millions of KB-files: every scan pays open/footer/seek per
+    * file and the driver pays listing + per-file task scheduling). Returns the
+    * audit of the COMPACTED layout so the caller can assert the fix took.
+    *
+    * Sizing uses the source layout's actual on-disk bytes (footer audit, an
+    * O(files) metadata pass — no data read): `files = ceil(bytes / targetBytes)`,
+    * so the target is met in COMPRESSED terms, the ones that decide scan cost.
+    * The rewrite itself is one narrow-shuffle `repartition(n)` + write — rows
+    * move once, no sort is imposed (a layout that also wants clustering should
+    * compose `repartitionByRange`/[[writeBucketed]] instead; re-sorting here
+    * would silently double the price of every compaction that doesn't need it).
+    *
+    * `out` must differ from `in`: compact-in-place would delete the source under
+    * the reader mid-job on failure — fail fast instead.
+    */
+  def compactSmallFiles(spark: SparkSession, in: String, out: String,
+      targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(new org.apache.hadoop.fs.Path(in).toUri.getPath !=
+      new org.apache.hadoop.fs.Path(out).toUri.getPath,
+      "compactSmallFiles cannot compact in place — write to a new path, then swap")
+    val audit = parquetLayoutAudit(spark, in)
+      .agg(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("file_bytes")),
+        org.apache.spark.sql.functions.lit(0L)).as("bytes")).head()
+    val totalBytes = audit.getLong(0)
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(in).repartition(nFiles).write.mode("overwrite").parquet(out)
+    parquetLayoutAudit(spark, out)
+  }
+
   /** Hive-style partitioned parquet layout (`path/col=value/…`): filters on the
     * partition columns prune whole directories at planning time (PartitionFilters in
     * the scan) — the physical layout for time/tenant-sliced 100 TB corpora.

@@ -111,6 +111,41 @@ class CorpusStatsSpec extends SparkSpec {
     assert(!out.contains(("X", "Z")) && !out.contains(("Y", "Z")))
   }
 
+  test("sourceVocabOverlapSketch: exact-mode matrix == exact operator, full matrix, guard") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("X"), Some("a b c")), (Some("X"), Some("a a")),
+      (Some("Y"), Some("b c d")), (Some("Z"), Some("z")),
+      (None, Some("a b c d z")), (Some("X"), None))
+      .toDF("source", "text")
+    val out = CorpusStats.sourceVocabOverlapSketch(df, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // Exact mode (vocab << 2^14): the estimates ARE the exact matrix.
+    assert(out(("X", "Y")) == ((3.0, 3.0, 2.0, 0.5)))
+    // FULL matrix: zero-overlap pairs present at shared 0 (unlike the exact join).
+    assert(out.size == 3)
+    assert(out(("X", "Z")) == ((3.0, 1.0, 0.0, 0.0)))
+    assert(out(("Y", "Z")) == ((3.0, 1.0, 0.0, 0.0)))
+    // Agreement with the exact operator on a 300-doc 6-source random corpus.
+    val rng = new scala.util.Random(7)
+    val corpus = (1 to 300).map { i =>
+      (s"s${i % 6}", (1 to 30).map(_ => s"w${rng.nextInt(400)}").mkString(" "))
+    }.toDF("source", "text")
+    val exact = CorpusStats.sourceVocabOverlap(corpus, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sketch = CorpusStats.sourceVocabOverlapSketch(corpus, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(sketch.size == 15) // 6 choose 2
+    exact.foreach { case (k, shared) => assert(sketch(k) == shared.toDouble, s"pair $k") }
+    // maxSources guard fires before the quadratic pairing.
+    intercept[IllegalArgumentException](
+      CorpusStats.sourceVocabOverlapSketch(corpus, "text", "source", maxSources = 3))
+    // Empty corpus: empty matrix.
+    assert(CorpusStats.sourceVocabOverlapSketch(
+      corpus.filter(lit(false)), "text", "source").count() == 0L)
+  }
+
   test("zipfSlope: ~-1 on an exact Zipf corpus, hand-computed OLS, degenerate classes") {
     import spark.implicits._
     // token w<i> appears exactly floor(1000/i) times, i = 1..50: slope must land

@@ -78,6 +78,31 @@ class SourcesSpec extends SparkSpec {
     assert(empty.map(_.getLong(3)).sum == 0L)
   }
 
+  test("compactSmallFiles: many tiny files collapse to the byte-sized target, rows intact") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("compact_in").toString
+    val out = java.nio.file.Files.createTempDirectory("compact_out").toString + "/t"
+    // 64 tiny files — the streaming-micro-batch pathology.
+    val df = (1 to 6400).map(i => (i.toLong, s"row$i" * 10)).toDF("id", "s")
+    df.repartition(64).write.mode("overwrite").parquet(in)
+    val before = graft.sources.Sources.parquetLayoutAudit(spark, in).collect()
+    assert(before.length == 64)
+    val totalBytes = before.map(_.getLong(1)).sum
+    // Target a quarter of the table per file -> expect ~4 files (ceil semantics).
+    val target = math.max(1L, totalBytes / 4)
+    val after = graft.sources.Sources.compactSmallFiles(spark, in, out, target).collect()
+    val expectFiles = ((totalBytes + target - 1) / target).toInt
+    assert(after.length == expectFiles, s"expected $expectFiles files, got ${after.length}")
+    assert(spark.read.parquet(out).count() == 6400L)
+    assert(spark.read.parquet(out).agg(sum(col("id"))).head().getLong(0) ==
+      (1 to 6400).map(_.toLong).sum)
+    // Guards: in-place compaction and bad target fail fast.
+    intercept[IllegalArgumentException](
+      graft.sources.Sources.compactSmallFiles(spark, in, in, target))
+    intercept[IllegalArgumentException](
+      graft.sources.Sources.compactSmallFiles(spark, in, out, 0L))
+  }
+
   test("object-store contract: credentials reach hadoopConfiguration; only the connector jar is absent") {
     // This sandbox ships no hadoop-aws / aws-sdk jars and has no network egress, so a
     // LIVE s3a round-trip (even against a local mock endpoint) cannot run here — the
