@@ -2184,6 +2184,38 @@ object Queries {
              | round(min(qs), 6) AS threshold, CAST(max(cum) AS BIGINT) AS max_cum
              | FROM sel WHERE cum <= 10000""".stripMargin.replaceAll("\n", " "))),
 
+    // Per-source token quotas: each source independently keeps its best docs up to
+    // 500 tokens — the mixture-carving step where the GLOBAL budget would let one
+    // huge source eat everything. NULL source is a real stratum with its own quota;
+    // NULL doc_ids filtered per the tiebreak contract. A source whose best doc
+    // already exceeds the quota is absent on both sides.
+    QueryDef("budget_select_by_source_documents",
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+          .withColumn("q", TextFunctions.qualityScore(col("text")))
+          .withColumn("w", TextFunctions.tokenCount(col("text")))
+        graft.operators.Sharding.selectTopByBudgetByGroup(
+            docs, "source", "q", "w", "doc_id", 500L, "cum")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sel"),
+            coalesce(sum(col("w")), lit(0L)).cast("long").as("sel_tokens"),
+            round(min(col("q")), 6).as("threshold"),
+            max(col("cum")).as("max_cum"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, source, text, list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS tk
+             |   FROM documents WHERE doc_id IS NOT NULL),
+             | q AS (SELECT doc_id, source, round(
+             | least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * (CASE WHEN CAST(length(text) AS DOUBLE) > 20000 THEN 0.5 ELSE 1.0 END) * 0.4
+             | + (CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
+             | + (CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) BETWEEN 0.05 AND 0.35 THEN 1.0 ELSE 0.7 END) * 0.2
+             | + (CASE WHEN (CASE WHEN len(tk) > 0 THEN CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) ELSE 0.0 END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.6 END) * 0.2
+             | , 6) AS qs, len(tk) AS w FROM toks),
+             | sel AS (SELECT source, qs, w, sum(coalesce(w, 0)) OVER (PARTITION BY source ORDER BY qs DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+             |   FROM q WHERE qs IS NOT NULL)
+             | SELECT source, count(*) AS n_sel, CAST(coalesce(sum(w), 0) AS BIGINT) AS sel_tokens,
+             | round(min(qs), 6) AS threshold, CAST(max(cum) AS BIGINT) AS max_cum
+             | FROM sel WHERE cum <= 500 GROUP BY 1""".stripMargin.replaceAll("\n", " "))),
+
     // Reliability curve of the heuristic quality score against the Gopher keep
     // verdict: 10 fixed-width score bins × empirical keep rate — the threshold-
     // picking table behind score-based filtering. Non-NULL text on both sides (the

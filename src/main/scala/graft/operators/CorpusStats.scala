@@ -211,12 +211,16 @@ object CorpusStats {
   def sourceVocabOverlapSketch(df: DataFrame, textCol: String, sourceCol: String,
       lgK: Int = 14, maxSources: Int = 10000): DataFrame = {
     import graft.functions.SketchFunctions._
+    // localCheckpoint: the sketch frame is BOUNDED (one ~100 KiB row per source),
+    // and both the guard count and the pairwise join read it — without pinning it,
+    // each action would re-run the corpus-scale aggregation.
     val sk = df
       .filter(col(sourceCol).isNotNull && col(textCol).isNotNull)
       .select(col(sourceCol).as("_src"),
         explode(graft.functions.TextFunctions.tokens(col(textCol))).as("_tok"))
       .groupBy(col("_src"))
       .agg(thetaSketch(col("_tok"), lgK).as("_sk"))
+      .localCheckpoint(true)
     val n = sk.count()
     require(n <= maxSources,
       s"sourceVocabOverlapSketch saw $n distinct sources (> maxSources=$maxSources); " +

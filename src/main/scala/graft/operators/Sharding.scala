@@ -224,6 +224,98 @@ object Sharding {
       .drop("_sel_s", "_sel_w")
   }
 
+  /** Per-group [[selectTopByBudget]]: each `groupCol` stratum independently keeps its
+    * best rows up to `budget` weight — the per-source token QUOTA that actually
+    * builds a training mixture ("2B tokens of code, 2B of web, best-first"), where
+    * the global form can't stop one huge source from eating the whole budget.
+    * Semantics per group are identical to the global form (maximal prefix in
+    * (score DESC, tie) order, cumulative ≤ budget, non-finite scores ineligible,
+    * NULL weights count 0, negative weights fail in-task); NULL group is a real
+    * stratum with its own quota — the caller decides unattributed rows' fate
+    * up front, not the operator silently.
+    *
+    * Shape: ONE data-scale exchange — range-repartition on (group, score DESC, tie)
+    * + in-partition sort, materialized once — then the [[interleaveBySource]]
+    * bounded-summary fold: pass 1 collects per-(partition, group) weight sums
+    * (driver state ≤ partitions × groups, `maxGroups` fails loud IN THE TASK),
+    * pass 2 streams each partition with per-group accumulators. Groups are mixture
+    * components (10s–1000s); a data-scale-distinct group key belongs to
+    * [[selectTopByBudget]] run per group, not here. Unlike the global form,
+    * partitions can't be skipped wholesale (several groups can meet inside one),
+    * but rows of already-exhausted groups drop with one map lookup each.
+    */
+  def selectTopByBudgetByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      weightCol: String, tieCol: String, budget: Long, outCol: String = "cum_weight",
+      maxGroups: Int = 100000): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    require(!df.columns.contains(outCol), s"input already has a '$outCol' column")
+    Seq("_sel_s", "_sel_w").foreach(r => require(!df.columns.contains(r),
+      s"input already has a $r column (reserved internal name)"))
+    val spark = df.sparkSession
+    val ranged = df
+      .withColumn("_sel_s", col(scoreCol).try_cast("double"))
+      .withColumn("_sel_w", col(weightCol).cast("long"))
+      .filter(col("_sel_s").between(-Double.MaxValue, Double.MaxValue))
+      .repartitionByRange(col(groupCol), col("_sel_s").desc, col(tieCol))
+      .sortWithinPartitions(col(groupCol), col("_sel_s").desc, col(tieCol))
+      .localCheckpoint(true)
+    val gIdx = ranged.columns.indexOf(groupCol)
+    require(gIdx >= 0, s"no column '$groupCol' in ${ranged.columns.mkString(",")}")
+    val wIdx = ranged.columns.indexOf("_sel_w")
+    val stats = ranged.select(col(groupCol), col("_sel_w"))
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        val m = scala.collection.mutable.HashMap.empty[Option[Any], Long]
+        it.foreach { r =>
+          val k = if (r.isNullAt(0)) None else Some(r.get(0))
+          val w = if (r.isNullAt(1)) 0L else r.getLong(1)
+          if (w < 0L) throw new IllegalArgumentException(
+            s"selectTopByBudgetByGroup: negative weight $w in partition $pid — " +
+              "token/byte counts must be non-negative")
+          m.update(k, m.getOrElse(k, 0L) + w)
+          if (m.size > maxGroups) throw new IllegalArgumentException(
+            s"selectTopByBudgetByGroup: partition $pid alone saw > $maxGroups distinct " +
+              "groups; this operator is for mixture-component granularity — " +
+              "bucket the group key first")
+        }
+        m.iterator.map { case (k, w) => (pid, k, w) }
+      }(Encoders.tuple(Encoders.scalaInt, Encoders.kryo[Option[Any]], Encoders.scalaLong))
+      .collect()
+    val nGroups = stats.map(_._2).distinct.length
+    require(nGroups <= maxGroups,
+      s"selectTopByBudgetByGroup saw $nGroups distinct groups (> maxGroups=$maxGroups)")
+    // Exclusive per-group offsets per partition (range partitioning ⇒ a group's rows
+    // are contiguous across partition ids, but the fold doesn't need that — only
+    // "weight of this group in partitions before pid").
+    val offsets: Map[Int, Map[Option[Any], Long]] = {
+      val acc = scala.collection.mutable.HashMap.empty[Option[Any], Long]
+      stats.groupBy(_._1).toSeq.sortBy(_._1).map { case (pid, rows) =>
+        val snapshot = acc.toMap
+        rows.foreach { case (_, k, w) => acc.update(k, acc.getOrElse(k, 0L) + w) }
+        pid -> snapshot
+      }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outSchema = ranged.schema.add(outCol, LongType, nullable = false)
+    ranged.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      val base = bc.value.getOrElse(pid, Map.empty[Option[Any], Long])
+      val local = scala.collection.mutable.HashMap.empty[Option[Any], Long]
+      it.flatMap { r =>
+        val k = if (r.isNullAt(gIdx)) None else Some(r.get(gIdx))
+        val acc = local.getOrElse(k, base.getOrElse(k, 0L))
+        if (acc > budget) None // group already exhausted: one lookup, no arithmetic
+        else {
+          val w = if (r.isNullAt(wIdx)) 0L else r.getLong(wIdx)
+          val cum = acc + w
+          local.update(k, cum)
+          if (cum > budget) None else Some(Row.fromSeq(r.toSeq :+ cum))
+        }
+      }
+    }(Encoders.row(outSchema))
+      .drop("_sel_s", "_sel_w")
+  }
+
   /** Round-robin source interleaving for the final training stream: adds `rankCol` =
     * the row's 1-based rank WITHIN its source (ascending `orderCol`), so ordering the
     * output by `(rankCol, sourceCol)` yields the canonical interleave — first row of

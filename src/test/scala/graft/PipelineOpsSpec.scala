@@ -236,6 +236,55 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Sharding.selectTopByBudget(df.filter(lit(false)), "q", "w", "id", 10L).count() == 0L)
   }
 
+  test("selectTopByBudgetByGroup: per-group naive-window parity, NULL-group quota, guards") {
+    import spark.implicits._
+    // 3 named groups + a NULL group, tied scores, weights 0..12.
+    val rows = (0 until 2000).map { i =>
+      (i.toLong, if (i % 4 == 3) None else Some(s"g${i % 4}"),
+        (i * 31 % 7).toDouble / 2, (i * i % 13).toLong)
+    }
+    val df = rows.toDF("id", "g", "q", "w").repartition(11)
+    val budget = 900L
+    val got = Sharding.selectTopByBudgetByGroup(df, "g", "q", "w", "id", budget, "cum")
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    // Naive per-group definition: inclusive cumulative in (q DESC, id) order per group.
+    val expect = rows.groupBy(_._2).values.flatMap { grp =>
+      grp.sortBy { case (id, _, q, _) => (-q, id) }
+        .scanLeft((-1L, 0L)) { case ((_, acc), (id, _, _, w)) => (id, acc + w) }.drop(1)
+        .takeWhile(_._2 <= budget)
+    }.toMap
+    assert(got == expect)
+    // Every group (incl. NULL) is represented and none exceeds its quota.
+    val byGroup = Sharding.selectTopByBudgetByGroup(df, "g", "q", "w", "id", budget, "cum")
+      .groupBy("g").agg(sum("w").as("t"), count(lit(1)).as("n")).collect()
+    assert(byGroup.length == 4)
+    byGroup.foreach(r => assert(r.getLong(1) <= budget, s"group ${r.get(0)} over quota"))
+    // Single constant group == the global operator.
+    val one = df.withColumn("g", lit("only"))
+    val viaGroup = Sharding.selectTopByBudgetByGroup(one, "g", "q", "w", "id", 3000L, "cum")
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    val global = Sharding.selectTopByBudget(df, "q", "w", "id", 3000L, "cum")
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(viaGroup == global)
+    // Guards: negative weight in-task, maxGroups, reserved/output names, bad budget.
+    val neg = Seq((1L, "a", 1.0, -5L)).toDF("id", "g", "q", "w")
+    val ex = intercept[Exception](
+      Sharding.selectTopByBudgetByGroup(neg, "g", "q", "w", "id", 10L).count())
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ causes(t.getCause)
+    assert(causes(ex).exists(_.contains("negative weight")))
+    val exG = intercept[Exception](
+      Sharding.selectTopByBudgetByGroup(df, "id", "q", "w", "id", 10L, maxGroups = 5).count())
+    assert(causes(exG).exists(_.contains("distinct groups")) ||
+      causes(exG).exists(_.contains("maxGroups")))
+    intercept[IllegalArgumentException](
+      Sharding.selectTopByBudgetByGroup(df, "g", "q", "w", "id", 0L))
+    intercept[IllegalArgumentException](
+      Sharding.selectTopByBudgetByGroup(df, "g", "q", "w", "id", 10L, "q"))
+    assert(Sharding.selectTopByBudgetByGroup(
+      df.filter(lit(false)), "g", "q", "w", "id", 10L).count() == 0L)
+  }
+
   test("withRunningTotal plan: no exchange and no window after the materialized range shuffle") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i, i.toLong)).toDF("k", "v")

@@ -94,7 +94,11 @@ object ScaleSweep {
     // hll_rollup is one map-side-combined sketch scan whose shuffle carries one
     // ~12 KiB sketch per (partition × group), invariant in row count.
     "budget_select_documents",
-    "hll_rollup_events")
+    "hll_rollup_events",
+    // per-source quotas: same fold, but exhaustion happens per group — at 10× docs
+    // every source fills its 500-token quota early and the tail drops with one
+    // map lookup per row; driver state stays partitions × 20 sources.
+    "budget_select_by_source_documents")
 
   /** Run the sweep against `src` on an existing session, returning
     * (name, smallSec, bigSec, ratio) per headliner plus the suite20 10× datapoint.
