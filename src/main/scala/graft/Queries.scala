@@ -828,6 +828,25 @@ object Queries {
       Some("""SELECT count(*) AS joined_rows, CAST(sum(o_custkey) AS BIGINT) AS sum_cust
              | FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin.replaceAll("\n", " "))),
 
+    // Bloom semi-join reduction: lineitem joined to the 5% slice of orders through
+    // the pre-shuffle might_contain filter — false positives are scrubbed by the
+    // exact join, so the result matches the plain join bit-for-bit (integer sums
+    // keep the compare order-independent).
+    QueryDef("bloom_join_lineitem_orders",
+      (s, d) => {
+        val sel = t(s, d, "orders").filter(col("o_orderkey") % 20 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        graft.operators.Joins.bloomReducedJoin(
+            t(s, d, "lineitem"), sel, Seq("l_orderkey" -> "o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+             | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             | WHERE o_orderkey % 20 = 0 GROUP BY 1""".stripMargin.replaceAll("\n", " "))),
+
     // CSV source end-to-end under the oracle gate (reference: sources/csv.rs): the
     // nation table round-trips through a header CSV with schema inference, then
     // aggregates; the oracle reads the original parquet.

@@ -235,4 +235,61 @@ object Joins {
       selfPairs = true)
       .select(col("_lk").as("key_a"), col("_rk").as("key_b"), col("edit_distance"))
   }
+
+  /** Semi-join reduction: equi-join `big` against `selective` with a Bloom filter of
+    * the selective side's keys pushed INTO the big side's scan, so non-matching big
+    * rows die before the shuffle instead of after it. When 1% of a 100 TB fact table
+    * matches ("orders of flagged customers", "docs of quarantined domains"), the
+    * shuffle moves ~1% + fpp of the data instead of all of it — the big win lives in
+    * the exchange, which the join itself cannot avoid.
+    *
+    * SOUND only for join types where unmatched big rows contribute NOTHING to the
+    * output (`inner`, `left_semi`, `left_anti` is NOT such a type — the filter would
+    * delete exactly the rows an anti-join exists to return; `left_outer` preserves
+    * unmatched big rows). False positives are fine: the real join still runs and is
+    * exact — the Bloom only thins its input.
+    *
+    * The filter is sized from the selective side's EXACT distinct key count (an
+    * undersized Bloom silently degrades to pass-everything) — that count plus the
+    * filter build are two passes over the (by assumption small) selective side,
+    * checkpointed once. Composite keys hash through one `xxhash64`. NULL keys on
+    * the big side are cut by an `IsNotNull` filter at the scan (they can never
+    * equi-join) — the same pushdown Spark's own runtime bloom join inserts.
+    */
+  def bloomReducedJoin(big: DataFrame, selective: DataFrame, keys: Seq[(String, String)],
+      fpp: Double = 0.01, joinType: String = "inner"): DataFrame = {
+    require(keys.nonEmpty, "bloomReducedJoin needs at least one key pair")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "leftsemi", "semi").contains(normalized),
+      s"bloomReducedJoin supports inner/left_semi only, got '$joinType' — any type that " +
+        "keeps unmatched big-side rows (outer/anti) would have them deleted by the filter")
+    val selKeys = selective
+      .filter(keys.map(k => col(k._2).isNotNull).reduce(_ && _))
+      .select(xxhash64(keys.map(k => col(k._2)): _*).as("_bjh"))
+      .distinct()
+      .localCheckpoint(true)
+    val n = selKeys.count()
+    val bigNotNull = big.filter(keys.map(k => col(k._1).isNotNull).reduce(_ && _))
+    val reduced =
+      if (n == 0L) bigNotNull.filter(lit(false)) // nothing can match; skip the build
+      else {
+        val bloom = selKeys.stat.bloomFilter("_bjh", n, fpp)
+        val bytes = {
+          val bos = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(bos)
+          bos.toByteArray
+        }
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+        import org.apache.spark.sql.GraftSqlBridge
+        import org.apache.spark.sql.types.BinaryType
+        bigNotNull.filter(GraftSqlBridge.column(BloomFilterMightContain(
+          Literal(bytes, BinaryType),
+          GraftSqlBridge.expression(xxhash64(keys.map(k => col(k._1)): _*)))))
+      }
+    val cond = keys.map { case (b, s) => reduced(b) === selective(s) }.reduce(_ && _)
+    val joined = reduced.join(selective, cond, joinType)
+    if (normalized == "inner") keys.map(_._2).foldLeft(joined)((df, s) => df.drop(selective(s)))
+    else joined
+  }
 }

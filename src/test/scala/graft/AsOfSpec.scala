@@ -230,6 +230,52 @@ class AsOfSpec extends SparkSpec {
     assert(causeChain(e2).contains("maxPairsPerVariant"), causeChain(e2))
   }
 
+  test("bloomReducedJoin == plain join (inner/semi, composite keys, NULLs); guards") {
+    import spark.implicits._
+    val big = (1 to 5000).map(i =>
+      (if (i % 97 == 0) None else Some((i % 400).toLong), s"cat${i % 7}", i))
+      .toDF("k", "c", "payload").repartition(7)
+    val sel = (1 to 60).map(i => (Some((i * 5).toLong), s"cat${i % 7}", s"tag$i"))
+      .toDF("sk", "sc", "tag")
+    val keys = Seq("k" -> "sk", "c" -> "sc")
+    // Inner: same rows as the plain join (selective key columns dropped like saltedJoin).
+    val viaBloom = graft.operators.Joins.bloomReducedJoin(big, sel, keys)
+      .select("k", "c", "payload", "tag").as[(Long, String, Int, String)].collect().sorted.toSeq
+    val plain = big.join(sel, big("k") === sel("sk") && big("c") === sel("sc"))
+      .select("k", "c", "payload", "tag").as[(Long, String, Int, String)].collect().sorted.toSeq
+    assert(viaBloom == plain && plain.nonEmpty)
+    // left_semi parity.
+    val semiB = graft.operators.Joins.bloomReducedJoin(big, sel, keys, joinType = "left_semi")
+      .select("payload").as[Int].collect().sorted.toSeq
+    val semiP = big.join(sel, big("k") === sel("sk") && big("c") === sel("sc"), "left_semi")
+      .select("payload").as[Int].collect().sorted.toSeq
+    assert(semiB == semiP)
+    // Empty selective side: empty output, no filter build.
+    assert(graft.operators.Joins.bloomReducedJoin(big, sel.filter(lit(false)), keys)
+      .count() == 0L)
+    // The plan carries might_contain on the BIG side's parquet scan, upstream of the
+    // join (LocalRelation inputs constant-fold the filter at planning — the pin must
+    // read from files, like every plan-shape test here).
+    val bigPq = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val selPq = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .filter(col("o_orderkey") % 50 === 0).select("o_orderkey")
+    val pqPlan = graft.operators.Joins.bloomReducedJoin(
+      bigPq, selPq, Seq("l_orderkey" -> "o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(pqPlan.contains("might_contain"), s"no bloom predicate in plan:\n$pqPlan")
+    val filterLine = pqPlan.split("\n").find(_.contains("might_contain"))
+    assert(filterLine.exists(_.contains("Filter")), s"bloom predicate not a Filter:\n$pqPlan")
+    // Unsound join types fail fast.
+    intercept[IllegalArgumentException](
+      graft.operators.Joins.bloomReducedJoin(big, sel, keys, joinType = "left_outer"))
+    intercept[IllegalArgumentException](
+      graft.operators.Joins.bloomReducedJoin(big, sel, keys, joinType = "left_anti"))
+    intercept[IllegalArgumentException](
+      graft.operators.Joins.bloomReducedJoin(big, sel, keys, fpp = 0.0))
+    intercept[IllegalArgumentException](
+      graft.operators.Joins.bloomReducedJoin(big, sel, Seq.empty))
+  }
+
   test("editDistanceJoin plan: no cartesian/nested-loop; variant strings never shuffle") {
     val a = (1 to 50).map(i => (i.toLong, s"name$i")).toDF("aid", "ak")
     val b = (1 to 50).map(i => (i.toLong, s"name$i")).toDF("bid", "bk")

@@ -99,6 +99,9 @@ object ScaleSweep {
     // every source fills its 500-token quota early and the tail drops with one
     // map lookup per row; driver state stays partitions × 20 sources.
     "budget_select_by_source_documents")
+  // bloom_join_lineitem_orders is NOT sweepable here: the synthetic 10× dir holds
+  // only documents/embeddings/events (lineitem 10× is built separately for the
+  // suite20 datapoint); its scale story is the spec-pinned pre-shuffle filter.
 
   /** Run the sweep against `src` on an existing session, returning
     * (name, smallSec, bigSec, ratio) per headliner plus the suite20 10× datapoint.
