@@ -2102,6 +2102,44 @@ object Queries {
          | WHERE e.q IS NOT NULL""".stripMargin.replaceAll("\n", " ")
     }),
 
+    // Equi-depth PSI on events.value between the even/odd user halves: decile edges
+    // from the EVEN half's exact quantiles (quantile_cont parity), interior-edge
+    // fold bucketing on both sides (NaN bin -1, NULL its own category), then the
+    // PSI formula over bin counts — all three pieces individually proven, composed.
+    QueryDef("psi_equidepth_events", {
+      val b = 10
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events")
+        graft.operators.Drift.psiEquiDepth(
+            ev.filter(col("user_id") % 2 === 0), ev.filter(col("user_id") % 2 === 1),
+            "value", b)
+          .select(round(col("psi"), 6).as("psi"), col("n_categories"))
+      }
+    }, Some {
+      val b = 10
+      val probes = (0 to b).map(i => s"${i.toDouble / b}").mkString(", ")
+      val fold = (1 until b)
+        .map(i => s"CASE WHEN x > q[${i + 1}] THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH rv AS (SELECT CAST(value AS DOUBLE) AS x FROM events WHERE user_id % 2 = 0),
+         | cv AS (SELECT CAST(value AS DOUBLE) AS x FROM events WHERE user_id % 2 = 1),
+         | fin AS (SELECT x FROM rv WHERE x IS NOT NULL AND NOT isnan(x) AND isfinite(x)),
+         | e AS (SELECT quantile_cont(x, [$probes]) AS q FROM fin),
+         | rb AS (SELECT CASE WHEN x IS NULL THEN NULL WHEN isnan(x) THEN -1
+         |   ELSE least($fold, ${b - 1}) END AS bin FROM rv, e WHERE q IS NOT NULL),
+         | cb AS (SELECT CASE WHEN x IS NULL THEN NULL WHEN isnan(x) THEN -1
+         |   ELSE least($fold, ${b - 1}) END AS bin FROM cv, e WHERE q IS NOT NULL),
+         | r AS (SELECT bin, count(*) AS n FROM rb GROUP BY 1),
+         | c AS (SELECT bin, count(*) AS n FROM cb GROUP BY 1),
+         | j AS (SELECT coalesce(r.n, 0) AS nr, coalesce(c.n, 0) AS nc FROM r FULL JOIN c ON r.bin IS NOT DISTINCT FROM c.bin),
+         | t AS (SELECT sum(nr) AS tr, sum(nc) AS tc FROM j),
+         | p AS (SELECT CASE WHEN tr > 0 THEN greatest(CAST(nr AS DOUBLE) / tr, 1e-6) END AS pr,
+         |   CASE WHEN tc > 0 THEN greatest(CAST(nc AS DOUBLE) / tc, 1e-6) END AS pc FROM j, t)
+         | SELECT CASE WHEN (SELECT count(*) FROM fin) = 0 THEN NULL
+         |   ELSE round(sum((pr - pc) * ln(pr / pc)), 6) END AS psi,
+         | CASE WHEN (SELECT count(*) FROM fin) = 0 THEN 0
+         |   ELSE count(*) END AS n_categories FROM p""".stripMargin.replaceAll("\n", " ")
+    }),
+
     // Exact ECDF (percentile-rank) normalization of events.value, rolled up per
     // event_type: score calibration via the distributed boundary-fold rank (NOT a
     // single-task global window). DuckDB replays it with a literal cume_dist over

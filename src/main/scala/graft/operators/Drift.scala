@@ -343,6 +343,54 @@ object Drift {
     psi(bucket(ref), bucket(cur), "_bin", epsilon)
   }
 
+  /** [[psiNumeric]] with EQUI-DEPTH bins: edges are the REFERENCE side's exact
+    * quantiles (the standard monitoring practice — decile bins of the baseline),
+    * so every bin starts at ~1/buckets of the reference mass and the statistic is
+    * scale-free: no lo/hi to guess, outliers can't stretch a fixed width until the
+    * interesting bins collapse into one. `psi ≈ 0` then means "the current data
+    * fills the reference's deciles evenly"; drift concentrates in exactly the
+    * deciles that moved. Bucketing mirrors [[Metrics.equiDepthHistogram]]'s
+    * interior-edge fold (values past either end land in the edge bins, registering
+    * new outliers as edge drift); NULL stays its own category and NaN gets the
+    * dedicated -1 bin, as in [[psiNumeric]]. A reference with no finite values has
+    * no quantiles to bin by — NULL psi, same convention as an empty side.
+    *
+    * Shape: the edge pass is the sketch+bracket exact-quantile operator over the
+    * reference (bounded scans, bounded driver state); both sides then bucket
+    * row-locally (the edges are literals folded into the projection) and the PSI
+    * runs over category counts — nothing data-scale shuffles.
+    */
+  def psiEquiDepth(ref: DataFrame, cur: DataFrame, colName: String,
+      buckets: Int = 10, epsilon: Double = 1e-6): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val refClean = ref
+      .select(col(colName).try_cast("double").as("_v"))
+      .filter(col("_v").between(-Double.MaxValue, Double.MaxValue))
+    val qs = (0 to buckets).map(_.toDouble / buckets)
+    graft.operators.Quantiles.exactQuantiles(refClean, "_v", qs) match {
+      case None =>
+        // No reference distribution: NULL psi over zero categories, the empty-side
+        // convention — fabricated bins would report "no drift" about nothing.
+        ref.sparkSession.range(1)
+          .select(lit(null).cast("double").as("psi"), lit(0L).as("n_categories"))
+      case Some(edges) =>
+        val interior = edges.slice(1, buckets)
+        def bucket(df: DataFrame) = {
+          val x = col(colName).try_cast("double")
+          val fold = interior.foldLeft(lit(0L))((acc, e) =>
+            acc + when(x > e, 1L).otherwise(0L))
+          // Uncastable values (try_cast NULL on a non-NULL original) join the NULL
+          // category — numerically missing; letting them fall through would score
+          // them as bin 0 and fake low-end drift.
+          df.withColumn("_bin",
+            when(col(colName).isNull || x.isNull, lit(null))
+              .when(isnan(x), lit(-1L))
+              .otherwise(least(fold, lit((buckets - 1).toLong))))
+        }
+        psi(bucket(ref), bucket(cur), "_bin", epsilon)
+    }
+  }
+
   /** Vocabulary novelty of a current corpus against a reference: how much of the
     * new text is built from token TYPES the reference never saw — the
     * tokenizer-OOV / topic-shift planning number that PSI-over-categories can't

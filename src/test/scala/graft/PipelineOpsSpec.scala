@@ -525,6 +525,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(n.getLong(0) == 1L && n.getDouble(3) == 0.0)
   }
 
+  test("psiEquiDepth: zero on self, decile-shift detection, hostile classes, empty ref") {
+    import spark.implicits._
+    val ref = (1 to 1000).map(_.toDouble).toDF("x")
+    // Identical sides: every decile holds identical counts -> psi exactly 0.
+    val self = Drift.psiEquiDepth(ref, ref, "x").head()
+    assert(self.getDouble(0) == 0.0 && self.getLong(1) == 10L)
+    // All current mass in the reference's top decile: big psi, same 10 categories.
+    val top = (1 to 1000).map(_ => 950.0).toDF("x")
+    val shifted = Drift.psiEquiDepth(ref, top, "x").head().getDouble(0)
+    assert(shifted > 1.0, s"psi $shifted should flag a total concentration")
+    // Outlier robustness — the equi-depth edge: one 1e12 outlier in cur lands in the
+    // top EDGE bin instead of stretching fixed-width bins until all data shares one.
+    val out = Drift.psiEquiDepth(ref, ref.union(Seq(1.0e12).toDF("x")), "x").head()
+    assert(out.getDouble(0) < 0.01 && out.getLong(1) == 10L)
+    // NULL / NaN / uncastable classes: NaN gets bin -1, NULL and uncastable share
+    // the NULL category -> 12 categories when all present.
+    val hostile = Seq(Some("5.0"), None, Some("NaN"), Some("not-a-number")).toDF("x")
+    val h = Drift.psiEquiDepth(ref.select(col("x").cast("string")), hostile, "x").head()
+    assert(h.getLong(1) == 12L, s"expected 10 value bins + NaN + NULL, got ${h.getLong(1)}")
+    // Empty / all-hostile reference: NULL psi over zero categories.
+    val e = Drift.psiEquiDepth(ref.filter(lit(false)), ref, "x").head()
+    assert(e.isNullAt(0) && e.getLong(1) == 0L)
+    val nanRef = Seq(Double.NaN).toDF("x")
+    val e2 = Drift.psiEquiDepth(nanRef, ref, "x").head()
+    assert(e2.isNullAt(0) && e2.getLong(1) == 0L)
+    intercept[IllegalArgumentException](Drift.psiEquiDepth(ref, ref, "x", buckets = 0))
+  }
+
   test("psiNumeric: clamped fixed-width bins catch a mean shift") {
     import spark.implicits._
     val ref = (1 to 1000).map(_ % 100).map(_.toDouble).toDF("x")

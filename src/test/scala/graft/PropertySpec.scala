@@ -518,6 +518,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("theta set algebra matches exact set arithmetic on random sets (exact mode)") {
+    import spark.implicits._
+    import graft.functions.SketchFunctions._
+    import org.apache.spark.sql.functions.{col, when}
+    val rng = new scala.util.Random(41)
+    (1 to 5).foreach { trial =>
+      // Random subsets of a 3000-element universe: well under 2^14, so every
+      // estimate must EQUAL the exact set arithmetic — a property, not a tolerance.
+      val a = (0 until 3000).filter(_ => rng.nextDouble() < 0.4).map(i => s"e$i").toSet
+      val b = (0 until 3000).filter(_ => rng.nextDouble() < 0.3).map(i => s"e$i").toSet
+      val df = (a.toSeq.map((_, true)) ++ b.toSeq.map((_, false))).toDF("v", "ina")
+        .repartition(1 + trial)
+      val r = df.agg(
+          thetaSketch(when(col("ina"), col("v"))).as("ska"),
+          thetaSketch(when(!col("ina"), col("v"))).as("skb"))
+        .select(
+          thetaEstimate(col("ska")), thetaEstimate(col("skb")),
+          thetaIntersectionEstimate(col("ska"), col("skb")),
+          thetaUnionEstimate(col("ska"), col("skb")),
+          thetaDifferenceEstimate(col("ska"), col("skb")),
+          thetaIntersectionEstimate(col("skb"), col("ska")),
+          thetaUnionEstimate(col("skb"), col("ska"))).head()
+      assert(r.getDouble(0) == a.size.toDouble && r.getDouble(1) == b.size.toDouble)
+      assert(r.getDouble(2) == (a & b).size.toDouble, s"trial $trial intersection")
+      assert(r.getDouble(3) == (a | b).size.toDouble, s"trial $trial union")
+      assert(r.getDouble(4) == (a -- b).size.toDouble, s"trial $trial difference")
+      // Commutativity of the symmetric ops.
+      assert(r.getDouble(5) == r.getDouble(2) && r.getDouble(6) == r.getDouble(3))
+    }
+  }
+
   test("empty input: aggregate constraints skip, size succeeds at zero") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Option[Double])].toDF("id", "v")

@@ -98,7 +98,10 @@ object ScaleSweep {
     // per-source quotas: same fold, but exhaustion happens per group — at 10× docs
     // every source fills its 500-token quota early and the tail drops with one
     // map lookup per row; driver state stays partitions × 20 sources.
-    "budget_select_by_source_documents")
+    "budget_select_by_source_documents",
+    // equi-depth PSI: the sketch+bracket quantile pass over the 10× reference half
+    // plus two counting scans — all bounded-shuffle; bucketing is row-local.
+    "psi_equidepth_events")
   // bloom_join_lineitem_orders is NOT sweepable here: the synthetic 10× dir holds
   // only documents/embeddings/events (lineitem 10× is built separately for the
   // suite20 datapoint); its scale story is the spec-pinned pre-shuffle filter.
