@@ -166,6 +166,32 @@ object StreamingAnalysis {
         when(secs > 0, col("tokens").cast("double") / secs))
   }
 
+  /** Per-window approximate distinct cardinality over a stream: tumbling-window HLL
+    * sketches of `keyCol` — the "distinct users per hour" monitor whose collapse
+    * (with steady event volume) means an upstream started reusing ids, and whose
+    * spike means an id-generation bug. Emits both the estimate AND the sketch
+    * bytes, so persisted window rows merge into day/month cardinalities later via
+    * [[graft.Metrics.mergeSketches]] with NO replay of the stream — the streaming
+    * producer of the store-and-merge sketch surface.
+    *
+    * State is one ~12 KiB sketch per open window (watermark-bounded), and the
+    * aggregation is the same partial-merge `hll_sketch_agg` as the batch rollup —
+    * distinct counting without a per-key state row, which an exact streaming
+    * `approx_count_distinct` alternative would need. NULL keys contribute nothing;
+    * an all-NULL window emits estimate 0 with its (empty) sketch.
+    */
+  def windowedCardinality(stream: DataFrame, tsCol: String, keyCol: String,
+      windowDuration: String, watermarkDelay: String, lgK: Int = 14): DataFrame = {
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4,21], got $lgK")
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration).as("_w"))
+      .agg(hll_sketch_agg(col(keyCol), lit(lgK)).as("hll_sketch"))
+      .select(col("_w.start").as("window_start"), col("_w.end").as("window_end"),
+        coalesce(hll_sketch_estimate(col("hll_sketch")), lit(0L)).as("approx_distinct"),
+        col("hll_sketch"))
+  }
+
   /** Streaming EXACT dedup with bounded state: one row per key, duplicates dropped
     * across micro-batches. With `watermark = Some(tsCol -> delay)` the state store only
     * remembers keys until the watermark passes them (`dropDuplicatesWithinWatermark`) —

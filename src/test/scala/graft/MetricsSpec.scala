@@ -417,6 +417,40 @@ class MetricsSpec extends SparkSpec {
     intercept[Exception](Seq(1.0).toDF("v").agg(thetaSketch(col("v"))).head())
   }
 
+  test("sketch columns survive a parquet round-trip: store per-day, merge months later") {
+    import graft.functions.SketchFunctions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sketch_store").toString
+    // Three "days" of events, overlapping users; persist ONE sketch row per day.
+    val days = Seq(
+      ("d1", (1 to 400).map(_.toLong)),
+      ("d2", (201 to 600).map(_.toLong)),
+      ("d3", (401 to 900).map(_.toLong)))
+    val daily = days.map { case (day, users) =>
+      users.map((day, _)).toDF("day", "u")
+        .groupBy("day")
+        .agg(hll_sketch_agg(col("u"), lit(14)).as("hll_sketch"),
+          thetaSketch(col("u")).as("theta_sketch"))
+    }.reduce(_ unionByName _)
+    daily.write.mode("overwrite").parquet(dir)
+    // A later session reads the BINARIES back — no access to the original events.
+    val stored = spark.read.parquet(dir)
+    assert(stored.count() == 3L)
+    // HLL: month = union of stored sketches == distinct over all days (exact at n=900).
+    val merged = Metrics.mergeSketches(stored.select("hll_sketch")).head().getLong(0)
+    assert(merged == 900L)
+    // Theta: set algebra across STORED day sketches — d1∩d2, d1∪d3, d2\d3 all exact.
+    val byDay = stored.select("day", "theta_sketch").as[(String, Array[Byte])]
+      .collect().toMap
+    val d1 = lit(byDay("d1")); val d2 = lit(byDay("d2")); val d3 = lit(byDay("d3"))
+    val r = spark.range(1).select(
+      thetaIntersectionEstimate(d1, d2), thetaUnionEstimate(d1, d3),
+      thetaDifferenceEstimate(d2, d3)).head()
+    assert(r.getDouble(0) == 200.0) // 201..400
+    assert(r.getDouble(1) == 900.0) // 1..900
+    assert(r.getDouble(2) == 200.0) // 201..400 (d2 minus 401..600)
+  }
+
   test("winsorizeStats: interpolated bounds, tail counts, clipped mean, hostile/empty classes") {
     import spark.implicits._
     // 1..100: q05 = 5 + 0.95 = 5.95, q95 = 95 + 0.05 = 95.05 ((n-1)p interpolation);

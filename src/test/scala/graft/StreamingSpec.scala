@@ -137,6 +137,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed cardinality: per-window HLL estimates, sketches merge across windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Option[Long])]
+    val stream = StreamingAnalysis.windowedCardinality(
+      input.toDF().toDF("ts", "uid"), "ts", "uid", "10 minutes", "1 minute")
+    val q = stream.writeStream.format("memory").queryName("wc").outputMode("append").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      // Window 1: users 1,2,3 (3 distinct, with a repeat and a NULL).
+      input.addData((ts(1), Some(1L)), (ts(2), Some(2L)), (ts(3), Some(2L)),
+        (ts(4), Some(3L)), (ts(5), None))
+      q.processAllAvailable()
+      // Window 2: users 3,4 (overlap with window 1).
+      input.addData((ts(12), Some(3L)), (ts(13), Some(4L)))
+      q.processAllAvailable()
+      input.addData((ts(45), Some(9L))) // push the watermark past both windows
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT approx_distinct FROM wc ORDER BY window_start").collect().map(_.getLong(0))
+      assert(rows.take(2).toSeq == Seq(3L, 2L), s"got ${rows.toSeq}") // exact at tiny n
+      // The persisted window sketches merge to the CLOSED windows' total distinct —
+      // users {1,2,3} ∪ {3,4} (the 10:40 window stays open in append mode).
+      val merged = graft.Metrics.mergeSketches(
+        spark.sql("SELECT hll_sketch FROM wc")).head().getLong(0)
+      assert(merged == 4L)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops duplicate keys across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
