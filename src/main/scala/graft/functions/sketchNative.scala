@@ -46,7 +46,13 @@ object ThetaKernel {
   }
 
   def unionEstimate(a: Array[Byte], b: Array[Byte]): Double = {
-    val u = SetOperation.builder().buildUnion()
+    // Max nominal entries (2^26): the default builder (lgK 12) would DOWNSAMPLE the
+    // union below the inputs' own resolution — two exact-mode lgK-14 sketches with a
+    // 12k-value union would come back approximate, breaking the "exact below 2^lgK"
+    // contract. The union's retained entries stay bounded by the inputs' (≤ 2^lgK
+    // each), so the high cap costs nothing; intersection/AnotB results are bounded
+    // by their inputs and need no cap.
+    val u = SetOperation.builder().setLogNominalEntries(26).buildUnion()
     u.union(wrap(a))
     u.union(wrap(b))
     u.getResult.getEstimate
@@ -62,6 +68,12 @@ object ThetaKernel {
   * sketch (non-NULL bytes, estimate exactly 0) — mirroring Spark's own
   * `hll_sketch_agg`. Strings hash by UTF-8 bytes, integrals by their 64-bit value,
   * binaries by content.
+  *
+  * One documented divergence from `count_distinct`: EMPTY strings/binaries are
+  * ignored too — DataSketches' update of an empty byte array is a no-op by the
+  * library's own cross-binding convention, and re-encoding them here would break
+  * the standard sketch-bytes interop this aggregate promises. A corpus where the
+  * empty string is a meaningful distinct value counts one fewer (spec-pinned).
   */
 case class ThetaSketchAgg(
     child: Expression,
@@ -143,7 +155,12 @@ case class ThetaEstimate(child: Expression) extends UnaryExpression {
   */
 case class ThetaSetEstimate(left: Expression, right: Expression, op: String)
     extends BinaryExpression {
-  require(ThetaSetEstimate.ops.contains(op), s"unknown theta set op '$op'")
+  // ONE op→kernel resolution drives BOTH eval paths: the interpreted call and the
+  // generated code invoke the same ThetaKernel method by the same name, so a new
+  // op added to this table cannot drift between the two.
+  private val kernelFn: (String, (Array[Byte], Array[Byte]) => Double) =
+    ThetaSetEstimate.kernels.getOrElse(op,
+      throw new IllegalArgumentException(s"unknown theta set op '$op'"))
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
@@ -152,27 +169,22 @@ case class ThetaSetEstimate(left: Expression, right: Expression, op: String)
     }
   override def dataType: DataType = DoubleType
   override def prettyName: String = s"theta_${op}_estimate"
-  private def kernel: String = op match {
-    case "intersection" => "intersectionEstimate"
-    case "union" => "unionEstimate"
-    case "difference" => "differenceEstimate"
-  }
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val (x, y) = (a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
-    op match {
-      case "intersection" => ThetaKernel.intersectionEstimate(x, y)
-      case "union" => ThetaKernel.unionEstimate(x, y)
-      case "difference" => ThetaKernel.differenceEstimate(x, y)
-    }
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    kernelFn._2(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ThetaKernel.$kernel($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ThetaKernel.${kernelFn._1}($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ThetaSetEstimate =
     copy(left = l, right = r)
 }
 
 object ThetaSetEstimate {
-  val ops: Set[String] = Set("intersection", "union", "difference")
+  /** op → (ThetaKernel method name, the method itself) — the single source of truth
+    * for interpreted AND generated evaluation. */
+  val kernels: Map[String, (String, (Array[Byte], Array[Byte]) => Double)] = Map(
+    "intersection" -> (("intersectionEstimate", ThetaKernel.intersectionEstimate _)),
+    "union" -> (("unionEstimate", ThetaKernel.unionEstimate _)),
+    "difference" -> (("differenceEstimate", ThetaKernel.differenceEstimate _)))
+  val ops: Set[String] = kernels.keySet
 }
 
 /** User-facing Column API for the theta family. */

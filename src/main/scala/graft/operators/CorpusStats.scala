@@ -225,16 +225,22 @@ object CorpusStats {
     require(n <= maxSources,
       s"sourceVocabOverlapSketch saw $n distinct sources (> maxSources=$maxSources); " +
         "this operator is for mixture-component granularity — bucket the source key first")
-    val a = sk.select(col("_src").as("source_a"), col("_sk").as("_ska"))
-    val b = sk.select(col("_src").as("source_b"), col("_sk").as("_skb"))
-    val inter = thetaIntersectionEstimate(col("_ska"), col("_skb"))
-    val uni = thetaUnionEstimate(col("_ska"), col("_skb"))
+    // Per-source estimates are computed ONCE per source row (heapifying a ~100 KiB
+    // binary per call), BEFORE the sources² pairing; the pairwise stage then
+    // evaluates intersection/union once each per pair and derives the jaccard from
+    // those columns — not re-evaluating the set ops inside the division.
+    val est = sk.withColumn("_est", thetaEstimate(col("_sk")))
+    val a = est.select(col("_src").as("source_a"), col("_sk").as("_ska"),
+      col("_est").as("distinct_a"))
+    val b = est.select(col("_src").as("source_b"), col("_sk").as("_skb"),
+      col("_est").as("distinct_b"))
     a.join(b, col("source_a") < col("source_b"))
-      .select(col("source_a"), col("source_b"),
-        thetaEstimate(col("_ska")).as("distinct_a"),
-        thetaEstimate(col("_skb")).as("distinct_b"),
-        inter.as("shared_est"),
-        when(uni > 0.0, inter / uni).as("vocab_jaccard_est"))
+      .select(col("source_a"), col("source_b"), col("distinct_a"), col("distinct_b"),
+        thetaIntersectionEstimate(col("_ska"), col("_skb")).as("shared_est"),
+        thetaUnionEstimate(col("_ska"), col("_skb")).as("_uni"))
+      .withColumn("vocab_jaccard_est",
+        when(col("_uni") > 0.0, col("shared_est") / col("_uni")))
+      .drop("_uni")
   }
 
   /** Zipf-law fit over the top-`topK` vocabulary: the OLS slope of `ln(freq)` on

@@ -264,6 +264,16 @@ object Joins {
     require(Set("inner", "leftsemi", "semi").contains(normalized),
       s"bloomReducedJoin supports inner/left_semi only, got '$joinType' — any type that " +
         "keeps unmatched big-side rows (outer/anti) would have them deleted by the filter")
+    // The Bloom bits are built from xxhash64 of the key values, and xxhash64 hashes
+    // BY TYPE (hashInt(1) != hashLong(1L)). A type-coerced equi-join (int vs bigint)
+    // would still MATCH in the join but almost never pass the filter — silently
+    // deleting ~(1-fpp) of the true result. Fail loud instead; cast explicitly first.
+    keys.foreach { case (b, s) =>
+      require(big.schema(b).dataType == selective.schema(s).dataType,
+        s"bloomReducedJoin key types must match exactly ($b: ${big.schema(b).dataType} vs " +
+          s"$s: ${selective.schema(s).dataType}) — xxhash64 hashes by type, so a coerced " +
+          "join would pass while the Bloom filter rejects true matches; cast explicitly first")
+    }
     val selKeys = selective
       .filter(keys.map(k => col(k._2).isNotNull).reduce(_ && _))
       .select(xxhash64(keys.map(k => col(k._2)): _*).as("_bjh"))

@@ -24,6 +24,72 @@ import org.apache.spark.sql.types.LongType
   */
 object Sharding {
 
+  /** Weights are token/byte COUNTS by contract: an integral column, enforced. A
+    * double weight would silently truncate (2.9 → 2 tokens), and a fractional
+    * negative in (-1, 0) would truncate to 0 and slip past the fail-loud
+    * negative-weight guard — cast deliberately at the call site if a non-integral
+    * weight is really intended.
+    */
+  private def requireIntegralWeight(df: DataFrame, weightCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val t = df.schema(weightCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+      s"$op: weight column '$weightCol' must be integral (a count), got $t — " +
+        "cast explicitly first if truncation is really intended")
+  }
+
+  /** Driver-side group key for the bounded-summary folds: Row.get hands back
+    * BinaryType as `Array[Byte]`, which only has REFERENCE equality — hashing it
+    * raw would make every row its own "group" (spuriously tripping maxGroups, and
+    * silently resetting per-group accumulators). Wrap byte arrays in an ArraySeq
+    * (content equality); everything else external-typed compares by value already.
+    */
+  private def groupKeyOf(r: Row, idx: Int): Option[Any] =
+    if (r.isNullAt(idx)) None
+    else r.get(idx) match {
+      case b: Array[Byte] => Some(scala.collection.immutable.ArraySeq.unsafeWrapArray(b))
+      case v => Some(v)
+    }
+
+  /** Pass 1 of the per-group fold shared by [[interleaveBySource]] (weight 1 per
+    * row = ranks) and [[selectTopByBudgetByGroup]] (real weights): one summed
+    * weight per (partition, group). The cardinality guard fires IN THE TASK — any
+    * single partition over `maxGroups` kills the job there, before its stats rows
+    * can OOM the driver; the exact global check runs on the collected result.
+    * Negative weights fail loud (both callers' weights are counts by contract).
+    */
+  private def perPartitionGroupSums(grouped: DataFrame, maxGroups: Int,
+      opName: String): Array[(Int, Option[Any], Long)] =
+    grouped.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      val m = scala.collection.mutable.HashMap.empty[Option[Any], Long]
+      it.foreach { r =>
+        val k = groupKeyOf(r, 0)
+        val w = if (r.isNullAt(1)) 0L else r.getLong(1)
+        if (w < 0L) throw new IllegalArgumentException(
+          s"$opName: negative weight $w in partition $pid — counts must be non-negative")
+        m.update(k, m.getOrElse(k, 0L) + w)
+        if (m.size > maxGroups) throw new IllegalArgumentException(
+          s"$opName: partition $pid alone saw > $maxGroups distinct groups; this " +
+            "operator is for mixture-component granularity — bucket the group key first")
+      }
+      m.iterator.map { case (k, w) => (pid, k, w) }
+    }(Encoders.tuple(Encoders.scalaInt, Encoders.kryo[Option[Any]], Encoders.scalaLong))
+      .collect()
+
+  /** Exclusive per-group prefix offsets per partition: weight of group g in
+    * partitions before pid. Driver state ≤ partitions × groups.
+    */
+  private def exclusiveGroupOffsets(
+      stats: Array[(Int, Option[Any], Long)]): Map[Int, Map[Option[Any], Long]] = {
+    val acc = scala.collection.mutable.HashMap.empty[Option[Any], Long]
+    stats.groupBy(_._1).toSeq.sortBy(_._1).map { case (pid, rows) =>
+      val snapshot = acc.toMap
+      rows.foreach { case (_, k, w) => acc.update(k, acc.getOrElse(k, 0L) + w) }
+      pid -> snapshot
+    }.toMap
+  }
+
   /** `df` plus `outCol` = the INCLUSIVE running total of `valueCol` in ascending
     * `orderCol` order, accumulated as BIGINT.
     *
@@ -171,6 +237,7 @@ object Sharding {
     require(!df.columns.contains(outCol), s"input already has a '$outCol' column")
     Seq("_sel_s", "_sel_w").foreach(r => require(!df.columns.contains(r),
       s"input already has a $r column (reserved internal name)"))
+    requireIntegralWeight(df, weightCol, "selectTopByBudget")
     val spark = df.sparkSession
     val ranged = df
       .withColumn("_sel_s", col(scoreCol).try_cast("double"))
@@ -251,6 +318,7 @@ object Sharding {
     require(!df.columns.contains(outCol), s"input already has a '$outCol' column")
     Seq("_sel_s", "_sel_w").foreach(r => require(!df.columns.contains(r),
       s"input already has a $r column (reserved internal name)"))
+    requireIntegralWeight(df, weightCol, "selectTopByBudgetByGroup")
     val spark = df.sparkSession
     val ranged = df
       .withColumn("_sel_s", col(scoreCol).try_cast("double"))
@@ -262,47 +330,22 @@ object Sharding {
     val gIdx = ranged.columns.indexOf(groupCol)
     require(gIdx >= 0, s"no column '$groupCol' in ${ranged.columns.mkString(",")}")
     val wIdx = ranged.columns.indexOf("_sel_w")
-    val stats = ranged.select(col(groupCol), col("_sel_w"))
-      .mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
-        val m = scala.collection.mutable.HashMap.empty[Option[Any], Long]
-        it.foreach { r =>
-          val k = if (r.isNullAt(0)) None else Some(r.get(0))
-          val w = if (r.isNullAt(1)) 0L else r.getLong(1)
-          if (w < 0L) throw new IllegalArgumentException(
-            s"selectTopByBudgetByGroup: negative weight $w in partition $pid — " +
-              "token/byte counts must be non-negative")
-          m.update(k, m.getOrElse(k, 0L) + w)
-          if (m.size > maxGroups) throw new IllegalArgumentException(
-            s"selectTopByBudgetByGroup: partition $pid alone saw > $maxGroups distinct " +
-              "groups; this operator is for mixture-component granularity — " +
-              "bucket the group key first")
-        }
-        m.iterator.map { case (k, w) => (pid, k, w) }
-      }(Encoders.tuple(Encoders.scalaInt, Encoders.kryo[Option[Any]], Encoders.scalaLong))
-      .collect()
+    val stats = perPartitionGroupSums(ranged.select(col(groupCol), col("_sel_w")),
+      maxGroups, "selectTopByBudgetByGroup")
     val nGroups = stats.map(_._2).distinct.length
     require(nGroups <= maxGroups,
       s"selectTopByBudgetByGroup saw $nGroups distinct groups (> maxGroups=$maxGroups)")
     // Exclusive per-group offsets per partition (range partitioning ⇒ a group's rows
     // are contiguous across partition ids, but the fold doesn't need that — only
     // "weight of this group in partitions before pid").
-    val offsets: Map[Int, Map[Option[Any], Long]] = {
-      val acc = scala.collection.mutable.HashMap.empty[Option[Any], Long]
-      stats.groupBy(_._1).toSeq.sortBy(_._1).map { case (pid, rows) =>
-        val snapshot = acc.toMap
-        rows.foreach { case (_, k, w) => acc.update(k, acc.getOrElse(k, 0L) + w) }
-        pid -> snapshot
-      }.toMap
-    }
-    val bc = spark.sparkContext.broadcast(offsets)
+    val bc = spark.sparkContext.broadcast(exclusiveGroupOffsets(stats))
     val outSchema = ranged.schema.add(outCol, LongType, nullable = false)
     ranged.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       val base = bc.value.getOrElse(pid, Map.empty[Option[Any], Long])
       val local = scala.collection.mutable.HashMap.empty[Option[Any], Long]
       it.flatMap { r =>
-        val k = if (r.isNullAt(gIdx)) None else Some(r.get(gIdx))
+        val k = groupKeyOf(r, gIdx)
         val acc = local.getOrElse(k, base.getOrElse(k, 0L))
         if (acc > budget) None // group already exhausted: one lookup, no arithmetic
         else {
@@ -348,51 +391,23 @@ object Sharding {
       .localCheckpoint(true)
     val srcIdx = ranged.columns.indexOf(sourceCol)
     require(srcIdx >= 0, s"no column '$sourceCol' in ${ranged.columns.mkString(",")}")
-    // Pass 1: per-(partition, source) counts — one row per pair, bounded by
-    // partitions × sources, never by data. The cardinality guard fires IN THE TASK
-    // (any single partition over maxSources kills the job there): guarding only
-    // after collect() would let a runaway key (doc_id passed as sourceCol) OOM the
-    // driver with the very stats rows the guard exists to bound. Driver state is
-    // then ≤ partitions × maxSources rows; the exact global check still runs below.
-    val stats = ranged.select(col(sourceCol))
-      .mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
-        val m = scala.collection.mutable.HashMap.empty[Option[Any], Long]
-        it.foreach { r =>
-          val k = if (r.isNullAt(0)) None else Some(r.get(0))
-          m.update(k, m.getOrElse(k, 0L) + 1L)
-          if (m.size > maxSources)
-            throw new IllegalArgumentException(
-              s"interleaveBySource: partition $pid alone saw > $maxSources distinct " +
-                "sources; this operator is for mixture-component granularity — " +
-                "bucket the source key first")
-        }
-        m.iterator.map { case (k, n) => (pid, k, n) }
-      }(Encoders.tuple(Encoders.scalaInt,
-        Encoders.kryo[Option[Any]], Encoders.scalaLong))
-      .collect()
+    // Pass 1: per-(partition, source) ROW counts — the shared bounded-summary fold
+    // with weight 1 per row (see [[perPartitionGroupSums]] for the in-task guard
+    // rationale); driver state ≤ partitions × maxSources, exact global check below.
+    val stats = perPartitionGroupSums(
+      ranged.select(col(sourceCol), lit(1L)), maxSources, "interleaveBySource")
     val nSources = stats.map(_._2).distinct.length
     require(nSources <= maxSources,
       s"interleaveBySource saw $nSources distinct sources (> maxSources=$maxSources); " +
         "this operator is for mixture-component granularity — bucket the source key first")
-    // Exclusive per-source offsets per partition: rows of source s in partitions
-    // before pid.
-    val offsets: Map[Int, Map[Option[Any], Long]] = {
-      val acc = scala.collection.mutable.HashMap.empty[Option[Any], Long]
-      stats.groupBy(_._1).toSeq.sortBy(_._1).map { case (pid, rows) =>
-        val snapshot = acc.toMap
-        rows.foreach { case (_, k, n) => acc.update(k, acc.getOrElse(k, 0L) + n) }
-        pid -> snapshot
-      }.toMap
-    }
-    val bc = spark.sparkContext.broadcast(offsets)
+    val bc = spark.sparkContext.broadcast(exclusiveGroupOffsets(stats))
     val outSchema = ranged.schema.add(rankCol, LongType, nullable = false)
     ranged.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       val local = scala.collection.mutable.HashMap.empty[Option[Any], Long]
       val base = bc.value.getOrElse(pid, Map.empty[Option[Any], Long])
       it.map { r =>
-        val k = if (r.isNullAt(srcIdx)) None else Some(r.get(srcIdx))
+        val k = groupKeyOf(r, srcIdx)
         val n = local.getOrElse(k, base.getOrElse(k, 0L)) + 1L
         local.update(k, n)
         Row.fromSeq(r.toSeq :+ n)

@@ -209,8 +209,17 @@ object Sources {
   def compactSmallFiles(spark: SparkSession, in: String, out: String,
       targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    require(new org.apache.hadoop.fs.Path(in).toUri.getPath !=
-      new org.apache.hadoop.fs.Path(out).toUri.getPath,
+    // Fully qualify both paths (filesystem + working dir + ".." resolution) before
+    // comparing: a raw string compare lets "data/t" vs "/cwd/data/t" (or a "x/../t"
+    // spelling) through, and the overwrite write would then delete the directory the
+    // lazy source read is about to scan.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def qualified(p: String): org.apache.hadoop.fs.Path = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val q = path.getFileSystem(hconf).makeQualified(path) // fs + working dir
+      new org.apache.hadoop.fs.Path(q.toUri.normalize()) // collapse "./" and "../"
+    }
+    require(qualified(in) != qualified(out),
       "compactSmallFiles cannot compact in place — write to a new path, then swap")
     val audit = parquetLayoutAudit(spark, in)
       .agg(org.apache.spark.sql.functions.coalesce(

@@ -265,6 +265,11 @@ class AsOfSpec extends SparkSpec {
     assert(pqPlan.contains("might_contain"), s"no bloom predicate in plan:\n$pqPlan")
     val filterLine = pqPlan.split("\n").find(_.contains("might_contain"))
     assert(filterLine.exists(_.contains("Filter")), s"bloom predicate not a Filter:\n$pqPlan")
+    // Key TYPE mismatch fails fast: xxhash64 hashes by type (hashInt(1) != hashLong(1L)),
+    // so a coerced join would match while the Bloom rejects true matches.
+    intercept[IllegalArgumentException](
+      graft.operators.Joins.bloomReducedJoin(
+        big.withColumn("k", col("k").cast("int")), sel, keys))
     // Unsound join types fail fast.
     intercept[IllegalArgumentException](
       graft.operators.Joins.bloomReducedJoin(big, sel, keys, joinType = "left_outer"))

@@ -408,6 +408,19 @@ class MetricsSpec extends SparkSpec {
     val big = (1L to 50000L).toDF("v").repartition(8)
     val est = big.agg(thetaEstimate(thetaSketch(col("v")))).head().getDouble(0)
     assert(math.abs(est - 50000.0) <= 1500.0, s"estimate $est vs 50000")
+    // Union of two exact-mode sketches stays EXACT past the default builder's 4096
+    // nominal entries (the un-sized union would downsample a 12k-value union).
+    val twoSides = ((1L to 6000L).map((_, true)) ++ (6001L to 12000L).map((_, false)))
+      .toDF("v", "ina")
+    val uni = twoSides.agg(
+        thetaSketch(when(col("ina"), col("v"))).as("a"),
+        thetaSketch(when(!col("ina"), col("v"))).as("b"))
+      .select(thetaUnionEstimate(col("a"), col("b"))).head().getDouble(0)
+    assert(uni == 12000.0, s"union of exact-mode sketches must stay exact, got $uni")
+    // Documented divergence: the EMPTY string is ignored (DataSketches' own
+    // cross-binding convention — update of an empty byte array is a no-op).
+    val withEmpty = Seq("", "x", "y").toDF("v")
+    assert(withEmpty.agg(thetaEstimate(thetaSketch(col("v")))).head().getDouble(0) == 2.0)
     // Per-group sketches compose with groupBy.
     val grouped = (1 to 300).map(i => (s"g${i % 3}", i % 50)).toDF("g", "v")
       .groupBy("g").agg(thetaEstimate(thetaSketch(col("v"))).as("d"))

@@ -96,4 +96,48 @@ class PipelineE2ESpec extends SparkSpec {
     val readBack = spark.read.parquet(out)
     assert(readBack.count() == train.count(), "write round-trip preserves rows")
   }
+
+  test("mixture assembly composes: calibrate -> per-source quotas -> interleave -> audit") {
+    import spark.implicits._
+    val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .withColumn("q", TextFunctions.qualityScore(col("text")))
+      .withColumn("w", coalesce(TextFunctions.tokenCount(col("text")).cast("long"), lit(0L)))
+
+    // 1. Calibration table over the Gopher keep verdict: pick the lowest bin whose
+    //    keep-rate signal exists — the threshold-choosing step a pipeline automates.
+    val calib = QualityClassifier.calibrationBins(
+      raw.withColumn("label", TextFunctions.gopherFlags(col("text")).getField("keep")),
+      "q", "label", bins = 10)
+    assert(calib.filter(col("bin").isNotNull).count() > 0)
+
+    // 2. Per-source token quotas: every source keeps its best docs up to 300 tokens.
+    val quota = 300L
+    val carved = Sharding.selectTopByBudgetByGroup(raw, "source", "q", "w", "doc_id",
+      quota, "cum")
+    val perSource = carved.groupBy("source").agg(sum("w").as("toks")).collect()
+    assert(perSource.nonEmpty)
+    perSource.foreach(r => assert(r.getLong(1) <= quota, s"${r.get(0)} over quota"))
+    // Determinism: the carve re-derives identically (membership is a pure function).
+    val again = Sharding.selectTopByBudgetByGroup(raw, "source", "q", "w", "doc_id",
+      quota, "cum").select("doc_id").as[Long].collect().toSet
+    assert(again == carved.select("doc_id").as[Long].collect().toSet)
+
+    // 3. Interleave the carved mixture round-robin across sources; ordering by
+    //    (rank, source) must alternate sources in the stream head.
+    val stream = Sharding.interleaveBySource(carved, "source", "doc_id")
+      .orderBy(col("rr_rank"), col("source"))
+    val headSources = stream.select("source").as[String].collect().take(8)
+    val nSources = carved.select("source").distinct().count()
+    assert(headSources.distinct.length == math.min(8, nSources.toInt),
+      s"stream head must rotate sources, got ${headSources.toSeq}")
+
+    // 4. Audit the mix: sketch overlap matrix + temperature weights both run over
+    //    the carved corpus without column contract friction.
+    val overlap = CorpusStats.sourceVocabOverlapSketch(carved, "text", "source")
+    assert(overlap.count() == nSources * (nSources - 1) / 2)
+    val temps = Sampling.temperatureWeights(carved, "source", alpha = 0.5,
+      budgetRows = 100L)
+    assert(temps.count() == nSources)
+  }
 }

@@ -230,6 +230,10 @@ class PipelineOpsSpec extends SparkSpec {
     assert(causes(ex).exists(_.contains("negative weight")))
     intercept[IllegalArgumentException](Sharding.selectTopByBudget(df, "q", "w", "id", 0L))
     intercept[IllegalArgumentException](Sharding.selectTopByBudget(df, "q", "w", "id", 10L, "q"))
+    // Non-integral weights fail fast: a double weight would silently truncate, and a
+    // fractional negative would slip past the in-task guard as 0.
+    intercept[IllegalArgumentException](Sharding.selectTopByBudget(
+      df.withColumn("w", col("w").cast("double")), "q", "w", "id", 10L))
     intercept[IllegalArgumentException](
       Sharding.selectTopByBudget(df.withColumn("_sel_w", lit(1)), "q", "w", "id", 10L))
     // Empty input: empty output, no crash.
@@ -281,8 +285,19 @@ class PipelineOpsSpec extends SparkSpec {
       Sharding.selectTopByBudgetByGroup(df, "g", "q", "w", "id", 0L))
     intercept[IllegalArgumentException](
       Sharding.selectTopByBudgetByGroup(df, "g", "q", "w", "id", 10L, "q"))
+    intercept[IllegalArgumentException](Sharding.selectTopByBudgetByGroup(
+      df.withColumn("w", col("w").cast("float")), "g", "q", "w", "id", 10L))
     assert(Sharding.selectTopByBudgetByGroup(
       df.filter(lit(false)), "g", "q", "w", "id", 10L).count() == 0L)
+    // BINARY group keys group by CONTENT (Array[Byte] has reference equality only —
+    // the fold normalizes it): two byte-equal groups share one quota.
+    val bin = (1 to 100).map(i =>
+      (i.toLong, Array[Byte]((i % 2).toByte), i.toDouble % 5, 10L))
+      .toDF("id", "g", "q", "w")
+    val binOut = Sharding.selectTopByBudgetByGroup(bin, "g", "q", "w", "id", 100L)
+      .groupBy(col("g")).agg(sum(col("w")).as("t")).collect()
+    assert(binOut.length == 2 && binOut.forall(_.getLong(1) == 100L),
+      s"each binary group must fill exactly its 100-token quota, got ${binOut.toSeq}")
   }
 
   test("withRunningTotal plan: no exchange and no window after the materialized range shuffle") {
@@ -707,7 +722,7 @@ class PipelineOpsSpec extends SparkSpec {
       Sharding.interleaveBySource(wide, "src", "id", maxSources = 10))
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("bucket the source key")), s"unexpected: $e")
+    assert(messages(e).exists(_.contains("bucket the group key")), s"unexpected: $e")
   }
 
   test("snapshot diff: statuses, null-safe column compare, null keys excluded") {

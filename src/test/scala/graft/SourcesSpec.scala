@@ -96,9 +96,13 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 6400L)
     assert(spark.read.parquet(out).agg(sum(col("id"))).head().getLong(0) ==
       (1 to 6400).map(_.toLong).sum)
-    // Guards: in-place compaction and bad target fail fast.
+    // Guards: in-place compaction fails fast — including a "x/../x" respelling of
+    // the same directory (the guard qualifies + normalizes before comparing).
     intercept[IllegalArgumentException](
       graft.sources.Sources.compactSmallFiles(spark, in, in, target))
+    val respelled = in + "/../" + new java.io.File(in).getName
+    intercept[IllegalArgumentException](
+      graft.sources.Sources.compactSmallFiles(spark, in, respelled, target))
     intercept[IllegalArgumentException](
       graft.sources.Sources.compactSmallFiles(spark, in, out, 0L))
   }
