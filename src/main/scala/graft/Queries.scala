@@ -2664,6 +2664,50 @@ object Queries {
     // fully-interior grams (positions 0,1,2) are corpus-duplicated and must merge into
     // ONE 10-token span per doc; header↔body boundary grams stay unique per doc. The
     // island arithmetic (lag >= k ⇒ new span) is the same fold the operator runs.
+    // The REMOVE half of the span pipeline: same planted header, every covered
+    // token cut, survivors space-joined. chars_kept pins the actual rebuilt text
+    // (not just counts) against DuckDB's ordered string_agg reconstruction.
+    // NULL doc_ids filtered at the query (the operator would pass them through
+    // verbatim; the oracle's per-doc CTEs need an identity).
+    QueryDef("dedup_spans_removed_documents",
+      (s, d) => graft.operators.Dedup
+        .removeDuplicateSpans(
+          t(s, d, "documents").filter(col("doc_id").isNotNull)
+            .select(col("doc_id"),
+              concat(lit("shared header alpha beta gamma delta epsilon zeta eta theta "),
+                col("text")).as("text")),
+          "doc_id", "text", k = 8)
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("tokens_total")), lit(0L)).as("tokens_total"),
+          coalesce(sum(col("tokens_removed")), lit(0L)).as("tokens_removed"),
+          coalesce(sum(length(col("text")).cast("long")), lit(0L)).as("chars_kept")),
+      Some("""WITH base AS (SELECT doc_id,
+             |   'shared header alpha beta gamma delta epsilon zeta eta theta ' || text AS text
+             |   FROM documents WHERE doc_id IS NOT NULL),
+             | toks AS (SELECT doc_id,
+             |   list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS t FROM base),
+             | tn AS (SELECT doc_id, t, coalesce(len(t), 0) AS n FROM toks),
+             | grams AS (SELECT doc_id, unnest(range(0, n - 8 + 1)) AS pos, t
+             |   FROM tn WHERE n >= 8),
+             | gs AS (SELECT doc_id, pos, array_to_string(t[CAST(pos + 1 AS INT):CAST(pos + 8 AS INT)], ' ') AS g FROM grams),
+             | dupg AS (SELECT g FROM gs GROUP BY g HAVING count(*) >= 2),
+             | dpos AS (SELECT doc_id, pos FROM gs WHERE g IN (SELECT g FROM dupg)),
+             | cov AS (SELECT DISTINCT doc_id, pos + u AS idx FROM dpos, unnest(range(0, 8)) AS r(u)),
+             | covn AS (SELECT doc_id, count(*) AS removed FROM cov GROUP BY 1),
+             | tp AS (SELECT doc_id, i AS idx, t[CAST(i + 1 AS INT)] AS tok FROM tn, unnest(range(0, n)) AS r(i)),
+             | kept AS (SELECT tp.doc_id, tp.idx, tp.tok FROM tp
+             |   LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.idx = cov.idx
+             |   WHERE cov.idx IS NULL),
+             | cleaned AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS ctext FROM kept GROUP BY 1),
+             | fin AS (SELECT tn.doc_id, tn.n, coalesce(cv.removed, 0) AS removed,
+             |   CASE WHEN tn.t IS NULL THEN NULL ELSE coalesce(cl.ctext, '') END AS ctext
+             |   FROM tn LEFT JOIN covn cv ON tn.doc_id = cv.doc_id
+             |   LEFT JOIN cleaned cl ON tn.doc_id = cl.doc_id)
+             | SELECT count(*) AS n_docs, CAST(coalesce(sum(n), 0) AS BIGINT) AS tokens_total,
+             | CAST(coalesce(sum(removed), 0) AS BIGINT) AS tokens_removed,
+             | CAST(coalesce(sum(length(ctext)), 0) AS BIGINT) AS chars_kept
+             | FROM fin""".stripMargin.replaceAll("\n", " "))),
+
     QueryDef("dedup_spans_documents",
       (s, d) => graft.operators.Dedup
         .duplicateTokenSpans(

@@ -623,9 +623,15 @@ object Dedup {
     * hash would fuse the passes but pins each hot gram's rows to ONE task with no
     * AQE skew mitigation; the join keeps AQE's skew-split available.
     */
-  def duplicateTokenSpans(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8): DataFrame = {
-    require(k >= 2, s"span gram size must be >= 2 tokens, got $k")
+  /** Shared front half of the Lee-et-al span family: tokenized docs plus the
+    * per-doc POSITIONS of corpus-duplicated token k-grams (a within-doc repeat is a
+    * duplicate too, same as the suffix-array formulation). NULL-id rows are
+    * excluded from both sides — per-doc spans need an identity, and contributing
+    * anonymous grams to the corpus counts while being uncleanable would make the
+    * detect and remove passes disagree.
+    */
+  private def dupGramPositions(df: DataFrame, idCol: String, textCol: String,
+      k: Int): (DataFrame, DataFrame) = {
     val toks = df.filter(col(idCol).isNotNull)
       .select(col(idCol).as("_id"), tokens(col(textCol)).as("_t"))
       .select(col("_id"), col("_t"), coalesce(size(col("_t")), lit(0)).as("_n"))
@@ -634,15 +640,20 @@ object Dedup {
       .select(col("_id"), posexplode(transform(
         sequence(lit(0), col("_n") - k),
         i => xxhash64(concat_ws(" ", slice(col("_t"), i + 1, lit(k)))))).as(Seq("_pos", "_h")))
-    // Corpus-duplicated gram hashes: count over ALL occurrences (a within-doc repeat
-    // is a duplicate substring too, same as the suffix-array formulation).
     val dup = grams.groupBy(col("_h")).agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= 2).select("_h")
+    (toks, grams.join(dup, Seq("_h"), "leftsemi"))
+  }
+
+  def duplicateTokenSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"span gram size must be >= 2 tokens, got $k")
+    val (toks, dupPos) = dupGramPositions(df, idCol, textCol, k)
     // Sorted duplicated positions fold left-to-right into maximal merged windows:
     // after each step the open window ends at p+k, so a position within k of its
     // predecessor extends the span by (p - prev) and a farther one opens a new span.
     val init = struct(lit(0L).as("c"), lit(0L).as("s"), lit(Long.MinValue).as("e"))
-    val perDoc = grams.join(dup, Seq("_h"), "leftsemi")
+    val perDoc = dupPos
       .groupBy(col("_id"))
       .agg(count(lit(1)).as("dup_positions"),
         aggregate(
@@ -666,6 +677,55 @@ object Dedup {
         when(col("_n") > 0,
           coalesce(col("_agg.c"), lit(0L)).cast("double") / col("_n").cast("double"))
           .otherwise(lit(0.0)).as("covered_frac"))
+  }
+
+  /** The REMOVE half of the Lee-et-al pipeline: [[duplicateTokenSpans]] detects,
+    * this rewrites — every token inside a corpus-duplicated ≥k-token span is cut,
+    * the survivors are rejoined with single spaces. Output per non-NULL-id row:
+    * `idCol`, cleaned `textCol`, `tokens_total`, `tokens_removed`
+    * (== the detect pass's `covered_tokens`, spec-pinned).
+    *
+    * Semantics: cleaned text is WHITESPACE-NORMALIZED (the rebuild joins tokens
+    * with single spaces — the same trade `dedupLinesAcrossCorpus` makes per line);
+    * a fully-covered doc becomes the empty string, NULL text stays NULL, and
+    * NULL-id rows pass through VERBATIM with `tokens_removed` 0 (no identity to
+    * attribute spans to; they contribute no grams to the corpus counts either,
+    * consistent with the detect pass).
+    *
+    * 100 TB shape: the detect machinery's compact keyed shuffles, plus a covered-
+    * index explode bounded by covered tokens (never corpus tokens), an id-keyed
+    * anti-join, and ONE groupBy(id) text reassembly — the same collect-sort-join
+    * rebuild as the corpus line dedup, bounded per doc by document size.
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"span gram size must be >= 2 tokens, got $k")
+    Seq("tokens_total", "tokens_removed").foreach(c => require(!df.columns.contains(c),
+      s"input already has a '$c' column — rename it (reserved output name)"))
+    val (toks, dupPos) = dupGramPositions(df, idCol, textCol, k)
+    val covered = dupPos
+      .select(col("_id"), explode(sequence(col("_pos"), col("_pos") + (k - 1))).as("_idx"))
+      .distinct()
+    val tokensPos = toks.select(col("_id"), posexplode(col("_t")).as(Seq("_idx", "_tok")))
+    val kept = tokensPos.join(covered, Seq("_id", "_idx"), "left_anti")
+    // Struct sort on (_idx, _tok): _idx is unique per doc, so the lexicographic
+    // struct order is exactly token order (the dedupLinesAcrossCorpus rebuild).
+    val rebuilt = kept.groupBy(col("_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("_idx"), col("_tok")))),
+        x => x.getField("_tok")), " ").as("_clean"))
+    val removedPer = covered.groupBy(col("_id")).agg(count(lit(1)).as("_removed"))
+    val nullIdRows = df.filter(col(idCol).isNull)
+      .select(col(idCol), col(textCol),
+        coalesce(size(tokens(col(textCol))), lit(0)).cast("long").as("tokens_total"),
+        lit(0L).as("tokens_removed"))
+    toks.join(rebuilt, Seq("_id"), "left").join(removedPer, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        when(col("_t").isNull, lit(null)).otherwise(coalesce(col("_clean"), lit("")))
+          .as(textCol),
+        col("_n").cast("long").as("tokens_total"),
+        coalesce(col("_removed"), lit(0L)).as("tokens_removed"))
+      .unionByName(nullIdRows)
   }
 
   /** Probe-side (probe_id, gram-hash) pairs, one row per distinct gram per doc,

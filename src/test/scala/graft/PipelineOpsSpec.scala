@@ -1124,6 +1124,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!out.contains(0L) && out.size == 5, "NULL-id doc must be excluded")
   }
 
+  test("removeDuplicateSpans: cut == detect's covered_tokens, rebuild exact, pass-through classes") {
+    import spark.implicits._
+    val shared = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (Some(1L), s"$shared unique tail here"),
+      (Some(2L), s"prefix junk $shared"),
+      (Some(3L), "totally different words with no repeats at all whatsoever today"),
+      (Some(4L), "tiny  doc"),           // < k tokens: untouched (but ws-normalized)
+      (Some(5L), null: String),          // NULL text stays NULL
+      (Some(6L), shared),                // fully covered: empty string out
+      (None: Option[Long], shared))      // NULL id: verbatim pass-through
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Long]) ->
+        ((Option(r.getString(1)), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(Some(1L)) == ((Some("unique tail here"), 13L, 10L)))
+    assert(out(Some(2L)) == ((Some("prefix junk"), 12L, 10L)))
+    assert(out(Some(3L)) == ((Some("totally different words with no repeats at all whatsoever today"), 10L, 0L)))
+    assert(out(Some(4L)) == ((Some("tiny doc"), 2L, 0L)))
+    assert(out(Some(5L)) == ((None, 0L, 0L)))
+    assert(out(Some(6L)) == ((Some(""), 10L, 10L)))
+    assert(out(None) == ((Some(shared), 10L, 0L)), "NULL id passes through verbatim")
+    // Consistency with the detect pass on the real fixture corpus: per doc,
+    // tokens_removed == duplicateTokenSpans.covered_tokens.
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("shared header alpha beta gamma delta epsilon zeta eta theta "),
+          col("text")).as("text"))
+    val removed = Dedup.removeDuplicateSpans(corpus, "doc_id", "text")
+      .select(col("doc_id"), col("tokens_removed")).as[(Long, Long)].collect().toMap
+    val detected = Dedup.duplicateTokenSpans(corpus, "doc_id", "text")
+      .select(col("doc_id"), col("covered_tokens")).as[(Long, Long)].collect().toMap
+    assert(removed == detected, "remove and detect must agree on coverage")
+    assert(removed.values.sum > 0, "the planted header must be cut somewhere")
+    intercept[IllegalArgumentException](Dedup.removeDuplicateSpans(docs, "doc_id", "text", 1))
+    intercept[IllegalArgumentException](Dedup.removeDuplicateSpans(
+      docs.withColumn("tokens_total", lit(1)), "doc_id", "text"))
+  }
+
   test("duplicateTokenSpans: within-doc repetition and adjacent spans count") {
     import spark.implicits._
     val doc = (1L, "a b c d e f g h a b c d e f g h") // gram repeats at pos 0 and 8

@@ -101,7 +101,11 @@ object ScaleSweep {
     "budget_select_by_source_documents",
     // equi-depth PSI: the sketch+bracket quantile pass over the 10× reference half
     // plus two counting scans — all bounded-shuffle; bucketing is row-local.
-    "psi_equidepth_events")
+    "psi_equidepth_events",
+    // span REMOVAL adds the covered-index explode + groupBy(id) text rebuild on
+    // top of the detect machinery; replica-salted tokens keep replicas disjoint,
+    // so only the planted header is corpus-duplicated at 10× — the honest shape.
+    "dedup_spans_removed_documents")
   // bloom_join_lineitem_orders is NOT sweepable here: the synthetic 10× dir holds
   // only documents/embeddings/events (lineitem 10× is built separately for the
   // suite20 datapoint); its scale story is the spec-pinned pre-shuffle filter.
