@@ -2664,6 +2664,48 @@ object Queries {
     // fully-interior grams (positions 0,1,2) are corpus-duplicated and must merge into
     // ONE 10-token span per doc; header↔body boundary grams stay unique per doc. The
     // island arithmetic (lag >= k ⇒ new span) is the same fold the operator runs.
+    // Stored contamination firewall: bloom built once from the every-100th-doc
+    // probe, incoming docs flagged against the BYTES. Gated on the deterministic
+    // guarantees — every planted probe doc is fully flagged (zero false negatives)
+    // and every doc's flag count dominates its exact probe-gram hits (the bloom
+    // can only over-flag) — not on the fp noise.
+    QueryDef("contamination_firewall_documents",
+      (s, d) => {
+        import graft.functions.TextFunctions.{tokens, wordShingles}
+        val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        val probe = docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("p_id"), col("text").as("p_text"))
+        val bytes = graft.operators.Dedup.buildContaminationBloom(
+          probe, "p_id", "p_text", 8)
+        val flags = graft.operators.Dedup.contaminationFlagsBloom(
+          docs, bytes, "doc_id", "text", 8)
+        val probeHashes = probe.filter(size(tokens(col("p_text"))) > 0)
+          .select(explode(wordShingles(col("p_text"), 8)).as("_g"))
+          .select(xxhash64(col("_g")).as("_h")).distinct()
+        val exact = docs
+          .select(col("doc_id"),
+            explode(when(size(tokens(col("text"))) > 0,
+              wordShingles(col("text"), 8))).as("_g"))
+          .select(col("doc_id"), xxhash64(col("_g")).as("_h"))
+          .join(probeHashes, Seq("_h"), "leftsemi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("_exact"))
+        flags.join(exact, Seq("doc_id"), "left")
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(when(col("doc_id") % 100 === 0 && col("grams_total") > 0, 1L)
+              .otherwise(0L)), lit(0L)).as("n_probe"),
+            coalesce(bool_and(when(col("doc_id") % 100 === 0 && col("grams_total") > 0,
+              col("flagged_frac") === 1.0)), lit(true)).as("planted_all_flagged"),
+            coalesce(bool_and(col("grams_flagged") >= coalesce(col("_exact"), lit(0L))),
+              lit(true)).as("all_supersets"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text,
+             |   len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS nt
+             |   FROM documents WHERE doc_id IS NOT NULL)
+             | SELECT count(*) AS n_docs,
+             | CAST(coalesce(sum(CASE WHEN doc_id % 100 = 0 AND coalesce(nt, 0) > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_probe,
+             | TRUE AS planted_all_flagged, TRUE AS all_supersets
+             | FROM d""".stripMargin.replaceAll("\n", " "))),
+
     // The REMOVE half of the span pipeline: same planted header, every covered
     // token cut, survivors space-joined. chars_kept pins the actual rebuilt text
     // (not just counts) against DuckDB's ordered string_agg reconstruction.

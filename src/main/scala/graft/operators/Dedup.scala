@@ -499,6 +499,72 @@ object Dedup {
     scoreContamination(probeShingles, matched)
   }
 
+  /** Build the probe side of [[crossCorpusContaminationBloom]] ONCE as portable
+    * bytes (Spark's `BloomFilter.writeTo` encoding): the eval-set firewall a
+    * standing ingestion pipeline stores next to the eval data and reuses on every
+    * incoming batch — no probe rescan, no rebuild, survives sessions (same
+    * store-don't-recompute contract as [[minhashIndex]] and the sketch columns).
+    * Returns empty bytes for an empty/tokenless probe (nothing can contaminate).
+    */
+  def buildContaminationBloom(probe: DataFrame, probeIdCol: String,
+      probeTextCol: String, ngramWords: Int = 8, fpp: Double = 0.01): Array[Byte] = {
+    require(ngramWords > 0, s"ngramWords must be positive, got $ngramWords")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val probeHashes = probeShingleHashes(probe, probeIdCol, probeTextCol, ngramWords)
+      .select("_h").distinct().localCheckpoint(true)
+    val n = probeHashes.count()
+    if (n == 0L) Array.emptyByteArray
+    else {
+      val bloom = probeHashes.stat.bloomFilter("_h", n, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Flag incoming docs against a STORED contamination Bloom: per non-NULL-id doc,
+    * `grams_total`, `grams_flagged` (word n-grams hitting the filter), and
+    * `flagged_frac`. ZERO false negatives (a true probe gram always hits — the
+    * property a firewall needs) and ~fpp false-positive grams; the exact scrub
+    * stays with [[crossCorpusContaminationBloom]], which needs the probe frame.
+    * Empty filter bytes flag nothing. Tokenless docs (NULL/empty/whitespace text)
+    * report 0 grams and a NULL frac (nothing to assess — not a clean 0.0 verdict);
+    * short-but-tokenful docs carry the whole-doc shingle like the rest of the
+    * contamination family.
+    *
+    * Shape: row-local shingle+hash projection, the codegen'd `might_contain`
+    * predicate per gram (bits ride the task binary once per executor), one
+    * map-side-combined `groupBy(id)` rollup — no joins, nothing probe-sized moves.
+    */
+  def contaminationFlagsBloom(corpus: DataFrame, bloomBytes: Array[Byte],
+      idCol: String, textCol: String, ngramWords: Int = 8): DataFrame = {
+    require(ngramWords > 0, s"ngramWords must be positive, got $ngramWords")
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.GraftSqlBridge
+    // Tokenless docs (NULL/empty/whitespace text) carry NO grams — wordShingles'
+    // shorter-than-n fallback would hand them the "" pseudo-gram, the same hazard
+    // probeShingleHashes guards on the build side. Short-but-tokenful docs keep
+    // the whole-doc shingle (the family's convention, so short probe docs match).
+    val grams = corpus.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("_id"),
+        explode_outer(when(size(tokens(col(textCol))) > 0,
+          wordShingles(col(textCol), ngramWords))).as("_g"))
+    val hit =
+      if (bloomBytes.isEmpty) lit(false)
+      else GraftSqlBridge.column(BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType),
+        GraftSqlBridge.expression(xxhash64(col("_g")))))
+    grams
+      .groupBy(col("_id"))
+      .agg(count(col("_g")).as("grams_total"),
+        coalesce(sum(when(col("_g").isNotNull && hit, 1L).otherwise(0L)), lit(0L))
+          .as("grams_flagged"))
+      .select(col("_id").as(idCol), col("grams_total"), col("grams_flagged"),
+        when(col("grams_total") > 0,
+          col("grams_flagged").cast("double") / col("grams_total").cast("double"))
+          .as("flagged_frac"))
+  }
+
   /** Corpus-wide LINE-level dedup (the C4-style pass): every line of text that
     * appears more than once ANYWHERE in the corpus is kept only at its first
     * occurrence — `(idCol, line-index)` lexicographic order — and removed everywhere

@@ -1294,6 +1294,42 @@ class PipelineOpsSpec extends SparkSpec {
       "SELECT graft_theta_sketch(v, CAST(length(v) AS INT)) FROM theta_sql_probe").collect())
   }
 
+  test("stored contamination bloom: zero false negatives, disk round-trip, empty classes") {
+    import spark.implicits._
+    val probe = Seq((1L, "the quick brown fox jumps over the lazy dog sentence one"),
+      (2L, "eval question two with its own very specific token sequence here"))
+      .toDF("p_id", "p_text")
+    val bytes = Dedup.buildContaminationBloom(probe, "p_id", "p_text", ngramWords = 8)
+    assert(bytes.nonEmpty)
+    // Disk round-trip: the firewall is stored bytes, a later session reads them back.
+    val f = java.nio.file.Files.createTempFile("contam", ".bloom")
+    java.nio.file.Files.write(f, bytes)
+    val loaded = java.nio.file.Files.readAllBytes(f)
+    val corpus = Seq(
+      (10L, Some("the quick brown fox jumps over the lazy dog sentence one and more")),
+      (11L, Some("completely unrelated training document with none of those grams inside")),
+      (12L, Some("short")),            // tokenful but < n: ONE whole-doc shingle
+      (13L, None: Option[String]),     // NULL text: zero grams, NULL frac
+      (14L, Some("   "))).toDF("doc_id", "text") // whitespace-only: zero grams too
+    val out = Dedup.contaminationFlagsBloom(corpus, loaded, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    // Doc 10 embeds a probe doc: every one of its first grams must hit (NO false
+    // negatives); with fpp 1% the unrelated doc must not be fully flagged.
+    assert(out(10L)._1 > 0 && out(10L)._2 >= out(10L)._1 - 5, s"${out(10L)}")
+    assert(out(10L)._3.exists(_.asInstanceOf[Double] > 0.5))
+    assert(out(11L)._3.exists(_.asInstanceOf[Double] < 0.5))
+    assert(out(12L)._1 == 1L && out(12L)._2 == 0L) // whole-doc shingle, not flagged
+    assert(out(13L) == ((0L, 0L, None)) && out(14L) == ((0L, 0L, None)))
+    // Empty probe -> empty bytes -> nothing flagged, NULL-id rows excluded.
+    val empty = Dedup.buildContaminationBloom(probe.filter(lit(false)), "p_id", "p_text")
+    assert(empty.isEmpty)
+    val none = Dedup.contaminationFlagsBloom(corpus, empty, "doc_id", "text")
+    assert(none.agg(sum("grams_flagged")).head().getLong(0) == 0L)
+    intercept[IllegalArgumentException](
+      Dedup.buildContaminationBloom(probe, "p_id", "p_text", ngramWords = 0))
+  }
+
   test("Bloom contamination with empty probe returns empty, not a crash") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("text").isNotNull)
