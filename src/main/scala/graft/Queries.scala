@@ -2675,8 +2675,7 @@ object Queries {
         val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
         val probe = docs.filter(col("doc_id") % 100 === 0)
           .select(col("doc_id").as("p_id"), col("text").as("p_text"))
-        val bytes = graft.operators.Dedup.buildContaminationBloom(
-          probe, "p_id", "p_text", 8)
+        val bytes = graft.operators.Dedup.buildContaminationBloom(probe, "p_text", 8)
         val flags = graft.operators.Dedup.contaminationFlagsBloom(
           docs, bytes, "doc_id", "text", 8)
         val probeHashes = probe.filter(size(tokens(col("p_text"))) > 0)

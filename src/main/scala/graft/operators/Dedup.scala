@@ -505,13 +505,18 @@ object Dedup {
     * incoming batch — no probe rescan, no rebuild, survives sessions (same
     * store-don't-recompute contract as [[minhashIndex]] and the sketch columns).
     * Returns empty bytes for an empty/tokenless probe (nothing can contaminate).
+    * The build needs no probe ids — only the distinct gram hash set — so the
+    * projection is id-less and the ONE frame both passes (sizing count + filter
+    * aggregate) read is checkpointed once.
     */
-  def buildContaminationBloom(probe: DataFrame, probeIdCol: String,
+  def buildContaminationBloom(probe: DataFrame,
       probeTextCol: String, ngramWords: Int = 8, fpp: Double = 0.01): Array[Byte] = {
     require(ngramWords > 0, s"ngramWords must be positive, got $ngramWords")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
-    val probeHashes = probeShingleHashes(probe, probeIdCol, probeTextCol, ngramWords)
-      .select("_h").distinct().localCheckpoint(true)
+    val probeHashes = probe
+      .filter(size(tokens(col(probeTextCol))) > 0)
+      .select(explode(wordShingles(col(probeTextCol), ngramWords)).as("_g"))
+      .select(xxhash64(col("_g")).as("_h")).distinct().localCheckpoint(true)
     val n = probeHashes.count()
     if (n == 0L) Array.emptyByteArray
     else {
@@ -653,6 +658,28 @@ object Dedup {
       .unionByName(nullIdRows)
   }
 
+  /** Shared front half of the Lee-et-al span family: tokenized docs plus the
+    * per-doc POSITIONS of corpus-duplicated token k-grams (a within-doc repeat is a
+    * duplicate too, same as the suffix-array formulation). NULL-id rows are
+    * excluded from both sides — per-doc spans need an identity, and contributing
+    * anonymous grams to the corpus counts while being uncleanable would make the
+    * detect and remove passes disagree.
+    */
+  private def dupGramPositions(df: DataFrame, idCol: String, textCol: String,
+      k: Int): (DataFrame, DataFrame) = {
+    val toks = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_t"))
+      .select(col("_id"), col("_t"), coalesce(size(col("_t")), lit(0)).as("_n"))
+    val grams = toks
+      .filter(col("_n") >= k)
+      .select(col("_id"), posexplode(transform(
+        sequence(lit(0), col("_n") - k),
+        i => xxhash64(concat_ws(" ", slice(col("_t"), i + 1, lit(k)))))).as(Seq("_pos", "_h")))
+    val dup = grams.groupBy(col("_h")).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= 2).select("_h")
+    (toks, grams.join(dup, Seq("_h"), "leftsemi"))
+  }
+
   /** Exact duplicate-SUBSTRING detection (the suffix-array pass of "Deduplicating
     * Training Data Makes Language Models Better", Lee et al. 2021, re-expressed for a
     * shared-nothing engine): every token `k`-gram occurring more than once ANYWHERE in
@@ -689,28 +716,6 @@ object Dedup {
     * hash would fuse the passes but pins each hot gram's rows to ONE task with no
     * AQE skew mitigation; the join keeps AQE's skew-split available.
     */
-  /** Shared front half of the Lee-et-al span family: tokenized docs plus the
-    * per-doc POSITIONS of corpus-duplicated token k-grams (a within-doc repeat is a
-    * duplicate too, same as the suffix-array formulation). NULL-id rows are
-    * excluded from both sides — per-doc spans need an identity, and contributing
-    * anonymous grams to the corpus counts while being uncleanable would make the
-    * detect and remove passes disagree.
-    */
-  private def dupGramPositions(df: DataFrame, idCol: String, textCol: String,
-      k: Int): (DataFrame, DataFrame) = {
-    val toks = df.filter(col(idCol).isNotNull)
-      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_t"))
-      .select(col("_id"), col("_t"), coalesce(size(col("_t")), lit(0)).as("_n"))
-    val grams = toks
-      .filter(col("_n") >= k)
-      .select(col("_id"), posexplode(transform(
-        sequence(lit(0), col("_n") - k),
-        i => xxhash64(concat_ws(" ", slice(col("_t"), i + 1, lit(k)))))).as(Seq("_pos", "_h")))
-    val dup = grams.groupBy(col("_h")).agg(count(lit(1)).as("_c"))
-      .filter(col("_c") >= 2).select("_h")
-    (toks, grams.join(dup, Seq("_h"), "leftsemi"))
-  }
-
   def duplicateTokenSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
     require(k >= 2, s"span gram size must be >= 2 tokens, got $k")

@@ -363,10 +363,14 @@ object Drift {
   def psiEquiDepth(ref: DataFrame, cur: DataFrame, colName: String,
       buckets: Int = 10, epsilon: Double = 1e-6): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val refClean = ref
-      .select(col(colName).try_cast("double").as("_v"))
-      .filter(col("_v").between(-Double.MaxValue, Double.MaxValue))
-    val qs = (0 to buckets).map(_.toDouble / buckets)
+    // try_cast only: exactQuantiles applies the finite filter (and NULL/NaN
+    // exclusion) itself — but its internal cast is ANSI and would THROW on
+    // uncastable strings. Only the INTERIOR quantiles are requested (the 0/1
+    // order statistics would be sliced away unused); buckets=1 has no interior
+    // edges, so the median stands in purely as the has-any-finite-values probe.
+    val refClean = ref.select(col(colName).try_cast("double").as("_v"))
+    val qs = if (buckets == 1) Seq(0.5)
+      else (1 until buckets).map(_.toDouble / buckets)
     graft.operators.Quantiles.exactQuantiles(refClean, "_v", qs) match {
       case None =>
         // No reference distribution: NULL psi over zero categories, the empty-side
@@ -374,7 +378,7 @@ object Drift {
         ref.sparkSession.range(1)
           .select(lit(null).cast("double").as("psi"), lit(0L).as("n_categories"))
       case Some(edges) =>
-        val interior = edges.slice(1, buckets)
+        val interior = if (buckets == 1) Seq.empty[Double] else edges
         def bucket(df: DataFrame) = {
           val x = col(colName).try_cast("double")
           val fold = interior.foldLeft(lit(0L))((acc, e) =>

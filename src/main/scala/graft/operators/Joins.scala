@@ -268,11 +268,15 @@ object Joins {
     // BY TYPE (hashInt(1) != hashLong(1L)). A type-coerced equi-join (int vs bigint)
     // would still MATCH in the join but almost never pass the filter — silently
     // deleting ~(1-fpp) of the true result. Fail loud instead; cast explicitly first.
+    // Resolve types through the analyzer (case-insensitive like the join itself) —
+    // StructType.apply is case-sensitive and would reject valid case-mismatched names.
+    def typeOf(df: DataFrame, c: String) = df.select(col(c)).schema.head.dataType
     keys.foreach { case (b, s) =>
-      require(big.schema(b).dataType == selective.schema(s).dataType,
-        s"bloomReducedJoin key types must match exactly ($b: ${big.schema(b).dataType} vs " +
-          s"$s: ${selective.schema(s).dataType}) — xxhash64 hashes by type, so a coerced " +
-          "join would pass while the Bloom filter rejects true matches; cast explicitly first")
+      val (tb, ts) = (typeOf(big, b), typeOf(selective, s))
+      require(tb == ts,
+        s"bloomReducedJoin key types must match exactly ($b: $tb vs $s: $ts) — " +
+          "xxhash64 hashes by type, so a coerced join would pass while the Bloom " +
+          "filter rejects true matches; cast explicitly first")
     }
     val selKeys = selective
       .filter(keys.map(k => col(k._2).isNotNull).reduce(_ && _))

@@ -96,6 +96,39 @@ object QualityClassifier {
     * window). Equal-POPULATION bins instead = [[graft.Metrics.equiDepthHistogram]]
     * over the score column.
     */
+  /** Pick the lowest score threshold whose KEPT SLICE (all bins at or above it)
+    * reaches `targetPrecision` — the automated "where do I cut" step over a
+    * [[calibrationBins]] table. Evaluates cumulative-from-the-top label rates
+    * (what filtering at τ actually yields — a single bin's rate is not the kept
+    * slice's rate), on LABELED rows only. Returns `Some(binLowerEdge)` of the
+    * best (lowest) qualifying threshold, or `None` when no suffix reaches the
+    * target (the caller hears "this classifier can't give you that precision" —
+    * not a silently-strictest cut). Driver-side over ≤ bins rows — the table is
+    * already tiny; the NULL malformed-score bin never qualifies as a cut point.
+    */
+  def thresholdForPrecision(calib: DataFrame, bins: Int,
+      targetPrecision: Double): Option[Double] = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    require(targetPrecision > 0 && targetPrecision <= 1,
+      s"targetPrecision must be in (0,1], got $targetPrecision")
+    val rows = calib.filter(col("bin").isNotNull)
+      .select(col("bin").cast("int"), col("n_labeled").cast("long"),
+        col("label_sum").as("_pos"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
+      .sortBy(-_._1)
+    var nLab = 0L
+    var nPos = 0.0
+    var best: Option[Double] = None
+    rows.foreach { case (bin, labeled, pos) =>
+      nLab += labeled
+      nPos += pos
+      if (nLab > 0 && nPos / nLab >= targetPrecision)
+        best = Some(bin.toDouble / bins) // lowest qualifying suffix wins
+    }
+    best
+  }
+
   def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
       bins: Int = 10): DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")
@@ -113,6 +146,10 @@ object QualityClassifier {
         count(lit(1)).as("n"),
         count(col("_l")).as("n_labeled"),
         avg(when(col("bin").isNotNull, col("_s"))).as("mean_score"),
-        avg(col("_l")).as("label_rate"))
+        avg(col("_l")).as("label_rate"),
+        // The exact positive mass (sum of 0/1 votes) — what threshold arithmetic
+        // consumes; reconstructing it as rate×count reintroduces float error at
+        // exactly-met targets.
+        sum(col("_l")).as("label_sum"))
   }
 }

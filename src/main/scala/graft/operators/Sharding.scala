@@ -38,6 +38,28 @@ object Sharding {
         "cast explicitly first if truncation is really intended")
   }
 
+  /** Group keys must have driver-side VALUE equality for the bounded-summary
+    * folds. Top-level binary is normalized by [[groupKeyOf]]; binary NESTED inside
+    * array/struct/map keys still compares by reference one level down (Seq and Row
+    * equality delegate to the element arrays' identity), which would make every
+    * row its own group — fail loud instead of silently ignoring the quota.
+    */
+  private def requireHashableGroupKey(df: DataFrame, groupCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    def nestsBinary(dt: DataType): Boolean = dt match {
+      case BinaryType => true
+      case ArrayType(e, _) => nestsBinary(e)
+      case MapType(kt, vt, _) => nestsBinary(kt) || nestsBinary(vt)
+      case StructType(fs) => fs.exists(f => nestsBinary(f.dataType))
+      case _ => false
+    }
+    val dt = df.schema(groupCol).dataType
+    require(dt == BinaryType || !nestsBinary(dt),
+      s"$op: group key type $dt nests binary values, whose driver-side equality is by " +
+        "reference — the fold would treat every row as its own group; hash the key " +
+        "first (e.g. xxhash64)")
+  }
+
   /** Driver-side group key for the bounded-summary folds: Row.get hands back
     * BinaryType as `Array[Byte]`, which only has REFERENCE equality — hashing it
     * raw would make every row its own "group" (spuriously tripping maxGroups, and
@@ -111,6 +133,8 @@ object Sharding {
     require(!df.columns.contains("_rt_v"),
       "withRunningTotal uses an internal _rt_v column; input already has one — rename it")
     require(!df.columns.contains(outCol), s"input already has a '$outCol' column")
+    // Guards the whole prefix-sum family (packIntoShards/writeShards ride this).
+    requireIntegralWeight(df, valueCol, "withRunningTotal")
     val spark = df.sparkSession
     // Eager once (localCheckpoint): the materialized, range-partitioned, sorted
     // partitions feed BOTH passes below at their original partition ids, and the
@@ -319,6 +343,7 @@ object Sharding {
     Seq("_sel_s", "_sel_w").foreach(r => require(!df.columns.contains(r),
       s"input already has a $r column (reserved internal name)"))
     requireIntegralWeight(df, weightCol, "selectTopByBudgetByGroup")
+    requireHashableGroupKey(df, groupCol, "selectTopByBudgetByGroup")
     val spark = df.sparkSession
     val ranged = df
       .withColumn("_sel_s", col(scoreCol).try_cast("double"))
@@ -384,6 +409,7 @@ object Sharding {
   def interleaveBySource(df: DataFrame, sourceCol: String, orderCol: String,
       rankCol: String = "rr_rank", maxSources: Int = 100000): DataFrame = {
     require(!df.columns.contains(rankCol), s"input already has a '$rankCol' column")
+    requireHashableGroupKey(df, sourceCol, "interleaveBySource")
     val spark = df.sparkSession
     val ranged = df
       .repartitionByRange(col(orderCol))

@@ -136,6 +136,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("Window") && !plan.contains("Sort"), s"unexpected plan:\n$plan")
   }
 
+  test("thresholdForPrecision: cumulative-from-top semantics, lowest qualifying cut, None") {
+    import spark.implicits._
+    // bin 9: 10 labeled, all positive; bin 5: 10 labeled, half; bin 1: 10 labeled, none.
+    val df = ((1 to 10).map(i => (0.95, i <= 10)) ++
+      (1 to 10).map(i => (0.55, i <= 5)) ++
+      (1 to 10).map(_ => (0.15, false))).toDF("score", "label")
+    val calib = QualityClassifier.calibrationBins(df, "score", "label", 10)
+    // target 0.9: only the top suffix (bins >= 9, rate 1.0) qualifies -> cut 0.9.
+    assert(QualityClassifier.thresholdForPrecision(calib, 10, 0.9).contains(0.9))
+    // target 0.7: suffix from 5 is 15/20 = 0.75 -> cut 0.5; suffix from 1 is 0.5, out.
+    assert(QualityClassifier.thresholdForPrecision(calib, 10, 0.7).contains(0.5))
+    // target 0.5: the FULL table qualifies (15/30 = 0.5) -> lowest cut 0.1.
+    assert(QualityClassifier.thresholdForPrecision(calib, 10, 0.5).contains(0.1))
+    // A perfect top bin still satisfies an extreme target (suffix rate exactly 1.0).
+    assert(QualityClassifier.thresholdForPrecision(calib, 10, 0.999999).contains(0.9))
+    val low = ((1 to 20).map(_ => (0.5, false))).toDF("score", "label")
+    assert(QualityClassifier.thresholdForPrecision(
+      QualityClassifier.calibrationBins(low, "score", "label"), 10, 0.9).isEmpty)
+    intercept[IllegalArgumentException](QualityClassifier.thresholdForPrecision(calib, 0, 0.5))
+    intercept[IllegalArgumentException](QualityClassifier.thresholdForPrecision(calib, 10, 0.0))
+  }
+
   test("withRunningTotal matches the naive global window at any partitioning") {
     import spark.implicits._
     // Deterministic pseudo-random weights; ids deliberately NOT pre-sorted.
@@ -1299,7 +1321,7 @@ class PipelineOpsSpec extends SparkSpec {
     val probe = Seq((1L, "the quick brown fox jumps over the lazy dog sentence one"),
       (2L, "eval question two with its own very specific token sequence here"))
       .toDF("p_id", "p_text")
-    val bytes = Dedup.buildContaminationBloom(probe, "p_id", "p_text", ngramWords = 8)
+    val bytes = Dedup.buildContaminationBloom(probe, "p_text", ngramWords = 8)
     assert(bytes.nonEmpty)
     // Disk round-trip: the firewall is stored bytes, a later session reads them back.
     val f = java.nio.file.Files.createTempFile("contam", ".bloom")
@@ -1322,12 +1344,12 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(12L)._1 == 1L && out(12L)._2 == 0L) // whole-doc shingle, not flagged
     assert(out(13L) == ((0L, 0L, None)) && out(14L) == ((0L, 0L, None)))
     // Empty probe -> empty bytes -> nothing flagged, NULL-id rows excluded.
-    val empty = Dedup.buildContaminationBloom(probe.filter(lit(false)), "p_id", "p_text")
+    val empty = Dedup.buildContaminationBloom(probe.filter(lit(false)), "p_text")
     assert(empty.isEmpty)
     val none = Dedup.contaminationFlagsBloom(corpus, empty, "doc_id", "text")
     assert(none.agg(sum("grams_flagged")).head().getLong(0) == 0L)
     intercept[IllegalArgumentException](
-      Dedup.buildContaminationBloom(probe, "p_id", "p_text", ngramWords = 0))
+      Dedup.buildContaminationBloom(probe, "p_text", ngramWords = 0))
   }
 
   test("Bloom contamination with empty probe returns empty, not a crash") {
