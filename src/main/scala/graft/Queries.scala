@@ -3495,6 +3495,63 @@ object Queries {
              | FROM inter JOIN sz sa ON inter.source_a = sa.src
              | JOIN sz sb ON inter.source_b = sb.src""".stripMargin.replaceAll("\n", " "))),
 
+    // One-call corpus DATA CARD: volume / quality / composition in a single row,
+    // every statistic recomposed from its individually-proven DuckDB formulation
+    // (token counts, quality+Gopher CTEs, entropy formula, quantile_cont median).
+    QueryDef("corpus_report_documents",
+      (s, d) => graft.operators.CorpusStats.corpusReport(t(s, d, "documents"))
+        .select(col("n_docs"), col("n_null_text"), col("tokens_total"),
+          round(col("tokens_mean"), 6).as("tokens_mean"),
+          round(col("tokens_p50"), 6).as("tokens_p50"),
+          round(col("quality_mean"), 6).as("quality_mean"),
+          round(col("gopher_keep_frac"), 6).as("gopher_keep_frac"),
+          col("n_langs"), round(col("lang_entropy"), 6).as("lang_entropy"),
+          col("n_sources"), round(col("top_source_share"), 6).as("top_source_share")),
+      Some("""WITH nt AS (SELECT text, list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS tk,
+             |   len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS w FROM documents),
+             | m AS (SELECT count(*) AS n_docs,
+             |   CAST(coalesce(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null_text,
+             |   CAST(coalesce(sum(w), 0) AS BIGINT) AS tokens_total,
+             |   round(avg(w), 6) AS tokens_mean,
+             |   round(quantile_cont(w, 0.5), 6) AS tokens_p50 FROM nt),
+             | q AS (SELECT round(
+             |   least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * (CASE WHEN CAST(length(text) AS DOUBLE) > 20000 THEN 0.5 ELSE 1.0 END) * 0.4
+             |   + (CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
+             |   + (CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) BETWEEN 0.05 AND 0.35 THEN 1.0 ELSE 0.7 END) * 0.2
+             |   + (CASE WHEN (CASE WHEN len(tk) > 0 THEN CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) ELSE 0.0 END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.6 END) * 0.2
+             |   , 6) AS qs FROM nt WHERE text IS NOT NULL),
+             | qq AS (SELECT round(avg(qs), 6) AS quality_mean FROM q),
+             | f AS (SELECT text, tk AS t,
+             |   list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l != '') AS ls
+             |   FROM nt WHERE text IS NOT NULL),
+             | g AS (SELECT len(t) AS nw,
+             |   CASE WHEN len(t) > 0 THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) ELSE 0.0 END AS mwl,
+             |   len(regexp_extract_all(text, '#|\.{3}|…')) AS nsym, len(ls) AS nl,
+             |   len(list_filter(ls, l -> regexp_matches(l, '^[•‣▪*-]'))) AS nbul,
+             |   len(list_filter(ls, l -> regexp_matches(l, '(\.{3}|…)$'))) AS nell,
+             |   len(list_filter(t, x -> regexp_matches(x, '\p{L}'))) AS nalpha,
+             |   len(list_filter(t, x -> regexp_matches(x, '(?i)^(the|be|to|of|and|that|have|with)$'))) AS nstop
+             |   FROM f),
+             | kk AS (SELECT round(avg(CASE WHEN
+             |   (nw >= 50 AND nw <= 100000) AND (nw > 0 AND mwl >= 3.0 AND mwl <= 10.0)
+             |   AND (nw > 0 AND CAST(nsym AS DOUBLE) <= 0.1 * CAST(nw AS DOUBLE))
+             |   AND (nl = 0 OR CAST(nbul AS DOUBLE) <= 0.9 * CAST(nl AS DOUBLE))
+             |   AND (nl = 0 OR CAST(nell AS DOUBLE) <= 0.3 * CAST(nl AS DOUBLE))
+             |   AND (nw > 0 AND CAST(nalpha AS DOUBLE) >= 0.8 * CAST(nw AS DOUBLE))
+             |   AND nstop >= 2 THEN 1.0 ELSE 0.0 END), 6) AS gopher_keep_frac FROM g),
+             | lc AS (SELECT count(*) AS n_langs, sum(c) AS n, sum(c * ln(c)) AS s
+             |   FROM (SELECT count(*) AS c FROM documents WHERE lang IS NOT NULL GROUP BY lang)),
+             | le AS (SELECT CAST(n_langs AS BIGINT) AS n_langs,
+             |   round(CASE WHEN n > 0 THEN ln(n) - s / n END, 6) AS lang_entropy FROM lc),
+             | sc AS (SELECT count(*) AS n_sources, max(c) AS topc, sum(c) AS tot
+             |   FROM (SELECT count(*) AS c FROM documents WHERE source IS NOT NULL GROUP BY source)),
+             | se AS (SELECT CAST(n_sources AS BIGINT) AS n_sources,
+             |   round(CASE WHEN tot > 0 THEN CAST(topc AS DOUBLE) / tot END, 6) AS top_source_share FROM sc)
+             | SELECT m.n_docs, m.n_null_text, m.tokens_total, m.tokens_mean, m.tokens_p50,
+             | qq.quality_mean, kk.gopher_keep_frac, le.n_langs, le.lang_entropy,
+             | se.n_sources, se.top_source_share
+             | FROM m, qq, kk, le, se""".stripMargin.replaceAll("\n", " "))),
+
     // Sketch-based source overlap matrix gated against the exact operator: the
     // FULL pairwise matrix (zero-overlap pairs at shared 0), per-pair estimate
     // within max(10%, 10) of the exact shared count — below 2^14 distinct tokens

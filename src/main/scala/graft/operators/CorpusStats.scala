@@ -278,4 +278,50 @@ object CorpusStats {
       when(count(lit(1)) >= 2 && var_pop(col("_x")) > 0,
         covar_pop(col("_x"), col("_y")) / var_pop(col("_x"))).as("zipf_slope"))
   }
+
+  /** One-call corpus DATA CARD: the single summary row a dataset release ships —
+    * volume (docs, null-text rows, token mass, mean and exact-median tokens/doc),
+    * quality (mean heuristic score, Gopher keep fraction), and composition
+    * (language count + entropy, source count + largest-source share). Every number
+    * reuses a proven formulation: token counts and quality/Gopher kernels ride ONE
+    * codegen'd corpus scan; the language/source mixes are two cardinality-bounded
+    * groupBys; the median runs through the exact sketch+bracket quantile operator
+    * (bounded scans, bounded driver state). NULL langs/sources are excluded from
+    * their mixes (unattributed, same convention as [[graft.Metrics.entropy]]);
+    * NULL-text docs are counted, carry no tokens, and get no quality opinion.
+    * Empty corpus: zeros for counts, NULL for every statistic.
+    */
+  def corpusReport(df: DataFrame, textCol: String = "text", langCol: String = "lang",
+      sourceCol: String = "source"): DataFrame = {
+    val w = TextFunctions.tokenCount(col(textCol)).cast("long")
+    // qualityScore deliberately scores NULL text like empty text (the kernel's
+    // nullScore — a filter wants a verdict on every row); the CARD's mean is over
+    // docs that HAVE text, so the no-opinion convention is applied here explicitly.
+    val q = when(col(textCol).isNotNull, TextFunctions.qualityScore(col(textCol)))
+    val keep = TextFunctions.gopherFlags(col(textCol)).getField("keep")
+    val main = df.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(when(col(textCol).isNull, 1L).otherwise(0L)), lit(0L)).as("n_null_text"),
+      coalesce(sum(w), lit(0L)).as("tokens_total"),
+      avg(w).as("tokens_mean"),
+      avg(q).as("quality_mean"),
+      avg(keep.cast("double")).as("gopher_keep_frac"))
+    val p50 = graft.operators.Quantiles
+      .exactQuantiles(df.select(w.as("_w")), "_w", Seq(0.5)).map(_.head)
+    val langs = df.filter(col(langCol).isNotNull)
+      .groupBy(col(langCol)).agg(count(lit(1)).as("_c"))
+      .agg(count(lit(1)).as("n_langs"), sum(col("_c")).as("_n"),
+        sum(col("_c") * log(col("_c"))).as("_s"))
+      .select(col("n_langs"),
+        (log(col("_n")) - col("_s") / col("_n")).as("lang_entropy"))
+    val sources = df.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("_c"))
+      .agg(count(lit(1)).as("n_sources"), max(col("_c")).as("_top"), sum(col("_c")).as("_tot"))
+      .select(col("n_sources"),
+        when(col("_tot") > 0, col("_top").cast("double") / col("_tot"))
+          .as("top_source_share"))
+    main
+      .withColumn("tokens_p50", lit(p50.orNull).cast("double"))
+      .crossJoin(langs).crossJoin(sources)
+  }
 }

@@ -146,6 +146,38 @@ class CorpusStatsSpec extends SparkSpec {
       corpus.filter(lit(false)), "text", "source").count() == 0L)
   }
 
+  test("corpusReport: hand-computed card, NULL conventions, empty corpus") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("one two three"), Some("en"), Some("web")),      // 3 tokens
+      (Some("uno dos"), Some("es"), Some("web")),            // 2 tokens
+      (Some("a b c d e"), Some("en"), Some("books")),        // 5 tokens
+      (None: Option[String], Some("en"), Some("web")),       // NULL text: counted, no opinion
+      (Some("solo"), None, None))                            // NULL lang/source: out of mixes
+      .toDF("text", "lang", "source")
+    val r = CorpusStats.corpusReport(df).head()
+    assert(r.getLong(r.fieldIndex("n_docs")) == 5L)
+    assert(r.getLong(r.fieldIndex("n_null_text")) == 1L)
+    assert(r.getLong(r.fieldIndex("tokens_total")) == 11L)
+    assert(math.abs(r.getDouble(r.fieldIndex("tokens_mean")) - 11.0 / 4) < 1e-12)
+    assert(r.getDouble(r.fieldIndex("tokens_p50")) == 2.5) // median of (1,2,3,5)
+    assert(r.getLong(r.fieldIndex("n_langs")) == 2L)       // en×3, es×1 (NULL out)
+    val expectEntropy = math.log(4) - (3 * math.log(3) + 1 * math.log(1)) / 4
+    assert(math.abs(r.getDouble(r.fieldIndex("lang_entropy")) - expectEntropy) < 1e-12)
+    assert(r.getLong(r.fieldIndex("n_sources")) == 2L)     // web×3, books×1
+    assert(r.getDouble(r.fieldIndex("top_source_share")) == 0.75)
+    assert(!r.isNullAt(r.fieldIndex("quality_mean")) &&
+      !r.isNullAt(r.fieldIndex("gopher_keep_frac")))
+    // Empty corpus: zero counts, NULL statistics.
+    val e = CorpusStats.corpusReport(df.filter(lit(false))).head()
+    assert(e.getLong(e.fieldIndex("n_docs")) == 0L &&
+      e.getLong(e.fieldIndex("tokens_total")) == 0L &&
+      e.getLong(e.fieldIndex("n_langs")) == 0L && e.getLong(e.fieldIndex("n_sources")) == 0L)
+    Seq("tokens_mean", "tokens_p50", "quality_mean", "gopher_keep_frac",
+      "lang_entropy", "top_source_share").foreach(c =>
+      assert(e.isNullAt(e.fieldIndex(c)), s"$c must be NULL on an empty corpus"))
+  }
+
   test("zipfSlope: ~-1 on an exact Zipf corpus, hand-computed OLS, degenerate classes") {
     import spark.implicits._
     // token w<i> appears exactly floor(1000/i) times, i = 1..50: slope must land
