@@ -105,7 +105,10 @@ object ScaleSweep {
     // span REMOVAL adds the covered-index explode + groupBy(id) text rebuild on
     // top of the detect machinery; replica-salted tokens keep replicas disjoint,
     // so only the planted header is corpus-duplicated at 10× — the honest shape.
-    "dedup_spans_removed_documents")
+    "dedup_spans_removed_documents",
+    // the data card: one codegen'd scan + bounded groupBys + the quantile operator
+    // over 10× docs (vocab-independent — everything is per-doc or per-category).
+    "corpus_report_documents")
   // bloom_join_lineitem_orders is NOT sweepable here: the synthetic 10× dir holds
   // only documents/embeddings/events (lineitem 10× is built separately for the
   // suite20 datapoint); its scale story is the spec-pinned pre-shuffle filter.
