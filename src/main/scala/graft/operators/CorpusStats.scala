@@ -283,10 +283,14 @@ object CorpusStats {
     * volume (docs, null-text rows, token mass, mean and exact-median tokens/doc),
     * quality (mean heuristic score, Gopher keep fraction), and composition
     * (language count + entropy, source count + largest-source share). Every number
-    * reuses a proven formulation: token counts and quality/Gopher kernels ride ONE
-    * codegen'd corpus scan; the language/source mixes are two cardinality-bounded
-    * groupBys; the median runs through the exact sketch+bracket quantile operator
-    * (bounded scans, bounded driver state). NULL langs/sources are excluded from
+    * reuses a proven formulation: token counts and quality/Gopher kernels ride one
+    * codegen'd aggregation scan; the language/source mixes are two cardinality-
+    * bounded groupBys; the median runs through the exact sketch+bracket quantile
+    * operator. Honest cost: the quantile jobs execute EAGERLY at call time (the
+    * exact median is a driver-side value, not a plan node), so the whole card is
+    * ~4-5 corpus scans the moment this returns — call it once per release, cache
+    * the input if the corpus read is expensive, and don't build cards
+    * speculatively. NULL langs/sources are excluded from
     * their mixes (unattributed, same convention as [[graft.Metrics.entropy]]);
     * NULL-text docs are counted, carry no tokens, and get no quality opinion.
     * Empty corpus: zeros for counts, NULL for every statistic.

@@ -499,6 +499,19 @@ object Dedup {
     scoreContamination(probeShingles, matched)
   }
 
+  /** THE gram-hash formula of the contamination family, in one place: tokenful
+    * rows only (the shorter-than-n fallback would hand tokenless text the ""
+    * pseudo-gram), word shingles, xxhash64, distinct. The stored-firewall
+    * guarantee (zero false negatives against blooms persisted by PAST versions)
+    * depends on this hashing never drifting — every path derives from here or is
+    * golden-pinned in the spec.
+    */
+  private def distinctGramHashes(df: DataFrame, textCol: String,
+      ngramWords: Int): DataFrame =
+    df.filter(size(tokens(col(textCol))) > 0)
+      .select(explode(wordShingles(col(textCol), ngramWords)).as("_g"))
+      .select(xxhash64(col("_g")).as("_h")).distinct()
+
   /** Build the probe side of [[crossCorpusContaminationBloom]] ONCE as portable
     * bytes (Spark's `BloomFilter.writeTo` encoding): the eval-set firewall a
     * standing ingestion pipeline stores next to the eval data and reuses on every
@@ -513,10 +526,8 @@ object Dedup {
       probeTextCol: String, ngramWords: Int = 8, fpp: Double = 0.01): Array[Byte] = {
     require(ngramWords > 0, s"ngramWords must be positive, got $ngramWords")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
-    val probeHashes = probe
-      .filter(size(tokens(col(probeTextCol))) > 0)
-      .select(explode(wordShingles(col(probeTextCol), ngramWords)).as("_g"))
-      .select(xxhash64(col("_g")).as("_h")).distinct().localCheckpoint(true)
+    val probeHashes = distinctGramHashes(probe, probeTextCol, ngramWords)
+      .localCheckpoint(true)
     val n = probeHashes.count()
     if (n == 0L) Array.emptyByteArray
     else {

@@ -117,6 +117,14 @@ object QualityClassifier {
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
       .sortBy(-_._1)
+    // A table binned at a different granularity would divide foreign bin indices
+    // by the wrong denominator and return impossible thresholds (e.g. 1.9) —
+    // fail loud on the mismatch instead.
+    rows.headOption.foreach { case (maxBin, _, _) =>
+      require(maxBin < bins,
+        s"calibration table has bin $maxBin but bins=$bins was passed — " +
+          "use the same bins value calibrationBins was built with")
+    }
     var nLab = 0L
     var nPos = 0.0
     var best: Option[Double] = None

@@ -121,6 +121,8 @@ object Sharding {
     *    boundary could change per-row totals between runs.
     *  - NULL order keys have no defined position — pre-filter them (they'd also sort
     *    differently across engines: Spark ASC is nulls-first, most SQL engines last).
+    *  - `valueCol` must be an INTEGRAL type (enforced, fail-fast): weights are
+    *    token/byte counts, and a double would silently truncate per row.
     *
     * NULL values contribute nothing (SQL sum semantics) but keep their row: the
     * running total carries past them unchanged. Rows in the GLOBAL leading all-NULL

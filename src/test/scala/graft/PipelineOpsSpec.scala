@@ -1350,6 +1350,14 @@ class PipelineOpsSpec extends SparkSpec {
     assert(none.agg(sum("grams_flagged")).head().getLong(0) == 0L)
     intercept[IllegalArgumentException](
       Dedup.buildContaminationBloom(probe, "p_text", ngramWords = 0))
+    // GOLDEN pin of the gram-hash formula (xxhash64 seed-42 of the space-joined
+    // 8-gram): blooms persisted by past versions stay readable only while this
+    // value never changes — a drift here must fail THIS test, not silently break
+    // stored firewalls.
+    val golden = Seq("a b c d e f g h").toDF("t")
+      .select(xxhash64(concat_ws(" ", TextFunctions.tokens(col("t"))))).head().getLong(0)
+    assert(golden == 48378799402119996L,
+      s"gram-hash formula drifted: got $golden — stored contamination blooms would break")
   }
 
   test("Bloom contamination with empty probe returns empty, not a crash") {
