@@ -549,6 +549,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("budget selection equals the naive prefix definition over randomized corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Sharding
+    (1 to 6).foreach { trial =>
+      val rng = new scala.util.Random(100 + trial)
+      val n = 300 + rng.nextInt(700)
+      // Scores from a SMALL discrete set (heavy ties at partition boundaries),
+      // weights with zeros and occasional NULLs, varying partitioning per trial.
+      val rows = (0 until n).map { i =>
+        (i.toLong,
+          if (rng.nextInt(10) == 0) None else Some(rng.nextInt(5).toDouble),
+          if (rng.nextInt(12) == 0) None else Some(rng.nextInt(9).toLong),
+          s"g${rng.nextInt(4)}")
+      }
+      val df = rows.toDF("id", "q", "w", "g").repartition(1 + rng.nextInt(13))
+      val budget = 1L + rng.nextInt(1500).toLong
+      val got = Sharding.selectTopByBudget(df, "q", "w", "id", budget, "cum")
+        .select("id", "cum").as[(Long, Long)].collect().toMap
+      val expect = rows.filter(_._2.isDefined)
+        .sortBy { case (id, q, _, _) => (-q.get, id) }
+        .scanLeft((-1L, 0L)) { case ((_, acc), (id, _, w, _)) => (id, acc + w.getOrElse(0L)) }
+        .drop(1).takeWhile(_._2 <= budget).toMap
+      assert(got == expect, s"trial $trial (n=$n, budget=$budget) global mismatch")
+      val gotG = Sharding.selectTopByBudgetByGroup(df, "g", "q", "w", "id", budget, "cum")
+        .select("id", "cum").as[(Long, Long)].collect().toMap
+      val expectG = rows.filter(_._2.isDefined).groupBy(_._4).values.flatMap { grp =>
+        grp.sortBy { case (id, q, _, _) => (-q.get, id) }
+          .scanLeft((-1L, 0L)) { case ((_, acc), (id, _, w, _)) => (id, acc + w.getOrElse(0L)) }
+          .drop(1).takeWhile(_._2 <= budget)
+      }.toMap
+      assert(gotG == expectG, s"trial $trial (n=$n, budget=$budget) per-group mismatch")
+    }
+  }
+
   test("empty input: aggregate constraints skip, size succeeds at zero") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Option[Double])].toDF("id", "v")
