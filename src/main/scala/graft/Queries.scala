@@ -2215,10 +2215,16 @@ object Queries {
     // of docs in (quality DESC, doc_id) order whose cumulative whitespace-token
     // count stays ≤ budget — the distributed budget fold vs DuckDB's cumulative
     // window. NULL doc_ids are filtered on BOTH sides (the operator's tiebreak
-    // contract: the tie key must be unique and non-NULL).
+    // contract: the tie key must be unique and non-NULL), and NULL text is
+    // filtered EXPLICITLY on BOTH sides: qualityScore(NULL) is the kernel's
+    // finite nullScore, while DuckDB's least() SKIPS NULL arguments so the
+    // oracle's qs formula ALSO yields a finite (but different) score on NULL
+    // text — without the shared filter a single NULL-text row diverges the
+    // rankings.
     QueryDef("budget_select_documents",
       (s, d) => {
-        val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        val docs = t(s, d, "documents")
+          .filter(col("doc_id").isNotNull && col("text").isNotNull)
           .withColumn("q", TextFunctions.qualityScore(col("text")))
           .withColumn("w", TextFunctions.tokenCount(col("text")))
         graft.operators.Sharding.selectTopByBudget(docs, "q", "w", "doc_id", 10000L, "cum")
@@ -2228,7 +2234,7 @@ object Queries {
             max(col("cum")).as("max_cum"))
       },
       Some("""WITH toks AS (SELECT doc_id, text, list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS tk
-             |   FROM documents WHERE doc_id IS NOT NULL),
+             |   FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
              | q AS (SELECT doc_id, round(
              | least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * (CASE WHEN CAST(length(text) AS DOUBLE) > 20000 THEN 0.5 ELSE 1.0 END) * 0.4
              | + (CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
@@ -2244,11 +2250,13 @@ object Queries {
     // Per-source token quotas: each source independently keeps its best docs up to
     // 500 tokens — the mixture-carving step where the GLOBAL budget would let one
     // huge source eat everything. NULL source is a real stratum with its own quota;
-    // NULL doc_ids filtered per the tiebreak contract. A source whose best doc
-    // already exceeds the quota is absent on both sides.
+    // NULL doc_ids filtered per the tiebreak contract, NULL text filtered on
+    // both sides (kernel nullScore vs oracle SQL-NULL — see budget_select above).
+    // A source whose best doc already exceeds the quota is absent on both sides.
     QueryDef("budget_select_by_source_documents",
       (s, d) => {
-        val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        val docs = t(s, d, "documents")
+          .filter(col("doc_id").isNotNull && col("text").isNotNull)
           .withColumn("q", TextFunctions.qualityScore(col("text")))
           .withColumn("w", TextFunctions.tokenCount(col("text")))
         graft.operators.Sharding.selectTopByBudgetByGroup(
@@ -2260,7 +2268,7 @@ object Queries {
             max(col("cum")).as("max_cum"))
       },
       Some("""WITH toks AS (SELECT doc_id, source, text, list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS tk
-             |   FROM documents WHERE doc_id IS NOT NULL),
+             |   FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
              | q AS (SELECT doc_id, source, round(
              | least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * (CASE WHEN CAST(length(text) AS DOUBLE) > 20000 THEN 0.5 ELSE 1.0 END) * 0.4
              | + (CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.2

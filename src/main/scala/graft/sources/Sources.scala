@@ -168,11 +168,32 @@ object Sources {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
     val root = fs.getFileStatus(p)
+    // Recursive listing: a Hive-partitioned layout (path/col=value/…, exactly
+    // what writePartitioned produces) keeps its data files in subdirectories —
+    // a top-level-only listStatus would audit it as zero files and downstream
+    // sizing (compactSmallFiles) would silently compute totalBytes=0. Skip any
+    // file living under a hidden ("_"/"."-prefixed) path component, matching
+    // Spark's own scan-time convention (_SUCCESS, _temporary, .crc).
     val files =
-      if (root.isDirectory)
-        fs.listStatus(p).filter(f => f.isFile && !f.getPath.getName.startsWith("_")
-          && !f.getPath.getName.startsWith(".")).toSeq
-      else Seq(root)
+      if (root.isDirectory) {
+        def hidden(f: org.apache.hadoop.fs.Path): Boolean = {
+          var cur = f
+          var h = false
+          while (cur != null && cur.toUri.getPath != root.getPath.toUri.getPath) {
+            val n = cur.getName
+            if (n.startsWith("_") || n.startsWith(".")) h = true
+            cur = cur.getParent
+          }
+          h
+        }
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && !hidden(st.getPath)) buf += st
+        }
+        buf.toSeq
+      } else Seq(root)
     val rows = files.map { st =>
       val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, hconf))
@@ -221,11 +242,27 @@ object Sources {
     }
     require(qualified(in) != qualified(out),
       "compactSmallFiles cannot compact in place — write to a new path, then swap")
-    val audit = parquetLayoutAudit(spark, in)
+    val auditDf = parquetLayoutAudit(spark, in)
+    // A Hive-partitioned input (data files under col=value/ subdirectories) must
+    // not be compacted flat: the rewrite would silently discard the directory
+    // pruning the layout exists for. Compact each partition directory instead,
+    // or re-run writePartitioned with coarser sizing.
+    val inPrefix = qualified(in).toString.stripSuffix("/") + "/"
+    val partitioned = auditDf.select("file").collect().exists { r =>
+      val rel = r.getString(0).stripPrefix(inPrefix)
+      rel.split('/').dropRight(1).exists(_.contains("="))
+    }
+    require(!partitioned,
+      s"compactSmallFiles: '$in' is a Hive-partitioned layout (col=value subdirectories); " +
+        "compacting it flat would destroy partition pruning — compact per partition " +
+        "directory or rewrite via writePartitioned")
+    val audit = auditDf
       .agg(org.apache.spark.sql.functions.coalesce(
         org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("file_bytes")),
         org.apache.spark.sql.functions.lit(0L)).as("bytes")).head()
     val totalBytes = audit.getLong(0)
+    require(totalBytes > 0,
+      s"compactSmallFiles: layout audit found no parquet data under '$in' — nothing to compact")
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(in).repartition(nFiles).write.mode("overwrite").parquet(out)
     parquetLayoutAudit(spark, out)

@@ -405,13 +405,40 @@ object StreamingAnalysis {
     require(reference.schema(refCatCol).dataType == stream.schema(catCol).dataType,
       s"driftSink: reference '$refCatCol' is ${reference.schema(refCatCol).dataType} " +
         s"but stream '$catCol' is ${stream.schema(catCol).dataType} — cast them to one type")
+    // Categories are matched as driver-side map keys, so they need VALUE equality.
+    // A top-level BinaryType column passes the dtype guard above but Row.get hands
+    // it back as Array[Byte] (reference equality) — every category would then look
+    // one-sided and PSI would be a permanent false alert. Normalize top-level
+    // bytes to ArraySeq (the Sharding.groupKeyOf convention); binary nested inside
+    // array/struct/map keys still compares by reference a level down, so reject it.
+    locally {
+      import org.apache.spark.sql.types._
+      def nestsBinary(dt: DataType): Boolean = dt match {
+        case BinaryType => true
+        case ArrayType(e, _) => nestsBinary(e)
+        case MapType(kt, vt, _) => nestsBinary(kt) || nestsBinary(vt)
+        case StructType(fs) => fs.exists(f => nestsBinary(f.dataType))
+        case _ => false
+      }
+      val dt = stream.schema(catCol).dataType
+      require(dt == BinaryType || !nestsBinary(dt),
+        s"driftSink: category type $dt nests binary values, whose driver-side equality " +
+          "is by reference — every category would look one-sided; hash the key first " +
+          "(e.g. xxhash64)")
+    }
     def countsOf(df: DataFrame, c: String, what: String): Map[Any, Long] = {
       val rows = df.groupBy(col(c)).agg(count(lit(1)).as("n"))
         .limit(maxCategories + 1).collect()
       require(rows.length <= maxCategories,
         s"driftSink: $what has more than $maxCategories categories — '$c' does not " +
           "look categorical; bin it (Drift.psiNumeric's clamped bins) before gating")
-      rows.map(r => r.get(0) -> r.getLong(1)).toMap
+      rows.map { r =>
+        val k = r.get(0) match {
+          case b: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+          case v => v
+        }
+        k -> r.getLong(1)
+      }.toMap
     }
     val refCounts = countsOf(reference, refCatCol, "reference")
     val refTotal = refCounts.values.sum

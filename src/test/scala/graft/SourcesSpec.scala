@@ -78,6 +78,31 @@ class SourcesSpec extends SparkSpec {
     assert(empty.map(_.getLong(3)).sum == 0L)
   }
 
+  test("parquetLayoutAudit recurses into Hive-partitioned layouts; compactSmallFiles refuses them") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("layout_part").toString + "/t"
+    val df = (1 to 900).map(i => (i.toLong, i % 3, s"row$i")).toDF("id", "p", "s")
+    graft.sources.Sources.writePartitioned(df, dir, Seq("p"))
+    // The data files live under p=0/, p=1/, p=2/ — a top-level-only listing would
+    // see zero files here and downstream byte sizing would silently be 0.
+    val audit = graft.sources.Sources.parquetLayoutAudit(spark, dir).collect()
+    assert(audit.nonEmpty, "partitioned layout audited as zero files")
+    assert(audit.map(_.getLong(3)).sum == 900L,
+      s"footer rows != written rows: ${audit.map(r => (r.getString(0), r.getLong(3))).toSeq}")
+    assert(audit.forall(r => r.getString(0).contains("/p=")), "expected files under p=*/")
+    assert(audit.forall(r => !r.getString(0).contains("_SUCCESS")))
+    // Compacting a partitioned layout flat would destroy directory pruning — loud no.
+    val out = java.nio.file.Files.createTempDirectory("layout_part_out").toString + "/t"
+    val e = intercept[IllegalArgumentException](
+      graft.sources.Sources.compactSmallFiles(spark, dir, out))
+    assert(e.getMessage.contains("partitioned"), e.getMessage)
+    // A non-existent/empty input is "nothing to compact", not a silent 1-file rewrite.
+    val emptyDir = java.nio.file.Files.createTempDirectory("layout_nofiles").toString
+    val e2 = intercept[IllegalArgumentException](
+      graft.sources.Sources.compactSmallFiles(spark, emptyDir, out))
+    assert(e2.getMessage.contains("nothing to compact"), e2.getMessage)
+  }
+
   test("compactSmallFiles: many tiny files collapse to the byte-sized target, rows intact") {
     import spark.implicits._
     val in = java.nio.file.Files.createTempDirectory("compact_in").toString

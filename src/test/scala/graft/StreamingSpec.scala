@@ -558,4 +558,38 @@ class StreamingSpec extends SparkSpec {
     }
     assert(eE.getMessage.contains("can never fire"), eE.getMessage)
   }
+
+  test("drift sink: binary categories compare by value, nested binary rejected") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // Byte-array categories: Row.get hands back Array[Byte] with reference
+    // equality — unnormalized, the same category from reference and batch would
+    // never match and PSI would false-alert every batch.
+    val reference = Seq.fill(50)(Array[Byte](1)).map(Tuple1(_)).toDF("cat")
+      .unionByName(Seq.fill(50)(Array[Byte](2)).map(Tuple1(_)).toDF("cat"))
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val input = MemoryStream[Int]
+    val q = StreamingAnalysis.driftSink(
+      input.toDF().select(when(col("value") <= 10, Array[Byte](1))
+        .otherwise(Array[Byte](2)).as("cat")), "cat",
+      reference, "cat",
+      (bid, psi) => hits.synchronized { hits += bid -> psi }, threshold = 0.25)
+      .start()
+    try {
+      input.addData(1 to 20: _*) // 10×[1] + 10×[2]: same mix as reference — quiet
+      q.processAllAvailable()
+      input.addData(1 to 10: _*) // all-[1] batch: [2]'s mass vanished — alert
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(hits.map(_._1).toSeq == Seq(1L),
+      s"binary categories must match by value — only the shifted batch alerts: $hits")
+    // Binary nested in an array key still compares by reference a level down.
+    val nestedRef = Seq.fill(2)(Seq(Array[Byte](1))).map(Tuple1(_)).toDF("cat")
+    val eN = intercept[IllegalArgumentException] {
+      StreamingAnalysis.driftSink(
+        input.toDF().select(array(when(col("value") <= 10, Array[Byte](1))).as("cat")),
+        "cat", nestedRef, "cat", (_, _) => ())
+    }
+    assert(eN.getMessage.contains("nests binary"), eN.getMessage)
+  }
 }
