@@ -3636,4 +3636,50 @@ object Queries {
 
   def oracleSql: Map[String, String] =
     (defs ++ llmDefs ++ sqlSurfaceDefs ++ pipelineDefs ++ corpusStatsDefs ++ splitDefs).flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Operator-only arms for the bench queries whose `queries()` formulation bundles
+    * an EXACT verification replica alongside the approximate operator (the gated
+    * `ok`-boolean oracle pattern). The full query's time overstates what a real user
+    * pays — e.g. contamination_firewall's exact side is three tokenizing corpus
+    * scans next to the operator's one — so Bench times these arms separately and
+    * reports operator vs verification seconds. Each arm is exactly the operator
+    * surface a production caller would run, with a bounded driver-side result.
+    */
+  def operatorArms: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Bloom build + flag rollup: ONE probe scan + ONE corpus scan. The dropped
+    // exact arm re-tokenizes probe AND corpus and shuffles every gram hash.
+    "contamination_firewall_documents" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+      val probe = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("p_id"), col("text").as("p_text"))
+      val bytes = graft.operators.Dedup.buildContaminationBloom(probe, "p_text", 8)
+      graft.operators.Dedup.contaminationFlagsBloom(docs, bytes, "doc_id", "text", 8)
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("grams_flagged")), lit(0L)).as("grams_flagged"),
+          coalesce(sum(when(col("flagged_frac") === 1.0, 1L).otherwise(0L)), lit(0L))
+            .as("fully_flagged"))
+    }),
+    // Per-group sketches + merged estimate — no exact count_distinct arms.
+    "hll_rollup_events" -> ((s, d) => {
+      val per = graft.Metrics.approxDistinctRollup(t(s, d, "events"), "event_type", "user_id")
+      per.select(col("event_type"), col("approx_distinct"))
+        .crossJoin(graft.Metrics.mergeSketches(per.select("hll_sketch")))
+    }),
+    // Theta sketches + set-op estimates — no exact token-set grouping arm.
+    "theta_overlap_documents" -> ((s, d) => {
+      import graft.functions.SketchFunctions._
+      val toks = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        .select((col("doc_id") % 2 === 0).as("even"),
+          explode(TextFunctions.tokens(col("text"))).as("tk"))
+      toks.agg(
+          thetaSketch(when(col("even"), col("tk"))).as("ska"),
+          thetaSketch(when(!col("even"), col("tk"))).as("skb"))
+        .select(thetaIntersectionEstimate(col("ska"), col("skb")).as("est_inter"),
+          thetaUnionEstimate(col("ska"), col("skb")).as("est_union"))
+    }),
+    // One corpus pass into per-source sketches + pairwise set ops — no exact
+    // vocab-overlap join arm.
+    "theta_source_overlap_documents" -> ((s, d) =>
+      graft.operators.CorpusStats.sourceVocabOverlapSketch(
+        t(s, d, "documents"), "text", "source")))
 }
