@@ -1508,6 +1508,47 @@ object Queries {
              | round(avg(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
              | FROM embeddings""".stripMargin.replaceAll("\n", " "))),
 
+    // REAL multimodal metadata decode, oracled end-to-end: each doc gets a real
+    // image (format rotating png/jpeg/gif/bmp, dimensions derived from doc_id) and
+    // a real WAV (duration derived from doc_id), encoded with the JDK writers and
+    // decoded back through the production withMediaMeta operator (javax.imageio
+    // header reads + RIFF chunk walk). DuckDB replays the doc_id arithmetic — if
+    // the decoder invented numbers (the old stub) or misparsed a header, the sums
+    // diverge. pmod on both sides: plain % goes negative on negative ids.
+    QueryDef("multimodal_meta_documents",
+      (s, d) => {
+        import graft.operators.Multimodal
+        import graft.operators.Multimodal.MediaCodecs
+        val fmts = Array("png", "jpeg", "gif", "bmp")
+        val mkImg = udf((id: Long) => {
+          val w = 1 + (((id % 13) + 13) % 13).toInt
+          val h = 1 + (((id % 7) + 7) % 7).toInt
+          MediaCodecs.encodeImage(w, h, fmts((((id % 4) + 4) % 4).toInt), id)
+        })
+        val mkWav = udf((id: Long) =>
+          MediaCodecs.encodeWavPcm(8000, new Array[Byte]((1 + ((id % 4000) + 4000) % 4000).toInt)))
+        val media = t(s, d, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), mkImg(col("doc_id")).as("img"), mkWav(col("doc_id")).as("wav"))
+        val decoded = Multimodal.withMediaMeta(
+          Multimodal.withMediaMeta(media, "img", "im"), "wav", "am")
+        decoded.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("im.width").cast("long")).as("sum_width"),
+          sum(col("im.height").cast("long")).as("sum_height"),
+          sum(col("am.duration_ms")).as("sum_duration_ms"),
+          bool_and(col("im.format") ===
+            element_at(lit(fmts), pmod(col("doc_id"), lit(4)).cast("int") + 1) &&
+            col("am.format") === "wav").as("formats_ok"))
+      },
+      Some("""WITH m AS (SELECT 1 + ((doc_id % 13 + 13) % 13) AS w, 1 + ((doc_id % 7 + 7) % 7) AS h,
+             |   1 + ((doc_id % 4000 + 4000) % 4000) AS dl
+             |   FROM documents WHERE doc_id IS NOT NULL)
+             | SELECT count(*) AS n_docs,
+             | CAST(sum(w) AS BIGINT) AS sum_width, CAST(sum(h) AS BIGINT) AS sum_height,
+             | CAST(sum((dl * 1000) // 8000) AS BIGINT) AS sum_duration_ms,
+             | CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS formats_ok
+             | FROM m""".stripMargin.replaceAll("\n", " "))),
+
     // Brute-force cosine top-10 for probe vec_id=0 (the ANN correctness baseline).
     QueryDef("similarity_topk_embeddings",
       (s, d) => withProbe(s, d) { probe =>

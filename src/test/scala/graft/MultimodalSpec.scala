@@ -1,0 +1,116 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaCodecs
+import org.apache.spark.sql.functions._
+
+/** Real-codec verification: the checked-in fixtures under src/test/resources/media/
+  * were written once by MakeMediaFixtures and their headers independently verified
+  * byte-level (PNG BE u32 at 16/20, BMP LE i32 at 18/22, GIF LE u16 at 6/8, JPEG SOF0
+  * scan, WAV fmt/data chunk walk) — pinning decode against CHECKED-IN bytes means a
+  * decoder bug cannot hide behind a matching encoder bug.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/media/$name")
+    require(in != null, s"missing test fixture /media/$name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("decodeMeta reads real dimensions from checked-in PNG/JPEG/GIF/BMP fixtures") {
+    for (fmt <- Seq("png", "jpeg", "gif", "bmp")) {
+      val m = MediaCodecs.decodeMeta(fixture(s"tiny_7x5.$fmt"))
+      assert(m.format == fmt, s"$fmt sniff: ${m.format}")
+      assert(m.width.contains(7) && m.height.contains(5), s"$fmt dims: ${m.width}x${m.height}")
+      assert(m.duration_ms.isEmpty && m.size_bytes > 0)
+    }
+  }
+
+  test("decodeMeta reads real WAV duration from the checked-in fixture; chunk walk is robust") {
+    val wav = fixture("tone_500ms.wav")
+    val m = MediaCodecs.decodeMeta(wav)
+    assert(m.format == "wav" && m.duration_ms.contains(500L) && m.width.isEmpty)
+    // Chunk reordering: an extra chunk BEFORE fmt/data must not derail the walk.
+    val extra = java.nio.ByteBuffer.allocate(wav.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(wav, 0, 12)
+    extra.put("LIST".getBytes("ISO-8859-1")).putInt(4).put("INFO".getBytes("ISO-8859-1"))
+    extra.put(wav, 12, wav.length - 12)
+    val reordered = extra.array()
+    // patch the RIFF size field for honesty (the walk doesn't use it, but real files do)
+    assert(MediaCodecs.wavDurationMs(reordered).contains(500L))
+    // Truncated/corrupt: recognized format, NULL duration — never a fake number.
+    assert(MediaCodecs.decodeMeta(wav.take(20)).duration_ms.isEmpty)
+    val hostile = wav.clone()
+    // corrupt the data-chunk size to a negative i32
+    hostile(40) = 0xff.toByte; hostile(41) = 0xff.toByte
+    hostile(42) = 0xff.toByte; hostile(43) = 0xff.toByte
+    assert(MediaCodecs.wavDurationMs(hostile).isEmpty)
+  }
+
+  test("corrupt image headers keep the sniffed format with NULL dims, not fake numbers") {
+    val fakePng = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte) ++
+      Array.fill(64)(7.toByte)
+    val m = MediaCodecs.decodeMeta(fakePng)
+    assert(m.format == "png" && m.width.isEmpty && m.height.isEmpty)
+    assert(MediaCodecs.decodeMeta(null).format == "null")
+    assert(MediaCodecs.decodeMeta(Array.emptyByteArray).format == "empty")
+    assert(MediaCodecs.decodeMeta("just text".getBytes).format == "bin")
+  }
+
+  test("resize really rescales: decoded output dims equal the target in every format") {
+    for (fmt <- Seq("png", "jpeg", "gif", "bmp")) {
+      val out = MediaCodecs.resize(fixture(s"tiny_7x5.$fmt"), 13, 11)
+      val m = MediaCodecs.decodeMeta(out)
+      assert(m.format == fmt, s"$fmt re-encode sniff: ${m.format}")
+      assert(m.width.contains(13) && m.height.contains(11), s"$fmt resized dims: ${m.width}x${m.height}")
+    }
+    intercept[IllegalArgumentException](MediaCodecs.resize(fixture("tiny_7x5.png"), 0, 4))
+  }
+
+  test("perceptual aHash: stable across lossless formats, near under jpeg, far for distinct content") {
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // Use a larger image so 8x8 pooling has real structure.
+    val base = MediaCodecs.encodeImage(64, 64, "png", seed = 7L)
+    val hPng = MediaCodecs.perceptualHash(base).get
+    val hBmp = MediaCodecs.perceptualHash(MediaCodecs.encodeImage(64, 64, "bmp", seed = 7L)).get
+    assert(hPng == hBmp, "identical pixels in two lossless containers must hash identically")
+    // jpeg is lossy: same content lands within a few bits, never far
+    val hJpg = MediaCodecs.perceptualHash(MediaCodecs.encodeImage(64, 64, "jpeg", seed = 7L)).get
+    assert(ham(hPng, hJpg) <= 10, s"jpeg drifted ${ham(hPng, hJpg)} bits")
+    // different content is far
+    val hOther = MediaCodecs.perceptualHash(MediaCodecs.encodeImage(64, 64, "png", seed = 1234L)).get
+    assert(ham(hPng, hOther) > 10, s"distinct content only ${ham(hPng, hOther)} bits apart")
+    // a resized copy keeps a close hash (scale invariance is the point of pooling)
+    val hSmall = MediaCodecs.perceptualHash(MediaCodecs.resize(base, 32, 32)).get
+    assert(ham(hPng, hSmall) <= 12, s"resize drifted ${ham(hPng, hSmall)} bits")
+    assert(MediaCodecs.perceptualHash("not an image".getBytes).isEmpty)
+  }
+
+  test("withMediaMeta / withImageHash distribute: real decode inside executor UDFs") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, MediaCodecs.encodeImage(9, 4, "png", 1L)),
+      (2L, MediaCodecs.encodeImage(3, 8, "jpeg", 2L)),
+      (3L, MediaCodecs.encodeWavPcm(8000, new Array[Byte](2000))), // 250 ms
+      (4L, null.asInstanceOf[Array[Byte]]),
+      (5L, "plain bytes".getBytes))
+    val df = rows.toDF("id", "bytes").repartition(3)
+    val meta = Multimodal.withMediaMeta(df, "bytes")
+      .select(col("id"), col("media_meta.format"), col("media_meta.width"),
+        col("media_meta.height"), col("media_meta.duration_ms"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(meta(1L) == (("png", Some(9), Some(4), None)))
+    assert(meta(2L) == (("jpeg", Some(3), Some(8), None)))
+    assert(meta(3L) == (("wav", None, None, Some(250L))))
+    assert(meta(4L)._1 == "null")
+    assert(meta(5L) == (("bin", None, None, None)))
+    val hashes = Multimodal.withImageHash(df, "bytes")
+      .select(col("id"), col("image_hash")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(hashes(1L).isDefined && hashes(2L).isDefined)
+    assert(hashes(3L).isEmpty && hashes(4L).isEmpty && hashes(5L).isEmpty)
+  }
+}

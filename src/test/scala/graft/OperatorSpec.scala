@@ -796,14 +796,23 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("multimodal meta/features/frames plumbing") {
+    import graft.operators.Multimodal.MediaCodecs
     import spark.implicits._
-    val png = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte) ++ Array.fill(8192)(7.toByte)
-    val jpg = Array(0xFF.toByte, 0xD8.toByte) ++ Array.fill(100)(1.toByte)
-    val df = Seq((1L, png), (2L, jpg)).toDF("id", "bytes")
+    val png = MediaCodecs.encodeImage(50, 40, "png", seed = 3L)
+    val jpg = MediaCodecs.encodeImage(20, 30, "jpeg", seed = 4L)
+    // a big opaque blob (stands in for video) to exercise the frame slicer
+    val blob = Array.fill(8192)(7.toByte)
+    val df = Seq((1L, png), (2L, jpg), (3L, blob)).toDF("id", "bytes")
     val meta = Multimodal.withMediaMeta(df, "bytes")
-    val formats = meta.select("media_meta.format").collect().map(_.getString(0)).toSeq
-    assert(formats == Seq("png", "jpeg"))
-    assert(meta.select("media_meta.size_bytes").collect().map(_.getLong(0)).toSeq == Seq(8196L, 102L))
+    assert(meta.select("media_meta.format").collect().map(_.getString(0)).toSeq ==
+      Seq("png", "jpeg", "bin"))
+    // REAL dimensions, decoded from the headers
+    assert(meta.select("media_meta.width").collect().map(r => Option(r.get(0))).toSeq ==
+      Seq(Some(50), Some(20), None))
+    assert(meta.select("media_meta.height").collect().map(r => Option(r.get(0))).toSeq ==
+      Seq(Some(40), Some(30), None))
+    assert(meta.select("media_meta.size_bytes").collect().map(_.getLong(0)).toSeq ==
+      Seq(png.length.toLong, jpg.length.toLong, 8192L))
 
     val feats = Multimodal.withFeatures(df, "bytes", dim = 8)
     val v = feats.select("features").head().getSeq[Float](0)
@@ -813,26 +822,25 @@ class OperatorSpec extends SparkSpec {
     assert(v == v2)
 
     val frames = Multimodal.explodeFrames(df, "bytes", everyNth = 1, maxFrames = 4)
-    assert(frames.filter(col("id") === 1).count() == 2) // 8196 bytes -> 2 4KiB frames
+    assert(frames.filter(col("id") === 3).count() == 2) // 8192 bytes -> 2 4KiB frames
     assert(frames.columns.contains("frame_idx") && frames.columns.contains("frame_bytes"))
 
     val stats = Multimodal.mediaStats(df, "bytes").collect()
-    assert(stats.map(_.getString(0)).toSeq == Seq("jpeg", "png"))
+    assert(stats.map(_.getString(0)).toSeq == Seq("bin", "jpeg", "png"))
 
-    // resize: deterministic, size scales with the requested pixel ratio
+    // resize is REAL for images: decoded output dims equal the target, deterministic
     val resized = Multimodal.withResized(df, "bytes", 32, 32)
-      .select(col("id"), length(col("resized")).as("len")).collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(resized.values.forall(_ >= 16))
+      .select(col("id"), col("resized")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val m1 = MediaCodecs.decodeMeta(resized(1L))
+    assert(m1.format == "png" && m1.width.contains(32) && m1.height.contains(32))
+    val m2 = MediaCodecs.decodeMeta(resized(2L))
+    assert(m2.format == "jpeg" && m2.width.contains(32) && m2.height.contains(32))
+    assert(resized(3L).length == 32 * 32) // non-image fallback: proportional resample
     val again = Multimodal.withResized(df, "bytes", 32, 32)
-      .select(col("id"), length(col("resized")).as("len")).collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(resized == again)
-    // bigger target ⇒ at least as many bytes as a smaller target
-    val small = Multimodal.withResized(df, "bytes", 16, 16)
-      .select(col("id"), length(col("resized")).as("len")).collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(resized.forall { case (id, len) => len >= small(id) })
+      .select(col("id"), col("resized")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(resized.forall { case (id, b) => java.util.Arrays.equals(b, again(id)) })
   }
 
   test("oversized LSH buckets are dropped, not joined quadratically") {
