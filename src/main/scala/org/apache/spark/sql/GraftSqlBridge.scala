@@ -19,4 +19,13 @@ object GraftSqlBridge {
     */
   def expressionEager(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Drain the Spark listener bus (bounded wait). QueryExecutionListener events are
+    * delivered asynchronously; a debug capture that unregisters its listener without
+    * draining would race its own events. `waitUntilEmpty` is `private[spark]`, hence
+    * surfaced here.
+    */
+  def drainListenerBus(spark: SparkSession, timeoutMs: Long): Unit =
+    try spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+    catch { case _: java.util.concurrent.TimeoutException => () }
 }

@@ -326,4 +326,60 @@ class SuiteSpec extends SparkSpec {
     assert(r2.metrics.totalConstraints == 2)
     assert(broken.lastError.exists(_.getMessage == "disk full"))
   }
+
+  test("debug run: one plan + duration entry per constraint, in execution order") {
+    import graft.core.DebugValidation
+    import graft.core.DebugValidation.DebugLevel
+    // Mixed suite: batchable aggregates + a multi-job (groupBy-shaped) constraint +
+    // a planted failure for the suggestion machinery.
+    val suite = ValidationSuite("debugged", Seq(
+      Check("basics", Level.Error, Seq(
+        SizeConstraint(Assertion.Equals(100)),
+        CompletenessConstraint("status", Assertion.Equals(0.9)),
+        EntropyConstraint("status", Assertion.GreaterThanOrEqual(0.0)))),
+      Check("strict", Level.Warning, Seq(
+        PatternConstraint("name", "^u\\d+$", Assertion.Equals(1.0)),
+        StatisticConstraint("amount", Stat.Mean, Assertion.Equals(-1.0)))))) // fails
+    val dbg = DebugValidation.run(suite, df, DebugLevel.Verbose)
+
+    // Same verdicts as the production fused path.
+    val prod = suite.run(df)
+    assert(dbg.report.allResults.map(r => (r.constraint, r.status, r.metric)) ==
+      prod.allResults.map(r => (r.constraint, r.status, r.metric)))
+
+    // Timeline: one entry per constraint occurrence, in declaration (= execution)
+    // order, sequenced 1..n, each with a captured executed plan and a duration.
+    assert(dbg.timeline.map(_.seq) == Seq(1, 2, 3, 4, 5))
+    assert(dbg.timeline.map(_.constraint) ==
+      suite.checks.flatMap(_.constraints).map(_.name))
+    dbg.timeline.foreach { e =>
+      assert(e.plans.nonEmpty, s"${e.constraint}: no plan captured")
+      assert(e.durationMillis >= 0 && e.startMillis >= 0)
+    }
+    // Batched constraints carry their agg expression texts + Verbose raw values.
+    val sizeEntry = dbg.timeline.head
+    assert(sizeEntry.aggExpressions.nonEmpty && sizeEntry.aggregateValues.nonEmpty)
+    // The multi-job constraint's plans were captured via the QueryExecutionListener.
+    val entropyEntry = dbg.timeline.find(_.constraint.startsWith("Entropy")).get
+    assert(entropyEntry.plans.nonEmpty, "multi-job constraint must capture plans")
+    // The planted failure carries suggestions; passing constraints carry none.
+    val failEntry = dbg.timeline.find(_.result.isFailure).get
+    assert(failEntry.suggestions.nonEmpty)
+    assert(dbg.timeline.filter(_.result.isSuccess).forall(_.suggestions.isEmpty))
+    assert(dbg.failed.map(_.constraint) == Seq(failEntry.constraint))
+
+    // Renderers: text timeline lists every constraint; JSON parses shape-wise.
+    val text = dbg.renderText
+    suite.checks.flatMap(_.constraints).foreach(c =>
+      assert(text.contains(c.name), s"text report missing ${c.name}"))
+    assert(text.contains("FAILED:") && text.contains("hint:"))
+    val json = dbg.renderJson
+    assert(json.startsWith("{") && json.contains("\"timeline\":[") &&
+      json.contains("\"suggestions\":["))
+
+    // Basic level: no plans/expressions captured, timings still present.
+    val basic = DebugValidation.run(suite, df, DebugLevel.Basic)
+    assert(basic.timeline.forall(e => e.plans.isEmpty && e.aggExpressions.isEmpty))
+    assert(basic.timeline.map(_.seq) == Seq(1, 2, 3, 4, 5))
+  }
 }
