@@ -606,6 +606,57 @@ object Queries {
       Some("""SELECT o_orderpriority AS item, CAST(count(*) AS BIGINT) AS cnt
              | FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1""".stripMargin.replaceAll("\n", " "))),
 
+    // Frequent-items sketch in the APPROXIMATE regime: the token stream's distinct
+    // count far exceeds maxMapSize=64, so estimates are no longer exact — the
+    // testable facts are the structure's guarantees, which hold for ANY insertion/
+    // merge order (the sketch is order-dependent past capacity, so per-item
+    // estimates would not be stable under Spark's partitioning): every returned
+    // item's exact count sits within [lb, ub] (and so does its estimate), and every
+    // item whose exact count exceeds getMaximumError IS returned under
+    // NO_FALSE_NEGATIVES. Exact facts (token totals, distinct count, top-1 count)
+    // are replayed by DuckDB; over_capacity pins that this run really exercised the
+    // approximate regime. Driver collects are bounded: the sketch returns at most
+    // ~maxMapSize items, and counts above maxError number at most stream/maxError.
+    QueryDef("frequent_items_bounds_documents",
+      (s, d) => {
+        import graft.analyzers._
+        val maxMapSize = 64
+        val toks = t(s, d, "documents")
+          .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tk"))
+        val a = FrequentItemsAnalyzer("tk", maxMapSize = maxMapSize, k = 10)
+        val state = a.computeState(toks)
+        val items = FrequentItemsSketch.topK(state, Int.MaxValue)
+        val maxErr = FrequentItemsSketch.maximumError(state)
+        val exactAll = toks.groupBy(col("tk")).agg(count(lit(1)).as("n"))
+        val exactForItems =
+          if (items.isEmpty) Map.empty[String, Long]
+          else exactAll.filter(col("tk").isin(items.map(_._1): _*))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val boundsOk = items.forall { case (it, est, lb, ub) =>
+          val ex = exactForItems.getOrElse(it, 0L)
+          lb <= ex && ex <= ub && lb <= est && est <= ub
+        }
+        val returned = items.map(_._1).toSet
+        val noFalseNeg = exactAll.filter(col("n") > maxErr)
+          .collect().map(_.getString(0)).forall(returned)
+        val stats = toks.agg(count(lit(1)).as("nt"),
+          count_distinct(col("tk")).as("nd")).head()
+        val top1 = exactAll.agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+        import s.implicits._
+        Seq((stats.getLong(0), stats.getLong(1), stats.getLong(1) > maxMapSize,
+          top1, boundsOk, noFalseNeg))
+          .toDF("n_tokens", "n_distinct", "over_capacity", "top1_exact",
+            "bounds_ok", "no_false_neg_ok")
+      },
+      Some("""WITH tok AS (SELECT t FROM documents,
+             |   unnest(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS u(t)),
+             | c AS (SELECT t, count(*) AS n FROM tok GROUP BY 1)
+             | SELECT CAST((SELECT count(*) FROM tok) AS BIGINT) AS n_tokens,
+             | CAST((SELECT count(*) FROM c) AS BIGINT) AS n_distinct,
+             | (SELECT count(*) FROM c) > 64 AS over_capacity,
+             | CAST((SELECT coalesce(max(n), 0) FROM c) AS BIGINT) AS top1_exact,
+             | TRUE AS bounds_ok, TRUE AS no_false_neg_ok""".stripMargin.replaceAll("\n", " "))),
+
     QueryDef("analyzers_lineitem",
       (s, d) => {
         import graft.analyzers._

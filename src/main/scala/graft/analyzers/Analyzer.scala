@@ -267,6 +267,14 @@ object FrequentItemsSketch {
     FrequentItemsState(s.toByteArray(serde))
   }
 
+  /** The sketch's current worst-case estimation error (0 while still exact — below
+    * capacity every count is precise). Any item whose TRUE count exceeds this must
+    * be returned by a NO_FALSE_NEGATIVES query: that pair of facts is the testable
+    * guarantee in the approximate regime.
+    */
+  def maximumError(s: FrequentItemsState): Long =
+    if (s.isEmpty) 0L else deserialize(s.sketch).getMaximumError
+
   /** Top-k (estimate desc, item asc — deterministic at equal estimates) with bounds.
     * NO_FALSE_NEGATIVES: every true heavy hitter appears; an over-threshold estimate
     * for a light item is possible only past the exactness regime.
