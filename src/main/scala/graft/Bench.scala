@@ -142,7 +142,17 @@ object Bench {
     // living in ad-hoc sweep logs. SPARK_GRAFT_SWEEP=0 skips (fast local iteration).
     val sweep: Seq[(String, Double)] =
       if (sys.env.get("SPARK_GRAFT_SWEEP").contains("0")) Nil
-      else try graft.tools.ScaleSweep.run(spark, sfDir).map { case (n, _, _, r) => n -> r }
+      else try {
+        // The sweep runs LAST, after ~160 collected queries have filled the heap —
+        // round-7 showed that state inflating every sweep ratio in the same
+        // direction (isolated re-runs were 2x lower, PLANS.md round-8 note). Clear
+        // the SQL/RDD caches and force a full GC so the sweep measures plans, not
+        // the bench's own garbage.
+        spark.sharedState.cacheManager.clearCache()
+        System.gc()
+        Thread.sleep(2000)
+        graft.tools.ScaleSweep.run(spark, sfDir).map { case (n, _, _, r) => n -> r }
+      }
       catch { case scala.util.control.NonFatal(e) =>
         // Sentinel ABOVE the bound, not -1: a gate comparing worst < 15 must FAIL when
         // the sweep itself crashed (a scale regression can manifest as a crash) — a

@@ -49,13 +49,18 @@ object CorpusStats {
     val base = nonNull(df, idCol, textCol)
     val toks = base.select(col(idCol).as("_id"),
       explode(TextFunctions.tokens(col(textCol))).as("token"))
+    // tf feeds BOTH the scoring join and the document-frequency rollup. Measured
+    // round 8 (ScratchTfidf, sf0.1 + synthetic 10x): eagerly materializing it
+    // (localCheckpoint) beats the two-pass re-scan at BOTH scales — 1.13→0.87 s at
+    // sf0.1 and 3.04→1.42 s at 10x (scan+tokenize+shuffle twice costs more than
+    // one block-manager write of the (doc,token) frame; post-agg tf is also far
+    // smaller than the exploded token stream). Lineage truncation is the accepted
+    // trade of every localCheckpoint in this module (bigramSurprisal's counts):
+    // an executor loss mid-query re-runs the query instead of recomputing blocks.
     val tf = toks.groupBy(col("_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     // df from the tf table (one row per (doc, token) already) — no second
-    // distinct over the exploded frame. DELIBERATE two-pass trade: tf feeds both
-    // the scoring join and this rollup, so the corpus is scanned+tokenized twice
-    // rather than materializing the (doc,token)-scale tf frame to executor disk —
-    // tf is corpus-scale (unlike the vocab-bounded counts the bigram ops
-    // checkpoint), same trade duplicateTokenSpans documents.
+    // distinct over the exploded frame.
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df_docs"))
     val nDocs = base.agg(countDistinct(col(idCol)).as("_n"))
     val w = Window.partitionBy(col("_id"))

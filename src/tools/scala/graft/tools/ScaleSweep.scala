@@ -127,7 +127,12 @@ object ScaleSweep {
       val e10 = spark.read.parquet(s"$out/embeddings.parquet").count()
       println(s"[sweep] synthetic 10x at $out: documents=$d10 embeddings=$e10")
 
-      val results = Queries.map { name =>
+      // SPARK_GRAFT_SWEEP_ONLY=a,b,c restricts to a subset — profiling one
+      // regression must not pay the full 40-query sweep.
+      val subset = sys.env.get("SPARK_GRAFT_SWEEP_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      val selected = subset.fold(Queries)(s => Queries.filter(s))
+      val results = selected.map { name =>
         val fn = SparkEntry.queries(name)
         // Symmetric warmup on BOTH inputs: each measured run is the second read of its
         // dataset, so parquet footer/metadata caching and codegen/JIT are paid equally
@@ -191,7 +196,7 @@ object ScaleSweep {
     (System.nanoTime() - t0) / 1e9
   }
 
-  private def build10x(spark: SparkSession, src: String, out: String): Unit = {
+  private[tools] def build10x(spark: SparkSession, src: String, out: String): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val embs = spark.read.parquet(s"$src/embeddings.parquet")
     // Offsets keep ids unique across replicas while replica 0 keeps the originals
