@@ -168,6 +168,26 @@ object TextFunctions {
         .otherwise(array(concat_ws(" ", t))))
   }
 
+  /** `xxhash64` of each distinct word k-gram — the NATIVE drop-in for
+    * `xxhash64(explode(wordShingles(c, k)))` (same distinct-first-occurrence order,
+    * same shorter-than-k whole-doc fallback, bit-identical hashes — spec-pinned).
+    * [[wordShingles]] stays as the executable specification and for callers that
+    * need the gram TEXT; every hash-only pipeline should use this: the Column
+    * composition interprets `transform`/`slice`/`concat_ws` per gram, this is one
+    * codegen'd byte-walk per document.
+    */
+  def wordShingleHashes(c: Column, k: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(WordGramHashes(
+      org.apache.spark.sql.GraftSqlBridge.expression(c), k, distinct = true))
+
+  /** `xxhash64` of the word k-gram at EVERY position 0..n−k (non-distinct, ordered;
+    * empty below n = k) — the native drop-in for the duplicate-span family's
+    * `transform(sequence(0, n−k), i -> xxhash64(concat_ws(" ", slice(t, i+1, k))))`.
+    */
+  def wordGramHashesAt(c: Column, k: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(WordGramHashes(
+      org.apache.spark.sql.GraftSqlBridge.expression(c), k, distinct = false))
+
   /** Rolling 64-bit hashes of the character n-grams — the document-fingerprint set. */
   def shingleHashes(c: Column, n: Int): Column =
     transform(charShingles(c, n), s => xxhash64(s))

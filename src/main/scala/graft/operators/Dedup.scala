@@ -509,8 +509,8 @@ object Dedup {
   private def distinctGramHashes(df: DataFrame, textCol: String,
       ngramWords: Int): DataFrame =
     df.filter(size(tokens(col(textCol))) > 0)
-      .select(explode(wordShingles(col(textCol), ngramWords)).as("_g"))
-      .select(xxhash64(col("_g")).as("_h")).distinct()
+      .select(explode(wordShingleHashes(col(textCol), ngramWords)).as("_h"))
+      .distinct()
 
   /** Build the probe side of [[crossCorpusContaminationBloom]] ONCE as portable
     * bytes (Spark's `BloomFilter.writeTo` encoding): the eval-set firewall a
@@ -564,16 +564,16 @@ object Dedup {
     val grams = corpus.filter(col(idCol).isNotNull)
       .select(col(idCol).as("_id"),
         explode_outer(when(size(tokens(col(textCol))) > 0,
-          wordShingles(col(textCol), ngramWords))).as("_g"))
+          wordShingleHashes(col(textCol), ngramWords))).as("_h"))
     val hit =
       if (bloomBytes.isEmpty) lit(false)
       else GraftSqlBridge.column(BloomFilterMightContain(
         Literal(bloomBytes, BinaryType),
-        GraftSqlBridge.expression(xxhash64(col("_g")))))
+        GraftSqlBridge.expression(col("_h"))))
     grams
       .groupBy(col("_id"))
-      .agg(count(col("_g")).as("grams_total"),
-        coalesce(sum(when(col("_g").isNotNull && hit, 1L).otherwise(0L)), lit(0L))
+      .agg(count(col("_h")).as("grams_total"),
+        coalesce(sum(when(col("_h").isNotNull && hit, 1L).otherwise(0L)), lit(0L))
           .as("grams_flagged"))
       .select(col("_id").as(idCol), col("grams_total"), col("grams_flagged"),
         when(col("grams_total") > 0,
@@ -679,13 +679,16 @@ object Dedup {
   private def dupGramPositions(df: DataFrame, idCol: String, textCol: String,
       k: Int): (DataFrame, DataFrame) = {
     val toks = df.filter(col(idCol).isNotNull)
-      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_t"))
-      .select(col("_id"), col("_t"), coalesce(size(col("_t")), lit(0)).as("_n"))
+      .select(col(idCol).as("_id"), col(textCol).as("_text"), tokens(col(textCol)).as("_t"))
+      .select(col("_id"), col("_text"), col("_t"),
+        coalesce(size(col("_t")), lit(0)).as("_n"))
+    // Positional gram hashes via the native kernel (one byte-walk per doc; posexplode
+    // index IS the gram position — same 0..n−k order the transform(sequence) Column
+    // formulation emitted, spec-pinned bit-for-bit in PropertySpec).
     val grams = toks
       .filter(col("_n") >= k)
-      .select(col("_id"), posexplode(transform(
-        sequence(lit(0), col("_n") - k),
-        i => xxhash64(concat_ws(" ", slice(col("_t"), i + 1, lit(k)))))).as(Seq("_pos", "_h")))
+      .select(col("_id"),
+        posexplode(wordGramHashesAt(col("_text"), k)).as(Seq("_pos", "_h")))
     val dup = grams.groupBy(col("_h")).agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= 2).select("_h")
     (toks, grams.join(dup, Seq("_h"), "leftsemi"))
@@ -825,8 +828,7 @@ object Dedup {
     probe
       .filter(size(tokens(col(probeTextCol))) > 0)
       .select(col(probeIdCol).as("probe_id"),
-        explode(wordShingles(col(probeTextCol), ngramWords)).as("_g"))
-      .select(col("probe_id"), xxhash64(col("_g")).as("_h"))
+        explode(wordShingleHashes(col(probeTextCol), ngramWords)).as("_h"))
       .localCheckpoint(true)
 
   /** Corpus-side gram hashes as a pure row-local projection — the corpus NEVER
@@ -836,8 +838,7 @@ object Dedup {
       ngramWords: Int): DataFrame =
     fanOut(corpus)
       .filter(size(tokens(col(corpusTextCol))) > 0)
-      .select(explode(wordShingles(col(corpusTextCol), ngramWords)).as("_g"))
-      .select(xxhash64(col("_g")).as("_h"))
+      .select(explode(wordShingleHashes(col(corpusTextCol), ngramWords)).as("_h"))
 
   /** Per-probe-doc rollup: `probe_id`, `ngrams_total` (distinct grams in the doc),
     * `ngrams_matched`, `contamination` (= matched/total).

@@ -407,6 +407,58 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("word-gram hash kernel equals the Column formulation bit-for-bit") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // The pre-kernel Column formulations, inlined as the independent reference:
+    // distinct grams = xxhash64 over wordShingles; positional = the span family's
+    // transform(sequence) composition. The kernel must match BIT-FOR-BIT — the
+    // stored-firewall guarantee rides on it.
+    def refDistinct(c: org.apache.spark.sql.Column, k: Int) =
+      transform(TextFunctions.wordShingles(c, k), g => xxhash64(g))
+    def refPositional(c: org.apache.spark.sql.Column, k: Int) = {
+      val t = TextFunctions.tokens(c)
+      when(size(t) >= k, transform(
+        sequence(lit(0), size(t) - k),
+        i => xxhash64(concat_ws(" ", slice(t, i + 1, lit(k))))))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    val hostile = Seq(
+      "a b c d e f g h", "a  b\tc\nd\re fg\fh i", "one", "", "   ",
+      "a b c", "word " * 40, "emoji 😀 mixed éü tokens here okay fine",
+      "nbsp is one token b c d e f g h", "tab\tsep\tx y z w v u t s r",
+      "\n\nleading and trailing ws a b c d e f\n\n", "dup dup dup dup dup dup dup dup dup",
+      "漢字とかな a b c d e f g h")
+    val texts = hostile ++ (1 to 30).map(i =>
+      (1 to (i % 17)).map(j => s"w${(i * j) % 7}").mkString(Seq(" ", "  ", "\t", " \n")(i % 4)))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (k <- Seq(2, 5, 8)) {
+      val rows = df.select(col("id"),
+          TextFunctions.wordShingleHashes(col("text"), k).as("kd"),
+          refDistinct(col("text"), k).as("rd"),
+          TextFunctions.wordGramHashesAt(col("text"), k).as("kp"),
+          refPositional(col("text"), k).as("rp"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"distinct k=$k diverged on '${texts(r.getLong(0).toInt)}'")
+        assert(r.getSeq[Long](3) == r.getSeq[Long](4),
+          s"positional k=$k diverged on '${texts(r.getLong(0).toInt)}'")
+      }
+    }
+    // NULL propagates like the wordShingles when(isNotNull) wrapper
+    val nullRow = Seq(Tuple1(null.asInstanceOf[String])).toDF("text")
+      .select(TextFunctions.wordShingleHashes(col("text"), 8),
+        TextFunctions.wordGramHashesAt(col("text"), 8)).head()
+    assert(nullRow.isNullAt(0) && nullRow.isNullAt(1))
+    // GOLDEN pin (same value PipelineOpsSpec pins via the Column path): the kernel
+    // is now the production hasher for stored contamination blooms.
+    val g = Seq("a b c d e f g h").toDF("text")
+      .select(TextFunctions.wordShingleHashes(col("text"), 8)).head().getSeq[Long](0)
+    assert(g == Seq(48378799402119996L), s"kernel gram hash drifted: $g")
+  }
+
   test("minhash kernel is bit-stable (golden values) and set-semantic") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
