@@ -1600,6 +1600,46 @@ object Queries {
              | CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS formats_ok
              | FROM m""".stripMargin.replaceAll("\n", " "))),
 
+    // Visual near-dup dedup, oracled end-to-end: every doc gets a deterministic
+    // NOISE image keyed on pmod(doc_id, 37) — same seed ⇒ byte-identical PNG ⇒
+    // identical perceptual aHash (Hamming 0, must pair); different seeds pool to
+    // effectively independent 64-bit masks (measured min cross-seed Hamming 20
+    // vs the 3 threshold — encodeNoiseImage exists because the gradient pattern
+    // collided). So found pairs == Σ_seed C(n_s,2) and dedup survivors == distinct
+    // seed count, both pure doc_id arithmetic DuckDB replays. The booleans pin
+    // that every pair is same-seed at Hamming 0 (banding recall + verify).
+    QueryDef("image_dedup_documents",
+      (s, d) => {
+        import graft.operators.Multimodal
+        val mkImg = udf((id: Long) => Multimodal.MediaCodecs.encodeNoiseImage(
+          24, 16, "png", (((id % 37) + 37) % 37)))
+        val media = t(s, d, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), mkImg(col("doc_id")).as("img"))
+        val pairs = Multimodal.nearDupPairsImage(media, "doc_id", "img", maxHamming = 3)
+        val kept = Multimodal.dedupImages(media, "doc_id", "img", maxHamming = 3)
+          .agg(count(lit(1)).as("kept"))
+        val nImgs = media.agg(count(lit(1)).as("n_imgs"))
+        pairs.agg(
+            count(lit(1)).as("n_pairs"),
+            bool_and(pmod(col("id_a"), lit(37)) === pmod(col("id_b"), lit(37)))
+              .as("same_seed_ok"),
+            bool_and(col("hamming") === 0).as("hamming_zero_ok"))
+          .crossJoin(nImgs).crossJoin(kept)
+          .select(col("n_imgs"), col("n_pairs"), col("same_seed_ok"),
+            col("hamming_zero_ok"), col("kept"))
+      },
+      Some("""WITH d AS (SELECT doc_id, (doc_id % 37 + 37) % 37 AS s
+             |   FROM documents WHERE doc_id IS NOT NULL),
+             | g AS (SELECT s, count(*) AS n FROM d GROUP BY 1)
+             | SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_imgs,
+             | CAST(coalesce(sum(n * (n - 1) / 2), 0) AS BIGINT) AS n_pairs,
+             | CASE WHEN coalesce(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END), 0) = 0
+             |   THEN NULL ELSE TRUE END AS same_seed_ok,
+             | CASE WHEN coalesce(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END), 0) = 0
+             |   THEN NULL ELSE TRUE END AS hamming_zero_ok,
+             | CAST(count(*) AS BIGINT) AS kept
+             | FROM g""".stripMargin.replaceAll("\n", " "))),
+
     // Brute-force cosine top-10 for probe vec_id=0 (the ANN correctness baseline).
     QueryDef("similarity_topk_embeddings",
       (s, d) => withProbe(s, d) { probe =>

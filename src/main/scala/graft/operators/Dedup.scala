@@ -1139,19 +1139,32 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"), col(textCol))
       .filter(size(tokens(col(textCol))) > 0)
     val hashed = withSimhash(fanOut(docs), textCol, tokenHasher = tokenHasher)
-    val banded = hashed.select(col("id"), col("simhash"),
+      .select(col("id"), col("simhash").as("_h64"))
+    bandedHammingPairs(hashed, maxHamming, maxBucketSize)
+  }
+
+  /** Shared back half of every 64-bit-sketch near-dup operator (SimHash text,
+    * perceptual image hashes): band the long into 4×16 bits, bucket-join on exact
+    * band matches (pigeonhole: any pair within Hamming ≤ 3 shares at least one
+    * band), verify with a codegen'd `bit_count(xor)`. Input: (`id`, `_h64`).
+    *
+    * 100 TB shape: only (band, bits, id, h) rows cross the shuffle; the oversized-
+    * band guard (windowed count over the same exchange — same rationale as
+    * minhashCandidatePairs) drops degenerate buckets a boilerplate/monochrome pile
+    * would otherwise turn quadratic.
+    */
+  private[operators] def bandedHammingPairs(hashed: DataFrame, maxHamming: Int,
+      maxBucketSize: Int): DataFrame = {
+    val banded = hashed.select(col("id"), col("_h64"),
       explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"), shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bits"))
+        struct(lit(b).as("band"), shiftrightunsigned(col("_h64"), b * 16).bitwiseAND(lit(0xffffL)).as("bits"))
       }: _*)).as("bb"))
-      .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.bits").as("bits"))
-      // Oversized-band guard, same shape and rationale as minhashCandidatePairs: a
-      // boilerplate-heavy corpus can pile thousands of docs onto one 16-bit band value
-      // and the self-join below would go quadratic on that bucket.
+      .select(col("id"), col("_h64"), col("bb.band").as("band"), col("bb.bits").as("bits"))
       .repartition(col("band"), col("bits"))
       .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("band"), col("bits"))))
       .filter(col("_n") <= maxBucketSize).drop("_n")
-    val a = banded.select(col("band"), col("bits"), col("id").as("id_a"), col("simhash").as("h_a"))
-    val b = banded.select(col("band"), col("bits"), col("id").as("id_b"), col("simhash").as("h_b"))
+    val a = banded.select(col("band"), col("bits"), col("id").as("id_a"), col("_h64").as("h_a"))
+    val b = banded.select(col("band"), col("bits"), col("id").as("id_b"), col("_h64").as("h_b"))
     a.join(b, Seq("band", "bits")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))

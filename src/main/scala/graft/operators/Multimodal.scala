@@ -146,6 +146,39 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Deterministic NOISE image: every pixel from a splitmix64 stream keyed on
+      * (seed, x, y). Unlike [[encodeImage]]'s gradient (whose 8×8-pooled luminance
+      * mask is nearly seed-independent — measured: 37 seeds gave only 31 distinct
+      * aHashes with cross-seed Hamming collisions at 0), noise images pool to
+      * effectively independent 64-bit masks per seed (cross-seed Hamming ~Binom(64,½))
+      * — the construction for planted-duplicate tests where DIFFERENT seeds must
+      * stay far apart.
+      */
+    def encodeNoiseImage(width: Int, height: Int, format: String, seed: Long): Array[Byte] = {
+      imageIoReady
+      require(width > 0 && height > 0, s"encodeNoiseImage needs positive dims, got ${width}x$height")
+      def mix(z0: Long): Long = {
+        var z = z0 + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          img.setRGB(x, y, (mix(mix(seed) ^ (x.toLong << 32) ^ y.toLong) & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, format, bos), s"no JDK writer for '$format'")
+      bos.toByteArray
+    }
+
     /** Encode 8-bit mono PCM as a canonical 44-byte-header WAV. */
     def encodeWavPcm(sampleRate: Int, data: Array[Byte]): Array[Byte] = {
       require(sampleRate > 0, s"sampleRate must be positive, got $sampleRate")
@@ -320,6 +353,38 @@ object Multimodal {
       f: Iterator[Row] => Iterator[Row]): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     df.mapPartitions(f)(enc)
+  }
+
+  /** Visual near-duplicate PAIRS over a binary image column: perceptual aHash per
+    * image (row-local decode where the bytes live — the only pass that touches
+    * pixels), then the shared banded-Hamming machinery ([[Dedup.nearDupPairsSimhash]]'s
+    * back half): 4×16-bit bands, bucket equi-join, codegen'd `bit_count` verify.
+    * Full recall for Hamming ≤ 3 (pigeonhole over 4 bands). Rows whose payload is
+    * not a decodable image (NULL hash) never pair — a shared sentinel hash would
+    * make every broken image a "duplicate" of every other.
+    *
+    * 100 TB shape: image BYTES never shuffle — only (band, bits, id, hash) rows do;
+    * the oversized-band guard drops monochrome/boilerplate piles before the
+    * self-join can go quadratic.
+    */
+  def nearDupPairsImage(df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+    require(maxHamming >= 0, "maxHamming must be non-negative")
+    val hashed = withImageHash(df, binCol, "_h64")
+      .filter(col("_h64").isNotNull)
+      .select(col(idCol).as("id"), col("_h64"))
+    Dedup.bandedHammingPairs(hashed, maxHamming, maxBucketSize)
+  }
+
+  /** Visual dedup: drop the HIGHER id of every near-dup image pair (keep-lowest,
+    * the text family's convention); undecodable rows always survive (they were
+    * never compared). Returns the surviving rows of `df`.
+    */
+  def dedupImages(df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+    val dropped = nearDupPairsImage(df, idCol, binCol, maxHamming, maxBucketSize)
+      .select(col("id_b").as("_drop")).distinct()
+    df.join(dropped, col(idCol) === col("_drop"), "left_anti")
   }
 
   /** Media-size/format stats for a binary column — a typical corpus health check. */

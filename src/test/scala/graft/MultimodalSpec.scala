@@ -88,6 +88,34 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodecs.perceptualHash("not an image".getBytes).isEmpty)
   }
 
+  test("image near-dup: lossless twins pair at Hamming 0, noise stays apart, broken rows survive") {
+    import spark.implicits._
+    val noise = (s: Long, fmt: String) => MediaCodecs.encodeNoiseImage(24, 16, fmt, s)
+    val rows = Seq(
+      (1L, noise(7L, "png")),
+      (2L, noise(7L, "png")),  // exact byte copy of 1
+      (3L, noise(7L, "bmp")),  // same pixels, different lossless container
+      (4L, noise(8L, "png")),  // distinct content (min cross-seed hamming ~20)
+      (5L, noise(9L, "png")),
+      (6L, null.asInstanceOf[Array[Byte]]),
+      (7L, "not an image at all".getBytes))
+    val df = rows.toDF("id", "img").repartition(3)
+    val pairs = Multimodal.nearDupPairsImage(df, "id", "img", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(pairs.toSeq == Seq((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)),
+      s"expected exactly the seed-7 trio at Hamming 0, got ${pairs.toSeq}")
+    // keep-lowest dedup: 2 and 3 drop; broken/non-image rows always survive
+    val kept = Multimodal.dedupImages(df, "id", "img", maxHamming = 3)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L, 6L, 7L))
+    // image BYTES must not cross the pair shuffle — only (band, bits, id, hash) rows
+    val plan = Multimodal.nearDupPairsImage(df, "id", "img", maxHamming = 3)
+      .queryExecution.executedPlan.toString
+    val shuffleBinary = plan.linesIterator
+      .filter(_.contains("Exchange")).exists(_.contains("img"))
+    assert(!shuffleBinary, s"image bytes crossed an exchange:\n$plan")
+  }
+
   test("withMediaMeta / withImageHash distribute: real decode inside executor UDFs") {
     import spark.implicits._
     val rows = Seq(
