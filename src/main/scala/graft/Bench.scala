@@ -71,10 +71,14 @@ object Bench {
     // files): what a user gets after running the layout tooling this library
     // ships for exactly this diagnosis.
     val tunedSec = {
-      val tuned = s"${System.getProperty("java.io.tmpdir")}/graft_bench_li32_${sfDir.hashCode.toHexString}"
+      val bytes = lineitem.inputFiles.map(f =>
+        new java.io.File(new java.net.URI(f)).length()).sum
+      // Cache key = source content fingerprint (file count + total bytes) + cpus:
+      // a regenerated testdata dir or a different core count must rebuild, not
+      // silently reuse a layout built for other data or another targetBytes.
+      val tuned = s"${System.getProperty("java.io.tmpdir")}/graft_bench_li_" +
+        s"${sfDir.hashCode.toHexString}_${lineitem.inputFiles.length}_${bytes}_$cpus"
       if (!new java.io.File(s"$tuned/_SUCCESS").exists()) {
-        val bytes = lineitem.inputFiles.map(f =>
-          new java.io.File(new java.net.URI(f)).length()).sum
         graft.sources.Sources.compactSmallFiles(spark, s"$sfDir/lineitem.parquet", tuned,
           targetBytes = math.max(bytes / cpus.toInt, 1L))
       }
@@ -112,24 +116,28 @@ object Bench {
     // page-cache miss shouldn't define a query's number. This matches how the headline
     // suite is measured (untimed warmup loop, then steady-state), and the BASELINE
     // 0.21 s figure is likewise the reference's optimized steady-state.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // A failing query must NOT masquerade as a fast measurement — publish -1 so a
-      // broken query is visible in the per-query series instead of looking cheap.
-      // collect(), NOT count(): count() over a lazy aggregate lets ColumnPruning drop
-      // every aggregate expression (the optimized plan is an EMPTY global Aggregate
-      // over a zero-column scan), so agg-shaped queries measured as scan-only.
-      // collect() materializes every output column — what Verify's parquet dump (and a
-      // real consumer) pays. Results are driver-safe: every queries() entry returns a
-      // bounded frame (single-row metrics / top-k) by design.
+    // ONE measurement protocol for full queries and operator arms — the op/verify
+    // comparison below is only meaningful while both sides share it exactly.
+    // A failing query must NOT masquerade as a fast measurement — publish -1 so a
+    // broken query is visible in the per-query series instead of looking cheap.
+    // collect(), NOT count(): count() over a lazy aggregate lets ColumnPruning drop
+    // every aggregate expression (the optimized plan is an EMPTY global Aggregate
+    // over a zero-column scan), so agg-shaped queries measured as scan-only.
+    // collect() materializes every output column — what Verify's parquet dump (and a
+    // real consumer) pays. Results are driver-safe: every queries() entry returns a
+    // bounded frame (single-row metrics / top-k) by design.
+    def measure(fn: (SparkSession, String) => DataFrame): Double = {
       def once: Double =
         try { val t0 = System.nanoTime(); fn(spark, sfDir).collect(); (System.nanoTime() - t0) / 1e9 }
         catch { case scala.util.control.NonFatal(_) => -1.0 }
       val warm = once // untimed: codegen + JIT warmup
       val t1 = once
-      name -> (
-        if (warm < 0 || t1 < 0) -1.0
-        else if (t1 > 0.8) { val t2 = once; if (t2 < 0) t1 else math.min(t1, t2) }
-        else t1)
+      if (warm < 0 || t1 < 0) -1.0
+      else if (t1 > 0.8) { val t2 = once; if (t2 < 0) t1 else math.min(t1, t2) }
+      else t1
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> measure(fn)
     }
 
     // ---- operator-vs-verification split for verification-heavy headliners ----
@@ -143,15 +151,7 @@ object Bench {
     val opSplit: Seq[(String, (Double, Double))] =
       Queries.operatorArms.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
         resultMap.get(name).map { full =>
-          def once: Double =
-            try { val t0 = System.nanoTime(); fn(spark, sfDir).collect(); (System.nanoTime() - t0) / 1e9 }
-            catch { case scala.util.control.NonFatal(_) => -1.0 }
-          val warm = once // untimed codegen/JIT warmup
-          val t1 = once
-          val op =
-            if (warm < 0 || t1 < 0) -1.0
-            else if (t1 > 0.8) { val t2 = once; if (t2 < 0) t1 else math.min(t1, t2) }
-            else t1
+          val op = measure(fn)
           name -> (op, if (op < 0 || full < 0) -1.0 else math.max(0.0, full - op))
         }
       }

@@ -1615,18 +1615,23 @@ object Queries {
           24, 16, "png", (((id % 37) + 37) % 37)))
         val media = t(s, d, "documents").filter(col("doc_id").isNotNull)
           .select(col("doc_id"), mkImg(col("doc_id")).as("img"))
+        // ONE run of the encode+hash+band pipeline (checkpointed, bounded at
+        // n_pairs rows): both the pair stats and the keep-lowest survivor count
+        // (dedupImages' exact rule: drop distinct id_b) derive from it — dedupImages
+        // itself is semantics-pinned in MultimodalSpec.
         val pairs = Multimodal.nearDupPairsImage(media, "doc_id", "img", maxHamming = 3)
-        val kept = Multimodal.dedupImages(media, "doc_id", "img", maxHamming = 3)
-          .agg(count(lit(1)).as("kept"))
+          .localCheckpoint(true)
+        val dropped = pairs.select(col("id_b")).distinct()
+          .agg(count(lit(1)).as("_n_dropped"))
         val nImgs = media.agg(count(lit(1)).as("n_imgs"))
         pairs.agg(
             count(lit(1)).as("n_pairs"),
             bool_and(pmod(col("id_a"), lit(37)) === pmod(col("id_b"), lit(37)))
               .as("same_seed_ok"),
             bool_and(col("hamming") === 0).as("hamming_zero_ok"))
-          .crossJoin(nImgs).crossJoin(kept)
+          .crossJoin(nImgs).crossJoin(dropped)
           .select(col("n_imgs"), col("n_pairs"), col("same_seed_ok"),
-            col("hamming_zero_ok"), col("kept"))
+            col("hamming_zero_ok"), (col("n_imgs") - col("_n_dropped")).as("kept"))
       },
       Some("""WITH d AS (SELECT doc_id, (doc_id % 37 + 37) % 37 AS s
              |   FROM documents WHERE doc_id IS NOT NULL),

@@ -126,6 +126,12 @@ object DebugValidation {
         seq += 1
         val startMs = (System.nanoTime() - t0) / 1000000
         val tC0 = System.nanoTime()
+        // Stamped by the evaluation paths below BEFORE any listener-bus drain: the
+        // drain waits on the SESSION-WIDE bus (another thread's backlog could block
+        // it), and folding that wait into durationMillis would misattribute the
+        // suite's time to innocent constraints — the exact confusion this tool
+        // exists to remove.
+        var durMs = 0L
         var plans = Vector.empty[String]
         var scanEst: Option[Long] = None
         var values = Vector.empty[String]
@@ -134,6 +140,7 @@ object DebugValidation {
             try {
               val agg = df.agg(c.aggregates.head, c.aggregates.drop(1): _*)
               val row = agg.head()
+              durMs = (System.nanoTime() - tC0) / 1000000
               // Captured AFTER the action: with AQE this is the FINAL plan (join
               // strategies and shuffle coalescing as actually executed).
               if (level != DebugLevel.Basic)
@@ -144,6 +151,7 @@ object DebugValidation {
               safeResult(c)(c.fromAggregates(row.toSeq))
             } catch {
               case e: Exception =>
+                durMs = (System.nanoTime() - tC0) / 1000000
                 ConstraintResult(c.name, ConstraintStatus.Failure, None,
                   s"evaluation error: ${e.getMessage}")
             }
@@ -163,15 +171,17 @@ object DebugValidation {
                 captured.add(s"FAILED: ${e.getMessage}\n" + qe.executedPlan.toString)
             }
             if (level != DebugLevel.Basic) spark.listenerManager.register(qel)
-            try safeResult(c)(c.evaluate(df))
-            finally if (level != DebugLevel.Basic) {
+            try {
+              val r = safeResult(c)(c.evaluate(df))
+              durMs = (System.nanoTime() - tC0) / 1000000
+              r
+            } finally if (level != DebugLevel.Basic) {
               org.apache.spark.sql.GraftSqlBridge.drainListenerBus(spark, 10000L)
               spark.listenerManager.unregister(qel)
               plans ++= scala.jdk.CollectionConverters.IteratorHasAsScala(
                 captured.iterator()).asScala
             }
           }
-        val durMs = (System.nanoTime() - tC0) / 1000000
         timeline += ConstraintDebug(
           seq, check.description, c.name, result, startMs, durMs,
           aggExpressions =

@@ -1129,10 +1129,6 @@ object Dedup {
       maxHamming: Int = 3, tokenHasher: String = "murmur3",
       maxBucketSize: Int = 10000): DataFrame = {
     require(maxHamming >= 0, "maxHamming must be non-negative")
-    if (maxHamming > 3)
-      log.warn(s"nearDupPairsSimhash: maxHamming=$maxHamming exceeds the 4x16-bit " +
-        "banding guarantee (full recall only for Hamming <= 3) — pairs with a " +
-        "differing bit in every band are never candidates, so recall is partial")
     // Zero-token docs (null/empty/whitespace text) all sketch to simhash 0 — without
     // this filter every such pair is a "near-duplicate" at Hamming 0 and the band
     // self-join goes quadratic in their count.
@@ -1155,6 +1151,14 @@ object Dedup {
     */
   private[operators] def bandedHammingPairs(hashed: DataFrame, maxHamming: Int,
       maxBucketSize: Int): DataFrame = {
+    require(maxHamming >= 0, "maxHamming must be non-negative")
+    // Warn HERE, not per caller: every 64-bit-sketch path (SimHash text, image
+    // aHash, future sketches) shares the 4x16 banding and thus the same partial-
+    // recall cliff past Hamming 3.
+    if (maxHamming > 3)
+      log.warn(s"bandedHammingPairs: maxHamming=$maxHamming exceeds the 4x16-bit " +
+        "banding guarantee (full recall only for Hamming <= 3) — pairs with a " +
+        "differing bit in every band are never candidates, so recall is partial")
     val banded = hashed.select(col("id"), col("_h64"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"), shiftrightunsigned(col("_h64"), b * 16).bitwiseAND(lit(0xffffL)).as("bits"))

@@ -234,6 +234,13 @@ object Multimodal {
           gray(i) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
           i += 1
         }
+        // Zero-contrast guard: EVERY uniform image thresholds to the all-zeros mask,
+        // so two visually unrelated flat images (solid black vs solid white) would
+        // "match" at Hamming 0 and dedup would silently drop one. Featureless
+        // content has no fingerprint — None, the same degenerate-input rule as
+        // SimHash's zero-token filter (which exists for the identical reason).
+        val mn = gray.min
+        if (mn == gray.max) return None
         val mean = gray.sum / 64
         var hash = 0L
         i = 0
@@ -275,9 +282,10 @@ object Multimodal {
     /** Deterministic byte resample — the non-image fallback for [[resize]]. */
     private def stubResample(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
       // Proportional to requested pixel count, bounded: an aggressive upscale would
-      // otherwise request gigabytes inside the executor UDF.
-      val MaxOut = 16 * 1024 * 1024
-      val outLen = math.min(math.max(w * h, 16), MaxOut)
+      // otherwise request gigabytes inside the executor UDF. Long math: w*h in Int
+      // wraps at 65536x65536 and would yield a 16-byte output instead of the cap.
+      val MaxOut = 16L * 1024 * 1024
+      val outLen = math.min(math.max(w.toLong * h, 16L), MaxOut).toInt
       val out = new Array[Byte](outLen)
       var i = 0
       while (i < outLen) { out(i) = bytes(((i.toLong * bytes.length) / outLen).toInt); i += 1 }

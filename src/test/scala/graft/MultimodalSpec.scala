@@ -38,7 +38,12 @@ class MultimodalSpec extends SparkSpec {
     extra.put("LIST".getBytes("ISO-8859-1")).putInt(4).put("INFO".getBytes("ISO-8859-1"))
     extra.put(wav, 12, wav.length - 12)
     val reordered = extra.array()
-    // patch the RIFF size field for honesty (the walk doesn't use it, but real files do)
+    // patch the RIFF size field at offset 4 (+12 for the inserted chunk) so the
+    // fixture is well-formed for any parser that validates it
+    val riffSize = java.nio.ByteBuffer.wrap(reordered, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    java.nio.ByteBuffer.wrap(reordered, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(riffSize + 12)
     assert(MediaCodecs.wavDurationMs(reordered).contains(500L))
     // Truncated/corrupt: recognized format, NULL duration — never a fake number.
     assert(MediaCodecs.decodeMeta(wav.take(20)).duration_ms.isEmpty)
@@ -86,6 +91,23 @@ class MultimodalSpec extends SparkSpec {
     val hSmall = MediaCodecs.perceptualHash(MediaCodecs.resize(base, 32, 32)).get
     assert(ham(hPng, hSmall) <= 12, s"resize drifted ${ham(hPng, hSmall)} bits")
     assert(MediaCodecs.perceptualHash("not an image".getBytes).isEmpty)
+    // Zero-contrast guard: every FLAT image thresholds to the same all-zeros mask,
+    // so solid black and solid white would "match" at Hamming 0 — featureless
+    // content must have NO fingerprint instead.
+    def flat(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    assert(MediaCodecs.perceptualHash(flat(0x000000)).isEmpty)
+    assert(MediaCodecs.perceptualHash(flat(0xffffff)).isEmpty)
+    // stub resample path: a huge non-image target must hit the 16 MiB cap, not wrap
+    // Int arithmetic into a tiny buffer
+    val big = MediaCodecs.resize("not an image".getBytes, 65536, 65536)
+    assert(big.length == 16 * 1024 * 1024, s"expected the cap, got ${big.length}")
   }
 
   test("image near-dup: lossless twins pair at Hamming 0, noise stays apart, broken rows survive") {

@@ -56,8 +56,10 @@ def parse_coverage(query_names, specs):
         if len(cells) < 3:
             continue
         ref, impl, verified = cells[0], cells[1], " | ".join(cells[2:])
+        # Only REAL QueryDef names count — a permissive snake_case match would list
+        # column names like doc_id as "queries" and inflate rows_with_query.
         cited_q = sorted({q for q in re.findall(r"`([a-z0-9_]+)`", verified)
-                          if q in query_names or re.fullmatch(r"[a-z0-9]+(_[a-z0-9]+)+", q)})
+                          if q in query_names})
         cited_specs = sorted(set(re.findall(r"\b([A-Z][A-Za-z0-9]*Spec)\b", verified)))
         rows.append({
             "section": section,
