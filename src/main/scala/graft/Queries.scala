@@ -1645,6 +1645,41 @@ object Queries {
              | CAST(count(*) AS BIGINT) AS kept
              | FROM g""".stripMargin.replaceAll("\n", " "))),
 
+    // Incremental visual dedup vs a persisted hash index: even doc_ids form the
+    // standing corpus (index = 8-byte hashes, never re-decoded), odd doc_ids the
+    // incoming batch. Expected pairs = same-seed pairs touching ≥1 new doc =
+    // Σ_s [C(n_s,2) − C(n_s_even,2)] — pure doc_id arithmetic DuckDB replays; the
+    // old×old exclusion (prior runs already emitted those) is exactly what the
+    // subtraction pins. Same noise-image construction as image_dedup_documents.
+    QueryDef("incremental_image_dedup_documents",
+      (s, d) => {
+        import graft.operators.Multimodal
+        val mkImg = udf((id: Long) => Multimodal.MediaCodecs.encodeNoiseImage(
+          24, 16, "png", (((id % 37) + 37) % 37)))
+        val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), mkImg(col("doc_id")).as("img"))
+        val index = Multimodal.imageHashIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "img")
+        val fresh = docs.filter(col("doc_id") % 2 =!= 0)
+        val pairs = Multimodal.incrementalImagePairs(fresh, index, "doc_id", "img",
+          maxHamming = 3)
+        pairs.agg(
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(when(col("id_a") % 2 === 0 && col("id_b") % 2 === 0, 1L)
+            .otherwise(0L)), lit(0L)).as("old_old_pairs"),
+          bool_and(pmod(col("id_a"), lit(37)) === pmod(col("id_b"), lit(37)))
+            .as("same_seed_ok"))
+      },
+      Some("""WITH d AS (SELECT doc_id, (doc_id % 37 + 37) % 37 AS s,
+             |   doc_id % 2 = 0 AS old FROM documents WHERE doc_id IS NOT NULL),
+             | g AS (SELECT s, count(*) AS n,
+             |   sum(CASE WHEN old THEN 1 ELSE 0 END) AS n_old FROM d GROUP BY 1)
+             | SELECT CAST(coalesce(sum(n * (n - 1) / 2 - n_old * (n_old - 1) / 2), 0) AS BIGINT) AS n_pairs,
+             | CAST(0 AS BIGINT) AS old_old_pairs,
+             | CASE WHEN coalesce(sum(CASE WHEN n - n_old >= 1 AND n >= 2 THEN 1 ELSE 0 END), 0) = 0
+             |   THEN NULL ELSE TRUE END AS same_seed_ok
+             | FROM g""".stripMargin.replaceAll("\n", " "))),
+
     // Brute-force cosine top-10 for probe vec_id=0 (the ANN correctness baseline).
     QueryDef("similarity_topk_embeddings",
       (s, d) => withProbe(s, d) { probe =>

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -393,6 +394,57 @@ object Multimodal {
     val dropped = nearDupPairsImage(df, idCol, binCol, maxHamming, maxBucketSize)
       .select(col("id_b").as("_drop")).distinct()
     df.join(dropped, col(idCol) === col("_drop"), "left_anti")
+  }
+
+  /** Persistable image-hash index: one `(id, image_hash)` row per DECODABLE image —
+    * the visual analog of [[Dedup.minhashIndex]]'s store-don't-recompute contract.
+    * A standing ingestion pipeline stores this (8 bytes + id per image) and each
+    * incoming batch decodes only ITS OWN pixels.
+    */
+  def imageHashIndex(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    withImageHash(df, binCol, "image_hash")
+      .filter(col("image_hash").isNotNull)
+      .select(col(idCol).as("id"), col("image_hash"))
+
+  /** Near-dup image pairs for an incremental batch: pairs among `newImages` plus
+    * pairs between `newImages` and the standing corpus represented by `index` (from
+    * [[imageHashIndex]]). Old×old pairs are deliberately absent — previous runs
+    * emitted them (the [[Dedup.incrementalMinhashCandidates]] contract; ids must be
+    * unique ACROSS batches). The index side never re-decodes: its 16-byte
+    * (id, hash) rows band straight into the bucket join, and the combined-bucket
+    * `maxBucketSize` guard caps any boilerplate pile regardless of which side
+    * fills it. Unlike the MinHash path there is no separate verify stage — the
+    * Hamming check IS exact on the banded join.
+    */
+  def incrementalImagePairs(newImages: DataFrame, index: DataFrame,
+      idCol: String, binCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+    require(Seq("id", "image_hash").forall(index.columns.contains),
+      s"index must have (id, image_hash) columns, got ${index.columns.mkString(", ")}")
+    val all = imageHashIndex(newImages, idCol, binCol).withColumn("_new", lit(true))
+      .unionByName(index.select(col("id"), col("image_hash"))
+        .filter(col("image_hash").isNotNull).withColumn("_new", lit(false)))
+      .select(col("id"), col("image_hash").as("_h64"), col("_new"))
+    val banded = all.select(col("id"), col("_h64"), col("_new"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("_h64"), b * 16).bitwiseAND(lit(0xffffL)).as("bits"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("_h64"), col("_new"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+      .repartition(col("band"), col("bits"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("band"), col("bits"))))
+      .filter(col("_n") <= maxBucketSize).drop("_n")
+    val a = banded.select(col("band"), col("bits"), col("id").as("id_a"),
+      col("_h64").as("h_a"), col("_new").as("_new_a"))
+    val b = banded.select(col("band"), col("bits"), col("id").as("id_b"),
+      col("_h64").as("h_b"), col("_new").as("_new_b"))
+    a.join(b, Seq("band", "bits"))
+      .filter(col("id_a") < col("id_b") && (col("_new_a") || col("_new_b")))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Media-size/format stats for a binary column — a typical corpus health check. */

@@ -138,6 +138,33 @@ class MultimodalSpec extends SparkSpec {
     assert(!shuffleBinary, s"image bytes crossed an exchange:\n$plan")
   }
 
+  test("incremental image pairs: index round-trips, new batch never re-decodes old, no old-x-old") {
+    import spark.implicits._
+    val noise = (s: Long) => MediaCodecs.encodeNoiseImage(24, 16, "png", s)
+    // Standing corpus: seeds 1,1,2,3 (one old dup pair 10-11); new batch: seeds
+    // 1 (matches two old + nothing new), 3 (matches one old), 4 (novel), broken.
+    val old = Seq((10L, noise(1)), (11L, noise(1)), (12L, noise(2)), (13L, noise(3)))
+      .toDF("id", "img")
+    val fresh = Seq((20L, noise(1)), (21L, noise(3)), (22L, noise(4)),
+      (23L, "broken".getBytes)).toDF("id", "img")
+    // Index persists (the store-don't-recompute contract) — parquet round-trip.
+    val dir = java.nio.file.Files.createTempDirectory("img_index").toString + "/idx"
+    Multimodal.imageHashIndex(old, "id", "img").write.parquet(dir)
+    val index = spark.read.parquet(dir)
+    val got = Multimodal.incrementalImagePairs(fresh, index, "id", "img")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // new-x-old and new-x-new pairs only: the old 10-11 dup must NOT reappear.
+    assert(got == Seq((10L, 20L), (11L, 20L), (13L, 21L)), s"got $got")
+    // parity: full recompute over old++new, restricted to pairs touching a new id
+    val full = Multimodal.nearDupPairsImage(old.unionByName(fresh), "id", "img")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (x, y) => x >= 20L || y >= 20L }.sorted.toSeq
+    assert(got == full, s"incremental $got != restricted full $full")
+    val e = intercept[IllegalArgumentException](
+      Multimodal.incrementalImagePairs(fresh, old, "id", "img"))
+    assert(e.getMessage.contains("image_hash"), e.getMessage)
+  }
+
   test("withMediaMeta / withImageHash distribute: real decode inside executor UDFs") {
     import spark.implicits._
     val rows = Seq(
