@@ -1,0 +1,199 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Gopher quality-rule kernel — one pass over the document, replacing the
+  * Column composition in [[TextFunctions.gopherFlags]]'s doc (tokens + five
+  * `filter`/`transform` higher-order lambdas + per-token/per-line `rlike`, all
+  * CodegenFallback-interpreted: the hottest remaining HOF pipeline after the
+  * word-gram kernel landed).
+  *
+  * BIT-FOR-BIT with the Column formulation (PropertySpec pins it on hostile inputs);
+  * the subtle semantics replicated here, each matching the exact Spark/Java-regex
+  * behavior of the original:
+  *  - tokens: ASCII `\s+` split (space, \t, \n, \x0B, \f, \r), empties dropped
+  *  - token char counts are CODE POINTS ([[UTF8String]].numChars), not UTF-16 units
+  *  - `\p{L}` per token == any code point in a Unicode letter category
+  *  - stopword probe `(?i)^(the|be|to|of|and|that|have|with)$` == ASCII-case-folded
+  *    whole-token equality (Java (?i) without UNICODE_CASE folds ASCII only)
+  *  - symbol count: NON-OVERLAPPING leftmost-first `#|\.{3}|…` scan ("....." = one)
+  *  - lines: literal '\n' split keeping trailing empties, Spark `trim` (strips
+  *    0x20 ONLY — not \r), non-empty lines counted
+  *  - bullet rule `^[•‣▪*-]`: first char of the trimmed line
+  *  - ellipsis rule `(\.{3}|…)$`: Java non-MULTILINE `$` also matches before ONE
+  *    final line terminator (\r, U+0085, U+2028, U+2029 — a split line cannot hold
+  *    \n), so "abc...\r" MATCHES; exactly one trailing terminator is ignored
+  */
+object GopherKernel {
+  private val Stopwords = Array("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+
+  private def isStopword(s: String, from: Int, until: Int): Boolean = {
+    val len = until - from
+    var w = 0
+    while (w < Stopwords.length) {
+      val sw = Stopwords(w)
+      if (sw.length == len) {
+        var i = 0
+        var ok = true
+        while (ok && i < len) {
+          var c = s.charAt(from + i)
+          if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+          ok = c == sw.charAt(i)
+          i += 1
+        }
+        if (ok) return true
+      }
+      w += 1
+    }
+    false
+  }
+
+  /** The eight flags, positionally matching gopherFlags' struct fields. */
+  def flags(u: UTF8String,
+      minWords: Int, maxWords: Int,
+      minMeanWordLen: Double, maxMeanWordLen: Double,
+      maxSymbolWordRatio: Double, maxBulletLineFraction: Double,
+      maxEllipsisLineFraction: Double, minAlphaWordFraction: Double,
+      minStopwordHits: Int): InternalRow = {
+    val s = u.toString
+    val n = s.length
+
+    // ---- token pass: count, summed code-point lengths, alpha words, stopwords ----
+    var nW = 0L
+    var charSum = 0L
+    var nAlpha = 0L
+    var nStop = 0L
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        var alpha = false
+        while (i < n && !isWs(s.charAt(i))) {
+          if (!alpha && Character.isLetter(s.codePointAt(i))) alpha = true
+          i += 1
+        }
+        nW += 1
+        charSum += s.codePointCount(start, i)
+        if (alpha) nAlpha += 1
+        if (isStopword(s, start, i)) nStop += 1
+      }
+    }
+
+    // ---- symbol pass: non-overlapping leftmost-first `#|\.{3}|…` ----
+    var nSym = 0L
+    i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '#') { nSym += 1; i += 1 }
+      else if (c == '.' && i + 2 < n && s.charAt(i + 1) == '.' && s.charAt(i + 2) == '.') {
+        nSym += 1; i += 3
+      }
+      else if (c == '…') { nSym += 1; i += 1 }
+      else i += 1
+    }
+
+    // ---- line pass: '\n' split, space-only trim, bullet / ellipsis-end rules ----
+    var nLines = 0L
+    var nBullet = 0L
+    var nEllipsis = 0L
+    var lineStart = 0
+    var pos = 0
+    while (pos <= n) {
+      if (pos == n || s.charAt(pos) == '\n') {
+        var a = lineStart
+        var b = pos
+        while (a < b && s.charAt(a) == ' ') a += 1
+        while (b > a && s.charAt(b - 1) == ' ') b -= 1
+        if (b > a) {
+          nLines += 1
+          val first = s.charAt(a)
+          if (first == '•' || first == '‣' || first == '▪' ||
+            first == '*' || first == '-') nBullet += 1
+          // `$` ignores ONE final line terminator (\r / NEL / LS / PS; no \n here)
+          var e = b
+          val last = s.charAt(e - 1)
+          if (last == '\r' || last == '\u0085' || last == '\u2028' || last == '\u2029')
+            e -= 1
+          val ell =
+            (e - a >= 3 && s.charAt(e - 1) == '.' && s.charAt(e - 2) == '.' &&
+              s.charAt(e - 3) == '.') ||
+              (e - a >= 1 && s.charAt(e - 1) == '…')
+          if (ell) nEllipsis += 1
+        }
+        lineStart = pos + 1
+      }
+      pos += 1
+    }
+
+    val wordCountOk = nW >= minWords && nW <= maxWords
+    val mean = if (nW > 0) charSum.toDouble / nW.toDouble else 0.0
+    val meanLenOk = nW > 0 && mean >= minMeanWordLen && mean <= maxMeanWordLen
+    val symbolOk = nW > 0 && nSym.toDouble <= maxSymbolWordRatio * nW.toDouble
+    val bulletOk = nLines == 0L ||
+      nBullet.toDouble <= maxBulletLineFraction * nLines.toDouble
+    val ellipsisOk = nLines == 0L ||
+      nEllipsis.toDouble <= maxEllipsisLineFraction * nLines.toDouble
+    val alphaOk = nW > 0 && nAlpha.toDouble >= minAlphaWordFraction * nW.toDouble
+    val stopwordOk = nStop >= minStopwordHits
+    new GenericInternalRow(Array[Any](
+      wordCountOk, meanLenOk, symbolOk, bulletOk, ellipsisOk, alphaOk, stopwordOk,
+      wordCountOk && meanLenOk && symbolOk && bulletOk && ellipsisOk &&
+        alphaOk && stopwordOk))
+  }
+
+  val StructFields: StructType = StructType(Seq(
+    StructField("word_count_ok", BooleanType, nullable = false),
+    StructField("mean_word_len_ok", BooleanType, nullable = false),
+    StructField("symbol_ratio_ok", BooleanType, nullable = false),
+    StructField("bullet_lines_ok", BooleanType, nullable = false),
+    StructField("ellipsis_lines_ok", BooleanType, nullable = false),
+    StructField("alpha_words_ok", BooleanType, nullable = false),
+    StructField("stopword_ok", BooleanType, nullable = false),
+    StructField("keep", BooleanType, nullable = false)))
+}
+
+/** Codegen'd Gopher-flags struct. NULL text ⇒ NULL struct (the `when(isNotNull)`
+  * wrapper of the Column formulation).
+  */
+case class GopherFlagsExpr(child: Expression, cfg: TextFunctions.GopherConfig)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $other")
+  }
+  override def dataType: DataType = GopherKernel.StructFields
+  override def prettyName: String = "gopher_flags"
+
+  private def call(u: UTF8String): InternalRow =
+    GopherKernel.flags(u, cfg.minWords, cfg.maxWords, cfg.minMeanWordLen,
+      cfg.maxMeanWordLen, cfg.maxSymbolWordRatio, cfg.maxBulletLineFraction,
+      cfg.maxEllipsisLineFraction, cfg.minAlphaWordFraction, cfg.minStopwordHits)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else call(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gopherExpr", this, classOf[GopherFlagsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernelCall($c);")
+  }
+
+  /** Codegen entry (referenced object call keeps the cfg without spelling every
+    * parameter into generated source).
+    */
+  def kernelCall(u: UTF8String): InternalRow = call(u)
+
+  override protected def withNewChildInternal(newChild: Expression): GopherFlagsExpr =
+    copy(child = newChild)
+}

@@ -270,7 +270,18 @@ object TextFunctions {
     * 100 TB scan. Reference behavior: repetition-family rules live in
     * [[dupNgramFraction]]/[[dupLineFraction]]; this struct is the structural-rule half.
     */
-  def gopherFlags(c: Column, cfg: GopherConfig = GopherConfig()): Column = {
+  def gopherFlags(c: Column, cfg: GopherConfig = GopherConfig()): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(GopherFlagsExpr(
+      org.apache.spark.sql.GraftSqlBridge.expression(c), cfg))
+
+  /** The executable SPECIFICATION of [[gopherFlags]] — the original Column
+    * formulation, kept verbatim: PropertySpec pins the native kernel against it
+    * bit-for-bit on hostile inputs (multi-terminator lines, non-BMP tokens, every
+    * ASCII whitespace class). Production callers use [[gopherFlags]]: the five
+    * `filter`/`transform` higher-order lambdas here are CodegenFallback-interpreted
+    * per token/line, measured ~4x slower than the kernel's single pass.
+    */
+  def gopherFlagsSpec(c: Column, cfg: GopherConfig = GopherConfig()): Column = {
     val t = tokens(c)
     val nW = size(t)
     // Non-overlapping "#" / "..." / "…" matches — both engines scan leftmost-first, so

@@ -459,6 +459,51 @@ class PropertySpec extends SparkSpec {
     assert(g == Seq(48378799402119996L), s"kernel gram hash drifted: $g")
   }
 
+  test("gopher kernel equals the Column specification bit-for-bit") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val hostile = Seq(
+      // word-count / mean-length boundaries
+      ("w " * 49).trim, ("w " * 50).trim, ("abc " * 60).trim,
+      // symbols: overlapping dots, ellipsis char, hashes
+      "txt ..... txt # ## txt … .... " + ("pad " * 60).trim,
+      // bullet and ellipsis lines, incl. the \r-terminated $ quirk and NEL/LS/PS
+      "• bullet\n- dash\n* star\nplain\nend...\nend…\nend...\r\nend...\nend... ",
+      "   spaces only trim   \n\t tab keeps line nonempty\n",
+      // alpha vs non-alpha tokens, non-BMP letters (surrogate pairs), CJK
+      "12345 67890 !!! ??? " + ("𝒮𝒸ript " * 30).trim,
+      "漢字 かな mixed the and that with of be to have",
+      // stopwords in every case
+      "THE The tHe and AND that THAT have HAVE with WITH be BE to TO of OF " +
+        ("filler " * 50).trim,
+      "", "   ", "\n\n\n", "one", null.asInstanceOf[String]) ++
+      (1 to 25).map(i => (1 to (i * 7 % 90)).map(j =>
+        Seq("the", "word", "...", "•x", s"tok$j", "…")((i + j) % 6))
+        .mkString(Seq(" ", "\n", "  ", " \r\n")(i % 4)))
+    val df = hostile.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val cols = Seq("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+      "bullet_lines_ok", "ellipsis_lines_ok", "alpha_words_ok", "stopword_ok", "keep")
+    for (cfg <- Seq(TextFunctions.GopherConfig(),
+      TextFunctions.GopherConfig(minWords = 1, maxWords = 20, minMeanWordLen = 1.0,
+        maxMeanWordLen = 99.0, maxSymbolWordRatio = 0.01,
+        maxBulletLineFraction = 0.2, maxEllipsisLineFraction = 0.0,
+        minAlphaWordFraction = 0.3, minStopwordHits = 1))) {
+      val rows = df.select(col("id"),
+          TextFunctions.gopherFlags(col("text"), cfg).as("k"),
+          TextFunctions.gopherFlagsSpec(col("text"), cfg).as("r"))
+        .select(col("id") +: (cols.map(f => col(s"k.$f")) ++ cols.map(f => col(s"r.$f"))): _*)
+        .collect()
+      rows.foreach { r =>
+        val id = r.getLong(0).toInt
+        val k = (1 to 8).map(j => Option(r.get(j)))
+        val sRef = (9 to 16).map(j => Option(r.get(j)))
+        assert(k == sRef,
+          s"kernel diverged from spec on text #$id '${hostile(id)}' ($cfg): $k vs $sRef")
+      }
+    }
+  }
+
   test("minhash kernel is bit-stable (golden values) and set-semantic") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
