@@ -304,6 +304,29 @@ object StreamingAnalysis {
       .unionByName(tokenless)
   }
 
+  /** Streaming VISUAL dedup gate: exact dedup on the 64-bit perceptual aHash of a
+    * binary image column — in-flight reposts of the same picture (including
+    * lossless re-containering, e.g. the same pixels as PNG and BMP) collapse to the
+    * first arrival. Same bounded-state semantics as [[streamingDedupExact]], same
+    * honest recall limit as [[streamingDedupSimhash]] (equality-keyed state ⇒
+    * Hamming-0 only; run the batch [[graft.operators.Multimodal.nearDupPairsImage]]
+    * on landed data for banded ≤3-bit recall). Undecodable payloads (non-images,
+    * corrupt headers, zero-contrast frames) have NULL hashes — they pass through
+    * un-deduped rather than collapsing into one NULL-keyed group.
+    */
+  def streamingDedupImageHash(
+      stream: DataFrame,
+      binCol: String,
+      watermark: Option[(String, String)] = None): DataFrame = {
+    require(!stream.columns.contains("_ih"),
+      "streamingDedupImageHash reserves the column name _ih; rename the input column")
+    val hashed = graft.operators.Multimodal.withImageHash(stream, binCol, "_ih")
+    val undecodable = hashed.filter(col("_ih").isNull).drop("_ih")
+    streamingDedupExact(hashed.filter(col("_ih").isNotNull), Seq("_ih"), watermark)
+      .drop("_ih")
+      .unionByName(undecodable)
+  }
+
   /** Streaming anomaly detection: per micro-batch, compute a scalar metric, append it
     * to the repository's history for `metricKey`, and run `strategy` over the updated
     * history; `onAnomaly` fires with the batch id and the detected points. Composes the

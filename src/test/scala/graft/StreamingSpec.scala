@@ -282,6 +282,37 @@ class StreamingSpec extends SparkSpec {
     assert(!spark.table("ssh").schema.fieldNames.contains("_sh"))
   }
 
+  test("streaming image-hash dedup drops re-containered reposts; undecodable rows pass through") {
+    import graft.operators.Multimodal.MediaCodecs
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Int)]
+    // encode on the STREAM side so payloads flow through the plan as real binary
+    val mk = udf((kind: Int) => kind match {
+      case 1 => MediaCodecs.encodeNoiseImage(24, 16, "png", 7L)
+      case 2 => MediaCodecs.encodeNoiseImage(24, 16, "bmp", 7L) // same pixels, new container
+      case 3 => MediaCodecs.encodeNoiseImage(24, 16, "png", 8L) // distinct content
+      case 4 => null.asInstanceOf[Array[Byte]]
+      case _ => "not an image".getBytes
+    })
+    val deduped = StreamingAnalysis.streamingDedupImageHash(
+      input.toDF().select(col("_1").as("id"), mk(col("_2")).as("img")), "img")
+    val q = deduped.writeStream.format("memory").queryName("sih").outputMode("append").start()
+    try {
+      input.addData((1L, 1), (2L, 2), (3L, 3)) // 1 and 2: same pixels -> one survives
+      q.processAllAvailable()
+      input.addData((4L, 1)) // repost in a later batch -> dropped
+      q.processAllAvailable()
+      input.addData((5L, 4), (6L, 5), (7L, 5)) // undecodable: ALL pass through
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql("SELECT id FROM sih").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows.count(Set(1L, 2L, 4L)) == 1, s"same-pixel reposts must collapse: $rows")
+    assert(rows.contains(3L))
+    assert(Seq(5L, 6L, 7L).forall(rows.contains), s"undecodable rows must pass through: $rows")
+    assert(!spark.table("sih").schema.fieldNames.contains("_ih"))
+  }
+
   test("streaming dedup with watermark bounds state and dedups within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
