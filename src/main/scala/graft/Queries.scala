@@ -1645,6 +1645,45 @@ object Queries {
              | CAST(count(*) AS BIGINT) AS kept
              | FROM g""".stripMargin.replaceAll("\n", " "))),
 
+    // Audio near-dup dedup, oracled end-to-end (the image_dedup pattern over the
+    // REAL PCM path): every doc gets a deterministic block-loudness noise clip
+    // keyed on pmod(doc_id, 37) — same seed ⇒ byte-identical WAV ⇒ identical
+    // envelope hash (Hamming 0, must pair); distinct seeds measured ≥20 bits apart
+    // (flat-envelope white noise would collide — the encodeNoiseWav doc records
+    // the lesson). Pairs and survivors are pure doc_id arithmetic DuckDB replays.
+    QueryDef("audio_dedup_documents",
+      (s, d) => {
+        import graft.operators.Multimodal
+        val mkSnd = udf((id: Long) => Multimodal.MediaCodecs.encodeNoiseWav(
+          8000, 4096, (((id % 37) + 37) % 37)))
+        val media = t(s, d, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), mkSnd(col("doc_id")).as("snd"))
+        val pairs = Multimodal.nearDupPairsAudio(media, "doc_id", "snd", maxHamming = 3)
+          .localCheckpoint(true)
+        val dropped = pairs.select(col("id_b")).distinct()
+          .agg(count(lit(1)).as("_n_dropped"))
+        val nClips = media.agg(count(lit(1)).as("n_clips"))
+        pairs.agg(
+            count(lit(1)).as("n_pairs"),
+            bool_and(pmod(col("id_a"), lit(37)) === pmod(col("id_b"), lit(37)))
+              .as("same_seed_ok"),
+            bool_and(col("hamming") === 0).as("hamming_zero_ok"))
+          .crossJoin(nClips).crossJoin(dropped)
+          .select(col("n_clips"), col("n_pairs"), col("same_seed_ok"),
+            col("hamming_zero_ok"), (col("n_clips") - col("_n_dropped")).as("kept"))
+      },
+      Some("""WITH d AS (SELECT doc_id, (doc_id % 37 + 37) % 37 AS s
+             |   FROM documents WHERE doc_id IS NOT NULL),
+             | g AS (SELECT s, count(*) AS n FROM d GROUP BY 1)
+             | SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_clips,
+             | CAST(coalesce(sum(n * (n - 1) / 2), 0) AS BIGINT) AS n_pairs,
+             | CASE WHEN coalesce(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END), 0) = 0
+             |   THEN NULL ELSE TRUE END AS same_seed_ok,
+             | CASE WHEN coalesce(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END), 0) = 0
+             |   THEN NULL ELSE TRUE END AS hamming_zero_ok,
+             | CAST(count(*) AS BIGINT) AS kept
+             | FROM g""".stripMargin.replaceAll("\n", " "))),
+
     // Incremental visual dedup vs a persisted hash index: even doc_ids form the
     // standing corpus (index = 8-byte hashes, never re-decoded), odd doc_ids the
     // incoming batch. Expected pairs = same-seed pairs touching ≥1 new doc =

@@ -180,6 +180,125 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** PCM payload location inside a WAV: (dataOffset, dataLen, sampleRate, channels,
+      * bitsPerSample) from the RIFF chunk walk. None for anything that is not plain
+      * PCM (format tag 1) — compressed WAV needs a real codec.
+      */
+    private def wavPcmInfo(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+      if (sniffFormat(bytes) != "wav") return None
+      def le32(off: Int): Long =
+        (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+          ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+      def le16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+      var pos = 12L
+      var fmt: Option[(Int, Int, Int)] = None // (sampleRate, channels, bits)
+      var data: Option[(Int, Int)] = None
+      while (pos + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+        val p = pos.toInt
+        val id = new String(bytes, p, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val sz = le32(p + 4)
+        if (p + 8 + sz > bytes.length) return None
+        if (id == "fmt " && sz >= 16) {
+          if (le16(p + 8) != 1) return None // not plain PCM
+          fmt = Some((le32(p + 12).toInt, le16(p + 10), le16(p + 22)))
+        }
+        if (id == "data") data = Some((p + 8, sz.toInt))
+        pos += 8L + sz + (sz & 1L)
+      }
+      for ((sr, ch, bits) <- fmt; (off, len) <- data) yield (off, len, sr, ch, bits)
+    }
+
+    /** REAL audio envelope: per-window RMS amplitude in [0, 1] over the PCM samples
+      * (8-bit unsigned or 16-bit signed little-endian; channels are averaged into
+      * the amplitude). None for non-/compressed-/empty WAV — a fake envelope would
+      * poison downstream audio dedup exactly like a fake image hash would.
+      */
+    def wavEnvelope(bytes: Array[Byte], windows: Int): Option[Array[Double]] = {
+      require(windows > 0, s"windows must be positive, got $windows")
+      wavPcmInfo(bytes).flatMap { case (off, len, _, _, bits) =>
+        if (bits != 8 && bits != 16) return None
+        val bytesPerSample = bits / 8
+        val nSamples = len / bytesPerSample
+        if (nSamples == 0) return None
+        val out = new Array[Double](windows)
+        val counts = new Array[Long](windows)
+        var i = 0
+        while (i < nSamples) {
+          val amp =
+            if (bits == 8) ((bytes(off + i) & 0xff) - 128) / 128.0
+            else {
+              val lo = bytes(off + i * 2) & 0xff
+              val hi = bytes(off + i * 2 + 1).toInt
+              ((hi << 8) | lo) / 32768.0
+            }
+          val w = ((i.toLong * windows) / nSamples).toInt
+          out(w) += amp * amp
+          counts(w) += 1
+          i += 1
+        }
+        var w = 0
+        while (w < windows) {
+          out(w) = if (counts(w) > 0) math.sqrt(out(w) / counts(w)) else 0.0
+          w += 1
+        }
+        Some(out)
+      }
+    }
+
+    /** REAL perceptual audio hash: 64-window RMS envelope thresholded at its mean —
+      * the audio analog of the image aHash (loudness SHAPE, robust to uniform gain
+      * in the small and to container rewrites). None for undecodable audio and for
+      * zero-contrast (silent/constant-loudness) clips — featureless sound has no
+      * fingerprint, same rule as flat images.
+      */
+    def audioHash(bytes: Array[Byte]): Option[Long] =
+      wavEnvelope(bytes, 64).flatMap { env =>
+        var mn = Double.MaxValue
+        var mx = Double.MinValue
+        var sum = 0.0
+        var i = 0
+        while (i < 64) {
+          val v = env(i)
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          sum += v
+          i += 1
+        }
+        if (mx == mn) None
+        else {
+          val mean = sum / 64
+          var h = 0L
+          i = 0
+          while (i < 64) { if (env(i) > mean) h |= (1L << i); i += 1 }
+          Some(h)
+        }
+      }
+
+    /** Deterministic block-loudness NOISE clip (8-bit mono PCM WAV): per-64-sample
+      * blocks with splitmix-derived amplitudes — seed-distinctive envelope SHAPES
+      * (white noise alone would give every clip a near-flat envelope and
+      * collision-prone hashes, the audio analog of the gradient-image lesson).
+      */
+    def encodeNoiseWav(sampleRate: Int, nSamples: Int, seed: Long): Array[Byte] = {
+      require(nSamples > 0, s"nSamples must be positive, got $nSamples")
+      def mix(z0: Long): Long = {
+        var z = z0 + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      val data = new Array[Byte](nSamples)
+      var i = 0
+      while (i < nSamples) {
+        val block = i >> 6
+        val amp = 8 + (java.lang.Long.remainderUnsigned(mix(mix(seed) ^ block.toLong), 112L)).toInt
+        val sign = if ((mix(mix(seed) ^ 0x5bf03635L ^ i.toLong) & 1L) == 0L) 1 else -1
+        data(i) = (128 + sign * amp).toByte
+        i += 1
+      }
+      encodeWavPcm(sampleRate, data)
+    }
+
     /** Encode 8-bit mono PCM as a canonical 44-byte-header WAV. */
     def encodeWavPcm(sampleRate: Int, data: Array[Byte]): Array[Byte] = {
       require(sampleRate > 0, s"sampleRate must be positive, got $sampleRate")
@@ -396,6 +515,42 @@ object Multimodal {
     df.join(dropped, col(idCol) === col("_drop"), "left_anti")
   }
 
+  /** Attach the 64-bit perceptual AUDIO hash (NULL for non-PCM/silent clips). */
+  def withAudioHash(df: DataFrame, binCol: String, out: String = "audio_hash"): DataFrame = {
+    val u = udf((bytes: Array[Byte]) => MediaCodecs.audioHash(bytes))
+    df.withColumn(out, u(col(binCol)))
+  }
+
+  /** Attach the per-window RMS envelope (`Array[Double]`, NULL for non-PCM). */
+  def withAudioEnvelope(df: DataFrame, binCol: String, windows: Int = 64,
+      out: String = "envelope"): DataFrame = {
+    val u = udf((bytes: Array[Byte]) => MediaCodecs.wavEnvelope(bytes, windows))
+    df.withColumn(out, u(col(binCol)))
+  }
+
+  /** Audio near-duplicate PAIRS: perceptual loudness-envelope hash per clip
+    * (row-local PCM pass where the bytes live), then the shared banded-Hamming
+    * machinery — same shape, guards, and full-recall-≤-3-bits contract as
+    * [[nearDupPairsImage]]. Undecodable/silent clips never pair.
+    */
+  def nearDupPairsAudio(df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+    val hashed = withAudioHash(df, binCol, "_h64")
+      .filter(col("_h64").isNotNull)
+      .select(col(idCol).as("id"), col("_h64"))
+    Dedup.bandedHammingPairs(hashed, maxHamming, maxBucketSize)
+  }
+
+  /** Audio dedup: keep-lowest-id survivors of [[nearDupPairsAudio]]; undecodable
+    * clips always survive.
+    */
+  def dedupAudio(df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+    val dropped = nearDupPairsAudio(df, idCol, binCol, maxHamming, maxBucketSize)
+      .select(col("id_b").as("_drop")).distinct()
+    df.join(dropped, col(idCol) === col("_drop"), "left_anti")
+  }
+
   /** Persistable image-hash index: one `(id, image_hash)` row per DECODABLE image —
     * the visual analog of [[Dedup.minhashIndex]]'s store-don't-recompute contract.
     * A standing ingestion pipeline stores this (8 bytes + id per image) and each
@@ -425,6 +580,17 @@ object Multimodal {
       .unionByName(index.select(col("id"), col("image_hash"))
         .filter(col("image_hash").isNotNull).withColumn("_new", lit(false)))
       .select(col("id"), col("image_hash").as("_h64"), col("_new"))
+    incrementalHash64Pairs(all, maxHamming, maxBucketSize)
+  }
+
+  /** Shared banded-Hamming core for incremental 64-bit perceptual-hash dedup:
+    * `all` carries `(id, _h64, _new)` for the union of the fresh batch and the
+    * stored index; emits new×new and new×old pairs (never old×old) within
+    * `maxHamming`, exact on the banded join (16-bit × 4 bands ⇒ full recall ≤ 3
+    * bits), with the combined-bucket `maxBucketSize` guard.
+    */
+  private def incrementalHash64Pairs(all: DataFrame,
+      maxHamming: Int, maxBucketSize: Int): DataFrame = {
     val banded = all.select(col("id"), col("_h64"), col("_new"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -445,6 +611,33 @@ object Multimodal {
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Persistable audio-hash index: one `(id, audio_hash)` row per clip with a
+    * fingerprint (decodable PCM, non-flat envelope) — the audio analog of
+    * [[imageHashIndex]]. A standing pipeline stores this (8 bytes + id per clip)
+    * and each incoming batch decodes only ITS OWN samples.
+    */
+  def audioHashIndex(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    withAudioHash(df, binCol, "audio_hash")
+      .filter(col("audio_hash").isNotNull)
+      .select(col(idCol).as("id"), col("audio_hash"))
+
+  /** Near-dup audio pairs for an incremental batch against a stored
+    * [[audioHashIndex]]: same contract as [[incrementalImagePairs]] — new×new and
+    * new×old pairs only, the index side never re-decodes PCM, ids unique across
+    * batches, exact Hamming on the banded join.
+    */
+  def incrementalAudioPairs(newClips: DataFrame, index: DataFrame,
+      idCol: String, binCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+    require(Seq("id", "audio_hash").forall(index.columns.contains),
+      s"index must have (id, audio_hash) columns, got ${index.columns.mkString(", ")}")
+    val all = audioHashIndex(newClips, idCol, binCol).withColumn("_new", lit(true))
+      .unionByName(index.select(col("id"), col("audio_hash"))
+        .filter(col("audio_hash").isNotNull).withColumn("_new", lit(false)))
+      .select(col("id"), col("audio_hash").as("_h64"), col("_new"))
+    incrementalHash64Pairs(all, maxHamming, maxBucketSize)
   }
 
   /** Media-size/format stats for a binary column — a typical corpus health check. */

@@ -138,6 +138,43 @@ class MultimodalSpec extends SparkSpec {
     assert(!shuffleBinary, s"image bytes crossed an exchange:\n$plan")
   }
 
+  test("audio envelope and hash: real PCM RMS, silence has no fingerprint, near-dup pairs") {
+    import spark.implicits._
+    // Hand-checkable envelope: 8-bit PCM, first half amplitude 64, second half 16.
+    val pcm = Array.tabulate(256)(i =>
+      (128 + (if (i % 2 == 0) 1 else -1) * (if (i < 128) 64 else 16)).toByte)
+    val wav = MediaCodecs.encodeWavPcm(8000, pcm)
+    val env = MediaCodecs.wavEnvelope(wav, 2).get
+    assert(math.abs(env(0) - 64.0 / 128.0) < 1e-9 && math.abs(env(1) - 16.0 / 128.0) < 1e-9,
+      s"expected [0.5, 0.125], got ${env.toSeq}")
+    // 16-bit signed path: constant amplitude 8192 -> RMS 0.25 in both windows
+    val pcm16 = new Array[Byte](512)
+    for (i <- 0 until 256) {
+      val v = (if (i % 2 == 0) 8192 else -8192).toShort
+      pcm16(i * 2) = (v & 0xff).toByte; pcm16(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    // hand-build a 16-bit header (encodeWavPcm is 8-bit): reuse it then patch bits/byteRate
+    val wav16 = MediaCodecs.encodeWavPcm(16000, pcm16)
+    wav16(34) = 16 // bitsPerSample
+    wav16(32) = 2 // block align
+    val env16 = MediaCodecs.wavEnvelope(wav16, 2).get
+    assert(env16.forall(v => math.abs(v - 0.25) < 1e-9), s"16-bit RMS: ${env16.toSeq}")
+    // silence and constant loudness have no fingerprint; non-audio has none either
+    assert(MediaCodecs.audioHash(MediaCodecs.encodeWavPcm(8000, new Array[Byte](4096))).isEmpty)
+    assert(MediaCodecs.audioHash(wav16).isEmpty, "constant loudness = zero contrast")
+    assert(MediaCodecs.audioHash("nope".getBytes).isEmpty)
+    // near-dup pairs: same-seed clips pair at Hamming 0, distinct seeds stay apart
+    val clip = (s: Long) => MediaCodecs.encodeNoiseWav(8000, 4096, s)
+    val df = Seq((1L, clip(3)), (2L, clip(3)), (3L, clip(4)), (4L, "x".getBytes))
+      .toDF("id", "snd")
+    val pairs = Multimodal.nearDupPairsAudio(df, "id", "snd")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs == Seq((1L, 2L, 0)), s"got $pairs")
+    val kept = Multimodal.dedupAudio(df, "id", "snd")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L))
+  }
+
   test("incremental image pairs: index round-trips, new batch never re-decodes old, no old-x-old") {
     import spark.implicits._
     val noise = (s: Long) => MediaCodecs.encodeNoiseImage(24, 16, "png", s)
@@ -163,6 +200,31 @@ class MultimodalSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Multimodal.incrementalImagePairs(fresh, old, "id", "img"))
     assert(e.getMessage.contains("image_hash"), e.getMessage)
+  }
+
+  test("incremental audio pairs: index round-trips, new batch never re-decodes old, no old-x-old") {
+    import spark.implicits._
+    val clip = (s: Long) => MediaCodecs.encodeNoiseWav(8000, 4096, s)
+    // Standing corpus: seeds 1,1,2,3 (one old dup pair 10-11); new batch: seeds
+    // 1 (matches two old), 3 (matches one old), 4 (novel), silent (no fingerprint).
+    val old = Seq((10L, clip(1)), (11L, clip(1)), (12L, clip(2)), (13L, clip(3)))
+      .toDF("id", "snd")
+    val fresh = Seq((20L, clip(1)), (21L, clip(3)), (22L, clip(4)),
+      (23L, MediaCodecs.encodeWavPcm(8000, new Array[Byte](4096)))).toDF("id", "snd")
+    val dir = java.nio.file.Files.createTempDirectory("snd_index").toString + "/idx"
+    Multimodal.audioHashIndex(old, "id", "snd").write.parquet(dir)
+    val index = spark.read.parquet(dir)
+    val got = Multimodal.incrementalAudioPairs(fresh, index, "id", "snd")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((10L, 20L), (11L, 20L), (13L, 21L)), s"got $got")
+    // parity: full recompute over old++new, restricted to pairs touching a new id
+    val full = Multimodal.nearDupPairsAudio(old.unionByName(fresh), "id", "snd")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (x, y) => x >= 20L || y >= 20L }.sorted.toSeq
+    assert(got == full, s"incremental $got != restricted full $full")
+    val e = intercept[IllegalArgumentException](
+      Multimodal.incrementalAudioPairs(fresh, old, "id", "snd"))
+    assert(e.getMessage.contains("audio_hash"), e.getMessage)
   }
 
   test("withMediaMeta / withImageHash distribute: real decode inside executor UDFs") {
