@@ -1719,6 +1719,40 @@ object Queries {
              |   THEN NULL ELSE TRUE END AS same_seed_ok
              | FROM g""".stripMargin.replaceAll("\n", " "))),
 
+    // Incremental audio dedup vs a persisted hash index — the audio twin of
+    // incremental_image_dedup_documents: even doc_ids form the standing corpus
+    // (index = 8-byte envelope hashes, PCM never re-decoded), odd doc_ids the
+    // incoming batch. Expected pairs = same-seed pairs touching ≥1 new doc —
+    // pure doc_id arithmetic DuckDB replays.
+    QueryDef("incremental_audio_dedup_documents",
+      (s, d) => {
+        import graft.operators.Multimodal
+        val mkSnd = udf((id: Long) => Multimodal.MediaCodecs.encodeNoiseWav(
+          8000, 4096, (((id % 37) + 37) % 37)))
+        val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), mkSnd(col("doc_id")).as("snd"))
+        val index = Multimodal.audioHashIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "snd")
+        val fresh = docs.filter(col("doc_id") % 2 =!= 0)
+        val pairs = Multimodal.incrementalAudioPairs(fresh, index, "doc_id", "snd",
+          maxHamming = 3)
+        pairs.agg(
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(when(col("id_a") % 2 === 0 && col("id_b") % 2 === 0, 1L)
+            .otherwise(0L)), lit(0L)).as("old_old_pairs"),
+          bool_and(pmod(col("id_a"), lit(37)) === pmod(col("id_b"), lit(37)))
+            .as("same_seed_ok"))
+      },
+      Some("""WITH d AS (SELECT doc_id, (doc_id % 37 + 37) % 37 AS s,
+             |   doc_id % 2 = 0 AS old FROM documents WHERE doc_id IS NOT NULL),
+             | g AS (SELECT s, count(*) AS n,
+             |   sum(CASE WHEN old THEN 1 ELSE 0 END) AS n_old FROM d GROUP BY 1)
+             | SELECT CAST(coalesce(sum(n * (n - 1) / 2 - n_old * (n_old - 1) / 2), 0) AS BIGINT) AS n_pairs,
+             | CAST(0 AS BIGINT) AS old_old_pairs,
+             | CASE WHEN coalesce(sum(CASE WHEN n - n_old >= 1 AND n >= 2 THEN 1 ELSE 0 END), 0) = 0
+             |   THEN NULL ELSE TRUE END AS same_seed_ok
+             | FROM g""".stripMargin.replaceAll("\n", " "))),
+
     // Brute-force cosine top-10 for probe vec_id=0 (the ANN correctness baseline).
     QueryDef("similarity_topk_embeddings",
       (s, d) => withProbe(s, d) { probe =>

@@ -327,6 +327,28 @@ object StreamingAnalysis {
       .unionByName(undecodable)
   }
 
+  /** Streaming AUDIO dedup gate: exact dedup on the 64-bit loudness-envelope hash
+    * of a binary audio column — in-flight reposts of the same clip collapse to the
+    * first arrival. Same bounded-state semantics as [[streamingDedupExact]], same
+    * honest recall limit as [[streamingDedupImageHash]] (equality-keyed state ⇒
+    * Hamming-0 only; run the batch [[graft.operators.Multimodal.nearDupPairsAudio]]
+    * on landed data for banded ≤3-bit recall). Undecodable payloads (non-PCM,
+    * compressed WAV, silent/constant-loudness clips) have NULL hashes — they pass
+    * through un-deduped rather than collapsing into one NULL-keyed group.
+    */
+  def streamingDedupAudioHash(
+      stream: DataFrame,
+      binCol: String,
+      watermark: Option[(String, String)] = None): DataFrame = {
+    require(!stream.columns.contains("_ah"),
+      "streamingDedupAudioHash reserves the column name _ah; rename the input column")
+    val hashed = graft.operators.Multimodal.withAudioHash(stream, binCol, "_ah")
+    val undecodable = hashed.filter(col("_ah").isNull).drop("_ah")
+    streamingDedupExact(hashed.filter(col("_ah").isNotNull), Seq("_ah"), watermark)
+      .drop("_ah")
+      .unionByName(undecodable)
+  }
+
   /** Streaming anomaly detection: per micro-batch, compute a scalar metric, append it
     * to the repository's history for `metricKey`, and run `strategy` over the updated
     * history; `onAnomaly` fires with the batch id and the detected points. Composes the

@@ -313,6 +313,36 @@ class StreamingSpec extends SparkSpec {
     assert(!spark.table("sih").schema.fieldNames.contains("_ih"))
   }
 
+  test("streaming audio-hash dedup drops reposted clips; undecodable and silent rows pass through") {
+    import graft.operators.Multimodal.MediaCodecs
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Int)]
+    // encode on the STREAM side so payloads flow through the plan as real binary
+    val mk = udf((kind: Int) => kind match {
+      case 1 => MediaCodecs.encodeNoiseWav(8000, 4096, 7L)
+      case 2 => MediaCodecs.encodeNoiseWav(8000, 4096, 8L) // distinct content
+      case 3 => MediaCodecs.encodeWavPcm(8000, new Array[Byte](4096)) // silence
+      case _ => "not audio".getBytes
+    })
+    val deduped = StreamingAnalysis.streamingDedupAudioHash(
+      input.toDF().select(col("_1").as("id"), mk(col("_2")).as("snd")), "snd")
+    val q = deduped.writeStream.format("memory").queryName("sah").outputMode("append").start()
+    try {
+      input.addData((1L, 1), (2L, 1), (3L, 2)) // 1 and 2: same clip -> one survives
+      q.processAllAvailable()
+      input.addData((4L, 1)) // repost in a later batch -> dropped
+      q.processAllAvailable()
+      input.addData((5L, 3), (6L, 3), (7L, 4)) // silent + non-audio: ALL pass through
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql("SELECT id FROM sah").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows.count(Set(1L, 2L, 4L)) == 1, s"same-clip reposts must collapse: $rows")
+    assert(rows.contains(3L))
+    assert(Seq(5L, 6L, 7L).forall(rows.contains), s"fingerprint-less rows must pass through: $rows")
+    assert(!spark.table("sah").schema.fieldNames.contains("_ah"))
+  }
+
   test("streaming dedup with watermark bounds state and dedups within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
