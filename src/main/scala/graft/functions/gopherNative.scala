@@ -35,7 +35,17 @@ object GopherKernel {
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
 
-  private def isStopword(s: String, from: Int, until: Int): Boolean = {
+  /** Whole-token stopword probe replicating `(?i)^(the|...)$` under Java's
+    * non-MULTILINE `$`: the anchor also matches before ONE final line terminator,
+    * and the terminators that survive ASCII `\s+` tokenization are U+0085, U+2028,
+    * U+2029 — so "the<U+2028>" IS a stopword hit. Back off exactly one such char.
+    */
+  private def isStopword(s: String, from: Int, until0: Int): Boolean = {
+    var until = until0
+    if (until > from) {
+      val last = s.charAt(until - 1)
+      if (last == '\u0085' || last == '\u2028' || last == '\u2029') until -= 1
+    }
     val len = until - from
     var w = 0
     while (w < Stopwords.length) {

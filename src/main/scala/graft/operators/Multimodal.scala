@@ -208,33 +208,40 @@ object Multimodal {
       for ((sr, ch, bits) <- fmt; (off, len) <- data) yield (off, len, sr, ch, bits)
     }
 
-    /** REAL audio envelope: per-window RMS amplitude in [0, 1] over the PCM samples
-      * (8-bit unsigned or 16-bit signed little-endian; channels are averaged into
-      * the amplitude). None for non-/compressed-/empty WAV — a fake envelope would
-      * poison downstream audio dedup exactly like a fake image hash would.
+    /** REAL audio envelope: per-window RMS amplitude in [0, 1] over the PCM frames
+      * (8-bit unsigned or 16-bit signed little-endian). Interleaved channels are
+      * averaged PER FRAME into one amplitude before the RMS, so a stereo clip with
+      * identical L/R tracks has the same envelope as its mono downmix. None for
+      * non-/compressed-/empty WAV — a fake envelope would poison downstream audio
+      * dedup exactly like a fake image hash would.
       */
     def wavEnvelope(bytes: Array[Byte], windows: Int): Option[Array[Double]] = {
       require(windows > 0, s"windows must be positive, got $windows")
-      wavPcmInfo(bytes).flatMap { case (off, len, _, _, bits) =>
+      wavPcmInfo(bytes).flatMap { case (off, len, _, ch, bits) =>
         if (bits != 8 && bits != 16) return None
+        if (ch <= 0) return None
         val bytesPerSample = bits / 8
-        val nSamples = len / bytesPerSample
-        if (nSamples == 0) return None
+        val nFrames = len / (bytesPerSample * ch)
+        if (nFrames == 0) return None
+        def sampleAmp(idx: Int): Double =
+          if (bits == 8) ((bytes(off + idx) & 0xff) - 128) / 128.0
+          else {
+            val lo = bytes(off + idx * 2) & 0xff
+            val hi = bytes(off + idx * 2 + 1).toInt
+            ((hi << 8) | lo) / 32768.0
+          }
         val out = new Array[Double](windows)
         val counts = new Array[Long](windows)
-        var i = 0
-        while (i < nSamples) {
-          val amp =
-            if (bits == 8) ((bytes(off + i) & 0xff) - 128) / 128.0
-            else {
-              val lo = bytes(off + i * 2) & 0xff
-              val hi = bytes(off + i * 2 + 1).toInt
-              ((hi << 8) | lo) / 32768.0
-            }
-          val w = ((i.toLong * windows) / nSamples).toInt
+        var f = 0
+        while (f < nFrames) {
+          var amp = 0.0
+          var c = 0
+          while (c < ch) { amp += sampleAmp(f * ch + c); c += 1 }
+          amp /= ch
+          val w = ((f.toLong * windows) / nFrames).toInt
           out(w) += amp * amp
           counts(w) += 1
-          i += 1
+          f += 1
         }
         var w = 0
         while (w < windows) {
@@ -299,17 +306,22 @@ object Multimodal {
       encodeWavPcm(sampleRate, data)
     }
 
-    /** Encode 8-bit mono PCM as a canonical 44-byte-header WAV. */
-    def encodeWavPcm(sampleRate: Int, data: Array[Byte]): Array[Byte] = {
+    /** Encode 8-bit PCM as a canonical 44-byte-header WAV. `data` is interleaved
+      * frame-major when `channels` > 1 (L R L R …).
+      */
+    def encodeWavPcm(sampleRate: Int, data: Array[Byte], channels: Int = 1): Array[Byte] = {
       require(sampleRate > 0, s"sampleRate must be positive, got $sampleRate")
+      require(channels > 0, s"channels must be positive, got $channels")
+      require(data.length % channels == 0,
+        s"interleaved data length ${data.length} not divisible by $channels channels")
       val bb = java.nio.ByteBuffer.allocate(44 + data.length)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       bb.put("RIFF".getBytes("ISO-8859-1")).putInt(36 + data.length)
         .put("WAVE".getBytes("ISO-8859-1"))
       bb.put("fmt ".getBytes("ISO-8859-1")).putInt(16)
-        .putShort(1).putShort(1) // PCM, mono
-        .putInt(sampleRate).putInt(sampleRate) // byteRate = rate × 1 ch × 1 byte
-        .putShort(1).putShort(8) // block align, bits per sample
+        .putShort(1).putShort(channels.toShort) // PCM
+        .putInt(sampleRate).putInt(sampleRate * channels) // byteRate = rate × ch × 1 byte
+        .putShort(channels.toShort).putShort(8) // block align, bits per sample
       bb.put("data".getBytes("ISO-8859-1")).putInt(data.length).put(data)
       bb.array()
     }

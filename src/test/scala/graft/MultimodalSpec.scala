@@ -173,6 +173,19 @@ class MultimodalSpec extends SparkSpec {
     val kept = Multimodal.dedupAudio(df, "id", "snd")
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(1L, 3L, 4L))
+    // stereo with identical L/R channels == its mono downmix: channels are averaged
+    // PER FRAME, so the envelope (and hash) must match the mono clip exactly
+    val monoPcm = Array.tabulate(4096)(i =>
+      MediaCodecs.encodeNoiseWav(8000, 4096, 7L)(44 + i))
+    val stereoPcm = new Array[Byte](monoPcm.length * 2)
+    for (i <- monoPcm.indices) {
+      stereoPcm(i * 2) = monoPcm(i); stereoPcm(i * 2 + 1) = monoPcm(i)
+    }
+    val mono = MediaCodecs.encodeWavPcm(8000, monoPcm)
+    val stereo = MediaCodecs.encodeWavPcm(8000, stereoPcm, channels = 2)
+    assert(MediaCodecs.wavEnvelope(mono, 64).get.toSeq ==
+      MediaCodecs.wavEnvelope(stereo, 64).get.toSeq, "stereo dup-channel envelope != mono")
+    assert(MediaCodecs.audioHash(mono) == MediaCodecs.audioHash(stereo))
   }
 
   test("incremental image pairs: index round-trips, new batch never re-decodes old, no old-x-old") {

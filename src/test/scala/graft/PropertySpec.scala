@@ -474,6 +474,11 @@ class PropertySpec extends SparkSpec {
       // alpha vs non-alpha tokens, non-BMP letters (surrogate pairs), CJK
       "12345 67890 !!! ??? " + ("𝒮𝒸ript " * 30).trim,
       "漢字 かな mixed the and that with of be to have",
+      // stopwords with a trailing line terminator that SURVIVES ASCII-\s+
+      // tokenization (NEL/LS/PS): `(?i)^(the|...)$`'s non-MULTILINE $ matches
+      // before ONE such terminator, so these ARE stopword hits
+      "the\u2028 AND\u0085 of\u2029 with\u2028x have\u2028\u2028 " +
+        ("filler " * 50).trim,
       // stopwords in every case
       "THE The tHe and AND that THAT have HAVE with WITH be BE to TO of OF " +
         ("filler " * 50).trim,

@@ -11,6 +11,6 @@ object HashCheck {
     println(s"[check] audio: distinct=${hs.distinct.size}/37 min cross-seed hamming=$minH")
     // envelope sanity: 64 windows, values in [0,1], block structure visible
     val env = MediaCodecs.wavEnvelope(MediaCodecs.encodeNoiseWav(8000, 4096, 5L), 64).get
-    println(s"[check] env n=${env.length} min=${env.min}%.3f max=${env.max}%.3f")
+    println(f"[check] env n=${env.length} min=${env.min}%.3f max=${env.max}%.3f")
   }
 }
