@@ -48,6 +48,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Silence WindowExec's "No Partition Defined" warning: the only un-partitioned
+    // windows in the codebase run over BOUNDED rollups (per-day aggregate in
+    // rolling_daily_events; the groupBy(spark_partition_id()) boundary folds in
+    // temporal.scala) — documented at their sites and enforced RED by
+    // GlobalWindowGuardSpec, which sweeps every queries() plan for undocumented
+    // global windows. Leaving the benign warning in the bench tail would train
+    // readers to ignore the one message that flags a real scale-killer.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
 
     def secs(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -103,6 +103,49 @@ object Joins {
       .drop("_bin")
   }
 
+  /** [[rangeJoin]] with `binWidth` derived from the DATA instead of a caller guess:
+    * one cheap aggregation takes an approximate interval-length quantile (default the
+    * median) and uses it as the bin width. Bins near the typical interval length
+    * keep both failure modes bounded — replicas per interval (length/binWidth, ~2 for
+    * the median interval) and same-bin false candidates (points whose bin holds an
+    * interval they miss). A length-quantile beats a mean here: one giant outlier
+    * interval drags the mean (inflating false candidates for everyone else) but not
+    * the median; the outlier itself still explodes to at most `maxBinsPerInterval`
+    * replicas, guarded in-task by [[rangeJoin]].
+    *
+    * `q` picks the quantile (raise toward 1.0 when lengths are heavy-tailed and the
+    * replica side, not the filter side, is the cost). Zero-length intervals are
+    * legal (the median can be 0 when most intervals are instants) — the width floors
+    * at the smallest positive length scale available, else 1.0. The result is the
+    * same exact join for ANY width; only the plan shape changes, so callers can
+    * adopt auto-width without re-validating results.
+    */
+  def rangeJoinAuto(points: DataFrame, intervals: DataFrame, pointCol: String,
+      startCol: String, endCol: String, q: Double = 0.5,
+      maxBinsPerInterval: Int = 4096): DataFrame = {
+    require(q > 0 && q <= 1, s"quantile must be in (0, 1], got $q")
+    def finite(c: Column) = c.between(-Double.MaxValue, Double.MaxValue)
+    val row = intervals
+      .filter(finite(col(startCol)) && finite(col(endCol)) &&
+        col(endCol) >= col(startCol))
+      .agg(
+        approx_percentile((col(endCol) - col(startCol)).cast("double"), lit(q), lit(1000))
+          .as("qlen"),
+        max((col(endCol) - col(startCol)).cast("double")).as("maxlen"))
+      .head()
+    val binWidth =
+      if (row.isNullAt(0)) 1.0 // no valid intervals: join is empty, width irrelevant
+      else {
+        val qlen = row.getDouble(0)
+        val maxlen = row.getDouble(1)
+        if (qlen > 0) qlen
+        // all-instant majority: fall back to the largest length, else unit bins
+        else if (maxlen > 0) maxlen
+        else 1.0
+      }
+    rangeJoin(points, intervals, pointCol, startCol, endCol, binWidth, maxBinsPerInterval)
+  }
+
   /** All strings reachable from `s` by deleting at most `d` code points (including
     * `s` itself), deduplicated. The symmetric-delete blocking kernel: if
     * `levenshtein(s1, s2) <= d` then the aligned matched characters form a common

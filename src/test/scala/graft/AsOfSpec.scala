@@ -158,6 +158,33 @@ class AsOfSpec extends SparkSpec {
     assert(Joins.rangeJoin(nanPt, ivs, "x", "s", "e", 10.0).count() == 0L)
   }
 
+  test("rangeJoinAuto: data-derived bin width, same exact join, degenerate classes") {
+    val rng = new scala.util.Random(13)
+    val points = (1 to 1500).map(i => (i.toLong, rng.nextDouble() * 1000)).toDF("pid", "x")
+    // heavy-tailed lengths: mostly ~5-wide, a few 100-wide — the median must not be
+    // dragged by the tail, and results must equal the hand-tuned width exactly
+    val ivs = (1 to 200).map { i =>
+      val s = rng.nextDouble() * 900
+      val len = if (i % 20 == 0) 100.0 else rng.nextDouble() * 5
+      (i.toLong, s, s + len)
+    }.toDF("iid", "s", "e")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = pairs(Joins.rangeJoinAuto(points, ivs, "x", "s", "e"))
+    assert(auto == pairs(Joins.rangeJoin(points, ivs, "x", "s", "e", binWidth = 7.0)),
+      "auto width changed join results")
+    // all-instant intervals: median length 0 must not produce a zero bin width
+    val instants = Seq((1L, 10.0, 10.0), (2L, 20.0, 20.0)).toDF("iid", "s", "e")
+    val instPts = Seq((1L, 10.0), (2L, 15.0)).toDF("pid", "x")
+    assert(pairs(Joins.rangeJoinAuto(instPts, instants, "x", "s", "e")) == Set((1L, 1L)))
+    // no valid intervals at all: empty result, no crash on the null quantile
+    val none = Seq((1L, Double.NaN, 5.0)).toDF("iid", "s", "e")
+    assert(Joins.rangeJoinAuto(instPts, none, "x", "s", "e").count() == 0L)
+    intercept[IllegalArgumentException] {
+      Joins.rangeJoinAuto(points, ivs, "x", "s", "e", q = 0.0)
+    }
+  }
+
   private def causeChain(t: Throwable): String = {
     var cur = t; val sb = new StringBuilder
     while (cur != null) { sb.append(cur.getMessage).append('\n'); cur = cur.getCause }

@@ -139,8 +139,16 @@ object ScaleSweep {
         // — otherwise the sf1 side eats first-read costs and every ratio biases high.
         time(fn(spark, src))
         time(fn(spark, out))
-        val small = time(fn(spark, src))
-        val big = time(fn(spark, out))
+        var small = time(fn(spark, src))
+        var big = time(fn(spark, out))
+        // Retry once when the ratio looks bad: a single GC pause / JIT deopt in
+        // EITHER measured run fabricates a regression (round 8 published an 11x
+        // for corpus_report that re-measured isolated at 0.9x). min-of-2 on both
+        // sides only for suspicious ratios keeps the sweep cheap in the common case.
+        if (big / small > 3.0) {
+          small = math.min(small, time(fn(spark, src)))
+          big = math.min(big, time(fn(spark, out)))
+        }
         val ratio = big / small
         val verdict = if (ratio < 15.0) "ok" else "EXCEEDS 15x BOUND"
         println(f"[sweep] $name%-34s 1x $small%7.2f s   10x $big%7.2f s   ratio ${ratio}%5.1fx  $verdict")
