@@ -1600,6 +1600,66 @@ object Queries {
              | CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS formats_ok
              | FROM m""".stripMargin.replaceAll("\n", " "))),
 
+    // REAL video container metadata, oracled end-to-end: every doc gets a
+    // deterministic MP4 (even ids) or Matroska (odd ids) skeleton whose duration/
+    // width/height are pure doc_id arithmetic; the Spark side actually PARSES the
+    // container (box walk / EBML walk — the encoders and parsers are independent
+    // code paths, and the fixtures spec pins the parsers against checked-in bytes
+    // verified byte-level in Python), and DuckDB replays the arithmetic.
+    QueryDef("video_meta_documents",
+      (s, d) => {
+        import graft.operators.Multimodal
+        val mkVid = udf((id: Long) => {
+          val w = 16 + (((id % 32) + 32) % 32).toInt
+          val h = 9 + (((id % 17) + 17) % 17).toInt
+          val dur = 1000L + ((id % 5000) + 5000) % 5000
+          if (((id % 2) + 2) % 2 == 0L) Multimodal.MediaCodecs.encodeMp4Meta(dur, w, h)
+          else Multimodal.MediaCodecs.encodeMkvMeta(dur, w, h)
+        })
+        val media = t(s, d, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), mkVid(col("doc_id")).as("vid"))
+        Multimodal.withMediaMeta(media, "vid", "vm").agg(
+          count(lit(1)).as("n_videos"),
+          sum(col("vm.width").cast("long")).as("sum_width"),
+          sum(col("vm.height").cast("long")).as("sum_height"),
+          sum(col("vm.duration_ms")).as("sum_duration_ms"),
+          bool_and(col("vm.format") ===
+            when(pmod(col("doc_id"), lit(2)) === 0, "mp4").otherwise("mkv"))
+            .as("formats_ok"))
+      },
+      Some("""WITH v AS (SELECT 16 + ((doc_id % 32 + 32) % 32) AS w,
+             |   9 + ((doc_id % 17 + 17) % 17) AS h,
+             |   1000 + ((doc_id % 5000 + 5000) % 5000) AS dur
+             |   FROM documents WHERE doc_id IS NOT NULL)
+             | SELECT count(*) AS n_videos, CAST(sum(w) AS BIGINT) AS sum_width,
+             | CAST(sum(h) AS BIGINT) AS sum_height, CAST(sum(dur) AS BIGINT) AS sum_duration_ms,
+             | CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS formats_ok
+             | FROM v""".stripMargin.replaceAll("\n", " "))),
+
+    // REAL animated-GIF frame extraction, oracled: k = 1 + doc_id%5 noise frames
+    // per doc, exploded every-2nd capped at 2 — so per-doc frame count is
+    // least(2, ceil(k/2)), pure arithmetic DuckDB replays. The boolean gates that
+    // every emitted frame is a REAL decode: a 9x7 PNG re-encode of a stored raster.
+    QueryDef("gif_frames_documents",
+      (s, d) => {
+        import graft.operators.Multimodal
+        val mkGif = udf((id: Long) => Multimodal.MediaCodecs.encodeAnimatedGif(
+          9, 7, (1 + (((id % 5) + 5) % 5)).toInt, id % 11))
+        val media = t(s, d, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), mkGif(col("doc_id")).as("gif"))
+        val frames = Multimodal.explodeFrames(media, "gif", everyNth = 2, maxFrames = 2)
+          .filter(col("frame_bytes").isNotNull)
+        Multimodal.withMediaMeta(frames, "frame_bytes", "fm").agg(
+          count(lit(1)).as("n_frames"),
+          bool_and(col("fm.format") === "png" &&
+            col("fm.width") === 9 && col("fm.height") === 7).as("frames_ok"))
+      },
+      Some("""WITH g AS (SELECT 1 + ((doc_id % 5 + 5) % 5) AS k
+             |   FROM documents WHERE doc_id IS NOT NULL)
+             | SELECT CAST(coalesce(sum(least(2, (k + 1) // 2)), 0) AS BIGINT) AS n_frames,
+             | CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS frames_ok
+             | FROM g""".stripMargin.replaceAll("\n", " "))),
+
     // Visual near-dup dedup, oracled end-to-end: every doc gets a deterministic
     // NOISE image keyed on pmod(doc_id, 37) — same seed ⇒ byte-identical PNG ⇒
     // identical perceptual aHash (Hamming 0, must pair); different seeds pool to
@@ -3627,8 +3687,10 @@ object Queries {
           .groupBy(col("user_id"))
           .agg(min(unix_micros(col("ts"))).as("s"))
           .withColumn("e", col("s") + lit(3600L * 1000000L))
-        graft.operators.Joins.rangeJoin(pts, ivs, "x", "s", "e",
-            binWidth = 3600.0 * 1000000.0)
+        // Auto width: the interval-length median IS the 1 h window here, so this
+        // exercises the data-derived binWidth path while planning the same join a
+        // hand-tuned width would (results are width-invariant either way).
+        graft.operators.Joins.rangeJoinAuto(pts, ivs, "x", "s", "e")
           .agg(count(lit(1)).as("n_pairs"),
             countDistinct(col("user_id")).as("n_intervals_hit"),
             sum(col("x") - col("s")).cast("bigint").as("sum_offset_us"))
@@ -3926,5 +3988,48 @@ object Queries {
     // vocab-overlap join arm.
     "theta_source_overlap_documents" -> ((s, d) =>
       graft.operators.CorpusStats.sourceVocabOverlapSketch(
-        t(s, d, "documents"), "text", "source")))
+        t(s, d, "documents"), "text", "source")),
+    // LSH BLOCKING arm: candidate generation only. The remainder is the exact
+    // n-gram-Jaccard verification of the candidates — bounded by candidate count,
+    // but it re-shingles every candidate doc, so a blocking regression (the
+    // scale-critical stage: band/bucket shuffles) must not hide inside it.
+    "dedup_ngram_jaccard_documents" -> ((s, d) =>
+      graft.operators.Dedup.minhashCandidatePairs(
+          t(s, d, "documents"), "doc_id", "text",
+          shingleSize = 6, numHashes = 128, bands = 32)
+        .agg(count(lit(1)).as("candidate_pairs"))),
+    // Verified-pair arm: everything up to the pair list. The remainder is the
+    // iterative min-label propagation + cluster-size stats — graph work whose cost
+    // scales with pairs, not corpus, and must be visible separately.
+    "dedup_clusters_documents" -> ((s, d) =>
+      graft.operators.Dedup.nearDupPairsMinhash(
+          t(s, d, "documents"), "doc_id", "text", threshold = 0.9, shingleSize = 5)
+        .agg(count(lit(1)).as("verified_pairs"))),
+    // Operator over STORED media bytes — what a production caller pays. The
+    // remainder is bench scaffolding: the per-row synthetic PNG encode (a fixture
+    // generator, not an operator) plus the oracle's same-seed/hamming booleans.
+    // The fixture parquet is materialized once per (dir, doc count) on the warmup
+    // pass and reused by the timed passes, exactly like real stored media.
+    "image_dedup_documents" -> ((s, d) => {
+      import graft.operators.Multimodal
+      val nDocs = t(s, d, "documents").filter(col("doc_id").isNotNull).count()
+      val fix = s"${System.getProperty("java.io.tmpdir")}/graft_bench_img_" +
+        s"${d.hashCode.toHexString}_$nDocs"
+      if (!new java.io.File(s"$fix/_SUCCESS").exists()) {
+        val mkImg = udf((id: Long) => Multimodal.MediaCodecs.encodeNoiseImage(
+          24, 16, "png", (((id % 37) + 37) % 37)))
+        t(s, d, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), mkImg(col("doc_id")).as("img"))
+          .write.mode("overwrite").parquet(fix)
+      }
+      val media = s.read.parquet(fix)
+      val pairs = Multimodal.nearDupPairsImage(media, "doc_id", "img", maxHamming = 3)
+        .localCheckpoint(true)
+      val dropped = pairs.select(col("id_b")).distinct()
+        .agg(count(lit(1)).as("_n_dropped"))
+      pairs.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(media.agg(count(lit(1)).as("n_imgs"))).crossJoin(dropped)
+        .select(col("n_imgs"), col("n_pairs"),
+          (col("n_imgs") - col("_n_dropped")).as("kept"))
+    }))
 }

@@ -1150,26 +1150,36 @@ object Dedup {
     * would otherwise turn quadratic.
     */
   private[operators] def bandedHammingPairs(hashed: DataFrame, maxHamming: Int,
-      maxBucketSize: Int): DataFrame = {
+      maxBucketSize: Int, newFlagCol: Option[String] = None): DataFrame = {
     require(maxHamming >= 0, "maxHamming must be non-negative")
     // Warn HERE, not per caller: every 64-bit-sketch path (SimHash text, image
-    // aHash, future sketches) shares the 4x16 banding and thus the same partial-
-    // recall cliff past Hamming 3.
+    // aHash, audio hash, their incremental variants, future sketches) shares the
+    // 4x16 banding and thus the same partial-recall cliff past Hamming 3.
     if (maxHamming > 3)
       log.warn(s"bandedHammingPairs: maxHamming=$maxHamming exceeds the 4x16-bit " +
         "banding guarantee (full recall only for Hamming <= 3) — pairs with a " +
         "differing bit in every band are never candidates, so recall is partial")
-    val banded = hashed.select(col("id"), col("_h64"),
+    // Incremental mode: `newFlagCol` names a boolean marking fresh-batch rows; only
+    // pairs touching at least one fresh row are emitted (never old x old — previous
+    // runs already emitted those). Same banding, guard, and verify either way: ONE
+    // implementation, so the recall contract can't drift between the full and
+    // incremental paths.
+    val flag = newFlagCol.toSeq.map(col)
+    val banded = hashed.select(Seq(col("id"), col("_h64")) ++ flag :+
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"), shiftrightunsigned(col("_h64"), b * 16).bitwiseAND(lit(0xffffL)).as("bits"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("_h64"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+      }: _*)).as("bb"): _*)
+      .select(Seq(col("id"), col("_h64")) ++ flag ++
+        Seq(col("bb.band").as("band"), col("bb.bits").as("bits")): _*)
       .repartition(col("band"), col("bits"))
       .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("band"), col("bits"))))
       .filter(col("_n") <= maxBucketSize).drop("_n")
-    val a = banded.select(col("band"), col("bits"), col("id").as("id_a"), col("_h64").as("h_a"))
-    val b = banded.select(col("band"), col("bits"), col("id").as("id_b"), col("_h64").as("h_b"))
-    a.join(b, Seq("band", "bits")).filter(col("id_a") < col("id_b"))
+    def side(sfx: String) = banded.select(Seq(col("band"), col("bits"),
+      col("id").as(s"id_$sfx"), col("_h64").as(s"h_$sfx")) ++
+      newFlagCol.map(c => col(c).as(s"_flag_$sfx")): _*)
+    val joined = side("a").join(side("b"), Seq("band", "bits"))
+      .filter(col("id_a") < col("id_b"))
+    newFlagCol.fold(joined)(_ => joined.filter(col("_flag_a") || col("_flag_b")))
       .select(col("id_a"), col("id_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
       .distinct()

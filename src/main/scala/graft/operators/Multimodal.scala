@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * metadata structs, processed per-partition in batches.
   *
   * Image metadata (PNG/JPEG/GIF/BMP width×height via `javax.imageio` header reads),
-  * WAV duration (RIFF chunk walk), image resize (decode → scale → re-encode) and the
-  * perceptual aHash are REAL, JDK-only implementations. Only genuinely
-  * codec-library-bound pieces remain deterministic stand-ins, each documented at the
-  * definition: video frame extraction (no ffmpeg in a stock JVM) and the learned
-  * feature embedding (needs a model, not a codec).
+  * WAV duration (RIFF chunk walk), VIDEO container metadata (MP4 box walk, Matroska
+  * EBML walk: duration + dimensions), animated-GIF frame extraction, image resize
+  * (decode → scale → re-encode) and the perceptual image/audio hashes are REAL,
+  * JDK-only implementations. Only genuinely codec-library-bound pieces remain
+  * deterministic stand-ins, each documented at the definition: frame extraction for
+  * MP4/MKV/AVI sample data (no ffmpeg in a stock JVM) and the learned feature
+  * embedding (needs a model, not a codec — pluggable, see [[withFeatures]]).
   */
 object Multimodal {
 
@@ -60,6 +62,9 @@ object Multimodal {
       else if (hasPrefix(bytes, 0, "BM")) "bmp"
       else if (hasPrefix(bytes, 0, "RIFF") && hasPrefix(bytes, 8, "WAVE")) "wav"
       else if (hasPrefix(bytes, 0, "RIFF") && hasPrefix(bytes, 8, "AVI ")) "avi"
+      else if (bytes.length >= 8 && hasPrefix(bytes, 4, "ftyp")) "mp4"
+      else if (bytes.length >= 4 && bytes(0) == 0x1A.toByte && bytes(1) == 0x45.toByte &&
+        bytes(2) == 0xDF.toByte && bytes(3) == 0xA3.toByte) "mkv"
       else "bin"
 
     private def isImageFormat(fmt: String): Boolean =
@@ -111,7 +116,227 @@ object Multimodal {
       if (byteRate > 0 && dataLen >= 0) Some(dataLen * 1000L / byteRate) else None
     }
 
-    /** Real metadata decode: format sniff + image header dims / WAV duration. */
+    /** REAL MP4 (ISO BMFF) container metadata — duration from `moov/mvhd`
+      * (duration ÷ timescale), width/height from the first `trak/tkhd` with nonzero
+      * dimensions (16.16 fixed point). A pure byte-walk over the box tree, the same
+      * class of work as the WAV RIFF walk: sample DATA stays opaque (that would
+      * need a codec); structure is just length-prefixed boxes. Handles 64-bit
+      * largesize and to-end (size 0) boxes; a corrupt tree yields (None, None),
+      * never fake numbers.
+      */
+    def mp4Meta(bytes: Array[Byte]): (Option[Long], Option[(Int, Int)]) = {
+      if (sniffFormat(bytes) != "mp4") return (None, None)
+      def be32(off: Int): Long =
+        ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+          ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+      def be64(off: Int): Long = (be32(off) << 32) | be32(off + 4)
+      var duration: Option[Long] = None
+      var dims: Option[(Int, Int)] = None
+      // Returns false on a corrupt subtree — the caller then reports nothing rather
+      // than whatever was scraped before the corruption.
+      def walk(from: Long, to: Long, depth: Int): Boolean = {
+        var pos = from
+        while (pos + 8 <= to) {
+          val p = pos.toInt
+          var sz = be32(p)
+          val typ = new String(bytes, p + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+          var hdr = 8L
+          if (sz == 1) {
+            if (pos + 16 > to) return false
+            sz = be64(p + 8); hdr = 16
+          } else if (sz == 0) sz = to - pos // last box extends to end
+          if (sz < hdr || pos + sz > to) return false
+          val pay = (pos + hdr).toInt
+          typ match {
+            case "moov" | "trak" =>
+              if (depth >= 4 || !walk(pos + hdr, pos + sz, depth + 1)) return false
+            case "mvhd" =>
+              val v = bytes(pay) & 0xff
+              if (v == 0 && sz - hdr >= 20) {
+                val ts = be32(pay + 12)
+                if (ts > 0) duration = Some(be32(pay + 16) * 1000L / ts)
+              } else if (v == 1 && sz - hdr >= 32) {
+                val ts = be32(pay + 20)
+                if (ts > 0) duration = Some(be64(pay + 24) * 1000L / ts)
+              }
+            case "tkhd" =>
+              val v = bytes(pay) & 0xff
+              val (wOff, need) = if (v == 0) (76, 84L) else (88, 96L)
+              if (sz - hdr >= need && dims.isEmpty) {
+                val w = (be32(pay + wOff) >> 16).toInt
+                val h = (be32(pay + wOff + 4) >> 16).toInt
+                if (w > 0 && h > 0) dims = Some((w, h)) // first VIDEO track (audio tracks are 0x0)
+              }
+            case _ => () // ftyp/mdat/free/…: opaque
+          }
+          pos += sz
+        }
+        true
+      }
+      if (walk(0L, bytes.length.toLong, 0)) (duration, dims) else (None, None)
+    }
+
+    /** REAL Matroska/WebM container metadata — duration from
+      * `Segment/Info/{TimestampScale, Duration}`, width/height from the first
+      * `Tracks/TrackEntry/Video/{PixelWidth, PixelHeight}`. A pure EBML
+      * varint-walk (the binary-XML analog of the MP4 box walk); frame DATA stays
+      * opaque. Corrupt elements yield (None, None).
+      */
+    def mkvMeta(bytes: Array[Byte]): (Option[Long], Option[(Int, Int)]) = {
+      if (sniffFormat(bytes) != "mkv") return (None, None)
+      val n = bytes.length
+      def vintLen(b0: Int): Int = {
+        var mask = 0x80; var len = 1
+        while (len <= 8 && (b0 & mask) == 0) { mask >>= 1; len += 1 }
+        len
+      }
+      // Element ID: marker bit KEPT (IDs are compared with it, per the spec).
+      def readId(pos: Int): Option[(Long, Int)] = {
+        if (pos >= n) return None
+        val len = vintLen(bytes(pos) & 0xff)
+        if (len > 4 || pos + len > n) return None
+        var v = 0L
+        var i = 0
+        while (i < len) { v = (v << 8) | (bytes(pos + i) & 0xffL); i += 1 }
+        Some((v, len))
+      }
+      // Data size: marker bit STRIPPED; all-ones payload means "unknown size".
+      def readSize(pos: Int): Option[(Long, Int)] = {
+        if (pos >= n) return None
+        val b0 = bytes(pos) & 0xff
+        val len = vintLen(b0)
+        if (len > 8 || pos + len > n) return None
+        var v = (b0 & (0xff >>> len)).toLong
+        var i = 1
+        while (i < len) { v = (v << 8) | (bytes(pos + i) & 0xffL); i += 1 }
+        val allOnes = (1L << (7 * len)) - 1
+        Some((if (v == allOnes) -1L else v, len))
+      }
+      def beUint(pos: Int, len: Int): Long = {
+        var v = 0L; var i = 0
+        while (i < len) { v = (v << 8) | (bytes(pos + i) & 0xffL); i += 1 }
+        v
+      }
+      var timescaleNs = 1000000L // spec default: 1 ms
+      var durationUnits: Option[Double] = None
+      var width: Option[Int] = None
+      var height: Option[Int] = None
+      val masters = Set(0x18538067L /*Segment*/ , 0x1549A966L /*Info*/ ,
+        0x1654AE6BL /*Tracks*/ , 0xAEL /*TrackEntry*/ , 0xE0L /*Video*/ )
+      def walk(from: Long, to: Long, depth: Int): Boolean = {
+        var pos = from
+        while (pos + 2 <= to) {
+          val (id, idLen) = readId(pos.toInt).getOrElse(return false)
+          val (sz0, szLen) = readSize((pos + idLen).toInt).getOrElse(return false)
+          val pay = pos + idLen + szLen
+          // Unknown size is legal only for Segment (streaming writers): to end.
+          val sz = if (sz0 >= 0) sz0
+            else if (id == 0x18538067L) to - pay
+            else return false
+          if (pay + sz > to) return false
+          val p = pay.toInt
+          id match {
+            case m if masters.contains(m) =>
+              if (depth >= 6 || !walk(pay, pay + sz, depth + 1)) return false
+            case 0x2AD7B1L => if (sz >= 1 && sz <= 8) timescaleNs = beUint(p, sz.toInt)
+            case 0x4489L =>
+              if (sz == 4) durationUnits =
+                Some(java.lang.Float.intBitsToFloat(beUint(p, 4).toInt).toDouble)
+              else if (sz == 8) durationUnits =
+                Some(java.lang.Double.longBitsToDouble(beUint(p, 8)))
+            case 0xB0L => if (sz >= 1 && sz <= 4 && width.isEmpty) Some(())
+              .foreach(_ => width = Some(beUint(p, sz.toInt).toInt))
+            case 0xBAL => if (sz >= 1 && sz <= 4 && height.isEmpty) Some(())
+              .foreach(_ => height = Some(beUint(p, sz.toInt).toInt))
+            case _ => () // EBML header, Cluster, …: opaque
+          }
+          pos = pay + sz
+        }
+        true
+      }
+      if (!walk(0L, n.toLong, 0)) return (None, None)
+      val durMs = durationUnits.collect {
+        case d if d >= 0 && timescaleNs > 0 => (d * timescaleNs / 1e6).toLong
+      }
+      val dims = for (w <- width; h <- height; if w > 0 && h > 0) yield (w, h)
+      (durMs, dims)
+    }
+
+    /** Encode a minimal-but-valid MP4 metadata skeleton (`ftyp` + `moov` with
+      * `mvhd` and a video `tkhd`; no sample data — none is needed for container
+      * metadata). The encode half of the [[mp4Meta]] decode oracle.
+      */
+    def encodeMp4Meta(durationMs: Long, width: Int, height: Int): Array[Byte] = {
+      require(durationMs >= 0 && width > 0 && height > 0,
+        s"bad mp4 meta: ${durationMs}ms ${width}x$height")
+      val bb = java.nio.ByteBuffer.allocate(20 + 8 + 108 + 100) // ftyp + moov(mvhd + trak(tkhd))
+      def fourcc(s: String): Unit = { bb.put(s.getBytes("ISO-8859-1")); () }
+      // ftyp
+      bb.putInt(20); fourcc("ftyp"); fourcc("isom"); bb.putInt(0); fourcc("isom")
+      // moov
+      bb.putInt(8 + 108 + 100); fourcc("moov")
+      // mvhd v0: timescale 1000 => duration field IS milliseconds
+      bb.putInt(108); fourcc("mvhd")
+      bb.putInt(0) // version 0 + flags
+      bb.putInt(0).putInt(0) // creation, modification
+      bb.putInt(1000).putInt(durationMs.toInt)
+      bb.putInt(0x00010000) // rate 1.0
+      bb.putShort(0x0100.toShort).putShort(0) // volume 1.0, reserved
+      bb.putInt(0).putInt(0) // reserved
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt) // unity matrix
+      (1 to 6).foreach(_ => bb.putInt(0)) // pre_defined
+      bb.putInt(2) // next track id
+      // trak(tkhd v0)
+      bb.putInt(8 + 92); fourcc("trak")
+      bb.putInt(92); fourcc("tkhd")
+      bb.putInt(3) // version 0, flags: enabled | in movie
+      bb.putInt(0).putInt(0) // creation, modification
+      bb.putInt(1) // track id
+      bb.putInt(0) // reserved
+      bb.putInt(durationMs.toInt)
+      bb.putInt(0).putInt(0) // reserved
+      bb.putShort(0).putShort(0) // layer, alternate group
+      bb.putShort(0).putShort(0) // volume (0 for video), reserved
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+      bb.putInt(width << 16).putInt(height << 16) // 16.16 fixed
+      bb.array()
+    }
+
+    /** Encode a minimal-but-valid Matroska metadata skeleton (EBML header with
+      * DocType, `Segment/Info/{TimestampScale, Duration}` and a video track with
+      * pixel dimensions). The encode half of the [[mkvMeta]] decode oracle.
+      */
+    def encodeMkvMeta(durationMs: Long, width: Int, height: Int): Array[Byte] = {
+      require(durationMs >= 0 && width > 0 && height > 0,
+        s"bad mkv meta: ${durationMs}ms ${width}x$height")
+      def sizeVint(v: Int): Array[Byte] = {
+        require(v < 0x7f, s"fixture element too big: $v") // 1-byte form is enough here
+        Array((0x80 | v).toByte)
+      }
+      def el(idBytes: Array[Byte], payload: Array[Byte]): Array[Byte] =
+        idBytes ++ sizeVint(payload.length) ++ payload
+      def id(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+      def uint(v: Long): Array[Byte] = { // minimal big-endian bytes, at least one
+        var len = 1
+        while (len < 8 && (v >>> (8 * len)) != 0) len += 1
+        Array.tabulate(len)(i => ((v >>> (8 * (len - 1 - i))) & 0xff).toByte)
+      }
+      val ebml = el(id(0x1A, 0x45, 0xDF, 0xA3),
+        el(id(0x42, 0x82), "matroska".getBytes("ISO-8859-1")))
+      val info = el(id(0x15, 0x49, 0xA9, 0x66),
+        el(id(0x2A, 0xD7, 0xB1), uint(1000000L)) ++ // 1 ms units
+          el(id(0x44, 0x89), { // Duration: 8-byte float, units = TimestampScale
+            val b = java.nio.ByteBuffer.allocate(8)
+            b.putDouble(durationMs.toDouble); b.array()
+          }))
+      val video = el(id(0xE0), el(id(0xB0), uint(width)) ++ el(id(0xBA), uint(height)))
+      val tracks = el(id(0x16, 0x54, 0xAE, 0x6B), el(id(0xAE), video))
+      ebml ++ el(id(0x18, 0x53, 0x80, 0x67), info ++ tracks)
+    }
+
+    /** Real metadata decode: format sniff + image header dims / WAV duration /
+      * MP4 and Matroska container duration + dimensions.
+      */
     def decodeMeta(bytes: Array[Byte]): MediaMeta = {
       val fmt = sniffFormat(bytes)
       val size = if (bytes == null) 0L else bytes.length.toLong
@@ -120,6 +345,10 @@ object Multimodal {
         case None => MediaMeta(fmt, None, None, None, size)
       }
       else if (fmt == "wav") MediaMeta(fmt, None, None, wavDurationMs(bytes), size)
+      else if (fmt == "mp4" || fmt == "mkv") {
+        val (dur, dims) = if (fmt == "mp4") mp4Meta(bytes) else mkvMeta(bytes)
+        MediaMeta(fmt, dims.map(_._1), dims.map(_._2), dur, size)
+      }
       else MediaMeta(fmt, None, None, None, size)
     }
 
@@ -424,16 +653,81 @@ object Multimodal {
       out
     }
 
-    /** STUB (documented): video frame extraction needs ffmpeg-class codecs a stock
-      * JVM does not ship — every-nth 4KiB slice stands in for decoded frames so the
+    /** Encode a deterministic animated GIF: `frames` noise frames keyed on
+      * (seed, frameIdx) through the JDK GIF sequence writer — the encode half of
+      * the [[gifFrames]] decode oracle.
+      */
+    def encodeAnimatedGif(width: Int, height: Int, frames: Int, seed: Long): Array[Byte] = {
+      imageIoReady
+      require(width > 0 && height > 0 && frames > 0,
+        s"encodeAnimatedGif needs positive dims/frames, got ${width}x$height x$frames")
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < frames) {
+          // distinct noise per frame: reuse the cross-seed-distinctive generator
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+            encodeNoiseImage(width, height, "png", seed * 131 + f)))
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
+    /** REAL animated-GIF frame extraction through the JDK ImageIO GIF reader:
+      * every `everyNth`-th stored frame (index 0, n, 2n, …), capped at `maxFrames`,
+      * re-encoded as PNG. Frames are the RAW stored rasters (no disposal-method
+      * compositing — deltas stay deltas), which is exactly what a dedup/feature
+      * pipeline wants: deterministic decode, no synthesis. None when the payload is
+      * not a GIF or the reader rejects it.
+      */
+    def gifFrames(bytes: Array[Byte], everyNth: Int, maxFrames: Int): Option[Seq[Array[Byte]]] = {
+      imageIoReady
+      if (bytes == null || sniffFormat(bytes) != "gif") return None
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return None
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val total = r.getNumImages(true)
+            val picked = (0 until total by math.max(everyNth, 1)).take(maxFrames)
+            Some(picked.map { i =>
+              val img = r.read(i)
+              val bos = new java.io.ByteArrayOutputStream()
+              require(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer")
+              bos.toByteArray
+            })
+          } finally r.dispose()
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Frame sampling. GIF payloads get REAL decoded frames ([[gifFrames]] — the
+      * one video-ish format a stock JVM can decode). For codec-bound containers
+      * (MP4/MKV/AVI sample data needs ffmpeg-class codecs) the STUB remains,
+      * documented: every-nth 4KiB byte slice stands in for decoded frames so the
       * explode/partitioning plumbing is exercised for real.
       */
     def sampleFrames(bytes: Array[Byte], everyNth: Int, maxFrames: Int): Seq[Array[Byte]] = {
       if (bytes == null || bytes.isEmpty) return Nil
-      val frameSize = 4096
-      val nFrames = math.max(bytes.length / frameSize, 1)
-      (0 until nFrames by math.max(everyNth, 1)).take(maxFrames).map { f =>
-        java.util.Arrays.copyOfRange(bytes, f * frameSize, math.min((f + 1) * frameSize, bytes.length))
+      gifFrames(bytes, everyNth, maxFrames) match {
+        case Some(frames) => frames
+        case None =>
+          val frameSize = 4096
+          val nFrames = math.max(bytes.length / frameSize, 1)
+          (0 until nFrames by math.max(everyNth, 1)).take(maxFrames).map { f =>
+            java.util.Arrays.copyOfRange(bytes, f * frameSize, math.min((f + 1) * frameSize, bytes.length))
+          }
       }
     }
   }
@@ -455,9 +749,26 @@ object Multimodal {
     df.withColumn(out, u(col(binCol)))
   }
 
-  /** Attach a stubbed feature embedding (`Array[Float]` of `dim`). */
-  def withFeatures(df: DataFrame, binCol: String, dim: Int, out: String = "features"): DataFrame = {
-    val u = udf((bytes: Array[Byte]) => MediaCodecs.extractFeatures(bytes, dim))
+  /** Attach a feature embedding (`Array[Float]` of `dim`) computed row-local where
+    * the bytes live. `extractor` is the PLUGGABLE encoder hook — a real deployment
+    * drops in its ONNX/JNI model here as a plain serializable
+    * `(bytes, dim) => Array[Float]` without touching graft; the default is the
+    * documented deterministic stub ([[MediaCodecs.extractFeatures]] — a learned
+    * embedding needs a model, not a codec). Extractor contract, enforced in-task:
+    * return NULL for undecodable/empty payloads (never a zero vector — its cosine
+    * is NaN and would rank broken media above every real neighbor) and exactly
+    * `dim` components otherwise (a silent length mismatch would corrupt every
+    * downstream ANN/semdedup distance).
+    */
+  def withFeatures(df: DataFrame, binCol: String, dim: Int, out: String = "features",
+      extractor: (Array[Byte], Int) => Array[Float] = MediaCodecs.extractFeatures): DataFrame = {
+    val u = udf((bytes: Array[Byte]) => {
+      val v = extractor(bytes, dim)
+      if (v != null && v.length != dim)
+        throw new IllegalStateException(
+          s"feature extractor returned ${v.length} components, expected $dim")
+      v
+    })
     df.withColumn(out, u(col(binCol)))
   }
 
@@ -592,37 +903,9 @@ object Multimodal {
       .unionByName(index.select(col("id"), col("image_hash"))
         .filter(col("image_hash").isNotNull).withColumn("_new", lit(false)))
       .select(col("id"), col("image_hash").as("_h64"), col("_new"))
-    incrementalHash64Pairs(all, maxHamming, maxBucketSize)
-  }
-
-  /** Shared banded-Hamming core for incremental 64-bit perceptual-hash dedup:
-    * `all` carries `(id, _h64, _new)` for the union of the fresh batch and the
-    * stored index; emits new×new and new×old pairs (never old×old) within
-    * `maxHamming`, exact on the banded join (16-bit × 4 bands ⇒ full recall ≤ 3
-    * bits), with the combined-bucket `maxBucketSize` guard.
-    */
-  private def incrementalHash64Pairs(all: DataFrame,
-      maxHamming: Int, maxBucketSize: Int): DataFrame = {
-    val banded = all.select(col("id"), col("_h64"), col("_new"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("_h64"), b * 16).bitwiseAND(lit(0xffffL)).as("bits"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("_h64"), col("_new"),
-        col("bb.band").as("band"), col("bb.bits").as("bits"))
-      .repartition(col("band"), col("bits"))
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("band"), col("bits"))))
-      .filter(col("_n") <= maxBucketSize).drop("_n")
-    val a = banded.select(col("band"), col("bits"), col("id").as("id_a"),
-      col("_h64").as("h_a"), col("_new").as("_new_a"))
-    val b = banded.select(col("band"), col("bits"), col("id").as("id_b"),
-      col("_h64").as("h_b"), col("_new").as("_new_b"))
-    a.join(b, Seq("band", "bits"))
-      .filter(col("id_a") < col("id_b") && (col("_new_a") || col("_new_b")))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    // ONE banded-Hamming implementation for full AND incremental paths
+    // (Dedup.bandedHammingPairs) — the flag column gates out old x old pairs.
+    Dedup.bandedHammingPairs(all, maxHamming, maxBucketSize, newFlagCol = Some("_new"))
   }
 
   /** Persistable audio-hash index: one `(id, audio_hash)` row per clip with a
@@ -649,7 +932,7 @@ object Multimodal {
       .unionByName(index.select(col("id"), col("audio_hash"))
         .filter(col("audio_hash").isNotNull).withColumn("_new", lit(false)))
       .select(col("id"), col("audio_hash").as("_h64"), col("_new"))
-    incrementalHash64Pairs(all, maxHamming, maxBucketSize)
+    Dedup.bandedHammingPairs(all, maxHamming, maxBucketSize, newFlagCol = Some("_new"))
   }
 
   /** Media-size/format stats for a binary column — a typical corpus health check. */

@@ -54,6 +54,106 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodecs.wavDurationMs(hostile).isEmpty)
   }
 
+  test("decodeMeta reads real MP4/MKV container metadata from checked-in fixtures") {
+    for (fmt <- Seq("mp4", "mkv")) {
+      val m = MediaCodecs.decodeMeta(fixture(s"tiny_320x180_2500ms.$fmt"))
+      assert(m.format == fmt, s"$fmt sniff: ${m.format}")
+      assert(m.width.contains(320) && m.height.contains(180), s"$fmt dims: ${m.width}x${m.height}")
+      assert(m.duration_ms.contains(2500L), s"$fmt duration: ${m.duration_ms}")
+    }
+    // truncated/corrupt trees: recognized format, NULL fields — never fake numbers
+    for (fmt <- Seq("mp4", "mkv")) {
+      val full = fixture(s"tiny_320x180_2500ms.$fmt")
+      val m = MediaCodecs.decodeMeta(full.take(24))
+      assert(m.format == fmt && m.duration_ms.isEmpty && m.width.isEmpty,
+        s"truncated $fmt: $m")
+    }
+    // 64-bit-largesize box and a v1 mvhd must parse too (synthesized from the fixture)
+    val mp4 = fixture("tiny_320x180_2500ms.mp4")
+    assert(MediaCodecs.mp4Meta(mp4) == (Some(2500L), Some((320, 180))))
+    // box claiming to run past EOF is corrupt
+    val bad = mp4.clone()
+    bad(20) = 0x7f.toByte // inflate moov size
+    assert(MediaCodecs.mp4Meta(bad) == (None, None))
+  }
+
+  test("animated GIF frames decode for real; frame sampling is exact") {
+    val gif = fixture("anim_9x7_3f.gif")
+    // every frame: real PNG re-encode at source dims
+    val all = MediaCodecs.gifFrames(gif, everyNth = 1, maxFrames = 16).get
+    assert(all.size == 3, s"expected 3 stored frames, got ${all.size}")
+    all.foreach { f =>
+      val m = MediaCodecs.decodeMeta(f)
+      assert(m.format == "png" && m.width.contains(9) && m.height.contains(7), s"frame: $m")
+    }
+    // frames differ (distinct noise per frame index)
+    assert(all.map(_.toSeq).distinct.size == 3, "frames must be visually distinct")
+    // every-2nd, capped: indices 0 and 2
+    assert(MediaCodecs.gifFrames(gif, everyNth = 2, maxFrames = 16).get.size == 2)
+    assert(MediaCodecs.gifFrames(gif, everyNth = 1, maxFrames = 2).get.size == 2)
+    // non-GIF payloads route to the documented byte-slice stub, not a crash
+    assert(MediaCodecs.gifFrames("nope".getBytes, 1, 4).isEmpty)
+    assert(MediaCodecs.sampleFrames(fixture("tone_500ms.wav"), 1, 2).size == 1,
+      "sub-4KiB non-GIF payload slices to one stub frame")
+    // explodeFrames over a real GIF: one row per decoded frame, index preserved
+    import spark.implicits._
+    val df = Seq((1L, gif), (2L, null.asInstanceOf[Array[Byte]])).toDF("id", "vid")
+    val rows = Multimodal.explodeFrames(df, "vid", everyNth = 1, maxFrames = 16)
+      .select("id", "frame_idx").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1))).sorted
+    assert(rows.toSeq == Seq((1L, 0), (1L, 1), (1L, 2), (2L, -1)), s"got ${rows.toSeq}")
+  }
+
+  test("withFeatures: pluggable extractor drives ANN + semdedup end-to-end; contract enforced") {
+    import spark.implicits._
+    // a REAL (if trivial) encoder: mean byte + length features, L2-normalized —
+    // stands in for a user's ONNX/JNI model, exercising the hook end-to-end
+    val custom = (bytes: Array[Byte], dim: Int) => {
+      if (bytes == null || bytes.isEmpty) null
+      else {
+        val out = new Array[Float](dim)
+        var i = 0
+        while (i < bytes.length) { out(i % dim) += (bytes(i) & 0xff) / 255.0f; i += 1 }
+        val norm = math.sqrt(out.map(v => v.toDouble * v).sum).toFloat
+        if (norm == 0f) null else out.map(_ / norm)
+      }
+    }
+    val rows = Seq(
+      (1L, Array.fill(64)(10.toByte)),
+      (2L, Array.fill(64)(10.toByte)),          // identical content => identical embedding
+      (3L, Array.tabulate(64)(i => (i * 7).toByte)),
+      (4L, null.asInstanceOf[Array[Byte]]))     // must yield NULL, not zero-vector
+    val df = rows.toDF("id", "bytes")
+    val feats = Multimodal.withFeatures(df, "bytes", dim = 8, extractor = custom)
+    val got = feats.collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(got(4L).isEmpty, "null payload must give NULL features")
+    assert(got(1L) == got(2L) && got(1L).nonEmpty)
+    // through ANN: with doc 1's embedding as the probe, doc 2 scores cosine 1
+    val emb = feats.filter(col("features").isNotNull)
+      .select(col("id").as("vec_id"), col("features").as("emb"))
+    val probe = emb.filter(col("vec_id") === 1L).head().getSeq[Float](1)
+    val topk = graft.operators.Similarity
+      .bruteForceTopK(emb.filter(col("vec_id") =!= 1L), "vec_id", "emb", probe, k = 2)
+      .collect()
+    assert(topk.head.getLong(0) == 2L && math.abs(topk.head.getDouble(1) - 1.0) < 1e-6,
+      s"got ${topk.toSeq}")
+    // through semdedup: identical embeddings collapse (one centroid cell)
+    val sem = graft.operators.Similarity.semDedup(emb, "vec_id", "emb",
+      centroids = Seq(probe.map(_.toFloat)), threshold = 0.999)
+    assert(sem.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // contract enforcement: wrong dim fails IN THE TASK, loudly
+    val badLen = (_: Array[Byte], _: Int) => Array(1f, 2f)
+    val e = intercept[Exception] {
+      Multimodal.withFeatures(df, "bytes", dim = 8, extractor = badLen).collect()
+    }
+    def chain(t: Throwable): String = {
+      var c = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    assert(chain(e).contains("expected 8"), chain(e))
+  }
+
   test("corrupt image headers keep the sniffed format with NULL dims, not fake numbers") {
     val fakePng = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte) ++
       Array.fill(64)(7.toByte)

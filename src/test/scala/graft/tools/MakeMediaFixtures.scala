@@ -23,5 +23,10 @@ object MakeMediaFixtures {
     // 8 kHz 8-bit mono PCM, 4000 data bytes -> exactly 500 ms.
     write("tone_500ms.wav",
       MediaCodecs.encodeWavPcm(8000, Array.tabulate(4000)(i => (i % 251).toByte)))
+    // Video container metadata fixtures: 2500 ms, 320x180.
+    write("tiny_320x180_2500ms.mp4", MediaCodecs.encodeMp4Meta(2500L, 320, 180))
+    write("tiny_320x180_2500ms.mkv", MediaCodecs.encodeMkvMeta(2500L, 320, 180))
+    // 3-frame 9x7 animated GIF (noise frames, seed 5).
+    write("anim_9x7_3f.gif", MediaCodecs.encodeAnimatedGif(9, 7, 3, seed = 5L))
   }
 }
