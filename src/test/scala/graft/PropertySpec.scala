@@ -694,4 +694,53 @@ class PropertySpec extends SparkSpec {
     assert(StatisticConstraint("v", Stat.Mean, Assertion.Equals(0)).evaluate(empty).status == ConstraintStatus.Skipped)
     assert(UniquenessConstraint(Seq("v")).evaluate(empty).status == ConstraintStatus.Skipped)
   }
+
+  test("media fingerprint invariance classes hold for randomized content") {
+    import graft.operators.Multimodal.MediaCodecs
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // IMAGE: (a) true lossless TRANSCODE invariance — decode the PNG bytes and
+    // re-encode as BMP through ImageIO (decoder-path, not generator-parity);
+    // (b) planted distinct-seed noise pairs stay far apart (the dedup threshold
+    // is 3 bits; encodeNoiseImage exists because gradients collided).
+    forAll(Gen.zip(Gen.choose(1L, 1000000L), Gen.choose(12, 48), Gen.choose(12, 48))) {
+      case (seed, w, h) =>
+        val png = MediaCodecs.encodeNoiseImage(w, h, "png", seed)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        val bos = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(img, "bmp", bos), "no BMP writer")
+        val hPng = MediaCodecs.perceptualHash(png)
+        val hBmp = MediaCodecs.perceptualHash(bos.toByteArray)
+        assert(hPng.nonEmpty && hPng == hBmp,
+          s"lossless transcode moved the aHash (seed=$seed ${w}x$h): $hPng vs $hBmp")
+        val hOther = MediaCodecs.perceptualHash(
+          MediaCodecs.encodeNoiseImage(w, h, "png", seed + 7919L))
+        assert(ham(hPng.get, hOther.get) >= 10,
+          s"distinct noise seeds only ${ham(hPng.get, hOther.get)} bits apart (seed=$seed)")
+    }
+    // AUDIO: exact uniform gain (2x around the 8-bit midpoint, amplitudes kept
+    // small enough that doubling cannot clip) preserves the hash EXACTLY: every
+    // sample amplitude doubles exactly, RMS scales by exactly 2 (power-of-two
+    // scaling commutes with IEEE rounding), so every env(i) > mean comparison is
+    // unchanged. Distinct seeds stay far apart.
+    forAll(Gen.choose(1L, 1000000L)) { seed =>
+      def mix(z0: Long): Long = {
+        var z = z0 + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      val quiet = Array.tabulate(4096) { i =>
+        val amp = 4 + java.lang.Long.remainderUnsigned(mix(mix(seed) ^ (i >> 6).toLong), 56L).toInt
+        val sign = if ((mix(mix(seed) ^ 0x51bfL ^ i.toLong) & 1L) == 0L) 1 else -1
+        (128 + sign * amp).toByte
+      }
+      val gained = quiet.map(b => (128 + 2 * ((b & 0xff) - 128)).toByte)
+      val h1 = MediaCodecs.audioHash(MediaCodecs.encodeWavPcm(8000, quiet))
+      val h2 = MediaCodecs.audioHash(MediaCodecs.encodeWavPcm(8000, gained))
+      assert(h1.nonEmpty && h1 == h2, s"uniform 2x gain moved the audio hash (seed=$seed)")
+      val hOther = MediaCodecs.audioHash(MediaCodecs.encodeNoiseWav(8000, 4096, seed + 104729L))
+      assert(ham(h1.get, hOther.get) >= 10,
+        s"distinct audio seeds only ${ham(h1.get, hOther.get)} bits apart (seed=$seed)")
+    }
+  }
 }
