@@ -116,9 +116,13 @@ object Joins {
     * `q` picks the quantile (raise toward 1.0 when lengths are heavy-tailed and the
     * replica side, not the filter side, is the cost). Zero-length intervals are
     * legal (the median can be 0 when most intervals are instants) — the width floors
-    * at the smallest positive length scale available, else 1.0. The result is the
-    * same exact join for ANY width; only the plan shape changes, so callers can
-    * adopt auto-width without re-validating results.
+    * at the smallest positive length scale available, else 1.0. The width ALSO
+    * floors at `maxlen / maxBinsPerInterval`, so the longest interval present can
+    * always explode within the in-task span guard — a quantile-only width would
+    * make [[rangeJoin]] raise_error on a legal heavy tail (median 1 s, one real 2 h
+    * interval) that a hand-tuned width handled. The result is the same exact join
+    * for ANY width; only the plan shape changes, so callers can adopt auto-width
+    * without re-validating results.
     */
   def rangeJoinAuto(points: DataFrame, intervals: DataFrame, pointCol: String,
       startCol: String, endCol: String, q: Double = 0.5,
@@ -138,10 +142,15 @@ object Joins {
       else {
         val qlen = row.getDouble(0)
         val maxlen = row.getDouble(1)
-        if (qlen > 0) qlen
-        // all-instant majority: fall back to the largest length, else unit bins
-        else if (maxlen > 0) maxlen
-        else 1.0
+        val base =
+          if (qlen > 0) qlen
+          // all-instant majority: fall back to the largest length, else unit bins
+          else if (maxlen > 0) maxlen
+          else 1.0
+        // the longest interval must fit the span guard: span bins are at most
+        // floor(len/width) + 2 (bin-alignment slack on both ends), so a width of
+        // maxlen/(maxBins-2) keeps the worst interval at <= maxBins bins
+        math.max(base, maxlen / (maxBinsPerInterval - 2).max(1))
       }
     rangeJoin(points, intervals, pointCol, startCol, endCol, binWidth, maxBinsPerInterval)
   }

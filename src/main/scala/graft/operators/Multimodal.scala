@@ -145,21 +145,28 @@ object Multimodal {
             if (pos + 16 > to) return false
             sz = be64(p + 8); hdr = 16
           } else if (sz == 0) sz = to - pos // last box extends to end
-          if (sz < hdr || pos + sz > to) return false
+          // `sz > to - pos`, NOT `pos + sz > to`: a hostile largesize near
+          // Long.MaxValue overflows the addition to negative and the corrupt box
+          // would walk right through the bound (then crash on a wrapped offset).
+          if (sz < hdr || sz > to - pos) return false
           val pay = (pos + hdr).toInt
           typ match {
             case "moov" | "trak" =>
               if (depth >= 4 || !walk(pos + hdr, pos + sz, depth + 1)) return false
-            case "mvhd" =>
+            case "mvhd" if sz - hdr >= 1 => // payload must hold the version byte
               val v = bytes(pay) & 0xff
               if (v == 0 && sz - hdr >= 20) {
                 val ts = be32(pay + 12)
                 if (ts > 0) duration = Some(be32(pay + 16) * 1000L / ts)
               } else if (v == 1 && sz - hdr >= 32) {
                 val ts = be32(pay + 20)
-                if (ts > 0) duration = Some(be64(pay + 24) * 1000L / ts)
+                val d = be64(pay + 24)
+                // reject corrupt raw durations the *1000 would overflow into a
+                // plausible-looking wrong value — None beats a fake number
+                if (ts > 0 && d >= 0 && d <= Long.MaxValue / 1000L)
+                  duration = Some(d * 1000L / ts)
               }
-            case "tkhd" =>
+            case "tkhd" if sz - hdr >= 1 =>
               val v = bytes(pay) & 0xff
               val (wOff, need) = if (v == 0) (76, 84L) else (88, 96L)
               if (sz - hdr >= need && dims.isEmpty) {
@@ -267,8 +274,8 @@ object Multimodal {
       * metadata). The encode half of the [[mp4Meta]] decode oracle.
       */
     def encodeMp4Meta(durationMs: Long, width: Int, height: Int): Array[Byte] = {
-      require(durationMs >= 0 && width > 0 && height > 0,
-        s"bad mp4 meta: ${durationMs}ms ${width}x$height")
+      require(durationMs >= 0 && durationMs <= 0xFFFFFFFFL && width > 0 && height > 0,
+        s"bad mp4 meta: ${durationMs}ms ${width}x$height (v0 duration is an unsigned 32-bit field)")
       val bb = java.nio.ByteBuffer.allocate(20 + 8 + 108 + 100) // ftyp + moov(mvhd + trak(tkhd))
       def fourcc(s: String): Unit = { bb.put(s.getBytes("ISO-8859-1")); () }
       // ftyp

@@ -35,7 +35,11 @@ class GlobalWindowGuardSpec extends SparkSpec {
     val sf = "/root/testdata/sf0.001"
     def globalWindows(p: LogicalPlan): Seq[LWindow] =
       p.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
-    val offenders = Queries.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    // Bench times operatorArms under the same silenced logger, so arms are swept
+    // too — a global window in an arm must fail here, not hide muted.
+    val surfaces = Queries.queries.toSeq.sortBy(_._1) ++
+      Queries.operatorArms.toSeq.sortBy(_._1).map { case (n, fn) => (s"$n (arm)", fn) }
+    val offenders = surfaces.flatMap { case (name, fn) =>
       val df = fn(spark, sf)
       val wins = globalWindows(df.queryExecution.optimizedPlan)
       if (wins.isEmpty) None

@@ -68,13 +68,41 @@ class MultimodalSpec extends SparkSpec {
       assert(m.format == fmt && m.duration_ms.isEmpty && m.width.isEmpty,
         s"truncated $fmt: $m")
     }
-    // 64-bit-largesize box and a v1 mvhd must parse too (synthesized from the fixture)
     val mp4 = fixture("tiny_320x180_2500ms.mp4")
     assert(MediaCodecs.mp4Meta(mp4) == (Some(2500L), Some((320, 180))))
     // box claiming to run past EOF is corrupt
     val bad = mp4.clone()
     bad(20) = 0x7f.toByte // inflate moov size
     assert(MediaCodecs.mp4Meta(bad) == (None, None))
+    // 64-bit LARGESIZE path: rewrite the fixture's ftyp as size==1 + largesize
+    val bb = java.nio.ByteBuffer.allocate(mp4.length + 8)
+    bb.putInt(1).put("ftyp".getBytes("ISO-8859-1")).putLong(28L) // 20 + 8 extra
+    bb.put(mp4, 8, 12) // original ftyp payload
+    bb.put(mp4, 20, mp4.length - 20) // moov unchanged
+    assert(MediaCodecs.mp4Meta(bb.array()) == (Some(2500L), Some((320, 180))),
+      "largesize box must parse")
+    // hostile largesize near Long.MaxValue must yield (None, None), not wrap the
+    // bound check and crash on a negative offset
+    val evil = bb.array().clone()
+    java.nio.ByteBuffer.wrap(evil, 8, 8).putLong(0x7FFFFFFFFFFFFFF0L)
+    assert(MediaCodecs.mp4Meta(evil) == (None, None))
+    // v1 mvhd (64-bit times): synthesize by patching version + re-laying the fields
+    val v1 = {
+      val b = java.nio.ByteBuffer.allocate(mp4.length + 12) // mvhd payload +12
+      b.put(mp4, 0, 20) // ftyp
+      b.putInt(java.nio.ByteBuffer.wrap(mp4, 20, 4).getInt + 12).put(mp4, 24, 4) // moov
+      b.putInt(120).put(mp4, 32, 4) // mvhd size 108 -> 120
+      b.putInt(0x01000000) // version 1
+      b.putLong(0L).putLong(0L) // 64-bit creation/modification
+      b.putInt(1000).putLong(2500L) // timescale + 64-bit duration
+      b.put(mp4, 56, mp4.length - 56) // rate onward + trak unchanged
+      b.array()
+    }
+    assert(MediaCodecs.mp4Meta(v1) == (Some(2500L), Some((320, 180))), "v1 mvhd must parse")
+    // header-only mvhd box at EOF: all size checks pass, payload is EMPTY — must
+    // be (None, None), not a version-byte read past the buffer
+    val headerOnly = mp4.take(20) ++ Array[Byte](0, 0, 0, 8) ++ "mvhd".getBytes("ISO-8859-1")
+    assert(MediaCodecs.mp4Meta(headerOnly) == (None, None))
   }
 
   test("animated GIF frames decode for real; frame sampling is exact") {
@@ -275,8 +303,8 @@ class MultimodalSpec extends SparkSpec {
     assert(kept == Seq(1L, 3L, 4L))
     // stereo with identical L/R channels == its mono downmix: channels are averaged
     // PER FRAME, so the envelope (and hash) must match the mono clip exactly
-    val monoPcm = Array.tabulate(4096)(i =>
-      MediaCodecs.encodeNoiseWav(8000, 4096, 7L)(44 + i))
+    val noiseWav = MediaCodecs.encodeNoiseWav(8000, 4096, 7L)
+    val monoPcm = noiseWav.slice(44, 44 + 4096)
     val stereoPcm = new Array[Byte](monoPcm.length * 2)
     for (i <- monoPcm.indices) {
       stereoPcm(i * 2) = monoPcm(i); stereoPcm(i * 2 + 1) = monoPcm(i)
