@@ -1601,11 +1601,12 @@ object Queries {
              | FROM m""".stripMargin.replaceAll("\n", " "))),
 
     // REAL video container metadata, oracled end-to-end: every doc gets a
-    // deterministic MP4 (even ids) or Matroska (odd ids) skeleton whose duration/
+    // deterministic MP4 / Matroska / AVI skeleton (doc_id mod 3) whose duration/
     // width/height are pure doc_id arithmetic; the Spark side actually PARSES the
-    // container (box walk / EBML walk — the encoders and parsers are independent
-    // code paths, and the fixtures spec pins the parsers against checked-in bytes
-    // verified byte-level in Python), and DuckDB replays the arithmetic.
+    // container (box walk / EBML walk / RIFF walk — the encoders and parsers are
+    // independent code paths, and the fixtures spec pins the parsers against
+    // checked-in bytes verified byte-level in Python), and DuckDB replays the
+    // arithmetic.
     QueryDef("video_meta_documents",
       (s, d) => {
         import graft.operators.Multimodal
@@ -1613,8 +1614,11 @@ object Queries {
           val w = 16 + (((id % 32) + 32) % 32).toInt
           val h = 9 + (((id % 17) + 17) % 17).toInt
           val dur = 1000L + ((id % 5000) + 5000) % 5000
-          if (((id % 2) + 2) % 2 == 0L) Multimodal.MediaCodecs.encodeMp4Meta(dur, w, h)
-          else Multimodal.MediaCodecs.encodeMkvMeta(dur, w, h)
+          (((id % 3) + 3) % 3) match {
+            case 0L => Multimodal.MediaCodecs.encodeMp4Meta(dur, w, h)
+            case 1L => Multimodal.MediaCodecs.encodeMkvMeta(dur, w, h)
+            case _ => Multimodal.MediaCodecs.encodeAviMeta(dur, w, h)
+          }
         })
         val media = t(s, d, "documents").filter(col("doc_id").isNotNull)
           .select(col("doc_id"), mkVid(col("doc_id")).as("vid"))
@@ -1624,7 +1628,8 @@ object Queries {
           sum(col("vm.height").cast("long")).as("sum_height"),
           sum(col("vm.duration_ms")).as("sum_duration_ms"),
           bool_and(col("vm.format") ===
-            when(pmod(col("doc_id"), lit(2)) === 0, "mp4").otherwise("mkv"))
+            when(pmod(col("doc_id"), lit(3)) === 0, "mp4")
+              .when(pmod(col("doc_id"), lit(3)) === 1, "mkv").otherwise("avi"))
             .as("formats_ok"))
       },
       Some("""WITH v AS (SELECT 16 + ((doc_id % 32 + 32) % 32) AS w,
@@ -1636,28 +1641,36 @@ object Queries {
              | CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS formats_ok
              | FROM v""".stripMargin.replaceAll("\n", " "))),
 
-    // REAL animated-GIF frame extraction, oracled: k = 1 + doc_id%5 noise frames
-    // per doc, exploded every-2nd capped at 2 — so per-doc frame count is
-    // least(2, ceil(k/2)), pure arithmetic DuckDB replays. The boolean gates that
+    // REAL animated-GIF frame extraction + timing, oracled: k = 1 + doc_id%5 noise
+    // frames per doc with a REAL per-frame GCE delay of (4 + doc_id%6) cs, exploded
+    // every-2nd capped at 2 — per-doc frame count = least(2, ceil(k/2)) and per-doc
+    // duration = k * delay * 10 ms (the GCE walk sums what the metadata-driven
+    // encoder wrote), both pure arithmetic DuckDB replays. The boolean gates that
     // every emitted frame is a REAL decode: a 9x7 PNG re-encode of a stored raster.
     QueryDef("gif_frames_documents",
       (s, d) => {
         import graft.operators.Multimodal
         val mkGif = udf((id: Long) => Multimodal.MediaCodecs.encodeAnimatedGif(
-          9, 7, (1 + (((id % 5) + 5) % 5)).toInt, id % 11))
+          9, 7, (1 + (((id % 5) + 5) % 5)).toInt, id % 11,
+          delayCs = (4 + (((id % 6) + 6) % 6)).toInt))
         val media = t(s, d, "documents").filter(col("doc_id").isNotNull)
           .select(col("doc_id"), mkGif(col("doc_id")).as("gif"))
+        val durations = Multimodal.withMediaMeta(media, "gif", "gm")
+          .agg(sum(col("gm.duration_ms")).as("sum_gif_duration_ms"))
         val frames = Multimodal.explodeFrames(media, "gif", everyNth = 2, maxFrames = 2)
           .filter(col("frame_bytes").isNotNull)
         Multimodal.withMediaMeta(frames, "frame_bytes", "fm").agg(
           count(lit(1)).as("n_frames"),
           bool_and(col("fm.format") === "png" &&
             col("fm.width") === 9 && col("fm.height") === 7).as("frames_ok"))
+          .crossJoin(durations)
       },
-      Some("""WITH g AS (SELECT 1 + ((doc_id % 5 + 5) % 5) AS k
+      Some("""WITH g AS (SELECT 1 + ((doc_id % 5 + 5) % 5) AS k,
+             |   4 + ((doc_id % 6 + 6) % 6) AS delay_cs
              |   FROM documents WHERE doc_id IS NOT NULL)
              | SELECT CAST(coalesce(sum(least(2, (k + 1) // 2)), 0) AS BIGINT) AS n_frames,
-             | CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS frames_ok
+             | CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS frames_ok,
+             | CAST(sum(k * delay_cs * 10) AS BIGINT) AS sum_gif_duration_ms
              | FROM g""".stripMargin.replaceAll("\n", " "))),
 
     // Visual near-dup dedup, oracled end-to-end: every doc gets a deterministic

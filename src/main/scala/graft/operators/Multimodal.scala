@@ -269,6 +269,123 @@ object Multimodal {
       (durMs, dims)
     }
 
+    /** REAL AVI container metadata — width/height/duration from the `avih` main
+      * header inside the `hdrl` LIST (duration = dwTotalFrames ×
+      * dwMicroSecPerFrame); the same RIFF chunk walk as WAV. None for corrupt
+      * trees or a zero frame rate.
+      */
+    def aviMeta(bytes: Array[Byte]): (Option[Long], Option[(Int, Int)]) = {
+      if (sniffFormat(bytes) != "avi") return (None, None)
+      def le32(off: Int): Long =
+        (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+          ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+      def id4(off: Int) =
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      var pos = 12L
+      while (pos + 8 <= bytes.length) {
+        val p = pos.toInt
+        val cid = id4(p)
+        val sz = le32(p + 4)
+        if (sz > bytes.length - pos - 8) return (None, None) // corrupt size
+        if (cid == "LIST" && sz >= 4 && id4(p + 8) == "hdrl") {
+          // walk inside hdrl for avih
+          var q = pos + 12
+          val end = pos + 8 + sz
+          while (q + 8 <= end) {
+            val qp = q.toInt
+            val csz = le32(qp + 4)
+            if (csz > end - q - 8) return (None, None)
+            if (id4(qp) == "avih" && csz >= 40) {
+              val usPerFrame = le32(qp + 8)
+              val frames = le32(qp + 8 + 16)
+              val w = le32(qp + 8 + 32).toInt
+              val h = le32(qp + 8 + 36).toInt
+              val dur = if (usPerFrame > 0) Some(frames * usPerFrame / 1000L) else None
+              val dims = if (w > 0 && h > 0) Some((w, h)) else None
+              return (dur, dims)
+            }
+            q += 8L + csz + (csz & 1L)
+          }
+          return (None, None) // hdrl without avih
+        }
+        pos += 8L + sz + (sz & 1L)
+      }
+      (None, None)
+    }
+
+    /** Encode a minimal-but-valid AVI metadata skeleton (`RIFF AVI ` +
+      * `LIST hdrl` + `avih`). 1000 fps (dwMicroSecPerFrame = 1000) so
+      * dwTotalFrames IS the duration in milliseconds — exact round-trip.
+      */
+    def encodeAviMeta(durationMs: Long, width: Int, height: Int): Array[Byte] = {
+      require(durationMs >= 0 && durationMs <= 0xFFFFFFFFL && width > 0 && height > 0,
+        s"bad avi meta: ${durationMs}ms ${width}x$height")
+      val avih = 56
+      val hdrl = 4 + 8 + avih // 'hdrl' + avih chunk
+      val bb = java.nio.ByteBuffer.allocate(12 + 8 + hdrl)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("ISO-8859-1")).putInt(4 + 8 + hdrl)
+        .put("AVI ".getBytes("ISO-8859-1"))
+      bb.put("LIST".getBytes("ISO-8859-1")).putInt(hdrl)
+        .put("hdrl".getBytes("ISO-8859-1"))
+      bb.put("avih".getBytes("ISO-8859-1")).putInt(avih)
+      bb.putInt(1000) // dwMicroSecPerFrame: 1000 fps
+      bb.putInt(0).putInt(0).putInt(0) // maxBytesPerSec, padding, flags
+      bb.putInt(durationMs.toInt) // dwTotalFrames == ms at 1000 fps
+      bb.putInt(0).putInt(1).putInt(0) // initialFrames, streams, suggestedBufSize
+      bb.putInt(width).putInt(height)
+      bb.putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+      bb.array()
+    }
+
+    /** REAL animated-GIF duration: sum of Graphic Control Extension delays
+      * (stored in centiseconds) from a block walk over the GIF stream — the same
+      * pure parsing class as the RIFF/box/EBML walks. None when the stream has no
+      * GCE at all (plain single-frame images have no timing) or is corrupt.
+      */
+    def gifDurationMs(bytes: Array[Byte]): Option[Long] = {
+      if (sniffFormat(bytes) != "gif") return None
+      try {
+        val n = bytes.length
+        if (n < 13) return None
+        var pos = 13 // header(6) + logical screen descriptor(7)
+        val packed = bytes(10) & 0xff
+        if ((packed & 0x80) != 0) pos += 3 * (1 << ((packed & 7) + 1)) // global color table
+        var sum = 0L
+        var sawGce = false
+        def skipSubBlocks(start: Int): Int = {
+          var q = start
+          while ({ if (q >= n) return -1; (bytes(q) & 0xff) != 0 })
+            q += 1 + (bytes(q) & 0xff)
+          q + 1 // past the 0 terminator
+        }
+        while (pos < n) {
+          (bytes(pos) & 0xff) match {
+            case 0x3B => return if (sawGce) Some(sum) else None // trailer
+            case 0x21 => // extension: label byte, then sub-blocks
+              if (pos + 2 >= n) return None
+              val label = bytes(pos + 1) & 0xff
+              if (label == 0xF9 && pos + 7 < n && (bytes(pos + 2) & 0xff) == 4) {
+                val delayCs = (bytes(pos + 4) & 0xff) | ((bytes(pos + 5) & 0xff) << 8)
+                sum += delayCs * 10L
+                sawGce = true
+              }
+              pos = skipSubBlocks(pos + 2) match { case -1 => return None; case q => q }
+            case 0x2C => // image descriptor + optional local table + LZW data
+              if (pos + 10 > n) return None
+              val lp = bytes(pos + 9) & 0xff
+              var q = pos + 10
+              if ((lp & 0x80) != 0) q += 3 * (1 << ((lp & 7) + 1))
+              if (q + 1 > n) return None
+              q += 1 // LZW minimum code size
+              pos = skipSubBlocks(q) match { case -1 => return None; case r => r }
+            case _ => return None // corrupt block stream
+          }
+        }
+        None // ran past end without the 0x3B trailer: truncated, no fake duration
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
     /** Encode a minimal-but-valid MP4 metadata skeleton (`ftyp` + `moov` with
       * `mvhd` and a video `tkhd`; no sample data — none is needed for container
       * metadata). The encode half of the [[mp4Meta]] decode oracle.
@@ -342,18 +459,26 @@ object Multimodal {
     }
 
     /** Real metadata decode: format sniff + image header dims / WAV duration /
-      * MP4 and Matroska container duration + dimensions.
+      * MP4, Matroska, and AVI container duration + dimensions / animated-GIF
+      * duration (GCE delay sum — None for plain single-frame GIFs, which carry
+      * no timing).
       */
     def decodeMeta(bytes: Array[Byte]): MediaMeta = {
       val fmt = sniffFormat(bytes)
       val size = if (bytes == null) 0L else bytes.length.toLong
       if (isImageFormat(fmt)) imageDimensions(bytes) match {
-        case Some((w, h)) => MediaMeta(fmt, Some(w), Some(h), None, size)
+        case Some((w, h)) =>
+          MediaMeta(fmt, Some(w), Some(h),
+            if (fmt == "gif") gifDurationMs(bytes) else None, size)
         case None => MediaMeta(fmt, None, None, None, size)
       }
       else if (fmt == "wav") MediaMeta(fmt, None, None, wavDurationMs(bytes), size)
-      else if (fmt == "mp4" || fmt == "mkv") {
-        val (dur, dims) = if (fmt == "mp4") mp4Meta(bytes) else mkvMeta(bytes)
+      else if (fmt == "mp4" || fmt == "mkv" || fmt == "avi") {
+        val (dur, dims) = fmt match {
+          case "mp4" => mp4Meta(bytes)
+          case "mkv" => mkvMeta(bytes)
+          case _ => aviMeta(bytes)
+        }
         MediaMeta(fmt, dims.map(_._1), dims.map(_._2), dur, size)
       }
       else MediaMeta(fmt, None, None, None, size)
@@ -661,13 +786,16 @@ object Multimodal {
     }
 
     /** Encode a deterministic animated GIF: `frames` noise frames keyed on
-      * (seed, frameIdx) through the JDK GIF sequence writer — the encode half of
-      * the [[gifFrames]] decode oracle.
+      * (seed, frameIdx) through the JDK GIF sequence writer, each carrying a REAL
+      * Graphic Control Extension with `delayCs` centiseconds of frame delay (the
+      * encode half of the [[gifFrames]] and [[gifDurationMs]] decode oracles).
       */
-    def encodeAnimatedGif(width: Int, height: Int, frames: Int, seed: Long): Array[Byte] = {
+    def encodeAnimatedGif(width: Int, height: Int, frames: Int, seed: Long,
+        delayCs: Int = 0): Array[Byte] = {
       imageIoReady
       require(width > 0 && height > 0 && frames > 0,
         s"encodeAnimatedGif needs positive dims/frames, got ${width}x$height x$frames")
+      require(delayCs >= 0 && delayCs <= 0xFFFF, s"delayCs out of u16 range: $delayCs")
       val bos = new java.io.ByteArrayOutputStream()
       val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
       val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
@@ -679,7 +807,21 @@ object Multimodal {
           // distinct noise per frame: reuse the cross-seed-distinctive generator
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
             encodeNoiseImage(width, height, "png", seed * 131 + f)))
-          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          // per-frame GCE with the requested delay, via the writer's native
+          // metadata tree (the only JDK way to set GIF timing)
+          val meta = writer.getDefaultImageMetadata(
+            new javax.imageio.ImageTypeSpecifier(img), null)
+          val fmtName = meta.getNativeMetadataFormatName
+          val root = new javax.imageio.metadata.IIOMetadataNode(fmtName)
+          val gce = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+          gce.setAttribute("disposalMethod", "none")
+          gce.setAttribute("userInputFlag", "FALSE")
+          gce.setAttribute("transparentColorFlag", "FALSE")
+          gce.setAttribute("delayTime", delayCs.toString)
+          gce.setAttribute("transparentColorIndex", "0")
+          root.appendChild(gce)
+          meta.mergeTree(fmtName, root)
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
           f += 1
         }
         writer.endWriteSequence()

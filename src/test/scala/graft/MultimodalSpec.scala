@@ -54,15 +54,15 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodecs.wavDurationMs(hostile).isEmpty)
   }
 
-  test("decodeMeta reads real MP4/MKV container metadata from checked-in fixtures") {
-    for (fmt <- Seq("mp4", "mkv")) {
+  test("decodeMeta reads real MP4/MKV/AVI container metadata from checked-in fixtures") {
+    for (fmt <- Seq("mp4", "mkv", "avi")) {
       val m = MediaCodecs.decodeMeta(fixture(s"tiny_320x180_2500ms.$fmt"))
       assert(m.format == fmt, s"$fmt sniff: ${m.format}")
       assert(m.width.contains(320) && m.height.contains(180), s"$fmt dims: ${m.width}x${m.height}")
       assert(m.duration_ms.contains(2500L), s"$fmt duration: ${m.duration_ms}")
     }
     // truncated/corrupt trees: recognized format, NULL fields — never fake numbers
-    for (fmt <- Seq("mp4", "mkv")) {
+    for (fmt <- Seq("mp4", "mkv", "avi")) {
       val full = fixture(s"tiny_320x180_2500ms.$fmt")
       val m = MediaCodecs.decodeMeta(full.take(24))
       assert(m.format == fmt && m.duration_ms.isEmpty && m.width.isEmpty,
@@ -119,6 +119,15 @@ class MultimodalSpec extends SparkSpec {
     // every-2nd, capped: indices 0 and 2
     assert(MediaCodecs.gifFrames(gif, everyNth = 2, maxFrames = 16).get.size == 2)
     assert(MediaCodecs.gifFrames(gif, everyNth = 1, maxFrames = 2).get.size == 2)
+    // REAL GIF timing: 3 frames x 25 cs = 750 ms, parsed from the GCE block walk
+    val timed = fixture("anim_9x7_3f_25cs.gif")
+    assert(MediaCodecs.gifDurationMs(timed).contains(750L),
+      s"got ${MediaCodecs.gifDurationMs(timed)}")
+    assert(MediaCodecs.decodeMeta(timed).duration_ms.contains(750L))
+    // zero-delay animation still carries GCEs: duration 0, not None
+    assert(MediaCodecs.gifDurationMs(gif).contains(0L))
+    // truncated stream: no trailer reached, no fake duration
+    assert(MediaCodecs.gifDurationMs(timed.dropRight(2)).isEmpty)
     // non-GIF payloads route to the documented byte-slice stub, not a crash
     assert(MediaCodecs.gifFrames("nope".getBytes, 1, 4).isEmpty)
     assert(MediaCodecs.sampleFrames(fixture("tone_500ms.wav"), 1, 2).size == 1,

@@ -26,7 +26,10 @@ object MakeMediaFixtures {
     // Video container metadata fixtures: 2500 ms, 320x180.
     write("tiny_320x180_2500ms.mp4", MediaCodecs.encodeMp4Meta(2500L, 320, 180))
     write("tiny_320x180_2500ms.mkv", MediaCodecs.encodeMkvMeta(2500L, 320, 180))
-    // 3-frame 9x7 animated GIF (noise frames, seed 5).
+    write("tiny_320x180_2500ms.avi", MediaCodecs.encodeAviMeta(2500L, 320, 180))
+    // 3-frame 9x7 animated GIFs (noise frames, seed 5): no delay / 25 cs per frame.
     write("anim_9x7_3f.gif", MediaCodecs.encodeAnimatedGif(9, 7, 3, seed = 5L))
+    write("anim_9x7_3f_25cs.gif",
+      MediaCodecs.encodeAnimatedGif(9, 7, 3, seed = 5L, delayCs = 25))
   }
 }
