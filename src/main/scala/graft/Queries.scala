@@ -1859,6 +1859,48 @@ object Queries {
              |   (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(pe, pe))) DESC, vec_id
              | LIMIT 10""".stripMargin.replaceAll("\n", " "))),
 
+    // K-means cell ASSIGNMENT oracle — the argmax-over-centroids kernel that IVF,
+    // SemDeDup, and refineCentroids all stand on, replayed exactly in DuckDB with
+    // the same double dot/norm formula as the topk oracles. Centroids = the three
+    // lowest-vec_id embeddings (deterministic on both sides). Tie-break semantics
+    // replayed precisely: ivfAssign keeps the LAST best (s >= best ⇒ highest cell
+    // wins ties — ORDER BY sim DESC, cell DESC), and a zero-norm vector (all-NaN
+    // sims) falls back to cell 0 (the NOT isnan filter + coalesce 0).
+    QueryDef("kmeans_assign_embeddings",
+      (s, d) => {
+        import graft.operators.Similarity
+        val embs = t(s, d, "embeddings")
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+        val seeds = embs.orderBy("vec_id").limit(3)
+          .select("embedding").collect().map(_.getSeq[Float](0).toSeq).toSeq
+        if (seeds.isEmpty) {
+          import s.implicits._
+          Seq.empty[(Long, Long, Double)].toDF("cell", "n", "mean_dim0")
+        } else {
+          Similarity.ivfAssign(embs, "embedding", seeds, out = "cell")
+            .groupBy(col("cell").cast("long").as("cell"))
+            .agg(count(lit(1)).as("n"),
+              round(avg(element_at(col("embedding"), 1).cast("double")), 6).as("mean_dim0"))
+            .orderBy(col("cell"))
+        }
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings
+             |   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+             | c AS (SELECT embedding::DOUBLE[] AS cv,
+             |     row_number() OVER (ORDER BY vec_id) - 1 AS cell
+             |   FROM e ORDER BY vec_id LIMIT 3),
+             | a AS (SELECT e.vec_id, e.embedding, coalesce((
+             |     SELECT c.cell FROM c
+             |     WHERE NOT isnan(list_dot_product(e.embedding::DOUBLE[], c.cv) /
+             |       (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(c.cv, c.cv))))
+             |     ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv) /
+             |       (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             |       c.cell DESC LIMIT 1), CAST(0 AS BIGINT)) AS cell
+             |   FROM e)
+             | SELECT cell, CAST(count(*) AS BIGINT) AS n,
+             | round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS mean_dim0
+             | FROM a GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "))),
+
     // Assertion ADT semantics (reference: constraints/assertion.rs — Equals with
     // ε=1e-10, NotEquals, Between/NotBetween bounds, ordering comparators) plus the
     // detect-mode threshold inversion (format.rs:812-820), all with verdicts known by

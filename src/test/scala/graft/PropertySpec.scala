@@ -695,6 +695,65 @@ class PropertySpec extends SparkSpec {
     assert(UniquenessConstraint(Seq("v")).evaluate(empty).status == ConstraintStatus.Skipped)
   }
 
+  test("container parsers never throw: random bytes, mutated valid containers, round-trips") {
+    import graft.operators.Multimodal.MediaCodecs
+    // These run inside executor UDFs over 100 TB of untrusted blobs: ONE uncaught
+    // exception in a parser kills a task and, with retries, the job. The contract
+    // is (None/"bin"/…), never a throw — the hostile-largesize crash the round-9
+    // code review caught is exactly this class.
+    def mustNotThrow(bytes: Array[Byte], label: String): Unit =
+      try {
+        MediaCodecs.decodeMeta(bytes)
+        MediaCodecs.mp4Meta(bytes); MediaCodecs.mkvMeta(bytes); MediaCodecs.aviMeta(bytes)
+        MediaCodecs.gifDurationMs(bytes); MediaCodecs.wavDurationMs(bytes)
+        MediaCodecs.gifFrames(bytes, 1, 4)
+        MediaCodecs.sampleFrames(bytes, 2, 4)
+        MediaCodecs.perceptualHash(bytes); MediaCodecs.audioHash(bytes)
+        ()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          fail(s"parser threw on $label: ${e.getClass.getName}: ${e.getMessage}")
+      }
+    val valid: Seq[Array[Byte]] = Seq(
+      MediaCodecs.encodeMp4Meta(2500L, 320, 180),
+      MediaCodecs.encodeMkvMeta(2500L, 320, 180),
+      MediaCodecs.encodeAviMeta(2500L, 320, 180),
+      MediaCodecs.encodeAnimatedGif(9, 7, 3, 5L, delayCs = 25),
+      MediaCodecs.encodeWavPcm(8000, Array.tabulate(512)(_.toByte)),
+      MediaCodecs.encodeNoiseImage(16, 12, "png", 3L))
+    // exact round-trips for the metadata skeletons
+    assert(MediaCodecs.mp4Meta(valid(0)) == (Some(2500L), Some((320, 180))))
+    assert(MediaCodecs.mkvMeta(valid(1)) == (Some(2500L), Some((320, 180))))
+    assert(MediaCodecs.aviMeta(valid(2)) == (Some(2500L), Some((320, 180))))
+    forAll(Gen.choose(1L, 1000000L)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      // pure random bytes (often sniffed "bin", sometimes lucky magic prefixes)
+      val junk = new Array[Byte](rnd.nextInt(600) + 1)
+      rnd.nextBytes(junk)
+      mustNotThrow(junk, s"random[$seed]")
+      // a valid container with random point mutations and a random truncation —
+      // the hostile class: valid magic, corrupt structure
+      for ((v, vi) <- valid.zipWithIndex) {
+        val mut = v.clone()
+        (1 to 8).foreach(_ => mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte)
+        mustNotThrow(mut, s"mutated[$vi, seed=$seed]")
+        mustNotThrow(mut.take(rnd.nextInt(mut.length) + 1), s"truncated[$vi, seed=$seed]")
+      }
+      // random bytes behind each REAL magic prefix: parser walks garbage structure
+      val magics = Seq(
+        Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes("ISO-8859-1"),
+        Array(0x1A.toByte, 0x45.toByte, 0xDF.toByte, 0xA3.toByte),
+        "RIFF1234AVI ".getBytes("ISO-8859-1"),
+        "RIFF1234WAVE".getBytes("ISO-8859-1"),
+        "GIF89a".getBytes("ISO-8859-1"))
+      magics.foreach { m =>
+        val tail = new Array[Byte](rnd.nextInt(300))
+        rnd.nextBytes(tail)
+        mustNotThrow(m ++ tail, s"magic+junk[${new String(m.take(4), "ISO-8859-1")}, seed=$seed]")
+      }
+    }
+  }
+
   test("media fingerprint invariance classes hold for randomized content") {
     import graft.operators.Multimodal.MediaCodecs
     def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
