@@ -64,7 +64,26 @@ object Multimodal {
       else if (hasPrefix(bytes, 0, "RIFF") && hasPrefix(bytes, 8, "AVI ")) "avi"
       else if (bytes.length >= 8 && hasPrefix(bytes, 4, "ftyp")) "mp4"
       else if (bytes.length >= 4 && bytes(0) == 0x1A.toByte && bytes(1) == 0x45.toByte &&
-        bytes(2) == 0xDF.toByte && bytes(3) == 0xA3.toByte) "mkv"
+        bytes(2) == 0xDF.toByte && bytes(3) == 0xA3.toByte) {
+        // WebM is Matroska with DocType "webm": probe the EBML header's DocType
+        // element (id 0x4282, always within the first few dozen bytes)
+        var i = 4
+        var found = "mkv"
+        val limit = math.min(bytes.length - 2, 64)
+        while (i < limit && found == "mkv") {
+          if (bytes(i) == 0x42.toByte && bytes(i + 1) == 0x82.toByte) {
+            val szB = bytes(i + 2) & 0xff
+            if ((szB & 0x80) != 0) { // 1-byte vint size (DocType strings are short)
+              val sz = szB & 0x7f
+              if (i + 3 + sz <= bytes.length &&
+                new String(bytes, i + 3, sz, java.nio.charset.StandardCharsets.ISO_8859_1)
+                  .startsWith("webm")) found = "webm"
+            }
+          }
+          i += 1
+        }
+        found
+      }
       else "bin"
 
     private def isImageFormat(fmt: String): Boolean =
@@ -190,7 +209,8 @@ object Multimodal {
       * opaque. Corrupt elements yield (None, None).
       */
     def mkvMeta(bytes: Array[Byte]): (Option[Long], Option[(Int, Int)]) = {
-      if (sniffFormat(bytes) != "mkv") return (None, None)
+      val fmt = sniffFormat(bytes)
+      if (fmt != "mkv" && fmt != "webm") return (None, None)
       val n = bytes.length
       def vintLen(b0: Int): Int = {
         var mask = 0x80; var len = 1
@@ -430,7 +450,8 @@ object Multimodal {
       * DocType, `Segment/Info/{TimestampScale, Duration}` and a video track with
       * pixel dimensions). The encode half of the [[mkvMeta]] decode oracle.
       */
-    def encodeMkvMeta(durationMs: Long, width: Int, height: Int): Array[Byte] = {
+    def encodeMkvMeta(durationMs: Long, width: Int, height: Int,
+        docType: String = "matroska"): Array[Byte] = {
       require(durationMs >= 0 && width > 0 && height > 0,
         s"bad mkv meta: ${durationMs}ms ${width}x$height")
       def sizeVint(v: Int): Array[Byte] = {
@@ -446,7 +467,7 @@ object Multimodal {
         Array.tabulate(len)(i => ((v >>> (8 * (len - 1 - i))) & 0xff).toByte)
       }
       val ebml = el(id(0x1A, 0x45, 0xDF, 0xA3),
-        el(id(0x42, 0x82), "matroska".getBytes("ISO-8859-1")))
+        el(id(0x42, 0x82), docType.getBytes("ISO-8859-1")))
       val info = el(id(0x15, 0x49, 0xA9, 0x66),
         el(id(0x2A, 0xD7, 0xB1), uint(1000000L)) ++ // 1 ms units
           el(id(0x44, 0x89), { // Duration: 8-byte float, units = TimestampScale
@@ -473,10 +494,10 @@ object Multimodal {
         case None => MediaMeta(fmt, None, None, None, size)
       }
       else if (fmt == "wav") MediaMeta(fmt, None, None, wavDurationMs(bytes), size)
-      else if (fmt == "mp4" || fmt == "mkv" || fmt == "avi") {
+      else if (fmt == "mp4" || fmt == "mkv" || fmt == "webm" || fmt == "avi") {
         val (dur, dims) = fmt match {
           case "mp4" => mp4Meta(bytes)
-          case "mkv" => mkvMeta(bytes)
+          case "mkv" | "webm" => mkvMeta(bytes)
           case _ => aviMeta(bytes)
         }
         MediaMeta(fmt, dims.map(_._1), dims.map(_._2), dur, size)
@@ -1084,12 +1105,17 @@ object Multimodal {
     Dedup.bandedHammingPairs(all, maxHamming, maxBucketSize, newFlagCol = Some("_new"))
   }
 
-  /** Media-size/format stats for a binary column — a typical corpus health check. */
+  /** Media-size/format stats for a binary column — a typical corpus health check.
+    * `total_duration_ms` sums WAV/MP4/MKV/AVI/animated-GIF durations (NULL for
+    * formats that carry none — a corpus of still images reports NULL time, not a
+    * fake 0).
+    */
   def mediaStats(df: DataFrame, binCol: String): DataFrame =
     withMediaMeta(df, binCol)
       .groupBy(col("media_meta.format").as("format"))
       .agg(count(lit(1)).as("cnt"),
         sum(col("media_meta.size_bytes")).as("total_bytes"),
-        round(avg(col("media_meta.width")), 2).as("avg_width"))
+        round(avg(col("media_meta.width")), 2).as("avg_width"),
+        sum(col("media_meta.duration_ms")).as("total_duration_ms"))
       .orderBy(col("format"))
 }

@@ -103,6 +103,11 @@ class MultimodalSpec extends SparkSpec {
     // be (None, None), not a version-byte read past the buffer
     val headerOnly = mp4.take(20) ++ Array[Byte](0, 0, 0, 8) ++ "mvhd".getBytes("ISO-8859-1")
     assert(MediaCodecs.mp4Meta(headerOnly) == (None, None))
+    // WebM = Matroska with DocType "webm": sniffed apart, parsed identically
+    val webm = MediaCodecs.encodeMkvMeta(2500L, 320, 180, docType = "webm")
+    assert(MediaCodecs.sniffFormat(webm) == "webm")
+    val wm = MediaCodecs.decodeMeta(webm)
+    assert(wm.format == "webm" && wm.width.contains(320) && wm.duration_ms.contains(2500L))
   }
 
   test("animated GIF frames decode for real; frame sampling is exact") {

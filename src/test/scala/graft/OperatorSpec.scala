@@ -827,6 +827,12 @@ class OperatorSpec extends SparkSpec {
 
     val stats = Multimodal.mediaStats(df, "bytes").collect()
     assert(stats.map(_.getString(0)).toSeq == Seq("bin", "jpeg", "png"))
+    // formats without timing report NULL total time, never a fake 0
+    assert(stats.forall(_.isNullAt(4)), "still images must have NULL total_duration_ms")
+    val timed = Seq((1L, MediaCodecs.encodeAviMeta(1500L, 8, 8)),
+      (2L, MediaCodecs.encodeAviMeta(500L, 8, 8))).toDF("id", "bytes")
+    val ts = Multimodal.mediaStats(timed, "bytes").head()
+    assert(ts.getString(0) == "avi" && ts.getLong(4) == 2000L, s"got $ts")
 
     // resize is REAL for images: decoded output dims equal the target, deterministic
     val resized = Multimodal.withResized(df, "bytes", 32, 32)
