@@ -54,12 +54,15 @@ object FuzzAsOf {
           .select("lid", "pv", "mt")
           .write.mode("overwrite").parquet(out)
       } else {
-        val w = parts(2).stripPrefix("w").replace('p', '.').toDouble
+        val wSpec = parts(2).stripPrefix("w")
         val points = spark.read.parquet(s"${dir.getPath}/points.parquet")
         val intervals = spark.read.parquet(s"${dir.getPath}/intervals.parquet")
-        graft.operators.Joins.rangeJoin(points, intervals, "x", "s", "e", binWidth = w)
-          .select("pid", "iid")
-          .write.mode("overwrite").parquet(out)
+        val joined =
+          if (wSpec == "auto") // data-derived width: same exact join by contract
+            graft.operators.Joins.rangeJoinAuto(points, intervals, "x", "s", "e")
+          else graft.operators.Joins.rangeJoin(points, intervals, "x", "s", "e",
+            binWidth = wSpec.replace('p', '.').toDouble)
+        joined.select("pid", "iid").write.mode("overwrite").parquet(out)
       }
       n += 1
     }

@@ -92,7 +92,9 @@ def gen_asof(i, rng):
 
 
 def gen_range(i, rng):
-    wraw = rng.choice([0.5, 1.0, 2.0, 7.5, 31.0])
+    # 'auto' = rangeJoinAuto (data-derived quantile width) — results must be
+    # width-invariant, so the same inequality-join oracle applies
+    wraw = rng.choice([0.5, 1.0, 2.0, 7.5, 31.0, "auto"])
     name = f"range_{i:03d}_w{str(wraw).replace('.', 'p')}"
     d = os.path.join(ROOT, name)
     os.makedirs(d, exist_ok=True)
