@@ -140,4 +140,63 @@ class PipelineE2ESpec extends SparkSpec {
       budgetRows = 100L)
     assert(temps.count() == nSources)
   }
+
+  test("multimodal curation pipeline composes: meta gate -> visual dedup -> features -> semdedup") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaCodecs
+    import spark.implicits._
+    // Mixed-media corpus: noise images with planted dups (seeds repeat), real
+    // video/audio containers, and broken blobs — the shapes a 100 TB media
+    // ingest actually sees.
+    val img = (s: Long) => MediaCodecs.encodeNoiseImage(24, 16, "png", s)
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      (1L, img(1)), (2L, img(1)), (3L, img(1)),   // planted visual triple
+      (4L, img(2)), (5L, img(3)),
+      (6L, MediaCodecs.encodeMp4Meta(900L, 64, 36)),
+      (7L, MediaCodecs.encodeNoiseWav(8000, 4096, 4L)),
+      (8L, "corrupt blob".getBytes), (9L, null.asInstanceOf[Array[Byte]]))
+    val corpus = rows.toDF("id", "bytes").repartition(3)
+
+    // 1. metadata gate: keep only payloads whose container DECODED (dims or
+    //    duration present) — the broken blob and null drop with exact accounting
+    val gated = Multimodal.withMediaMeta(corpus, "bytes")
+      .filter(col("media_meta.width").isNotNull || col("media_meta.duration_ms").isNotNull)
+    assert(gated.count() == 7, "5 images + mp4 + wav survive the gate")
+
+    // 2. visual dedup on the image subset: the planted triple collapses to id 1
+    val images = gated.filter(col("media_meta.format") === "png")
+      .select(col("id"), col("bytes"))
+    val keptImages = Multimodal.dedupImages(images, "id", "bytes")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(keptImages == Seq(1L, 4L, 5L))
+
+    // 3. features via the pluggable hook over the SURVIVORS, then semantic dedup:
+    //    byte-identical payloads embed identically, so a re-planted copy of image 4
+    //    collapses in embedding space even though the extractor is custom
+    val byteMean = (b: Array[Byte], dim: Int) =>
+      if (b == null || b.isEmpty) null
+      else {
+        val out = new Array[Float](dim)
+        b.indices.foreach(i => out(i % dim) += (b(i) & 0xff) / 255.0f)
+        val nrm = math.sqrt(out.map(v => v.toDouble * v).sum).toFloat
+        if (nrm == 0f) null else out.map(_ / nrm)
+      }
+    val survivors = images.filter(col("id").isin(keptImages: _*))
+      .unionByName(Seq((40L, img(2))).toDF("id", "bytes")) // semantic re-plant of 4
+    val feats = Multimodal.withFeatures(survivors, "bytes", dim = 8, extractor = byteMean)
+      .filter(col("features").isNotNull)
+      .select(col("id").as("vec_id"), col("features").as("emb"))
+    val centroid = feats.orderBy("vec_id").head().getSeq[Float](1)
+    val semKept = graft.operators.Similarity
+      .semDedup(feats, "vec_id", "emb", Seq(centroid), threshold = 0.999)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(semKept == Seq(1L, 4L, 5L), s"40 must collapse into 4, got $semKept")
+
+    // 4. corpus health: mediaStats over the gated corpus accounts every format,
+    //    and total media time covers the mp4 + wav (and nothing else)
+    val stats = Multimodal.mediaStats(gated.select("id", "bytes"), "bytes")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(stats("png")._1 == 5 && stats("png")._2 == -1L)
+    assert(stats("mp4") == ((1L, 900L)) && stats("wav") == ((1L, 512L)))
+  }
 }
