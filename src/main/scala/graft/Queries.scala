@@ -1653,8 +1653,12 @@ object Queries {
         val mkGif = udf((id: Long) => Multimodal.MediaCodecs.encodeAnimatedGif(
           9, 7, (1 + (((id % 5) + 5) % 5)).toInt, id % 11,
           delayCs = (4 + (((id % 6) + 6) % 6)).toInt))
+        // localCheckpoint: durations and frames are two plan subtrees that would
+        // otherwise each re-run the per-doc GIF-sequence encode UDF — the most
+        // expensive work in the query, doubled. Materialize the encode once.
         val media = t(s, d, "documents").filter(col("doc_id").isNotNull)
           .select(col("doc_id"), mkGif(col("doc_id")).as("gif"))
+          .localCheckpoint(true)
         val durations = Multimodal.withMediaMeta(media, "gif", "gm")
           .agg(sum(col("gm.duration_ms")).as("sum_gif_duration_ms"))
         val frames = Multimodal.explodeFrames(media, "gif", everyNth = 2, maxFrames = 2)

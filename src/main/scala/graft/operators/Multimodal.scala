@@ -72,11 +72,17 @@ object Multimodal {
         val limit = math.min(bytes.length - 2, 64)
         while (i < limit && found == "mkv") {
           if (bytes(i) == 0x42.toByte && bytes(i + 1) == 0x82.toByte) {
+            // EBML size vint: the leading byte's first set bit gives the width
+            // (spec allows non-minimal encodings — a 2-byte 0x40 0x04 is legal).
             val szB = bytes(i + 2) & 0xff
-            if ((szB & 0x80) != 0) { // 1-byte vint size (DocType strings are short)
-              val sz = szB & 0x7f
-              if (i + 3 + sz <= bytes.length &&
-                new String(bytes, i + 3, sz, java.nio.charset.StandardCharsets.ISO_8859_1)
+            val szLen = if (szB != 0) 8 - (31 - Integer.numberOfLeadingZeros(szB)) else 9
+            if (szLen <= 8 && i + 2 + szLen <= bytes.length) {
+              var sz = (szB & (0xff >>> szLen)).toLong
+              var k = 1
+              while (k < szLen) { sz = (sz << 8) | (bytes(i + 2 + k) & 0xffL); k += 1 }
+              val off = i + 2 + szLen
+              if (sz >= 4 && sz <= 64 && off + sz <= bytes.length &&
+                new String(bytes, off, sz.toInt, java.nio.charset.StandardCharsets.ISO_8859_1)
                   .startsWith("webm")) found = "webm"
             }
           }
@@ -320,7 +326,13 @@ object Multimodal {
               val frames = le32(qp + 8 + 16)
               val w = le32(qp + 8 + 32).toInt
               val h = le32(qp + 8 + 36).toInt
-              val dur = if (usPerFrame > 0) Some(frames * usPerFrame / 1000L) else None
+              // Both fields are unsigned-32 reads, so the product can reach
+              // (2^32-1)^2 and wrap Long: reject corrupt values whose multiply
+              // would overflow — None beats a fake (negative) duration.
+              val dur =
+                if (usPerFrame > 0 && frames <= Long.MaxValue / usPerFrame)
+                  Some(frames * usPerFrame / 1000L)
+                else None
               val dims = if (w > 0 && h > 0) Some((w, h)) else None
               return (dur, dims)
             }
@@ -727,9 +739,21 @@ object Multimodal {
       * threshold at the mean — near-duplicate images land within a few Hamming bits.
       * None for anything undecodable (a fake hash would poison dedup buckets).
       */
+    /** Header-only pixel-count guard before any full `ImageIO.read` of untrusted
+      * bytes: a hostile header claiming 65535x65535 would make the decoder allocate
+      * a multi-GB raster and throw OutOfMemoryError — an Error, which NonFatal never
+      * catches, so it would kill the executor task instead of yielding None/fallback.
+      * [[imageDimensions]] parses only the header, so this costs ~nothing.
+      */
+    private def headerPixelsSane(bytes: Array[Byte]): Boolean =
+      imageDimensions(bytes).exists { case (w, h) =>
+        w > 0 && h > 0 && w.toLong * h <= 16777216L // 4096x4096 cap
+      }
+
     def perceptualHash(bytes: Array[Byte]): Option[Long] = {
       imageIoReady
       if (bytes == null || bytes.isEmpty || !isImageFormat(sniffFormat(bytes))) return None
+      if (!headerPixelsSane(bytes)) return None
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         if (img == null) return None
@@ -773,7 +797,7 @@ object Multimodal {
       require(w > 0 && h > 0, s"resize needs positive dims, got ${w}x$h")
       if (bytes == null || bytes.isEmpty) return Array.emptyByteArray
       val fmt = sniffFormat(bytes)
-      if (isImageFormat(fmt)) {
+      if (isImageFormat(fmt) && headerPixelsSane(bytes)) {
         try {
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
           if (img != null) {
@@ -871,6 +895,16 @@ object Multimodal {
             r.setInput(iis)
             val total = r.getNumImages(true)
             val picked = (0 until total by math.max(everyNth, 1)).take(maxFrames)
+            // Header dims sanity cap BEFORE pixel decode: a hostile descriptor
+            // claiming 65535x65535 would make r.read allocate a multi-GB raster
+            // and throw OutOfMemoryError — an Error that NonFatal never catches,
+            // killing the executor task instead of yielding None. getWidth/
+            // getHeight are header-only reads, so the cap costs nothing.
+            val maxPixels = 16777216L // 4096x4096 — far above any sane GIF frame
+            if (picked.exists { i =>
+              val w = r.getWidth(i).toLong; val h = r.getHeight(i).toLong
+              w <= 0 || h <= 0 || w * h > maxPixels
+            }) return None
             Some(picked.map { i =>
               val img = r.read(i)
               val bos = new java.io.ByteArrayOutputStream()

@@ -108,6 +108,18 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodecs.sniffFormat(webm) == "webm")
     val wm = MediaCodecs.decodeMeta(webm)
     assert(wm.format == "webm" && wm.width.contains(320) && wm.duration_ms.contains(2500L))
+    // spec-legal NON-MINIMAL size vint: DocType size coded in 2 bytes (0x40 0x04)
+    // must still sniff as webm, not fall back to mkv
+    val wideVint = Array(0x1A, 0x45, 0xDF, 0xA3, 0x42, 0x82, 0x40, 0x04)
+      .map(_.toByte) ++ "webm".getBytes("ISO-8859-1")
+    assert(MediaCodecs.sniffFormat(wideVint) == "webm", "2-byte size vint DocType")
+    // AVI avih with both u32 fields maxed: frames*usPerFrame wraps Long — duration
+    // must be None, never a fake negative number
+    val avi = fixture("tiny_320x180_2500ms.avi")
+    val hostileAvi = avi.clone()
+    for (off <- (32 to 35) ++ (48 to 51)) hostileAvi(off) = 0xff.toByte
+    val (hd, _) = MediaCodecs.aviMeta(hostileAvi)
+    assert(hd.isEmpty, s"overflowed avih duration must be None, got $hd")
   }
 
   test("animated GIF frames decode for real; frame sampling is exact") {
@@ -133,6 +145,18 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodecs.gifDurationMs(gif).contains(0L))
     // truncated stream: no trailer reached, no fake duration
     assert(MediaCodecs.gifDurationMs(timed.dropRight(2)).isEmpty)
+    // hostile image descriptor claiming 65535x65535: the header-dims cap must
+    // reject it BEFORE pixel decode (an uncapped read would allocate a multi-GB
+    // raster and die with OutOfMemoryError, which NonFatal never catches)
+    val giant = gif.clone()
+    val desc = giant.indices.find { i =>
+      i + 8 < giant.length && giant(i) == 0x2C.toByte &&
+        (giant(i + 5) & 0xff | (giant(i + 6) & 0xff) << 8) == 9 &&
+        (giant(i + 7) & 0xff | (giant(i + 8) & 0xff) << 8) == 7
+    }.get
+    for (off <- (desc + 5) to (desc + 8)) giant(off) = 0xff.toByte
+    assert(MediaCodecs.gifFrames(giant, 1, 4).isEmpty, "giant-dims GIF must be None")
+    assert(MediaCodecs.perceptualHash(giant).isEmpty, "giant-dims aHash must be None")
     // non-GIF payloads route to the documented byte-slice stub, not a crash
     assert(MediaCodecs.gifFrames("nope".getBytes, 1, 4).isEmpty)
     assert(MediaCodecs.sampleFrames(fixture("tone_500ms.wav"), 1, 2).size == 1,
