@@ -735,10 +735,6 @@ object Multimodal {
       out
     }
 
-    /** REAL perceptual aHash (64-bit): decode, average-pool to 8×8 grayscale,
-      * threshold at the mean — near-duplicate images land within a few Hamming bits.
-      * None for anything undecodable (a fake hash would poison dedup buckets).
-      */
     /** Header-only pixel-count guard before any full `ImageIO.read` of untrusted
       * bytes: a hostile header claiming 65535x65535 would make the decoder allocate
       * a multi-GB raster and throw OutOfMemoryError — an Error, which NonFatal never
@@ -750,6 +746,10 @@ object Multimodal {
         w > 0 && h > 0 && w.toLong * h <= 16777216L // 4096x4096 cap
       }
 
+    /** REAL perceptual aHash (64-bit): decode, average-pool to 8×8 grayscale,
+      * threshold at the mean — near-duplicate images land within a few Hamming bits.
+      * None for anything undecodable (a fake hash would poison dedup buckets).
+      */
     def perceptualHash(bytes: Array[Byte]): Option[Long] = {
       imageIoReady
       if (bytes == null || bytes.isEmpty || !isImageFormat(sniffFormat(bytes))) return None
