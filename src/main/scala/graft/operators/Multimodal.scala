@@ -753,9 +753,23 @@ object Multimodal {
     def perceptualHash(bytes: Array[Byte]): Option[Long] = {
       imageIoReady
       if (bytes == null || bytes.isEmpty || !isImageFormat(sniffFormat(bytes))) return None
-      if (!headerPixelsSane(bytes)) return None
       try {
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        // One reader session for the dims guard AND the decode: this is the
+        // visual-dedup hot path, so don't pay a second header parse for the
+        // [[headerPixelsSane]] check (same cap, same semantics, inlined).
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val img = try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return None
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val w = r.getWidth(0).toLong; val h = r.getHeight(0).toLong
+            if (w <= 0 || h <= 0 || w * h > 16777216L) return None
+            r.read(0)
+          } finally r.dispose()
+        } finally iis.close()
         if (img == null) return None
         val small = new java.awt.image.BufferedImage(
           8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
