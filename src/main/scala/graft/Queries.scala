@@ -1641,6 +1641,43 @@ object Queries {
              | CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS formats_ok
              | FROM v""".stripMargin.replaceAll("\n", " "))),
 
+    // REAL audio-container metadata, oracled: each doc gets a FLAC STREAMINFO /
+    // CBR MP3 frame run / Ogg page pair (Vorbis or Opus) by doc_id arithmetic;
+    // flac+ogg round-trip the encoded ms exactly (8 kHz / 48 kHz), mp3's frame
+    // walk yields exactly 72 ms per MPEG-2.5 Layer III frame — all pure
+    // arithmetic DuckDB replays. The boolean gates the magic-byte sniff per format.
+    QueryDef("audio_meta_documents",
+      (s, d) => {
+        import graft.operators.Multimodal
+        val mkAud = udf((id: Long) => {
+          val dur = 500L + ((id % 3000) + 3000) % 3000
+          val k = (10 + (((id % 20) + 20) % 20)).toInt
+          (((id % 3) + 3) % 3) match {
+            case 0L => Multimodal.MediaCodecs.encodeFlacMeta(dur)
+            case 1L => Multimodal.MediaCodecs.encodeMp3Cbr(k, id3Pad = (k % 3) * 64)
+            case _ => Multimodal.MediaCodecs.encodeOggMeta(dur,
+              opus = (((id % 2) + 2) % 2) == 0L)
+          }
+        })
+        val media = t(s, d, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), mkAud(col("doc_id")).as("aud"))
+        Multimodal.withMediaMeta(media, "aud", "am").agg(
+          count(lit(1)).as("n_audio"),
+          sum(col("am.duration_ms")).as("sum_duration_ms"),
+          bool_and(col("am.format") ===
+            when(pmod(col("doc_id"), lit(3)) === 0, "flac")
+              .when(pmod(col("doc_id"), lit(3)) === 1, "mp3").otherwise("ogg"))
+            .as("formats_ok"))
+      },
+      Some("""WITH a AS (SELECT ((doc_id % 3 + 3) % 3) AS m3,
+             |   500 + ((doc_id % 3000 + 3000) % 3000) AS dur,
+             |   10 + ((doc_id % 20 + 20) % 20) AS k
+             |   FROM documents WHERE doc_id IS NOT NULL)
+             | SELECT count(*) AS n_audio,
+             | CAST(sum(CASE WHEN m3 = 1 THEN 72 * k ELSE dur END) AS BIGINT) AS sum_duration_ms,
+             | CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS formats_ok
+             | FROM a""".stripMargin.replaceAll("\n", " "))),
+
     // REAL animated-GIF frame extraction + timing, oracled: k = 1 + doc_id%5 noise
     // frames per doc with a REAL per-frame GCE delay of (4 + doc_id%6) cs, exploded
     // every-2nd capped at 2 — per-doc frame count = least(2, ceil(k/2)) and per-doc

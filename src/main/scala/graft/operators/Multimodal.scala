@@ -26,9 +26,10 @@ object Multimodal {
     StructField("duration_ms", LongType),
     StructField("size_bytes", LongType)))
 
-  /** Decoded media metadata. `width`/`height` are present only for decodable images,
-    * `duration_ms` only for parseable WAV audio — a recognized-but-corrupt payload
-    * keeps its sniffed format with NULL dimensions instead of fake numbers.
+  /** Decoded media metadata. `width`/`height` are present only for decodable images
+    * and video containers, `duration_ms` only for parseable audio (WAV/FLAC/MP3/Ogg)
+    * and video/GIF containers — a recognized-but-corrupt payload keeps its sniffed
+    * format with NULL fields instead of fake numbers.
     */
   final case class MediaMeta(
       format: String,
@@ -62,6 +63,9 @@ object Multimodal {
       else if (hasPrefix(bytes, 0, "BM")) "bmp"
       else if (hasPrefix(bytes, 0, "RIFF") && hasPrefix(bytes, 8, "WAVE")) "wav"
       else if (hasPrefix(bytes, 0, "RIFF") && hasPrefix(bytes, 8, "AVI ")) "avi"
+      else if (hasPrefix(bytes, 0, "fLaC")) "flac"
+      else if (hasPrefix(bytes, 0, "OggS")) "ogg"
+      else if (hasPrefix(bytes, 0, "ID3") || isMp3FrameHeader(bytes, 0)) "mp3"
       else if (bytes.length >= 8 && hasPrefix(bytes, 4, "ftyp")) "mp4"
       else if (bytes.length >= 4 && bytes(0) == 0x1A.toByte && bytes(1) == 0x45.toByte &&
         bytes(2) == 0xDF.toByte && bytes(3) == 0xA3.toByte) {
@@ -94,6 +98,19 @@ object Multimodal {
 
     private def isImageFormat(fmt: String): Boolean =
       fmt == "png" || fmt == "jpeg" || fmt == "gif" || fmt == "bmp"
+
+    /** A fully-valid MPEG Layer III frame header (sync + non-reserved version +
+      * Layer III + real bitrate/samplerate indices) — strict enough that random
+      * bytes essentially never sniff as mp3 (bare .mp3 files have no magic; this
+      * is how every real sniffer identifies them).
+      */
+    private def isMp3FrameHeader(bytes: Array[Byte], off: Int): Boolean = {
+      if (bytes.length < off + 4) return false
+      val b1 = bytes(off) & 0xff; val b2 = bytes(off + 1) & 0xff; val b3 = bytes(off + 2) & 0xff
+      b1 == 0xff && (b2 & 0xe0) == 0xe0 &&
+        ((b2 >> 3) & 3) != 1 && ((b2 >> 1) & 3) == 1 &&
+        ((b3 >> 4) & 0xf) != 0 && ((b3 >> 4) & 0xf) != 15 && ((b3 >> 2) & 3) != 3
+    }
 
     /** Image dimensions from the HEADER only — `ImageReader.getWidth/getHeight(0)`
       * reads metadata, not pixel data, so a 50 MB JPEG costs a few hundred bytes of
@@ -139,6 +156,150 @@ object Multimodal {
         pos += 8L + sz + (sz & 1L) // chunks are word-aligned
       }
       if (byteRate > 0 && dataLen >= 0) Some(dataLen * 1000L / byteRate) else None
+    }
+
+    /** FLAC duration from the STREAMINFO metadata block (total samples ÷ sample
+      * rate) — a pure length-prefixed block walk, the same class as the RIFF walk.
+      * Frame DATA stays opaque (decoding needs a codec; the header doesn't).
+      * Unknown totals (0), zero rates, and corrupt block sizes yield None.
+      */
+    def flacMeta(bytes: Array[Byte]): Option[Long] = {
+      if (sniffFormat(bytes) != "flac") return None
+      var pos = 4
+      while (pos + 4 <= bytes.length) {
+        val hdr = bytes(pos) & 0xff
+        val len = ((bytes(pos + 1) & 0xff) << 16) | ((bytes(pos + 2) & 0xff) << 8) |
+          (bytes(pos + 3) & 0xff)
+        if (len > bytes.length - pos - 4) return None // block runs past EOF
+        if ((hdr & 0x7f) == 0) { // STREAMINFO
+          if (len < 34) return None
+          val b = pos + 4
+          val rate = ((bytes(b + 10) & 0xff) << 12) | ((bytes(b + 11) & 0xff) << 4) |
+            ((bytes(b + 12) & 0xff) >> 4)
+          val total = ((bytes(b + 13) & 0x0fL) << 32) | ((bytes(b + 14) & 0xffL) << 24) |
+            ((bytes(b + 15) & 0xffL) << 16) | ((bytes(b + 16) & 0xffL) << 8) |
+            (bytes(b + 17) & 0xffL)
+          // total is 36 bits (< 2^36) so total*1000 < 2^46 — no overflow guard needed
+          return if (rate > 0 && total > 0) Some(total * 1000L / rate) else None
+        }
+        if ((hdr & 0x80) != 0) return None // last block and no STREAMINFO seen
+        pos += 4 + len
+      }
+      None
+    }
+
+    /** MP3 duration from an MPEG-1/2/2.5 Layer III frame-header walk: sum
+      * samples-per-frame ÷ sample-rate over the leading run of valid frames
+      * (exact for both CBR and VBR — every frame header carries its own bitrate,
+      * so the walk IS the sample count, not a filesize÷bitrate guess). Skips a
+      * leading ID3v2 tag (synchsafe size). Stops cleanly at the first non-frame
+      * byte (trailing ID3v1 "TAG" blocks, junk); None when no valid frame exists.
+      */
+    def mp3Meta(bytes: Array[Byte]): Option[Long] = {
+      if (sniffFormat(bytes) != "mp3") return None
+      var pos = 0L
+      if (hasPrefix(bytes, 0, "ID3")) {
+        if (bytes.length < 10) return None
+        val sz = ((bytes(6) & 0x7fL) << 21) | ((bytes(7) & 0x7fL) << 14) |
+          ((bytes(8) & 0x7fL) << 7) | (bytes(9) & 0x7fL)
+        pos = 10L + sz
+      }
+      var totalUs = 0L
+      var frames = 0L
+      def done: Option[Long] = if (frames > 0) Some(totalUs / 1000L) else None
+      while (pos + 4 <= bytes.length) {
+        val p = pos.toInt
+        val b1 = bytes(p) & 0xff; val b2 = bytes(p + 1) & 0xff; val b3 = bytes(p + 2) & 0xff
+        if (b1 != 0xff || (b2 & 0xe0) != 0xe0) return done // end of frame run
+        val verBits = (b2 >> 3) & 3; val layerBits = (b2 >> 1) & 3
+        val brIdx = (b3 >> 4) & 0xf; val srIdx = (b3 >> 2) & 3; val pad = (b3 >> 1) & 1
+        if (verBits == 1 || layerBits != 1 || brIdx == 0 || brIdx == 15 || srIdx == 3)
+          return done // reserved version / not Layer III / free bitrate / bad rate
+        val mpeg1 = verBits == 3
+        val bitrateKbps =
+          if (mpeg1) mp3BitratesV1(brIdx) else mp3BitratesV2(brIdx)
+        val rate = (verBits match {
+          case 3 => mp3Rates1
+          case 2 => mp3Rates2
+          case _ => mp3Rates25
+        })(srIdx)
+        val spf = if (mpeg1) 1152 else 576
+        val flen = (if (mpeg1) 144 else 72) * bitrateKbps * 1000 / rate + pad
+        if (flen <= 4 || flen > bytes.length - pos) return done // truncated tail frame
+        totalUs += spf * 1000000L / rate
+        frames += 1
+        pos += flen
+      }
+      done
+    }
+    // Layer III tables (index 0 = "free", 15 = invalid — both rejected above)
+    private val mp3BitratesV1 =
+      Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+    private val mp3BitratesV2 =
+      Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+    private val mp3Rates1 = Array(44100, 48000, 32000)
+    private val mp3Rates2 = Array(22050, 24000, 16000)
+    private val mp3Rates25 = Array(11025, 12000, 8000)
+
+    /** Ogg duration from the page walk: the codec ident packet on the first page
+      * gives the sample rate (Vorbis ident / OpusHead — Opus granules are always
+      * 48 kHz with a pre-skip), the highest granule position across pages gives
+      * the PCM end. Page payloads stay opaque; CRCs are not verified (this reads
+      * metadata, it doesn't validate streams). Unknown codecs and corrupt lacing
+      * yield None.
+      */
+    def oggMeta(bytes: Array[Byte]): Option[Long] = {
+      if (sniffFormat(bytes) != "ogg") return None
+      var pos = 0L
+      var rate = 0L
+      var preskip = 0L
+      var opus = false
+      var sawIdent = false
+      var lastGranule = -1L
+      def le32u(off: Int): Long =
+        (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+          ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+      while (pos + 27 <= bytes.length) {
+        val p = pos.toInt
+        if (!hasPrefix(bytes, p, "OggS")) {
+          // trailing junk after the last full page: use what we have
+          return if (sawIdent && lastGranule >= 0) oggDuration(rate, lastGranule, preskip, opus)
+          else None
+        }
+        var granule = 0L
+        var i = 0
+        while (i < 8) { granule |= (bytes(p + 6 + i) & 0xffL) << (8 * i); i += 1 }
+        val nseg = bytes(p + 26) & 0xff
+        if (27L + nseg > bytes.length - pos) return None
+        var payLen = 0
+        i = 0
+        while (i < nseg) { payLen += bytes(p + 27 + i) & 0xff; i += 1 }
+        val payOff = p + 27 + nseg
+        if (payLen > bytes.length - payOff) return None
+        if (!sawIdent) {
+          if (payLen >= 16 && bytes(payOff) == 1.toByte && hasPrefix(bytes, payOff + 1, "vorbis"))
+            rate = le32u(payOff + 12) // type(1) + "vorbis"(6) + version(4) + channels(1)
+          else if (payLen >= 12 && hasPrefix(bytes, payOff, "OpusHead")) {
+            opus = true; rate = 48000L
+            preskip = (bytes(payOff + 10) & 0xffL) | ((bytes(payOff + 11) & 0xffL) << 8)
+          }
+          else return None // unknown codec — no honest duration
+          sawIdent = true
+        }
+        // granule -1 (u64 max) marks "no packet ends on this page"; headers carry 0
+        if (granule > lastGranule) lastGranule = granule
+        pos = payOff.toLong + payLen
+      }
+      if (sawIdent && lastGranule >= 0) oggDuration(rate, lastGranule, preskip, opus) else None
+    }
+
+    private def oggDuration(rate: Long, granule: Long, preskip: Long, opus: Boolean): Option[Long] = {
+      val samples = if (opus) math.max(granule - preskip, 0L) else granule
+      // a granule parsed from hostile bytes can be any 63-bit value: reject ones
+      // whose *1000 would overflow instead of emitting a wrapped duration
+      if (rate > 0 && samples >= 0 && samples <= Long.MaxValue / 1000L)
+        Some(samples * 1000L / rate)
+      else None
     }
 
     /** REAL MP4 (ISO BMFF) container metadata — duration from `moov/mvhd`
@@ -491,10 +652,10 @@ object Multimodal {
       ebml ++ el(id(0x18, 0x53, 0x80, 0x67), info ++ tracks)
     }
 
-    /** Real metadata decode: format sniff + image header dims / WAV duration /
-      * MP4, Matroska, and AVI container duration + dimensions / animated-GIF
-      * duration (GCE delay sum — None for plain single-frame GIFs, which carry
-      * no timing).
+    /** Real metadata decode: format sniff + image header dims / audio duration
+      * (WAV byte-rate, FLAC STREAMINFO, MP3 frame walk, Ogg granule) / MP4,
+      * Matroska, and AVI container duration + dimensions / animated-GIF duration
+      * (GCE delay sum — None for plain single-frame GIFs, which carry no timing).
       */
     def decodeMeta(bytes: Array[Byte]): MediaMeta = {
       val fmt = sniffFormat(bytes)
@@ -506,6 +667,9 @@ object Multimodal {
         case None => MediaMeta(fmt, None, None, None, size)
       }
       else if (fmt == "wav") MediaMeta(fmt, None, None, wavDurationMs(bytes), size)
+      else if (fmt == "flac") MediaMeta(fmt, None, None, flacMeta(bytes), size)
+      else if (fmt == "mp3") MediaMeta(fmt, None, None, mp3Meta(bytes), size)
+      else if (fmt == "ogg") MediaMeta(fmt, None, None, oggMeta(bytes), size)
       else if (fmt == "mp4" || fmt == "mkv" || fmt == "webm" || fmt == "avi") {
         val (dur, dims) = fmt match {
           case "mp4" => mp4Meta(bytes)
@@ -718,6 +882,110 @@ object Multimodal {
         .putShort(channels.toShort).putShort(8) // block align, bits per sample
       bb.put("data".getBytes("ISO-8859-1")).putInt(data.length).put(data)
       bb.array()
+    }
+
+    /** Encode a minimal-but-valid FLAC metadata skeleton: `fLaC` magic + a single
+      * (last-flagged) STREAMINFO block carrying the rate and total-sample count.
+      * With the default 8 kHz rate the ms→samples→ms round-trip is exact for any
+      * duration (ms × 8 is integral both ways) — the encode half of the
+      * [[flacMeta]] decode oracle.
+      */
+    def encodeFlacMeta(durationMs: Long, sampleRate: Int = 8000): Array[Byte] = {
+      require(durationMs >= 0 && sampleRate > 0 && sampleRate < (1 << 20),
+        s"bad flac meta: ${durationMs}ms @${sampleRate}Hz")
+      val total = durationMs * sampleRate / 1000L
+      require(total < (1L << 36), s"total samples $total exceeds STREAMINFO's 36 bits")
+      val out = new Array[Byte](4 + 4 + 34)
+      out(0) = 'f'; out(1) = 'L'; out(2) = 'a'; out(3) = 'C'
+      out(4) = 0x80.toByte // last-metadata-block flag + type 0 (STREAMINFO)
+      out(7) = 34 // 24-bit BE length
+      val b = 8
+      out(b) = 0x10; out(b + 2) = 0x10 // min/max block size 4096
+      out(b + 10) = ((sampleRate >> 12) & 0xff).toByte // rate: 20 bits
+      out(b + 11) = ((sampleRate >> 4) & 0xff).toByte
+      // rate low nibble | channels-1 (0, mono) in bits 3-1 | bps-1 (15) MSB in bit 0
+      out(b + 12) = (((sampleRate & 0xf) << 4) | (15 >> 4)).toByte
+      // bps-1 low 4 bits | total-samples top 4 of 36
+      out(b + 13) = (((15 & 0xf) << 4) | ((total >> 32) & 0xf).toInt).toByte
+      out(b + 14) = ((total >> 24) & 0xff).toByte
+      out(b + 15) = ((total >> 16) & 0xff).toByte
+      out(b + 16) = ((total >> 8) & 0xff).toByte
+      out(b + 17) = (total & 0xff).toByte
+      out // MD5 left zero (unset) — this is a metadata skeleton, not a stream
+    }
+
+    /** Encode `frames` valid CBR MPEG-2.5 Layer III frames (8 kbps, 8 kHz, mono,
+      * zeroed payloads): frame length is exactly 72 bytes and each frame carries
+      * 576 samples = exactly 72 ms, so duration = 72 × frames with no rounding —
+      * the encode half of the [[mp3Meta]] frame-walk oracle. `id3Pad` > 0 prepends
+      * an ID3v2 tag of that payload size to exercise the skip path.
+      */
+    def encodeMp3Cbr(frames: Int, id3Pad: Int = 0): Array[Byte] = {
+      require(frames > 0 && id3Pad >= 0 && id3Pad < (1 << 21),
+        s"bad mp3 encode: $frames frames, id3Pad $id3Pad")
+      val id3 = if (id3Pad > 0) 10 + id3Pad else 0
+      val out = new Array[Byte](id3 + frames * 72)
+      if (id3Pad > 0) {
+        out(0) = 'I'; out(1) = 'D'; out(2) = '3'; out(3) = 4 // v2.4
+        out(6) = ((id3Pad >> 21) & 0x7f).toByte; out(7) = ((id3Pad >> 14) & 0x7f).toByte
+        out(8) = ((id3Pad >> 7) & 0x7f).toByte; out(9) = (id3Pad & 0x7f).toByte
+      }
+      var f = 0
+      while (f < frames) {
+        val o = id3 + f * 72
+        out(o) = 0xFF.toByte
+        out(o + 1) = 0xE3.toByte // sync + MPEG-2.5 + Layer III + no CRC
+        out(o + 2) = 0x18.toByte // bitrate idx 1 (8 kbps) + rate idx 2 (8 kHz)
+        out(o + 3) = 0xC0.toByte // mono
+        f += 1
+      }
+      out
+    }
+
+    /** Encode a minimal-but-valid Ogg page pair: page 0 carries the codec ident
+      * packet (Vorbis ident at `sampleRate`, or OpusHead when `opus` — Opus
+      * granules are fixed 48 kHz), the EOS page carries the final granule
+      * position. Page CRCs are left zero ([[oggMeta]] reads structure, it doesn't
+      * validate streams). Default 8 kHz Vorbis makes the ms round-trip exact.
+      */
+    def encodeOggMeta(durationMs: Long, sampleRate: Int = 8000,
+        opus: Boolean = false): Array[Byte] = {
+      require(durationMs >= 0 && sampleRate > 0, s"bad ogg meta: ${durationMs}ms @$sampleRate")
+      val rate = if (opus) 48000 else sampleRate
+      val granule = durationMs * rate / 1000L
+      val ident: Array[Byte] =
+        if (opus) {
+          val p = new Array[Byte](19)
+          "OpusHead".getBytes("ISO-8859-1").copyToArray(p)
+          p(8) = 1 // version
+          p(9) = 1 // channels
+          // pre-skip (2 LE) left 0; input rate (4 LE) informational
+          p(12) = (48000 & 0xff).toByte; p(13) = ((48000 >> 8) & 0xff).toByte
+          p
+        } else {
+          val p = new Array[Byte](30)
+          p(0) = 1
+          "vorbis".getBytes("ISO-8859-1").copyToArray(p, 1)
+          p(11) = 1 // channels (after 4-byte version)
+          p(12) = (sampleRate & 0xff).toByte; p(13) = ((sampleRate >> 8) & 0xff).toByte
+          p(14) = ((sampleRate >> 16) & 0xff).toByte; p(15) = ((sampleRate >> 24) & 0xff).toByte
+          p(28) = 1 // blocksizes; framing bit
+          p(29) = 1
+          p
+        }
+      def page(granulePos: Long, headerType: Int, seq: Int, payload: Array[Byte]): Array[Byte] = {
+        require(payload.length < 255, "single-segment page only")
+        val pg = new Array[Byte](27 + 1 + payload.length)
+        "OggS".getBytes("ISO-8859-1").copyToArray(pg)
+        pg(5) = headerType.toByte
+        var i = 0
+        while (i < 8) { pg(6 + i) = ((granulePos >> (8 * i)) & 0xff).toByte; i += 1 }
+        pg(26) = 1 // one lacing segment
+        pg(27) = payload.length.toByte
+        payload.copyToArray(pg, 28)
+        pg
+      }
+      page(0L, 0x02, 0, ident) ++ page(granule, 0x04, 1, Array[Byte](0))
     }
 
     /** STUB (documented): a learned feature embedding needs a model, not a codec —

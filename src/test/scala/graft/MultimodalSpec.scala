@@ -122,6 +122,52 @@ class MultimodalSpec extends SparkSpec {
     assert(hd.isEmpty, s"overflowed avih duration must be None, got $hd")
   }
 
+  test("FLAC/MP3/Ogg audio metadata parses for real; corrupt payloads yield None") {
+    // FLAC: STREAMINFO total-samples ÷ rate, exact round-trip at 8 kHz
+    val flac = MediaCodecs.encodeFlacMeta(2500L)
+    assert(MediaCodecs.sniffFormat(flac) == "flac")
+    assert(MediaCodecs.flacMeta(flac).contains(2500L))
+    assert(MediaCodecs.decodeMeta(flac).duration_ms.contains(2500L))
+    assert(MediaCodecs.flacMeta(MediaCodecs.encodeFlacMeta(0L)).isEmpty,
+      "unknown total (0) must be None, not 0ms")
+    assert(MediaCodecs.flacMeta(flac.take(20)).isEmpty, "truncated STREAMINFO")
+    val badLen = flac.clone(); badLen(7) = 0x7f.toByte // block runs past EOF
+    assert(MediaCodecs.flacMeta(badLen).isEmpty)
+    // 36-bit total-samples path: 600M ms at 8 kHz = 4.8B samples crosses 2^32,
+    // exercising the high nibble shared with the bps field
+    assert(MediaCodecs.flacMeta(MediaCodecs.encodeFlacMeta(600000000L)).contains(600000000L))
+
+    // MP3: frame-header walk — 72 ms per MPEG-2.5 Layer III frame at 8 kHz/8 kbps
+    val mp3 = MediaCodecs.encodeMp3Cbr(25)
+    assert(MediaCodecs.sniffFormat(mp3) == "mp3")
+    assert(MediaCodecs.mp3Meta(mp3).contains(1800L), s"got ${MediaCodecs.mp3Meta(mp3)}")
+    // ID3v2-prefixed: sniffed by tag, duration unchanged (synchsafe skip)
+    val tagged = MediaCodecs.encodeMp3Cbr(25, id3Pad = 300)
+    assert(MediaCodecs.sniffFormat(tagged) == "mp3")
+    assert(MediaCodecs.mp3Meta(tagged).contains(1800L))
+    // trailing junk (an ID3v1 "TAG" block): walk stops cleanly, duration stands
+    assert(MediaCodecs.mp3Meta(mp3 ++ ("TAG" + "x" * 125).getBytes("ISO-8859-1"))
+      .contains(1800L))
+    // a truncated final frame is dropped, not fabricated
+    assert(MediaCodecs.mp3Meta(mp3.dropRight(10)).contains(1728L))
+    // ID3 tag with no frames behind it: recognized format, no duration
+    assert(MediaCodecs.mp3Meta(tagged.take(310)).isEmpty)
+
+    // Ogg: last-page granule ÷ ident rate; Vorbis exact at 8 kHz, Opus at 48 kHz
+    val ogg = MediaCodecs.encodeOggMeta(2500L)
+    assert(MediaCodecs.sniffFormat(ogg) == "ogg")
+    assert(MediaCodecs.oggMeta(ogg).contains(2500L))
+    assert(MediaCodecs.decodeMeta(ogg).duration_ms.contains(2500L))
+    val opus = MediaCodecs.encodeOggMeta(2500L, opus = true)
+    assert(MediaCodecs.oggMeta(opus).contains(2500L))
+    // unknown codec ident: no honest duration
+    val alien = ogg.clone()
+    alien(29) = 'x'.toByte // corrupt "vorbis" magic inside the ident packet
+    assert(MediaCodecs.oggMeta(alien).isEmpty)
+    // corrupt lacing claiming payload past EOF
+    assert(MediaCodecs.oggMeta(ogg.dropRight(1)).isEmpty)
+  }
+
   test("animated GIF frames decode for real; frame sampling is exact") {
     val gif = fixture("anim_9x7_3f.gif")
     // every frame: real PNG re-encode at source dims

@@ -706,6 +706,7 @@ class PropertySpec extends SparkSpec {
         MediaCodecs.decodeMeta(bytes)
         MediaCodecs.mp4Meta(bytes); MediaCodecs.mkvMeta(bytes); MediaCodecs.aviMeta(bytes)
         MediaCodecs.gifDurationMs(bytes); MediaCodecs.wavDurationMs(bytes)
+        MediaCodecs.flacMeta(bytes); MediaCodecs.mp3Meta(bytes); MediaCodecs.oggMeta(bytes)
         MediaCodecs.gifFrames(bytes, 1, 4)
         MediaCodecs.sampleFrames(bytes, 2, 4)
         MediaCodecs.perceptualHash(bytes); MediaCodecs.audioHash(bytes)
@@ -720,7 +721,11 @@ class PropertySpec extends SparkSpec {
       MediaCodecs.encodeAviMeta(2500L, 320, 180),
       MediaCodecs.encodeAnimatedGif(9, 7, 3, 5L, delayCs = 25),
       MediaCodecs.encodeWavPcm(8000, Array.tabulate(512)(_.toByte)),
-      MediaCodecs.encodeNoiseImage(16, 12, "png", 3L))
+      MediaCodecs.encodeNoiseImage(16, 12, "png", 3L),
+      MediaCodecs.encodeFlacMeta(2500L),
+      MediaCodecs.encodeMp3Cbr(25, id3Pad = 40),
+      MediaCodecs.encodeOggMeta(2500L),
+      MediaCodecs.encodeOggMeta(2500L, opus = true))
     // exact round-trips for the metadata skeletons
     assert(MediaCodecs.mp4Meta(valid(0)) == (Some(2500L), Some((320, 180))))
     assert(MediaCodecs.mkvMeta(valid(1)) == (Some(2500L), Some((320, 180))))
@@ -745,7 +750,11 @@ class PropertySpec extends SparkSpec {
         Array(0x1A.toByte, 0x45.toByte, 0xDF.toByte, 0xA3.toByte),
         "RIFF1234AVI ".getBytes("ISO-8859-1"),
         "RIFF1234WAVE".getBytes("ISO-8859-1"),
-        "GIF89a".getBytes("ISO-8859-1"))
+        "GIF89a".getBytes("ISO-8859-1"),
+        "fLaC".getBytes("ISO-8859-1"),
+        "OggS".getBytes("ISO-8859-1"),
+        "ID3".getBytes("ISO-8859-1"),
+        Array(0xFF.toByte, 0xE3.toByte, 0x18.toByte, 0xC0.toByte))
       magics.foreach { m =>
         val tail = new Array[Byte](rnd.nextInt(300))
         rnd.nextBytes(tail)
