@@ -65,7 +65,15 @@ object Multimodal {
       else if (hasPrefix(bytes, 0, "RIFF") && hasPrefix(bytes, 8, "AVI ")) "avi"
       else if (hasPrefix(bytes, 0, "fLaC")) "flac"
       else if (hasPrefix(bytes, 0, "OggS")) "ogg"
-      else if (hasPrefix(bytes, 0, "ID3") || isMp3FrameHeader(bytes, 0)) "mp3"
+      else if (hasPrefix(bytes, 0, "ID3")) {
+        // ID3v2 tags prefix more than MP3 in the wild: route by what actually
+        // follows the tag (ID3-tagged FLAC is common; bare "ID3" text is not mp3)
+        val end = id3v2End(bytes)
+        if (hasPrefix(bytes, end, "fLaC")) "flac"
+        else if (isMp3FrameHeader(bytes, end)) "mp3"
+        else "bin"
+      }
+      else if (isMp3FrameHeader(bytes, 0)) "mp3"
       else if (bytes.length >= 8 && hasPrefix(bytes, 4, "ftyp")) "mp4"
       else if (bytes.length >= 4 && bytes(0) == 0x1A.toByte && bytes(1) == 0x45.toByte &&
         bytes(2) == 0xDF.toByte && bytes(3) == 0xA3.toByte) {
@@ -104,6 +112,18 @@ object Multimodal {
       * bytes essentially never sniff as mp3 (bare .mp3 files have no magic; this
       * is how every real sniffer identifies them).
       */
+    /** End offset of a leading ID3v2 tag: 10-byte header + synchsafe size +
+      * 10-byte footer when the ID3v2.4 footer flag (bit 4 of the flags byte) is
+      * set. 0 when no tag. May exceed `bytes.length` for truncated tags — callers
+      * bound-check as they walk.
+      */
+    private def id3v2End(bytes: Array[Byte]): Int = {
+      if (!hasPrefix(bytes, 0, "ID3") || bytes.length < 10) return 0
+      val sz = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      10 + sz + (if ((bytes(5) & 0x10) != 0) 10 else 0)
+    }
+
     private def isMp3FrameHeader(bytes: Array[Byte], off: Int): Boolean = {
       if (bytes.length < off + 4) return false
       val b1 = bytes(off) & 0xff; val b2 = bytes(off + 1) & 0xff; val b3 = bytes(off + 2) & 0xff
@@ -165,7 +185,7 @@ object Multimodal {
       */
     def flacMeta(bytes: Array[Byte]): Option[Long] = {
       if (sniffFormat(bytes) != "flac") return None
-      var pos = 4
+      var pos = id3v2End(bytes) + 4 // the sniff put "fLaC" right after any ID3v2 tag
       while (pos + 4 <= bytes.length) {
         val hdr = bytes(pos) & 0xff
         val len = ((bytes(pos + 1) & 0xff) << 16) | ((bytes(pos + 2) & 0xff) << 8) |
@@ -197,13 +217,7 @@ object Multimodal {
       */
     def mp3Meta(bytes: Array[Byte]): Option[Long] = {
       if (sniffFormat(bytes) != "mp3") return None
-      var pos = 0L
-      if (hasPrefix(bytes, 0, "ID3")) {
-        if (bytes.length < 10) return None
-        val sz = ((bytes(6) & 0x7fL) << 21) | ((bytes(7) & 0x7fL) << 14) |
-          ((bytes(8) & 0x7fL) << 7) | (bytes(9) & 0x7fL)
-        pos = 10L + sz
-      }
+      var pos = id3v2End(bytes).toLong
       var totalUs = 0L
       var frames = 0L
       def done: Option[Long] = if (frames > 0) Some(totalUs / 1000L) else None
@@ -226,8 +240,20 @@ object Multimodal {
         val spf = if (mpeg1) 1152 else 576
         val flen = (if (mpeg1) 144 else 72) * bitrateKbps * 1000 / rate + pad
         if (flen <= 4 || flen > bytes.length - pos) return done // truncated tail frame
-        totalUs += spf * 1000000L / rate
-        frames += 1
+        // A LAME/Fraunhofer VBR header frame (Xing/Info/VBRI tag right after the
+        // side info) is syntactically a frame but carries NO audio — counting its
+        // samples would overstate every VBR file's duration by one frame.
+        val chanMode = (bytes(p + 3) & 0xff) >> 6
+        val sideInfo =
+          if (mpeg1) { if (chanMode == 3) 17 else 32 } else { if (chanMode == 3) 9 else 17 }
+        val vbrHeader = frames == 0 && totalUs == 0L &&
+          (hasPrefix(bytes, p + 4 + sideInfo, "Xing") ||
+            hasPrefix(bytes, p + 4 + sideInfo, "Info") ||
+            hasPrefix(bytes, p + 36, "VBRI"))
+        if (!vbrHeader) {
+          totalUs += spf * 1000000L / rate
+          frames += 1
+        }
         pos += flen
       }
       done
@@ -952,6 +978,8 @@ object Multimodal {
         opus: Boolean = false): Array[Byte] = {
       require(durationMs >= 0 && sampleRate > 0, s"bad ogg meta: ${durationMs}ms @$sampleRate")
       val rate = if (opus) 48000 else sampleRate
+      require(durationMs <= Long.MaxValue / rate,
+        s"ogg granule ${durationMs}ms x ${rate}Hz overflows") // fail fast, like the FLAC encoder
       val granule = durationMs * rate / 1000L
       val ident: Array[Byte] =
         if (opus) {
@@ -1003,6 +1031,11 @@ object Multimodal {
       out
     }
 
+    /** One cap for every untrusted-image decode path (hash / resize / GIF frames):
+      * 4096×4096 — far above any sane corpus image, far below an OOM.
+      */
+    private val MaxDecodePixels = 16777216L
+
     /** Header-only pixel-count guard before any full `ImageIO.read` of untrusted
       * bytes: a hostile header claiming 65535x65535 would make the decoder allocate
       * a multi-GB raster and throw OutOfMemoryError — an Error, which NonFatal never
@@ -1011,7 +1044,7 @@ object Multimodal {
       */
     private def headerPixelsSane(bytes: Array[Byte]): Boolean =
       imageDimensions(bytes).exists { case (w, h) =>
-        w > 0 && h > 0 && w.toLong * h <= 16777216L // 4096x4096 cap
+        w > 0 && h > 0 && w.toLong * h <= MaxDecodePixels
       }
 
     /** REAL perceptual aHash (64-bit): decode, average-pool to 8×8 grayscale,
@@ -1034,7 +1067,7 @@ object Multimodal {
           try {
             r.setInput(iis)
             val w = r.getWidth(0).toLong; val h = r.getHeight(0).toLong
-            if (w <= 0 || h <= 0 || w * h > 16777216L) return None
+            if (w <= 0 || h <= 0 || w * h > MaxDecodePixels) return None
             r.read(0)
           } finally r.dispose()
         } finally iis.close()
@@ -1182,10 +1215,9 @@ object Multimodal {
             // and throw OutOfMemoryError — an Error that NonFatal never catches,
             // killing the executor task instead of yielding None. getWidth/
             // getHeight are header-only reads, so the cap costs nothing.
-            val maxPixels = 16777216L // 4096x4096 — far above any sane GIF frame
             if (picked.exists { i =>
               val w = r.getWidth(i).toLong; val h = r.getHeight(i).toLong
-              w <= 0 || h <= 0 || w * h > maxPixels
+              w <= 0 || h <= 0 || w * h > MaxDecodePixels
             }) return None
             Some(picked.map { i =>
               val img = r.read(i)

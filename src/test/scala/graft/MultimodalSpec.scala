@@ -150,8 +150,30 @@ class MultimodalSpec extends SparkSpec {
       .contains(1800L))
     // a truncated final frame is dropped, not fabricated
     assert(MediaCodecs.mp3Meta(mp3.dropRight(10)).contains(1728L))
-    // ID3 tag with no frames behind it: recognized format, no duration
+    // an ID3 tag with nothing behind it is NOT an mp3 (nor is "ID3..." text)
+    assert(MediaCodecs.sniffFormat(tagged.take(310)) == "bin")
     assert(MediaCodecs.mp3Meta(tagged.take(310)).isEmpty)
+    assert(MediaCodecs.sniffFormat("ID3 is a tag format".getBytes("ISO-8859-1")) == "bin")
+    // ID3v2.4 footer flag: 10 extra bytes after the size-counted body
+    val footered = {
+      val hdr = Array[Byte]('I', 'D', '3', 4, 0, 0x10, 0, 0, 0, 40)
+      val foot = Array[Byte]('3', 'D', 'I', 4, 0, 0x10, 0, 0, 0, 40)
+      hdr ++ new Array[Byte](40) ++ foot ++ mp3
+    }
+    assert(MediaCodecs.sniffFormat(footered) == "mp3")
+    assert(MediaCodecs.mp3Meta(footered).contains(1800L), "footer flag must skip 10 more")
+    // a Xing/Info VBR header frame is syntactically valid but carries no audio:
+    // MPEG-2.5 mono side info is 9 bytes, so the tag sits at frame offset 13
+    val vbr = MediaCodecs.encodeMp3Cbr(25)
+    "Xing".getBytes("ISO-8859-1").copyToArray(vbr, 13)
+    assert(MediaCodecs.mp3Meta(vbr).contains(1728L), s"got ${MediaCodecs.mp3Meta(vbr)}")
+    // ID3-tagged FLAC (common in the wild): sniffs flac, duration parses
+    val taggedFlac = {
+      val hdr = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 20)
+      hdr ++ new Array[Byte](20) ++ MediaCodecs.encodeFlacMeta(2500L)
+    }
+    assert(MediaCodecs.sniffFormat(taggedFlac) == "flac")
+    assert(MediaCodecs.flacMeta(taggedFlac).contains(2500L))
 
     // Ogg: last-page granule ÷ ident rate; Vorbis exact at 8 kHz, Opus at 48 kHz
     val ogg = MediaCodecs.encodeOggMeta(2500L)
