@@ -763,6 +763,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("audio container metadata round-trips exactly for randomized parameters") {
+    import graft.operators.Multimodal.MediaCodecs
+    // 8 kHz FLAC/Vorbis and 48 kHz Opus are exact for ANY ms; each MPEG-2.5
+    // Layer III frame is exactly 72 ms regardless of frame count or ID3 padding
+    forAll(Gen.choose(0L, 100000000L), Gen.choose(1, 500), Gen.choose(0, 600)) {
+      (ms, k, pad) =>
+        whenever(ms > 0) {
+          assert(MediaCodecs.flacMeta(MediaCodecs.encodeFlacMeta(ms)).contains(ms))
+          assert(MediaCodecs.oggMeta(MediaCodecs.encodeOggMeta(ms)).contains(ms))
+          assert(MediaCodecs.oggMeta(MediaCodecs.encodeOggMeta(ms, opus = true)).contains(ms))
+        }
+        assert(MediaCodecs.mp3Meta(MediaCodecs.encodeMp3Cbr(k, id3Pad = pad))
+          .contains(72L * k))
+    }
+    // non-divisor rates: ms -> samples -> ms loses at most the sub-sample remainder
+    forAll(Gen.choose(1L, 10000000L), Gen.oneOf(16000, 22050, 44100, 48000),
+      Gen.const(())) { (ms, rate, _) =>
+      val flac = MediaCodecs.flacMeta(MediaCodecs.encodeFlacMeta(ms, rate)).get
+      assert(flac == ms || flac == ms - 1, s"flac $ms @$rate -> $flac")
+      val ogg = MediaCodecs.oggMeta(MediaCodecs.encodeOggMeta(ms, rate)).get
+      assert(ogg == ms || ogg == ms - 1, s"ogg $ms @$rate -> $ogg")
+    }
+  }
+
   test("media fingerprint invariance classes hold for randomized content") {
     import graft.operators.Multimodal.MediaCodecs
     def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
