@@ -67,10 +67,10 @@ object Multimodal {
       else if (hasPrefix(bytes, 0, "OggS")) "ogg"
       else if (hasPrefix(bytes, 0, "ID3")) {
         // ID3v2 tags prefix more than MP3 in the wild: route by what actually
-        // follows the tag (ID3-tagged FLAC is common; bare "ID3" text is not mp3)
-        val end = id3v2End(bytes)
+        // follows the tag stack (ID3-tagged FLAC is common; "ID3" text is not mp3)
+        val end = id3StackEnd(bytes)
         if (hasPrefix(bytes, end, "fLaC")) "flac"
-        else if (isMp3FrameHeader(bytes, end)) "mp3"
+        else if (mp3FirstFrame(bytes) >= 0) "mp3"
         else "bin"
       }
       else if (isMp3FrameHeader(bytes, 0)) "mp3"
@@ -107,29 +107,62 @@ object Multimodal {
     private def isImageFormat(fmt: String): Boolean =
       fmt == "png" || fmt == "jpeg" || fmt == "gif" || fmt == "bmp"
 
+    /** Length of one ID3v2 tag at `off` (0 when none): 10-byte header + synchsafe
+      * size + 10-byte footer when the v2.4 footer flag is set (bit 4 of the flags
+      * byte; the footer exists ONLY in v2.4 — v2.2/v2.3 taggers with stray flag
+      * bits must not cost 10 phantom bytes). May exceed the remaining length for
+      * truncated tags — callers bound-check as they walk.
+      */
+    private def id3v2TagLen(bytes: Array[Byte], off: Int): Int = {
+      if (!hasPrefix(bytes, off, "ID3") || bytes.length < off + 10) return 0
+      val sz = ((bytes(off + 6) & 0x7f) << 21) | ((bytes(off + 7) & 0x7f) << 14) |
+        ((bytes(off + 8) & 0x7f) << 7) | (bytes(off + 9) & 0x7f)
+      10 + sz +
+        (if (bytes(off + 3) == 4.toByte && (bytes(off + 5) & 0x10) != 0) 10 else 0)
+    }
+
+    /** End of the leading ID3v2 tag STACK — taggers prepend new tags over old
+      * ones, so real files carry several back-to-back (bounded at 4: beyond that
+      * it's hostile padding, not tagging).
+      */
+    private def id3StackEnd(bytes: Array[Byte]): Int = {
+      var pos = 0
+      var tags = 0
+      while (tags < 4) {
+        val len = id3v2TagLen(bytes, pos)
+        if (len == 0 || len > bytes.length - pos) return pos
+        pos += len; tags += 1
+      }
+      pos
+    }
+
     /** A fully-valid MPEG Layer III frame header (sync + non-reserved version +
       * Layer III + real bitrate/samplerate indices) — strict enough that random
       * bytes essentially never sniff as mp3 (bare .mp3 files have no magic; this
       * is how every real sniffer identifies them).
       */
-    /** End offset of a leading ID3v2 tag: 10-byte header + synchsafe size +
-      * 10-byte footer when the ID3v2.4 footer flag (bit 4 of the flags byte) is
-      * set. 0 when no tag. May exceed `bytes.length` for truncated tags — callers
-      * bound-check as they walk.
-      */
-    private def id3v2End(bytes: Array[Byte]): Int = {
-      if (!hasPrefix(bytes, 0, "ID3") || bytes.length < 10) return 0
-      val sz = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
-        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
-      10 + sz + (if ((bytes(5) & 0x10) != 0) 10 else 0)
-    }
-
     private def isMp3FrameHeader(bytes: Array[Byte], off: Int): Boolean = {
       if (bytes.length < off + 4) return false
       val b1 = bytes(off) & 0xff; val b2 = bytes(off + 1) & 0xff; val b3 = bytes(off + 2) & 0xff
       b1 == 0xff && (b2 & 0xe0) == 0xe0 &&
         ((b2 >> 3) & 3) != 1 && ((b2 >> 1) & 3) == 1 &&
         ((b3 >> 4) & 0xf) != 0 && ((b3 >> 4) & 0xf) != 15 && ((b3 >> 2) & 3) != 3
+    }
+
+    /** Offset of the first valid MPEG frame header behind the ID3 tag stack, or
+      * -1. Resyncs forward over a bounded window (2 KiB) of padding/junk between
+      * tag end and first frame — decoders resync exactly this way; unbounded
+      * scanning would turn arbitrary binaries into "mp3".
+      */
+    private def mp3FirstFrame(bytes: Array[Byte]): Int = {
+      val start = id3StackEnd(bytes)
+      val limit = math.min(bytes.length - 4L, start + 2048L)
+      var i = start
+      while (i <= limit) {
+        if (isMp3FrameHeader(bytes, i)) return i
+        i += 1
+      }
+      -1
     }
 
     /** Image dimensions from the HEADER only — `ImageReader.getWidth/getHeight(0)`
@@ -185,7 +218,7 @@ object Multimodal {
       */
     def flacMeta(bytes: Array[Byte]): Option[Long] = {
       if (sniffFormat(bytes) != "flac") return None
-      var pos = id3v2End(bytes) + 4 // the sniff put "fLaC" right after any ID3v2 tag
+      var pos = id3StackEnd(bytes) + 4 // the sniff put "fLaC" right after the tag stack
       while (pos + 4 <= bytes.length) {
         val hdr = bytes(pos) & 0xff
         val len = ((bytes(pos + 1) & 0xff) << 16) | ((bytes(pos + 2) & 0xff) << 8) |
@@ -217,7 +250,9 @@ object Multimodal {
       */
     def mp3Meta(bytes: Array[Byte]): Option[Long] = {
       if (sniffFormat(bytes) != "mp3") return None
-      var pos = id3v2End(bytes).toLong
+      val firstFrame = mp3FirstFrame(bytes)
+      if (firstFrame < 0) return None
+      var pos = firstFrame.toLong
       var totalUs = 0L
       var frames = 0L
       def done: Option[Long] = if (frames > 0) Some(totalUs / 1000L) else None
@@ -246,10 +281,12 @@ object Multimodal {
         val chanMode = (bytes(p + 3) & 0xff) >> 6
         val sideInfo =
           if (mpeg1) { if (chanMode == 3) 17 else 32 } else { if (chanMode == 3) 9 else 17 }
-        val vbrHeader = frames == 0 && totalUs == 0L &&
-          (hasPrefix(bytes, p + 4 + sideInfo, "Xing") ||
-            hasPrefix(bytes, p + 4 + sideInfo, "Info") ||
-            hasPrefix(bytes, p + 36, "VBRI"))
+        // protection_bit == 0 means a 2-byte CRC sits between header and side info
+        val crc = if ((b2 & 1) == 0) 2 else 0
+        val vbrHeader = frames == 0 &&
+          (hasPrefix(bytes, p + 4 + crc + sideInfo, "Xing") ||
+            hasPrefix(bytes, p + 4 + crc + sideInfo, "Info") ||
+            hasPrefix(bytes, p + 36, "VBRI")) // VBRI: fixed 32 bytes after the header
         if (!vbrHeader) {
           totalUs += spf * 1000000L / rate
           frames += 1

@@ -174,6 +174,27 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(MediaCodecs.sniffFormat(taggedFlac) == "flac")
     assert(MediaCodecs.flacMeta(taggedFlac).contains(2500L))
+    // stacked ID3v2 tags (taggers prepend over old tags) + padding junk before
+    // the first frame: sniff resyncs, duration unaffected
+    val tag = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 30) ++ new Array[Byte](30)
+    val stacked = tag ++ tag ++ new Array[Byte](100) ++ mp3
+    assert(MediaCodecs.sniffFormat(stacked) == "mp3")
+    assert(MediaCodecs.mp3Meta(stacked).contains(1800L), "stacked tags + junk resync")
+    assert(MediaCodecs.sniffFormat(tag ++ tag ++ MediaCodecs.encodeFlacMeta(9L)) == "flac")
+    // v2.3 tag with a STRAY footer flag bit (footer exists only in v2.4): no
+    // phantom 10-byte skip — the frame right behind the tag must still be found
+    val strayFlag = {
+      val h = Array[Byte]('I', 'D', '3', 3, 0, 0x10, 0, 0, 0, 8)
+      h ++ new Array[Byte](8) ++ mp3
+    }
+    assert(MediaCodecs.sniffFormat(strayFlag) == "mp3")
+    assert(MediaCodecs.mp3Meta(strayFlag).contains(1800L))
+    // CRC-protected Xing frame: 2-byte CRC shifts the tag past the side info
+    val crcVbr = MediaCodecs.encodeMp3Cbr(25)
+    crcVbr(1) = 0xE2.toByte // protection_bit 0 = CRC present
+    "Xing".getBytes("ISO-8859-1").copyToArray(crcVbr, 15) // 4 hdr + 2 crc + 9 side
+    assert(MediaCodecs.mp3Meta(crcVbr).contains(1728L),
+      s"got ${MediaCodecs.mp3Meta(crcVbr)}")
 
     // Ogg: last-page granule ÷ ident rate; Vorbis exact at 8 kHz, Opus at 48 kHz
     val ogg = MediaCodecs.encodeOggMeta(2500L)
