@@ -70,10 +70,10 @@ object Multimodal {
         // follows the tag stack (ID3-tagged FLAC is common; "ID3" text is not mp3)
         val end = id3StackEnd(bytes)
         if (hasPrefix(bytes, end, "fLaC")) "flac"
-        else if (mp3FirstFrame(bytes) >= 0) "mp3"
+        else if (mp3FirstFrame(bytes, end) >= 0) "mp3"
         else "bin"
       }
-      else if (isMp3FrameHeader(bytes, 0)) "mp3"
+      else if (isMp3FrameAt(bytes, 0)) "mp3"
       else if (bytes.length >= 8 && hasPrefix(bytes, 4, "ftyp")) "mp4"
       else if (bytes.length >= 4 && bytes(0) == 0x1A.toByte && bytes(1) == 0x45.toByte &&
         bytes(2) == 0xDF.toByte && bytes(3) == 0xA3.toByte) {
@@ -130,7 +130,12 @@ object Multimodal {
       var tags = 0
       while (tags < 4) {
         val len = id3v2TagLen(bytes, pos)
-        if (len == 0 || len > bytes.length - pos) return pos
+        if (len == 0) return pos
+        // a tag claiming to run past EOF (partial download): NOTHING behind it is
+        // scannable — returning `pos` would let the frame resync scan the tag's
+        // own payload (album-art JPEG bytes sync-match often enough to fabricate
+        // an "mp3" from a truncated tagged file)
+        if (len > bytes.length - pos) return bytes.length
         pos += len; tags += 1
       }
       pos
@@ -149,17 +154,47 @@ object Multimodal {
         ((b3 >> 4) & 0xf) != 0 && ((b3 >> 4) & 0xf) != 15 && ((b3 >> 2) & 3) != 3
     }
 
-    /** Offset of the first valid MPEG frame header behind the ID3 tag stack, or
-      * -1. Resyncs forward over a bounded window (2 KiB) of padding/junk between
-      * tag end and first frame — decoders resync exactly this way; unbounded
-      * scanning would turn arbitrary binaries into "mp3".
+    /** Length in bytes of the Layer III frame whose header sits at `off`, or -1
+      * when the 4 bytes there are not a fully-valid frame header.
       */
-    private def mp3FirstFrame(bytes: Array[Byte]): Int = {
-      val start = id3StackEnd(bytes)
+    private def mp3FrameLen(bytes: Array[Byte], off: Int): Int = {
+      if (!isMp3FrameHeader(bytes, off)) return -1
+      val b2 = bytes(off + 1) & 0xff; val b3 = bytes(off + 2) & 0xff
+      val verBits = (b2 >> 3) & 3
+      val brIdx = (b3 >> 4) & 0xf; val srIdx = (b3 >> 2) & 3; val pad = (b3 >> 1) & 1
+      val mpeg1 = verBits == 3
+      val bitrateKbps = if (mpeg1) mp3BitratesV1(brIdx) else mp3BitratesV2(brIdx)
+      val rate = (verBits match {
+        case 3 => mp3Rates1
+        case 2 => mp3Rates2
+        case _ => mp3Rates25
+      })(srIdx)
+      (if (mpeg1) 144 else 72) * bitrateKbps * 1000 / rate + pad
+    }
+
+    /** Offset of the first valid MPEG frame at/after `start` (the precomputed
+      * tag-stack end), or -1. Resyncs forward over a bounded window (2 KiB) of
+      * padding/junk between tag end and first frame — decoders resync exactly
+      * this way; unbounded scanning would turn arbitrary binaries into "mp3".
+      * A lone header match is NOT enough: random bytes sync-match one offset in
+      * ~16k, so a 2 KiB junk window would misclassify ~12% of blobs — the frame
+      * after it must also be a valid header (or the frame must end exactly at
+      * EOF, the clean single-frame file).
+      */
+    /** A frame header at `off` whose NEXT frame also checks out (or which ends
+      * exactly at EOF — the clean single-frame file). The anti-fabrication rule
+      * shared by the sniff and the resync scan.
+      */
+    private def isMp3FrameAt(bytes: Array[Byte], off: Int): Boolean = {
+      val flen = mp3FrameLen(bytes, off)
+      flen > 4 && (off + flen == bytes.length || isMp3FrameHeader(bytes, off + flen))
+    }
+
+    private def mp3FirstFrame(bytes: Array[Byte], start: Int): Int = {
       val limit = math.min(bytes.length - 4L, start + 2048L)
       var i = start
       while (i <= limit) {
-        if (isMp3FrameHeader(bytes, i)) return i
+        if (isMp3FrameAt(bytes, i)) return i
         i += 1
       }
       -1
@@ -250,7 +285,7 @@ object Multimodal {
       */
     def mp3Meta(bytes: Array[Byte]): Option[Long] = {
       if (sniffFormat(bytes) != "mp3") return None
-      val firstFrame = mp3FirstFrame(bytes)
+      val firstFrame = mp3FirstFrame(bytes, id3StackEnd(bytes))
       if (firstFrame < 0) return None
       var pos = firstFrame.toLong
       var totalUs = 0L

@@ -189,6 +189,25 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(MediaCodecs.sniffFormat(strayFlag) == "mp3")
     assert(MediaCodecs.mp3Meta(strayFlag).contains(1800L))
+    // a clean single-frame file (frame ends exactly at EOF) is still an mp3
+    val oneFrame = MediaCodecs.encodeMp3Cbr(1)
+    assert(MediaCodecs.sniffFormat(oneFrame) == "mp3")
+    assert(MediaCodecs.mp3Meta(oneFrame).contains(72L))
+    // a LONE sync-pattern in junk behind a tag must NOT fabricate an mp3: the
+    // next "frame" fails the double-sync rule (random bytes sync-match ~1/16k,
+    // so a 2 KiB resync window without this rule misclassifies ~12% of blobs)
+    val falseSync = tag ++ Array(0xFF.toByte, 0xE3.toByte, 0x18.toByte, 0xC0.toByte) ++
+      new Array[Byte](200)
+    assert(MediaCodecs.sniffFormat(falseSync) == "bin")
+    assert(MediaCodecs.mp3Meta(falseSync).isEmpty)
+    // a tag claiming to run past EOF (partial download): nothing behind it is
+    // scannable — sync-looking bytes INSIDE the tag payload must not match
+    val truncTag = {
+      val h = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 7, 0) // claims 896 bytes
+      h ++ MediaCodecs.encodeMp3Cbr(3) // only 216 present, looks frame-y
+    }
+    assert(MediaCodecs.sniffFormat(truncTag) == "bin")
+    assert(MediaCodecs.mp3Meta(truncTag).isEmpty)
     // CRC-protected Xing frame: 2-byte CRC shifts the tag past the side info
     val crcVbr = MediaCodecs.encodeMp3Cbr(25)
     crcVbr(1) = 0xE2.toByte // protection_bit 0 = CRC present
