@@ -1678,6 +1678,41 @@ object Queries {
              | CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS formats_ok
              | FROM a""".stripMargin.replaceAll("\n", " "))),
 
+    // WARC ingestion, oracled end-to-end: each doc becomes a WARC blob of
+    // k = 1 + doc_id%4 REAL response records (half the blobs multi-member gzip),
+    // record i carrying an HTTP 200/404 message with a 10+7i byte body. The
+    // explode parses headers, splits HTTP status/body, and the closed-form sums
+    // (Σ bodies = 10k + 7k(k-1)/2, Σ oks = ceil(k/2)) replay in DuckDB.
+    QueryDef("warc_records_documents",
+      (s, d) => {
+        import graft.operators.Warc
+        val mkWarc = udf((id: Long) => {
+          val k = (1 + (((id % 4) + 4) % 4)).toInt
+          val blocks = (0 until k).map { i =>
+            Warc.encodeResponseRecord(s"https://example.com/$id/$i",
+              "2026-01-01T00:00:00Z", s"<urn:uuid:$id-$i>",
+              if (i % 2 == 0) 200 else 404, "text/plain",
+              ("x" * (10 + 7 * i)).getBytes("ISO-8859-1"))
+          }
+          Warc.encodeWarc(blocks, gzip = (((id % 2) + 2) % 2) == 0L)
+        })
+        val blobs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), mkWarc(col("doc_id")).as("warc"))
+        Warc.explodeRecords(blobs, "warc").agg(
+          count(lit(1)).as("n_records"),
+          sum(length(col("payload")).cast("long")).as("sum_body_bytes"),
+          sum(when(col("http_status") === 200, 1L).otherwise(0L)).as("n_ok"),
+          bool_and(col("warc_type") === "response" && !col("truncated"))
+            .as("all_responses"))
+      },
+      Some("""WITH d AS (SELECT 1 + ((doc_id % 4 + 4) % 4) AS k
+             |   FROM documents WHERE doc_id IS NOT NULL)
+             | SELECT CAST(coalesce(sum(k), 0) AS BIGINT) AS n_records,
+             | CAST(sum(10 * k + 7 * k * (k - 1) // 2) AS BIGINT) AS sum_body_bytes,
+             | CAST(sum((k + 1) // 2) AS BIGINT) AS n_ok,
+             | CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS all_responses
+             | FROM d""".stripMargin.replaceAll("\n", " "))),
+
     // REAL animated-GIF frame extraction + timing, oracled: k = 1 + doc_id%5 noise
     // frames per doc with a REAL per-frame GCE delay of (4 + doc_id%6) cs, exploded
     // every-2nd capped at 2 — per-doc frame count = least(2, ceil(k/2)) and per-doc

@@ -707,6 +707,7 @@ class PropertySpec extends SparkSpec {
         MediaCodecs.mp4Meta(bytes); MediaCodecs.mkvMeta(bytes); MediaCodecs.aviMeta(bytes)
         MediaCodecs.gifDurationMs(bytes); MediaCodecs.wavDurationMs(bytes)
         MediaCodecs.flacMeta(bytes); MediaCodecs.mp3Meta(bytes); MediaCodecs.oggMeta(bytes)
+        graft.operators.Warc.records(bytes, maxRecords = 64)
         MediaCodecs.gifFrames(bytes, 1, 4)
         MediaCodecs.sampleFrames(bytes, 2, 4)
         MediaCodecs.perceptualHash(bytes); MediaCodecs.audioHash(bytes)
@@ -725,7 +726,10 @@ class PropertySpec extends SparkSpec {
       MediaCodecs.encodeFlacMeta(2500L),
       MediaCodecs.encodeMp3Cbr(25, id3Pad = 40),
       MediaCodecs.encodeOggMeta(2500L),
-      MediaCodecs.encodeOggMeta(2500L, opus = true))
+      MediaCodecs.encodeOggMeta(2500L, opus = true),
+      graft.operators.Warc.encodeWarc(Seq(graft.operators.Warc.encodeResponseRecord(
+        "https://example.com/x", "2026-01-01T00:00:00Z", "<urn:uuid:x>", 200,
+        "text/plain", "hello fuzz".getBytes("ISO-8859-1"))), gzip = true))
     // exact round-trips for the metadata skeletons
     assert(MediaCodecs.mp4Meta(valid(0)) == (Some(2500L), Some((320, 180))))
     assert(MediaCodecs.mkvMeta(valid(1)) == (Some(2500L), Some((320, 180))))
@@ -754,7 +758,9 @@ class PropertySpec extends SparkSpec {
         "fLaC".getBytes("ISO-8859-1"),
         "OggS".getBytes("ISO-8859-1"),
         "ID3".getBytes("ISO-8859-1"),
-        Array(0xFF.toByte, 0xE3.toByte, 0x18.toByte, 0xC0.toByte))
+        Array(0xFF.toByte, 0xE3.toByte, 0x18.toByte, 0xC0.toByte),
+        "WARC/1.0\r\nContent-Length: 9\r\n\r\n".getBytes("ISO-8859-1"),
+        Array(0x1F.toByte, 0x8B.toByte, 0x08.toByte, 0x00.toByte))
       magics.foreach { m =>
         val tail = new Array[Byte](rnd.nextInt(300))
         rnd.nextBytes(tail)

@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.Warc
+import org.apache.spark.sql.functions._
+
+/** WARC ingestion: record parsing (plain + multi-member gzip), HTTP payload
+  * split, parse caps, totality on corrupt input, and the DataFrame bridge into
+  * the text-curation chain.
+  */
+class WarcSpec extends SparkSpec {
+
+  private val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  private def rec(i: Int, status: Int = 200, ct: String = "text/plain",
+      body: String = ""): Array[Byte] =
+    Warc.encodeResponseRecord(s"https://example.com/p$i", "2026-01-01T00:00:00Z",
+      s"<urn:uuid:rec-$i>", status, ct,
+      (if (body.nonEmpty) body else s"page body $i").getBytes(iso))
+
+  test("WARC records round-trip: plain and multi-member gzip parse identically") {
+    val blocks = Seq(rec(0), rec(1, status = 404), rec(2, ct = "image/png"))
+    for (gz <- Seq(false, true)) {
+      val rs = Warc.records(Warc.encodeWarc(blocks, gzip = gz))
+      assert(rs.size == 3, s"gz=$gz: ${rs.size}")
+      assert(rs.map(_.record_idx) == Seq(0, 1, 2))
+      assert(rs.forall(_.warc_type.contains("response")))
+      assert(rs(0).target_uri.contains("https://example.com/p0"))
+      assert(rs(0).record_id.contains("<urn:uuid:rec-0>"))
+      assert(rs(0).warc_date.contains("2026-01-01T00:00:00Z"))
+      assert(rs(0).content_type.exists(_.startsWith("application/http")))
+      assert(rs(0).http_status.contains(200) && rs(1).http_status.contains(404))
+      assert(rs(0).http_content_type.contains("text/plain"))
+      assert(rs(2).http_content_type.contains("image/png"))
+      assert(new String(rs(0).payload, iso) == "page body 0", "body split off headers")
+      assert(rs.forall(!_.truncated))
+      // content_length is the full HTTP message, strictly larger than the body
+      assert(rs(0).content_length > rs(0).payload.length)
+    }
+  }
+
+  test("WARC parser is total: corrupt/truncated/capped input never throws") {
+    val blob = Warc.encodeWarc(Seq(rec(0), rec(1)))
+    // mid-record truncation: first record survives, walk stops
+    val cut = blob.take(blob.length - rec(1).length + 30)
+    val partial = Warc.records(cut)
+    assert(partial.nonEmpty && partial.head.http_status.contains(200))
+    assert(partial.size <= 2 && partial.lastOption.exists(r => !r.truncated || r.truncated))
+    // non-WARC bytes, empty, null
+    assert(Warc.records("not a warc at all".getBytes(iso)).isEmpty)
+    assert(Warc.records(Array.emptyByteArray).isEmpty)
+    assert(Warc.records(null).isEmpty)
+    // corrupt gzip member: never a throw
+    val gz = Warc.encodeWarc(Seq(rec(0)), gzip = true)
+    gz(gz.length / 2) = (gz(gz.length / 2) ^ 0xff).toByte
+    Warc.records(gz) // must not throw; content may or may not survive
+    // maxRecords cap
+    val many = Warc.encodeWarc((0 until 10).map(rec(_)))
+    assert(Warc.records(many, maxRecords = 4).size == 4)
+    // payload cap: record flagged truncated, walk CONTINUES to later records
+    val big = Warc.encodeWarc(Seq(rec(0, body = "x" * 5000), rec(1)))
+    val capped = Warc.records(big, maxPayloadBytes = 100)
+    assert(capped.size == 2, s"capped walk must continue: ${capped.size}")
+    assert(capped(0).truncated && capped(0).payload.length == 100)
+    assert(!capped(1).truncated && capped(1).http_status.contains(200))
+    // malformed HTTP content (no header/body separator): no status, full payload
+    val raw = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      "Content-Length: 9\r\n\r\nnot http!\r\n\r\n").getBytes(iso)
+    val mal = Warc.records(raw)
+    assert(mal.size == 1 && mal.head.http_status.isEmpty)
+    assert(new String(mal.head.payload, iso) == "not http!")
+  }
+
+  test("explodeRecords drops the blob and responseTexts feeds the text chain") {
+    import spark.implicits._
+    val mk = (i: Int) => Warc.encodeWarc(Seq(
+      rec(i * 3, body = s"The quick brown fox jumps over the lazy dog ${i * 3}."),
+      rec(i * 3 + 1, status = 404, body = "not found"),
+      rec(i * 3 + 2, ct = "image/png", body = "PNGBYTES")), gzip = i % 2 == 0)
+    val df = (0 until 4).map(i => (i.toLong, s"crawl-$i.warc", mk(i)))
+      .toDF("blob_id", "name", "warc")
+    val exploded = Warc.explodeRecords(df, "warc")
+    assert(!exploded.columns.contains("warc"), "blob column must be dropped")
+    assert(exploded.count() == 12)
+    assert(exploded.filter(col("http_status") === 200).count() == 8)
+    // the curation bridge: only 200 text-typed bodies, decoded, one per page
+    val texts = Warc.responseTexts(df, "warc")
+    val rows = texts.select("blob_id", "text").collect()
+    assert(rows.length == 4, s"got ${rows.length}")
+    assert(rows.forall(_.getString(1).startsWith("The quick brown fox")))
+    // flows straight into the engine's text ops (quality scoring)
+    val scored = texts.withColumn("q",
+      graft.functions.TextFunctions.qualityScore(col("text")))
+    assert(scored.filter(col("q") > 0).count() == 4)
+  }
+}
