@@ -199,4 +199,41 @@ class PipelineE2ESpec extends SparkSpec {
     assert(stats("png")._1 == 5 && stats("png")._2 == -1L)
     assert(stats("mp4") == ((1L, 900L)) && stats("wav") == ((1L, 512L)))
   }
+
+  test("web-crawl pipeline composes: WARC blobs -> text -> quality gate -> dedup") {
+    import graft.operators.{Warc, Dedup}
+    import spark.implicits._
+    // The Common-Crawl shape end to end: archive blobs in, curated text out.
+    // Two crawls carry the same page (cross-blob dup), plus a 404, a non-text
+    // payload, and a junk-quality page.
+    val good = "The quick brown fox jumps over the lazy dog. " * 8
+    val junk = "@@ ## $$ %% ^^ && ** (( )) __ ++ == " * 4
+    def blob(pages: Seq[(Int, Int, String, String)], gz: Boolean) =
+      Warc.encodeWarc(pages.map { case (i, st, ct, body) =>
+        Warc.encodeResponseRecord(s"https://site-$i.example/", "2026-01-01T00:00:00Z",
+          s"<urn:uuid:p$i>", st, ct, body.getBytes("ISO-8859-1"))
+      }, gzip = gz)
+    val crawls = Seq(
+      (1L, blob(Seq((1, 200, "text/html", good), (2, 404, "text/html", "gone"),
+        (3, 200, "image/png", "PNG")), gz = true)),
+      (2L, blob(Seq((4, 200, "text/plain", good), // same page text, other crawl
+        (5, 200, "text/plain", junk)), gz = false)))
+      .toDF("blob_id", "warc").repartition(2)
+
+    // 1. archives -> pages: only the HTTP-200 text-typed bodies surface
+    val pages = Warc.responseTexts(crawls, "warc")
+    assert(pages.count() == 3, "2 good pages + 1 junk page")
+    assert(!pages.columns.contains("warc") && !pages.columns.contains("payload"))
+
+    // 2. Gopher structural rules drop the symbol-soup page (alpha-word fraction
+    //    and stopword probes both fail it; the prose passes all rules)
+    val scored = pages.withColumn("g",
+      graft.functions.TextFunctions.gopherFlags(col("text")))
+    val kept = scored.filter(col("g.keep"))
+    assert(kept.count() == 2, "junk page must fail the Gopher gate")
+
+    // 3. exact dedup collapses the cross-crawl duplicate to one survivor
+    val deduped = Dedup.exactDedup(kept, Seq("text"))
+    assert(deduped.count() == 1, "same page from two crawls is one page")
+  }
 }
