@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * [[graft.sources.Sources]]); records are parsed IN THE TASK THAT HOLDS THE
   * BLOB — raw archive bytes never shuffle, and [[explodeRecords]] drops the
   * source blob column before exploding so multi-hundred-MB archives are never
-  * duplicated per record row. Both parse caps (`maxRecords`, `maxPayloadBytes`)
-  * bound executor memory against hostile/degenerate archives; capped payloads
-  * are flagged, never silently truncated.
+  * duplicated per record row. Executor memory per task is bounded by the THREE
+  * parse caps (`maxRecords`, `maxPayloadBytes` per record, `maxTotalBytes`
+  * across the blob) — and every cap that fires is VISIBLE: capped payloads set
+  * the record's `truncated`, a capped walk sets the blob's `blob_capped` column,
+  * so downstream counts are never silently wrong.
   *
   * The parser is TOTAL, like every byte-walk in this engine (one uncaught
   * exception inside an executor UDF kills tasks with retries at corpus scale):
@@ -25,9 +27,13 @@ import org.apache.spark.sql.functions._
 object Warc {
 
   /** One WARC record. `payload` is the HTTP message BODY for
-    * `application/http` records (status/headers parsed off into `http_status` /
-    * `http_content_type`), the raw record content otherwise. `truncated` marks
-    * payloads cut at the parse cap.
+    * `application/http` records (status line and headers parsed off into
+    * `http_status` / `http_content_type`; chunked transfer framing and
+    * gzip/deflate `Content-Encoding` are DECODED — `http_decoded` is false when
+    * the body used an encoding this JVM can't undo, e.g. brotli, and `payload`
+    * then holds the raw framed/compressed bytes). For non-HTTP records,
+    * `payload` is the raw record content. `truncated` marks payloads cut at the
+    * per-record parse cap.
     */
   final case class WarcRecord(
       record_idx: Int,
@@ -39,67 +45,94 @@ object Warc {
       content_length: Long,
       http_status: Option[Int],
       http_content_type: Option[String],
+      http_decoded: Boolean,
       payload: Array[Byte],
       truncated: Boolean)
 
-  /** Parse a WARC blob (plain or gzip — JDK `GZIPInputStream` reads multi-member
-    * streams, which is exactly how warc.gz files are laid out: one member per
-    * record so readers can seek). Returns the records parsed before the first
-    * structural error; `Nil` for null/empty/non-WARC bytes.
+  /** Parse result: `capped` is true when the walk stopped at `maxRecords` or
+    * `maxTotalBytes` with input remaining — the blob holds MORE records than
+    * were returned.
     */
-  def records(bytes: Array[Byte], maxRecords: Int = 10000,
-      maxPayloadBytes: Int = 16 * 1024 * 1024): Seq[WarcRecord] = {
-    if (bytes == null || bytes.length < 4) return Nil
+  final case class WarcParse(capped: Boolean, records: Seq[WarcRecord])
+
+  /** Records of a WARC blob (plain or gzip — JDK `GZIPInputStream` reads
+    * multi-member streams, which is exactly how warc.gz files are laid out: one
+    * member per record so readers can seek). Returns the records parsed before
+    * the first structural error; `Nil` for null/empty/non-WARC bytes. Use
+    * [[parse]] when the caller needs to know whether a cap fired.
+    */
+  def records(bytes: Array[Byte], maxRecords: Int = 200000,
+      maxPayloadBytes: Int = 16 * 1024 * 1024,
+      maxTotalBytes: Long = 512L * 1024 * 1024): Seq[WarcRecord] =
+    parse(bytes, maxRecords, maxPayloadBytes, maxTotalBytes).records
+
+  /** [[records]] plus the blob-level cap signal. */
+  def parse(bytes: Array[Byte], maxRecords: Int = 200000,
+      maxPayloadBytes: Int = 16 * 1024 * 1024,
+      maxTotalBytes: Long = 512L * 1024 * 1024): WarcParse = {
+    if (bytes == null || bytes.length < 4) return WarcParse(capped = false, Nil)
     try {
       val base = new java.io.ByteArrayInputStream(bytes)
       val in =
         if ((bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
           new java.util.zip.GZIPInputStream(base, 65536)
         else base
-      parseStream(in, maxRecords, maxPayloadBytes)
-    } catch { case scala.util.control.NonFatal(_) => Nil }
+      parseStream(in, maxRecords, maxPayloadBytes, maxTotalBytes)
+    } catch { case scala.util.control.NonFatal(_) => WarcParse(capped = false, Nil) }
   }
 
   private def parseStream(in0: java.io.InputStream, maxRecords: Int,
-      maxPayloadBytes: Int): Seq[WarcRecord] = {
+      maxPayloadBytes: Int, maxTotalBytes: Long): WarcParse = {
     val in = new java.io.BufferedInputStream(in0, 65536)
     val out = scala.collection.mutable.ArrayBuffer[WarcRecord]()
+    var totalBytes = 0L
+    var capped = false
     try {
       var ok = true
-      while (ok && out.length < maxRecords) {
-        // skip the blank lines that separate records
-        var line = readLine(in)
-        while (line.contains("")) line = readLine(in)
-        line match {
-          case Some(v) if v.startsWith("WARC/") =>
-            val headers = readHeaders(in)
-            headers.get("content-length").flatMap(_.toLongOption).filter(_ >= 0) match {
-              case Some(clen) =>
-                val cap = math.min(clen, maxPayloadBytes.toLong).toInt
-                val content = readN(in, cap)
-                val streamEnded = content.length < cap // asked for cap, got less
-                val capped = clen > cap // payload larger than the parse cap
-                if (!streamEnded && capped) skipN(in, clen - cap)
-                val ctype = headers.get("content-type")
-                val isHttp = ctype.exists(_.toLowerCase(java.util.Locale.ROOT)
-                  .startsWith("application/http"))
-                val (status, httpCt, body) =
-                  if (isHttp && !streamEnded && !capped) splitHttp(content)
-                  else (None, None, content)
-                out += WarcRecord(out.length, headers.get("warc-type"),
-                  headers.get("warc-record-id"), headers.get("warc-target-uri"),
-                  headers.get("warc-date"), ctype, clen, status, httpCt,
-                  body, streamEnded || capped)
-                // a capped record skips its remainder and the walk continues;
-                // only a genuinely ended stream stops it
-                if (streamEnded) ok = false
-              case None => ok = false // no parseable Content-Length: can't advance
-            }
-          case _ => ok = false // EOF or not a record header
+      while (ok) {
+        if (out.length >= maxRecords || totalBytes >= maxTotalBytes) {
+          // budget spent: if ANY further record header exists, the blob is capped
+          var line = readLine(in)
+          while (line.contains("")) line = readLine(in)
+          capped = line.exists(_.startsWith("WARC/"))
+          ok = false
+        } else {
+          // skip the blank lines that separate records
+          var line = readLine(in)
+          while (line.contains("")) line = readLine(in)
+          line match {
+            case Some(v) if v.startsWith("WARC/") =>
+              val headers = readHeaders(in)
+              headers.get("content-length").flatMap(_.toLongOption).filter(_ >= 0) match {
+                case Some(clen) =>
+                  val cap = math.min(clen, maxPayloadBytes.toLong).toInt
+                  val content = readN(in, cap)
+                  val streamEnded = content.length < cap // asked for cap, got less
+                  val payloadCapped = clen > cap
+                  if (!streamEnded && payloadCapped) skipN(in, clen - cap)
+                  totalBytes += content.length
+                  val ctype = headers.get("content-type")
+                  val isHttp = ctype.exists(_.toLowerCase(java.util.Locale.ROOT)
+                    .startsWith("application/http"))
+                  val (status, httpCt, decoded, body) =
+                    if (isHttp && !streamEnded && !payloadCapped)
+                      splitHttp(content, maxPayloadBytes)
+                    else (None, None, true, content)
+                  out += WarcRecord(out.length, headers.get("warc-type"),
+                    headers.get("warc-record-id"), headers.get("warc-target-uri"),
+                    headers.get("warc-date"), ctype, clen, status, httpCt,
+                    decoded, body, streamEnded || payloadCapped)
+                  // a capped record skips its remainder and the walk continues;
+                  // only a genuinely ended stream stops it
+                  if (streamEnded) ok = false
+                case None => ok = false // no parseable Content-Length: can't advance
+              }
+            case _ => ok = false // EOF or not a record header
+          }
         }
       }
     } catch { case scala.util.control.NonFatal(_) => () } // keep what parsed
-    out.toSeq
+    WarcParse(capped, out.toSeq)
   }
 
   /** One header-terminated line (strips the trailing `\r`); None at EOF. Lines
@@ -158,10 +191,15 @@ object Warc {
   }
 
   /** Split an `application/http` record content into (status, Content-Type,
-    * body). Malformed messages keep the full content as payload with no status —
-    * never a guessed split.
+    * bodyDecoded, body). Chunked transfer framing is removed and gzip/deflate
+    * `Content-Encoding` inflated (crawlers store the response AS CAPTURED, so
+    * real Common Crawl bodies carry both); an encoding this JVM can't undo
+    * (brotli) or malformed framing keeps the raw bytes with bodyDecoded=false.
+    * A malformed message (no separator / no status line) keeps the full content
+    * as payload with no status — never a guessed split.
     */
-  private def splitHttp(content: Array[Byte]): (Option[Int], Option[String], Array[Byte]) = {
+  private def splitHttp(content: Array[Byte],
+      maxPayloadBytes: Int): (Option[Int], Option[String], Boolean, Array[Byte]) = {
     // find the \r\n\r\n (tolerate \n\n) header/body separator
     var i = 0
     var sep = -1
@@ -174,45 +212,142 @@ object Warc {
       }
       i += 1
     }
-    if (sep < 0) return (None, None, content)
+    if (sep < 0) return (None, None, true, content)
     val head = new String(content, 0, sep, java.nio.charset.StandardCharsets.ISO_8859_1)
     val lines = head.split("\n").map(_.stripSuffix("\r"))
     val status = lines.headOption
       .filter(_.startsWith("HTTP/"))
       .flatMap(_.split(" ", 3).lift(1))
       .flatMap(_.toIntOption)
-    if (status.isEmpty) return (None, None, content)
-    val ct = lines.drop(1).collectFirst {
-      case l if l.toLowerCase(java.util.Locale.ROOT).startsWith("content-type:") =>
+    if (status.isEmpty) return (None, None, true, content)
+    def header(name: String): Option[String] = lines.drop(1).collectFirst {
+      case l if l.toLowerCase(java.util.Locale.ROOT).startsWith(name + ":") =>
         l.substring(l.indexOf(':') + 1).trim
     }
-    (status, ct, java.util.Arrays.copyOfRange(content, sep + sepLen, content.length))
+    val ct = header("content-type")
+    var body = java.util.Arrays.copyOfRange(content, sep + sepLen, content.length)
+    var decoded = true
+    if (header("transfer-encoding").exists(_.toLowerCase(java.util.Locale.ROOT)
+      .contains("chunked"))) {
+      dechunk(body) match {
+        case Some(b) => body = b
+        case None => decoded = false // malformed framing: keep raw, say so
+      }
+    }
+    if (decoded) header("content-encoding")
+      .map(_.toLowerCase(java.util.Locale.ROOT)).filter(_ != "identity")
+      .foreach { enc =>
+        inflateBody(body, enc, maxPayloadBytes) match {
+          case Some(b) => body = b
+          case None => decoded = false // brotli/zstd/corrupt: keep raw, say so
+        }
+      }
+    (status, ct, decoded, body)
   }
 
-  /** Explode a binary WARC column into one row per record. The blob column is
-    * DROPPED before the explode — at scale each blob is hundreds of MB, and
-    * carrying it onto every record row would multiply the stage's width by the
-    * record count.
+  /** Remove chunked transfer framing: `hexsize[;ext]\r\n data \r\n` repeated,
+    * terminated by a zero-size chunk. None for malformed framing.
     */
-  def explodeRecords(df: DataFrame, binCol: String, maxRecords: Int = 10000,
-      maxPayloadBytes: Int = 16 * 1024 * 1024): DataFrame = {
-    val u = udf((b: Array[Byte]) => records(b, maxRecords, maxPayloadBytes))
+  private def dechunk(body: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(body.length)
+    var pos = 0
+    while (true) {
+      // read the size line
+      var eol = pos
+      while (eol < body.length && body(eol) != '\n') eol += 1
+      if (eol >= body.length) return None
+      val line = new String(body, pos, eol - pos,
+        java.nio.charset.StandardCharsets.ISO_8859_1).stripSuffix("\r")
+      val hexLen = line.indexOf(';') match { case -1 => line case j => line.substring(0, j) }
+      val size =
+        try java.lang.Long.parseLong(hexLen.trim, 16)
+        catch { case _: NumberFormatException => return None }
+      if (size < 0 || size > body.length) return None
+      if (size == 0) return Some(out.toByteArray) // terminal chunk (trailers ignored)
+      pos = eol + 1
+      if (pos + size > body.length) return None
+      out.write(body, pos, size.toInt)
+      pos += size.toInt
+      // consume the \r\n after the chunk data
+      if (pos < body.length && body(pos) == '\r') pos += 1
+      if (pos >= body.length || body(pos) != '\n') return None
+      pos += 1
+    }
+    None // unreachable
+  }
+
+  /** Inflate a gzip/deflate-encoded body, capped at `maxBytes`. None for
+    * unsupported encodings or corrupt streams.
+    */
+  private def inflateBody(body: Array[Byte], enc: String,
+      maxBytes: Int): Option[Array[Byte]] =
+    try {
+      val in: java.io.InputStream = enc match {
+        case "gzip" | "x-gzip" =>
+          new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(body))
+        case "deflate" =>
+          // wrapped zlib stream; `nowrap` raw-deflate bodies exist but are rare
+          new java.util.zip.InflaterInputStream(new java.io.ByteArrayInputStream(body))
+        case _ => return None // brotli/zstd need non-JDK codecs
+      }
+      try {
+        val out = new java.io.ByteArrayOutputStream(math.min(body.length * 4, 65536))
+        val buf = new Array[Byte](8192)
+        var r = in.read(buf)
+        while (r >= 0 && out.size <= maxBytes) {
+          out.write(buf, 0, r)
+          r = in.read(buf)
+        }
+        if (out.size > maxBytes) None else Some(out.toByteArray)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The columns [[explodeRecords]] appends — kept in sync with [[WarcRecord]]
+    * for the collision guard.
+    */
+  private val RecordColumns: Set[String] = Set("record_idx", "warc_type",
+    "record_id", "target_uri", "warc_date", "content_type", "content_length",
+    "http_status", "http_content_type", "http_decoded", "payload", "truncated",
+    "blob_capped")
+
+  /** Explode a binary WARC column into one row per record, plus a per-blob
+    * `blob_capped` flag (true when `maxRecords`/`maxTotalBytes` stopped the walk
+    * with records remaining — caps are never silent). The blob column is DROPPED
+    * before the explode — at scale each blob is hundreds of MB, and carrying it
+    * onto every record row would multiply the stage's width by the record count.
+    */
+  def explodeRecords(df: DataFrame, binCol: String, maxRecords: Int = 200000,
+      maxPayloadBytes: Int = 16 * 1024 * 1024,
+      maxTotalBytes: Long = 512L * 1024 * 1024): DataFrame = {
+    val clash = df.columns.filter(_ != binCol).toSet
+      .intersect(RecordColumns + "_warc_recs")
+    require(clash.isEmpty,
+      s"input columns collide with WARC record columns: ${clash.mkString(", ")} — " +
+        "rename them before exploding (silent ambiguity would follow)")
+    val u = udf((b: Array[Byte]) => parse(b, maxRecords, maxPayloadBytes, maxTotalBytes))
     val keep: Array[Column] = df.columns.filter(_ != binCol).map(col)
     df.select(keep :+ u(col(binCol)).as("_warc_recs"): _*)
-      .select(keep :+ explode(col("_warc_recs")).as("_rec"): _*)
-      .select(keep :+ col("_rec.*"): _*)
+      .select(keep ++ Seq(col("_warc_recs.capped").as("blob_capped"),
+        explode(col("_warc_recs.records")).as("_rec")): _*)
+      .select(keep ++ Seq(col("blob_capped"), col("_rec.*")): _*)
   }
 
-  /** The bridge into the text-curation chain: HTTP 200 text-typed response bodies
-    * decoded as UTF-8 (Spark's binary→string cast) in `textOut`, one row per
-    * page. Feed the result straight into quality scoring / dedup /
-    * decontamination — this is the Common-Crawl entry point.
+  /** The bridge into the text-curation chain: HTTP 200 text-typed response
+    * bodies (media types compared case-insensitively per RFC 7231; only fully
+    * decoded bodies — chunked framing removed, gzip/deflate inflated) decoded as
+    * UTF-8 (Spark's binary→string cast) in `textOut`, one row per page. Feed the
+    * result straight into quality scoring / dedup / decontamination — this is
+    * the Common-Crawl entry point.
     */
   def responseTexts(df: DataFrame, binCol: String, textOut: String = "text",
-      maxRecords: Int = 10000, maxPayloadBytes: Int = 16 * 1024 * 1024): DataFrame =
-    explodeRecords(df, binCol, maxRecords, maxPayloadBytes)
+      maxRecords: Int = 200000, maxPayloadBytes: Int = 16 * 1024 * 1024,
+      maxTotalBytes: Long = 512L * 1024 * 1024): DataFrame =
+    explodeRecords(df, binCol, maxRecords, maxPayloadBytes, maxTotalBytes)
       .filter(col("warc_type") === "response" && col("http_status") === 200 &&
-        col("http_content_type").startsWith("text/") && !col("truncated"))
+        col("http_decoded") && !col("truncated") &&
+        // ICU-free lowercase: media types are ASCII, rlike avoids the Spark 4
+        // lower() collation-init cost documented in the build recipes
+        col("http_content_type").rlike("(?i)^text/"))
       .withColumn(textOut, col("payload").cast("string"))
       .drop("payload")
 
@@ -222,30 +357,37 @@ object Warc {
   def encodeResponseRecord(targetUri: String, dateIso: String, recordId: String,
       status: Int, httpContentType: String, body: Array[Byte]): Array[Byte] = {
     val statusText = if (status == 200) "OK" else "NOT-OK"
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val out = new java.io.ByteArrayOutputStream(body.length + 512)
     val http = (s"HTTP/1.1 $status $statusText\r\n" +
       s"Content-Type: $httpContentType\r\n" +
-      s"Content-Length: ${body.length}\r\n\r\n")
-      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ body
-    val hdr = (s"WARC/1.0\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(iso)
+    out.write((s"WARC/1.0\r\n" +
       s"WARC-Type: response\r\n" +
       s"WARC-Record-ID: $recordId\r\n" +
       s"WARC-Date: $dateIso\r\n" +
       s"WARC-Target-URI: $targetUri\r\n" +
       s"Content-Type: application/http; msgtype=response\r\n" +
-      s"Content-Length: ${http.length}\r\n\r\n")
-      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-    hdr ++ http ++ "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      s"Content-Length: ${http.length + body.length}\r\n\r\n").getBytes(iso))
+    out.write(http)
+    out.write(body)
+    out.write("\r\n\r\n".getBytes(iso))
+    out.toByteArray
   }
 
   /** Concatenate record blocks into a WARC file; `gzip = true` produces the
     * standard multi-member layout (one gzip member per record).
     */
-  def encodeWarc(recordBlocks: Seq[Array[Byte]], gzip: Boolean = false): Array[Byte] =
-    if (!gzip) recordBlocks.flatten.toArray
-    else recordBlocks.flatMap { r =>
-      val bos = new java.io.ByteArrayOutputStream()
-      val gz = new java.util.zip.GZIPOutputStream(bos)
-      gz.write(r); gz.close()
-      bos.toByteArray
-    }.toArray
+  def encodeWarc(recordBlocks: Seq[Array[Byte]], gzip: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(recordBlocks.map(_.length).sum + 64)
+    recordBlocks.foreach { r =>
+      if (!gzip) out.write(r)
+      else {
+        val gz = new java.util.zip.GZIPOutputStream(out)
+        gz.write(r)
+        gz.close() // finishes the member; BAOS.close is a no-op, releases the Deflater
+      }
+    }
+    out.toByteArray
+  }
 }

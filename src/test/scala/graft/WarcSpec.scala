@@ -40,11 +40,14 @@ class WarcSpec extends SparkSpec {
 
   test("WARC parser is total: corrupt/truncated/capped input never throws") {
     val blob = Warc.encodeWarc(Seq(rec(0), rec(1)))
-    // mid-record truncation: first record survives, walk stops
+    // mid-record truncation: the complete first record survives un-flagged; the
+    // cut second record is either flagged truncated or not emitted at all
     val cut = blob.take(blob.length - rec(1).length + 30)
     val partial = Warc.records(cut)
     assert(partial.nonEmpty && partial.head.http_status.contains(200))
-    assert(partial.size <= 2 && partial.lastOption.exists(r => !r.truncated || r.truncated))
+    assert(!partial.head.truncated, "complete record must not be flagged")
+    assert(partial.size == 1 || (partial.size == 2 && partial(1).truncated),
+      s"cut record must be flagged or dropped: $partial")
     // non-WARC bytes, empty, null
     assert(Warc.records("not a warc at all".getBytes(iso)).isEmpty)
     assert(Warc.records(Array.emptyByteArray).isEmpty)
@@ -53,9 +56,15 @@ class WarcSpec extends SparkSpec {
     val gz = Warc.encodeWarc(Seq(rec(0)), gzip = true)
     gz(gz.length / 2) = (gz(gz.length / 2) ^ 0xff).toByte
     Warc.records(gz) // must not throw; content may or may not survive
-    // maxRecords cap
+    // maxRecords cap: bounded AND visible (caps are never silent)
     val many = Warc.encodeWarc((0 until 10).map(rec(_)))
-    assert(Warc.records(many, maxRecords = 4).size == 4)
+    val cappedParse = Warc.parse(many, maxRecords = 4)
+    assert(cappedParse.records.size == 4 && cappedParse.capped,
+      "record cap must set the blob-level flag")
+    assert(!Warc.parse(many).capped, "uncapped blob must not be flagged")
+    // total-bytes budget: same visibility
+    val byBudget = Warc.parse(many, maxTotalBytes = 50L)
+    assert(byBudget.records.size < 10 && byBudget.capped)
     // payload cap: record flagged truncated, walk CONTINUES to later records
     val big = Warc.encodeWarc(Seq(rec(0, body = "x" * 5000), rec(1)))
     val capped = Warc.records(big, maxPayloadBytes = 100)
@@ -71,10 +80,46 @@ class WarcSpec extends SparkSpec {
     assert(new String(mal.head.payload, iso) == "not http!")
   }
 
+  test("HTTP bodies: chunked framing removed, gzip/deflate inflated, brotli flagged") {
+    def httpRecord(extraHeaders: String, body: Array[Byte]): Array[Byte] = {
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n$extraHeaders\r\n")
+        .getBytes(iso) ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes(iso) ++ http ++
+        "\r\n\r\n".getBytes(iso)
+    }
+    // chunked: two chunks + terminal zero chunk reassemble to the page text
+    val chunked = httpRecord("Transfer-Encoding: chunked\r\n",
+      "b\r\nhello chunk\r\n6\r\n world\r\n0\r\n\r\n".getBytes(iso))
+    val c = Warc.records(chunked).head
+    assert(c.http_decoded && new String(c.payload, iso) == "hello chunk world",
+      s"got decoded=${c.http_decoded} '${new String(c.payload, iso)}'")
+    // Content-Encoding: gzip — crawlers store the response as captured
+    val gzBody = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write("compressed page text".getBytes(iso)); g.close()
+      bos.toByteArray
+    }
+    val gzRec = Warc.records(httpRecord("Content-Encoding: gzip\r\n", gzBody)).head
+    assert(gzRec.http_decoded && new String(gzRec.payload, iso) == "compressed page text")
+    // unsupported encoding: raw bytes kept, decoded=false, responseTexts skips it
+    val br = Warc.records(httpRecord("Content-Encoding: br\r\n",
+      Array[Byte](1, 2, 3))).head
+    assert(!br.http_decoded && br.payload.sameElements(Array[Byte](1, 2, 3)))
+    // malformed chunked framing: raw kept, flagged
+    val malChunk = Warc.records(httpRecord("Transfer-Encoding: chunked\r\n",
+      "ZZZ\r\nnot chunked".getBytes(iso))).head
+    assert(!malChunk.http_decoded)
+  }
+
   test("explodeRecords drops the blob and responseTexts feeds the text chain") {
     import spark.implicits._
     val mk = (i: Int) => Warc.encodeWarc(Seq(
-      rec(i * 3, body = s"The quick brown fox jumps over the lazy dog ${i * 3}."),
+      // mixed-case media type: RFC 7231 says case-insensitive, servers do emit it
+      rec(i * 3, ct = if (i == 0) "Text/HTML; charset=utf-8" else "text/html",
+        body = s"The quick brown fox jumps over the lazy dog ${i * 3}."),
       rec(i * 3 + 1, status = 404, body = "not found"),
       rec(i * 3 + 2, ct = "image/png", body = "PNGBYTES")), gzip = i % 2 == 0)
     val df = (0 until 4).map(i => (i.toLong, s"crawl-$i.warc", mk(i)))
@@ -83,6 +128,12 @@ class WarcSpec extends SparkSpec {
     assert(!exploded.columns.contains("warc"), "blob column must be dropped")
     assert(exploded.count() == 12)
     assert(exploded.filter(col("http_status") === 200).count() == 8)
+    assert(exploded.filter(col("blob_capped")).count() == 0, "no caps fired")
+    // caller columns that collide with record columns fail FAST, not ambiguously
+    val clash = intercept[IllegalArgumentException] {
+      Warc.explodeRecords(df.withColumnRenamed("name", "payload"), "warc")
+    }
+    assert(clash.getMessage.contains("payload"))
     // the curation bridge: only 200 text-typed bodies, decoded, one per page
     val texts = Warc.responseTexts(df, "warc")
     val rows = texts.select("blob_id", "text").collect()
