@@ -110,18 +110,21 @@ object Warc {
                   val streamEnded = content.length < cap // asked for cap, got less
                   val payloadCapped = clen > cap
                   if (!streamEnded && payloadCapped) skipN(in, clen - cap)
-                  totalBytes += content.length
                   val ctype = headers.get("content-type")
                   val isHttp = ctype.exists(_.toLowerCase(java.util.Locale.ROOT)
                     .startsWith("application/http"))
-                  val (status, httpCt, decoded, body) =
+                  val (status, httpCt, decoded, decodeCapped, body) =
                     if (isHttp && !streamEnded && !payloadCapped)
                       splitHttp(content, maxPayloadBytes)
-                    else (None, None, true, content)
+                    else (None, None, true, false, content)
+                  // budget the bytes actually RETAINED: a small gzip body can
+                  // inflate to maxPayloadBytes, and counting only the compressed
+                  // size would let decompression amplification blow the bound
+                  totalBytes += math.max(content.length, body.length).toLong
                   out += WarcRecord(out.length, headers.get("warc-type"),
                     headers.get("warc-record-id"), headers.get("warc-target-uri"),
                     headers.get("warc-date"), ctype, clen, status, httpCt,
-                    decoded, body, streamEnded || payloadCapped)
+                    decoded, body, streamEnded || payloadCapped || decodeCapped)
                   // a capped record skips its remainder and the walk continues;
                   // only a genuinely ended stream stops it
                   if (streamEnded) ok = false
@@ -191,15 +194,18 @@ object Warc {
   }
 
   /** Split an `application/http` record content into (status, Content-Type,
-    * bodyDecoded, body). Chunked transfer framing is removed and gzip/deflate
-    * `Content-Encoding` inflated (crawlers store the response AS CAPTURED, so
-    * real Common Crawl bodies carry both); an encoding this JVM can't undo
-    * (brotli) or malformed framing keeps the raw bytes with bodyDecoded=false.
-    * A malformed message (no separator / no status line) keeps the full content
-    * as payload with no status — never a guessed split.
+    * bodyDecoded, decodeCapped, body). Chunked transfer framing is removed and
+    * gzip/deflate `Content-Encoding` inflated (crawlers store the response AS
+    * CAPTURED, so real Common Crawl bodies carry both); an encoding this JVM
+    * can't undo (brotli) or malformed framing keeps the raw bytes with
+    * bodyDecoded=false, and a body INFLATING past the payload cap keeps the
+    * capped prefix with decodeCapped=true (it feeds the record's `truncated`,
+    * per the caps-are-visible contract). A malformed message (no separator / no
+    * status line) keeps the full content as payload with no status — never a
+    * guessed split.
     */
-  private def splitHttp(content: Array[Byte],
-      maxPayloadBytes: Int): (Option[Int], Option[String], Boolean, Array[Byte]) = {
+  private def splitHttp(content: Array[Byte], maxPayloadBytes: Int)
+      : (Option[Int], Option[String], Boolean, Boolean, Array[Byte]) = {
     // find the \r\n\r\n (tolerate \n\n) header/body separator
     var i = 0
     var sep = -1
@@ -212,14 +218,14 @@ object Warc {
       }
       i += 1
     }
-    if (sep < 0) return (None, None, true, content)
+    if (sep < 0) return (None, None, true, false, content)
     val head = new String(content, 0, sep, java.nio.charset.StandardCharsets.ISO_8859_1)
     val lines = head.split("\n").map(_.stripSuffix("\r"))
     val status = lines.headOption
       .filter(_.startsWith("HTTP/"))
       .flatMap(_.split(" ", 3).lift(1))
       .flatMap(_.toIntOption)
-    if (status.isEmpty) return (None, None, true, content)
+    if (status.isEmpty) return (None, None, true, false, content)
     def header(name: String): Option[String] = lines.drop(1).collectFirst {
       case l if l.toLowerCase(java.util.Locale.ROOT).startsWith(name + ":") =>
         l.substring(l.indexOf(':') + 1).trim
@@ -227,6 +233,7 @@ object Warc {
     val ct = header("content-type")
     var body = java.util.Arrays.copyOfRange(content, sep + sepLen, content.length)
     var decoded = true
+    var decodeCapped = false
     if (header("transfer-encoding").exists(_.toLowerCase(java.util.Locale.ROOT)
       .contains("chunked"))) {
       dechunk(body) match {
@@ -238,11 +245,11 @@ object Warc {
       .map(_.toLowerCase(java.util.Locale.ROOT)).filter(_ != "identity")
       .foreach { enc =>
         inflateBody(body, enc, maxPayloadBytes) match {
-          case Some(b) => body = b
+          case Some((b, capped)) => body = b; decodeCapped = capped
           case None => decoded = false // brotli/zstd/corrupt: keep raw, say so
         }
       }
-    (status, ct, decoded, body)
+    (status, ct, decoded, decodeCapped, body)
   }
 
   /** Remove chunked transfer framing: `hexsize[;ext]\r\n data \r\n` repeated,
@@ -276,11 +283,13 @@ object Warc {
     None // unreachable
   }
 
-  /** Inflate a gzip/deflate-encoded body, capped at `maxBytes`. None for
-    * unsupported encodings or corrupt streams.
+  /** Inflate a gzip/deflate-encoded body: Some((bytes, capped)) where `capped`
+    * marks a decode cut at `maxBytes` (a gzip bomb or merely huge page — the
+    * prefix is kept and the record flags `truncated`). None for unsupported
+    * encodings or corrupt streams.
     */
   private def inflateBody(body: Array[Byte], enc: String,
-      maxBytes: Int): Option[Array[Byte]] =
+      maxBytes: Int): Option[(Array[Byte], Boolean)] =
     try {
       val in: java.io.InputStream = enc match {
         case "gzip" | "x-gzip" =>
@@ -293,12 +302,16 @@ object Warc {
       try {
         val out = new java.io.ByteArrayOutputStream(math.min(body.length * 4, 65536))
         val buf = new Array[Byte](8192)
+        var capped = false
         var r = in.read(buf)
-        while (r >= 0 && out.size <= maxBytes) {
-          out.write(buf, 0, r)
-          r = in.read(buf)
+        while (r >= 0 && !capped) {
+          val wrote = math.min(r, maxBytes - out.size)
+          out.write(buf, 0, wrote)
+          if (wrote < r) capped = true // discarded decoded bytes
+          else if (out.size >= maxBytes) { capped = in.read() >= 0; r = -1 } // at cap: more?
+          else r = in.read(buf)
         }
-        if (out.size > maxBytes) None else Some(out.toByteArray)
+        Some((out.toByteArray, capped))
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -319,7 +332,13 @@ object Warc {
   def explodeRecords(df: DataFrame, binCol: String, maxRecords: Int = 200000,
       maxPayloadBytes: Int = 16 * 1024 * 1024,
       maxTotalBytes: Long = 512L * 1024 * 1024): DataFrame = {
-    val clash = df.columns.filter(_ != binCol).toSet
+    require(maxRecords > 0 && maxPayloadBytes > 0 && maxTotalBytes > 0,
+      s"degenerate caps ($maxRecords records, $maxPayloadBytes/$maxTotalBytes bytes) " +
+        "would drop every record AND its blob_capped row — nothing would signal the loss")
+    // Spark resolves column names case-insensitively by default, so the clash
+    // check must too ("Payload" vs "payload" is the same ambiguity)
+    val clash = df.columns.filter(_ != binCol)
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
       .intersect(RecordColumns + "_warc_recs")
     require(clash.isEmpty,
       s"input columns collide with WARC record columns: ${clash.mkString(", ")} — " +
@@ -341,7 +360,12 @@ object Warc {
     */
   def responseTexts(df: DataFrame, binCol: String, textOut: String = "text",
       maxRecords: Int = 200000, maxPayloadBytes: Int = 16 * 1024 * 1024,
-      maxTotalBytes: Long = 512L * 1024 * 1024): DataFrame =
+      maxTotalBytes: Long = 512L * 1024 * 1024): DataFrame = {
+    // withColumn silently REPLACES an existing column — a caller metadata column
+    // named `textOut` would vanish under the page body with no error
+    require(!df.columns.exists(c => c != binCol &&
+      c.equalsIgnoreCase(textOut)),
+      s"output column '$textOut' already exists on the input — pass a different textOut")
     explodeRecords(df, binCol, maxRecords, maxPayloadBytes, maxTotalBytes)
       .filter(col("warc_type") === "response" && col("http_status") === 200 &&
         col("http_decoded") && !col("truncated") &&
@@ -350,6 +374,7 @@ object Warc {
         col("http_content_type").rlike("(?i)^text/"))
       .withColumn(textOut, col("payload").cast("string"))
       .drop("payload")
+  }
 
   // ---- encode halves (test fixtures + oracle arithmetic) ----
 

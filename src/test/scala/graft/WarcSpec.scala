@@ -112,6 +112,26 @@ class WarcSpec extends SparkSpec {
     val malChunk = Warc.records(httpRecord("Transfer-Encoding: chunked\r\n",
       "ZZZ\r\nnot chunked".getBytes(iso))).head
     assert(!malChunk.http_decoded)
+    // a body INFLATING past the payload cap (gzip bomb / huge page): the capped
+    // prefix is kept and the record flags truncated — caps are never silent
+    val bombBody = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(new Array[Byte](100000)); g.close() // 100 KB of zeros, ~100 B gzipped
+      bos.toByteArray
+    }
+    val bomb = Warc.records(httpRecord("Content-Encoding: gzip\r\n", bombBody),
+      maxPayloadBytes = 4096).head
+    assert(bomb.truncated && bomb.http_decoded && bomb.payload.length == 4096,
+      s"got truncated=${bomb.truncated} decoded=${bomb.http_decoded} len=${bomb.payload.length}")
+    // ...and the retained (post-decode) bytes are what the total budget counts:
+    // one bomb inflates to 64 KB, spending a 60 KB budget (the ~200 compressed
+    // bytes alone would not) — the second record is cut and the blob flagged
+    val bombRec = httpRecord("Content-Encoding: gzip\r\n", bombBody)
+    val twoBombs = Warc.parse(Warc.encodeWarc(Seq(bombRec, bombRec)),
+      maxPayloadBytes = 64 * 1024, maxTotalBytes = 60L * 1024)
+    assert(twoBombs.records.size == 1 && twoBombs.capped,
+      s"decode amplification must count against the budget: ${twoBombs.records.size}")
   }
 
   test("explodeRecords drops the blob and responseTexts feeds the text chain") {
@@ -129,11 +149,19 @@ class WarcSpec extends SparkSpec {
     assert(exploded.count() == 12)
     assert(exploded.filter(col("http_status") === 200).count() == 8)
     assert(exploded.filter(col("blob_capped")).count() == 0, "no caps fired")
-    // caller columns that collide with record columns fail FAST, not ambiguously
+    // caller columns that collide with record columns fail FAST, not ambiguously —
+    // including case variants (Spark resolves names case-insensitively)
     val clash = intercept[IllegalArgumentException] {
-      Warc.explodeRecords(df.withColumnRenamed("name", "payload"), "warc")
+      Warc.explodeRecords(df.withColumnRenamed("name", "Payload"), "warc")
     }
     assert(clash.getMessage.contains("payload"))
+    // the text output name must not silently overwrite a caller column
+    val textClash = intercept[IllegalArgumentException] {
+      Warc.responseTexts(df.withColumnRenamed("name", "text"), "warc")
+    }
+    assert(textClash.getMessage.contains("text"))
+    // degenerate caps would silently drop blobs: rejected up front
+    intercept[IllegalArgumentException] { Warc.explodeRecords(df, "warc", maxRecords = 0) }
     // the curation bridge: only 200 text-typed bodies, decoded, one per page
     val texts = Warc.responseTexts(df, "warc")
     val rows = texts.select("blob_id", "text").collect()
