@@ -1713,6 +1713,42 @@ object Queries {
              | CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS all_responses
              | FROM d""".stripMargin.replaceAll("\n", " "))),
 
+    // HTML -> visible-text extraction, oracled: every doc becomes a REAL page
+    // (title/style/script/comment/entities/table) keyed on doc_id; the kernel's
+    // output must equal the closed-form expected prose, which DuckDB constructs
+    // directly. Exercises chrome removal, block newlines, entity decoding, and
+    // title capture on every row.
+    QueryDef("html_extract_documents",
+      (s, d) => {
+        import graft.functions.WebFunctions
+        val id = col("doc_id").cast("string")
+        val html = concat(
+          lit("<html><head><title>T "), id,
+          lit("</title><style>p{color:red}</style></head><body><h1>Heading "), id,
+          lit("</h1><!-- hidden --><p>alpha &amp; beta</p><p>gamma&nbsp;delta</p>" +
+            "<script>var x=\"<p>fake</p>\";</script><table><tr><td>c1</td><td>c2" +
+            "</td></tr></table><div>tail "), id, lit("</div></body></html>"))
+        val parts = WebFunctions.htmlParts(html)
+        val expText = concat(lit("Heading "), id,
+          lit("\nalpha & beta\ngamma delta\nc1 c2\ntail "), id)
+        t(s, d, "documents").filter(col("doc_id").isNotNull)
+          .select(parts.getField("text").as("x"), parts.getField("title").as("ti"),
+            expText.as("ex"), concat(lit("T "), id).as("eti"))
+          .agg(count(lit(1)).as("n_pages"),
+            bool_and(col("x") === col("ex")).as("text_ok"),
+            bool_and(col("ti") === col("eti")).as("title_ok"),
+            sum(length(col("x")).cast("long")).as("sum_text_chars"))
+      },
+      Some("""WITH p AS (SELECT 'Heading ' || doc_id || chr(10) || 'alpha & beta' ||
+             |   chr(10) || 'gamma delta' || chr(10) || 'c1 c2' || chr(10) ||
+             |   'tail ' || doc_id AS x
+             |   FROM documents WHERE doc_id IS NOT NULL)
+             | SELECT CAST(count(*) AS BIGINT) AS n_pages,
+             | CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS text_ok,
+             | CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS title_ok,
+             | CAST(sum(length(x)) AS BIGINT) AS sum_text_chars
+             | FROM p""".stripMargin.replaceAll("\n", " "))),
+
     // REAL animated-GIF frame extraction + timing, oracled: k = 1 + doc_id%5 noise
     // frames per doc with a REAL per-frame GCE delay of (4 + doc_id%6) cs, exploded
     // every-2nd capped at 2 — per-doc frame count = least(2, ceil(k/2)) and per-doc

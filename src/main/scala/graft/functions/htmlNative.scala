@@ -1,0 +1,214 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass HTML → visible-text kernel (static so generated code calls it
+  * directly) — the step between [[graft.operators.Warc.responseTexts]] (raw
+  * crawled HTML) and the text-curation chain (which wants prose). Pure
+  * structural extraction, the trafilatura-lite every crawl pipeline runs:
+  *
+  *   - `<script>`/`<style>`/`<noscript>` content, comments, and CDATA dropped
+  *   - `<title>` captured into its own field (head text is chrome, not prose)
+  *   - block-level tags (p/div/br/li/h1-6/tr/…) become newlines, table cells
+  *     become spaces, inline tags (b/i/span/a/…) vanish
+  *   - character entities decoded: the named set below plus numeric
+  *     `&#NNN;`/`&#xHH;`; unknown entities kept literally (never guessed)
+  *   - whitespace normalized: space runs collapse, newline runs collapse to
+  *     one, edges trimmed
+  *
+  * TOTAL on arbitrary bytes-as-text (unterminated tags/comments/entities
+  * consume to end-of-input, never throw) — it runs inside executor projections
+  * over 100 TB of crawled pages, where one exception kills a task.
+  */
+object HtmlKernel {
+
+  private val BlockTags: java.util.Set[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("p", "div", "br", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5", "h6",
+      "tr", "table", "thead", "tbody", "tfoot", "caption", "section", "article",
+      "header", "footer", "blockquote", "pre", "hr", "nav", "aside", "form",
+      "dd", "dt", "dl", "figure", "figcaption", "main", "address", "fieldset",
+      "legend").foreach(s.add)
+    s
+  }
+
+  private val Entities: java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("amp", "&"); m.put("lt", "<"); m.put("gt", ">"); m.put("quot", "\"")
+    m.put("apos", "'"); m.put("nbsp", " "); m.put("mdash", "—")
+    m.put("ndash", "–"); m.put("hellip", "…"); m.put("rsquo", "’")
+    m.put("lsquo", "‘"); m.put("ldquo", "“"); m.put("rdquo", "”")
+    m.put("copy", "©"); m.put("reg", "®"); m.put("trade", "™")
+    m.put("deg", "°"); m.put("middot", "·"); m.put("bull", "•")
+    m.put("laquo", "«"); m.put("raquo", "»"); m.put("times", "×")
+    m.put("shy", "") // soft hyphen: drop — it is a rendering hint, not text
+    m
+  }
+
+  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+    val n = s.length - needle.length
+    var i = math.max(from, 0)
+    while (i <= n) {
+      if (s.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Decode the entity at `s(i)` (== '&'): (replacement, chars consumed).
+    * Unknown names and bare ampersands stay literal.
+    */
+  private def entityAt(s: String, i: Int): (String, Int) = {
+    val limit = math.min(s.length, i + 32)
+    var j = i + 1
+    while (j < limit && s.charAt(j) != ';') j += 1
+    if (j >= limit || j == i + 1) return ("&", 1) // no terminator / empty: literal
+    val name = s.substring(i + 1, j)
+    val len = j - i + 1
+    if (name.charAt(0) == '#') {
+      val num = name.substring(1)
+      val cp =
+        try {
+          if (num.nonEmpty && (num.charAt(0) == 'x' || num.charAt(0) == 'X'))
+            Integer.parseInt(num.substring(1), 16)
+          else Integer.parseInt(num)
+        } catch { case _: NumberFormatException => -1 }
+      if (cp >= 0x20 && cp <= 0x10FFFF && !Character.isSurrogate(cp.toChar))
+        (new String(Character.toChars(cp)), len)
+      else if (cp == 0x9 || cp == 0xA) (" ", len) // whitespace refs act as space
+      else ("", len) // control/invalid refs: drop, never emit garbage
+    } else Entities.get(name) match {
+      case null => (s.substring(i, j + 1), len) // unknown: keep literally
+      case rep => (rep, len)
+    }
+  }
+
+  /** The extraction walk. Returns struct(title nullable, text). */
+  def extract(html: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = html.toString
+    val n = s.length
+    val out = new java.lang.StringBuilder(math.min(n, 1 << 16))
+    var title: String = null
+    var i = 0
+    while (i < n) {
+      val ch = s.charAt(i)
+      if (ch == '<') {
+        if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (s.regionMatches(true, i, "<![CDATA[", 0, 9)) {
+          val e = s.indexOf("]]>", i + 9)
+          i = if (e < 0) n else e + 3
+        } else {
+          var j = i + 1
+          val closing = j < n && s.charAt(j) == '/'
+          if (closing) j += 1
+          val ns = j
+          while (j < n && (Character.isLetter(s.charAt(j)) || Character.isDigit(s.charAt(j)))) j += 1
+          val name =
+            if (j > ns) s.substring(ns, j).toLowerCase(java.util.Locale.ROOT) else ""
+          // find the tag's '>' — attribute values may contain one, so track quotes
+          var k = j
+          var inQ = 0.toChar
+          while (k < n && (s.charAt(k) != '>' || inQ != 0)) {
+            val c2 = s.charAt(k)
+            if (inQ == 0 && (c2 == '"' || c2 == '\'')) inQ = c2
+            else if (inQ != 0 && c2 == inQ) inQ = 0.toChar
+            k += 1
+          }
+          val tagEnd = if (k < n) k + 1 else n
+          if (name.isEmpty) {
+            // "<" followed by non-tag text ("a < b"): literal character
+            out.append('<'); i += 1
+          } else if (!closing &&
+            (name == "script" || name == "style" || name == "noscript" || name == "title")) {
+            val e = indexOfIgnoreCase(s, "</" + name, tagEnd)
+            if (name == "title" && title == null) {
+              val end = if (e < 0) n else e
+              title = normalize(decodeAll(s.substring(tagEnd, end)))
+              if (title.isEmpty) title = null
+            }
+            if (e < 0) i = n
+            else { val ge = s.indexOf('>', e); i = if (ge < 0) n else ge + 1 }
+          } else {
+            if (BlockTags.contains(name)) out.append('\n')
+            else if (name == "td" || name == "th") out.append(' ')
+            i = tagEnd
+          }
+        }
+      } else if (ch == '&') {
+        val (rep, adv) = entityAt(s, i)
+        out.append(rep); i += adv
+      } else { out.append(ch); i += 1 }
+    }
+    val text = normalize(out.toString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      if (title == null) null else UTF8String.fromString(title),
+      UTF8String.fromString(text)))
+  }
+
+  private def decodeAll(s: String): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '&') { val (rep, adv) = entityAt(s, i); out.append(rep); i += adv }
+      else { out.append(s.charAt(i)); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Collapse space runs to one space, newline runs (with surrounding spaces)
+    * to one newline, trim edges.
+    */
+  private def normalize(s: String): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    var pendingSpace = false
+    var pendingNewline = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\n') pendingNewline = true
+      else if (c == ' ' || c == '\t' || c == '\r' || c == '\u000B' || c == '\f')
+        pendingSpace = true
+      else {
+        if (out.length > 0) {
+          if (pendingNewline) out.append('\n')
+          else if (pendingSpace) out.append(' ')
+        }
+        pendingSpace = false; pendingNewline = false
+        out.append(c)
+      }
+      i += 1
+    }
+    out.toString
+  }
+}
+
+/** Codegen'd one-pass `html_parts(html)` → struct(title, text). */
+case class HtmlParts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $other")
+  }
+
+  override val dataType: DataType = StructType(Seq(
+    StructField("title", StringType, nullable = true),
+    StructField("text", StringType, nullable = false)))
+
+  override def prettyName: String = "html_parts"
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlKernel.extract(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlKernel.extract($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlParts =
+    copy(child = newChild)
+}

@@ -55,6 +55,24 @@ object WebFunctions {
     org.apache.spark.sql.GraftSqlBridge.column(
       UrlParts(org.apache.spark.sql.GraftSqlBridge.expression(u), suffixLabels))
 
+  /** One-pass native HTML extraction → struct(title, text) — the step between
+    * WARC [[graft.operators.Warc.responseTexts]] output (raw crawled HTML) and
+    * the text-curation chain. Tags stripped (block tags → newlines), script/
+    * style/comments dropped, `<title>` captured separately, entities decoded,
+    * whitespace normalized; total on hostile input ([[HtmlKernel]]). Pulling
+    * both fields from one call costs ONE parse per row (subexpression
+    * elimination dedups the shared struct inside a projection).
+    */
+  def htmlParts(h: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      HtmlParts(org.apache.spark.sql.GraftSqlBridge.expression(h)))
+
+  /** Visible text of an HTML page — [[htmlParts]]`.text`. */
+  def htmlToText(h: Column): Column = htmlParts(h).getField("text")
+
+  /** `<title>` of an HTML page (NULL when absent/empty) — [[htmlParts]]`.title`. */
+  def htmlTitle(h: Column): Column = htmlParts(h).getField("title")
+
   /** The original Column-pipeline normalization — retained as the executable
     * SPECIFICATION of [[urlParts]] (spec-pinned equivalent on newline-free input;
     * Java regex `$` matches before a trailing newline where the kernel treats `#`

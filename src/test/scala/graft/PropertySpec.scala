@@ -769,6 +769,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("html kernel is total and whitespace-canonical on randomized input") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def run(s: String): (String, String) = {
+      val row = graft.functions.HtmlKernel.extract(UTF8String.fromString(s))
+      (if (row.isNullAt(0)) null else row.getUTF8String(0).toString,
+        row.getUTF8String(1).toString)
+    }
+    val frag = Seq("<p>", "</p>", "<div class=\"x\">", "&amp;", "&#65;", "&bogus;",
+      "plain words here", "<script>var x='<p>';</script>", "<!--", "-->", "&",
+      "<title>t</title>", "< 5", "<![CDATA[z]]>", "\n\n", "  ", "<td>", "&#x",
+      "<b>bold</b>", "</", "<", ">", "é中文")
+    forAll(Gen.choose(1L, 1000000L)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      // random fragment soup: every structural edge adjacent to every other
+      val soup = (0 until rnd.nextInt(40) + 1)
+        .map(_ => frag(rnd.nextInt(frag.length))).mkString
+      val (_, text) = run(soup) // must not throw
+      // normalization invariants: no space runs, no newline runs, trimmed edges
+      assert(!text.contains("  ") && !text.contains("\n\n") &&
+        !text.contains(" \n") && !text.contains("\n ") && text.trim == text,
+        s"non-canonical whitespace for seed $seed: <$text>")
+      // pure random chars (may contain < & >): total, canonical
+      val junk = new String(Array.fill(rnd.nextInt(300) + 1)(
+        (rnd.nextInt(0xD7FF) + 1).toChar))
+      run(junk)
+      // tag-free, entity-free plain text passes through modulo whitespace
+      val words = (0 until rnd.nextInt(10) + 1)
+        .map(_ => "w" + rnd.nextInt(100)).mkString("  ")
+      assert(run(words)._2 == words.replaceAll(" +", " ").trim)
+    }
+  }
+
   test("audio container metadata round-trips exactly for randomized parameters") {
     import graft.operators.Multimodal.MediaCodecs
     // 8 kHz FLAC/Vorbis and 48 kHz Opus are exact for ANY ms; each MPEG-2.5
