@@ -59,14 +59,39 @@ object HtmlKernel {
     -1
   }
 
+  /** Position of the REAL `</name` close tag at/after `from`, or -1. Per the
+    * HTML raw-text rules the prefix only closes the element when followed by
+    * whitespace, '/', '>', or end-of-input — `"</scripts>"` inside script code
+    * must not terminate the script element and leak the rest as prose.
+    */
+  private def closeTagAt(s: String, name: String, from: Int): Int = {
+    val needle = "</" + name
+    var e = indexOfIgnoreCase(s, needle, from)
+    while (e >= 0) {
+      val after = e + needle.length
+      if (after >= s.length || s.charAt(after) == '>' || s.charAt(after) == '/' ||
+        Character.isWhitespace(s.charAt(after))) return e
+      e = indexOfIgnoreCase(s, needle, e + 1)
+    }
+    -1
+  }
+
   /** Decode the entity at `s(i)` (== '&'): (replacement, chars consumed).
     * Unknown names and bare ampersands stay literal.
     */
   private def entityAt(s: String, i: Int): (String, Int) = {
     val limit = math.min(s.length, i + 32)
     var j = i + 1
-    while (j < limit && s.charAt(j) != ';') j += 1
-    if (j >= limit || j == i + 1) return ("&", 1) // no terminator / empty: literal
+    // an HTML character reference ends at ';' and cannot span markup or
+    // whitespace — scanning past '<' would swallow a following tag open
+    // ("AT&T<style>…" must not consume the style element as an entity name)
+    var blocked = false
+    while (j < limit && !blocked && s.charAt(j) != ';') {
+      val c = s.charAt(j)
+      if (c == '<' || c == '&' || Character.isWhitespace(c)) blocked = true
+      else j += 1
+    }
+    if (blocked || j >= limit || j == i + 1) return ("&", 1) // bare ampersand
     val name = s.substring(i + 1, j)
     val len = j - i + 1
     if (name.charAt(0) == '#') {
@@ -77,9 +102,13 @@ object HtmlKernel {
             Integer.parseInt(num.substring(1), 16)
           else Integer.parseInt(num)
         } catch { case _: NumberFormatException => -1 }
-      if (cp >= 0x20 && cp <= 0x10FFFF && !Character.isSurrogate(cp.toChar))
+      if (cp == 0xA0) (" ", len) // NBSP ref: same space &nbsp; maps to
+      // only BMP values can BE surrogates — truncating a supplementary
+      // codepoint to char would misclassify every plane's *D800-*DFFF range
+      else if (cp >= 0x20 && cp <= 0x10FFFF &&
+        !(cp <= 0xFFFF && Character.isSurrogate(cp.toChar)))
         (new String(Character.toChars(cp)), len)
-      else if (cp == 0x9 || cp == 0xA) (" ", len) // whitespace refs act as space
+      else if (cp == 0x9 || cp == 0xA || cp == 0xD) (" ", len) // whitespace refs
       else ("", len) // control/invalid refs: drop, never emit garbage
     } else Entities.get(name) match {
       case null => (s.substring(i, j + 1), len) // unknown: keep literally
@@ -111,6 +140,13 @@ object HtmlKernel {
           while (j < n && (Character.isLetter(s.charAt(j)) || Character.isDigit(s.charAt(j)))) j += 1
           val name =
             if (j > ns) s.substring(ns, j).toLowerCase(java.util.Locale.ROOT) else ""
+          if (name.isEmpty) {
+            // "<" followed by non-tag text ("a < b"): literal character. Checked
+            // BEFORE the '>'-scan — a run of bare '<' with no later '>' would
+            // otherwise rescan to end-of-string per character, O(n^2) on hostile
+            // binary-as-html input
+            out.append('<'); i += 1
+          } else {
           // find the tag's '>' — attribute values may contain one, so track quotes
           var k = j
           var inQ = 0.toChar
@@ -121,12 +157,9 @@ object HtmlKernel {
             k += 1
           }
           val tagEnd = if (k < n) k + 1 else n
-          if (name.isEmpty) {
-            // "<" followed by non-tag text ("a < b"): literal character
-            out.append('<'); i += 1
-          } else if (!closing &&
+          if (!closing &&
             (name == "script" || name == "style" || name == "noscript" || name == "title")) {
-            val e = indexOfIgnoreCase(s, "</" + name, tagEnd)
+            val e = closeTagAt(s, name, tagEnd)
             if (name == "title" && title == null) {
               val end = if (e < 0) n else e
               title = normalize(decodeAll(s.substring(tagEnd, end)))
@@ -138,6 +171,7 @@ object HtmlKernel {
             if (BlockTags.contains(name)) out.append('\n')
             else if (name == "td" || name == "th") out.append(' ')
             i = tagEnd
+          }
           }
         }
       } else if (ch == '&') {
@@ -172,7 +206,7 @@ object HtmlKernel {
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '\n') pendingNewline = true
-      else if (c == ' ' || c == '\t' || c == '\r' || c == '\u000B' || c == '\f')
+      else if (c == ' ' || c == '\t' || c == '\r' || c == '\u000B' || c == '\f' || c == '\u00A0')
         pendingSpace = true
       else {
         if (out.length > 0) {

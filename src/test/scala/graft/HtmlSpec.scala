@@ -48,6 +48,24 @@ class HtmlSpec extends SparkSpec {
     assert(extract("""<a href="x?a>b">link</a> end""")._2 == "link end")
     // invalid numeric refs are dropped, not emitted as control garbage
     assert(extract("a&#0;b&#xD800;c")._2 == "abc")
+    // ...but a SUPPLEMENTARY codepoint whose low 16 bits look like a surrogate
+    // is valid and must decode (truncate-to-char misclassifies every plane)
+    assert(extract("x&#x1D800;y")._2 == "x𝠀y")
+    // whitespace refs act as whitespace: CR must separate words, not fuse them;
+    // &#160; and a literal NBSP canonicalize exactly like &nbsp;
+    assert(extract("word1&#13;word2")._2 == "word1 word2")
+    assert(extract("a&#160;b")._2 == "a b" && extract("a b")._2 == "a b")
+    // a bare ampersand must not swallow following markup: the entity scan stops
+    // at '<' so the style element is still recognized and its CSS dropped
+    assert(extract("AT&T<style>a{b:c;}</style> rocks")._2 == "AT&T rocks")
+    assert(extract("<p>Fish & Chips</p><script>var a=1;</script>ok")._2 ==
+      "Fish & Chips\nok")
+    // '</scripts>' inside script code is NOT a close tag (needs ws / '/' / '>')
+    assert(extract("""<script>var s="</scripts>";bad()</script>ok""")._2 == "ok")
+    // quadratic guard: a megabyte of bare '<' completes quickly
+    val start = System.nanoTime()
+    assert(extract("<" * 1000000)._2 == "<" * 1000000)
+    assert((System.nanoTime() - start) < 5e9, "bare-'<' run must be linear")
     // empty and whitespace-only
     assert(extract("")._2 == "" && extract("   \n\t  ")._2 == "")
     assert(extract("<p></p><div></div>")._2 == "")
