@@ -213,27 +213,36 @@ class PipelineE2ESpec extends SparkSpec {
         Warc.encodeResponseRecord(s"https://site-$i.example/", "2026-01-01T00:00:00Z",
           s"<urn:uuid:p$i>", st, ct, body.getBytes("ISO-8859-1"))
       }, gzip = gz)
+    // wrap the prose in real page chrome: the extraction step must strip it
+    def page(body: String) =
+      s"""<html><head><title>t</title><script>track();</script></head>
+         |<body><div class="nav">menu</div><p>$body</p></body></html>""".stripMargin
     val crawls = Seq(
-      (1L, blob(Seq((1, 200, "text/html", good), (2, 404, "text/html", "gone"),
+      (1L, blob(Seq((1, 200, "text/html", page(good)), (2, 404, "text/html", "gone"),
         (3, 200, "image/png", "PNG")), gz = true)),
-      (2L, blob(Seq((4, 200, "text/plain", good), // same page text, other crawl
-        (5, 200, "text/plain", junk)), gz = false)))
+      (2L, blob(Seq((4, 200, "Text/HTML", page(good)), // same page, other crawl
+        (5, 200, "text/html", page(junk))), gz = false)))
       .toDF("blob_id", "warc").repartition(2)
 
-    // 1. archives -> pages: only the HTTP-200 text-typed bodies surface
+    // 1. archives -> pages -> prose: only HTTP-200 text-typed bodies surface,
+    //    and the HTML extraction drops script/nav chrome
     val pages = Warc.responseTexts(crawls, "warc")
+      .withColumn("prose", graft.functions.WebFunctions.htmlToText(col("text")))
     assert(pages.count() == 3, "2 good pages + 1 junk page")
     assert(!pages.columns.contains("warc") && !pages.columns.contains("payload"))
+    assert(pages.filter(col("prose").contains("track()") ||
+      col("prose").contains("<p>")).count() == 0, "chrome must not leak into prose")
 
     // 2. Gopher structural rules drop the symbol-soup page (alpha-word fraction
     //    and stopword probes both fail it; the prose passes all rules)
     val scored = pages.withColumn("g",
-      graft.functions.TextFunctions.gopherFlags(col("text")))
+      graft.functions.TextFunctions.gopherFlags(col("prose")))
     val kept = scored.filter(col("g.keep"))
     assert(kept.count() == 2, "junk page must fail the Gopher gate")
 
-    // 3. exact dedup collapses the cross-crawl duplicate to one survivor
-    val deduped = Dedup.exactDedup(kept, Seq("text"))
+    // 3. exact dedup collapses the cross-crawl duplicate to one survivor (the
+    //    two crawls framed the page identically modulo the extraction)
+    val deduped = Dedup.exactDedup(kept, Seq("prose"))
     assert(deduped.count() == 1, "same page from two crawls is one page")
   }
 }
