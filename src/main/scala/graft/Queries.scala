@@ -1749,6 +1749,37 @@ object Queries {
              | CAST(sum(length(x)) AS BIGINT) AS sum_text_chars
              | FROM p""".stripMargin.replaceAll("\n", " "))),
 
+    // The crawl path chained END TO END under the gate: WARC blob (half gzip)
+    // -> record explode -> HTTP split -> HTML extraction -> prose, compared
+    // per page against the closed-form string DuckDB constructs directly.
+    QueryDef("warc_html_pipeline_documents",
+      (s, d) => {
+        import graft.operators.Warc
+        import graft.functions.WebFunctions
+        val mkBlob = udf((id: Long) => {
+          val body = s"<html><head><title>T $id</title><script>x()</script></head>" +
+            s"<body><h1>Doc $id</h1><p>alpha &amp; beta $id</p></body></html>"
+          Warc.encodeWarc(Seq(Warc.encodeResponseRecord(s"https://example.com/$id",
+            "2026-01-01T00:00:00Z", s"<urn:uuid:$id>", 200, "text/html",
+            body.getBytes("ISO-8859-1"))), gzip = (((id % 2) + 2) % 2) == 0L)
+        })
+        val blobs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), mkBlob(col("doc_id")).as("warc"))
+        val id = col("doc_id").cast("string")
+        Warc.responseTexts(blobs, "warc")
+          .select(WebFunctions.htmlToText(col("text")).as("prose"),
+            concat(lit("Doc "), id, lit("\nalpha & beta "), id).as("expected"))
+          .agg(count(lit(1)).as("n_pages"),
+            bool_and(col("prose") === col("expected")).as("prose_ok"),
+            sum(length(col("prose")).cast("long")).as("sum_prose_chars"))
+      },
+      Some("""WITH p AS (SELECT 'Doc ' || doc_id || chr(10) || 'alpha & beta ' ||
+             |   doc_id AS x FROM documents WHERE doc_id IS NOT NULL)
+             | SELECT CAST(count(*) AS BIGINT) AS n_pages,
+             | CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS prose_ok,
+             | CAST(sum(length(x)) AS BIGINT) AS sum_prose_chars
+             | FROM p""".stripMargin.replaceAll("\n", " "))),
+
     // REAL animated-GIF frame extraction + timing, oracled: k = 1 + doc_id%5 noise
     // frames per doc with a REAL per-frame GCE delay of (4 + doc_id%6) cs, exploded
     // every-2nd capped at 2 — per-doc frame count = least(2, ceil(k/2)) and per-doc
