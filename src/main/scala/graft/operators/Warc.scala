@@ -55,9 +55,9 @@ object Warc {
     */
   final case class WarcParse(capped: Boolean, records: Seq[WarcRecord])
 
-  /** Records of a WARC blob (plain or gzip — JDK `GZIPInputStream` reads
-    * multi-member streams, which is exactly how warc.gz files are laid out: one
-    * member per record so readers can seek). Returns the records parsed before
+  /** Records of a WARC blob — plain, gzip (JDK `GZIPInputStream` reads the
+    * member-per-record warc.gz layout), or zstd (`.warc.zst`, the newer Common
+    * Crawl drops; zstd-jni ships with Spark). Returns the records parsed before
     * the first structural error; `Nil` for null/empty/non-WARC bytes. Use
     * [[parse]] when the caller needs to know whether a cap fired.
     */
@@ -73,9 +73,17 @@ object Warc {
     if (bytes == null || bytes.length < 4) return WarcParse(capped = false, Nil)
     try {
       val base = new java.io.ByteArrayInputStream(bytes)
-      val in =
+      val in: java.io.InputStream =
         if ((bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
           new java.util.zip.GZIPInputStream(base, 65536)
+        else if ((bytes(0) & 0xff) == 0x28 && (bytes(1) & 0xff) == 0xb5 &&
+          (bytes(2) & 0xff) == 0x2f && (bytes(3) & 0xff) == 0xfd) {
+          // .warc.zst (newer Common Crawl drops) — zstd-jni ships with Spark;
+          // continuous mode reads the frame-per-record multi-frame layout
+          val z = new com.github.luben.zstd.ZstdInputStream(base)
+          z.setContinuous(true)
+          z
+        }
         else base
       parseStream(in, maxRecords, maxPayloadBytes, maxTotalBytes)
     } catch { case scala.util.control.NonFatal(_) => WarcParse(capped = false, Nil) }
@@ -297,7 +305,10 @@ object Warc {
         case "deflate" =>
           // wrapped zlib stream; `nowrap` raw-deflate bodies exist but are rare
           new java.util.zip.InflaterInputStream(new java.io.ByteArrayInputStream(body))
-        case _ => return None // brotli/zstd need non-JDK codecs
+        case "zstd" =>
+          new com.github.luben.zstd.ZstdInputStream(
+            new java.io.ByteArrayInputStream(body))
+        case _ => return None // brotli needs a non-JDK codec
       }
       try {
         val out = new java.io.ByteArrayOutputStream(math.min(body.length * 4, 65536))
@@ -412,6 +423,17 @@ object Warc {
         gz.write(r)
         gz.close() // finishes the member; BAOS.close is a no-op, releases the Deflater
       }
+    }
+    out.toByteArray
+  }
+
+  /** zstd frame-per-record layout (`.warc.zst`, the newer Common Crawl drops). */
+  def encodeWarcZstd(recordBlocks: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(recordBlocks.map(_.length).sum / 2 + 64)
+    recordBlocks.foreach { r =>
+      val z = new com.github.luben.zstd.ZstdOutputStream(out)
+      z.write(r)
+      z.close()
     }
     out.toByteArray
   }

@@ -729,7 +729,10 @@ class PropertySpec extends SparkSpec {
       MediaCodecs.encodeOggMeta(2500L, opus = true),
       graft.operators.Warc.encodeWarc(Seq(graft.operators.Warc.encodeResponseRecord(
         "https://example.com/x", "2026-01-01T00:00:00Z", "<urn:uuid:x>", 200,
-        "text/plain", "hello fuzz".getBytes("ISO-8859-1"))), gzip = true))
+        "text/plain", "hello fuzz".getBytes("ISO-8859-1"))), gzip = true),
+      graft.operators.Warc.encodeWarcZstd(Seq(graft.operators.Warc.encodeResponseRecord(
+        "https://example.com/z", "2026-01-01T00:00:00Z", "<urn:uuid:z>", 200,
+        "text/plain", "hello zstd".getBytes("ISO-8859-1")))))
     // exact round-trips for the metadata skeletons
     assert(MediaCodecs.mp4Meta(valid(0)) == (Some(2500L), Some((320, 180))))
     assert(MediaCodecs.mkvMeta(valid(1)) == (Some(2500L), Some((320, 180))))
@@ -760,7 +763,8 @@ class PropertySpec extends SparkSpec {
         "ID3".getBytes("ISO-8859-1"),
         Array(0xFF.toByte, 0xE3.toByte, 0x18.toByte, 0xC0.toByte),
         "WARC/1.0\r\nContent-Length: 9\r\n\r\n".getBytes("ISO-8859-1"),
-        Array(0x1F.toByte, 0x8B.toByte, 0x08.toByte, 0x00.toByte))
+        Array(0x1F.toByte, 0x8B.toByte, 0x08.toByte, 0x00.toByte),
+        Array(0x28.toByte, 0xB5.toByte, 0x2F.toByte, 0xFD.toByte))
       magics.foreach { m =>
         val tail = new Array[Byte](rnd.nextInt(300))
         rnd.nextBytes(tail)

@@ -17,11 +17,14 @@ class WarcSpec extends SparkSpec {
       s"<urn:uuid:rec-$i>", status, ct,
       (if (body.nonEmpty) body else s"page body $i").getBytes(iso))
 
-  test("WARC records round-trip: plain and multi-member gzip parse identically") {
+  test("WARC records round-trip: plain, multi-member gzip, and zstd parse identically") {
     val blocks = Seq(rec(0), rec(1, status = 404), rec(2, ct = "image/png"))
-    for (gz <- Seq(false, true)) {
-      val rs = Warc.records(Warc.encodeWarc(blocks, gzip = gz))
-      assert(rs.size == 3, s"gz=$gz: ${rs.size}")
+    val blobs = Seq("plain" -> Warc.encodeWarc(blocks),
+      "gzip" -> Warc.encodeWarc(blocks, gzip = true),
+      "zstd" -> Warc.encodeWarcZstd(blocks))
+    for ((gz, blob) <- blobs) {
+      val rs = Warc.records(blob)
+      assert(rs.size == 3, s"$gz: ${rs.size}")
       assert(rs.map(_.record_idx) == Seq(0, 1, 2))
       assert(rs.forall(_.warc_type.contains("response")))
       assert(rs(0).target_uri.contains("https://example.com/p0"))
@@ -104,6 +107,15 @@ class WarcSpec extends SparkSpec {
     }
     val gzRec = Warc.records(httpRecord("Content-Encoding: gzip\r\n", gzBody)).head
     assert(gzRec.http_decoded && new String(gzRec.payload, iso) == "compressed page text")
+    // Content-Encoding: zstd — zstd-jni rides the Spark classpath
+    val zBody = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+      z.write("zstd page text".getBytes(iso)); z.close()
+      bos.toByteArray
+    }
+    val zRec = Warc.records(httpRecord("Content-Encoding: zstd\r\n", zBody)).head
+    assert(zRec.http_decoded && new String(zRec.payload, iso) == "zstd page text")
     // unsupported encoding: raw bytes kept, decoded=false, responseTexts skips it
     val br = Warc.records(httpRecord("Content-Encoding: br\r\n",
       Array[Byte](1, 2, 3))).head
