@@ -102,10 +102,10 @@ object HtmlKernel {
             Integer.parseInt(num.substring(1), 16)
           else Integer.parseInt(num)
         } catch { case _: NumberFormatException => -1 }
-      if (cp == 0xA0) (" ", len) // NBSP ref: same space &nbsp; maps to
+      // (a 0xA0 ref emits U+00A0, which normalize() collapses like &nbsp;)
       // only BMP values can BE surrogates — truncating a supplementary
       // codepoint to char would misclassify every plane's *D800-*DFFF range
-      else if (cp >= 0x20 && cp <= 0x10FFFF &&
+      if (cp >= 0x20 && cp <= 0x10FFFF &&
         !(cp <= 0xFFFF && Character.isSurrogate(cp.toChar)))
         (new String(Character.toChars(cp)), len)
       else if (cp == 0x9 || cp == 0xA || cp == 0xD) (" ", len) // whitespace refs
@@ -132,12 +132,23 @@ object HtmlKernel {
         } else if (s.regionMatches(true, i, "<![CDATA[", 0, 9)) {
           val e = s.indexOf("]]>", i + 9)
           i = if (e < 0) n else e + 3
+        } else if (i + 1 < n && (s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
+          // markup declaration / processing instruction (<!DOCTYPE html>,
+          // <?xml ...?>, <![if !IE]>): consume to '>' — without this, the
+          // doctype virtually every crawled page starts with leaks into prose
+          val e = s.indexOf('>', i + 2)
+          i = if (e < 0) n else e + 1
         } else {
           var j = i + 1
           val closing = j < n && s.charAt(j) == '/'
           if (closing) j += 1
           val ns = j
-          while (j < n && (Character.isLetter(s.charAt(j)) || Character.isDigit(s.charAt(j)))) j += 1
+          // a tag NAME starts with a letter (HTML tokenizer rule) — "n<10"
+          // must keep "<10 …" as text, not swallow it to the next '>'
+          if (j < n && Character.isLetter(s.charAt(j))) {
+            j += 1
+            while (j < n && (Character.isLetter(s.charAt(j)) || Character.isDigit(s.charAt(j)))) j += 1
+          }
           val name =
             if (j > ns) s.substring(ns, j).toLowerCase(java.util.Locale.ROOT) else ""
           if (name.isEmpty) {

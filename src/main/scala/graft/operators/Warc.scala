@@ -76,18 +76,39 @@ object Warc {
       val in: java.io.InputStream =
         if ((bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
           new java.util.zip.GZIPInputStream(base, 65536)
-        else if ((bytes(0) & 0xff) == 0x28 && (bytes(1) & 0xff) == 0xb5 &&
-          (bytes(2) & 0xff) == 0x2f && (bytes(3) & 0xff) == 0xfd) {
-          // .warc.zst (newer Common Crawl drops) — zstd-jni ships with Spark;
-          // continuous mode reads the frame-per-record multi-frame layout
-          val z = new com.github.luben.zstd.ZstdInputStream(base)
-          z.setContinuous(true)
-          z
+        else if (isZstdMagic(bytes)) zstdStream(base) match {
+          case Some(z) => z
+          case None => return WarcParse(capped = false, Nil) // no codec available
         }
         else base
       parseStream(in, maxRecords, maxPayloadBytes, maxTotalBytes)
     } catch { case scala.util.control.NonFatal(_) => WarcParse(capped = false, Nil) }
   }
+
+  /** Standard frame magic (28 B5 2F FD) OR a leading SKIPPABLE frame
+    * (5? 2A 4D 18) — warc.zst archives often open with one carrying the
+    * compression dictionary, and the decoder skips it in streaming mode.
+    */
+  private def isZstdMagic(bytes: Array[Byte]): Boolean =
+    ((bytes(0) & 0xff) == 0x28 && (bytes(1) & 0xff) == 0xb5 &&
+      (bytes(2) & 0xff) == 0x2f && (bytes(3) & 0xff) == 0xfd) ||
+      ((bytes(0) & 0xf0) == 0x50 && (bytes(1) & 0xff) == 0x2a &&
+        (bytes(2) & 0xff) == 0x4d && (bytes(3) & 0xff) == 0x18)
+
+  /** zstd decode stream, or None when zstd-jni is missing from the runtime
+    * classpath — a NoClassDefFoundError is a LinkageError that NonFatal would
+    * NOT catch, so without this guard one zstd-magic blob would break the
+    * parser's never-throw contract and kill the task.
+    */
+  private def zstdStream(in: java.io.InputStream): Option[java.io.InputStream] =
+    try {
+      val z = new com.github.luben.zstd.ZstdInputStream(in)
+      z.setContinuous(true) // frame-per-record multi-frame layout
+      Some(z)
+    } catch {
+      case _: LinkageError => None
+      case scala.util.control.NonFatal(_) => None
+    }
 
   private def parseStream(in0: java.io.InputStream, maxRecords: Int,
       maxPayloadBytes: Int, maxTotalBytes: Long): WarcParse = {
@@ -306,8 +327,10 @@ object Warc {
           // wrapped zlib stream; `nowrap` raw-deflate bodies exist but are rare
           new java.util.zip.InflaterInputStream(new java.io.ByteArrayInputStream(body))
         case "zstd" =>
-          new com.github.luben.zstd.ZstdInputStream(
-            new java.io.ByteArrayInputStream(body))
+          zstdStream(new java.io.ByteArrayInputStream(body)) match {
+            case Some(z) => z
+            case None => return None // zstd-jni missing: flag undecoded
+          }
         case _ => return None // brotli needs a non-JDK codec
       }
       try {

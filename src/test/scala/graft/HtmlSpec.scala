@@ -44,6 +44,15 @@ class HtmlSpec extends SparkSpec {
     assert(extract("a &amp b")._2 == "a &amp b", "no semicolon: literal ampersand")
     assert(extract("5 < 6 and 7 > 4")._2 == "5 < 6 and 7 > 4",
       "a bare < followed by non-letter is text, not a tag")
+    // '<' + digit is TEXT per the HTML tokenizer, not a tag to swallow
+    assert(extract("for n<10 and m>5 holds")._2 == "for n<10 and m>5 holds")
+    assert(extract("I <3 you")._2 == "I <3 you")
+    // doctypes and processing instructions are chrome, not prose — virtually
+    // every crawled page starts with one
+    assert(extract("<!doctype html><p>hi</p>")._2 == "hi")
+    assert(extract("<?xml version=\"1.0\"?><p>hi</p>")._2 == "hi")
+    assert(extract("<![if !IE]>x<![endif]>")._2 == "x")
+    assert(extract("<!doctype html")._2 == "", "unterminated doctype: consumed")
     // '>' inside a quoted attribute must not end the tag
     assert(extract("""<a href="x?a>b">link</a> end""")._2 == "link end")
     // invalid numeric refs are dropped, not emitted as control garbage
@@ -62,10 +71,12 @@ class HtmlSpec extends SparkSpec {
       "Fish & Chips\nok")
     // '</scripts>' inside script code is NOT a close tag (needs ws / '/' / '>')
     assert(extract("""<script>var s="</scripts>";bad()</script>ok""")._2 == "ok")
-    // quadratic guard: a megabyte of bare '<' completes quickly
+    // quadratic guard: a megabyte of bare '<' completes. The generous bound only
+    // exists to catch O(n^2) (which needs ~minutes here); linear is ~10 ms, so
+    // even heavy CI contention stays orders of magnitude inside it
     val start = System.nanoTime()
     assert(extract("<" * 1000000)._2 == "<" * 1000000)
-    assert((System.nanoTime() - start) < 5e9, "bare-'<' run must be linear")
+    assert((System.nanoTime() - start) < 60e9, "bare-'<' run must be linear")
     // empty and whitespace-only
     assert(extract("")._2 == "" && extract("   \n\t  ")._2 == "")
     assert(extract("<p></p><div></div>")._2 == "")

@@ -19,9 +19,14 @@ class WarcSpec extends SparkSpec {
 
   test("WARC records round-trip: plain, multi-member gzip, and zstd parse identically") {
     val blocks = Seq(rec(0), rec(1, status = 404), rec(2, ct = "image/png"))
+    // spec-legal leading SKIPPABLE frame (dictionary carrier in real .warc.zst):
+    // magic 5?2A4D18 + u32 size + payload, skipped by the streaming decoder
+    val skippable = Array(0x50, 0x2A, 0x4D, 0x18, 4, 0, 0, 0, 9, 9, 9, 9)
+      .map(_.toByte)
     val blobs = Seq("plain" -> Warc.encodeWarc(blocks),
       "gzip" -> Warc.encodeWarc(blocks, gzip = true),
-      "zstd" -> Warc.encodeWarcZstd(blocks))
+      "zstd" -> Warc.encodeWarcZstd(blocks),
+      "zstd+skippable" -> (skippable ++ Warc.encodeWarcZstd(blocks)))
     for ((gz, blob) <- blobs) {
       val rs = Warc.records(blob)
       assert(rs.size == 3, s"$gz: ${rs.size}")
