@@ -108,7 +108,15 @@ object ScaleSweep {
     "dedup_spans_removed_documents",
     // the data card: one codegen'd scan + bounded groupBys + the quantile operator
     // over 10× docs (vocab-independent — everything is per-doc or per-category).
-    "corpus_report_documents")
+    "corpus_report_documents",
+    // round-9 crawl/media ingestion: every one is a row-local encode+parse per doc
+    // feeding a single-row agg — cost is strictly per-row (codec walks, record
+    // walks, the HTML kernel), no shuffle grows with data. The honest expectation
+    // is ~linear work on 32 already-saturated cores.
+    "audio_meta_documents",
+    "warc_records_documents",
+    "html_extract_documents",
+    "warc_html_pipeline_documents")
   // bloom_join_lineitem_orders is NOT sweepable here: the synthetic 10× dir holds
   // only documents/embeddings/events (lineitem 10× is built separately for the
   // suite20 datapoint); its scale story is the spec-pinned pre-shuffle filter.
