@@ -143,11 +143,15 @@ object HtmlKernel {
           val closing = j < n && s.charAt(j) == '/'
           if (closing) j += 1
           val ns = j
-          // a tag NAME starts with a letter (HTML tokenizer rule) — "n<10"
-          // must keep "<10 …" as text, not swallow it to the next '>'
-          if (j < n && Character.isLetter(s.charAt(j))) {
+          // a tag NAME starts with an ASCII letter (the HTML tokenizer rule is
+          // ASCII-only) — "n<10" and CJK/Cyrillic prose like "x<五十" must both
+          // stay text, not get swallowed to the next '>'
+          def asciiAlnum(c: Char): Boolean =
+            (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+          if (j < n && (s.charAt(j) >= 'a' && s.charAt(j) <= 'z' ||
+            s.charAt(j) >= 'A' && s.charAt(j) <= 'Z')) {
             j += 1
-            while (j < n && (Character.isLetter(s.charAt(j)) || Character.isDigit(s.charAt(j)))) j += 1
+            while (j < n && asciiAlnum(s.charAt(j))) j += 1
           }
           val name =
             if (j > ns) s.substring(ns, j).toLowerCase(java.util.Locale.ROOT) else ""

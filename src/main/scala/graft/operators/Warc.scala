@@ -72,15 +72,16 @@ object Warc {
       maxTotalBytes: Long = 512L * 1024 * 1024): WarcParse = {
     if (bytes == null || bytes.length < 4) return WarcParse(capped = false, Nil)
     try {
-      val base = new java.io.ByteArrayInputStream(bytes)
       val in: java.io.InputStream =
         if ((bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
-          new java.util.zip.GZIPInputStream(base, 65536)
-        else if (isZstdMagic(bytes)) zstdStream(base) match {
+          new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes), 65536)
+        else if (isZstdMagic(bytes)) zstdWarcStream(bytes) match {
           case Some(z) => z
-          case None => return WarcParse(capped = false, Nil) // no codec available
+          // zstd-jni missing: content EXISTS that we could not return — capped,
+          // not empty, so the blob_capped column flags the loss
+          case None => return WarcParse(capped = true, Nil)
         }
-        else base
+        else new java.io.ByteArrayInputStream(bytes)
       parseStream(in, maxRecords, maxPayloadBytes, maxTotalBytes)
     } catch { case scala.util.control.NonFatal(_) => WarcParse(capped = false, Nil) }
   }
@@ -100,15 +101,51 @@ object Warc {
     * NOT catch, so without this guard one zstd-magic blob would break the
     * parser's never-throw contract and kill the task.
     */
-  private def zstdStream(in: java.io.InputStream): Option[java.io.InputStream] =
+  private def zstdStream(in: java.io.InputStream,
+      dict: Array[Byte] = null): Option[java.io.InputStream] =
     try {
       val z = new com.github.luben.zstd.ZstdInputStream(in)
       z.setContinuous(true) // frame-per-record multi-frame layout
+      if (dict != null && dict.length > 0) z.setDict(dict)
       Some(z)
     } catch {
       case _: LinkageError => None
       case scala.util.control.NonFatal(_) => None
     }
+
+  /** Archive-level zstd stream honoring the IIPC .warc.zst layout: a LEADING
+    * skippable frame carries the dictionary the content frames were compressed
+    * with (possibly itself zstd-compressed) — load it, don't just skip it, or
+    * every dictionary-compressed archive silently decodes to zero records.
+    */
+  private def zstdWarcStream(bytes: Array[Byte]): Option[java.io.InputStream] = {
+    var off = 0
+    var dict: Array[Byte] = null
+    if ((bytes(0) & 0xf0) == 0x50 && (bytes(1) & 0xff) == 0x2a &&
+      (bytes(2) & 0xff) == 0x4d && (bytes(3) & 0xff) == 0x18 && bytes.length >= 8) {
+      val sz = (bytes(4) & 0xffL) | ((bytes(5) & 0xffL) << 8) |
+        ((bytes(6) & 0xffL) << 16) | ((bytes(7) & 0xffL) << 24)
+      if (sz <= bytes.length - 8L) {
+        dict = java.util.Arrays.copyOfRange(bytes, 8, 8 + sz.toInt)
+        off = 8 + sz.toInt
+        // per the spec the dictionary may itself be zstd-compressed
+        if (dict.length >= 4 && (dict(0) & 0xff) == 0x28 && (dict(1) & 0xff) == 0xb5 &&
+          (dict(2) & 0xff) == 0x2f && (dict(3) & 0xff) == 0xfd) {
+          dict = zstdStream(new java.io.ByteArrayInputStream(dict)).map { zin =>
+            try {
+              val out = new java.io.ByteArrayOutputStream(dict.length * 4)
+              val buf = new Array[Byte](8192)
+              var r = zin.read(buf)
+              while (r >= 0 && out.size <= 128 * 1024 * 1024) { out.write(buf, 0, r); r = zin.read(buf) }
+              out.toByteArray
+            } finally zin.close()
+          }.orNull
+          if (dict == null) return None // codec missing mid-parse
+        }
+      }
+    }
+    zstdStream(new java.io.ByteArrayInputStream(bytes, off, bytes.length - off), dict)
+  }
 
   private def parseStream(in0: java.io.InputStream, maxRecords: Int,
       maxPayloadBytes: Int, maxTotalBytes: Long): WarcParse = {
@@ -455,6 +492,25 @@ object Warc {
     val out = new java.io.ByteArrayOutputStream(recordBlocks.map(_.length).sum / 2 + 64)
     recordBlocks.foreach { r =>
       val z = new com.github.luben.zstd.ZstdOutputStream(out)
+      z.write(r)
+      z.close()
+    }
+    out.toByteArray
+  }
+
+  /** The IIPC dictionary layout: a leading skippable frame (magic 0x184D2A5D)
+    * carrying `dict`, then one frame per record compressed WITH that dictionary
+    * — the decode half must load the dictionary, not merely skip the frame.
+    */
+  def encodeWarcZstdDict(recordBlocks: Seq[Array[Byte]], dict: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(recordBlocks.map(_.length).sum / 2 + 64)
+    out.write(Array(0x5D, 0x2A, 0x4D, 0x18).map(_.toByte))
+    out.write(Array(dict.length & 0xff, (dict.length >> 8) & 0xff,
+      (dict.length >> 16) & 0xff, (dict.length >> 24) & 0xff).map(_.toByte))
+    out.write(dict)
+    recordBlocks.foreach { r =>
+      val z = new com.github.luben.zstd.ZstdOutputStream(out)
+      z.setDict(dict)
       z.write(r)
       z.close()
     }

@@ -23,10 +23,15 @@ class WarcSpec extends SparkSpec {
     // magic 5?2A4D18 + u32 size + payload, skipped by the streaming decoder
     val skippable = Array(0x50, 0x2A, 0x4D, 0x18, 4, 0, 0, 0, 9, 9, 9, 9)
       .map(_.toByte)
+    // real IIPC layout: the records are compressed WITH the dictionary the
+    // leading skippable frame carries — skipping it without loading it would
+    // decode zero records
+    val dict = rec(7) ++ rec(8)
     val blobs = Seq("plain" -> Warc.encodeWarc(blocks),
       "gzip" -> Warc.encodeWarc(blocks, gzip = true),
       "zstd" -> Warc.encodeWarcZstd(blocks),
-      "zstd+skippable" -> (skippable ++ Warc.encodeWarcZstd(blocks)))
+      "zstd+skippable" -> (skippable ++ Warc.encodeWarcZstd(blocks)),
+      "zstd+dict" -> Warc.encodeWarcZstdDict(blocks, dict))
     for ((gz, blob) <- blobs) {
       val rs = Warc.records(blob)
       assert(rs.size == 3, s"$gz: ${rs.size}")
