@@ -38,6 +38,25 @@ object Bench {
     ValidationSuite("bench20", Seq(check)).run(lineitem)
   }
 
+  /** Attach a DENY filter for the specific "No Partition Defined" message to
+    * the WindowExec logger — a package-wide level change would also mute any
+    * NEW warning from the window package, exactly the signal worth keeping.
+    */
+  private def silenceNoPartitionWarning(): Unit = {
+    import org.apache.logging.log4j.core.{Filter, LoggerContext}
+    import org.apache.logging.log4j.core.config.LoggerConfig
+    import org.apache.logging.log4j.core.filter.RegexFilter
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    val name = "org.apache.spark.sql.execution.window.WindowExec"
+    val lc = new LoggerConfig(name, org.apache.logging.log4j.Level.WARN, true)
+    lc.addFilter(RegexFilter.createFilter("(?s).*No Partition Defined.*", null,
+      false, Filter.Result.DENY, Filter.Result.NEUTRAL))
+    cfg.addLogger(name, lc)
+    ctx.updateLoggers()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -55,8 +74,10 @@ object Bench {
     // GlobalWindowGuardSpec, which sweeps every queries() plan for undocumented
     // global windows. Leaving the benign warning in the bench tail would train
     // readers to ignore the one message that flags a real scale-killer.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
+    // Filtered by MESSAGE, not by level: every OTHER warning from the window
+    // package (including this one raised by code the guard doesn't sweep) stays
+    // visible rather than being muted wholesale.
+    silenceNoPartitionWarning()
 
     def secs(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

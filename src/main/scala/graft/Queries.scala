@@ -1780,6 +1780,108 @@ object Queries {
              | CAST(sum(length(x)) AS BIGINT) AS sum_prose_chars
              | FROM p""".stripMargin.replaceAll("\n", " "))),
 
+    // Charset-aware crawl decode, oracled end-to-end: each doc becomes a WARC
+    // response whose charset rotates on doc_id%4 — windows-1252 declared via a
+    // LYING latin-1 header label (WHATWG: it means cp1252), Shift_JIS declared
+    // only by <meta charset> sniff, GBK via header param, and undeclared UTF-8
+    // resolved by the validity fallback (the one charset_assumed case). The
+    // boolean gates that every decoded text equals the expected string the
+    // encoder started from (bytes went through a REAL charset round-trip);
+    // the per-charset counts and the assumed count replay as doc_id arithmetic.
+    QueryDef("warc_charset_documents",
+      (s, d) => {
+        import graft.operators.Warc
+        val mkBlob = udf((id: Long) => {
+          val m = (((id % 4) + 4) % 4).toInt
+          val (ct, bytes) = m match {
+            case 0 => ("text/html; charset=iso-8859-1",
+              s"café – résumé € $id".getBytes("windows-1252"))
+            case 1 => ("text/html",
+              s"<meta charset=shift_jis>日本語のページ $id"
+                .getBytes("windows-31j"))
+            case 2 => ("text/html; charset=gb2312",
+              s"中文网页 $id".getBytes("GBK"))
+            case _ => ("text/plain", s"日本 page $id".getBytes("UTF-8"))
+          }
+          Warc.encodeWarc(Seq(Warc.encodeResponseRecord(s"https://example.com/$id",
+            "2026-01-01T00:00:00Z", s"<urn:uuid:$id>", 200, ct, bytes)),
+            gzip = (((id % 2) + 2) % 2) == 0L)
+        })
+        val blobs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), mkBlob(col("doc_id")).as("warc"))
+        val id = col("doc_id").cast("string")
+        val m = pmod(col("doc_id"), lit(4))
+        val expected = when(m === 0, concat(lit("café – résumé € "), id))
+          .when(m === 1, concat(lit("<meta charset=shift_jis>日本語のページ "), id))
+          .when(m === 2, concat(lit("中文网页 "), id))
+          .otherwise(concat(lit("日本 page "), id))
+        Warc.responseTexts(blobs, "warc")
+          .select(col("text"), col("charset"), col("charset_assumed"), expected.as("exp"))
+          .agg(count(lit(1)).as("n_pages"),
+            bool_and(col("text") === col("exp")).as("decode_ok"),
+            // coalesce: sum over ZERO pages is SQL NULL, the oracle says 0
+            coalesce(sum(when(col("charset") === "windows-1252", 1L).otherwise(0L)),
+              lit(0L)).as("n_cp1252"),
+            coalesce(sum(when(col("charset") === "windows-31j", 1L).otherwise(0L)),
+              lit(0L)).as("n_sjis"),
+            coalesce(sum(when(col("charset") === "gbk", 1L).otherwise(0L)),
+              lit(0L)).as("n_gbk"),
+            coalesce(sum(when(col("charset_assumed"), 1L).otherwise(0L)),
+              lit(0L)).as("n_assumed"))
+      },
+      Some("""WITH d AS (SELECT (doc_id % 4 + 4) % 4 AS m
+             |   FROM documents WHERE doc_id IS NOT NULL)
+             | SELECT CAST(count(*) AS BIGINT) AS n_pages,
+             | CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS decode_ok,
+             | CAST(coalesce(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cp1252,
+             | CAST(coalesce(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_sjis,
+             | CAST(coalesce(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_gbk,
+             | CAST(coalesce(sum(CASE WHEN m = 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_assumed
+             | FROM d""".stripMargin.replaceAll("\n", " "))),
+
+    // WARC-Payload-Digest passthrough + the zero-cost exact dedup every CC
+    // pipeline starts with: each doc's blob carries one response stamped with a
+    // digest keyed on doc_id%7 (so payloads collide across docs by construction)
+    // plus, for doc_id%3==0, a revisit record referring back to it with the
+    // same digest. Digest-distinct survivors, revisit counts, and linkage
+    // completeness all replay as pure doc_id arithmetic in DuckDB.
+    QueryDef("warc_digest_dedup_documents",
+      (s, d) => {
+        import graft.operators.Warc
+        val mkBlob = udf((id: Long) => {
+          val digest = s"sha1:DIG${(((id % 7) + 7) % 7)}"
+          val resp = Warc.encodeResponseRecord(s"https://example.com/$id",
+            "2026-01-01T00:00:00Z", s"<urn:uuid:$id>", 200, "text/plain",
+            s"body ${(((id % 7) + 7) % 7)}".getBytes("ISO-8859-1"),
+            payloadDigest = Some(digest))
+          val blocks = if ((((id % 3) + 3) % 3) == 0L)
+            Seq(resp, Warc.encodeRevisitRecord(s"https://example.com/$id",
+              "2026-01-02T00:00:00Z", s"<urn:uuid:$id-r>", s"<urn:uuid:$id>", digest))
+          else Seq(resp)
+          Warc.encodeWarc(blocks, gzip = (((id % 2) + 2) % 2) == 0L)
+        })
+        val blobs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), mkBlob(col("doc_id")).as("warc"))
+        Warc.explodeRecords(blobs, "warc").agg(
+          count(lit(1)).as("n_records"),
+          // coalesce: sum over ZERO records is SQL NULL, the oracle says 0
+          coalesce(sum(when(col("warc_type") === "revisit", 1L).otherwise(0L)),
+            lit(0L)).as("n_revisits"),
+          countDistinct(when(col("warc_type") === "response",
+            col("payload_digest"))).as("digest_survivors"),
+          bool_and(when(col("warc_type") === "revisit",
+            col("refers_to").isNotNull && col("payload_digest").isNotNull))
+            .as("revisits_linked"))
+      },
+      Some("""WITH d AS (SELECT (doc_id % 7 + 7) % 7 AS dig,
+             |   CASE WHEN (doc_id % 3 + 3) % 3 = 0 THEN 1 ELSE 0 END AS rv
+             |   FROM documents WHERE doc_id IS NOT NULL)
+             | SELECT CAST(count(*) + coalesce(sum(rv), 0) AS BIGINT) AS n_records,
+             | CAST(coalesce(sum(rv), 0) AS BIGINT) AS n_revisits,
+             | CAST(count(DISTINCT dig) AS BIGINT) AS digest_survivors,
+             | CASE WHEN coalesce(sum(rv), 0) = 0 THEN NULL ELSE TRUE END AS revisits_linked
+             | FROM d""".stripMargin.replaceAll("\n", " "))),
+
     // REAL animated-GIF frame extraction + timing, oracled: k = 1 + doc_id%5 noise
     // frames per doc with a REAL per-frame GCE delay of (4 + doc_id%6) cs, exploded
     // every-2nd capped at 2 — per-doc frame count = least(2, ceil(k/2)) and per-doc

@@ -441,7 +441,11 @@ object Multimodal {
               val v = bytes(pay) & 0xff
               if (v == 0 && sz - hdr >= 20) {
                 val ts = be32(pay + 12)
-                if (ts > 0) duration = Some(be32(pay + 16) * 1000L / ts)
+                val d = be32(pay + 16)
+                // 0xFFFFFFFF is ISO 14496-12's "unknown duration" placeholder
+                // (live/streaming muxers write it) — no duration, never a fake
+                // ~4.3M-second one; mirrors the v1 branch's all-ones rejection
+                if (ts > 0 && d != 0xFFFFFFFFL) duration = Some(d * 1000L / ts)
               } else if (v == 1 && sz - hdr >= 32) {
                 val ts = be32(pay + 20)
                 val d = be64(pay + 24)

@@ -29,11 +29,15 @@ object Warc {
   /** One WARC record. `payload` is the HTTP message BODY for
     * `application/http` records (status line and headers parsed off into
     * `http_status` / `http_content_type`; chunked transfer framing and
-    * gzip/deflate `Content-Encoding` are DECODED — `http_decoded` is false when
-    * the body used an encoding this JVM can't undo, e.g. brotli, and `payload`
-    * then holds the raw framed/compressed bytes). For non-HTTP records,
-    * `payload` is the raw record content. `truncated` marks payloads cut at the
-    * per-record parse cap.
+    * gzip/deflate/zstd `Content-Encoding` are DECODED — brotli too when a
+    * decoder is on the classpath — `http_decoded` is false when the body used
+    * an encoding this JVM can't undo, and `payload` then holds the raw
+    * framed/compressed bytes). For non-HTTP records, `payload` is the raw
+    * record content. `truncated` marks payloads cut at the per-record parse
+    * cap. `payload_digest` passes `WARC-Payload-Digest` through (Common Crawl
+    * stamps every record with a SHA-1 of the payload — exact cross-archive
+    * dedup without re-hashing a byte); `refers_to`/`profile` carry the
+    * `revisit`-record linkage (`WARC-Refers-To` / `WARC-Profile`).
     */
   final case class WarcRecord(
       record_idx: Int,
@@ -43,6 +47,9 @@ object Warc {
       warc_date: Option[String],
       content_type: Option[String],
       content_length: Long,
+      payload_digest: Option[String],
+      refers_to: Option[String],
+      profile: Option[String],
       http_status: Option[Int],
       http_content_type: Option[String],
       http_decoded: Boolean,
@@ -108,6 +115,24 @@ object Warc {
       z.setContinuous(true) // frame-per-record multi-frame layout
       if (dict != null && dict.length > 0) z.setDict(dict)
       Some(z)
+    } catch {
+      case _: LinkageError => None
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** Brotli decode stream when `org.brotli.dec` (the public reference decoder)
+    * is on the runtime classpath, else None — loaded REFLECTIVELY because the
+    * jar is optional (it is not a Spark dependency): a direct class reference
+    * would fail to compile without it, and on a cluster without it would throw
+    * NoClassDefFoundError, a LinkageError that NonFatal does not catch. Absent
+    * decoder ⇒ the body stays raw with `http_decoded=false`, same visible-flag
+    * contract as the missing-zstd path.
+    */
+  private def brotliStream(in: java.io.InputStream): Option[java.io.InputStream] =
+    try {
+      val cls = Class.forName("org.brotli.dec.BrotliInputStream")
+      Some(cls.getConstructor(classOf[java.io.InputStream])
+        .newInstance(in).asInstanceOf[java.io.InputStream])
     } catch {
       case _: LinkageError => None
       case scala.util.control.NonFatal(_) => None
@@ -189,7 +214,9 @@ object Warc {
                   totalBytes += math.max(content.length, body.length).toLong
                   out += WarcRecord(out.length, headers.get("warc-type"),
                     headers.get("warc-record-id"), headers.get("warc-target-uri"),
-                    headers.get("warc-date"), ctype, clen, status, httpCt,
+                    headers.get("warc-date"), ctype, clen,
+                    headers.get("warc-payload-digest"), headers.get("warc-refers-to"),
+                    headers.get("warc-profile"), status, httpCt,
                     decoded, body, streamEnded || payloadCapped || decodeCapped)
                   // a capped record skips its remainder and the walk continues;
                   // only a genuinely ended stream stops it
@@ -221,17 +248,29 @@ object Warc {
   }
 
   /** `Name: value` lines until the blank separator; names lower-cased (WARC
-    * header names are case-insensitive), first occurrence wins.
+    * header names are case-insensitive), first occurrence wins. A line starting
+    * with SP/HT is an RFC 7230 obs-fold continuation of the PREVIOUS header's
+    * value (the WARC spec inherits the folding grammar) — dropping it would
+    * truncate folded values like a long `WARC-Target-URI`, and a folded
+    * `Content-Length` would stop the record walk for the rest of the blob.
     */
   private def readHeaders(in: java.io.InputStream): Map[String, String] = {
     val m = scala.collection.mutable.Map[String, String]()
+    // key of the previous header line, ONLY when its value is live in `m` — a
+    // duplicate header is ignored, so its continuations must be too
+    var lastKey: String = null
     var line = readLine(in)
     while (line.exists(_.nonEmpty)) {
       val l = line.get
-      val i = l.indexOf(':')
-      if (i > 0) {
-        val k = l.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
-        if (!m.contains(k)) m(k) = l.substring(i + 1).trim
+      if (l.charAt(0) == ' ' || l.charAt(0) == '\t') {
+        if (lastKey != null) m(lastKey) = (m(lastKey) + " " + l.trim).trim
+      } else {
+        val i = l.indexOf(':')
+        if (i > 0) {
+          val k = l.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
+          if (!m.contains(k)) { m(k) = l.substring(i + 1).trim; lastKey = k }
+          else lastKey = null
+        } else lastKey = null
       }
       line = readLine(in)
     }
@@ -286,7 +325,19 @@ object Warc {
     }
     if (sep < 0) return (None, None, true, false, content)
     val head = new String(content, 0, sep, java.nio.charset.StandardCharsets.ISO_8859_1)
-    val lines = head.split("\n").map(_.stripSuffix("\r"))
+    // join RFC 7230 obs-fold continuations (leading SP/HT) onto the previous
+    // line BEFORE header matching — a folded Content-Type/Content-Encoding
+    // value split across lines must stay one header, not become junk lines
+    val lines = {
+      val raw = head.split("\n").map(_.stripSuffix("\r"))
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      raw.foreach { l =>
+        if (l.nonEmpty && (l.charAt(0) == ' ' || l.charAt(0) == '\t') && out.nonEmpty)
+          out(out.length - 1) = out(out.length - 1) + " " + l.trim
+        else out += l
+      }
+      out.toArray
+    }
     val status = lines.headOption
       .filter(_.startsWith("HTTP/"))
       .flatMap(_.split(" ", 3).lift(1))
@@ -368,7 +419,12 @@ object Warc {
             case Some(z) => z
             case None => return None // zstd-jni missing: flag undecoded
           }
-        case _ => return None // brotli needs a non-JDK codec
+        case "br" =>
+          brotliStream(new java.io.ByteArrayInputStream(body)) match {
+            case Some(b) => b
+            case None => return None // no brotli decoder present: flag undecoded
+          }
+        case _ => return None // unknown Content-Encoding: keep raw, say so
       }
       try {
         val out = new java.io.ByteArrayOutputStream(math.min(body.length * 4, 65536))
@@ -391,6 +447,7 @@ object Warc {
     */
   private val RecordColumns: Set[String] = Set("record_idx", "warc_type",
     "record_id", "target_uri", "warc_date", "content_type", "content_length",
+    "payload_digest", "refers_to", "profile",
     "http_status", "http_content_type", "http_decoded", "payload", "truncated",
     "blob_capped")
 
@@ -399,6 +456,13 @@ object Warc {
     * with records remaining — caps are never silent). The blob column is DROPPED
     * before the explode — at scale each blob is hundreds of MB, and carrying it
     * onto every record row would multiply the stage's width by the record count.
+    *
+    * The explode is OUTER: a blob whose parse yields ZERO records keeps one row
+    * with null record fields — this is what makes `blob_capped` trustworthy,
+    * because the capped-empty case is real (a `.warc.zst` archive on a JVM
+    * without zstd-jni parses to `WarcParse(capped=true, Nil)`), and an inner
+    * explode would erase the blob AND its flag with no signal. Downstream
+    * record filters (`warc_type === "response"`) exclude the null rows.
     */
   def explodeRecords(df: DataFrame, binCol: String, maxRecords: Int = 200000,
       maxPayloadBytes: Int = 16 * 1024 * 1024,
@@ -418,40 +482,187 @@ object Warc {
     val keep: Array[Column] = df.columns.filter(_ != binCol).map(col)
     df.select(keep :+ u(col(binCol)).as("_warc_recs"): _*)
       .select(keep ++ Seq(col("_warc_recs.capped").as("blob_capped"),
-        explode(col("_warc_recs.records")).as("_rec")): _*)
+        explode_outer(col("_warc_recs.records")).as("_rec")): _*)
       .select(keep ++ Seq(col("blob_capped"), col("_rec.*")): _*)
   }
 
+  // ---- charset resolution (the text bridge must not mojibake real crawls) ----
+
+  /** Decoded page text plus how the charset was resolved. `charset_assumed` is
+    * true when NO explicit declaration (BOM / Content-Type param / meta tag)
+    * determined it — the page decoded via the validity fallback and stays
+    * visible as a guess, never silently.
+    */
+  final case class DecodedText(text: String, charset: String, charset_assumed: Boolean)
+
+  private val CharsetParamPattern =
+    java.util.regex.Pattern.compile("(?i)charset\\s*=\\s*\"?\\s*([^\";,\\s]+)")
+  // matches both <meta charset="x"> and
+  // <meta http-equiv="content-type" content="text/html; charset=x"> — the
+  // `charset=` token only appears inside a meta tag's attributes in the head
+  private val MetaCharsetPattern = java.util.regex.Pattern.compile(
+    "(?i)<meta[^>]{0,512}?charset\\s*=\\s*['\"]?\\s*([a-zA-Z0-9._:\\-]+)")
+
+  /** A charset LABEL (as pages declare them) → JVM charset, following the
+    * WHATWG Encoding Standard's label table for the high-traffic families:
+    * the latin-1/ascii labels mean windows-1252 on the real web (pages labeled
+    * iso-8859-1 routinely use the 0x80–0x9F printables — curly quotes, euro),
+    * shift_jis means the windows-31j superset, gb2312 means GBK. Unknown labels
+    * fall through to `Charset.forName`; unresolvable ⇒ None (the caller
+    * continues down the resolution chain — never a throw).
+    */
+  private[operators] def charsetForLabel(label0: String): Option[java.nio.charset.Charset] = {
+    val label = label0.trim.toLowerCase(java.util.Locale.ROOT)
+    if (label.isEmpty) return None
+    val name = label match {
+      case "utf8" | "utf-8" | "unicode-1-1-utf-8" => "UTF-8"
+      case "iso-8859-1" | "iso8859-1" | "iso_8859-1" | "iso_8859-1:1987" | "latin1" |
+          "latin-1" | "l1" | "ascii" | "us-ascii" | "ansi_x3.4-1968" | "cp819" |
+          "cp1252" | "x-cp1252" | "iso-ir-100" => "windows-1252"
+      case "shift_jis" | "shift-jis" | "sjis" | "x-sjis" | "ms_kanji" | "csshiftjis" |
+          "windows-31j" | "cp932" | "ms932" => "windows-31j"
+      case "gb2312" | "gb_2312" | "gb_2312-80" | "csgb2312" | "chinese" |
+          "csiso58gb231280" | "x-gbk" | "gbk" => "GBK"
+      case "euc-kr" | "korean" | "ks_c_5601-1987" | "ks_c_5601-1989" | "ksc_5601" |
+          "csksc56011987" | "windows-949" | "cseuckr" => "x-windows-949"
+      case other => other
+    }
+    try Some(java.nio.charset.Charset.forName(name))
+    catch {
+      case _: LinkageError => None
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** BOM sniff: (charset, bytes to skip). A BOM is an in-band declaration —
+    * decisive per the WHATWG decode algorithm, it overrides headers.
+    */
+  private def bomCharset(b: Array[Byte]): Option[(java.nio.charset.Charset, Int)] =
+    if (b.length >= 3 && (b(0) & 0xff) == 0xef && (b(1) & 0xff) == 0xbb &&
+      (b(2) & 0xff) == 0xbf) Some((java.nio.charset.StandardCharsets.UTF_8, 3))
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)
+      Some((java.nio.charset.StandardCharsets.UTF_16BE, 2))
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xfe)
+      Some((java.nio.charset.StandardCharsets.UTF_16LE, 2))
+    else None
+
+  /** `<meta charset>` / `http-equiv` sniff over the head bytes (first 1 KiB,
+    * scanned as ISO-8859-1 — charset labels are ASCII so the scan is
+    * encoding-agnostic for every ASCII-compatible charset).
+    */
+  private def metaCharsetLabel(b: Array[Byte]): Option[String] = {
+    val n = math.min(b.length, 1024)
+    if (n == 0) return None
+    val head = new String(b, 0, n, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val m = MetaCharsetPattern.matcher(head)
+    if (m.find()) Some(m.group(1)) else None
+  }
+
+  /** Strict UTF-8 decode: Some(text) only when every byte sequence is valid —
+    * the validity check that backs both "declared utf-8, verify it" and the
+    * no-declaration fallback. (Random windows-1252/Shift_JIS bytes are almost
+    * never valid UTF-8, so a pass is a strong signal.)
+    */
+  private def strictUtf8(b: Array[Byte], off: Int): Option[String] =
+    try {
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      Some(dec.decode(java.nio.ByteBuffer.wrap(b, off, b.length - off)).toString)
+    } catch { case _: java.nio.charset.CharacterCodingException => None }
+
+  /** Resolve the page charset and decode: BOM → Content-Type `charset=` param →
+    * `<meta charset>`/`http-equiv` sniff in the first 1 KiB → strict-UTF-8
+    * validity → windows-1252 (total: every byte maps). A DECLARED utf-8 is
+    * verified — a mislabeling server (common on real crawls) must not mojibake
+    * the page into replacement chars when the windows-1252 fallback reads it
+    * fine; other declared charsets decode with replacement (total, and there is
+    * no validity oracle for them). Returns (text, resolved charset name,
+    * assumed?) — `assumed` means the fallback chose, not a declaration.
+    */
+  def decodeText(payload: Array[Byte], httpContentType: Option[String]): DecodedText = {
+    val b = if (payload == null) Array.emptyByteArray else payload
+    def name(cs: java.nio.charset.Charset) =
+      cs.name().toLowerCase(java.util.Locale.ROOT)
+    bomCharset(b) match {
+      case Some((cs, skip)) =>
+        if (cs eq java.nio.charset.StandardCharsets.UTF_8)
+          strictUtf8(b, skip) match {
+            case Some(t) => return DecodedText(t, "utf-8", charset_assumed = false)
+            case None => () // BOM lied (binary with a BOM prefix): fall through
+          }
+        else return DecodedText(new String(b, skip, b.length - skip, cs), name(cs),
+          charset_assumed = false)
+      case None => ()
+    }
+    val declared = httpContentType.flatMap { ct =>
+      val m = CharsetParamPattern.matcher(ct)
+      if (m.find()) Some(m.group(1)) else None
+    }.flatMap(charsetForLabel)
+      .orElse(metaCharsetLabel(b).flatMap(charsetForLabel))
+    declared match {
+      case Some(cs) if name(cs) == "utf-8" =>
+        strictUtf8(b, 0) match {
+          case Some(t) => return DecodedText(t, "utf-8", charset_assumed = false)
+          case None => () // declared utf-8 but NOT valid utf-8: fall through
+        }
+      case Some(cs) =>
+        return DecodedText(new String(b, cs), name(cs), charset_assumed = false)
+      case None => ()
+    }
+    strictUtf8(b, 0) match {
+      case Some(t) => DecodedText(t, "utf-8", charset_assumed = true)
+      case None => DecodedText(
+        new String(b, java.nio.charset.Charset.forName("windows-1252")),
+        "windows-1252", charset_assumed = true)
+    }
+  }
+
   /** The bridge into the text-curation chain: HTTP 200 text-typed response
-    * bodies (media types compared case-insensitively per RFC 7231; only fully
-    * decoded bodies — chunked framing removed, gzip/deflate inflated) decoded as
-    * UTF-8 (Spark's binary→string cast) in `textOut`, one row per page. Feed the
-    * result straight into quality scoring / dedup / decontamination — this is
-    * the Common-Crawl entry point.
+    * bodies — any `text/` subtype plus `application/xhtml+xml`, case-insensitive
+    * per RFC 7231; only fully decoded bodies (chunked framing removed,
+    * gzip/deflate inflated) — CHARSET-AWARE decoded ([[decodeText]]: BOM →
+    * header param → meta sniff → UTF-8 validity → windows-1252) into `textOut`,
+    * one row per page, with `charset` and `charset_assumed` columns recording
+    * the resolution (a double-digit share of the real web is
+    * windows-1252/Shift_JIS/GBK — a blind UTF-8 cast would mojibake them
+    * silently and poison the downstream quality/dedup chain). Feed the result
+    * straight into quality scoring / dedup / decontamination — this is the
+    * Common-Crawl entry point.
     */
   def responseTexts(df: DataFrame, binCol: String, textOut: String = "text",
       maxRecords: Int = 200000, maxPayloadBytes: Int = 16 * 1024 * 1024,
       maxTotalBytes: Long = 512L * 1024 * 1024): DataFrame = {
     // withColumn silently REPLACES an existing column — a caller metadata column
-    // named `textOut` would vanish under the page body with no error
+    // named `textOut` (or the charset outputs) would vanish with no error
+    val reserved = Seq(textOut, "charset", "charset_assumed", "_decoded")
     require(!df.columns.exists(c => c != binCol &&
-      c.equalsIgnoreCase(textOut)),
-      s"output column '$textOut' already exists on the input — pass a different textOut")
+      reserved.exists(c.equalsIgnoreCase)),
+      s"output columns ${reserved.take(3).mkString("/")} already exist on the input — " +
+        "rename them or pass a different textOut")
+    val dec = udf((p: Array[Byte], ct: String) => decodeText(p, Option(ct)))
     explodeRecords(df, binCol, maxRecords, maxPayloadBytes, maxTotalBytes)
       .filter(col("warc_type") === "response" && col("http_status") === 200 &&
         col("http_decoded") && !col("truncated") &&
         // ICU-free lowercase: media types are ASCII, rlike avoids the Spark 4
         // lower() collation-init cost documented in the build recipes
-        col("http_content_type").rlike("(?i)^text/"))
-      .withColumn(textOut, col("payload").cast("string"))
-      .drop("payload")
+        col("http_content_type").rlike("(?i)^(text/|application/xhtml\\+xml)"))
+      .withColumn("_decoded", dec(col("payload"), col("http_content_type")))
+      .withColumn(textOut, col("_decoded.text"))
+      .withColumn("charset", col("_decoded.charset"))
+      .withColumn("charset_assumed", col("_decoded.charset_assumed"))
+      .drop("payload", "_decoded")
   }
 
   // ---- encode halves (test fixtures + oracle arithmetic) ----
 
-  /** One WARC `response` record block carrying a real HTTP message. */
+  /** One WARC `response` record block carrying a real HTTP message;
+    * `payloadDigest` writes a `WARC-Payload-Digest` header (Common Crawl stamps
+    * `sha1:BASE32` on every record).
+    */
   def encodeResponseRecord(targetUri: String, dateIso: String, recordId: String,
-      status: Int, httpContentType: String, body: Array[Byte]): Array[Byte] = {
+      status: Int, httpContentType: String, body: Array[Byte],
+      payloadDigest: Option[String] = None): Array[Byte] = {
     val statusText = if (status == 200) "OK" else "NOT-OK"
     val iso = java.nio.charset.StandardCharsets.ISO_8859_1
     val out = new java.io.ByteArrayOutputStream(body.length + 512)
@@ -463,12 +674,33 @@ object Warc {
       s"WARC-Record-ID: $recordId\r\n" +
       s"WARC-Date: $dateIso\r\n" +
       s"WARC-Target-URI: $targetUri\r\n" +
+      payloadDigest.map(d => s"WARC-Payload-Digest: $d\r\n").getOrElse("") +
       s"Content-Type: application/http; msgtype=response\r\n" +
       s"Content-Length: ${http.length + body.length}\r\n\r\n").getBytes(iso))
     out.write(http)
     out.write(body)
     out.write("\r\n\r\n".getBytes(iso))
     out.toByteArray
+  }
+
+  /** One WARC `revisit` record block — what real crawls write instead of a
+    * second `response` when a re-fetched page's payload digest matches an
+    * earlier capture (the identical-payload-digest profile): the linkage
+    * headers, no body. The decode side surfaces `refers_to`/`profile`/
+    * `payload_digest` so pipelines can skip or resolve revisits.
+    */
+  def encodeRevisitRecord(targetUri: String, dateIso: String, recordId: String,
+      refersTo: String, payloadDigest: String): Array[Byte] = {
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    (s"WARC/1.0\r\n" +
+      s"WARC-Type: revisit\r\n" +
+      s"WARC-Record-ID: $recordId\r\n" +
+      s"WARC-Date: $dateIso\r\n" +
+      s"WARC-Target-URI: $targetUri\r\n" +
+      s"WARC-Refers-To: $refersTo\r\n" +
+      s"WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest\r\n" +
+      s"WARC-Payload-Digest: $payloadDigest\r\n" +
+      s"Content-Length: 0\r\n\r\n\r\n\r\n").getBytes(iso)
   }
 
   /** Concatenate record blocks into a WARC file; `gzip = true` produces the

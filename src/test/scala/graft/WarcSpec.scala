@@ -156,6 +156,128 @@ class WarcSpec extends SparkSpec {
       s"decode amplification must count against the budget: ${twoBombs.records.size}")
   }
 
+  test("folded header lines (RFC 7230 obs-fold) join the previous value, WARC and HTTP side") {
+    // a folded WARC-Target-URI and a folded HTTP Content-Type: the continuation
+    // lines must append to their headers, not be dropped as malformed lines
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain;\r\n" +
+      "\tcharset=utf-8\r\nContent-Length: 5\r\n\r\nhello").getBytes(iso)
+    val raw = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://example.com/a\r\n very/long/path\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes(iso) ++ http ++
+      "\r\n\r\n".getBytes(iso)
+    val r = Warc.records(raw).head
+    assert(r.target_uri.contains("https://example.com/a very/long/path"), s"${r.target_uri}")
+    assert(r.http_content_type.contains("text/plain; charset=utf-8"), s"${r.http_content_type}")
+    assert(new String(r.payload, iso) == "hello")
+  }
+
+  test("payload digest and revisit linkage surface as columns; responseTexts skips revisits") {
+    import spark.implicits._
+    val resp = Warc.encodeResponseRecord("https://example.com/x", "2026-01-01T00:00:00Z",
+      "<urn:uuid:orig>", 200, "text/html", "<p>the page</p>".getBytes(iso),
+      payloadDigest = Some("sha1:AAAABBBB"))
+    val revisit = Warc.encodeRevisitRecord("https://example.com/x", "2026-01-02T00:00:00Z",
+      "<urn:uuid:again>", "<urn:uuid:orig>", "sha1:AAAABBBB")
+    val rs = Warc.records(Warc.encodeWarc(Seq(resp, revisit)))
+    assert(rs.size == 2)
+    assert(rs(0).payload_digest.contains("sha1:AAAABBBB") && rs(0).refers_to.isEmpty)
+    assert(rs(1).warc_type.contains("revisit"))
+    assert(rs(1).payload_digest.contains("sha1:AAAABBBB"))
+    assert(rs(1).refers_to.contains("<urn:uuid:orig>"))
+    assert(rs(1).profile.exists(_.contains("identical-payload-digest")))
+    assert(rs(1).payload.isEmpty && !rs(1).truncated)
+    // DataFrame path: digest column present; the text bridge keeps only the
+    // real response (revisits duplicate content BY CONSTRUCTION)
+    val df = Seq((1L, Warc.encodeWarc(Seq(resp, revisit)))).toDF("blob_id", "warc")
+    val ex = Warc.explodeRecords(df, "warc")
+    assert(ex.filter(col("payload_digest") === "sha1:AAAABBBB").count() == 2)
+    val texts = Warc.responseTexts(df, "warc").collect()
+    assert(texts.length == 1, "revisit records must not reach the text chain")
+  }
+
+  test("zero-record blobs keep one outer row — caps and junk are never silently erased") {
+    import spark.implicits._
+    // a junk (non-WARC) blob parses to zero records; the OUTER explode keeps
+    // one row with null record fields so the blob stays visible — the same
+    // mechanism that keeps a capped-empty row (zstd blob on a JVM without
+    // zstd-jni parses to WarcParse(capped=true, Nil)) from vanishing
+    val df = Seq((1L, "junk bytes, not a warc".getBytes(iso)),
+      (2L, Warc.encodeWarc(Seq(rec(0))))).toDF("blob_id", "warc")
+    val ex = Warc.explodeRecords(df, "warc")
+    assert(ex.count() == 2, "junk blob must keep its row")
+    val junk = ex.filter(col("blob_id") === 1L).collect().head
+    assert(junk.getAs[Any]("warc_type") == null && !junk.getAs[Boolean]("blob_capped"))
+    // downstream record filters exclude the null rows naturally
+    assert(Warc.responseTexts(df, "warc").count() == 1)
+  }
+
+  test("charset resolution: BOM > header param > meta sniff > validity fallback") {
+    def d(bytes: Array[Byte], ct: String) = Warc.decodeText(bytes, Option(ct))
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    // header-declared windows-1252 incl. the 0x80-0x9F printables (euro, dash)
+    val w = d("café – résumé €".getBytes(cp1252),
+      "text/html; charset=iso-8859-1") // WHATWG: latin-1 label MEANS cp1252
+    assert(w.text == "café – résumé €" &&
+      w.charset == "windows-1252" && !w.charset_assumed, s"$w")
+    // meta-declared Shift_JIS (no header param): sniffed from the head bytes
+    val sjBody = "<html><head><meta charset=shift_jis></head><body>日本語</body></html>"
+    val sj = d(sjBody.getBytes("windows-31j"), "text/html")
+    assert(sj.text == sjBody && sj.charset == "windows-31j" && !sj.charset_assumed, s"$sj")
+    // http-equiv form + GBK label
+    val gbBody = "<html><head><meta http-equiv=\"Content-Type\" content=\"text/html; charset=gb2312\"></head><body>中文网页</body></html>"
+    val gb = d(gbBody.getBytes("GBK"), "text/html")
+    assert(gb.text == gbBody && gb.charset == "gbk" && !gb.charset_assumed, s"$gb")
+    // EUC-KR label resolves to the windows-949 superset
+    val krBody = "한국어 페이지"
+    val kr = d(krBody.getBytes("x-windows-949"), "text/plain; charset=euc-kr")
+    assert(kr.text == krBody && kr.charset == "x-windows-949" && !kr.charset_assumed)
+    // a BOM beats a LYING header (WHATWG: the in-band declaration wins)
+    val bom = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      "日本".getBytes("UTF-8")
+    val b = d(bom, "text/html; charset=shift_jis")
+    assert(b.text == "日本" && b.charset == "utf-8" && !b.charset_assumed,
+      "BOM must override the header and be stripped")
+    // MISLABELED utf-8 (real crawls are full of this): bytes are cp1252 —
+    // verify-then-fallback, flagged assumed
+    val lie = d("café".getBytes(cp1252), "text/html; charset=utf-8")
+    assert(lie.text == "café" && lie.charset == "windows-1252" && lie.charset_assumed, s"$lie")
+    // no declaration at all: valid multibyte UTF-8 passes the validity check...
+    val u = d("日本語 page".getBytes("UTF-8"), "text/plain")
+    assert(u.text == "日本語 page" && u.charset == "utf-8" && u.charset_assumed)
+    // ...and invalid UTF-8 falls to windows-1252, also flagged
+    val f = d("legacy café".getBytes(cp1252), "text/plain")
+    assert(f.text == "legacy café" && f.charset == "windows-1252" && f.charset_assumed)
+    // unknown/garbage label: falls through the chain, never throws
+    val g = d("plain ascii".getBytes(iso), "text/plain; charset=klingon-8")
+    assert(g.text == "plain ascii" && g.charset == "utf-8" && g.charset_assumed)
+    // empty/null payloads stay total
+    assert(Warc.decodeText(Array.emptyByteArray, Some("text/html")).text == "")
+    assert(Warc.decodeText(null, None).text == "")
+  }
+
+  test("responseTexts: charset columns flow through; XHTML pages join the prose bridge") {
+    import spark.implicits._
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    val blobs = Seq(
+      (1L, Warc.encodeWarc(Seq(rec(0, ct = "text/html; charset=windows-1252",
+        body = new String("résumé café €".getBytes(cp1252), iso))))),
+      // application/xhtml+xml is a real slice of the web — it must not be
+      // dropped by a text-only media filter
+      (2L, Warc.encodeWarc(Seq(rec(1, ct = "application/xhtml+xml",
+        body = "<p>xhtml page</p>")))),
+      (3L, Warc.encodeWarc(Seq(rec(2, ct = "application/pdf", body = "%PDF")))))
+      .toDF("blob_id", "warc")
+    val out = Warc.responseTexts(blobs, "warc")
+      .select("blob_id", "text", "charset", "charset_assumed")
+      .collect().sortBy(_.getLong(0))
+    assert(out.length == 2, "pdf must be excluded; xhtml must be kept")
+    assert(out(0).getString(1) == "résumé café €")
+    assert(out(0).getString(2) == "windows-1252" && !out(0).getBoolean(3))
+    assert(out(1).getString(1) == "<p>xhtml page</p>")
+    assert(out(1).getString(2) == "utf-8" && out(1).getBoolean(3))
+  }
+
   test("explodeRecords drops the blob and responseTexts feeds the text chain") {
     import spark.implicits._
     val mk = (i: Int) => Warc.encodeWarc(Seq(
