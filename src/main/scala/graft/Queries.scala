@@ -1749,6 +1749,60 @@ object Queries {
              | CAST(sum(length(x)) AS BIGINT) AS sum_text_chars
              | FROM p""".stripMargin.replaceAll("\n", " "))),
 
+    // Main-content extraction over constructed nav-heavy pages, oracled: every
+    // doc becomes a page with link-dense chrome (nav bar, pager, footer) around
+    // real article prose (one block CONTAINING a link — density decides, not
+    // presence). The default extraction must keep the chrome (full-fidelity
+    // contract), the main variant must drop exactly the chrome blocks; both
+    // compared to closed-form strings DuckDB constructs directly.
+    QueryDef("html_main_text_documents",
+      (s, d) => {
+        import graft.functions.WebFunctions
+        val id = col("doc_id").cast("string")
+        val p1 = concat(lit("A quiet meadow stretches beyond the river where " +
+          "the morning light settles over "), id,
+          lit(" stones and the travelers rest before the long road north."))
+        val p2 = concat(lit("More context is collected here for readers who " +
+          "want the complete background on entry "), id,
+          lit(" and its many revisions over the years."))
+        val html = concat(
+          lit("<html><head><title>T "), id, lit("</title></head><body>" +
+            "<div><a href=\"/\">Home</a> | <a href=\"/about\">About</a> | " +
+            "<a href=\"/contact\">Contact</a></div><h1>Story "), id,
+          lit("</h1><p>A quiet meadow stretches beyond the river where the " +
+            "morning light settles over "), id,
+          lit(" stones and the travelers rest before the long road north.</p>" +
+            "<p>More context is collected <a href=\"/ref\">here</a> for readers " +
+            "who want the complete background on entry "), id,
+          lit(" and its many revisions over the years.</p>" +
+            "<div><a href=\"/prev\">Prev</a> <a href=\"/next\">Next</a></div>" +
+            "<footer><a href=\"/terms\">Terms</a> " +
+            "<a href=\"/privacy\">Privacy</a></footer></body></html>"))
+        val expMain = concat(lit("Story "), id, lit("\n"), p1, lit("\n"), p2)
+        val expFull = concat(lit("Home | About | Contact\nStory "), id,
+          lit("\n"), p1, lit("\n"), p2, lit("\nPrev Next\nTerms Privacy"))
+        t(s, d, "documents").filter(col("doc_id").isNotNull)
+          .select(html.as("html_src"), expMain.as("em"), expFull.as("ef"))
+          .select(WebFunctions.htmlMainText(col("html_src")).as("m"),
+            WebFunctions.htmlToText(col("html_src")).as("f"),
+            col("em"), col("ef"))
+          .agg(count(lit(1)).as("n_pages"),
+            bool_and(col("m") === col("em")).as("main_ok"),
+            bool_and(col("f") === col("ef")).as("full_ok"),
+            sum(length(col("m")).cast("long")).as("sum_main_chars"))
+      },
+      Some("""WITH p AS (SELECT 'Story ' || doc_id || chr(10) ||
+             |   'A quiet meadow stretches beyond the river where the morning light settles over ' ||
+             |   doc_id || ' stones and the travelers rest before the long road north.' || chr(10) ||
+             |   'More context is collected here for readers who want the complete background on entry ' ||
+             |   doc_id || ' and its many revisions over the years.' AS m
+             |   FROM documents WHERE doc_id IS NOT NULL)
+             | SELECT CAST(count(*) AS BIGINT) AS n_pages,
+             | CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS main_ok,
+             | CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS full_ok,
+             | CAST(sum(length(m)) AS BIGINT) AS sum_main_chars
+             | FROM p""".stripMargin.replaceAll("\n", " "))),
+
     // The crawl path chained END TO END under the gate: WARC blob (half gzip)
     // -> record explode -> HTTP split -> HTML extraction -> prose, compared
     // per page against the closed-form string DuckDB constructs directly.
@@ -3791,18 +3845,46 @@ object Queries {
              | CAST(coalesce(sum(CASE WHEN abs(x - (SELECT med FROM m)) > 3.5 * (SELECT mad FROM d2) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers
              | FROM v""".stripMargin.replaceAll("\n", " "))),
 
-    // Compression-ratio quality sweep: no SQL engine can replay deflate, so this
-    // query carries NO oracle — the driver records the weaker rows-only check, by
-    // design (the kernel itself is spec-gated: ordering, determinism, edges).
+    // Compression-ratio kernel gate: no SQL engine can replay deflate, so the
+    // oracle checks the kernel's INVARIANTS as booleans over constructed texts
+    // keyed on doc_id — the ordering every compression-quality filter relies on
+    // (repetitive < prose < noise), sane bounds, and cross-partition determinism
+    // (docs sharing a key build IDENTICAL texts, so each key group must see
+    // exactly one distinct ratio). DuckDB replays the count and asserts the
+    // booleans — a kernel regression (ordering flip, nondeterministic buffer
+    // reuse, ratio blow-up) now fails the three-way gate instead of hiding
+    // behind a rows-only check.
     QueryDef("compression_ratio_documents",
-      (s, d) => t(s, d, "documents")
-        .filter(col("doc_id").isNotNull && col("text").isNotNull && length(col("text")) > 0)
-        .select(TextFunctions.deflateRatio(col("text")).as("r"))
-        .agg(count(lit(1)).as("n_docs"),
-          round(avg(col("r")), 4).as("avg_ratio"),
-          round(min(col("r")), 4).as("min_ratio"),
-          round(max(col("r")), 4).as("max_ratio")),
-      None),
+      (s, d) => {
+        val k = pmod(col("doc_id"), lit(17)).cast("string")
+        val rep = repeat(concat(lit("key"), k, lit(" ")), 60)
+        val prose = concat(lit("The quick brown fox jumps over the lazy dog while "),
+          k, lit(" ravens watch the riverbank at dawn and the wind carries "),
+          k, lit(" autumn leaves across the quiet meadow before sunrise."))
+        // base64 of sha2 chains: effectively incompressible text, keyed on k
+        val noise = concat((0 until 6).map(i =>
+          base64(unhex(sha2(concat(lit(s"noise$i:"), k), 256)))): _*)
+        t(s, d, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), k.as("k"),
+            TextFunctions.deflateRatio(rep).as("rr"),
+            TextFunctions.deflateRatio(prose).as("rp"),
+            TextFunctions.deflateRatio(noise).as("rn"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("rn")).as("nd"),
+            bool_and(col("rr") < col("rp") && col("rp") < col("rn")).as("ord"),
+            bool_and(col("rr") > 0.0 && col("rn") < 1.5).as("bnd"))
+          .agg(coalesce(sum(col("n")), lit(0L)).as("n_docs"),
+            bool_and(col("nd") === 1).as("deterministic_ok"),
+            bool_and(col("ord")).as("order_ok"),
+            bool_and(col("bnd")).as("bounds_ok"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             | CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS deterministic_ok,
+             | CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS order_ok,
+             | CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS bounds_ok
+             | FROM documents WHERE doc_id IS NOT NULL"""
+        .stripMargin.replaceAll("\n", " "))),
 
     // Embedding-space drift: centroid shift between two deterministic halves of
     // the embeddings corpus (vec_id parity), compared by L2 / cosine / max

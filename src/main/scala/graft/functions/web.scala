@@ -73,6 +73,19 @@ object WebFunctions {
   /** `<title>` of an HTML page (NULL when absent/empty) — [[htmlParts]]`.title`. */
   def htmlTitle(h: Column): Column = htmlParts(h).getField("title")
 
+  /** MAIN-content variant of [[htmlParts]]: blocks dominated by link text
+    * (nav bars, footers, sidebars, "related links" — anchor chars ≥ 1/2 of the
+    * block's visible chars, or ≥ 1/3 on short blocks) are dropped, so one-off
+    * page chrome never reaches the curation chain (corpus-wide line dedup
+    * catches the REPEATED kind; this catches the rest). Same struct shape.
+    */
+  def htmlMainParts(h: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      HtmlMainParts(org.apache.spark.sql.GraftSqlBridge.expression(h)))
+
+  /** Main-content prose of an HTML page — [[htmlMainParts]]`.text`. */
+  def htmlMainText(h: Column): Column = htmlMainParts(h).getField("text")
+
   /** The original Column-pipeline normalization — retained as the executable
     * SPECIFICATION of [[urlParts]] (spec-pinned equivalent on newline-free input;
     * Java regex `$` matches before a trailing newline where the kernel treats `#`

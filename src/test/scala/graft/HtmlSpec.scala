@@ -35,6 +35,66 @@ class HtmlSpec extends SparkSpec {
       s"got <$text>")
   }
 
+  private def extractMain(html: String): (Option[String], String) = {
+    import spark.implicits._
+    val r = Seq(html).toDF("h")
+      .select(WebFunctions.htmlMainParts(col("h")).getField("title").as("t"),
+        WebFunctions.htmlMainText(col("h")).as("x"))
+      .head()
+    (Option(r.getString(0)), r.getString(1))
+  }
+
+  test("main-content extraction drops link-dense chrome, keeps article prose") {
+    val page = "<html><head><title>T1</title></head><body>" +
+      "<div><a href=\"/\">Home</a> | <a href=\"/about\">About</a> | " +
+      "<a href=\"/contact\">Contact</a></div>" +
+      "<h1>Story one</h1>" +
+      "<p>A quiet meadow stretches beyond the river where the morning light " +
+      "settles over the stones and the travelers rest before the long road.</p>" +
+      "<p>More context is collected <a href=\"/ref\">here</a> for readers who " +
+      "want the complete background on this entry and its later revisions.</p>" +
+      "<div><a href=\"/prev\">Prev</a> <a href=\"/next\">Next</a></div>" +
+      "<footer><a href=\"/terms\">Terms</a> <a href=\"/privacy\">Privacy</a></footer>" +
+      "</body></html>"
+    // the DEFAULT extraction keeps the chrome (full-fidelity contract unchanged)
+    val (_, full) = extract(page)
+    assert(full.startsWith("Home | About | Contact\nStory one") &&
+      full.endsWith("Prev Next\nTerms Privacy"), s"got <$full>")
+    // the main-content variant drops nav/footer/pager, keeps heading + prose
+    // (including the prose block that CONTAINS a link — density, not presence)
+    val (title, main) = extractMain(page)
+    assert(title.contains("T1"))
+    assert(main == "Story one\n" +
+      "A quiet meadow stretches beyond the river where the morning light " +
+      "settles over the stones and the travelers rest before the long road.\n" +
+      "More context is collected here for readers who want the complete " +
+      "background on this entry and its later revisions.", s"got <$main>")
+  }
+
+  test("link-density thresholds: short link-heavy blocks drop, long ones survive") {
+    // anchor 12 visible chars of 33 (~36%, >= 1/3) and SHORT (< 80): dropped
+    val short = "<p><a href=x>twelve-chars</a> twenty-one-more-chars</p>" +
+      "<p>An ordinary prose paragraph that anchors nothing at all here.</p>"
+    assert(extractMain(short)._2 ==
+      "An ordinary prose paragraph that anchors nothing at all here.")
+    // same ~1/3 ratio but LONG (>= 80 visible chars): kept — long mixed prose
+    // with citations is article text, not chrome
+    val longBlock = "<p><a href=x>thirty-characters-of-anchor-text</a> and then " +
+      "sixty more characters of ordinary unlinked prose follow this citation marker</p>"
+    val got = extractMain(longBlock)._2
+    assert(got.startsWith("thirty-characters-of-anchor-text and then sixty"), s"got <$got>")
+    // half-or-more anchor text: dropped at ANY length
+    val half = "<p><a href=x>exactly half of these characters live inside the anchor " +
+      "element tag</a> exactly half of these characters live inside the anchor tags</p>"
+    assert(extractMain(half)._2 == "")
+    // anchor-free pages: extractMain == extract (no false positives)
+    val plain = "<h1>H</h1><p>alpha beta</p><p>x</p>"
+    assert(extractMain(plain)._2 == extract(plain)._2)
+    // hostile: stray closes clamp, unterminated anchors stay total
+    assert(extractMain("</a></a><p>text survives</p>")._2 == "text survives")
+    extractMain("<a href=x>never closed " * 50) // must not throw
+  }
+
   test("html extraction is total on hostile input") {
     // unterminated comment/script/tag/entity: consume to end, never throw
     assert(extract("before<!-- never closed")._2 == "before")

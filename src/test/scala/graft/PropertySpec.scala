@@ -780,10 +780,12 @@ class PropertySpec extends SparkSpec {
       (if (row.isNullAt(0)) null else row.getUTF8String(0).toString,
         row.getUTF8String(1).toString)
     }
+    def runMain(s: String): String = graft.functions.HtmlKernel
+      .extractMain(UTF8String.fromString(s)).getUTF8String(1).toString
     val frag = Seq("<p>", "</p>", "<div class=\"x\">", "&amp;", "&#65;", "&bogus;",
       "plain words here", "<script>var x='<p>';</script>", "<!--", "-->", "&",
       "<title>t</title>", "< 5", "<![CDATA[z]]>", "\n\n", "  ", "<td>", "&#x",
-      "<b>bold</b>", "</", "<", ">", "é中文")
+      "<b>bold</b>", "</", "<", ">", "é中文", "<a href=\"/x\">link text</a>", "</a>")
     forAll(Gen.choose(1L, 1000000L)) { seed =>
       val rnd = new scala.util.Random(seed)
       // random fragment soup: every structural edge adjacent to every other
@@ -794,14 +796,24 @@ class PropertySpec extends SparkSpec {
       assert(!text.contains("  ") && !text.contains("\n\n") &&
         !text.contains(" \n") && !text.contains("\n ") && text.trim == text,
         s"non-canonical whitespace for seed $seed: <$text>")
+      // main-content extraction: total, and its lines are an in-order
+      // SUBSEQUENCE of the full extraction's lines (blocks are only ever
+      // dropped by the density filter, never altered or reordered)
+      val main = runMain(soup)
+      val fullLines = text.split("\n", -1).iterator
+      assert(main.isEmpty || main.split("\n", -1).forall(l => fullLines.contains(l)),
+        s"main lines not a subsequence for seed $seed: <$main> vs <$text>")
       // pure random chars (may contain < & >): total, canonical
       val junk = new String(Array.fill(rnd.nextInt(300) + 1)(
         (rnd.nextInt(0xD7FF) + 1).toChar))
       run(junk)
-      // tag-free, entity-free plain text passes through modulo whitespace
+      runMain(junk)
+      // tag-free, entity-free plain text passes through modulo whitespace —
+      // and anchor-free input is NEVER filtered (extractMain == extract)
       val words = (0 until rnd.nextInt(10) + 1)
         .map(_ => "w" + rnd.nextInt(100)).mkString("  ")
       assert(run(words)._2 == words.replaceAll(" +", " ").trim)
+      assert(runMain(words) == run(words)._2)
     }
   }
 
