@@ -222,27 +222,51 @@ object Bench {
     val sf1: Option[(Double, Seq[(String, Double, Double)])] =
       if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) None
       else try {
-        val dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1_gen")
+        // Cache keyed on the generator VERSION: a distribution/row-count change
+        // bumps GenData.Version and lands in a fresh directory — a stale
+        // generation (or one built at another scale by hand) is never silently
+        // measured as the current sf1 (same reasoning as the tuned-lineitem
+        // cache fingerprint above).
+        val dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+          s"/tmp/graft_sf1_gen_v${graft.tools.GenData.Version}")
         // events is written LAST: its _SUCCESS means the whole build completed
         if (!new java.io.File(s"$dir/events.parquet/_SUCCESS").exists()) {
           val t0 = System.nanoTime()
-          graft.tools.GenData.generate(spark, dir, 10)
+          graft.tools.GenData.generate(spark, dir, 10, profileDir = sfDir)
           println(f"[sf1] generated 10x dataset at $dir in ${(System.nanoTime() - t0) / 1e9}%.1f s")
         }
+        // This block runs AFTER the ~170-query loop: clear cached state and
+        // settle the heap first — post-loop ratios otherwise inflate ~2x from
+        // bench-JVM heap state (the round-8 sweep lesson; PLANS.md).
         spark.sharedState.cacheManager.clearCache()
+        System.gc()
+        Thread.sleep(2000)
+        def onceAt(fn: (SparkSession, String) => DataFrame, d: String): Double =
+          try { val t0 = System.nanoTime(); fn(spark, d).collect(); (System.nanoTime() - t0) / 1e9 }
+          catch { case scala.util.control.NonFatal(_) => -1.0 }
         val heavy = Seq("dedup_ngram_jaccard_documents", "dedup_minhash_documents",
           "contamination_firewall_documents", "tfidf_top_terms_documents",
           "lm_surprisal_documents", "corpus_report_documents",
           "similarity_ivf_topk", "range_join_events", "hll_rollup_events")
-        val qs0 = heavy.flatMap { name =>
-          val fn = SparkEntry.queries(name)
-          val t0 = System.nanoTime()
-          val sec =
-            try { fn(spark, dir).collect(); (System.nanoTime() - t0) / 1e9 }
-            catch { case scala.util.control.NonFatal(_) => -1.0 }
-          // 9999 sentinel (not -1) so a crashed query FAILS a worst<15 gate
-          resultMap.get(name).map(s01 =>
-            (name, sec, if (sec < 0 || s01 <= 0) 9999.0 else sec / s01))
+        val qs0 = heavy.map { name =>
+          // per-name lookup: a renamed query degrades to ONE sentinel row, not
+          // the whole block (9999 not -1, so a crash FAILS a worst<15 gate)
+          SparkEntry.queries.get(name) match {
+            case None => (name, -1.0, 9999.0)
+            case Some(fn) =>
+              var big = onceAt(fn, dir)
+              var s01 = resultMap.getOrElse(name, -1.0)
+              if (big >= 0 && s01 > 0 && big / s01 > 3.0) {
+                // suspicious ratio: re-measure BOTH sides once and take mins —
+                // a single GC pause in either run must not publish a phantom
+                // regression (the round-9 min-of-2 sweep rule)
+                val s2 = onceAt(fn, sfDir)
+                val b2 = onceAt(fn, dir)
+                if (s2 > 0) s01 = math.min(s01, s2)
+                if (b2 >= 0) big = math.min(big, b2)
+              }
+              (name, big, if (big < 0 || s01 <= 0) 9999.0 else big / s01)
+          }
         }
         // SemDeDup measured the way production deploys it: cell count SCALES
         // with the corpus (k ≈ n/500 keeps expected cell size constant, so
@@ -269,21 +293,37 @@ object Bench {
               (System.nanoTime() - t0) / 1e9
             } catch { case scala.util.control.NonFatal(_) => -1.0 }
           arm(sfDir) // warmup (codegen for this plan shape)
-          val small = arm(sfDir)
-          val big = arm(dir)
+          var small = arm(sfDir)
+          var big = arm(dir)
+          // legit ratio is ~8x (k-means fit cost grows with k x n), so the
+          // phantom-killing retry only fires when a reading approaches the
+          // bound — min-of-2 both sides, same rule as the sweep
+          if (big >= 0 && small > 0 && big / small > 12.0) {
+            val s2 = arm(sfDir); val b2 = arm(dir)
+            if (s2 > 0) small = math.min(small, s2)
+            if (b2 >= 0) big = math.min(big, b2)
+          }
           ("semdedup_scaled", big,
             if (big < 0 || small <= 0) 9999.0 else big / small)
         }
         val qs = qs0 :+ semScaled
         val li1 = spark.read.parquet(s"$dir/lineitem.parquet")
+        // the sf0.1 warm median was measured with AQE OFF (its shuffle
+        // materialization costs ~0.3 s on a sub-second suite — comment above);
+        // the ratio is only meaningful if this side matches that config
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         suite20(li1) // warmup read
         val w = (1 to 3).map(_ => secs { suite20(li1) }).sorted.apply(1)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
         qs.foreach { case (n, s, r) =>
           println(f"[sf1] $n%-34s $s%7.2f s  ratio $r%5.1fx vs sf0.1") }
         println(f"[sf1] suite20_warm $w%7.3f s (sf0.1 warm $warmSec%7.3f s)")
         Some((w, qs))
       } catch { case scala.util.control.NonFatal(e) =>
-        println(s"[sf1] failed: ${e.getMessage}"); None }
+        // sentinel ABOVE the bound, like the sweep's: a crashed sf1 block must
+        // FAIL a worst<15 reading, not vanish from the JSON as if skipped
+        println(s"[sf1] failed: ${e.getMessage}")
+        Some((-1.0, Seq(("sf1_failed", -1.0, 9999.0)))) }
 
     // ONE compact JSON line. The driver keeps only the LAST 2,000 chars of stdout
     // (measured from BENCH_r01/r02: tail length exactly 2000, with sbt's trailing
@@ -315,7 +355,10 @@ object Bench {
     val sf1Json: String = sf1.map { case (w, qs) =>
       def short(n: String) = n.stripSuffix("_documents")
         .stripSuffix("_events").stripSuffix("_embeddings")
-      val withSuite = qs :+ ("suite20", w, if (warmSec > 0) w / warmSec else 9999.0)
+      // w < 0 marks the crashed-block sentinel: no suite measurement to add
+      val withSuite =
+        if (w < 0) qs
+        else qs :+ (("suite20", w, if (warmSec > 0) w / warmSec else 9999.0))
       val worst = withSuite.maxBy(_._3)
       val ratios = withSuite.map { case (n, _, r) => "\"" + short(n) + "\":" + r2(r) }
         .mkString("{", ",", "}")

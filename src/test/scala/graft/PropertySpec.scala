@@ -773,6 +773,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("charset decode chain is total and honest on randomized input") {
+    import graft.operators.Warc
+    val utf8Payload = "日本 test page".getBytes("UTF-8")
+    val bom = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ utf8Payload
+    forAll(Gen.choose(1L, 1000000L)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val bytes = new Array[Byte](rnd.nextInt(400) + 1)
+      rnd.nextBytes(bytes)
+      // random bytes x random/hostile content types: total, and the result is
+      // always an honest triple (non-null text, named charset, assumed flag)
+      val cts = Seq(null, "", "text/html", "text/html; charset=utf-8",
+        "text/html; charset=shift_jis", "text/html; charset==;;\"",
+        s"text/html; charset=${rnd.nextString(6)}",
+        s"text/plain; charset=x-${rnd.nextInt(1000)}")
+      for (ct <- cts) {
+        val d = Warc.decodeText(bytes, Option(ct))
+        assert(d.text != null && d.charset.nonEmpty)
+        // the windows-1252 fallback is single-byte: length-preserving, so no
+        // content is ever silently dropped on the no-declaration path
+        if (d.charset == "windows-1252" && d.charset_assumed)
+          assert(d.text.length == bytes.length)
+      }
+      // a UTF-8 BOM beats ANY header label and is stripped from the text
+      val d = Warc.decodeText(bom, Some(s"text/plain; charset=label${rnd.nextInt(100)}"))
+      assert(d.text == "日本 test page" && d.charset == "utf-8" && !d.charset_assumed)
+      // declared-but-garbage labels fall through the chain, never throw; pure
+      // ASCII always survives byte-identical whatever the label says
+      val ascii = ("plain ascii " + rnd.nextInt(1000)).getBytes("ISO-8859-1")
+      val a = Warc.decodeText(ascii, Some(s"text/html; charset=${rnd.nextString(4)}"))
+      assert(a.text == new String(ascii, "ISO-8859-1"))
+    }
+  }
+
   test("html kernel is total and whitespace-canonical on randomized input") {
     import org.apache.spark.unsafe.types.UTF8String
     def run(s: String): (String, String) = {

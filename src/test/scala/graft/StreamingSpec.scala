@@ -183,6 +183,36 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L)) // each key exactly once, across batches
   }
 
+  test("streaming crawl ingestion: WARC blobs explode and charset-decode per micro-batch") {
+    // the crawl entry point is stateless projection + generator + filter, so
+    // the SAME responseTexts call runs under Structured Streaming unchanged —
+    // a live crawl feed needs no second implementation
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Warc
+    def blob(i: Int): Array[Byte] = Warc.encodeWarc(Seq(Warc.encodeResponseRecord(
+      s"https://example.com/$i", "2026-01-01T00:00:00Z", s"<urn:uuid:s$i>", 200,
+      "text/html; charset=iso-8859-1", // WHATWG: the label means windows-1252
+      s"page $i café".getBytes(java.nio.charset.Charset.forName("windows-1252")))),
+      gzip = i % 2 == 0)
+    val input = MemoryStream[(Long, Array[Byte])]
+    val texts = Warc.responseTexts(input.toDF().toDF("blob_id", "warc"), "warc")
+    val q = texts.writeStream.format("memory").queryName("wstream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, blob(1)), (2L, blob(2)))
+      q.processAllAvailable()
+      input.addData((3L, blob(3)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql("SELECT blob_id, text, charset, charset_assumed FROM wstream")
+      .collect()
+    assert(rows.length == 3)
+    assert(rows.forall(r => r.getString(1) == s"page ${r.getLong(0)} café"),
+      rows.map(_.getString(1)).mkString("|"))
+    assert(rows.forall(r => r.getString(2) == "windows-1252" && !r.getBoolean(3)))
+  }
+
   test("streaming fingerprint dedup drops whitespace-variant reposts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -25,6 +25,12 @@ import org.apache.spark.sql.SparkSession
   */
 object GenData {
 
+  /** Bump when distributions/row counts change: [[graft.Bench]] keys its
+    * cached-dataset directory on this, so a stale generation can never be
+    * silently measured as the current one.
+    */
+  val Version = 2
+
   // splitmix64 — the standard public-domain mixer (Steele et al., JDK
   // SplittableRandom): one pass per (id, salt) draw.
   private def mix(z0: Long): Long = {
@@ -85,8 +91,19 @@ object GenData {
     sb.toString
   }
 
-  /** Generate all ten tables at `scale`× the sf0.1 row counts into `out`. */
-  def generate(spark: SparkSession, out: String, scale: Int = 10): Unit = {
+  /** Generate all ten tables at `scale`× the sf0.1 row counts into `out`.
+    * `profileDir` supplies the fixed nation/region dimension tables (25 + 5
+    * rows) — the directory the distributions were profiled from.
+    *
+    * Tables are written straight out of `spark.range(0, n, 1, parts)` — rows
+    * are pure functions of their id, so generating INTO the target partition
+    * count is shuffle-free and still bit-reproducible (a `.repartition` after
+    * the map would move every generated byte once for no semantic effect; at
+    * the 100 TB-backfill scale this generator's shape targets, that shuffle
+    * would dominate the build).
+    */
+  def generate(spark: SparkSession, out: String, scale: Int = 10,
+      profileDir: String = "/root/testdata/sf0.1"): Unit = {
     import spark.implicits._
     require(scale >= 1, s"scale must be >= 1, got $scale")
     val d1995 = java.time.LocalDate.of(1995, 1, 1).toEpochDay
@@ -96,7 +113,7 @@ object GenData {
     val nOrders = 150000L * scale
     val nUsers = 1500L * scale
 
-    spark.range(600000L * scale).map { id =>
+    spark.range(0L, 600000L * scale, 1L, 32).map { id =>
       val qty = 1.0 + (h(id, 1) % 50)
       Lineitem(id >>> 2, h(id, 2) % nPart, h(id, 3) % nSupp, (id & 3).toInt + 1,
         qty, r2d(qty * (900.0 + u(id, 4) * 1200.0)),
@@ -104,53 +121,57 @@ object GenData {
         Flags((h(id, 7) % 3).toInt),
         if (h(id, 8) % 2 == 0) "O" else "F",
         dayTs(d1995, h(id, 9) % 2500))
-    }.repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    }.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
-    spark.range(nOrders).map { id =>
+    spark.range(0L, nOrders, 1L, 8).map { id =>
       Order(id, h(id, 21) % nCust, Statuses((h(id, 22) % 3).toInt),
         r2d(1000.0 + u(id, 23) * 499000.0), dayTs(d1995, h(id, 24) % 2405),
         Priorities((h(id, 25) % 5).toInt))
-    }.repartition(8).write.mode("overwrite").parquet(s"$out/orders.parquet")
+    }.write.mode("overwrite").parquet(s"$out/orders.parquet")
 
-    spark.range(nCust).map { id =>
+    spark.range(0L, nCust, 1L, 4).map { id =>
       Customer(id, f"Customer#$id%09d", h(id, 31) % 25,
         r2d(-999.99 + u(id, 32) * 10999.98), Segments((h(id, 33) % 5).toInt))
-    }.repartition(4).write.mode("overwrite").parquet(s"$out/customer.parquet")
+    }.write.mode("overwrite").parquet(s"$out/customer.parquet")
 
-    spark.range(nSupp).map { id =>
+    spark.range(0L, nSupp, 1L, 2).map { id =>
       Supplier(id, f"Supplier#$id%09d", h(id, 41) % 25,
         r2d(-999.99 + u(id, 42) * 10999.98))
-    }.repartition(2).write.mode("overwrite").parquet(s"$out/supplier.parquet")
+    }.write.mode("overwrite").parquet(s"$out/supplier.parquet")
 
-    spark.range(nPart).map { id =>
+    spark.range(0L, nPart, 1L, 4).map { id =>
       Part(id, (0 until 3).map(i => Vocab((h(id, 50 + i) % Vocab.length).toInt))
         .mkString(" "),
         s"Brand#${1 + (h(id, 54) % 5)}${1 + (h(id, 55) % 5)}",
         s"${PTypes1((h(id, 56) % 6).toInt)} ${PTypes2((h(id, 57) % 5).toInt)} " +
           PTypes3((h(id, 58) % 5).toInt),
         1 + (h(id, 59) % 50).toInt, r2d(900.0 + u(id, 60) * 1200.0))
-    }.repartition(4).write.mode("overwrite").parquet(s"$out/part.parquet")
+    }.write.mode("overwrite").parquet(s"$out/part.parquet")
 
     // nation/region are the fixed TPC-H dimension tables — take them from the
     // profiled source verbatim (25 + 5 rows)
-    spark.read.parquet("/root/testdata/sf0.1/nation.parquet")
+    spark.read.parquet(s"$profileDir/nation.parquet")
       .coalesce(1).write.mode("overwrite").parquet(s"$out/nation.parquet")
-    spark.read.parquet("/root/testdata/sf0.1/region.parquet")
+    spark.read.parquet(s"$profileDir/region.parquet")
       .coalesce(1).write.mode("overwrite").parquet(s"$out/region.parquet")
 
     val nDocs = 5000L * scale
-    spark.range(nDocs).map { id =>
+    spark.range(0L, nDocs, 1L, 16).map { id =>
       // ~10% exact duplicates of an EARLIER doc (dup structure real corpora
-      // have; id 0 can't point backwards and stays original)
-      val seed: Long = if (id > 0 && h(id, 70) % 10 == 0) h(id, 71) % id else id
+      // have; id 0 can't point backwards and stays original). The target may
+      // itself be a duplicate — RESOLVE the chain (strictly decreasing, so it
+      // terminates) or the copy would use docText(target) while the target's
+      // own text is docText(its source): a "duplicate" matching nothing.
+      var seed: Long = id
+      while (seed > 0 && h(seed, 70) % 10 == 0) seed = h(seed, 71) % seed
       val text = docText(seed)
       Doc(id, text,
         if (u(id, 72) < 0.412) "en" else Langs((h(id, 73) % 4).toInt),
         s"src${h(id, 74) % 20}", text.length.toLong)
-    }.repartition(16).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }.write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val dims = 64
-    spark.range(2000L * scale).map { id =>
+    spark.range(0L, 2000L * scale, 1L, 8).map { id =>
       val label = (h(id, 80) % 10).toInt
       val v = new Array[Double](dims)
       var norm = 0.0
@@ -166,17 +187,17 @@ object GenData {
       }
       val inv = if (norm > 0) 1.0 / math.sqrt(norm) else 0.0
       Emb(id, v.map(x => (x * inv).toFloat), label)
-    }.repartition(8).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     val day2024 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
-    spark.range(100000L * scale).map { id =>
+    spark.range(0L, 100000L * scale, 1L, 8).map { id =>
       val micros = (u(id, 91) * 30.0 * 86400.0 * 1e6).toLong
       Event(id, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
         day2024 * 86400L).plus(java.time.Duration.ofNanos(micros * 1000L))),
         h(id, 92) % nUsers, EventTypes((h(id, 93) % 5).toInt),
         r2d(-50.0 * math.log(1.0 - u(id, 94))), // exponential, mean 50 (profiled)
         s"""{"k": ${h(id, 95) % 100}}""")
-    }.repartition(8).write.mode("overwrite").parquet(s"$out/events.parquet")
+    }.write.mode("overwrite").parquet(s"$out/events.parquet")
   }
 
   def main(args: Array[String]): Unit = {
