@@ -134,21 +134,37 @@ object HtmlKernel {
     * html_extract oracle. Collecting blocks instead of one string is what lets
     * [[extractMain]] filter boilerplate by link density without a second walk.
     */
+  /** The ONE whitespace predicate behind the walk's visible-char counts,
+    * [[normalizeBlock]], and [[normalize]] -- the extract/extractMain parity
+    * invariant and the link-density counts assume these agree character-for-
+    * character, so there is exactly one copy to edit. ('\n' is handled
+    * separately everywhere: it is a block boundary, not in-block whitespace.)
+    */
+  private def isSpaceChar(c: Char): Boolean = c == ' ' || c == '\t' ||
+    c == '\r' || c == '\u000B' || c == '\f' || c == '\u00A0'
+
   private def walkBlocks(s: String): (String, scala.collection.mutable.ArrayBuffer[Block]) = {
     val n = s.length
     val blocks = scala.collection.mutable.ArrayBuffer[Block]()
     var cur = new Block
-    var anchorDepth = 0
-    def endBlock(): Unit = if (cur.raw.length > 0) { blocks += cur; cur = new Block }
-    def isWs(c: Char): Boolean = c == ' ' || c == '\t' || c == '\r' ||
-      c == '\u000B' || c == '\f' || c == '\u00A0' || c == '\n'
+    var inAnchor = false
+    // Block boundaries clear the anchor flag: HTML5 legally allows an <a> to
+    // wrap block elements (card links), but crawled pages are full of NEVER-
+    // CLOSED anchors, and carrying anchor-ness across block boundaries would
+    // count everything after the leak as link text -- extractMain would then
+    // silently drop whole articles. Failing OPEN (a card-link block counted
+    // as prose) costs one block; failing closed costs pages.
+    def endBlock(): Unit = {
+      if (cur.raw.length > 0) { blocks += cur; cur = new Block }
+      inAnchor = false
+    }
     def emit(c: Char): Unit =
       if (c == '\n') endBlock() // literal newline: a block boundary, like a <br>
       else {
         cur.raw.append(c)
-        if (!isWs(c)) {
+        if (!isSpaceChar(c)) {
           cur.nonWs += 1
-          if (anchorDepth > 0) cur.anchorNonWs += 1
+          if (inAnchor) cur.anchorNonWs += 1
         }
       }
     def emitStr(str: String): Unit = {
@@ -218,10 +234,15 @@ object HtmlKernel {
             else { val ge = s.indexOf('>', e); i = if (ge < 0) n else ge + 1 }
           } else {
             if (name == "a") {
-              // anchor nesting tracked for the link-density counts; a stray
-              // close clamps at 0 (totality over hostile markup)
-              if (closing) anchorDepth = math.max(0, anchorDepth - 1)
-              else anchorDepth += 1
+              // the HTML tokenizer forbids nested <a>: a second open tag
+              // implicitly closes the first, so the state is a FLAG set on
+              // open and cleared on close -- never a depth that a sloppy
+              // page's unclosed anchor could leak past the next anchor.
+              // XHTML's self-closing '<a name=x/>' opens nothing.
+              val selfClosing = tagEnd - 2 >= i && tagEnd <= n &&
+                tagEnd - 2 < s.length && s.charAt(tagEnd - 2) == '/'
+              if (closing) inAnchor = false
+              else if (!selfClosing) inAnchor = true
             }
             if (BlockTags.contains(name)) endBlock()
             else if (name == "td" || name == "th") emit(' ')
@@ -248,8 +269,7 @@ object HtmlKernel {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == ' ' || c == '\t' || c == '\r' || c == '\u000B' || c == '\f' || c == '\u00A0')
-        pendingSpace = true
+      if (isSpaceChar(c)) pendingSpace = true
       else {
         if (out.length > 0 && pendingSpace) out.append(' ')
         pendingSpace = false
@@ -328,8 +348,7 @@ object HtmlKernel {
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '\n') pendingNewline = true
-      else if (c == ' ' || c == '\t' || c == '\r' || c == '\u000B' || c == '\f' || c == '\u00A0')
-        pendingSpace = true
+      else if (isSpaceChar(c)) pendingSpace = true
       else {
         if (out.length > 0) {
           if (pendingNewline) out.append('\n')
@@ -344,8 +363,13 @@ object HtmlKernel {
   }
 }
 
-/** Codegen'd one-pass `html_parts(html)` → struct(title, text). */
-case class HtmlParts(child: Expression) extends UnaryExpression {
+/** Shared shape of the two HTML-extraction expressions: string → struct(title,
+  * text), evaluated by a static [[HtmlKernel]] method named by `kernelMethod`
+  * (the codegen emits a direct static call). One definition of the type check,
+  * struct schema, and codegen — the two variants cannot drift apart.
+  */
+sealed abstract class HtmlPartsBase extends UnaryExpression {
+  protected def kernelMethod: String
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case _: StringType => TypeCheckResult.TypeCheckSuccess
@@ -357,14 +381,16 @@ case class HtmlParts(child: Expression) extends UnaryExpression {
     StructField("title", StringType, nullable = true),
     StructField("text", StringType, nullable = false)))
 
-  override def prettyName: String = "html_parts"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlKernel.$kernelMethod($c)")
+}
 
+/** Codegen'd one-pass `html_parts(html)` → struct(title, text). */
+case class HtmlParts(child: Expression) extends HtmlPartsBase {
+  override protected val kernelMethod: String = "extract"
+  override def prettyName: String = "html_parts"
   override def nullSafeEval(input: Any): Any =
     HtmlKernel.extract(input.asInstanceOf[UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlKernel.extract($c)")
-
   override protected def withNewChildInternal(newChild: Expression): HtmlParts =
     copy(child = newChild)
 }
@@ -372,26 +398,11 @@ case class HtmlParts(child: Expression) extends UnaryExpression {
 /** Codegen'd `html_main_parts(html)` → struct(title, text): [[HtmlParts]] with
   * link-density boilerplate blocks (nav/footer/sidebar chrome) filtered out.
   */
-case class HtmlMainParts(child: Expression) extends UnaryExpression {
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case _: StringType => TypeCheckResult.TypeCheckSuccess
-    case other =>
-      TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $other")
-  }
-
-  override val dataType: DataType = StructType(Seq(
-    StructField("title", StringType, nullable = true),
-    StructField("text", StringType, nullable = false)))
-
+case class HtmlMainParts(child: Expression) extends HtmlPartsBase {
+  override protected val kernelMethod: String = "extractMain"
   override def prettyName: String = "html_main_parts"
-
   override def nullSafeEval(input: Any): Any =
     HtmlKernel.extractMain(input.asInstanceOf[UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlKernel.extractMain($c)")
-
   override protected def withNewChildInternal(newChild: Expression): HtmlMainParts =
     copy(child = newChild)
 }

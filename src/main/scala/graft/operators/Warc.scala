@@ -516,6 +516,14 @@ object Warc {
     if (label.isEmpty) return None
     val name = label match {
       case "utf8" | "utf-8" | "unicode-1-1-utf-8" => "UTF-8"
+      // WHATWG: a utf-16 LABEL readable by a single-byte scan proves the
+      // document is NOT utf-16 (a real utf-16 page would have declared itself
+      // in utf-16-coded bytes, and a real utf-16 body is caught by the BOM
+      // branch BEFORE labels are consulted) — the spec rewrites these labels
+      // to UTF-8. Honoring them would pair ASCII bytes into CJK garbage and
+      // report it as a confident declaration.
+      case "utf-16" | "utf16" | "utf-16le" | "utf-16be" | "unicode" |
+          "ucs-2" | "iso-10646-ucs-2" | "csunicode" => "UTF-8"
       case "iso-8859-1" | "iso8859-1" | "iso_8859-1" | "iso_8859-1:1987" | "latin1" |
           "latin-1" | "l1" | "ascii" | "us-ascii" | "ansi_x3.4-1968" | "cp819" |
           "cp1252" | "x-cp1252" | "iso-ir-100" => "windows-1252"
@@ -548,13 +556,29 @@ object Warc {
 
   /** `<meta charset>` / `http-equiv` sniff over the head bytes (first 1 KiB,
     * scanned as ISO-8859-1 — charset labels are ASCII so the scan is
-    * encoding-agnostic for every ASCII-compatible charset).
+    * encoding-agnostic for every ASCII-compatible charset). Comment spans are
+    * BLANKED before matching, like the WHATWG prescan skips them: charset
+    * migrations routinely leave the old declaration commented out ahead of the
+    * live one, and matching inside `<!-- -->` would decode the page with the
+    * dead charset while reporting a confident declaration.
     */
   private def metaCharsetLabel(b: Array[Byte]): Option[String] = {
     val n = math.min(b.length, 1024)
     if (n == 0) return None
     val head = new String(b, 0, n, java.nio.charset.StandardCharsets.ISO_8859_1)
-    val m = MetaCharsetPattern.matcher(head)
+      .toCharArray
+    var i = 0
+    while (i + 3 < head.length) {
+      if (head(i) == '<' && head(i + 1) == '!' && head(i + 2) == '-' && head(i + 3) == '-') {
+        var j = i + 4
+        // unterminated comment (the 1 KiB window may cut it): blank to end
+        while (j < head.length && !(head(j) == '>' && head(j - 1) == '-' && head(j - 2) == '-')) j += 1
+        val end = math.min(if (j < head.length) j + 1 else head.length, head.length)
+        java.util.Arrays.fill(head, i, end, ' ')
+        i = end
+      } else i += 1
+    }
+    val m = MetaCharsetPattern.matcher(new String(head))
     if (m.find()) Some(m.group(1)) else None
   }
 
@@ -581,7 +605,7 @@ object Warc {
     * assumed?) — `assumed` means the fallback chose, not a declaration.
     */
   def decodeText(payload: Array[Byte], httpContentType: Option[String]): DecodedText = {
-    val b = if (payload == null) Array.emptyByteArray else payload
+    var b = if (payload == null) Array.emptyByteArray else payload
     def name(cs: java.nio.charset.Charset) =
       cs.name().toLowerCase(java.util.Locale.ROOT)
     bomCharset(b) match {
@@ -589,12 +613,21 @@ object Warc {
         if (cs eq java.nio.charset.StandardCharsets.UTF_8)
           strictUtf8(b, skip) match {
             case Some(t) => return DecodedText(t, "utf-8", charset_assumed = false)
-            case None => () // BOM lied (binary with a BOM prefix): fall through
+            case None =>
+              // BOM lied (e.g. cp1252 content pasted behind a BOM prefix):
+              // STRIP it before falling through — the BOM is a declaration
+              // artifact, not content, and decoding it with the fallback
+              // charset would prefix every such page with mojibake
+              b = java.util.Arrays.copyOfRange(b, skip, b.length)
           }
         else return DecodedText(new String(b, skip, b.length - skip, cs), name(cs),
           charset_assumed = false)
       case None => ()
     }
+    // at most ONE strict pass over the body: both the declared-utf-8 branch
+    // and the no-declaration fallback need the same answer, and re-decoding a
+    // 16 MB body twice on the (common) mislabeled-utf-8 path is pure waste
+    lazy val strict = strictUtf8(b, 0)
     val declared = httpContentType.flatMap { ct =>
       val m = CharsetParamPattern.matcher(ct)
       if (m.find()) Some(m.group(1)) else None
@@ -602,7 +635,7 @@ object Warc {
       .orElse(metaCharsetLabel(b).flatMap(charsetForLabel))
     declared match {
       case Some(cs) if name(cs) == "utf-8" =>
-        strictUtf8(b, 0) match {
+        strict match {
           case Some(t) => return DecodedText(t, "utf-8", charset_assumed = false)
           case None => () // declared utf-8 but NOT valid utf-8: fall through
         }
@@ -610,7 +643,7 @@ object Warc {
         return DecodedText(new String(b, cs), name(cs), charset_assumed = false)
       case None => ()
     }
-    strictUtf8(b, 0) match {
+    strict match {
       case Some(t) => DecodedText(t, "utf-8", charset_assumed = true)
       case None => DecodedText(
         new String(b, java.nio.charset.Charset.forName("windows-1252")),
@@ -640,6 +673,11 @@ object Warc {
       reserved.exists(c.equalsIgnoreCase)),
       s"output columns ${reserved.take(3).mkString("/")} already exist on the input — " +
         "rename them or pass a different textOut")
+    // ...and textOut itself must not collide with the OTHER output columns:
+    // textOut="charset" would pass the input check, then the charset
+    // withColumn would silently overwrite the decoded text
+    require(!Seq("charset", "charset_assumed", "_decoded").exists(textOut.equalsIgnoreCase),
+      s"textOut '$textOut' collides with the charset output columns — pick another name")
     val dec = udf((p: Array[Byte], ct: String) => decodeText(p, Option(ct)))
     explodeRecords(df, binCol, maxRecords, maxPayloadBytes, maxTotalBytes)
       .filter(col("warc_type") === "response" && col("http_status") === 200 &&

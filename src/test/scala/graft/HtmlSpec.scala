@@ -93,6 +93,24 @@ class HtmlSpec extends SparkSpec {
     // hostile: stray closes clamp, unterminated anchors stay total
     assert(extractMain("</a></a><p>text survives</p>")._2 == "text survives")
     extractMain("<a href=x>never closed " * 50) // must not throw
+    // an UNCLOSED anchor must not leak anchor-ness past its block boundary
+    // and silently drop the whole article (crawled pages are full of these)
+    val leaky = "<div><a href=/x>Home</a> <a href=/y>About</div>" + // never closed
+      "<p>The long article paragraph with plenty of ordinary prose that must " +
+      "survive the filter even though an earlier anchor never closed.</p>"
+    val l = extractMain(leaky)._2
+    assert(l.startsWith("The long article paragraph"), s"got <$l>")
+    // the tokenizer rule: a second <a> implicitly closes the first — only the
+    // genuine link text counts as anchor chars, so the prose-heavy block with
+    // two sloppy anchors at its head survives
+    val implicitClose = "<p><a href=/x>Home<a href=/y>About</a> and then a good " +
+      "long run of unlinked prose follows these two sloppy anchors here.</p>"
+    val ic = extractMain(implicitClose)._2
+    // (inline tags vanish without inserting whitespace — same as extract)
+    assert(ic.startsWith("HomeAbout and then"), s"got <$ic>")
+    // XHTML self-closing anchor opens nothing
+    assert(extractMain("<p><a name=top/>Pure prose paragraph with no link text at all.</p>")._2
+      .startsWith("Pure prose"))
   }
 
   test("html extraction is total on hostile input") {

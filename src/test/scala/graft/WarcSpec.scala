@@ -251,6 +251,27 @@ class WarcSpec extends SparkSpec {
     // unknown/garbage label: falls through the chain, never throws
     val g = d("plain ascii".getBytes(iso), "text/plain; charset=klingon-8")
     assert(g.text == "plain ascii" && g.charset == "utf-8" && g.charset_assumed)
+    // a utf-16 LABEL readable by the single-byte scan proves the page is NOT
+    // utf-16 (WHATWG rewrites these to utf-8) — honoring it would pair the
+    // ASCII bytes into CJK garbage and report a confident declaration
+    val u16 = d("<html><head><meta charset=utf-16></head><body>ascii body</body></html>"
+      .getBytes(iso), "text/html")
+    assert(u16.text.contains("ascii body") && u16.charset == "utf-8", s"$u16")
+    val u16h = d("plain page".getBytes(iso), "text/html; charset=UTF-16LE")
+    assert(u16h.text == "plain page" && u16h.charset == "utf-8")
+    // a commented-out OLD declaration must not override the live one (charset
+    // migrations leave these behind; the WHATWG prescan skips comment spans)
+    val migrated = ("<html><head><!-- <meta charset=shift_jis> -->" +
+      "<meta charset=windows-1252></head><body>café page</body></html>")
+      .getBytes(cp1252)
+    val mg = d(migrated, "text/html")
+    assert(mg.charset == "windows-1252" && !mg.charset_assumed &&
+      mg.text.contains("café page"), s"$mg")
+    // a LYING UTF-8 BOM on non-UTF-8 content is STRIPPED before the fallback
+    // decodes — no mojibake prefix enters the text chain
+    val bomLie = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ "café".getBytes(cp1252)
+    val bl = d(bomLie, "text/html; charset=iso-8859-1")
+    assert(bl.text == "café", s"got <${bl.text}> — BOM must not leak as a prefix")
     // empty/null payloads stay total
     assert(Warc.decodeText(Array.emptyByteArray, Some("text/html")).text == "")
     assert(Warc.decodeText(null, None).text == "")
@@ -304,6 +325,12 @@ class WarcSpec extends SparkSpec {
       Warc.responseTexts(df.withColumnRenamed("name", "text"), "warc")
     }
     assert(textClash.getMessage.contains("text"))
+    // ...nor collide with the charset OUTPUT columns (textOut="charset" would
+    // pass the input check and then be overwritten by the charset column)
+    val outClash = intercept[IllegalArgumentException] {
+      Warc.responseTexts(df, "warc", textOut = "charset")
+    }
+    assert(outClash.getMessage.contains("charset"))
     // degenerate caps would silently drop blobs: rejected up front
     intercept[IllegalArgumentException] { Warc.explodeRecords(df, "warc", maxRecords = 0) }
     // the curation bridge: only 200 text-typed bodies, decoded, one per page
