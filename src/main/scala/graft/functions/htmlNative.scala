@@ -126,14 +126,6 @@ object HtmlKernel {
     var anchorNonWs = 0
   }
 
-  /** The extraction walk: title + the block sequence. Joining ALL non-empty
-    * normalized blocks with '\n' reproduces the original single-pass
-    * normalize() exactly (a block boundary IS where it emitted a newline;
-    * empty blocks are the newline runs it collapsed; per-block space collapse
-    * + the final join trim are its space rule) — pinned by HtmlSpec and the
-    * html_extract oracle. Collecting blocks instead of one string is what lets
-    * [[extractMain]] filter boilerplate by link density without a second walk.
-    */
   /** The ONE whitespace predicate behind the walk's visible-char counts,
     * [[normalizeBlock]], and [[normalize]] -- the extract/extractMain parity
     * invariant and the link-density counts assume these agree character-for-
@@ -143,23 +135,35 @@ object HtmlKernel {
   private def isSpaceChar(c: Char): Boolean = c == ' ' || c == '\t' ||
     c == '\r' || c == '\u000B' || c == '\f' || c == '\u00A0'
 
+  /** The extraction walk: title + the block sequence. Joining ALL non-empty
+    * normalized blocks with '\n' reproduces the original single-pass
+    * normalize() exactly (a block boundary IS where it emitted a newline;
+    * empty blocks are the newline runs it collapsed; per-block space collapse
+    * + the final join trim are its space rule) — pinned by HtmlSpec and the
+    * html_extract oracle. Collecting blocks instead of one string is what lets
+    * [[extractMain]] filter boilerplate by link density without a second walk.
+    */
   private def walkBlocks(s: String): (String, scala.collection.mutable.ArrayBuffer[Block]) = {
     val n = s.length
     val blocks = scala.collection.mutable.ArrayBuffer[Block]()
     var cur = new Block
     var inAnchor = false
-    // Block boundaries clear the anchor flag: HTML5 legally allows an <a> to
-    // wrap block elements (card links), but crawled pages are full of NEVER-
-    // CLOSED anchors, and carrying anchor-ness across block boundaries would
-    // count everything after the leak as link text -- extractMain would then
-    // silently drop whole articles. Failing OPEN (a card-link block counted
-    // as prose) costs one block; failing closed costs pages.
-    def endBlock(): Unit = {
+    // Block-TAG boundaries clear the anchor flag: HTML5 legally allows an <a>
+    // to wrap block elements (card links), but crawled pages are full of
+    // NEVER-CLOSED anchors, and carrying anchor-ness across block boundaries
+    // would count everything after the leak as link text -- extractMain would
+    // then silently drop whole articles. Failing OPEN (a card-link block
+    // counted as prose) costs one block; failing closed costs pages. A
+    // literal source NEWLINE is a block boundary for the text but NOT an
+    // anchor boundary: pretty-printed markup routinely wraps lines inside a
+    // properly closed <a>, and clearing there would let every such nav link
+    // evade the density filter.
+    def endBlock(clearAnchor: Boolean): Unit = {
       if (cur.raw.length > 0) { blocks += cur; cur = new Block }
-      inAnchor = false
+      if (clearAnchor) inAnchor = false
     }
     def emit(c: Char): Unit =
-      if (c == '\n') endBlock() // literal newline: a block boundary, like a <br>
+      if (c == '\n') endBlock(clearAnchor = false) // literal newline: block boundary
       else {
         cur.raw.append(c)
         if (!isSpaceChar(c)) {
@@ -238,13 +242,22 @@ object HtmlKernel {
               // implicitly closes the first, so the state is a FLAG set on
               // open and cleared on close -- never a depth that a sloppy
               // page's unclosed anchor could leak past the next anchor.
-              // XHTML's self-closing '<a name=x/>' opens nothing.
-              val selfClosing = tagEnd - 2 >= i && tagEnd <= n &&
-                tagEnd - 2 < s.length && s.charAt(tagEnd - 2) == '/'
+              // Self-close per the tokenizer: a '/' inside an UNQUOTED
+              // attribute value is a VALUE character ('<a href=/>' and
+              // '<a name=top/>' both open real anchors), so only a '/'
+              // right after the name or following a quote/whitespace counts
+              // as XML-style self-closing (XHTML quotes its attributes).
+              val slashAt = tagEnd - 2 // char before a REAL '>' (k < n)
+              val selfClosing = k < n && slashAt >= j && s.charAt(slashAt) == '/' && {
+                slashAt == j || {
+                  val pc = s.charAt(slashAt - 1)
+                  pc == '"' || pc == '\'' || Character.isWhitespace(pc)
+                }
+              }
               if (closing) inAnchor = false
               else if (!selfClosing) inAnchor = true
             }
-            if (BlockTags.contains(name)) endBlock()
+            if (BlockTags.contains(name)) endBlock(clearAnchor = true)
             else if (name == "td" || name == "th") emit(' ')
             i = tagEnd
           }
@@ -255,7 +268,7 @@ object HtmlKernel {
         emitStr(rep); i += adv
       } else { emit(ch); i += 1 }
     }
-    endBlock()
+    endBlock(clearAnchor = true)
     (title, blocks)
   }
 

@@ -516,14 +516,6 @@ object Warc {
     if (label.isEmpty) return None
     val name = label match {
       case "utf8" | "utf-8" | "unicode-1-1-utf-8" => "UTF-8"
-      // WHATWG: a utf-16 LABEL readable by a single-byte scan proves the
-      // document is NOT utf-16 (a real utf-16 page would have declared itself
-      // in utf-16-coded bytes, and a real utf-16 body is caught by the BOM
-      // branch BEFORE labels are consulted) — the spec rewrites these labels
-      // to UTF-8. Honoring them would pair ASCII bytes into CJK garbage and
-      // report it as a confident declaration.
-      case "utf-16" | "utf16" | "utf-16le" | "utf-16be" | "unicode" |
-          "ucs-2" | "iso-10646-ucs-2" | "csunicode" => "UTF-8"
       case "iso-8859-1" | "iso8859-1" | "iso_8859-1" | "iso_8859-1:1987" | "latin1" |
           "latin-1" | "l1" | "ascii" | "us-ascii" | "ansi_x3.4-1968" | "cp819" |
           "cp1252" | "x-cp1252" | "iso-ir-100" => "windows-1252"
@@ -573,7 +565,7 @@ object Warc {
         var j = i + 4
         // unterminated comment (the 1 KiB window may cut it): blank to end
         while (j < head.length && !(head(j) == '>' && head(j - 1) == '-' && head(j - 2) == '-')) j += 1
-        val end = math.min(if (j < head.length) j + 1 else head.length, head.length)
+        val end = if (j < head.length) j + 1 else head.length
         java.util.Arrays.fill(head, i, end, ' ')
         i = end
       } else i += 1
@@ -606,6 +598,7 @@ object Warc {
     */
   def decodeText(payload: Array[Byte], httpContentType: Option[String]): DecodedText = {
     var b = if (payload == null) Array.emptyByteArray else payload
+    var bomLied = false
     def name(cs: java.nio.charset.Charset) =
       cs.name().toLowerCase(java.util.Locale.ROOT)
     bomCharset(b) match {
@@ -619,6 +612,7 @@ object Warc {
               // artifact, not content, and decoding it with the fallback
               // charset would prefix every such page with mojibake
               b = java.util.Arrays.copyOfRange(b, skip, b.length)
+              bomLied = true // the remainder is already PROVEN invalid UTF-8
           }
         else return DecodedText(new String(b, skip, b.length - skip, cs), name(cs),
           charset_assumed = false)
@@ -626,13 +620,28 @@ object Warc {
     }
     // at most ONE strict pass over the body: both the declared-utf-8 branch
     // and the no-declaration fallback need the same answer, and re-decoding a
-    // 16 MB body twice on the (common) mislabeled-utf-8 path is pure waste
-    lazy val strict = strictUtf8(b, 0)
+    // 16 MB body twice on the (common) mislabeled-utf-8 path is pure waste —
+    // and when the BOM branch above already PROVED the bytes invalid (it
+    // tested exactly the stripped remainder), don't re-prove it
+    lazy val strict = if (bomLied) None else strictUtf8(b, 0)
+    // WHATWG: a utf-16 label found by the single-byte META prescan proves the
+    // document is NOT utf-16 (the label itself was readable one-byte-per-char)
+    // — the spec rewrites those labels to UTF-8. The rewrite must NOT apply to
+    // the transport-layer header param: a BOM-less UTF-16 body with an honest
+    // 'charset=utf-16le' header is legal and decodes correctly by its label
+    // (its NUL bytes are valid UTF-8, so a rewrite would return NUL-interleaved
+    // garbage marked as a confident declaration).
+    def rewriteMetaUtf16(label: String): String =
+      label.trim.toLowerCase(java.util.Locale.ROOT) match {
+        case "utf-16" | "utf16" | "utf-16le" | "utf-16be" | "unicode" |
+            "ucs-2" | "iso-10646-ucs-2" | "csunicode" => "utf-8"
+        case other => other
+      }
     val declared = httpContentType.flatMap { ct =>
       val m = CharsetParamPattern.matcher(ct)
       if (m.find()) Some(m.group(1)) else None
     }.flatMap(charsetForLabel)
-      .orElse(metaCharsetLabel(b).flatMap(charsetForLabel))
+      .orElse(metaCharsetLabel(b).map(rewriteMetaUtf16).flatMap(charsetForLabel))
     declared match {
       case Some(cs) if name(cs) == "utf-8" =>
         strict match {
@@ -674,10 +683,13 @@ object Warc {
       s"output columns ${reserved.take(3).mkString("/")} already exist on the input — " +
         "rename them or pass a different textOut")
     // ...and textOut itself must not collide with the OTHER output columns:
-    // textOut="charset" would pass the input check, then the charset
-    // withColumn would silently overwrite the decoded text
-    require(!Seq("charset", "charset_assumed", "_decoded").exists(textOut.equalsIgnoreCase),
-      s"textOut '$textOut' collides with the charset output columns — pick another name")
+    // textOut="charset" would pass the input check and then be overwritten by
+    // the charset withColumn, and textOut="payload" (or any record column)
+    // would be erased by the drop — either way the output silently has no
+    // decoded text, the exact clobber class this guard exists to prevent
+    require(!Seq("charset", "charset_assumed", "_decoded").exists(textOut.equalsIgnoreCase) &&
+      !RecordColumns.contains(textOut.toLowerCase(java.util.Locale.ROOT)),
+      s"textOut '$textOut' collides with an output/record column — pick another name")
     val dec = udf((p: Array[Byte], ct: String) => decodeText(p, Option(ct)))
     explodeRecords(df, binCol, maxRecords, maxPayloadBytes, maxTotalBytes)
       .filter(col("warc_type") === "response" && col("http_status") === 200 &&

@@ -108,9 +108,25 @@ class HtmlSpec extends SparkSpec {
     val ic = extractMain(implicitClose)._2
     // (inline tags vanish without inserting whitespace — same as extract)
     assert(ic.startsWith("HomeAbout and then"), s"got <$ic>")
-    // XHTML self-closing anchor opens nothing
-    assert(extractMain("<p><a name=top/>Pure prose paragraph with no link text at all.</p>")._2
+    // QUOTED XHTML self-close opens nothing (XHTML quotes its attributes);
+    // the UNQUOTED form is, per the HTML tokenizer, a '/' inside the value —
+    // it opens a REAL anchor, so the all-anchor block drops
+    assert(extractMain("<p><a name=\"top\"/>Pure prose paragraph with no link text.</p>")._2
       .startsWith("Pure prose"))
+    assert(extractMain("<p><a name=top/>all of this is anchor text now</p>")._2 == "")
+    // unquoted href ending in '/' is a VALUE character, not a self-close:
+    // '<a href=/>Home</a>' is a real link and the nav row must still drop
+    assert(extractMain("<div><a href=/>Home</a> | <a href=/a/>About</a></div>" +
+      "<p>A full paragraph of ordinary article prose that easily survives.</p>")._2
+      .startsWith("A full paragraph"))
+    // pretty-printed markup: a newline INSIDE a properly closed anchor must
+    // not launder its text as prose — the link-dense list still drops
+    val pretty = "<ul><li><a href=\"/about\">\n  About this site\n</a></li>" +
+      "<li><a href=\"/contact\">\n  Contact the team\n</a></li></ul>" +
+      "<p>Meanwhile the real article text keeps flowing and stays kept here.</p>"
+    val pr = extractMain(pretty)._2
+    assert(pr == "Meanwhile the real article text keeps flowing and stays kept here.",
+      s"got <$pr>")
   }
 
   test("html extraction is total on hostile input") {

@@ -251,14 +251,19 @@ class WarcSpec extends SparkSpec {
     // unknown/garbage label: falls through the chain, never throws
     val g = d("plain ascii".getBytes(iso), "text/plain; charset=klingon-8")
     assert(g.text == "plain ascii" && g.charset == "utf-8" && g.charset_assumed)
-    // a utf-16 LABEL readable by the single-byte scan proves the page is NOT
-    // utf-16 (WHATWG rewrites these to utf-8) — honoring it would pair the
+    // a utf-16 LABEL found by the single-byte META prescan proves the page is
+    // NOT utf-16 (WHATWG rewrites these to utf-8) — honoring it would pair the
     // ASCII bytes into CJK garbage and report a confident declaration
     val u16 = d("<html><head><meta charset=utf-16></head><body>ascii body</body></html>"
       .getBytes(iso), "text/html")
     assert(u16.text.contains("ascii body") && u16.charset == "utf-8", s"$u16")
-    val u16h = d("plain page".getBytes(iso), "text/html; charset=UTF-16LE")
-    assert(u16h.text == "plain page" && u16h.charset == "utf-8")
+    // ...but a TRANSPORT-layer utf-16 declaration is legitimate (the rewrite
+    // argument doesn't apply to headers): a BOM-less UTF-16LE body with an
+    // honest header decodes by its label, not as NUL-interleaved utf-8
+    val u16h = d("hello page".getBytes(java.nio.charset.StandardCharsets.UTF_16LE),
+      "text/html; charset=UTF-16LE")
+    assert(u16h.text == "hello page" && u16h.charset == "utf-16le" && !u16h.charset_assumed,
+      s"$u16h")
     // a commented-out OLD declaration must not override the live one (charset
     // migrations leave these behind; the WHATWG prescan skips comment spans)
     val migrated = ("<html><head><!-- <meta charset=shift_jis> -->" +
@@ -331,6 +336,12 @@ class WarcSpec extends SparkSpec {
       Warc.responseTexts(df, "warc", textOut = "charset")
     }
     assert(outClash.getMessage.contains("charset"))
+    // ...nor shadow a WARC record column: textOut="payload" would be written
+    // over the record payload and then dropped — no text column, no error
+    val recClash = intercept[IllegalArgumentException] {
+      Warc.responseTexts(df, "warc", textOut = "payload")
+    }
+    assert(recClash.getMessage.contains("payload"))
     // degenerate caps would silently drop blobs: rejected up front
     intercept[IllegalArgumentException] { Warc.explodeRecords(df, "warc", maxRecords = 0) }
     // the curation bridge: only 200 text-typed bodies, decoded, one per page
