@@ -148,6 +148,7 @@ object HtmlKernel {
     val blocks = scala.collection.mutable.ArrayBuffer[Block]()
     var cur = new Block
     var inAnchor = false
+    var anchorRun = 0 // visible chars counted since the anchor opened
     // Block-TAG boundaries clear the anchor flag: HTML5 legally allows an <a>
     // to wrap block elements (card links), but crawled pages are full of
     // NEVER-CLOSED anchors, and carrying anchor-ness across block boundaries
@@ -168,7 +169,17 @@ object HtmlKernel {
         cur.raw.append(c)
         if (!isSpaceChar(c)) {
           cur.nonWs += 1
-          if (inAnchor) cur.anchorNonWs += 1
+          if (inAnchor) {
+            cur.anchorNonWs += 1
+            anchorRun += 1
+            // reach cap: an anchor LABEL is short, and block tags clear the
+            // flag anyway — only an UNCLOSED anchor in block-tag-free markup
+            // (converted plain text, <pre> bodies) can run this far, and
+            // letting it would count the rest of the page as link text and
+            // drop it wholesale. 400 visible chars bounds that damage while
+            // leaving every real label and card link untouched.
+            if (anchorRun > 400) inAnchor = false
+          }
         }
       }
     def emitStr(str: String): Unit = {
@@ -250,12 +261,16 @@ object HtmlKernel {
               val slashAt = tagEnd - 2 // char before a REAL '>' (k < n)
               val selfClosing = k < n && slashAt >= j && s.charAt(slashAt) == '/' && {
                 slashAt == j || {
+                  // tokenizer whitespace is ASCII-only (tab/LF/FF/CR/space):
+                  // exotic whitespace inside an unquoted value is a VALUE
+                  // character, so '/' after it does not self-close
                   val pc = s.charAt(slashAt - 1)
-                  pc == '"' || pc == '\'' || Character.isWhitespace(pc)
+                  pc == '"' || pc == '\'' || pc == ' ' || pc == '\t' ||
+                    pc == '\n' || pc == '\r' || pc == '\f'
                 }
               }
               if (closing) inAnchor = false
-              else if (!selfClosing) inAnchor = true
+              else if (!selfClosing) { inAnchor = true; anchorRun = 0 }
             }
             if (BlockTags.contains(name)) endBlock(clearAnchor = true)
             else if (name == "td" || name == "th") emit(' ')

@@ -516,6 +516,14 @@ object Warc {
     if (label.isEmpty) return None
     val name = label match {
       case "utf8" | "utf-8" | "unicode-1-1-utf-8" => "UTF-8"
+      // WHATWG maps the endianness-UNSPECIFIED utf-16 labels to UTF-16LE (the
+      // dominant real-world endianness); Java's bare "UTF-16" decoder instead
+      // assumes BIG-endian on BOM-less input, which would byte-swap the whole
+      // page into CJK garbage. (BOM'd bodies never reach the label path — the
+      // BOM branch resolves them first. Explicit utf-16le/utf-16be pass
+      // through to forName below.)
+      case "utf-16" | "utf16" | "unicode" | "ucs-2" | "iso-10646-ucs-2" |
+          "csunicode" => "UTF-16LE"
       case "iso-8859-1" | "iso8859-1" | "iso_8859-1" | "iso_8859-1:1987" | "latin1" |
           "latin-1" | "l1" | "ascii" | "us-ascii" | "ansi_x3.4-1968" | "cp819" |
           "cp1252" | "x-cp1252" | "iso-ir-100" => "windows-1252"

@@ -127,6 +127,14 @@ class HtmlSpec extends SparkSpec {
     val pr = extractMain(pretty)._2
     assert(pr == "Meanwhile the real article text keeps flowing and stays kept here.",
       s"got <$pr>")
+    // an UNCLOSED anchor in block-tag-free markup (converted plain text, pre
+    // bodies) must not poison the whole page: the reach cap (400 visible
+    // chars) contains the leak, so text past it survives the filter
+    val sentence = "Ordinary prose keeps arriving line after line in this page. " // 60 ch
+    val noTags = "<a name=top>Welcome\n" + (sentence + "\n") * 12
+    val nt = extractMain(noTags)._2
+    assert(nt.nonEmpty && nt.contains("Ordinary prose"),
+      s"unclosed anchor must not drop the whole page: <${nt.take(80)}>")
   }
 
   test("html extraction is total on hostile input") {

@@ -264,6 +264,11 @@ class WarcSpec extends SparkSpec {
       "text/html; charset=UTF-16LE")
     assert(u16h.text == "hello page" && u16h.charset == "utf-16le" && !u16h.charset_assumed,
       s"$u16h")
+    // the endianness-UNSPECIFIED label means LE per WHATWG (Java's bare UTF-16
+    // decoder would assume BE and byte-swap the page into CJK garbage)
+    val u16bare = d("hello page".getBytes(java.nio.charset.StandardCharsets.UTF_16LE),
+      "text/html; charset=utf-16")
+    assert(u16bare.text == "hello page" && u16bare.charset == "utf-16le", s"$u16bare")
     // a commented-out OLD declaration must not override the live one (charset
     // migrations leave these behind; the WHATWG prescan skips comment spans)
     val migrated = ("<html><head><!-- <meta charset=shift_jis> -->" +
