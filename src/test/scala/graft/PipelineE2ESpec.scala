@@ -245,4 +245,59 @@ class PipelineE2ESpec extends SparkSpec {
     val deduped = Dedup.exactDedup(kept, Seq("prose"))
     assert(deduped.count() == 1, "same page from two crawls is one page")
   }
+
+  test("charset-aware crawl pipeline: mixed-charset archives -> main prose -> language split") {
+    import graft.operators.Warc
+    import spark.implicits._
+    // The round-10 crawl surface end to end: a windows-1252 page declared via
+    // a (lying) latin-1 header label, a Shift_JIS page declared only by meta
+    // sniff, a revisit record, and a payload digest — through charset-aware
+    // decode, main-content extraction (nav/footer chrome dropped), and
+    // language routing, with nothing mojibaked and nothing silently lost.
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    val nav = "<div><a href=\"/\">Home</a> | <a href=\"/x\">About</a> | " +
+      "<a href=\"/y\">Contact</a></div>"
+    def page(body: String, meta: String = "") =
+      s"<html><head>$meta<title>t</title></head><body>$nav<p>$body</p>" +
+        "<footer><a href=\"/t\">Terms</a> <a href=\"/p\">Privacy</a></footer></body></html>"
+    val enBody = "The style guides and the résumés of the café pages from " +
+      "the early web still render correctly when the charset is resolved. " * 2
+    val jaBody = "日本語のページ本文がここに続きます。品質の高い文章です。" * 3
+    val blob1 = Warc.encodeWarc(Seq(
+      Warc.encodeResponseRecord("https://a.example/", "2026-01-01T00:00:00Z",
+        "<urn:uuid:a>", 200, "text/html; charset=iso-8859-1",
+        page(enBody).getBytes(cp1252), payloadDigest = Some("sha1:AAA"))), gzip = true)
+    val blob2 = Warc.encodeWarc(Seq(
+      Warc.encodeResponseRecord("https://b.example/", "2026-01-01T00:00:00Z",
+        "<urn:uuid:b>", 200, "text/html",
+        page(jaBody, meta = "<meta charset=shift_jis>").getBytes("windows-31j")),
+      // a real crawl's second capture of page a: same digest, no body
+      Warc.encodeRevisitRecord("https://a.example/", "2026-01-02T00:00:00Z",
+        "<urn:uuid:a2>", "<urn:uuid:a>", "sha1:AAA")))
+    val crawls = Seq((1L, blob1), (2L, blob2)).toDF("blob_id", "warc").repartition(2)
+
+    // 1. decode: revisit skipped, both charsets resolved from declarations
+    val pages = Warc.responseTexts(crawls, "warc")
+    assert(pages.count() == 2, "revisit records must not reach the text chain")
+    assert(pages.select("charset").as[String].collect().sorted.toSeq ==
+      Seq("windows-1252", "windows-31j"))
+    assert(pages.filter(col("charset_assumed")).count() == 0, "both were declared")
+    assert(pages.filter(col("blob_id") === 1L).select("payload_digest")
+      .as[String].head() == "sha1:AAA", "digest rides along for cross-archive dedup")
+
+    // 2. main-content extraction drops the link-dense nav/footer, keeps prose,
+    //    and the charset round-trip preserved the non-ASCII characters
+    val prose = pages.withColumn("main",
+      graft.functions.WebFunctions.htmlMainText(col("text")))
+    assert(prose.filter(col("main").contains("Home") ||
+      col("main").contains("Privacy")).count() == 0, "chrome must not survive")
+    assert(prose.filter(col("main").contains("résumés of the café")).count() == 1)
+    assert(prose.filter(col("main").contains("日本語のページ本文")).count() == 1)
+
+    // 3. language routing on the DECODED prose (mojibake would misroute)
+    val routed = prose.withColumn("lang",
+      graft.functions.TextFunctions.langId(col("main")))
+    assert(routed.select("lang").as[String].collect().sorted.toSeq == Seq("en", "zh"),
+      "Han-script page routes zh, English page routes en")
+  }
 }
