@@ -1835,18 +1835,21 @@ object Queries {
              | FROM p""".stripMargin.replaceAll("\n", " "))),
 
     // Charset-aware crawl decode, oracled end-to-end: each doc becomes a WARC
-    // response whose charset rotates on doc_id%4 — windows-1252 declared via a
+    // response whose charset rotates on doc_id%6 — windows-1252 declared via a
     // LYING latin-1 header label (WHATWG: it means cp1252), Shift_JIS declared
-    // only by <meta charset> sniff, GBK via header param, and undeclared UTF-8
-    // resolved by the validity fallback (the one charset_assumed case). The
-    // boolean gates that every decoded text equals the expected string the
+    // only by <meta charset> sniff, GBK via header param, undeclared UTF-8
+    // resolved by the validity fallback (the one charset_assumed case), a
+    // UTF-8 BOM beating a lying shift_jis header (and getting stripped), and
+    // a BOM-less UTF-16LE body under the endianness-unspecified `utf-16`
+    // header label (WHATWG: it means LE; the JVM default would byte-swap).
+    // The boolean gates that every decoded text equals the expected string the
     // encoder started from (bytes went through a REAL charset round-trip);
     // the per-charset counts and the assumed count replay as doc_id arithmetic.
     QueryDef("warc_charset_documents",
       (s, d) => {
         import graft.operators.Warc
         val mkBlob = udf((id: Long) => {
-          val m = (((id % 4) + 4) % 4).toInt
+          val m = (((id % 6) + 6) % 6).toInt
           val (ct, bytes) = m match {
             case 0 => ("text/html; charset=iso-8859-1",
               s"café – résumé € $id".getBytes("windows-1252"))
@@ -1855,7 +1858,12 @@ object Queries {
                 .getBytes("windows-31j"))
             case 2 => ("text/html; charset=gb2312",
               s"中文网页 $id".getBytes("GBK"))
-            case _ => ("text/plain", s"日本 page $id".getBytes("UTF-8"))
+            case 3 => ("text/plain", s"日本 page $id".getBytes("UTF-8"))
+            case 4 => ("text/html; charset=shift_jis", // the BOM must win
+              Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+                s"bom wins $id".getBytes("UTF-8"))
+            case _ => ("text/plain; charset=utf-16",
+              s"wide page $id".getBytes(java.nio.charset.StandardCharsets.UTF_16LE))
           }
           Warc.encodeWarc(Seq(Warc.encodeResponseRecord(s"https://example.com/$id",
             "2026-01-01T00:00:00Z", s"<urn:uuid:$id>", 200, ct, bytes)),
@@ -1864,11 +1872,13 @@ object Queries {
         val blobs = t(s, d, "documents").filter(col("doc_id").isNotNull)
           .select(col("doc_id"), mkBlob(col("doc_id")).as("warc"))
         val id = col("doc_id").cast("string")
-        val m = pmod(col("doc_id"), lit(4))
+        val m = pmod(col("doc_id"), lit(6))
         val expected = when(m === 0, concat(lit("café – résumé € "), id))
           .when(m === 1, concat(lit("<meta charset=shift_jis>日本語のページ "), id))
           .when(m === 2, concat(lit("中文网页 "), id))
-          .otherwise(concat(lit("日本 page "), id))
+          .when(m === 3, concat(lit("日本 page "), id))
+          .when(m === 4, concat(lit("bom wins "), id)) // BOM stripped, not prose
+          .otherwise(concat(lit("wide page "), id))
         Warc.responseTexts(blobs, "warc")
           .select(col("text"), col("charset"), col("charset_assumed"), expected.as("exp"))
           .agg(count(lit(1)).as("n_pages"),
@@ -1880,16 +1890,19 @@ object Queries {
               lit(0L)).as("n_sjis"),
             coalesce(sum(when(col("charset") === "gbk", 1L).otherwise(0L)),
               lit(0L)).as("n_gbk"),
+            coalesce(sum(when(col("charset") === "utf-16le", 1L).otherwise(0L)),
+              lit(0L)).as("n_utf16"),
             coalesce(sum(when(col("charset_assumed"), 1L).otherwise(0L)),
               lit(0L)).as("n_assumed"))
       },
-      Some("""WITH d AS (SELECT (doc_id % 4 + 4) % 4 AS m
+      Some("""WITH d AS (SELECT (doc_id % 6 + 6) % 6 AS m
              |   FROM documents WHERE doc_id IS NOT NULL)
              | SELECT CAST(count(*) AS BIGINT) AS n_pages,
              | CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS decode_ok,
              | CAST(coalesce(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cp1252,
              | CAST(coalesce(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_sjis,
              | CAST(coalesce(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_gbk,
+             | CAST(coalesce(sum(CASE WHEN m = 5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_utf16,
              | CAST(coalesce(sum(CASE WHEN m = 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_assumed
              | FROM d""".stripMargin.replaceAll("\n", " "))),
 
