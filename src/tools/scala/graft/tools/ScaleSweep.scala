@@ -116,7 +116,14 @@ object ScaleSweep {
     "audio_meta_documents",
     "warc_records_documents",
     "html_extract_documents",
-    "warc_html_pipeline_documents")
+    "warc_html_pipeline_documents",
+    // round-10 crawl-surface additions: charset-aware decode (per-row codec
+    // walk + strict-UTF-8 pass), digest/revisit explode, and the link-density
+    // main-text kernel — all row-local encode+parse feeding single-row aggs,
+    // same honest ~linear shape as the round-9 ingestion family
+    "warc_charset_documents",
+    "warc_digest_dedup_documents",
+    "html_main_text_documents")
   // bloom_join_lineitem_orders is NOT sweepable here: the synthetic 10× dir holds
   // only documents/embeddings/events (lineitem 10× is built separately for the
   // suite20 datapoint); its scale story is the spec-pinned pre-shuffle filter.
