@@ -1865,9 +1865,12 @@ object Queries {
             case _ => ("text/plain; charset=utf-16",
               s"wide page $id".getBytes(java.nio.charset.StandardCharsets.UTF_16LE))
           }
+          // gzip keyed off id/6, COPRIME to the %6 charset rotation — id%2
+          // would pin each decode path to one compression layout forever
+          // (gcd(2,6)=2), hiding any gzip-x-charset interaction from the gate
           Warc.encodeWarc(Seq(Warc.encodeResponseRecord(s"https://example.com/$id",
             "2026-01-01T00:00:00Z", s"<urn:uuid:$id>", 200, ct, bytes)),
-            gzip = (((id % 2) + 2) % 2) == 0L)
+            gzip = ((((id / 6) % 2) + 2) % 2) == 0L)
         })
         val blobs = t(s, d, "documents").filter(col("doc_id").isNotNull)
           .select(col("doc_id"), mkBlob(col("doc_id")).as("warc"))

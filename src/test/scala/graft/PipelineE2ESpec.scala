@@ -260,7 +260,10 @@ class PipelineE2ESpec extends SparkSpec {
     def page(body: String, meta: String = "") =
       s"<html><head>$meta<title>t</title></head><body>$nav<p>$body</p>" +
         "<footer><a href=\"/t\">Terms</a> <a href=\"/p\">Privacy</a></footer></body></html>"
-    val enBody = "The style guides and the résumés of the café pages from " +
+    // '€' (0x80) and '–' (0x96) live in cp1252's C1 range where ISO-8859-1
+    // has control chars — they make the decode DISCRIMINATING (an 'é'-only
+    // fixture round-trips identically under both charsets)
+    val enBody = "The style guides – and the € résumés of the café pages from " +
       "the early web still render correctly when the charset is resolved. " * 2
     val jaBody = "日本語のページ本文がここに続きます。品質の高い文章です。" * 3
     val blob1 = Warc.encodeWarc(Seq(
