@@ -649,7 +649,7 @@ object Queries {
             "bounds_ok", "no_false_neg_ok")
       },
       Some("""WITH tok AS (SELECT t FROM documents,
-             |   unnest(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS u(t)),
+             |   unnest(@TOKENS(text)@) AS u(t)),
              | c AS (SELECT t, count(*) AS n FROM tok GROUP BY 1)
              | SELECT CAST((SELECT count(*) FROM tok) AS BIGINT) AS n_tokens,
              | CAST((SELECT count(*) FROM c) AS BIGINT) AS n_distinct,
@@ -1127,8 +1127,8 @@ object Queries {
           count(lit(1)).cast("double")).as("avg_tokens")),
       Some("""SELECT count(*) AS n_docs,
              | CAST(sum(length(text)) AS BIGINT) AS total_chars,
-             | CAST(sum(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != ''))) AS BIGINT) AS total_tokens,
-             | CAST(sum(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != ''))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens
+             | CAST(sum(len(@TOKENS(text)@)) AS BIGINT) AS total_tokens,
+             | CAST(sum(len(@TOKENS(text)@)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens
              | FROM documents""".stripMargin.replaceAll("\n", " "))),
 
     // Intra-document repetition signals (Gopher-style quality filters): duplicate
@@ -1153,7 +1153,7 @@ object Queries {
       Some("""WITH idx AS (SELECT unnest(range(1, CAST((SELECT coalesce(max(length(text)), 0) FROM documents) AS BIGINT) + 1)) AS i),
              | ch AS (SELECT doc_id, count(DISTINCT substr(text, CAST(i AS INT), 10)) AS d, max(length(text)) - 9 AS tot
              |   FROM documents JOIN idx ON i <= length(text) - 9 GROUP BY doc_id),
-             | tok AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS t FROM documents),
+             | tok AS (SELECT doc_id, @TOKENS(text)@ AS t FROM documents),
              | wg AS (SELECT doc_id, count(DISTINCT array_to_string(t[CAST(i AS INT):CAST(i AS INT)+2], ' ')) AS d, max(len(t)) - 2 AS tot
              |   FROM tok JOIN idx ON i <= len(t) - 2 GROUP BY doc_id),
              | per AS (SELECT doc.doc_id,
@@ -1183,7 +1183,7 @@ object Queries {
             sum(col("ngrams_matched")).cast("long").as("total_matched"),
             round(max(col("contamination")), 6).as("max_contamination"))
       },
-      Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS t FROM documents WHERE text IS NOT NULL),
+      Some("""WITH tok AS (SELECT doc_id, @TOKENS(text)@ AS t FROM documents WHERE text IS NOT NULL),
              | widx AS (SELECT unnest(range(1, CAST((SELECT coalesce(max(len(t)), 0) FROM tok) AS BIGINT) + 1)) AS i),
              | g AS (SELECT doc_id, array_to_string(t[CAST(i AS INT):CAST(i AS INT)+7], ' ') AS gram FROM tok JOIN widx ON i <= len(t) - 7
              |   UNION ALL SELECT doc_id, array_to_string(t, ' ') FROM tok WHERE len(t) < 8 AND len(t) > 0),
@@ -1215,7 +1215,7 @@ object Queries {
         sum(when(TextFunctions.langId(col("text")) === col("lang"), 1L).otherwise(0L)).as("agree")),
       Some("""WITH s AS (SELECT lang,
              | CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^\p{Han}]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS cjk,
-             | list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS toks FROM documents),
+             | @TOKENS(text)@ AS toks FROM documents),
              | r AS (SELECT lang, cjk,
              | CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','von','mit','ein','eine'], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS s_de,
              | CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','for','with','was'], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS s_en,
@@ -1247,7 +1247,7 @@ object Queries {
       },
       Some("""WITH s AS (SELECT lang,
              | CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^\p{Han}]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS cjk,
-             | list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS toks FROM documents),
+             | @TOKENS(text)@ AS toks FROM documents),
              | r AS (SELECT lang, cjk,
              | CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','von','mit','ein','eine'], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS s_de,
              | CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','for','with','was'], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS s_en,
@@ -1383,7 +1383,7 @@ object Queries {
         sum(TextFunctions.tokenCount(col("text"))).cast("long").as("ws_tokens"),
         sum(TextFunctions.bpeishTokenCount(col("text"))).cast("long").as("bpeish_tokens")),
       Some("""SELECT count(*) AS n_docs,
-             | CAST(sum(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != ''))) AS BIGINT) AS ws_tokens,
+             | CAST(sum(len(@TOKENS(text)@)) AS BIGINT) AS ws_tokens,
              | CAST(sum(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^ \t\n\x0b\f\r\p{L}\p{N}]+'))) AS BIGINT) AS bpeish_tokens
              | FROM documents""".stripMargin.replaceAll("\n", " "))),
 
@@ -1407,7 +1407,7 @@ object Queries {
           coalesce(sum(when(col("g.keep"), 1L).otherwise(0L)), lit(0L)).as("kept"))
       },
       Some("""WITH f AS (SELECT text,
-             |   list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS t,
+             |   @TOKENS(text)@ AS t,
              |   list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l != '') AS ls
              |   FROM documents WHERE text IS NOT NULL),
              | g AS (SELECT len(t) AS nw,
@@ -1525,7 +1525,7 @@ object Queries {
         maxHamming = 3, tokenHasher = "md5")
         .agg(count(lit(1)).as("simhash_pairs"),
           coalesce(sum(col("hamming")), lit(0L)).as("sum_hamming")),
-      Some("""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS tk FROM documents),
+      Some("""WITH tok AS (SELECT doc_id, unnest(@TOKENS(text)@) AS tk FROM documents),
              | th AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 8))::BIGINT AS hi, ('0x' || substr(md5(tk), 9, 8))::BIGINT AS lo FROM tok),
              | votes AS (SELECT doc_id, i, sum((CASE WHEN i < 32 THEN (lo >> i) & 1 ELSE (hi >> (i - 32)) & 1 END) * 2 - 1) AS v
              |   FROM th, (SELECT unnest(range(0, 64)) AS i) GROUP BY 1, 2),
@@ -2453,7 +2453,7 @@ object Queries {
           min(qs).as("min_quality"),
           max(qs).as("max_quality"))
       },
-      Some("""WITH toks AS (SELECT text, list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS tk FROM documents),
+      Some("""WITH toks AS (SELECT text, @TOKENS(text)@ AS tk FROM documents),
              | q AS (SELECT round(
              | least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * (CASE WHEN CAST(length(text) AS DOUBLE) > 20000 THEN 0.5 ELSE 1.0 END) * 0.4
              | + (CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
@@ -2489,7 +2489,7 @@ object Queries {
                  count(DISTINCT graft_fingerprint(text)) AS distinct_fingerprints
                  FROM graft_sql_docs""")
       },
-      Some("""WITH toks AS (SELECT text, list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS tk FROM documents),
+      Some("""WITH toks AS (SELECT text, @TOKENS(text)@ AS tk FROM documents),
              | q AS (SELECT text, tk, round(
              | least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * (CASE WHEN CAST(length(text) AS DOUBLE) > 20000 THEN 0.5 ELSE 1.0 END) * 0.4
              | + (CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.2
@@ -2591,7 +2591,7 @@ object Queries {
             sum(col("ngrams_matched")).cast("long").as("total_matched"),
             round(max(col("contamination")), 6).as("max_contamination"))
       },
-      Some("""WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS t FROM documents WHERE text IS NOT NULL),
+      Some("""WITH tok AS (SELECT doc_id, @TOKENS(text)@ AS t FROM documents WHERE text IS NOT NULL),
              | widx AS (SELECT unnest(range(1, CAST((SELECT coalesce(max(len(t)), 0) FROM tok) AS BIGINT) + 1)) AS i),
              | g AS (SELECT doc_id, array_to_string(t[CAST(i AS INT):CAST(i AS INT)+5], ' ') AS gram FROM tok JOIN widx ON i <= len(t) - 5
              |   UNION ALL SELECT doc_id, array_to_string(t, ' ') FROM tok WHERE len(t) < 6 AND len(t) > 0),
@@ -2875,10 +2875,10 @@ object Queries {
             round(col("new_mass"), 6).as("new_mass"))
       },
       Some("""WITH rt AS (SELECT DISTINCT t FROM documents,
-             |   unnest(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS u(t)
+             |   unnest(@TOKENS(text)@) AS u(t)
              |   WHERE doc_id % 2 = 0),
              | ct AS (SELECT t, count(*) AS n FROM documents,
-             |   unnest(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS u(t)
+             |   unnest(@TOKENS(text)@) AS u(t)
              |   WHERE doc_id % 2 != 0 GROUP BY 1),
              | j AS (SELECT ct.n, rt.t IS NOT NULL AS seen FROM ct LEFT JOIN rt ON ct.t = rt.t)
              | SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_tokens, count(*) AS n_types,
@@ -2908,7 +2908,7 @@ object Queries {
             round(min(col("q")), 6).as("threshold"),
             max(col("cum")).as("max_cum"))
       },
-      Some("""WITH toks AS (SELECT doc_id, text, list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS tk
+      Some("""WITH toks AS (SELECT doc_id, text, @TOKENS(text)@ AS tk
              |   FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
              | q AS (SELECT doc_id, round(
              | least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * (CASE WHEN CAST(length(text) AS DOUBLE) > 20000 THEN 0.5 ELSE 1.0 END) * 0.4
@@ -2942,7 +2942,7 @@ object Queries {
             round(min(col("q")), 6).as("threshold"),
             max(col("cum")).as("max_cum"))
       },
-      Some("""WITH toks AS (SELECT doc_id, source, text, list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS tk
+      Some("""WITH toks AS (SELECT doc_id, source, text, @TOKENS(text)@ AS tk
              |   FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
              | q AS (SELECT doc_id, source, round(
              | least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * (CASE WHEN CAST(length(text) AS DOUBLE) > 20000 THEN 0.5 ELSE 1.0 END) * 0.4
@@ -2972,7 +2972,7 @@ object Queries {
             round(col("label_rate"), 6).as("label_rate"))
       },
       Some("""WITH f AS (SELECT text,
-             |   list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS t,
+             |   @TOKENS(text)@ AS t,
              |   list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l != '') AS ls
              |   FROM documents WHERE text IS NOT NULL),
              | g AS (SELECT text, t, len(t) AS nw,
@@ -3067,7 +3067,7 @@ object Queries {
               col("exact_union") * lit(0.05)).as("union_ok"))
       },
       Some("""WITH tok AS (SELECT doc_id % 2 = 0 AS even, t FROM documents,
-             |   unnest(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS u(t)
+             |   unnest(@TOKENS(text)@) AS u(t)
              |   WHERE doc_id IS NOT NULL),
              | g AS (SELECT t, bool_or(even) AS ina, bool_or(NOT even) AS inb FROM tok GROUP BY 1)
              | SELECT CAST(coalesce(sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END), 0) AS BIGINT) AS exact_inter,
@@ -3381,7 +3381,7 @@ object Queries {
               lit(true)).as("all_supersets"))
       },
       Some("""WITH d AS (SELECT doc_id, text,
-             |   len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS nt
+             |   len(@TOKENS(text)@) AS nt
              |   FROM documents WHERE doc_id IS NOT NULL)
              | SELECT count(*) AS n_docs,
              | CAST(coalesce(sum(CASE WHEN doc_id % 100 = 0 AND coalesce(nt, 0) > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_probe,
@@ -3477,7 +3477,7 @@ object Queries {
     QueryDef("vocab_topk_documents",
       (s, d) => graft.Metrics.vocabTopK(t(s, d, "documents"), "text", 20)
         .select(col("token"), col("occurrences"), round(col("share"), 6).as("share")),
-      Some("""WITH tok AS (SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS token FROM documents),
+      Some("""WITH tok AS (SELECT unnest(@TOKENS(text)@) AS token FROM documents),
              | c AS (SELECT token, count(*) AS occurrences FROM tok GROUP BY 1),
              | tt AS (SELECT sum(occurrences) AS tot FROM c)
              | SELECT token, occurrences, round(CAST(occurrences AS DOUBLE) / tot, 6) AS share
@@ -3517,7 +3517,7 @@ object Queries {
           .agg(count(lit(1)).as("n_docs"),
             coalesce(sum(col("toks")), lit(0L)).as("shard_tokens"))
       },
-      Some("""WITH dd AS (SELECT doc_id, coalesce(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')), 0) AS toks FROM documents WHERE doc_id IS NOT NULL),
+      Some("""WITH dd AS (SELECT doc_id, coalesce(len(@TOKENS(text)@), 0) AS toks FROM documents WHERE doc_id IS NOT NULL),
              | c AS (SELECT doc_id, toks, coalesce(sum(toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl FROM dd)
              | SELECT CAST(excl // 2000 AS BIGINT) AS shard_id, count(*) AS n_docs,
              | CAST(coalesce(sum(toks), 0) AS BIGINT) AS shard_tokens
@@ -3568,7 +3568,7 @@ object Queries {
     * the scored OUTPUT is mod-filtered to keep result sets bounded at larger SFs.
     */
   private val tokSql =
-    "list_filter(string_split_regex(text,'[ \\t\\n\\x0b\\f\\r]+'), x -> x != '')"
+    "@TOKENS(text)@"
 
   val corpusStatsDefs: Seq[QueryDef] = Seq(
     // Per-doc TF-IDF keywords: smooth idf = ln((N+1)/(df+1))+1, N counts docs with
@@ -4181,7 +4181,7 @@ object Queries {
     QueryDef("zipf_slope_documents",
       (s, d) => graft.operators.CorpusStats.zipfSlope(t(s, d, "documents"), "text")
         .select(col("n_ranked"), round(col("zipf_slope"), 6).as("zipf_slope")),
-      Some("""WITH tok AS (SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS token FROM documents),
+      Some("""WITH tok AS (SELECT unnest(@TOKENS(text)@) AS token FROM documents),
              | c AS (SELECT token, count(*) AS occ FROM tok GROUP BY 1 ORDER BY occ DESC, token ASC LIMIT 500),
              | rk AS (SELECT ln(CAST(row_number() OVER (ORDER BY occ DESC, token ASC) AS DOUBLE)) AS x,
              |   ln(CAST(occ AS DOUBLE)) AS y FROM c)
@@ -4197,7 +4197,7 @@ object Queries {
           t(s, d, "documents"), "text", "source")
         .select(col("source_a"), col("source_b"), col("shared_tokens"),
           round(col("vocab_jaccard"), 6).as("vocab_jaccard")),
-      Some("""WITH tk AS (SELECT source AS src, unnest(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS tok
+      Some("""WITH tk AS (SELECT source AS src, unnest(@TOKENS(text)@) AS tok
              |   FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
              | tok AS (SELECT DISTINCT src, tok FROM tk),
              | sz AS (SELECT src, count(*) AS n FROM tok GROUP BY 1),
@@ -4220,8 +4220,8 @@ object Queries {
           round(col("gopher_keep_frac"), 6).as("gopher_keep_frac"),
           col("n_langs"), round(col("lang_entropy"), 6).as("lang_entropy"),
           col("n_sources"), round(col("top_source_share"), 6).as("top_source_share")),
-      Some("""WITH nt AS (SELECT text, list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '') AS tk,
-             |   len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS w FROM documents),
+      Some("""WITH nt AS (SELECT text, @TOKENS(text)@ AS tk,
+             |   len(@TOKENS(text)@) AS w FROM documents),
              | m AS (SELECT count(*) AS n_docs,
              |   CAST(coalesce(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null_text,
              |   CAST(coalesce(sum(w), 0) AS BIGINT) AS tokens_total,
@@ -4283,7 +4283,7 @@ object Queries {
               greatest(coalesce(col("shared_tokens"), lit(0L)) * lit(0.1), lit(10.0)))
               .as("shared_ok"))
       },
-      Some("""WITH tk AS (SELECT source AS src, unnest(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS tok
+      Some("""WITH tk AS (SELECT source AS src, unnest(@TOKENS(text)@) AS tok
              |   FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
              | tok AS (SELECT DISTINCT src, tok FROM tk),
              | srcs AS (SELECT DISTINCT src FROM tok),
@@ -4339,8 +4339,20 @@ object Queries {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (defs ++ llmDefs ++ sqlSurfaceDefs ++ pipelineDefs ++ corpusStatsDefs ++ splitDefs).map(q => q.name -> q.run).toMap
 
+  /** `@TOKENS(expr)@` inside an oracle expands to the DuckDB replay of the
+    * MATCHING tokenizer ([[graft.functions.SegmentKernel.segTokensSql]]): the
+    * segmented token LIST (whitespace words + CJK bigrams). Keeps the 20-odd
+    * tokenizing oracles readable while the segmentation SQL lives in ONE place
+    * next to the kernel it mirrors. Splitting-tokenizer queries (chunking, span
+    * family) keep the plain `string_split_regex` idiom on purpose.
+    */
+  private val TokensMacro = "@TOKENS\\(([^@]*)\\)@".r
+  private def expandOracleMacros(sql: String): String =
+    TokensMacro.replaceAllIn(sql, m => scala.util.matching.Regex
+      .quoteReplacement(graft.functions.SegmentKernel.segTokensSql(m.group(1))))
+
   def oracleSql: Map[String, String] =
-    (defs ++ llmDefs ++ sqlSurfaceDefs ++ pipelineDefs ++ corpusStatsDefs ++ splitDefs).flatMap(q => q.oracle.map(q.name -> _)).toMap
+    (defs ++ llmDefs ++ sqlSurfaceDefs ++ pipelineDefs ++ corpusStatsDefs ++ splitDefs).flatMap(q => q.oracle.map(q.name -> expandOracleMacros(_))).toMap
 
   /** Operator-only arms for the bench queries whose `queries()` formulation bundles
     * an EXACT verification replica alongside the approximate operator (the gated

@@ -30,22 +30,25 @@ import org.apache.spark.unsafe.types.UTF8String
   *    \n), so "abc...\r" MATCHES; exactly one trailing terminator is ignored
   */
 object GopherKernel {
-  private val Stopwords = Array("the", "be", "to", "of", "and", "that", "have", "with")
-
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+  private val Stopwords: Array[Array[Byte]] =
+    Array("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(_.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
 
   /** Whole-token stopword probe replicating `(?i)^(the|...)$` under Java's
     * non-MULTILINE `$`: the anchor also matches before ONE final line terminator,
     * and the terminators that survive ASCII `\s+` tokenization are U+0085, U+2028,
     * U+2029 — so "the<U+2028>" IS a stopword hit. Back off exactly one such char.
     */
-  private def isStopword(s: String, from: Int, until0: Int): Boolean = {
+  private def isStopword(b: Array[Byte], from: Int, until0: Int): Boolean = {
+    // Back off exactly one trailing U+0085 (C2 85) / U+2028 (E2 80 A8) /
+    // U+2029 (E2 80 A9) \u2014 the `$` anchor's one-terminator allowance, on bytes.
     var until = until0
-    if (until > from) {
-      val last = s.charAt(until - 1)
-      if (last == '\u0085' || last == '\u2028' || last == '\u2029') until -= 1
-    }
+    if (until - from >= 2 && b(until - 2) == 0xC2.toByte && b(until - 1) == 0x85.toByte)
+      until -= 2
+    else if (until - from >= 3 && b(until - 3) == 0xE2.toByte &&
+      b(until - 2) == 0x80.toByte &&
+      (b(until - 1) == 0xA8.toByte || b(until - 1) == 0xA9.toByte))
+      until -= 3
     val len = until - from
     var w = 0
     while (w < Stopwords.length) {
@@ -54,9 +57,9 @@ object GopherKernel {
         var i = 0
         var ok = true
         while (ok && i < len) {
-          var c = s.charAt(from + i)
-          if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
-          ok = c == sw.charAt(i)
+          var c = b(from + i)
+          if (c >= 'A' && c <= 'Z') c = (c + 32).toByte
+          ok = c == sw(i)
           i += 1
         }
         if (ok) return true
@@ -76,31 +79,37 @@ object GopherKernel {
     val s = u.toString
     val n = s.length
 
-    // ---- token pass: count, summed code-point lengths, alpha words, stopwords ----
+    // ---- token pass (shared MATCHING tokenizer): count, summed code-point
+    // lengths, alpha words, stopwords. SEG bigrams count length 2 and are alpha
+    // (Han/Kana/Thai are letters); stopwords stay ASCII-only probes. ----
+    val bytes = u.getBytes
+    val (bounds, nTok) = SegmentKernel.tokenBounds(bytes, bytes.length)
     var nW = 0L
     var charSum = 0L
     var nAlpha = 0L
     var nStop = 0L
-    var i = 0
-    while (i < n) {
-      while (i < n && isWs(s.charAt(i))) i += 1
-      if (i < n) {
-        val start = i
-        var alpha = false
-        while (i < n && !isWs(s.charAt(i))) {
-          if (!alpha && Character.isLetter(s.codePointAt(i))) alpha = true
-          i += 1
-        }
-        nW += 1
-        charSum += s.codePointCount(start, i)
-        if (alpha) nAlpha += 1
-        if (isStopword(s, start, i)) nStop += 1
+    var ti = 0
+    while (ti < nTok) {
+      val ts = bounds(ti * 2)
+      val te = bounds(ti * 2 + 1)
+      nW += 1
+      var alpha = false
+      var j = ts
+      while (j < te) {
+        val nb = UTF8String.numBytesForFirstByte(bytes(j))
+        if (!alpha &&
+          Character.isLetter(SegmentKernel.codePointAt(bytes, j, te, nb))) alpha = true
+        charSum += 1
+        j += nb
       }
+      if (alpha) nAlpha += 1
+      if (isStopword(bytes, ts, te)) nStop += 1
+      ti += 1
     }
 
     // ---- symbol pass: non-overlapping leftmost-first `#|\.{3}|…` ----
     var nSym = 0L
-    i = 0
+    var i = 0
     while (i < n) {
       val c = s.charAt(i)
       if (c == '#') { nSym += 1; i += 1 }

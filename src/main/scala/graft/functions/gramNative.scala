@@ -21,38 +21,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * must keep matching): the hash of every emitted gram equals Spark's
   * `xxhash64(gram)` (XXH64, seed 42, over the gram's UTF-8 bytes) where gram is the
   * single-space join of k consecutive [[TextFunctions.tokens]] tokens. Tokenization is
-  * Java-regex `\s+` = ASCII {space, \t, \n, \x0B, \f, \r} runs — byte-safe in UTF-8
-  * (those bytes never occur inside multibyte sequences). PipelineOpsSpec golden-pins
-  * the value and PropertySpec pins kernel == Column formulation on hostile inputs.
+  * the shared MATCHING tokenizer ([[SegmentKernel.tokenBounds]]): ASCII `\s+` words
+  * outside the no-space scripts, overlapping character bigrams inside them — on text
+  * without those scripts (every corpus the old `\s+`-only kernel ever hashed) the
+  * token stream, and therefore every stored bloom bit, is unchanged. PipelineOpsSpec
+  * golden-pins the value and PropertySpec pins kernel == Column formulation on
+  * hostile inputs.
   *
   * Fast path: when a gram's k tokens are separated by exactly one 0x20 in the source,
-  * its joined bytes are a CONTIGUOUS source slice — hashed in place, zero copies. Only
-  * grams spanning multi-char/non-space whitespace are assembled into a scratch buffer.
+  * its joined bytes are a CONTIGUOUS source slice — hashed in place, zero copies.
+  * Grams spanning multi-char/non-space whitespace — and all bigram-token grams, whose
+  * bounds overlap — are assembled into a scratch buffer.
   */
 object WordGramKernel {
 
   private val Seed = 42L // Spark's xxhash64 Column seed — part of the stored contract
-
-  private def isWs(b: Byte): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0D)
-
-  /** Token boundaries as packed (start, end) byte offsets. Returns n*2 ints. */
-  private def tokenBounds(bytes: Array[Byte], len: Int): (Array[Int], Int) = {
-    var bounds = new Array[Int](32)
-    var n = 0
-    var i = 0
-    while (i < len) {
-      while (i < len && isWs(bytes(i))) i += 1
-      if (i < len) {
-        val start = i
-        while (i < len && !isWs(bytes(i))) i += 1
-        if (n * 2 == bounds.length) bounds = java.util.Arrays.copyOf(bounds, bounds.length * 2)
-        bounds(n * 2) = start
-        bounds(n * 2 + 1) = i
-        n += 1
-      }
-    }
-    (bounds, n)
-  }
 
   private def hashRange(bytes: Array[Byte], from: Int, until: Int): Long =
     XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + from, until - from, Seed)
@@ -94,12 +77,23 @@ object WordGramKernel {
     * stage of the dedup family already accepts (and downstream `.distinct()` on the
     * hash collapsed such pairs before this kernel existed).
     */
-  def gramHashes(s: UTF8String, k: Int, distinct: Boolean): ArrayData = {
+  def gramHashes(s: UTF8String, k: Int, distinct: Boolean, segment: Boolean): ArrayData = {
     val bytes = s.getBytes // materializes only if the UTF8String is offheap/sliced
-    val (bounds, n) = tokenBounds(bytes, bytes.length)
+    val (bounds, n) =
+      if (segment) SegmentKernel.tokenBounds(bytes, bytes.length)
+      else SegmentKernel.wsTokenBounds(bytes, bytes.length)
+    // Scratch holds one assembled gram: ≤ all token bytes + n−1 separators. Token
+    // bounds may OVERLAP (SEG bigrams), so token bytes can exceed the doc length —
+    // size from the bounds, not from bytes.length.
+    def scratchSize: Int = {
+      var sum = 0
+      var t = 0
+      while (t < n) { sum += bounds(t * 2 + 1) - bounds(t * 2); t += 1 }
+      sum + n
+    }
     if (distinct && n < k) {
       // whole-doc fallback gram: all tokens joined (n == 0 ⇒ the "" pseudo-gram)
-      val scratch = new Array[Byte](bytes.length)
+      val scratch = new Array[Byte](scratchSize)
       val h =
         if (n == 0) hashRange(Array.emptyByteArray, 0, 0)
         else gramHash(bytes, bounds, 0, n, scratch)
@@ -109,7 +103,7 @@ object WordGramKernel {
     if (n < k) return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(Array.emptyLongArray)
     val nGrams = n - k + 1
-    val scratch = new Array[Byte](bytes.length)
+    val scratch = new Array[Byte](scratchSize)
     val out = new Array[Long](nGrams)
     if (!distinct) {
       var t = 0
@@ -131,9 +125,13 @@ object WordGramKernel {
 }
 
 /** `xxhash64` of each word k-gram as a codegen'd unary expression. NULL in ⇒ NULL out
-  * (matching `wordShingles`' `when(c.isNotNull, ...)` wrapper).
+  * (matching `wordShingles`' `when(c.isNotNull, ...)` wrapper). `segment` selects
+  * the MATCHING tokenizer (default — shingle/bloom consumers) vs the SPLITTING
+  * whitespace tokenizer (the span family, whose gram POSITIONS must index disjoint
+  * source tokens it can cut and rejoin).
   */
-case class WordGramHashes(child: Expression, k: Int, distinct: Boolean)
+case class WordGramHashes(child: Expression, k: Int, distinct: Boolean,
+    segment: Boolean = true)
     extends UnaryExpression {
   require(k > 0, s"shingle size must be positive, got $k")
 
@@ -149,12 +147,12 @@ case class WordGramHashes(child: Expression, k: Int, distinct: Boolean)
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) null
-    else WordGramKernel.gramHashes(v.asInstanceOf[UTF8String], k, distinct)
+    else WordGramKernel.gramHashes(v.asInstanceOf[UTF8String], k, distinct, segment)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.WordGramKernel.gramHashes($c, $k, $distinct);")
+      s"${ev.value} = graft.functions.WordGramKernel.gramHashes($c, $k, $distinct, $segment);")
 
   override protected def withNewChildInternal(newChild: Expression): WordGramHashes =
     copy(child = newChild)

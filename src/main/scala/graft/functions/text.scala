@@ -14,8 +14,25 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens (empty tokens removed). */
+  /** The engine's MATCHING tokenizer ([[SegmentTokens]]): whitespace words outside
+    * the no-space scripts, overlapping character bigrams for contiguous
+    * Han/Kana/Thai/Lao/Myanmar/Khmer runs — see [[SegmentKernel]] for the exact
+    * contract. On text with no such scripts this is bit-identical to
+    * [[whitespaceTokens]] (the old `split("\\s+")` form). Every shingle/stat
+    * consumer (MinHash, contamination, Gopher, TF-IDF, vocab, token counts) rides
+    * this; text-REBUILDING consumers (chunk windows, span removal) must use
+    * [[whitespaceTokens]] — rejoining overlapping bigrams duplicates characters.
+    */
   def tokens(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      SegmentTokens(org.apache.spark.sql.GraftSqlBridge.expression(c)))
+
+  /** Plain ASCII-whitespace tokens (empty tokens removed) — the SPLITTING
+    * tokenizer: token bounds are disjoint source spans, so text rebuilt by joining
+    * consecutive tokens with single spaces only canonicalizes whitespace. Use for
+    * chunking/span-cutting; use [[tokens]] for matching and statistics.
+    */
+  def whitespaceTokens(c: Column): Column =
     filter(split(c, "\\s+"), t => length(t) > 0)
 
   def tokenCount(c: Column): Column = size(tokens(c))
@@ -183,10 +200,13 @@ object TextFunctions {
   /** `xxhash64` of the word k-gram at EVERY position 0..n−k (non-distinct, ordered;
     * empty below n = k) — the native drop-in for the duplicate-span family's
     * `transform(sequence(0, n−k), i -> xxhash64(concat_ws(" ", slice(t, i+1, k))))`.
+    * `segmented = false` selects [[whitespaceTokens]] — the span family cuts and
+    * rejoins the tokens its positions index, so they must be disjoint source spans.
     */
-  def wordGramHashesAt(c: Column, k: Int): Column =
+  def wordGramHashesAt(c: Column, k: Int, segmented: Boolean = true): Column =
     org.apache.spark.sql.GraftSqlBridge.column(WordGramHashes(
-      org.apache.spark.sql.GraftSqlBridge.expression(c), k, distinct = false))
+      org.apache.spark.sql.GraftSqlBridge.expression(c), k, distinct = false,
+      segment = segmented))
 
   /** Rolling 64-bit hashes of the character n-grams — the document-fingerprint set. */
   def shingleHashes(c: Column, n: Int): Column =

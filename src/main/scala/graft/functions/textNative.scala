@@ -46,32 +46,36 @@ object DupNgramKernel {
     1.0 - set.size.toDouble / total
   }
 
-  /** `1 − distinct(word k-grams)/total` over whitespace tokens joined by single
-    * spaces; 0.0 when fewer than k tokens. Tokenization matches `split(c, "\\s+")`
-    * with empties removed: maximal runs of non-whitespace bytes (Java `\s` is ASCII
-    * [ \t\n\x0B\f\r], so a byte-level scan is exact for any UTF-8 input).
+  /** `1 − distinct(word k-grams)/total` over MATCHING-tokenizer tokens
+    * ([[SegmentKernel.tokenBounds]]: `\s+` words outside the no-space scripts,
+    * overlapping character bigrams inside them) joined by single spaces; 0.0 when
+    * fewer than k tokens.
     */
   def wordFraction(s: UTF8String, k: Int): Double = {
     val bytes = s.getBytes
-    // Canonical buffer: tokens joined by single spaces (k-grams must compare equal
-    // regardless of the separator run that appeared in the source text).
-    val canon = new Array[Byte](bytes.length)
-    val starts = new Array[Int](bytes.length / 2 + 2)
-    val ends = new Array[Int](bytes.length / 2 + 2)
-    var w = 0
-    var nt = 0
-    var i = 0
-    while (i < bytes.length) {
-      while (i < bytes.length && isWs(bytes(i))) i += 1
-      if (i < bytes.length) {
-        if (nt > 0) { canon(w) = ' '; w += 1 }
-        starts(nt) = w
-        while (i < bytes.length && !isWs(bytes(i))) { canon(w) = bytes(i); w += 1; i += 1 }
-        ends(nt) = w
-        nt += 1
-      }
-    }
+    val (bounds, nt) = SegmentKernel.tokenBounds(bytes, bytes.length)
     if (nt < k) return 0.0
+    // Canonical buffer: tokens joined by single spaces (k-grams must compare equal
+    // regardless of the separator run that appeared in the source text). Token
+    // bounds may OVERLAP (SEG bigrams) — size from the bounds, not the doc length.
+    var canonLen = nt // separators upper bound
+    var t = 0
+    while (t < nt) { canonLen += bounds(t * 2 + 1) - bounds(t * 2); t += 1 }
+    val canon = new Array[Byte](canonLen)
+    val starts = new Array[Int](nt)
+    val ends = new Array[Int](nt)
+    var w = 0
+    t = 0
+    while (t < nt) {
+      if (t > 0) { canon(w) = ' '; w += 1 }
+      starts(t) = w
+      val bs = bounds(t * 2)
+      val be = bounds(t * 2 + 1)
+      System.arraycopy(bytes, bs, canon, w, be - bs)
+      w += be - bs
+      ends(t) = w
+      t += 1
+    }
     val total = nt - k + 1
     val set = new java.util.HashSet[UTF8String](initialCapacity(total))
     var j = 0
@@ -81,9 +85,6 @@ object DupNgramKernel {
     }
     1.0 - set.size.toDouble / total
   }
-
-  private def isWs(b: Byte): Boolean =
-    b == 0x20 || (b >= 0x09 && b <= 0x0D)
 
   private def initialCapacity(expected: Int): Int =
     math.min(expected.toLong * 4 / 3 + 1, 1L << 17).toInt.max(4)
@@ -100,28 +101,37 @@ object DupNgramKernel {
 object QualityScoreKernel {
 
   def qualityScore(s: UTF8String): Double = {
-    val str = s.toString
+    val bytes = s.getBytes
+    // Code-point / ASCII-class counts in one byte walk (ASCII classes are exact on
+    // bytes — those values never occur inside multibyte sequences).
     var chars = 0
     var punct = 0
     var ws = 0
-    var nt = 0
-    var sumTokChars = 0L
-    var inTok = false
     var i = 0
-    while (i < str.length) {
-      val cp = str.codePointAt(i)
+    while (i < bytes.length) {
+      val b = bytes(i)
       chars += 1
-      val isWs = cp == ' ' || (cp >= '\t' && cp <= '\r')
-      if (isWs) ws += 1
-      // Java \p{Punct}: the four ASCII punctuation ranges.
-      if ((cp >= 0x21 && cp <= 0x2f) || (cp >= 0x3a && cp <= 0x40) ||
-        (cp >= 0x5b && cp <= 0x60) || (cp >= 0x7b && cp <= 0x7e)) punct += 1
-      if (isWs) inTok = false
-      else {
-        if (!inTok) { nt += 1; inTok = true }
+      if (b >= 0) {
+        if (b == 0x20 || (b >= 0x09 && b <= 0x0D)) ws += 1
+        // Java \p{Punct}: the four ASCII punctuation ranges.
+        else if ((b >= 0x21 && b <= 0x2f) || (b >= 0x3a && b <= 0x40) ||
+          (b >= 0x5b && b <= 0x60) || (b >= 0x7b && b <= 0x7e)) punct += 1
+        i += 1
+      } else i += UTF8String.numBytesForFirstByte(b)
+    }
+    // Token stats ride the shared MATCHING tokenizer (SEG bigrams count length 2 —
+    // CJK text gets a sane mean word length instead of one giant pseudo-word).
+    val (bounds, nt) = SegmentKernel.tokenBounds(bytes, bytes.length)
+    var sumTokChars = 0L
+    var t = 0
+    while (t < nt) {
+      var j = bounds(t * 2)
+      val e = bounds(t * 2 + 1)
+      while (j < e) {
         sumTokChars += 1
+        j += UTF8String.numBytesForFirstByte(bytes(j))
       }
-      i += Character.charCount(cp)
+      t += 1
     }
     val len = chars.toDouble
     val lengthScore = math.min(len / 200.0, 1.0) * (if (chars > 20000) 0.5 else 1.0)
@@ -188,45 +198,67 @@ case class QualityScoreExpr(child: Expression) extends UnaryExpression {
   * lambda pipelines plus a regexp_replace per row.
   */
 object LangIdKernel {
-  private val markers: Array[(String, java.util.HashSet[String])] =
+  private val markers: Array[(String, Array[Array[Byte]])] =
     TextFunctions.LangMarkers.toArray.map { case (lang, ws) =>
-      val s = new java.util.HashSet[String]()
-      ws.foreach(s.add)
-      (lang, s)
+      (lang, ws.map(_.getBytes(java.nio.charset.StandardCharsets.US_ASCII)).toArray)
     }
+  private val maxMarkerLen = markers.flatMap(_._2).map(_.length).max
   private val und = UTF8String.fromString("und")
   private val zh = UTF8String.fromString("zh")
 
+  private def matchesMarker(bytes: Array[Byte], s: Int, e: Int, m: Array[Byte]): Boolean = {
+    if (e - s != m.length) return false
+    var i = 0
+    while (i < m.length) {
+      if (bytes(s + i) != m(i)) return false
+      i += 1
+    }
+    true
+  }
+
   def langId(s: UTF8String): UTF8String = {
-    val str = s.toString
+    val bytes = s.getBytes
     // Code-point walk: total chars + Han chars (matches Spark length()/\p{IsHan}).
     var chars = 0
     var han = 0
     var i = 0
-    while (i < str.length) {
-      val cp = str.codePointAt(i)
+    while (i < bytes.length) {
+      val b = bytes(i)
       chars += 1
-      if (Character.UnicodeScript.of(cp) == Character.UnicodeScript.HAN) han += 1
-      i += Character.charCount(cp)
+      if (b >= 0) i += 1
+      else {
+        val nb = UTF8String.numBytesForFirstByte(b)
+        val cp = SegmentKernel.codePointAt(bytes, i, bytes.length, nb)
+        if (Character.UnicodeScript.of(cp) == Character.UnicodeScript.HAN) han += 1
+        i += nb
+      }
     }
     if (chars > 0 && han.toDouble / chars > 0.2) return zh
-    // Whitespace tokens (same ASCII-run scan as DupNgramKernel.wordFraction).
-    var nt = 0
+    // MATCHING-tokenizer tokens (the shared SegmentKernel walk): marker hits can
+    // only be ASCII words, but the denominator counts every token — segmented
+    // bigrams dilute marker fractions on mixed-script pages exactly like the
+    // Column formulation over tokens() does.
+    val (bounds, nt) = SegmentKernel.tokenBounds(bytes, bytes.length)
     val counts = new Array[Int](markers.length)
-    var j = 0
-    while (j < str.length) {
-      while (j < str.length && isWsChar(str.charAt(j))) j += 1
-      if (j < str.length) {
-        val start = j
-        while (j < str.length && !isWsChar(str.charAt(j))) j += 1
-        nt += 1
-        val tok = str.substring(start, j)
+    var t = 0
+    while (t < nt) {
+      val ts = bounds(t * 2)
+      val te = bounds(t * 2 + 1)
+      if (te - ts <= maxMarkerLen) {
         var m = 0
         while (m < markers.length) {
-          if (markers(m)._2.contains(tok)) counts(m) += 1
+          val ms = markers(m)._2
+          var w = 0
+          var hit = false
+          while (!hit && w < ms.length) {
+            hit = matchesMarker(bytes, ts, te, ms(w))
+            w += 1
+          }
+          if (hit) counts(m) += 1
           m += 1
         }
       }
+      t += 1
     }
     if (nt == 0) return und
     // array_max over (score, lang) structs: max score, ties to the LARGER lang tag.
@@ -245,9 +277,6 @@ object LangIdKernel {
   }
 
   def undTag: UTF8String = und
-
-  private def isWsChar(c: Char): Boolean =
-    c == ' ' || (c >= '\t' && c <= '\r')
 }
 
 /** Codegen'd language ID — see [[LangIdKernel]]. NULL input ⇒ "und", matching the

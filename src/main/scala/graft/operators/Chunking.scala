@@ -48,7 +48,12 @@ object Chunking {
     // re-tokenization of the joined chunk text — same value, one split pass instead
     // of two.
     df
-      .withColumn("_ck_t", TextFunctions.tokens(col(textCol)))
+      // SPLITTING tokenizer: chunk_text is rebuilt by joining window tokens, so
+      // token bounds must be disjoint source spans (the MATCHING tokenizer's CJK
+      // bigrams overlap — rejoining them would duplicate characters). A no-space
+      // CJK document is one whitespace token, hence one chunk; char-budget
+      // chunking for those scripts is a documented non-goal of this operator.
+      .withColumn("_ck_t", TextFunctions.whitespaceTokens(col(textCol)))
       .filter(n > 0)
       .select(
         col(idCol),

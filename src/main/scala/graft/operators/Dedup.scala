@@ -678,8 +678,15 @@ object Dedup {
     */
   private def dupGramPositions(df: DataFrame, idCol: String, textCol: String,
       k: Int): (DataFrame, DataFrame) = {
+    // SPLITTING tokenizer throughout the span family: the remove half cuts tokens
+    // by position and rejoins the survivors, so positions must index DISJOINT
+    // source spans — the MATCHING tokenizer's overlapping CJK bigrams would
+    // duplicate characters on rebuild. Corpus-scale CJK span dedup is a documented
+    // limitation here; use dedupLinesAcrossCorpus (line/paragraph granularity) or
+    // the shingle-hash near-dup family (which DO segment) for those scripts.
     val toks = df.filter(col(idCol).isNotNull)
-      .select(col(idCol).as("_id"), col(textCol).as("_text"), tokens(col(textCol)).as("_t"))
+      .select(col(idCol).as("_id"), col(textCol).as("_text"),
+        whitespaceTokens(col(textCol)).as("_t"))
       .select(col("_id"), col("_text"), col("_t"),
         coalesce(size(col("_t")), lit(0)).as("_n"))
     // Positional gram hashes via the native kernel (one byte-walk per doc; posexplode
@@ -688,7 +695,8 @@ object Dedup {
     val grams = toks
       .filter(col("_n") >= k)
       .select(col("_id"),
-        posexplode(wordGramHashesAt(col("_text"), k)).as(Seq("_pos", "_h")))
+        posexplode(wordGramHashesAt(col("_text"), k, segmented = false))
+          .as(Seq("_pos", "_h")))
     val dup = grams.groupBy(col("_h")).agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= 2).select("_h")
     (toks, grams.join(dup, Seq("_h"), "leftsemi"))
@@ -802,7 +810,7 @@ object Dedup {
     val removedPer = covered.groupBy(col("_id")).agg(count(lit(1)).as("_removed"))
     val nullIdRows = df.filter(col(idCol).isNull)
       .select(col(idCol), col(textCol),
-        coalesce(size(tokens(col(textCol))), lit(0)).cast("long").as("tokens_total"),
+        coalesce(size(whitespaceTokens(col(textCol))), lit(0)).cast("long").as("tokens_total"),
         lit(0L).as("tokens_removed"))
     toks.join(rebuilt, Seq("_id"), "left").join(removedPer, Seq("_id"), "left")
       .select(col("_id").as(idCol),

@@ -13,6 +13,33 @@ import org.scalacheck.rng.Seed
   */
 class PropertySpec extends SparkSpec {
 
+  /** Independent codepoint-level reimplementation of the MATCHING tokenizer
+    * (whitespace split → joiner-attached units → class segments → SEG bigrams);
+    * shares only the classifier predicates with the byte-walk kernel, so the
+    * tokenization mechanics cross-check each other.
+    */
+  private def refSegTokens(t: String): Seq[String] = {
+    import graft.functions.SegmentKernel
+    t.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { w =>
+      val cps = w.codePoints.toArray.toSeq
+      val units = cps.foldLeft(Vector.empty[Vector[Int]]) { (acc, cp) =>
+        if (acc.nonEmpty && SegmentKernel.isJoiner(cp)) acc.init :+ (acc.last :+ cp)
+        else acc :+ Vector(cp)
+      }
+      val segs = units.foldLeft(Vector.empty[(Boolean, Vector[Vector[Int]])]) { (acc, u) =>
+        val s = SegmentKernel.isSeg(u.head)
+        if (acc.nonEmpty && acc.last._1 == s) acc.init :+ ((s, acc.last._2 :+ u))
+        else acc :+ ((s, Vector(u)))
+      }
+      def str(us: Seq[Vector[Int]]): String =
+        us.flatten.flatMap(Character.toChars(_).toSeq).mkString
+      segs.flatMap { case (isSegC, us) =>
+        if (!isSegC || us.size == 1) Seq(str(us))
+        else us.sliding(2).map(str).toSeq
+      }
+    }
+  }
+
   private val Cases = 8
   private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
     (1 to Cases).foreach { i =>
@@ -368,6 +395,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("matching tokenizer equals the independent reference on mixed-script fuzz") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val pieceGen = Gen.oneOf("word", "x", "中文", "中", "漢字かな", "ラーメン", "ไทย",
+      "한국어", "mixed中文tail", "a中b", "・", "。", "ｶﾞｷ", "中‍文", "か゛き", "😀",
+      "中文。更多", "tail中", "中head")
+    val textGen = for {
+      n <- Gen.choose(0, 12)
+      ps <- Gen.listOfN(n, pieceGen)
+      seps <- Gen.listOfN(math.max(n - 1, 0), Gen.oneOf(" ", "", "\t", "  "))
+    } yield ps.zipAll(seps :+ "", "", "").map { case (p, s) => p + s }.mkString
+    forAll(Gen.listOfN(25, textGen)) { texts =>
+      val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+        .select(col("id"), TextFunctions.tokens(col("text")))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) == refSegTokens(t), s"tokens of '$t'")
+      }
+    }
+  }
+
   test("repetition kernels match independent computation on generated text") {
     import graft.functions.TextFunctions
     import org.apache.spark.sql.functions._
@@ -393,7 +442,7 @@ class PropertySpec extends SparkSpec {
           if (t.length < 3) 0.0
           else 1.0 - t.sliding(3).toSeq.distinct.size.toDouble / (t.length - 2).toDouble
         assert(cf == expectedCf, s"char dup fraction of '$t'")
-        val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+        val toks = refSegTokens(t)
         val expectedWf =
           if (toks.size < 2) 0.0
           else 1.0 - toks.sliding(2).map(_.mkString(" ")).toSeq.distinct.size.toDouble /
