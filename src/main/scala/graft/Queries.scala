@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Named query catalog backing `SparkEntry.queries` / `SparkEntry.oracleSql`.
@@ -88,6 +88,29 @@ object Queries {
         import s.implicits._
         Seq.empty[(Long, Double)].toDF("vec_id", "cosine")
     }
+
+  /** 24 distinct Han characters for constructed-CJK oracle fixtures — three
+    * DISJOINT 8-char group slices, so runs of ≤ 8 chars at a slice offset never
+    * wrap into another group's characters (needed for closed-form containment
+    * arithmetic in the dedup oracle).
+    */
+  private val HanAlpha = Seq("中", "文", "数", "据", "处", "理", "系", "统",
+    "语", "言", "模", "型", "训", "练", "样", "本",
+    "分", "词", "检", "索", "评", "估", "质", "量")
+
+  /** Deterministic Han run: `HanAlpha[(off + i) % 24]` for i < n — the Column form
+    * and [[hanRunSql]] build the SAME string from a doc_id, so oracles replay the
+    * construction instead of shipping fixtures.
+    */
+  private def hanRun(n: Column, off: Column): Column =
+    array_join(transform(sequence(lit(0), n.cast("int") - 1),
+      i => element_at(array(HanAlpha.map(lit): _*),
+        ((i + off.cast("int")) % 24 + 1).cast("int"))), "")
+
+  private def hanRunSql(n: String, off: String): String = {
+    val alpha = HanAlpha.map(c => s"'$c'").mkString(",")
+    s"array_to_string(list_transform(range(0, $n), i -> ([$alpha])[CAST((i + $off) % 24 AS INT) + 1]), '')"
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -1542,6 +1565,113 @@ object Queries {
              |   FROM banded a JOIN banded b ON a.b = b.b AND a.bits16 = b.bits16 AND a.doc_id < b.doc_id)
              | SELECT count(*) AS simhash_pairs, CAST(coalesce(sum(hamming), 0) AS BIGINT) AS sum_hamming
              | FROM cand WHERE hamming <= 3""".stripMargin.replaceAll("\n", " "))),
+
+    // Script-aware tokenization on constructed CJK pages (pure Han runs, mixed
+    // ASCII+Han, middle-dot separators, plain ASCII control): token counts,
+    // DISTINCT word-2-gram counts (the shingle chain's view) and mean word length,
+    // replayed in DuckDB through the SAME @TOKENS@ segmentation SQL over the SAME
+    // doc_id-constructed pages. Before segmentation landed, a no-space CJK page
+    // was ONE giant token — zero shingles, degenerate mean word length.
+    QueryDef("cjk_tokens_documents",
+      (s, d) => {
+        val did = col("doc_id")
+        val n = did % 6 + lit(2) // 2..7 Han chars — short enough to stay in-slice
+        val han = hanRun(n, did % 8)
+        val text = when(did % 4 === 0, han)
+          .when(did % 4 === 1, concat(lit("intro "), han, lit(" outro words")))
+          .when(did % 4 === 2, concat(han, lit("・"), han))
+          .otherwise(lit("plain the and that sample text"))
+        t(s, d, "documents")
+          .filter(did.isNotNull && did % 29 === 0)
+          .select(did.as("doc_id"), text.as("_txt"))
+          .select(col("doc_id"),
+            TextFunctions.tokenCount(col("_txt")).cast("long").as("tok_n"),
+            size(array_distinct(TextFunctions.wordShingles(col("_txt"), 2)))
+              .cast("long").as("uniq_grams2"),
+            round(TextFunctions.meanWordLength(col("_txt")), 6).as("mwl"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, doc_id % 6 + 2 AS n, doc_id % 8 AS o, doc_id % 4 AS v
+             |   FROM documents WHERE doc_id IS NOT NULL AND doc_id % 29 = 0),
+             | hr AS (SELECT doc_id, v, ${hanRunSql("n", "o")} AS h FROM base),
+             | txt AS (SELECT doc_id, CASE WHEN v = 0 THEN h
+             |   WHEN v = 1 THEN 'intro ' || h || ' outro words'
+             |   WHEN v = 2 THEN h || '・' || h
+             |   ELSE 'plain the and that sample text' END AS text FROM hr),
+             | tok AS (SELECT doc_id, @TOKENS(text)@ AS t FROM txt)
+             | SELECT doc_id,
+             | CAST(len(t) AS BIGINT) AS tok_n,
+             | CAST(CASE WHEN len(t) >= 2 THEN len(list_distinct(list_transform(
+             |   range(1, len(t)), i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1])))
+             |   ELSE 1 END AS BIGINT) AS uniq_grams2,
+             | round(CASE WHEN len(t) > 0 THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / CAST(len(t) AS DOUBLE) ELSE 0.0 END, 6) AS mwl
+             | FROM tok ORDER BY doc_id""".stripMargin.replaceAll("\n", " "))),
+
+    // CJK decontamination through the WORD-gram chain (the path whitespace-only
+    // tokenization left blind: a no-space page had NO word 2-grams to match).
+    // Constructed corpus: one 8-char Han run per doc from its group's disjoint
+    // HanAlpha slice (+ a one-char mutation on alternating docs); probes are
+    // either a 6-char PREFIX of a group's run (every word 2-gram contained — 4/4
+    // matched by construction) or a disjoint-character clean page (0 matched).
+    // Oracle: pure doc_id arithmetic — contamination here is decidable by
+    // construction, which is the point: detection now WORKS on CJK.
+    QueryDef("cjk_dedup_documents",
+      (s, d) => {
+        val did = col("doc_id")
+        val base = t(s, d, "documents").filter(did.isNotNull && did % 31 === 0)
+        val g = did % 3
+        val corpus = base.select(did.as("doc_id"),
+          concat(hanRun(lit(8), g * 8),
+            when((did / 31) % 2 === 1, lit("的")).otherwise(lit(""))).as("ctext"))
+        val probe = base.select(did.as("doc_id"),
+          when(did % 5 < 3, hanRun(lit(6), (did % 5) % 3 * 8))
+            .otherwise(lit("安全探针噪声页")).as("ptext"))
+        graft.operators.Dedup.crossCorpusContamination(
+          corpus, probe, "ctext", "doc_id", "ptext", ngramWords = 2)
+          .agg(
+            count(lit(1)).as("n_probes"),
+            sum(when(col("ngrams_matched") > 0, 1L).otherwise(0L)).as("contaminated_docs"),
+            sum(col("ngrams_matched")).cast("long").as("total_matched"),
+            round(max(col("contamination")), 6).as("max_contamination"))
+      },
+      Some("""WITH base AS (SELECT doc_id, doc_id % 5 AS pv
+             |   FROM documents WHERE doc_id IS NOT NULL AND doc_id % 31 = 0)
+             | SELECT count(*) AS n_probes,
+             | CAST(sum(CASE WHEN pv < 3 THEN 1 ELSE 0 END) AS BIGINT) AS contaminated_docs,
+             | CAST(sum(CASE WHEN pv < 3 THEN 4 ELSE 0 END) AS BIGINT) AS total_matched,
+             | round(max(CASE WHEN pv < 3 THEN 1.0 ELSE 0.0 END), 6) AS max_contamination
+             | FROM base""".stripMargin.replaceAll("\n", " "))),
+
+    // Per-language quality routing (CCNet/Gopher practice): gopherFlagsRouted picks
+    // thresholds by langId — the CJK preset drops the English mean-word-length and
+    // stopword priors that auto-reject segmented (length-2 bigram) tokens. Pages
+    // are constructed so routing CHANGES the kept-set in closed form: Han pages
+    // pass iff their unit count clears the word budget (keep_default is always
+    // false for them — mean 2.0 fails [3,10] and English stopwords never hit),
+    // while English pages route to the default config and pass both ways.
+    QueryDef("lang_routed_quality_documents",
+      (s, d) => {
+        val did = col("doc_id")
+        val text = when(did % 2 === 0, hanRun(did % 40 + lit(40), did % 8))
+          .otherwise(lit(("the be to of and that have with " * 8).trim))
+        val routed = TextFunctions.gopherFlagsRouted(col("_txt"))
+        t(s, d, "documents")
+          .filter(did.isNotNull && did % 37 === 0)
+          .select(did.as("doc_id"), text.as("_txt"))
+          .select(col("doc_id"),
+            routed.getField("lang").as("lang"),
+            when(routed.getField("flags").getField("keep"), 1L).otherwise(0L)
+              .as("keep_routed"),
+            when(TextFunctions.gopherFlags(col("_txt")).getField("keep"), 1L)
+              .otherwise(0L).as("keep_default"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             | CASE WHEN doc_id % 2 = 0 THEN 'zh' ELSE 'en' END AS lang,
+             | CAST(CASE WHEN doc_id % 2 = 0 THEN (CASE WHEN doc_id % 40 >= 11 THEN 1 ELSE 0 END) ELSE 1 END AS BIGINT) AS keep_routed,
+             | CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS BIGINT) AS keep_default
+             | FROM documents WHERE doc_id IS NOT NULL AND doc_id % 37 = 0
+             | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "))),
 
     QueryDef("embedding_norms",
       (s, d) => {

@@ -278,6 +278,49 @@ object TextFunctions {
     require(minWords >= 1 && maxWords >= minWords, s"bad word bounds [$minWords,$maxWords]")
   }
 
+  object GopherConfig {
+    /** Preset for the bigram-segmented scripts (zh/ja/th/…): the English priors are
+      * wrong there — segmented tokens are (mostly) length-2 character bigrams, so the
+      * [3,10] mean-word-length band auto-rejects every page, and the English stopword
+      * probe never hits. Word-count and line-shape rules keep their defaults (a
+      * segmented unit ≈ a word for the length budget; bullets/ellipses are
+      * script-independent). Public precedent: CCNet/Gopher route quality thresholds
+      * per language rather than applying English constants corpus-wide.
+      */
+    val cjk: GopherConfig = GopherConfig(
+      minMeanWordLen = 1.0, maxMeanWordLen = 4.0, minStopwordHits = 0)
+  }
+
+  /** Per-language Gopher threshold routing: evaluate [[langId]] once and apply the
+    * matching config, falling back to `default` for unrouted languages. One
+    * lazily-evaluated CaseWhen — only the selected config's kernel runs per row.
+    * Output struct adds a `lang` field ahead of the flag fields so downstream
+    * corpus stats can group the gate decisions by routed language.
+    */
+  def gopherFlagsRouted(c: Column,
+      configs: Map[String, GopherConfig] = Map("zh" -> GopherConfig.cjk),
+      default: GopherConfig = GopherConfig()): Column = {
+    require(configs.nonEmpty, "routing map must be non-empty (else call gopherFlags)")
+    val lang = langId(c)
+    val flags = configs.toSeq.sortBy(_._1).foldRight(gopherFlags(c, default)) {
+      case ((l, cfg), acc) => when(lang === l, gopherFlags(c, cfg)).otherwise(acc)
+    }
+    when(c.isNotNull, struct(lang.as("lang"), flags.as("flags")))
+  }
+
+  /** Per-language quality-score gate: `qualityScore(c) >= threshold(langId(c))`,
+    * with `default` for unrouted languages. NULL text ⇒ NULL (no verdict).
+    */
+  def qualityKeepRouted(c: Column, thresholds: Map[String, Double],
+      default: Double): Column = {
+    val thr =
+      if (thresholds.isEmpty) lit(default)
+      else coalesce(element_at(
+        map(thresholds.toSeq.sortBy(_._1)
+          .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*), langId(c)), lit(default))
+    when(c.isNotNull, qualityScore(c) >= thr)
+  }
+
   /** The Gopher stopword probe set (Rae et al. 2021): a doc with fewer than 2 hits is
     * unlikely to be running English prose. Case-insensitive whole-token match.
     */

@@ -150,6 +150,46 @@ class SegmentSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("per-language gopher routing keeps CJK pages the English config rejects") {
+    val spark0 = spark
+    import spark0.implicits._
+    val han = (0 until 60).map(i => "中文数据处理系统模型训练样本".charAt(i % 14)).mkString
+    val en = ("the be to of and that have with " * 8).trim
+    val shortHan = han.take(20) // 19 bigram tokens — fails the 50-word budget both ways
+    val rows = Seq(han, en, shortHan, null.asInstanceOf[String]).toDF("text")
+      .select(
+        TextFunctions.gopherFlagsRouted(col("text")).as("r"),
+        TextFunctions.gopherFlags(col("text")).getField("keep").as("kd"))
+      .collect()
+    // CJK page: routed keep (59 units, mean 2.0 under the cjk config), default reject
+    assert(rows(0).getStruct(0).getString(0) == "zh")
+    assert(rows(0).getStruct(0).getStruct(1).getBoolean(7) && !rows(0).getBoolean(1))
+    // English page: routed to default config — identical verdicts
+    assert(rows(1).getStruct(0).getString(0) == "en")
+    assert(rows(1).getStruct(0).getStruct(1).getBoolean(7) == rows(1).getBoolean(1))
+    // Short CJK page: routing does NOT waive the word budget
+    assert(!rows(2).getStruct(0).getStruct(1).getBoolean(7))
+    // NULL text: NULL struct both ways
+    assert(rows(3).isNullAt(0) && rows(3).isNullAt(1))
+  }
+
+  test("per-language quality threshold routing") {
+    val spark0 = spark
+    import spark0.implicits._
+    val han = (0 until 60).map(i => "中文数据处理系统".charAt(i % 8)).mkString
+    val rows = Seq(han, "the quick brown fox jumps over the lazy dog and then some more",
+      null.asInstanceOf[String]).toDF("text")
+      .select(
+        TextFunctions.qualityKeepRouted(col("text"), Map("zh" -> 0.5), 0.99).as("k"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      .collect()
+    // CJK page scores above 0.5 (routed) but below 0.99 (default would reject)
+    assert(rows(0).getBoolean(0) && rows(0).getDouble(1) < 0.99)
+    // English page judged against the 0.99 default
+    assert(rows(1).getBoolean(0) == (rows(1).getDouble(1) >= 0.99))
+    assert(rows(2).isNullAt(0))
+  }
+
   test("segmented token count is zero iff whitespace token count is zero") {
     Seq("", " \t\n", "中", "a", " 中文 ").foreach { s =>
       val seg = toks(s).size
