@@ -1586,7 +1586,8 @@ object Queries {
           .select(did.as("doc_id"), text.as("_txt"))
           .select(col("doc_id"),
             TextFunctions.tokenCount(col("_txt")).cast("long").as("tok_n"),
-            size(array_distinct(TextFunctions.wordShingles(col("_txt"), 2)))
+            // wordShingles is already distinct (first-occurrence order)
+            size(TextFunctions.wordShingles(col("_txt"), 2))
               .cast("long").as("uniq_grams2"),
             round(TextFunctions.meanWordLength(col("_txt")), 6).as("mwl"))
           .orderBy("doc_id")

@@ -101,9 +101,9 @@ object GraftFunctions {
   private val textFns: Seq[(String, String, FunctionRegistry.FunctionBuilder)] = {
     import graft.functions.{TextFunctions => T}
     Seq(
-      ("graft_tokens", "graft_tokens(text) - whitespace tokens, empties removed",
+      ("graft_tokens", "graft_tokens(text) - matching-tokenizer tokens (whitespace words; CJK char bigrams)",
         fromColumns("graft_tokens", 1, cs => T.tokens(cs.head))),
-      ("graft_token_count", "graft_token_count(text) - whitespace token count",
+      ("graft_token_count", "graft_token_count(text) - matching-tokenizer token count",
         fromColumns("graft_token_count", 1, cs => T.tokenCount(cs.head))),
       ("graft_bpeish_token_count",
         "graft_bpeish_token_count(text) - GPT-2-style pre-tokenizer run count",
@@ -118,7 +118,7 @@ object GraftFunctions {
         "graft_fingerprint(text) - 64-bit whitespace-normalized content fingerprint",
         fromColumns("graft_fingerprint", 1, cs => T.fingerprint(cs.head))),
       ("graft_simhash",
-        "graft_simhash(text) - 64-bit SimHash over whitespace tokens",
+        "graft_simhash(text) - 64-bit SimHash over matching-tokenizer tokens",
         fromColumns("graft_simhash", 1,
           cs => graft.operators.Dedup.simhash64(T.tokens(cs.head)))),
       ("graft_dup_line_fraction",

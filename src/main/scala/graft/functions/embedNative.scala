@@ -10,7 +10,10 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Feature-hashed bag-of-words document embedding kernel (the "hashing trick",
-  * Weinberger et al. 2009): every whitespace token hashes to a dimension and a ±1
+  * Weinberger et al. 2009): every MATCHING-tokenizer token
+  * ([[SegmentKernel.tokenBounds]] — whitespace words outside the no-space scripts,
+  * overlapping character bigrams inside them, so CJK documents embed from their
+  * bigram bag rather than one giant pseudo-token) hashes to a dimension and a ±1
   * sign, accumulated and L2-normalized — a deterministic, model-free dense vector
   * whose cosine approximates token-multiset overlap. This is the bridge from the
   * text corpus into every embedding operator (ANN top-k, hyperplane/IVF blocking,
@@ -30,28 +33,22 @@ object HashedEmbeddingKernel {
   def embed(s: UTF8String, dim: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val bytes = s.getBytes
     val acc = new Array[Float](dim)
-    var i = 0
-    var tokenStart = -1
-    var any = false
-    while (i <= bytes.length) {
-      val isWs = i == bytes.length || {
-        val b = bytes(i)
-        b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
-      }
-      if (isWs) {
-        if (tokenStart >= 0) {
-          val len = i - tokenStart
-          val h1 = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-            bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + tokenStart, len, 42)
-          val h2 = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-            bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + tokenStart, len, 7919)
-          val idx = Math.floorMod(h1, dim)
-          acc(idx) += (if ((h2 & 1) == 0) 1.0f else -1.0f)
-          any = true
-          tokenStart = -1
-        }
-      } else if (tokenStart < 0) tokenStart = i
-      i += 1
+    // Shared MATCHING tokenizer — the "pure function of the token multiset"
+    // guarantee (hashed_embedding_documents' oracle invariant) groups by tokens(),
+    // so the embedding MUST consume the same token stream.
+    val (bounds, n) = SegmentKernel.tokenBounds(bytes, bytes.length)
+    val any = n > 0
+    var t = 0
+    while (t < n) {
+      val ts = bounds(t * 2)
+      val len = bounds(t * 2 + 1) - ts
+      val h1 = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + ts, len, 42)
+      val h2 = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + ts, len, 7919)
+      val idx = Math.floorMod(h1, dim)
+      acc(idx) += (if ((h2 & 1) == 0) 1.0f else -1.0f)
+      t += 1
     }
     if (!any)
       return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData

@@ -16,7 +16,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * BIT-FOR-BIT with the Column formulation (PropertySpec pins it on hostile inputs);
   * the subtle semantics replicated here, each matching the exact Spark/Java-regex
   * behavior of the original:
-  *  - tokens: ASCII `\s+` split (space, \t, \n, \x0B, \f, \r), empties dropped
+  *  - tokens: the shared MATCHING tokenizer ([[SegmentKernel.tokenBounds]] — ASCII
+  *    `\s+` words outside the no-space scripts, character bigrams inside them)
   *  - token char counts are CODE POINTS ([[UTF8String]].numChars), not UTF-16 units
   *  - `\p{L}` per token == any code point in a Unicode letter category
   *  - stopword probe `(?i)^(the|be|to|of|and|that|have|with)$` == ASCII-case-folded
@@ -76,13 +77,16 @@ object GopherKernel {
       maxSymbolWordRatio: Double, maxBulletLineFraction: Double,
       maxEllipsisLineFraction: Double, minAlphaWordFraction: Double,
       minStopwordHits: Int): InternalRow = {
-    val s = u.toString
-    val n = s.length
+    // Single materialization: every pass below is a byte walk (ASCII structure
+    // bytes never occur inside multibyte sequences; the multibyte literals —
+    // ellipsis, bullets, line terminators — are matched by their exact UTF-8
+    // sequences, which self-synchronize).
+    val bytes = u.getBytes
+    val n = bytes.length
 
     // ---- token pass (shared MATCHING tokenizer): count, summed code-point
     // lengths, alpha words, stopwords. SEG bigrams count length 2 and are alpha
     // (Han/Kana/Thai are letters); stopwords stay ASCII-only probes. ----
-    val bytes = u.getBytes
     val (bounds, nTok) = SegmentKernel.tokenBounds(bytes, bytes.length)
     var nW = 0L
     var charSum = 0L
@@ -107,16 +111,19 @@ object GopherKernel {
       ti += 1
     }
 
-    // ---- symbol pass: non-overlapping leftmost-first `#|\.{3}|…` ----
+    // ---- symbol pass: non-overlapping leftmost-first `#|\.{3}|\u2026`
+    // (ellipsis = E2 80 A6; an E2 lead byte always consumes exactly its two
+    // continuation bytes, so the three-byte match can never span characters) ----
     var nSym = 0L
     var i = 0
     while (i < n) {
-      val c = s.charAt(i)
-      if (c == '#') { nSym += 1; i += 1 }
-      else if (c == '.' && i + 2 < n && s.charAt(i + 1) == '.' && s.charAt(i + 2) == '.') {
+      val b = bytes(i)
+      if (b == '#') { nSym += 1; i += 1 }
+      else if (b == '.' && i + 2 < n && bytes(i + 1) == '.' && bytes(i + 2) == '.') {
         nSym += 1; i += 3
       }
-      else if (c == '…') { nSym += 1; i += 1 }
+      else if (b == 0xE2.toByte && i + 2 < n && bytes(i + 1) == 0x80.toByte &&
+        bytes(i + 2) == 0xA6.toByte) { nSym += 1; i += 3 }
       else i += 1
     }
 
@@ -127,25 +134,34 @@ object GopherKernel {
     var lineStart = 0
     var pos = 0
     while (pos <= n) {
-      if (pos == n || s.charAt(pos) == '\n') {
+      if (pos == n || bytes(pos) == '\n') {
         var a = lineStart
         var b = pos
-        while (a < b && s.charAt(a) == ' ') a += 1
-        while (b > a && s.charAt(b - 1) == ' ') b -= 1
+        while (a < b && bytes(a) == ' ') a += 1
+        while (b > a && bytes(b - 1) == ' ') b -= 1
         if (b > a) {
           nLines += 1
-          val first = s.charAt(a)
-          if (first == '•' || first == '‣' || first == '▪' ||
-            first == '*' || first == '-') nBullet += 1
-          // `$` ignores ONE final line terminator (\r / NEL / LS / PS; no \n here)
+          // bullet rule: U+2022 E2 80 A2, U+2023 E2 80 A3, U+25AA E2 96 AA, '*', '-'
+          val f = bytes(a)
+          val bullet = f == '*' || f == '-' ||
+            (b - a >= 3 && f == 0xE2.toByte &&
+              ((bytes(a + 1) == 0x80.toByte &&
+                (bytes(a + 2) == 0xA2.toByte || bytes(a + 2) == 0xA3.toByte)) ||
+                (bytes(a + 1) == 0x96.toByte && bytes(a + 2) == 0xAA.toByte)))
+          if (bullet) nBullet += 1
+          // `$` ignores ONE final line terminator: \r / NEL (C2 85) /
+          // LS (E2 80 A8) / PS (E2 80 A9); no \n survives the split
           var e = b
-          val last = s.charAt(e - 1)
-          if (last == '\r' || last == '\u0085' || last == '\u2028' || last == '\u2029')
-            e -= 1
+          if (bytes(e - 1) == '\r') e -= 1
+          else if (e - a >= 2 && bytes(e - 2) == 0xC2.toByte && bytes(e - 1) == 0x85.toByte)
+            e -= 2
+          else if (e - a >= 3 && bytes(e - 3) == 0xE2.toByte && bytes(e - 2) == 0x80.toByte &&
+            (bytes(e - 1) == 0xA8.toByte || bytes(e - 1) == 0xA9.toByte)) e -= 3
           val ell =
-            (e - a >= 3 && s.charAt(e - 1) == '.' && s.charAt(e - 2) == '.' &&
-              s.charAt(e - 3) == '.') ||
-              (e - a >= 1 && s.charAt(e - 1) == '…')
+            (e - a >= 3 && bytes(e - 1) == '.' && bytes(e - 2) == '.' &&
+              bytes(e - 3) == '.') ||
+              (e - a >= 3 && bytes(e - 3) == 0xE2.toByte && bytes(e - 2) == 0x80.toByte &&
+                bytes(e - 1) == 0xA6.toByte)
           if (ell) nEllipsis += 1
         }
         lineStart = pos + 1

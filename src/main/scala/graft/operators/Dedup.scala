@@ -505,6 +505,15 @@ object Dedup {
     * guarantee (zero false negatives against blooms persisted by PAST versions)
     * depends on this hashing never drifting — every path derives from here or is
     * golden-pinned in the spec.
+    *
+    * TOKENIZER-VERSION CAVEAT: grams ride the MATCHING tokenizer
+    * ([[graft.functions.SegmentKernel]]), which segments the no-space scripts
+    * (Han/Kana/Thai/…) into character bigrams. For text WITHOUT those scripts the
+    * gram hashes are bit-identical to every previously shipped version; a bloom
+    * persisted BEFORE segmentation landed from probe text that CONTAINED such
+    * scripts stored the old giant-pseudo-token gram hashes and must be rebuilt —
+    * pre-segmentation, those probes produced no usable grams at all (the firewall
+    * was blind to them), so a rebuild strictly gains recall.
     */
   private def distinctGramHashes(df: DataFrame, textCol: String,
       ngramWords: Int): DataFrame =

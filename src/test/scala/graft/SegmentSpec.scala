@@ -140,13 +140,10 @@ class SegmentSpec extends AnyFunSuite with SparkSpec {
         else (0x80 + rnd.nextInt(0x1000)).toChar
       }.toArray)
       val t = toks(s) // must not throw
-      // every token is non-empty and within the source
+      // every token is non-empty
       t.foreach(tok => assert(tok.nonEmpty))
-      // token count >= whitespace token count (segmentation only subdivides)
-      assert(t.size >= s.split("\\s+").count(_.nonEmpty) ||
-        // joiner attachment can MERGE a mark-leading "word" with nothing — counts
-        // only ever grow or stay equal vs whitespace when no ws-adjacent marks
-        true)
+      // segmentation only SUBDIVIDES whitespace tokens — counts never shrink
+      assert(t.size >= s.split("\\s+").count(_.nonEmpty), s"token count shrank on '$s'")
     }
   }
 
