@@ -27,6 +27,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * One byte-walk per document: tokens are hashed in place from the UTF-8 buffer
   * (Murmur3 via Spark's hashUnsafeBytes — no substring allocation), so the cost is
   * O(bytes + dim) per row. Dimension index and sign come from independent seeds.
+  *
+  * TOKENIZER-VERSION CAVEAT (same class as the contamination-bloom one in
+  * Dedup.distinctGramHashes): vectors are bit-identical to previous versions for
+  * text without the segmented scripts, but PERSISTED artifacts derived from
+  * hashed embeddings of CJK/Thai/… text — stored ANN/SemDeDup signature columns,
+  * quality-classifier models fitted on embedding features — must be regenerated
+  * before comparing against freshly embedded text (pre-segmentation those docs
+  * embedded from one giant pseudo-token, a near-useless signature).
   */
 object HashedEmbeddingKernel {
 

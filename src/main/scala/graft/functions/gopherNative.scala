@@ -100,11 +100,11 @@ object GopherKernel {
       var alpha = false
       var j = ts
       while (j < te) {
-        val nb = UTF8String.numBytesForFirstByte(bytes(j))
+        val cl = SegmentKernel.charLen(bytes, j, te)
         if (!alpha &&
-          Character.isLetter(SegmentKernel.codePointAt(bytes, j, te, nb))) alpha = true
+          Character.isLetter(SegmentKernel.codePointAt(bytes, j, te, cl))) alpha = true
         charSum += 1
-        j += nb
+        j += cl
       }
       if (alpha) nAlpha += 1
       if (isStopword(bytes, ts, te)) nStop += 1

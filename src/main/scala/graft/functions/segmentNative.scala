@@ -99,28 +99,50 @@ object SegmentKernel {
     */
   def isWsByte(b: Byte): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0D)
 
-  /** Decode the code point starting at `i` (lead-byte length `nb`), clamped at
-    * `len`. Total on malformed input: a truncated sequence decodes from the bytes
-    * present (deterministic, never throws); bare continuation/invalid lead bytes
-    * (nb == 1, b >= 0x80) yield the byte value itself — never SEG, never a joiner.
+  /** Bytes consumed by the character starting at `i`: 1 for ASCII and for any
+    * malformed lead (bare continuation bytes included), else the lead byte's
+    * declared length TRUNCATED at the first non-continuation byte. This makes
+    * every walk SELF-SYNCHRONIZING on malformed input: a truncated multibyte
+    * lead can never swallow a following ASCII whitespace byte or the next
+    * character's lead (Spark does not validate UTF-8, so crawl-scale corpora can
+    * carry such bytes into UDF-visible UTF8Strings).
     */
-  def codePointAt(bytes: Array[Byte], i: Int, len: Int, nb: Int): Int = {
+  def charLen(bytes: Array[Byte], i: Int, len: Int): Int = {
+    val b = bytes(i)
+    if (b >= 0) return 1
+    val nb = UTF8String.numBytesForFirstByte(b)
+    if (nb <= 1) return 1
+    var j = i + 1
+    val end = math.min(i + nb, len)
+    while (j < end && (bytes(j) & 0xC0) == 0x80) j += 1
+    j - i
+  }
+
+  /** Code point of the character at `i` that [[charLen]] measured as `cl` bytes.
+    * Malformed input (truncated/invalid sequences, bare continuations,
+    * surrogate-range or out-of-range scalars) decodes to U+FFFD — what
+    * String/Column-level decoding sees, so per-code-point classification
+    * (letters, scripts, joiners) agrees with the Column specifications. (Overlong
+    * encodings are NOT rejected — a non-shortest form decodes to its scalar;
+    * none of those scalars change a classification class boundary.)
+    */
+  def codePointAt(bytes: Array[Byte], i: Int, len: Int, cl: Int): Int = {
     val b0 = bytes(i) & 0xFF
-    if (nb <= 1) return b0
-    var cp = nb match {
+    if (cl <= 1) return if (b0 < 0x80) b0 else 0xFFFD
+    // cl > 1 only when the lead declared a multibyte length; malformed if truncated
+    if (cl != UTF8String.numBytesForFirstByte(bytes(i))) return 0xFFFD
+    var cp = cl match {
       case 2 => b0 & 0x1F
       case 3 => b0 & 0x0F
       case _ => b0 & 0x07
     }
     var j = i + 1
-    val end = math.min(i + nb, len)
+    val end = i + cl
     while (j < end) {
       cp = (cp << 6) | (bytes(j) & 0x3F)
       j += 1
     }
-    // Malformed 5/6-byte lead bytes could decode past the Unicode range —
-    // Character.UnicodeScript.of/getType reject those; clamp to U+FFFD.
-    if (cp > 0x10FFFF || cp < 0) 0xFFFD else cp
+    if (cp > 0x10FFFF || cp < 0 || (cp >= 0xD800 && cp <= 0xDFFF)) 0xFFFD else cp
   }
 
   /** Growable packed (start, end) bounds buffer. */
@@ -165,15 +187,16 @@ object SegmentKernel {
         if (otherStart >= 0) { buf.add(otherStart, i); otherStart = -1 }
         i += 1
       } else {
-        // one unit: base code point + trailing joiners
+        // one unit: base code point + trailing joiners (charLen-advance is
+        // self-synchronizing — malformed leads never swallow whitespace)
         val u0 = i
-        val nb = UTF8String.numBytesForFirstByte(b)
-        val cp = codePointAt(bytes, i, len, nb)
-        i = math.min(i + nb, len)
+        val cl = charLen(bytes, i, len)
+        val cp = codePointAt(bytes, i, len, cl)
+        i += cl
         var more = true
         while (more && i < len && !isWsByte(bytes(i))) {
-          val nb2 = UTF8String.numBytesForFirstByte(bytes(i))
-          if (isJoiner(codePointAt(bytes, i, len, nb2))) i = math.min(i + nb2, len)
+          val cl2 = charLen(bytes, i, len)
+          if (isJoiner(codePointAt(bytes, i, len, cl2))) i += cl2
           else more = false
         }
         if (isSeg(cp)) {

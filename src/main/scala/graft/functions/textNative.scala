@@ -117,7 +117,7 @@ object QualityScoreKernel {
         else if ((b >= 0x21 && b <= 0x2f) || (b >= 0x3a && b <= 0x40) ||
           (b >= 0x5b && b <= 0x60) || (b >= 0x7b && b <= 0x7e)) punct += 1
         i += 1
-      } else i += UTF8String.numBytesForFirstByte(b)
+      } else i += SegmentKernel.charLen(bytes, i, bytes.length)
     }
     // Token stats ride the shared MATCHING tokenizer (SEG bigrams count length 2 —
     // CJK text gets a sane mean word length instead of one giant pseudo-word).
@@ -129,7 +129,7 @@ object QualityScoreKernel {
       val e = bounds(t * 2 + 1)
       while (j < e) {
         sumTokChars += 1
-        j += UTF8String.numBytesForFirstByte(bytes(j))
+        j += SegmentKernel.charLen(bytes, j, e)
       }
       t += 1
     }
@@ -227,10 +227,10 @@ object LangIdKernel {
       chars += 1
       if (b >= 0) i += 1
       else {
-        val nb = UTF8String.numBytesForFirstByte(b)
-        val cp = SegmentKernel.codePointAt(bytes, i, bytes.length, nb)
+        val cl = SegmentKernel.charLen(bytes, i, bytes.length)
+        val cp = SegmentKernel.codePointAt(bytes, i, bytes.length, cl)
         if (Character.UnicodeScript.of(cp) == Character.UnicodeScript.HAN) han += 1
-        i += nb
+        i += cl
       }
     }
     if (chars > 0 && han.toDouble / chars > 0.2) return zh

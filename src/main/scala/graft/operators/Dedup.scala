@@ -511,9 +511,12 @@ object Dedup {
     * (Han/Kana/Thai/…) into character bigrams. For text WITHOUT those scripts the
     * gram hashes are bit-identical to every previously shipped version; a bloom
     * persisted BEFORE segmentation landed from probe text that CONTAINED such
-    * scripts stored the old giant-pseudo-token gram hashes and must be rebuilt —
-    * pre-segmentation, those probes produced no usable grams at all (the firewall
-    * was blind to them), so a rebuild strictly gains recall.
+    * scripts stored the old giant-pseudo-token gram hashes (usually the
+    * shorter-than-k whole-page fallback gram — which DID catch byte-exact
+    * whole-page copies) and MUST be rebuilt before probing new corpora: the
+    * corpus side now emits segmented grams that never match those stored bits.
+    * After the rebuild the firewall also catches partial/near-copy CJK
+    * contamination the old whole-page-only gram could not.
     */
   private def distinctGramHashes(df: DataFrame, textCol: String,
       ngramWords: Int): DataFrame =

@@ -187,6 +187,39 @@ class SegmentSpec extends AnyFunSuite with SparkSpec {
     assert(rows(2).isNullAt(0))
   }
 
+  test("malformed UTF-8 never swallows whitespace (self-synchronizing walk)") {
+    def boundsOf(bytes: Array[Byte]): Seq[(Int, Int)] = {
+      val (b, n) = SegmentKernel.tokenBounds(bytes, bytes.length)
+      (0 until n).map(i => (b(i * 2), b(i * 2 + 1)))
+    }
+    // truncated 3-byte lead, two spaces, 'b': the lead must NOT consume the spaces
+    assert(boundsOf(Array(0xE1, 0x20, 0x20, 0x62).map(_.toByte)) == Seq((0, 1), (3, 4)))
+    // truncated lead + one continuation, space, 'b'
+    assert(boundsOf(Array(0xE1, 0x81, 0x20, 0x62).map(_.toByte)) == Seq((0, 2), (3, 4)))
+    // bare continuation bytes act as 1-byte OTHER chars
+    assert(boundsOf(Array(0x85, 0x20, 0x85).map(_.toByte)) == Seq((0, 1), (2, 3)))
+    // truncated 4-byte lead at end of input
+    assert(boundsOf(Array(0x61, 0x20, 0xF0, 0x9F).map(_.toByte)) == Seq((0, 1), (2, 4)))
+    // malformed decode classifies as U+FFFD: never SEG, never a letter
+    assert(SegmentKernel.codePointAt(Array(0xE1, 0x20).map(_.toByte), 0, 2, 1) == 0xFFFD)
+    // surrogate-range 3-byte sequence (ED A0 80 = U+D800) decodes to U+FFFD
+    assert(SegmentKernel.codePointAt(Array(0xED, 0xA0, 0x80).map(_.toByte), 0, 3, 3) == 0xFFFD)
+    // token counts never shrink vs byte-level whitespace runs, even on junk
+    val rnd = new scala.util.Random(7)
+    (1 to 300).foreach { _ =>
+      val bytes = Array.fill(rnd.nextInt(40))((rnd.nextInt(256) - 128).toByte)
+      val (_, n) = SegmentKernel.tokenBounds(bytes, bytes.length) // must not throw
+      var wsRuns = 0
+      var in = false
+      bytes.foreach { b =>
+        val ws = b == 0x20 || (b >= 0x09 && b <= 0x0D)
+        if (!ws && !in) wsRuns += 1
+        in = !ws
+      }
+      assert(n >= wsRuns, s"tokens $n < ws-delimited runs $wsRuns on ${bytes.mkString(",")}")
+    }
+  }
+
   test("segmented token count is zero iff whitespace token count is zero") {
     Seq("", " \t\n", "中", "a", " 中文 ").foreach { s =>
       val seg = toks(s).size
