@@ -50,10 +50,18 @@ object Bench {
       .asInstanceOf[LoggerContext]
     val cfg = ctx.getConfiguration
     val name = "org.apache.spark.sql.execution.window.WindowExec"
-    val lc = new LoggerConfig(name, org.apache.logging.log4j.Level.WARN, true)
-    lc.addFilter(RegexFilter.createFilter("(?s).*No Partition Defined.*", null,
-      false, Filter.Result.DENY, Filter.Result.NEUTRAL))
-    cfg.addLogger(name, lc)
+    val filter = RegexFilter.createFilter("(?s).*No Partition Defined.*", null,
+      false, Filter.Result.DENY, Filter.Result.NEUTRAL)
+    // Attach to an EXISTING exact-name LoggerConfig rather than clobbering it
+    // (addLogger replaces — dropping its level/appenders/filters); only create
+    // a fresh config when none exists for this exact logger.
+    val existing = cfg.getLoggerConfig(name)
+    if (existing != null && existing.getName == name) existing.addFilter(filter)
+    else {
+      val lc = new LoggerConfig(name, org.apache.logging.log4j.Level.WARN, true)
+      lc.addFilter(filter)
+      cfg.addLogger(name, lc)
+    }
     ctx.updateLoggers()
   }
 

@@ -78,6 +78,13 @@ object WebFunctions {
     * block's visible chars, or ≥ 1/3 on short blocks) are dropped, so one-off
     * page chrome never reaches the curation chain (corpus-wide line dedup
     * catches the REPEATED kind; this catches the rest). Same struct shape.
+    *
+    * KNOWN DEVIATION (fail-open, spec-pinned): a QUOTED XHTML-style self-close
+    * (`<a href="x"/>`) is treated as not opening an anchor, while the HTML
+    * tokenizer ignores the trailing '/' on non-void start tags — real HTML
+    * written that way counts its link text as prose, so such nav chrome can
+    * survive the density filter (content is kept, never lost). Unquoted
+    * `<a href=/>` follows the tokenizer exactly ('/' is a value char).
     */
   def htmlMainParts(h: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.column(

@@ -497,11 +497,69 @@ object Warc {
 
   private val CharsetParamPattern =
     java.util.regex.Pattern.compile("(?i)charset\\s*=\\s*\"?\\s*([^\";,\\s]+)")
-  // matches both <meta charset="x"> and
-  // <meta http-equiv="content-type" content="text/html; charset=x"> — the
-  // `charset=` token only appears inside a meta tag's attributes in the head
-  private val MetaCharsetPattern = java.util.regex.Pattern.compile(
-    "(?i)<meta[^>]{0,512}?charset\\s*=\\s*['\"]?\\s*([a-zA-Z0-9._:\\-]+)")
+  // one meta TAG's attribute region; the charset is then extracted by a real
+  // attribute parse ([[metaCharsetFromAttrs]]) — a bare regex over the tag body
+  // would take `<meta name="description" content="...use charset=big5...">` as
+  // a confident declaration, which the WHATWG prescan does not (it reads only
+  // the `charset` attribute, or `content` under `http-equiv=content-type`)
+  private val MetaTagPattern =
+    java.util.regex.Pattern.compile("(?i)<meta([^>]{0,512})")
+
+  /** WHATWG-prescan attribute semantics over one meta tag's attribute text: a
+    * bare `charset` attribute wins; otherwise `content`'s `charset=` param
+    * counts only when the SAME tag carries `http-equiv` ~= content-type.
+    * Hand-rolled name[=value] scan (quoted or unquoted values, ASCII whitespace
+    * only — the HTML tokenizer's definition); first occurrence of each
+    * attribute wins, like the tokenizer's duplicate-attribute rule.
+    */
+  private[operators] def metaCharsetFromAttrs(attrs: String): Option[String] = {
+    def isWs(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+    val n = attrs.length
+    var i = 0
+    var charsetAttr: String = null
+    var httpEquivCT = false
+    var contentVal: String = null
+    while (i < n) {
+      while (i < n && (isWs(attrs(i)) || attrs(i) == '/')) i += 1
+      if (i < n) {
+        val ns = i
+        while (i < n && !isWs(attrs(i)) && attrs(i) != '=' && attrs(i) != '/') i += 1
+        val name = attrs.substring(ns, i).toLowerCase(java.util.Locale.ROOT)
+        while (i < n && isWs(attrs(i))) i += 1
+        var value = ""
+        if (i < n && attrs(i) == '=') {
+          i += 1
+          while (i < n && isWs(attrs(i))) i += 1
+          if (i < n && (attrs(i) == '"' || attrs(i) == '\'')) {
+            val q = attrs(i)
+            i += 1
+            val vs = i
+            while (i < n && attrs(i) != q) i += 1
+            value = attrs.substring(vs, i)
+            if (i < n) i += 1
+          } else {
+            // unquoted value: '/' is a VALUE char (text/html;charset=x)
+            val vs = i
+            while (i < n && !isWs(attrs(i))) i += 1
+            value = attrs.substring(vs, i)
+          }
+        }
+        name match {
+          case "charset" if charsetAttr == null && value.trim.nonEmpty =>
+            charsetAttr = value.trim
+          case "http-equiv" if value.trim.equalsIgnoreCase("content-type") =>
+            httpEquivCT = true
+          case "content" if contentVal == null => contentVal = value
+          case _ =>
+        }
+      }
+    }
+    if (charsetAttr != null) Some(charsetAttr)
+    else if (httpEquivCT && contentVal != null) {
+      val m = CharsetParamPattern.matcher(contentVal)
+      if (m.find()) Some(m.group(1)) else None
+    } else None
+  }
 
   /** A charset LABEL (as pages declare them) → JVM charset, following the
     * WHATWG Encoding Standard's label table for the high-traffic families:
@@ -578,8 +636,12 @@ object Warc {
         i = end
       } else i += 1
     }
-    val m = MetaCharsetPattern.matcher(new String(head))
-    if (m.find()) Some(m.group(1)) else None
+    val m = MetaTagPattern.matcher(new String(head))
+    while (m.find()) {
+      val hit = metaCharsetFromAttrs(m.group(1))
+      if (hit.isDefined) return hit
+    }
+    None
   }
 
   /** Strict UTF-8 decode: Some(text) only when every byte sequence is valid —
@@ -679,6 +741,11 @@ object Warc {
     * silently and poison the downstream quality/dedup chain). Feed the result
     * straight into quality scoring / dedup / decontamination — this is the
     * Common-Crawl entry point.
+    *
+    * RESERVED OUTPUT NAMES: `textOut` (default "text"), `charset`,
+    * `charset_assumed`, and the WARC record columns. Inputs carrying a
+    * same-named metadata column fail LOUDLY at require time (withColumn would
+    * otherwise silently replace it) — rename such columns before calling.
     */
   def responseTexts(df: DataFrame, binCol: String, textOut: String = "text",
       maxRecords: Int = 200000, maxPayloadBytes: Int = 16 * 1024 * 1024,

@@ -285,6 +285,26 @@ class WarcSpec extends SparkSpec {
     // empty/null payloads stay total
     assert(Warc.decodeText(Array.emptyByteArray, Some("text/html")).text == "")
     assert(Warc.decodeText(null, None).text == "")
+    // `charset=` PROSE inside an unrelated meta's content value is NOT a
+    // declaration (WHATWG prescan reads only the charset attribute, or content
+    // under http-equiv=content-type) — the page falls through to the validity
+    // chain instead of decoding as big5 with a confident flag
+    val prose = ("<html><head><meta name=\"description\" " +
+      "content=\"how to use charset=big5 pages\"></head><body>café body</body></html>")
+      .getBytes(cp1252)
+    val pr = d(prose, "text/html")
+    assert(pr.charset == "windows-1252" && pr.charset_assumed &&
+      pr.text.contains("café body"), s"$pr")
+    // ...while content WITH http-equiv=content-type on the SAME tag still counts
+    val eq = ("<html><head><meta content=\"text/html; charset=windows-1252\" " +
+      "http-equiv=content-type></head><body>café body</body></html>").getBytes(cp1252)
+    val eqd = d(eq, "text/html")
+    assert(eqd.charset == "windows-1252" && !eqd.charset_assumed, s"$eqd")
+    // a bare charset ATTRIBUTE after other attributes still wins
+    val bare = "<html><head><meta foo=bar charset='windows-1252'></head><body>café</body></html>"
+      .getBytes(cp1252)
+    val bd = d(bare, "text/html")
+    assert(bd.charset == "windows-1252" && !bd.charset_assumed, s"$bd")
   }
 
   test("responseTexts: charset columns flow through; XHTML pages join the prose bridge") {
