@@ -2040,6 +2040,57 @@ object Queries {
              | CAST(coalesce(sum(CASE WHEN m = 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_assumed
              | FROM d""".stripMargin.replaceAll("\n", " "))),
 
+    // Content-Encoding: br through the built-in RFC 7932 decoder, oracled
+    // end-to-end: every doc's blob carries one brotli-encoded response —
+    // id%2 rotates the stream shape between the uncompressed-meta-block form
+    // and a genuinely entropy-coded compressed meta-block (uniform literal
+    // code), id/2 parity rotates the OUTER gzip layer (period-4 covers all
+    // combinations) — plus, for id%5==0, a second response whose br body is
+    // corrupt: it must keep its raw bytes with http_decoded=false (the
+    // caps/flags-are-visible contract), never break the blob. Counts and
+    // body-equality replay as pure doc_id arithmetic in DuckDB.
+    QueryDef("warc_brotli_documents",
+      (s, d) => {
+        import graft.operators.Warc
+        import graft.functions.Brotli
+        val corrupt = Array[Byte](0x21, 0x7f, 0x33)
+        val mkBlob = udf((id: Long) => {
+          val text = s"brotli page $id".getBytes("UTF-8")
+          val body = if ((((id % 2) + 2) % 2) == 0L) Brotli.encodeUncompressed(text)
+            else Brotli.encodeCompressedLiterals(text)
+          val resp = Warc.encodeResponseRecord(s"https://example.com/$id",
+            "2026-01-01T00:00:00Z", s"<urn:uuid:$id>", 200, "text/plain", body,
+            contentEncoding = Some("br"))
+          val blocks = if ((((id % 5) + 5) % 5) == 0L)
+            Seq(resp, Warc.encodeResponseRecord(s"https://example.com/$id/bad",
+              "2026-01-01T00:00:00Z", s"<urn:uuid:$id-b>", 200, "text/plain",
+              corrupt, contentEncoding = Some("br")))
+          else Seq(resp)
+          Warc.encodeWarc(blocks, gzip = ((((id / 2) % 2) + 2) % 2) == 0L)
+        })
+        val blobs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), mkBlob(col("doc_id")).as("warc"))
+        val expected = concat(lit("brotli page "), col("doc_id").cast("string"))
+        Warc.explodeRecords(blobs, "warc").agg(
+          count(lit(1)).as("n_records"),
+          coalesce(sum(when(col("http_decoded"), 1L).otherwise(0L)), lit(0L))
+            .as("n_decoded"),
+          // every DECODED body is the expected per-id text, bit-exact
+          bool_and(when(col("http_decoded"),
+            col("payload").cast("string") === expected)).as("decode_ok"),
+          // every UNDECODED body kept its raw corrupt bytes (flagged, visible)
+          bool_and(when(!col("http_decoded"),
+            col("payload") === lit(corrupt))).as("raw_kept"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |   CASE WHEN (doc_id % 5 + 5) % 5 = 0 THEN 2 ELSE 1 END AS k
+             |   FROM documents WHERE doc_id IS NOT NULL)
+             | SELECT CAST(coalesce(sum(k), 0) AS BIGINT) AS n_records,
+             | CAST(count(*) AS BIGINT) AS n_decoded,
+             | CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS decode_ok,
+             | CASE WHEN coalesce(sum(k - 1), 0) = 0 THEN NULL ELSE TRUE END AS raw_kept
+             | FROM d""".stripMargin.replaceAll("\n", " "))),
+
     // WARC-Payload-Digest passthrough + the zero-cost exact dedup every CC
     // pipeline starts with: each doc's blob carries one response stamped with a
     // digest keyed on doc_id%7 (so payloads collide across docs by construction)

@@ -29,9 +29,10 @@ object Warc {
   /** One WARC record. `payload` is the HTTP message BODY for
     * `application/http` records (status line and headers parsed off into
     * `http_status` / `http_content_type`; chunked transfer framing and
-    * gzip/deflate/zstd `Content-Encoding` are DECODED — brotli too when a
-    * decoder is on the classpath — `http_decoded` is false when the body used
-    * an encoding this JVM can't undo, and `payload` then holds the raw
+    * gzip/deflate/zstd/brotli `Content-Encoding` are DECODED — brotli via the
+    * built-in RFC 7932 decoder [[graft.functions.Brotli]], always present —
+    * `http_decoded` is false when the body used an encoding this JVM can't
+    * undo or a corrupt stream, and `payload` then holds the raw
     * framed/compressed bytes). For non-HTTP records, `payload` is the raw
     * record content. `truncated` marks payloads cut at the per-record parse
     * cap. `payload_digest` passes `WARC-Payload-Digest` through (Common Crawl
@@ -115,24 +116,6 @@ object Warc {
       z.setContinuous(true) // frame-per-record multi-frame layout
       if (dict != null && dict.length > 0) z.setDict(dict)
       Some(z)
-    } catch {
-      case _: LinkageError => None
-      case scala.util.control.NonFatal(_) => None
-    }
-
-  /** Brotli decode stream when `org.brotli.dec` (the public reference decoder)
-    * is on the runtime classpath, else None — loaded REFLECTIVELY because the
-    * jar is optional (it is not a Spark dependency): a direct class reference
-    * would fail to compile without it, and on a cluster without it would throw
-    * NoClassDefFoundError, a LinkageError that NonFatal does not catch. Absent
-    * decoder ⇒ the body stays raw with `http_decoded=false`, same visible-flag
-    * contract as the missing-zstd path.
-    */
-  private def brotliStream(in: java.io.InputStream): Option[java.io.InputStream] =
-    try {
-      val cls = Class.forName("org.brotli.dec.BrotliInputStream")
-      Some(cls.getConstructor(classOf[java.io.InputStream])
-        .newInstance(in).asInstanceOf[java.io.InputStream])
     } catch {
       case _: LinkageError => None
       case scala.util.control.NonFatal(_) => None
@@ -300,9 +283,9 @@ object Warc {
 
   /** Split an `application/http` record content into (status, Content-Type,
     * bodyDecoded, decodeCapped, body). Chunked transfer framing is removed and
-    * gzip/deflate `Content-Encoding` inflated (crawlers store the response AS
-    * CAPTURED, so real Common Crawl bodies carry both); an encoding this JVM
-    * can't undo (brotli) or malformed framing keeps the raw bytes with
+    * gzip/deflate/zstd/brotli `Content-Encoding` inflated (crawlers store the
+    * response AS CAPTURED, so real Common Crawl bodies carry both); an unknown
+    * encoding token, a corrupt stream, or malformed framing keeps the raw bytes with
     * bodyDecoded=false, and a body INFLATING past the payload cap keeps the
     * capped prefix with decodeCapped=true (it feeds the record's `truncated`,
     * per the caps-are-visible contract). A malformed message (no separator / no
@@ -363,7 +346,7 @@ object Warc {
       .foreach { enc =>
         inflateBody(body, enc, maxPayloadBytes) match {
           case Some((b, capped)) => body = b; decodeCapped = capped
-          case None => decoded = false // brotli/zstd/corrupt: keep raw, say so
+          case None => decoded = false // unknown token / corrupt stream: keep raw, say so
         }
       }
     (status, ct, decoded, decodeCapped, body)
@@ -420,10 +403,11 @@ object Warc {
             case None => return None // zstd-jni missing: flag undecoded
           }
         case "br" =>
-          brotliStream(new java.io.ByteArrayInputStream(body)) match {
-            case Some(b) => b
-            case None => return None // no brotli decoder present: flag undecoded
-          }
+          // built-in RFC 7932 decoder (graft.functions.Brotli) — decode with
+          // the soft cap so a brotli bomb keeps its capped prefix + truncated
+          // flag, the same contract as the gzip read-loop below
+          return try Some(graft.functions.Brotli.decompressCapped(body, maxBytes))
+          catch { case _: graft.functions.Brotli.BrotliError => None } // corrupt: keep raw, say so
         case _ => return None // unknown Content-Encoding: keep raw, say so
       }
       try {
@@ -787,12 +771,14 @@ object Warc {
     */
   def encodeResponseRecord(targetUri: String, dateIso: String, recordId: String,
       status: Int, httpContentType: String, body: Array[Byte],
-      payloadDigest: Option[String] = None): Array[Byte] = {
+      payloadDigest: Option[String] = None,
+      contentEncoding: Option[String] = None): Array[Byte] = {
     val statusText = if (status == 200) "OK" else "NOT-OK"
     val iso = java.nio.charset.StandardCharsets.ISO_8859_1
     val out = new java.io.ByteArrayOutputStream(body.length + 512)
     val http = (s"HTTP/1.1 $status $statusText\r\n" +
       s"Content-Type: $httpContentType\r\n" +
+      contentEncoding.map(e => s"Content-Encoding: $e\r\n").getOrElse("") +
       s"Content-Length: ${body.length}\r\n\r\n").getBytes(iso)
     out.write((s"WARC/1.0\r\n" +
       s"WARC-Type: response\r\n" +

@@ -93,7 +93,7 @@ class WarcSpec extends SparkSpec {
     assert(new String(mal.head.payload, iso) == "not http!")
   }
 
-  test("HTTP bodies: chunked framing removed, gzip/deflate inflated, brotli flagged") {
+  test("HTTP bodies: chunked framing removed, gzip/deflate/zstd/brotli decoded") {
     def httpRecord(extraHeaders: String, body: Array[Byte]): Array[Byte] = {
       val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n$extraHeaders\r\n")
         .getBytes(iso) ++ body
@@ -126,10 +126,44 @@ class WarcSpec extends SparkSpec {
     }
     val zRec = Warc.records(httpRecord("Content-Encoding: zstd\r\n", zBody)).head
     assert(zRec.http_decoded && new String(zRec.payload, iso) == "zstd page text")
-    // unsupported encoding: raw bytes kept, decoded=false, responseTexts skips it
-    val br = Warc.records(httpRecord("Content-Encoding: br\r\n",
+    // Content-Encoding: br — the built-in RFC 7932 decoder (graft.functions
+    // .Brotli) decodes it; no external jar involved. Two stream shapes: the
+    // uncompressed-meta-block form our fixture encoder writes, and a real
+    // entropy-coded stream from the reference encoder (committed fixture).
+    val brBody = graft.functions.Brotli.encodeUncompressed(
+      "brotli page text".getBytes(iso))
+    val brRec = Warc.records(httpRecord("Content-Encoding: br\r\n", brBody)).head
+    assert(brRec.http_decoded && new String(brRec.payload, iso) == "brotli page text",
+      s"got decoded=${brRec.http_decoded} '${new String(brRec.payload, iso)}'")
+    def brotliFixture(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/graft/brotli/$name")
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](65536)
+        var r = in.read(buf)
+        while (r >= 0) { bos.write(buf, 0, r); r = in.read(buf) }
+        bos.toByteArray
+      } finally in.close()
+    }
+    val refRec = Warc.records(
+      httpRecord("Content-Encoding: br\r\n", brotliFixture("010_text_q11.br"))).head
+    assert(refRec.http_decoded &&
+      refRec.payload.sameElements(brotliFixture("010_text_q11.raw")))
+    // corrupt brotli stream: raw bytes kept, decoded=false, responseTexts skips it
+    val brBad = Warc.records(httpRecord("Content-Encoding: br\r\n",
+      Array[Byte](0x21, 0x7f, 0x33))).head
+    assert(!brBad.http_decoded && brBad.payload.sameElements(Array[Byte](0x21, 0x7f, 0x33)))
+    // a brotli BOMB takes the same capped-prefix path as the gzip bomb below
+    val brBomb = Warc.records(
+      httpRecord("Content-Encoding: br\r\n",
+        graft.functions.Brotli.encodeUncompressed(new Array[Byte](100000))),
+      maxPayloadBytes = 4096).head
+    assert(brBomb.truncated && brBomb.http_decoded && brBomb.payload.length == 4096,
+      s"got truncated=${brBomb.truncated} len=${brBomb.payload.length}")
+    // an encoding token with no decoder at all: raw bytes kept, flagged
+    val unk = Warc.records(httpRecord("Content-Encoding: compress\r\n",
       Array[Byte](1, 2, 3))).head
-    assert(!br.http_decoded && br.payload.sameElements(Array[Byte](1, 2, 3)))
+    assert(!unk.http_decoded && unk.payload.sameElements(Array[Byte](1, 2, 3)))
     // malformed chunked framing: raw kept, flagged
     val malChunk = Warc.records(httpRecord("Transfer-Encoding: chunked\r\n",
       "ZZZ\r\nnot chunked".getBytes(iso))).head
