@@ -29,7 +29,7 @@ object GenData {
     * cached-dataset directory on this, so a stale generation can never be
     * silently measured as the current one.
     */
-  val Version = 2
+  val Version = 3 // v3: long-tail token suffixes in docText (see its comment)
 
   // splitmix64 — the standard public-domain mixer (Steele et al., JDK
   // SplittableRandom): one pass per (id, salt) draw.
@@ -85,7 +85,21 @@ object GenData {
     var i = 0
     while (i < n) {
       if (i > 0) sb.append(' ')
-      sb.append(Vocab((h(seed, 100 + i) % Vocab.length).toInt))
+      val r = h(seed, 100 + i)
+      // ~60% of words carry a numeric long-tail suffix — standing in for the
+      // ids/urls/numbers/rare-word tail real text has (~1e5 token types in a
+      // crawl vs this profile's 31-word dictionary). Without it the bulk
+      // pairwise 6-gram Jaccard of short docs sits inside LSH banding range
+      // and similarity clusters grow with corpus size: at scale=100 the
+      // bucket histogram hit 13k-doc buckets and ~7e8 intra-bucket pairs — a
+      // generator artifact (text diversity frozen while docs grow 100x), not
+      // a corpus shape real crawls have. With the tail, post-guard LSH
+      // candidates measure ~5M at 500k docs (measured: ScratchNgramSf10)
+      // while planted exact-dup chains still match bit-for-bit.
+      if (r % 5 < 3) {
+        sb.append(Vocab(((r >>> 3) % Vocab.length).toInt))
+        sb.append((r >>> 8) % 1000000)
+      } else sb.append(Vocab((r % Vocab.length).toInt))
       i += 1
     }
     sb.toString
