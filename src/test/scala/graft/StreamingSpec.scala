@@ -213,6 +213,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows.forall(r => r.getString(2) == "windows-1252" && !r.getBoolean(3)))
   }
 
+  test("streaming crawl ingestion decodes brotli response bodies per micro-batch") {
+    // Content-Encoding: br through the built-in RFC 7932 decoder under
+    // Structured Streaming — same records path as batch, no second impl
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Warc
+    def blob(i: Int): Array[Byte] = {
+      val text = s"brotli stream page $i".getBytes("UTF-8")
+      val body = if (i % 2 == 0) graft.functions.Brotli.encodeUncompressed(text)
+        else graft.functions.Brotli.encodeCompressedLiterals(text)
+      Warc.encodeWarc(Seq(Warc.encodeResponseRecord(s"https://example.com/$i",
+        "2026-01-01T00:00:00Z", s"<urn:uuid:b$i>", 200, "text/plain", body,
+        contentEncoding = Some("br"))), gzip = i % 2 == 0)
+    }
+    val input = MemoryStream[(Long, Array[Byte])]
+    val texts = Warc.responseTexts(input.toDF().toDF("blob_id", "warc"), "warc")
+    val q = texts.writeStream.format("memory").queryName("wbrstream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, blob(1)), (2L, blob(2)))
+      q.processAllAvailable()
+      input.addData((3L, blob(3)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql("SELECT blob_id, text FROM wbrstream").collect()
+    assert(rows.length == 3)
+    assert(rows.forall(r => r.getString(1) == s"brotli stream page ${r.getLong(0)}"),
+      rows.map(_.getString(1)).mkString("|"))
+  }
+
   test("streaming fingerprint dedup drops whitespace-variant reposts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
