@@ -271,6 +271,10 @@ object Brotli {
   }
 
   private final class Decoder(in: Array[Byte], maxOutput: Int, capIsError: Boolean) {
+    // hoisted once per stream: the lazy-val tuple accessor costs a volatile
+    // read + deref per literal if used inline in context()
+    private val (ctxU0, ctxU1, ctxS0, ctxS1, trPre, trTyp, trSuf) = aux
+
     private val inBits: Long = in.length.toLong * 8
     private var accum: Long = 0L
     private var nAccum: Int = 0
@@ -560,16 +564,15 @@ object Brotli {
     private def context(mode: Int, p1: Int, p2: Int): Int = mode match {
       case 0 => p1 & 0x3f
       case 1 => p1 >> 2
-      case 2 => aux._1(p1) | aux._2(p2)
-      case _ => aux._3(p1) | aux._4(p2)
+      case 2 => ctxU0(p1) | ctxU1(p2)
+      case _ => ctxS0(p1) | ctxS1(p2)
     }
 
     // ---- dictionary transform ----
 
     private def emitTransformed(wordOff: Int, wordLen: Int, tId: Int): Int = {
-      val (_, _, _, _, pre, typ, suf) = aux
       val before = outLen
-      val p = pre(tId); val s = suf(tId); val t = typ(tId)
+      val p = trPre(tId); val s = trSuf(tId); val t = trTyp(tId)
       ensure(p.length + wordLen + s.length + 1)
       System.arraycopy(p, 0, out, outLen, p.length); outLen += p.length
       // word with omit applied
