@@ -159,20 +159,6 @@ object Brotli {
   def decompressCapped(input: Array[Byte], maxOutput: Int): (Array[Byte], Boolean) =
     new Decoder(input, maxOutput, capIsError = false).run()
 
-  /** Decode as an InputStream (materialized — WARC bodies are bounded by the
-    * caller's blob caps before reaching any decoder).
-    */
-  def stream(in: java.io.InputStream, maxOutput: Int = 1 << 30): java.io.InputStream = {
-    val bytes = {
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](16384)
-      var r = in.read(buf)
-      while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
-      out.toByteArray
-    }
-    new java.io.ByteArrayInputStream(decompress(bytes, maxOutput))
-  }
-
   /** Encode bytes as a valid brotli stream of uncompressed meta-blocks
     * (RFC 7932 section 9.2, ISUNCOMPRESSED=1). No entropy coding — this is
     * the fixture/test encoder: any conformant decoder reads it, and it lets
