@@ -341,14 +341,29 @@ object Warc {
         case None => decoded = false // malformed framing: keep raw, say so
       }
     }
-    if (decoded) header("content-encoding")
-      .map(_.toLowerCase(java.util.Locale.ROOT)).filter(_ != "identity")
-      .foreach { enc =>
-        inflateBody(body, enc, maxPayloadBytes) match {
-          case Some((b, capped)) => body = b; decodeCapped = capped
-          case None => decoded = false // unknown token / corrupt stream: keep raw, say so
+    // Content-Encoding may be a CHAIN (`gzip, br` = gzip applied first, br
+    // last — RFC 9110 lists codings in application order, so decode runs
+    // RIGHT to LEFT). Each stage is capped independently; a capped stage
+    // flags decodeCapped and later stages see the capped prefix (the same
+    // budget-on-post-decode-bytes rule the single-coding path has always
+    // applied). Any unknown token or corrupt stage keeps the ORIGINAL raw
+    // body with decoded=false — never a half-decoded intermediate.
+    if (decoded) header("content-encoding").foreach { hdr =>
+      val codings = hdr.toLowerCase(java.util.Locale.ROOT).split(",")
+        .map(_.trim).filter(e => e.nonEmpty && e != "identity")
+      var cur = body
+      var ok = true
+      var i = codings.length - 1
+      while (ok && i >= 0) {
+        inflateBody(cur, codings(i), maxPayloadBytes) match {
+          case Some((b, capped)) => cur = b; decodeCapped = decodeCapped || capped
+          case None => ok = false
         }
+        i -= 1
       }
+      if (ok) body = cur
+      else { decoded = false; decodeCapped = false } // keep raw, say so
+    }
     (status, ct, decoded, decodeCapped, body)
   }
 
@@ -395,8 +410,24 @@ object Warc {
         case "gzip" | "x-gzip" =>
           new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(body))
         case "deflate" =>
-          // wrapped zlib stream; `nowrap` raw-deflate bodies exist but are rare
-          new java.util.zip.InflaterInputStream(new java.io.ByteArrayInputStream(body))
+          // The HTTP `deflate` coding means a zlib-wrapped stream, but a
+          // well-known server class (old IIS) ships RAW deflate under the
+          // same token — browsers sniff and retry, so crawls carry both.
+          // A zlib stream's first byte is the CMF: low nibble 8 (method
+          // = deflate) with (CMF<<8|FLG) % 31 == 0; anything else decodes
+          // as raw. (A raw stream could in principle start with a valid-
+          // looking CMF/FLG pair, but its first byte would declare a
+          // non-final stored/huffman block with those exact bits — the
+          // sniff is the standard browser heuristic, not an invention.)
+          val zlibWrapped = body.length >= 2 && (body(0) & 0x0F) == 8 &&
+            (((body(0) & 0xFF) << 8) | (body(1) & 0xFF)) % 31 == 0
+          val inf = new java.util.zip.Inflater(!zlibWrapped)
+          // a caller-supplied Inflater is NOT ended by close(): end it there,
+          // or every raw-deflate body leaks native zlib memory until GC
+          new java.util.zip.InflaterInputStream(
+            new java.io.ByteArrayInputStream(body), inf) {
+            override def close(): Unit = { super.close(); inf.end() }
+          }
         case "zstd" =>
           zstdStream(new java.io.ByteArrayInputStream(body)) match {
             case Some(z) => z

@@ -164,6 +164,38 @@ class WarcSpec extends SparkSpec {
     val unk = Warc.records(httpRecord("Content-Encoding: compress\r\n",
       Array[Byte](1, 2, 3))).head
     assert(!unk.http_decoded && unk.payload.sameElements(Array[Byte](1, 2, 3)))
+    // RAW deflate under the `deflate` token (the old-IIS quirk browsers sniff
+    // for): no zlib wrapper, still decodes; wrapped zlib keeps decoding too
+    def deflate(raw: Array[Byte], nowrap: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, nowrap)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length * 2 + 64)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    Seq(true, false).foreach { nowrap =>
+      val r = Warc.records(httpRecord("Content-Encoding: deflate\r\n",
+        deflate("deflate page text".getBytes(iso), nowrap))).head
+      assert(r.http_decoded && new String(r.payload, iso) == "deflate page text",
+        s"nowrap=$nowrap decoded=${r.http_decoded}")
+    }
+    // CHAINED codings (RFC 9110: listed in application order, so decode runs
+    // right to left): gzip then br on the wire as "Content-Encoding: gzip, br"
+    val chainedBody = graft.functions.Brotli.encodeCompressedLiterals {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write("chained page text".getBytes(iso)); g.close()
+      bos.toByteArray
+    }
+    val chained = Warc.records(
+      httpRecord("Content-Encoding: gzip, br\r\n", chainedBody)).head
+    assert(chained.http_decoded && new String(chained.payload, iso) == "chained page text",
+      s"chained decoded=${chained.http_decoded} '${new String(chained.payload, iso)}'")
+    // a chain with one unknown link keeps the ORIGINAL raw bytes, flagged —
+    // never a half-decoded intermediate
+    val chainedBad = Warc.records(
+      httpRecord("Content-Encoding: compress, br\r\n", chainedBody)).head
+    assert(!chainedBad.http_decoded && chainedBad.payload.sameElements(chainedBody))
     // malformed chunked framing: raw kept, flagged
     val malChunk = Warc.records(httpRecord("Transfer-Encoding: chunked\r\n",
       "ZZZ\r\nnot chunked".getBytes(iso))).head
