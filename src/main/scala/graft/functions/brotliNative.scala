@@ -37,7 +37,15 @@ package graft.functions
   */
 object Brotli {
 
-  final class BrotliError(msg: String) extends RuntimeException(msg)
+  class BrotliError(msg: String) extends RuntimeException(msg)
+
+  /** Input ended before the stream did — distinguishable from structural
+    * corruption so the soft-cap (WARC) path can keep a truncated body's
+    * decoded prefix (Common Crawl cuts large responses at capture, storing
+    * incomplete compressed streams). The STRICT decompress() path still
+    * throws it like any other error.
+    */
+  final class BrotliTruncated(msg: String) extends BrotliError(msg)
 
   private def fail(msg: String): Nothing = throw new BrotliError(msg)
 
@@ -281,7 +289,7 @@ object Brotli {
 
     private def consume(n: Int): Unit = {
       accum >>>= n; nAccum -= n; consumed += n
-      if (consumed > inBits) fail("truncated stream")
+      if (consumed > inBits) throw new BrotliTruncated("truncated stream")
     }
 
     private def readBits(n: Int): Int = {
@@ -599,6 +607,12 @@ object Brotli {
       try (runAll(), false)
       catch {
         case _: CapReached => (java.util.Arrays.copyOf(out, maxOutput), true)
+        case t: BrotliTruncated =>
+          // soft-cap mode keeps a truncated stream's decoded prefix (flagged)
+          // when anything decoded; strict mode and zero-output streams throw
+          if (!capIsError && outLen > 0)
+            (java.util.Arrays.copyOf(out, math.min(outLen, maxOutput)), true)
+          else throw t
       }
 
     private def runAll(): Array[Byte] = {

@@ -195,12 +195,20 @@ object Warc {
                   // inflate to maxPayloadBytes, and counting only the compressed
                   // size would let decompression amplification blow the bound
                   totalBytes += math.max(content.length, body.length).toLong
+                  // WARC-Truncated: the CRAWLER already cut this payload at
+                  // capture (Common Crawl stamps it on every response cut at
+                  // its 1 MB limit) — the stored bytes parse cleanly, so
+                  // without honoring the header the text would read complete
+                  // when it is not. Folds into the same `truncated` flag the
+                  // parse caps feed: "payload is not the full original".
+                  val storedTruncated = headers.contains("warc-truncated")
                   out += WarcRecord(out.length, headers.get("warc-type"),
                     headers.get("warc-record-id"), headers.get("warc-target-uri"),
                     headers.get("warc-date"), ctype, clen,
                     headers.get("warc-payload-digest"), headers.get("warc-refers-to"),
                     headers.get("warc-profile"), status, httpCt,
-                    decoded, body, streamEnded || payloadCapped || decodeCapped)
+                    decoded, body,
+                    streamEnded || payloadCapped || decodeCapped || storedTruncated)
                   // a capped record skips its remainder and the walk continues;
                   // only a genuinely ended stream stops it
                   if (streamEnded) ok = false
@@ -445,13 +453,23 @@ object Warc {
         val out = new java.io.ByteArrayOutputStream(math.min(body.length * 4, 65536))
         val buf = new Array[Byte](8192)
         var capped = false
-        var r = in.read(buf)
-        while (r >= 0 && !capped) {
-          val wrote = math.min(r, maxBytes - out.size)
-          out.write(buf, 0, wrote)
-          if (wrote < r) capped = true // discarded decoded bytes
-          else if (out.size >= maxBytes) { capped = in.read() >= 0; r = -1 } // at cap: more?
-          else r = in.read(buf)
+        try {
+          var r = in.read(buf)
+          while (r >= 0 && !capped) {
+            val wrote = math.min(r, maxBytes - out.size)
+            out.write(buf, 0, wrote)
+            if (wrote < r) capped = true // discarded decoded bytes
+            else if (out.size >= maxBytes) { capped = in.read() >= 0; r = -1 } // at cap: more?
+            else r = in.read(buf)
+          }
+        } catch {
+          // A stream that dies MID-BODY is overwhelmingly capture truncation
+          // (Common Crawl cuts big responses at ~1 MB, storing an incomplete
+          // gzip/zstd stream) — keep the decoded prefix and FLAG it, the same
+          // visibility contract as the caps. A stream that dies before
+          // yielding a byte is corrupt from the start: raw + undecoded.
+          case _: java.io.IOException if out.size > 0 =>
+            return Some((out.toByteArray, true))
         }
         Some((out.toByteArray, capped))
       } finally in.close()

@@ -196,6 +196,53 @@ class WarcSpec extends SparkSpec {
     val chainedBad = Warc.records(
       httpRecord("Content-Encoding: compress, br\r\n", chainedBody)).head
     assert(!chainedBad.http_decoded && chainedBad.payload.sameElements(chainedBody))
+    // CAPTURE-TRUNCATED compressed bodies (Common Crawl cuts big responses
+    // mid-stream): the decoded prefix is kept and the record flags truncated
+    // — the page is recovered instead of lost to the raw+undecoded path
+    val longText = ("lorem ipsum crawl page content " * 400).getBytes(iso)
+    val fullGz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(longText); g.close()
+      bos.toByteArray
+    }
+    val cutGz = Warc.records(httpRecord("Content-Encoding: gzip\r\n",
+      java.util.Arrays.copyOf(fullGz, fullGz.length / 2))).head
+    assert(cutGz.http_decoded && cutGz.truncated && cutGz.payload.length > 0 &&
+      new String(longText, iso).startsWith(new String(cutGz.payload, iso)),
+      s"gz decoded=${cutGz.http_decoded} trunc=${cutGz.truncated} len=${cutGz.payload.length}")
+    val fullBr = graft.functions.Brotli.encodeCompressedLiterals(longText)
+    val cutBr = Warc.records(httpRecord("Content-Encoding: br\r\n",
+      java.util.Arrays.copyOf(fullBr, fullBr.length / 2))).head
+    assert(cutBr.http_decoded && cutBr.truncated && cutBr.payload.length > 0 &&
+      new String(longText, iso).startsWith(new String(cutBr.payload, iso)),
+      s"br decoded=${cutBr.http_decoded} trunc=${cutBr.truncated} len=${cutBr.payload.length}")
+  }
+
+  test("WARC-Truncated records fold into the truncated flag") {
+    // the crawler already cut this payload at capture: the stored bytes parse
+    // cleanly, so only the header says the text is incomplete
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\npartial body").getBytes(iso)
+    val block = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:uuid:t1>\r\nWARC-Truncated: length\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes(iso) ++ http ++
+      "\r\n\r\n".getBytes(iso)
+    val r = Warc.records(block).head
+    assert(r.truncated && r.http_decoded &&
+      new String(r.payload, iso) == "partial body")
+  }
+
+  test("malformed framing flagged; decode bombs capped against the budget") {
+    def httpRecord(extraHeaders: String, body: Array[Byte]): Array[Byte] = {
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n$extraHeaders\r\n")
+        .getBytes(iso) ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes(iso) ++ http ++
+        "\r\n\r\n".getBytes(iso)
+    }
     // malformed chunked framing: raw kept, flagged
     val malChunk = Warc.records(httpRecord("Transfer-Encoding: chunked\r\n",
       "ZZZ\r\nnot chunked".getBytes(iso))).head
