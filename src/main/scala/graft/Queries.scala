@@ -2091,6 +2091,76 @@ object Queries {
              | CASE WHEN coalesce(sum(k - 1), 0) = 0 THEN NULL ELSE TRUE END AS raw_kept
              | FROM d""".stripMargin.replaceAll("\n", " "))),
 
+    // Truncation semantics through the whole chain, oracled: id%3 rotates a
+    // response between (0) complete, (1) a WARC-Truncated-stamped record (the
+    // crawler's own stored-truncation marker — parses cleanly, only the header
+    // says the text is incomplete), and (2) a gzip body CUT mid-stream (the
+    // Common Crawl ~1 MB capture cut: the decoded PREFIX must be recovered
+    // with the truncated flag, not dropped to raw+undecoded). Counts are pure
+    // doc_id arithmetic; prefix recovery is the ok-boolean invariant (each
+    // recovered payload is a nonempty prefix of the known full text).
+    QueryDef("warc_truncated_documents",
+      (s, d) => {
+        import graft.operators.Warc
+        val fullText = "repeated crawl page content block " * 200
+        val mkBlob = udf((id: Long) => {
+          val m = ((id % 3) + 3) % 3
+          val body = s"$fullText$id".getBytes("ISO-8859-1")
+          val rec = m match {
+            case 1L =>
+              val r = Warc.encodeResponseRecord(s"https://example.com/$id",
+                "2026-01-01T00:00:00Z", s"<urn:uuid:$id>", 200, "text/plain",
+                s"stored partial $id".getBytes("ISO-8859-1"))
+              // stamp WARC-Truncated the way the crawler does
+              val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+              val txt = new String(r, iso)
+              txt.replaceFirst("WARC-Type: response\r\n",
+                "WARC-Type: response\r\nWARC-Truncated: length\r\n").getBytes(iso)
+            case 2L =>
+              val bos = new java.io.ByteArrayOutputStream()
+              val g = new java.util.zip.GZIPOutputStream(bos)
+              g.write(body); g.close()
+              val gz = bos.toByteArray
+              Warc.encodeResponseRecord(s"https://example.com/$id",
+                "2026-01-01T00:00:00Z", s"<urn:uuid:$id>", 200, "text/plain",
+                java.util.Arrays.copyOf(gz, gz.length / 2),
+                contentEncoding = Some("gzip"))
+            case _ =>
+              Warc.encodeResponseRecord(s"https://example.com/$id",
+                "2026-01-01T00:00:00Z", s"<urn:uuid:$id>", 200, "text/plain", body)
+          }
+          Warc.encodeWarc(Seq(rec))
+        })
+        val blobs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), mkBlob(col("doc_id")).as("warc"))
+        val m = pmod(col("doc_id"), lit(3))
+        val full = concat(lit("repeated crawl page content block " * 200),
+          col("doc_id").cast("string"))
+        Warc.explodeRecords(blobs, "warc")
+          .select(col("doc_id"), m.as("m"), col("truncated"), col("http_decoded"),
+            col("payload").cast("string").as("text"), full.as("full"))
+          .agg(
+            count(lit(1)).as("n_records"),
+            coalesce(sum(when(col("truncated"), 1L).otherwise(0L)), lit(0L))
+              .as("n_truncated"),
+            // cut-gzip docs: decoded, flagged, and a NONEMPTY prefix of the
+            // known full text (the recovery contract)
+            bool_and(when(col("m") === 2,
+              col("http_decoded") && col("truncated") && length(col("text")) > 0 &&
+                col("full").startsWith(col("text")))).as("prefix_recovered"),
+            // complete docs decode untruncated to the exact text
+            bool_and(when(col("m") === 0,
+              col("http_decoded") && !col("truncated") && col("text") === col("full")))
+              .as("complete_ok"))
+      },
+      Some("""WITH d AS (SELECT (doc_id % 3 + 3) % 3 AS m
+             |   FROM documents WHERE doc_id IS NOT NULL)
+             | SELECT CAST(count(*) AS BIGINT) AS n_records,
+             | CAST(coalesce(sum(CASE WHEN m IN (1, 2) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_truncated,
+             | CASE WHEN coalesce(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END), 0) = 0 THEN NULL ELSE TRUE END AS prefix_recovered,
+             | CASE WHEN coalesce(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END), 0) = 0 THEN NULL ELSE TRUE END AS complete_ok
+             | FROM d""".stripMargin.replaceAll("\n", " "))),
+
     // WARC-Payload-Digest passthrough + the zero-cost exact dedup every CC
     // pipeline starts with: each doc's blob carries one response stamped with a
     // digest keyed on doc_id%7 (so payloads collide across docs by construction)
