@@ -123,7 +123,16 @@ object ScaleSweep {
     // same honest ~linear shape as the round-9 ingestion family
     "warc_charset_documents",
     "warc_digest_dedup_documents",
-    "html_main_text_documents")
+    "html_main_text_documents",
+    // round-11 crawl-surface additions: brotli decode (both stream shapes +
+    // a corrupt member) and truncation recovery (WARC-Truncated + cut-gzip
+    // prefix keep) — row-local encode+decode per doc, same ~linear shape
+    "warc_brotli_documents",
+    "warc_truncated_documents",
+    // CJK segmentation through tokens/shingles/contamination on constructed
+    // pages — row-local kernels feeding bounded aggs
+    "cjk_tokens_documents",
+    "cjk_dedup_documents")
   // bloom_join_lineitem_orders is NOT sweepable here: the synthetic 10× dir holds
   // only documents/embeddings/events (lineitem 10× is built separately for the
   // suite20 datapoint); its scale story is the spec-pinned pre-shuffle filter.
