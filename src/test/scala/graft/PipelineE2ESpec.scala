@@ -303,4 +303,55 @@ class PipelineE2ESpec extends SparkSpec {
     assert(routed.select("lang").as[String].collect().sorted.toSeq == Seq("en", "zh"),
       "Han-script page routes zh, English page routes en")
   }
+
+  test("modern-encoding crawl pipeline: brotli + chained codings + truncation through the chain") {
+    import graft.operators.Warc
+    import spark.implicits._
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    def resp(id: String, body: Array[Byte], enc: Option[String]) =
+      Warc.encodeResponseRecord(s"https://x.example/$id", "2026-01-01T00:00:00Z",
+        s"<urn:uuid:$id>", 200, "text/plain", body, contentEncoding = enc)
+    val brPage = "the brotli encoded page body with plenty of words to pass gates " * 3
+    val chainPage = "the chained gzip then brotli page body also full of words " * 3
+    val cutPage = "the truncated page whose tail was cut at capture " * 40
+    def gz(raw: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(raw); g.close(); bos.toByteArray
+    }
+    val cutGz = { val full = gz(cutPage.getBytes(iso)); java.util.Arrays.copyOf(full, full.length / 2) }
+    val stamped = {
+      val r = resp("d", "stored partial".getBytes(iso), None)
+      new String(r, iso).replaceFirst("WARC-Type: response\r\n",
+        "WARC-Type: response\r\nWARC-Truncated: length\r\n").getBytes(iso)
+    }
+    val blob = Warc.encodeWarc(Seq(
+      resp("a", graft.functions.Brotli.encodeCompressedLiterals(brPage.getBytes("UTF-8")),
+        Some("br")),
+      resp("b", graft.functions.Brotli.encodeCompressedLiterals(gz(chainPage.getBytes(iso))),
+        Some("gzip, br")),
+      resp("c", cutGz, Some("gzip")),
+      stamped))
+    val crawls = Seq((1L, blob)).toDF("blob_id", "warc")
+
+    // record-level truth: all four decode-or-flag correctly
+    val recs = Warc.explodeRecords(crawls, "warc")
+      .select("target_uri", "http_decoded", "truncated", "payload")
+    assert(recs.count() == 4)
+    val byUri = recs.collect().map(r => r.getString(0) -> r).toMap
+    assert(byUri("https://x.example/a").getBoolean(1) && !byUri("https://x.example/a").getBoolean(2))
+    assert(byUri("https://x.example/b").getBoolean(1) &&
+      new String(byUri("https://x.example/b").getAs[Array[Byte]](3), iso) == chainPage)
+    val cut = byUri("https://x.example/c")
+    assert(cut.getBoolean(1) && cut.getBoolean(2) &&
+      cutPage.startsWith(new String(cut.getAs[Array[Byte]](3), iso)) &&
+      cut.getAs[Array[Byte]](3).nonEmpty, "cut gzip keeps a flagged decoded prefix")
+    assert(byUri("https://x.example/d").getBoolean(2), "WARC-Truncated folds into the flag")
+
+    // text chain: only the COMPLETE pages yield text (truncated ones excluded)
+    val texts = Warc.responseTexts(crawls, "warc").select("text").as[String].collect()
+    assert(texts.length == 2 && texts.exists(_.startsWith("the brotli encoded")) &&
+      texts.exists(_.startsWith("the chained gzip")),
+      s"got ${texts.length} texts")
+  }
 }
