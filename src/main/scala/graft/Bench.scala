@@ -420,6 +420,11 @@ object Bench {
             val rows = heavy10.map { name =>
               (SparkEntry.queries.get(name), sf1secs.get(name).filter(_ > 0)) match {
                 case (Some(fn), Some(s1)) =>
+                  // settle per QUERY, not just per block: the sf10 working
+                  // sets are big enough that each query's heap residue
+                  // inflates the next reading ~2x this late in the bench
+                  // (final-run arms vs isolated profiles, PLANS round 11)
+                  settle()
                   var big = onceAt10(fn, dir10)
                   var den = s1
                   if (big >= 0 && big / den > 5.0) {
@@ -440,8 +445,9 @@ object Bench {
               }
             }
             val li10 = spark.read.parquet(s"$dir10/lineitem.parquet")
+            settle()
             spark.conf.set("spark.sql.adaptive.enabled", "false")
-            suite20(li10) // warmup read
+            (1 to 2).foreach(_ => suite20(li10)) // warmup reads (page cache + codegen)
             val w10 = (1 to 3).map(_ => secs { suite20(li10) }).sorted.apply(1)
             spark.conf.set("spark.sql.adaptive.enabled", "true")
             val all = rows :+ (("suite20", w10, if (w1 > 0) w10 / w1 else 9999.0))
