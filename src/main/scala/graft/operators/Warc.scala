@@ -34,8 +34,11 @@ object Warc {
     * `http_decoded` is false when the body used an encoding this JVM can't
     * undo or a corrupt stream, and `payload` then holds the raw
     * framed/compressed bytes). For non-HTTP records, `payload` is the raw
-    * record content. `truncated` marks payloads cut at the per-record parse
-    * cap. `payload_digest` passes `WARC-Payload-Digest` through (Common Crawl
+    * record content. `truncated` marks a payload that is NOT the full
+    * original, from any of: the per-record parse cap, a decode cut at the
+    * cap, a compressed body that ends mid-stream (the Common Crawl ~1 MB
+    * capture cut — its decoded prefix is kept), or a `WARC-Truncated`
+    * header stamped by the crawler. `payload_digest` passes `WARC-Payload-Digest` through (Common Crawl
     * stamps every record with a SHA-1 of the payload — exact cross-archive
     * dedup without re-hashing a byte); `refers_to`/`profile` carry the
     * `revisit`-record linkage (`WARC-Refers-To` / `WARC-Profile`).
