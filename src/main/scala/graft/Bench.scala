@@ -118,19 +118,21 @@ object Bench {
     // copy re-laid-out by the engine's own compactSmallFiles (32 splittable
     // files): what a user gets after running the layout tooling this library
     // ships for exactly this diagnosis.
+    // Cache key = source content fingerprint (file count + total bytes) + cpus:
+    // a regenerated testdata dir or a different core count must rebuild, not
+    // silently reuse a layout built for other data or another targetBytes.
+    // ONE shared val — the revalidation block reads the same path; a hand-
+    // duplicated string here drifted once and would crash the reval pass.
+    val lineitemBytes = lineitem.inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f)).length()).sum
+    val tunedPath = s"${System.getProperty("java.io.tmpdir")}/graft_bench_li_" +
+      s"${sfDir.hashCode.toHexString}_${lineitem.inputFiles.length}_${lineitemBytes}_$cpus"
     val tunedSec = {
-      val bytes = lineitem.inputFiles.map(f =>
-        new java.io.File(new java.net.URI(f)).length()).sum
-      // Cache key = source content fingerprint (file count + total bytes) + cpus:
-      // a regenerated testdata dir or a different core count must rebuild, not
-      // silently reuse a layout built for other data or another targetBytes.
-      val tuned = s"${System.getProperty("java.io.tmpdir")}/graft_bench_li_" +
-        s"${sfDir.hashCode.toHexString}_${lineitem.inputFiles.length}_${bytes}_$cpus"
-      if (!new java.io.File(s"$tuned/_SUCCESS").exists()) {
-        graft.sources.Sources.compactSmallFiles(spark, s"$sfDir/lineitem.parquet", tuned,
-          targetBytes = math.max(bytes / cpus.toInt, 1L))
+      if (!new java.io.File(s"$tunedPath/_SUCCESS").exists()) {
+        graft.sources.Sources.compactSmallFiles(spark, s"$sfDir/lineitem.parquet", tunedPath,
+          targetBytes = math.max(lineitemBytes / cpus.toInt, 1L))
       }
-      val li32 = spark.read.parquet(tuned)
+      val li32 = spark.read.parquet(tunedPath)
       (1 to 3).foreach(_ => suite20(li32))
       val runs = (1 to 7).map(_ => secs { suite20(li32) })
       runs.sorted.apply(runs.size / 2)
@@ -236,16 +238,16 @@ object Bench {
     // the two passes (criterion-style best-of; both passes printed so
     // PLANS.md can record the pair). Cold is single-shot by definition and
     // keeps its first measurement.
-    val (warmPub, tunedPub, cachedPub) = {
+    // Wrapped like the sweep/sf1/sf10 blocks: a failure here (tuned dir swept
+    // from /tmp mid-run, transient OOM) must cost only the revalidation pass,
+    // not every measurement already taken — fall back to the first-pass values.
+    val (warmPub, tunedPub, cachedPub) = try {
       settle()
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       val w2runs = (1 to 7).map(_ => secs { suite20(lineitem) })
       val w2 = w2runs.sorted.apply(w2runs.size / 2)
       val t2 = {
-        val tuned = s"${System.getProperty("java.io.tmpdir")}/graft_bench_li_" +
-          s"${sfDir.hashCode.toHexString}_${lineitem.inputFiles.length}_" +
-          s"${lineitem.inputFiles.map(f => new java.io.File(new java.net.URI(f)).length()).sum}_$cpus"
-        val li32 = spark.read.parquet(tuned)
+        val li32 = spark.read.parquet(tunedPath)
         (1 to 2).foreach(_ => suite20(li32))
         val runs = (1 to 7).map(_ => secs { suite20(li32) })
         runs.sorted.apply(runs.size / 2)
@@ -262,6 +264,12 @@ object Bench {
       println(f"[reval] warm $warmSec%.3f->$w2%.3f tuned $tunedSec%.3f->$t2%.3f " +
         f"cached $cachedSec%.3f->$c2%.3f (publishing min of each pair)")
       (math.min(warmSec, w2), math.min(tunedSec, t2), math.min(cachedSec, c2))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        println(s"[reval] FAILED (${e.getClass.getSimpleName}: ${e.getMessage}); " +
+          "publishing first-pass warm/tuned/cached")
+        (warmSec, tunedSec, cachedSec)
     }
 
     // ---- sf1 proof point: REAL generated 10x data, not the replica corpus ----

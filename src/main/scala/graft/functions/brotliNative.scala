@@ -711,6 +711,10 @@ object Brotli {
         cat += 1
       }
       def switchBlock(c: Int): Unit = {
+        // nbl(c)==1 categories have no type/count trees; their blen bookkeeping
+        // is skipped below, so reaching here with a null tree is a decoder bug
+        // or a crafted stream — fail the contract way, never NPE.
+        if (typeTrees(c) == null) fail(s"block switch in single-type category $c")
         val sym = readSym(typeTrees(c))
         val nt =
           if (sym == 0) btypePrev(c)
@@ -721,6 +725,13 @@ object Brotli {
         val cs = readSym(countTrees(c))
         blen(c) = BlkBase(cs) + readBits(BlkExtra(cs))
       }
+
+      // Single-type categories (nbl==1) never block-switch — skip their blen
+      // bookkeeping entirely. Without this, a crafted stream of empty-output
+      // commands could walk blen down from 1<<28 to 0 (amplified CPU) and hit
+      // switchBlock on a null tree — an NPE instead of the BrotliError the
+      // decompress() contract promises.
+      val multiL = nbl(0) >= 2; val multiC = nbl(1) >= 2; val multiD = nbl(2) >= 2
 
       val npostfix = readBits(2)
       val ndirect = readBits(4) << npostfix
@@ -750,8 +761,10 @@ object Brotli {
       var stall = 0
       while (mlen > 0) {
         val progress = consumed + outLen
-        if (blen(1) == 0) switchBlock(1)
-        blen(1) -= 1
+        if (multiC) {
+          if (blen(1) == 0) switchBlock(1)
+          blen(1) -= 1
+        }
         val cmd = readSym(cmdTrees(btype(1)))
         val cell = cmd >>> 6
         val implicitDist = cell <= 1
@@ -763,8 +776,10 @@ object Brotli {
         // literals
         while (insLen > 0) {
           if (mlen <= 0) fail("insert past meta-block")
-          if (blen(0) == 0) switchBlock(0)
-          blen(0) -= 1
+          if (multiL) {
+            if (blen(0) == 0) switchBlock(0)
+            blen(0) -= 1
+          }
           val ctx = context(ctxModes(btype(0)), p1, p2)
           val lit = readSym(litTrees(cmapL((btype(0) << 6) + ctx) & 0xff))
           emit(lit)
@@ -781,8 +796,10 @@ object Brotli {
           if (implicitDist) {
             distance = ring((ringIdx + 3) & 3)
           } else {
-            if (blen(2) == 0) switchBlock(2)
-            blen(2) -= 1
+            if (multiD) {
+              if (blen(2) == 0) switchBlock(2)
+              blen(2) -= 1
+            }
             val distCtx = math.min(copyLen - 2, 3)
             val dsym = readSym(distTrees(cmapD((btype(2) << 2) + distCtx) & 0xff))
             if (dsym < 16) {

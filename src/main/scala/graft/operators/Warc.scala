@@ -430,7 +430,13 @@ object Warc {
           // looking CMF/FLG pair, but its first byte would declare a
           // non-final stored/huffman block with those exact bits — the
           // sniff is the standard browser heuristic, not an invention.)
+          // FDICT (FLG bit 5) means a preset dictionary we don't have:
+          // Inflater.needsDictionary() would make read() return -1 at once,
+          // silently yielding an EMPTY decoded body. Treat FDICT streams as
+          // not-zlib so they fall to the raw-deflate attempt and, failing
+          // that, stay raw+undecoded — flagged loss, never silent loss.
           val zlibWrapped = body.length >= 2 && (body(0) & 0x0F) == 8 &&
+            (body(1) & 0x20) == 0 &&
             (((body(0) & 0xFF) << 8) | (body(1) & 0xFF)) % 31 == 0
           val inf = new java.util.zip.Inflater(!zlibWrapped)
           // a caller-supplied Inflater is NOT ended by close(): end it there,

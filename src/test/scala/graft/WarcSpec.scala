@@ -179,6 +179,25 @@ class WarcSpec extends SparkSpec {
       assert(r.http_decoded && new String(r.payload, iso) == "deflate page text",
         s"nowrap=$nowrap decoded=${r.http_decoded}")
     }
+    // zlib with FDICT set (preset dictionary we don't have): without the FDICT
+    // check the sniff picked the zlib inflater, Inflater.needsDictionary() made
+    // read() return -1 immediately, and the body became EMPTY with
+    // http_decoded=true — silent data loss. Must stay raw + flagged instead.
+    val fdictBody = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, false)
+      d.setDictionary("shared preset dictionary".getBytes(iso))
+      d.setInput("fdict page text".getBytes(iso)); d.finish()
+      val buf = new Array[Byte](256)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    assert((fdictBody(1) & 0x20) != 0, "fixture must actually set FDICT")
+    val fdictRec = Warc.records(httpRecord("Content-Encoding: deflate\r\n", fdictBody)).head
+    assert(!(fdictRec.http_decoded && fdictRec.payload.isEmpty),
+      "FDICT zlib must never decode to a silent empty body")
+    assert(!fdictRec.http_decoded && fdictRec.payload.sameElements(fdictBody),
+      s"FDICT zlib should stay raw+flagged, got decoded=${fdictRec.http_decoded} " +
+        s"len=${fdictRec.payload.length}")
     // CHAINED codings (RFC 9110: listed in application order, so decode runs
     // right to left): gzip then br on the wire as "Content-Encoding: gzip, br"
     val chainedBody = graft.functions.Brotli.encodeCompressedLiterals {
