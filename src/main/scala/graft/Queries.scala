@@ -2393,6 +2393,51 @@ object Queries {
              |   THEN NULL ELSE TRUE END AS same_seed_ok
              | FROM g""".stripMargin.replaceAll("\n", " "))),
 
+    // Video near-dup dedup through the pluggable frame-decoder hook's DEFAULT (real
+    // animated-GIF decode), oracled end-to-end: every doc gets a deterministic
+    // noise-frame GIF keyed on s = pmod(doc_id, 37) with k = 2 + s%2 frames — same
+    // seed ⇒ byte-identical clip ⇒ every frame matches at Hamming 0 (pairs with
+    // matching_frames = k); distinct seeds give independent per-frame noise masks
+    // (cross-seed frame collisions at ≤3 bits are ~2^-40 across the corpus). Pairs
+    // and keep-lowest survivors are pure doc_id arithmetic DuckDB replays; the
+    // booleans pin same-seed pairing, the full frame-match count, and Hamming 0.
+    QueryDef("video_dedup_documents",
+      (s, d) => {
+        import graft.operators.Multimodal
+        val mkGif = udf((id: Long) => {
+          val seed = ((id % 37) + 37) % 37
+          Multimodal.MediaCodecs.encodeAnimatedGif(16, 12, (2 + seed % 2).toInt, seed)
+        })
+        val media = t(s, d, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), mkGif(col("doc_id")).as("clip"))
+        val pairs = Multimodal.nearDupPairsVideo(media, "doc_id", "clip",
+          maxHamming = 3, minMatchingFrames = 2)
+          .localCheckpoint(true)
+        val dropped = pairs.select(col("id_b")).distinct()
+          .agg(count(lit(1)).as("_n_dropped"))
+        val nClips = media.agg(count(lit(1)).as("n_clips"))
+        pairs.agg(
+            count(lit(1)).as("n_pairs"),
+            bool_and(pmod(col("id_a"), lit(37)) === pmod(col("id_b"), lit(37)))
+              .as("same_seed_ok"),
+            bool_and(col("matching_frames") === lit(2) + pmod(col("id_a"), lit(37)) % 2 &&
+              col("min_hamming") === 0).as("frames_ok"))
+          .crossJoin(nClips).crossJoin(dropped)
+          .select(col("n_clips"), col("n_pairs"), col("same_seed_ok"),
+            col("frames_ok"), (col("n_clips") - col("_n_dropped")).as("kept"))
+      },
+      Some("""WITH d AS (SELECT doc_id, (doc_id % 37 + 37) % 37 AS s
+             |   FROM documents WHERE doc_id IS NOT NULL),
+             | g AS (SELECT s, count(*) AS n FROM d GROUP BY 1)
+             | SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_clips,
+             | CAST(coalesce(sum(n * (n - 1) / 2), 0) AS BIGINT) AS n_pairs,
+             | CASE WHEN coalesce(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END), 0) = 0
+             |   THEN NULL ELSE TRUE END AS same_seed_ok,
+             | CASE WHEN coalesce(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END), 0) = 0
+             |   THEN NULL ELSE TRUE END AS frames_ok,
+             | CAST(count(*) AS BIGINT) AS kept
+             | FROM g""".stripMargin.replaceAll("\n", " "))),
+
     // Brute-force cosine top-10 for probe vec_id=0 (the ANN correctness baseline).
     QueryDef("similarity_topk_embeddings",
       (s, d) => withProbe(s, d) { probe =>
@@ -2520,6 +2565,97 @@ object Queries {
     // completeness 1.0 / 0.5 / 0.0, threshold 0.9 ⇒ exactly one column satisfies, so
     // every operator's verdict is known by construction. The oracle states the same
     // verdicts from the modular-arithmetic null counts.
+    // The mergeable GK quantile state, oracled end to end: two partition states
+    // (events split by event_id parity) round-trip through the FileSystemStateStore
+    // (serialize → save → load → deserialize), merge, and the merged estimate's
+    // EXACT rank — counted over the full data — must sit within the sketch's
+    // documented rank-error bound of q=0.5 (2ε slack: merging two ε-summaries can
+    // sum their errors in the worst case). n_values is the pure-SQL replay; the
+    // booleans are ok-gates verified in-Spark against exact counts (the sketch
+    // itself is not SQL-expressible — this is the strongest oracle shape for it).
+    QueryDef("quantile_state_events",
+      (s, d) => {
+        import graft.analyzers._
+        val eps = 0.01
+        val an = QuantileAnalyzer("value", Seq(0.5), relativeError = eps)
+        val base = t(s, d, "events").filter(col("event_id").isNotNull &&
+          col("value").isNotNull && !isnan(col("value")))
+        val n = base.count()
+        import s.implicits._
+        if (n == 0L)
+          Seq((0L, None: Option[Boolean], None: Option[Boolean], None: Option[Boolean]))
+            .toDF("n_values", "roundtrip_ok", "count_match", "rank_ok")
+        else {
+          val states = Seq(0, 1).map { h =>
+            val bytes = base.filter(pmod(col("event_id"), lit(2)) === h)
+              .agg(an.stateAggregates.head).head().get(0)
+            an.stateFromValues(Seq(bytes))
+          }
+          val dir = java.nio.file.Files.createTempDirectory("graft_qstate").toFile
+          dir.deleteOnExit()
+          val store = new FileSystemStateStore(dir.getAbsolutePath, s)
+          states.zipWithIndex.foreach { case (st, i) => store.save(an.key, s"p$i", st.toFields) }
+          val reloaded = Seq(0, 1).map(i => an.stateFromFields(store.load(an.key, s"p$i").get))
+          val roundtripOk = reloaded.map(_.toFields) == states.map(_.toFields)
+          val merged = reloaded.head.merge(reloaded(1))
+          val countMatch = merged.sketch.compress().count == n
+          val est = merged.quantile(0.5).get
+          val bounds = base.agg(
+            sum(when(col("value") < est, 1L).otherwise(0L)).as("lo"),
+            sum(when(col("value") <= est, 1L).otherwise(0L)).as("hi")).head()
+          val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+          val rankOk = hi >= math.floor((0.5 - 2 * eps) * n) &&
+            lo <= math.ceil((0.5 + 2 * eps) * n)
+          Seq((n, Some(roundtripOk), Some(countMatch), Some(rankOk)))
+            .toDF("n_values", "roundtrip_ok", "count_match", "rank_ok")
+        }
+      },
+      Some("""WITH b AS (SELECT value FROM events WHERE event_id IS NOT NULL
+             |   AND value IS NOT NULL AND NOT isnan(value))
+             | SELECT CAST(count(*) AS BIGINT) AS n_values,
+             | CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS roundtrip_ok,
+             | CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS count_match,
+             | CASE WHEN count(*) = 0 THEN NULL ELSE TRUE END AS rank_ok
+             | FROM b""".stripMargin.replaceAll("\n", " "))),
+
+    // The user-predicate sandbox's accept/reject classes pinned as an oracle row:
+    // a fixed matrix of predicates whose verdicts are known by construction —
+    // literal-blanking (single/double quotes, backslash and doubled-quote escapes,
+    // the double-quote-spans-two-single-literals attack), word-boundary keyword
+    // matching, and statement-token rejection. The DuckDB replay is the constant
+    // expected matrix; any drift in the sandbox's scan (a regression in literal
+    // handling either direction) flips all_match and fails the gate.
+    QueryDef("sandbox_rejects_synthetic",
+      (s, d) => {
+        import graft.constraints.Sandbox
+        val cases: Seq[(String, Boolean)] = Seq(
+          // accepts: plain predicates and every literal shape the scanner must blank
+          ("o_orderkey > 0 AND o_totalprice < 1000", true),
+          ("remark != 'don\\'t delete'", true), // backslash-escaped quote, keyword inside
+          ("status = 'x;y -- z /* w'", true), // statement tokens inside a literal
+          ("note = \"insert\"", true), // double-quoted literal keyword
+          ("val = 'a''b drop c'", true), // doubled-quote escape, keyword inside
+          ("grants_total > revoked_count", true), // keyword as SUBSTRING of identifier
+          // rejects: statement tokens and statement keywords outside literals
+          ("1=1; drop table t", false),
+          ("x > 0 -- comment", false),
+          ("x > 0 /* c */", false),
+          ("x = 1 OR delete\tfrom_t", false), // tab-separated keyword (word boundary)
+          ("insert = 1", false), // bare keyword at start
+          ("a = 'x\"' ; drop t ; b = '\"y'", false), // the span attack
+          ("truncate", false))
+        val verdicts = cases.map { case (p, expected) =>
+          scala.util.Try(Sandbox.validatePredicate(p)).isSuccess == expected
+        }
+        import s.implicits._
+        Seq((cases.size.toLong, cases.count(_._2).toLong,
+          cases.count(!_._2).toLong, b2l(verdicts.forall(identity))))
+          .toDF("n_cases", "n_accepts", "n_rejects", "all_match")
+      },
+      Some("""SELECT CAST(13 AS BIGINT) AS n_cases, CAST(6 AS BIGINT) AS n_accepts,
+             | CAST(7 AS BIGINT) AS n_rejects, CAST(1 AS BIGINT) AS all_match"""
+        .stripMargin.replaceAll("\n", " "))),
+
     QueryDef("logical_ops_synthetic",
       (s, d) => {
         import graft.constraints.{LogicalOp, MultiColumnCompletenessConstraint}

@@ -1378,15 +1378,96 @@ object Multimodal {
   /** Explode sampled frames: one output row per frame with its index. Partitioning note:
     * frames stay on their source partition (no shuffle) — the explode multiplies rows
     * locally; cap with maxFrames to bound memory per row.
+    *
+    * `decoder` is the PLUGGABLE frame-extraction hook — the video twin of
+    * [[withFeatures]]' embedding hook: a real deployment drops in its ffmpeg/JNI
+    * demux+decode as a plain serializable `(bytes, everyNth, maxFrames) => Seq[frame]`
+    * without touching graft. The default ([[MediaCodecs.sampleFrames]]) decodes
+    * animated GIFs for REAL (the one video-ish format a stock JVM can decode) and
+    * falls back to the documented byte-slice stub for codec-bound containers.
+    * Decoder contract, same spirit as the extractor hook: total (return Nil, never
+    * throw — one uncaught exception inside the UDF kills tasks with retries at
+    * corpus scale) and row-local (frames must derive from THIS payload only).
     */
-  def explodeFrames(df: DataFrame, binCol: String, everyNth: Int = 10, maxFrames: Int = 16): DataFrame = {
-    val u = udf((bytes: Array[Byte]) => MediaCodecs.sampleFrames(bytes, everyNth, maxFrames))
+  def explodeFrames(df: DataFrame, binCol: String, everyNth: Int = 10, maxFrames: Int = 16,
+      decoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] = MediaCodecs.sampleFrames): DataFrame = {
+    val u = udf((bytes: Array[Byte]) => decoder(bytes, everyNth, maxFrames))
     // posexplode_OUTER: rows whose payload yields no frames (null/empty media) keep one
     // output row with null frame columns — a plain posexplode would silently drop them
     // and break count reconciliation in corpus-health audits.
     df.withColumn("_frames", u(col(binCol)))
       .select(col("*"), posexplode_outer(col("_frames")).as(Seq("frame_idx", "frame_bytes")))
       .drop("_frames")
+  }
+
+  /** Per-clip sampled-frame perceptual hashes: `(id, frame_idx, frame_hash)` — the
+    * clip's visual signature, decoded row-local where the bytes live through the
+    * pluggable `decoder` hook (see [[explodeFrames]]). Frames the image decoder
+    * cannot hash (the byte-slice stub's raw slices, corrupt rasters) are dropped
+    * here — a clip only ever matches on REAL decoded content, so the default stub
+    * honestly yields zero recall for codec-bound containers instead of fake pairs
+    * on container-header coincidences.
+    */
+  def videoFrameHashes(df: DataFrame, idCol: String, binCol: String,
+      decoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] = MediaCodecs.sampleFrames,
+      everyNth: Int = 1, maxFrames: Int = 16): DataFrame = {
+    val ph = udf((bytes: Array[Byte]) => MediaCodecs.perceptualHash(bytes))
+    explodeFrames(df.filter(col(idCol).isNotNull).select(col(idCol), col(binCol)),
+      binCol, everyNth, maxFrames, decoder)
+      .select(col(idCol).as("id"), col("frame_idx"), ph(col("frame_bytes")).as("frame_hash"))
+      .filter(col("frame_hash").isNotNull)
+  }
+
+  /** Video near-duplicate PAIRS: two clips pair when at least `minMatchingFrames` of
+    * clip A's sampled frames each have a Hamming-≤`maxHamming` match among clip B's
+    * frames. Frame matching rides the shared banded-Hamming machinery over
+    * per-frame aHashes keyed by (clip, frame) — so like the image/audio families,
+    * the only rows that shuffle are ~16-byte hash rows; clip BYTES never leave the
+    * scan, and the oversized-band guard caps boilerplate piles (black frames, title
+    * cards) before the self-join can go quadratic. `minMatchingFrames` ≥ 2 is the
+    * coincidence guard a single shared frame (a standard intro card) would defeat.
+    *
+    * Output: `(id_a, id_b, matching_frames, min_hamming)` with id_a < id_b.
+    */
+  def nearDupPairsVideo(df: DataFrame, idCol: String, binCol: String,
+      decoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] = MediaCodecs.sampleFrames,
+      everyNth: Int = 1, maxFrames: Int = 16, maxHamming: Int = 3,
+      minMatchingFrames: Int = 2, maxBucketSize: Int = 10000): DataFrame = {
+    require(minMatchingFrames >= 1, "minMatchingFrames must be >= 1")
+    val frameRows = videoFrameHashes(df, idCol, binCol, decoder, everyNth, maxFrames)
+      .select(struct(col("id").as("cid"), col("frame_idx").as("fidx")).as("id"),
+        col("frame_hash").as("_h64"))
+    val framePairs = Dedup.bandedHammingPairs(frameRows, maxHamming, maxBucketSize)
+    // cross-clip only (a clip's own repeated frames are not a duplicate relation),
+    // normalized so the LOWER clip id is always side a — the struct ordering above
+    // is (clip, frame)-lexicographic, which can put the higher clip on side a
+    val aFirst = col("id_a.cid") < col("id_b.cid")
+    framePairs.filter(col("id_a.cid") =!= col("id_b.cid"))
+      .select(
+        when(aFirst, col("id_a.cid")).otherwise(col("id_b.cid")).as("_ca"),
+        when(aFirst, col("id_b.cid")).otherwise(col("id_a.cid")).as("_cb"),
+        when(aFirst, col("id_a.fidx")).otherwise(col("id_b.fidx")).as("_fa"),
+        col("hamming"))
+      .groupBy(col("_ca"), col("_cb"))
+      .agg(countDistinct(col("_fa")).as("matching_frames"),
+        min(col("hamming")).as("min_hamming"))
+      .filter(col("matching_frames") >= minMatchingFrames)
+      .select(col("_ca").as("id_a"), col("_cb").as("id_b"),
+        col("matching_frames"), col("min_hamming"))
+  }
+
+  /** Video dedup: keep-lowest-id survivors of [[nearDupPairsVideo]] (the family's
+    * convention); clips yielding no hashable frames always survive — they were
+    * never compared.
+    */
+  def dedupVideos(df: DataFrame, idCol: String, binCol: String,
+      decoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] = MediaCodecs.sampleFrames,
+      everyNth: Int = 1, maxFrames: Int = 16, maxHamming: Int = 3,
+      minMatchingFrames: Int = 2, maxBucketSize: Int = 10000): DataFrame = {
+    val dropped = nearDupPairsVideo(df, idCol, binCol, decoder, everyNth, maxFrames,
+      maxHamming, minMatchingFrames, maxBucketSize)
+      .select(col("id_b").as("_drop")).distinct()
+    df.join(dropped, col(idCol) === col("_drop"), "left_anti")
   }
 
   /** Batched per-partition processing surface: the Scala analog of mapInPandas —

@@ -143,6 +143,115 @@ object Similarity {
     df.withColumn(out, f(col(vecCol)))
   }
 
+  /** Two-level (hierarchical) IVF assignment — the 100 TB path for LARGE k. Plain
+    * [[ivfAssign]] scores every row against every centroid: with the production
+    * SemDeDup fit k ∝ n (constant expected cell size) that is an n·k ∝ n² term, the
+    * quadratic the PLANS.md semdedup workload model names. Here the k centroids are
+    * first clustered DRIVER-SIDE into ~√k super-centroids (a few local Lloyd
+    * iterations over the centroid list — tiny next to one corpus pass); each row then
+    * scores the √k supers, keeps the `probeSupers` best, and runs argmax only over
+    * those supers' member centroids: ~√k·(1 + probeSupers) scores per row instead of
+    * k, i.e. n^1.5 total instead of n². Standard coarse-quantizer IVF practice
+    * (Johnson et al. 2017 apply the same two-level trick to the centroid lookup).
+    *
+    * APPROXIMATE by design: a row whose true nearest centroid lives in a non-probed
+    * super is assigned its best PROBED cell — raise `probeSupers` to trade cost for
+    * fidelity (`probeSupers >= superCount` degenerates to exact flat argmax, spec-
+    * pinned). Tie and NaN semantics match [[ivfAssign]] (ties to the higher cell id
+    * within the probed set; zero-norm vectors fall back to cell 0; null → null).
+    */
+  def ivfAssignHierarchical(df: DataFrame, vecCol: String, centroids: Seq[Seq[Float]],
+      out: String = "ivf_cell", probeSupers: Int = 4, superCount: Int = 0): DataFrame = {
+    require(centroids.nonEmpty, "IVF needs at least one centroid")
+    require(centroids.map(_.length).distinct.size == 1,
+      s"IVF centroids have mixed dimensions: ${centroids.map(_.length).distinct.sorted}")
+    require(probeSupers >= 1, s"probeSupers must be >= 1, got $probeSupers")
+    val k = centroids.size
+    val m = math.max(1, if (superCount > 0) superCount else math.round(math.sqrt(k)).toInt)
+    if (m >= k || probeSupers >= m) return ivfAssign(df, vecCol, centroids, out)
+    val cs = centroids.map(_.map(_.toDouble).toArray).toArray
+    val dim = cs(0).length
+    // ---- driver-local mini k-means over the CENTROID list (k rows, not corpus) ----
+    // seeds = every (k/m)-th centroid (deterministic); 3 Lloyd iterations suffice —
+    // supers only need to partition the centroid set sanely, not converge.
+    var supers = Array.tabulate(m)(j => cs(j * k / m).clone())
+    def normOf(a: Array[Double]): Double = { var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }; math.sqrt(s) }
+    def nearestSuper(v: Array[Double], sNorms: Array[Double]): Int = {
+      val vn = normOf(v)
+      var best = Double.NegativeInfinity; var bi = 0; var j = 0
+      while (j < m) {
+        var dot = 0.0; var i = 0
+        while (i < dim) { dot += v(i) * supers(j)(i); i += 1 }
+        val s = dot / (vn * sNorms(j))
+        if (!s.isNaN && s >= best) { best = s; bi = j }
+        j += 1
+      }
+      bi
+    }
+    var members: Array[Array[Int]] = null
+    (1 to 3).foreach { _ =>
+      val sNorms = supers.map(normOf)
+      val assign = cs.map(nearestSuper(_, sNorms))
+      members = Array.tabulate(m)(j => assign.indices.filter(assign(_) == j).toArray)
+      supers = Array.tabulate(m) { j =>
+        if (members(j).isEmpty) supers(j)
+        else {
+          val mean = new Array[Double](dim)
+          members(j).foreach { c => var i = 0; while (i < dim) { mean(i) += cs(c)(i); i += 1 } }
+          var i = 0; while (i < dim) { mean(i) /= members(j).length; i += 1 }
+          mean
+        }
+      }
+    }
+    val superNorms = supers.map(normOf)
+    val cellNorms = cs.map(normOf)
+    val ps = probeSupers
+    val f = udf { (v: Seq[java.lang.Float]) =>
+      if (v == null) null.asInstanceOf[java.lang.Integer]
+      else {
+        require(v.length == dim, s"embedding length ${v.length} != centroid dim $dim")
+        val vd = new Array[Double](dim)
+        var nv = 0.0
+        var i = 0
+        while (i < dim) {
+          val b = v(i)
+          if (b != null) { vd(i) = b.toDouble; nv += vd(i) * vd(i) } // null elems = 0
+          i += 1
+        }
+        val vn = math.sqrt(nv)
+        // top-`ps` supers by cosine (selection over m scores — m ~ √k is small)
+        val sScores = new Array[Double](m)
+        var j = 0
+        while (j < m) {
+          var dot = 0.0; i = 0
+          while (i < dim) { dot += vd(i) * supers(j)(i); i += 1 }
+          sScores(j) = dot / (vn * superNorms(j))
+          j += 1
+        }
+        val probed = sScores.zipWithIndex.filter(!_._1.isNaN)
+          .sortBy { case (s, idx) => (-s, -idx) }.take(ps).map(_._2)
+        var best = Double.NegativeInfinity
+        var bestCell = -1
+        // explicit (score, cell) tie-break to the HIGHER cell id — ivfAssign's rule
+        // restricted to the probed set (member iteration order is per-super, so a
+        // plain >= would keep the LAST iterated equal scorer, not the highest cell)
+        probed.foreach { sj =>
+          members(sj).foreach { cell =>
+            var dot = 0.0; i = 0
+            while (i < dim) { dot += vd(i) * cs(cell)(i); i += 1 }
+            val s = dot / (vn * cellNorms(cell))
+            if (!s.isNaN && (s > best || (s == best && cell > bestCell))) {
+              best = s; bestCell = cell
+            }
+          }
+        }
+        java.lang.Integer.valueOf(if (bestCell < 0) 0 else bestCell)
+      }
+    }
+    df.withColumn(out, f(col(vecCol)))
+  }
+
   /** IVF top-k: score only rows assigned to the `nprobe` centroid cells nearest the
     * probe. `nprobe == centroids.size` is exhaustive — exact, equal to
     * [[bruteForceTopK]] — while smaller values trade recall for touching fewer cells;
@@ -162,13 +271,16 @@ object Similarity {
     * posexplode to (cell, dim_index, value), one groupBy (cell, dim_index) avg with
     * map-side combine (shuffle rows = k × dim, independent of corpus size), k × dim
     * doubles to the driver. Empty cells keep their previous centroid. Chain `iters`
-    * times for k-means-style refinement.
+    * times for k-means-style refinement. `probeSupers > 0` routes the assign pass
+    * through [[ivfAssignHierarchical]] — the n^1.5 fit path for k ∝ n cluster counts.
     */
   def refineCentroids(df: DataFrame, vecCol: String, centroids: Seq[Seq[Float]],
-      iters: Int = 1): Seq[Seq[Float]] = {
+      iters: Int = 1, probeSupers: Int = 0): Seq[Seq[Float]] = {
     var cur = centroids
     for (_ <- 1 to iters) {
-      val means = ivfAssign(df, vecCol, cur)
+      val means = (if (probeSupers > 0)
+          ivfAssignHierarchical(df, vecCol, cur, probeSupers = probeSupers)
+        else ivfAssign(df, vecCol, cur))
         .select(col("ivf_cell"), posexplode(col(vecCol)).as(Seq("dim", "v")))
         .groupBy(col("ivf_cell"), col("dim"))
         .agg(avg(col("v")).as("mean_v"))
@@ -249,14 +361,23 @@ object Similarity {
     * and vectors join back per side only for surviving candidate id-pairs. NULL
     * vectors have no cell and pair with nothing.
     */
+  /** `probeSupers > 0` routes cell assignment through [[ivfAssignHierarchical]] —
+    * the n^1.5 assignment path for the production k ∝ n cluster-count fit (plain
+    * flat argmax is n·k ∝ n² there; PLANS.md round-12 workload model). Recall
+    * trade: a row probed into the wrong super dedups against a neighboring cell's
+    * members instead of its true cell — SemDeDup's own cell-boundary blindness,
+    * slightly enlarged; 0 (default) keeps the exact flat assignment.
+    */
   def semDedupPairs(df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Float]], threshold: Double,
-      maxCellSize: Int = 10000): DataFrame = {
+      maxCellSize: Int = 10000, probeSupers: Int = 0): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
     require(maxCellSize >= 2, s"maxCellSize must be >= 2, got $maxCellSize")
     val docs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val vecs = docs.select(col("id").as("_vid"), col("v")).repartition(col("_vid"))
-    val celled = ivfAssign(docs, "v", centroids, out = "_cell")
+    val celled = (if (probeSupers > 0)
+        ivfAssignHierarchical(docs, "v", centroids, out = "_cell", probeSupers = probeSupers)
+      else ivfAssign(docs, "v", centroids, out = "_cell"))
       .filter(col("_cell").isNotNull)
       .select(col("id"), col("_cell"))
       .repartition(col("_cell"))

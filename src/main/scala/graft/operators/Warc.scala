@@ -113,10 +113,16 @@ object Warc {
     * parser's never-throw contract and kill the task.
     */
   private def zstdStream(in: java.io.InputStream,
-      dict: Array[Byte] = null): Option[java.io.InputStream] =
+      dict: Array[Byte] = null, continuous: Boolean = true): Option[java.io.InputStream] =
     try {
       val z = new com.github.luben.zstd.ZstdInputStream(in)
-      z.setContinuous(true) // frame-per-record multi-frame layout
+      // Continuous mode tolerates a stream that ENDS MID-FRAME (clean EOF on
+      // whatever decoded) — right for the archive path, where a truncated
+      // .warc.zst should still yield its complete prefix records, and WRONG for
+      // an HTTP body, where it turned capture truncation into an UNFLAGGED
+      // partial page (round-12 byte-cut fuzz finding): the body path passes
+      // false so truncation throws and the caller's catch keeps prefix+flag.
+      z.setContinuous(continuous)
       if (dict != null && dict.length > 0) z.setDict(dict)
       Some(z)
     } catch {
@@ -415,7 +421,10 @@ object Warc {
     * encodings or corrupt streams.
     */
   private def inflateBody(body: Array[Byte], enc: String,
-      maxBytes: Int): Option[(Array[Byte], Boolean)] =
+      maxBytes: Int): Option[(Array[Byte], Boolean)] = {
+    // set by the zstd branch when the frame walk finds the body cut mid-stream:
+    // the codec's clean EOF cannot be trusted there, so the flag ORs into the result
+    var zstdBodyIncomplete = false
     try {
       val in: java.io.InputStream = enc match {
         case "gzip" | "x-gzip" =>
@@ -446,6 +455,14 @@ object Warc {
             override def close(): Unit = { super.close(); inf.end() }
           }
         case "zstd" =>
+          // zstd truncation is structurally SILENT through zstd-jni: a body cut
+          // inside a frame magic, a frame header, or at any frame boundary reads
+          // as clean EOF (round-12 byte-cut fuzz) — capture truncation became an
+          // unflagged empty or partial page. The header walk below (no
+          // decompression) decides completeness up front; decode then runs in
+          // continuous mode for MAXIMUM prefix recovery (completed blocks of a
+          // cut frame still emit) with the flag forced by the walk, not the codec.
+          zstdBodyIncomplete = !zstdFramesComplete(body)
           zstdStream(new java.io.ByteArrayInputStream(body)) match {
             case Some(z) => z
             case None => return None // zstd-jni missing: flag undecoded
@@ -480,9 +497,69 @@ object Warc {
           case _: java.io.IOException if out.size > 0 =>
             return Some((out.toByteArray, true))
         }
-        Some((out.toByteArray, capped))
+        Some((out.toByteArray, capped || zstdBodyIncomplete))
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Whether `body` is a COMPLETE sequence of zstd frames, by walking the RFC 8878
+    * frame and block headers without decompressing anything. Needed because
+    * zstd-jni reads a body cut at (or just past) a frame boundary — or inside a
+    * magic/frame header — as a clean EOF over the frames that did complete, so
+    * capture truncation is invisible to the decode itself. Skippable frames are
+    * walked by their declared size; reserved block types and trailing garbage
+    * read as incomplete (suspect capture — flag it, never trust it silently).
+    */
+  private[operators] def zstdFramesComplete(body: Array[Byte]): Boolean = {
+    if (body == null) return false
+    def u32(off: Int): Long =
+      (body(off) & 0xffL) | ((body(off + 1) & 0xffL) << 8) |
+        ((body(off + 2) & 0xffL) << 16) | ((body(off + 3) & 0xffL) << 24)
+    var p = 0
+    while (p < body.length) {
+      if (p + 4 > body.length) return false // cut magic
+      val magic = u32(p)
+      if ((magic & 0xFFFFFFF0L) == 0x184D2A50L) { // skippable frame
+        if (p + 8 > body.length) return false
+        val sz = u32(p + 4)
+        if (sz > body.length - p - 8L) return false
+        p += 8 + sz.toInt
+      } else if (magic == 0xFD2FB528L) { // standard frame
+        p += 4
+        if (p >= body.length) return false
+        val fhd = body(p) & 0xff; p += 1
+        if (((fhd >> 3) & 1) == 1) return false // reserved FHD bit set: not zstd
+        val singleSegment = (fhd >> 5) & 1
+        if (singleSegment == 0) p += 1 // window descriptor
+        p += Array(0, 1, 2, 4)(fhd & 3) // dictionary id
+        p += (((fhd >> 6) & 3) match { // frame content size field
+          case 0 => singleSegment // 1 byte iff single-segment
+          case 1 => 2
+          case 2 => 4
+          case _ => 8
+        })
+        if (p > body.length) return false // cut frame header
+        var last = false
+        while (!last) {
+          if (p + 3 > body.length) return false // cut block header
+          val bh = (body(p) & 0xff) | ((body(p + 1) & 0xff) << 8) |
+            ((body(p + 2) & 0xff) << 16)
+          p += 3
+          last = (bh & 1) == 1
+          val btype = (bh >> 1) & 3
+          if (btype == 3) return false // reserved block type: corrupt
+          val paySize = if (btype == 1) 1 else bh >>> 3 // RLE carries ONE byte
+          if (paySize > body.length - p) return false // cut block payload
+          p += paySize
+        }
+        if (((fhd >> 2) & 1) == 1) { // content checksum
+          if (p + 4 > body.length) return false
+          p += 4
+        }
+      } else return false // garbage between/after frames: suspect capture
+    }
+    true
+  }
 
   /** The columns [[explodeRecords]] appends — kept in sync with [[WarcRecord]]
     * for the collision guard.

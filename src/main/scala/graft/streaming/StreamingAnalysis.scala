@@ -519,4 +519,157 @@ object StreamingAnalysis {
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       onResult(batchId, graft.core.ValidationSuite.evaluateBatched(batch, constraints))
     }
+
+  // ---------- streaming banded-recall near-dup dedup (foreachBatch + persisted index) ----
+
+  /** Read a persisted per-batch parquet store, tolerating a first-batch missing dir and
+    * batches that landed ZERO rows (their `batch=<id>` dir holds only `_SUCCESS`, which
+    * breaks schema inference — the explicit schema keeps the read total). Only the
+    * schema's own columns are returned; the `batch` partition column stays internal.
+    */
+  private def readBatchStore(dir: String, schemaFrom: DataFrame): DataFrame = {
+    val spark = schemaFrom.sparkSession
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val cols = schemaFrom.schema.fieldNames.map(col).toSeq
+    if (fs.exists(path) && fs.listStatus(path).nonEmpty)
+      spark.read.schema(schemaFrom.schema).parquet(dir).select(cols: _*)
+    else schemaFrom.limit(0)
+  }
+
+  /** Survivors of `batch` after dropping the NEW side of every verified pair: a pair
+    * with both sides in this batch drops `id_b` (keep-lowest, the batch family's
+    * convention); a pair against the standing corpus drops whichever side is new (the
+    * old doc already landed and cannot be retracted). Rows that never pair — including
+    * null/tokenless content the hash kernels skip — always survive.
+    */
+  private def survivorsAfterPairs(batch: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val newIds = broadcast(batch.select(col(idCol).as("id_b")).distinct())
+    val dropNewB = pairs.join(newIds, Seq("id_b"), "left_semi")
+      .select(col("id_b").as("_drop"))
+    // id_b is OLD ⇒ the incremental-pair contract (at least one side new) makes id_a new
+    val dropNewA = pairs.join(newIds, Seq("id_b"), "left_anti")
+      .select(col("id_a").as("_drop"))
+    batch.join(dropNewB.union(dropNewA).distinct(),
+      col(idCol) === col("_drop"), "left_anti")
+  }
+
+  /** One micro-batch of streaming MinHash near-dup dedup with FULL banded recall —
+    * the stateful-store twin of the batch [[graft.operators.Dedup.dedupNearMinhash]],
+    * replacing the equality-keyed [[streamingDedupSimhash]] gate (Hamming-0 recall
+    * only) where real near-dup recall matters. Synchronous and directly testable;
+    * [[nearDupDedupSink]] wraps it for `writeStream.foreachBatch`.
+    *
+    * State is two persisted parquet stores, not executor memory:
+    *   - `indexDir`: the standing corpus's LSH bands ((id, band, bucket) — ~24 B/doc/band,
+    *     from [[graft.operators.Dedup.minhashIndex]]), joined per batch by
+    *     [[graft.operators.Dedup.incrementalMinhashCandidates]] so each batch pays the
+    *     signature kernel over ITS OWN rows only;
+    *   - `survivorsDir`: the accepted rows themselves (the pipeline's landed output),
+    *     read back ONLY for docs that appear in a candidate pair (exactJaccard's
+    *     semi-join restriction) to verify Jaccard ≥ `threshold`.
+    * Both stores append one `batch=<id>` partition per micro-batch with OVERWRITE, so a
+    * failure-retried batch replaces its own partition instead of double-landing —
+    * idempotent under foreachBatch's at-least-once contract. Compact either store with
+    * `Sources.compactSmallFiles` when small per-batch files accumulate.
+    *
+    * Contracts: ids unique across batches (they are pair identity); parameters fixed
+    * for the life of the stores (bands cannot match otherwise); parity with the batch
+    * keep-lowest pass additionally needs ARRIVAL-ORDERED ids (a new doc with a lower id
+    * than its landed near-dup drops here — the landed row cannot be retracted — while
+    * the batch pass would keep it). The index grows with the accepted corpus by design
+    * (that is the recall horizon); bound it by rebuilding from a retention window.
+    *
+    * Returns the batch's survivors (already durably written to `survivorsDir`).
+    */
+  def nearDupDedupBatch(batch: DataFrame, batchId: Long, idCol: String, textCol: String,
+      indexDir: String, survivorsDir: String, threshold: Double,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame = {
+    import graft.operators.Dedup
+    val emptyIndex = Dedup.minhashIndex(batch.limit(0), idCol, textCol,
+      shingleSize, numHashes, bands)
+    val index = readBatchStore(indexDir, emptyIndex)
+    val landedDocs = readBatchStore(survivorsDir, batch).select(col(idCol), col(textCol))
+    val allDocs = batch.select(col(idCol), col(textCol)).unionByName(landedDocs)
+    val verified = Dedup.incrementalNearDupPairs(batch, index, allDocs, idCol, textCol,
+      threshold, shingleSize, numHashes, bands, maxBucketSize)
+    val survivors = survivorsAfterPairs(batch, idCol, verified)
+      .localCheckpoint(true) // consumed twice (both writes) + returned: one computation
+    survivors.write.mode("overwrite").parquet(s"$survivorsDir/batch=$batchId")
+    Dedup.minhashIndex(survivors, idCol, textCol, shingleSize, numHashes, bands)
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    survivors
+  }
+
+  /** `writeStream.foreachBatch` adapter for [[nearDupDedupBatch]]: each micro-batch is
+    * deduped against everything accepted so far (banded recall, exact-Jaccard
+    * verified), survivors land in `survivorsDir`, and their bands extend the index for
+    * the next batch. `onBatch` sees (batchId, survivors-written) for metrics/alerting.
+    */
+  def nearDupDedupSink(stream: DataFrame, idCol: String, textCol: String,
+      indexDir: String, survivorsDir: String, threshold: Double,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,
+      maxBucketSize: Int = 1000,
+      onBatch: (Long, Long) => Unit = (_, _) => ()): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      val survivors = nearDupDedupBatch(batch, batchId, idCol, textCol, indexDir,
+        survivorsDir, threshold, shingleSize, numHashes, bands, maxBucketSize)
+      onBatch(batchId, survivors.count())
+    }
+
+  /** One micro-batch of streaming IMAGE near-dup dedup with banded ≤`maxHamming`-bit
+    * recall — the stateful-store twin of [[graft.operators.Multimodal.dedupImages]],
+    * replacing the Hamming-0-only [[streamingDedupImageHash]] gate. The persisted
+    * index IS the verification state (16 B (id, hash) rows; Hamming is exact on the
+    * banded join), so unlike the MinHash path no survivor text/bytes are re-read —
+    * survivors are returned for the caller to land, and only their hash rows persist.
+    * Same per-batch `batch=<id>` overwrite idempotency, unique-id, fixed-parameter,
+    * and arrival-ordered-id parity contracts as [[nearDupDedupBatch]].
+    */
+  def imageDedupBatch(batch: DataFrame, batchId: Long, idCol: String, binCol: String,
+      indexDir: String, maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+    import graft.operators.Multimodal
+    val emptyIndex = Multimodal.imageHashIndex(batch.limit(0), idCol, binCol)
+    val index = readBatchStore(indexDir, emptyIndex)
+    val pairs = Multimodal.incrementalImagePairs(batch, index, idCol, binCol,
+      maxHamming, maxBucketSize)
+    val survivors = survivorsAfterPairs(batch, idCol, pairs).localCheckpoint(true)
+    Multimodal.imageHashIndex(survivors, idCol, binCol)
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    survivors
+  }
+
+  /** Audio twin of [[imageDedupBatch]] over the loudness-envelope hash — the banded
+    * replacement for [[streamingDedupAudioHash]]'s Hamming-0 gate; same contracts.
+    */
+  def audioDedupBatch(batch: DataFrame, batchId: Long, idCol: String, binCol: String,
+      indexDir: String, maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+    import graft.operators.Multimodal
+    val emptyIndex = Multimodal.audioHashIndex(batch.limit(0), idCol, binCol)
+    val index = readBatchStore(indexDir, emptyIndex)
+    val pairs = Multimodal.incrementalAudioPairs(batch, index, idCol, binCol,
+      maxHamming, maxBucketSize)
+    val survivors = survivorsAfterPairs(batch, idCol, pairs).localCheckpoint(true)
+    Multimodal.audioHashIndex(survivors, idCol, binCol)
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    survivors
+  }
+
+  /** `foreachBatch` adapter for [[imageDedupBatch]] / [[audioDedupBatch]]: `land` is
+    * the caller's durable write for the batch's surviving rows (bytes land where the
+    * pipeline wants them; only 16 B hash rows persist in the index).
+    */
+  def mediaDedupSink(stream: DataFrame, idCol: String, binCol: String, indexDir: String,
+      audio: Boolean = false, maxHamming: Int = 3, maxBucketSize: Int = 10000,
+      land: (Long, DataFrame) => Unit = (_, _) => ()): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      val survivors =
+        if (audio) audioDedupBatch(batch.toDF(), batchId, idCol, binCol, indexDir,
+          maxHamming, maxBucketSize)
+        else imageDedupBatch(batch.toDF(), batchId, idCol, binCol, indexDir,
+          maxHamming, maxBucketSize)
+      land(batchId, survivors)
+    }
 }

@@ -539,4 +539,91 @@ class MultimodalSpec extends SparkSpec {
     assert(hashes(1L).isDefined && hashes(2L).isDefined)
     assert(hashes(3L).isEmpty && hashes(4L).isEmpty && hashes(5L).isEmpty)
   }
+
+  test("video dedup: planted duplicate GIF clips pair end-to-end; undecodable survives") {
+    import spark.implicits._
+    val dupA = MediaCodecs.encodeAnimatedGif(24, 16, 3, seed = 5L)
+    val dupB = MediaCodecs.encodeAnimatedGif(24, 16, 3, seed = 5L) // byte-identical clip
+    val other = MediaCodecs.encodeAnimatedGif(24, 16, 3, seed = 9L)
+    val clips = Seq((1L, dupA), (2L, dupB), (3L, other),
+      (4L, "not a video".getBytes)).toDF("id", "clip")
+    val pairs = Multimodal.nearDupPairsVideo(clips, "id", "clip").collect()
+    assert(pairs.length == 1, s"exactly the planted pair: ${pairs.mkString(", ")}")
+    val p = pairs.head
+    assert(p.getLong(0) == 1L && p.getLong(1) == 2L)
+    assert(p.getLong(2) == 3L, s"all 3 frames must match, got ${p.getLong(2)}")
+    assert(p.getInt(3) == 0, s"identical clips hash at Hamming 0, got ${p.get(3)}")
+    val kept = Multimodal.dedupVideos(clips, "id", "clip")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L),
+      s"keep-lowest of the pair; unrelated and undecodable survive: $kept")
+  }
+
+  test("video dedup: one shared frame is a coincidence, not a duplicate (minMatchingFrames)") {
+    import spark.implicits._
+    // Hand-built 'containers' through the decoder hook: clips share exactly ONE
+    // frame (a common intro card), remaining frames distinct.
+    val intro = MediaCodecs.encodeNoiseImage(24, 16, "png", 100L)
+    val clipX = Array(intro, MediaCodecs.encodeNoiseImage(24, 16, "png", 101L))
+    val clipY = Array(intro, MediaCodecs.encodeNoiseImage(24, 16, "png", 102L))
+    val frameStore = Map(10L -> clipX, 20L -> clipY)
+    // decoder keyed on a 1-byte payload id — row-local, total, serializable
+    val decoder = (bytes: Array[Byte], _: Int, maxFrames: Int) =>
+      if (bytes == null || bytes.isEmpty) Nil
+      else frameStore.getOrElse(bytes(0).toLong, Array.empty[Array[Byte]]).toSeq.take(maxFrames)
+    val clips = Seq((10L, Array(10.toByte)), (20L, Array(20.toByte))).toDF("id", "clip")
+    val strict = Multimodal.nearDupPairsVideo(clips, "id", "clip", decoder,
+      minMatchingFrames = 2).count()
+    assert(strict == 0L, "one shared intro frame must not pair at minMatchingFrames=2")
+    val loose = Multimodal.nearDupPairsVideo(clips, "id", "clip", decoder,
+      minMatchingFrames = 1).collect()
+    assert(loose.length == 1 && loose.head.getLong(2) == 1L)
+  }
+
+  test("video dedup: the pluggable decoder hook is load-bearing for codec-bound containers") {
+    import spark.implicits._
+    // A fake codec-bound container the stock JVM cannot decode: magic + count +
+    // length-prefixed PNG frames. The DEFAULT decoder sees an unknown format and
+    // yields only un-hashable byte slices (zero recall, honestly); the plugged-in
+    // decoder — standing in for an ffmpeg/JNI demuxer — recovers the frames and
+    // the planted duplicate pairs end-to-end through the hook.
+    def container(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("VID0".getBytes)
+      val dos = new java.io.DataOutputStream(bos)
+      dos.writeInt(frames.length)
+      frames.foreach { f => dos.writeInt(f.length); dos.write(f) }
+      bos.toByteArray
+    }
+    val decoder = (bytes: Array[Byte], everyNth: Int, maxFrames: Int) => try {
+      if (bytes == null || bytes.length < 8 ||
+        new String(bytes, 0, 4, java.nio.charset.StandardCharsets.ISO_8859_1) != "VID0") Nil
+      else {
+        val dis = new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(bytes, 4, bytes.length - 4))
+        val n = dis.readInt()
+        val all = (0 until n).map { _ =>
+          val len = dis.readInt(); val f = new Array[Byte](len); dis.readFully(f); f
+        }
+        (0 until n by math.max(everyNth, 1)).take(maxFrames).map(all)
+      }
+    } catch { case scala.util.control.NonFatal(_) => Nil } // total, per the hook contract
+    val sharedFrames = (0 until 3).map(f =>
+      MediaCodecs.encodeNoiseImage(24, 16, "png", 200L + f))
+    val clipA = container(sharedFrames)
+    val clipB = container(sharedFrames) // planted duplicate clip
+    val clipC = container((0 until 3).map(f =>
+      MediaCodecs.encodeNoiseImage(24, 16, "png", 300L + f)))
+    val clips = Seq((1L, clipA), (2L, clipB), (3L, clipC)).toDF("id", "clip")
+    assert(Multimodal.nearDupPairsVideo(clips, "id", "clip").count() == 0L,
+      "default decoder cannot decode the container — no fake pairs from byte slices")
+    val viaHook = Multimodal.nearDupPairsVideo(clips, "id", "clip", decoder).collect()
+    assert(viaHook.length == 1 &&
+      viaHook.head.getLong(0) == 1L && viaHook.head.getLong(1) == 2L &&
+      viaHook.head.getLong(2) == 3L,
+      s"planted dup must pair through the hook: ${viaHook.mkString(", ")}")
+    val kept = Multimodal.dedupVideos(clips, "id", "clip", decoder)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
 }

@@ -624,6 +624,53 @@ class OperatorSpec extends SparkSpec {
       "kept count must equal input minus dropped ids")
   }
 
+  test("hierarchical IVF assignment: full probe exact, partial probe high-fidelity, " +
+    "degenerate/NaN/null semantics match flat") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    // 36 well-separated centroid directions (orthogonal-ish pairs + noise), 400 rows
+    // drawn tightly around them — the regime hierarchical assignment targets
+    val centroids = (0 until 36).map { c =>
+      val v = Array.tabulate(dim)(i => (if (i == c % dim) 4.0 else 0.0) + 0.3 * rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val rows = (0 until 400).map { r =>
+      val c = centroids(r % 36)
+      val v = c.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+      (r.toLong, v)
+    }
+    val df = rows.toDF("id", "v")
+    def cellsOf(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "ivf_cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val flat = cellsOf(Similarity.ivfAssign(df, "v", centroids))
+    // full probe (probeSupers >= superCount) must be EXACTLY the flat assignment
+    val full = cellsOf(Similarity.ivfAssignHierarchical(df, "v", centroids,
+      probeSupers = 36))
+    assert(full == flat, "full-probe hierarchical must equal flat argmax")
+    // partial probe: high fidelity on clustered data (the documented recall trade)
+    val part = cellsOf(Similarity.ivfAssignHierarchical(df, "v", centroids,
+      probeSupers = 3))
+    val agree = part.count { case (id, c) => flat(id) == c }
+    assert(agree >= 380, s"partial-probe fidelity too low: $agree/400 agree with flat")
+    // null vector -> null cell; zero-norm -> cell 0 (flat's fallback semantics)
+    val edge = Seq((1L, Some(Seq.fill(dim)(0.0f))), (2L, None))
+      .toDF("id", "v")
+    val ec = Similarity.ivfAssignHierarchical(edge, "v", centroids, probeSupers = 2)
+      .select("id", "ivf_cell").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(ec(1L).contains(0) && ec(2L).isEmpty)
+    // semDedupPairs through the hierarchical path still catches planted exact copies
+    // (copies share their source's probed cell by construction — identical vectors)
+    val copies = rows.take(8).map { case (id, v) => (id + 1000L, v) }
+    val withCopies = (rows ++ copies).toDF("id", "v")
+    val pairs = Similarity.semDedupPairs(withCopies, "id", "v", centroids,
+      threshold = 0.999, probeSupers = 3)
+    val caught = pairs.filter(col("id_b") >= 1000L &&
+      col("id_b") - col("id_a") === 1000L).count()
+    assert(caught == 8L, s"hierarchical semDedup must catch all planted copies, got $caught")
+  }
+
   test("hashed embedding: deterministic unit vectors, overlap-tracking cosine, ANN integration") {
     import spark.implicits._
     import graft.functions.TextFunctions.hashedEmbedding

@@ -558,6 +558,77 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("gopherFlagsRouted is exactly per-row config dispatch (routing fuzz vs " +
+    "independently evaluated flags)") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // THREE routed languages (exercises the CaseWhen fold order) with thresholds
+    // chosen to DISAGREE on boundary docs — a routing bug that applies the wrong
+    // config must flip at least one flag somewhere in the corpus.
+    val cfgs = Map(
+      "zh" -> TextFunctions.GopherConfig.cjk,
+      "de" -> TextFunctions.GopherConfig(minWords = 10, minStopwordHits = 0,
+        minMeanWordLen = 2.0, maxMeanWordLen = 12.0),
+      "und" -> TextFunctions.GopherConfig(minWords = 1, minStopwordHits = 0,
+        minAlphaWordFraction = 0.0))
+    val default = TextFunctions.GopherConfig()
+    // deterministic mixed-language fuzz corpus + crafted boundary fixtures
+    val rng = new scala.util.Random(20260816L)
+    val en = Seq("the", "and", "that", "with", "have", "river", "basket", "morning")
+    val de = Seq("der", "die", "das", "und", "ist", "nicht", "von", "mit", "brücke")
+    val fr = Seq("le", "la", "les", "et", "est", "dans", "pour", "que", "pont")
+    val zh = "漢字文章内容河橋市場広場教会鐘谷夏日省鉄道港町".toSeq.map(_.toString)
+    val fuzz = (1 to 200).map { _ =>
+      val pools = Seq(en, de, fr, zh)
+      val n = 1 + rng.nextInt(80)
+      (1 to n).map { _ =>
+        val pool = pools(rng.nextInt(pools.size))
+        pool(rng.nextInt(pool.size))
+      }.mkString(Seq(" ", "", "\n")(rng.nextInt(3))) // "" glues CJK into runs
+    }
+    val crafted = Seq(
+      ("der die " * 5).trim, // exactly 10 de words: de-config boundary
+      ("der die " * 4).trim + " das", // 9 words: below the routed minWords
+      zh.take(8).mkString * 7, // pure CJK run: zh config
+      "xx yy zz", // und route
+      ("the and " * 25).trim, // en: falls to default
+      "", "   ", null.asInstanceOf[String])
+    val docs = (fuzz ++ crafted).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val flagCols = Seq("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+      "bullet_lines_ok", "ellipsis_lines_ok", "alpha_words_ok", "stopword_ok", "keep")
+    // every candidate config evaluated UNCONDITIONALLY per row (independent of the
+    // routed CaseWhen), dispatch replayed scala-side from the lang column
+    val keys = cfgs.keys.toSeq.sorted
+    val rows = docs.toDF("id", "text").select(
+      col("id") +:
+        TextFunctions.langId(col("text")).as("lang") +:
+        TextFunctions.gopherFlagsRouted(col("text"), cfgs, default).as("routed") +:
+        (keys.map(k => TextFunctions.gopherFlags(col("text"), cfgs(k)).as(s"f_$k")) :+
+          TextFunctions.gopherFlags(col("text"), default).as("f_default")): _*)
+      .collect()
+    rows.foreach { r =>
+      val id = r.getLong(0).toInt
+      val routed = Option(r.get(2)).map(_.asInstanceOf[org.apache.spark.sql.Row])
+      if (docs(id)._2 == null) assert(routed.isEmpty, s"#$id null text must route to null")
+      else {
+        val lang = r.getString(1)
+        assert(routed.get.getString(0) == lang, s"#$id routed.lang != langId")
+        val expectIdx = keys.indexOf(lang) match {
+          case -1 => 3 + keys.size // f_default
+          case i  => 3 + i
+        }
+        val expected = r.get(expectIdx).asInstanceOf[org.apache.spark.sql.Row]
+        val got = routed.get.get(1).asInstanceOf[org.apache.spark.sql.Row]
+        flagCols.indices.foreach { j =>
+          assert(got.get(j) == expected.get(j),
+            s"#$id lang=$lang flag ${flagCols(j)}: routed=${got.get(j)} " +
+              s"expected=${expected.get(j)} text='${docs(id)._2.take(60)}'")
+        }
+      }
+    }
+  }
+
   test("minhash kernel is bit-stable (golden values) and set-semantic") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -53,6 +53,47 @@ class SourcesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("jdbc scan receives pushed filters and pruned columns (plan-pinned)") {
+    import spark.implicits._
+    val rows = (0 until 200).map(i => (i.toLong, s"name_$i", i % 7, s"pad_$i"))
+    rows.toDF("id", "name", "grp", "pad")
+      .write.mode("overwrite").jdbc(url, "pushdown_t", new java.util.Properties)
+
+    // Predicate + projection over the JDBC source: both must reach the DATABASE —
+    // at the reference's intended scale (sources/database.rs:66-298 reads production
+    // Postgres/MySQL) an unpushed filter ships the whole table through the wire and
+    // an unpruned projection ships every column of it.
+    val q = Sources.jdbc(spark, Sources.JdbcConfig(url, "pushdown_t"))
+      .filter(col("grp") === 3 && col("id") > 10L)
+      .select("id", "name")
+    val scanLine = q.queryExecution.executedPlan.toString().linesIterator
+      .find(_.contains("JDBCRelation")).getOrElse(
+        fail("no JDBC scan node in plan:\n" + q.queryExecution.executedPlan))
+    // filters compiled into the remote WHERE clause (EqualTo/GreaterThan are
+    // dialect-supported; '*' marks handled-by-source, i.e. NOT re-evaluated in Spark)
+    assert(scanLine.contains("PushedFilters"), scanLine)
+    assert(scanLine.contains("EqualTo(grp,3)") && scanLine.contains("GreaterThan(id,10)"),
+      s"filters must push to the JDBC source: $scanLine")
+    // column pruning: the remote SELECT list carries id/name/grp (output + pushed
+    // filter columns), never the untouched pad column
+    assert(!scanLine.contains("pad"), s"unreferenced column must be pruned: $scanLine")
+    assert(q.collect().map(_.getLong(0)).forall(id => id > 10 && id % 7 == 3))
+
+    // A validation suite over a pre-filtered JDBC frame: every suite job stacks on
+    // this same logical plan, so the scan shape the suite pays is the pushed one.
+    val gated = Sources.jdbc(spark, Sources.JdbcConfig(url, "pushdown_t"))
+      .filter(col("id") >= 100L)
+    val gatedScan = gated.queryExecution.executedPlan.toString().linesIterator
+      .find(_.contains("JDBCRelation")).get
+    assert(gatedScan.contains("GreaterThanOrEqual(id,100)"), gatedScan)
+    val report = ValidationSuite("jdbc_pushdown", Seq(
+      CheckBuilder("pushdown_t", Level.Error)
+        .hasSize(Assertion.Equals(100))
+        .isComplete("name")
+        .build())).run(gated)
+    assert(report.isSuccess, Formatters.text(report))
+  }
+
   test("parquetLayoutAudit: footer metadata matches the data, files and directories, sidecar skip") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("layout_audit").toString

@@ -713,4 +713,191 @@ class StreamingSpec extends SparkSpec {
     }
     assert(eN.getMessage.contains("nests binary"), eN.getMessage)
   }
+
+  // ---------- banded-recall near-dup sinks (foreachBatch + persisted index) ----------
+
+  private def freshDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_stream_$tag").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("streaming banded minhash dedup catches a token-EDIT repost across micro-batches " +
+    "(simhash Hamming > 0) and matches the batch pass") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Dedup
+    // Long non-repetitive base text: a one-word edit + one adjacent-word swap keeps
+    // char-5-gram Jaccard >= 0.9 while CHANGING the token multiset, so the simhash
+    // gate (order-invariant, equality-keyed) cannot catch it — the case banded
+    // recall exists for.
+    val base = "the quick brown fox jumps over the lazy dog while the river runs " +
+      "under the old stone bridge near the quiet village in the early morning light " +
+      "and the fisherman carries his woven basket along the muddy path toward the " +
+      "market square where traders arrange their copper pots beside fresh baskets " +
+      "of grain and children chase a wooden hoop between the stalls as the church " +
+      "bell rings across the valley announcing the start of another slow summer day " +
+      "in the province far from the railway and the noisy harbor town"
+    // Candidate token EDITS (not pure reorders — those keep the simhash identical).
+    // The test picks the first that moves the simhash (Hamming > 0, so the old
+    // equality-keyed gate passes it through) while staying a true near-dup
+    // (char-5-gram Jaccard >= 0.9) — deterministic given the fixed list, and a
+    // loud failure if token-hash details ever shift every candidate out of range.
+    val candidates = Seq(
+      base.replace("stone", "steel").replace("village", "hamlet"),
+      base.replace("stone", "steel").replace("village", "hamlet").replace("copper", "bronze"),
+      base.replace("morning", "evening").replace("summer", "winter").replace("stone", "steel"),
+      base.replace("fisherman", "ferryman").replace("stone", "steel").replace("hoop", "ring"),
+      base.replace("stone", "steel").replace("copper", "bronze").replace("woven", "wicker")
+        .replace("railway", "highway"))
+    val unrelatedA = "completely different subject matter entirely: orbital mechanics " +
+      "of small icy moons, resonance chains, tidal heating budgets and libration"
+    val unrelatedB = "yet another distinct document about sourdough hydration ratios, " +
+      "autolyse timing, oven spring and crumb structure under steam"
+
+    val hams = (base +: candidates).toDF("text")
+      .select(Dedup.simhash64(graft.functions.TextFunctions.tokens(col("text"))).as("h"))
+      .collect().map(_.getLong(0))
+    val jacs = Dedup.exactJaccard(
+      candidates.indices.map(i => (0L, i + 1L)).toDF("id_a", "id_b"),
+      ((0L, base) +: candidates.zipWithIndex.map { case (t, i) => (i + 1L, t) })
+        .toDF("id", "text"), "id", "text")
+      .select("id_b", "jaccard").collect()
+      .map(r => r.getLong(0).toInt - 1 -> r.getDouble(1)).toMap
+    val pick = candidates.indices.find { i =>
+      java.lang.Long.bitCount(hams(0) ^ hams(i + 1)) > 0 && jacs(i) >= 0.9
+    }
+    assert(pick.nonEmpty, "no candidate edit has simhash Hamming > 0 AND Jaccard >= 0.9: " +
+      candidates.indices.map(i =>
+        s"ham=${java.lang.Long.bitCount(hams(0) ^ hams(i + 1))} jac=${jacs(i)}").mkString(", "))
+    val nearDup = candidates(pick.get)
+
+    val indexDir = freshDir("ndidx")
+    val survivorsDir = freshDir("ndsurv")
+    val input = MemoryStream[(Long, String)]
+    val counts = scala.collection.mutable.Map[Long, Long]()
+    val q = StreamingAnalysis.nearDupDedupSink(
+      input.toDF().toDF("id", "text"), "id", "text", indexDir, survivorsDir,
+      threshold = 0.9, onBatch = (b, n) => counts.synchronized { counts(b) = n })
+      .outputMode("update").start()
+    try {
+      input.addData((1L, base), (2L, unrelatedA))
+      q.processAllAvailable()
+      // the repost arrives TWO micro-batches later with fresh docs + a null row
+      input.addData((3L, nearDup), (4L, unrelatedB), (5L, null))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val landed = spark.read.parquet(survivorsDir)
+    val keptIds = landed.select("id").collect().map(_.getLong(0)).toSet
+    assert(keptIds == Set(1L, 2L, 4L, 5L),
+      s"near-dup 3 must drop across micro-batches, null text must pass: $keptIds")
+    assert(counts.synchronized(counts.toMap) == Map(0L -> 2L, 1L -> 2L), counts.toString)
+
+    // parity with the batch keep-lowest pass over the SAME event set (ids are
+    // arrival-ordered — the documented parity contract)
+    val allDocs = Seq((1L, base), (2L, unrelatedA), (3L, nearDup),
+      (4L, unrelatedB), (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val batchKept = Dedup.dedupNearMinhash(allDocs, "id", "text", threshold = 0.9)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(batchKept == keptIds, s"batch pass kept $batchKept, streaming kept $keptIds")
+
+    // replayed batch (foreachBatch at-least-once): overwriting its own batch=<id>
+    // partitions must leave the stores EXACTLY as before, not double-land
+    val replay = StreamingAnalysis.nearDupDedupBatch(
+      Seq((3L, nearDup), (4L, unrelatedB), (5L, null.asInstanceOf[String])).toDF("id", "text"),
+      batchId = 1L, "id", "text", indexDir, survivorsDir, threshold = 0.9)
+    assert(replay.select("id").collect().map(_.getLong(0)).toSet == Set(4L, 5L))
+    assert(spark.read.parquet(survivorsDir).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 4L, 5L), "replay must not double-land")
+  }
+
+  test("streaming banded image dedup catches a Hamming-1 repost the equality gate misses") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    // 64x64 image of 8x8 uniform cells, black or white per bit: aHash bit b IS cell b.
+    // The variant flips ONE cell — Hamming exactly 1, invisible to equality-keyed state.
+    def cellImage(bits: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 64) {
+        var x = 0
+        while (x < 64) {
+          val cell = (y / 8) * 8 + (x / 8)
+          img.setRGB(x, y, if (((bits >>> cell) & 1L) == 1L) 0xffffff else 0x000000)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val basePattern = 0x5a5a3c3cf0f01e1eL
+    val baseImg = cellImage(basePattern)
+    val flipped = cellImage(basePattern ^ (1L << 17)) // one cell differs
+    val other = cellImage(0x0f0f0f0f0f0f0f0fL)
+    val hashes = Seq((1L, baseImg), (2L, flipped)).toDF("id", "img")
+    val hs = Multimodal.imageHashIndex(hashes, "id", "img")
+      .orderBy("id").collect().map(_.getLong(1))
+    assert(java.lang.Long.bitCount(hs(0) ^ hs(1)) == 1,
+      s"fixture must be Hamming 1, got ${java.lang.Long.bitCount(hs(0) ^ hs(1))}")
+
+    val indexDir = freshDir("imgidx")
+    val b0 = StreamingAnalysis.imageDedupBatch(
+      Seq((1L, baseImg), (2L, other)).toDF("id", "img"), 0L, "id", "img", indexDir)
+    assert(b0.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // later micro-batch: the flipped repost + an undecodable payload
+    val b1 = StreamingAnalysis.imageDedupBatch(
+      Seq((3L, flipped), (4L, "not an image".getBytes)).toDF("id", "img"),
+      1L, "id", "img", indexDir)
+    val kept = b1.select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(4L), s"Hamming-1 repost must drop, undecodable must pass: $kept")
+    // the index persisted only survivors' hashes: 1, 2 (id 4 has no hash; 3 dropped)
+    val idx = spark.read.parquet(indexDir).select("id").collect().map(_.getLong(0)).toSet
+    assert(idx == Set(1L, 2L), s"index must hold survivors' hashes only: $idx")
+  }
+
+  test("streaming banded audio dedup catches a Hamming-1 repost the equality gate misses") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaCodecs
+    import spark.implicits._
+    // 8-bit mono PCM, 64 windows x 64 samples: window w is LOUD (alternating +/-64
+    // around the 128 bias) or SILENT per bit w of the pattern — the envelope hash
+    // bit IS the window's loudness vs the mean. One flipped window = Hamming 1.
+    def clip(bits: Long): Array[Byte] = {
+      val data = new Array[Byte](64 * 64)
+      var i = 0
+      while (i < data.length) {
+        val w = i / 64
+        data(i) =
+          if (((bits >>> w) & 1L) == 1L) (128 + (if (i % 2 == 0) 64 else -64)).toByte
+          else 128.toByte
+        i += 1
+      }
+      MediaCodecs.encodeWavPcm(8000, data)
+    }
+    val basePattern = 0x3c3c5a5a0ff0e11eL
+    val baseClip = clip(basePattern)
+    val flipped = clip(basePattern ^ (1L << 40))
+    val other = clip(0xf00ff00f3c3c3c3cL)
+    val hs = Multimodal.audioHashIndex(
+      Seq((1L, baseClip), (2L, flipped)).toDF("id", "snd"), "id", "snd")
+      .orderBy("id").collect().map(_.getLong(1))
+    assert(java.lang.Long.bitCount(hs(0) ^ hs(1)) == 1,
+      s"fixture must be Hamming 1, got ${java.lang.Long.bitCount(hs(0) ^ hs(1))}")
+
+    val indexDir = freshDir("sndidx")
+    val b0 = StreamingAnalysis.audioDedupBatch(
+      Seq((1L, baseClip), (2L, other)).toDF("id", "snd"), 0L, "id", "snd", indexDir)
+    assert(b0.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    val b1 = StreamingAnalysis.audioDedupBatch(
+      Seq((3L, flipped), (4L, "not audio".getBytes)).toDF("id", "snd"),
+      1L, "id", "snd", indexDir)
+    val kept = b1.select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(4L), s"Hamming-1 repost must drop, undecodable must pass: $kept")
+    val idx = spark.read.parquet(indexDir).select("id").collect().map(_.getLong(0)).toSet
+    assert(idx == Set(1L, 2L), s"index must hold survivors' hashes only: $idx")
+  }
 }

@@ -93,6 +93,102 @@ class WarcSpec extends SparkSpec {
     assert(new String(mal.head.payload, iso) == "not http!")
   }
 
+  test("truncation fuzz: EVERY byte-cut of gzip/deflate/zstd/brotli members (and the " +
+    "gzip,br chain) yields a flagged true prefix or flagged raw — never a throw, " +
+    "never silent loss, never a half-decoded intermediate") {
+    def httpRecord(extraHeaders: String, body: Array[Byte]): Array[Byte] = {
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n$extraHeaders\r\n")
+        .getBytes(iso) ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes(iso) ++ http ++
+        "\r\n\r\n".getBytes(iso)
+    }
+    val payload = ("truncation recovery fuzz page content with some repetition " * 30)
+      .getBytes(iso) // ~1.8 KB: long enough for multi-block compressed streams
+    def gzip(b: Array[Byte]) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos); g.write(b); g.close()
+      bos.toByteArray
+    }
+    def zlib(b: Array[Byte]) = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val buf = new Array[Byte](b.length * 2 + 128)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    def zstd(b: Array[Byte]) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new com.github.luben.zstd.ZstdOutputStream(bos); z.write(b); z.close()
+      bos.toByteArray
+    }
+    // (encoding, member bytes, recovery expected): a SINGLE-frame zstd member is one
+    // atomic block — no cut can recover a prefix (raw+flagged everywhere is the
+    // honest outcome); the multi-frame member (two concatenated frames, legal zstd
+    // content coding) must recover frame 1 when frame 2 is cut.
+    val half = payload.length / 2
+    val zFrame1 = zstd(payload.take(half))
+    // cleanCuts: cut offsets where the truncated body is ITSELF a complete valid
+    // stream (the multi-frame member cut exactly at its frame boundary) — no codec
+    // can flag those; the crawler-stamped WARC-Truncated header is the layer that
+    // covers them, tested separately.
+    val members: Seq[(String, Array[Byte], Boolean, Set[Int])] = Seq(
+      ("gzip", gzip(payload), true, Set.empty[Int]),
+      ("deflate", zlib(payload), true, Set.empty[Int]),
+      ("zstd", zstd(payload), false, Set.empty[Int]),
+      ("zstd", zFrame1 ++ zstd(payload.drop(half)), true, Set(zFrame1.length)),
+      ("br", graft.functions.Brotli.encodeCompressedLiterals(payload), true, Set.empty[Int]),
+      ("gzip, br", graft.functions.Brotli.encodeCompressedLiterals(gzip(payload)), true,
+        Set.empty[Int]))
+    members.foreach { case (enc, full, expectRecovery, cleanCuts) =>
+      // the UNCUT member must decode completely — a truncation-hardening change
+      // that breaks whole-stream decode (e.g. stopping at the first zstd frame)
+      // would silently halve every multi-frame page
+      val whole = Warc.records(httpRecord(s"Content-Encoding: $enc\r\n", full)).head
+      assert(whole.http_decoded && !whole.truncated &&
+        java.util.Arrays.equals(whole.payload, payload),
+        s"$enc uncut member must decode fully (got decoded=${whole.http_decoded} " +
+          s"truncated=${whole.truncated} len=${whole.payload.length})")
+      var recovered = 0
+      (0 until full.length).foreach { cut =>
+        val body = full.take(cut)
+        val rs = Warc.records(httpRecord(s"Content-Encoding: $enc\r\n", body))
+        assert(rs.size == 1, s"$enc cut=$cut emitted ${rs.size} records")
+        val r = rs.head
+        if (r.http_decoded) {
+          // decoded ⇒ a TRUE PREFIX of the original page (possibly all of it, when
+          // only the trailer was cut), and anything short is FLAGGED truncated —
+          // a half-decoded chain intermediate (e.g. gzip bytes out of the br
+          // stage) would fail the prefix check against the plaintext
+          assert(r.payload.length <= payload.length &&
+            java.util.Arrays.equals(r.payload, payload.take(r.payload.length)),
+            s"$enc cut=$cut decoded payload is not a prefix of the page")
+          // cut=0 is an EMPTY member, not a truncated capture: a codec that reads
+          // zero bytes as zero frames (zstd does) legitimately yields an empty
+          // unflagged page — there was no content to lose. cleanCuts (complete-
+          // stream cut points) are likewise unflaggable by construction.
+          assert(r.truncated || java.util.Arrays.equals(r.payload, payload) ||
+            (cut == 0 && r.payload.isEmpty) || cleanCuts.contains(cut),
+            s"$enc cut=$cut short prefix (${r.payload.length}) not flagged truncated")
+          if (r.payload.nonEmpty) recovered += 1
+        } else {
+          // undecodable ⇒ the original raw cut bytes, flagged — never silent loss
+          assert(java.util.Arrays.equals(r.payload, body),
+            s"$enc cut=$cut undecoded record must keep the raw cut bytes")
+        }
+        // silent-loss canary (the FDICT bug class): decoded+empty+unflagged from a
+        // nonempty member is a page quietly replaced by nothing
+        assert(!(r.http_decoded && r.payload.isEmpty && !r.truncated && cut > 0),
+          s"$enc cut=$cut silent empty decode")
+      }
+      // the recovery path must actually fire: a policy of raw+undecoded-everywhere
+      // would pass every per-cut assertion while recovering nothing
+      if (expectRecovery)
+        assert(recovered > 0, s"$enc: no cut recovered any prefix — recovery path dead")
+    }
+  }
+
   test("HTTP bodies: chunked framing removed, gzip/deflate/zstd/brotli decoded") {
     def httpRecord(extraHeaders: String, body: Array[Byte]): Array[Byte] = {
       val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n$extraHeaders\r\n")
