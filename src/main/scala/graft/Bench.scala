@@ -249,10 +249,21 @@ object Bench {
         }
       }.getOrElse((Map.empty, Map.empty))
     }
+    // Bounded: a WHOLE-ENVIRONMENT shift (slower driver machine) would flag dozens
+    // of queries at once — re-measuring all of them re-proves the same ambient fact
+    // at minutes of cost. Past the cap the moves are still printed, just not re-run.
+    var adjudications = 0
+    val maxAdjudications = 8
     def adjudicateVsPrev(label: String, name: String, cur: Double, prev: Option[Double],
         fn: (SparkSession, String) => DataFrame): Double = prev match {
       case Some(p) if cur > 0 && p > 0 && math.max(cur, p) >= 0.5 &&
-          (cur > 2 * p || p > 2 * cur) =>
+          (cur > 2 * p || p > 2 * cur) && {
+            adjudications += 1
+            if (adjudications > maxAdjudications)
+              println(f"[roundvr-adjudicate] $label $name prev=$p%.3f cur=$cur%.3f " +
+                s"SKIPPED (cap $maxAdjudications reached — ambient shift, not per-query)")
+            adjudications <= maxAdjudications
+          } =>
         settle()
         val arms = (1 to 2).map { _ =>
           try { val t0 = System.nanoTime(); fn(spark, sfDir).collect()

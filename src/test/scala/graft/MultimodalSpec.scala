@@ -580,6 +580,24 @@ class MultimodalSpec extends SparkSpec {
     assert(loose.length == 1 && loose.head.getLong(2) == 1L)
   }
 
+  test("video_dedup operator arm: fixture parquet materializes once and pair count " +
+    "matches the oracle arithmetic") {
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$d/documents.parquet").exists())
+    import org.apache.spark.sql.functions.col
+    val arm = graft.Queries.operatorArms("video_dedup_documents")
+    val n1 = arm(spark, d).head().getLong(0)
+    val n2 = arm(spark, d).head().getLong(0) // second run: reuses the fixture parquet
+    assert(n1 == n2)
+    // expected pairs = sum over seeds s of C(n_s, 2) — the video_dedup oracle's rule
+    val expected = spark.read.parquet(s"$d/documents.parquet")
+      .filter(col("doc_id").isNotNull)
+      .groupBy(org.apache.spark.sql.functions.pmod(col("doc_id"),
+        org.apache.spark.sql.functions.lit(37)))
+      .count().collect().map(r => { val n = r.getLong(1); n * (n - 1) / 2 }).sum
+    assert(n1 == expected, s"arm pairs $n1 != same-seed arithmetic $expected")
+  }
+
   test("video dedup: the pluggable decoder hook is load-bearing for codec-bound containers") {
     import spark.implicits._
     // A fake codec-bound container the stock JVM cannot decode: magic + count +

@@ -812,6 +812,33 @@ class StreamingSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == Set(1L, 2L, 4L, 5L), "replay must not double-land")
   }
 
+  test("streaming banded dedup survives a ZERO-survivor batch (empty store partition)") {
+    import spark.implicits._
+    val indexDir = freshDir("zidx")
+    val survivorsDir = freshDir("zsurv")
+    val text = "the quick brown fox jumps over the lazy dog near the old stone " +
+      "bridge in the quiet village while the river runs toward the morning market"
+    val b0 = StreamingAnalysis.nearDupDedupBatch(
+      Seq((1L, text)).toDF("id", "text"), 0L, "id", "text", indexDir, survivorsDir, 0.9)
+    assert(b0.count() == 1L)
+    // batch 1: every row an exact dup of the landed doc -> ZERO survivors; its
+    // batch=1 partitions hold only _SUCCESS (the schema-inference breaker the
+    // explicit-schema read exists for)
+    val b1 = StreamingAnalysis.nearDupDedupBatch(
+      Seq((2L, text), (3L, text)).toDF("id", "text"), 1L, "id", "text",
+      indexDir, survivorsDir, 0.9)
+    assert(b1.count() == 0L, "exact dups of a landed doc must all drop")
+    // batch 2 must read BOTH stores through the empty partition without error,
+    // still dedup against batch 0's doc, and land the fresh one
+    val b2 = StreamingAnalysis.nearDupDedupBatch(
+      Seq((4L, text), (5L, "a completely different fresh document about sourdough " +
+        "hydration ratios oven spring and crumb structure under steam"))
+        .toDF("id", "text"), 2L, "id", "text", indexDir, survivorsDir, 0.9)
+    assert(b2.select("id").collect().map(_.getLong(0)).toSet == Set(5L))
+    assert(spark.read.parquet(survivorsDir).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 5L))
+  }
+
   test("streaming banded image dedup catches a Hamming-1 repost the equality gate misses") {
     import graft.operators.Multimodal
     import spark.implicits._
