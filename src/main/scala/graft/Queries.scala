@@ -2438,6 +2438,44 @@ object Queries {
              | CAST(count(*) AS BIGINT) AS kept
              | FROM g""".stripMargin.replaceAll("\n", " "))),
 
+    // Incremental video dedup vs a persisted frame-hash index — the video member of
+    // the incremental_image/audio family: even doc_ids form the standing corpus
+    // (index = ~20 B (id, frame_idx, frame_hash) rows, clips never re-decoded), odd
+    // doc_ids the incoming batch. Same seed-keyed GIF construction as
+    // video_dedup_documents, so expected pairs = same-seed pairs touching >=1 new
+    // doc = Σ_s [C(n_s,2) − C(n_even_s,2)] — pure doc_id arithmetic DuckDB replays;
+    // old×old exclusion pinned at 0.
+    QueryDef("incremental_video_dedup_documents",
+      (s, d) => {
+        import graft.operators.Multimodal
+        val mkGif = udf((id: Long) => {
+          val seed = ((id % 37) + 37) % 37
+          Multimodal.MediaCodecs.encodeAnimatedGif(16, 12, (2 + seed % 2).toInt, seed)
+        })
+        val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), mkGif(col("doc_id")).as("clip"))
+        val index = Multimodal.videoFrameHashIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "clip")
+        val fresh = docs.filter(col("doc_id") % 2 =!= 0)
+        val pairs = Multimodal.incrementalVideoPairs(fresh, index, "doc_id", "clip",
+          maxHamming = 3, minMatchingFrames = 2)
+        pairs.agg(
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(when(col("id_a") % 2 === 0 && col("id_b") % 2 === 0, 1L)
+            .otherwise(0L)), lit(0L)).as("old_old_pairs"),
+          bool_and(pmod(col("id_a"), lit(37)) === pmod(col("id_b"), lit(37)))
+            .as("same_seed_ok"))
+      },
+      Some("""WITH d AS (SELECT doc_id, (doc_id % 37 + 37) % 37 AS s,
+             |   doc_id % 2 = 0 AS old FROM documents WHERE doc_id IS NOT NULL),
+             | g AS (SELECT s, count(*) AS n,
+             |   sum(CASE WHEN old THEN 1 ELSE 0 END) AS n_old FROM d GROUP BY 1)
+             | SELECT CAST(coalesce(sum(n * (n - 1) / 2 - n_old * (n_old - 1) / 2), 0) AS BIGINT) AS n_pairs,
+             | CAST(0 AS BIGINT) AS old_old_pairs,
+             | CASE WHEN coalesce(sum(CASE WHEN n - n_old >= 1 AND n >= 2 THEN 1 ELSE 0 END), 0) = 0
+             |   THEN NULL ELSE TRUE END AS same_seed_ok
+             | FROM g""".stripMargin.replaceAll("\n", " "))),
+
     // Brute-force cosine top-10 for probe vec_id=0 (the ANN correctness baseline).
     QueryDef("similarity_topk_embeddings",
       (s, d) => withProbe(s, d) { probe =>

@@ -1418,26 +1418,22 @@ object Multimodal {
       .filter(col("frame_hash").isNotNull)
   }
 
-  /** Video near-duplicate PAIRS: two clips pair when at least `minMatchingFrames` of
-    * clip A's sampled frames each have a Hamming-≤`maxHamming` match among clip B's
-    * frames. Frame matching rides the shared banded-Hamming machinery over
-    * per-frame aHashes keyed by (clip, frame) — so like the image/audio families,
-    * the only rows that shuffle are ~16-byte hash rows; clip BYTES never leave the
-    * scan, and the oversized-band guard caps boilerplate piles (black frames, title
-    * cards) before the self-join can go quadratic. `minMatchingFrames` ≥ 2 is the
-    * coincidence guard a single shared frame (a standard intro card) would defeat.
-    *
-    * Output: `(id_a, id_b, matching_frames, min_hamming)` with id_a < id_b.
+  /** Clip-level pairs from `(id, frame_idx, frame_hash)` rows: banded Hamming over
+    * (clip, frame)-keyed hashes, cross-clip only, aggregated to
+    * `(id_a, id_b, matching_frames, min_hamming)` with id_a < id_b and
+    * `matching_frames >= minMatchingFrames`. ONE implementation for the full and
+    * incremental paths (the bandedHammingPairs pattern) — the match contract
+    * cannot drift between them.
     */
-  def nearDupPairsVideo(df: DataFrame, idCol: String, binCol: String,
-      decoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] = MediaCodecs.sampleFrames,
-      everyNth: Int = 1, maxFrames: Int = 16, maxHamming: Int = 3,
-      minMatchingFrames: Int = 2, maxBucketSize: Int = 10000): DataFrame = {
+  private def clipPairsFromFrameRows(frameHashes: DataFrame, maxHamming: Int,
+      minMatchingFrames: Int, maxBucketSize: Int,
+      newFlagCol: Option[String] = None): DataFrame = {
     require(minMatchingFrames >= 1, "minMatchingFrames must be >= 1")
-    val frameRows = videoFrameHashes(df, idCol, binCol, decoder, everyNth, maxFrames)
-      .select(struct(col("id").as("cid"), col("frame_idx").as("fidx")).as("id"),
-        col("frame_hash").as("_h64"))
-    val framePairs = Dedup.bandedHammingPairs(frameRows, maxHamming, maxBucketSize)
+    val frameRows = frameHashes
+      .select(Seq(struct(col("id").as("cid"), col("frame_idx").as("fidx")).as("id"),
+        col("frame_hash").as("_h64")) ++ newFlagCol.map(col): _*)
+    val framePairs = Dedup.bandedHammingPairs(frameRows, maxHamming, maxBucketSize,
+      newFlagCol = newFlagCol)
     // cross-clip only (a clip's own repeated frames are not a duplicate relation),
     // normalized so the LOWER clip id is always side a — the struct ordering above
     // is (clip, frame)-lexicographic, which can put the higher clip on side a
@@ -1454,6 +1450,59 @@ object Multimodal {
       .filter(col("matching_frames") >= minMatchingFrames)
       .select(col("_ca").as("id_a"), col("_cb").as("id_b"),
         col("matching_frames"), col("min_hamming"))
+  }
+
+  /** Video near-duplicate PAIRS: two clips pair when at least `minMatchingFrames` of
+    * clip A's sampled frames each have a Hamming-≤`maxHamming` match among clip B's
+    * frames. Frame matching rides the shared banded-Hamming machinery over
+    * per-frame aHashes keyed by (clip, frame) — so like the image/audio families,
+    * the only rows that shuffle are ~16-byte hash rows; clip BYTES never leave the
+    * scan, and the oversized-band guard caps boilerplate piles (black frames, title
+    * cards) before the self-join can go quadratic. `minMatchingFrames` ≥ 2 is the
+    * coincidence guard a single shared frame (a standard intro card) would defeat.
+    *
+    * Output: `(id_a, id_b, matching_frames, min_hamming)` with id_a < id_b.
+    */
+  def nearDupPairsVideo(df: DataFrame, idCol: String, binCol: String,
+      decoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] = MediaCodecs.sampleFrames,
+      everyNth: Int = 1, maxFrames: Int = 16, maxHamming: Int = 3,
+      minMatchingFrames: Int = 2, maxBucketSize: Int = 10000): DataFrame =
+    clipPairsFromFrameRows(
+      videoFrameHashes(df, idCol, binCol, decoder, everyNth, maxFrames),
+      maxHamming, minMatchingFrames, maxBucketSize)
+
+  /** Persistable video frame-hash index: one `(id, frame_idx, frame_hash)` row per
+    * hashable sampled frame — the video analog of [[imageHashIndex]]'s
+    * store-don't-recompute contract (~20 B per frame, vs re-decoding the clip). A
+    * standing pipeline stores this and each incoming batch decodes only ITS OWN
+    * frames. Parameters (decoder, everyNth, maxFrames) must match between index
+    * build and every incremental batch — the caller owns that contract, same as
+    * [[graft.operators.Dedup.minhashIndex]].
+    */
+  def videoFrameHashIndex(df: DataFrame, idCol: String, binCol: String,
+      decoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] = MediaCodecs.sampleFrames,
+      everyNth: Int = 1, maxFrames: Int = 16): DataFrame =
+    videoFrameHashes(df, idCol, binCol, decoder, everyNth, maxFrames)
+
+  /** Video near-dup pairs for an incremental batch against a stored
+    * [[videoFrameHashIndex]]: same contract as [[incrementalImagePairs]] — new×new
+    * and new×old clip pairs only (old×old frame pairs are gated out INSIDE the
+    * shared banded join, so no old×old clip pair can reach the aggregation), the
+    * index side never re-decodes frames, ids unique across batches.
+    */
+  def incrementalVideoPairs(newClips: DataFrame, index: DataFrame,
+      idCol: String, binCol: String,
+      decoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] = MediaCodecs.sampleFrames,
+      everyNth: Int = 1, maxFrames: Int = 16, maxHamming: Int = 3,
+      minMatchingFrames: Int = 2, maxBucketSize: Int = 10000): DataFrame = {
+    require(Seq("id", "frame_idx", "frame_hash").forall(index.columns.contains),
+      s"index must have (id, frame_idx, frame_hash) columns, got ${index.columns.mkString(", ")}")
+    val all = videoFrameHashes(newClips, idCol, binCol, decoder, everyNth, maxFrames)
+      .withColumn("_new", lit(true))
+      .unionByName(index.select(col("id"), col("frame_idx"), col("frame_hash"))
+        .filter(col("frame_hash").isNotNull).withColumn("_new", lit(false)))
+    clipPairsFromFrameRows(all, maxHamming, minMatchingFrames, maxBucketSize,
+      newFlagCol = Some("_new"))
   }
 
   /** Video dedup: keep-lowest-id survivors of [[nearDupPairsVideo]] (the family's

@@ -510,7 +510,7 @@ object Warc {
     * walked by their declared size; reserved block types and trailing garbage
     * read as incomplete (suspect capture — flag it, never trust it silently).
     */
-  private[operators] def zstdFramesComplete(body: Array[Byte]): Boolean = {
+  private[graft] def zstdFramesComplete(body: Array[Byte]): Boolean = {
     if (body == null) return false
     def u32(off: Int): Long =
       (body(off) & 0xffL) | ((body(off + 1) & 0xffL) << 8) |

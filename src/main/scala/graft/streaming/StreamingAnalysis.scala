@@ -657,6 +657,33 @@ object StreamingAnalysis {
     survivors
   }
 
+  /** Video twin of [[imageDedupBatch]] over the per-frame aHash index
+    * ([[graft.operators.Multimodal.videoFrameHashIndex]], ~20 B/frame): clips in the
+    * batch pair against everything accepted so far when ≥ `minMatchingFrames`
+    * frames match within `maxHamming` bits — frame decode runs only over the
+    * batch's OWN clips, through the same pluggable `decoder` hook as the batch
+    * operators (parameters fixed for the life of the store). Same contracts as
+    * [[nearDupDedupBatch]] (unique ids, batch=<id> overwrite idempotency,
+    * arrival-ordered-id parity).
+    */
+  def videoDedupBatch(batch: DataFrame, batchId: Long, idCol: String, binCol: String,
+      indexDir: String,
+      decoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] =
+        graft.operators.Multimodal.MediaCodecs.sampleFrames,
+      everyNth: Int = 1, maxFrames: Int = 16, maxHamming: Int = 3,
+      minMatchingFrames: Int = 2, maxBucketSize: Int = 10000): DataFrame = {
+    import graft.operators.Multimodal
+    val emptyIndex = Multimodal.videoFrameHashIndex(batch.limit(0), idCol, binCol,
+      decoder, everyNth, maxFrames)
+    val index = readBatchStore(indexDir, emptyIndex)
+    val pairs = Multimodal.incrementalVideoPairs(batch, index, idCol, binCol,
+      decoder, everyNth, maxFrames, maxHamming, minMatchingFrames, maxBucketSize)
+    val survivors = survivorsAfterPairs(batch, idCol, pairs).localCheckpoint(true)
+    Multimodal.videoFrameHashIndex(survivors, idCol, binCol, decoder, everyNth, maxFrames)
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    survivors
+  }
+
   /** `foreachBatch` adapter for [[imageDedupBatch]] / [[audioDedupBatch]]: `land` is
     * the caller's durable write for the batch's surviving rows (bytes land where the
     * pipeline wants them; only 16 B hash rows persist in the index).

@@ -598,6 +598,32 @@ class MultimodalSpec extends SparkSpec {
     assert(n1 == expected, s"arm pairs $n1 != same-seed arithmetic $expected")
   }
 
+  test("incremental video pairs vs persisted frame index: new x old only, parity " +
+    "with restricted full recompute") {
+    import spark.implicits._
+    val mk = (seed: Long) => MediaCodecs.encodeAnimatedGif(24, 16, 3, seed)
+    // standing corpus: seeds 1,1,2 (ids 0,2,4 — one old x old dup pair exists)
+    val standing = Seq((0L, mk(1)), (2L, mk(1)), (4L, mk(2))).toDF("id", "clip")
+    val index = Multimodal.videoFrameHashIndex(standing, "id", "clip")
+    // sanity: the persisted index is (id, frame_idx, frame_hash) rows, 3 per clip
+    assert(index.count() == 9)
+    // batch: a repost of seed 1 (pairs with ids 0 AND 2), a fresh seed 3, and a
+    // batch-internal dup pair of seed 3
+    val batch = Seq((11L, mk(1)), (13L, mk(3)), (15L, mk(3))).toDF("id", "clip")
+    val pairs = Multimodal.incrementalVideoPairs(batch, index, "id", "clip")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 11L), (2L, 11L), (13L, 15L)),
+      s"expected new x old + new x new pairs only, got $pairs")
+    // parity: the full pass over standing + batch, RESTRICTED to pairs touching a
+    // batch id, must be exactly the incremental result
+    val full = Multimodal.nearDupPairsVideo(standing.unionByName(batch), "id", "clip")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchIds = Set(11L, 13L, 15L)
+    assert(full.filter(p => batchIds(p._1) || batchIds(p._2)) == pairs,
+      "incremental must equal the full pass restricted to pairs touching the batch")
+    assert(full.contains((0L, 2L)), "sanity: the old x old pair exists in the full pass")
+  }
+
   test("video dedup: the pluggable decoder hook is load-bearing for codec-bound containers") {
     import spark.implicits._
     // A fake codec-bound container the stock JVM cannot decode: magic + count +

@@ -629,6 +629,65 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("zstdFramesComplete: complete streams read complete, structural cuts read " +
+    "incomplete, arbitrary garbage never throws") {
+    import graft.operators.Warc
+    def zstd(b: Array[Byte], level: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new com.github.luben.zstd.ZstdOutputStream(bos, level)
+      z.write(b); z.close()
+      bos.toByteArray
+    }
+    val rng = new scala.util.Random(42)
+    // COMPLETE-positive matrix: sizes x levels x frame layouts — a false negative
+    // here flags a VALID page truncated (recall loss), the inverse failure mode of
+    // the silent-truncation bug the walk fixed
+    val payloads = Seq(Array.emptyByteArray, Array[Byte](7),
+      ("repetitive content " * 40).getBytes("UTF-8"),
+      Array.fill(50000)(rng.nextInt(256).toByte)) // incompressible: raw blocks
+    for (p <- payloads; lvl <- Seq(1, 3, 19)) {
+      val single = zstd(p, lvl)
+      assert(Warc.zstdFramesComplete(single),
+        s"complete single frame (payload ${p.length}, level $lvl) read as incomplete")
+      val multi = single ++ zstd(p.reverse, lvl)
+      assert(Warc.zstdFramesComplete(multi), "complete multi-frame read as incomplete")
+      // skippable frame (magic 0x184D2A50 + LE size) between real frames
+      val skippable = {
+        val body = Array.fill(12)(0x5a.toByte)
+        Array(0x50, 0x2a, 0x4d, 0x18, 12, 0, 0, 0).map(_.toByte) ++ body
+      }
+      assert(Warc.zstdFramesComplete(single ++ skippable ++ zstd(p, lvl)),
+        "skippable frame between real frames read as incomplete")
+      // every PROPER PREFIX that cuts structure must read incomplete — except cuts
+      // at frame boundaries (complete shorter stream, the documented codec-layer
+      // blind spot) and the empty prefix (zero frames)
+      val frameEnds = Set(0, single.length)
+      (0 until single.length).foreach { cut =>
+        if (!frameEnds.contains(cut))
+          assert(!Warc.zstdFramesComplete(java.util.Arrays.copyOf(single, cut)),
+            s"cut=$cut of a ${single.length}-byte frame (level $lvl) read as complete")
+      }
+    }
+    // totality: random bytes, zstd-magic + garbage, point mutations of valid
+    // streams — any Boolean is acceptable, an exception never is
+    val base = zstd(("page " * 100).getBytes("UTF-8"), 3)
+    (1 to 2000).foreach { i =>
+      val b = i % 4 match {
+        case 0 => Array.fill(rng.nextInt(64))(rng.nextInt(256).toByte)
+        case 1 => Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte) ++
+          Array.fill(rng.nextInt(32))(rng.nextInt(256).toByte)
+        case 2 =>
+          val m = base.clone()
+          m(rng.nextInt(m.length)) = (m(rng.nextInt(m.length)) ^ (1 << rng.nextInt(8))).toByte
+          m
+        case _ => Array[Byte](0x50, 0x2a, 0x4d, 0x18) ++
+          Array.fill(rng.nextInt(16))(rng.nextInt(256).toByte)
+      }
+      Warc.zstdFramesComplete(b) // must not throw
+    }
+    assert(!Warc.zstdFramesComplete(null))
+  }
+
   test("minhash kernel is bit-stable (golden values) and set-semantic") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

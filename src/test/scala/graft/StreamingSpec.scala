@@ -886,6 +886,27 @@ class StreamingSpec extends SparkSpec {
     assert(idx == Set(1L, 2L), s"index must hold survivors' hashes only: $idx")
   }
 
+  test("streaming video dedup drops cross-batch clip reposts via the frame-hash index") {
+    import graft.operators.Multimodal.MediaCodecs
+    import spark.implicits._
+    val mk = (seed: Long) => MediaCodecs.encodeAnimatedGif(24, 16, 3, seed)
+    val indexDir = freshDir("vididx")
+    val b0 = StreamingAnalysis.videoDedupBatch(
+      Seq((1L, mk(5)), (2L, mk(9))).toDF("id", "clip"), 0L, "id", "clip", indexDir)
+    assert(b0.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // later micro-batch: a repost of clip 1's content + a fresh clip + junk bytes
+    val b1 = StreamingAnalysis.videoDedupBatch(
+      Seq((3L, mk(5)), (4L, mk(7)), (5L, "not a video".getBytes))
+        .toDF("id", "clip"), 1L, "id", "clip", indexDir)
+    val kept = b1.select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(4L, 5L), s"repost must drop, fresh + undecodable pass: $kept")
+    // the index persisted only survivors' frame rows: clips 1, 2, 4 (3 frames each;
+    // the junk payload yields no hashable frames)
+    val idx = spark.read.parquet(indexDir).select("id").collect().map(_.getLong(0))
+    assert(idx.toSet == Set(1L, 2L, 4L) && idx.length == 9,
+      s"index must hold survivors' frame hashes only: ${idx.toSeq.sorted}")
+  }
+
   test("streaming banded audio dedup catches a Hamming-1 repost the equality gate misses") {
     import graft.operators.Multimodal
     import graft.operators.Multimodal.MediaCodecs
