@@ -1148,34 +1148,44 @@ object Multimodal {
           } finally r.dispose()
         } finally iis.close()
         if (img == null) return None
-        val small = new java.awt.image.BufferedImage(
-          8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g = small.createGraphics()
-        try {
-          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-          g.drawImage(img, 0, 0, 8, 8, null)
-        } finally g.dispose()
-        val gray = new Array[Int](64)
-        var i = 0
-        while (i < 64) {
-          val rgb = small.getRGB(i % 8, i / 8)
-          gray(i) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
-          i += 1
-        }
-        // Zero-contrast guard: EVERY uniform image thresholds to the all-zeros mask,
-        // so two visually unrelated flat images (solid black vs solid white) would
-        // "match" at Hamming 0 and dedup would silently drop one. Featureless
-        // content has no fingerprint — None, the same degenerate-input rule as
-        // SimHash's zero-token filter (which exists for the identical reason).
-        val mn = gray.min
-        if (mn == gray.max) return None
-        val mean = gray.sum / 64
-        var hash = 0L
-        i = 0
-        while (i < 64) { if (gray(i) > mean) hash |= (1L << i); i += 1 }
-        Some(hash)
+        aHashOf(img)
       } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** The pooling half of [[perceptualHash]] over an ALREADY-DECODED raster — one
+      * implementation shared with the fused video frame-hash path, so the two can
+      * never drift (stored image/frame hash indexes depend on bit-stable hashes;
+      * the drawImage bilinear pool depends only on pixel VALUES, which lossless
+      * codec round-trips preserve — equality is spec-pinned across the GIF matrix).
+      */
+    private[operators] def aHashOf(img: java.awt.image.BufferedImage): Option[Long] = {
+      val small = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = small.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, 8, 8, null)
+      } finally g.dispose()
+      val gray = new Array[Int](64)
+      var i = 0
+      while (i < 64) {
+        val rgb = small.getRGB(i % 8, i / 8)
+        gray(i) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        i += 1
+      }
+      // Zero-contrast guard: EVERY uniform image thresholds to the all-zeros mask,
+      // so two visually unrelated flat images (solid black vs solid white) would
+      // "match" at Hamming 0 and dedup would silently drop one. Featureless
+      // content has no fingerprint — None, the same degenerate-input rule as
+      // SimHash's zero-token filter (which exists for the identical reason).
+      val mn = gray.min
+      if (mn == gray.max) return None
+      val mean = gray.sum / 64
+      var hash = 0L
+      i = 0
+      while (i < 64) { if (gray(i) > mean) hash |= (1L << i); i += 1 }
+      Some(hash)
     }
 
     /** REAL image resize: decode → bilinear scale → re-encode in the source format.
@@ -1272,7 +1282,31 @@ object Multimodal {
       * pipeline wants: deterministic decode, no synthesis. None when the payload is
       * not a GIF or the reader rejects it.
       */
-    def gifFrames(bytes: Array[Byte], everyNth: Int, maxFrames: Int): Option[Seq[Array[Byte]]] = {
+    def gifFrames(bytes: Array[Byte], everyNth: Int, maxFrames: Int): Option[Seq[Array[Byte]]] =
+      gifFrameWalk(bytes, everyNth, maxFrames) { img =>
+        val bos = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer")
+        bos.toByteArray
+      }
+
+    /** Per-sampled-frame aHash straight off the decoded GIF rasters — the FUSED
+      * fast path under [[graft.operators.Multimodal.videoFrameHashes]]'s default
+      * route: [[gifFrames]]+[[perceptualHash]] pays a PNG encode AND re-decode per
+      * frame whose only purpose is transporting the raster between the two calls;
+      * this walk hashes each raster in place ([[aHashOf]], the same pooling code),
+      * roughly halving the video hot path. `None` entries are un-hashable frames
+      * (zero contrast); positions match the byte path's sampled-frame indexes.
+      */
+    def gifFrameHashes(bytes: Array[Byte], everyNth: Int,
+        maxFrames: Int): Option[Seq[Option[Long]]] =
+      gifFrameWalk(bytes, everyNth, maxFrames)(aHashOf)
+
+    /** The shared GIF reader walk: every `everyNth`-th stored frame (capped at
+      * `maxFrames`) decoded and mapped through `f`. None when the payload is not a
+      * GIF or the reader rejects it.
+      */
+    private def gifFrameWalk[A](bytes: Array[Byte], everyNth: Int, maxFrames: Int)(
+        f: java.awt.image.BufferedImage => A): Option[Seq[A]] = {
       imageIoReady
       if (bytes == null || sniffFormat(bytes) != "gif") return None
       try {
@@ -1295,12 +1329,7 @@ object Multimodal {
               val w = r.getWidth(i).toLong; val h = r.getHeight(i).toLong
               w <= 0 || h <= 0 || w * h > MaxDecodePixels
             }) return None
-            Some(picked.map { i =>
-              val img = r.read(i)
-              val bos = new java.io.ByteArrayOutputStream()
-              require(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer")
-              bos.toByteArray
-            })
+            Some(picked.map(i => f(r.read(i))))
           } finally r.dispose()
         } finally iis.close()
       } catch { case scala.util.control.NonFatal(_) => None }
@@ -1389,8 +1418,16 @@ object Multimodal {
     * throw — one uncaught exception inside the UDF kills tasks with retries at
     * corpus scale) and row-local (frames must derive from THIS payload only).
     */
+  /** The default frame decoder as ONE STABLE function value: videoFrameHashes
+    * routes `decoder eq DefaultFrameDecoder` through the fused raster-hash fast
+    * path (a per-call eta-expansion of `MediaCodecs.sampleFrames` would defeat the
+    * reference check and silently fall back to the slow path).
+    */
+  val DefaultFrameDecoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] =
+    MediaCodecs.sampleFrames
+
   def explodeFrames(df: DataFrame, binCol: String, everyNth: Int = 10, maxFrames: Int = 16,
-      decoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] = MediaCodecs.sampleFrames): DataFrame = {
+      decoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] = DefaultFrameDecoder): DataFrame = {
     val u = udf((bytes: Array[Byte]) => decoder(bytes, everyNth, maxFrames))
     // posexplode_OUTER: rows whose payload yields no frames (null/empty media) keep one
     // output row with null frame columns — a plain posexplode would silently drop them
@@ -1409,13 +1446,32 @@ object Multimodal {
     * on container-header coincidences.
     */
   def videoFrameHashes(df: DataFrame, idCol: String, binCol: String,
-      decoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] = MediaCodecs.sampleFrames,
+      decoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] = DefaultFrameDecoder,
       everyNth: Int = 1, maxFrames: Int = 16): DataFrame = {
-    val ph = udf((bytes: Array[Byte]) => MediaCodecs.perceptualHash(bytes))
-    explodeFrames(df.filter(col(idCol).isNotNull).select(col(idCol), col(binCol)),
-      binCol, everyNth, maxFrames, decoder)
-      .select(col(idCol).as("id"), col("frame_idx"), ph(col("frame_bytes")).as("frame_hash"))
-      .filter(col("frame_hash").isNotNull)
+    if (decoder eq DefaultFrameDecoder) {
+      // FUSED default route: hash decoded GIF rasters in place (gifFrameHashes) —
+      // the unfused route PNG-encodes each raster only for perceptualHash to decode
+      // it right back, ~2x the whole hot path. Non-GIF payloads replicate the byte
+      // path exactly (stub slices through perceptualHash — a sub-4KiB still image
+      // payload hashes as its frame 0 either way). Fused == unfused is spec-pinned
+      // across the GIF matrix; stored frame indexes depend on that stability.
+      val fh = udf { (bytes: Array[Byte]) =>
+        MediaCodecs.gifFrameHashes(bytes, everyNth, maxFrames) match {
+          case Some(hs) => hs.zipWithIndex.collect { case (Some(h), i) => (i, h) }
+          case None => MediaCodecs.sampleFrames(bytes, everyNth, maxFrames).zipWithIndex
+            .flatMap { case (fb, i) => MediaCodecs.perceptualHash(fb).map(h => (i, h)) }
+        }
+      }
+      df.filter(col(idCol).isNotNull)
+        .select(col(idCol).as("id"), explode(fh(col(binCol))).as("_fh"))
+        .select(col("id"), col("_fh._1").as("frame_idx"), col("_fh._2").as("frame_hash"))
+    } else {
+      val ph = udf((bytes: Array[Byte]) => MediaCodecs.perceptualHash(bytes))
+      explodeFrames(df.filter(col(idCol).isNotNull).select(col(idCol), col(binCol)),
+        binCol, everyNth, maxFrames, decoder)
+        .select(col(idCol).as("id"), col("frame_idx"), ph(col("frame_bytes")).as("frame_hash"))
+        .filter(col("frame_hash").isNotNull)
+    }
   }
 
   /** Clip-level pairs from `(id, frame_idx, frame_hash)` rows: banded Hamming over
@@ -1464,7 +1520,7 @@ object Multimodal {
     * Output: `(id_a, id_b, matching_frames, min_hamming)` with id_a < id_b.
     */
   def nearDupPairsVideo(df: DataFrame, idCol: String, binCol: String,
-      decoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] = MediaCodecs.sampleFrames,
+      decoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] = DefaultFrameDecoder,
       everyNth: Int = 1, maxFrames: Int = 16, maxHamming: Int = 3,
       minMatchingFrames: Int = 2, maxBucketSize: Int = 10000): DataFrame =
     clipPairsFromFrameRows(
@@ -1480,7 +1536,7 @@ object Multimodal {
     * [[graft.operators.Dedup.minhashIndex]].
     */
   def videoFrameHashIndex(df: DataFrame, idCol: String, binCol: String,
-      decoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] = MediaCodecs.sampleFrames,
+      decoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] = DefaultFrameDecoder,
       everyNth: Int = 1, maxFrames: Int = 16): DataFrame =
     videoFrameHashes(df, idCol, binCol, decoder, everyNth, maxFrames)
 
@@ -1492,7 +1548,7 @@ object Multimodal {
     */
   def incrementalVideoPairs(newClips: DataFrame, index: DataFrame,
       idCol: String, binCol: String,
-      decoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] = MediaCodecs.sampleFrames,
+      decoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] = DefaultFrameDecoder,
       everyNth: Int = 1, maxFrames: Int = 16, maxHamming: Int = 3,
       minMatchingFrames: Int = 2, maxBucketSize: Int = 10000): DataFrame = {
     require(Seq("id", "frame_idx", "frame_hash").forall(index.columns.contains),
@@ -1510,7 +1566,7 @@ object Multimodal {
     * never compared.
     */
   def dedupVideos(df: DataFrame, idCol: String, binCol: String,
-      decoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] = MediaCodecs.sampleFrames,
+      decoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] = DefaultFrameDecoder,
       everyNth: Int = 1, maxFrames: Int = 16, maxHamming: Int = 3,
       minMatchingFrames: Int = 2, maxBucketSize: Int = 10000): DataFrame = {
     val dropped = nearDupPairsVideo(df, idCol, binCol, decoder, everyNth, maxFrames,

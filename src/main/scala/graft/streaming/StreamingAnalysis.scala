@@ -669,7 +669,7 @@ object StreamingAnalysis {
   def videoDedupBatch(batch: DataFrame, batchId: Long, idCol: String, binCol: String,
       indexDir: String,
       decoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] =
-        graft.operators.Multimodal.MediaCodecs.sampleFrames,
+        graft.operators.Multimodal.DefaultFrameDecoder,
       everyNth: Int = 1, maxFrames: Int = 16, maxHamming: Int = 3,
       minMatchingFrames: Int = 2, maxBucketSize: Int = 10000): DataFrame = {
     import graft.operators.Multimodal

@@ -598,6 +598,33 @@ class MultimodalSpec extends SparkSpec {
     assert(n1 == expected, s"arm pairs $n1 != same-seed arithmetic $expected")
   }
 
+  test("fused video frame hashing equals the PNG-round-trip byte path bit-for-bit") {
+    import spark.implicits._
+    // the explicit eta-expansion is a DIFFERENT function instance than
+    // DefaultFrameDecoder, forcing the unfused explode+perceptualHash route
+    val unfusedDecoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] =
+      MediaCodecs.sampleFrames(_, _, _)
+    val payloads: Seq[(Long, Array[Byte])] = Seq(
+      1L -> MediaCodecs.encodeAnimatedGif(24, 16, 3, 5L),
+      2L -> MediaCodecs.encodeAnimatedGif(9, 7, 5, 11L),
+      3L -> MediaCodecs.encodeAnimatedGif(64, 48, 1, 2L),
+      4L -> MediaCodecs.encodeNoiseImage(24, 16, "png", 7L), // sub-4KiB still: stub frame 0
+      5L -> "definitely not media".getBytes,
+      6L -> null.asInstanceOf[Array[Byte]])
+    val df = payloads.toDF("id", "clip")
+    for ((everyNth, maxFrames) <- Seq((1, 16), (2, 2), (3, 1))) {
+      def rows(dec: (Array[Byte], Int, Int) => Seq[Array[Byte]]) =
+        Multimodal.videoFrameHashes(df, "id", "clip", dec, everyNth, maxFrames)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val fused = rows(Multimodal.DefaultFrameDecoder)
+      val unfused = rows(unfusedDecoder)
+      assert(fused == unfused,
+        s"everyNth=$everyNth maxFrames=$maxFrames: fused ${fused.size} rows != " +
+          s"unfused ${unfused.size}: ${(fused diff unfused) ++ (unfused diff fused)}")
+      assert(fused.exists(_._1 <= 3L), "GIF frames must hash") // non-vacuous
+    }
+  }
+
   test("incremental video pairs vs persisted frame index: new x old only, parity " +
     "with restricted full recompute") {
     import spark.implicits._
