@@ -1404,6 +1404,14 @@ object Multimodal {
     df.withColumn(out, u(col(binCol)))
   }
 
+  /** The default frame decoder as ONE STABLE function value: videoFrameHashes
+    * routes `decoder eq DefaultFrameDecoder` through the fused raster-hash fast
+    * path (a per-call eta-expansion of `MediaCodecs.sampleFrames` would defeat the
+    * reference check and silently fall back to the slow path).
+    */
+  val DefaultFrameDecoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] =
+    MediaCodecs.sampleFrames
+
   /** Explode sampled frames: one output row per frame with its index. Partitioning note:
     * frames stay on their source partition (no shuffle) — the explode multiplies rows
     * locally; cap with maxFrames to bound memory per row.
@@ -1418,14 +1426,6 @@ object Multimodal {
     * throw — one uncaught exception inside the UDF kills tasks with retries at
     * corpus scale) and row-local (frames must derive from THIS payload only).
     */
-  /** The default frame decoder as ONE STABLE function value: videoFrameHashes
-    * routes `decoder eq DefaultFrameDecoder` through the fused raster-hash fast
-    * path (a per-call eta-expansion of `MediaCodecs.sampleFrames` would defeat the
-    * reference check and silently fall back to the slow path).
-    */
-  val DefaultFrameDecoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] =
-    MediaCodecs.sampleFrames
-
   def explodeFrames(df: DataFrame, binCol: String, everyNth: Int = 10, maxFrames: Int = 16,
       decoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] = DefaultFrameDecoder): DataFrame = {
     val u = udf((bytes: Array[Byte]) => decoder(bytes, everyNth, maxFrames))
@@ -1490,15 +1490,15 @@ object Multimodal {
         col("frame_hash").as("_h64")) ++ newFlagCol.map(col): _*)
     val framePairs = Dedup.bandedHammingPairs(frameRows, maxHamming, maxBucketSize,
       newFlagCol = newFlagCol)
-    // cross-clip only (a clip's own repeated frames are not a duplicate relation),
-    // normalized so the LOWER clip id is always side a — the struct ordering above
-    // is (clip, frame)-lexicographic, which can put the higher clip on side a
-    val aFirst = col("id_a.cid") < col("id_b.cid")
+    // cross-clip only (a clip's own repeated frames are not a duplicate relation).
+    // bandedHammingPairs emits id_a < id_b on the (cid, fidx)-LEXICOGRAPHIC structs,
+    // so once equal cids are filtered out, id_a.cid < id_b.cid already holds — the
+    // lower clip is always side a with no re-normalization.
     framePairs.filter(col("id_a.cid") =!= col("id_b.cid"))
       .select(
-        when(aFirst, col("id_a.cid")).otherwise(col("id_b.cid")).as("_ca"),
-        when(aFirst, col("id_b.cid")).otherwise(col("id_a.cid")).as("_cb"),
-        when(aFirst, col("id_a.fidx")).otherwise(col("id_b.fidx")).as("_fa"),
+        col("id_a.cid").as("_ca"),
+        col("id_b.cid").as("_cb"),
+        col("id_a.fidx").as("_fa"),
         col("hamming"))
       .groupBy(col("_ca"), col("_cb"))
       .agg(countDistinct(col("_fa")).as("matching_frames"),

@@ -204,6 +204,16 @@ object Similarity {
         }
       }
     }
+    // Recompute members against the FINAL supers: each loop iteration above derives
+    // members from the PREVIOUS supers then moves them, so without this pass the row
+    // kernel would probe final-position supers but search stale member lists — a
+    // centroid whose nearest super changed in the last update would sit under the
+    // wrong super and silently cost assignment fidelity beyond the probe trade.
+    locally {
+      val sNorms = supers.map(normOf)
+      val assign = cs.map(nearestSuper(_, sNorms))
+      members = Array.tabulate(m)(j => assign.indices.filter(assign(_) == j).toArray)
+    }
     val superNorms = supers.map(normOf)
     val cellNorms = cs.map(normOf)
     val ps = probeSupers

@@ -113,16 +113,18 @@ object Warc {
     * parser's never-throw contract and kill the task.
     */
   private def zstdStream(in: java.io.InputStream,
-      dict: Array[Byte] = null, continuous: Boolean = true): Option[java.io.InputStream] =
+      dict: Array[Byte] = null): Option[java.io.InputStream] =
     try {
       val z = new com.github.luben.zstd.ZstdInputStream(in)
       // Continuous mode tolerates a stream that ENDS MID-FRAME (clean EOF on
-      // whatever decoded) — right for the archive path, where a truncated
-      // .warc.zst should still yield its complete prefix records, and WRONG for
-      // an HTTP body, where it turned capture truncation into an UNFLAGGED
-      // partial page (round-12 byte-cut fuzz finding): the body path passes
-      // false so truncation throws and the caller's catch keeps prefix+flag.
-      z.setContinuous(continuous)
+      // whatever decoded) — which also means the codec layer CANNOT flag
+      // truncation (the round-12 byte-cut fuzz finding: cut magics/headers/frame
+      // boundaries all read as clean EOF). Both consumers want max-prefix
+      // recovery and handle the flagging themselves: the archive path emits the
+      // complete prefix records of a truncated .warc.zst, and the HTTP-body path
+      // decides `truncated` via the zstdFramesComplete header walk BEFORE the
+      // decode — never by trusting this stream's EOF.
+      z.setContinuous(true)
       if (dict != null && dict.length > 0) z.setDict(dict)
       Some(z)
     } catch {

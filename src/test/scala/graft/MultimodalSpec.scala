@@ -18,6 +18,26 @@ class MultimodalSpec extends SparkSpec {
     try in.readAllBytes() finally in.close()
   }
 
+  /** True when any shuffle exchange in `df`'s physical plan CARRIES `colName` (child
+    * output attributes, not the rendered plan text — Exchange lines print only
+    * partitioning keys, so a string scan is vacuously green for carried columns).
+    * AQE is disabled for the planning so exchanges appear as plain
+    * ShuffleExchangeExec nodes instead of opaque query stages; also asserts the plan
+    * HAS exchanges, so a traversal that stops seeing them fails loudly.
+    */
+  private def shuffleCarries(df: => org.apache.spark.sql.DataFrame,
+      colName: String): Boolean = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, "plan traversal found no shuffle exchanges — " +
+        "the no-binary-shuffle guard would be vacuous")
+      exchanges.exists(_.child.output.exists(_.name == colName))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("decodeMeta reads real dimensions from checked-in PNG/JPEG/GIF/BMP fixtures") {
     for (fmt <- Seq("png", "jpeg", "gif", "bmp")) {
       val m = MediaCodecs.decodeMeta(fixture(s"tiny_7x5.$fmt"))
@@ -404,12 +424,14 @@ class MultimodalSpec extends SparkSpec {
     val kept = Multimodal.dedupImages(df, "id", "img", maxHamming = 3)
       .select("id").collect().map(_.getLong(0)).sorted
     assert(kept.toSeq == Seq(1L, 4L, 5L, 6L, 7L))
-    // image BYTES must not cross the pair shuffle — only (band, bits, id, hash) rows
-    val plan = Multimodal.nearDupPairsImage(df, "id", "img", maxHamming = 3)
-      .queryExecution.executedPlan.toString
-    val shuffleBinary = plan.linesIterator
-      .filter(_.contains("Exchange")).exists(_.contains("img"))
-    assert(!shuffleBinary, s"image bytes crossed an exchange:\n$plan")
+    // image BYTES must not cross any exchange THE OPERATOR introduces — only
+    // (band, bits, id, hash) rows. The plan check uses the un-repartitioned local
+    // input: the behavior df above carries its own caller-side repartition(3),
+    // whose exchange legitimately holds the img column (the traversal-based guard
+    // caught exactly that — the old rendered-text scan was vacuous either way).
+    assert(!shuffleCarries(
+      Multimodal.nearDupPairsImage(rows.toDF("id", "img"), "id", "img", maxHamming = 3),
+      "img"), "image bytes crossed an operator exchange")
   }
 
   test("audio envelope and hash: real PCM RMS, silence has no fingerprint, near-dup pairs") {
@@ -596,6 +618,20 @@ class MultimodalSpec extends SparkSpec {
         org.apache.spark.sql.functions.lit(37)))
       .count().collect().map(r => { val n = r.getLong(1); n * (n - 1) / 2 }).sum
     assert(n1 == expected, s"arm pairs $n1 != same-seed arithmetic $expected")
+  }
+
+  test("video pair plan: clip bytes never cross an exchange — only frame-hash rows") {
+    import spark.implicits._
+    val clips = Seq((1L, MediaCodecs.encodeAnimatedGif(24, 16, 3, 5L)),
+      (2L, MediaCodecs.encodeAnimatedGif(24, 16, 3, 5L))).toDF("id", "clip")
+    assert(!shuffleCarries(Multimodal.nearDupPairsVideo(clips, "id", "clip"), "clip"),
+      "clip bytes crossed an exchange")
+    // the guard itself must be non-vacuous the other way: a plan that DOES carry
+    // the binary through its shuffle is detected (clip used AFTER the exchange, so
+    // column pruning cannot drop it below)
+    val carried = clips.repartition(col("id"))
+      .groupBy("id").agg(max(length(col("clip"))).as("n"))
+    assert(shuffleCarries(carried, "clip"), "traversal must see carried columns")
   }
 
   test("fused video frame hashing equals the PNG-round-trip byte path bit-for-bit") {
