@@ -94,10 +94,15 @@ object Bench {
     // Settle protocol (rounds 8-10 lesson): clear cached plans/data, force a
     // GC and let the heap quiesce before any ratio-bearing measurement that
     // runs after other work — post-loop readings otherwise inflate up to ~2x
-    // from bench-JVM heap state and publish phantom regressions.
-    def settle(): Unit = {
+    // from bench-JVM heap state and publish phantom regressions. `deep` doubles
+    // the GC pass and wait for the END-of-bench sf10 block, whose shuffle-heavy
+    // arms sit after ~45 min of allocation history (round-12: a third
+    // consecutive run read ngram arms at 64-73 s vs 23.6 s isolated even with
+    // the single-pass settle — one gc() leaves uncompacted old-gen behind).
+    def settle(deep: Boolean = false): Unit = {
       spark.sharedState.cacheManager.clearCache()
       System.gc()
+      if (deep) { Thread.sleep(2000); System.gc() }
       Thread.sleep(2000)
     }
 
@@ -501,7 +506,7 @@ object Bench {
               graft.tools.GenData.generate(spark, dir10, 100, profileDir = sfDir)
               println(f"[sf10] generated 100x dataset at $dir10 in ${(System.nanoTime() - t0) / 1e9}%.1f s")
             }
-            settle()
+            settle(deep = true)
             def onceAt10(fn: (SparkSession, String) => DataFrame, d: String): Double =
               try { val t0 = System.nanoTime(); fn(spark, d).collect(); (System.nanoTime() - t0) / 1e9 }
               catch { case scala.util.control.NonFatal(_) => -1.0 }
@@ -515,28 +520,34 @@ object Bench {
                   // sets are big enough that each query's heap residue
                   // inflates the next reading ~2x this late in the bench
                   // (final-run arms vs isolated profiles, PLANS round 11)
-                  settle()
+                  settle(deep = true)
                   var big = onceAt10(fn, dir10)
                   var den = s1
                   if (big >= 0 && big / den > 5.0) {
                     // same adjudication rule as the sf1 block: settle, then
-                    // min-of-2 both sides with every arm printed
-                    settle()
+                    // min-of-2 both sides with every arm printed — plus a THIRD
+                    // pair when the ratio still exceeds 10x (round-12 variance
+                    // study: this box reads a minute-scale query 24-67 s within
+                    // ONE JVM in bad hours, so two arms can both land in a noisy
+                    // window; a 12-14x phantom nearly shipped twice)
+                    settle(deep = true)
                     val dir1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
                       s"/tmp/graft_sf1_gen_v${graft.tools.GenData.Version}")
-                    (1 to 2).foreach { _ =>
+                    def pair(): Unit = {
                       val dA = onceAt10(fn, dir1); val bA = onceAt10(fn, dir10)
                       println(f"[sf10-adjudicate] $name arms sf1=$dA%.3f sf10=$bA%.3f")
                       if (dA > 0) den = math.min(den, dA)
                       if (bA >= 0) big = math.min(big, bA)
                     }
+                    (1 to 2).foreach(_ => pair())
+                    if (big >= 0 && big / den > 10.0) { settle(deep = true); pair() }
                   }
                   (name, big, if (big < 0 || den <= 0) 9999.0 else big / den)
                 case _ => (name, -1.0, 9999.0)
               }
             }
             val li10 = spark.read.parquet(s"$dir10/lineitem.parquet")
-            settle()
+            settle(deep = true)
             spark.conf.set("spark.sql.adaptive.enabled", "false")
             (1 to 2).foreach(_ => suite20(li10)) // warmup reads (page cache + codegen)
             val w10 = (1 to 3).map(_ => secs { suite20(li10) }).sorted.apply(1)
