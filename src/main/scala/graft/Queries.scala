@@ -4864,6 +4864,31 @@ object Queries {
         maxHamming = 3, minMatchingFrames = 2)
         .agg(count(lit(1)).as("n_pairs"))
     }),
+    // Incremental-video operator arm over the SAME cached clip fixture as the
+    // video_dedup arm (keyed identically, so whichever runs first materializes it
+    // for both): index build + incremental pairing, minus the per-row GIF-sequence
+    // encode and the oracle's arithmetic replays.
+    "incremental_video_dedup_documents" -> ((s, d) => {
+      import graft.operators.Multimodal
+      val nDocs = t(s, d, "documents").filter(col("doc_id").isNotNull).count()
+      val fix = s"${System.getProperty("java.io.tmpdir")}/graft_bench_vid_" +
+        s"${d.hashCode.toHexString}_$nDocs"
+      if (!new java.io.File(s"$fix/_SUCCESS").exists()) {
+        val mkGif = udf((id: Long) => {
+          val seed = ((id % 37) + 37) % 37
+          Multimodal.MediaCodecs.encodeAnimatedGif(16, 12, (2 + seed % 2).toInt, seed)
+        })
+        t(s, d, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), mkGif(col("doc_id")).as("clip"))
+          .write.mode("overwrite").parquet(fix)
+      }
+      val docs = s.read.parquet(fix)
+      val index = Multimodal.videoFrameHashIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "clip")
+      Multimodal.incrementalVideoPairs(docs.filter(col("doc_id") % 2 =!= 0), index,
+        "doc_id", "clip", maxHamming = 3, minMatchingFrames = 2)
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
     // Operator over STORED media bytes — what a production caller pays. The
     // remainder is bench scaffolding: the per-row synthetic PNG encode (a fixture
     // generator, not an operator) plus the oracle's same-seed/hamming booleans.

@@ -684,6 +684,22 @@ object StreamingAnalysis {
     survivors
   }
 
+  /** `foreachBatch` adapter for [[videoDedupBatch]] — same shape as
+    * [[mediaDedupSink]]: `land` is the caller's durable write for surviving rows
+    * (clip bytes land where the pipeline wants them; only ~20 B frame-hash rows
+    * persist in the index).
+    */
+  def videoDedupSink(stream: DataFrame, idCol: String, binCol: String, indexDir: String,
+      decoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] =
+        graft.operators.Multimodal.DefaultFrameDecoder,
+      everyNth: Int = 1, maxFrames: Int = 16, maxHamming: Int = 3,
+      minMatchingFrames: Int = 2, maxBucketSize: Int = 10000,
+      land: (Long, DataFrame) => Unit = (_, _) => ()): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      land(batchId, videoDedupBatch(batch.toDF(), batchId, idCol, binCol, indexDir,
+        decoder, everyNth, maxFrames, maxHamming, minMatchingFrames, maxBucketSize))
+    }
+
   /** `foreachBatch` adapter for [[imageDedupBatch]] / [[audioDedupBatch]]: `land` is
     * the caller's durable write for the batch's surviving rows (bytes land where the
     * pipeline wants them; only 16 B hash rows persist in the index).

@@ -618,6 +618,23 @@ class MultimodalSpec extends SparkSpec {
         org.apache.spark.sql.functions.lit(37)))
       .count().collect().map(r => { val n = r.getLong(1); n * (n - 1) / 2 }).sum
     assert(n1 == expected, s"arm pairs $n1 != same-seed arithmetic $expected")
+    // the incremental arm shares the fixture and must match ITS oracle arithmetic
+    val nInc = graft.Queries.operatorArms("incremental_video_dedup_documents")(spark, d)
+      .head().getLong(0)
+    val expInc = spark.read.parquet(s"$d/documents.parquet")
+      .filter(col("doc_id").isNotNull)
+      .select(org.apache.spark.sql.functions.pmod(col("doc_id"),
+        org.apache.spark.sql.functions.lit(37)).as("s"),
+        (col("doc_id") % 2 === 0).as("old"))
+      .groupBy("s").agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(col("old"), 1L).otherwise(0L)).as("n_old"))
+      .collect().map { r =>
+        val n = r.getLong(1); val o = r.getLong(2)
+        n * (n - 1) / 2 - o * (o - 1) / 2
+      }.sum
+    assert(nInc == expInc, s"incremental arm pairs $nInc != arithmetic $expInc")
   }
 
   test("video pair plan: clip bytes never cross an exchange — only frame-hash rows") {

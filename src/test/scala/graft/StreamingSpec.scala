@@ -888,8 +888,27 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming video dedup drops cross-batch clip reposts via the frame-hash index") {
     import graft.operators.Multimodal.MediaCodecs
+    implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val mk = (seed: Long) => MediaCodecs.encodeAnimatedGif(24, 16, 3, seed)
+    // the writeStream adapter drives batch 0 through a real micro-batch
+    val indexDirS = freshDir("vididxs")
+    val landed = scala.collection.mutable.Map[Long, Set[Long]]()
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingAnalysis.videoDedupSink(
+      input.toDF().toDF("id", "clip"), "id", "clip", indexDirS,
+      land = (b, df) => landed.synchronized {
+        landed(b) = df.select("id").collect().map(_.getLong(0)).toSet
+      }).outputMode("update").start()
+    try {
+      input.addData((1L, mk(5)), (2L, mk(9)))
+      q.processAllAvailable()
+      input.addData((3L, mk(5))) // cross-micro-batch repost
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(landed.synchronized(landed.toMap) == Map(0L -> Set(1L, 2L), 1L -> Set()),
+      s"sink must drop the cross-batch repost: $landed")
+
     val indexDir = freshDir("vididx")
     val b0 = StreamingAnalysis.videoDedupBatch(
       Seq((1L, mk(5)), (2L, mk(9))).toDF("id", "clip"), 0L, "id", "clip", indexDir)
