@@ -237,8 +237,12 @@ object Bench {
         .orElse(Option(new java.io.File("BENCH_FULL_LATEST.json"))
           .filter(_.exists()).map(_.getPath))
         .orElse {
+          // Sort by the extracted ROUND NUMBER, not the name: lexicographically
+          // "BENCH_r9" > "BENCH_r12", so a name sort would adjudicate against a
+          // stale round's baseline once rounds reach double digits.
           Option(new java.io.File(".").listFiles()).flatMap(
-            _.filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName).lastOption)
+            _.filter(_.getName.matches("BENCH_r\\d+\\.json"))
+              .sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt).lastOption)
             .map(_.getPath)
         }
       prevPath.map { p =>

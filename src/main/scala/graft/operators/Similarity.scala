@@ -214,6 +214,18 @@ object Similarity {
       val assign = cs.map(nearestSuper(_, sNorms))
       members = Array.tabulate(m)(j => assign.indices.filter(assign(_) == j).toArray)
     }
+    // Drop supers that own ZERO centroids after the final recompute: a stale empty
+    // super can still score into the top-probeSupers set — wasting a probe slot on a
+    // position with nothing under it — and if EVERY probed super were empty the
+    // kernel would silently fall back to cell 0 instead of the best reachable cell.
+    // Every centroid is assigned to exactly one super, so the kept list still covers
+    // all k centroids and at least one super survives (k >= 1).
+    locally {
+      val keep = members.indices.filter(members(_).nonEmpty).toArray
+      supers = keep.map(supers(_))
+      members = keep.map(members(_))
+    }
+    val mEff = supers.length
     val superNorms = supers.map(normOf)
     val cellNorms = cs.map(normOf)
     val ps = probeSupers
@@ -230,10 +242,10 @@ object Similarity {
           i += 1
         }
         val vn = math.sqrt(nv)
-        // top-`ps` supers by cosine (selection over m scores — m ~ √k is small)
-        val sScores = new Array[Double](m)
+        // top-`ps` supers by cosine (selection over mEff scores — mEff ~ √k is small)
+        val sScores = new Array[Double](mEff)
         var j = 0
-        while (j < m) {
+        while (j < mEff) {
           var dot = 0.0; i = 0
           while (i < dim) { dot += vd(i) * supers(j)(i); i += 1 }
           sScores(j) = dot / (vn * superNorms(j))

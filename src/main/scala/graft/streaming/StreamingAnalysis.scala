@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.analyzers.{IncrementalAnalysisRunner, MomentsState}
 import graft.core.MetricValue
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout}
 
@@ -522,19 +522,72 @@ object StreamingAnalysis {
 
   // ---------- streaming banded-recall near-dup dedup (foreachBatch + persisted index) ----
 
-  /** Read a persisted per-batch parquet store, tolerating a first-batch missing dir and
-    * batches that landed ZERO rows (their `batch=<id>` dir holds only `_SUCCESS`, which
-    * breaks schema inference — the explicit schema keeps the read total). Only the
-    * schema's own columns are returned; the `batch` partition column stays internal.
+  /** Partition-column names the per-batch stores reserve for themselves. Leading
+    * underscore keeps them out of any sane user schema AND (because the dir names
+    * carry `=`) visible to Spark's partition discovery, while bare `_`-prefixed
+    * files like the params marker stay invisible to it.
     */
-  private def readBatchStore(dir: String, schemaFrom: DataFrame): DataFrame = {
+  private val BatchCol = "_graft_batch"
+  private val ShardCol = "_graft_idh"
+
+  /** Pin a store's construction parameters: the first writer records `params` in a
+    * `_graft_params` marker file inside `dir` (leading underscore without `=` ⇒
+    * invisible to Spark's file listing); every later call must present the SAME
+    * string or this fails loud. Banded/hashed state is silently incompatible across
+    * parameter changes — bands can never match, recall degrades to zero with no
+    * error anywhere — so a drifted caller must stop, not limp. (The pluggable
+    * decoder/hash FUNCTIONS can't be fingerprinted here; those stay a documented
+    * caller contract.)
+    */
+  private[graft] def pinStoreParams(spark: org.apache.spark.sql.SparkSession,
+      dir: String, params: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir, "_graft_params")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path)) {
+      val in = fs.open(path)
+      val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      require(stored == params,
+        s"store at $dir was built with parameters [$stored] but this call uses " +
+          s"[$params] — banded state is incompatible across parameter changes; " +
+          "rebuild the store (or restore the original parameters)")
+    } else {
+      val out = fs.create(path, true)
+      try out.write(params.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Read a persisted per-batch parquet store, tolerating a first-batch missing dir and
+    * batches that landed ZERO rows (their `_graft_batch=<id>` dir holds only
+    * `_SUCCESS`, which breaks schema inference — the explicit schema keeps the read
+    * total). Only the schema's own columns are returned; the `_graft_batch` (and any
+    * `_graft_idh` shard) partition columns stay internal. `pruneTo` filters on a
+    * partition column BEFORE the projection, so a sharded store read prunes at the
+    * directory level — the O(candidates) read path for verification state.
+    */
+  private[graft] def readBatchStore(dir: String, schemaFrom: DataFrame,
+      pruneTo: Option[(String, Seq[Long])] = None): DataFrame = {
+    // The store appends its own partition columns on read; a data column with a
+    // reserved name would be shadowed by (or collide with) the partition value —
+    // fail loud instead of round-tripping ambiguously.
+    require(!schemaFrom.columns.contains(BatchCol) && !schemaFrom.columns.contains(ShardCol),
+      s"columns $BatchCol/$ShardCol are reserved by the batch store " +
+        s"(got ${schemaFrom.columns.mkString(", ")})")
     val spark = schemaFrom.sparkSession
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val cols = schemaFrom.schema.fieldNames.map(col).toSeq
-    if (fs.exists(path) && fs.listStatus(path).nonEmpty)
-      spark.read.schema(schemaFrom.schema).parquet(dir).select(cols: _*)
-    else schemaFrom.limit(0)
+    // `_`-prefixed entries without `=` (the params marker, _SUCCESS) don't count as
+    // store content — Spark's own listing skips them too.
+    def hasContent = fs.listStatus(path).exists { st =>
+      val n = st.getPath.getName
+      n.contains("=") || !(n.startsWith("_") || n.startsWith("."))
+    }
+    if (fs.exists(path) && hasContent) {
+      val df = spark.read.schema(schemaFrom.schema).parquet(dir)
+      pruneTo.fold(df) { case (pcol, vals) => df.filter(col(pcol).isin(vals: _*)) }
+        .select(cols: _*)
+    } else schemaFrom.limit(0)
   }
 
   /** Survivors of `batch` after dropping the NEW side of every verified pair: a pair
@@ -567,39 +620,63 @@ object StreamingAnalysis {
     *     [[graft.operators.Dedup.incrementalMinhashCandidates]] so each batch pays the
     *     signature kernel over ITS OWN rows only;
     *   - `survivorsDir`: the accepted rows themselves (the pipeline's landed output),
-    *     read back ONLY for docs that appear in a candidate pair (exactJaccard's
-    *     semi-join restriction) to verify Jaccard ≥ `threshold`.
-    * Both stores append one `batch=<id>` partition per micro-batch with OVERWRITE, so a
-    * failure-retried batch replaces its own partition instead of double-landing —
-    * idempotent under foreachBatch's at-least-once contract. Compact either store with
-    * `Sources.compactSmallFiles` when small per-batch files accumulate.
+    *     sharded by id-hash (`_graft_idh = xxhash64(id) mod idShards` under each batch
+    *     partition) and read back ONLY for the shards that hold a candidate-pair doc —
+    *     the verification scan is O(candidate shards), not O(landed corpus), pruned at
+    *     the directory level (exactJaccard's semi-join then restricts the WORK to the
+    *     candidate docs themselves).
+    * Both stores append one `_graft_batch=<id>` partition per micro-batch with
+    * OVERWRITE (static partition-overwrite, pinned on the writer), so a failure-retried
+    * batch replaces its own partition — including any half-written files from the
+    * failed attempt — instead of double-landing: idempotent under foreachBatch's
+    * at-least-once contract. Compact either store with `Sources.compactSmallFiles`
+    * when small per-batch files accumulate.
     *
     * Contracts: ids unique across batches (they are pair identity); parameters fixed
-    * for the life of the stores (bands cannot match otherwise); parity with the batch
-    * keep-lowest pass additionally needs ARRIVAL-ORDERED ids (a new doc with a lower id
-    * than its landed near-dup drops here — the landed row cannot be retracted — while
-    * the batch pass would keep it). The index grows with the accepted corpus by design
-    * (that is the recall horizon); bound it by rebuilding from a retention window.
+    * for the life of the stores — ENFORCED by a `_graft_params` marker pinned on
+    * first write (a drifted bands/numHashes/shingleSize/idShards fails loud instead of
+    * silently matching nothing); parity with the batch keep-lowest pass additionally
+    * needs ARRIVAL-ORDERED ids (a new doc with a lower id than its landed near-dup
+    * drops here — the landed row cannot be retracted — while the batch pass would keep
+    * it). The index grows with the accepted corpus by design (that is the recall
+    * horizon); bound it by rebuilding from a retention window.
     *
     * Returns the batch's survivors (already durably written to `survivorsDir`).
     */
   def nearDupDedupBatch(batch: DataFrame, batchId: Long, idCol: String, textCol: String,
       indexDir: String, survivorsDir: String, threshold: Double,
       shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000, idShards: Int = 64): DataFrame = {
     import graft.operators.Dedup
+    require(idShards > 0, s"idShards must be positive, got $idShards")
+    pinStoreParams(batch.sparkSession, indexDir, "minhash " +
+      s"shingleSize=$shingleSize numHashes=$numHashes bands=$bands idShards=$idShards")
     val emptyIndex = Dedup.minhashIndex(batch.limit(0), idCol, textCol,
       shingleSize, numHashes, bands)
     val index = readBatchStore(indexDir, emptyIndex)
-    val landedDocs = readBatchStore(survivorsDir, batch).select(col(idCol), col(textCol))
-    val allDocs = batch.select(col(idCol), col(textCol)).unionByName(landedDocs)
-    val verified = Dedup.incrementalNearDupPairs(batch, index, allDocs, idCol, textCol,
-      threshold, shingleSize, numHashes, bands, maxBucketSize)
+    val shardOf = (c: Column) => pmod(xxhash64(c), lit(idShards.toLong))
+    // Candidates FIRST (materialized — the verify stage consumes them three times
+    // anyway): their id set decides which survivor-store shards the exact-Jaccard
+    // verification must read. Collect is bounded by idShards values, not docs.
+    val cands = Dedup.incrementalMinhashCandidates(batch, index, idCol, textCol,
+      shingleSize, numHashes, bands, maxBucketSize).localCheckpoint(true)
+    val candShards = cands.select(shardOf(col("id_a")).as("s"))
+      .union(cands.select(shardOf(col("id_b")).as("s")))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val docsOnly = batch.select(col(idCol), col(textCol))
+    val landedDocs =
+      if (candShards.isEmpty) docsOnly.limit(0)
+      else readBatchStore(survivorsDir, docsOnly, pruneTo = Some((ShardCol, candShards)))
+    val verified = Dedup.exactJaccard(cands, docsOnly.unionByName(landedDocs),
+        idCol, textCol, shingleSize)
+      .filter(col("jaccard") >= threshold)
     val survivors = survivorsAfterPairs(batch, idCol, verified)
       .localCheckpoint(true) // consumed twice (both writes) + returned: one computation
-    survivors.write.mode("overwrite").parquet(s"$survivorsDir/batch=$batchId")
+    survivors.withColumn(ShardCol, shardOf(col(idCol)))
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy(ShardCol).parquet(s"$survivorsDir/$BatchCol=$batchId")
     Dedup.minhashIndex(survivors, idCol, textCol, shingleSize, numHashes, bands)
-      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+      .write.mode("overwrite").parquet(s"$indexDir/$BatchCol=$batchId")
     survivors
   }
 
@@ -611,11 +688,11 @@ object StreamingAnalysis {
   def nearDupDedupSink(stream: DataFrame, idCol: String, textCol: String,
       indexDir: String, survivorsDir: String, threshold: Double,
       shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,
-      maxBucketSize: Int = 1000,
+      maxBucketSize: Int = 1000, idShards: Int = 64,
       onBatch: (Long, Long) => Unit = (_, _) => ()): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       val survivors = nearDupDedupBatch(batch, batchId, idCol, textCol, indexDir,
-        survivorsDir, threshold, shingleSize, numHashes, bands, maxBucketSize)
+        survivorsDir, threshold, shingleSize, numHashes, bands, maxBucketSize, idShards)
       onBatch(batchId, survivors.count())
     }
 
@@ -625,19 +702,22 @@ object StreamingAnalysis {
     * index IS the verification state (16 B (id, hash) rows; Hamming is exact on the
     * banded join), so unlike the MinHash path no survivor text/bytes are re-read —
     * survivors are returned for the caller to land, and only their hash rows persist.
-    * Same per-batch `batch=<id>` overwrite idempotency, unique-id, fixed-parameter,
+    * Same per-batch `_graft_batch=<id>` overwrite idempotency, unique-id, fixed-parameter,
     * and arrival-ordered-id parity contracts as [[nearDupDedupBatch]].
     */
   def imageDedupBatch(batch: DataFrame, batchId: Long, idCol: String, binCol: String,
       indexDir: String, maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     import graft.operators.Multimodal
+    // The aHash algorithm has no tunables, but the pin still catches the real
+    // mistake class of pointing two DIFFERENT media families at one store dir.
+    pinStoreParams(batch.sparkSession, indexDir, "image-ahash")
     val emptyIndex = Multimodal.imageHashIndex(batch.limit(0), idCol, binCol)
     val index = readBatchStore(indexDir, emptyIndex)
     val pairs = Multimodal.incrementalImagePairs(batch, index, idCol, binCol,
       maxHamming, maxBucketSize)
     val survivors = survivorsAfterPairs(batch, idCol, pairs).localCheckpoint(true)
     Multimodal.imageHashIndex(survivors, idCol, binCol)
-      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+      .write.mode("overwrite").parquet(s"$indexDir/$BatchCol=$batchId")
     survivors
   }
 
@@ -647,13 +727,14 @@ object StreamingAnalysis {
   def audioDedupBatch(batch: DataFrame, batchId: Long, idCol: String, binCol: String,
       indexDir: String, maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     import graft.operators.Multimodal
+    pinStoreParams(batch.sparkSession, indexDir, "audio-envhash")
     val emptyIndex = Multimodal.audioHashIndex(batch.limit(0), idCol, binCol)
     val index = readBatchStore(indexDir, emptyIndex)
     val pairs = Multimodal.incrementalAudioPairs(batch, index, idCol, binCol,
       maxHamming, maxBucketSize)
     val survivors = survivorsAfterPairs(batch, idCol, pairs).localCheckpoint(true)
     Multimodal.audioHashIndex(survivors, idCol, binCol)
-      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+      .write.mode("overwrite").parquet(s"$indexDir/$BatchCol=$batchId")
     survivors
   }
 
@@ -663,7 +744,7 @@ object StreamingAnalysis {
     * frames match within `maxHamming` bits — frame decode runs only over the
     * batch's OWN clips, through the same pluggable `decoder` hook as the batch
     * operators (parameters fixed for the life of the store). Same contracts as
-    * [[nearDupDedupBatch]] (unique ids, batch=<id> overwrite idempotency,
+    * [[nearDupDedupBatch]] (unique ids, _graft_batch=<id> overwrite idempotency,
     * arrival-ordered-id parity).
     */
   def videoDedupBatch(batch: DataFrame, batchId: Long, idCol: String, binCol: String,
@@ -673,6 +754,10 @@ object StreamingAnalysis {
       everyNth: Int = 1, maxFrames: Int = 16, maxHamming: Int = 3,
       minMatchingFrames: Int = 2, maxBucketSize: Int = 10000): DataFrame = {
     import graft.operators.Multimodal
+    // everyNth/maxFrames shape the stored frame rows themselves; the decoder
+    // FUNCTION can't be fingerprinted and stays a documented caller contract.
+    pinStoreParams(batch.sparkSession, indexDir,
+      s"video-framehash everyNth=$everyNth maxFrames=$maxFrames")
     val emptyIndex = Multimodal.videoFrameHashIndex(batch.limit(0), idCol, binCol,
       decoder, everyNth, maxFrames)
     val index = readBatchStore(indexDir, emptyIndex)
@@ -680,7 +765,7 @@ object StreamingAnalysis {
       decoder, everyNth, maxFrames, maxHamming, minMatchingFrames, maxBucketSize)
     val survivors = survivorsAfterPairs(batch, idCol, pairs).localCheckpoint(true)
     Multimodal.videoFrameHashIndex(survivors, idCol, binCol, decoder, everyNth, maxFrames)
-      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+      .write.mode("overwrite").parquet(s"$indexDir/$BatchCol=$batchId")
     survivors
   }
 

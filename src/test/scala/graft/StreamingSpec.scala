@@ -717,8 +717,12 @@ class StreamingSpec extends SparkSpec {
   // ---------- banded-recall near-dup sinks (foreachBatch + persisted index) ----------
 
   private def freshDir(tag: String): String = {
+    // Recursive shutdown delete: deleteOnExit cannot remove non-empty directories,
+    // and these dirs fill with parquet — every suite run would otherwise leak them
+    // into /tmp for the life of the machine.
     val d = java.nio.file.Files.createTempDirectory(s"graft_stream_$tag").toFile
-    d.deleteOnExit()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.core.FsUtil.deleteRecursively(d)))
     d.getAbsolutePath
   }
 
@@ -966,5 +970,143 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(4L), s"Hamming-1 repost must drop, undecodable must pass: $kept")
     val idx = spark.read.parquet(indexDir).select("id").collect().map(_.getLong(0)).toSet
     assert(idx == Set(1L, 2L), s"index must hold survivors' hashes only: $idx")
+  }
+
+  test("store parameter drift fails LOUD: changed banding, changed frame params, " +
+    "cross-family store reuse") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog near the old stone " +
+      "bridge in the quiet village while the river runs toward the morning market"
+    val indexDir = freshDir("pdidx")
+    val survivorsDir = freshDir("pdsurv")
+    StreamingAnalysis.nearDupDedupBatch(Seq((1L, text)).toDF("id", "text"),
+      0L, "id", "text", indexDir, survivorsDir, 0.9) // pins bands=16 etc.
+    // same store, drifted banding: bands can never match — must throw, not degrade
+    val e1 = intercept[IllegalArgumentException] {
+      StreamingAnalysis.nearDupDedupBatch(Seq((2L, text)).toDF("id", "text"),
+        1L, "id", "text", indexDir, survivorsDir, 0.9, bands = 8)
+    }
+    assert(e1.getMessage.contains("parameters"), e1.getMessage)
+    // drifted shard count silently mis-prunes the survivors read — equally fatal
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingAnalysis.nearDupDedupBatch(Seq((2L, text)).toDF("id", "text"),
+        1L, "id", "text", indexDir, survivorsDir, 0.9, idShards = 32)
+    }
+    assert(e2.getMessage.contains("parameters"), e2.getMessage)
+    // unchanged parameters keep working after the rejected attempts
+    val ok = StreamingAnalysis.nearDupDedupBatch(Seq((2L, text)).toDF("id", "text"),
+      1L, "id", "text", indexDir, survivorsDir, 0.9)
+    assert(ok.count() == 0L, "exact dup must still drop after rejected param drift")
+
+    // video: everyNth/maxFrames shape the stored frame rows
+    import graft.operators.Multimodal.MediaCodecs
+    val vidDir = freshDir("pdvid")
+    val clip = MediaCodecs.encodeAnimatedGif(24, 16, 3, 5L)
+    StreamingAnalysis.videoDedupBatch(Seq((1L, clip)).toDF("id", "clip"),
+      0L, "id", "clip", vidDir)
+    val e3 = intercept[IllegalArgumentException] {
+      StreamingAnalysis.videoDedupBatch(Seq((2L, clip)).toDF("id", "clip"),
+        1L, "id", "clip", vidDir, maxFrames = 4)
+    }
+    assert(e3.getMessage.contains("parameters"), e3.getMessage)
+
+    // cross-family reuse: an audio caller pointed at an image store must not
+    // silently Hamming-join envelope hashes against raster hashes
+    val imgDir = freshDir("pdimg")
+    val png = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    StreamingAnalysis.imageDedupBatch(Seq((1L, png)).toDF("id", "img"),
+      0L, "id", "img", imgDir)
+    val e4 = intercept[IllegalArgumentException] {
+      StreamingAnalysis.audioDedupBatch(Seq((2L, png)).toDF("id", "img"),
+        1L, "id", "img", imgDir)
+    }
+    assert(e4.getMessage.contains("parameters"), e4.getMessage)
+  }
+
+  test("replayed batch after a PARTIAL write heals the store (at-least-once contract)") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog near the old stone " +
+      "bridge in the quiet village while the river runs toward the morning market"
+    val fresh = "a completely different fresh document about sourdough hydration " +
+      "ratios oven spring and crumb structure under steam"
+    val indexDir = freshDir("hlidx")
+    val survivorsDir = freshDir("hlsurv")
+    StreamingAnalysis.nearDupDedupBatch(Seq((1L, text)).toDF("id", "text"),
+      0L, "id", "text", indexDir, survivorsDir, 0.9)
+    StreamingAnalysis.nearDupDedupBatch(Seq((2L, fresh)).toDF("id", "text"),
+      1L, "id", "text", indexDir, survivorsDir, 0.9)
+    // Simulate what a crash between task-commit and job-commit actually leaves
+    // behind: COMPLETE, valid part files (tasks write under _temporary and rename
+    // on commit — a visible half-written file means task commit finished) without
+    // a job _SUCCESS. Stray locations match each writer's real layout: the
+    // survivors writer partitions by shard, so its files live under _graft_idh=*;
+    // the index writer is unpartitioned, so its files sit at the batch-dir root.
+    val strayDir = freshDir("hlstray")
+    Seq((2L, fresh)).toDF("id", "text").write.mode("overwrite").parquet(strayDir)
+    val strayPart = new java.io.File(strayDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    def plant(dir: String): java.io.File = {
+      val f = new java.io.File(dir, "part-99999-dead.snappy.parquet")
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.copy(strayPart.toPath, f.toPath)
+      f
+    }
+    val g1 = plant(s"$survivorsDir/_graft_batch=1/_graft_idh=7")
+    val g2 = plant(s"$indexDir/_graft_batch=1")
+    // the foreachBatch retry re-runs the SAME batch id with the same data
+    val replay = StreamingAnalysis.nearDupDedupBatch(Seq((2L, fresh)).toDF("id", "text"),
+      1L, "id", "text", indexDir, survivorsDir, 0.9)
+    assert(replay.select("id").collect().map(_.getLong(0)).toSet == Set(2L))
+    assert(!g1.exists() && !g2.exists(),
+      "batch-partition overwrite must remove the failed attempt's stray files")
+    // both stores read clean end to end afterwards
+    assert(spark.read.parquet(survivorsDir).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+    val b2 = StreamingAnalysis.nearDupDedupBatch(
+      Seq((3L, text), (4L, fresh)).toDF("id", "text"), 2L, "id", "text",
+      indexDir, survivorsDir, 0.9)
+    assert(b2.count() == 0L, "healed stores must still dedup against both landed docs")
+  }
+
+  test("survivors-store verification read PRUNES to candidate id-hash shards") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog near the old stone " +
+      "bridge in the quiet village while the river runs toward the morning market"
+    val fresh = "a completely different fresh document about sourdough hydration " +
+      "ratios oven spring and crumb structure under steam"
+    val survivorsDir = freshDir("prsurv")
+    // land two batches so the store holds multiple _graft_batch partitions with
+    // multiple _graft_idh shards (xxhash64(1L) and xxhash64(2L) land apart mod 64)
+    val indexDir = freshDir("pridx")
+    StreamingAnalysis.nearDupDedupBatch(Seq((1L, text)).toDF("id", "text"),
+      0L, "id", "text", indexDir, survivorsDir, 0.9)
+    StreamingAnalysis.nearDupDedupBatch(Seq((2L, fresh)).toDF("id", "text"),
+      1L, "id", "text", indexDir, survivorsDir, 0.9)
+    val shards = spark.range(1).select(
+        pmod(xxhash64(lit(1L)), lit(64L)), pmod(xxhash64(lit(2L)), lit(64L)))
+      .head()
+    val (s1, s2) = (shards.getLong(0), shards.getLong(1))
+    assert(s1 != s2, s"fixture ids must hash to distinct shards, both got $s1")
+    val schemaFrom = Seq((0L, "")).toDF("id", "text")
+    val pruned = StreamingAnalysis.readBatchStore(survivorsDir, schemaFrom,
+      pruneTo = Some(("_graft_idh", Seq(s1))))
+    // directory-level pruning: the physical scan carries a partition filter on the
+    // shard column and reads ONLY shard s1's rows (doc 1), never doc 2's partition
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_graft_idh"),
+      s"survivors read must prune on _graft_idh partitions:\n$plan")
+    assert(pruned.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // reserved-name guard fails loud instead of shadowing the partition column
+    val e = intercept[IllegalArgumentException] {
+      StreamingAnalysis.readBatchStore(survivorsDir,
+        Seq((0L, 0L)).toDF("id", "_graft_idh"))
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
   }
 }
