@@ -228,43 +228,76 @@ object Bench {
     // readings are scheduling-floor noise), gets the settle + min-of-2 +
     // printed-arms treatment before it can publish. The prev values are 10 ms-
     // rounded and tail-trimmed in the JSON — both fine at the 0.5 s signal gate.
-    val (prevQ, prevOp): (Map[String, Double], Map[String, Double]) = {
-      // Prefer the UNTRIMMED sidecar this bench writes at the end of every run
-      // (committed by the round-end auto-commit): the driver's BENCH_r*.json keeps
-      // only the ~17 slowest queries, so a 0.6 s -> 1.8 s regression one notch
-      // below that cutoff would have no baseline and ship unadjudicated.
-      val prevPath = sys.env.get("SPARK_GRAFT_PREV_BENCH")
-        .orElse(Option(new java.io.File("BENCH_FULL_LATEST.json"))
-          .filter(_.exists()).map(_.getPath))
-        .orElse {
-          // Sort by the extracted ROUND NUMBER, not the name: lexicographically
-          // "BENCH_r9" > "BENCH_r12", so a name sort would adjudicate against a
-          // stale round's baseline once rounds reach double digits.
-          Option(new java.io.File(".").listFiles()).flatMap(
-            _.filter(_.getName.matches("BENCH_r\\d+\\.json"))
-              .sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt).lastOption)
-            .map(_.getPath)
+    case class PrevBench(q: Map[String, Double], op: Map[String, Double],
+        sf1R: Map[String, Double], sf10R: Map[String, Double])
+    val emptyPrev = PrevBench(Map.empty, Map.empty, Map.empty, Map.empty)
+    def parsePrev(p: String): PrevBench =
+      try {
+        val src = scala.io.Source.fromFile(p)
+        // The driver's BENCH_r*.json embeds the bench's own JSON line inside an
+        // ESCAPED "tail" string (\" for every quote) — unescape before matching
+        // so the same regexes read both the raw line and the driver wrapper.
+        val txt = (try src.mkString finally src.close()).replace("\\\"", "\"")
+        def block(key: String): String =
+          ("\"" + key + "\":\\{([^}]*)\\}").r.findFirstMatchIn(txt)
+            .map(_.group(1)).getOrElse("")
+        val pair = """"([^"]+)":(-?\d+(?:\.\d+)?)""".r
+        val arr = """"([^"]+)":\[(-?\d+(?:\.\d+)?),""".r
+        def pairs(s: String) =
+          pair.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // sf ratios live flat in the sidecar ("sf1_ratios") and nested inside the
+        // stdout-line blocks ("sf1":{..,"ratios":{..}}) — read whichever exists.
+        def ratios(key: String): Map[String, Double] = {
+          val flat = block(key + "_ratios")
+          val src2 = if (flat.nonEmpty) flat
+            else ("\"" + key + "\":\\{[^{]*\"ratios\":\\{([^}]*)\\}").r
+              .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+          pairs(src2)
         }
-      prevPath.map { p =>
-        try {
-          val src = scala.io.Source.fromFile(p)
-          // The driver's BENCH_r*.json embeds the bench's own JSON line inside an
-          // ESCAPED "tail" string (\" for every quote) — unescape before matching
-          // so the same regexes read both the raw line and the driver wrapper.
-          val txt = (try src.mkString finally src.close()).replace("\\\"", "\"")
-          def block(key: String): String =
-            ("\"" + key + "\":\\{([^}]*)\\}").r.findFirstMatchIn(txt)
-              .map(_.group(1)).getOrElse("")
-          val pair = """"([^"]+)":(-?\d+(?:\.\d+)?)""".r
-          val arr = """"([^"]+)":\[(-?\d+(?:\.\d+)?),""".r
-          (pair.findAllMatchIn(block("queries")).map(m => m.group(1) -> m.group(2).toDouble).toMap,
-            arr.findAllMatchIn(block("op_verify_sec")).map(m => m.group(1) -> m.group(2).toDouble).toMap)
-        } catch { case scala.util.control.NonFatal(e) =>
-          println(s"[roundvr] could not parse $p: ${e.getMessage}")
-          (Map.empty[String, Double], Map.empty[String, Double])
-        }
-      }.getOrElse((Map.empty, Map.empty))
-    }
+        PrevBench(pairs(block("queries")),
+          arr.findAllMatchIn(block("op_verify_sec"))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap,
+          ratios("sf1"), ratios("sf10"))
+      } catch { case scala.util.control.NonFatal(e) =>
+        println(s"[roundvr] could not parse $p: ${e.getMessage}")
+        emptyPrev
+      }
+    // Per-query/op baselines prefer the UNTRIMMED sidecar this bench writes at the
+    // end of every run (committed by the round-end auto-commit): the driver's
+    // BENCH_r*.json keeps only the ~17 slowest queries, so a 0.6 s -> 1.8 s
+    // regression one notch below that cutoff would have no baseline and ship
+    // unadjudicated. Headline arms and sf-block ratios fall back to the latest
+    // committed round file when the sidecar predates carrying them.
+    val prevPath = sys.env.get("SPARK_GRAFT_PREV_BENCH")
+      .orElse(Option(new java.io.File("BENCH_FULL_LATEST.json"))
+        .filter(_.exists()).map(_.getPath))
+    // Sort by the extracted ROUND NUMBER, not the name: lexicographically
+    // "BENCH_r9" > "BENCH_r12", so a name sort would adjudicate against a
+    // stale round's baseline once rounds reach double digits.
+    val latestRoundPath = Option(new java.io.File(".").listFiles()).flatMap(
+      _.filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt).lastOption)
+      .map(_.getPath)
+    val prevFull = prevPath.orElse(latestRoundPath).map(parsePrev).getOrElse(emptyPrev)
+    val prevRound = latestRoundPath.map(parsePrev).getOrElse(emptyPrev)
+    val (prevQ, prevOp) = (prevFull.q, prevFull.op)
+    val prevHead =
+      if (prevFull.q.keys.exists(_.startsWith("suite20_"))) prevFull.q else prevRound.q
+    val prevSf1R = if (prevFull.sf1R.nonEmpty) prevFull.sf1R else prevRound.sf1R
+    val prevSf10R = if (prevFull.sf10R.nonEmpty) prevFull.sf10R else prevRound.sf10R
+    // Ratio-block names publish table-suffix-stripped (stdout budget); the prev
+    // maps key on the same short form.
+    def shortQ(n: String): String = n.stripSuffix("_documents")
+      .stripSuffix("_events").stripSuffix("_embeddings")
+    // Round-over-round ratio trigger (round-12 verdict item 2): the >2x
+    // auto-adjudication watched per-query seconds and op arms but not the
+    // sf-block RATIOS — exactly where r12's suite20 19.85x phantom shipped
+    // (denominator swung 1.73 s -> 0.50 s unadjudicated). A ratio more than 2x
+    // the previous round's committed ratio now lowers the printed-arms
+    // adjudication threshold to that point, so the settle + min-of-pairs
+    // protocol fires on ratio regressions too, not only on absolute blowups.
+    def ratioTrigger(prev: Map[String, Double], name: String, base: Double): Double =
+      prev.get(shortQ(name)).filter(_ > 0).fold(base)(p => math.min(base, 2 * p))
     // Bounded: a WHOLE-ENVIRONMENT shift (slower driver machine) would flag dozens
     // of queries at once — re-measuring all of them re-proves the same ambient fact
     // at minutes of cost. Past the cap the moves are still printed, just not re-run.
@@ -327,7 +360,7 @@ object Bench {
     // Wrapped like the sweep/sf1/sf10 blocks: a failure here (tuned dir swept
     // from /tmp mid-run, transient OOM) must cost only the revalidation pass,
     // not every measurement already taken — fall back to the first-pass values.
-    val (warmPub, tunedPub, cachedPub) = try {
+    val (warmPub0, tunedPub0, cachedPub) = try {
       settle()
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       val w2runs = (1 to 7).map(_ => secs { suite20(lineitem) })
@@ -357,6 +390,34 @@ object Bench {
           "publishing first-pass warm/tuned/cached")
         (warmSec, tunedSec, cachedSec)
     }
+
+    // ---- headline round-over-round retry (round-12 verdict item 7) ----
+    // An arm still >1.3x the PREVIOUS round's committed value after the reval pass
+    // gets one more settled median-of-7 attempt, min published with arms printed —
+    // r12 shipped tuned at 1.49x prev purely from session noise (under the 2x
+    // per-query trigger, but on the second-most-quoted number).
+    def headlineRetry(name: String, cur: Double, medianOf7: () => Double): Double =
+      prevHead.get(name).filter(p => p > 0 && cur > 1.3 * p).map { p =>
+        settle()
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val again = try medianOf7()
+          catch { case scala.util.control.NonFatal(_) => Double.MaxValue }
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        println(f"[headline-adjudicate] $name prev=$p%.3f cur=$cur%.3f " +
+          f"retry=$again%.3f (publishing min)")
+        math.min(cur, again)
+      }.getOrElse(cur)
+    val warmPub = headlineRetry("suite20_warm", warmPub0, () => {
+      (1 to 2).foreach(_ => suite20(lineitem))
+      val rs = (1 to 7).map(_ => secs { suite20(lineitem) })
+      rs.sorted.apply(rs.size / 2)
+    })
+    val tunedPub = headlineRetry("suite20_warm_tuned", tunedPub0, () => {
+      val li32 = spark.read.parquet(tunedPath)
+      (1 to 2).foreach(_ => suite20(li32))
+      val rs = (1 to 7).map(_ => secs { suite20(li32) })
+      rs.sorted.apply(rs.size / 2)
+    })
 
     // ---- sf1 proof point: REAL generated 10x data, not the replica corpus ----
     // GenData draws every row fresh from the profiled sf0.1 distributions (the
@@ -410,9 +471,11 @@ object Bench {
                 if (s2 > 0) s01 = math.min(s01, s2)
                 if (b2 >= 0) big = math.min(big, b2)
               }
-              if (big >= 0 && s01 > 0 && big / s01 > 5.0) {
+              if (big >= 0 && s01 > 0 &&
+                  big / s01 > ratioTrigger(prevSf1R, name, 5.0)) {
                 // still past the adjudication threshold (round-10 verdict: a
-                // >5x reading must not ship unprofiled): settle the heap and
+                // >5x reading must not ship unprofiled; since round 13 also any
+                // ratio >2x the previous round's): settle the heap and
                 // re-measure min-of-2 BOTH sides again, printing every arm so
                 // the shipped ratio carries its own adjudication trail
                 settle()
@@ -477,7 +540,18 @@ object Bench {
         // the ratio is only meaningful if this side matches that config
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         suite20(li1) // warmup read
-        val w = (1 to 3).map(_ => secs { suite20(li1) }).sorted.apply(1)
+        var w = (1 to 3).map(_ => secs { suite20(li1) }).sorted.apply(1)
+        // This number is the sf10 block's DENOMINATOR and the sf1 suite ratio's
+        // numerator: a reading >2x the previous round's committed ratio (or >5x
+        // absolute) gets one settled retry, min published with arms printed —
+        // the r12 suite20 denominator swing entered exactly here as a one-shot.
+        if (warmPub > 0 && w / warmPub > ratioTrigger(prevSf1R, "suite20", 5.0)) {
+          settle()
+          suite20(li1)
+          val w2 = (1 to 3).map(_ => secs { suite20(li1) }).min
+          println(f"[sf1-adjudicate] suite20 arms first=$w%.3f retry=$w2%.3f")
+          w = math.min(w, w2)
+        }
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         qs.foreach { case (n, s, r) =>
           println(f"[sf1] $n%-34s $s%7.2f s  ratio $r%5.1fx vs sf0.1") }
@@ -527,7 +601,7 @@ object Bench {
                   settle(deep = true)
                   var big = onceAt10(fn, dir10)
                   var den = s1
-                  if (big >= 0 && big / den > 5.0) {
+                  if (big >= 0 && big / den > ratioTrigger(prevSf10R, name, 5.0)) {
                     // same adjudication rule as the sf1 block: settle, then
                     // min-of-2 both sides with every arm printed — plus a THIRD
                     // pair when the ratio still exceeds 10x (round-12 variance
@@ -554,9 +628,34 @@ object Bench {
             settle(deep = true)
             spark.conf.set("spark.sql.adaptive.enabled", "false")
             (1 to 2).foreach(_ => suite20(li10)) // warmup reads (page cache + codegen)
-            val w10 = (1 to 3).map(_ => secs { suite20(li10) }).sorted.apply(1)
+            var w10 = (1 to 3).map(_ => secs { suite20(li10) }).sorted.apply(1)
+            // suite20 gets the SAME adjudication protocol as the operator arms
+            // (round-12 verdict item 1: the arm was a bare median-of-3 against a
+            // one-shot sf1 denominator, and the denominator's 1.73 s -> 0.50 s
+            // swing manufactured a 19.85x phantom on a demonstrably-linear plan).
+            // Settle + min-of-pairs re-measures BOTH sides — the sf1 denominator
+            // inside the adjudication, not this run's single earlier reading —
+            // with every arm printed; a third pair past 10x.
+            var wDen = w1
+            if (wDen > 0 && w10 / wDen > ratioTrigger(prevSf10R, "suite20", 5.0)) {
+              val dir1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+                s"/tmp/graft_sf1_gen_v${graft.tools.GenData.Version}")
+              val li1 = spark.read.parquet(s"$dir1/lineitem.parquet")
+              def pair(): Unit = {
+                settle(deep = true)
+                suite20(li1) // warmup read after the settle
+                val dA = (1 to 3).map(_ => secs { suite20(li1) }).min
+                suite20(li10)
+                val bA = (1 to 3).map(_ => secs { suite20(li10) }).min
+                println(f"[sf10-adjudicate] suite20 arms sf1=$dA%.3f sf10=$bA%.3f")
+                wDen = math.min(wDen, dA)
+                w10 = math.min(w10, bA)
+              }
+              (1 to 2).foreach(_ => pair())
+              if (w10 / wDen > 10.0) pair()
+            }
             spark.conf.set("spark.sql.adaptive.enabled", "true")
-            val all = rows :+ (("suite20", w10, if (w1 > 0) w10 / w1 else 9999.0))
+            val all = rows :+ (("suite20", w10, if (wDen > 0) w10 / wDen else 9999.0))
             all.foreach { case (n, s, r) =>
               println(f"[sf10] $n%-34s $s%7.2f s  ratio $r%5.1fx vs sf1") }
             Some(all)
@@ -642,10 +741,24 @@ object Bench {
     // into the repo cwd — the round-end auto-commit persists it. Best-effort: a
     // read-only cwd must not fail the bench.
     try {
-      val full = results.map { case (k, v) => "\"" + k + "\":" + r2(v) }
+      // Since round 13 the sidecar also carries the headline arms and the
+      // sf-block ratios (short names), so the round-over-round adjudication has
+      // an untrimmed baseline for BOTH without re-parsing the driver wrapper.
+      val full = (results ++ headline.map { case (k, v) => k -> v })
+        .map { case (k, v) => "\"" + k + "\":" + r2(v) }
         .mkString("{\"queries\":{", ",", "}")
+      def flatRatios(key: String, entries: Seq[(String, Double)]): String =
+        if (entries.isEmpty) ""
+        else entries.map { case (k, v) => "\"" + shortQ(k) + "\":" + r2(v) }
+          .mkString(s""","$key":{""", ",", "}")
+      val sf1R = sf1.toSeq.flatMap { case (w, qs) =>
+        qs.map(q => q._1 -> q._3) ++
+          (if (w > 0 && warmPub > 0) Seq("suite20" -> w / warmPub) else Nil)
+      }
+      val sf10R = sf10.toSeq.flatten.map(q => q._1 -> q._3)
       java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL_LATEST.json"),
-        full + opJson + "}\n")
+        full + opJson + flatRatios("sf1_ratios", sf1R) +
+          flatRatios("sf10_ratios", sf10R) + "}\n")
     } catch { case scala.util.control.NonFatal(e) =>
       println(s"[roundvr] sidecar write failed (non-fatal): ${e.getMessage}") }
     spark.stop()

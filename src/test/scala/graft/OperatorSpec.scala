@@ -671,6 +671,104 @@ class OperatorSpec extends SparkSpec {
     assert(caught == 8L, s"hierarchical semDedup must catch all planted copies, got $caught")
   }
 
+  test("hierarchical IVF on ADVERSARIAL centroid geometry: collapsed supers leave " +
+    "empties that must not steal probe slots; duplicate centroids; boundary vectors") {
+    import spark.implicits._
+    val dim = 8
+    // 12 EXACT copies of direction M (a degenerate k-means output — collapsed
+    // cells) + 4 spread centroids around direction D ⊥ M. The driver-side mini
+    // k-means seeds every (k/m)-th centroid, so THREE of the four supers seed at
+    // M; tied assignments all migrate to the last tied super, leaving two supers
+    // EMPTY but stale at position M — positions that outscore the spread super
+    // for any M-leaning query. Pre-fix those stale supers won a probe slot each,
+    // so probeSupers=2 probed {M-super, empty} and boundary vectors between M
+    // and D were assigned an M cell while flat argmax picks a spread cell.
+    val M = Seq.tabulate(dim)(i => if (i == 0) 1.0f else 0.0f)
+    val rnd = new scala.util.Random(11)
+    val spread = (0 until 4).map { j =>
+      val v = Array.tabulate(dim)(i =>
+        (if (i == j + 1) 1.0 else 0.0) + 0.05 * rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val centroids = Seq.fill(12)(M) ++ spread
+    // rows: M-cluster members + BOUNDARY vectors halfway between M and each
+    // spread direction (the class the stale-super probe theft mis-assigned)
+    val rows = (0 until 24).map(r => (r.toLong, M.map(_ + 0.01f * rnd.nextGaussian().toFloat))) ++
+      spread.zipWithIndex.flatMap { case (d, j) =>
+        (0 until 6).map { t =>
+          // near-boundary but strictly spread-leaning (0.9/1.1): an unbiased
+          // midpoint ties EXACTLY between the M cells and the spread cell
+          // (cos identical in closed form), so per-row noise would coin-flip
+          // the flat assignment and the fixture's sanity check
+          val v = M.zip(d).map { case (a, b) => 0.9f * a + 1.1f * b }
+          (100L + j * 10 + t, v.map(_ + 0.005f * rnd.nextGaussian().toFloat))
+        }
+      }
+    val df = rows.toDF("id", "v")
+    def cellsOf(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "ivf_cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val flat = cellsOf(Similarity.ivfAssign(df, "v", centroids))
+    // sanity: flat sends every boundary vector to a SPREAD cell (cos slightly
+    // above the M cells), so any probe theft is visible as a changed cell
+    assert(rows.filter(_._1 >= 100L).forall(r => flat(r._1) >= 12),
+      s"fixture broken: boundary vectors must flat-assign to spread cells: $flat")
+    // after the empty-super drop only 2 supers remain (all-M, all-spread), so
+    // probeSupers=2 covers every centroid and must equal flat EXACTLY — the
+    // regression pin for the stale-empty-super probe theft
+    val two = cellsOf(Similarity.ivfAssignHierarchical(df, "v", centroids,
+      probeSupers = 2, superCount = 4))
+    assert(two == flat,
+      "probeSupers=2 over the two surviving supers must equal flat argmax")
+    // probeSupers=1: M-cluster rows probe the all-M super and stay exact; the
+    // silent cell-0 fallback (probing an empty super) must never fire — every
+    // assignment lands in SOME real member list
+    val one = cellsOf(Similarity.ivfAssignHierarchical(df, "v", centroids,
+      probeSupers = 1, superCount = 4))
+    assert(rows.filter(_._1 < 24L).forall(r => one(r._1) == flat(r._1)),
+      "cluster rows must match flat at probeSupers=1")
+    // ALL centroids identical: one non-empty super survives; any probe width
+    // degenerates to exact flat (tie-to-highest-cell semantics included)
+    val allSame = Seq.fill(9)(M)
+    val dfSmall = rows.take(10).toDF("id", "v")
+    val flatSame = cellsOf(Similarity.ivfAssign(dfSmall, "v", allSame))
+    val hierSame = cellsOf(Similarity.ivfAssignHierarchical(dfSmall, "v", allSame,
+      probeSupers = 1, superCount = 3))
+    assert(hierSame == flatSame,
+      "all-identical centroids must collapse to one super and match flat exactly")
+
+    // MIGRATED-then-EMPTIED super: the geometry the stale-member defect class
+    // actually needs. Seeds (every k/m-th centroid) put super 0 at e1; in Lloyd
+    // iteration 1 it captures {c0=e1, c1≈-e2} and its mean migrates to P between
+    // them; iteration 2 moves BOTH members out (c0 to the 25-30° super, c1 to the
+    // -e2-leaning e3 super), so super 0 ends EMPTY but stale at P — a position NO
+    // live super occupies. A P-leaning query then scores the dead super strictly
+    // highest: pre-fix, probeSupers=1 probed only it, found zero member cells,
+    // and silently fell back to cell 0; the fix drops the empty super so the
+    // probe goes to the best LIVE super and matches flat (cell 1, solid margin).
+    val deg30 = Seq(0.8660254f, 0.5f, 0f, 0f)
+    val mig = Seq(
+      Seq(1f, 0f, 0f, 0f),                          // c0: super-0 seed, leaves in iter 2
+      Seq(0.0995037f, -0.9950372f, 0f, 0f),         // c1: drags super 0's mean to P
+      deg30,
+      Seq(0.9063078f, 0.4226183f, 0f, 0f),          // c3: super-1 seed (25°)
+      deg30, deg30,
+      Seq(0f, 0f, 1f, 0f),                          // c6: super-2 seed
+      Seq(0f, -0.9578263f, 0.2873479f, 0f),         // c7/c8: pull super 2 toward -e2
+      Seq(0f, -0.9578263f, 0.2873479f, 0f))
+    val probes = Seq(
+      (0L, Seq(0.6405f, -0.7680f, 0f, 0f)),         // P-leaning, nearest cell is c1
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, -0.1f, 0.99f, 0f))).toDF("id", "v")
+    val flatMig = cellsOf(Similarity.ivfAssign(probes, "v", mig))
+    assert(flatMig(0L) == 1, s"fixture: P-leaning probe must flat-assign to c1: $flatMig")
+    val hierMig = cellsOf(Similarity.ivfAssignHierarchical(probes, "v", mig,
+      probeSupers = 1, superCount = 3))
+    assert(hierMig == flatMig,
+      s"probe of a migrated-then-emptied super must fall to the best LIVE super " +
+        s"(flat $flatMig, hier $hierMig)")
+  }
+
   test("hashed embedding: deterministic unit vectors, overlap-tracking cosine, ANN integration") {
     import spark.implicits._
     import graft.functions.TextFunctions.hashedEmbedding
