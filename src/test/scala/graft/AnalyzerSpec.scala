@@ -282,7 +282,7 @@ class AnalyzerSpec extends SparkSpec {
   test("filesystem state store keeps colliding-looking keys distinct") {
     // "p:1" and "p_1" used to sanitize to the SAME file name, silently overwriting one
     // partition's state with another's; URL-encoding is injective.
-    val dir = java.nio.file.Files.createTempDirectory("graft-states-enc").toString
+    val dir = tmpDir("graft-states-enc")
     val store = new FileSystemStateStore(dir, spark)
     store.save("mean.x", "p:1", Map("v" -> "1"))
     store.save("mean.x", "p_1", Map("v" -> "2"))
@@ -294,7 +294,7 @@ class AnalyzerSpec extends SparkSpec {
   }
 
   test("filesystem state store round-trips, lists, deletes") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-states").toString
+    val dir = tmpDir("graft-states")
     val store = new FileSystemStateStore(dir, spark)
     store.save("mean.x", "2024-01-01", Map("sum" -> "12.5", "count" -> "10"))
     store.save("mean.x", "2024-01-02", Map("sum" -> "7.5", "count" -> "5"))
@@ -368,7 +368,7 @@ class AnalyzerSpec extends SparkSpec {
   }
 
   test("parquet metrics repository round-trips") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-metrics").toString + "/m"
+    val dir = tmpDir("graft-metrics") + "/m"
     val repo = new ParquetMetricsRepository(dir, spark)
     repo.save(ResultKey(1000L, Map("env" -> "test")), Map("size.*" -> 42.0, "mean.x" -> 1.5))
     repo.save(ResultKey(2000L), Map("size.*" -> 43.0))
@@ -399,7 +399,7 @@ class AnalyzerSpec extends SparkSpec {
     assert(mixed.history("size", MetricsQuery(limit = Some(3))) ==
       Seq(3L -> 3.0, 4L -> 4.0, 5L -> 5.0))
     // same-key saves merge into ONE record on both backends
-    val dir = java.nio.file.Files.createTempDirectory("graft-metrics").toString + "/dup"
+    val dir = tmpDir("graft-metrics") + "/dup"
     val pq = new ParquetMetricsRepository(dir, spark)
     Seq(new InMemoryMetricsRepository, pq).foreach { r =>
       r.save(ResultKey(100L), Map("a" -> 1.0))
@@ -410,13 +410,13 @@ class AnalyzerSpec extends SparkSpec {
     }
     // a repository with no saves reads as an empty frame, not PATH_NOT_FOUND
     val fresh = new ParquetMetricsRepository(
-      java.nio.file.Files.createTempDirectory("graft-metrics").toString + "/none", spark)
+      tmpDir("graft-metrics") + "/none", spark)
     assert(fresh.toDataFrame.isEmpty && fresh.toDataFrame(spark).isEmpty)
     assert(fresh.toDataFrame.columns.toSeq == Seq("timestamp", "tags", "metric", "value"))
   }
 
   test("pointsFor/pointAt: backends agree, bound is pushed, dotted sub-metrics don't leak") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-metrics").toString + "/points"
+    val dir = tmpDir("graft-metrics") + "/points"
     val pq = new ParquetMetricsRepository(dir, spark)
     val mem = new InMemoryMetricsRepository
     Seq(pq, mem).foreach { r =>

@@ -45,7 +45,7 @@ class MetricsSpec extends SparkSpec {
     val vecs = (0 until 120).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
     val df = vecs.toDF("id", "v")
     val centroids = Similarity.seedCentroids(df, "id", "v", 6)
-    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val path = tmpDir("graft_ivf")
     Similarity.writeIvfPartitioned(df, "v", centroids, path)
 
     val probe = vecs(5)._2
@@ -135,7 +135,7 @@ class MetricsSpec extends SparkSpec {
     import graft.sources.Sources
     import spark.implicits._
     val df = (1 to 300).map(i => (i, s"2024-0${i % 3 + 1}", i.toDouble)).toDF("id", "month", "v")
-    val path = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val path = tmpDir("graft_part")
     Sources.writePartitioned(df, path, Seq("month"))
     val pruned = spark.read.parquet(path).filter(col("month") === "2024-02")
     val scan = pruned.queryExecution.executedPlan.toString
@@ -433,7 +433,7 @@ class MetricsSpec extends SparkSpec {
   test("sketch columns survive a parquet round-trip: store per-day, merge months later") {
     import graft.functions.SketchFunctions._
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("sketch_store").toString
+    val dir = tmpDir("sketch_store")
     // Three "days" of events, overlapping users; persist ONE sketch row per day.
     val days = Seq(
       ("d1", (1 to 400).map(_.toLong)),

@@ -494,7 +494,7 @@ class MultimodalSpec extends SparkSpec {
     val fresh = Seq((20L, noise(1)), (21L, noise(3)), (22L, noise(4)),
       (23L, "broken".getBytes)).toDF("id", "img")
     // Index persists (the store-don't-recompute contract) — parquet round-trip.
-    val dir = java.nio.file.Files.createTempDirectory("img_index").toString + "/idx"
+    val dir = tmpDir("img_index") + "/idx"
     Multimodal.imageHashIndex(old, "id", "img").write.parquet(dir)
     val index = spark.read.parquet(dir)
     val got = Multimodal.incrementalImagePairs(fresh, index, "id", "img")
@@ -520,7 +520,7 @@ class MultimodalSpec extends SparkSpec {
       .toDF("id", "snd")
     val fresh = Seq((20L, clip(1)), (21L, clip(3)), (22L, clip(4)),
       (23L, MediaCodecs.encodeWavPcm(8000, new Array[Byte](4096)))).toDF("id", "snd")
-    val dir = java.nio.file.Files.createTempDirectory("snd_index").toString + "/idx"
+    val dir = tmpDir("snd_index") + "/idx"
     Multimodal.audioHashIndex(old, "id", "snd").write.parquet(dir)
     val index = spark.read.parquet(dir)
     val got = Multimodal.incrementalAudioPairs(fresh, index, "id", "snd")

@@ -105,7 +105,7 @@ class OperatorSpec extends SparkSpec {
     // the index side of the incremental plan must not re-run the signature kernel:
     // its branch reads the (id, band, bucket) frame as-is (here: a parquet round-trip
     // of the index, as a real pipeline would store it)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    val tmp = tmpDir("graft_idx")
     index.write.mode("overwrite").parquet(tmp)
     try {
       val stored = spark.read.parquet(tmp)
@@ -203,7 +203,7 @@ class OperatorSpec extends SparkSpec {
     val ok = spark.sql("SELECT graft_jaccard_sorted(array(1L, 2L), array(1L, 2L)) AS j").head()
     assert(math.abs(ok.getDouble(0) - 1.0) < 1e-15)
     // whole-stage codegen over a real scan
-    val tmp = java.nio.file.Files.createTempDirectory("graft_jac").toString
+    val tmp = tmpDir("graft_jac")
     df.write.mode("overwrite").parquet(tmp)
     val plan = spark.read.parquet(tmp)
       .select(graft.functions.VectorFunctions.jaccardSorted(col("a"), col("b")))
@@ -380,7 +380,7 @@ class OperatorSpec extends SparkSpec {
     // realistic at-scale shape, where the corpus streams from storage. A re-read of
     // the fixture PATH would be silently rewritten to the cached `docs` plan by
     // CacheManager, so round-trip through a temp path.
-    val tmp = java.nio.file.Files.createTempDirectory("graft_reuse").toString
+    val tmp = tmpDir("graft_reuse")
     docs.write.mode("overwrite").parquet(s"$tmp/docs")
     val freshDocs = spark.read.parquet(s"$tmp/docs")
     // Only NEW persisted RDDs count — the suite fixture itself is a .cache()d frame.
@@ -509,7 +509,7 @@ class OperatorSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(l)
     // a genuine narrow scan (single-row-group parquet, the real use case) still fans
     // out to session parallelism
-    val dir = java.nio.file.Files.createTempDirectory("graft-fanout").toString + "/narrow"
+    val dir = tmpDir("graft-fanout") + "/narrow"
     Seq.tabulate(64)(i => (i.toLong, s"d$i")).toDF("id", "t")
       .repartition(1).write.parquet(dir)
     val narrow = spark.read.parquet(dir)

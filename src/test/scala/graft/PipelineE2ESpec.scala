@@ -85,7 +85,7 @@ class PipelineE2ESpec extends SparkSpec {
     assert(shardStats.map(_.getLong(1)).sum == totalToks, "no tokens lost in packing")
 
     // 7. physical write: one file per shard directory
-    val out = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    val out = tmpDir("graft_e2e")
     Sharding.writeShards(withToks, "doc_id", "toks", budget = 500L, path = out)
     val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("shard_id="))
     assert(dirs.length == shardStats.length, "one directory per shard")

@@ -364,7 +364,7 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("writeShards: one file per shard directory, all rows present") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val dir = tmpDir("graft_shards")
     try {
       val df = (1 to 300).map(i => (i.toLong, 10L)).toDF("k", "v")
       Sharding.writeShards(df, "k", "v", budget = 200L, path = dir)

@@ -96,7 +96,7 @@ class SourcesSpec extends SparkSpec {
 
   test("parquetLayoutAudit: footer metadata matches the data, files and directories, sidecar skip") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("layout_audit").toString
+    val dir = tmpDir("layout_audit")
     val df = (1 to 9000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
     df.repartition(3).write.mode("overwrite").parquet(dir)
     val audit = graft.sources.Sources.parquetLayoutAudit(spark, dir).collect()
@@ -113,7 +113,7 @@ class SourcesSpec extends SparkSpec {
     assert(row.length == 1 &&
       row.head.getLong(3) == spark.read.parquet(one).count())
     // empty table still audits (0 rows, footer present)
-    val edir = java.nio.file.Files.createTempDirectory("layout_empty").toString
+    val edir = tmpDir("layout_empty")
     df.filter(lit(false)).coalesce(1).write.mode("overwrite").parquet(edir)
     val empty = graft.sources.Sources.parquetLayoutAudit(spark, edir).collect()
     assert(empty.map(_.getLong(3)).sum == 0L)
@@ -121,7 +121,7 @@ class SourcesSpec extends SparkSpec {
 
   test("parquetLayoutAudit recurses into Hive-partitioned layouts; compactSmallFiles refuses them") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("layout_part").toString + "/t"
+    val dir = tmpDir("layout_part") + "/t"
     val df = (1 to 900).map(i => (i.toLong, i % 3, s"row$i")).toDF("id", "p", "s")
     graft.sources.Sources.writePartitioned(df, dir, Seq("p"))
     // The data files live under p=0/, p=1/, p=2/ — a top-level-only listing would
@@ -133,12 +133,12 @@ class SourcesSpec extends SparkSpec {
     assert(audit.forall(r => r.getString(0).contains("/p=")), "expected files under p=*/")
     assert(audit.forall(r => !r.getString(0).contains("_SUCCESS")))
     // Compacting a partitioned layout flat would destroy directory pruning — loud no.
-    val out = java.nio.file.Files.createTempDirectory("layout_part_out").toString + "/t"
+    val out = tmpDir("layout_part_out") + "/t"
     val e = intercept[IllegalArgumentException](
       graft.sources.Sources.compactSmallFiles(spark, dir, out))
     assert(e.getMessage.contains("partitioned"), e.getMessage)
     // A non-existent/empty input is "nothing to compact", not a silent 1-file rewrite.
-    val emptyDir = java.nio.file.Files.createTempDirectory("layout_nofiles").toString
+    val emptyDir = tmpDir("layout_nofiles")
     val e2 = intercept[IllegalArgumentException](
       graft.sources.Sources.compactSmallFiles(spark, emptyDir, out))
     assert(e2.getMessage.contains("nothing to compact"), e2.getMessage)
@@ -146,8 +146,8 @@ class SourcesSpec extends SparkSpec {
 
   test("compactSmallFiles: many tiny files collapse to the byte-sized target, rows intact") {
     import spark.implicits._
-    val in = java.nio.file.Files.createTempDirectory("compact_in").toString
-    val out = java.nio.file.Files.createTempDirectory("compact_out").toString + "/t"
+    val in = tmpDir("compact_in")
+    val out = tmpDir("compact_out") + "/t"
     // 64 tiny files — the streaming-micro-batch pathology.
     val df = (1 to 6400).map(i => (i.toLong, s"row$i" * 10)).toDF("id", "s")
     df.repartition(64).write.mode("overwrite").parquet(in)
@@ -207,7 +207,7 @@ class SourcesSpec extends SparkSpec {
     // FileOutputCommitter factory instead.
     hc.set("mapreduce.outputcommitter.factory.scheme.s3a",
       "org.apache.hadoop.mapreduce.lib.output.FileOutputCommitterFactory")
-    val dir = java.nio.file.Files.createTempDirectory("fake_s3").toString
+    val dir = tmpDir("fake_s3")
     try {
       import spark.implicits._
       val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s")

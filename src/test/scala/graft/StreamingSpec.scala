@@ -716,15 +716,9 @@ class StreamingSpec extends SparkSpec {
 
   // ---------- banded-recall near-dup sinks (foreachBatch + persisted index) ----------
 
-  private def freshDir(tag: String): String = {
-    // Recursive shutdown delete: deleteOnExit cannot remove non-empty directories,
-    // and these dirs fill with parquet — every suite run would otherwise leak them
-    // into /tmp for the life of the machine.
-    val d = java.nio.file.Files.createTempDirectory(s"graft_stream_$tag").toFile
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      graft.core.FsUtil.deleteRecursively(d)))
-    d.getAbsolutePath
-  }
+  // shared recursive-cleanup temp dirs (SparkSpec.tmpDir) — deleteOnExit cannot
+  // remove non-empty directories and these fill with parquet
+  private def freshDir(tag: String): String = tmpDir(s"graft_stream_$tag")
 
   test("streaming banded minhash dedup catches a token-EDIT repost across micro-batches " +
     "(simhash Hamming > 0) and matches the batch pass") {
