@@ -621,7 +621,8 @@ object StreamingAnalysis {
     *     signature kernel over ITS OWN rows only;
     *   - `survivorsDir`: the accepted rows themselves (the pipeline's landed output),
     *     sharded by id-hash (`_graft_idh = xxhash64(id) mod idShards` under each batch
-    *     partition) and read back ONLY for the shards that hold a candidate-pair doc —
+    *     partition) and read back ONLY for the shards holding a STANDING-CORPUS side
+    *     of a candidate pair (new-side docs resolve from the batch itself) —
     *     the verification scan is O(candidate shards), not O(landed corpus), pruned at
     *     the directory level (exactJaccard's semi-join then restricts the WORK to the
     *     candidate docs themselves).
@@ -660,10 +661,16 @@ object StreamingAnalysis {
     // verification must read. Collect is bounded by idShards values, not docs.
     val cands = Dedup.incrementalMinhashCandidates(batch, index, idCol, textCol,
       shingleSize, numHashes, bands, maxBucketSize).localCheckpoint(true)
-    val candShards = cands.select(shardOf(col("id_a")).as("s"))
-      .union(cands.select(shardOf(col("id_b")).as("s")))
-      .distinct().collect().map(_.getLong(0)).toSeq
     val docsOnly = batch.select(col(idCol), col(textCol))
+    // Shards to read = id-hashes of the candidates' OLD-side ids only: new-side
+    // docs resolve from the batch itself, and a batch with many internal pairs
+    // would otherwise drag its own shards into the store read for nothing —
+    // for a large batch that degrades the pruned read back toward a full scan.
+    val candShards = cands.select(col("id_a").as("_cid"))
+      .union(cands.select(col("id_b").as("_cid"))).distinct()
+      .join(batch.select(col(idCol).as("_cid")).distinct(), Seq("_cid"), "left_anti")
+      .select(shardOf(col("_cid")).as("s"))
+      .distinct().collect().map(_.getLong(0)).toSeq
     val landedDocs =
       if (candShards.isEmpty) docsOnly.limit(0)
       else readBatchStore(survivorsDir, docsOnly, pruneTo = Some((ShardCol, candShards)))
@@ -800,4 +807,75 @@ object StreamingAnalysis {
           maxHamming, maxBucketSize)
       land(batchId, survivors)
     }
+
+  /** Compact a per-batch store: fold every `_graft_batch=<id>` partition with
+    * `0 <= id <= upToBatch` — plus any earlier compaction output — into ONE fresh
+    * negative-id partition, preserving the `_graft_idh` shard layout when present
+    * (the survivors read keeps pruning after compaction). A streaming store
+    * accumulates one partition of small files per micro-batch; at thousands of
+    * batches the file LISTING dominates every read, which is exactly the cost this
+    * removes (compare `Sources.compactSmallFiles`, which cannot be pointed at a
+    * live store because it strips the partition layout).
+    *
+    * Crash-safe ordering: the fold lands in an underscore temp dir first — no `=`
+    * in the name, so Spark's listing cannot see a half-written fold — then one
+    * rename publishes it, and only then are the source partitions deleted. A crash
+    * between publish and delete double-lands rows until a re-run finishes the
+    * deletes — so compaction must be IDEMPOTENTLY re-runnable, and is: re-running
+    * with the same `upToBatch` folds the leftovers into the next negative id.
+    *
+    * Caller contract: compact only batches the streaming checkpoint has fully
+    * committed past — a foreachBatch RETRY of a compacted batch id would re-land
+    * that batch's rows alongside the fold (the per-batch overwrite heals only its
+    * own partition). Negative ids are reserved for compaction output; foreachBatch
+    * ids are non-negative by construction.
+    *
+    * Returns the published compaction partition id, or None when nothing to fold.
+    */
+  def compactBatchStore(spark: org.apache.spark.sql.SparkSession, dir: String,
+      upToBatch: Long): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return None
+    val batchIds = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith(s"$BatchCol="))
+      .flatMap(n => scala.util.Try(n.stripPrefix(s"$BatchCol=").toLong).toOption)
+    val fold = batchIds.filter(id => id < 0 || (id >= 0 && id <= upToBatch))
+    if (fold.isEmpty) return None
+    // Single surviving fold and nothing new to add: re-running is a no-op, not a
+    // full rewrite of the compacted corpus under a fresh id.
+    if (fold.length == 1 && fold(0) < 0) return Some(fold(0))
+    val newId = math.min(batchIds.min, 0L) - 1L
+    // Zero-survivor batches hold only _SUCCESS: a parquet read over NO data files
+    // cannot infer a schema, so fold only partitions that actually have one —
+    // file-less partitions are still deleted below (that is half the point).
+    def hasDataFile(p: org.apache.hadoop.fs.Path): Boolean = {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val n = it.next().getPath.getName
+        found = !(n.startsWith("_") || n.startsWith("."))
+      }
+      found
+    }
+    val withData = fold.filter(id =>
+      hasDataFile(new org.apache.hadoop.fs.Path(dir, s"$BatchCol=$id")))
+    if (withData.isEmpty) {
+      fold.foreach(id =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, s"$BatchCol=$id"), true))
+      return None
+    }
+    val paths = withData.map(id => s"$dir/$BatchCol=$id")
+    // basePath keeps the partition columns (incl. any shard column) visible.
+    val df = spark.read.option("basePath", dir).parquet(paths: _*)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"_graft_compact_tmp_$newId")
+    fs.delete(tmp, true) // a dead prior attempt's leftovers must not pollute the fold
+    val writer = df.drop(BatchCol).write.mode("overwrite")
+    (if (df.columns.contains(ShardCol)) writer.partitionBy(ShardCol) else writer)
+      .parquet(tmp.toString)
+    val target = new org.apache.hadoop.fs.Path(dir, s"$BatchCol=$newId")
+    require(fs.rename(tmp, target), s"compaction publish rename failed: $tmp -> $target")
+    fold.foreach(id => fs.delete(new org.apache.hadoop.fs.Path(dir, s"$BatchCol=$id"), true))
+    Some(newId)
+  }
 }

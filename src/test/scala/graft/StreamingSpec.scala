@@ -1068,6 +1068,55 @@ class StreamingSpec extends SparkSpec {
     assert(b2.count() == 0L, "healed stores must still dedup against both landed docs")
   }
 
+  test("batch-store compaction folds committed partitions, keeps shard pruning, " +
+    "and the stream keeps deduping against the fold") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog near the old stone " +
+      "bridge in the quiet village while the river runs toward the morning market"
+    val fresh = "a completely different fresh document about sourdough hydration " +
+      "ratios oven spring and crumb structure under steam"
+    val indexDir = freshDir("cpidx")
+    val survivorsDir = freshDir("cpsurv")
+    StreamingAnalysis.nearDupDedupBatch(Seq((1L, text)).toDF("id", "text"),
+      0L, "id", "text", indexDir, survivorsDir, 0.9)
+    // zero-survivor batch: its partitions hold only _SUCCESS (the schema-less case)
+    StreamingAnalysis.nearDupDedupBatch(Seq((2L, text)).toDF("id", "text"),
+      1L, "id", "text", indexDir, survivorsDir, 0.9)
+    StreamingAnalysis.nearDupDedupBatch(Seq((3L, fresh)).toDF("id", "text"),
+      2L, "id", "text", indexDir, survivorsDir, 0.9)
+    def batchDirs(dir: String): Set[String] =
+      new java.io.File(dir).listFiles().map(_.getName)
+        .filter(_.startsWith("_graft_batch=")).toSet
+    // compact batches 0-1 in both stores; batch 2 stays live
+    assert(StreamingAnalysis.compactBatchStore(spark, survivorsDir, 1L).contains(-1L))
+    assert(StreamingAnalysis.compactBatchStore(spark, indexDir, 1L).contains(-1L))
+    assert(batchDirs(survivorsDir) == Set("_graft_batch=-1", "_graft_batch=2"),
+      batchDirs(survivorsDir).toString)
+    // the fold preserved the id-hash shard layout, so the pruned verification
+    // read still prunes at the directory level
+    val s1 = spark.range(1).select(pmod(xxhash64(lit(1L)), lit(64L))).head().getLong(0)
+    val pruned = StreamingAnalysis.readBatchStore(survivorsDir,
+      Seq((0L, "")).toDF("id", "text"), pruneTo = Some(("_graft_idh", Seq(s1))))
+    assert(pruned.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(pruned.queryExecution.executedPlan.toString.contains("_graft_idh"),
+      "fold must keep the shard partition column prunable")
+    // the stream keeps deduping against BOTH folded and live state
+    val b3 = StreamingAnalysis.nearDupDedupBatch(
+      Seq((4L, text), (5L, fresh), (6L, "an entirely new third topic: alpine " +
+        "glacier mass balance, firn densification and meltwater runoff"))
+        .toDF("id", "text"), 3L, "id", "text", indexDir, survivorsDir, 0.9)
+    assert(b3.select("id").collect().map(_.getLong(0)).toSet == Set(6L),
+      "dups of folded (1) and live (3) docs must both drop after compaction")
+    // a second compaction folds the previous fold + newly committed batches
+    assert(StreamingAnalysis.compactBatchStore(spark, survivorsDir, 3L).contains(-2L))
+    assert(batchDirs(survivorsDir) == Set("_graft_batch=-2"))
+    assert(spark.read.parquet(survivorsDir).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L, 6L))
+    // re-run with nothing new: a no-op that reports the standing fold, no rewrite
+    assert(StreamingAnalysis.compactBatchStore(spark, survivorsDir, 3L).contains(-2L))
+    assert(batchDirs(survivorsDir) == Set("_graft_batch=-2"))
+  }
+
   test("survivors-store verification read PRUNES to candidate id-hash shards") {
     import spark.implicits._
     val text = "the quick brown fox jumps over the lazy dog near the old stone " +
