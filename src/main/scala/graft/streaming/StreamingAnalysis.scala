@@ -866,8 +866,12 @@ object StreamingAnalysis {
       return None
     }
     val paths = withData.map(id => s"$dir/$BatchCol=$id")
-    // basePath keeps the partition columns (incl. any shard column) visible.
-    val df = spark.read.option("basePath", dir).parquet(paths: _*)
+    // basePath keeps the partition columns (incl. any shard column) visible;
+    // mergeSchema because batches may carry EVOLVED schemas (nothing pins the
+    // streamed row shape) — the default first-footer schema would silently drop
+    // later batches' added columns from the fold, a permanent data loss.
+    val df = spark.read.option("basePath", dir).option("mergeSchema", "true")
+      .parquet(paths: _*)
     val tmp = new org.apache.hadoop.fs.Path(dir, s"_graft_compact_tmp_$newId")
     fs.delete(tmp, true) // a dead prior attempt's leftovers must not pollute the fold
     val writer = df.drop(BatchCol).write.mode("overwrite")

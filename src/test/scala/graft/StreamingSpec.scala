@@ -1115,6 +1115,21 @@ class StreamingSpec extends SparkSpec {
     // re-run with nothing new: a no-op that reports the standing fold, no rewrite
     assert(StreamingAnalysis.compactBatchStore(spark, survivorsDir, 3L).contains(-2L))
     assert(batchDirs(survivorsDir) == Set("_graft_batch=-2"))
+
+    // EVOLVED schema across batches: the fold must keep the union of columns
+    // (first-footer schema inference would silently drop the added column)
+    val evo = freshDir("cpevo")
+    Seq((1L, "a")).toDF("id", "text")
+      .write.parquet(s"$evo/_graft_batch=0")
+    Seq((2L, "b", 7.5)).toDF("id", "text", "score")
+      .write.parquet(s"$evo/_graft_batch=1")
+    assert(StreamingAnalysis.compactBatchStore(spark, evo, 1L).contains(-1L))
+    val folded = spark.read.parquet(evo)
+    assert(folded.columns.contains("score"),
+      s"fold must keep evolved columns, got ${folded.columns.mkString(", ")}")
+    assert(folded.select("id", "score").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap ==
+      Map(1L -> None, 2L -> Some(7.5)))
   }
 
   test("survivors-store verification read PRUNES to candidate id-hash shards") {
