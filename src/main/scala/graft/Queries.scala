@@ -1529,6 +1529,35 @@ object Queries {
              | WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
              | (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.85""".stripMargin.replaceAll("\n", " "))),
 
+    // Incremental embedding near-dup vs a persisted hyperplane-LSH bucket index —
+    // the vector member of the incremental dedup family (text minhash, image, audio,
+    // video): even vec_ids form the standing corpus (index = ~20 B (id, table,
+    // bucket) rows; their vectors are scanned but only candidate vectors shuffle),
+    // odd vec_ids the incoming batch. Expected pairs = all cosine >= 0.85 pairs
+    // touching >= 1 odd id (same brute-force DuckDB replay as dedup_embedding_pairs,
+    // restricted); the old x old exclusion — prior runs already emitted those — is
+    // pinned at 0. Identical (dim, planes, seed) on index build and batch, the
+    // bucket-match contract the streaming sink enforces with its params marker.
+    QueryDef("incremental_embedding_dedup_embeddings",
+      (s, d) => {
+        val embs = t(s, d, "embeddings")
+        val index = Dedup.embeddingBucketIndex(
+          embs.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding", dim = 64)
+        val pairs = Dedup.incrementalEmbeddingPairs(
+          embs.filter(pmod(col("vec_id"), lit(2)) === 1), index, embs,
+          "vec_id", "embedding", dim = 64, threshold = 0.85)
+        pairs.agg(
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(when(pmod(col("id_a"), lit(2)) === 0 &&
+              pmod(col("id_b"), lit(2)) === 0, 1L).otherwise(0L)), lit(0L))
+            .as("old_old_pairs"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_pairs, CAST(0 AS BIGINT) AS old_old_pairs
+             | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             | WHERE ((a.vec_id % 2 + 2) % 2 = 1 OR (b.vec_id % 2 + 2) % 2 = 1)
+             | AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             | (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.85""".stripMargin.replaceAll("\n", " "))),
+
     // SemDeDup (Abbas et al. 2023): cluster-then-dedup over the embedding space. The
     // query pins the WHOLE pipeline with FIXED one-hot centroids so DuckDB can replay
     // cell assignment exactly (argmax over the first 4 components — cosine against a
@@ -3838,12 +3867,17 @@ object Queries {
         val probeHashes = probe.filter(size(tokens(col("p_text"))) > 0)
           .select(explode(wordShingles(col("p_text"), 8)).as("_g"))
           .select(xxhash64(col("_g")).as("_h")).distinct()
+        // broadcast the distinct probe-gram hashes (1% of docs' grams): the semi
+        // join then filters the full doc-gram stream map-side instead of
+        // shuffling every gram hash — only the post-filter per-doc counts (a few
+        // rows per contaminated doc) reach an exchange. Oracle scaffolding, so
+        // the probe-side size is bounded by the test SFs, not production corpora.
         val exact = docs
           .select(col("doc_id"),
             explode(when(size(tokens(col("text"))) > 0,
               wordShingles(col("text"), 8))).as("_g"))
           .select(col("doc_id"), xxhash64(col("_g")).as("_h"))
-          .join(probeHashes, Seq("_h"), "leftsemi")
+          .join(broadcast(probeHashes), Seq("_h"), "leftsemi")
           .groupBy(col("doc_id")).agg(count(lit(1)).as("_exact"))
         flags.join(exact, Seq("doc_id"), "left")
           .agg(count(lit(1)).as("n_docs"),

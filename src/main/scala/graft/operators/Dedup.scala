@@ -1327,4 +1327,87 @@ object Dedup {
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Persistable hyperplane-LSH bucket index of an embedding corpus: one
+    * `(id, table, bucket)` row per table per vector — the embedding analog of
+    * [[minhashIndex]], and the state that makes embedding dedup INCREMENTAL. Write
+    * once for the standing corpus, then each batch buckets ITS OWN vectors only and
+    * joins [[incrementalEmbeddingPairs]] against the stored rows. Identical
+    * (dim, planes, tables, seed) for index build and every batch, or buckets cannot
+    * match (not detectable from the index itself — the caller owns that contract).
+    * Null vectors are dropped (they can never cosine-verify; their bucket is null).
+    */
+  def embeddingBucketIndex(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      planes: Int = 8, tables: Int = 1, seed: Long = 42L): DataFrame = {
+    require(planes >= 1 && planes <= 63, s"planes must be in [1, 63], got $planes")
+    require(tables >= 1, s"tables must be positive, got $tables")
+    fanOut(df.filter(col(vecCol).isNotNull))
+      .select(col(idCol).as("id"),
+        posexplode(hyperplaneBuckets(col(vecCol), dim, planes, tables, seed))
+          .as(Seq("table", "bucket")))
+      .select("id", "table", "bucket")
+  }
+
+  /** LSH candidate pairs for an incremental embedding batch: pairs among `newDocs`
+    * plus pairs between `newDocs` and the corpus behind `index` (from
+    * [[embeddingBucketIndex]], SAME parameters). Old×old pairs are gated out inside
+    * the banded join — previous runs already emitted them. The windowed
+    * `maxBucketSize` guard runs over the COMBINED buckets, so a degenerate bucket
+    * (all-zero vector piles) cannot go quadratic no matter which side fills it.
+    * Verify with [[cosineVerifyPairs]] over a vectors frame covering both corpora.
+    */
+  def incrementalEmbeddingCandidates(newDocs: DataFrame, index: DataFrame,
+      idCol: String, vecCol: String, dim: Int, planes: Int = 8, tables: Int = 1,
+      seed: Long = 42L, maxBucketSize: Int = 10000): DataFrame = {
+    require(Seq("id", "table", "bucket").forall(index.columns.contains),
+      s"index must have (id, table, bucket) columns, got ${index.columns.mkString(", ")}")
+    val newBuckets = embeddingBucketIndex(newDocs, idCol, vecCol, dim, planes,
+      tables, seed).withColumn("_new", lit(true))
+    val all = newBuckets
+      .unionByName(index.select(col("id"), col("table"), col("bucket"))
+        .withColumn("_new", lit(false)))
+      .repartition(col("table"), col("bucket"))
+    val bounded = all
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("table"), col("bucket"))))
+      .filter(col("_n") <= maxBucketSize)
+    val a = bounded.select(col("table"), col("bucket"), col("id").as("id_a"),
+      col("_new").as("_new_a"))
+    val b = bounded.select(col("table"), col("bucket"), col("id").as("id_b"),
+      col("_new").as("_new_b"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b") && (col("_new_a") || col("_new_b")))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Cosine verification of candidate id pairs: `allVecs` is semi-joined down to
+    * ids that actually appear in a pair before any shuffle, so the corpus is
+    * scanned but only candidate vectors move (the embedding analog of
+    * [[exactJaccard]]'s semi-join restriction; one explicit id shuffle feeds both
+    * pair-join sides through ReuseExchange). NOTE: `pairs` is consumed three times —
+    * pass a MATERIALIZED frame, as [[incrementalEmbeddingPairs]] does.
+    */
+  def cosineVerifyPairs(pairs: DataFrame, allVecs: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val wanted = pairs.select(col("id_a").as("_vid"))
+      .union(pairs.select(col("id_b").as("_vid"))).distinct()
+    val vecs = fanOut(allVecs).select(col(idCol).as("_vid"), col(vecCol).as("_v"))
+      .join(wanted, Seq("_vid"), "left_semi").repartition(col("_vid"))
+    pairs
+      .join(vecs.withColumnRenamed("_vid", "id_a").withColumnRenamed("_v", "v_a"), "id_a")
+      .join(vecs.withColumnRenamed("_vid", "id_b").withColumnRenamed("_v", "v_b"), "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** End-to-end incremental embedding near-dup pairs: guarded candidates against the
+    * stored index, cosine-verified ≥ `threshold`. `allVecs` must cover BOTH corpora.
+    */
+  def incrementalEmbeddingPairs(newDocs: DataFrame, index: DataFrame,
+      allVecs: DataFrame, idCol: String, vecCol: String, dim: Int, threshold: Double,
+      planes: Int = 8, tables: Int = 1, seed: Long = 42L,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val cands = incrementalEmbeddingCandidates(newDocs, index, idCol, vecCol, dim,
+      planes, tables, seed, maxBucketSize).localCheckpoint(true)
+    cosineVerifyPairs(cands, allVecs, idCol, vecCol, threshold)
+  }
 }

@@ -808,6 +808,73 @@ object StreamingAnalysis {
       land(batchId, survivors)
     }
 
+  /** One micro-batch of streaming EMBEDDING near-dup dedup with hyperplane-LSH
+    * banded recall — the vector member of the streaming dedup family (text MinHash /
+    * image / audio / video), stateful twin of
+    * [[graft.operators.Dedup.nearDupPairsEmbedding]]. Like the text path (and unlike
+    * the media paths, whose hash index IS the verification state), cosine
+    * verification needs the actual vectors, so survivors persist to `survivorsDir`
+    * sharded by id-hash and the verification read prunes to the candidates'
+    * standing-corpus shards. `indexDir` holds ~20 B `(id, table, bucket)` rows from
+    * [[graft.operators.Dedup.embeddingBucketIndex]] — each batch buckets only ITS
+    * OWN vectors. Parameters are pinned on first write; same unique-id,
+    * `_graft_batch=<id>` overwrite-idempotency, and arrival-ordered-id parity
+    * contracts as [[nearDupDedupBatch]].
+    */
+  def embeddingDedupBatch(batch: DataFrame, batchId: Long, idCol: String,
+      vecCol: String, indexDir: String, survivorsDir: String, dim: Int,
+      threshold: Double, planes: Int = 8, tables: Int = 1, seed: Long = 42L,
+      maxBucketSize: Int = 10000, idShards: Int = 64): DataFrame = {
+    import graft.operators.Dedup
+    require(idShards > 0, s"idShards must be positive, got $idShards")
+    pinStoreParams(batch.sparkSession, indexDir, "embedding " +
+      s"dim=$dim planes=$planes tables=$tables seed=$seed idShards=$idShards")
+    val emptyIndex = Dedup.embeddingBucketIndex(batch.limit(0), idCol, vecCol,
+      dim, planes, tables, seed)
+    val index = readBatchStore(indexDir, emptyIndex)
+    val shardOf = (c: Column) => pmod(xxhash64(c), lit(idShards.toLong))
+    // Same shape as the text path: GUARDED candidates first (their standing-corpus
+    // ids decide which survivor shards the cosine verification must read — the
+    // bucket-size guard inside the candidate kernel also bounds this collect),
+    // then cosine verification over batch vectors + pruned landed vectors.
+    val docsOnly = batch.select(col(idCol), col(vecCol))
+    val cands = Dedup.incrementalEmbeddingCandidates(batch, index, idCol, vecCol,
+      dim, planes, tables, seed, maxBucketSize).localCheckpoint(true)
+    val candShards = cands.select(col("id_a").as("_cid"))
+      .union(cands.select(col("id_b").as("_cid"))).distinct()
+      .join(batch.select(col(idCol).as("_cid")).distinct(), Seq("_cid"), "left_anti")
+      .select(shardOf(col("_cid")).as("s"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val landed =
+      if (candShards.isEmpty) docsOnly.limit(0)
+      else readBatchStore(survivorsDir, docsOnly, pruneTo = Some((ShardCol, candShards)))
+    val verified = Dedup.cosineVerifyPairs(cands, docsOnly.unionByName(landed),
+      idCol, vecCol, threshold)
+    val survivors = survivorsAfterPairs(batch, idCol, verified).localCheckpoint(true)
+    survivors.withColumn(ShardCol, shardOf(col(idCol)))
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy(ShardCol).parquet(s"$survivorsDir/$BatchCol=$batchId")
+    Dedup.embeddingBucketIndex(survivors, idCol, vecCol, dim, planes, tables, seed)
+      .write.mode("overwrite").parquet(s"$indexDir/$BatchCol=$batchId")
+    survivors
+  }
+
+  /** `writeStream.foreachBatch` adapter for [[embeddingDedupBatch]]: each
+    * micro-batch of vectors is deduped against everything accepted so far,
+    * survivors land in `survivorsDir`, and their LSH buckets extend the index.
+    */
+  def embeddingDedupSink(stream: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, survivorsDir: String, dim: Int, threshold: Double,
+      planes: Int = 8, tables: Int = 1, seed: Long = 42L,
+      maxBucketSize: Int = 10000, idShards: Int = 64,
+      onBatch: (Long, Long) => Unit = (_, _) => ()): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      val survivors = embeddingDedupBatch(batch.toDF(), batchId, idCol, vecCol,
+        indexDir, survivorsDir, dim, threshold, planes, tables, seed,
+        maxBucketSize, idShards)
+      onBatch(batchId, survivors.count())
+    }
+
   /** Compact a per-batch store: fold every `_graft_batch=<id>` partition with
     * `0 <= id <= upToBatch` — plus any earlier compaction output — into ONE fresh
     * negative-id partition, preserving the `_graft_idh` shard layout when present

@@ -1068,6 +1068,67 @@ class StreamingSpec extends SparkSpec {
     assert(b2.count() == 0L, "healed stores must still dedup against both landed docs")
   }
 
+  test("streaming EMBEDDING dedup drops cross-batch near-dup vectors via the " +
+    "persisted LSH index and matches the batch keep-lowest pass") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = 16
+    def unit(active: Int, eps: Float = 0f): Seq[Float] =
+      Seq.tabulate(dim)(i => (if (i == active) 1f else 0f) + (if (i == (active + 1) % dim) eps else 0f))
+    val vA = unit(0)
+    val vAnear = unit(0, 0.05f)     // cosine vs vA ≈ 0.9988 — a true near-dup
+    val vB = unit(5)                // orthogonal to both
+    val vC = unit(9)
+    assert(Seq((1L, vA), (2L, vAnear)).toDF("id", "v")
+      .select(Dedup.cosine(lit(vA.toArray), col("v"))).collect()(1).getDouble(0) > 0.99)
+
+    val indexDir = freshDir("embidx")
+    val survivorsDir = freshDir("embsurv")
+    val counts = scala.collection.mutable.Map[Long, Long]()
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingAnalysis.embeddingDedupSink(
+      input.toDF().toDF("id", "v"), "id", "v", indexDir, survivorsDir,
+      dim = dim, threshold = 0.99,
+      onBatch = (b, n) => counts.synchronized { counts(b) = n })
+      .outputMode("update").start()
+    try {
+      input.addData((1L, vA), (2L, vB))
+      q.processAllAvailable()
+      // the near-dup of vector 1 arrives a micro-batch later with a fresh vector
+      // and a null row (null vectors can never verify and must pass through)
+      input.addData((3L, vAnear), (4L, vC), (5L, null))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(counts.synchronized(counts.toMap) == Map(0L -> 2L, 1L -> 2L), counts.toString)
+    val keptIds = spark.read.parquet(survivorsDir)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptIds == Set(1L, 2L, 4L, 5L),
+      s"cross-batch embedding near-dup 3 must drop, null vector 5 must pass: $keptIds")
+
+    // parity with the batch keep-lowest pass over the same arrival-ordered events
+    val allVecs = Seq((1L, vA), (2L, vB), (3L, vAnear), (4L, vC),
+      (5L, null.asInstanceOf[Seq[Float]])).toDF("id", "v")
+    val batchKept = Dedup.dedupNearEmbedding(allVecs, "id", "v", dim, 0.99)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(batchKept == keptIds, s"batch pass kept $batchKept, streaming kept $keptIds")
+
+    // replayed batch heals idempotently, same as the text path
+    val replay = StreamingAnalysis.embeddingDedupBatch(
+      Seq((3L, vAnear), (4L, vC), (5L, null.asInstanceOf[Seq[Float]])).toDF("id", "v"),
+      1L, "id", "v", indexDir, survivorsDir, dim, 0.99)
+    assert(replay.select("id").collect().map(_.getLong(0)).toSet == Set(4L, 5L))
+    assert(spark.read.parquet(survivorsDir).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 4L, 5L), "replay must not double-land")
+
+    // parameter drift fails loud (bucket seeds could never match)
+    val e = intercept[IllegalArgumentException] {
+      StreamingAnalysis.embeddingDedupBatch(Seq((6L, vB)).toDF("id", "v"),
+        2L, "id", "v", indexDir, survivorsDir, dim, 0.99, planes = 4)
+    }
+    assert(e.getMessage.contains("parameters"), e.getMessage)
+  }
+
   test("batch-store compaction folds committed partitions, keeps shard pruning, " +
     "and the stream keeps deduping against the fold") {
     import spark.implicits._
