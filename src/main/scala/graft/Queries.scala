@@ -88,11 +88,28 @@ object Queries {
     * parameterization: bump it if `mk`'s construction ever changes.
     * Returns (media, nDocs).
     */
+  // (nDocs, xor-of-doc_ids) per dataset dir, computed once per JVM: the fixture key
+  // needs a content FINGERPRINT (a regenerated dataset with the same row count but
+  // different doc_ids must rebuild, not reuse a stale fixture — the same reasoning
+  // as the tuned-lineitem cache key in Bench), and the scan that computes it must
+  // not run inside every timed execution of six media queries.
+  private val fixtureMeta =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  private def docsFingerprint(s: SparkSession, d: String): (Long, Long) =
+    fixtureMeta.computeIfAbsent(d, _ => {
+      // bit_xor, not sum: summing full-range xxhash64 longs overflows, which
+      // ANSI mode (the Spark 4 default) turns into a runtime error
+      val row = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        .agg(count(lit(1)).as("n"),
+          coalesce(expr("bit_xor(xxhash64(doc_id))"), lit(0L)).as("fp")).head()
+      (row.getLong(0), row.getLong(1))
+    })
+
   private def mediaFixture(s: SparkSession, d: String, tag: String, colName: String)(
       mk: Long => Array[Byte]): (DataFrame, Long) = {
-    val nDocs = t(s, d, "documents").filter(col("doc_id").isNotNull).count()
+    val (nDocs, fp) = docsFingerprint(s, d)
     val fix = s"${System.getProperty("java.io.tmpdir")}/graft_bench_${tag}_" +
-      s"${d.hashCode.toHexString}_$nDocs"
+      s"${d.hashCode.toHexString}_${nDocs}_${fp.toHexString}"
     if (!new java.io.File(s"$fix/_SUCCESS").exists()) {
       val mkU = udf(mk)
       t(s, d, "documents").filter(col("doc_id").isNotNull)
@@ -127,10 +144,13 @@ object Queries {
       graft.operators.Multimodal.MediaCodecs.encodeNoiseWav(
         8000, 4096, (((id % 37) + 37) % 37)))
 
-  /** Bucket guard sized to the video fixture's same-seed geometry (2x headroom over
-    * the expected nDocs/37 same-hash bucket), floored at the operator default.
+  /** Bucket guard sized to the pmod-37 same-seed fixture geometry ALL media
+    * fixtures share (2x headroom over the expected nDocs/37 same-hash bucket),
+    * floored at the operator default — a FIXED guard silently drops every
+    * same-seed bucket past ~37x its value and diverges from the oracles'
+    * n_pairs arithmetic.
     */
-  private def videoBucketGuard(nDocs: Long): Int =
+  private def mediaBucketGuard(nDocs: Long): Int =
     math.max(10000L, nDocs / 37 * 2 + 16).min(Int.MaxValue).toInt
 
   private def withProbe(s: SparkSession, d: String)(body: Seq[Float] => DataFrame): DataFrame =
@@ -2336,12 +2356,13 @@ object Queries {
         import graft.operators.Multimodal
         // stored-media fixture (imageFixture): the per-row PNG encode is a
         // one-time build shared with the operator arm, not a per-run cost
-        val (media, _) = imageFixture(s, d)
+        val (media, nDocs) = imageFixture(s, d)
         // ONE run of the encode+hash+band pipeline (checkpointed, bounded at
         // n_pairs rows): both the pair stats and the keep-lowest survivor count
         // (dedupImages' exact rule: drop distinct id_b) derive from it — dedupImages
         // itself is semantics-pinned in MultimodalSpec.
-        val pairs = Multimodal.nearDupPairsImage(media, "doc_id", "img", maxHamming = 3)
+        val pairs = Multimodal.nearDupPairsImage(media, "doc_id", "img",
+            maxHamming = 3, maxBucketSize = mediaBucketGuard(nDocs))
           .localCheckpoint(true)
         val dropped = pairs.select(col("id_b")).distinct()
           .agg(count(lit(1)).as("_n_dropped"))
@@ -2376,8 +2397,9 @@ object Queries {
     QueryDef("audio_dedup_documents",
       (s, d) => {
         import graft.operators.Multimodal
-        val (media, _) = audioFixture(s, d) // stored-media fixture, like image_dedup
-        val pairs = Multimodal.nearDupPairsAudio(media, "doc_id", "snd", maxHamming = 3)
+        val (media, nDocs) = audioFixture(s, d) // stored-media fixture, like image_dedup
+        val pairs = Multimodal.nearDupPairsAudio(media, "doc_id", "snd",
+          maxHamming = 3, maxBucketSize = mediaBucketGuard(nDocs))
           .localCheckpoint(true)
         val dropped = pairs.select(col("id_b")).distinct()
           .agg(count(lit(1)).as("_n_dropped"))
@@ -2412,12 +2434,12 @@ object Queries {
     QueryDef("incremental_image_dedup_documents",
       (s, d) => {
         import graft.operators.Multimodal
-        val (docs, _) = imageFixture(s, d) // stored-media fixture, like image_dedup
+        val (docs, nDocs) = imageFixture(s, d) // stored-media fixture, like image_dedup
         val index = Multimodal.imageHashIndex(docs.filter(col("doc_id") % 2 === 0),
           "doc_id", "img")
         val fresh = docs.filter(col("doc_id") % 2 =!= 0)
         val pairs = Multimodal.incrementalImagePairs(fresh, index, "doc_id", "img",
-          maxHamming = 3)
+          maxHamming = 3, maxBucketSize = mediaBucketGuard(nDocs))
         pairs.agg(
           count(lit(1)).as("n_pairs"),
           coalesce(sum(when(col("id_a") % 2 === 0 && col("id_b") % 2 === 0, 1L)
@@ -2487,7 +2509,7 @@ object Queries {
         val (media, nDocs) = videoClipFixture(s, d)
         val pairs = Multimodal.nearDupPairsVideo(media, "doc_id", "clip",
           maxHamming = 3, minMatchingFrames = 2,
-          maxBucketSize = videoBucketGuard(nDocs))
+          maxBucketSize = mediaBucketGuard(nDocs))
           .localCheckpoint(true)
         val dropped = pairs.select(col("id_b")).distinct()
           .agg(count(lit(1)).as("_n_dropped"))
@@ -2531,7 +2553,7 @@ object Queries {
         val fresh = docs.filter(col("doc_id") % 2 =!= 0)
         val pairs = Multimodal.incrementalVideoPairs(fresh, index, "doc_id", "clip",
           maxHamming = 3, minMatchingFrames = 2,
-          maxBucketSize = videoBucketGuard(nDocs))
+          maxBucketSize = mediaBucketGuard(nDocs))
         pairs.agg(
           count(lit(1)).as("n_pairs"),
           coalesce(sum(when(col("id_a") % 2 === 0 && col("id_b") % 2 === 0, 1L)
@@ -4933,7 +4955,7 @@ object Queries {
       val (media, nDocs) = videoClipFixture(s, d)
       Multimodal.nearDupPairsVideo(media, "doc_id", "clip",
         maxHamming = 3, minMatchingFrames = 2,
-        maxBucketSize = videoBucketGuard(nDocs))
+        maxBucketSize = mediaBucketGuard(nDocs))
         .agg(count(lit(1)).as("n_pairs"))
     }),
     // Incremental-video operator arm over the SAME cached clip fixture as the
@@ -4947,7 +4969,7 @@ object Queries {
         "doc_id", "clip")
       Multimodal.incrementalVideoPairs(docs.filter(col("doc_id") % 2 =!= 0), index,
         "doc_id", "clip", maxHamming = 3, minMatchingFrames = 2,
-        maxBucketSize = videoBucketGuard(nDocs))
+        maxBucketSize = mediaBucketGuard(nDocs))
         .agg(count(lit(1)).as("n_pairs"))
     }),
     // Operator over STORED media bytes — what a production caller pays; same
@@ -4955,8 +4977,9 @@ object Queries {
     // oracle's same-seed/hamming boolean replays.
     "image_dedup_documents" -> ((s, d) => {
       import graft.operators.Multimodal
-      val (media, _) = imageFixture(s, d)
-      val pairs = Multimodal.nearDupPairsImage(media, "doc_id", "img", maxHamming = 3)
+      val (media, nDocs) = imageFixture(s, d)
+      val pairs = Multimodal.nearDupPairsImage(media, "doc_id", "img",
+        maxHamming = 3, maxBucketSize = mediaBucketGuard(nDocs))
         .localCheckpoint(true)
       val dropped = pairs.select(col("id_b")).distinct()
         .agg(count(lit(1)).as("_n_dropped"))

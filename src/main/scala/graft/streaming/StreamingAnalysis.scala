@@ -655,35 +655,48 @@ object StreamingAnalysis {
     val emptyIndex = Dedup.minhashIndex(batch.limit(0), idCol, textCol,
       shingleSize, numHashes, bands)
     val index = readBatchStore(indexDir, emptyIndex)
-    val shardOf = (c: Column) => pmod(xxhash64(c), lit(idShards.toLong))
     // Candidates FIRST (materialized — the verify stage consumes them three times
     // anyway): their id set decides which survivor-store shards the exact-Jaccard
-    // verification must read. Collect is bounded by idShards values, not docs.
+    // verification must read.
     val cands = Dedup.incrementalMinhashCandidates(batch, index, idCol, textCol,
       shingleSize, numHashes, bands, maxBucketSize).localCheckpoint(true)
-    val docsOnly = batch.select(col(idCol), col(textCol))
-    // Shards to read = id-hashes of the candidates' OLD-side ids only: new-side
-    // docs resolve from the batch itself, and a batch with many internal pairs
-    // would otherwise drag its own shards into the store read for nothing —
-    // for a large batch that degrades the pruned read back toward a full scan.
+    val survivors = verifyAgainstShardedStore(batch, batchId, idCol, textCol,
+      cands, survivorsDir, idShards,
+      (c, all) => Dedup.exactJaccard(c, all, idCol, textCol, shingleSize)
+        .filter(col("jaccard") >= threshold))
+    Dedup.minhashIndex(survivors, idCol, textCol, shingleSize, numHashes, bands)
+      .write.mode("overwrite").parquet(s"$indexDir/$BatchCol=$batchId")
+    survivors
+  }
+
+  /** Shared tail of the store-backed dedup batches (text MinHash / embedding):
+    * collect the candidates' STANDING-CORPUS id-hash shards (new-side docs resolve
+    * from the batch itself — including them would degrade the pruned read toward a
+    * full scan on large batches; the collect is bounded by idShards values), read
+    * only those survivor shards, run the modality's exact `verify(cands, allDocs)`
+    * check, drop the new side of verified pairs, and land survivors sharded by
+    * id-hash under this batch's static-overwrite partition. Returns the landed
+    * survivors (localCheckpointed — consumed by the caller's index write too).
+    */
+  private def verifyAgainstShardedStore(batch: DataFrame, batchId: Long,
+      idCol: String, payloadCol: String, cands: DataFrame, survivorsDir: String,
+      idShards: Int, verify: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val shardOf = (c: Column) => pmod(xxhash64(c), lit(idShards.toLong))
+    val docsOnly = batch.select(col(idCol), col(payloadCol))
     val candShards = cands.select(col("id_a").as("_cid"))
       .union(cands.select(col("id_b").as("_cid"))).distinct()
       .join(batch.select(col(idCol).as("_cid")).distinct(), Seq("_cid"), "left_anti")
       .select(shardOf(col("_cid")).as("s"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val landedDocs =
+    val landed =
       if (candShards.isEmpty) docsOnly.limit(0)
       else readBatchStore(survivorsDir, docsOnly, pruneTo = Some((ShardCol, candShards)))
-    val verified = Dedup.exactJaccard(cands, docsOnly.unionByName(landedDocs),
-        idCol, textCol, shingleSize)
-      .filter(col("jaccard") >= threshold)
+    val verified = verify(cands, docsOnly.unionByName(landed))
     val survivors = survivorsAfterPairs(batch, idCol, verified)
       .localCheckpoint(true) // consumed twice (both writes) + returned: one computation
     survivors.withColumn(ShardCol, shardOf(col(idCol)))
       .write.mode("overwrite").option("partitionOverwriteMode", "static")
       .partitionBy(ShardCol).parquet(s"$survivorsDir/$BatchCol=$batchId")
-    Dedup.minhashIndex(survivors, idCol, textCol, shingleSize, numHashes, bands)
-      .write.mode("overwrite").parquet(s"$indexDir/$BatchCol=$batchId")
     survivors
   }
 
@@ -832,28 +845,14 @@ object StreamingAnalysis {
     val emptyIndex = Dedup.embeddingBucketIndex(batch.limit(0), idCol, vecCol,
       dim, planes, tables, seed)
     val index = readBatchStore(indexDir, emptyIndex)
-    val shardOf = (c: Column) => pmod(xxhash64(c), lit(idShards.toLong))
-    // Same shape as the text path: GUARDED candidates first (their standing-corpus
-    // ids decide which survivor shards the cosine verification must read — the
-    // bucket-size guard inside the candidate kernel also bounds this collect),
+    // Same shape as the text path: GUARDED candidates first (the bucket-size guard
+    // inside the candidate kernel also bounds the shared tail's shard collect),
     // then cosine verification over batch vectors + pruned landed vectors.
-    val docsOnly = batch.select(col(idCol), col(vecCol))
     val cands = Dedup.incrementalEmbeddingCandidates(batch, index, idCol, vecCol,
       dim, planes, tables, seed, maxBucketSize).localCheckpoint(true)
-    val candShards = cands.select(col("id_a").as("_cid"))
-      .union(cands.select(col("id_b").as("_cid"))).distinct()
-      .join(batch.select(col(idCol).as("_cid")).distinct(), Seq("_cid"), "left_anti")
-      .select(shardOf(col("_cid")).as("s"))
-      .distinct().collect().map(_.getLong(0)).toSeq
-    val landed =
-      if (candShards.isEmpty) docsOnly.limit(0)
-      else readBatchStore(survivorsDir, docsOnly, pruneTo = Some((ShardCol, candShards)))
-    val verified = Dedup.cosineVerifyPairs(cands, docsOnly.unionByName(landed),
-      idCol, vecCol, threshold)
-    val survivors = survivorsAfterPairs(batch, idCol, verified).localCheckpoint(true)
-    survivors.withColumn(ShardCol, shardOf(col(idCol)))
-      .write.mode("overwrite").option("partitionOverwriteMode", "static")
-      .partitionBy(ShardCol).parquet(s"$survivorsDir/$BatchCol=$batchId")
+    val survivors = verifyAgainstShardedStore(batch, batchId, idCol, vecCol,
+      cands, survivorsDir, idShards,
+      (c, all) => Dedup.cosineVerifyPairs(c, all, idCol, vecCol, threshold))
     Dedup.embeddingBucketIndex(survivors, idCol, vecCol, dim, planes, tables, seed)
       .write.mode("overwrite").parquet(s"$indexDir/$BatchCol=$batchId")
     survivors
@@ -885,17 +884,21 @@ object StreamingAnalysis {
     * live store because it strips the partition layout).
     *
     * Crash-safe ordering: the fold lands in an underscore temp dir first — no `=`
-    * in the name, so Spark's listing cannot see a half-written fold — then one
-    * rename publishes it, and only then are the source partitions deleted. A crash
-    * between publish and delete double-lands rows until a re-run finishes the
-    * deletes — so compaction must be IDEMPOTENTLY re-runnable, and is: re-running
-    * with the same `upToBatch` folds the leftovers into the next negative id.
+    * in the name, so Spark's listing cannot see a half-written fold — carrying a
+    * `_graft_folded` manifest of the source partition ids; one rename publishes
+    * it, and only then are the source partitions deleted. A crash between publish
+    * and delete double-lands rows ONLY until the next call: every run first heals
+    * by deleting any source partition still present that a published fold's
+    * manifest already covers (re-folding such leftovers would duplicate their
+    * rows permanently — the fold already contains them).
     *
     * Caller contract: compact only batches the streaming checkpoint has fully
     * committed past — a foreachBatch RETRY of a compacted batch id would re-land
     * that batch's rows alongside the fold (the per-batch overwrite heals only its
-    * own partition). Negative ids are reserved for compaction output; foreachBatch
-    * ids are non-negative by construction.
+    * own partition; the manifest heal then removes the re-landed copy in favor of
+    * the fold, which is identical under the retry-idempotency contract). Negative
+    * ids are reserved for compaction output; foreachBatch ids are non-negative by
+    * construction.
     *
     * Returns the published compaction partition id, or None when nothing to fold.
     */
@@ -904,9 +907,31 @@ object StreamingAnalysis {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return None
-    val batchIds = fs.listStatus(root).filter(_.isDirectory)
+    def listIds(): Array[Long] = fs.listStatus(root).filter(_.isDirectory)
       .map(_.getPath.getName).filter(_.startsWith(s"$BatchCol="))
       .flatMap(n => scala.util.Try(n.stripPrefix(s"$BatchCol=").toLong).toOption)
+    // HEAL before planning: a prior run that crashed between publish and delete
+    // left source partitions whose rows the published fold already holds —
+    // re-folding them would duplicate rows permanently, so finish its deletes.
+    listIds().filter(_ < 0).foreach { negId =>
+      val manifest = new org.apache.hadoop.fs.Path(dir,
+        s"$BatchCol=$negId/_graft_folded")
+      if (fs.exists(manifest)) {
+        val in = fs.open(manifest)
+        val folded = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSeq
+          finally in.close()
+        folded.foreach { id =>
+          val p = new org.apache.hadoop.fs.Path(dir, s"$BatchCol=$id")
+          if (fs.exists(p)) {
+            log.warn(s"compactBatchStore: healing interrupted compaction — " +
+              s"$BatchCol=$id is already folded into $BatchCol=$negId, deleting leftover")
+            fs.delete(p, true)
+          }
+        }
+      }
+    }
+    val batchIds = listIds()
     val fold = batchIds.filter(id => id < 0 || (id >= 0 && id <= upToBatch))
     if (fold.isEmpty) return None
     // Single surviving fold and nothing new to add: re-running is a no-op, not a
@@ -944,6 +969,14 @@ object StreamingAnalysis {
     val writer = df.drop(BatchCol).write.mode("overwrite")
     (if (df.columns.contains(ShardCol)) writer.partitionBy(ShardCol) else writer)
       .parquet(tmp.toString)
+    // Manifest of folded source ids rides inside the fold (the rename publishes
+    // both atomically): it is what lets a later run heal an interrupted delete
+    // instead of duplicating the sources into the next fold. Underscore name
+    // without `=` keeps it invisible to Spark's listings.
+    locally {
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_graft_folded"), true)
+      try out.write(fold.mkString("", "\n", "\n").getBytes("UTF-8")) finally out.close()
+    }
     val target = new org.apache.hadoop.fs.Path(dir, s"$BatchCol=$newId")
     require(fs.rename(tmp, target), s"compaction publish rename failed: $tmp -> $target")
     fold.foreach(id => fs.delete(new org.apache.hadoop.fs.Path(dir, s"$BatchCol=$id"), true))

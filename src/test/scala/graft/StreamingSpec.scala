@@ -1177,6 +1177,22 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingAnalysis.compactBatchStore(spark, survivorsDir, 3L).contains(-2L))
     assert(batchDirs(survivorsDir) == Set("_graft_batch=-2"))
 
+    // INTERRUPTED compaction (crash between publish and source delete): batch 3's
+    // partition — listed in the published fold's manifest — survives alongside
+    // the fold that already contains its rows. A re-run must HEAL (delete the
+    // leftover because the manifest covers it), not fold it again, which would
+    // duplicate doc 6's rows permanently.
+    Seq((6L, "an entirely new third topic: alpine glacier mass balance, firn " +
+      "densification and meltwater runoff")).toDF("id", "text")
+      .withColumn("_graft_idh", pmod(xxhash64(col("id")), lit(64L)))
+      .write.partitionBy("_graft_idh").parquet(s"$survivorsDir/_graft_batch=3")
+    assert(StreamingAnalysis.compactBatchStore(spark, survivorsDir, 3L).contains(-2L))
+    assert(batchDirs(survivorsDir) == Set("_graft_batch=-2"),
+      s"heal must delete the already-folded leftover: ${batchDirs(survivorsDir)}")
+    val ids = spark.read.parquet(survivorsDir).select("id").collect().map(_.getLong(0))
+    assert(ids.sorted.toSeq == Seq(1L, 3L, 6L),
+      s"healed store must hold each survivor exactly once: ${ids.toSeq.sorted}")
+
     // EVOLVED schema across batches: the fold must keep the union of columns
     // (first-footer schema inference would silently drop the added column)
     val evo = freshDir("cpevo")
