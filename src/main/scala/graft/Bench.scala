@@ -65,6 +65,51 @@ object Bench {
     ctx.updateLoggers()
   }
 
+  // ---- ambient-load sampling (round-13 verdict item 1) ----
+  // Every phantom regression this bench has adjudicated traced to a co-tenant
+  // process eating the box DURING an arm — discovered by hand, after the fact,
+  // because the sidecar recorded nothing about ambient load. Sample /proc/stat
+  // (whole-box busy jiffies) and /proc/self/stat (this JVM's utime+stime) around
+  // each arm: ambient = (box busy − own) / capacity over the window. This
+  // separates "the box was busy because the bench was" (own work, expected ~1.0
+  // system load during an arm) from "someone else was burning the cores the
+  // measurement needed" — which raw loadavg cannot (our own 32-thread jobs
+  // dominate the 1-min average). loadavg is still recorded for the sidecar.
+  private final case class LoadSnap(busy: Long, own: Long, nanos: Long)
+  private def loadSnap(): Option[LoadSnap] =
+    try {
+      val stat = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
+      val vals = stat.linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+      val idle = vals(3) + (if (vals.length > 4) vals(4) else 0L) // idle + iowait
+      val self = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/self/stat"))
+      // comm (field 2) may contain spaces — parse after its closing paren;
+      // utime/stime are fields 14/15 (1-based) = indices 11/12 past the state field
+      val rest = self.substring(self.lastIndexOf(')') + 2).split(" ")
+      Some(LoadSnap(vals.sum - idle, rest(11).toLong + rest(12).toLong,
+        System.nanoTime()))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  /** Fraction of the box's CPU capacity consumed by OTHER processes between the
+    * two snaps (USER_HZ = 100); -1 when /proc is unavailable or the window is empty.
+    */
+  private def ambientFrac(a: Option[LoadSnap], b: Option[LoadSnap]): Double =
+    (a, b) match {
+      case (Some(x), Some(y)) if y.nanos > x.nanos =>
+        val cap = (y.nanos - x.nanos) / 1e9 * 100.0 *
+          Runtime.getRuntime.availableProcessors()
+        if (cap <= 0) -1.0
+        else math.max(0.0, ((y.busy - x.busy) - (y.own - x.own)) / cap)
+      case _ => -1.0
+    }
+  private def loadAvg(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+    catch { case scala.util.control.NonFatal(_) => -1.0 }
+  /** An arm whose window had more than a quarter of the box eaten by co-tenants
+    * is contaminated: its reading adjudicates/cools down even when the ratio is
+    * inside its bound (the r13 lesson — sub-bound drift compounded for rounds).
+    */
+  private val AmbientDirty = 0.25
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -91,6 +136,27 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // Ambient-load annotation per arm (round-13 verdict item 1): every recorded
+    // reading carries the co-tenant CPU fraction of its own measurement window in
+    // the untrimmed sidecar, so a noisy window no longer costs a hand-written
+    // PLANS.md investigation — the contamination is in the committed artifact.
+    // Max across a label's windows: an adjudicated value publishes the min of its
+    // arms, and the annotation's job is to say "this number's history includes a
+    // dirty window", which a latest-window overwrite would erase.
+    val ambient = scala.collection.mutable.Map[String, Double]()
+    // closed-form adjudication values (output-cardinality / operator-arm ratios)
+    // that ride the untrimmed sidecar next to the readings they explain
+    val models = scala.collection.mutable.Map[String, Double]()
+    def withAmbient[T](label: String)(f: => T): T = {
+      val pre = loadSnap()
+      val out = f
+      val amb = ambientFrac(pre, loadSnap())
+      if (amb >= 0) ambient(label) = math.max(amb, ambient.getOrElse(label, 0.0))
+      out
+    }
+    models("loadavg_start") = loadAvg()
+    println(f"[ambient] loadavg at start ${models("loadavg_start")}%.2f")
+
     // Settle protocol (rounds 8-10 lesson): clear cached plans/data, force a
     // GC and let the heap quiesce before any ratio-bearing measurement that
     // runs after other work — post-loop readings otherwise inflate up to ~2x
@@ -108,12 +174,14 @@ object Bench {
 
     // ---- headline: 20-constraint suite over lineitem, cold then warm ----
     val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    val coldSec = secs { require(suite20(lineitem).metrics.totalConstraints == 20) }
+    val coldSec = withAmbient("suite20_cold") {
+      secs { require(suite20(lineitem).metrics.totalConstraints == 20) }
+    }
     // The suite's batched agg is a single-row global aggregation: AQE has nothing to
     // re-plan and its shuffle materialization costs ~0.3 s per sub-second query, so the
     // steady-state suite numbers are measured with it off.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val warmRuns = (1 to 7).map(_ => secs { suite20(lineitem) })
+    val warmRuns = withAmbient("suite20_warm") { (1 to 7).map(_ => secs { suite20(lineitem) }) }
     val warmSec = warmRuns.sorted.apply(warmRuns.size / 2) // median
 
     // The shipped sf0.1 lineitem is ONE file with ONE 600k-row row group (audited:
@@ -139,7 +207,7 @@ object Bench {
       }
       val li32 = spark.read.parquet(tunedPath)
       (1 to 3).foreach(_ => suite20(li32))
-      val runs = (1 to 7).map(_ => secs { suite20(li32) })
+      val runs = withAmbient("suite20_warm_tuned") { (1 to 7).map(_ => secs { suite20(li32) }) }
       runs.sorted.apply(runs.size / 2)
     }
 
@@ -154,7 +222,7 @@ object Bench {
     (1 to 8).foreach(_ => suite20(cached))
     // 35 runs: the min over 25 still varied 0.14-0.20 s across JVM launches (ambient
     // CPU contention); a deeper pool costs ~2 s and tightens the headline.
-    val cachedRuns = (1 to 35).map(_ => secs { suite20(cached) })
+    val cachedRuns = withAmbient("suite20_cached") { (1 to 35).map(_ => secs { suite20(cached) }) }
     // Best steady-state run, not the median: the per-round driver environment can run
     // other work concurrently, and a single contended run must not define the headline
     // (criterion-style best-of-N; BASELINE's 0.21 s is likewise the optimized best).
@@ -205,18 +273,21 @@ object Bench {
     // collect() materializes every output column — what Verify's parquet dump (and a
     // real consumer) pays. Results are driver-safe: every queries() entry returns a
     // bounded frame (single-row metrics / top-k) by design.
-    def measure(fn: (SparkSession, String) => DataFrame): Double = {
+    def measure(fn: (SparkSession, String) => DataFrame, label: String = ""): Double = {
       def once: Double =
         try { val t0 = System.nanoTime(); fn(spark, sfDir).collect(); (System.nanoTime() - t0) / 1e9 }
         catch { case scala.util.control.NonFatal(_) => -1.0 }
-      val warm = once // untimed: codegen + JIT warmup
-      val t1 = once
-      if (warm < 0 || t1 < 0) -1.0
-      else if (t1 > 0.8) { val t2 = once; if (t2 < 0) t1 else math.min(t1, t2) }
-      else t1
+      def run(): Double = {
+        val warm = once // untimed: codegen + JIT warmup
+        val t1 = once
+        if (warm < 0 || t1 < 0) -1.0
+        else if (t1 > 0.8) { val t2 = once; if (t2 < 0) t1 else math.min(t1, t2) }
+        else t1
+      }
+      if (label.isEmpty) run() else withAmbient(label)(run())
     }
     val results0 = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> measure(fn)
+      name -> measure(fn, name)
     }
 
     // ---- round-over-round headline adjudication (round-11 verdict item 1) ----
@@ -274,30 +345,42 @@ object Bench {
     // Sort by the extracted ROUND NUMBER, not the name: lexicographically
     // "BENCH_r9" > "BENCH_r12", so a name sort would adjudicate against a
     // stale round's baseline once rounds reach double digits.
-    val latestRoundPath = Option(new java.io.File(".").listFiles()).flatMap(
+    val roundPaths = Option(new java.io.File(".").listFiles()).map(
       _.filter(_.getName.matches("BENCH_r\\d+\\.json"))
-        .sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt).lastOption)
-      .map(_.getPath)
+        .sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt).toSeq)
+      .getOrElse(Nil).map(_.getPath)
+    val latestRoundPath = roundPaths.lastOption
     val prevFull = prevPath.orElse(latestRoundPath).map(parsePrev).getOrElse(emptyPrev)
     val prevRound = latestRoundPath.map(parsePrev).getOrElse(emptyPrev)
     val (prevQ, prevOp) = (prevFull.q, prevFull.op)
     val prevHead =
       if (prevFull.q.keys.exists(_.startsWith("suite20_"))) prevFull.q else prevRound.q
-    val prevSf1R = if (prevFull.sf1R.nonEmpty) prevFull.sf1R else prevRound.sf1R
-    val prevSf10R = if (prevFull.sf10R.nonEmpty) prevFull.sf10R else prevRound.sf10R
+    // sf-block ratio baselines: the BEST committed ratio per query over the last
+    // THREE rounds (plus the untrimmed sidecar), not just the latest round's.
+    // Comparing against only the previous round had a ratchet hole: two
+    // consecutive sub-trigger drifts compound past the trigger while
+    // re-baselining every round (r12→r13 shipped dedup_minhash sf10 3.88→6.71
+    // as two unadjudicated 1.7x moves).
+    val last3 = roundPaths.takeRight(3).map(parsePrev)
+    def bestRatios(maps: Seq[Map[String, Double]]): Map[String, Double] =
+      maps.flatMap(_.toSeq).filter(_._2 > 0).groupMapReduce(_._1)(_._2)(math.min)
+    val prevSf1R = bestRatios(prevFull.sf1R +: last3.map(_.sf1R))
+    val prevSf10R = bestRatios(prevFull.sf10R +: last3.map(_.sf10R))
     // Ratio-block names publish table-suffix-stripped (stdout budget); the prev
     // maps key on the same short form.
     def shortQ(n: String): String = n.stripSuffix("_documents")
       .stripSuffix("_events").stripSuffix("_embeddings")
-    // Round-over-round ratio trigger (round-12 verdict item 2): the >2x
-    // auto-adjudication watched per-query seconds and op arms but not the
+    // Round-over-round ratio trigger (round-12 verdict item 2, tightened r14):
+    // the auto-adjudication watched per-query seconds and op arms but not the
     // sf-block RATIOS — exactly where r12's suite20 19.85x phantom shipped
-    // (denominator swung 1.73 s -> 0.50 s unadjudicated). A ratio more than 2x
-    // the previous round's committed ratio now lowers the printed-arms
+    // (denominator swung 1.73 s -> 0.50 s unadjudicated). A ratio more than 1.5x
+    // the best committed ratio of the last three rounds lowers the printed-arms
     // adjudication threshold to that point, so the settle + min-of-pairs
-    // protocol fires on ratio regressions too, not only on absolute blowups.
+    // protocol fires on ratio regressions too, not only on absolute blowups
+    // (1.5x, was 2x: the multiplier must be low enough that two consecutive
+    // under-trigger drifts cannot compound past the old trigger unadjudicated).
     def ratioTrigger(prev: Map[String, Double], name: String, base: Double): Double =
-      prev.get(shortQ(name)).filter(_ > 0).fold(base)(p => math.min(base, 2 * p))
+      prev.get(shortQ(name)).filter(_ > 0).fold(base)(p => math.min(base, 1.5 * p))
     // Bounded: a WHOLE-ENVIRONMENT shift (slower driver machine) would flag dozens
     // of queries at once — re-measuring all of them re-proves the same ambient fact
     // at minutes of cost. Past the cap the moves are still printed, just not re-run.
@@ -341,7 +424,7 @@ object Bench {
     val opSplit: Seq[(String, (Double, Double))] =
       Queries.operatorArms.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
         resultMap.get(name).map { full =>
-          val op0 = measure(fn)
+          val op0 = measure(fn, s"op:$name")
           // same round-over-round rule for the operator arm itself — the r11
           // dedup_clusters regression hid exactly here (flat op arm, moving rest)
           val op = adjudicateVsPrev("op_arm", name, op0, prevOp.get(name), fn)
@@ -460,7 +543,10 @@ object Bench {
           SparkEntry.queries.get(name) match {
             case None => (name, -1.0, 9999.0)
             case Some(fn) =>
+              val pre0 = loadSnap()
               var big = onceAt(fn, dir)
+              val amb0 = ambientFrac(pre0, loadSnap())
+              if (amb0 >= 0) ambient(s"sf1:${shortQ(name)}") = amb0
               var s01 = resultMap.getOrElse(name, -1.0)
               if (big >= 0 && s01 > 0 && big / s01 > 3.0) {
                 // suspicious ratio: re-measure BOTH sides once and take mins —
@@ -472,12 +558,17 @@ object Bench {
                 if (b2 >= 0) big = math.min(big, b2)
               }
               if (big >= 0 && s01 > 0 &&
-                  big / s01 > ratioTrigger(prevSf1R, name, 5.0)) {
+                  (big / s01 > ratioTrigger(prevSf1R, name, 5.0) ||
+                    amb0 > AmbientDirty)) {
                 // still past the adjudication threshold (round-10 verdict: a
                 // >5x reading must not ship unprofiled; since round 13 also any
-                // ratio >2x the previous round's): settle the heap and
-                // re-measure min-of-2 BOTH sides again, printing every arm so
-                // the shipped ratio carries its own adjudication trail
+                // ratio past the committed-baseline trigger; since round 14 any
+                // reading whose OWN window was ambient-contaminated, whatever
+                // the ratio): settle the heap and re-measure min-of-2 BOTH
+                // sides again, printing every arm so the shipped ratio carries
+                // its own adjudication trail
+                if (amb0 > AmbientDirty)
+                  println(f"[sf1-adjudicate] $name first window ambient $amb0%.2f — re-measuring")
                 settle()
                 val arms = (1 to 2).map { _ => (onceAt(fn, sfDir), onceAt(fn, dir)) }
                 arms.foreach { case (sA, bA) =>
@@ -534,6 +625,33 @@ object Bench {
             if (big < 0 || small <= 0) 9999.0 else big / small)
         }
         val qs = qs0 :+ semScaled
+        // Output-cardinality model for range_join (round-13 verdict item 7): the
+        // query is pair-output-bound by construction (every event inside any
+        // user's first-hour window — 10x events AND 10x user windows), so its
+        // perennial block-worst ratio is adjudicated against the measured output
+        // growth instead of being hand-waved "output-bound": for a
+        // linear-in-output plan, time_ratio / output_ratio ≈ const ≲ 1.5. Both
+        // sides' n_pairs come from the query's own 1-row aggregate (warm re-run).
+        try {
+          (SparkEntry.queries.get("range_join_events"),
+            qs0.find(_._1 == "range_join_events")) match {
+            case (Some(fn), Some((_, _, tr))) if tr > 0 && tr < 9000 =>
+              def pairsAt(d: String): Double = {
+                val r = fn(spark, d).collect().head
+                r.getLong(r.fieldIndex("n_pairs")).toDouble
+              }
+              val (pS, pB) = (pairsAt(sfDir), pairsAt(dir))
+              val outR = if (pS > 0) pB / pS else -1.0
+              val norm = if (outR > 0) tr / outR else -1.0
+              models("range_join_output_ratio") = outR
+              models("range_join_time_per_output") = norm
+              println(f"[sf1-model] range_join n_pairs $pS%.0f -> $pB%.0f " +
+                f"(output ${outR}%.2fx); time ${tr}%.2fx; time/output $norm%.2f " +
+                "(linear-in-output plan holds at <~1.5)")
+            case _ => ()
+          }
+        } catch { case scala.util.control.NonFatal(e) =>
+          println(s"[sf1-model] range_join model failed: ${e.getMessage}") }
         val li1 = spark.read.parquet(s"$dir/lineitem.parquet")
         // the sf0.1 warm median was measured with AQE OFF (its shuffle
         // materialization costs ~0.3 s on a sub-second suite — comment above);
@@ -591,6 +709,8 @@ object Bench {
             val sf1secs = qs1.map { case (n, s, _) => n -> s }.toMap
             val heavy10 = Seq("dedup_minhash_documents", "dedup_ngram_jaccard_documents",
               "contamination_firewall_documents", "similarity_ivf_topk", "hll_rollup_events")
+            val dir1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+              s"/tmp/graft_sf1_gen_v${graft.tools.GenData.Version}")
             val rows = heavy10.map { name =>
               (SparkEntry.queries.get(name), sf1secs.get(name).filter(_ > 0)) match {
                 case (Some(fn), Some(s1)) =>
@@ -599,21 +719,30 @@ object Bench {
                   // inflates the next reading ~2x this late in the bench
                   // (final-run arms vs isolated profiles, PLANS round 11)
                   settle(deep = true)
+                  val pre0 = loadSnap()
                   var big = onceAt10(fn, dir10)
+                  val amb0 = ambientFrac(pre0, loadSnap())
+                  if (amb0 >= 0) ambient(s"sf10:${shortQ(name)}") = amb0
                   var den = s1
-                  if (big >= 0 && big / den > ratioTrigger(prevSf10R, name, 5.0)) {
-                    // same adjudication rule as the sf1 block: settle, then
+                  var lastAmb = amb0
+                  if (big >= 0 && (big / den > ratioTrigger(prevSf10R, name, 5.0) ||
+                      amb0 > AmbientDirty)) {
+                    // same adjudication rule as the sf1 block (since r14 ALSO
+                    // armed on a dirty first window at any ratio): settle, then
                     // min-of-2 both sides with every arm printed — plus a THIRD
                     // pair when the ratio still exceeds 10x (round-12 variance
                     // study: this box reads a minute-scale query 24-67 s within
                     // ONE JVM in bad hours, so two arms can both land in a noisy
                     // window; a 12-14x phantom nearly shipped twice)
+                    if (amb0 > AmbientDirty)
+                      println(f"[sf10-adjudicate] $name first window ambient $amb0%.2f — re-measuring")
                     settle(deep = true)
-                    val dir1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
-                      s"/tmp/graft_sf1_gen_v${graft.tools.GenData.Version}")
                     def pair(): Unit = {
+                      val pre = loadSnap()
                       val dA = onceAt10(fn, dir1); val bA = onceAt10(fn, dir10)
-                      println(f"[sf10-adjudicate] $name arms sf1=$dA%.3f sf10=$bA%.3f")
+                      lastAmb = ambientFrac(pre, loadSnap())
+                      println(f"[sf10-adjudicate] $name arms sf1=$dA%.3f sf10=$bA%.3f " +
+                        f"ambient=$lastAmb%.2f")
                       if (dA > 0) den = math.min(den, dA)
                       if (bA >= 0) big = math.min(big, bA)
                     }
@@ -623,18 +752,36 @@ object Bench {
                     // three pairs OVER the published bound have, on every isolated
                     // re-profile, been co-tenant CPU spikes (ngram quiet profile
                     // ~6x vs 16.5x inside a spike where one arm read 119 s). When
-                    // still above the bound, wait the spike out and sample once
-                    // more — bounded at two extra pairs, every arm printed.
+                    // still above the bound — or (since r14) whenever the LAST
+                    // pair's own window was ambient-dirty and the ratio is in the
+                    // watch zone — wait the spike out and sample once more;
+                    // bounded at two extra pairs, every arm printed.
                     var cooldowns = 0
-                    while (big >= 0 && big / den > 14.0 && cooldowns < 2) {
+                    while (big >= 0 && cooldowns < 2 &&
+                        (big / den > 14.0 ||
+                          (lastAmb > AmbientDirty && big / den > 5.0))) {
                       cooldowns += 1
                       println(f"[sf10-adjudicate] $name still ${big / den}%.1fx " +
-                        s"after adjudication — cooldown pair $cooldowns")
+                        f"(ambient $lastAmb%.2f) after adjudication — cooldown pair $cooldowns")
                       Thread.sleep(90000)
                       settle(deep = true)
                       pair()
                     }
                   }
+                  // Operator-arm model (round-13 verdict items 4/5): a published
+                  // full ratio still in the watch zone gets its operator-only arm
+                  // measured on both sides — a ~linear op ratio pins the gap on
+                  // the oracle-verify scaffolding, not the operator plan, in the
+                  // committed artifact instead of a by-hand isolated profile.
+                  if (big >= 0 && den > 0 && big / den > 6.0)
+                    graft.Queries.operatorArms.get(name).foreach { arm =>
+                      val o1 = onceAt10(arm, dir1); val o10 = onceAt10(arm, dir10)
+                      if (o1 > 0 && o10 >= 0) {
+                        models(s"sf10_op_${shortQ(name)}") = o10 / o1
+                        println(f"[sf10-model] $name operator-only sf1=$o1%.3f " +
+                          f"sf10=$o10%.3f op_ratio=${o10 / o1}%.2fx (full ${big / den}%.2fx)")
+                      }
+                    }
                   (name, big, if (big < 0 || den <= 0) 9999.0 else big / den)
                 case _ => (name, -1.0, 9999.0)
               }
@@ -643,26 +790,31 @@ object Bench {
             settle(deep = true)
             spark.conf.set("spark.sql.adaptive.enabled", "false")
             (1 to 2).foreach(_ => suite20(li10)) // warmup reads (page cache + codegen)
+            val preW = loadSnap()
             var w10 = (1 to 3).map(_ => secs { suite20(li10) }).sorted.apply(1)
+            val ambW = ambientFrac(preW, loadSnap())
+            if (ambW >= 0) ambient("sf10:suite20") = ambW
             // suite20 gets the SAME adjudication protocol as the operator arms
             // (round-12 verdict item 1: the arm was a bare median-of-3 against a
             // one-shot sf1 denominator, and the denominator's 1.73 s -> 0.50 s
             // swing manufactured a 19.85x phantom on a demonstrably-linear plan).
             // Settle + min-of-pairs re-measures BOTH sides — the sf1 denominator
             // inside the adjudication, not this run's single earlier reading —
-            // with every arm printed; a third pair past 10x.
+            // with every arm printed; a third pair past 10x. Since r14 a dirty
+            // first window arms the adjudication at any ratio.
             var wDen = w1
-            if (wDen > 0 && w10 / wDen > ratioTrigger(prevSf10R, "suite20", 5.0)) {
-              val dir1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
-                s"/tmp/graft_sf1_gen_v${graft.tools.GenData.Version}")
+            if (wDen > 0 && (w10 / wDen > ratioTrigger(prevSf10R, "suite20", 5.0) ||
+                ambW > AmbientDirty)) {
               val li1 = spark.read.parquet(s"$dir1/lineitem.parquet")
               def pair(): Unit = {
                 settle(deep = true)
                 suite20(li1) // warmup read after the settle
+                val pre = loadSnap()
                 val dA = (1 to 3).map(_ => secs { suite20(li1) }).min
                 suite20(li10)
                 val bA = (1 to 3).map(_ => secs { suite20(li10) }).min
-                println(f"[sf10-adjudicate] suite20 arms sf1=$dA%.3f sf10=$bA%.3f")
+                println(f"[sf10-adjudicate] suite20 arms sf1=$dA%.3f sf10=$bA%.3f " +
+                  f"ambient=${ambientFrac(pre, loadSnap())}%.2f")
                 wDen = math.min(wDen, dA)
                 w10 = math.min(w10, bA)
               }
@@ -738,11 +890,16 @@ object Bench {
       else opSplit.map { case (k, (op, ver)) =>
         "\"" + k + "\":[" + r2(op) + "," + r2(ver) + "]"
       }.mkString(""","op_verify_sec":{""", ",", "}")
+    // Worst co-tenant contamination seen across every annotated arm — the
+    // one-glance "was this run's box quiet" flag (full per-arm map in the sidecar).
+    val ambJson: String = ambient.maxByOption(_._2).map { case (q, v) =>
+      s""","amb_worst":{"q":"$q","v":${r2(v)}}"""
+    }.getOrElse("")
     def line(entries: Seq[(String, Double)]): String = {
       val qs = (entries.map { case (k, v) => "\"" + k + "\":" + r2(v) } ++
         headline.map { case (k, v) => "\"" + k + "\":" + r3(v) })
         .mkString("{", ",", "}")
-      s"""{"metric":"suite20_inmemory_sec","value":${r3(cachedPub)},"unit":"sec","queries":$qs$opJson$sweepJson$sf1Json$sf10Json,"sf":"$sfDir"}"""
+      s"""{"metric":"suite20_inmemory_sec","value":${r3(cachedPub)},"unit":"sec","queries":$qs$opJson$sweepJson$sf1Json$sf10Json$ambJson,"sf":"$sfDir"}"""
     }
     var entries = results
     // Drop the smallest NON-NEGATIVE value first: -1.0 failure sentinels must stay
@@ -771,9 +928,19 @@ object Bench {
           (if (w > 0 && warmPub > 0) Seq("suite20" -> w / warmPub) else Nil)
       }
       val sf10R = sf10.toSeq.flatten.map(q => q._1 -> q._3)
+      // Per-arm ambient-load annotations + closed-form model values (round-13
+      // verdict items 1/4/5/7): the contamination evidence and the adjudication
+      // arithmetic live NEXT TO the readings they explain, in the committed
+      // artifact, so a noisy round needs no hand-written PLANS.md narrative.
+      models("loadavg_end") = loadAvg()
+      def flatMap2(key: String, m: scala.collection.Map[String, Double]): String =
+        if (m.isEmpty) ""
+        else m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + r2(v) }
+          .mkString(s""","$key":{""", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL_LATEST.json"),
         full + opJson + flatRatios("sf1_ratios", sf1R) +
-          flatRatios("sf10_ratios", sf10R) + "}\n")
+          flatRatios("sf10_ratios", sf10R) +
+          flatMap2("ambient", ambient) + flatMap2("models", models) + "}\n")
     } catch { case scala.util.control.NonFatal(e) =>
       println(s"[roundvr] sidecar write failed (non-fatal): ${e.getMessage}") }
     spark.stop()

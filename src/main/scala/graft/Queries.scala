@@ -4906,6 +4906,22 @@ object Queries {
           coalesce(sum(when(col("flagged_frac") === 1.0, 1L).otherwise(0L)), lit(0L))
             .as("fully_flagged"))
     }),
+    // Bloom BLOCKING arm for the %7-split decontamination query: probe-gram Bloom
+    // build + ONE corpus scan through the codegen'd might_contain rollup — the
+    // near-linear stages. The remainder of the full query is the exact
+    // false-positive scrub (semi-join of the Bloom-thinned corpus grams against
+    // the probe gram set) + per-doc scoring — bounded by Bloom-survivor count,
+    // but a blocking regression must not hide inside it (round-14: bloom became
+    // the 10x-sweep worst at 9.25x with no arm to localize the cost).
+    "contamination_bloom_documents" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val probe = docs.filter(col("doc_id") % 7 === 0)
+      val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+      val bytes = graft.operators.Dedup.buildContaminationBloom(probe, "text", 6)
+      graft.operators.Dedup.contaminationFlagsBloom(corpus, bytes, "doc_id", "text", 6)
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("grams_flagged")), lit(0L)).as("grams_flagged"))
+    }),
     // Per-group sketches + merged estimate — no exact count_distinct arms.
     "hll_rollup_events" -> ((s, d) => {
       val per = graft.Metrics.approxDistinctRollup(t(s, d, "events"), "event_type", "user_id")

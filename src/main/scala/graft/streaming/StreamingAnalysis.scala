@@ -530,6 +530,28 @@ object StreamingAnalysis {
   private val BatchCol = "_graft_batch"
   private val ShardCol = "_graft_idh"
 
+  /** Fail loud on a store laid out by a PRE-`_graft_batch` version (partitions
+    * named `batch=<id>`): every current read/compact path would silently ignore
+    * those partitions — the survivors read loses standing corpus (recall silently
+    * degrades), compaction never folds them, and partition discovery can throw a
+    * conflicting-layout error far from the cause. A store is touched through
+    * [[pinStoreParams]] (every batch operator's first act) and
+    * [[compactBatchStore]], so both call this first.
+    */
+  private def assertCurrentLayout(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(root)) return
+    val legacy = fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.matches("batch=-?\\d+"))
+    require(legacy.isEmpty,
+      s"store at $root uses the legacy 'batch=<id>' partition layout " +
+        s"(${legacy.take(3).mkString(", ")}${if (legacy.length > 3) ", …" else ""}) — " +
+        "current readers only see '_graft_batch=<id>' partitions, so its state would " +
+        "be silently ignored. Rename each 'batch=<id>' directory to " +
+        "'_graft_batch=<id>' (and shard survivors stores by '_graft_idh' via a " +
+        "one-off rewrite), or rebuild the store from the landed corpus")
+  }
+
   /** Pin a store's construction parameters: the first writer records `params` in a
     * `_graft_params` marker file inside `dir` (leading underscore without `=` ⇒
     * invisible to Spark's file listing); every later call must present the SAME
@@ -543,6 +565,7 @@ object StreamingAnalysis {
       dir: String, params: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(dir, "_graft_params")
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    assertCurrentLayout(fs, new org.apache.hadoop.fs.Path(dir))
     if (fs.exists(path)) {
       val in = fs.open(path)
       val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -650,10 +673,15 @@ object StreamingAnalysis {
       maxBucketSize: Int = 1000, idShards: Int = 64): DataFrame = {
     import graft.operators.Dedup
     require(idShards > 0, s"idShards must be positive, got $idShards")
-    pinStoreParams(batch.sparkSession, indexDir, "minhash " +
-      s"shingleSize=$shingleSize numHashes=$numHashes bands=$bands idShards=$idShards")
+    // Parameter validation BEFORE the pin: the empty-index construction runs the
+    // kernel's own requires (numHashes % bands etc.), so a first-ever call with
+    // invalid params fails here instead of pinning the bad parameter string into
+    // `_graft_params` — which would then reject the corrected retry until the
+    // marker was deleted by hand.
     val emptyIndex = Dedup.minhashIndex(batch.limit(0), idCol, textCol,
       shingleSize, numHashes, bands)
+    pinStoreParams(batch.sparkSession, indexDir, "minhash " +
+      s"shingleSize=$shingleSize numHashes=$numHashes bands=$bands idShards=$idShards")
     val index = readBatchStore(indexDir, emptyIndex)
     // Candidates FIRST (materialized — the verify stage consumes them three times
     // anyway): their id set decides which survivor-store shards the exact-Jaccard
@@ -681,6 +709,14 @@ object StreamingAnalysis {
   private def verifyAgainstShardedStore(batch: DataFrame, batchId: Long,
       idCol: String, payloadCol: String, cands: DataFrame, survivorsDir: String,
       idShards: Int, verify: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    // The WHOLE batch schema must avoid the reserved names, not just the id+payload
+    // read projection: survivors land with `withColumn(ShardCol, …)` (which would
+    // silently REPLACE a caller's same-named data column) under a BatchCol=<id>
+    // partition dir (where a same-named data column collides with partition
+    // discovery on later full-store reads).
+    require(!batch.columns.contains(BatchCol) && !batch.columns.contains(ShardCol),
+      s"columns $BatchCol/$ShardCol are reserved by the survivors store " +
+        s"(batch schema: ${batch.columns.mkString(", ")}) — rename them upstream")
     val shardOf = (c: Column) => pmod(xxhash64(c), lit(idShards.toLong))
     val docsOnly = batch.select(col(idCol), col(payloadCol))
     val candShards = cands.select(col("id_a").as("_cid"))
@@ -700,20 +736,42 @@ object StreamingAnalysis {
     survivors
   }
 
+  /** Compaction cadence shared by the store-backed dedup sinks: after every
+    * `compactEvery`-th micro-batch, fold each store's committed-past partitions
+    * (`id <= batchId - 1`) into one. The committed-past contract is enforced here
+    * IN CODE, not by the caller: when batch `batchId`'s foreachBatch runs, the
+    * engine has already written batch `batchId - 1`'s commit-log entry, so every
+    * folded id is final — only the CURRENT batch can ever be retried, and it is
+    * never folded. Running inline in foreachBatch also serializes compaction with
+    * the stream's own store reads (no read can race the publish-then-delete
+    * window), which is what makes the cadence safe without any pause/lock
+    * protocol. `compactEvery = 0` (the default) disables compaction.
+    */
+  private[graft] def maybeCompact(spark: org.apache.spark.sql.SparkSession,
+      batchId: Long, compactEvery: Int, dirs: String*): Unit = {
+    require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      dirs.foreach(d => compactBatchStore(spark, d, batchId - 1))
+  }
+
   /** `writeStream.foreachBatch` adapter for [[nearDupDedupBatch]]: each micro-batch is
     * deduped against everything accepted so far (banded recall, exact-Jaccard
     * verified), survivors land in `survivorsDir`, and their bands extend the index for
     * the next batch. `onBatch` sees (batchId, survivors-written) for metrics/alerting.
+    * `compactEvery = N` folds both stores' committed-past per-batch partitions every
+    * N batches ([[maybeCompact]]) so the file-listing cost of the store reads stays
+    * flat over an unbounded stream instead of growing one partition per micro-batch.
     */
   def nearDupDedupSink(stream: DataFrame, idCol: String, textCol: String,
       indexDir: String, survivorsDir: String, threshold: Double,
       shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,
-      maxBucketSize: Int = 1000, idShards: Int = 64,
+      maxBucketSize: Int = 1000, idShards: Int = 64, compactEvery: Int = 0,
       onBatch: (Long, Long) => Unit = (_, _) => ()): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       val survivors = nearDupDedupBatch(batch, batchId, idCol, textCol, indexDir,
         survivorsDir, threshold, shingleSize, numHashes, bands, maxBucketSize, idShards)
       onBatch(batchId, survivors.count())
+      maybeCompact(batch.sparkSession, batchId, compactEvery, indexDir, survivorsDir)
     }
 
   /** One micro-batch of streaming IMAGE near-dup dedup with banded ≤`maxHamming`-bit
@@ -776,10 +834,15 @@ object StreamingAnalysis {
     import graft.operators.Multimodal
     // everyNth/maxFrames shape the stored frame rows themselves; the decoder
     // FUNCTION can't be fingerprinted and stays a documented caller contract.
-    pinStoreParams(batch.sparkSession, indexDir,
-      s"video-framehash everyNth=$everyNth maxFrames=$maxFrames")
+    // Validation BEFORE the pin: an invalid first call must not record its bad
+    // parameter string into `_graft_params` (which would then reject the
+    // corrected retry until the marker was deleted by hand).
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
+    require(maxFrames >= 1, s"maxFrames must be >= 1, got $maxFrames")
     val emptyIndex = Multimodal.videoFrameHashIndex(batch.limit(0), idCol, binCol,
       decoder, everyNth, maxFrames)
+    pinStoreParams(batch.sparkSession, indexDir,
+      s"video-framehash everyNth=$everyNth maxFrames=$maxFrames")
     val index = readBatchStore(indexDir, emptyIndex)
     val pairs = Multimodal.incrementalVideoPairs(batch, index, idCol, binCol,
       decoder, everyNth, maxFrames, maxHamming, minMatchingFrames, maxBucketSize)
@@ -798,11 +861,12 @@ object StreamingAnalysis {
       decoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] =
         graft.operators.Multimodal.DefaultFrameDecoder,
       everyNth: Int = 1, maxFrames: Int = 16, maxHamming: Int = 3,
-      minMatchingFrames: Int = 2, maxBucketSize: Int = 10000,
+      minMatchingFrames: Int = 2, maxBucketSize: Int = 10000, compactEvery: Int = 0,
       land: (Long, DataFrame) => Unit = (_, _) => ()): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       land(batchId, videoDedupBatch(batch.toDF(), batchId, idCol, binCol, indexDir,
         decoder, everyNth, maxFrames, maxHamming, minMatchingFrames, maxBucketSize))
+      maybeCompact(batch.sparkSession, batchId, compactEvery, indexDir)
     }
 
   /** `foreachBatch` adapter for [[imageDedupBatch]] / [[audioDedupBatch]]: `land` is
@@ -811,6 +875,7 @@ object StreamingAnalysis {
     */
   def mediaDedupSink(stream: DataFrame, idCol: String, binCol: String, indexDir: String,
       audio: Boolean = false, maxHamming: Int = 3, maxBucketSize: Int = 10000,
+      compactEvery: Int = 0,
       land: (Long, DataFrame) => Unit = (_, _) => ()): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       val survivors =
@@ -819,6 +884,7 @@ object StreamingAnalysis {
         else imageDedupBatch(batch.toDF(), batchId, idCol, binCol, indexDir,
           maxHamming, maxBucketSize)
       land(batchId, survivors)
+      maybeCompact(batch.sparkSession, batchId, compactEvery, indexDir)
     }
 
   /** One micro-batch of streaming EMBEDDING near-dup dedup with hyperplane-LSH
@@ -840,10 +906,12 @@ object StreamingAnalysis {
       maxBucketSize: Int = 10000, idShards: Int = 64): DataFrame = {
     import graft.operators.Dedup
     require(idShards > 0, s"idShards must be positive, got $idShards")
-    pinStoreParams(batch.sparkSession, indexDir, "embedding " +
-      s"dim=$dim planes=$planes tables=$tables seed=$seed idShards=$idShards")
+    // validate params (the empty-index build runs the planes/tables/dim requires)
+    // BEFORE pinning — same first-call ordering rule as nearDupDedupBatch
     val emptyIndex = Dedup.embeddingBucketIndex(batch.limit(0), idCol, vecCol,
       dim, planes, tables, seed)
+    pinStoreParams(batch.sparkSession, indexDir, "embedding " +
+      s"dim=$dim planes=$planes tables=$tables seed=$seed idShards=$idShards")
     val index = readBatchStore(indexDir, emptyIndex)
     // Same shape as the text path: GUARDED candidates first (the bucket-size guard
     // inside the candidate kernel also bounds the shared tail's shard collect),
@@ -865,13 +933,14 @@ object StreamingAnalysis {
   def embeddingDedupSink(stream: DataFrame, idCol: String, vecCol: String,
       indexDir: String, survivorsDir: String, dim: Int, threshold: Double,
       planes: Int = 8, tables: Int = 1, seed: Long = 42L,
-      maxBucketSize: Int = 10000, idShards: Int = 64,
+      maxBucketSize: Int = 10000, idShards: Int = 64, compactEvery: Int = 0,
       onBatch: (Long, Long) => Unit = (_, _) => ()): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       val survivors = embeddingDedupBatch(batch.toDF(), batchId, idCol, vecCol,
         indexDir, survivorsDir, dim, threshold, planes, tables, seed,
         maxBucketSize, idShards)
       onBatch(batchId, survivors.count())
+      maybeCompact(batch.sparkSession, batchId, compactEvery, indexDir, survivorsDir)
     }
 
   /** Compact a per-batch store: fold every `_graft_batch=<id>` partition with
@@ -896,32 +965,80 @@ object StreamingAnalysis {
     * committed past — a foreachBatch RETRY of a compacted batch id would re-land
     * that batch's rows alongside the fold (the per-batch overwrite heals only its
     * own partition; the manifest heal then removes the re-landed copy in favor of
-    * the fold, which is identical under the retry-idempotency contract). Negative
+    * the fold, which is identical under the retry-idempotency contract). The sinks'
+    * `compactEvery` cadence ([[maybeCompact]]) satisfies this by construction
+    * (`upToBatch = batchId - 1` inside batch `batchId`'s foreachBatch). Negative
     * ids are reserved for compaction output; foreachBatch ids are non-negative by
     * construction.
+    *
+    * Concurrency contract: compaction must not race the store's READERS — a
+    * survivors/index read that lists files before the publish and resolves them
+    * after the source deletes hits FileNotFoundException, and one that lists
+    * DURING the publish-then-delete window can see a row in both the fold and its
+    * source. The sink cadence runs compaction inline in foreachBatch, which
+    * serializes it with that stream's own reads; an OUT-OF-BAND call must run with
+    * the stream paused between micro-batches (and any external readers quiesced).
+    * Two concurrent COMPACTORS are detected at publish: the rename loser fails
+    * loud BEFORE deleting any source partition (the next call heals from the
+    * winner's manifest).
     *
     * Returns the published compaction partition id, or None when nothing to fold.
     */
   def compactBatchStore(spark: org.apache.spark.sql.SparkSession, dir: String,
-      upToBatch: Long): Option[Long] = {
+      upToBatch: Long): Option[Long] =
+    compactBatchStoreImpl(spark, dir, upToBatch, () => ())
+
+  /** [[compactBatchStore]] with a test seam fired right before the publish rename —
+    * how the concurrent-compactor loser path is exercised deterministically.
+    */
+  private[graft] def compactBatchStoreImpl(spark: org.apache.spark.sql.SparkSession,
+      dir: String, upToBatch: Long, preRename: () => Unit): Option[Long] = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return None
+    assertCurrentLayout(fs, root)
     def listIds(): Array[Long] = fs.listStatus(root).filter(_.isDirectory)
       .map(_.getPath.getName).filter(_.startsWith(s"$BatchCol="))
       .flatMap(n => scala.util.Try(n.stripPrefix(s"$BatchCol=").toLong).toOption)
+    // Manifest read with an integrity gate: the last line is a `end <count>`
+    // terminator written with the ids, so a truncated/corrupt manifest (object-store
+    // partial write, fs corruption) fails LOUD here instead of silently healing a
+    // PREFIX of the folded ids — the unhealed suffix would be re-folded by the
+    // next compaction and its rows duplicated permanently.
+    def readManifest(manifest: org.apache.hadoop.fs.Path): Seq[Long] = {
+      def corrupt(why: String) = new IllegalStateException(
+        s"compaction manifest $manifest is corrupt ($why). The fold's DATA is " +
+          "intact, but its source list is unreadable, so automatic healing could " +
+          "duplicate rows. Reconcile by hand: delete every source " +
+          s"$BatchCol=<id> directory whose rows the fold already contains " +
+          "(or delete the fold itself and re-compact from the sources), then re-run.")
+      // An I/O-level failure (checksum mismatch, partial object) IS corruption —
+      // surface the same actionable message, not a raw filesystem exception.
+      val lines = try {
+        val in = fs.open(manifest)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim).filter(_.nonEmpty).toVector finally in.close()
+      } catch { case e: java.io.IOException =>
+        throw corrupt(s"unreadable: ${e.getMessage}") }
+      if (lines.isEmpty || !lines.last.startsWith("end ")) throw corrupt("missing terminator")
+      val n = lines.last.stripPrefix("end ").toLongOption
+        .getOrElse(throw corrupt("unreadable terminator"))
+      val ids = lines.dropRight(1).map(l =>
+        l.toLongOption.getOrElse(throw corrupt(s"unreadable id line '$l'")))
+      if (ids.length != n) throw corrupt(s"terminator says $n ids, found ${ids.length}")
+      ids
+    }
     // HEAL before planning: a prior run that crashed between publish and delete
     // left source partitions whose rows the published fold already holds —
     // re-folding them would duplicate rows permanently, so finish its deletes.
+    // This also covers the retry-of-a-folded-batch case: a foreachBatch retry that
+    // re-landed a manifest-covered id is deleted here in favor of the fold (the
+    // two are identical under the retry-idempotency contract).
     listIds().filter(_ < 0).foreach { negId =>
       val manifest = new org.apache.hadoop.fs.Path(dir,
         s"$BatchCol=$negId/_graft_folded")
       if (fs.exists(manifest)) {
-        val in = fs.open(manifest)
-        val folded = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSeq
-          finally in.close()
-        folded.foreach { id =>
+        readManifest(manifest).foreach { id =>
           val p = new org.apache.hadoop.fs.Path(dir, s"$BatchCol=$id")
           if (fs.exists(p)) {
             log.warn(s"compactBatchStore: healing interrupted compaction — " +
@@ -964,7 +1081,11 @@ object StreamingAnalysis {
     // later batches' added columns from the fold, a permanent data loss.
     val df = spark.read.option("basePath", dir).option("mergeSchema", "true")
       .parquet(paths: _*)
-    val tmp = new org.apache.hadoop.fs.Path(dir, s"_graft_compact_tmp_$newId")
+    // UUID-unique temp name: two concurrent compactors computing the same newId
+    // must not clobber each other's half-written fold (the collision is then
+    // caught at publish, below, before either deletes anything).
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s"_graft_compact_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     fs.delete(tmp, true) // a dead prior attempt's leftovers must not pollute the fold
     val writer = df.drop(BatchCol).write.mode("overwrite")
     (if (df.columns.contains(ShardCol)) writer.partitionBy(ShardCol) else writer)
@@ -972,13 +1093,31 @@ object StreamingAnalysis {
     // Manifest of folded source ids rides inside the fold (the rename publishes
     // both atomically): it is what lets a later run heal an interrupted delete
     // instead of duplicating the sources into the next fold. Underscore name
-    // without `=` keeps it invisible to Spark's listings.
+    // without `=` keeps it invisible to Spark's listings. The `end <count>`
+    // terminator is the integrity gate readManifest requires.
     locally {
       val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_graft_folded"), true)
-      try out.write(fold.mkString("", "\n", "\n").getBytes("UTF-8")) finally out.close()
+      try out.write((fold.mkString("", "\n", "\n") + s"end ${fold.length}\n")
+        .getBytes("UTF-8")) finally out.close()
     }
     val target = new org.apache.hadoop.fs.Path(dir, s"$BatchCol=$newId")
+    preRename()
+    // Publish gate, all failure paths BEFORE any source delete: (1) a concurrent
+    // compactor already published this id — abort, its fold covers the same
+    // sources and the next call heals from its manifest; (2) the rename itself
+    // failed; (3) the rename LANDED INSIDE a concurrently-published target
+    // (Hadoop rename-into-existing-directory semantics on a race between the
+    // exists probe and the rename) — remove the nested junk and abort.
+    def loseRace(why: String): Nothing = {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"compaction of $dir lost a publish race ($why) — aborting BEFORE deleting " +
+          "any source partition; re-run to heal from the winner's manifest")
+    }
+    if (fs.exists(target)) loseRace(s"$target already exists")
     require(fs.rename(tmp, target), s"compaction publish rename failed: $tmp -> $target")
+    val nested = new org.apache.hadoop.fs.Path(target, tmp.getName)
+    if (fs.exists(nested)) { fs.delete(nested, true); loseRace(s"rename nested into $target") }
     fold.foreach(id => fs.delete(new org.apache.hadoop.fs.Path(dir, s"$BatchCol=$id"), true))
     Some(newId)
   }

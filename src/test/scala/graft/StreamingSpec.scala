@@ -1244,4 +1244,318 @@ class StreamingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("reserved"), e.getMessage)
   }
+
+  // ---------- round-14: store lifecycle hardening ----------
+
+  test("compactBatchStore adversarial matrix: folded-batch retry, stacked-fold " +
+    "leftover, corrupt manifest, concurrent compactors") {
+    import spark.implicits._
+    def mkBatch(dir: String, id: Long, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "text").write.mode("overwrite").parquet(s"$dir/_graft_batch=$id")
+    def idCounts(dir: String): Map[Long, Long] =
+      spark.read.parquet(dir).groupBy("id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def tmpDirs(dir: String): Seq[String] =
+      new java.io.File(dir).listFiles().map(_.getName)
+        .filter(_.startsWith("_graft_compact_tmp")).toSeq
+
+    // (a) foreachBatch RETRY of an already-folded batch id: the retry re-lands its
+    // rows alongside the fold (transient duplication, visible); the NEXT compaction
+    // call heals from the manifest — the re-landed copy is deleted in favor of the
+    // fold, never re-folded (which would duplicate permanently).
+    val d1 = freshDir("cmx_retry")
+    mkBatch(d1, 0, Seq((1L, "a")))
+    mkBatch(d1, 1, Seq((2L, "b")))
+    assert(StreamingAnalysis.compactBatchStore(spark, d1, 1L).contains(-1L))
+    mkBatch(d1, 1, Seq((2L, "b"))) // the retry (idempotent rows, per contract)
+    assert(idCounts(d1) == Map(1L -> 1L, 2L -> 2L), "retry transiently duplicates")
+    assert(StreamingAnalysis.compactBatchStore(spark, d1, 1L).contains(-1L))
+    assert(idCounts(d1) == Map(1L -> 1L, 2L -> 1L),
+      s"manifest heal must drop the re-landed copy, not re-fold it: ${idCounts(d1)}")
+
+    // (b) STACKED folds with a leftover source from the first: fold -1 exists with
+    // a crash-leftover source it already covers, plus two newly committed batches.
+    // One call must heal the leftover first, then fold {-1, 2, 3} into -2 with
+    // every row exactly once.
+    val d2 = freshDir("cmx_stack")
+    mkBatch(d2, 0, Seq((1L, "a")))
+    mkBatch(d2, 1, Seq((2L, "b")))
+    assert(StreamingAnalysis.compactBatchStore(spark, d2, 1L).contains(-1L))
+    mkBatch(d2, 1, Seq((2L, "b"))) // crash-before-delete leftover of batch 1
+    mkBatch(d2, 2, Seq((3L, "c")))
+    mkBatch(d2, 3, Seq((4L, "d")))
+    assert(StreamingAnalysis.compactBatchStore(spark, d2, 3L).contains(-2L))
+    assert(idCounts(d2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L), idCounts(d2).toString)
+    assert(new java.io.File(d2).listFiles().map(_.getName)
+      .filter(_.startsWith("_graft_batch=")).toSet == Set("_graft_batch=-2"))
+
+    // (c) corrupt/truncated manifest: healing from a PREFIX of the folded ids would
+    // let the next fold duplicate the unhealed suffix — must fail LOUD instead.
+    val d3 = freshDir("cmx_corrupt")
+    mkBatch(d3, 0, Seq((1L, "a")))
+    mkBatch(d3, 1, Seq((2L, "b")))
+    assert(StreamingAnalysis.compactBatchStore(spark, d3, 1L).contains(-1L))
+    val manifest = java.nio.file.Paths.get(s"$d3/_graft_batch=-1/_graft_folded")
+    mkBatch(d3, 2, Seq((3L, "c")))
+    // in-place overwrite leaves a stale Hadoop checksum: the I/O-level read failure
+    // must surface as the same actionable corruption error, not a raw fs exception
+    java.nio.file.Files.writeString(manifest, "0\n1\n")
+    val eCrc = intercept[IllegalStateException] {
+      StreamingAnalysis.compactBatchStore(spark, d3, 2L)
+    }
+    assert(eCrc.getMessage.contains("corrupt"), eCrc.getMessage)
+    def rewrite(content: String): Unit = {
+      java.nio.file.Files.writeString(manifest, content)
+      new java.io.File(s"$d3/_graft_batch=-1/._graft_folded.crc").delete()
+    }
+    // truncation mid-write: ids present, terminator gone
+    rewrite("0\n1\n")
+    val eCorrupt = intercept[IllegalStateException] {
+      StreamingAnalysis.compactBatchStore(spark, d3, 2L)
+    }
+    assert(eCorrupt.getMessage.contains("terminator"), eCorrupt.getMessage)
+    // terminator claiming the wrong count is equally corrupt
+    rewrite("0\nend 2\n")
+    val eCount = intercept[IllegalStateException] {
+      StreamingAnalysis.compactBatchStore(spark, d3, 2L)
+    }
+    assert(eCount.getMessage.contains("corrupt"), eCount.getMessage)
+
+    // (d) two CONCURRENT compactors: the loser must fail loud BEFORE deleting any
+    // source partition, and the store must end exactly as the winner left it.
+    val d4 = freshDir("cmx_race")
+    mkBatch(d4, 0, Seq((1L, "a")))
+    mkBatch(d4, 1, Seq((2L, "b")))
+    var winner: Option[Long] = None
+    val eRace = intercept[IllegalStateException] {
+      StreamingAnalysis.compactBatchStoreImpl(spark, d4, 1L,
+        // interleave: the rival runs to completion between this compactor's fold
+        // write and its publish rename
+        () => { winner = StreamingAnalysis.compactBatchStore(spark, d4, 1L) })
+    }
+    assert(eRace.getMessage.contains("publish race"), eRace.getMessage)
+    assert(winner.contains(-1L))
+    assert(idCounts(d4) == Map(1L -> 1L, 2L -> 1L),
+      s"loser must not delete or duplicate anything: ${idCounts(d4)}")
+    assert(tmpDirs(d4).isEmpty, s"loser must clean its temp fold: ${tmpDirs(d4)}")
+    // and the store keeps working after the lost race
+    mkBatch(d4, 2, Seq((3L, "c")))
+    assert(StreamingAnalysis.compactBatchStore(spark, d4, 2L).contains(-2L))
+    assert(idCounts(d4) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("legacy batch=<id> store layout fails loud on first touch (pin + compaction)") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog near the old stone " +
+      "bridge in the quiet village while the river runs toward the morning market"
+    val legacyIdx = freshDir("lgidx")
+    // a store written by the pre-_graft_batch layout
+    Seq((1L, text)).toDF("id", "text").write.parquet(s"$legacyIdx/batch=0")
+    val e1 = intercept[IllegalArgumentException] {
+      StreamingAnalysis.nearDupDedupBatch(Seq((2L, text)).toDF("id", "text"),
+        1L, "id", "text", legacyIdx, freshDir("lgsurv"), 0.9)
+    }
+    assert(e1.getMessage.contains("legacy") && e1.getMessage.contains("batch=0"),
+      e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingAnalysis.compactBatchStore(spark, legacyIdx, 1L)
+    }
+    assert(e2.getMessage.contains("legacy"), e2.getMessage)
+  }
+
+  test("invalid first-call parameters are rejected BEFORE the param pin is written") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog near the old stone " +
+      "bridge in the quiet village while the river runs toward the morning market"
+    val indexDir = freshDir("vpidx")
+    val survivorsDir = freshDir("vpsurv")
+    // numHashes % bands != 0: the signature kernel's own require — must fire
+    // before pinStoreParams records "bands=7" into the store
+    intercept[IllegalArgumentException] {
+      StreamingAnalysis.nearDupDedupBatch(Seq((1L, text)).toDF("id", "text"),
+        0L, "id", "text", indexDir, survivorsDir, 0.9, bands = 7)
+    }
+    assert(!new java.io.File(indexDir, "_graft_params").exists(),
+      "a rejected first call must not pin its bad parameters")
+    // the corrected retry works without any hand-deletion of the marker
+    val ok = StreamingAnalysis.nearDupDedupBatch(Seq((1L, text)).toDF("id", "text"),
+      0L, "id", "text", indexDir, survivorsDir, 0.9)
+    assert(ok.count() == 1L)
+
+    val embIdx = freshDir("vpeidx")
+    intercept[IllegalArgumentException] {
+      StreamingAnalysis.embeddingDedupBatch(
+        Seq((1L, Seq(1f, 0f))).toDF("id", "v"), 0L, "id", "v",
+        embIdx, freshDir("vpesurv"), dim = 2, threshold = 0.99, planes = 99)
+    }
+    assert(!new java.io.File(embIdx, "_graft_params").exists())
+
+    val vidIdx = freshDir("vpvidx")
+    intercept[IllegalArgumentException] {
+      StreamingAnalysis.videoDedupBatch(
+        Seq((1L, Array[Byte](1, 2))).toDF("id", "clip"), 0L, "id", "clip",
+        vidIdx, everyNth = 0)
+    }
+    assert(!new java.io.File(vidIdx, "_graft_params").exists())
+  }
+
+  test("reserved store columns anywhere in the batch schema fail loud (not only in " +
+    "the id+payload projection)") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog near the old stone " +
+      "bridge in the quiet village while the river runs toward the morning market"
+    // _graft_idh rides as an EXTRA data column: the old projection-only guard let it
+    // through, and the survivors write would silently replace it / collide with
+    // partition discovery on later full-store reads
+    val e = intercept[IllegalArgumentException] {
+      StreamingAnalysis.nearDupDedupBatch(
+        Seq((1L, text, 5L)).toDF("id", "text", "_graft_idh"),
+        0L, "id", "text", freshDir("rcidx"), freshDir("rcsurv"), 0.9)
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+  }
+
+  test("sink compaction cadence: nearDupDedupSink(compactEvery) folds both stores " +
+    "mid-stream and keeps deduping against the fold") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val indexDir = freshDir("cadidx")
+    val survivorsDir = freshDir("cadsurv")
+    // per-doc pseudo-random token tail: DISTINCT docs share almost no 5-char
+    // shingles (Jaccard far below the 0.9 threshold), while a repost is exact
+    def textOf(i: Long): String = s"cadence document $i " +
+      (1 to 12).map(k => "w" + ((i * 31 + k * 17) % 997)).mkString(" ")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingAnalysis.nearDupDedupSink(
+      input.toDF().toDF("id", "text"), "id", "text", indexDir, survivorsDir,
+      threshold = 0.9, compactEvery = 3).outputMode("update").start()
+    try {
+      (0L until 8L).foreach { b =>
+        // batch 6 reposts batch 1's doc — by then batch 1 lives in the FOLD
+        input.addData((b, if (b == 6) textOf(1) else textOf(b)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def batchDirs(dir: String): Set[String] =
+      new java.io.File(dir).listFiles().map(_.getName)
+        .filter(_.startsWith("_graft_batch=")).toSet
+    // cadence fired at batches 3 and 6 (upTo = batchId - 1, the committed past):
+    // both stores hold a fold plus only the still-live tail
+    assert(batchDirs(survivorsDir).exists(_.startsWith("_graft_batch=-")),
+      s"cadence must have compacted survivors: ${batchDirs(survivorsDir)}")
+    assert(batchDirs(indexDir).exists(_.startsWith("_graft_batch=-")),
+      s"cadence must have compacted the index: ${batchDirs(indexDir)}")
+    assert(batchDirs(survivorsDir).size <= 4, batchDirs(survivorsDir).toString)
+    val kept = spark.read.parquet(survivorsDir).select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 2L, 3L, 4L, 5L, 7L),
+      s"repost 6 must drop against the folded index: $kept")
+  }
+
+  test("streaming store lifecycle SOAK: 300 micro-batches under the sink's " +
+    "compaction cadence keep the listing flat; replay after compaction heals") {
+    import spark.implicits._
+    val indexDir = freshDir("soakidx")
+    val survivorsDir = freshDir("soaksurv")
+    val compactEvery = 20
+    // same fixture rule as the cadence test: distinct docs are shingle-disjoint
+    // (pseudo-random token tails), reposts are byte-exact
+    def textOf(i: Long): String = s"soak document $i " +
+      (1 to 12).map(k => "w" + ((i * 37 + k * 13) % 991)).mkString(" ")
+    def batchDirCount(dir: String): Int =
+      new java.io.File(dir).listFiles().count(_.getName.startsWith("_graft_batch="))
+    // every 25th batch reposts the doc from 5 batches earlier (a cross-batch dup
+    // that most of the time must be caught against FOLDED state)
+    def docFor(b: Long): (Long, String) =
+      (b, if (b % 25 == 24) textOf(b - 5) else textOf(b))
+    var midListing = -1
+    (0L until 300L).foreach { b =>
+      StreamingAnalysis.nearDupDedupBatch(Seq(docFor(b)).toDF("id", "text"),
+        b, "id", "text", indexDir, survivorsDir, threshold = 0.9,
+        numHashes = 32, bands = 8, idShards = 4)
+      // the sink's exact cadence path (nearDupDedupSink calls this same helper
+      // with the same arguments after landing each batch)
+      StreamingAnalysis.maybeCompact(spark, b, compactEvery, indexDir, survivorsDir)
+      // sample at the same cadence PHASE as the end (19 batches past a fold), so
+      // the flatness comparison below is apples-to-apples
+      if (b == 59L) midListing = batchDirCount(survivorsDir)
+    }
+    val endListing = batchDirCount(survivorsDir)
+    // FLAT listing: one fold + at most compactEvery live batch dirs at any sample
+    // point — NOT the 300 dirs an uncompacted store would hold
+    assert(midListing > 0 && midListing <= compactEvery + 1, s"mid=$midListing")
+    assert(endListing <= compactEvery + 1, s"end=$endListing")
+    assert(endListing <= midListing,
+      s"listing must not grow with batch count: mid=$midListing end=$endListing")
+    val files = spark.read.parquet(survivorsDir).inputFiles.length
+    assert(files < 300 && files <= 3 * (compactEvery + 4),
+      s"survivors file count must stay bounded, got $files")
+    // correctness across the whole soak: exactly the 12 reposts dropped
+    val kept = spark.read.parquet(survivorsDir).select("id").collect()
+      .map(_.getLong(0)).toSet
+    val reposts = (0L until 300L).filter(_ % 25 == 24).toSet
+    assert(kept == (0L until 300L).toSet -- reposts,
+      s"missing=${((0L until 300L).toSet -- reposts -- kept).toSeq.sorted.take(5)} " +
+        s"extra=${(kept & reposts).toSeq.sorted.take(5)}")
+    // replay AFTER compaction still heals: re-run the last batch (id 299, a repost
+    // — live, past the last fold's upTo=279) and a mid-window batch (id 290)
+    StreamingAnalysis.nearDupDedupBatch(Seq(docFor(299L)).toDF("id", "text"),
+      299L, "id", "text", indexDir, survivorsDir, threshold = 0.9,
+      numHashes = 32, bands = 8, idShards = 4)
+    StreamingAnalysis.nearDupDedupBatch(Seq(docFor(290L)).toDF("id", "text"),
+      290L, "id", "text", indexDir, survivorsDir, threshold = 0.9,
+      numHashes = 32, bands = 8, idShards = 4)
+    val replayKept = spark.read.parquet(survivorsDir).select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(replayKept == kept, "replay after compaction must not change the corpus")
+    // and the next compaction window folds cleanly over the replayed partitions
+    StreamingAnalysis.maybeCompact(spark, 300L, compactEvery, indexDir, survivorsDir)
+    assert(batchDirCount(survivorsDir) == 1,
+      s"post-soak fold must leave one partition, got ${batchDirCount(survivorsDir)}")
+    assert(spark.read.parquet(survivorsDir).select("id").collect()
+      .map(_.getLong(0)).toSet == kept)
+  }
+
+  test("streaming embedding dedup SOAK: planted near-dup pairs straddling batches, " +
+    "compaction mid-stream, recall parity with the batch operator") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val dim = 64
+    val eps = 0.01f
+    // one-hot basis per id keeps every un-planted pair orthogonal; planted pairs
+    // (a -> b) give id b a tiny perturbation of id a's vector (cosine ~0.99995)
+    val planted = Map(23L -> 2L, 29L -> 5L, 47L -> 11L, 55L -> 19L, 60L -> 26L, 62L -> 34L)
+    def vecOf(i: Long): Seq[Float] = planted.get(i) match {
+      case Some(a) => Seq.tabulate(dim)(d =>
+        (if (d == a.toInt) 1f else 0f) + (if (d == a.toInt + 1) eps else 0f))
+      case None => Seq.tabulate(dim)(d => if (d == i.toInt) 1f else 0f)
+    }
+    val indexDir = freshDir("esoakidx")
+    val survivorsDir = freshDir("esoaksurv")
+    val compactEvery = 5
+    (0L until 16L).foreach { b =>
+      val rows = (b * 4 until b * 4 + 4).map(i => (i, vecOf(i)))
+      StreamingAnalysis.embeddingDedupBatch(rows.toDF("id", "v"), b, "id", "v",
+        indexDir, survivorsDir, dim = dim, threshold = 0.99)
+      StreamingAnalysis.maybeCompact(spark, b, compactEvery, indexDir, survivorsDir)
+    }
+    // compaction genuinely ran mid-stream (batches 5, 10, 15 triggered it)
+    val dirs = new java.io.File(survivorsDir).listFiles().map(_.getName)
+      .filter(_.startsWith("_graft_batch=")).toSet
+    assert(dirs.exists(_.startsWith("_graft_batch=-")), dirs.toString)
+    assert(dirs.size <= compactEvery + 1, dirs.toString)
+    val kept = spark.read.parquet(survivorsDir).select("id").collect()
+      .map(_.getLong(0)).toSet
+    // every planted straddling pair was caught — including ones whose original
+    // vector lived only in the FOLD when its near-dup arrived (e.g. 34 lands in
+    // batch 8, folded at batch 10; 62 arrives in batch 15)
+    assert(kept == (0L until 64L).toSet -- planted.keySet,
+      s"missed=${(planted.keySet & kept).toSeq.sorted} " +
+        s"overdropped=${((0L until 64L).toSet -- planted.keySet -- kept).toSeq.sorted}")
+    // recall parity with the batch keep-lowest operator over the unioned corpus
+    val all = (0L until 64L).map(i => (i, vecOf(i))).toDF("id", "v")
+    val batchKept = Dedup.dedupNearEmbedding(all, "id", "v", dim, 0.99)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(batchKept == kept, s"batch kept ${batchKept.size}, streaming kept ${kept.size}")
+  }
 }

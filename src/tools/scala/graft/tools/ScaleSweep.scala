@@ -176,6 +176,16 @@ object ScaleSweep {
         val ratio = big / small
         val verdict = if (ratio < 15.0) "ok" else "EXCEEDS 15x BOUND"
         println(f"[sweep] $name%-34s 1x $small%7.2f s   10x $big%7.2f s   ratio ${ratio}%5.1fx  $verdict")
+        // Localize a watch-zone ratio when an operator-only arm exists: the op
+        // arm's own ratio separates "the operator plan degrades at scale" from
+        // "the oracle-verify scaffolding does" (round-14: contamination_bloom
+        // read 9.25x with no way to tell which side carried it).
+        if (ratio > 6.0) graft.Queries.operatorArms.get(name).foreach { arm =>
+          time(arm(spark, src)); time(arm(spark, out)) // symmetric warmup
+          val oS = time(arm(spark, src)); val oB = time(arm(spark, out))
+          println(f"[sweep-model] $name operator-only 1x $oS%7.2f s   10x $oB%7.2f s" +
+            f"   op_ratio ${oB / oS}%5.1fx (full ${ratio}%5.1fx — the gap is the verify side)")
+        }
         (name, small, big, ratio)
       }
       // Headline-workload scaling: the 20-constraint suite over 10× lineitem.
