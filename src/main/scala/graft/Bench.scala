@@ -79,7 +79,10 @@ object Bench {
   private def loadSnap(): Option[LoadSnap] =
     try {
       val stat = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
-      val vals = stat.linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+      // first 8 fields only (user nice system idle iowait irq softirq steal):
+      // guest/guest_nice (fields 9-10) are already folded into user/nice, and
+      // summing them too double-counts VM guests as ambient load
+      val vals = stat.linesIterator.next().trim.split("\\s+").drop(1).take(8).map(_.toLong)
       val idle = vals(3) + (if (vals.length > 4) vals(4) else 0L) // idle + iowait
       val self = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/self/stat"))
       // comm (field 2) may contain spaces — parse after its closing paren;
@@ -147,11 +150,12 @@ object Bench {
     // closed-form adjudication values (output-cardinality / operator-arm ratios)
     // that ride the untrimmed sidecar next to the readings they explain
     val models = scala.collection.mutable.Map[String, Double]()
+    def noteAmbient(label: String, v: Double): Unit =
+      if (v >= 0) ambient(label) = math.max(v, ambient.getOrElse(label, 0.0))
     def withAmbient[T](label: String)(f: => T): T = {
       val pre = loadSnap()
       val out = f
-      val amb = ambientFrac(pre, loadSnap())
-      if (amb >= 0) ambient(label) = math.max(amb, ambient.getOrElse(label, 0.0))
+      noteAmbient(label, ambientFrac(pre, loadSnap()))
       out
     }
     models("loadavg_start") = loadAvg()
@@ -546,7 +550,7 @@ object Bench {
               val pre0 = loadSnap()
               var big = onceAt(fn, dir)
               val amb0 = ambientFrac(pre0, loadSnap())
-              if (amb0 >= 0) ambient(s"sf1:${shortQ(name)}") = amb0
+              noteAmbient(s"sf1:${shortQ(name)}", amb0)
               var s01 = resultMap.getOrElse(name, -1.0)
               if (big >= 0 && s01 > 0 && big / s01 > 3.0) {
                 // suspicious ratio: re-measure BOTH sides once and take mins —
@@ -570,9 +574,13 @@ object Bench {
                 if (amb0 > AmbientDirty)
                   println(f"[sf1-adjudicate] $name first window ambient $amb0%.2f — re-measuring")
                 settle()
-                val arms = (1 to 2).map { _ => (onceAt(fn, sfDir), onceAt(fn, dir)) }
-                arms.foreach { case (sA, bA) =>
-                  println(f"[sf1-adjudicate] $name arms sf0.1=$sA%.3f sf1=$bA%.3f")
+                (1 to 2).foreach { _ =>
+                  val pre = loadSnap()
+                  val sA = onceAt(fn, sfDir); val bA = onceAt(fn, dir)
+                  val aA = ambientFrac(pre, loadSnap())
+                  noteAmbient(s"sf1:${shortQ(name)}", aA)
+                  println(f"[sf1-adjudicate] $name arms sf0.1=$sA%.3f sf1=$bA%.3f " +
+                    f"ambient=$aA%.2f")
                   if (sA > 0) s01 = math.min(s01, sA)
                   if (bA >= 0) big = math.min(big, bA)
                 }
@@ -722,7 +730,7 @@ object Bench {
                   val pre0 = loadSnap()
                   var big = onceAt10(fn, dir10)
                   val amb0 = ambientFrac(pre0, loadSnap())
-                  if (amb0 >= 0) ambient(s"sf10:${shortQ(name)}") = amb0
+                  noteAmbient(s"sf10:${shortQ(name)}", amb0)
                   var den = s1
                   var lastAmb = amb0
                   if (big >= 0 && (big / den > ratioTrigger(prevSf10R, name, 5.0) ||
@@ -741,6 +749,7 @@ object Bench {
                       val pre = loadSnap()
                       val dA = onceAt10(fn, dir1); val bA = onceAt10(fn, dir10)
                       lastAmb = ambientFrac(pre, loadSnap())
+                      noteAmbient(s"sf10:${shortQ(name)}", lastAmb)
                       println(f"[sf10-adjudicate] $name arms sf1=$dA%.3f sf10=$bA%.3f " +
                         f"ambient=$lastAmb%.2f")
                       if (dA > 0) den = math.min(den, dA)
@@ -793,7 +802,7 @@ object Bench {
             val preW = loadSnap()
             var w10 = (1 to 3).map(_ => secs { suite20(li10) }).sorted.apply(1)
             val ambW = ambientFrac(preW, loadSnap())
-            if (ambW >= 0) ambient("sf10:suite20") = ambW
+            noteAmbient("sf10:suite20", ambW)
             // suite20 gets the SAME adjudication protocol as the operator arms
             // (round-12 verdict item 1: the arm was a bare median-of-3 against a
             // one-shot sf1 denominator, and the denominator's 1.73 s -> 0.50 s
@@ -813,8 +822,10 @@ object Bench {
                 val dA = (1 to 3).map(_ => secs { suite20(li1) }).min
                 suite20(li10)
                 val bA = (1 to 3).map(_ => secs { suite20(li10) }).min
+                val aA = ambientFrac(pre, loadSnap())
+                noteAmbient("sf10:suite20", aA)
                 println(f"[sf10-adjudicate] suite20 arms sf1=$dA%.3f sf10=$bA%.3f " +
-                  f"ambient=${ambientFrac(pre, loadSnap())}%.2f")
+                  f"ambient=$aA%.2f")
                 wDen = math.min(wDen, dA)
                 w10 = math.min(w10, bA)
               }

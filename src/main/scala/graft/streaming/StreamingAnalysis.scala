@@ -599,6 +599,10 @@ object StreamingAnalysis {
     val spark = schemaFrom.sparkSession
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    // The layout guard must also cover SURVIVORS stores, which are never touched
+    // by pinStoreParams (that only pins indexDir): a legacy-layout survivors
+    // store would otherwise silently drop the standing corpus from verification.
+    assertCurrentLayout(fs, path)
     val cols = schemaFrom.schema.fieldNames.map(col).toSeq
     // `_`-prefixed entries without `=` (the params marker, _SUCCESS) don't count as
     // store content — Spark's own listing skips them too.
@@ -717,6 +721,14 @@ object StreamingAnalysis {
     require(!batch.columns.contains(BatchCol) && !batch.columns.contains(ShardCol),
       s"columns $BatchCol/$ShardCol are reserved by the survivors store " +
         s"(batch schema: ${batch.columns.mkString(", ")}) — rename them upstream")
+    // Layout guard on the WRITE path too: with zero candidates the pruned read
+    // (which carries its own guard) is skipped entirely, and a batch would land
+    // next to legacy partitions it can never verify against.
+    locally {
+      val p = new org.apache.hadoop.fs.Path(survivorsDir)
+      assertCurrentLayout(p.getFileSystem(
+        batch.sparkSession.sessionState.newHadoopConf()), p)
+    }
     val shardOf = (c: Column) => pmod(xxhash64(c), lit(idShards.toLong))
     val docsOnly = batch.select(col(idCol), col(payloadCol))
     val candShards = cands.select(col("id_a").as("_cid"))
@@ -997,6 +1009,18 @@ object StreamingAnalysis {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return None
     assertCurrentLayout(fs, root)
+    // Sweep orphaned temp folds from crashed prior attempts: tmp names are
+    // UUID-unique (so concurrent compactors can't clobber each other), which
+    // means a crash leaves a near-corpus-sized junk dir no later attempt would
+    // ever reuse — without this sweep it accumulates forever. A concurrent
+    // compactor whose live tmp this deletes fails loud at its own write/publish
+    // with sources untouched (concurrent compaction is already a misuse path).
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("_graft_compact_tmp_")).foreach { orphan =>
+        log.warn(s"compactBatchStore: deleting orphaned temp fold $orphan " +
+          "(crashed prior attempt)")
+        fs.delete(orphan, true)
+      }
     def listIds(): Array[Long] = fs.listStatus(root).filter(_.isDirectory)
       .map(_.getPath.getName).filter(_.startsWith(s"$BatchCol="))
       .flatMap(n => scala.util.Try(n.stripPrefix(s"$BatchCol=").toLong).toOption)
@@ -1020,7 +1044,18 @@ object StreamingAnalysis {
           .map(_.trim).filter(_.nonEmpty).toVector finally in.close()
       } catch { case e: java.io.IOException =>
         throw corrupt(s"unreadable: ${e.getMessage}") }
-      if (lines.isEmpty || !lines.last.startsWith("end ")) throw corrupt("missing terminator")
+      if (lines.isEmpty) throw corrupt("empty")
+      // Terminator-less manifests were written by the previous release: accept
+      // them when EVERY line parses as an id (rename-published files cannot
+      // truncate on local/HDFS stores, so the residual risk is the one they
+      // always carried) — a format-version wedge on a healthy store would stall
+      // the whole stream under the inline sink cadence.
+      if (!lines.last.startsWith("end ")) {
+        log.warn(s"compactBatchStore: legacy terminator-less manifest at $manifest " +
+          "— accepted; the next fold rewrites it in the current format")
+        return lines.map(l => l.toLongOption.getOrElse(
+          throw corrupt(s"unreadable id line '$l'")))
+      }
       val n = lines.last.stripPrefix("end ").toLongOption
         .getOrElse(throw corrupt("unreadable terminator"))
       val ids = lines.dropRight(1).map(l =>
@@ -1086,7 +1121,6 @@ object StreamingAnalysis {
     // caught at publish, below, before either deletes anything).
     val tmp = new org.apache.hadoop.fs.Path(dir,
       s"_graft_compact_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-    fs.delete(tmp, true) // a dead prior attempt's leftovers must not pollute the fold
     val writer = df.drop(BatchCol).write.mode("overwrite")
     (if (df.columns.contains(ShardCol)) writer.partitionBy(ShardCol) else writer)
       .parquet(tmp.toString)

@@ -1289,8 +1289,8 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(d2).listFiles().map(_.getName)
       .filter(_.startsWith("_graft_batch=")).toSet == Set("_graft_batch=-2"))
 
-    // (c) corrupt/truncated manifest: healing from a PREFIX of the folded ids would
-    // let the next fold duplicate the unhealed suffix — must fail LOUD instead.
+    // (c) corrupt manifest: healing from a wrong/partial id list can delete a
+    // live partition or duplicate the unhealed suffix — must fail LOUD instead.
     val d3 = freshDir("cmx_corrupt")
     mkBatch(d3, 0, Seq((1L, "a")))
     mkBatch(d3, 1, Seq((2L, "b")))
@@ -1308,18 +1308,24 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Files.writeString(manifest, content)
       new java.io.File(s"$d3/_graft_batch=-1/._graft_folded.crc").delete()
     }
-    // truncation mid-write: ids present, terminator gone
-    rewrite("0\n1\n")
+    // unparseable id line = corrupt, loud
+    rewrite("0\nxyz\n")
     val eCorrupt = intercept[IllegalStateException] {
       StreamingAnalysis.compactBatchStore(spark, d3, 2L)
     }
-    assert(eCorrupt.getMessage.contains("terminator"), eCorrupt.getMessage)
+    assert(eCorrupt.getMessage.contains("corrupt"), eCorrupt.getMessage)
     // terminator claiming the wrong count is equally corrupt
     rewrite("0\nend 2\n")
     val eCount = intercept[IllegalStateException] {
       StreamingAnalysis.compactBatchStore(spark, d3, 2L)
     }
     assert(eCount.getMessage.contains("corrupt"), eCount.getMessage)
+    // LEGACY terminator-less manifest (previous release's format, every line a
+    // clean id): accepted with a warning — an upgrade must not wedge a healthy
+    // store, especially under the inline sink cadence
+    rewrite("0\n1\n")
+    assert(StreamingAnalysis.compactBatchStore(spark, d3, 2L).contains(-2L))
+    assert(idCounts(d3) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), idCounts(d3).toString)
 
     // (d) two CONCURRENT compactors: the loser must fail loud BEFORE deleting any
     // source partition, and the store must end exactly as the winner left it.

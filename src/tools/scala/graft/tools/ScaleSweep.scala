@@ -183,8 +183,14 @@ object ScaleSweep {
         if (ratio > 6.0) graft.Queries.operatorArms.get(name).foreach { arm =>
           time(arm(spark, src)); time(arm(spark, out)) // symmetric warmup
           val oS = time(arm(spark, src)); val oB = time(arm(spark, out))
+          val opR = oB / oS
+          // no baked-in verdict: an op ratio NEAR the full ratio means the
+          // operator plan itself degrades — the exact case this print detects
+          val reading =
+            if (opR < 0.8 * ratio) "gap is the verify side"
+            else "OPERATOR plan itself scales poorly"
           println(f"[sweep-model] $name operator-only 1x $oS%7.2f s   10x $oB%7.2f s" +
-            f"   op_ratio ${oB / oS}%5.1fx (full ${ratio}%5.1fx — the gap is the verify side)")
+            f"   op_ratio $opR%5.1fx (full ${ratio}%5.1fx — $reading)")
         }
         (name, small, big, ratio)
       }
