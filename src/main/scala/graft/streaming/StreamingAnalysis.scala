@@ -508,6 +508,56 @@ object StreamingAnalysis {
     }
   }
 
+  /** Streaming DECONTAMINATION gate: every micro-batch is flagged against a
+    * STORED contamination Bloom (the eval-set firewall bytes from
+    * [[graft.operators.Dedup.buildContaminationBloom]] — built once, persisted
+    * next to the eval data) and split in-flight: docs whose flagged n-gram
+    * fraction reaches `threshold` go to `quarantine`, the rest to `land` — the
+    * streaming face of the stored-firewall batch operator, for ingestion
+    * pipelines that must never land benchmark text in a training corpus.
+    *
+    * Semantics (pinned to the batch operator in the spec):
+    *  - ZERO false negatives by the Bloom property — a doc sharing >= threshold
+    *    of its grams with the probe ALWAYS quarantines; ~fpp of clean grams
+    *    false-flag, so threshold should sit above the fpp floor (the batch
+    *    firewall's convention; run the exact
+    *    [[graft.operators.Dedup.crossCorpusContaminationBloom]] scrub over the
+    *    quarantine to recover Bloom-fp'd docs when the probe frame is at hand).
+    *  - Tokenless docs (NULL/empty text) have NO grams: nothing to assess, they
+    *    LAND (flagged_frac is NULL, not 0.0 — same convention as the batch op).
+    *  - NULL-id docs cannot join their flags back: they land unassessed, like
+    *    the batch operator excludes them. Filter upstream if ids can be null.
+    *  - Empty filter bytes (empty probe) flag nothing — everything lands.
+    *
+    * 100 TB shape: the Bloom bits ride each task binary once per executor
+    * (codegen'd `might_contain`, no UDF); per batch the only shuffle is the
+    * per-doc flag rollup's groupBy(id) over the BATCH, then a broadcast-sized
+    * join of flags back to the batch rows. Nothing corpus-proportional, no
+    * state store — the filter itself is the state, by construction.
+    */
+  def contaminationGateSink(stream: DataFrame, idCol: String, textCol: String,
+      bloomBytes: Array[Byte], ngramWords: Int = 8, threshold: Double = 0.8,
+      land: (Long, DataFrame) => Unit,
+      quarantine: (Long, DataFrame) => Unit = (_, _) => ()): DataStreamWriter[Row] = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      val df = batch.toDF()
+      require(!df.columns.contains("_gate_frac"),
+        "contaminationGateSink reserves the column name _gate_frac; rename the input column")
+      val flags = graft.operators.Dedup.contaminationFlagsBloom(
+          df, bloomBytes, idCol, textCol, ngramWords)
+        .select(col(idCol), col("flagged_frac").as("_gate_frac"))
+      // left join keeps NULL-id and tokenless rows (no flag row / NULL frac);
+      // the flags frame is batch-bounded and aggregated — broadcast-sized
+      val scored = df.join(broadcast(flags), Seq(idCol), "left")
+        .localCheckpoint(true) // both splits + the callbacks read it once
+      val bad = coalesce(col("_gate_frac") >= threshold, lit(false))
+      quarantine(batchId, scored.filter(bad).drop("_gate_frac"))
+      land(batchId, scored.filter(!bad).drop("_gate_frac"))
+    }
+  }
+
   /** Continuous constraint evaluation: run a (batchable) constraint set on each
     * micro-batch, emitting failures to the foreachBatch callback. For per-batch gating
     * (e.g. quarantine bad batches before they land).
@@ -1116,43 +1166,97 @@ object StreamingAnalysis {
     // later batches' added columns from the fold, a permanent data loss.
     val df = spark.read.option("basePath", dir).option("mergeSchema", "true")
       .parquet(paths: _*)
-    // UUID-unique temp name: two concurrent compactors computing the same newId
+    publishFold(fs, dir, df.drop(BatchCol), fold, newId, preRename)
+    Some(newId)
+  }
+
+  /** Publish `df` as the `_graft_batch=<newId>` partition of `dir`, REPLACING the
+    * `covered` source partitions: tmp write (preserving any `_graft_idh` shard
+    * layout) + a terminated manifest of the covered ids, one rename to publish,
+    * then the source deletes. Crash between publish and delete heals on the next
+    * compact/replace call via the manifest. Shared tail of [[compactBatchStore]]
+    * (fold = union of sources) and [[replaceBatchStore]] (fold = a freshly
+    * recomputed index — covered rows are SUPERSEDED, not necessarily contained,
+    * which the manifest heal is equally correct for: a covered leftover is
+    * deleted in favor of the fold either way).
+    */
+  private def publishFold(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      df: DataFrame, covered: Array[Long], newId: Long, preRename: () => Unit): Unit = {
+    // UUID-unique temp name: two concurrent publishers computing the same newId
     // must not clobber each other's half-written fold (the collision is then
     // caught at publish, below, before either deletes anything).
     val tmp = new org.apache.hadoop.fs.Path(dir,
       s"_graft_compact_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-    val writer = df.drop(BatchCol).write.mode("overwrite")
+    val writer = df.write.mode("overwrite")
     (if (df.columns.contains(ShardCol)) writer.partitionBy(ShardCol) else writer)
       .parquet(tmp.toString)
-    // Manifest of folded source ids rides inside the fold (the rename publishes
+    // Manifest of covered source ids rides inside the fold (the rename publishes
     // both atomically): it is what lets a later run heal an interrupted delete
     // instead of duplicating the sources into the next fold. Underscore name
     // without `=` keeps it invisible to Spark's listings. The `end <count>`
     // terminator is the integrity gate readManifest requires.
     locally {
       val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_graft_folded"), true)
-      try out.write((fold.mkString("", "\n", "\n") + s"end ${fold.length}\n")
+      try out.write((covered.mkString("", "\n", "\n") + s"end ${covered.length}\n")
         .getBytes("UTF-8")) finally out.close()
     }
     val target = new org.apache.hadoop.fs.Path(dir, s"$BatchCol=$newId")
     preRename()
     // Publish gate, all failure paths BEFORE any source delete: (1) a concurrent
-    // compactor already published this id — abort, its fold covers the same
-    // sources and the next call heals from its manifest; (2) the rename itself
-    // failed; (3) the rename LANDED INSIDE a concurrently-published target
-    // (Hadoop rename-into-existing-directory semantics on a race between the
-    // exists probe and the rename) — remove the nested junk and abort.
+    // publisher already took this id — abort, the next call heals from its
+    // manifest; (2) the rename itself failed; (3) the rename LANDED INSIDE a
+    // concurrently-published target (Hadoop rename-into-existing-directory
+    // semantics on a race between the exists probe and the rename) — remove the
+    // nested junk and abort.
     def loseRace(why: String): Nothing = {
       fs.delete(tmp, true)
       throw new IllegalStateException(
-        s"compaction of $dir lost a publish race ($why) — aborting BEFORE deleting " +
+        s"fold publish into $dir lost a race ($why) — aborting BEFORE deleting " +
           "any source partition; re-run to heal from the winner's manifest")
     }
     if (fs.exists(target)) loseRace(s"$target already exists")
-    require(fs.rename(tmp, target), s"compaction publish rename failed: $tmp -> $target")
+    require(fs.rename(tmp, target), s"fold publish rename failed: $tmp -> $target")
     val nested = new org.apache.hadoop.fs.Path(target, tmp.getName)
     if (fs.exists(nested)) { fs.delete(nested, true); loseRace(s"rename nested into $target") }
-    fold.foreach(id => fs.delete(new org.apache.hadoop.fs.Path(dir, s"$BatchCol=$id"), true))
+    covered.foreach(id =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"$BatchCol=$id"), true))
+  }
+
+  /** Atomically REPLACE a per-batch store's entire contents with a freshly
+    * computed frame — the RETENTION REBUILD that bounds a streaming dedup
+    * index's standing state. The per-batch indexes grow with the accepted
+    * corpus by design (that is the recall horizon); when the horizon should be
+    * a retention window instead (e.g. "only dedup against the last 90 days"),
+    * recompute the index over the retained corpus with the SAME kernel and
+    * parameters the sink uses (e.g. [[graft.operators.Dedup.minhashIndex]] over
+    * the retained survivors — present `params` exactly as pinned, drift fails
+    * loud) and swap it in here:
+    *
+    *   - crash-safe like compaction: tmp write + covered-ids manifest, one
+    *     rename, then source deletes (an interrupted replace heals on the next
+    *     compact/replace call);
+    *   - same quiescence contract as out-of-band [[compactBatchStore]]: run
+    *     with the stream paused between micro-batches;
+    *   - `_graft_idh`-sharded frames keep their directory-pruned read path.
+    *
+    * Returns the published partition id, or None when the store has no batch
+    * partitions AND `replacement` is empty (nothing to replace or publish).
+    */
+  def replaceBatchStore(spark: org.apache.spark.sql.SparkSession, dir: String,
+      replacement: DataFrame, params: Option[String] = None): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    params.foreach(p => pinStoreParams(spark, dir, p)) // layout-guards + pin check
+    require(!replacement.columns.contains(BatchCol),
+      s"column $BatchCol is reserved by the batch store")
+    if (!fs.exists(root)) fs.mkdirs(root)
+    assertCurrentLayout(fs, root)
+    val covered = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith(s"$BatchCol="))
+      .flatMap(n => scala.util.Try(n.stripPrefix(s"$BatchCol=").toLong).toOption)
+    val newId = math.min(if (covered.isEmpty) 0L else covered.min, 0L) - 1L
+    if (covered.isEmpty && replacement.isEmpty) return None
+    publishFold(fs, dir, replacement, covered, newId, () => ())
     Some(newId)
   }
 }

@@ -1245,6 +1245,72 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("reserved"), e.getMessage)
   }
 
+  test("streaming decontamination gate quarantines stored-bloom hits in-flight " +
+    "and matches the batch firewall's flags") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the persisted eval-set firewall, built once (threshold 0.8, 4-gram words)
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta"
+    val bloom = Dedup.buildContaminationBloom(
+      Seq(Tuple1(evalText)).toDF("text"), "text", ngramWords = 4)
+    val partial = "alpha beta gamma delta quince rhubarb sorrel tamarind" // 1/5 grams
+    val clean = "entirely unrelated words about glacier mass balance and runoff"
+    val landed = scala.collection.mutable.Map[Long, Set[java.lang.Long]]()
+    val held = scala.collection.mutable.Map[Long, Set[java.lang.Long]]()
+    def ids(df: org.apache.spark.sql.DataFrame): Set[java.lang.Long] =
+      df.select("id").collect().map(r =>
+        if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))).toSet
+    val input = MemoryStream[(java.lang.Long, String)]
+    val q = StreamingAnalysis.contaminationGateSink(
+      input.toDF().toDF("id", "text"), "id", "text", bloom,
+      ngramWords = 4, threshold = 0.8,
+      land = (b, df) => landed.synchronized { landed(b) = ids(df) },
+      quarantine = (b, df) => held.synchronized { held(b) = ids(df) })
+      .outputMode("update").start()
+    try {
+      input.addData((1L, evalText), (2L, clean))
+      q.processAllAvailable()
+      // batch 1: partial overlap (under threshold), null text, null id carrying
+      // EVAL text (cannot join flags back — lands unassessed, documented)
+      input.addData((3L, partial), (4L, null), (null, evalText))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(held.synchronized(held.toMap) == Map(0L -> Set(java.lang.Long.valueOf(1L)),
+      1L -> Set.empty[java.lang.Long]), held.toString)
+    assert(landed.synchronized(landed.toMap) == Map(
+      0L -> Set(java.lang.Long.valueOf(2L)),
+      1L -> Set[java.lang.Long](3L, 4L, null)), landed.toString)
+
+    // parity with the batch stored-firewall flags over the same union
+    val all = Seq((1L, evalText), (2L, clean), (3L, partial),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val batchFlagged = Dedup.contaminationFlagsBloom(all, bloom, "id", "text", 4)
+      .filter(col("flagged_frac") >= 0.8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(batchFlagged == Set(1L),
+      s"gate must quarantine exactly the batch firewall's flags: $batchFlagged")
+
+    // empty filter bytes (empty probe): nothing can flag, everything lands
+    val landedAll = scala.collection.mutable.Set[Long]()
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = StreamingAnalysis.contaminationGateSink(
+      input2.toDF().toDF("id", "text"), "id", "text", Array.emptyByteArray,
+      ngramWords = 4, threshold = 0.8,
+      land = (_, df) => landedAll.synchronized {
+        landedAll ++= df.select("id").collect().map(_.getLong(0))
+      },
+      quarantine = (_, df) => {
+        val q = ids(df)
+        assert(q.isEmpty, s"empty bloom must flag nothing: $q")
+      }).outputMode("update").start()
+    try {
+      input2.addData((10L, evalText), (11L, clean))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(landedAll.synchronized(landedAll.toSet) == Set(10L, 11L))
+  }
+
   // ---------- round-14: store lifecycle hardening ----------
 
   test("compactBatchStore adversarial matrix: folded-batch retry, stacked-fold " +
@@ -1339,7 +1405,7 @@ class StreamingSpec extends SparkSpec {
         // write and its publish rename
         () => { winner = StreamingAnalysis.compactBatchStore(spark, d4, 1L) })
     }
-    assert(eRace.getMessage.contains("publish race"), eRace.getMessage)
+    assert(eRace.getMessage.contains("lost a race"), eRace.getMessage)
     assert(winner.contains(-1L))
     assert(idCounts(d4) == Map(1L -> 1L, 2L -> 1L),
       s"loser must not delete or duplicate anything: ${idCounts(d4)}")
@@ -1520,6 +1586,51 @@ class StreamingSpec extends SparkSpec {
       s"post-soak fold must leave one partition, got ${batchDirCount(survivorsDir)}")
     assert(spark.read.parquet(survivorsDir).select("id").collect()
       .map(_.getLong(0)).toSet == kept)
+  }
+
+  test("replaceBatchStore retention rebuild: the index's recall horizon shrinks to " +
+    "the retained corpus, atomically and param-checked") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    def doc(tag: String): String = s"retention $tag " +
+      (1 to 12).map(k => "w" + tag + ((k * 17) % 97)).mkString(" ")
+    val (a, b, c) = (doc("alpha"), doc("bravo"), doc("charlie"))
+    val indexDir = freshDir("rbidx")
+    val survivorsDir = freshDir("rbsurv")
+    val params = "minhash shingleSize=5 numHashes=128 bands=16 idShards=64"
+    Seq((0L, a), (1L, b), (2L, c)).zipWithIndex.foreach { case ((id, text), bid) =>
+      StreamingAnalysis.nearDupDedupBatch(Seq((id, text)).toDF("id", "text"),
+        bid.toLong, "id", "text", indexDir, survivorsDir, 0.9)
+    }
+    // retention: doc 0 ages OUT of the dedup horizon — recompute the index over
+    // the retained survivors with the sink's own kernel + pinned params
+    val retained = spark.read.parquet(survivorsDir)
+      .filter(col("id") >= 1L).select("id", "text")
+    val newIdx = Dedup.minhashIndex(retained, "id", "text")
+    assert(StreamingAnalysis.replaceBatchStore(spark, indexDir, newIdx,
+      Some(params)).contains(-1L))
+    val dirs = new java.io.File(indexDir).listFiles().map(_.getName)
+      .filter(_.startsWith("_graft_batch=")).toSet
+    assert(dirs == Set("_graft_batch=-1"), dirs.toString)
+    // a later batch reposting BOTH: the aged-out doc now lands (outside the
+    // horizon), the retained doc's repost still drops
+    val b3 = StreamingAnalysis.nearDupDedupBatch(
+      Seq((10L, a), (11L, b)).toDF("id", "text"),
+      3L, "id", "text", indexDir, survivorsDir, 0.9)
+    assert(b3.select("id").collect().map(_.getLong(0)).toSet == Set(10L),
+      "aged-out doc must land, retained doc's repost must drop")
+    // parameter drift at rebuild fails loud (the pin check runs first)
+    val e = intercept[IllegalArgumentException] {
+      StreamingAnalysis.replaceBatchStore(spark, indexDir,
+        Dedup.minhashIndex(retained, "id", "text", numHashes = 64, bands = 8),
+        Some("minhash shingleSize=5 numHashes=64 bands=8 idShards=64"))
+    }
+    assert(e.getMessage.contains("parameters"), e.getMessage)
+    // compaction still composes over the replaced store
+    assert(StreamingAnalysis.compactBatchStore(spark, indexDir, 3L).contains(-2L))
+    val idxIds = spark.read.parquet(indexDir).select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(idxIds == Set(1L, 2L, 10L), s"index must hold retained + new docs: $idxIds")
   }
 
   test("streaming embedding dedup SOAK: planted near-dup pairs straddling batches, " +
