@@ -548,9 +548,11 @@ object StreamingAnalysis {
       val flags = graft.operators.Dedup.contaminationFlagsBloom(
           df, bloomBytes, idCol, textCol, ngramWords)
         .select(col(idCol), col("flagged_frac").as("_gate_frac"))
-      // left join keeps NULL-id and tokenless rows (no flag row / NULL frac);
-      // the flags frame is batch-bounded and aggregated — broadcast-sized
-      val scored = df.join(broadcast(flags), Seq(idCol), "left")
+      // left join keeps NULL-id and tokenless rows (no flag row / NULL frac).
+      // NO broadcast hint: flags has one row per batch doc — batch-sized, not
+      // small — and a catch-up micro-batch of millions of rows must not be
+      // collected to the driver; let the planner shuffle two batch-sized sides.
+      val scored = df.join(flags, Seq(idCol), "left")
         .localCheckpoint(true) // both splits + the callbacks read it once
       val bad = coalesce(col("_gate_frac") >= threshold, lit(false))
       quarantine(batchId, scored.filter(bad).drop("_gate_frac"))
@@ -1237,7 +1239,11 @@ object StreamingAnalysis {
     *     compact/replace call);
     *   - same quiescence contract as out-of-band [[compactBatchStore]]: run
     *     with the stream paused between micro-batches;
-    *   - `_graft_idh`-sharded frames keep their directory-pruned read path.
+    *   - `_graft_idh`-sharded frames keep their directory-pruned read path —
+    *     when replacing a SURVIVORS store (not just an index), the replacement
+    *     must carry the `_graft_idh` column itself (`pmod(xxhash64(id),
+    *     idShards)`) or the sink's pruned verification read fails loud on the
+    *     missing partition column.
     *
     * Returns the published partition id, or None when the store has no batch
     * partitions AND `replacement` is empty (nothing to replace or publish).
