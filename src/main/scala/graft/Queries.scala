@@ -3879,27 +3879,27 @@ object Queries {
     // can only over-flag) — not on the fp noise.
     QueryDef("contamination_firewall_documents",
       (s, d) => {
-        import graft.functions.TextFunctions.{tokens, wordShingles}
         val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
-        val probe = docs.filter(col("doc_id") % 100 === 0)
-          .select(col("doc_id").as("p_id"), col("text").as("p_text"))
-        val bytes = graft.operators.Dedup.buildContaminationBloom(probe, "p_text", 8)
-        val flags = graft.operators.Dedup.contaminationFlagsBloom(
-          docs, bytes, "doc_id", "text", 8)
-        val probeHashes = probe.filter(size(tokens(col("p_text"))) > 0)
-          .select(explode(wordShingles(col("p_text"), 8)).as("_g"))
-          .select(xxhash64(col("_g")).as("_h")).distinct()
+        // ONE tokenizing corpus pass, materialized: bloom build, flag rollup,
+        // probe hash set, and the exact superset check all read the same gram
+        // frame (this query used to tokenize the corpus twice and the probe
+        // twice more — the dominant verify cost).
+        val grams = graft.operators.Dedup.docGramHashes(docs, "doc_id", "text", 8)
+          .localCheckpoint(true)
+        val probeGrams = grams
+          .filter(col("doc_id") % 100 === 0 && col("gram_hash").isNotNull)
+        val bytes = graft.operators.Dedup
+          .buildContaminationBloomFromHashes(probeGrams, "gram_hash")
+        val flags = graft.operators.Dedup
+          .contaminationFlagsFromGrams(grams, bytes, "doc_id")
+        val probeHashes = probeGrams.select(col("gram_hash")).distinct()
         // broadcast the distinct probe-gram hashes (1% of docs' grams): the semi
         // join then filters the full doc-gram stream map-side instead of
         // shuffling every gram hash — only the post-filter per-doc counts (a few
         // rows per contaminated doc) reach an exchange. Oracle scaffolding, so
         // the probe-side size is bounded by the test SFs, not production corpora.
-        val exact = docs
-          .select(col("doc_id"),
-            explode(when(size(tokens(col("text"))) > 0,
-              wordShingles(col("text"), 8))).as("_g"))
-          .select(col("doc_id"), xxhash64(col("_g")).as("_h"))
-          .join(broadcast(probeHashes), Seq("_h"), "leftsemi")
+        val exact = grams.filter(col("gram_hash").isNotNull)
+          .join(broadcast(probeHashes), Seq("gram_hash"), "leftsemi")
           .groupBy(col("doc_id")).agg(count(lit(1)).as("_exact"))
         flags.join(exact, Seq("doc_id"), "left")
           .agg(count(lit(1)).as("n_docs"),
@@ -3917,6 +3917,34 @@ object Queries {
              | CAST(coalesce(sum(CASE WHEN doc_id % 100 = 0 AND coalesce(nt, 0) > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_probe,
              | TRUE AS planted_all_flagged, TRUE AS all_supersets
              | FROM d""".stripMargin.replaceAll("\n", " "))),
+
+    // Per-doc gram-hash materialization (the shared frame the contamination
+    // family reuses instead of re-tokenizing per consumer): per-doc counts
+    // replayed in DuckDB through the SAME @TOKENS@ segmentation + k-gram
+    // reconstruction. The hash FORMULA is golden-pinned in PipelineOpsSpec;
+    // this oracle pins the SHAPE — doc coverage, per-doc distinct-gram counts,
+    // the whole-doc fallback under k tokens, tokenless placeholder rows.
+    QueryDef("gram_hashes_documents",
+      (s, d) => graft.operators.Dedup.docGramHashes(
+          t(s, d, "documents").filter(col("doc_id").isNotNull), "doc_id", "text", 8)
+        .groupBy(col("doc_id")).agg(count(col("gram_hash")).as("n_grams"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_grams")), lit(0L)).as("grams_total"),
+          coalesce(sum(when(col("n_grams") === 0, 1L).otherwise(0L)), lit(0L))
+            .as("tokenless_docs"),
+          coalesce(max(col("n_grams")), lit(0L)).as("max_doc_grams")),
+      Some("""WITH tok AS (SELECT doc_id, @TOKENS(text)@ AS t FROM documents WHERE doc_id IS NOT NULL),
+             | tn AS (SELECT doc_id, t, coalesce(len(t), 0) AS n FROM tok),
+             | grams AS (SELECT doc_id, array_to_string(t[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' ') AS g
+             |   FROM tn, unnest(range(0, n - 8 + 1)) AS r(i) WHERE n >= 8),
+             | gcnt AS (SELECT doc_id, count(DISTINCT g) AS ng FROM grams GROUP BY 1),
+             | per AS (SELECT tn.doc_id,
+             |   CASE WHEN n = 0 THEN 0 WHEN n < 8 THEN 1 ELSE coalesce(gcnt.ng, 0) END AS n_grams
+             |   FROM tn LEFT JOIN gcnt ON tn.doc_id = gcnt.doc_id)
+             | SELECT count(*) AS n_docs, CAST(coalesce(sum(n_grams), 0) AS BIGINT) AS grams_total,
+             | CAST(coalesce(sum(CASE WHEN n_grams = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tokenless_docs,
+             | CAST(coalesce(max(n_grams), 0) AS BIGINT) AS max_doc_grams
+             | FROM per""".stripMargin.replaceAll("\n", " "))),
 
     // The REMOVE half of the span pipeline: same planted header, every covered
     // token cut, survivors space-joined. chars_kept pins the actual rebuilt text

@@ -537,13 +537,30 @@ object Dedup {
   def buildContaminationBloom(probe: DataFrame,
       probeTextCol: String, ngramWords: Int = 8, fpp: Double = 0.01): Array[Byte] = {
     require(ngramWords > 0, s"ngramWords must be positive, got $ngramWords")
+    buildContaminationBloomFromHashes(
+      distinctGramHashes(probe, probeTextCol, ngramWords), "_h", fpp)
+  }
+
+  /** [[buildContaminationBloom]] from a frame of PRE-COMPUTED gram hashes (e.g. a
+    * [[docGramHashes]] materialization, or hashes persisted next to the eval
+    * data) — a pipeline that materializes its gram hashes once must not pay a
+    * second tokenization pass just to size and fill the filter. NULL hashes (the
+    * tokenless-doc placeholder rows [[docGramHashes]] emits) are dropped;
+    * duplicates are fine (distinct is applied here, and the sizing count runs on
+    * the distinct set, so the filter's fpp target holds). Returns empty bytes
+    * when no hashes remain.
+    */
+  def buildContaminationBloomFromHashes(hashes: DataFrame,
+      hashCol: String = "gram_hash", fpp: Double = 0.01): Array[Byte] = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
-    val probeHashes = distinctGramHashes(probe, probeTextCol, ngramWords)
-      .localCheckpoint(true)
-    val n = probeHashes.count()
+    // One frame, read twice (sizing count + filter aggregate): checkpoint so the
+    // upstream — possibly a full tokenizing scan — runs once.
+    val distinctHashes = hashes.filter(col(hashCol).isNotNull)
+      .select(col(hashCol).as("_h")).distinct().localCheckpoint(true)
+    val n = distinctHashes.count()
     if (n == 0L) Array.emptyByteArray
     else {
-      val bloom = probeHashes.stat.bloomFilter("_h", n, fpp)
+      val bloom = distinctHashes.stat.bloomFilter("_h", n, fpp)
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)
       bos.toByteArray
@@ -565,29 +582,53 @@ object Dedup {
     * map-side-combined `groupBy(id)` rollup — no joins, nothing probe-sized moves.
     */
   def contaminationFlagsBloom(corpus: DataFrame, bloomBytes: Array[Byte],
-      idCol: String, textCol: String, ngramWords: Int = 8): DataFrame = {
+      idCol: String, textCol: String, ngramWords: Int = 8): DataFrame =
+    contaminationFlagsFromGrams(
+      docGramHashes(corpus, idCol, textCol, ngramWords), bloomBytes, idCol)
+
+  /** Per-doc word-shingle gram hashes: one `(idCol, gram_hash)` row per gram —
+    * the frame a pipeline materializes ONCE and reuses across the contamination
+    * family ([[buildContaminationBloomFromHashes]],
+    * [[contaminationFlagsFromGrams]]) and its own exact scrubs, instead of
+    * re-tokenizing a 100 TB corpus per consumer. NULL-id docs are excluded (they
+    * cannot anchor a per-doc verdict); tokenless docs (NULL/empty/whitespace
+    * text) keep ONE row with a NULL `gram_hash` so per-doc rollups still see
+    * them — wordShingles' shorter-than-n fallback would otherwise hand them the
+    * "" pseudo-gram, the same hazard probeShingleHashes guards on the build
+    * side. Short-but-tokenful docs keep the whole-doc shingle (the family's
+    * convention, so short probe docs match). Row-local projection: no shuffle,
+    * stays inside whole-stage codegen.
+    */
+  def docGramHashes(corpus: DataFrame, idCol: String, textCol: String,
+      ngramWords: Int = 8): DataFrame = {
     require(ngramWords > 0, s"ngramWords must be positive, got $ngramWords")
+    corpus.filter(col(idCol).isNotNull)
+      .select(col(idCol),
+        explode_outer(when(size(tokens(col(textCol))) > 0,
+          wordShingleHashes(col(textCol), ngramWords))).as("gram_hash"))
+  }
+
+  /** [[contaminationFlagsBloom]]'s rollup half over a PRE-COMPUTED gram-hash
+    * frame (shape of [[docGramHashes]]: NULL-hash rows are tokenless docs —
+    * counted as 0 grams, NULL frac). Same output, same codegen'd
+    * `might_contain`, one map-side-combined rollup; the tokenization cost lives
+    * with the caller's materialization.
+    */
+  def contaminationFlagsFromGrams(grams: DataFrame, bloomBytes: Array[Byte],
+      idCol: String, hashCol: String = "gram_hash"): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.GraftSqlBridge
-    // Tokenless docs (NULL/empty/whitespace text) carry NO grams — wordShingles'
-    // shorter-than-n fallback would hand them the "" pseudo-gram, the same hazard
-    // probeShingleHashes guards on the build side. Short-but-tokenful docs keep
-    // the whole-doc shingle (the family's convention, so short probe docs match).
-    val grams = corpus.filter(col(idCol).isNotNull)
-      .select(col(idCol).as("_id"),
-        explode_outer(when(size(tokens(col(textCol))) > 0,
-          wordShingleHashes(col(textCol), ngramWords))).as("_h"))
     val hit =
       if (bloomBytes.isEmpty) lit(false)
       else GraftSqlBridge.column(BloomFilterMightContain(
         Literal(bloomBytes, BinaryType),
-        GraftSqlBridge.expression(col("_h"))))
+        GraftSqlBridge.expression(col(hashCol))))
     grams
-      .groupBy(col("_id"))
-      .agg(count(col("_h")).as("grams_total"),
-        coalesce(sum(when(col("_h").isNotNull && hit, 1L).otherwise(0L)), lit(0L))
+      .groupBy(col(idCol))
+      .agg(count(col(hashCol)).as("grams_total"),
+        coalesce(sum(when(col(hashCol).isNotNull && hit, 1L).otherwise(0L)), lit(0L))
           .as("grams_flagged"))
-      .select(col("_id").as(idCol), col("grams_total"), col("grams_flagged"),
+      .select(col(idCol), col("grams_total"), col("grams_flagged"),
         when(col("grams_total") > 0,
           col("grams_flagged").cast("double") / col("grams_total").cast("double"))
           .as("flagged_frac"))

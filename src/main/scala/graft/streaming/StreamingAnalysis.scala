@@ -1061,18 +1061,7 @@ object StreamingAnalysis {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return None
     assertCurrentLayout(fs, root)
-    // Sweep orphaned temp folds from crashed prior attempts: tmp names are
-    // UUID-unique (so concurrent compactors can't clobber each other), which
-    // means a crash leaves a near-corpus-sized junk dir no later attempt would
-    // ever reuse — without this sweep it accumulates forever. A concurrent
-    // compactor whose live tmp this deletes fails loud at its own write/publish
-    // with sources untouched (concurrent compaction is already a misuse path).
-    fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-      .filter(_.getName.startsWith("_graft_compact_tmp_")).foreach { orphan =>
-        log.warn(s"compactBatchStore: deleting orphaned temp fold $orphan " +
-          "(crashed prior attempt)")
-        fs.delete(orphan, true)
-      }
+    sweepOrphanTmps(fs, root)
     def listIds(): Array[Long] = fs.listStatus(root).filter(_.isDirectory)
       .map(_.getPath.getName).filter(_.startsWith(s"$BatchCol="))
       .flatMap(n => scala.util.Try(n.stripPrefix(s"$BatchCol=").toLong).toOption)
@@ -1172,6 +1161,25 @@ object StreamingAnalysis {
     Some(newId)
   }
 
+  /** Sweep orphaned temp folds from crashed prior attempts: tmp names are
+    * UUID-unique (so concurrent publishers can't clobber each other), which
+    * means a crash leaves a near-corpus-sized junk dir no later attempt would
+    * ever reuse — without this sweep it accumulates forever. Runs at the top of
+    * BOTH [[compactBatchStore]] and [[replaceBatchStore]]: a retention-rebuild
+    * store that is only ever replaced must not depend on a compaction call to
+    * reclaim its crashed tmps. A concurrent publisher whose live tmp this
+    * deletes fails loud at its own write/publish with sources untouched
+    * (concurrent publishers are already a misuse path).
+    */
+  private def sweepOrphanTmps(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit =
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("_graft_compact_tmp_")).foreach { orphan =>
+        log.warn(s"batch store at $root: deleting orphaned temp fold $orphan " +
+          "(crashed prior attempt)")
+        fs.delete(orphan, true)
+      }
+
   /** Publish `df` as the `_graft_batch=<newId>` partition of `dir`, REPLACING the
     * `covered` source partitions: tmp write (preserving any `_graft_idh` shard
     * layout) + a terminated manifest of the covered ids, one rename to publish,
@@ -1242,8 +1250,9 @@ object StreamingAnalysis {
     *   - `_graft_idh`-sharded frames keep their directory-pruned read path —
     *     when replacing a SURVIVORS store (not just an index), the replacement
     *     must carry the `_graft_idh` column itself (`pmod(xxhash64(id),
-    *     idShards)`) or the sink's pruned verification read fails loud on the
-    *     missing partition column.
+    *     idShards)`); a replacement missing it against a sharded store fails
+    *     loud HERE, before anything is written, not later inside the sink's
+    *     pruned verification read.
     *
     * Returns the published partition id, or None when the store has no batch
     * partitions AND `replacement` is empty (nothing to replace or publish).
@@ -1257,8 +1266,22 @@ object StreamingAnalysis {
       s"column $BatchCol is reserved by the batch store")
     if (!fs.exists(root)) fs.mkdirs(root)
     assertCurrentLayout(fs, root)
-    val covered = fs.listStatus(root).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith(s"$BatchCol="))
+    sweepOrphanTmps(fs, root)
+    val batchDirs = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith(s"$BatchCol="))
+    // A sharded store (survivors laid out as _graft_batch=<id>/_graft_idh=<h>)
+    // read back by the sink PRUNES on the shard column; a replacement published
+    // without it would surface later as a partition-discovery/unresolved-column
+    // error in the middle of a micro-batch, far from this call. Fail here, with
+    // the fix in the message, while the store is still untouched.
+    val storeIsSharded = batchDirs.exists(d => fs.listStatus(d)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith(s"$ShardCol=")))
+    require(!storeIsSharded || replacement.columns.contains(ShardCol),
+      s"store at $dir is sharded by $ShardCol but the replacement frame does not " +
+        s"carry that column — the sink's pruned verification read would fail on the " +
+        s"missing partition column. Add it exactly as the sink does: " +
+        s"pmod(xxhash64(<idCol>), idShards) with the pinned idShards")
+    val covered = batchDirs.map(_.getName)
       .flatMap(n => scala.util.Try(n.stripPrefix(s"$BatchCol=").toLong).toOption)
     val newId = math.min(if (covered.isEmpty) 0L else covered.min, 0L) - 1L
     if (covered.isEmpty && replacement.isEmpty) return None

@@ -1350,6 +1350,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(none.agg(sum("grams_flagged")).head().getLong(0) == 0L)
     intercept[IllegalArgumentException](
       Dedup.buildContaminationBloom(probe, "p_text", ngramWords = 0))
+    // The PRE-HASHED variants a pipeline uses after materializing its gram
+    // frame once: identical bytes, identical flags, no second tokenization pass.
+    val corpusGrams = Dedup.docGramHashes(corpus, "doc_id", "text", 8)
+    // shape: tokenless docs keep ONE NULL-hash placeholder row so per-doc
+    // rollups still see them (NULL-id exclusion is pinned by the streaming gate
+    // test, which routes through this same kernel)
+    val gramRows = corpusGrams.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(gramRows.filter(_._2.isEmpty).map(_._1).sorted.toSeq == Seq(13L, 14L))
+    assert(gramRows.count(_._1 == 12L) == 1 && gramRows.forall(_._1 >= 10L))
+    val probeGrams = Dedup.docGramHashes(probe, "p_id", "p_text", 8)
+    val bytesFromHashes = Dedup.buildContaminationBloomFromHashes(probeGrams)
+    assert(java.util.Arrays.equals(bytesFromHashes, bytes),
+      "bloom built from pre-computed hashes must be bit-identical to the text path")
+    val viaGrams = Dedup.contaminationFlagsFromGrams(corpusGrams, loaded, "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    assert(viaGrams == out, s"flags-from-grams must match the text path: $viaGrams")
+    // all-NULL hash frame (every doc tokenless) -> empty bytes
+    assert(Dedup.buildContaminationBloomFromHashes(
+      Dedup.docGramHashes(Seq((1L, "  ")).toDF("doc_id", "text"), "doc_id", "text")
+    ).isEmpty)
+
     // GOLDEN pin of the gram-hash formula (xxhash64 seed-42 of the space-joined
     // 8-gram): blooms persisted by past versions stay readable only while this
     // value never changes — a drift here must fail THIS test, not silently break

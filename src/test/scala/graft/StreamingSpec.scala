@@ -894,7 +894,7 @@ class StreamingSpec extends SparkSpec {
     val landed = scala.collection.mutable.Map[Long, Set[Long]]()
     val input = MemoryStream[(Long, Array[Byte])]
     val q = StreamingAnalysis.videoDedupSink(
-      input.toDF().toDF("id", "clip"), "id", "clip", indexDirS,
+      input.toDF().toDF("id", "clip"), "id", "clip", indexDirS, compactEvery = 2,
       land = (b, df) => landed.synchronized {
         landed(b) = df.select("id").collect().map(_.getLong(0)).toSet
       }).outputMode("update").start()
@@ -903,9 +903,17 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       input.addData((3L, mk(5))) // cross-micro-batch repost
       q.processAllAvailable()
+      input.addData((4L, mk(9))) // batch 2: repost again — and the cadence fires
+      q.processAllAvailable()
     } finally q.stop()
-    assert(landed.synchronized(landed.toMap) == Map(0L -> Set(1L, 2L), 1L -> Set()),
-      s"sink must drop the cross-batch repost: $landed")
+    assert(landed.synchronized(landed.toMap) ==
+      Map(0L -> Set(1L, 2L), 1L -> Set(), 2L -> Set()),
+      s"sink must drop the cross-batch reposts: $landed")
+    // the VIDEO sink's compactEvery wiring folded the index at batch 2 (committed
+    // past = batches 0..1), leaving one fold + the live batch partition
+    val foldDirs = new java.io.File(indexDirS).listFiles().map(_.getName)
+      .filter(_.startsWith("_graft_batch=")).toSet
+    assert(foldDirs == Set("_graft_batch=-1", "_graft_batch=2"), foldDirs.toString)
 
     val indexDir = freshDir("vididx")
     val b0 = StreamingAnalysis.videoDedupBatch(
@@ -1631,6 +1639,77 @@ class StreamingSpec extends SparkSpec {
     val idxIds = spark.read.parquet(indexDir).select("id").collect()
       .map(_.getLong(0)).toSet
     assert(idxIds == Set(1L, 2L, 10L), s"index must hold retained + new docs: $idxIds")
+  }
+
+  test("replaceBatchStore lifecycle hardening: orphan-tmp sweep, sharded-store " +
+    "guard, interrupted replace healed by compaction") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    def doc(tag: String): String = s"lifecycle $tag " +
+      (1 to 12).map(k => "v" + tag + ((k * 13) % 89)).mkString(" ")
+    val (a, b) = (doc("ax"), doc("bx"))
+    val indexDir = freshDir("rlidx")
+    val survivorsDir = freshDir("rlsurv")
+    Seq((0L, a), (1L, b)).zipWithIndex.foreach { case ((id, text), bid) =>
+      StreamingAnalysis.nearDupDedupBatch(Seq((id, text)).toDF("id", "text"),
+        bid.toLong, "id", "text", indexDir, survivorsDir, 0.9)
+    }
+
+    // (a) a crashed prior attempt's temp fold in a REPLACE-ONLY store: the next
+    // replace must sweep it (without this, a retention-rebuild store that never
+    // compacts accumulates a near-corpus-sized junk dir per crash, forever)
+    val orphan = new java.io.File(s"$indexDir/_graft_compact_tmp_deadbeef")
+    assert(orphan.mkdir())
+    java.nio.file.Files.writeString(orphan.toPath.resolve("junk.parquet"), "x")
+    val retained = spark.read.parquet(survivorsDir)
+      .filter(col("id") >= 1L).select("id", "text")
+    assert(StreamingAnalysis.replaceBatchStore(spark, indexDir,
+      Dedup.minhashIndex(retained, "id", "text")).contains(-1L))
+    assert(!orphan.exists(), "replace must sweep orphaned temp folds")
+
+    // (b) the SURVIVORS store is sharded by _graft_idh: a replacement frame
+    // missing the shard column must fail loud HERE, with the store untouched —
+    // not later as an unresolved-column error inside the sink's pruned read
+    def listing(dir: String): Set[String] =
+      new java.io.File(dir).listFiles().map(_.getName)
+        .filter(_.startsWith("_graft_batch=")).toSet
+    val before = listing(survivorsDir)
+    val eShard = intercept[IllegalArgumentException] {
+      StreamingAnalysis.replaceBatchStore(spark, survivorsDir, retained)
+    }
+    assert(eShard.getMessage.contains("sharded"), eShard.getMessage)
+    assert(listing(survivorsDir) == before, "failed replace must not touch the store")
+    // carrying the shard column exactly as the sink computes it succeeds, and the
+    // sink's pruned verification read keeps working over the replaced store
+    val sharded = retained.withColumn("_graft_idh",
+      pmod(xxhash64(col("id")), lit(64L)))
+    assert(StreamingAnalysis.replaceBatchStore(spark, survivorsDir, sharded)
+      .contains(-1L))
+    val b2 = StreamingAnalysis.nearDupDedupBatch(
+      Seq((10L, a), (11L, b)).toDF("id", "text"),
+      2L, "id", "text", indexDir, survivorsDir, 0.9)
+    assert(b2.select("id").collect().map(_.getLong(0)).toSet == Set(10L),
+      "aged-out doc lands, retained doc's repost drops, over the replaced stores")
+
+    // (c) interrupted replace — fold published, source deletes never ran — is
+    // healed by the next compactBatchStore via the fold's manifest: every
+    // superseded partition (including the PRIOR NEGATIVE fold) deleted, every
+    // row exactly once
+    val d = freshDir("rlheal")
+    def mkBatch(id: Long, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "text").write.mode("overwrite").parquet(s"$d/_graft_batch=$id")
+    mkBatch(0, Seq((1L, "a")))
+    mkBatch(1, Seq((2L, "b")))
+    assert(StreamingAnalysis.compactBatchStore(spark, d, 1L).contains(-1L))
+    // the interrupted replace: -2 supersedes {-1} but -1's delete never happened
+    mkBatch(-2, Seq((7L, "r"), (8L, "s")))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d/_graft_batch=-2/_graft_folded"), "-1\nend 1\n")
+    val healed = StreamingAnalysis.compactBatchStore(spark, d, 1L)
+    assert(healed.contains(-2L), healed.toString)
+    assert(listing(d) == Set("_graft_batch=-2"), listing(d).toString)
+    assert(spark.read.parquet(d).select("id").collect().map(_.getLong(0)).toSet
+      == Set(7L, 8L), "only the replacement fold's rows survive the heal")
   }
 
   test("streaming embedding dedup SOAK: planted near-dup pairs straddling batches, " +
