@@ -1549,6 +1549,51 @@ object Queries {
              | WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
              | (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.85""".stripMargin.replaceAll("\n", " "))),
 
+    // Semantic decontamination: every-5th vector, RE-IDENTIFIED (+10M id), is the
+    // "leaked benchmark" eval set; the whole table is the corpus — so every 5th
+    // corpus row has a verbatim eval twin and MUST flag (identical vectors share
+    // every LSH bucket: recall 1 by construction, no geometry luck), while
+    // non-twin hits need cosine >= 0.85 (the same planes=8 regime whose
+    // brute-force equality the embedding-pairs queries prove on this data).
+    // Zero-norm and null-element vectors are excluded on BOTH sides: Spark's
+    // IEEE 0/0 is NaN (compares greater than any threshold) where DuckDB's `/`
+    // yields SQL NULL, and DuckDB's list_dot_product refuses null elements —
+    // the one convention split in the family, resolved by exclusion (the
+    // operator scaladoc documents the NaN behavior for production callers).
+    // Counts only (no float hash-compare).
+    QueryDef("semantic_contamination_embeddings",
+      (s, d) => {
+        val sumSq = (c: Column) => aggregate(c, lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))
+        val usable = col("embedding").isNotNull &&
+          !exists(col("embedding"), x => x.isNull) && sumSq(col("embedding")) > 0
+        val corpus = t(s, d, "embeddings").filter(col("vec_id").isNotNull && usable)
+        val evalSet = corpus.filter(pmod(col("vec_id"), lit(5)) === 0)
+          .select((col("vec_id") + 10000000L).as("eid"), col("embedding").as("evec"))
+        graft.operators.Dedup.semanticContaminationFlags(
+            corpus, evalSet, "vec_id", "embedding", "eid", "evec",
+            dim = 64, threshold = 0.85)
+          .agg(count(lit(1)).as("n_flagged"),
+            coalesce(sum(col("eval_hits")), lit(0L)).as("total_hits"),
+            coalesce(max(col("eval_hits")), lit(0L)).as("max_hits_per_doc"))
+      },
+      // Pre-cast projections (not casts inside the join condition): DuckDB
+      // v1.0's nested-loop join evaluates list_dot_product over padded chunks
+      // and dies on them when the cast sits in the predicate.
+      Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+             |   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+             |     AND len(list_filter(embedding, x -> x IS NULL)) = 0
+             |     AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+             | ev AS (SELECT vec_id + 10000000 AS eid, e FROM base WHERE (vec_id % 5 + 5) % 5 = 0),
+             | hits AS (SELECT c.vec_id AS cid, v.eid FROM base c, ev v
+             |   WHERE list_dot_product(c.e, v.e) /
+             |     (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(v.e, v.e))) >= 0.85),
+             | per AS (SELECT cid, count(DISTINCT eid) AS h FROM hits GROUP BY 1)
+             | SELECT CAST(count(*) AS BIGINT) AS n_flagged,
+             | CAST(coalesce(sum(h), 0) AS BIGINT) AS total_hits,
+             | CAST(coalesce(max(h), 0) AS BIGINT) AS max_hits_per_doc
+             | FROM per""".stripMargin.replaceAll("\n", " "))),
+
     // Incremental embedding near-dup vs a persisted hyperplane-LSH bucket index —
     // the vector member of the incremental dedup family (text minhash, image, audio,
     // video): even vec_ids form the standing corpus (index = ~20 B (id, table,

@@ -1451,4 +1451,59 @@ object Dedup {
       planes, tables, seed, maxBucketSize).localCheckpoint(true)
     cosineVerifyPairs(cands, allVecs, idCol, vecCol, threshold)
   }
+
+  /** SEMANTIC decontamination: flag every corpus row whose embedding reaches
+    * cosine `threshold` against ANY eval-set vector — the embedding-space
+    * complement of the n-gram firewall ([[contaminationFlagsBloom]]), for the
+    * paraphrased/re-worded eval leakage that shares no word n-gram with the
+    * benchmark text. Output: one row per FLAGGED corpus id — `(idCol,
+    * eval_hits, max_cosine, nearest_eval_id)` — hit-proportional, never
+    * corpus-sized; left-join it back on `idCol` for a land/quarantine split
+    * (what [[graft.streaming.StreamingAnalysis.semanticGateSink]] does).
+    *
+    * 100 TB shape — the corpus NEVER shuffles: the eval set (benchmarks,
+    * typically 1e3–1e6 rows) is hyperplane-bucketed and BROADCAST twice (the
+    * (table, bucket) → eval-id map, then the eval-id → vector map); the corpus
+    * computes its buckets row-local, hash-joins the broadcast bucket table at
+    * the scan, cosine-verifies row-local against the broadcast vectors, and
+    * only the per-doc hit rollup (a few rows per FLAGGED doc) reaches an
+    * exchange. A pair colliding in several tables recomputes the (row-local)
+    * cosine rather than shuffling vectors through a distinct — the groupBy
+    * collapses the duplicates. Recall is the LSH family's
+    * 1-(1-(1-θ/π)^planes)^tables ([[nearDupPairsEmbedding]]): raise `tables`
+    * for near-threshold pairs. `maxBucketSize` bounds a degenerate EVAL bucket
+    * (e.g. an eval set of zero vectors all bucketing together) so one bucket
+    * cannot fan every corpus row out to the whole eval set.
+    *
+    * NULL corpus ids are excluded (they cannot anchor a per-doc verdict — the
+    * [[docGramHashes]] convention); NULL vectors on either side never flag.
+    * Zero-norm vectors follow the family's NaN convention: NaN compares
+    * greater than any threshold in both Spark and DuckDB, so zero-vs-zero
+    * flags — filter them upstream if that is not wanted.
+    */
+  def semanticContaminationFlags(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, evalIdCol: String, evalVecCol: String,
+      dim: Int, threshold: Double, planes: Int = 8, tables: Int = 1,
+      seed: Long = 42L, maxBucketSize: Int = 10000): DataFrame = {
+    val evalBuckets = embeddingBucketIndex(evalSet, evalIdCol, evalVecCol, dim,
+        planes, tables, seed)
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("table"), col("bucket"))))
+      .filter(col("_n") <= maxBucketSize).drop("_n")
+      .select(col("table"), col("bucket"), col("id").as("_eid"))
+    val evalVecs = evalSet.filter(col(evalVecCol).isNotNull)
+      .select(col(evalIdCol).as("_eid"), col(evalVecCol).as("_evec"))
+    fanOut(corpus).filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).as("_cvec"),
+        posexplode(hyperplaneBuckets(col(vecCol), dim, planes, tables, seed))
+          .as(Seq("table", "bucket")))
+      .join(broadcast(evalBuckets), Seq("table", "bucket"))
+      .join(broadcast(evalVecs), Seq("_eid"))
+      .select(col(idCol), col("_eid"), cosine(col("_cvec"), col("_evec")).as("_cos"))
+      .filter(col("_cos") >= threshold)
+      .groupBy(col(idCol), col("_eid")).agg(max(col("_cos")).as("_cos"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("eval_hits"),
+        max(col("_cos")).as("max_cosine"),
+        max_by(col("_eid"), struct(col("_cos"), col("_eid"))).as("nearest_eval_id"))
+  }
 }

@@ -560,6 +560,53 @@ object StreamingAnalysis {
     }
   }
 
+  /** Streaming SEMANTIC decontamination gate: every micro-batch is flagged
+    * against an eval-set EMBEDDING frame via
+    * [[graft.operators.Dedup.semanticContaminationFlags]] (hyperplane-LSH
+    * candidates, row-local cosine verify) and split in-flight — docs with >= 1
+    * eval hit at `threshold` go to `quarantine`, the rest to `land`. The
+    * embedding-space sibling of [[contaminationGateSink]]: that one catches
+    * verbatim/near-verbatim n-gram leakage with zero false negatives; this one
+    * catches the paraphrased leakage that shares no n-gram, at the LSH family's
+    * banded recall (raise `tables` for near-threshold pairs).
+    *
+    * Conventions (pinned to the batch operator in the spec): NULL-id and
+    * NULL-vector docs land unassessed; an empty eval frame flags nothing.
+    * `evalSet` is re-read every micro-batch — pass a cached/materialized frame
+    * (it is benchmark-sized, and the operator broadcasts it twice per batch).
+    *
+    * 100 TB shape: per batch, the only exchange is the flagged-doc rollup and
+    * a join of the (hit-proportional) flags back to the batch; nothing
+    * corpus-proportional, no state store — the eval frame is the state.
+    */
+  def semanticGateSink(stream: DataFrame, idCol: String, vecCol: String,
+      evalSet: DataFrame, evalIdCol: String, evalVecCol: String, dim: Int,
+      threshold: Double, planes: Int = 8, tables: Int = 1, seed: Long = 42L,
+      maxBucketSize: Int = 10000,
+      land: (Long, DataFrame) => Unit,
+      quarantine: (Long, DataFrame) => Unit = (_, _) => ()): DataStreamWriter[Row] = {
+    require(threshold > -1 && threshold <= 1,
+      s"threshold must be a cosine in (-1,1], got $threshold")
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      val df = batch.toDF()
+      require(!df.columns.contains("_gate_hits"),
+        "semanticGateSink reserves the column name _gate_hits; rename the input column")
+      val flags = graft.operators.Dedup.semanticContaminationFlags(
+          df, evalSet, idCol, vecCol, evalIdCol, evalVecCol, dim, threshold,
+          planes, tables, seed, maxBucketSize)
+        .select(col(idCol), col("eval_hits").as("_gate_hits"))
+      // left join keeps NULL-id / NULL-vector rows (no flag row — they land
+      // unassessed, the text gate's convention). Flags are hit-proportional,
+      // usually tiny, but NOT bounded a priori — no broadcast hint, same
+      // catch-up-batch rationale as contaminationGateSink.
+      val scored = df.join(flags, Seq(idCol), "left")
+        .localCheckpoint(true) // both splits + the callbacks read it once
+      val bad = coalesce(col("_gate_hits") > 0, lit(false))
+      quarantine(batchId, scored.filter(bad).drop("_gate_hits"))
+      land(batchId, scored.filter(!bad).drop("_gate_hits"))
+    }
+  }
+
   /** Continuous constraint evaluation: run a (batchable) constraint set on each
     * micro-batch, emitting failures to the foreachBatch callback. For per-batch gating
     * (e.g. quarantine bad batches before they land).

@@ -447,6 +447,50 @@ class OperatorSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("semanticContaminationFlags: planted paraphrase flags, brute-force parity, " +
+    "multi-table hit dedup, null/empty/guard classes") {
+    import spark.implicits._
+    val dim = 16
+    val e1 = Array.fill(dim)(1.0f)
+    val e2 = Array.tabulate(dim)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val near1 = e1.clone(); near1(0) = 0.9f // the "paraphrase": cosine ~0.9996 vs e1
+    val evalDf = Seq((100L, e1.toSeq), (101L, e2.toSeq)).toDF("eid", "evec")
+    val corpus = Seq(
+      (Some(1L), Some(near1.toSeq)),            // flags against eval 100
+      (Some(2L), Some(e1.map(-_).toSeq)),       // cosine -1 / 0: clean
+      (Some(3L), Some(e2.toSeq)),               // verbatim eval 101 repost: flags
+      (Some(4L), None: Option[Seq[Float]]),     // NULL vector: never flags
+      (None: Option[Long], Some(e1.toSeq)))     // NULL id: excluded from verdicts
+      .toDF("id", "v")
+    // tables=3 exercises the multi-table path: a colliding pair must count its
+    // eval id ONCE, not once per table
+    val flags = Dedup.semanticContaminationFlags(corpus, evalDf, "id", "v",
+        "eid", "evec", dim, threshold = 0.95, planes = 4, tables = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(flags.keySet == Set(1L, 3L), flags.toString)
+    assert(flags(1L)._1 == 1L && flags(1L)._2 > 0.99 && flags(1L)._3 == 100L, flags(1L).toString)
+    assert(flags(3L)._1 == 1L && flags(3L)._2 == 1.0 && flags(3L)._3 == 101L, flags(3L).toString)
+    // brute-force parity at the same threshold: the LSH path must equal the
+    // exact cross-join verdicts on this geometry (fixed seed ⇒ deterministic)
+    val exact = corpus.filter(col("id").isNotNull && col("v").isNotNull)
+      .crossJoin(evalDf)
+      .select(col("id"), col("eid"), Dedup.cosine(col("v"), col("evec")).as("c"))
+      .filter(col("c") >= 0.95)
+      .groupBy("id").agg(countDistinct("eid").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flags.view.mapValues(_._1).toMap == exact,
+      s"LSH flags must match brute force: $flags vs $exact")
+    // empty eval set flags nothing
+    assert(Dedup.semanticContaminationFlags(corpus, evalDf.filter(lit(false)),
+      "id", "v", "eid", "evec", dim, 0.95).isEmpty)
+    // eval-bucket guard: two IDENTICAL eval vectors share every bucket, so
+    // maxBucketSize=1 drops them — nothing can flag (bounded, not quadratic)
+    val degenerateEval = Seq((200L, e1.toSeq), (201L, e1.toSeq)).toDF("eid", "evec")
+    assert(Dedup.semanticContaminationFlags(corpus, degenerateEval,
+      "id", "v", "eid", "evec", dim, 0.95, tables = 2, maxBucketSize = 1).isEmpty)
+  }
+
   test("null text yields NULL shingle sets, not a shared pseudo-shingle") {
     import spark.implicits._
     val df = Seq(Some("hello world text"), None, None).toDF("t")

@@ -192,6 +192,16 @@ class PipelineE2ESpec extends SparkSpec {
       .select("vec_id").as[Long].collect().sorted.toSeq
     assert(semKept == Seq(1L, 4L, 5L), s"40 must collapse into 4, got $semKept")
 
+    // 3.5 semantic decontamination: the extractor run over an "eval set" payload
+    //    (image 3's bytes) gives the benchmark embedding; exactly the corpus row
+    //    carrying that content must flag (verbatim features ⇒ cosine 1, bucket
+    //    collision guaranteed), everything else lands
+    val evalVecs = Seq((900L, byteMean(img(3), 8).toSeq)).toDF("eid", "evec")
+    val flagged = graft.operators.Dedup.semanticContaminationFlags(
+        feats, evalVecs, "vec_id", "emb", "eid", "evec", dim = 8, threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(flagged == Seq(5L), s"only the eval-content row flags: $flagged")
+
     // 4. corpus health: mediaStats over the gated corpus accounts every format,
     //    and total media time covers the mp4 + wav (and nothing else)
     val stats = Multimodal.mediaStats(gated.select("id", "bytes"), "bytes")

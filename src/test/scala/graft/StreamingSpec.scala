@@ -1319,6 +1319,52 @@ class StreamingSpec extends SparkSpec {
     assert(landedAll.synchronized(landedAll.toSet) == Set(10L, 11L))
   }
 
+  test("streaming semantic gate quarantines embedding-space eval leakage in-flight " +
+    "and matches the batch operator's verdicts") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = 16
+    val e1 = Array.fill(dim)(1.0f)
+    val near1 = e1.clone(); near1(0) = 0.9f // paraphrase-class: cosine ~0.9996
+    val far = e1.map(-_)
+    val evalDf = Seq((100L, e1.toSeq)).toDF("eid", "evec").cache()
+    val landed = scala.collection.mutable.Map[Long, Set[java.lang.Long]]()
+    val held = scala.collection.mutable.Map[Long, Set[java.lang.Long]]()
+    def ids(df: org.apache.spark.sql.DataFrame): Set[java.lang.Long] =
+      df.select("id").collect().map(r =>
+        if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))).toSet
+    val input = MemoryStream[(java.lang.Long, Seq[Float])]
+    val q = StreamingAnalysis.semanticGateSink(
+      input.toDF().toDF("id", "v"), "id", "v", evalDf, "eid", "evec",
+      dim = dim, threshold = 0.95, planes = 4, tables = 2,
+      land = (b, df) => landed.synchronized { landed(b) = ids(df) },
+      quarantine = (b, df) => held.synchronized { held(b) = ids(df) })
+      .outputMode("update").start()
+    try {
+      input.addData((1L, near1.toSeq), (2L, far.toSeq))
+      q.processAllAvailable()
+      // batch 1: verbatim eval repost, NULL vector (lands unassessed), NULL id
+      // carrying EVAL content (cannot join flags back — lands, documented)
+      input.addData((3L, e1.toSeq), (4L, null: Seq[Float]), (null, e1.toSeq))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(held.synchronized(held.toMap) == Map(
+      0L -> Set(java.lang.Long.valueOf(1L)),
+      1L -> Set(java.lang.Long.valueOf(3L))), held.toString)
+    assert(landed.synchronized(landed.toMap) == Map(
+      0L -> Set(java.lang.Long.valueOf(2L)),
+      1L -> Set[java.lang.Long](4L, null)), landed.toString)
+    // parity with the batch operator over the same union
+    val all = Seq((1L, near1.toSeq), (2L, far.toSeq), (3L, e1.toSeq))
+      .toDF("id", "v")
+    val batchFlagged = Dedup.semanticContaminationFlags(all, evalDf, "id", "v",
+        "eid", "evec", dim, 0.95, planes = 4, tables = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(batchFlagged == Set(1L, 3L),
+      s"gate must quarantine exactly the batch operator's flags: $batchFlagged")
+  }
+
   // ---------- round-14: store lifecycle hardening ----------
 
   test("compactBatchStore adversarial matrix: folded-batch retry, stacked-fold " +
