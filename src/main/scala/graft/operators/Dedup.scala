@@ -1476,15 +1476,25 @@ object Dedup {
     * cannot fan every corpus row out to the whole eval set.
     *
     * NULL corpus ids are excluded (they cannot anchor a per-doc verdict — the
-    * [[docGramHashes]] convention); NULL vectors on either side never flag.
-    * Zero-norm vectors follow the family's NaN convention: NaN compares
-    * greater than any threshold in both Spark and DuckDB, so zero-vs-zero
-    * flags — filter them upstream if that is not wanted.
+    * [[docGramHashes]] convention). A NULL-id EVAL row fails LOUD: its hits
+    * could not be attributed, so it would otherwise vanish silently at the
+    * vector join — and a silently narrower firewall lands contaminated docs
+    * with no error anywhere (the param-drift rule: a malformed eval frame must
+    * stop the pipeline, not limp). NULL vectors on either side never flag.
+    * Zero-norm vectors follow the family's NaN convention in Spark: NaN
+    * compares greater than any threshold, so zero-vs-zero flags — filter them
+    * upstream if that is not wanted.
     */
   def semanticContaminationFlags(corpus: DataFrame, evalSet: DataFrame,
       idCol: String, vecCol: String, evalIdCol: String, evalVecCol: String,
       dim: Int, threshold: Double, planes: Int = 8, tables: Int = 1,
       seed: Long = 42L, maxBucketSize: Int = 10000): DataFrame = {
+    // Eval frames are benchmark-sized; the guard is one tiny job, and the
+    // failure it prevents is a silent protection gap.
+    require(evalSet.filter(col(evalIdCol).isNull).limit(1).isEmpty,
+      s"evalSet has rows with NULL $evalIdCol — their hits could not be " +
+        "attributed and the rows would silently not protect; assign ids or " +
+        "filter them explicitly")
     val evalBuckets = embeddingBucketIndex(evalSet, evalIdCol, evalVecCol, dim,
         planes, tables, seed)
       .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("table"), col("bucket"))))

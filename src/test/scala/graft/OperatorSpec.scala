@@ -489,6 +489,16 @@ class OperatorSpec extends SparkSpec {
     val degenerateEval = Seq((200L, e1.toSeq), (201L, e1.toSeq)).toDF("eid", "evec")
     assert(Dedup.semanticContaminationFlags(corpus, degenerateEval,
       "id", "v", "eid", "evec", dim, 0.95, tables = 2, maxBucketSize = 1).isEmpty)
+    // a NULL-id eval row is a malformed benchmark frame: it could never
+    // attribute its hits, so it must STOP the pipeline, not silently narrow
+    // the firewall
+    val badEval = Seq((Some(100L), e1.toSeq), (None: Option[Long], e2.toSeq))
+      .toDF("eid", "evec")
+    val eNull = intercept[IllegalArgumentException] {
+      Dedup.semanticContaminationFlags(corpus, badEval,
+        "id", "v", "eid", "evec", dim, 0.95)
+    }
+    assert(eNull.getMessage.contains("NULL eid"), eNull.getMessage)
   }
 
   test("null text yields NULL shingle sets, not a shared pseudo-shingle") {
