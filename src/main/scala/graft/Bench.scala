@@ -784,40 +784,41 @@ object Bench {
                   // committed artifact instead of a by-hand isolated profile.
                   if (big >= 0 && den > 0 && big / den > 6.0)
                     graft.Queries.operatorArms.get(name).foreach { arm =>
-                      val o1 = onceAt10(arm, dir1); val o10 = onceAt10(arm, dir10)
+                      // One run per side gives BOTH the timing and (for arms
+                      // ending in a 1-row numeric aggregate) the output count —
+                      // re-running a 25-170 s sf10 arm just to read its count
+                      // would double the model's cost.
+                      def timedRows(d: String): (Double, Array[org.apache.spark.sql.Row]) =
+                        try { val t0 = System.nanoTime(); val r = arm(spark, d).collect()
+                          ((System.nanoTime() - t0) / 1e9, r) }
+                        catch { case scala.util.control.NonFatal(_) =>
+                          (-1.0, Array.empty[org.apache.spark.sql.Row]) }
+                      val (o1, r1) = timedRows(dir1); val (o10, r10) = timedRows(dir10)
                       if (o1 > 0 && o10 >= 0) {
                         models(s"sf10_op_${shortQ(name)}") = o10 / o1
                         println(f"[sf10-model] $name operator-only sf1=$o1%.3f " +
                           f"sf10=$o10%.3f op_ratio=${o10 / o1}%.2fx (full ${big / den}%.2fx)")
                         // Output model on top of the op arm (the range_join
-                        // treatment, generalized): arms that end in a 1-row
-                        // numeric aggregate (candidate/verified pair counts)
-                        // also record how much their OUTPUT grew — a banded
-                        // dedup's candidate set grows superlinearly by
-                        // construction as density rises, so op_time/out_ratio
-                        // staying ≲1 adjudicates a >linear op ratio in the
-                        // artifact itself.
-                        try {
-                          def outAt(d: String): Double = {
-                            val rows = arm(spark, d).collect()
-                            if (rows.length != 1) -1.0
-                            else rows.head.get(0) match {
-                              case n: Number => n.doubleValue()
-                              case _ => -1.0
-                            }
+                        // treatment, generalized): record how much the arm's
+                        // OUTPUT grew — a banded dedup's candidate set grows
+                        // superlinearly by construction as density rises, so
+                        // op_time/out_ratio staying ≲1 adjudicates a >linear op
+                        // ratio in the artifact itself.
+                        def outOf(rows: Array[org.apache.spark.sql.Row]): Double =
+                          if (rows.length != 1) -1.0
+                          else rows.head.get(0) match {
+                            case n: Number => n.doubleValue()
+                            case _ => -1.0
                           }
-                          val (c1, c10) = (outAt(dir1), outAt(dir10))
-                          if (c1 > 0 && c10 >= 0) {
-                            val outR = c10 / c1
-                            models(s"sf10_out_${shortQ(name)}") = outR
-                            if (outR > 0)
-                              models(s"sf10_op_per_out_${shortQ(name)}") = (o10 / o1) / outR
-                            println(f"[sf10-model] $name arm output $c1%.0f -> " +
-                              f"$c10%.0f (${outR}%.2fx); op/out ${(o10 / o1) / outR}%.2f " +
-                              "(linear-in-output op holds at <~1.5)")
-                          }
-                        } catch { case scala.util.control.NonFatal(e) =>
-                          println(s"[sf10-model] $name output model failed: ${e.getMessage}") }
+                        val (c1, c10) = (outOf(r1), outOf(r10))
+                        if (c1 > 0 && c10 > 0) {
+                          val outR = c10 / c1
+                          models(s"sf10_out_${shortQ(name)}") = outR
+                          models(s"sf10_op_per_out_${shortQ(name)}") = (o10 / o1) / outR
+                          println(f"[sf10-model] $name arm output $c1%.0f -> " +
+                            f"$c10%.0f (${outR}%.2fx); op/out ${(o10 / o1) / outR}%.2f " +
+                            "(linear-in-output op holds at <~1.5)")
+                        }
                       }
                     }
                   (name, big, if (big < 0 || den <= 0) 9999.0 else big / den)

@@ -1471,43 +1471,101 @@ object Dedup {
     * cosine rather than shuffling vectors through a distinct — the groupBy
     * collapses the duplicates. Recall is the LSH family's
     * 1-(1-(1-θ/π)^planes)^tables ([[nearDupPairsEmbedding]]): raise `tables`
-    * for near-threshold pairs. `maxBucketSize` bounds a degenerate EVAL bucket
-    * (e.g. an eval set of zero vectors all bucketing together) so one bucket
-    * cannot fan every corpus row out to the whole eval set.
+    * for near-threshold pairs. A degenerate EVAL bucket past `maxBucketSize`
+    * (e.g. an eval set of near-identical template variants bucketing
+    * together) fails LOUD at build time — unlike the dedup family's
+    * best-effort candidate guards, a firewall must not shed coverage
+    * silently.
     *
     * NULL corpus ids are excluded (they cannot anchor a per-doc verdict — the
-    * [[docGramHashes]] convention). A NULL-id EVAL row fails LOUD: its hits
-    * could not be attributed, so it would otherwise vanish silently at the
-    * vector join — and a silently narrower firewall lands contaminated docs
-    * with no error anywhere (the param-drift rule: a malformed eval frame must
-    * stop the pipeline, not limp). NULL vectors on either side never flag.
-    * Zero-norm vectors follow the family's NaN convention in Spark: NaN
-    * compares greater than any threshold, so zero-vs-zero flags — filter them
-    * upstream if that is not wanted.
+    * [[docGramHashes]] convention). Malformed eval frames fail LOUD, never
+    * narrow silently (a silently narrower firewall lands contaminated docs
+    * with no error anywhere): a NULL-id eval row (its hits could not be
+    * attributed) and an eval bucket over `maxBucketSize` (its vectors would
+    * stop protecting; raise the limit — the cost is up to bucket-size hits per
+    * matching corpus row — or raise `planes` to split the pile) both throw.
+    * NULL vectors on either side never flag. Zero-norm vectors follow the
+    * family's NaN convention in Spark: NaN compares greater than any
+    * threshold, so zero-vs-zero flags — filter them upstream if that is not
+    * wanted.
     */
   def semanticContaminationFlags(corpus: DataFrame, evalSet: DataFrame,
       idCol: String, vecCol: String, evalIdCol: String, evalVecCol: String,
       dim: Int, threshold: Double, planes: Int = 8, tables: Int = 1,
-      seed: Long = 42L, maxBucketSize: Int = 10000): DataFrame = {
-    // Eval frames are benchmark-sized; the guard is one tiny job, and the
-    // failure it prevents is a silent protection gap.
+      seed: Long = 42L, maxBucketSize: Int = 10000): DataFrame =
+    semanticContaminationFlagsIndexed(corpus,
+      buildSemanticEvalIndex(evalSet, evalIdCol, evalVecCol, dim, planes,
+        tables, seed, maxBucketSize),
+      idCol, vecCol, threshold)
+
+  /** The prepared eval side of [[semanticContaminationFlags]]: validated,
+    * guarded, and MATERIALIZED once (localCheckpoint), carrying its own LSH
+    * geometry so the corpus side cannot drift from it. Build once per eval
+    * set — a standing gate ([[graft.streaming.StreamingAnalysis
+    * .semanticGateSink]]) reuses it every micro-batch instead of re-running
+    * the null-id check, the bucket build, and the size guard per batch.
+    */
+  final case class SemanticEvalIndex private[operators] (
+      buckets: DataFrame, vecs: DataFrame,
+      dim: Int, planes: Int, tables: Int, seed: Long)
+
+  /** Validate + bucket + materialize an eval set for
+    * [[semanticContaminationFlagsIndexed]]. Fails loud on NULL eval ids and on
+    * any bucket over `maxBucketSize` — both would silently shrink the
+    * firewall's coverage otherwise (see [[semanticContaminationFlags]]).
+    */
+  def buildSemanticEvalIndex(evalSet: DataFrame, evalIdCol: String,
+      evalVecCol: String, dim: Int, planes: Int = 8, tables: Int = 1,
+      seed: Long = 42L, maxBucketSize: Int = 10000): SemanticEvalIndex = {
+    // Eval frames are benchmark-sized; these guard jobs are tiny, and the
+    // failures they prevent are silent protection gaps.
     require(evalSet.filter(col(evalIdCol).isNull).limit(1).isEmpty,
       s"evalSet has rows with NULL $evalIdCol — their hits could not be " +
         "attributed and the rows would silently not protect; assign ids or " +
         "filter them explicitly")
-    val evalBuckets = embeddingBucketIndex(evalSet, evalIdCol, evalVecCol, dim,
+    val buckets = embeddingBucketIndex(evalSet, evalIdCol, evalVecCol, dim,
         planes, tables, seed)
       .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("table"), col("bucket"))))
-      .filter(col("_n") <= maxBucketSize).drop("_n")
-      .select(col("table"), col("bucket"), col("id").as("_eid"))
-    val evalVecs = evalSet.filter(col(evalVecCol).isNotNull)
-      .select(col(evalIdCol).as("_eid"), col(evalVecCol).as("_evec"))
+      .localCheckpoint(true)
+    val oversized = buckets.filter(col("_n") > maxBucketSize)
+      .select(col("table"), col("bucket"), col("_n")).limit(1).collect()
+    require(oversized.isEmpty, {
+      val r = oversized.head
+      s"eval bucket (table=${r.get(0)}, bucket=${r.get(1)}) holds ${r.get(2)} " +
+        s"vectors > maxBucketSize=$maxBucketSize — dropping it would silently " +
+        "stop protecting those eval vectors. Raise maxBucketSize (cost: up to " +
+        "bucket-size hits per matching corpus row) or raise planes to split " +
+        "the pile"
+    })
+    SemanticEvalIndex(
+      buckets.select(col("table"), col("bucket"), col("id").as("_eid")),
+      evalSet.filter(col(evalVecCol).isNotNull)
+        .select(col(evalIdCol).as("_eid"), col(evalVecCol).as("_evec"))
+        .localCheckpoint(true),
+      dim, planes, tables, seed)
+  }
+
+  /** [[semanticContaminationFlags]] over a prepared [[SemanticEvalIndex]] —
+    * the per-batch body: corpus buckets row-local with the INDEX's geometry,
+    * broadcast-joins the eval maps at the scan, row-local cosine, one
+    * hit-proportional rollup.
+    */
+  def semanticContaminationFlagsIndexed(corpus: DataFrame,
+      evalIndex: SemanticEvalIndex, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    // An out-of-range threshold (85 for 85%, say) can never match: the
+    // firewall would be silently inert, the worst failure mode this family
+    // has. Cosine NaN (zero-norm) still flags under this bound by Spark's
+    // NaN-is-greatest comparison — documented above.
+    require(threshold >= -1 && threshold <= 1,
+      s"threshold must be a cosine in [-1, 1], got $threshold")
+    import evalIndex.{dim, planes, tables, seed}
     fanOut(corpus).filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol).as("_cvec"),
         posexplode(hyperplaneBuckets(col(vecCol), dim, planes, tables, seed))
           .as(Seq("table", "bucket")))
-      .join(broadcast(evalBuckets), Seq("table", "bucket"))
-      .join(broadcast(evalVecs), Seq("_eid"))
+      .join(broadcast(evalIndex.buckets), Seq("table", "bucket"))
+      .join(broadcast(evalIndex.vecs), Seq("_eid"))
       .select(col(idCol), col("_eid"), cosine(col("_cvec"), col("_evec")).as("_cos"))
       .filter(col("_cos") >= threshold)
       .groupBy(col(idCol), col("_eid")).agg(max(col("_cos")).as("_cos"))

@@ -542,22 +542,34 @@ object StreamingAnalysis {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0,1], got $threshold")
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-      val df = batch.toDF()
-      require(!df.columns.contains("_gate_frac"),
-        "contaminationGateSink reserves the column name _gate_frac; rename the input column")
-      val flags = graft.operators.Dedup.contaminationFlagsBloom(
-          df, bloomBytes, idCol, textCol, ngramWords)
-        .select(col(idCol), col("flagged_frac").as("_gate_frac"))
-      // left join keeps NULL-id and tokenless rows (no flag row / NULL frac).
-      // NO broadcast hint: flags has one row per batch doc — batch-sized, not
-      // small — and a catch-up micro-batch of millions of rows must not be
-      // collected to the driver; let the planner shuffle two batch-sized sides.
-      val scored = df.join(flags, Seq(idCol), "left")
-        .localCheckpoint(true) // both splits + the callbacks read it once
-      val bad = coalesce(col("_gate_frac") >= threshold, lit(false))
-      quarantine(batchId, scored.filter(bad).drop("_gate_frac"))
-      land(batchId, scored.filter(!bad).drop("_gate_frac"))
+      gateSplit(batch.toDF(), batchId, idCol, "_gate_frac",
+        df => graft.operators.Dedup.contaminationFlagsBloom(
+            df, bloomBytes, idCol, textCol, ngramWords)
+          .select(col(idCol), col("flagged_frac").as("_gate_frac")),
+        col("_gate_frac") >= threshold, land, quarantine,
+        "contaminationGateSink")
     }
+  }
+
+  /** Shared tail of the decontamination gates: compute per-doc flags, left-join
+    * them back (keeping NULL-id / unassessable rows — they land unassessed, the
+    * gates' documented convention), split on `bad`, feed both callbacks. NO
+    * broadcast hint on the join: the flags frame scales with the batch, and a
+    * catch-up micro-batch of millions of rows must not be collected to the
+    * driver — let the planner shuffle two batch-sized sides. One
+    * localCheckpoint so both splits and the callbacks read the scored frame
+    * once.
+    */
+  private def gateSplit(df: DataFrame, batchId: Long, idCol: String,
+      flagCol: String, flagsOf: DataFrame => DataFrame, bad: Column,
+      land: (Long, DataFrame) => Unit, quarantine: (Long, DataFrame) => Unit,
+      gateName: String): Unit = {
+    require(!df.columns.contains(flagCol),
+      s"$gateName reserves the column name $flagCol; rename the input column")
+    val scored = df.join(flagsOf(df), Seq(idCol), "left").localCheckpoint(true)
+    val isBad = coalesce(bad, lit(false))
+    quarantine(batchId, scored.filter(isBad).drop(flagCol))
+    land(batchId, scored.filter(!isBad).drop(flagCol))
   }
 
   /** Streaming SEMANTIC decontamination gate: every micro-batch is flagged
@@ -571,13 +583,17 @@ object StreamingAnalysis {
     * banded recall (raise `tables` for near-threshold pairs).
     *
     * Conventions (pinned to the batch operator in the spec): NULL-id and
-    * NULL-vector docs land unassessed; an empty eval frame flags nothing.
-    * `evalSet` is re-read every micro-batch — pass a cached/materialized frame
-    * (it is benchmark-sized, and the operator broadcasts it twice per batch).
+    * NULL-vector docs land unassessed; an empty eval frame flags nothing. The
+    * eval side is validated, bucketed, and MATERIALIZED ONCE at sink
+    * construction ([[graft.operators.Dedup.buildSemanticEvalIndex]] — the
+    * null-id check, the bucket-size guard, and the bucket build do not re-run
+    * per micro-batch); malformed eval frames therefore fail at `start()`, not
+    * mid-stream.
     *
-    * 100 TB shape: per batch, the only exchange is the flagged-doc rollup and
-    * a join of the (hit-proportional) flags back to the batch; nothing
-    * corpus-proportional, no state store — the eval frame is the state.
+    * 100 TB shape: per batch, the eval maps are re-broadcast (they ride each
+    * batch's tasks) but the only exchange is the flagged-doc rollup and a
+    * join of the (hit-proportional) flags back to the batch; nothing
+    * corpus-proportional, no state store — the eval index is the state.
     */
   def semanticGateSink(stream: DataFrame, idCol: String, vecCol: String,
       evalSet: DataFrame, evalIdCol: String, evalVecCol: String, dim: Int,
@@ -585,25 +601,16 @@ object StreamingAnalysis {
       maxBucketSize: Int = 10000,
       land: (Long, DataFrame) => Unit,
       quarantine: (Long, DataFrame) => Unit = (_, _) => ()): DataStreamWriter[Row] = {
-    require(threshold > -1 && threshold <= 1,
-      s"threshold must be a cosine in (-1,1], got $threshold")
+    require(threshold >= -1 && threshold <= 1,
+      s"threshold must be a cosine in [-1, 1], got $threshold")
+    val evalIndex = graft.operators.Dedup.buildSemanticEvalIndex(
+      evalSet, evalIdCol, evalVecCol, dim, planes, tables, seed, maxBucketSize)
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-      val df = batch.toDF()
-      require(!df.columns.contains("_gate_hits"),
-        "semanticGateSink reserves the column name _gate_hits; rename the input column")
-      val flags = graft.operators.Dedup.semanticContaminationFlags(
-          df, evalSet, idCol, vecCol, evalIdCol, evalVecCol, dim, threshold,
-          planes, tables, seed, maxBucketSize)
-        .select(col(idCol), col("eval_hits").as("_gate_hits"))
-      // left join keeps NULL-id / NULL-vector rows (no flag row — they land
-      // unassessed, the text gate's convention). Flags are hit-proportional,
-      // usually tiny, but NOT bounded a priori — no broadcast hint, same
-      // catch-up-batch rationale as contaminationGateSink.
-      val scored = df.join(flags, Seq(idCol), "left")
-        .localCheckpoint(true) // both splits + the callbacks read it once
-      val bad = coalesce(col("_gate_hits") > 0, lit(false))
-      quarantine(batchId, scored.filter(bad).drop("_gate_hits"))
-      land(batchId, scored.filter(!bad).drop("_gate_hits"))
+      gateSplit(batch.toDF(), batchId, idCol, "_gate_hits",
+        df => graft.operators.Dedup.semanticContaminationFlagsIndexed(
+            df, evalIndex, idCol, vecCol, threshold)
+          .select(col(idCol), col("eval_hits").as("_gate_hits")),
+        col("_gate_hits") > 0, land, quarantine, "semanticGateSink")
     }
   }
 
@@ -828,6 +835,12 @@ object StreamingAnalysis {
       assertCurrentLayout(p.getFileSystem(
         batch.sparkSession.sessionState.newHadoopConf()), p)
     }
+    // Pin the shard modulus on the SURVIVORS store too (the index store pins
+    // the full operator params): the pruned read computes pmod(xxhash64(id),
+    // idShards) against the stored dirs, so a retention rebuild with a
+    // different modulus would land survivors in shards the sink never probes —
+    // silent dedup false negatives. replaceSurvivorsStore checks this marker.
+    pinStoreParams(batch.sparkSession, survivorsDir, s"survivors idShards=$idShards")
     val shardOf = (c: Column) => pmod(xxhash64(c), lit(idShards.toLong))
     val docsOnly = batch.select(col(idCol), col(payloadCol))
     val candShards = cands.select(col("id_a").as("_cid"))
@@ -1334,5 +1347,26 @@ object StreamingAnalysis {
     if (covered.isEmpty && replacement.isEmpty) return None
     publishFold(fs, dir, replacement, covered, newId, () => ())
     Some(newId)
+  }
+
+  /** [[replaceBatchStore]] for a SURVIVORS store, with the shard column
+    * computed HERE — the caller cannot hand-roll a wrong formula — and
+    * `idShards` checked against the modulus the sink pinned at its first
+    * write. The column-present guard in [[replaceBatchStore]] cannot catch a
+    * wrong MODULUS (a mod-32 rebuild against a mod-64 store publishes shard
+    * dirs the sink's pruned read never probes for half the id space — retained
+    * docs silently repost as new); the params marker can, so this is the
+    * supported way to rebuild a survivors store over a retention window.
+    * `replacement` carries the sink's survivor schema (id + payload), WITHOUT
+    * the shard column.
+    */
+  def replaceSurvivorsStore(spark: org.apache.spark.sql.SparkSession, dir: String,
+      replacement: DataFrame, idCol: String, idShards: Int): Option[Long] = {
+    require(idShards > 0, s"idShards must be positive, got $idShards")
+    require(!replacement.columns.contains(ShardCol),
+      s"replaceSurvivorsStore computes $ShardCol itself — drop the caller's column")
+    replaceBatchStore(spark, dir,
+      replacement.withColumn(ShardCol, pmod(xxhash64(col(idCol)), lit(idShards.toLong))),
+      Some(s"survivors idShards=$idShards"))
   }
 }

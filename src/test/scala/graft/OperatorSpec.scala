@@ -484,11 +484,30 @@ class OperatorSpec extends SparkSpec {
     // empty eval set flags nothing
     assert(Dedup.semanticContaminationFlags(corpus, evalDf.filter(lit(false)),
       "id", "v", "eid", "evec", dim, 0.95).isEmpty)
-    // eval-bucket guard: two IDENTICAL eval vectors share every bucket, so
-    // maxBucketSize=1 drops them — nothing can flag (bounded, not quadratic)
+    // eval-bucket guard: two IDENTICAL eval vectors share every bucket —
+    // dropping them would silently stop protecting them, so the build fails
+    // LOUD (unlike the dedup family's best-effort candidate guards)
     val degenerateEval = Seq((200L, e1.toSeq), (201L, e1.toSeq)).toDF("eid", "evec")
-    assert(Dedup.semanticContaminationFlags(corpus, degenerateEval,
-      "id", "v", "eid", "evec", dim, 0.95, tables = 2, maxBucketSize = 1).isEmpty)
+    val eBucket = intercept[IllegalArgumentException] {
+      Dedup.semanticContaminationFlags(corpus, degenerateEval,
+        "id", "v", "eid", "evec", dim, 0.95, tables = 2, maxBucketSize = 1)
+    }
+    assert(eBucket.getMessage.contains("maxBucketSize"), eBucket.getMessage)
+    // an out-of-range threshold (85 for 85%) would make the firewall silently
+    // inert — fail loud in the batch operator, not only the gate
+    val eThr = intercept[IllegalArgumentException] {
+      Dedup.semanticContaminationFlags(corpus, evalDf,
+        "id", "v", "eid", "evec", dim, threshold = 85)
+    }
+    assert(eThr.getMessage.contains("cosine"), eThr.getMessage)
+    // the prepared-index path (what the streaming gate builds once) returns
+    // identical verdicts to the one-shot operator
+    val idx = Dedup.buildSemanticEvalIndex(evalDf, "eid", "evec", dim,
+      planes = 4, tables = 3)
+    val viaIdx = Dedup.semanticContaminationFlagsIndexed(corpus, idx, "id", "v", 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(viaIdx == flags, s"indexed path must match the one-shot path: $viaIdx")
     // a NULL-id eval row is a malformed benchmark frame: it could never
     // attribute its hits, so it must STOP the pipeline, not silently narrow
     // the firewall

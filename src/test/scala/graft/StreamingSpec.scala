@@ -1725,12 +1725,19 @@ class StreamingSpec extends SparkSpec {
     }
     assert(eShard.getMessage.contains("sharded"), eShard.getMessage)
     assert(listing(survivorsDir) == before, "failed replace must not touch the store")
-    // carrying the shard column exactly as the sink computes it succeeds, and the
-    // sink's pruned verification read keeps working over the replaced store
-    val sharded = retained.withColumn("_graft_idh",
-      pmod(xxhash64(col("id")), lit(64L)))
-    assert(StreamingAnalysis.replaceBatchStore(spark, survivorsDir, sharded)
-      .contains(-1L))
+    // a retention rebuild with the WRONG shard modulus would land survivors in
+    // shards the sink never probes (silent dedup false negatives): the sink
+    // pinned "survivors idShards=64" at first write, so idShards=32 fails loud
+    val eMod = intercept[IllegalArgumentException] {
+      StreamingAnalysis.replaceSurvivorsStore(spark, survivorsDir, retained,
+        "id", idShards = 32)
+    }
+    assert(eMod.getMessage.contains("parameters"), eMod.getMessage)
+    assert(listing(survivorsDir) == before, "failed replace must not touch the store")
+    // the supported path computes the shard column itself with the pinned
+    // modulus, and the sink's pruned verification read keeps working after
+    assert(StreamingAnalysis.replaceSurvivorsStore(spark, survivorsDir, retained,
+      "id", idShards = 64).contains(-1L))
     val b2 = StreamingAnalysis.nearDupDedupBatch(
       Seq((10L, a), (11L, b)).toDF("id", "text"),
       2L, "id", "text", indexDir, survivorsDir, 0.9)
