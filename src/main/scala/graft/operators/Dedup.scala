@@ -1545,6 +1545,66 @@ object Dedup {
       dim, planes, tables, seed)
   }
 
+  /** Persist a validated [[SemanticEvalIndex]] — the semantic firewall's
+    * store-don't-recompute contract, like [[buildContaminationBloom]]'s bytes:
+    * build once next to the eval data, [[loadSemanticEvalIndex]] each
+    * session/stream start with no eval rescan and no re-validation. Layout:
+    * `<dir>/buckets` + `<dir>/vectors` parquet and a `_graft_semantic` marker
+    * pinning the LSH geometry (a load under a different geometry fails loud —
+    * its corpus-side buckets could never match the stored ones, a silent
+    * zero-recall firewall). NOT atomic: a crash mid-save leaves a torn store —
+    * save into a fresh directory and swap, or re-run the save.
+    */
+  def saveSemanticEvalIndex(index: SemanticEvalIndex, dir: String): Unit = {
+    index.buckets.write.mode("overwrite").parquet(s"$dir/buckets")
+    index.vecs.write.mode("overwrite").parquet(s"$dir/vectors")
+    // marker LAST: a first-save crash leaves no marker and the load fails loud
+    writeSemanticMarker(index.buckets.sparkSession, dir,
+      geometryOf(index.dim, index.planes, index.tables, index.seed))
+  }
+
+  /** Load a [[saveSemanticEvalIndex]] store. The caller restates the geometry
+    * it expects (the corpus side will bucket with it); a mismatch with the
+    * pinned marker — or a directory that is not a saved semantic index — fails
+    * loud instead of returning an index that can never match anything.
+    */
+  def loadSemanticEvalIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      dim: Int, planes: Int = 8, tables: Int = 1, seed: Long = 42L): SemanticEvalIndex = {
+    val expected = geometryOf(dim, planes, tables, seed)
+    val stored = readSemanticMarker(spark, dir).getOrElse(throw new IllegalArgumentException(
+      s"$dir has no _graft_semantic marker — not a saved semantic eval index " +
+        "(or a save crashed before completing); rebuild with saveSemanticEvalIndex"))
+    require(stored == expected,
+      s"semantic index at $dir was built with [$stored] but this load expects " +
+        s"[$expected] — buckets across geometries can never match (zero-recall " +
+        "firewall); reload with the stored geometry or rebuild the index")
+    SemanticEvalIndex(spark.read.parquet(s"$dir/buckets"),
+      spark.read.parquet(s"$dir/vectors"), dim, planes, tables, seed)
+  }
+
+  private def geometryOf(dim: Int, planes: Int, tables: Int, seed: Long): String =
+    s"semantic dim=$dim planes=$planes tables=$tables seed=$seed"
+
+  private def writeSemanticMarker(spark: org.apache.spark.sql.SparkSession,
+      dir: String, params: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_semantic")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(params.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSemanticMarker(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_semantic")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
   /** [[semanticContaminationFlags]] over a prepared [[SemanticEvalIndex]] —
     * the per-batch body: corpus buckets row-local with the INDEX's geometry,
     * broadcast-joins the eval maps at the scan, row-local cosine, one

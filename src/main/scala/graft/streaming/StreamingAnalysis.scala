@@ -600,11 +600,23 @@ object StreamingAnalysis {
       threshold: Double, planes: Int = 8, tables: Int = 1, seed: Long = 42L,
       maxBucketSize: Int = 10000,
       land: (Long, DataFrame) => Unit,
-      quarantine: (Long, DataFrame) => Unit = (_, _) => ()): DataStreamWriter[Row] = {
+      quarantine: (Long, DataFrame) => Unit = (_, _) => ()): DataStreamWriter[Row] =
+    semanticGateSink(stream, idCol, vecCol,
+      graft.operators.Dedup.buildSemanticEvalIndex(
+        evalSet, evalIdCol, evalVecCol, dim, planes, tables, seed, maxBucketSize),
+      threshold, land, quarantine)
+
+  /** [[semanticGateSink]] over a PREPARED (or [[graft.operators.Dedup
+    * .loadSemanticEvalIndex]]-loaded) eval index — the standing-deployment
+    * shape: build + persist the index once next to the eval data, load it at
+    * every stream (re)start, no eval-frame rescan or re-validation.
+    */
+  def semanticGateSink(stream: DataFrame, idCol: String, vecCol: String,
+      evalIndex: graft.operators.Dedup.SemanticEvalIndex, threshold: Double,
+      land: (Long, DataFrame) => Unit,
+      quarantine: (Long, DataFrame) => Unit): DataStreamWriter[Row] = {
     require(threshold >= -1 && threshold <= 1,
       s"threshold must be a cosine in [-1, 1], got $threshold")
-    val evalIndex = graft.operators.Dedup.buildSemanticEvalIndex(
-      evalSet, evalIdCol, evalVecCol, dim, planes, tables, seed, maxBucketSize)
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       gateSplit(batch.toDF(), batchId, idCol, "_gate_hits",
         df => graft.operators.Dedup.semanticContaminationFlagsIndexed(

@@ -508,6 +508,29 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
       .toMap
     assert(viaIdx == flags, s"indexed path must match the one-shot path: $viaIdx")
+
+    // persisted index: save -> load round-trips the verdicts (the semantic
+    // firewall's store-don't-recompute contract, like the bloom bytes)
+    val idxDir = java.nio.file.Files.createTempDirectory("semidx").toString
+    Dedup.saveSemanticEvalIndex(idx, idxDir)
+    val loaded = Dedup.loadSemanticEvalIndex(spark, idxDir, dim, planes = 4, tables = 3)
+    val viaLoaded = Dedup.semanticContaminationFlagsIndexed(corpus, loaded, "id", "v", 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(viaLoaded == flags, s"loaded index must match: $viaLoaded")
+    // geometry drift at load fails loud — buckets across geometries can never
+    // match, which would be a silent zero-recall firewall
+    val eGeo = intercept[IllegalArgumentException] {
+      Dedup.loadSemanticEvalIndex(spark, idxDir, dim, planes = 8, tables = 3)
+    }
+    assert(eGeo.getMessage.contains("geometr"), eGeo.getMessage)
+    // a directory without the marker (empty, or a crashed first save) is not
+    // silently treated as an index
+    val eNoMarker = intercept[IllegalArgumentException] {
+      Dedup.loadSemanticEvalIndex(spark,
+        java.nio.file.Files.createTempDirectory("semidx_empty").toString, dim)
+    }
+    assert(eNoMarker.getMessage.contains("marker"), eNoMarker.getMessage)
     // a NULL-id eval row is a malformed benchmark frame: it could never
     // attribute its hits, so it must STOP the pipeline, not silently narrow
     // the firewall

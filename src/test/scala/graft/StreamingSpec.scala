@@ -1363,6 +1363,31 @@ class StreamingSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(batchFlagged == Set(1L, 3L),
       s"gate must quarantine exactly the batch operator's flags: $batchFlagged")
+
+    // the standing-deployment shape: index persisted once, LOADED at stream
+    // start, same verdicts through the prepared-index overload
+    val idxDir = java.nio.file.Files.createTempDirectory("semgateidx").toString
+    Dedup.saveSemanticEvalIndex(Dedup.buildSemanticEvalIndex(
+      evalDf, "eid", "evec", dim, planes = 4, tables = 2), idxDir)
+    val heldL = scala.collection.mutable.Set[Long]()
+    val landedL = scala.collection.mutable.Set[Long]()
+    val input2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = StreamingAnalysis.semanticGateSink(
+      input2.toDF().toDF("id", "v"), "id", "v",
+      Dedup.loadSemanticEvalIndex(spark, idxDir, dim, planes = 4, tables = 2),
+      threshold = 0.95,
+      land = (_, df) => landedL.synchronized {
+        landedL ++= df.select("id").collect().map(_.getLong(0)) },
+      quarantine = (_, df) => heldL.synchronized {
+        heldL ++= df.select("id").collect().map(_.getLong(0)) })
+      .outputMode("update").start()
+    try {
+      input2.addData((7L, near1.toSeq), (8L, far.toSeq))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(heldL.synchronized(heldL.toSet) == Set(7L) &&
+      landedL.synchronized(landedL.toSet) == Set(8L),
+      s"loaded-index gate must match: held=$heldL landed=$landedL")
   }
 
   // ---------- round-14: store lifecycle hardening ----------
