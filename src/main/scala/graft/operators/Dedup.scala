@@ -1578,8 +1578,11 @@ object Dedup {
       s"semantic index at $dir was built with [$stored] but this load expects " +
         s"[$expected] — buckets across geometries can never match (zero-recall " +
         "firewall); reload with the stored geometry or rebuild the index")
-    SemanticEvalIndex(spark.read.parquet(s"$dir/buckets"),
-      spark.read.parquet(s"$dir/vectors"), dim, planes, tables, seed)
+    // Materialize at load, like the build path: a standing gate broadcasts
+    // these frames every micro-batch and must not re-read the store each time.
+    SemanticEvalIndex(spark.read.parquet(s"$dir/buckets").localCheckpoint(true),
+      spark.read.parquet(s"$dir/vectors").localCheckpoint(true),
+      dim, planes, tables, seed)
   }
 
   private def geometryOf(dim: Int, planes: Int, tables: Int, seed: Long): String =
