@@ -108,12 +108,21 @@ object Queries {
   private def mediaFixture(s: SparkSession, d: String, tag: String, colName: String)(
       mk: Long => Array[Byte]): (DataFrame, Long) = {
     val (nDocs, fp) = docsFingerprint(s, d)
+    // The fixture is written SPLITTABLE (one file per core): the shipped test
+    // corpora are single-row-group parquet, and a fixture written 1:1 from that
+    // scan pins every downstream media decode UDF — the dominant per-task cost of
+    // all six media queries — to ONE task of the session (guide §2/§6: a row group
+    // is parquet's minimum split unit). The layout rides the cache key so a
+    // fixture built single-file by an older round rebuilds instead of silently
+    // re-serializing the decode stage.
+    val par = s.sparkContext.defaultParallelism
     val fix = s"${System.getProperty("java.io.tmpdir")}/graft_bench_${tag}_" +
-      s"${d.hashCode.toHexString}_${nDocs}_${fp.toHexString}"
+      s"${d.hashCode.toHexString}_${nDocs}_${fp.toHexString}_p$par"
     if (!new java.io.File(s"$fix/_SUCCESS").exists()) {
       val mkU = udf(mk)
       t(s, d, "documents").filter(col("doc_id").isNotNull)
         .select(col("doc_id"), mkU(col("doc_id")).as(colName))
+        .repartition(par)
         .write.mode("overwrite").parquet(fix)
     }
     (s.read.parquet(fix), nDocs)

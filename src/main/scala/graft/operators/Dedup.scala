@@ -1243,8 +1243,13 @@ object Dedup {
     newFlagCol.fold(joined)(_ => joined.filter(col("_flag_a") || col("_flag_b")))
       .select(col("id_a"), col("id_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
-      .distinct()
+      // Hamming cut BEFORE the dedup exchange (guide §2.3 — shuffle fewer bytes):
+      // on a real corpus most banding collisions fail the cut, and rows dropped
+      // here never enter the distinct's shuffle of the pipeline's largest
+      // intermediate. filter∘distinct ≡ distinct∘filter for a deterministic
+      // row-local predicate, so results are unchanged.
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   // ---------- embedding near-dup ----------

@@ -1448,6 +1448,11 @@ object Multimodal {
   def videoFrameHashes(df: DataFrame, idCol: String, binCol: String,
       decoder: (Array[Byte], Int, Int) => Seq[Array[Byte]] = DefaultFrameDecoder,
       everyNth: Int = 1, maxFrames: Int = 16): DataFrame = {
+    // NO fanOut here, deliberately (round 14): media bytes must never cross an
+    // exchange (plan-pinned in MultimodalSpec), and the measured decode cost is
+    // ~0.15 s for the whole sf0.1 fixture — parallelism comes from the splittable
+    // fixture layout (one file per core), not from shuffling payloads.
+    val src = df.filter(col(idCol).isNotNull)
     if (decoder eq DefaultFrameDecoder) {
       // FUSED default route: hash decoded GIF rasters in place (gifFrameHashes) —
       // the unfused route PNG-encodes each raster only for perceptualHash to decode
@@ -1462,12 +1467,12 @@ object Multimodal {
             .flatMap { case (fb, i) => MediaCodecs.perceptualHash(fb).map(h => (i, h)) }
         }
       }
-      df.filter(col(idCol).isNotNull)
+      src
         .select(col(idCol).as("id"), explode(fh(col(binCol))).as("_fh"))
         .select(col("id"), col("_fh._1").as("frame_idx"), col("_fh._2").as("frame_hash"))
     } else {
       val ph = udf((bytes: Array[Byte]) => MediaCodecs.perceptualHash(bytes))
-      explodeFrames(df.filter(col(idCol).isNotNull).select(col(idCol), col(binCol)),
+      explodeFrames(src.select(col(idCol), col(binCol)),
         binCol, everyNth, maxFrames, decoder)
         .select(col(idCol).as("id"), col("frame_idx"), ph(col("frame_bytes")).as("frame_hash"))
         .filter(col("frame_hash").isNotNull)
@@ -1488,6 +1493,11 @@ object Multimodal {
     val frameRows = frameHashes
       .select(Seq(struct(col("id").as("cid"), col("frame_idx").as("fidx")).as("id"),
         col("frame_hash").as("_h64")) ++ newFlagCol.map(col): _*)
+    // Measured (round 14): keeping bandedHammingPairs' pair-level distinct BEATS
+    // skipping it here even though the per-clip aggregation would absorb
+    // duplicates — a true near-dup pair (hamming 0) collides in ALL 4 bands, so
+    // the undeduped join output is ~4x the distinct pairs and the aggregation's
+    // countDistinct expand doubles that again (3.08 s vs 2.56 s full operator).
     val framePairs = Dedup.bandedHammingPairs(frameRows, maxHamming, maxBucketSize,
       newFlagCol = newFlagCol)
     // cross-clip only (a clip's own repeated frames are not a duplicate relation).
