@@ -1985,7 +1985,9 @@ object Queries {
           }
           Warc.encodeWarc(blocks, gzip = (((id % 2) + 2) % 2) == 0L)
         })
-        val blobs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        // fanOut: see warc_brotli_documents (measured 0.70 s raw vs 0.36 s fanned)
+        val blobs = graft.operators.Dedup.fanOut(
+            t(s, d, "documents").filter(col("doc_id").isNotNull).select(col("doc_id")))
           .select(col("doc_id"), mkWarc(col("doc_id")).as("warc"))
         Warc.explodeRecords(blobs, "warc").agg(
           count(lit(1)).as("n_records"),
@@ -2020,6 +2022,7 @@ object Queries {
         val parts = WebFunctions.htmlParts(html)
         val expText = concat(lit("Heading "), id,
           lit("\nalpha & beta\ngamma delta\nc1 c2\ntail "), id)
+        // NO fanOut (measured, round 14): raw 0.25 s vs fanned 0.36 s same-JVM.
         t(s, d, "documents").filter(col("doc_id").isNotNull)
           .select(parts.getField("text").as("x"), parts.getField("title").as("ti"),
             expText.as("ex"), concat(lit("T "), id).as("eti"))
@@ -2070,6 +2073,8 @@ object Queries {
         val expMain = concat(lit("Story "), id, lit("\n"), p1, lit("\n"), p2)
         val expFull = concat(lit("Home | About | Contact\nStory "), id,
           lit("\n"), p1, lit("\n"), p2, lit("\nPrev Next\nTerms Privacy"))
+        // NO fanOut (measured, round 14): the html_extract A/B read raw 0.25 s vs
+        // fanned 0.36 s same-JVM — the parse kernel is too cheap for the exchange.
         t(s, d, "documents").filter(col("doc_id").isNotNull)
           .select(html.as("html_src"), expMain.as("em"), expFull.as("ef"))
           .select(WebFunctions.htmlMainText(col("html_src")).as("m"),
@@ -2106,7 +2111,11 @@ object Queries {
             "2026-01-01T00:00:00Z", s"<urn:uuid:$id>", 200, "text/html",
             body.getBytes("ISO-8859-1"))), gzip = (((id % 2) + 2) % 2) == 0L)
         })
-        val blobs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        // fanOut (measured, round 14): raw 0.70 s vs fanned 0.36 s same-JVM — the
+        // per-row WARC encode + parse kernels dominate; 8 B/row crosses the local
+        // shuffle, no-op when the input is already parallel.
+        val blobs = graft.operators.Dedup.fanOut(
+            t(s, d, "documents").filter(col("doc_id").isNotNull).select(col("doc_id")))
           .select(col("doc_id"), mkBlob(col("doc_id")).as("warc"))
         val id = col("doc_id").cast("string")
         Warc.responseTexts(blobs, "warc")
@@ -2161,7 +2170,11 @@ object Queries {
             "2026-01-01T00:00:00Z", s"<urn:uuid:$id>", 200, ct, bytes)),
             gzip = ((((id / 6) % 2) + 2) % 2) == 0L)
         })
-        val blobs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        // fanOut (measured, round 14): raw 0.70 s vs fanned 0.36 s same-JVM — the
+        // per-row WARC encode + parse kernels dominate; 8 B/row crosses the local
+        // shuffle, no-op when the input is already parallel.
+        val blobs = graft.operators.Dedup.fanOut(
+            t(s, d, "documents").filter(col("doc_id").isNotNull).select(col("doc_id")))
           .select(col("doc_id"), mkBlob(col("doc_id")).as("warc"))
         val id = col("doc_id").cast("string")
         val m = pmod(col("doc_id"), lit(6))
@@ -2226,7 +2239,11 @@ object Queries {
           else Seq(resp)
           Warc.encodeWarc(blocks, gzip = ((((id / 2) % 2) + 2) % 2) == 0L)
         })
-        val blobs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        // fanOut (measured, round 14): raw 0.70 s vs fanned 0.36 s same-JVM — the
+        // per-row WARC encode + parse kernels dominate; 8 B/row crosses the local
+        // shuffle, no-op when the input is already parallel.
+        val blobs = graft.operators.Dedup.fanOut(
+            t(s, d, "documents").filter(col("doc_id").isNotNull).select(col("doc_id")))
           .select(col("doc_id"), mkBlob(col("doc_id")).as("warc"))
         val expected = concat(lit("brotli page "), col("doc_id").cast("string"))
         Warc.explodeRecords(blobs, "warc").agg(
@@ -2289,7 +2306,11 @@ object Queries {
           }
           Warc.encodeWarc(Seq(rec))
         })
-        val blobs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        // fanOut (measured, round 14): raw 0.70 s vs fanned 0.36 s same-JVM — the
+        // per-row WARC encode + parse kernels dominate; 8 B/row crosses the local
+        // shuffle, no-op when the input is already parallel.
+        val blobs = graft.operators.Dedup.fanOut(
+            t(s, d, "documents").filter(col("doc_id").isNotNull).select(col("doc_id")))
           .select(col("doc_id"), mkBlob(col("doc_id")).as("warc"))
         val m = pmod(col("doc_id"), lit(3))
         val full = concat(lit("repeated crawl page content block " * 200),
@@ -2340,7 +2361,11 @@ object Queries {
           else Seq(resp)
           Warc.encodeWarc(blocks, gzip = (((id % 2) + 2) % 2) == 0L)
         })
-        val blobs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+        // fanOut (measured, round 14): raw 0.70 s vs fanned 0.36 s same-JVM — the
+        // per-row WARC encode + parse kernels dominate; 8 B/row crosses the local
+        // shuffle, no-op when the input is already parallel.
+        val blobs = graft.operators.Dedup.fanOut(
+            t(s, d, "documents").filter(col("doc_id").isNotNull).select(col("doc_id")))
           .select(col("doc_id"), mkBlob(col("doc_id")).as("warc"))
         Warc.explodeRecords(blobs, "warc").agg(
           count(lit(1)).as("n_records"),
@@ -3509,6 +3534,8 @@ object Queries {
     // A source whose best doc already exceeds the quota is absent on both sides.
     QueryDef("budget_select_by_source_documents",
       (s, d) => {
+        // NO fanOut (measured, round 14): raw 0.56 s vs fanned 1.00 s same-JVM —
+        // the kernels are cheap enough that the extra exchange only costs.
         val docs = t(s, d, "documents")
           .filter(col("doc_id").isNotNull && col("text").isNotNull)
           .withColumn("q", TextFunctions.qualityScore(col("text")))
@@ -3830,7 +3857,12 @@ object Queries {
           tld, port, lit("/items/"), col("o_orderkey").cast("string"),
           lit("/?utm_source=feed&b="), (col("o_orderkey") % 7).cast("string"),
           lit("&a="), (col("o_orderkey") % 3).cast("string"), lit("#frag"))
-        t(s, d, "orders")
+        // fanOut (measured, round 14): raw 1.42 s vs fanned 1.11 s same-JVM — the
+        // url_parts kernel + the Expand×3 distinct-agg stage dominate and both
+        // parallelize; only the two key longs cross the local shuffle. No-op when
+        // the input is already parallel (the guard leaves such plans alone).
+        graft.operators.Dedup.fanOut(
+            t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")))
           .select(WebFunctions.urlNormalize(u).as("norm"), WebFunctions.domainOf(u).as("dom"))
           .agg(
             count(lit(1)).as("n_urls"),
@@ -3891,6 +3923,8 @@ object Queries {
         // NULL keys out BEFORE the quota window: Spark orders nulls-first, DuckDB
         // nulls-last, so a NULL o_orderkey inside a full stratum would pick different
         // survivors per engine — and capping needs a real (domain, key) anyway.
+        // NO fanOut (measured, round 14): raw 0.41 s vs fanned 0.61 s same-JVM —
+        // the domain kernel alone is too cheap to pay for the extra exchange.
         val withDom = t(s, d, "orders")
           .filter(col("o_orderkey").isNotNull && col("o_custkey").isNotNull)
           .select(col("o_orderkey"), WebFunctions.domainOf(u).as("dom"))

@@ -31,6 +31,12 @@ import graft.functions.TextFunctions
   */
 object CorpusStats {
 
+  // Deliberately NO fanOut here (measured, round 14): on the tokenize-then-
+  // aggregate shape a round-robin exchange of the text makes things WORSE
+  // (same-JVM A/B, tfidf body: raw-scan 1.01 s vs fanned 1.89 s at sf0.1) —
+  // the explode feeds map-side partial aggregation, which combines better from
+  // large scan batches than from a shuffled 32-way spray, and the exchange adds
+  // a sort-before-repartition pass over the payload.
   private def nonNull(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
 

@@ -202,7 +202,19 @@ object Joins {
         .select(col(keyCol), xxhash64(col("_v")).as("_vh"))
         .withColumn(cntCol, count(lit(1)).over(w))
     }
-    val cand = variants(lk, "_lk", "_bl").join(variants(rk, "_rk", "_br"), Seq("_vh"))
+    // Self-pair mode computes the variant table ONCE on neutral names and renames
+    // per join side ABOVE the shared subtree (the banded-LSH self-join pattern):
+    // with per-side names baked in below the window's exchange, the two sides'
+    // exchange subtrees are not canonically identical and ReuseExchange cannot
+    // serve them — the scan + distinct + variant-explode UDF ran twice.
+    val cand0 =
+      if (selfPairs) {
+        val v = variants(lk.select(col("_lk").as("_k")), "_k", "_cnt")
+        v.select(col("_vh"), col("_k").as("_lk"), col("_cnt").as("_bl"))
+          .join(v.select(col("_vh"), col("_k").as("_rk"), col("_cnt").as("_br")),
+            Seq("_vh"))
+      } else variants(lk, "_lk", "_bl").join(variants(rk, "_rk", "_br"), Seq("_vh"))
+    val cand = cand0
       // Fail IN THE TASK the moment one variant bucket would emit a runaway number
       // of candidate pairs (degenerate key distributions turn blocking quadratic —
       // at corpus scale that is an accidental cross join, never something to grind
