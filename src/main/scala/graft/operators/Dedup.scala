@@ -330,9 +330,21 @@ object Dedup {
     * and the branches diverge before any reusable exchange — pass a MATERIALIZED or
     * cheap-to-recompute candidate frame. [[nearDupPairsMinhash]] localCheckpoints its
     * candidates before calling here for exactly this reason.
+    *
+    * `minJaccard` > 0 arms the EXACT set-size prefilter (the classic length filter
+    * of set-similarity joins): |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so
+    * jaccard ≤ min/max — a pair whose shingle-set sizes differ by more than the
+    * threshold ratio can NEVER verify and is dropped while the candidate rows are
+    * still skinny, before the joins that carry the shingle arrays. Dropped pairs
+    * are absent from the output (they could only ever fail the caller's
+    * `jaccard >= minJaccard` filter); kept pairs verify exactly as before, so
+    * results are provably unchanged for any caller filtering at `>= minJaccard`.
+    * Measured (round 14, generated corpora): kills 73% of candidates at sf1 and
+    * 80% at sf10, where the candidate set grows ~56x by density construction and
+    * the verify joins were the superlinear term of the sf10 ratio.
     */
   def exactJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 5): DataFrame = {
+      shingleSize: Int = 5, minJaccard: Double = 0.0): DataFrame = {
     // Only docs that actually appear in a candidate pair need a shingle set: semi-join
     // the corpus down BEFORE the kernel runs. Candidate sets are orders smaller than
     // the corpus (LSH's whole point), so at scale this turns a full-corpus UDF pass
@@ -352,7 +364,24 @@ object Dedup {
     val sh = fanOut(docs).join(wanted, Seq(idCol), "left_semi")
       .select(col(idCol).as("_jid"), shingleHashSet(col(textCol), shingleSize).as("_sh"))
       .repartition(col("_jid"))
-    pairs
+    val kept =
+      if (minJaccard <= 0.0) pairs
+      else {
+        // Size prefilter while the pair rows are still ~16 B: two joins against the
+        // (id, set-size) projection of the SAME _jid exchange (ReuseExchange serves
+        // all four consumers from one kernel pass), then the ratio cut. The 1e-9
+        // slack covers double rounding of min/max vs the verify's inter/union
+        // division — a false KEEP costs one exact verify, a false drop is
+        // impossible (the slack only ever widens the kept set).
+        val sizes = sh.select(col("_jid"), size(col("_sh")).cast("long").as("_nsh"))
+        pairs
+          .join(sizes.withColumnRenamed("_jid", "id_a").withColumnRenamed("_nsh", "_na"), "id_a")
+          .join(sizes.withColumnRenamed("_jid", "id_b").withColumnRenamed("_nsh", "_nb"), "id_b")
+          .filter(least(col("_na"), col("_nb")).cast("double") >=
+            lit(minJaccard - 1e-9) * greatest(col("_na"), col("_nb")).cast("double"))
+          .drop("_na", "_nb")
+      }
+    kept
       .join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
       .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
       .withColumn("jaccard", jaccardSorted(col("_sh_a"), col("_sh_b")))
@@ -374,7 +403,7 @@ object Dedup {
       shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16): DataFrame = {
     val cands = minhashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bands)
       .localCheckpoint(true)
-    exactJaccard(cands, df, idCol, textCol, shingleSize)
+    exactJaccard(cands, df, idCol, textCol, shingleSize, minJaccard = threshold)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -394,7 +423,7 @@ object Dedup {
     // stage consumes the candidate frame three times.
     val cands = incrementalMinhashCandidates(newDocs, index, idCol, textCol,
       shingleSize, numHashes, bands, maxBucketSize).localCheckpoint(true)
-    exactJaccard(cands, allDocs, idCol, textCol, shingleSize)
+    exactJaccard(cands, allDocs, idCol, textCol, shingleSize, minJaccard = threshold)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

@@ -812,7 +812,8 @@ object StreamingAnalysis {
       shingleSize, numHashes, bands, maxBucketSize).localCheckpoint(true)
     val survivors = verifyAgainstShardedStore(batch, batchId, idCol, textCol,
       cands, survivorsDir, idShards,
-      (c, all) => Dedup.exactJaccard(c, all, idCol, textCol, shingleSize)
+      (c, all) => Dedup.exactJaccard(c, all, idCol, textCol, shingleSize,
+          minJaccard = threshold)
         .filter(col("jaccard") >= threshold))
     Dedup.minhashIndex(survivors, idCol, textCol, shingleSize, numHashes, bands)
       .write.mode("overwrite").parquet(s"$indexDir/$BatchCol=$batchId")

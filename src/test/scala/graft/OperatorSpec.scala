@@ -85,6 +85,32 @@ class OperatorSpec extends SparkSpec {
     assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
   }
 
+  test("exactJaccard size prefilter: minJaccard path == unfiltered path at the threshold") {
+    import spark.implicits._
+    val threshold = 0.9
+    // All candidate pairs over the planted corpus — including sub-threshold ones the
+    // size filter is allowed to drop — then both verify paths compared at >= t.
+    val cands = Dedup.minhashCandidatePairs(docs, "doc_id", "text").localCheckpoint(true)
+    def verified(minJ: Double): Set[(Long, Long)] =
+      Dedup.exactJaccard(cands, docs, "doc_id", "text", 5, minJaccard = minJ)
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unfiltered = verified(0.0)
+    assert(unfiltered.nonEmpty, "corpus should contain planted near-dups")
+    assert(verified(threshold) == unfiltered,
+      "the size prefilter must never change the verified pair set")
+    // Boundary pin: sizes exactly AT the ratio must survive the prefilter (the
+    // length bound is attainable when one shingle set contains the other).
+    // 9-shingle set vs 10-shingle superset -> jaccard = 9/10 = min/max exactly.
+    val a = "abcdefghi"  // 9 distinct 1-shingles
+    val b = "abcdefghij" // 10 distinct 1-shingles, superset
+    val edge = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val edgePairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.exactJaccard(edgePairs, edge, "doc_id", "text", 1, minJaccard = 0.9)
+      .filter(col("jaccard") >= 0.9).count()
+    assert(out == 1L, "a pair at exactly jaccard = min/max = threshold must be kept")
+  }
+
   test("incremental minhash dedup == full recompute restricted to new-batch pairs") {
     import spark.implicits._
     val threshold = 0.9
