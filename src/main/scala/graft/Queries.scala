@@ -1663,8 +1663,17 @@ object Queries {
           .filter(col("vec_id").isNotNull &&
             !exists(col("embedding"), x => x.isNull) &&
             !isnan(ss) && ss < lit(Double.PositiveInfinity) && ss > 0)
+        // Pairs are materialized ONCE and consumed twice (the pair aggregate and the
+        // keep-set's dropped-id side). Round 14: the previous shape called
+        // Similarity.semDedup as well, which recomputes semDedupPairs internally —
+        // the whole cell+cosine pipeline (the expensive half of the plan, 64
+        // Exchanges total) executed twice for one result. `kept` below inlines
+        // semDedup's own definition (df anti-join distinct id_b) against the SAME
+        // checkpointed pairs, so the result is identical by construction.
         val pairs = Similarity.semDedupPairs(filtered, "vec_id", "embedding", oneHot, 0.85)
-        val kept = Similarity.semDedup(filtered, "vec_id", "embedding", oneHot, 0.85)
+          .localCheckpoint(true)
+        val kept = filtered.join(
+          pairs.select(col("id_b").as("vec_id")).distinct(), Seq("vec_id"), "left_anti")
         val cells = Similarity.ivfAssign(filtered, "embedding", oneHot)
         pairs.agg(
             count(lit(1)).as("n_pairs"),
