@@ -112,6 +112,14 @@ object Bench {
     * inside its bound (the r13 lesson — sub-bound drift compounded for rounds).
     */
   private val AmbientDirty = 0.25
+  /** Clean-window threshold for PUBLISHING sf-block ratios (round-15, verdict
+    * item 3): a ratio whose entire min-of-arms history ran under more than 15%
+    * co-tenant load re-pairs after a cooldown until one clean window confirms
+    * it. AmbientDirty (0.25) arms the in-flight adjudication; this tighter
+    * bound gates what ships — r14's sf10 dedup_minhash published 11.47x from a
+    * 0.20-ambient window (under AmbientDirty, 3x its quiet profile).
+    */
+  private val AmbientWatch = 0.15
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -417,6 +425,24 @@ object Bench {
         else adjudicateVsPrev("query", name, sec, prevQ.get(name), SparkEntry.queries(name)))
     }
 
+    // ---- compute-bound CPU-scaling proof arm (round-14 verdict item 2) ----
+    // ADDED `queries` entry (the driver contract allows additions, never
+    // removals or renames): every pre-existing arm at sf0.1 is stage-latency /
+    // overhead-bound, so the driver's low-core bench run could not observe the
+    // `local[$SPARK_GRAFT_CPUS]` contract from the artifact. This arm is the
+    // minhash signature kernel over every sf0.1 document (replicated 4x inside
+    // each task) — per-task compute whose wall time tracks available cores.
+    // Same measurement protocol as every query (measure(): warmup + timed,
+    // min-of-2 past 0.8 s), adjudicated against the previous sidecar like the
+    // rest.
+    val cpuScaling = {
+      val name = "cpu_scaling_minhash_kernel"
+      val sec = measure(Queries.cpuScalingKernelArm, name)
+      name -> adjudicateVsPrev("query", name, sec, prevQ.get(name),
+        Queries.cpuScalingKernelArm)
+    }
+    val resultsAll = results :+ cpuScaling
+
     // ---- operator-vs-verification split for verification-heavy headliners ----
     // Several queries bundle an EXACT verification replica alongside the approximate
     // operator (the gated-boolean oracle pattern), so their per-query seconds above
@@ -599,7 +625,10 @@ object Bench {
         val semScaled = {
           import org.apache.spark.sql.functions.{col, count, exists, lit}
           import graft.operators.Similarity
-          def arm(d: String): Double =
+          // Returns (seconds, pair count): the count feeds the output-cardinality
+          // model below (round-14 verdict item 7 — refresh the model constants in
+          // the sidecar each run instead of pinning a hand-profiled number).
+          def arm(d: String): (Double, Double) =
             try {
               val t0 = System.nanoTime()
               val df = spark.read.parquet(s"$d/embeddings.parquet")
@@ -608,13 +637,13 @@ object Bench {
               val k = math.max(4, (df.count() / 500L).toInt)
               val cents = Similarity.refineCentroids(df, "embedding",
                 Similarity.seedCentroids(df, "vec_id", "embedding", k), iters = 1)
-              Similarity.semDedupPairs(df, "vec_id", "embedding", cents, 0.85)
-                .agg(count(lit(1))).collect()
-              (System.nanoTime() - t0) / 1e9
-            } catch { case scala.util.control.NonFatal(_) => -1.0 }
+              val n = Similarity.semDedupPairs(df, "vec_id", "embedding", cents, 0.85)
+                .agg(count(lit(1))).collect().head.getLong(0).toDouble
+              ((System.nanoTime() - t0) / 1e9, n)
+            } catch { case scala.util.control.NonFatal(_) => (-1.0, -1.0) }
           arm(sfDir) // warmup (codegen for this plan shape)
-          var small = arm(sfDir)
-          var big = arm(dir)
+          var (small, nSmall) = arm(sfDir)
+          var (big, nBig) = arm(dir)
           // Closed-form workload model (round-12, PLANS.md "semdedup_scaled
           // model"): wall = T0 + fit + pairs with k = n/500 — the fit term
           // (assign cost n*k*dim) grows 100x per 10x data while pairs grow 10x
@@ -624,10 +653,22 @@ object Bench {
           // deserved a retry and didn't get one) — min-of-2 both sides, with
           // arms printed so a shipped >8x reading carries its adjudication.
           if (big >= 0 && small > 0 && big / small > 8.0) {
-            val s2 = arm(sfDir); val b2 = arm(dir)
+            val (s2, _) = arm(sfDir); val (b2, _) = arm(dir)
             println(f"[sf1-adjudicate] semdedup_scaled arms sf0.1=$s2%.3f sf1=$b2%.3f")
             if (s2 > 0) small = math.min(small, s2)
             if (b2 >= 0) big = math.min(big, b2)
+          }
+          // Output-cardinality model next to the reading it explains (round-14
+          // verdict item 7): pair count both sides + time-per-output, refreshed
+          // every run — the r14 semdedup plan change (pairs pipeline runs once)
+          // moved the old hand-profiled constant.
+          if (nSmall > 0 && nBig > 0 && small > 0 && big > 0) {
+            models("semdedup_scaled_out_ratio") = nBig / nSmall
+            models("semdedup_scaled_time_per_out") = (big / small) / (nBig / nSmall)
+            println(f"[sf1-model] semdedup_scaled pairs $nSmall%.0f -> $nBig%.0f " +
+              f"(${nBig / nSmall}%.2fx); time ${big / small}%.2fx; time/output " +
+              f"${(big / small) / (nBig / nSmall)}%.2f (fit term n*k*dim grows " +
+              "100x per 10x data by construction — ratio is n-dependent)")
           }
           ("semdedup_scaled", big,
             if (big < 0 || small <= 0) 9999.0 else big / small)
@@ -733,6 +774,22 @@ object Bench {
                   noteAmbient(s"sf10:${shortQ(name)}", amb0)
                   var den = s1
                   var lastAmb = amb0
+                  // Clean-window tracking (round 15, verdict item 3): was at
+                  // least one window of this arm's min-of-arms history quiet?
+                  // ambient -1 (/proc unavailable) counts as clean — the gate
+                  // cannot be evaluated and must not spin.
+                  var sawClean = amb0 <= AmbientWatch
+                  def pair(): Unit = {
+                    val pre = loadSnap()
+                    val dA = onceAt10(fn, dir1); val bA = onceAt10(fn, dir10)
+                    lastAmb = ambientFrac(pre, loadSnap())
+                    noteAmbient(s"sf10:${shortQ(name)}", lastAmb)
+                    if (lastAmb <= AmbientWatch) sawClean = true
+                    println(f"[sf10-adjudicate] $name arms sf1=$dA%.3f sf10=$bA%.3f " +
+                      f"ambient=$lastAmb%.2f")
+                    if (dA > 0) den = math.min(den, dA)
+                    if (bA >= 0) big = math.min(big, bA)
+                  }
                   if (big >= 0 && (big / den > ratioTrigger(prevSf10R, name, 5.0) ||
                       amb0 > AmbientDirty)) {
                     // same adjudication rule as the sf1 block (since r14 ALSO
@@ -745,16 +802,6 @@ object Bench {
                     if (amb0 > AmbientDirty)
                       println(f"[sf10-adjudicate] $name first window ambient $amb0%.2f — re-measuring")
                     settle(deep = true)
-                    def pair(): Unit = {
-                      val pre = loadSnap()
-                      val dA = onceAt10(fn, dir1); val bA = onceAt10(fn, dir10)
-                      lastAmb = ambientFrac(pre, loadSnap())
-                      noteAmbient(s"sf10:${shortQ(name)}", lastAmb)
-                      println(f"[sf10-adjudicate] $name arms sf1=$dA%.3f sf10=$bA%.3f " +
-                        f"ambient=$lastAmb%.2f")
-                      if (dA > 0) den = math.min(den, dA)
-                      if (bA >= 0) big = math.min(big, bA)
-                    }
                     (1 to 2).foreach(_ => pair())
                     if (big >= 0 && big / den > 10.0) { settle(deep = true); pair() }
                     // Cooldown last resort (round-13): readings that survived all
@@ -776,6 +823,22 @@ object Bench {
                       settle(deep = true)
                       pair()
                     }
+                  }
+                  // Publish gate (round 15, verdict item 3): a block ratio whose
+                  // EVERY contributing window exceeded AmbientWatch must not ship
+                  // — co-tenant load only inflates readings, so min-of-arms from
+                  // dirty windows overstates the ratio (r14 minhash 11.47x vs
+                  // 3.66x quiet). Cool down and re-pair until one clean window
+                  // participates in the min; bounded at two extra pairs, arms
+                  // printed like every adjudication.
+                  var cleanRetries = 0
+                  while (big >= 0 && !sawClean && cleanRetries < 2) {
+                    cleanRetries += 1
+                    println(f"[sf10-ambient] $name has no clean (<=${AmbientWatch}%.2f) " +
+                      f"window yet — cooldown pair $cleanRetries")
+                    Thread.sleep(60000)
+                    settle(deep = true)
+                    pair()
                   }
                   // Operator-arm model (round-13 verdict items 4/5): a published
                   // full ratio still in the watch zone gets its operator-only arm
@@ -827,6 +890,24 @@ object Bench {
             }
             val li10 = spark.read.parquet(s"$dir10/lineitem.parquet")
             settle(deep = true)
+            // Stage-metric capture for the sf10 suite20 arm (round-14 verdict
+            // item 4): the block-worst ratio's suspected superlinear term was
+            // execution-memory pressure at 60M rows x 20 aggregates — record
+            // total spill and peak per-stage execution memory across the arm's
+            // runs in the committed sidecar instead of a by-hand profile.
+            val spillBytes = new java.util.concurrent.atomic.AtomicLong
+            val peakStageMem = new java.util.concurrent.atomic.AtomicLong
+            val spillListener = new org.apache.spark.scheduler.SparkListener {
+              override def onStageCompleted(
+                  ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+                val m = ev.stageInfo.taskMetrics
+                if (m != null) {
+                  spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+                  peakStageMem.accumulateAndGet(m.peakExecutionMemory, math.max(_, _))
+                }
+              }
+            }
+            spark.sparkContext.addSparkListener(spillListener)
             spark.conf.set("spark.sql.adaptive.enabled", "false")
             (1 to 2).foreach(_ => suite20(li10)) // warmup reads (page cache + codegen)
             val preW = loadSnap()
@@ -842,27 +923,47 @@ object Bench {
             // with every arm printed; a third pair past 10x. Since r14 a dirty
             // first window arms the adjudication at any ratio.
             var wDen = w1
+            var wClean = ambW <= AmbientWatch
+            val li1W = spark.read.parquet(s"$dir1/lineitem.parquet")
+            def wPair(): Unit = {
+              settle(deep = true)
+              suite20(li1W) // warmup read after the settle
+              val pre = loadSnap()
+              val dA = (1 to 3).map(_ => secs { suite20(li1W) }).min
+              suite20(li10)
+              val bA = (1 to 3).map(_ => secs { suite20(li10) }).min
+              val aA = ambientFrac(pre, loadSnap())
+              noteAmbient("sf10:suite20", aA)
+              if (aA <= AmbientWatch) wClean = true
+              println(f"[sf10-adjudicate] suite20 arms sf1=$dA%.3f sf10=$bA%.3f " +
+                f"ambient=$aA%.2f")
+              wDen = math.min(wDen, dA)
+              w10 = math.min(w10, bA)
+            }
             if (wDen > 0 && (w10 / wDen > ratioTrigger(prevSf10R, "suite20", 5.0) ||
                 ambW > AmbientDirty)) {
-              val li1 = spark.read.parquet(s"$dir1/lineitem.parquet")
-              def pair(): Unit = {
-                settle(deep = true)
-                suite20(li1) // warmup read after the settle
-                val pre = loadSnap()
-                val dA = (1 to 3).map(_ => secs { suite20(li1) }).min
-                suite20(li10)
-                val bA = (1 to 3).map(_ => secs { suite20(li10) }).min
-                val aA = ambientFrac(pre, loadSnap())
-                noteAmbient("sf10:suite20", aA)
-                println(f"[sf10-adjudicate] suite20 arms sf1=$dA%.3f sf10=$bA%.3f " +
-                  f"ambient=$aA%.2f")
-                wDen = math.min(wDen, dA)
-                w10 = math.min(w10, bA)
-              }
-              (1 to 2).foreach(_ => pair())
-              if (w10 / wDen > 10.0) pair()
+              (1 to 2).foreach(_ => wPair())
+              if (w10 / wDen > 10.0) wPair()
+            }
+            // Publish gate (round 15, verdict item 3) — same as the per-query
+            // arms: no clean window in the min-of-arms history → cooldown pair.
+            var wCleanRetries = 0
+            while (wDen > 0 && !wClean && wCleanRetries < 2) {
+              wCleanRetries += 1
+              println(f"[sf10-ambient] suite20 has no clean window yet — " +
+                f"cooldown pair $wCleanRetries")
+              Thread.sleep(60000)
+              wPair()
             }
             spark.conf.set("spark.sql.adaptive.enabled", "true")
+            try {
+              Thread.sleep(500) // let the listener bus drain the last stage events
+              spark.sparkContext.removeSparkListener(spillListener)
+              models("sf10_suite20_spill_mb") = spillBytes.get / 1e6
+              models("sf10_suite20_peak_stage_mem_mb") = peakStageMem.get / 1e6
+              println(f"[sf10-model] suite20 stage spill ${spillBytes.get / 1e6}%.1f MB, " +
+                f"peak stage execution memory ${peakStageMem.get / 1e6}%.1f MB")
+            } catch { case scala.util.control.NonFatal(_) => () }
             val all = rows :+ (("suite20", w10, if (wDen > 0) w10 / wDen else 9999.0))
             all.foreach { case (n, s, r) =>
               println(f"[sf10] $n%-34s $s%7.2f s  ratio $r%5.1fx vs sf1") }
@@ -942,7 +1043,7 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"suite20_inmemory_sec","value":${r3(cachedPub)},"unit":"sec","queries":$qs$opJson$sweepJson$sf1Json$sf10Json$ambJson,"sf":"$sfDir"}"""
     }
-    var entries = results
+    var entries = resultsAll
     // Drop the smallest NON-NEGATIVE value first: -1.0 failure sentinels must stay
     // visible, so they sort to the front (kept) and never get trimmed.
     while (line(entries).length > 1800 && entries.nonEmpty)
@@ -957,7 +1058,7 @@ object Bench {
       // Since round 13 the sidecar also carries the headline arms and the
       // sf-block ratios (short names), so the round-over-round adjudication has
       // an untrimmed baseline for BOTH without re-parsing the driver wrapper.
-      val full = (results ++ headline.map { case (k, v) => k -> v })
+      val full = (resultsAll ++ headline.map { case (k, v) => k -> v })
         .map { case (k, v) => "\"" + k + "\":" + r2(v) }
         .mkString("{\"queries\":{", ",", "}")
       def flatRatios(key: String, entries: Seq[(String, Double)]): String =

@@ -120,9 +120,16 @@ object Queries {
       s"${d.hashCode.toHexString}_${nDocs}_${fp.toHexString}_p$par"
     if (!new java.io.File(s"$fix/_SUCCESS").exists()) {
       val mkU = udf(mk)
+      // Repartition the SKINNY doc_id projection, then apply the encode UDF
+      // (round-15 ADVICE item): the one-time build runs the encoder on every
+      // core and only 8 B/row crosses the exchange — encoding first would run
+      // the UDF in the single-row-group scan's lone task and ship the generated
+      // media blobs through the shuffle (the repo guideline is that media bytes
+      // never cross an exchange).
       t(s, d, "documents").filter(col("doc_id").isNotNull)
-        .select(col("doc_id"), mkU(col("doc_id")).as(colName))
+        .select(col("doc_id"))
         .repartition(par)
+        .select(col("doc_id"), mkU(col("doc_id")).as(colName))
         .write.mode("overwrite").parquet(fix)
     }
     (s.read.parquet(fix), nDocs)
@@ -5017,6 +5024,39 @@ object Queries {
     * reports operator vs verification seconds. Each arm is exactly the operator
     * surface a production caller would run, with a bounded driver-side result.
     */
+  /** Compute-bound CPU-scaling proof arm (bench-only; round-14 verdict item 2 —
+    * NOT a declared oracle query). Every reported bench arm at sf0.1 is
+    * exchange-latency/overhead-bound, so the driver's low-core bench run could
+    * not observe the `local[$SPARK_GRAFT_CPUS]` contract from the artifact
+    * (`suspect_cpus_ignored` false positive in PERF_r14). This arm IS
+    * compute-bound by construction: the minhash signature kernel — the sf10
+    * ngram hot loop, O(len·128) per row — over every sf0.1 document, replicated
+    * 4x row-locally AFTER a round-robin spread to the session parallelism, into
+    * a single-row order-insensitive checksum. Wall time tracks available cores;
+    * the checksum is recomputed from the parquet input on every invocation
+    * (nothing cached or precomputed).
+    */
+  def cpuScalingKernelArm(s: SparkSession, d: String): DataFrame = {
+    // 1 partition/core: a 4x-finer round-robin split was A/B'd for tail-leveling
+    // (guide §2.6) and measured WORSE at both core counts (32c 2.26 -> 2.54 s,
+    // 8c 4.98 -> 6.08 s min-of-3) — per-task overhead beats the tail saving on
+    // this row count.
+    val par = s.sparkContext.defaultParallelism
+    t(s, d, "documents").filter(col("text").isNotNull && col("doc_id").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .repartition(par)
+      // 128 replicas per doc, generated INSIDE each task (explode after the
+      // exchange): work scales 128x, shuffled bytes don't. Sized so the kernel
+      // dominates the arm's fixed overhead (~0.6 s scan+schedule+collect at
+      // sf0.1): measured 4 replicas left both core counts at the 0.6 s floor,
+      // 64 replicas separated 1.51 vs 2.93 s (1.9x), 128 gives ~3x 8-vs-32-core
+      // separation with the arm still under ~3 s at 32 cores.
+      .select(col("text"), explode(sequence(lit(0), lit(127))).as("_r"))
+      .select(graft.operators.Dedup.minhashSignature(col("text"), 6, 128)
+        .as("_sig"), col("_r"))
+      .agg(coalesce(expr("bit_xor(xxhash64(_sig, _r))"), lit(0L)).as("sig_check"))
+  }
+
   def operatorArms: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Bloom build + flag rollup: ONE probe scan + ONE corpus scan. The dropped
     // exact arm re-tokenizes probe AND corpus and shuffles every gram hash.

@@ -129,6 +129,15 @@ object Dedup {
     // collapses the corpus (or guard-drops everything) instead of erroring.
     require(shingleSize > 0, s"shingleSize must be positive, got $shingleSize")
     require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+    // Per-seed xor constants hoisted out of the hot loop (round 15, guide §1.2
+    // per-task work): seedMix recomputes `0x9e…L * (seed+1)` for every
+    // (shingle, seed) — numHashes multiplies per shingle that a table computed
+    // once per UDF construction provides. Inlined mix is seedMix verbatim after
+    // that substitution, so signatures stay bit-identical (pinned by the
+    // ScratchKernelBench identity sweep + the kernel differential in
+    // OperatorSpec). Measured single-thread on 20k sf10 texts: 1.84 -> 1.63 s
+    // (~10%); dedupe-first and unroll-x2 variants measured no better / worse.
+    val seedC = Array.tabulate(numHashes)(j => 0x9e3779b97f4a7c15L * (j + 1))
     val f = udf { (t: String) =>
       if (t == null) null
       else {
@@ -141,8 +150,11 @@ object Dedup {
           val h = hashNgram(t, i, width)
           var j = 0
           while (j < numHashes) {
-            val v = seedMix(h, j)
-            if (v < sig(j)) sig(j) = v
+            var x = h ^ seedC(j)
+            x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+            x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+            x ^= x >>> 33
+            if (x < sig(j)) sig(j) = x
             j += 1
           }
           i += 1
@@ -342,6 +354,14 @@ object Dedup {
     * Measured (round 14, generated corpora): kills 73% of candidates at sf1 and
     * 80% at sf10, where the candidate set grows ~56x by density construction and
     * the verify joins were the superlinear term of the sf10 ratio.
+    *
+    * PRECONDITION (round-15 ADVICE item): `docs` must be unique on `idCol` — the
+    * universal contract of this pipeline (ids are the pair identity; every caller
+    * feeds a primary-key corpus or exactDedup output). With duplicate ids the
+    * verify joins already multiply output rows by dup_a*dup_b, and the
+    * prefilter's two extra joins against `sizes` would square that factor again
+    * (dup^2 → dup^4) — i.e. the minJaccard>0 path would amplify an
+    * already-broken input differently than minJaccard=0, not break a valid one.
     */
   def exactJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, minJaccard: Double = 0.0): DataFrame = {
@@ -1240,7 +1260,8 @@ object Dedup {
     * would otherwise turn quadratic.
     */
   private[operators] def bandedHammingPairs(hashed: DataFrame, maxHamming: Int,
-      maxBucketSize: Int, newFlagCol: Option[String] = None): DataFrame = {
+      maxBucketSize: Int, newFlagCol: Option[String] = None,
+      dedup: Boolean = true): DataFrame = {
     require(maxHamming >= 0, "maxHamming must be non-negative")
     // Warn HERE, not per caller: every 64-bit-sketch path (SimHash text, image
     // aHash, audio hash, their incremental variants, future sketches) shares the
@@ -1269,7 +1290,7 @@ object Dedup {
       newFlagCol.map(c => col(c).as(s"_flag_$sfx")): _*)
     val joined = side("a").join(side("b"), Seq("band", "bits"))
       .filter(col("id_a") < col("id_b"))
-    newFlagCol.fold(joined)(_ => joined.filter(col("_flag_a") || col("_flag_b")))
+    val cut = newFlagCol.fold(joined)(_ => joined.filter(col("_flag_a") || col("_flag_b")))
       .select(col("id_a"), col("id_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
       // Hamming cut BEFORE the dedup exchange (guide §2.3 — shuffle fewer bytes):
@@ -1278,7 +1299,16 @@ object Dedup {
       // intermediate. filter∘distinct ≡ distinct∘filter for a deterministic
       // row-local predicate, so results are unchanged.
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+    // `dedup = false` skips the pair-level distinct for consumers that feed the
+    // pairs straight into their OWN duplicate-insensitive aggregation (min/
+    // count-of-groups — the video clip rollup): the caller's partial aggregate
+    // absorbs the ≤ bands-fold band-collision duplicates map-side. Measured
+    // round 15: Spark 4.1's RemoveRedundantAggregates was already eliding this
+    // distinct under such rollups (identical plans either way) — the parameter
+    // makes the contract explicit instead of relying on that rule. Pair-SET
+    // consumers (image/audio/simhash dedup, where the output IS the pair list)
+    // keep the default distinct.
+    if (dedup) cut.distinct() else cut
   }
 
   // ---------- embedding near-dup ----------

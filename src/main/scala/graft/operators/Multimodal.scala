@@ -1493,13 +1493,23 @@ object Multimodal {
     val frameRows = frameHashes
       .select(Seq(struct(col("id").as("cid"), col("frame_idx").as("fidx")).as("id"),
         col("frame_hash").as("_h64")) ++ newFlagCol.map(col): _*)
-    // Measured (round 14): keeping bandedHammingPairs' pair-level distinct BEATS
-    // skipping it here even though the per-clip aggregation would absorb
-    // duplicates — a true near-dup pair (hamming 0) collides in ALL 4 bands, so
-    // the undeduped join output is ~4x the distinct pairs and the aggregation's
-    // countDistinct expand doubles that again (3.08 s vs 2.56 s full operator).
+    // dedup = false + explicit two-level aggregation (round 15): the rollup only
+    // needs DUPLICATE-insensitive facts per (clip pair, A-frame) — min hamming
+    // and the count of distinct matched A-frames — so the source now states the
+    // efficient shape directly: aggregate to (ca, cb, fa) granularity (the
+    // map-side partial absorbs the ≤4x band-collision duplicates), then a plain
+    // (ca, cb) rollup where count over the (ca, cb, fa) groups (count(_fa) skips
+    // the null group) equals the old countDistinct(_fa). MEASURED (round 15,
+    // plans/r15/*video*): Spark 4.1's optimizer was ALREADY rewriting the old
+    // distinct + countDistinct+min form into exactly this physical plan
+    // (RemoveRedundantAggregates drops the pair distinct under the duplicate-
+    // insensitive rollup; RewriteDistinctAggregates plans the single distinct
+    // agg without any Expand), so before/after plans are identical and the
+    // same-JVM A/B is a wash (ScratchClipRollup: old 2.44 vs new 2.29 s min,
+    // identical 335,340-row output). Kept explicit so the plan shape is pinned
+    // by construction, not by two optimizer rules firing.
     val framePairs = Dedup.bandedHammingPairs(frameRows, maxHamming, maxBucketSize,
-      newFlagCol = newFlagCol)
+      newFlagCol = newFlagCol, dedup = false)
     // cross-clip only (a clip's own repeated frames are not a duplicate relation).
     // bandedHammingPairs emits id_a < id_b on the (cid, fidx)-LEXICOGRAPHIC structs,
     // so once equal cids are filtered out, id_a.cid < id_b.cid already holds — the
@@ -1510,9 +1520,11 @@ object Multimodal {
         col("id_b.cid").as("_cb"),
         col("id_a.fidx").as("_fa"),
         col("hamming"))
+      .groupBy(col("_ca"), col("_cb"), col("_fa"))
+      .agg(min(col("hamming")).as("_mh"))
       .groupBy(col("_ca"), col("_cb"))
-      .agg(countDistinct(col("_fa")).as("matching_frames"),
-        min(col("hamming")).as("min_hamming"))
+      .agg(count(col("_fa")).as("matching_frames"),
+        min(col("_mh")).as("min_hamming"))
       .filter(col("matching_frames") >= minMatchingFrames)
       .select(col("_ca").as("id_a"), col("_cb").as("id_b"),
         col("matching_frames"), col("min_hamming"))

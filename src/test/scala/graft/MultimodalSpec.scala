@@ -637,6 +637,61 @@ class MultimodalSpec extends SparkSpec {
     assert(nInc == expInc, s"incremental arm pairs $nInc != arithmetic $expInc")
   }
 
+  test("clip rollup differential: two-level aggregation matches a brute-force " +
+    "frame-match reference (round-15 rollup restructure)") {
+    import spark.implicits._
+    // Hand-built containers through the decoder hook. Geometry chosen to
+    // exercise every rollup subtlety: 10/20 exact dups (hamming-0 frames collide
+    // in ALL 4 bands — band-duplicate absorption), 30 repeats a frame INSIDE the
+    // clip and shares it with 10/20 (one A-frame matching several B-frames must
+    // count ONCE), 40 shares a single frame (single-frame match visible at
+    // minMatchingFrames=1), 50 unrelated.
+    val fs = (0 to 6).map(i => MediaCodecs.encodeNoiseImage(24, 16, "png", 200L + i))
+    val frameStore: Map[Long, Seq[Array[Byte]]] = Map(
+      10L -> Seq(fs(0), fs(1), fs(2)),
+      20L -> Seq(fs(0), fs(1), fs(2)),
+      30L -> Seq(fs(0), fs(0), fs(3)),
+      40L -> Seq(fs(1), fs(4)),
+      50L -> Seq(fs(5), fs(6)))
+    val decoder = (bytes: Array[Byte], _: Int, maxFrames: Int) =>
+      if (bytes == null || bytes.isEmpty) Seq.empty[Array[Byte]]
+      else frameStore.getOrElse(bytes(0).toLong, Nil).take(maxFrames)
+    val clips = frameStore.keys.toSeq.sorted
+      .map(id => (id, Array(id.toByte))).toDF("id", "clip")
+    // Brute-force reference computed from the SAME frame hashes the operator
+    // consumes — implementation-independent of the banded join and the rollup.
+    val rows = Multimodal.videoFrameHashes(clips, "id", "clip", decoder)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byClip = rows.groupBy(_._1)
+    val ids = byClip.keys.toSeq.sorted
+    val expected = (for { a <- ids; b <- ids if a < b } yield {
+      val matched = for {
+        (_, fa, ha) <- byClip(a)
+        (_, _, hb) <- byClip(b)
+        h = java.lang.Long.bitCount(ha ^ hb) if h <= 3
+      } yield (fa, h)
+      (a, b, matched.map(_._1).distinct.length.toLong,
+        if (matched.isEmpty) Int.MaxValue else matched.map(_._2).min)
+    }).filter(_._3 >= 1L).toSet
+    assert(expected.exists(_._3 == 1L) && expected.exists(_._3 >= 3L),
+      s"fixture must exercise single- and multi-frame matches: $expected")
+    val got = Multimodal.nearDupPairsVideo(clips, "id", "clip", decoder,
+        minMatchingFrames = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(got == expected, s"rollup disagrees with brute force:\n got $got\n exp $expected")
+    // incremental path shares clipPairsFromFrameRows: new = odd ids, index = even
+    val idx = Multimodal.videoFrameHashIndex(
+      clips.filter(col("id") % 20 === 0), "id", "clip", decoder)
+    val gotInc = Multimodal.incrementalVideoPairs(
+        clips.filter(col("id") % 20 =!= 0), idx, "id", "clip", decoder,
+        minMatchingFrames = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val expInc = expected.filterNot { case (a, b, _, _) => a % 20 == 0 && b % 20 == 0 }
+    assert(gotInc == expInc, s"incremental rollup disagrees:\n got $gotInc\n exp $expInc")
+  }
+
   test("video pair plan: clip bytes never cross an exchange — only frame-hash rows") {
     import spark.implicits._
     val clips = Seq((1L, MediaCodecs.encodeAnimatedGif(24, 16, 3, 5L)),

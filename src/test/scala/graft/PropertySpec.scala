@@ -708,6 +708,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("minhash kernel matches an independent reference implementation bit-for-bit " +
+    "(round-15 seed-constant hoist)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // Reference reimplements the spec'd kernel from its published constants
+    // (FNV-1a + fmix64 shingle hash; fmix64 of h xor 0x9e3779b97f4a7c15L*(seed+1))
+    // WITHOUT the production code's hoisted seed table — any drift in the
+    // hot-loop restructure breaks equality here.
+    def fmix(v: Long): Long = {
+      var x = v
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+      x ^= x >>> 33
+      x
+    }
+    def refHashNgram(t: String, start: Int, n: Int): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = start
+      while (i < start + n) { h ^= t.charAt(i); h *= 0x100000001b3L; i += 1 }
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+      h
+    }
+    def refSig(t: String, shingleSize: Int, numHashes: Int): Seq[Long] = {
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      val (count, width) =
+        if (t.length < shingleSize) (1, t.length) else (t.length - shingleSize + 1, shingleSize)
+      for (i <- 0 until count; j <- 0 until numHashes) {
+        val v = fmix(refHashNgram(t, i, width) ^ (0x9e3779b97f4a7c15L * (j + 1)))
+        if (v < sig(j)) sig(j) = v
+      }
+      sig.toSeq
+    }
+    val rnd = new scala.util.Random(42)
+    val texts = Seq("", "a", "abcd", "the quick brown fox jumps over the lazy dog",
+      "中文数据处理系统中文数据处理", "aaaaaaaaaaaaaaaaaaaa") ++
+      (1 to 20).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(400)).mkString)
+    val got = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+      .select(col("id"), graft.operators.Dedup.minhashSignature(col("text"), 6, 128).as("sig"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i) == refSig(t, 6, 128), s"signature drift on text #$i (${t.take(30)}…)")
+    }
+  }
+
   test("entropy matches independent computation") {
     import org.apache.spark.sql.functions.col
     val gen = for {

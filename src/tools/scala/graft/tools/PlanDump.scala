@@ -25,14 +25,23 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     names.foreach { name =>
-      val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
+      // "op:<query>" dumps the OPERATOR arm's plan (graft.Queries.operatorArms):
+      // queries that localCheckpoint their pair pipeline show only the cheap
+      // rollup in their final plan, so the arm is where the pipeline's plan
+      // shape is visible (round-15 media evidence).
+      val fn =
+        if (name.startsWith("op:"))
+          graft.Queries.operatorArms.getOrElse(name.drop(3),
+            sys.error(s"unknown operator arm ${name.drop(3)}"))
+        else SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
+      val fname = name.replace(":", "_")
       val txt =
         try fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         catch { case scala.util.control.NonFatal(e) => s"PLAN FAILED: $e" }
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"), txt)
-      println(s"[plandump] wrote $outDir/${name}_$suffix.txt (${txt.length} chars)")
+        java.nio.file.Paths.get(s"$outDir/${fname}_$suffix.txt"), txt)
+      println(s"[plandump] wrote $outDir/${fname}_$suffix.txt (${txt.length} chars)")
     }
     spark.stop()
   }
